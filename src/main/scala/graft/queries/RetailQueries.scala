@@ -1,0 +1,161 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.queries.Num._
+
+/** Core analytic surface: the reference's Athena queries (F1–F3 in
+  * SURVEY.md §2) re-expressed over the testdata star schema, plus the join
+  * and window operators a retail fact table needs at scale.
+  *
+  * Scale notes (100 TB): every aggregate here is a hash aggregate with
+  * map-side partial aggregation; joins against dimension tables are
+  * explicitly broadcast (dims are small by definition); the top-N query
+  * compiles to TakeOrderedAndProject, not a global sort.
+  */
+object RetailQueries {
+
+  /** F2 analog — daily revenue from orders (docs/athena_queries.md:24-28). */
+  def dailyRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .groupBy(col("o_orderdate").cast(DateType).as("order_date"))
+      .agg(sumMoney(col("o_totalprice")).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(desc("order_date"))
+
+  /** F3 analog — top-10 parts by discounted revenue
+    * (docs/athena_queries.md:32-37). Deterministic tiebreak on key. */
+  def topProducts(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .groupBy(col("l_partkey"))
+      .agg(sum(dec2(col("l_extendedprice")) *
+          (lit(1).cast(D4_2) - dec2(col("l_discount"))))
+        .cast(DoubleType).as("revenue"))
+      .orderBy(desc("revenue"), col("l_partkey"))
+      .limit(10)
+
+  /** TPC-H Q1-style pricing summary over lineitem. */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val disc = lit(1).cast(D4_2) - dec2(col("l_discount"))
+    val tax = lit(1).cast(D4_2) + dec2(col("l_tax"))
+    Tables(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sumMoney(col("l_quantity")).as("sum_qty"),
+        sumMoney(col("l_extendedprice")).as("sum_base_price"),
+        sum(dec2(col("l_extendedprice")) * disc).cast(DoubleType).as("sum_disc_price"),
+        sum(dec2(col("l_extendedprice")) * disc * tax).cast(DoubleType).as("sum_charge"),
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+  }
+
+  /** Broadcast dimension join: revenue by part brand. */
+  def brandRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    val part = Tables(spark, dir, "part")
+    li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(sum(dec2(col("l_extendedprice")) *
+          (lit(1).cast(D4_2) - dec2(col("l_discount"))))
+        .cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** Multi-way dim join: order revenue rolled up to region (TPC-H Q5-ish).
+    * customer/nation/region are all broadcast — zero shuffles on the
+    * dimension side; one hash-agg shuffle on r_name. */
+  def regionRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables(spark, dir, "orders")
+    val cust = Tables(spark, dir, "customer")
+    val nation = Tables(spark, dir, "nation")
+    val region = Tables(spark, dir, "region")
+    orders
+      .join(broadcast(cust), orders("o_custkey") === cust("c_custkey"))
+      .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(sumMoney(col("o_totalprice")).as("revenue"),
+        count(lit(1)).as("n_orders"))
+  }
+
+  /** E6 analog — latest-wins window dedup: last event per user
+    * (`incremental_auto_compaction.py:215-221`), with a deterministic
+    * event_id tiebreak. */
+  def latestEventPerUser(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(desc("ts"), desc("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"))
+  }
+
+  /** E5 analog — md5 row hash over stable-typed columns
+    * (`incremental_auto_compaction.py:210-212`; `docs/gold_job.md:24`).
+    * Column order is part of the contract. Only int/string columns are
+    * hashed so the string form is engine-independent. */
+  def rowHash(spark: SparkSession, dir: String): DataFrame = {
+    val hashCols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+      "l_linenumber", "l_returnflag", "l_linestatus")
+    Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        md5(concat_ws("||",
+          hashCols.map(c => coalesce(col(c).cast(StringType), lit(""))): _*))
+          .as("row_hash"))
+  }
+
+  private val discSql =
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))"
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q01_pricing_summary", pricingSummary, Some(s"""
+      SELECT l_returnflag, l_linestatus,
+        ${sqlSumMoney("l_quantity")} AS sum_qty,
+        ${sqlSumMoney("l_extendedprice")} AS sum_base_price,
+        CAST(SUM($discSql) AS DOUBLE) AS sum_disc_price,
+        CAST(SUM($discSql * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+        COUNT(*) AS n_rows,
+        COUNT(DISTINCT l_orderkey) AS n_orders
+      FROM lineitem GROUP BY l_returnflag, l_linestatus""")),
+    QueryDef("q02_daily_revenue", dailyRevenue, Some(s"""
+      SELECT CAST(o_orderdate AS DATE) AS order_date,
+        ${sqlSumMoney("o_totalprice")} AS revenue,
+        COUNT(*) AS n_orders
+      FROM orders GROUP BY 1 ORDER BY order_date DESC""")),
+    QueryDef("q03_top_products", topProducts, Some(s"""
+      SELECT l_partkey, CAST(SUM($discSql) AS DOUBLE) AS revenue
+      FROM lineitem GROUP BY l_partkey
+      ORDER BY revenue DESC, l_partkey LIMIT 10""")),
+    QueryDef("q04_brand_revenue", brandRevenue, Some(s"""
+      SELECT p_brand, CAST(SUM($discSql) AS DOUBLE) AS revenue,
+        COUNT(*) AS n_items
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY p_brand""")),
+    QueryDef("q05_region_revenue", regionRevenue, Some(s"""
+      SELECT r_name, ${sqlSumMoney("o_totalprice")} AS revenue,
+        COUNT(*) AS n_orders
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name""")),
+    QueryDef("q06_latest_event_per_user", latestEventPerUser, Some("""
+      SELECT user_id, event_id, event_type, value FROM (
+        SELECT user_id, event_id, event_type, value,
+          row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) WHERE rn = 1""")),
+    QueryDef("q07_row_hash", rowHash, Some("""
+      SELECT l_orderkey, l_linenumber,
+        md5(concat_ws('||',
+          coalesce(CAST(l_orderkey AS VARCHAR), ''),
+          coalesce(CAST(l_partkey AS VARCHAR), ''),
+          coalesce(CAST(l_suppkey AS VARCHAR), ''),
+          coalesce(CAST(l_linenumber AS VARCHAR), ''),
+          coalesce(l_returnflag, ''),
+          coalesce(l_linestatus, ''))) AS row_hash
+      FROM lineitem""")))
+}
