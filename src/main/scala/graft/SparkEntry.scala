@@ -15,7 +15,7 @@ import graft.queries._
 object SparkEntry {
 
   private val all: Seq[QueryDef] =
-    RetailQueries.defs ++ ParityQueries.defs
+    RetailQueries.defs ++ ParityQueries.defs ++ PipelineQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
