@@ -1,0 +1,173 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.text.TextAnalysis.{tokens, wordHash, P, sqlTokens, sqlWordHash}
+
+/** Near-duplicate detection operators for training-data pipelines.
+  *
+  * Scale design (100 TB): signatures (minhash/simhash) are narrow,
+  * shuffle-free column computations; candidate generation shuffles once on
+  * the band/bucket key (tiny rows: id + key); only verified candidates pay
+  * the pairwise cost. This is the standard shingle→minhash→band→bucket-join
+  * LSH layout — no all-pairs stage ever materializes.
+  */
+object Dedup {
+
+  // ---- shingling ----
+
+  /** k-word shingles joined with single spaces (empty array when the
+    * document has fewer than k words). */
+  def shingles(text: Column, k: Int): Column = {
+    val t = tokens(text)
+    when(size(t) < k, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(0), size(t) - k),
+        i => concat_ws(" ", slice(t, i + 1, lit(k)))))
+  }
+
+  def sqlShingles(expr: String, k: Int): String = {
+    val words = sqlTokens(expr)
+    s"""CASE WHEN len($words) < $k THEN []
+      ELSE list_transform(range(1, len($words) - ${k - 2}),
+        i -> concat_ws(' ', ${(0 until k).map(j => s"($words)[i+$j]").mkString(", ")}))
+      END"""
+  }
+
+  // ---- MinHash ----
+
+  /** Deterministic (a, b) parameters for the i-th minhash permutation
+    * h_i(x) = (a_i·x + b_i) mod P. Small a keeps a·x < 2^63. */
+  def minhashParams(i: Int): (Long, Long) = ((2 * i + 1).toLong, (7919 * (i + 1)).toLong)
+
+  /** One minhash value: min over shingles of h_i(wordHash(shingle));
+    * null when the document has no shingles. */
+  def minhash(sh: Column, i: Int): Column = {
+    val (a, b) = minhashParams(i)
+    when(size(sh) === 0, lit(null).cast(LongType)).otherwise(
+      array_min(transform(sh, s => pmod(wordHash(s) * a + b, lit(P)))))
+  }
+
+  def sqlMinhash(shExpr: String, i: Int): String = {
+    val (a, b) = minhashParams(i)
+    s"""CASE WHEN len($shExpr) = 0 THEN NULL
+      ELSE list_aggregate(list_transform($shExpr,
+        s -> (${sqlWordHash("s")} * $a + $b) % $P), 'min') END"""
+  }
+
+  /** MinHash signature frame: id column + mh0..mh{n-1} + band hashes
+    * (md5 over each group of `rowsPerBand` signature values).
+    *
+    * Shape: shingle → hash once (explode_outer keeps shingle-less docs) →
+    * one hash-aggregation keyed on the id computing all n minima. Exactly
+    * one md5 per shingle and one shuffle of (id, hash) pairs — the layout
+    * that survives a 100 TB corpus. */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, numHashes: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val hashed = df.select(col(idCol),
+      explode_outer(transform(shingles(col(textCol), shingleK), wordHash(_))).as("_h"))
+    val mhAggs = (0 until numHashes).map { i =>
+      val (a, b) = minhashParams(i)
+      min(pmod(col("_h") * a + b, lit(P))).as(s"mh$i")
+    }
+    val sig = hashed.groupBy(col(idCol)).agg(mhAggs.head, mhAggs.tail: _*)
+    val bandCols = (0 until numHashes / rowsPerBand).map { bnd =>
+      val parts = (0 until rowsPerBand)
+        .map(r => col(s"mh${bnd * rowsPerBand + r}").cast("string"))
+      md5(concat_ws("-", parts: _*)).as(s"band$bnd")
+    }
+    sig.select((col(idCol) +: (0 until numHashes).map(i => col(s"mh$i"))) ++ bandCols: _*)
+  }
+
+  /** DuckDB mirror of [[minhashSignatures]] (sans bands), as a CTE body. */
+  def sqlMinhashSignatureCte(idCol: String, textExpr: String, table: String,
+      shingleK: Int = 3, numHashes: Int = 16): String = {
+    val sh = sqlShingles(textExpr, shingleK)
+    val mhs = (0 until numHashes).map { i =>
+      val (a, b) = minhashParams(i)
+      s"min((_h * $a + $b) % $P) AS mh$i"
+    }.mkString(", ")
+    s"""hashed AS (
+        SELECT $idCol, unnest(CASE WHEN len($sh) = 0 THEN [NULL]
+          ELSE list_transform($sh, s -> ${sqlWordHash("s")}) END) AS _h
+        FROM $table),
+      sig AS (SELECT $idCol, $mhs FROM hashed GROUP BY $idCol)"""
+  }
+
+  /** LSH candidate pairs (a < b) sharing at least one band, verified with
+    * exact shingle-set Jaccard, filtered at `threshold`.
+    *
+    * Plan shape: explode bands (narrow) → self-join on band (one shuffle on
+    * the band key) → distinct pairs → explode distinct shingles and join by
+    * shingle to count intersections (shuffles on id / shingle keys). */
+  def minhashNearDuplicates(df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, numHashes: Int = 16, rowsPerBand: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val numBands = numHashes / rowsPerBand
+    val sig = minhashSignatures(df, idCol, textCol, shingleK, numHashes, rowsPerBand)
+      .filter(col("mh0").isNotNull) // shingle-less docs can't be candidates
+    val bands = sig.select(col(idCol).as("id"),
+      explode(array((0 until numBands).map(b => col(s"band$b")): _*)).as("band"))
+    val cand = bands.as("x").join(bands.as("y"), col("x.band") === col("y.band"))
+      .filter(col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+      .distinct()
+    verifiedJaccard(df, cand, idCol, textCol, shingleK, threshold)
+  }
+
+  /** Exact word-k-gram Jaccard for a given candidate-pair frame (a, b). */
+  def verifiedJaccard(df: DataFrame, cand: DataFrame, idCol: String,
+      textCol: String, shingleK: Int, threshold: Double): DataFrame = {
+    val ex = df.select(col(idCol).as("id"),
+        explode(array_distinct(shingles(col(textCol), shingleK))).as("sh"))
+    val sizes = ex.groupBy("id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(ex.as("ea"), col("a") === col("ea.id"))
+      .join(ex.as("eb"), col("b") === col("eb.id") && col("ea.sh") === col("eb.sh"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("sa"), col("a") === col("sa.id"))
+      .join(sizes.as("sb"), col("b") === col("sb.id"))
+      .select(col("a"), col("b"),
+        (col("inter").cast("double") /
+          (col("sa.n") + col("sb.n") - col("inter")).cast("double"))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  // ---- SimHash ----
+
+  /** 32-bit simhash over whitespace tokens (with multiplicity): bit b is
+    * set when the signed sum of token-hash bits at position b is positive.
+    * Computed via explode + one hash aggregation keyed on the id — one
+    * shuffle of (id, token-hash) pairs. */
+  def simhash(df: DataFrame, idCol: String, textCol: String,
+      bits: Int = 32): DataFrame = {
+    val h32 = conv(substring(md5(col("tok")), 1, 8), 16, 10).cast(LongType)
+    val exploded = df.select(col(idCol),
+        explode(tokens(col(textCol))).as("tok"))
+      .select(col(idCol), h32.as("h"))
+    val bitSums = (0 until bits).map(b =>
+      sum(shiftright(col("h"), b).bitwiseAND(1) * 2 - 1).as(s"s$b"))
+    exploded.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+      .select(col(idCol),
+        (0 until bits).map(b =>
+          when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+  }
+
+  def sqlSimhash(idCol: String, textExpr: String, table: String,
+      bits: Int = 32): String = {
+    val h = s"(('0x' || substr(md5(tok),1,8))::BIGINT)"
+    val sums = (0 until bits)
+      .map(b => s"sum((($h >> $b) & 1) * 2 - 1) AS s$b").mkString(", ")
+    val combine = (0 until bits)
+      .map(b => s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH toks AS (
+        SELECT $idCol, unnest(${sqlTokens(textExpr)}) AS tok FROM $table),
+      sums AS (SELECT $idCol, $sums FROM toks GROUP BY $idCol)
+      SELECT $idCol, $combine AS simhash FROM sums"""
+  }
+}

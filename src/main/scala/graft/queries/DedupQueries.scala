@@ -1,0 +1,101 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.dedup.Dedup._
+import graft.text.TextAnalysis.{P, sqlTokens, sqlWordHash}
+
+/** Near-duplicate detection over `documents`, each form with an exact
+  * DuckDB oracle: minhash signatures + LSH band join + verified Jaccard,
+  * simhash, and direct n-gram Jaccard on a deterministic pair set. */
+object DedupQueries {
+
+  private val K = 3 // shingle width
+  private val NH = 16 // minhash permutations
+  private val RPB = 4 // signature rows per LSH band
+
+  def minhashSigs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashSignatures(Tables(spark, dir, "documents"),
+      "doc_id", "text", K, NH, RPB)
+
+  def minhashDups(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashNearDuplicates(Tables(spark, dir, "documents"),
+      "doc_id", "text", K, NH, RPB, threshold = 0.5)
+      .select(col("a"), col("b"), floor(col("jaccard") * 1000000).as("jaccard_e6"))
+
+  def simhashes(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhash(Tables(spark, dir, "documents"), "doc_id", "text")
+
+  /** Exact 3-gram Jaccard over a deterministic candidate set (consecutive
+    * doc ids) — exercises the verifier independently of LSH recall. */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val cand = docs.select(col("doc_id").as("a"))
+      .join(docs.select(col("doc_id").as("b")), col("b") === col("a") + 1)
+    Dedup.verifiedJaccard(docs, cand, "doc_id", "text", K, threshold = 0.0)
+      .select(col("a"), col("b"), floor(col("jaccard") * 1000000).as("jaccard_e6"))
+  }
+
+  private def bandSql(bnd: Int): String = {
+    val parts = (bnd * RPB until (bnd + 1) * RPB).map(i => s"mh$i").mkString(", ")
+    s"md5(concat_ws('-', $parts))"
+  }
+
+  private val sigCte = Dedup.sqlMinhashSignatureCte("doc_id", "text", "documents", K, NH)
+
+  private val minhashSigsOracle = {
+    val mhCols = (0 until NH).map(i => s"mh$i").mkString(", ")
+    val bands = (0 until NH / RPB).map(b => s"${bandSql(b)} AS band$b").mkString(", ")
+    s"""WITH $sigCte
+      SELECT doc_id, $mhCols, $bands FROM sig"""
+  }
+
+  private val jaccardVerifySql = s"""
+      ex AS (
+        SELECT doc_id, unnest(list_distinct(${sqlShingles("text", K)})) AS sh
+        FROM documents),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id),
+      inter AS (
+        SELECT c.a, c.b, COUNT(*) AS n_inter
+        FROM cand c
+        JOIN ex ea ON ea.doc_id = c.a
+        JOIN ex eb ON eb.doc_id = c.b AND ea.sh = eb.sh
+        GROUP BY c.a, c.b),
+      jac AS (
+        SELECT i.a, i.b,
+          i.n_inter::DOUBLE / (sa.n + sb.n - i.n_inter)::DOUBLE AS jaccard
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.a
+        JOIN sizes sb ON sb.doc_id = i.b)"""
+
+  private val minhashDupsOracle = {
+    val bandList = (0 until NH / RPB).map(bandSql).mkString("[", ", ", "]")
+    s"""WITH $sigCte,
+      bands AS (
+        SELECT doc_id, unnest($bandList) AS band FROM sig
+        WHERE mh0 IS NOT NULL),
+      cand AS (
+        SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        FROM bands x JOIN bands y ON x.band = y.band AND x.doc_id < y.doc_id),
+      $jaccardVerifySql
+      SELECT a, b, CAST(floor(jaccard * 1000000) AS BIGINT) AS jaccard_e6
+      FROM jac WHERE jaccard >= 0.5"""
+  }
+
+  private val ngramJaccardOracle = s"""
+      WITH cand AS (
+        SELECT x.doc_id AS a, y.doc_id AS b
+        FROM documents x JOIN documents y ON y.doc_id = x.doc_id + 1),
+      $jaccardVerifySql
+      SELECT a, b, CAST(floor(jaccard * 1000000) AS BIGINT) AS jaccard_e6
+      FROM jac"""
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q20_minhash_signatures", minhashSigs, Some(minhashSigsOracle)),
+    QueryDef("q21_minhash_near_dups", minhashDups, Some(minhashDupsOracle)),
+    QueryDef("q22_simhash", simhashes,
+      Some(Dedup.sqlSimhash("doc_id", "text", "documents"))),
+    QueryDef("q23_ngram_jaccard", ngramJaccard, Some(ngramJaccardOracle)))
+}

@@ -1,0 +1,59 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.queries.Num._
+
+/** Event-stream analytics over the `events` table: tumbling-window
+  * aggregation and gap-based sessionization. Batch forms here; the
+  * streaming variants (watermarked windows, stateful sessionization) live
+  * in graft.streaming and are spec-tested — same column logic. */
+object EventQueries {
+
+  /** Tumbling 1-hour window aggregate by event type. */
+  def hourly(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(date_trunc("hour", col("ts")).as("hour"), col("event_type"),
+        col("value"), col("user_id"))
+      .groupBy("hour", "event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType18_6)).cast("double").as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
+
+  private val DecimalType18_6 = org.apache.spark.sql.types.DecimalType(18, 6)
+
+  /** Gap-based sessionization: a new session starts after >30 min idle.
+    * Deterministic ordering tiebreak on event_id. */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum(col("is_new")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("event_id"), col("user_id"), col("session_seq"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q18_events_hourly", hourly, Some("""
+      SELECT date_trunc('hour', ts) AS hour, event_type,
+        COUNT(*) AS n_events,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+        COUNT(DISTINCT user_id) AS n_users
+      FROM events GROUP BY 1, 2""")),
+    QueryDef("q19_sessionize", sessionize, Some("""
+      SELECT event_id, user_id,
+        CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+      FROM (
+        SELECT event_id, user_id, ts,
+          CASE WHEN lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+            OR epoch_us(ts) - lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+            THEN 1 ELSE 0 END AS is_new
+        FROM events)""")))
+}

@@ -1,0 +1,75 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.similarity.Similarity
+
+/** Similarity search over `embeddings`: exact brute-force cosine top-k and
+  * the LSH-bucketed approximate path, with DuckDB oracles. The fixed query
+  * set (vec_id < 20) keeps oracle cost bounded at every scale factor. */
+object SimilarityQueries {
+
+  private val K = 5
+  private val NumPlanes = 8
+  private val Dim = 64
+
+  private def queriesOf(df: DataFrame): DataFrame =
+    df.filter(col("vec_id") < 20)
+
+  private def e6(df: DataFrame): DataFrame =
+    df.select(col("query_id"), col("rank"), col("neighbor_id"),
+      floor(col("cos_sim") * 1000000).as("cos_sim_e6"))
+
+  def cosineTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    e6(Similarity.bruteForceTopK(emb, queriesOf(emb), "vec_id", "embedding", K))
+  }
+
+  def lshTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    e6(Similarity.lshTopK(emb, queriesOf(emb), "vec_id", "embedding", K,
+      NumPlanes, Dim))
+  }
+
+  private val cosSql = Similarity.sqlCosine("q.embedding", "c.embedding")
+
+  private val cosineTopKOracle = s"""
+      WITH scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          $cosSql AS cos_sim
+        FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < 20),
+      ranked AS (
+        SELECT query_id, neighbor_id, cos_sim,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY cos_sim DESC, neighbor_id) AS rank
+        FROM scored)
+      SELECT query_id, rank, neighbor_id,
+        CAST(floor(cos_sim * 1000000) AS BIGINT) AS cos_sim_e6
+      FROM ranked WHERE rank <= $K"""
+
+  private val lshTopKOracle = {
+    val planes = Similarity.hyperplanes(NumPlanes, Dim)
+    val qBucket = Similarity.sqlLshBucket("q.embedding", planes)
+    val cBucket = Similarity.sqlLshBucket("c.embedding", planes)
+    s"""WITH scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          $cosSql AS cos_sim
+        FROM embeddings q JOIN embeddings c
+          ON c.vec_id <> q.vec_id AND $cBucket = $qBucket
+        WHERE q.vec_id < 20),
+      ranked AS (
+        SELECT query_id, neighbor_id, cos_sim,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY cos_sim DESC, neighbor_id) AS rank
+        FROM scored)
+      SELECT query_id, rank, neighbor_id,
+        CAST(floor(cos_sim * 1000000) AS BIGINT) AS cos_sim_e6
+      FROM ranked WHERE rank <= $K"""
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q24_cosine_topk", cosineTopK, Some(cosineTopKOracle)),
+    QueryDef("q25_lsh_ann_topk", lshTopK, Some(lshTopKOracle)))
+}

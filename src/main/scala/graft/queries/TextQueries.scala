@@ -1,0 +1,79 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.text.TextAnalysis._
+
+/** Text-analysis operators over the `documents` table, each with an exact
+  * DuckDB oracle. All are shuffle-free narrow transforms — at 100 TB they
+  * scale linearly with input splits. */
+object TextQueries {
+
+  /** Token counting: whitespace tokens + BPE-ish regex pre-tokens. */
+  def tokenCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents").select(
+      col("doc_id"),
+      wsTokenCount(col("text")).cast("long").as("ws_tokens"),
+      bpeTokenCount(col("text")).cast("long").as("bpe_tokens"))
+
+  /** Document fingerprints: normalized md5 + order-sensitive rolling hash. */
+  def fingerprints(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents").select(
+      col("doc_id"),
+      normalizedFingerprint(col("text")).as("fingerprint_md5"),
+      rollingHash(col("text")).as("fingerprint_rolling"))
+
+  /** Language ID heuristic: per-language stopword scores + argmax. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val scoreCols = stopwords.keys.toSeq.map(l =>
+      langScore(col("text"), l).cast("long").as(s"score_$l"))
+    Tables(spark, dir, "documents").select(
+      (col("doc_id") +: scoreCols :+
+        predictedLang(col("text")).as("pred_lang")): _*)
+  }
+
+  /** Quality scoring: stopword density, punctuation, word-length sanity.
+    * Exported at micro-precision via floor(x·1e6): both engines compute the
+    * identical double, and floor of an identical double is engine-stable
+    * where decimal `round` is not (observed: 0.4284375 rounding 6-dp
+    * differently in Spark vs DuckDB). */
+  def quality(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents").select(
+      col("doc_id"),
+      wsTokenCount(col("text")).cast("long").as("n_words"),
+      floor(qualityScore(col("text")) * 1000000).as("quality_e6"))
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q14_token_counts", tokenCounts, Some(s"""
+      SELECT doc_id,
+        CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+          ELSE len(${sqlTokens("text")}) END AS BIGINT) AS ws_tokens,
+        CAST(len(regexp_extract_all(text, '$bpePattern')) AS BIGINT) AS bpe_tokens
+      FROM documents""")),
+    QueryDef("q15_fingerprints", fingerprints, Some(s"""
+      SELECT doc_id,
+        md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint_md5,
+        CASE WHEN length(trim(text)) = 0 THEN NULL
+          ELSE list_reduce(
+            list_transform(${sqlTokens("text")}, w -> ${sqlWordHash("w")}),
+            (a, b) -> (a * 31 + b) % $P) END AS fingerprint_rolling
+      FROM documents""")),
+    QueryDef("q16_lang_id", langId, Some({
+      val scores = stopwords.keys.toSeq
+        .map(l => s"CAST(${sqlLangScore("text", l)} AS BIGINT) AS score_$l")
+        .mkString(", ")
+      s"""SELECT doc_id, $scores, ${sqlPredictedLang("text")} AS pred_lang
+      FROM documents"""
+    })),
+    QueryDef("q17_quality", quality, Some(s"""
+      SELECT doc_id,
+        CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+          ELSE len(${sqlTokens("text")}) END AS BIGINT) AS n_words,
+        CAST(floor((CASE WHEN length(trim(text)) = 0 THEN 0.0 ELSE
+          least(${sqlLangScore("text", "en")} / (CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(${sqlTokens("text")}) END)::DOUBLE * 2.0, 1.0) * 0.4
+          + (1.0 - length(regexp_replace(text, '[^.,!?;:]', '', 'g'))::DOUBLE / length(text)::DOUBLE) * 0.3
+          + least(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / (CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(${sqlTokens("text")}) END)::DOUBLE / 10.0, 1.0) * 0.3
+        END) * 1000000) AS BIGINT) AS quality_e6
+      FROM documents""")))
+}

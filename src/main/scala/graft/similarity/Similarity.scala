@@ -1,0 +1,107 @@
+package graft.similarity
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]] — exact cosine top-k: broadcast the (small) query
+  *    set against the corpus, fold the dot product inside codegen, take
+  *    top-k per query with a window. The corpus is never shuffled — at
+  *    100 TB this is one scan; cost is O(|corpus|·|queries|·dim).
+  *  - [[lshTopK]] — random-hyperplane LSH: bucket every vector by the sign
+  *    pattern of `numPlanes` fixed pseudo-random hyperplanes (a literal
+  *    matrix, derived deterministically from md5 — no fitted state), then
+  *    search only within the query's bucket. One shuffle on the bucket key;
+  *    recall trades against bucket count.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two float arrays, in double.
+    * `aggregate` folds left-to-right, so the result is bit-reproducible
+    * and matches DuckDB's list_dot_product element order. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k cosine neighbors for each query vector (self excluded).
+    * Ranking uses the raw double score with an id tiebreak; the fold-based
+    * dot product makes scores engine-reproducible. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("_qv")))
+    val scored = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
+      .crossJoin(q)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("_qv"), col("_cv")).as("cos_sim"))
+    topK(scored, k)
+  }
+
+  private def topK(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("cos_sim"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos_sim")
+  }
+
+  /** Deterministic ±1 hyperplane matrix [numPlanes][dim], seeded by md5 of
+    * "plane-dim" — reproducible everywhere, including inside oracle SQL. */
+  def hyperplanes(numPlanes: Int, dim: Int): Seq[Seq[Double]] =
+    (0 until numPlanes).map { j =>
+      (0 until dim).map { d =>
+        val digest = MessageDigest.getInstance("MD5")
+          .digest(s"$j-$d".getBytes(StandardCharsets.UTF_8))
+        if ((digest(0) & 1) == 1) 1.0 else -1.0
+      }
+    }
+
+  /** Sign-pattern bucket id from the hyperplane dots. */
+  def lshBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, j) =>
+      val planeLit = array(p.map(lit): _*)
+      when(dot(vec, planeLit) > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Approximate top-k: exact ranking within the query's LSH bucket. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, numPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(numPlanes, dim)
+    val bucketed = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("_cv"), lshBucket(col(vecCol), planes).as("_bucket"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("_qv"), lshBucket(col(vecCol), planes).as("_qbucket")))
+    val scored = bucketed.join(q, col("_bucket") === col("_qbucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("_qv"), col("_cv")).as("cos_sim"))
+    topK(scored, k)
+  }
+
+  // ---- DuckDB SQL mirrors ----
+
+  def sqlDot(a: String, b: String): String =
+    s"list_dot_product($a::DOUBLE[], $b::DOUBLE[])"
+
+  def sqlCosine(a: String, b: String): String =
+    s"(${sqlDot(a, b)} / (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)})))"
+
+  def sqlPlaneLiteral(p: Seq[Double]): String =
+    p.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+
+  def sqlLshBucket(vec: String, planes: Seq[Seq[Double]]): String =
+    planes.zipWithIndex.map { case (p, j) =>
+      s"CASE WHEN ${sqlDot(vec, sqlPlaneLiteral(p))} > 0 THEN ${1L << j} ELSE 0 END"
+    }.mkString("(", " + ", ")")
+}

@@ -1,0 +1,122 @@
+package graft.text
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Text-analysis operators for large-scale corpus pipelines: tokenization,
+  * token counting (whitespace + BPE-ish regex), document fingerprinting
+  * (normalized md5 + polynomial rolling hash), n-gram-heuristic language
+  * ID, and quality scoring.
+  *
+  * Everything is built-in Catalyst expressions (codegen-friendly, no UDFs):
+  * at 100 TB these run embarrassingly parallel inside whole-stage codegen
+  * with zero shuffles. Each helper has an exact SQL mirror used by the
+  * DuckDB oracle (see TextQueries), so semantics are pinned engine-
+  * independently.
+  */
+object TextAnalysis {
+
+  /** Mersenne prime 2^31-1; all rolling/min hashes work mod this. */
+  val P: Long = 2147483647L
+
+  /** Whitespace tokens of a trimmed string. */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  def wsTokenCount(c: Column): Column =
+    when(length(trim(c)) === 0, lit(0)).otherwise(size(tokens(c)))
+
+  /** BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation. */
+  val bpePattern: String = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  def bpeTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit(bpePattern), lit(0)))
+
+  /** md5 fingerprint of whitespace-normalized lowercase text. */
+  def normalizedFingerprint(c: Column): Column =
+    md5(trim(regexp_replace(lower(c), "\\s+", " ")))
+
+  /** 48-bit word hash from the md5 hex prefix, reduced mod [[P]].
+    * (hex-prefix hashing is engine-portable: DuckDB computes the identical
+    * value via ('0x' || substr(md5(w),1,12))::BIGINT). */
+  def wordHash(c: Column): Column =
+    pmod(conv(substring(md5(c), 1, 12), 16, 10).cast(LongType), lit(P))
+
+  /** Polynomial rolling hash over the word sequence (base 31 mod P),
+    * seeded with the first word's hash — order-sensitive, so
+    * permutation-distinct documents fingerprint differently. */
+  def rollingHash(c: Column): Column = {
+    val hashed = transform(tokens(c), wordHash(_))
+    when(length(trim(c)) === 0, lit(null).cast(LongType)).otherwise(
+      aggregate(
+        slice(hashed, lit(2), size(hashed) - 1),
+        element_at(hashed, 1),
+        (acc, h) => pmod(acc * 31 + h, lit(P))))
+  }
+
+  /** Tiny per-language stopword lists for the n-gram language heuristic.
+    * Order matters: ties resolve to the earlier language. */
+  val stopwords: ListMap[String, Seq[String]] = ListMap(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "es" -> Seq("el", "que", "y", "los", "una"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "les", "et", "des", "une"),
+    "zh" -> Seq("的", "是", "在", "和", "了"))
+
+  def stopwordPattern(lang: String): String =
+    "\\b(" + stopwords(lang).mkString("|") + ")\\b"
+
+  def langScore(c: Column, lang: String): Column =
+    size(regexp_extract_all(c, lit(stopwordPattern(lang)), lit(0)))
+
+  /** Argmax language over the stopword scores, first-wins on ties. */
+  def predictedLang(c: Column): Column = {
+    val langs = stopwords.keys.toSeq
+    val scores = langs.map(l => l -> langScore(c, l)).toMap
+    langs.tail.foldLeft(when(lit(true), lit(langs.head))) { (acc, l) =>
+      // l wins only if strictly greater than every earlier language
+      val beatsAllBefore = langs.takeWhile(_ != l)
+        .map(e => scores(l) > scores(e)).reduce(_ && _)
+      when(beatsAllBefore, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** Heuristic quality score in [0,1]: stopword density + low punctuation
+    * + word-length sanity. Deterministic double arithmetic. */
+  def qualityScore(c: Column): Column = {
+    val nChars = length(c).cast(DoubleType)
+    val nWords = wsTokenCount(c).cast(DoubleType)
+    val punct = length(regexp_replace(c, "[^.,!?;:]", "")).cast(DoubleType)
+    val alpha = length(regexp_replace(c, "[^A-Za-z]", "")).cast(DoubleType)
+    val stopEn = langScore(c, "en").cast(DoubleType)
+    when(nWords === 0, lit(0.0)).otherwise(
+      least(stopEn / nWords * lit(2.0), lit(1.0)) * lit(0.4) +
+        (lit(1.0) - punct / nChars) * lit(0.3) +
+        least(alpha / nWords / lit(10.0), lit(1.0)) * lit(0.3))
+  }
+
+  // ---- DuckDB SQL mirrors (string builders for oracle queries) ----
+
+  def sqlWordHash(expr: String): String =
+    s"(('0x' || substr(md5($expr),1,12))::BIGINT % $P)"
+
+  def sqlTokens(expr: String): String =
+    s"string_split_regex(trim($expr), '\\s+')"
+
+  def sqlLangScore(expr: String, lang: String): String =
+    s"len(regexp_extract_all($expr, '${stopwordPattern(lang)}'))"
+
+  def sqlPredictedLang(expr: String): String = {
+    val langs = stopwords.keys.toSeq
+    // mirror of predictedLang's fold: later langs win only on strict >
+    val cases = langs.tail.reverse.map { l =>
+      val cond = langs.takeWhile(_ != l)
+        .map(e => s"${sqlLangScore(expr, l)} > ${sqlLangScore(expr, e)}")
+        .mkString(" AND ")
+      s"WHEN $cond THEN '$l'"
+    }.mkString(" ")
+    s"CASE $cases ELSE '${langs.head}' END"
+  }
+}

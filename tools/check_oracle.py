@@ -46,6 +46,11 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: rows {len(got)} != {len(want)}")
             n_fail += 1
             continue
+        dt_g, dt_w = list(map(str, got.dtypes)), list(map(str, want.dtypes))
+        if dt_g != dt_w:
+            print(f"FAIL {name}: dtypes {dt_g} != {dt_w}")
+            n_fail += 1
+            continue
         eq = got.equals(want)
         if not eq:
             diff = (got != want) & ~(got.isna() & want.isna())
