@@ -1,0 +1,101 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary` columns
+  * with typed metadata, processed batch-at-a-time through mapPartitions.
+  *
+  * The *decode* step (actual JPEG/WAV/MP4 codecs) is a deliberate,
+  * clearly-marked deterministic stub — codec libraries are not available in
+  * this environment. Everything Spark-owns is real: the schema contract,
+  * the partition-batched iteration shape (decoder state is amortized across
+  * a partition, exactly how a JNI/FFI codec would be held), repartitioning
+  * by media type, and the feature-vector output schema.
+  */
+object Multimodal {
+
+  /** One media object: payload + sidecar metadata. */
+  final case class MediaRow(
+      media_id: Long,
+      media_type: String, // "image" | "audio" | "video"
+      payload: Array[Byte],
+      width: Int, // image/video pixels; audio: sample rate
+      height: Int, // image/video pixels; audio: channels
+      duration_ms: Long) // audio/video; image: 0
+
+  /** Extracted fixed-width feature vector + echo of identity columns. */
+  final case class MediaFeatures(
+      media_id: Long,
+      media_type: String,
+      n_bytes: Long,
+      feature: Array[Float])
+
+  val FeatureDim = 16
+
+  /** STUB — stands in for a real codec decode (libjpeg/ffmpeg/...).
+    * Deterministic: folds payload bytes into a fixed-width float vector so
+    * tests can pin exact outputs. A production build swaps ONLY this
+    * function for a real decoder; the Spark plumbing is unchanged. */
+  private[multimodal] def decodeStub(payload: Array[Byte]): Array[Float] = {
+    val acc = new Array[Float](FeatureDim)
+    var i = 0
+    while (i < payload.length) {
+      acc(i % FeatureDim) += (payload(i) & 0xff) / 255.0f
+      i += 1
+    }
+    acc
+  }
+
+  /** Decode/feature-extract, batch-shaped: one decoder "session" per
+    * partition, rows streamed through it. Narrow (no shuffle); scale by
+    * input splits. */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // real codecs would be opened once here (per partition, per JVM)
+      rows.map { m =>
+        MediaFeatures(m.media_id, m.media_type, m.payload.length.toLong,
+          decodeStub(m.payload))
+      }
+    }
+  }
+
+  /** "Resize": recompute metadata + truncate payload proportionally —
+    * deterministic stand-in keeping the contract (payload in, payload out,
+    * metadata consistent). */
+  def resize(media: Dataset[MediaRow], maxSide: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.map { m =>
+      if (m.media_type != "image" || math.max(m.width, m.height) <= maxSide) m
+      else {
+        val scale = maxSide.toDouble / math.max(m.width, m.height)
+        val nw = math.max(1, (m.width * scale).toInt)
+        val nh = math.max(1, (m.height * scale).toInt)
+        val nBytes = math.max(1,
+          (m.payload.length * scale * scale).toInt.min(m.payload.length))
+        m.copy(payload = m.payload.take(nBytes), width = nw, height = nh)
+      }
+    }
+  }
+
+  /** Frame sampling for video rows: split the payload into `frameSize`
+    * chunks and keep every `stride`-th — the real op would seek keyframes;
+    * the chunking/explode shape is identical. */
+  def sampleFrames(media: Dataset[MediaRow], frameSize: Int,
+      stride: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    media.filter(_.media_type == "video")
+      .flatMap { m =>
+        m.payload.grouped(frameSize).zipWithIndex
+          .filter(_._2 % stride == 0)
+          .map { case (chunk, idx) => (m.media_id, idx, chunk) }
+      }
+      .toDF("media_id", "frame_index", "frame_payload")
+  }
+
+  /** Co-locate rows of the same modality so each partition holds one media
+    * type (decoder sessions stay hot; skew handled by AQE at scale). */
+  def partitionByModality(media: Dataset[MediaRow], partitions: Int): Dataset[MediaRow] =
+    media.repartition(partitions, col("media_type"))
+}

@@ -1,0 +1,102 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.queries.{EventQueries, Tables}
+import graft.streaming.EventStreams.Event
+
+/** Stream/batch parity: the streaming window aggregate and stateful
+  * sessionization must produce exactly what their batch twins produce over
+  * the same events. */
+class EventStreamsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private lazy val batchEvents: Seq[Event] =
+    Tables.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event].collect().toSeq
+
+  test("streaming hourly window aggregate matches batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val q = EventStreams.hourlyCounts(stream.toDF())
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hourly_out").start()
+    try {
+      stream.addData(batchEvents)
+      q.processAllAvailable()
+      val got = spark.table("hourly_out")
+        .select(col("hour"), col("event_type"), col("n_events"))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+        .toSet
+      val want = Tables.events(spark, sfDir)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+        .toSet
+      assert(got == want)
+    } finally q.stop()
+  }
+
+  test("stateful sessionization matches the batch window implementation") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val q = EventStreams.sessionize(stream.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessions_out").start()
+    try {
+      // two micro-batches split mid-stream: state must carry across
+      val (first, second) = batchEvents.sortBy(_.event_id).splitAt(batchEvents.size / 2)
+      stream.addData(first)
+      q.processAllAvailable()
+      stream.addData(second)
+      q.processAllAvailable()
+      val got = spark.table("sessions_out")
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+      val want = EventQueries.sessionize(spark, sfDir)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+      assert(got == want)
+    } finally q.stop()
+  }
+
+  test("event-id-ordered micro-batches preserve per-user session monotonicity") {
+    val byUser = spark.table("sessions_out").as("s")
+      .join(Tables.events(spark, sfDir).select("event_id", "user_id", "ts"),
+        Seq("event_id", "user_id"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val nonMonotone = byUser
+      .withColumn("prev", lag("session_seq", 1).over(w))
+      .filter(col("prev").isNotNull && col("session_seq") < col("prev"))
+      .count()
+    assert(nonMonotone == 0L)
+  }
+}
+
+class StreamingIngestSpec extends SparkTestBase {
+  import java.nio.file.{Files, Paths, StandardCopyOption}
+  import graft.lake.LakeLayout
+
+  test("watcher ingests raw files exactly once") {
+    val root = Files.createTempDirectory("graft_watch_").toString
+    val layout = LakeLayout(root)
+    Files.createDirectories(Paths.get(layout.raw))
+    Files.copy(Paths.get("/root/reference/sample_csv_files/sales_2024-10-16.csv"),
+      Paths.get(s"${layout.raw}/sales_2024-10-16.csv"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val t1 = StreamingIngest.pollOnce(spark, layout)
+    assert(t1.ingested.map(_._2.goodRows) == Seq(828L))
+    // file was moved out of raw on pickup → second poll is a no-op
+    val t2 = StreamingIngest.pollOnce(spark, layout)
+    assert(t2.ingested.isEmpty && t2.rejected.isEmpty)
+    // a structurally-broken file routes to rejected, not ingested
+    Files.writeString(Paths.get(s"${layout.raw}/broken.csv"), "a,b,c\n1,2,3\n")
+    val t3 = StreamingIngest.pollOnce(spark, layout)
+    assert(t3.rejected.size == 1 && t3.ingested.isEmpty)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+}
