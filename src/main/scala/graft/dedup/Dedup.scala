@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
 import graft.text.TextAnalysis.{tokens, wordHash, P, sqlTokens, sqlWordHash}
+import graft.util.Par
 
 /** Near-duplicate detection operators for training-data pipelines.
   *
@@ -65,7 +66,7 @@ object Dedup {
     * that survives a 100 TB corpus. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, numHashes: Int = 16, rowsPerBand: Int = 4): DataFrame = {
-    val hashed = df.select(col(idCol),
+    val hashed = Par.ensure(df).select(col(idCol),
       explode_outer(transform(shingles(col(textCol), shingleK), wordHash(_))).as("_h"))
     val mhAggs = (0 until numHashes).map { i =>
       val (a, b) = minhashParams(i)
@@ -116,22 +117,32 @@ object Dedup {
     verifiedJaccard(df, cand, idCol, textCol, shingleK, threshold)
   }
 
-  /** Exact word-k-gram Jaccard for a given candidate-pair frame (a, b). */
+  /** Word-k-gram Jaccard for a given candidate-pair frame (a, b).
+    *
+    * Shingles are compared by their 48-bit [[wordHash]] rather than as
+    * strings: the intersection join shuffles 8-byte keys instead of
+    * multi-word text, and the shingle arrays are built exactly twice (once
+    * per join side) with set sizes carried along via a window instead of a
+    * third pass. Hash collisions (~2^-31 per pair) can in principle nudge a
+    * Jaccard value; both this and the oracle hash identically, so parity
+    * is exact. */
   def verifiedJaccard(df: DataFrame, cand: DataFrame, idCol: String,
       textCol: String, shingleK: Int, threshold: Double): DataFrame = {
-    val ex = df.select(col(idCol).as("id"),
-        explode(array_distinct(shingles(col(textCol), shingleK))).as("sh"))
-    val sizes = ex.groupBy("id").agg(count(lit(1)).as("n"))
+    import org.apache.spark.sql.expressions.Window
+    val ex = Par.ensure(df)
+      .select(col(idCol).as("id"),
+        explode(array_distinct(
+          transform(shingles(col(textCol), shingleK), wordHash(_)))).as("sh"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("id")))
     val inter = cand
       .join(ex.as("ea"), col("a") === col("ea.id"))
       .join(ex.as("eb"), col("b") === col("eb.id") && col("ea.sh") === col("eb.sh"))
-      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"),
+        first(col("ea.n")).as("na"), first(col("eb.n")).as("nb"))
     inter
-      .join(sizes.as("sa"), col("a") === col("sa.id"))
-      .join(sizes.as("sb"), col("b") === col("sb.id"))
       .select(col("a"), col("b"),
         (col("inter").cast("double") /
-          (col("sa.n") + col("sb.n") - col("inter")).cast("double"))
+          (col("na") + col("nb") - col("inter")).cast("double"))
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
@@ -145,7 +156,7 @@ object Dedup {
   def simhash(df: DataFrame, idCol: String, textCol: String,
       bits: Int = 32): DataFrame = {
     val h32 = conv(substring(md5(col("tok")), 1, 8), 16, 10).cast(LongType)
-    val exploded = df.select(col(idCol),
+    val exploded = Par.ensure(df).select(col(idCol),
         explode(tokens(col(textCol))).as("tok"))
       .select(col(idCol), h32.as("h"))
     val bitSums = (0 until bits).map(b =>

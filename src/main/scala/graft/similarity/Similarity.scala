@@ -7,6 +7,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.util.Par
+
 /** Similarity search over embedding columns (`array<float>`).
   *
   * Two paths:
@@ -40,7 +42,8 @@ object Similarity {
       vecCol: String, k: Int): DataFrame = {
     val q = broadcast(queries.select(col(idCol).as("query_id"),
       col(vecCol).as("_qv")))
-    val scored = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
+    val scored = Par.ensure(corpus)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
       .crossJoin(q)
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
@@ -78,7 +81,7 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, numPlanes: Int = 8, dim: Int = 64): DataFrame = {
     val planes = hyperplanes(numPlanes, dim)
-    val bucketed = corpus.select(col(idCol).as("neighbor_id"),
+    val bucketed = Par.ensure(corpus).select(col(idCol).as("neighbor_id"),
       col(vecCol).as("_cv"), lshBucket(col(vecCol), planes).as("_bucket"))
     val q = broadcast(queries.select(col(idCol).as("query_id"),
       col(vecCol).as("_qv"), lshBucket(col(vecCol), planes).as("_qbucket")))
