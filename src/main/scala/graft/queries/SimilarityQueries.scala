@@ -69,7 +69,27 @@ object SimilarityQueries {
       FROM ranked WHERE rank <= $K"""
   }
 
+  /** Embedding-cosine near-dup pairs within LSH buckets. */
+  def embeddingNearDups(spark: SparkSession, dir: String): DataFrame =
+    Similarity.embeddingNearDuplicates(Tables(spark, dir, "embeddings"),
+      "vec_id", "embedding", threshold = 0.35, NumPlanes, Dim)
+      .select(col("a"), col("b"), floor(col("cos_sim") * 1000000).as("cos_sim_e6"))
+
+  private val embeddingNearDupsOracle = {
+    val planes = Similarity.hyperplanes(NumPlanes, Dim)
+    val xB = Similarity.sqlLshBucket("x.embedding", planes)
+    val yB = Similarity.sqlLshBucket("y.embedding", planes)
+    val cos = Similarity.sqlCosine("x.embedding", "y.embedding")
+    s"""SELECT x.vec_id AS a, y.vec_id AS b,
+        CAST(floor($cos * 1000000) AS BIGINT) AS cos_sim_e6
+      FROM embeddings x JOIN embeddings y
+        ON $xB = $yB AND x.vec_id < y.vec_id
+      WHERE $cos >= 0.35"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q24_cosine_topk", cosineTopK, Some(cosineTopKOracle)),
-    QueryDef("q25_lsh_ann_topk", lshTopK, Some(lshTopKOracle)))
+    QueryDef("q25_lsh_ann_topk", lshTopK, Some(lshTopKOracle)),
+    QueryDef("q26_embedding_near_dups", embeddingNearDups,
+      Some(embeddingNearDupsOracle)))
 }

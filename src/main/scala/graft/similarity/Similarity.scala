@@ -92,6 +92,21 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** Embedding-cosine near-duplicate pairs (a < b): candidates share an
+    * LSH bucket, kept when cosine ≥ threshold. One shuffle on the bucket
+    * key; the pairwise cost is confined to intra-bucket pairs. */
+  def embeddingNearDuplicates(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, numPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(numPlanes, dim)
+    val b = Par.ensure(df).select(col(idCol).as("id"), col(vecCol).as("_v"),
+      lshBucket(col(vecCol), planes).as("_bucket"))
+    b.as("x").join(b.as("y"),
+        col("x._bucket") === col("y._bucket") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        cosine(col("x._v"), col("y._v")).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
   // ---- DuckDB SQL mirrors ----
 
   def sqlDot(a: String, b: String): String =
