@@ -24,10 +24,15 @@ import graft.util.Par
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two float arrays, in double.
-    * `aggregate` folds left-to-right, so the result is bit-reproducible
-    * and matches DuckDB's list_dot_product element order. */
-  def dot(a: Column, b: Column): Column =
+  /** Dot product of two float arrays in double — a native codegen'd
+    * Catalyst expression (graft.functions.FloatVecDot). Left-to-right
+    * sequential sum, bit-identical to a fold and to DuckDB's
+    * list_dot_product element order. */
+  def dot(a: Column, b: Column): Column = graft.functions.FloatVecDot(a, b)
+
+  /** The equivalent built-in higher-order-function fold (kept as the
+    * reference implementation; interpreted per element, so slower). */
+  def dotFold(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
