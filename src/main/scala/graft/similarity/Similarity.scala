@@ -97,6 +97,53 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** IVF-style approximate top-k: the corpus is partitioned into `nCells`
+    * inverted-file cells by nearest centroid; each query searches only its
+    * `nProbe` closest cells.
+    *
+    * Centroids are a deterministic md5-ordered sample of the corpus (no
+    * iterative training state to manage), broadcast as literals. Cell
+    * assignment is a narrow map over the corpus; the probe join shuffles
+    * on the small (query × probed-cell) side only. Recall trades against
+    * nProbe/nCells; the exact path is [[bruteForceTopK]]. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nCells: Int = 16, nProbe: Int = 8): DataFrame = {
+    // deterministic centroid sample, tiny: collect to driver + inline
+    val cents = corpus.select(col(vecCol))
+      .orderBy(md5(col(idCol).cast("string")))
+      .limit(nCells).collect()
+      .map(_.getSeq[Float](0).toArray)
+    val centNorms = cents.map(c => math.sqrt(c.map(x => x.toDouble * x).sum))
+    val centLits = cents.map(c => array(c.map(f => lit(f.toDouble)): _*))
+
+    // score row-vector against every centroid; cell = argmax index
+    def cellScores(v: Column): Column =
+      array(centLits.zip(centNorms).map { case (c, n) =>
+        dot(v, c) / (norm(v) * lit(n))
+      }: _*)
+    def cellOf(v: Column): Column =
+      (array_position(cellScores(v), array_max(cellScores(v))) - 1).cast("int")
+
+    val corpusCells = Par.ensure(corpus).select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("_cv"), cellOf(col(vecCol)).as("_cell"))
+
+    // each query probes its nProbe best cells
+    val qScored = queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("_qv"),
+        posexplode(cellScores(col(vecCol))).as(Seq("_cell", "_score")))
+    val wq = Window.partitionBy("query_id").orderBy(desc("_score"), col("_cell"))
+    val qCells = broadcast(qScored
+      .withColumn("_r", row_number().over(wq))
+      .filter(col("_r") <= nProbe)
+      .select(col("query_id"), col("_qv"), col("_cell")))
+
+    val scored = corpusCells.join(qCells, Seq("_cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("_qv"), col("_cv")).as("cos_sim"))
+    topK(scored, k)
+  }
+
   /** Embedding-cosine near-duplicate pairs (a < b): candidates share an
     * LSH bucket, kept when cosine ≥ threshold. One shuffle on the bucket
     * key; the pairwise cost is confined to intra-bucket pairs. */

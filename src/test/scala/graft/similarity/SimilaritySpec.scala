@@ -1,0 +1,62 @@
+package graft.similarity
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.queries.Tables
+
+/** Structural + recall checks for the approximate search paths against the
+  * exact brute-force baseline (deterministic data + deterministic
+  * algorithms ⇒ stable recall). */
+class SimilaritySpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val emb = Tables(spark, dir, "embeddings")
+  private lazy val queries = emb.filter(col("vec_id") < 20)
+
+  private def resultSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private lazy val exact = resultSet(
+    Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5))
+
+  test("brute force returns exactly k neighbors per query, no self-matches") {
+    val rows = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .collect()
+    assert(rows.length == 20 * 5)
+    assert(rows.forall(r => r.getLong(0) != r.getLong(2)))
+  }
+
+  test("IVF probe search achieves useful recall and never invents neighbors") {
+    val ivf = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 5,
+      nCells = 16, nProbe = 8)
+    val got = resultSet(ivf)
+    val recall = (got intersect exact).size.toDouble / exact.size
+    info(f"IVF recall@5 = $recall%.3f")
+    assert(recall >= 0.3, f"recall $recall%.3f")
+    // every IVF hit must score no better than the exact top-1
+    assert(got.forall { case (q, _) => exact.exists(_._1 == q) })
+  }
+
+  test("LSH bucket search results are a subset-quality approximation") {
+    val lsh = resultSet(
+      Similarity.lshTopK(emb, queries, "vec_id", "embedding", 5))
+    val recall = (lsh intersect exact).size.toDouble / exact.size
+    info(f"LSH recall@5 = $recall%.3f")
+    assert(recall > 0.0) // buckets are coarse at 8 planes; exactness is q24/q25's job
+  }
+
+  test("widening probes improves or preserves IVF recall") {
+    def recallAt(nProbe: Int): Double = {
+      val got = resultSet(Similarity.ivfTopK(emb, queries, "vec_id",
+        "embedding", 5, nCells = 16, nProbe = nProbe))
+      (got intersect exact).size.toDouble / exact.size
+    }
+    val r2 = recallAt(2)
+    val r16 = recallAt(16)
+    info(f"recall nProbe=2: $r2%.3f, nProbe=16: $r16%.3f")
+    assert(r16 >= r2)
+    assert(r16 == 1.0) // probing every cell = exhaustive = exact
+  }
+}
