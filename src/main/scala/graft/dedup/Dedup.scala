@@ -57,22 +57,28 @@ object Dedup {
         s -> (${sqlWordHash("s")} * $a + $b) % $P), 'min') END"""
   }
 
-  /** MinHash signature frame: id column + mh0..mh{n-1} + band hashes
-    * (md5 over each group of `rowsPerBand` signature values).
-    *
-    * Shape: shingle → hash once (explode_outer keeps shingle-less docs) →
-    * one hash-aggregation keyed on the id computing all n minima. Exactly
-    * one md5 per shingle and one shuffle of (id, hash) pairs — the layout
-    * that survives a 100 TB corpus. */
-  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-      shingleK: Int = 3, numHashes: Int = 16, rowsPerBand: Int = 4): DataFrame = {
-    val hashed = Par.ensure(df).select(col(idCol),
-      explode_outer(transform(shingles(col(textCol), shingleK), wordHash(_))).as("_h"))
+  /** The shared relation every minhash stage derives from: one row per
+    * (id, distinct hashed shingle); shingle-less docs keep a single
+    * null-hash row (explode_outer) so they survive to the signature stage.
+    * One md5 per distinct shingle, computed exactly once when the caller
+    * persists the result. */
+  def hashedShingleSet(df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int): DataFrame =
+    Par.ensure(df).select(col(idCol).as("id"),
+      explode_outer(array_distinct(
+        transform(shingles(col(textCol), shingleK), wordHash(_)))).as("sh"))
+
+  /** Signatures from a [[hashedShingleSet]] relation: one hash-aggregation
+    * computing all n minima (min over the distinct set equals min over the
+    * multiset, so dedup upstream is free). */
+  def signaturesFrom(ex: DataFrame, idCol: String, numHashes: Int,
+      rowsPerBand: Int): DataFrame = {
     val mhAggs = (0 until numHashes).map { i =>
       val (a, b) = minhashParams(i)
-      min(pmod(col("_h") * a + b, lit(P))).as(s"mh$i")
+      min(pmod(col("sh") * a + b, lit(P))).as(s"mh$i")
     }
-    val sig = hashed.groupBy(col(idCol)).agg(mhAggs.head, mhAggs.tail: _*)
+    val sig = ex.groupBy("id").agg(mhAggs.head, mhAggs.tail: _*)
+      .withColumnRenamed("id", idCol)
     val bandCols = (0 until numHashes / rowsPerBand).map { bnd =>
       val parts = (0 until rowsPerBand)
         .map(r => col(s"mh${bnd * rowsPerBand + r}").cast("string"))
@@ -80,6 +86,13 @@ object Dedup {
     }
     sig.select((col(idCol) +: (0 until numHashes).map(i => col(s"mh$i"))) ++ bandCols: _*)
   }
+
+  /** MinHash signature frame: id column + mh0..mh{n-1} + band hashes
+    * (md5 over each group of `rowsPerBand` signature values). */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, numHashes: Int = 16, rowsPerBand: Int = 4): DataFrame =
+    signaturesFrom(hashedShingleSet(df, idCol, textCol, shingleK), idCol,
+      numHashes, rowsPerBand)
 
   /** DuckDB mirror of [[minhashSignatures]] (sans bands), as a CTE body. */
   def sqlMinhashSignatureCte(idCol: String, textExpr: String, table: String,
@@ -91,7 +104,7 @@ object Dedup {
     }.mkString(", ")
     s"""hashed AS (
         SELECT $idCol, unnest(CASE WHEN len($sh) = 0 THEN [NULL]
-          ELSE list_transform($sh, s -> ${sqlWordHash("s")}) END) AS _h
+          ELSE list_distinct(list_transform($sh, s -> ${sqlWordHash("s")})) END) AS _h
         FROM $table),
       sig AS (SELECT $idCol, $mhs FROM hashed GROUP BY $idCol)"""
   }
@@ -106,7 +119,11 @@ object Dedup {
       shingleK: Int = 3, numHashes: Int = 16, rowsPerBand: Int = 4,
       threshold: Double = 0.5): DataFrame = {
     val numBands = numHashes / rowsPerBand
-    val sig = minhashSignatures(df, idCol, textCol, shingleK, numHashes, rowsPerBand)
+    // the shingle relation feeds the signature agg AND both verify sides;
+    // persist so the text is shingled+hashed exactly once end-to-end
+    // (evicted LRU / cleared with spark.catalog.clearCache())
+    val ex = hashedShingleSet(df, idCol, textCol, shingleK).persist()
+    val sig = signaturesFrom(ex, idCol, numHashes, rowsPerBand)
       .filter(col("mh0").isNotNull) // shingle-less docs can't be candidates
     val bands = sig.select(col(idCol).as("id"),
       explode(array((0 until numBands).map(b => col(s"band$b")): _*)).as("band"))
@@ -114,7 +131,7 @@ object Dedup {
       .filter(col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"))
       .distinct()
-    verifiedJaccard(df, cand, idCol, textCol, shingleK, threshold)
+    jaccardFrom(ex.filter(col("sh").isNotNull), cand, threshold)
   }
 
   /** Word-k-gram Jaccard for a given candidate-pair frame (a, b).
@@ -127,22 +144,29 @@ object Dedup {
     * Jaccard value; both this and the oracle hash identically, so parity
     * is exact. */
   def verifiedJaccard(df: DataFrame, cand: DataFrame, idCol: String,
-      textCol: String, shingleK: Int, threshold: Double): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val ex = Par.ensure(df)
-      .select(col(idCol).as("id"),
-        explode(array_distinct(
-          transform(shingles(col(textCol), shingleK), wordHash(_)))).as("sh"))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("id")))
+      textCol: String, shingleK: Int, threshold: Double): DataFrame =
+    jaccardFrom(
+      hashedShingleSet(df, idCol, textCol, shingleK).filter(col("sh").isNotNull),
+      cand, threshold)
+
+  /** Jaccard over a pre-built (id, hashed-shingle) relation. Set sizes come
+    * from a cheap hash aggregation (no per-row window sort) and join onto
+    * the small post-intersection frame. */
+  private def jaccardFrom(ex: DataFrame, cand: DataFrame,
+      threshold: Double): DataFrame = {
+    val sizes = ex.groupBy("id").agg(count(lit(1)).as("n"))
     val inter = cand
       .join(ex.as("ea"), col("a") === col("ea.id"))
       .join(ex.as("eb"), col("b") === col("eb.id") && col("ea.sh") === col("eb.sh"))
-      .groupBy("a", "b").agg(count(lit(1)).as("inter"),
-        first(col("ea.n")).as("na"), first(col("eb.n")).as("nb"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    // sizes vs inter relative cardinality varies wildly by corpus; leave
+    // the join strategy to AQE's runtime stats rather than forcing one
     inter
+      .join(sizes.as("sa"), col("a") === col("sa.id"))
+      .join(sizes.as("sb"), col("b") === col("sb.id"))
       .select(col("a"), col("b"),
         (col("inter").cast("double") /
-          (col("na") + col("nb") - col("inter")).cast("double"))
+          (col("sa.n") + col("sb.n") - col("inter")).cast("double"))
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }

@@ -53,23 +53,23 @@ object DedupQueries {
   }
 
   private val jaccardVerifySql = s"""
-      ex0 AS (
+      ex AS (
         SELECT doc_id, unnest(list_distinct(
           list_transform(${sqlShingles("text", K)}, s -> ${sqlWordHash("s")}))) AS sh
         FROM documents),
-      ex AS (
-        SELECT doc_id, sh, COUNT(*) OVER (PARTITION BY doc_id) AS n FROM ex0),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id),
       inter AS (
-        SELECT c.a, c.b, COUNT(*) AS n_inter,
-          first(ea.n) AS na, first(eb.n) AS nb
+        SELECT c.a, c.b, COUNT(*) AS n_inter
         FROM cand c
         JOIN ex ea ON ea.doc_id = c.a
         JOIN ex eb ON eb.doc_id = c.b AND ea.sh = eb.sh
         GROUP BY c.a, c.b),
       jac AS (
-        SELECT a, b,
-          n_inter::DOUBLE / (na + nb - n_inter)::DOUBLE AS jaccard
-        FROM inter)"""
+        SELECT i.a, i.b,
+          i.n_inter::DOUBLE / (sa.n + sb.n - i.n_inter)::DOUBLE AS jaccard
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.a
+        JOIN sizes sb ON sb.doc_id = i.b)"""
 
   private val minhashDupsOracle = {
     val bandList = (0 until NH / RPB).map(bandSql).mkString("[", ", ", "]")
