@@ -1,0 +1,67 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Behaviors that matter at cluster scale, demonstrated locally. */
+class ScaleSpecs extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("bucketed tables co-locate the join: no shuffle exchange in the plan") {
+    val wh = "/tmp/graft_buckets_wh"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_buckets LOCATION '$wh'")
+    Tables(spark, dir, "lineitem").write
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("graft_buckets.li")
+    Tables(spark, dir, "orders").write
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("graft_buckets.ord")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("graft_buckets.li")
+        .join(spark.table("graft_buckets.ord"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      // the join itself must consume bucketed scans directly — the only
+      // exchange allowed is the final single-key aggregation
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange hashpartitioning(l_orderkey"), plan)
+      assert(!plan.contains("Exchange hashpartitioning(o_orderkey"), plan)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS graft_buckets.li")
+      spark.sql("DROP TABLE IF EXISTS graft_buckets.ord")
+    }
+  }
+
+  test("approx_count_distinct tracks exact distinct within HLL tolerance") {
+    val li = Tables(spark, dir, "lineitem")
+    val row = li.agg(
+      countDistinct(col("l_orderkey")).as("exact"),
+      approx_count_distinct(col("l_orderkey")).as("approx"),
+      approx_count_distinct(col("l_orderkey"), 0.01).as("approx_tight"))
+      .collect()(0)
+    val exact = row.getLong(0).toDouble
+    assert(math.abs(row.getLong(1) - exact) / exact < 0.10)
+    assert(math.abs(row.getLong(2) - exact) / exact < 0.03)
+  }
+
+  test("partition pruning: date-filtered gold read scans a single partition") {
+    // build a tiny two-date partitioned table and check the scan prunes
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_prune_").toString
+    Seq(("a", "2024-01-01"), ("b", "2024-01-02"))
+      .toDF("v", "date").write.partitionBy("date").mode("overwrite").parquet(path)
+    val pruned = spark.read.parquet(path).filter(col("date") === "2024-01-01")
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(pruned.count() == 1)
+    assert(scan.contains("PartitionFilters"), scan)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+  }
+}
