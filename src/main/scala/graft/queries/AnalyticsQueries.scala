@@ -1,0 +1,75 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.queries.Num._
+
+/** Analytic-surface breadth beyond the reference: semi-structured JSON
+  * columns, rollup aggregation, and the analytic window-function family —
+  * all free from Catalyst, each pinned by a DuckDB oracle. */
+object AnalyticsQueries {
+
+  /** Semi-structured props: extract a typed field from the events JSON
+    * payload (schema-on-read over a string column). */
+  def propsJson(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast(LongType).as("k_value"))
+
+  /** Hierarchical rollup: revenue by region → nation → grand total. */
+  def regionRollup(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables(spark, dir, "orders")
+    val cust = Tables(spark, dir, "customer")
+    val nation = Tables(spark, dir, "nation")
+    val region = Tables(spark, dir, "region")
+    orders
+      .join(broadcast(cust), orders("o_custkey") === cust("c_custkey"))
+      .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(sumMoney(col("o_totalprice")).as("revenue"),
+        count(lit(1)).as("n_orders"))
+  }
+
+  /** Window-function family over orders per customer: rank, lag/lead, and
+    * a running total — deterministic tiebreaks on the key. */
+  def customerWindows(spark: SparkSession, dir: String): DataFrame = {
+    val byCust = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val byPrice = Window.partitionBy("o_custkey")
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+    Tables(spark, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey"),
+      rank().over(byPrice).cast(LongType).as("price_rank"),
+      lag(col("o_orderkey"), 1).over(byCust).as("prev_order"),
+      lead(col("o_orderkey"), 1).over(byCust).as("next_order"),
+      sum(dec2(col("o_totalprice")))
+        .over(byCust.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("double").as("running_revenue"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q27_props_json", propsJson, Some("""
+      SELECT event_id,
+        TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+      FROM events""")),
+    QueryDef("q28_region_rollup", regionRollup, Some(s"""
+      SELECT r_name, n_name, ${sqlSumMoney("o_totalprice")} AS revenue,
+        COUNT(*) AS n_orders
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY ROLLUP(r_name, n_name)""")),
+    QueryDef("q29_customer_windows", customerWindows, Some("""
+      SELECT o_orderkey, o_custkey,
+        CAST(rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS price_rank,
+        lag(o_orderkey, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_order,
+        lead(o_orderkey, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_order,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_revenue
+      FROM orders""")))
+}
