@@ -57,16 +57,47 @@ object Dedup {
         s -> (${sqlWordHash("s")} * $a + $b) % $P), 'min') END"""
   }
 
+  /** Per-position multiplier for composing word hashes into a shingle
+    * hash: 31^(k-1-j), so h(shingle) = (Σ h(word_j)·31^(k-1-j)) mod P.
+    * Keeps products under 2^63 (h < 2^31, multiplier ≤ 31^(k-1)). */
+  def shingleMultiplier(k: Int, j: Int): Long =
+    math.pow(31, (k - 1 - j).toDouble).toLong
+
+  /** Shingle hashes from an already-materialized word-hash array column:
+    * pure arithmetic over element lookups. MUST be fed an attribute, not an
+    * inline expression — `element_at(<expr>, i)` re-evaluates the whole
+    * array expression per lookup, turning shingling O(n²·k). */
+  def shingleHashesFromWordHashes(wh: Column, k: Int): Column =
+    when(size(wh) < k, array().cast("array<bigint>")).otherwise(
+      transform(sequence(lit(0), size(wh) - k), i =>
+        pmod((0 until k).map(j =>
+          element_at(wh, i + j + 1) * shingleMultiplier(k, j)).reduce(_ + _),
+          lit(P))))
+
   /** The shared relation every minhash stage derives from: one row per
-    * (id, distinct hashed shingle); shingle-less docs keep a single
+    * (id, distinct shingle hash); shingle-less docs keep a single
     * null-hash row (explode_outer) so they survive to the signature stage.
-    * One md5 per distinct shingle, computed exactly once when the caller
-    * persists the result. */
+    * One md5 per word (not per shingle string): word hashes land in their
+    * own projection first (CollapseProject keeps expensive multiply-
+    * referenced expressions un-inlined), then shingle hashes are composed
+    * arithmetically. */
   def hashedShingleSet(df: DataFrame, idCol: String, textCol: String,
       shingleK: Int): DataFrame =
-    Par.ensure(df).select(col(idCol).as("id"),
-      explode_outer(array_distinct(
-        transform(shingles(col(textCol), shingleK), wordHash(_)))).as("sh"))
+    Par.ensure(df)
+      .select(col(idCol).as("id"),
+        transform(tokens(col(textCol)), wordHash(_)).as("_wh"))
+      .select(col("id"),
+        explode_outer(array_distinct(
+          shingleHashesFromWordHashes(col("_wh"), shingleK))).as("sh"))
+
+  /** DuckDB mirror of [[shingleHashes]] given a words-hash list column. */
+  def sqlShingleHashes(whCol: String, k: Int): String = {
+    val terms = (0 until k)
+      .map(j => s"$whCol[i+$j] * ${shingleMultiplier(k, j)}").mkString(" + ")
+    s"""CASE WHEN len($whCol) < $k THEN []
+      ELSE list_transform(range(1, len($whCol) - ${k - 2}), i -> ($terms) % $P)
+      END"""
+  }
 
   /** Signatures from a [[hashedShingleSet]] relation: one hash-aggregation
     * computing all n minima (min over the distinct set equals min over the
@@ -97,15 +128,18 @@ object Dedup {
   /** DuckDB mirror of [[minhashSignatures]] (sans bands), as a CTE body. */
   def sqlMinhashSignatureCte(idCol: String, textExpr: String, table: String,
       shingleK: Int = 3, numHashes: Int = 16): String = {
-    val sh = sqlShingles(textExpr, shingleK)
     val mhs = (0 until numHashes).map { i =>
       val (a, b) = minhashParams(i)
       s"min((_h * $a + $b) % $P) AS mh$i"
     }.mkString(", ")
-    s"""hashed AS (
-        SELECT $idCol, unnest(CASE WHEN len($sh) = 0 THEN [NULL]
-          ELSE list_distinct(list_transform($sh, s -> ${sqlWordHash("s")})) END) AS _h
+    s"""wordhashed AS (
+        SELECT $idCol,
+          list_transform(${sqlTokens(textExpr)}, w -> ${sqlWordHash("w")}) AS wh
         FROM $table),
+      hashed AS (
+        SELECT $idCol, unnest(CASE WHEN len(wh) < $shingleK THEN [NULL]
+          ELSE list_distinct(${sqlShingleHashes("wh", shingleK)}) END) AS _h
+        FROM wordhashed),
       sig AS (SELECT $idCol, $mhs FROM hashed GROUP BY $idCol)"""
   }
 

@@ -53,10 +53,13 @@ object DedupQueries {
   }
 
   private val jaccardVerifySql = s"""
-      ex AS (
-        SELECT doc_id, unnest(list_distinct(
-          list_transform(${sqlShingles("text", K)}, s -> ${sqlWordHash("s")}))) AS sh
+      exwh AS (
+        SELECT doc_id,
+          list_transform(${sqlTokens("text")}, w -> ${sqlWordHash("w")}) AS wh
         FROM documents),
+      ex AS (
+        SELECT doc_id, unnest(list_distinct(${Dedup.sqlShingleHashes("wh", K)})) AS sh
+        FROM exwh WHERE len(wh) >= $K),
       sizes AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id),
       inter AS (
         SELECT c.a, c.b, COUNT(*) AS n_inter
