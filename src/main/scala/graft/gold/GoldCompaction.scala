@@ -28,7 +28,12 @@ object GoldCompaction {
       maxPartitions: Int = 10,
       reprocess: Boolean = false,
       forceDates: Seq[String] = Nil,
-      coalesceFiles: Int = 4)
+      coalesceFiles: Int = 4,
+      /** Date partitions compacted concurrently. Each partition is an
+        * independent Spark job writing its own directory, so they pipeline
+        * through the scheduler; the reference processes dates strictly
+        * sequentially (SURVEY §7 "hard parts"). */
+      concurrency: Int = 4)
 
   final case class RunSummary(
       processedPartitions: Seq[String],
@@ -140,7 +145,7 @@ object GoldCompaction {
     val processedDates = fileOps.listPartitionDates(conf.layout.processed)
     val goldDates = fileOps.listPartitionDates(conf.layout.goldFactSales)
     val selected = selectPartitions(processedDates, goldDates, conf)
-    val results = selected.map(compactPartition(spark, _, conf))
+    val results = compactAll(spark, selected, conf)
     val summary = RunSummary(selected, results)
     fileOps.writeString(conf.layout.auditSummary, Json.render(Map(
       "run_ts_utc" -> java.time.Instant.now().toString,
@@ -148,6 +153,26 @@ object GoldCompaction {
       "results" -> results.map(metricsMap))))
     summary
   }
+
+  /** Compact the selected dates `conf.concurrency` at a time; results come
+    * back in input order. Partitions are disjoint output dirs, so
+    * concurrent jobs never conflict. */
+  private def compactAll(spark: SparkSession, dates: Seq[String],
+      conf: Conf): Seq[PartitionMetrics] =
+    if (dates.size <= 1 || conf.concurrency <= 1)
+      dates.map(compactPartition(spark, _, conf))
+    else {
+      import java.util.concurrent.Executors
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = Executors.newFixedThreadPool(conf.concurrency)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      try
+        Await.result(
+          Future.sequence(dates.map(d => Future(compactPartition(spark, d, conf)))),
+          Duration.Inf)
+      finally pool.shutdown()
+    }
 
   private def metricsMap(m: PartitionMetrics): Map[String, Any] = Map(
     "target_date" -> m.target_date,
