@@ -42,21 +42,6 @@ object Dedup {
     * h_i(x) = (a_i·x + b_i) mod P. Small a keeps a·x < 2^63. */
   def minhashParams(i: Int): (Long, Long) = ((2 * i + 1).toLong, (7919 * (i + 1)).toLong)
 
-  /** One minhash value: min over shingles of h_i(wordHash(shingle));
-    * null when the document has no shingles. */
-  def minhash(sh: Column, i: Int): Column = {
-    val (a, b) = minhashParams(i)
-    when(size(sh) === 0, lit(null).cast(LongType)).otherwise(
-      array_min(transform(sh, s => pmod(wordHash(s) * a + b, lit(P)))))
-  }
-
-  def sqlMinhash(shExpr: String, i: Int): String = {
-    val (a, b) = minhashParams(i)
-    s"""CASE WHEN len($shExpr) = 0 THEN NULL
-      ELSE list_aggregate(list_transform($shExpr,
-        s -> (${sqlWordHash("s")} * $a + $b) % $P), 'min') END"""
-  }
-
   /** Per-position multiplier for composing word hashes into a shingle
     * hash: 31^(k-1-j), so h(shingle) = (Σ h(word_j)·31^(k-1-j)) mod P.
     * Keeps products under 2^63 (h < 2^31, multiplier ≤ 31^(k-1)). */
