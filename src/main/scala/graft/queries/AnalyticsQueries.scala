@@ -51,7 +51,35 @@ object AnalyticsQueries {
         .cast("double").as("running_revenue"))
   }
 
+  /** As-of join: each event picks up the customer-bucket's latest order at
+    * or before the event time (right side deduped per (bucket, time) for
+    * determinism). Oracle uses DuckDB's native ASOF LEFT JOIN. */
+  def asOfLatestOrder(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.AsOfJoin
+    val events = Tables.events(spark, dir)
+      .select(col("event_id"), (col("user_id") % 50).as("bucket"), col("ts"))
+    val orders = AsOfJoin.latestPerKeyTime(
+      Tables(spark, dir, "orders")
+        .select((col("o_custkey") % 50).as("bucket"), col("o_orderdate"),
+          col("o_orderkey")),
+      "bucket", "o_orderdate", "o_orderkey")
+    AsOfJoin.latestPrior(events, orders, "bucket", "ts", "o_orderdate")
+      .select(col("event_id"), col("bucket"), col("o_orderkey"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q30_asof_join", asOfLatestOrder, Some("""
+      WITH ev AS (
+        SELECT event_id, user_id % 50 AS bucket, ts FROM events),
+      ord AS (
+        SELECT * FROM (
+          SELECT o_custkey % 50 AS bucket, o_orderdate, o_orderkey,
+            row_number() OVER (PARTITION BY o_custkey % 50, o_orderdate
+              ORDER BY o_orderkey DESC) AS rn
+          FROM orders) WHERE rn = 1)
+      SELECT ev.event_id, ev.bucket, ord.o_orderkey
+      FROM ev ASOF LEFT JOIN ord
+        ON ev.bucket = ord.bucket AND ord.o_orderdate <= ev.ts""")),
     QueryDef("q27_props_json", propsJson, Some("""
       SELECT event_id,
         TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
