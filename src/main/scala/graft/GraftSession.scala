@@ -22,6 +22,9 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // ms/µs parquet timestamps surface as LTZ instants (UTC session)
+      // rather than NTZ — keeps unix_micros & friends applicable everywhere
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
 
   def get(appName: String = "graft"): SparkSession = {

@@ -67,7 +67,31 @@ object AnalyticsQueries {
       .select(col("event_id"), col("bucket"), col("o_orderkey"))
   }
 
+  /** Range join: every event landing inside the 2-hour attribution window
+    * opened by each purchase of the same user. The oracle states the naive
+    * inequality join; the Spark side uses the binned equi-join. */
+  def rangeJoinEventOrders(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.RangeJoin
+    val events = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val windows = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("window_id"), col("user_id"),
+        col("ts").as("w_start"),
+        (col("ts") + expr("INTERVAL 2 HOURS")).as("w_end"))
+    RangeJoin.pointInInterval(events, windows, "user_id", "ts",
+        "w_start", "w_end", binWidthSeconds = 2L * 3600)
+      .select(col("event_id"), col("user_id"), col("window_id"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q31_range_join", rangeJoinEventOrders, Some("""
+      SELECT e.event_id, e.user_id, w.event_id AS window_id
+      FROM events e JOIN events w
+        ON e.user_id = w.user_id
+        AND w.event_type = 'purchase'
+        AND e.ts >= w.ts
+        AND e.ts < w.ts + INTERVAL 2 HOUR""")),
     QueryDef("q30_asof_join", asOfLatestOrder, Some("""
       WITH ev AS (
         SELECT event_id, user_id % 50 AS bucket, ts FROM events),
