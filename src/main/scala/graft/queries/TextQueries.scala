@@ -44,7 +44,51 @@ object TextQueries {
       wsTokenCount(col("text")).cast("long").as("n_words"),
       floor(qualityScore(col("text")) * 1000000).as("quality_e6"))
 
+  /** Deterministic stratified sampling: 30% of English docs, 10% of the
+    * rest, keyed on a stable hash of doc_id — replayable anywhere. */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.Sampling
+    Sampling.stratifiedHashSample(Tables(spark, dir, "documents"),
+        "doc_id", "lang", Map("en" -> 3000), defaultBp = 1000)
+      .select(col("doc_id"), col("lang"))
+  }
+
+  /** C4-style repetition filter signals: top-word share of each document
+    * (high share ⇒ boilerplate/spam). One explode + two aggregations. */
+  def repetitionFilter(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val counts = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+    counts.groupBy("doc_id")
+      .agg(sum(col("cnt")).as("n_words"), max(col("cnt")).as("top_count"))
+      .select(col("doc_id"), col("n_words"), col("top_count"),
+        floor(col("top_count").cast("double") / col("n_words").cast("double")
+          * 1000000).as("rep_ratio_e6"),
+        (col("top_count").cast("double") / col("n_words").cast("double") > 0.2)
+          .as("flag_repetitive"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q32_stratified_sample", stratifiedSample, Some({
+      import graft.text.Sampling
+      s"""SELECT doc_id, lang FROM documents
+      WHERE ${Sampling.sqlHashBucket("doc_id")} <
+        ${Sampling.sqlStratumRate("lang", Map("en" -> 3000), 1000)}"""
+    })),
+    QueryDef("q33_repetition_filter", repetitionFilter, Some(s"""
+      WITH counts AS (
+        SELECT doc_id, tok, COUNT(*) AS cnt
+        FROM (SELECT doc_id, unnest(${sqlTokens("text")}) AS tok FROM documents)
+        GROUP BY doc_id, tok),
+      agg AS (
+        SELECT doc_id, SUM(cnt) AS n_words, MAX(cnt) AS top_count
+        FROM counts GROUP BY doc_id)
+      SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+        CAST(top_count AS BIGINT) AS top_count,
+        CAST(floor(top_count::DOUBLE / n_words::DOUBLE * 1000000) AS BIGINT) AS rep_ratio_e6,
+        top_count::DOUBLE / n_words::DOUBLE > 0.2 AS flag_repetitive
+      FROM agg""")),
     QueryDef("q14_token_counts", tokenCounts, Some(s"""
       SELECT doc_id,
         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
