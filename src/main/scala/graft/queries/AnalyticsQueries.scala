@@ -84,7 +84,40 @@ object AnalyticsQueries {
       .select(col("event_id"), col("user_id"), col("window_id"))
   }
 
+  /** Set operations: customers with both open and finished orders, minus
+    * anyone with a pending order (INTERSECT + EXCEPT). */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables(spark, dir, "orders")
+    def buyersOf(status: String) =
+      orders.filter(col("o_orderstatus") === status)
+        .select(col("o_custkey")).distinct()
+    buyersOf("O").intersect(buyersOf("F")).except(buyersOf("P"))
+  }
+
+  /** Pivot: per-user event counts spread across the event-type columns. */
+  def eventPivot(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "view", "purchase", "signup", "error")
+    val pivoted = Tables.events(spark, dir)
+      .groupBy("user_id")
+      .pivot("event_type", types)
+      .count()
+    pivoted.select(col("user_id") +:
+      types.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q34_set_ops", setOps, Some("""
+      SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      INTERSECT
+      SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      EXCEPT
+      SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'P'""")),
+    QueryDef("q35_event_pivot", eventPivot, Some({
+      val cols = Seq("click", "view", "purchase", "signup", "error")
+        .map(t => s"COUNT(*) FILTER (WHERE event_type = '$t') AS n_$t")
+        .mkString(", ")
+      s"SELECT user_id, $cols FROM events GROUP BY user_id"
+    })),
     QueryDef("q31_range_join", rangeJoinEventOrders, Some("""
       SELECT e.event_id, e.user_id, w.event_id AS window_id
       FROM events e JOIN events w
