@@ -40,6 +40,18 @@ class ScaleSpecs extends SparkTestBase {
     }
   }
 
+  test("ORC and JSON sinks round-trip the fact schema") {
+    val src = Tables(spark, dir, "orders").limit(100)
+    val base = java.nio.file.Files.createTempDirectory("graft_fmt_").toString
+    src.write.mode("overwrite").orc(s"$base/orc")
+    src.write.mode("overwrite").json(s"$base/json")
+    val orc = spark.read.orc(s"$base/orc")
+    assert(orc.count() == 100 && orc.columns.sameElements(src.columns))
+    val json = spark.read.json(s"$base/json")
+    assert(json.count() == 100)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
+
   test("approx_count_distinct tracks exact distinct within HLL tolerance") {
     val li = Tables(spark, dir, "lineitem")
     val row = li.agg(
