@@ -26,7 +26,8 @@ object StreamingIngest {
     * loop (or from a scheduler) for continuous ingest; files are moved out
     * of raw/ on pickup, so re-processing is structurally impossible. */
   def pollOnce(spark: SparkSession, layout: LakeLayout,
-      strictNullDq: Boolean = true): Tick = {
+      strictNullDq: Boolean = true,
+      notifier: graft.lake.Notifier = graft.lake.Notifier.Log): Tick = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(layout.raw), spark.sparkContext.hadoopConfiguration)
     val rawPath = new org.apache.hadoop.fs.Path(layout.raw)
@@ -36,9 +37,17 @@ object StreamingIngest {
     val (ok, bad) = files.map { f =>
       f -> BronzeToSilver.ingestFile(spark, f, layout, strictNullDq)
     }.partition(_._2.isRight)
-    Tick(
+    val tick = Tick(
       ok.collect { case (f, Right(r)) => f -> r },
       bad.collect { case (f, Left(e)) => f -> e })
+    tick.ingested.foreach { case (f, r) =>
+      notifier.notify("DATA QUALITY REPORT",
+        graft.lake.Notifier.dqSummary(f, r.totalRows, r.goodRows, r.rejectsByReason))
+    }
+    tick.rejected.foreach { case (f, e) =>
+      notifier.notify("STRUCTURAL REJECT", s"$f: $e")
+    }
+    tick
   }
 
   /** Watch until `maxTicks` polls complete (test/demo harness). */

@@ -88,8 +88,14 @@ class StreamingIngestSpec extends SparkTestBase {
     Files.copy(Paths.get("/root/reference/sample_csv_files/sales_2024-10-16.csv"),
       Paths.get(s"${layout.raw}/sales_2024-10-16.csv"),
       StandardCopyOption.REPLACE_EXISTING)
-    val t1 = StreamingIngest.pollOnce(spark, layout)
+    val notifier = new graft.lake.Notifier.Buffering
+    val t1 = StreamingIngest.pollOnce(spark, layout, notifier = notifier)
     assert(t1.ingested.map(_._2.goodRows) == Seq(828L))
+    // A12: a DQ summary notification fires per ingested file, with the
+    // reference's breakdown body
+    assert(notifier.sent.map(_._1) == Seq("DATA QUALITY REPORT"))
+    assert(notifier.sent.head._2.contains("Good Rows: 828"))
+    assert(notifier.sent.head._2.contains("Invalid Timestamps: 406"))
     // file was moved out of raw on pickup → second poll is a no-op
     val t2 = StreamingIngest.pollOnce(spark, layout)
     assert(t2.ingested.isEmpty && t2.rejected.isEmpty)
