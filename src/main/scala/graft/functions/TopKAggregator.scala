@@ -1,0 +1,40 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Typed per-key top-k aggregator: keeps the k highest-scoring (score, id)
+  * pairs per group in a bounded buffer.
+  *
+  * The window-function formulation (`row_number() OVER (... ORDER BY score)
+  * WHERE rn <= k`) must shuffle and SORT every row of every key; this
+  * aggregator carries O(k) state per key through partial aggregation, so
+  * the shuffle moves at most k pairs per key per map task — the right
+  * shape when k ≪ rows-per-key at 100 TB. Custom-aggregation machinery per
+  * SURVEY §7 (`Aggregator[IN, BUF, OUT]`).
+  *
+  * Ordering: higher score first, then lower id (deterministic ties).
+  */
+final class TopKAggregator[IN](k: Int, score: IN => Double, id: IN => Long)
+    extends Aggregator[IN, Seq[(Double, Long)], Seq[(Double, Long)]]
+    with Serializable {
+
+  private def shrink(buf: Seq[(Double, Long)]): Seq[(Double, Long)] =
+    buf.sortBy { case (s, i) => (-s, i) }.take(k)
+
+  override def zero: Seq[(Double, Long)] = Seq.empty
+
+  override def reduce(buf: Seq[(Double, Long)], in: IN): Seq[(Double, Long)] =
+    shrink(buf :+ ((score(in), id(in))))
+
+  override def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] =
+    shrink(a ++ b)
+
+  override def finish(buf: Seq[(Double, Long)]): Seq[(Double, Long)] = shrink(buf)
+
+  override def bufferEncoder: Encoder[Seq[(Double, Long)]] =
+    Encoders.kryo[Seq[(Double, Long)]]
+
+  override def outputEncoder: Encoder[Seq[(Double, Long)]] =
+    Encoders.kryo[Seq[(Double, Long)]]
+}

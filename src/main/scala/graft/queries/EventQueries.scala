@@ -39,7 +39,34 @@ object EventQueries {
       .select(col("event_id"), col("user_id"), col("session_seq"))
   }
 
+  /** Per-user top-3 events by value via the bounded-buffer typed
+    * Aggregator (O(k) state per key through partial aggregation) — oracle
+    * is the equivalent window formulation. */
+  def topEventsPerUser(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.TopKAggregator
+    val agg = new TopKAggregator[(Long, Double, Long)](3,
+      score = _._2, id = _._3)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("value"), col("event_id"))
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .agg(agg.toColumn)
+      .flatMap { case (userId, top) =>
+        top.zipWithIndex.map { case ((v, eid), i) =>
+          (userId, i + 1L, eid, v)
+        }
+      }
+      .toDF("user_id", "rank", "event_id", "value")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q36_topk_per_user", topEventsPerUser, Some("""
+      SELECT user_id, CAST(rn AS BIGINT) AS rank, event_id, value FROM (
+        SELECT user_id, event_id, value,
+          row_number() OVER (PARTITION BY user_id
+            ORDER BY value DESC, event_id) AS rn
+        FROM events) WHERE rn <= 3""")),
     QueryDef("q18_events_hourly", hourly, Some("""
       SELECT date_trunc('hour', ts) AS hour, event_type,
         COUNT(*) AS n_events,
