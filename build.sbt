@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify driver greps this process's stdout for a bare JSON
+// line; sbt's default LoggedOutput prefixes forked output with "[info] "
+// which breaks that parse. Route forked run output straight through.
+run / connectInput := false
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

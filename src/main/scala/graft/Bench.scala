@@ -10,7 +10,8 @@ package graft
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    val cpus = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
+      .getOrElse(Runtime.getRuntime.availableProcessors)
     val spark = GraftSession.builder(s"local[$cpus]", cpus)
       .appName("graft-bench").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -21,19 +22,23 @@ object Bench {
     // not sf-scaled) — excluded from throughput timing. Each query runs
     // twice and reports the faster pass: single-shot numbers on a shared
     // JVM carry multi-hundred-ms GC/codegen noise.
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(_._1.startsWith("p9")).map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        try { fn(spark, sfDir).count() }
+        catch { case _: Throwable => failed += name }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      // A query that threw reports -1, never a misleading wall time.
+      name -> (if (failed.contains(name)) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.filterNot(r => failed.contains(r._1)).map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

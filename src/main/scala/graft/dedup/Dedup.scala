@@ -136,11 +136,23 @@ object Dedup {
     * shingle to count intersections (shuffles on id / shingle keys). */
   def minhashNearDuplicates(df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, numHashes: Int = 16, rowsPerBand: Int = 4,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5): DataFrame =
+    minhashNearDuplicatesWithRelease(df, idCol, textCol, shingleK, numHashes,
+      rowsPerBand, threshold)._1
+
+  /** As [[minhashNearDuplicates]], also returning a release handle that
+    * unpersists the shared shingle relation. The relation feeds the
+    * signature agg AND both verify sides, so it is persisted to shingle+
+    * hash the text exactly once end-to-end. Call release() after the
+    * returned frame has been consumed (count/collect/write); dropping the
+    * handle leaves the cache to LRU eviction /
+    * `spark.catalog.clearCache()`, which accumulates across repeated
+    * invocations in a long-lived session. */
+  def minhashNearDuplicatesWithRelease(df: DataFrame, idCol: String,
+      textCol: String, shingleK: Int = 3, numHashes: Int = 16,
+      rowsPerBand: Int = 4,
+      threshold: Double = 0.5): (DataFrame, () => Unit) = {
     val numBands = numHashes / rowsPerBand
-    // the shingle relation feeds the signature agg AND both verify sides;
-    // persist so the text is shingled+hashed exactly once end-to-end
-    // (evicted LRU / cleared with spark.catalog.clearCache())
     val ex = hashedShingleSet(df, idCol, textCol, shingleK).persist()
     val sig = signaturesFrom(ex, idCol, numHashes, rowsPerBand)
       .filter(col("mh0").isNotNull) // shingle-less docs can't be candidates
@@ -150,7 +162,8 @@ object Dedup {
       .filter(col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"))
       .distinct()
-    jaccardFrom(ex.filter(col("sh").isNotNull), cand, threshold)
+    (jaccardFrom(ex.filter(col("sh").isNotNull), cand, threshold),
+      () => { ex.unpersist(); () })
   }
 
   /** Word-k-gram Jaccard for a given candidate-pair frame (a, b).

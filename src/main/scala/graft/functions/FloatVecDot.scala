@@ -16,9 +16,15 @@ import org.apache.spark.sql.types._
   * generated stage — the hot path of brute-force and LSH cosine search is
   * O(|pairs|·dim) multiplies, exactly where codegen pays.
   *
-  * Semantics match the fold exactly: elements promoted to double, then a
-  * left-to-right sequential sum — bit-identical to DuckDB's
-  * list_dot_product over DOUBLE[], which the oracle relies on.
+  * Semantics: elements promoted to double, then a left-to-right sequential
+  * sum over the COMMON PREFIX `min(|a|,|b|)` (length-mismatched inputs are
+  * truncated, not nulled — unlike a `zip_with` fold, which pads with
+  * nulls and returns null). Null ARRAY ELEMENTS are read as 0 (no per-
+  * element null branch in the hot loop); a null array on either side
+  * yields null via the standard null-safe wrapper. On equal-length
+  * null-free inputs — the embeddings contract, pinned by the spec — the
+  * result is bit-identical to DuckDB's list_dot_product over DOUBLE[],
+  * which the oracle relies on.
   */
 case class FloatVecDot(left: Expression, right: Expression)
     extends BinaryExpression {

@@ -108,29 +108,30 @@ object GoldCompaction {
       val df = spark.read.option("mergeSchema", "true").parquet(inputPath)
       // one pass: total, survivors, null/dq metrics over survivors (E4)
       val deduped = compactFrame(df).persist()
-      val agg = deduped.agg(
-        count(lit(1)).as("after"),
-        sum(when(col("timestamp").isNull, 1L).otherwise(0L)).as("null_ts"),
-        sum(when(col("store_id").isNull, 1L).otherwise(0L)).as("null_store"),
-        sum(when(col("revenue").isNotNull && col("quantity").isNotNull &&
-          (abs(col("revenue") - col("quantity") * col("unit_price")) > 0.01),
-          1L).otherwise(0L)).as("dq")).collect()(0)
-      val total = df.count()
+      try {
+        val agg = deduped.agg(
+          count(lit(1)).as("after"),
+          sum(when(col("timestamp").isNull, 1L).otherwise(0L)).as("null_ts"),
+          sum(when(col("store_id").isNull, 1L).otherwise(0L)).as("null_store"),
+          sum(when(col("revenue").isNotNull && col("quantity").isNotNull &&
+            (abs(col("revenue") - col("quantity") * col("unit_price")) > 0.01),
+            1L).otherwise(0L)).as("dq")).collect()(0)
+        val total = df.count()
 
-      // A4: sorted, compacted, idempotent per-partition overwrite (E7).
-      // `date` is dropped from the files: the partition directory carries
-      // it (the reference instead embeds an all-null date column that
-      // collides with partition inference on read-back).
-      deduped.drop("date").orderBy(col("transaction_id"))
-        .coalesce(conf.coalesceFiles)
-        .write.mode("overwrite").parquet(outputPath)
-      deduped.unpersist()
+        // A4: sorted, compacted, idempotent per-partition overwrite (E7).
+        // `date` is dropped from the files: the partition directory carries
+        // it (the reference instead embeds an all-null date column that
+        // collides with partition inference on read-back).
+        deduped.drop("date").orderBy(col("transaction_id"))
+          .coalesce(conf.coalesceFiles)
+          .write.mode("overwrite").parquet(outputPath)
 
-      val m = metrics("written", total, agg.getAs[Long]("after"),
-        agg.getAs[Long]("null_ts"), agg.getAs[Long]("null_store"),
-        agg.getAs[Long]("dq"))
-      fileOps.writeString(conf.layout.auditMetrics(date), renderMetrics(m))
-      m
+        val m = metrics("written", total, agg.getAs[Long]("after"),
+          agg.getAs[Long]("null_ts"), agg.getAs[Long]("null_store"),
+          agg.getAs[Long]("dq"))
+        fileOps.writeString(conf.layout.auditMetrics(date), renderMetrics(m))
+        m
+      } finally deduped.unpersist()
     } catch {
       case e: Exception =>
         val m = metrics("failed", error = Some(e.toString))

@@ -12,8 +12,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * Scale notes: the windowed aggregate is a standard watermarked stateful
   * agg — state is bounded by (watermark horizon × group cardinality);
   * sessionization keeps one small state record per user via
-  * flatMapGroupsWithState with event-time timeout, so state size is
-  * O(active users), not O(events).
+  * flatMapGroupsWithState with an event-time timeout: a user idle longer
+  * than `idleHorizonMs` is expired from the state store, so state size is
+  * O(users active within the horizon), not O(all users ever seen).
+  * Trade-off: a user returning after the horizon restarts session
+  * numbering at 1 (cumulative per-user numbering over unbounded time
+  * would require unbounded state).
   */
 object EventStreams {
 
@@ -28,6 +32,9 @@ object EventStreams {
 
   val SessionGapUs: Long = 1800L * 1000000L // 30 min, matches batch twin
 
+  /** Default state-expiry horizon: drop a user's state after 90 idle days. */
+  val DefaultIdleHorizonMs: Long = 90L * 24 * 3600 * 1000L
+
   /** Tumbling 1-hour windowed aggregate with a 10-minute watermark. */
   def hourlyCounts(events: DataFrame): DataFrame =
     events
@@ -41,17 +48,28 @@ object EventStreams {
   /** Stateful gap-based sessionization: one state record per user; a new
     * session starts after >30 min idle. Within a micro-batch, events are
     * processed in (ts, event_id) order so assignment matches the batch
-    * window implementation. */
-  def sessionize(events: Dataset[Event]): Dataset[SessionAssignment] = {
+    * window implementation. State for a user idle past `idleHorizonMs`
+    * (event time, relative to the watermark) is expired via
+    * EventTimeTimeout; rows later than `watermarkDelay` behind the max
+    * seen event time are dropped as late data. */
+  def sessionize(events: Dataset[Event],
+      watermarkDelay: String = "1 hour",
+      idleHorizonMs: Long = DefaultIdleHorizonMs): Dataset[SessionAssignment] = {
     import events.sparkSession.implicits._
     events
+      .withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.NoTimeout)(assignSessions)
+        GroupStateTimeout.EventTimeTimeout)(assignSessions(idleHorizonMs))
   }
 
-  private[streaming] def assignSessions(userId: Long, events: Iterator[Event],
+  private[streaming] def assignSessions(idleHorizonMs: Long)(userId: Long,
+      events: Iterator[Event],
       state: GroupState[SessionState]): Iterator[SessionAssignment] = {
+    if (state.hasTimedOut) {
+      state.remove()
+      return Iterator.empty
+    }
     def micros(t: Timestamp): Long =
       (t.getTime - t.getNanos / 1000000) * 1000L + t.getNanos / 1000L
     val ordered = events.toSeq.sortBy(e => (micros(e.ts), e.event_id))
@@ -63,7 +81,13 @@ object EventStreams {
         if (isNew) st.sessionSeq + 1 else st.sessionSeq)
       SessionAssignment(e.event_id, userId, st.sessionSeq)
     }
-    if (ordered.nonEmpty) state.update(st)
+    if (ordered.nonEmpty) {
+      state.update(st)
+      // Expire once the watermark passes lastEvent + horizon; a timeout
+      // timestamp must sit strictly above the current watermark.
+      state.setTimeoutTimestamp(math.max(st.lastEventUs / 1000L + idleHorizonMs,
+        state.getCurrentWatermarkMs + 1L))
+    }
     out.iterator
   }
 }

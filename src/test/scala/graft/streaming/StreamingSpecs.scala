@@ -63,6 +63,38 @@ class EventStreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("state for a user idle past the horizon is expired (numbering restarts)") {
+    implicit val sqlCtx = spark.sqlContext
+    import java.sql.Timestamp
+    def ev(id: Long, user: Long, tMs: Long) =
+      Event(id, new Timestamp(tMs), user, "view", 1.0)
+    val hourMs = 3600L * 1000
+    val stream = MemoryStream[Event]
+    // tiny horizon (2h) so the test can cross it with a 3h gap
+    val q = EventStreams.sessionize(stream.toDS(),
+        watermarkDelay = "10 minutes", idleHorizonMs = 2 * hourMs)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("expiry_out").start()
+    try {
+      val t0 = 1700000000000L
+      stream.addData(ev(1, 7L, t0))                       // user 7, session 1
+      q.processAllAvailable()
+      // other-user traffic 3h later advances the watermark past 7's horizon
+      stream.addData(ev(2, 8L, t0 + 3 * hourMs))
+      q.processAllAvailable()
+      // timeouts fire for data-less groups once the watermark has passed:
+      // this batch expires user 7's state
+      stream.addData(ev(3, 8L, t0 + 3 * hourMs + 60000))
+      q.processAllAvailable()
+      // user 7 returns after expiry: numbering restarts at 1, NOT 2
+      stream.addData(ev(4, 7L, t0 + 3 * hourMs + 120000))
+      q.processAllAvailable()
+      val got = spark.table("expiry_out")
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+    } finally q.stop()
+  }
+
   test("event-id-ordered micro-batches preserve per-user session monotonicity") {
     val byUser = spark.table("sessions_out").as("s")
       .join(Tables.events(spark, sfDir).select("event_id", "user_id", "ts"),
