@@ -169,37 +169,43 @@ object Dedup {
   /** Word-k-gram Jaccard for a given candidate-pair frame (a, b).
     *
     * Shingles are compared by their 48-bit [[wordHash]] rather than as
-    * strings: the intersection join shuffles 8-byte keys instead of
-    * multi-word text, and the shingle arrays are built exactly twice (once
-    * per join side) with set sizes carried along via a window instead of a
-    * third pass. Hash collisions (~2^-31 per pair) can in principle nudge a
-    * Jaccard value; both this and the oracle hash identically, so parity
-    * is exact. */
+    * strings: the per-pair intersection works on 8-byte keys instead of
+    * multi-word text. Hash collisions (~2^-31 per pair) can in principle
+    * nudge a Jaccard value; both this and the oracle hash identically, so
+    * parity is exact. */
   def verifiedJaccard(df: DataFrame, cand: DataFrame, idCol: String,
       textCol: String, shingleK: Int, threshold: Double): DataFrame =
     jaccardFrom(
       hashedShingleSet(df, idCol, textCol, shingleK).filter(col("sh").isNotNull),
       cand, threshold)
 
-  /** Jaccard over a pre-built (id, hashed-shingle) relation. Set sizes come
-    * from a cheap hash aggregation (no per-row window sort) and join onto
-    * the small post-intersection frame. */
+  /** Jaccard over a pre-built (id, hashed-shingle) relation.
+    *
+    * One hash aggregation folds the relation into a per-doc shingle array
+    * (set size comes free as the array length); the candidate pairs then
+    * join that 1-row-per-doc relation twice and each pair's intersection
+    * is computed locally with `array_intersect`. Compared to the exploded
+    * (id, shingle) equi-join formulation this shuffles the wide relation
+    * once instead of three times (two join sides + re-aggregation), and
+    * the per-pair work is O(|A|+|B|) hash-set probing. Pairs with an empty
+    * intersection are dropped (matching the inner-join formulation and the
+    * oracle), so `threshold = 0` still excludes disjoint pairs. */
   private def jaccardFrom(ex: DataFrame, cand: DataFrame,
       threshold: Double): DataFrame = {
-    val sizes = ex.groupBy("id").agg(count(lit(1)).as("n"))
-    val inter = cand
-      .join(ex.as("ea"), col("a") === col("ea.id"))
-      .join(ex.as("eb"), col("b") === col("eb.id") && col("ea.sh") === col("eb.sh"))
-      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
-    // sizes vs inter relative cardinality varies wildly by corpus; leave
-    // the join strategy to AQE's runtime stats rather than forcing one
-    inter
-      .join(sizes.as("sa"), col("a") === col("sa.id"))
-      .join(sizes.as("sb"), col("b") === col("sb.id"))
+    // ex is distinct per (id, sh) — hashedShingleSet array_distincts before
+    // exploding — so collect_list preserves set semantics
+    val sets = ex.groupBy("id").agg(collect_list("sh").as("shs"))
+      .select(col("id"), col("shs"), size(col("shs")).as("n"))
+    cand
+      .join(sets.as("sa"), col("a") === col("sa.id"))
+      .join(sets.as("sb"), col("b") === col("sb.id"))
+      .select(col("a"), col("b"),
+        size(array_intersect(col("sa.shs"), col("sb.shs"))).as("inter"),
+        (col("sa.n") + col("sb.n")).as("ntot"))
+      .filter(col("inter") > 0)
       .select(col("a"), col("b"),
         (col("inter").cast("double") /
-          (col("sa.n") + col("sb.n") - col("inter")).cast("double"))
-          .as("jaccard"))
+          (col("ntot") - col("inter")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

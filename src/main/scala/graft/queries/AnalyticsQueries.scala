@@ -46,9 +46,9 @@ object AnalyticsQueries {
       rank().over(byPrice).cast(LongType).as("price_rank"),
       lag(col("o_orderkey"), 1).over(byCust).as("prev_order"),
       lead(col("o_orderkey"), 1).over(byCust).as("next_order"),
-      sum(dec2(col("o_totalprice")))
+      (sum(cents(col("o_totalprice")))
         .over(byCust.rowsBetween(Window.unboundedPreceding, 0))
-        .cast("double").as("running_revenue"))
+        .cast("double") / 100.0).as("running_revenue"))
   }
 
   /** As-of join: each event picks up the customer-bucket's latest order at
@@ -154,7 +154,7 @@ object AnalyticsQueries {
         CAST(rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS price_rank,
         lag(o_orderkey, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_order,
         lead(o_orderkey, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_order,
-        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_revenue
+        CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0 AS running_revenue
       FROM orders""")))
 }

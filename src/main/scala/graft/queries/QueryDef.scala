@@ -30,21 +30,38 @@ object Tables {
 
 /** Helpers shared by query definitions.
   *
-  * Monetary aggregates go through DECIMAL so Spark and DuckDB sum the exact
-  * same rationals regardless of partition/aggregation order (double sums are
-  * order-dependent in the last ulp); the final value is cast back to DOUBLE,
-  * which is exact for 2-dp decimals in this range.
+  * Money is aggregated as integral LONG cents: `round(x*100)` recovers the
+  * exact cents of a 2-dp value stored as double, integer sums are exact and
+  * order-independent (like the DECIMAL formulation this replaces), and the
+  * hot aggregate path stays a primitive 64-bit add inside whole-stage
+  * codegen instead of a 128-bit decimal add. The single scale-down division
+  * happens once, after aggregation, identically in Spark and DuckDB, so the
+  * final doubles agree bitwise.
+  *
+  * Headroom: a plain cents sum overflows 2^63 only past ~10^12 rows per
+  * group at max TPC-H prices — safe at any realistic scale. Per-row cent
+  * PRODUCTS (price×discount×tax, up to ~10^11 per row) would overflow a
+  * long accumulator within ~10^8 rows per group, so those aggregate through
+  * [[sumBig]]: the multiply stays a codegen'd long, only the accumulator is
+  * DECIMAL(38,0) — matching DuckDB's HUGEINT sum exactly.
   */
 object Num {
-  val D18_2: DecimalType = DecimalType(18, 2)
-  val D4_2: DecimalType = DecimalType(4, 2)
+  private val D38_0: DecimalType = DecimalType(38, 0)
 
-  def dec2(c: Column): Column = c.cast(D18_2)
+  /** Money-like 2-dp double as exact integral cents (LONG). */
+  def cents(c: Column): Column = round(c * 100).cast(LongType)
 
   /** Order-independent sum of a money-like double column, as DOUBLE. */
-  def sumMoney(c: Column): Column = sum(dec2(c)).cast(DoubleType)
+  def sumMoney(c: Column): Column = sum(cents(c)).cast(DoubleType) / 100.0
+
+  /** Exact sum of an integral LONG expression with headroom beyond 2^63:
+    * per-row values stay primitive, only the accumulator is decimal. */
+  def sumBig(c: Column): Column = sum(c.cast(D38_0))
+
+  /** SQL fragment mirror of [[cents]] for the DuckDB oracle. */
+  def sqlCents(expr: String): String = s"CAST(round(($expr) * 100) AS BIGINT)"
 
   /** SQL fragment mirror of [[sumMoney]] for the DuckDB oracle. */
   def sqlSumMoney(expr: String): String =
-    s"CAST(SUM(CAST($expr AS DECIMAL(18,2))) AS DOUBLE)"
+    s"CAST(SUM(${sqlCents(expr)}) AS DOUBLE) / 100.0"
 }

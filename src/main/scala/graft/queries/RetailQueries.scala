@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -26,28 +26,30 @@ object RetailQueries {
         count(lit(1)).as("n_orders"))
       .orderBy(desc("order_date"))
 
+  /** Discounted revenue per row in exact 10^-4-dollar LONG units: the
+    * multiply is primitive codegen; aggregate via [[Num.sumBig]]. */
+  private def discRevenue: Column =
+    cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))
+
   /** F3 analog — top-10 parts by discounted revenue
     * (docs/athena_queries.md:32-37). Deterministic tiebreak on key. */
   def topProducts(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "lineitem")
       .groupBy(col("l_partkey"))
-      .agg(sum(dec2(col("l_extendedprice")) *
-          (lit(1).cast(D4_2) - dec2(col("l_discount"))))
-        .cast(DoubleType).as("revenue"))
+      .agg((sumBig(discRevenue).cast(DoubleType) / 10000.0).as("revenue"))
       .orderBy(desc("revenue"), col("l_partkey"))
       .limit(10)
 
   /** TPC-H Q1-style pricing summary over lineitem. */
   def pricingSummary(spark: SparkSession, dir: String): DataFrame = {
-    val disc = lit(1).cast(D4_2) - dec2(col("l_discount"))
-    val tax = lit(1).cast(D4_2) + dec2(col("l_tax"))
+    val tax100 = lit(100L) + cents(col("l_tax"))
     Tables(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         sumMoney(col("l_quantity")).as("sum_qty"),
         sumMoney(col("l_extendedprice")).as("sum_base_price"),
-        sum(dec2(col("l_extendedprice")) * disc).cast(DoubleType).as("sum_disc_price"),
-        sum(dec2(col("l_extendedprice")) * disc * tax).cast(DoubleType).as("sum_charge"),
+        (sumBig(discRevenue).cast(DoubleType) / 10000.0).as("sum_disc_price"),
+        (sumBig(discRevenue * tax100).cast(DoubleType) / 1000000.0).as("sum_charge"),
         count(lit(1)).as("n_rows"),
         countDistinct(col("l_orderkey")).as("n_orders"))
   }
@@ -58,9 +60,7 @@ object RetailQueries {
     val part = Tables(spark, dir, "part")
     li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
       .groupBy(col("p_brand"))
-      .agg(sum(dec2(col("l_extendedprice")) *
-          (lit(1).cast(D4_2) - dec2(col("l_discount"))))
-        .cast(DoubleType).as("revenue"),
+      .agg((sumBig(discRevenue).cast(DoubleType) / 10000.0).as("revenue"),
         count(lit(1)).as("n_items"))
   }
 
@@ -109,15 +109,15 @@ object RetailQueries {
   }
 
   private val discSql =
-    "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))"
+    s"${sqlCents("l_extendedprice")} * (100 - ${sqlCents("l_discount")})"
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q01_pricing_summary", pricingSummary, Some(s"""
       SELECT l_returnflag, l_linestatus,
         ${sqlSumMoney("l_quantity")} AS sum_qty,
         ${sqlSumMoney("l_extendedprice")} AS sum_base_price,
-        CAST(SUM($discSql) AS DOUBLE) AS sum_disc_price,
-        CAST(SUM($discSql * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+        CAST(SUM($discSql) AS DOUBLE) / 10000.0 AS sum_disc_price,
+        CAST(SUM($discSql * (100 + ${sqlCents("l_tax")})) AS DOUBLE) / 1000000.0 AS sum_charge,
         COUNT(*) AS n_rows,
         COUNT(DISTINCT l_orderkey) AS n_orders
       FROM lineitem GROUP BY l_returnflag, l_linestatus""")),
@@ -127,11 +127,11 @@ object RetailQueries {
         COUNT(*) AS n_orders
       FROM orders GROUP BY 1 ORDER BY order_date DESC""")),
     QueryDef("q03_top_products", topProducts, Some(s"""
-      SELECT l_partkey, CAST(SUM($discSql) AS DOUBLE) AS revenue
+      SELECT l_partkey, CAST(SUM($discSql) AS DOUBLE) / 10000.0 AS revenue
       FROM lineitem GROUP BY l_partkey
       ORDER BY revenue DESC, l_partkey LIMIT 10""")),
     QueryDef("q04_brand_revenue", brandRevenue, Some(s"""
-      SELECT p_brand, CAST(SUM($discSql) AS DOUBLE) AS revenue,
+      SELECT p_brand, CAST(SUM($discSql) AS DOUBLE) / 10000.0 AS revenue,
         COUNT(*) AS n_items
       FROM lineitem JOIN part ON l_partkey = p_partkey
       GROUP BY p_brand""")),
