@@ -18,6 +18,8 @@ object GraftSession {
   def builder(master: String = defaultMaster, cpus: Int = defaultCpus): SparkSession.Builder =
     SparkSession.builder()
       .master(master)
+      // custom planner strategies (native as-of join, graft.plans)
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")

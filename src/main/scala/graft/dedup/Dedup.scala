@@ -209,6 +209,67 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  // ---- duplicate clustering ----
+
+  /** Connected components over an undirected pair relation `(a, b)`:
+    * returns `(id, cluster_id)` for every node in some pair, where
+    * `cluster_id` is the minimum id reachable in the pair graph — the
+    * standard "keep one canonical doc per near-dup cluster" step that
+    * follows pairwise near-dup detection in a training-data pipeline.
+    *
+    * Algorithm: min-label propagation with pointer jumping. Each round a
+    * node takes the min label among itself and its neighbors (one hop),
+    * then adopts its new label's own new label (the jump) — the distance
+    * a min travels roughly doubles per round, so convergence is
+    * O(log diameter) rounds instead of O(diameter) (the shortcutting idea
+    * behind MapReduce-CC formulations such as Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14). Each round is two
+    * keyed joins + a hash-agg — a handful of shuffles of (id, label)
+    * pairs, never the edge payload.
+    *
+    * Iterative DataFrame algorithms double their lineage every round
+    * (labels feeds both join sides), so each round's result is cut off
+    * with an eager localCheckpoint — without it the logical plan grows
+    * 2^rounds nodes. localCheckpoint trades fault tolerance for speed
+    * (executor loss loses blocks); a production run on a real cluster
+    * would use reliable `checkpoint()` against the cluster FS instead. */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    val half = pairs
+      .select(col("a").cast(LongType).as("src"), col("b").cast(LongType).as("dst"))
+    val edges = half
+      .union(half.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id")).agg(min(col("label")).as("nlabel"))
+      val stepped = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      // jump: my label is a node id; adopt that node's (already stepped)
+      // label when smaller
+      val jumpTable = stepped
+        .select(col("id").as("label"), col("label").as("jlabel"))
+      val jumped = stepped.join(jumpTable, Seq("label"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("jlabel"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      val changed = jumped
+        .join(labels.select(col("id"), col("label").as("old")), "id")
+        .filter(col("label") =!= col("old")).count()
+      labels = jumped
+      converged = changed == 0L
+      i += 1
+    }
+    labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
   // ---- SimHash ----
 
   /** 32-bit simhash over whitespace tokens (with multiplicity): bit b is

@@ -67,6 +67,24 @@ object AnalyticsQueries {
       .select(col("event_id"), col("bucket"), col("o_orderkey"))
   }
 
+  /** As the compositional as-of join (q30), through the custom Catalyst
+    * operator instead: AsOfJoinPlan logical node → planner strategy →
+    * AsOfJoinExec single-pass merge (graft.plans.NativeAsOfJoin). Shares
+    * q30's oracle — both must hash-match DuckDB's native ASOF JOIN. */
+  def asOfLatestOrderNative(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.AsOfJoin
+    import graft.plans.NativeAsOfJoin
+    val events = Tables.events(spark, dir)
+      .select(col("event_id"), (col("user_id") % 50).as("bucket"), col("ts"))
+    val orders = AsOfJoin.latestPerKeyTime(
+      Tables(spark, dir, "orders")
+        .select((col("o_custkey") % 50).as("bucket"), col("o_orderdate"),
+          col("o_orderkey")),
+      "bucket", "o_orderdate", "o_orderkey")
+    NativeAsOfJoin.latestPrior(events, orders, "bucket", "ts", "o_orderdate")
+      .select(col("event_id"), col("bucket"), col("o_orderkey"))
+  }
+
   /** Range join: every event landing inside the 2-hour attribution window
     * opened by each purchase of the same user. The oracle states the naive
     * inequality join; the Spark side uses the binned equi-join. */
@@ -105,6 +123,21 @@ object AnalyticsQueries {
       types.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
   }
 
+  /** Shared by q30 (compositional) and q38 (custom physical operator):
+    * both must reproduce DuckDB's native ASOF LEFT JOIN. */
+  private val asOfOracle = """
+      WITH ev AS (
+        SELECT event_id, user_id % 50 AS bucket, ts FROM events),
+      ord AS (
+        SELECT * FROM (
+          SELECT o_custkey % 50 AS bucket, o_orderdate, o_orderkey,
+            row_number() OVER (PARTITION BY o_custkey % 50, o_orderdate
+              ORDER BY o_orderkey DESC) AS rn
+          FROM orders) WHERE rn = 1)
+      SELECT ev.event_id, ev.bucket, ord.o_orderkey
+      FROM ev ASOF LEFT JOIN ord
+        ON ev.bucket = ord.bucket AND ord.o_orderdate <= ev.ts"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q34_set_ops", setOps, Some("""
       SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
@@ -125,18 +158,8 @@ object AnalyticsQueries {
         AND w.event_type = 'purchase'
         AND e.ts >= w.ts
         AND e.ts < w.ts + INTERVAL 2 HOUR""")),
-    QueryDef("q30_asof_join", asOfLatestOrder, Some("""
-      WITH ev AS (
-        SELECT event_id, user_id % 50 AS bucket, ts FROM events),
-      ord AS (
-        SELECT * FROM (
-          SELECT o_custkey % 50 AS bucket, o_orderdate, o_orderkey,
-            row_number() OVER (PARTITION BY o_custkey % 50, o_orderdate
-              ORDER BY o_orderkey DESC) AS rn
-          FROM orders) WHERE rn = 1)
-      SELECT ev.event_id, ev.bucket, ord.o_orderkey
-      FROM ev ASOF LEFT JOIN ord
-        ON ev.bucket = ord.bucket AND ord.o_orderdate <= ev.ts""")),
+    QueryDef("q30_asof_join", asOfLatestOrder, Some(asOfOracle)),
+    QueryDef("q38_asof_join_native", asOfLatestOrderNative, Some(asOfOracle)),
     QueryDef("q27_props_json", propsJson, Some("""
       SELECT event_id,
         TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value

@@ -74,19 +74,48 @@ object DedupQueries {
         JOIN sizes sa ON sa.doc_id = i.a
         JOIN sizes sb ON sb.doc_id = i.b)"""
 
-  private val minhashDupsOracle = {
+  /** Shared CTE chain ending in `jac` (verified LSH candidate pairs). */
+  private val lshPairCtes = {
     val bandList = (0 until NH / RPB).map(bandSql).mkString("[", ", ", "]")
-    s"""WITH $sigCte,
+    s"""$sigCte,
       bands AS (
         SELECT doc_id, unnest($bandList) AS band FROM sig
         WHERE mh0 IS NOT NULL),
       cand AS (
         SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
         FROM bands x JOIN bands y ON x.band = y.band AND x.doc_id < y.doc_id),
-      $jaccardVerifySql
+      $jaccardVerifySql"""
+  }
+
+  private val minhashDupsOracle = s"""WITH $lshPairCtes
       SELECT a, b, CAST(floor(jaccard * 1000000) AS BIGINT) AS jaccard_e6
       FROM jac WHERE jaccard >= 0.5"""
+
+  /** Near-dup clusters: connected components over the verified LSH pairs,
+    * labeled by the minimum reachable doc id. The Spark side iterates
+    * min-label propagation to convergence; the oracle states the same
+    * fixpoint declaratively as a recursive transitive closure. */
+  def dupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val (pairs, release) = Dedup.minhashNearDuplicatesWithRelease(
+      Tables(spark, dir, "documents"), "doc_id", "text", K, NH, RPB,
+      threshold = 0.5)
+    val cc = Dedup.connectedComponents(pairs.select(col("a"), col("b")))
+    release()
+    cc
   }
+
+  private val dupClustersOracle = s"""WITH RECURSIVE $lshPairCtes,
+      pairs AS (SELECT a, b FROM jac WHERE jaccard >= 0.5),
+      edges AS (
+        SELECT a AS src, b AS dst FROM pairs
+        UNION ALL
+        SELECT b AS src, a AS dst FROM pairs),
+      reach AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+      SELECT src AS id, LEAST(src, MIN(dst)) AS cluster_id
+      FROM reach GROUP BY src"""
 
   private val ngramJaccardOracle = s"""
       WITH cand AS (
@@ -101,5 +130,6 @@ object DedupQueries {
     QueryDef("q21_minhash_near_dups", minhashDups, Some(minhashDupsOracle)),
     QueryDef("q22_simhash", simhashes,
       Some(Dedup.sqlSimhash("doc_id", "text", "documents"))),
-    QueryDef("q23_ngram_jaccard", ngramJaccard, Some(ngramJaccardOracle)))
+    QueryDef("q23_ngram_jaccard", ngramJaccard, Some(ngramJaccardOracle)),
+    QueryDef("q37_dup_clusters", dupClusters, Some(dupClustersOracle)))
 }

@@ -1,0 +1,73 @@
+package graft.plans
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.operators.AsOfJoin
+import graft.queries.Tables
+
+/** The custom physical as-of join (logical node → strategy → merge exec)
+  * must agree row-for-row with the compositional window formulation, plan
+  * as AsOfJoinExec, and handle unmatched/empty sides. */
+class NativeAsOfJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("matches the compositional as-of join on real data") {
+    val events = Tables.events(spark, sfDir)
+      .select(col("event_id"), (col("user_id") % 50).as("bucket"), col("ts"))
+    val orders = AsOfJoin.latestPerKeyTime(
+      Tables(spark, sfDir, "orders")
+        .select((col("o_custkey") % 50).as("bucket"), col("o_orderdate"),
+          col("o_orderkey")),
+      "bucket", "o_orderdate", "o_orderkey")
+    val native = NativeAsOfJoin
+      .latestPrior(events, orders, "bucket", "ts", "o_orderdate")
+      .select("event_id", "bucket", "o_orderkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.get(2))).toSet
+    val composed = AsOfJoin
+      .latestPrior(events, orders, "bucket", "ts", "o_orderdate")
+      .select("event_id", "bucket", "o_orderkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.get(2))).toSet
+    assert(native.nonEmpty && native == composed)
+  }
+
+  test("plans as AsOfJoinExec with exchanges/sorts inserted by Spark") {
+    val l = Seq((1L, new Timestamp(1000L))).toDF("k", "t")
+    val r = Seq((1L, new Timestamp(500L), "x")).toDF("k", "rt", "v")
+    val df = NativeAsOfJoin.latestPrior(l, r, "k", "t", "rt")
+    val plan = df.queryExecution.executedPlan.toString
+    // SparkPlan.nodeName strips the Exec suffix in plan strings
+    assert(plan.contains("AsOfJoin"))
+    assert(plan.contains("Exchange hashpartitioning"))
+    assert(df.columns.toSeq == Seq("k", "t", "rt", "v")) // right key dropped
+  }
+
+  test("unmatched left rows carry nulls; exact-time ties match inclusively") {
+    val l = Seq((1L, 100L), (1L, 50L), (2L, 10L), (3L, 5L))
+      .toDF("k", "t")
+    val r = Seq((1L, 100L, "at100"), (1L, 60L, "at60"), (2L, 20L, "late"))
+      .toDF("k", "rt", "v")
+    val got = NativeAsOfJoin.latestPrior(l, r, "k", "t", "rt")
+      .select("k", "t", "v")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getString(2))).toSet
+    assert(got == Set(
+      (1L, 100L, "at100"), // inclusive tie takes the t==100 right row
+      (1L, 50L, null), // no right row at or before 50
+      (2L, 10L, null), // right exists for the key but only later
+      (3L, 5L, null))) // key absent on the right entirely
+  }
+
+  test("self-join inputs (shared lineage) do not collide on attribute ids") {
+    val base = Seq((1L, 10L, "a"), (1L, 20L, "b")).toDF("k", "t", "v")
+    val got = NativeAsOfJoin
+      .latestPrior(base.select("k", "t"), base.select("k", "t", "v")
+        .withColumnRenamed("t", "rt"), "k", "t", "rt")
+      .select("k", "t", "v")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getString(2))).toSet
+    assert(got == Set((1L, 10L, "a"), (1L, 20L, "b")))
+  }
+}

@@ -1,0 +1,34 @@
+package graft.dedup
+
+import graft.SparkTestBase
+
+/** Connected components over near-dup pairs: min-reachable-id labeling on
+  * hand-built graphs whose component structure is known. */
+class DedupClusterSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def cc(pairs: (Long, Long)*): Map[Long, Long] =
+    Dedup.connectedComponents(pairs.toSeq.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("chain, triangle, and isolated pair each collapse to min id") {
+    // chain 1-2-3-4, triangle 10-11-12 (with redundant edge), pair 20-21
+    val got = cc((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L))
+    assert(got == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L))
+  }
+
+  test("a long chain (worst case for plain propagation) still converges") {
+    // 0-1-2-...-16: pointer jumping covers it in O(log n) rounds
+    val chain = (0L until 16L).map(i => (i, i + 1))
+    val got = cc(chain: _*)
+    assert(got == (0L to 16L).map(_ -> 0L).toMap)
+  }
+
+  test("edge direction does not matter") {
+    assert(cc((5L, 3L), (3L, 9L)) == Map(3L -> 3L, 5L -> 3L, 9L -> 3L))
+  }
+}
