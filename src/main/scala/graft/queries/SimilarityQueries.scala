@@ -69,6 +69,19 @@ object SimilarityQueries {
       FROM ranked WHERE rank <= $K"""
   }
 
+  /** k-means-trained IVF ANN: centroids Lloyd-refined on the corpus, then
+    * the standard nProbe cell search. No SQL oracle — the trained
+    * centroids are data-dependent driver state, so the driver records the
+    * rows-only check; exactness at full probe and objective improvement
+    * are pinned by SimilaritySpec. */
+  def ivfKmeansTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+      nCells = 16, iters = 2)
+    e6(Similarity.ivfTopKTrained(emb, queriesOf(emb), "vec_id", "embedding",
+      K, cents, nProbe = 8))
+  }
+
   /** Embedding-cosine near-dup pairs within LSH buckets. */
   def embeddingNearDups(spark: SparkSession, dir: String): DataFrame =
     Similarity.embeddingNearDuplicates(Tables(spark, dir, "embeddings"),
@@ -91,5 +104,6 @@ object SimilarityQueries {
     QueryDef("q24_cosine_topk", cosineTopK, Some(cosineTopKOracle)),
     QueryDef("q25_lsh_ann_topk", lshTopK, Some(lshTopKOracle)),
     QueryDef("q26_embedding_near_dups", embeddingNearDups,
-      Some(embeddingNearDupsOracle)))
+      Some(embeddingNearDupsOracle)),
+    QueryDef("q39_ivf_kmeans_topk", ivfKmeansTopK, None))
 }

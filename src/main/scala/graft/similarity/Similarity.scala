@@ -97,40 +97,92 @@ object Similarity {
     topK(scored, k)
   }
 
-  /** IVF-style approximate top-k: the corpus is partitioned into `nCells`
+  /** Deterministic md5-ordered sample of `nCells` corpus vectors as
+    * double centroids — the zero-training IVF seed (and the k-means
+    * initialization). */
+  def sampleCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      nCells: Int): Array[Array[Double]] =
+    corpus.select(col(vecCol))
+      .orderBy(md5(col(idCol).cast("string")))
+      .limit(nCells).collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+
+  /** Spherical k-means (Lloyd) refinement of the sampled centroids:
+    * assign every corpus vector to its max-cosine centroid, recompute each
+    * centroid as the member mean, L2-normalize, repeat. Each iteration is
+    * one narrow assignment pass plus one (cell, dim)-keyed hash-agg
+    * shuffle of scalar components — the corpus is never collected; only
+    * the nCells×dim centroid matrix comes back to the driver. Empty cells
+    * keep their previous centroid. */
+  def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, iters: Int = 3): Array[Array[Double]] = {
+    var cents = sampleCentroids(corpus, idCol, vecCol, nCells)
+      .map(l2Normalize)
+    for (_ <- 0 until iters) {
+      val scores = cellScores(col("_v"), cents)
+      val means = Par.ensure(corpus).select(col(vecCol).as("_v"))
+        .select(col("_v"), scores.as("_scores"))
+        .select(col("_v"), (array_position(col("_scores"),
+          array_max(col("_scores"))) - 1).cast("int").as("_cell"))
+        .select(col("_cell"), posexplode(col("_v")).as(Seq("_pos", "_x")))
+        .groupBy("_cell", "_pos").agg(avg(col("_x")).as("_m"))
+        .collect()
+      val next = cents.map(_.clone())
+      means.groupBy(_.getInt(0)).foreach { case (cell, rows) =>
+        val m = new Array[Double](cents(cell).length)
+        rows.foreach(r => m(r.getInt(1)) = r.getDouble(2))
+        next(cell) = l2Normalize(m)
+      }
+      cents = next
+    }
+    cents
+  }
+
+  private def l2Normalize(v: Array[Double]): Array[Double] = {
+    val n = math.sqrt(v.map(x => x * x).sum)
+    if (n == 0.0) v else v.map(_ / n)
+  }
+
+  /** Cosine of a vector column against every centroid, as an array. */
+  private def cellScores(v: Column, cents: Array[Array[Double]]): Column = {
+    val norms = cents.map(c => math.sqrt(c.map(x => x * x).sum))
+    array(cents.zip(norms).map { case (c, n) =>
+      dot(v, array(c.map(lit): _*)) / (norm(v) * lit(n))
+    }: _*)
+  }
+
+  /** IVF-style approximate top-k: the corpus is partitioned into
     * inverted-file cells by nearest centroid; each query searches only its
     * `nProbe` closest cells.
     *
     * Centroids are a deterministic md5-ordered sample of the corpus (no
-    * iterative training state to manage), broadcast as literals. Cell
-    * assignment is a narrow map over the corpus; the probe join shuffles
-    * on the small (query × probed-cell) side only. Recall trades against
+    * training state); [[ivfTopKTrained]] takes k-means-refined centroids
+    * for better recall at the same probe budget. Cell assignment is a
+    * narrow map over the corpus; the probe join shuffles on the small
+    * (query × probed-cell) side only. Recall trades against
     * nProbe/nCells; the exact path is [[bruteForceTopK]]. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, nCells: Int = 16, nProbe: Int = 8): DataFrame = {
-    // deterministic centroid sample, tiny: collect to driver + inline
-    val cents = corpus.select(col(vecCol))
-      .orderBy(md5(col(idCol).cast("string")))
-      .limit(nCells).collect()
-      .map(_.getSeq[Float](0).toArray)
-    val centNorms = cents.map(c => math.sqrt(c.map(x => x.toDouble * x).sum))
-    val centLits = cents.map(c => array(c.map(f => lit(f.toDouble)): _*))
+      vecCol: String, k: Int, nCells: Int = 16, nProbe: Int = 8): DataFrame =
+    ivfTopKTrained(corpus, queries, idCol, vecCol, k,
+      sampleCentroids(corpus, idCol, vecCol, nCells), nProbe)
 
-    // score row-vector against every centroid; cell = argmax index
-    def cellScores(v: Column): Column =
-      array(centLits.zip(centNorms).map { case (c, n) =>
-        dot(v, c) / (norm(v) * lit(n))
-      }: _*)
-    def cellOf(v: Column): Column =
-      (array_position(cellScores(v), array_max(cellScores(v))) - 1).cast("int")
-
-    val corpusCells = Par.ensure(corpus).select(col(idCol).as("neighbor_id"),
-      col(vecCol).as("_cv"), cellOf(col(vecCol)).as("_cell"))
+  /** IVF probe against a given centroid matrix (sampled or k-means). */
+  def ivfTopKTrained(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, cents: Array[Array[Double]],
+      nProbe: Int): DataFrame = {
+    // score arrays land in their own projection so argmax/max don't
+    // re-evaluate the whole centroid-dot array per lookup
+    val corpusCells = Par.ensure(corpus)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
+        cellScores(col(vecCol), cents).as("_scores"))
+      .select(col("neighbor_id"), col("_cv"),
+        (array_position(col("_scores"), array_max(col("_scores"))) - 1)
+          .cast("int").as("_cell"))
 
     // each query probes its nProbe best cells
     val qScored = queries.select(col(idCol).as("query_id"),
         col(vecCol).as("_qv"),
-        posexplode(cellScores(col(vecCol))).as(Seq("_cell", "_score")))
+        posexplode(cellScores(col(vecCol), cents)).as(Seq("_cell", "_score")))
     val wq = Window.partitionBy("query_id").orderBy(desc("_score"), col("_cell"))
     val qCells = broadcast(qScored
       .withColumn("_r", row_number().over(wq))

@@ -47,6 +47,35 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall > 0.0) // buckets are coarse at 8 planes; exactness is q24/q25's job
   }
 
+  test("k-means refinement improves the centroid objective; full probe stays exact") {
+    val nCells = 16
+    val sampled = Similarity.sampleCentroids(emb, "vec_id", "embedding", nCells)
+    val trained = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+      nCells, iters = 3)
+    assert(trained.length == nCells)
+    // spherical k-means objective: mean max-cosine to the nearest centroid
+    val vecs = emb.select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < math.min(a.length, b.length)) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def objective(cents: Array[Array[Double]]): Double =
+      vecs.map(v => cents.map(c => cos(v, c)).max).sum / vecs.length
+    val objS = objective(sampled)
+    val objT = objective(trained)
+    info(f"objective sampled=$objS%.4f trained=$objT%.4f")
+    assert(objT >= objS - 1e-9)
+    // probing every trained cell is exhaustive ⇒ identical to brute force
+    val got = resultSet(Similarity.ivfTopKTrained(emb, queries, "vec_id",
+      "embedding", 5, trained, nProbe = nCells))
+    assert(got == exact)
+  }
+
   test("widening probes improves or preserves IVF recall") {
     def recallAt(nProbe: Int): Double = {
       val got = resultSet(Similarity.ivfTopK(emb, queries, "vec_id",
