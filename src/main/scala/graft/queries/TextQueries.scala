@@ -69,7 +69,45 @@ object TextQueries {
           .as("flag_repetitive"))
   }
 
+  // PII patterns restricted to syntax Java regex and RE2 evaluate
+  // identically (character classes + bounded repeats; no lookaround,
+  // which RE2 lacks)
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}"
+
+  /** PII scrubbing: count and mask email/phone occurrences. The synthetic
+    * corpus carries no PII, so both sides append a deterministic contact
+    * string per row first — the oracle then verifies real replacements,
+    * not a no-op. Scrubbed text is exported as md5 to keep the dump
+    * small. */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.com or 555-867-530"),
+        (col("doc_id") % 10).cast("string")).as("_t"))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("_t"), lit(EmailRe), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(col("_t"), lit(PhoneRe), lit(0)))
+          .cast("long").as("n_phones"),
+        md5(regexp_replace(regexp_replace(col("_t"), EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>")).as("scrubbed_md5"))
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q40_pii_scrub", piiScrub, Some(s"""
+      WITH aug AS (
+        SELECT doc_id,
+          text || ' contact user' || CAST(doc_id AS VARCHAR)
+            || '@mail.example.com or 555-867-530'
+            || CAST(doc_id % 10 AS VARCHAR) AS t
+        FROM documents)
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(t, '$EmailRe')) AS BIGINT) AS n_emails,
+        CAST(len(regexp_extract_all(t, '$PhoneRe')) AS BIGINT) AS n_phones,
+        md5(regexp_replace(regexp_replace(t, '$EmailRe', '<EMAIL>', 'g'),
+          '$PhoneRe', '<PHONE>', 'g')) AS scrubbed_md5
+      FROM aug""")),
     QueryDef("q32_stratified_sample", stratifiedSample, Some({
       import graft.text.Sampling
       s"""SELECT doc_id, lang FROM documents

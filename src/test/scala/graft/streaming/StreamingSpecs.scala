@@ -63,6 +63,38 @@ class EventStreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("sessionization is identical under the RocksDB state store provider") {
+    // heap state stores cap at executor memory; RocksDB is the 100 TB
+    // path (off-heap, spillable, changelog-checkpointed) — results must
+    // not depend on the provider
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[Event]
+      val q = EventStreams.sessionize(stream.toDS())
+        .writeStream.outputMode("append")
+        .format("memory").queryName("rocks_out").start()
+      try {
+        val (first, second) = batchEvents.sortBy(_.event_id).splitAt(batchEvents.size / 2)
+        stream.addData(first)
+        q.processAllAvailable()
+        stream.addData(second)
+        q.processAllAvailable()
+        val got = spark.table("rocks_out")
+          .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+        val want = EventQueries.sessionize(spark, sfDir)
+          .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+        assert(got == want)
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("state for a user idle past the horizon is expired (numbering restarts)") {
     implicit val sqlCtx = spark.sqlContext
     import java.sql.Timestamp
