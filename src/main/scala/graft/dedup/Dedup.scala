@@ -248,22 +248,23 @@ object Dedup {
       val nbrMin = edges
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id")).agg(min(col("label")).as("nlabel"))
-      val stepped = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .localCheckpoint(true)
+      // carry the round-entry label as `old` so convergence is a cheap
+      // filter over the one checkpointed frame, not an extra join job
+      val stepped = labels.withColumnRenamed("label", "old")
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("old"),
+          least(col("old"), coalesce(col("nlabel"), col("old"))).as("label"))
       // jump: my label is a node id; adopt that node's (already stepped)
-      // label when smaller
+      // label when smaller. stepped feeds both sides but stays shallow —
+      // the recursive variable (labels) is a checkpointed leaf.
       val jumpTable = stepped
         .select(col("id").as("label"), col("label").as("jlabel"))
       val jumped = stepped.join(jumpTable, Seq("label"), "left")
-        .select(col("id"),
+        .select(col("id"), col("old"),
           least(col("label"), coalesce(col("jlabel"), col("label"))).as("label"))
         .localCheckpoint(true)
-      val changed = jumped
-        .join(labels.select(col("id"), col("label").as("old")), "id")
-        .filter(col("label") =!= col("old")).count()
-      labels = jumped
+      val changed = jumped.filter(col("label") =!= col("old")).count()
+      labels = jumped.select(col("id"), col("label"))
       converged = changed == 0L
       i += 1
     }
