@@ -141,13 +141,18 @@ object Dedup {
       rowsPerBand, threshold)._1
 
   /** As [[minhashNearDuplicates]], also returning a release handle that
-    * unpersists the shared shingle relation. The relation feeds the
-    * signature agg AND both verify sides, so it is persisted to shingle+
-    * hash the text exactly once end-to-end. Call release() after the
-    * returned frame has been consumed (count/collect/write); dropping the
-    * handle leaves the cache to LRU eviction /
-    * `spark.catalog.clearCache()`, which accumulates across repeated
-    * invocations in a long-lived session. */
+    * unpersists the shared cached relations:
+    *  - the shingle relation (feeds the signature agg AND the verify
+    *    stage — the text is shingled+hashed exactly once end-to-end);
+    *  - the exploded band relation (self-joined for candidates — without
+    *    the cache the 16-minimum signature aggregation runs once per join
+    *    side);
+    *  - the per-doc shingle-array relation inside the verifier (joined
+    *    once per pair side).
+    * Call release() after the returned frame has been consumed
+    * (count/collect/write); dropping the handle leaves the caches to LRU
+    * eviction / `spark.catalog.clearCache()`, which accumulates across
+    * repeated invocations in a long-lived session. */
   def minhashNearDuplicatesWithRelease(df: DataFrame, idCol: String,
       textCol: String, shingleK: Int = 3, numHashes: Int = 16,
       rowsPerBand: Int = 4,
@@ -158,12 +163,14 @@ object Dedup {
       .filter(col("mh0").isNotNull) // shingle-less docs can't be candidates
     val bands = sig.select(col(idCol).as("id"),
       explode(array((0 until numBands).map(b => col(s"band$b")): _*)).as("band"))
+      .persist() // self-joined below: one signature agg, not one per side
     val cand = bands.as("x").join(bands.as("y"), col("x.band") === col("y.band"))
       .filter(col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"))
       .distinct()
-    (jaccardFrom(ex.filter(col("sh").isNotNull), cand, threshold),
-      () => { ex.unpersist(); () })
+    val (out, releaseSets) =
+      jaccardFrom(ex.filter(col("sh").isNotNull), cand, threshold)
+    (out, () => { ex.unpersist(); bands.unpersist(); releaseSets() })
   }
 
   /** Word-k-gram Jaccard for a given candidate-pair frame (a, b).
@@ -177,7 +184,7 @@ object Dedup {
       textCol: String, shingleK: Int, threshold: Double): DataFrame =
     jaccardFrom(
       hashedShingleSet(df, idCol, textCol, shingleK).filter(col("sh").isNotNull),
-      cand, threshold)
+      cand, threshold)._1
 
   /** Jaccard over a pre-built (id, hashed-shingle) relation.
     *
@@ -191,12 +198,15 @@ object Dedup {
     * intersection are dropped (matching the inner-join formulation and the
     * oracle), so `threshold = 0` still excludes disjoint pairs. */
   private def jaccardFrom(ex: DataFrame, cand: DataFrame,
-      threshold: Double): DataFrame = {
+      threshold: Double): (DataFrame, () => Unit) = {
     // ex is distinct per (id, sh) — hashedShingleSet array_distincts before
-    // exploding — so collect_list preserves set semantics
+    // exploding — so collect_list preserves set semantics. Persisted: the
+    // relation joins once per pair side, and the cache keeps the wide
+    // groupBy from running twice (1 small row per doc).
     val sets = ex.groupBy("id").agg(collect_list("sh").as("shs"))
       .select(col("id"), col("shs"), size(col("shs")).as("n"))
-    cand
+      .persist()
+    val out = cand
       .join(sets.as("sa"), col("a") === col("sa.id"))
       .join(sets.as("sb"), col("b") === col("sb.id"))
       .select(col("a"), col("b"),
@@ -207,6 +217,7 @@ object Dedup {
         (col("inter").cast("double") /
           (col("ntot") - col("inter")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+    (out, () => { sets.unpersist(); () })
   }
 
   // ---- duplicate clustering ----

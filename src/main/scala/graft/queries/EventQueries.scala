@@ -60,7 +60,24 @@ object EventQueries {
       .toDF("user_id", "rank", "event_id", "value")
   }
 
+  /** Collect-to-list aggregation: the distinct event types each user
+    * triggered, as one sorted comma-joined string. collect_set is
+    * partition-order-nondeterministic, so the sort inside the aggregate
+    * boundary is what makes the result (and the oracle compare)
+    * well-defined. */
+  def userEventTypes(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(array_join(array_sort(collect_set(col("event_type"))), ",")
+        .as("event_types"),
+        countDistinct(col("event_type")).as("n_types"))
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q41_user_event_types", userEventTypes, Some("""
+      SELECT user_id,
+        string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS event_types,
+        COUNT(DISTINCT event_type) AS n_types
+      FROM events GROUP BY user_id""")),
     QueryDef("q36_topk_per_user", topEventsPerUser, Some("""
       SELECT user_id, CAST(rn AS BIGINT) AS rank, event_id, value FROM (
         SELECT user_id, event_id, value,
