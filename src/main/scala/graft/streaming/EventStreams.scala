@@ -45,6 +45,19 @@ object EventStreams {
       .select(col("window.start").as("hour"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Streaming exact dedup on event_id with bounded state: duplicates are
+    * dropped across micro-batches, and the per-key dedup state is evicted
+    * once the watermark passes the event's time — without the watermark
+    * column in the key, dropDuplicates state grows O(all ids ever seen).
+    * (`dropDuplicatesWithinWatermark` relaxes this to per-window exactness;
+    * the strict form here matches the batch `dropDuplicates("event_id")`
+    * for in-watermark data.) */
+  def dedupEvents(events: Dataset[Event],
+      watermarkDelay: String = "1 hour"): Dataset[Event] =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Stateful gap-based sessionization: one state record per user; a new
     * session starts after >30 min idle. Within a micro-batch, events are
     * processed in (ts, event_id) order so assignment matches the batch

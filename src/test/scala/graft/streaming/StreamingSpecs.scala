@@ -63,6 +63,29 @@ class EventStreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming dedup drops cross-batch duplicates within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import java.sql.Timestamp
+    def ev(id: Long, tMs: Long, v: Double) =
+      Event(id, new Timestamp(tMs), 1L, "view", v)
+    val stream = MemoryStream[Event]
+    val q = EventStreams.dedupEvents(stream.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      val t0 = 1700000000000L
+      stream.addData(ev(1, t0, 1.0), ev(2, t0 + 1000, 2.0),
+        ev(1, t0, 1.0)) // in-batch duplicate
+      q.processAllAvailable()
+      stream.addData(ev(2, t0 + 1000, 2.0), // cross-batch duplicate
+        ev(3, t0 + 2000, 3.0))
+      q.processAllAvailable()
+      val got = spark.table("dedup_out")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("sessionization is identical under the RocksDB state store provider") {
     // heap state stores cap at executor memory; RocksDB is the 100 TB
     // path (off-heap, spillable, changelog-checkpointed) — results must
