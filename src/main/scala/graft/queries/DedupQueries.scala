@@ -38,6 +38,47 @@ object DedupQueries {
       .select(col("a"), col("b"), floor(col("jaccard") * 1000000).as("jaccard_e6"))
   }
 
+  /** Benchmark decontamination: per-document shingle containment against
+    * the held-out set (doc_id < 20, the same fixed set the similarity
+    * queries use). The benchmark's distinct shingle hashes are a small
+    * broadcast relation; candidates left-join it and aggregate hit counts
+    * per doc — one shuffle on doc_id, the corpus is scanned once. */
+  def contamination(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val benchSh = Dedup.hashedShingleSet(
+        docs.filter(col("doc_id") < 20), "doc_id", "text", K)
+      .filter(col("sh").isNotNull).select(col("sh")).distinct()
+    val cand = Dedup.hashedShingleSet(
+        docs.filter(col("doc_id") >= 20), "doc_id", "text", K)
+      .filter(col("sh").isNotNull)
+    cand
+      .join(broadcast(benchSh.withColumn("hit", lit(1L))), Seq("sh"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_contaminated"))
+      .select(col("id").as("doc_id"), col("n_shingles"), col("n_contaminated"),
+        floor(col("n_contaminated").cast("double") /
+          col("n_shingles").cast("double") * 1000000).as("containment_e6"))
+  }
+
+  private val contaminationOracle = s"""
+      WITH exwh AS (
+        SELECT doc_id,
+          list_transform(${sqlTokens("text")}, w -> ${sqlWordHash("w")}) AS wh
+        FROM documents),
+      ex AS (
+        SELECT doc_id, unnest(list_distinct(${Dedup.sqlShingleHashes("wh", K)})) AS sh
+        FROM exwh WHERE len(wh) >= $K),
+      bench AS (SELECT DISTINCT sh FROM ex WHERE doc_id < 20),
+      cand AS (SELECT doc_id, sh FROM ex WHERE doc_id >= 20)
+      SELECT c.doc_id, COUNT(*) AS n_shingles,
+        CAST(SUM(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_contaminated,
+        CAST(floor(SUM(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+          / COUNT(*)::DOUBLE * 1000000) AS BIGINT) AS containment_e6
+      FROM cand c LEFT JOIN bench b ON c.sh = b.sh
+      GROUP BY c.doc_id"""
+
   private def bandSql(bnd: Int): String = {
     val parts = (bnd * RPB until (bnd + 1) * RPB).map(i => s"mh$i").mkString(", ")
     s"md5(concat_ws('-', $parts))"
@@ -131,5 +172,6 @@ object DedupQueries {
     QueryDef("q22_simhash", simhashes,
       Some(Dedup.sqlSimhash("doc_id", "text", "documents"))),
     QueryDef("q23_ngram_jaccard", ngramJaccard, Some(ngramJaccardOracle)),
-    QueryDef("q37_dup_clusters", dupClusters, Some(dupClustersOracle)))
+    QueryDef("q37_dup_clusters", dupClusters, Some(dupClustersOracle)),
+    QueryDef("q43_contamination", contamination, Some(contaminationOracle)))
 }

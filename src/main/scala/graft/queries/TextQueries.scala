@@ -69,6 +69,27 @@ object TextQueries {
           .as("flag_repetitive"))
   }
 
+  /** Sequence packing for training batches: greedy sequential packing of
+    * documents into fixed token budgets, sharded so the running sum is a
+    * per-shard window (one shuffle on the shard key; a global ordering
+    * would serialize on a single partition). A doc's pack is determined by
+    * the tokens accumulated before it within its shard — deterministic and
+    * replayable on any cluster layout. */
+  def tokenPacking(spark: SparkSession, dir: String, shards: Int = 8,
+      budget: Int = 2048): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val prefix = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), pmod(col("doc_id"), lit(shards)).as("shard"),
+        wsTokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("prefix_tokens",
+        coalesce(sum(col("n_tokens")).over(prefix), lit(0L)))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        floor(col("prefix_tokens") / lit(budget.toDouble)).cast("long")
+          .as("pack_id"))
+  }
+
   // PII patterns restricted to syntax Java regex and RE2 evaluate
   // identically (character classes + bounded repeats; no lookaround,
   // which RE2 lacks)
@@ -95,6 +116,17 @@ object TextQueries {
           PhoneRe, "<PHONE>")).as("scrubbed_md5"))
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q42_token_packing", tokenPacking(_, _), Some(s"""
+      WITH toks AS (
+        SELECT doc_id, doc_id % 8 AS shard,
+          CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(${sqlTokens("text")}) END AS BIGINT) AS n_tokens
+        FROM documents)
+      SELECT doc_id, shard, n_tokens,
+        CAST(floor(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard
+          ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+          0) / 2048.0) AS BIGINT) AS pack_id
+      FROM toks""")),
     QueryDef("q40_pii_scrub", piiScrub, Some(s"""
       WITH aug AS (
         SELECT doc_id,
