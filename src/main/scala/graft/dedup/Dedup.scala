@@ -303,6 +303,56 @@ object Dedup {
           .reduce(_ + _).as("simhash"))
   }
 
+  /** SimHash near-duplicate pairs (a < b) within `maxHamming` bit flips.
+    *
+    * Candidate generation is the Manku/Jain/Sarma pigeonhole scheme
+    * (WWW'07): the `bits`-bit fingerprint splits into maxHamming+1 bands,
+    * and any pair within the distance budget must agree on at least one
+    * intact band — so the band equi-join has EXACT recall, not
+    * probabilistic. One shuffle on (band position, band value); only
+    * intra-bucket pairs pay the bit_count verify, which is codegen'd
+    * integer xor/popcount. */
+  def simhashNearDuplicates(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, bits: Int = 32): (DataFrame, () => Unit) = {
+    val numBands = maxHamming + 1
+    val bandBits = bits / numBands
+    val mask = (1L << bandBits) - 1
+    // the simhash agg feeds both self-join sides: cache it once
+    val bands = simhash(df, idCol, textCol, bits)
+      .select(col(idCol).as("id"), col("simhash"),
+        posexplode(array((0 until numBands).map(i =>
+          shiftright(col("simhash"), i * bandBits).bitwiseAND(mask)): _*))
+          .as(Seq("pos", "band")))
+      .persist()
+    val out = bands.as("x").join(bands.as("y"),
+        col("x.pos") === col("y.pos") && col("x.band") === col("y.band") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash")))
+          .cast(LongType).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+    (out, () => { bands.unpersist(); () })
+  }
+
+  def sqlSimhashNearDuplicates(idCol: String, textExpr: String,
+      table: String, maxHamming: Int = 3, bits: Int = 32): String = {
+    val numBands = maxHamming + 1
+    val bandBits = bits / numBands
+    val mask = (1L << bandBits) - 1
+    val positions = (0 until numBands).mkString("[", ", ", "]")
+    s"""WITH sim AS (${sqlSimhash(idCol, textExpr, table, bits)}),
+      withpos AS (SELECT $idCol AS id, simhash, unnest($positions) AS pos FROM sim),
+      bands AS (
+        SELECT id, simhash, pos, (simhash >> (pos * $bandBits)) & $mask AS band
+        FROM withpos)
+      SELECT DISTINCT x.id AS a, y.id AS b,
+        CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+      FROM bands x JOIN bands y
+        ON x.pos = y.pos AND x.band = y.band AND x.id < y.id
+      WHERE bit_count(xor(x.simhash, y.simhash)) <= $maxHamming"""
+  }
+
   def sqlSimhash(idCol: String, textExpr: String, table: String,
       bits: Int = 32): String = {
     val h = s"(('0x' || substr(md5(tok),1,8))::BIGINT)"

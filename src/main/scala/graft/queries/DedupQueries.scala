@@ -28,6 +28,12 @@ object DedupQueries {
   def simhashes(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhash(Tables(spark, dir, "documents"), "doc_id", "text")
 
+  def simhashDups(spark: SparkSession, dir: String): DataFrame =
+    // handle dropped: the query contract returns a lazy frame, so the
+    // band cache is left to LRU / clearCache (same trade as q21)
+    Dedup.simhashNearDuplicates(Tables(spark, dir, "documents"),
+      "doc_id", "text")._1
+
   /** Exact 3-gram Jaccard over a deterministic candidate set (consecutive
     * doc ids) — exercises the verifier independently of LSH recall. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
@@ -173,5 +179,7 @@ object DedupQueries {
       Some(Dedup.sqlSimhash("doc_id", "text", "documents"))),
     QueryDef("q23_ngram_jaccard", ngramJaccard, Some(ngramJaccardOracle)),
     QueryDef("q37_dup_clusters", dupClusters, Some(dupClustersOracle)),
-    QueryDef("q43_contamination", contamination, Some(contaminationOracle)))
+    QueryDef("q43_contamination", contamination, Some(contaminationOracle)),
+    QueryDef("q44_simhash_near_dups", simhashDups,
+      Some(Dedup.sqlSimhashNearDuplicates("doc_id", "text", "documents"))))
 }
