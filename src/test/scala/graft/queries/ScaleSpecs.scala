@@ -64,6 +64,36 @@ class ScaleSpecs extends SparkTestBase {
     assert(math.abs(row.getLong(2) - exact) / exact < 0.03)
   }
 
+  test("contamination check broadcasts the benchmark side, never the corpus") {
+    val df = DedupQueries.contamination(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the corpus reaches the join without being shuffled on the join key:
+    // the benchmark side (after its own tiny distinct) is broadcast, so
+    // no sort-merge join materializes over the corpus
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("token packing shuffles on the shard key, not a global ordering") {
+    val df = TextQueries.tokenPacking(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // per-shard window: hash partitioning on shard, no single-partition
+    // global sort (Exchange SinglePartition feeding a Window)
+    assert(plan.contains("Exchange hashpartitioning(shard"), plan)
+    assert(!plan.contains("Exchange SinglePartition"), plan)
+  }
+
+  test("scans prune columns: token counting reads only doc_id and text") {
+    val df = TextQueries.tokenCounts(spark, dir)
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("ReadSchema"), scan)
+    // the documents table carries more columns (lang, ...); the scan
+    // schema must not include them
+    assert(!scan.contains("lang"), scan)
+  }
+
   test("partition pruning: date-filtered gold read scans a single partition") {
     // build a tiny two-date partitioned table and check the scan prunes
     import spark.implicits._
