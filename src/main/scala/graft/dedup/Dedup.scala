@@ -243,13 +243,22 @@ object Dedup {
     * with an eager localCheckpoint — without it the logical plan grows
     * 2^rounds nodes. localCheckpoint trades fault tolerance for speed
     * (executor loss loses blocks); a production run on a real cluster
-    * would use reliable `checkpoint()` against the cluster FS instead. */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    * would use reliable `checkpoint()` against the cluster FS instead.
+    *
+    * Adaptive small-graph path: the pair graph of a near-dup stage is
+    * tiny relative to the corpus (|pairs| ≪ |docs| by construction), so
+    * when it fits comfortably on the driver (≤ `driverMaxEdges`, counted
+    * from the already-materialized edge relation) the components are
+    * solved with union-find in O(E·α) instead of scheduling distributed
+    * rounds — identical min-id labels either way (spec-pinned). */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 50,
+      driverMaxEdges: Long = 1000000L): DataFrame = {
     val half = pairs
       .select(col("a").cast(LongType).as("src"), col("b").cast(LongType).as("dst"))
     val edges = half
       .union(half.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint(true)
+    if (edges.count() <= driverMaxEdges) return driverUnionFind(edges)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(true)
@@ -280,6 +289,31 @@ object Dedup {
       i += 1
     }
     labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
+  /** Union-find with path compression where roots stay component minima
+    * (union attaches the larger root under the smaller), so find(id) IS
+    * the min-id cluster label. */
+  private def driverUnionFind(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var root = x
+      while (parent.getOrElse(root, root) != root) root = parent(root)
+      var cur = x
+      while (cur != root) { val next = parent(cur); parent(cur) = root; cur = next }
+      root
+    }
+    val nodes = scala.collection.mutable.SortedSet.empty[Long]
+    edges.select(col("src"), col("dst")).collect().foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      nodes += a; nodes += b
+      val (ra, rb) = (find(a), find(b))
+      if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+    }
+    nodes.toSeq.map(id => (id, find(id)))
+      .toDF("id", "cluster_id")
   }
 
   // ---- SimHash ----

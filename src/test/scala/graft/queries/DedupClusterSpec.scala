@@ -31,4 +31,14 @@ class DedupClusterSpec extends SparkTestBase {
   test("edge direction does not matter") {
     assert(cc((5L, 3L), (3L, 9L)) == Map(3L -> 3L, 5L -> 3L, 9L -> 3L))
   }
+
+  test("driver union-find and distributed propagation agree") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L), (7L, 30L), (30L, 8L)).toDF("a", "b")
+    def run(threshold: Long) =
+      Dedup.connectedComponents(pairs, driverMaxEdges = threshold)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // threshold 0 forces the distributed label-propagation path
+    assert(run(0L) == run(Long.MaxValue))
+  }
 }
