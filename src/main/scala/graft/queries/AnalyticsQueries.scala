@@ -34,6 +34,27 @@ object AnalyticsQueries {
         count(lit(1)).as("n_orders"))
   }
 
+  /** Cube aggregation: revenue across every combination of order status ×
+    * priority, including the per-dimension and grand-total slices. */
+  def statusPriorityCube(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(sumMoney(col("o_totalprice")).as("revenue"),
+        count(lit(1)).as("n_orders"))
+
+  /** Exact interpolated percentiles of order value per status. Both
+    * engines apply the standard `lower + frac·(upper−lower)` formula to
+    * identical 2-dp doubles, so the results agree bitwise. */
+  def orderValueQuantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        percentile(col("o_totalprice"), lit(0.25)).as("p25"),
+        percentile(col("o_totalprice"), lit(0.5)).as("p50"),
+        percentile(col("o_totalprice"), lit(0.75)).as("p75"),
+        percentile(col("o_totalprice"), lit(0.9)).as("p90"),
+        count(lit(1)).as("n_orders"))
+
   /** Window-function family over orders per customer: rank, lag/lead, and
     * a running total — deterministic tiebreaks on the key. */
   def customerWindows(spark: SparkSession, dir: String): DataFrame = {
@@ -172,6 +193,20 @@ object AnalyticsQueries {
       JOIN nation ON c_nationkey = n_nationkey
       JOIN region ON n_regionkey = r_regionkey
       GROUP BY ROLLUP(r_name, n_name)""")),
+    QueryDef("q45_status_priority_cube", statusPriorityCube, Some(s"""
+      SELECT o_orderstatus, o_orderpriority,
+        ${sqlSumMoney("o_totalprice")} AS revenue,
+        COUNT(*) AS n_orders
+      FROM orders
+      GROUP BY CUBE(o_orderstatus, o_orderpriority)""")),
+    QueryDef("q46_order_value_quantiles", orderValueQuantiles, Some("""
+      SELECT o_orderstatus,
+        quantile_cont(o_totalprice, 0.25) AS p25,
+        quantile_cont(o_totalprice, 0.5) AS p50,
+        quantile_cont(o_totalprice, 0.75) AS p75,
+        quantile_cont(o_totalprice, 0.9) AS p90,
+        COUNT(*) AS n_orders
+      FROM orders GROUP BY o_orderstatus""")),
     QueryDef("q29_customer_windows", customerWindows, Some("""
       SELECT o_orderkey, o_custkey,
         CAST(rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS price_rank,
