@@ -133,6 +133,34 @@ object AnalyticsQueries {
     buyersOf("O").intersect(buyersOf("F")).except(buyersOf("P"))
   }
 
+  /** Anti join: customers with no PENDING order (the generator gives
+    * every customer some order, so the unfiltered form is vacuous). Plans
+    * as a hash anti join — no row materialization of the non-matching
+    * side, unlike the EXCEPT formulation. */
+  def customersWithoutOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "customer")
+      .join(Tables(spark, dir, "orders")
+          .filter(col("o_orderstatus") === "P"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+
+  /** Semi join: customers with at least one finished order — EXISTS
+    * semantics, each left row emitted at most once regardless of match
+    * multiplicity. */
+  def customersWithFinishedOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "customer")
+      .join(Tables(spark, dir, "orders")
+          .filter(col("o_orderstatus") === "F"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_nationkey"))
+
+  /** Fixed-width histogram of event values: explicit floor binning (both
+    * engines compute the identical bin on identical doubles). */
+  def valueHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(floor(col("value") / 10.0).cast("long").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n_events"))
+
   /** Pivot: per-user event counts spread across the event-type columns. */
   def eventPivot(spark: SparkSession, dir: String): DataFrame = {
     val types = Seq("click", "view", "purchase", "signup", "error")
@@ -193,6 +221,19 @@ object AnalyticsQueries {
       JOIN nation ON c_nationkey = n_nationkey
       JOIN region ON n_regionkey = r_regionkey
       GROUP BY ROLLUP(r_name, n_name)""")),
+    QueryDef("q47_customers_without_pending_orders", customersWithoutOrders,
+      Some("""
+      SELECT c_custkey, c_name FROM customer c
+      WHERE NOT EXISTS (SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')""")),
+    QueryDef("q48_customers_with_finished_orders", customersWithFinishedOrders,
+      Some("""
+      SELECT c_custkey, c_nationkey FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')""")),
+    QueryDef("q49_value_histogram", valueHistogram, Some("""
+      SELECT CAST(floor(value / 10.0) AS BIGINT) AS bin, COUNT(*) AS n_events
+      FROM events GROUP BY 1""")),
     QueryDef("q45_status_priority_cube", statusPriorityCube, Some(s"""
       SELECT o_orderstatus, o_orderpriority,
         ${sqlSumMoney("o_totalprice")} AS revenue,
