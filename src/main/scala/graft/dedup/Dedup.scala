@@ -20,13 +20,19 @@ object Dedup {
   // ---- shingling ----
 
   /** k-word shingles joined with single spaces (empty array when the
-    * document has fewer than k words). */
-  def shingles(text: Column, k: Int): Column = {
-    val t = tokens(text)
+    * document has fewer than k words). Prefer [[shinglesOf]] over an
+    * already-materialized token ATTRIBUTE: passing raw text here inlines
+    * `tokens(text)` into the per-position lambda, re-evaluating the whole
+    * split once per shingle (O(n²)). */
+  def shingles(text: Column, k: Int): Column = shinglesOf(tokens(text), k)
+
+  /** As [[shingles]] over a token-array column; pass an attribute (a
+    * column materialized by its own projection), not an inline
+    * expression. */
+  def shinglesOf(t: Column, k: Int): Column =
     when(size(t) < k, array().cast("array<string>")).otherwise(
       transform(sequence(lit(0), size(t) - k),
         i => concat_ws(" ", slice(t, i + 1, lit(k)))))
-  }
 
   def sqlShingles(expr: String, k: Int): String = {
     val words = sqlTokens(expr)

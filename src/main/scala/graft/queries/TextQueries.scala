@@ -90,6 +90,20 @@ object TextQueries {
           .as("pack_id"))
   }
 
+  /** Corpus-wide top-k word bigrams: explode 2-shingles, hash-aggregate,
+    * take the global top 50 (compiles to TakeOrderedAndProject over the
+    * partial-agg output, not a full sort). Deterministic tiebreak on the
+    * bigram text (pure-ASCII corpus ⇒ binary collation agrees across
+    * engines). */
+  def topBigrams(spark: SparkSession, dir: String): DataFrame =
+    graft.util.Par.ensure(Tables(spark, dir, "documents"))
+      // tokens land in their own projection: inlining them into the
+      // shingle lambda re-evaluates the split per position (O(n²))
+      .select(tokens(col("text")).as("_toks"))
+      .select(explode(graft.dedup.Dedup.shinglesOf(col("_toks"), 2)).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("bigram")).limit(50)
+
   // PII patterns restricted to syntax Java regex and RE2 evaluate
   // identically (character classes + bounded repeats; no lookaround,
   // which RE2 lacks)
@@ -116,6 +130,11 @@ object TextQueries {
           PhoneRe, "<PHONE>")).as("scrubbed_md5"))
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q50_top_bigrams", topBigrams, Some(s"""
+      SELECT bigram, COUNT(*) AS n FROM (
+        SELECT unnest(${graft.dedup.Dedup.sqlShingles("text", 2)}) AS bigram
+        FROM documents)
+      GROUP BY bigram ORDER BY n DESC, bigram LIMIT 50""")),
     QueryDef("q42_token_packing", tokenPacking(_, _), Some(s"""
       WITH toks AS (
         SELECT doc_id, doc_id % 8 AS shard,
