@@ -45,6 +45,30 @@ object EventStreams {
       .select(col("window.start").as("hour"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Watermarked stream-stream interval join: every event is attributed
+    * to the purchase windows of the same user it falls into
+    * ([purchase_ts, purchase_ts + 2h), the batch twin is the q31 range
+    * join). The event-time range condition plus watermarks on BOTH inputs
+    * let Spark derive a state watermark per side, so buffered rows are
+    * evicted as time advances — state is bounded by (watermark delay +
+    * window length) × arrival rate, not by stream length. */
+  def attributeToPurchases(events: Dataset[Event],
+      purchases: Dataset[Event],
+      watermarkDelay: String = "1 hour"): DataFrame = {
+    val e = events.toDF()
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .withWatermark("ts", watermarkDelay)
+    val p = purchases.toDF()
+      .select(col("event_id").as("window_id"), col("user_id").as("p_user"),
+        col("ts").as("w_start"))
+      .withWatermark("w_start", watermarkDelay)
+    e.join(p,
+        col("user_id") === col("p_user") &&
+          col("ts") >= col("w_start") &&
+          col("ts") < col("w_start") + expr("INTERVAL 2 HOURS"))
+      .select(col("event_id"), col("user_id"), col("window_id"))
+  }
+
   /** Streaming exact dedup on event_id with bounded state: duplicates are
     * dropped across micro-batches, and the per-key dedup state is evicted
     * once the watermark passes the event's time — without the watermark

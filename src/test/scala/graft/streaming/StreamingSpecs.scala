@@ -63,6 +63,32 @@ class EventStreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches the batch range join") {
+    implicit val sqlCtx = spark.sqlContext
+    val evStream = MemoryStream[Event]
+    val puStream = MemoryStream[Event]
+    val q = EventStreams.attributeToPurchases(evStream.toDS(), puStream.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("attr_out").start()
+    try {
+      // split mid-stream on both sides: join state must carry across
+      val ordered = batchEvents.sortBy(_.event_id)
+      val purchases = ordered.filter(_.event_type == "purchase")
+      val (e1, e2) = ordered.splitAt(ordered.size / 2)
+      val (p1, p2) = purchases.splitAt(purchases.size / 2)
+      evStream.addData(e1); puStream.addData(p1)
+      q.processAllAvailable()
+      evStream.addData(e2); puStream.addData(p2)
+      q.processAllAvailable()
+      val got = spark.table("attr_out")
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      val want = graft.queries.AnalyticsQueries
+        .rangeJoinEventOrders(spark, sfDir)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      assert(got.nonEmpty && got == want)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops cross-batch duplicates within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     import java.sql.Timestamp
