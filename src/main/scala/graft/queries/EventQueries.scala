@@ -60,6 +60,24 @@ object EventQueries {
       .toDF("user_id", "rank", "event_id", "value")
   }
 
+  /** Session-level aggregates via Spark's native session_window operator
+    * (merging-session state under the hood; the streaming form shares the
+    * implementation). The oracle states the same semantics as a
+    * gaps-and-islands window query: a session spans first-event ts to
+    * last-event ts + gap. */
+  def sessionStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        // float-derived `value` sums through DECIMAL like q18 — rounding
+        // it to cents would hit the engines' decimal-vs-binary rounding
+        // divergence on boundary doubles
+        sum(col("value").cast(DecimalType18_6)).cast("double").as("sum_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("sum_value"))
+
   /** Collect-to-list aggregation: the distinct event types each user
     * triggered, as one sorted comma-joined string. collect_set is
     * partition-order-nondeterministic, so the sort inside the aggregate
@@ -73,6 +91,25 @@ object EventQueries {
         countDistinct(col("event_type")).as("n_types"))
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q51_session_stats", sessionStats, Some("""
+      WITH flagged AS (
+        SELECT user_id, ts, value,
+          CASE WHEN lag(epoch_us(ts), 1) OVER w IS NULL
+            OR epoch_us(ts) - lag(epoch_us(ts), 1) OVER w > 1800000000
+            THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      islands AS (
+        SELECT user_id, ts, value,
+          SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        FROM flagged)
+      SELECT user_id,
+        MIN(ts) AS session_start,
+        MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+        COUNT(*) AS n_events,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM islands GROUP BY user_id, island""")),
     QueryDef("q41_user_event_types", userEventTypes, Some("""
       SELECT user_id,
         string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS event_types,
