@@ -52,6 +52,21 @@ class ScaleSpecs extends SparkTestBase {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
   }
 
+  test("HLL sketches built per group merge to the union estimate") {
+    // the 100 TB distinct-count pattern: build sketches once per
+    // shard/partition, merge the fixed-size binaries, estimate — no
+    // re-scan of raw data for the rollup
+    val li = Tables(spark, dir, "lineitem")
+    val perFlag = li.groupBy("l_returnflag")
+      .agg(hll_sketch_agg(col("l_orderkey")).as("sk"))
+    val merged = perFlag
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .collect()(0).getLong(0)
+    val exact = li.agg(countDistinct(col("l_orderkey"))).collect()(0).getLong(0)
+    assert(math.abs(merged - exact).toDouble / exact < 0.05,
+      s"merged=$merged exact=$exact")
+  }
+
   test("approx_count_distinct tracks exact distinct within HLL tolerance") {
     val li = Tables(spark, dir, "lineitem")
     val row = li.agg(
