@@ -25,11 +25,14 @@ object Bench {
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(_._1.startsWith("p9")).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() }
-        catch { case _: Throwable => failed += name }
-        (System.nanoTime() - t0) / 1e9
+      val times = (1 to 2).flatMap { _ =>
+        if (failed.contains(name)) None // don't pay a failing query twice
+        else {
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() }
+          catch { case _: Throwable => failed += name }
+          Some((System.nanoTime() - t0) / 1e9)
+        }
       }
       // A query that threw reports -1, never a misleading wall time.
       name -> (if (failed.contains(name)) -1.0 else times.min)

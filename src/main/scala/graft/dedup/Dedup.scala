@@ -188,9 +188,19 @@ object Dedup {
     * parity is exact. */
   def verifiedJaccard(df: DataFrame, cand: DataFrame, idCol: String,
       textCol: String, shingleK: Int, threshold: Double): DataFrame =
+    // handle dropped: the cached per-doc shingle-set relation is left to
+    // LRU / clearCache — long-lived sessions invoking repeatedly should
+    // use the WithRelease variant
+    verifiedJaccardWithRelease(df, cand, idCol, textCol, shingleK, threshold)._1
+
+  /** As [[verifiedJaccard]] with a release handle for the cached per-doc
+    * shingle-set relation; call release() once the frame is consumed. */
+  def verifiedJaccardWithRelease(df: DataFrame, cand: DataFrame,
+      idCol: String, textCol: String, shingleK: Int,
+      threshold: Double): (DataFrame, () => Unit) =
     jaccardFrom(
       hashedShingleSet(df, idCol, textCol, shingleK).filter(col("sh").isNotNull),
-      cand, threshold)._1
+      cand, threshold)
 
   /** Jaccard over a pre-built (id, hashed-shingle) relation.
     *

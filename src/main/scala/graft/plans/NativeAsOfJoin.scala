@@ -37,6 +37,13 @@ object NativeAsOfJoin {
     * of `left`, then `right`'s columns minus the key. */
   def latestPrior(left: DataFrame, right: DataFrame, key: String,
       leftTime: String, rightTime: String): DataFrame = {
+    // Self-healing registration: sessions built via GraftSession get the
+    // strategy through spark.sql.extensions; any other session would
+    // otherwise die at action time deep in the planner with no hint.
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
     val lPlan = GraftSqlBridge.analyzed(left)
     // Re-alias the right side with fresh exprIds so self-joins (left and
     // right derived from the same source) never carry conflicting
@@ -131,7 +138,12 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       val rKeyProj = UnsafeProjection.create(Seq[org.apache.spark.sql.catalyst.expressions.Expression](rKey), rOut)
       val rTimeProj = UnsafeProjection.create(Seq[org.apache.spark.sql.catalyst.expressions.Expression](rTime), rOut)
       val rValProj = UnsafeProjection.create(rVals, rOut)
-      val resultProj = UnsafeProjection.create(outAttrs, lOut ++ rVals)
+      // the right-value inputs MUST be bound nullable: unmatched left rows
+      // substitute an all-null row, and binding against the children's
+      // original nullable=false attributes would skip the generated null
+      // checks (null unboxes to 0 for primitives)
+      val resultProj = UnsafeProjection.create(outAttrs,
+        lOut ++ rVals.map(_.withNullability(true)))
       val joined = new JoinedRow
       val nullRight = new GenericInternalRow(rVals.size)
       // rHead stays valid until the next rIter.next(); carried match state

@@ -93,7 +93,7 @@ object EventQueries {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q51_session_stats", sessionStats, Some("""
       WITH flagged AS (
-        SELECT user_id, ts, value,
+        SELECT user_id, ts, event_id, value,
           CASE WHEN lag(epoch_us(ts), 1) OVER w IS NULL
             OR epoch_us(ts) - lag(epoch_us(ts), 1) OVER w > 1800000000
             THEN 1 ELSE 0 END AS is_new
@@ -101,7 +101,7 @@ object EventQueries {
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       islands AS (
         SELECT user_id, ts, value,
-          SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+          SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
         FROM flagged)
       SELECT user_id,

@@ -75,8 +75,13 @@ object TextQueries {
     * would serialize on a single partition). A doc's pack is determined by
     * the tokens accumulated before it within its shard — deterministic and
     * replayable on any cluster layout. */
-  def tokenPacking(spark: SparkSession, dir: String, shards: Int = 8,
-      budget: Int = 2048): DataFrame = {
+  // q42 parameters, interpolated into BOTH the Spark plan and the oracle
+  // so they cannot drift apart
+  private val PackShards = 8
+  private val PackBudget = 2048
+
+  def tokenPacking(spark: SparkSession, dir: String, shards: Int = PackShards,
+      budget: Int = PackBudget): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val prefix = Window.partitionBy("shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -137,14 +142,14 @@ object TextQueries {
       GROUP BY bigram ORDER BY n DESC, bigram LIMIT 50""")),
     QueryDef("q42_token_packing", tokenPacking(_, _), Some(s"""
       WITH toks AS (
-        SELECT doc_id, doc_id % 8 AS shard,
+        SELECT doc_id, doc_id % $PackShards AS shard,
           CAST(CASE WHEN length(trim(text)) = 0 THEN 0
             ELSE len(${sqlTokens("text")}) END AS BIGINT) AS n_tokens
         FROM documents)
       SELECT doc_id, shard, n_tokens,
         CAST(floor(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard
           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-          0) / 2048.0) AS BIGINT) AS pack_id
+          0) / $PackBudget.0) AS BIGINT) AS pack_id
       FROM toks""")),
     QueryDef("q40_pii_scrub", piiScrub, Some(s"""
       WITH aug AS (

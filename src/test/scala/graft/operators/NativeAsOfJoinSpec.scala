@@ -61,6 +61,17 @@ class NativeAsOfJoinSpec extends SparkTestBase {
       (3L, 5L, null))) // key absent on the right entirely
   }
 
+  test("unmatched rows yield NULL even for non-nullable primitive right columns") {
+    // local Datasets carry nullable=false longs; the result projection
+    // must still read the substituted null row as NULL, not unbox it to 0
+    val l = Seq((1L, 100L), (2L, 10L)).toDF("k", "t")
+    val r = Seq((1L, 50L, 7L)).toDF("k", "rt", "rv")
+    val rows = NativeAsOfJoin.latestPrior(l, r, "k", "t", "rt")
+      .orderBy("k").collect()
+    assert(rows(0).getLong(3) == 7L)
+    assert(rows(1).isNullAt(2) && rows(1).isNullAt(3))
+  }
+
   test("self-join inputs (shared lineage) do not collide on attribute ids") {
     val base = Seq((1L, 10L, "a"), (1L, 20L, "b")).toDF("k", "t", "v")
     val got = NativeAsOfJoin

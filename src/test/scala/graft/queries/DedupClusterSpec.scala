@@ -22,9 +22,14 @@ class DedupClusterSpec extends SparkTestBase {
   }
 
   test("a long chain (worst case for plain propagation) still converges") {
-    // 0-1-2-...-16: pointer jumping covers it in O(log n) rounds
+    // 0-1-2-...-16 with the distributed pointer-jumping path FORCED
+    // (driverMaxEdges=0): the chain's diameter is what the jump step's
+    // O(log n) convergence exists for — the default threshold would
+    // route this tiny graph to driver union-find and leave it untested
     val chain = (0L until 16L).map(i => (i, i + 1))
-    val got = cc(chain: _*)
+    val got = Dedup.connectedComponents(chain.toDF("a", "b"),
+        driverMaxEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == (0L to 16L).map(_ -> 0L).toMap)
   }
 
