@@ -28,6 +28,11 @@ object Bench {
       val times = (1 to 2).flatMap { _ =>
         if (failed.contains(name)) None // don't pay a failing query twice
         else {
+          // isolate passes: queries that persist internal relations would
+          // otherwise leak caches that CacheManager substitutes into the
+          // next pass and into LATER queries sharing a subplan, timing
+          // cache scans instead of the operator
+          spark.catalog.clearCache()
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).count() }
           catch { case _: Throwable => failed += name }

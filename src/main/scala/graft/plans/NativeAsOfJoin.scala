@@ -154,11 +154,18 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       lIter.map { l =>
         val lk = lKeyProj(l)
         val lt = lTimeProj(l)
+        // SQL semantics on NULLs: a NULL never equals anything and a NULL
+        // right-time never satisfies rt <= lt, so NULL-keyed left rows
+        // can't match, and NULL-keyed or NULL-timed right rows are
+        // consumed (they sort first) without ever being recorded.
+        val lkNull = lk.isNullAt(0) || lt.isNullAt(0)
         var scanning = rHead != null
         while (scanning) {
-          val c = keyOrd.compare(rKeyProj(rHead), lk)
+          val rk = rKeyProj(rHead)
+          val c = keyOrd.compare(rk, lk)
           if (c < 0 || (c == 0 && timeOrd.compare(rTimeProj(rHead), lt) <= 0)) {
-            if (c == 0) {
+            if (c == 0 && !lkNull && !rk.isNullAt(0) &&
+              !rTimeProj(rHead).isNullAt(0)) {
               lastKey = lk.copy()
               lastVal = rValProj(rHead).copy()
             }
@@ -166,7 +173,8 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
             scanning = rHead != null
           } else scanning = false
         }
-        val matched = lastKey != null && keyOrd.compare(lastKey, lk) == 0
+        val matched = !lkNull && lastKey != null &&
+          keyOrd.compare(lastKey, lk) == 0
         resultProj(joined(l, if (matched) lastVal else nullRight))
       }
     }

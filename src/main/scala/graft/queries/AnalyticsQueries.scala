@@ -43,8 +43,11 @@ object AnalyticsQueries {
         count(lit(1)).as("n_orders"))
 
   /** Exact interpolated percentiles of order value per status. Both
-    * engines apply the standard `lower + frac·(upper−lower)` formula to
-    * identical 2-dp doubles, so the results agree bitwise. */
+    * engines compute the WEIGHTED form
+    * `(higher−pos)·lower + (pos−lower)·higher` (verified: Spark's
+    * Percentile and DuckDB's quantile_cont agree bitwise, while the naive
+    * `lower + frac·(upper−lower)` lerp differs in the last ulp) — do not
+    * re-derive either side with the lerp formula. */
   def orderValueQuantiles(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "orders")
       .groupBy(col("o_orderstatus"))

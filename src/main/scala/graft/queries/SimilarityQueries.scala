@@ -69,17 +69,19 @@ object SimilarityQueries {
       FROM ranked WHERE rank <= $K"""
   }
 
+  /** Trained centroids are an index: built once per corpus, probed many
+    * times (how IVF is used in production). Memoized per data dir —
+    * training is deterministic and the testdata dirs are immutable, so
+    * this is a pure cache; if a path's data could be rewritten within a
+    * JVM, the key would need a content fingerprint. */
+  private val centroidCache =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Array[Double]]]
+
   /** k-means-trained IVF ANN: centroids Lloyd-refined on the corpus, then
     * the standard nProbe cell search. No SQL oracle — the trained
     * centroids are data-dependent driver state, so the driver records the
     * rows-only check; exactness at full probe and objective improvement
     * are pinned by SimilaritySpec. */
-  /** Trained centroids are an index: built once per corpus, probed many
-    * times (how IVF is used in production). Memoized per data dir —
-    * training is deterministic, so this is a pure cache. */
-  private val centroidCache =
-    scala.collection.concurrent.TrieMap.empty[String, Array[Array[Double]]]
-
   def ivfKmeansTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir, "embeddings")
     val cents = centroidCache.getOrElseUpdate(dir,

@@ -69,13 +69,15 @@ object EventStreams {
       .select(col("event_id"), col("user_id"), col("window_id"))
   }
 
-  /** Streaming exact dedup on event_id with bounded state: duplicates are
-    * dropped across micro-batches, and the per-key dedup state is evicted
-    * once the watermark passes the event's time — without the watermark
-    * column in the key, dropDuplicates state grows O(all ids ever seen).
-    * (`dropDuplicatesWithinWatermark` relaxes this to per-window exactness;
-    * the strict form here matches the batch `dropDuplicates("event_id")`
-    * for in-watermark data.) */
+  /** Streaming dedup on event_id with bounded state: duplicates arriving
+    * while the original's state is live (i.e. within the watermark
+    * horizon of the first occurrence) are dropped, and the per-key state
+    * is evicted once the watermark passes — plain `dropDuplicates` would
+    * instead grow state O(all ids ever seen). The trade-off of
+    * `dropDuplicatesWithinWatermark` is explicitly bounded exactness: a
+    * duplicate arriving after its original's state was evicted is
+    * re-emitted, so results match batch `dropDuplicates("event_id")` only
+    * when duplicates arrive within the horizon. */
   def dedupEvents(events: Dataset[Event],
       watermarkDelay: String = "1 hour"): Dataset[Event] =
     events

@@ -72,6 +72,25 @@ class NativeAsOfJoinSpec extends SparkTestBase {
     assert(rows(1).isNullAt(2) && rows(1).isNullAt(3))
   }
 
+  test("SQL null semantics: null keys and null right-times never match") {
+    // matches DuckDB ASOF JOIN (the q38 oracle): NULL = NULL is not a
+    // match and rt <= lt is never true for NULL — unlike the window-based
+    // compositional form, which groups null keys together
+    val l = Seq((Option(1L), Option(100L)), (Option.empty[Long], Option(100L)),
+      (Option(2L), Option.empty[Long])).toDF("k", "t")
+    val r = Seq((Option(1L), Option.empty[Long], "nulltime"),
+      (Option(1L), Option(50L), "ok"),
+      (Option.empty[Long], Option(10L), "nullkey")).toDF("k", "rt", "v")
+    val got = NativeAsOfJoin.latestPrior(l, r, "k", "t", "rt")
+      .select("k", "v")
+      .collect().map(x => (if (x.isNullAt(0)) -1L else x.getLong(0),
+        x.getString(1))).toSet
+    assert(got == Set(
+      (1L, "ok"), // the NULL-time right row is skipped, not matched
+      (-1L, null), // NULL left key matches nothing (incl. NULL right key)
+      (2L, null))) // NULL left time satisfies no rt <= lt
+  }
+
   test("self-join inputs (shared lineage) do not collide on attribute ids") {
     val base = Seq((1L, 10L, "a"), (1L, 20L, "b")).toDF("k", "t", "v")
     val got = NativeAsOfJoin
