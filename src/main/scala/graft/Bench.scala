@@ -8,8 +8,15 @@ package graft
   * away under a count), so it measures real operator throughput.
   */
 object Bench {
+  private def loadAvg: Double = {
+    val l = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    math.round(l * 100) / 100.0
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val loadStart = loadAvg
     val cpus = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
       .getOrElse(Runtime.getRuntime.availableProcessors)
     val spark = GraftSession.builder(s"local[$cpus]", cpus)
@@ -40,13 +47,22 @@ object Bench {
         }
       }
       // A query that threw reports -1, never a misleading wall time.
-      name -> (if (failed.contains(name)) -1.0 else times.min)
+      (name, if (failed.contains(name)) -1.0 else times.min, times)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // Contention evidence (a round-2 driver run recorded 7× inflated
+    // times on a loaded machine with nothing in the JSON to show it):
+    // both raw pass times per query, plus the 1-min system load average
+    // before and after. An idle local[N] box shows load ≲ N and pass
+    // times within ~2× of each other; a contended run shows load ≫ N
+    // and erratic per-pass spreads.
+    val passes = results.map { case (k, _, ts) =>
+      "\"" + k + "\":" + ts.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.filterNot(r => failed.contains(r._1)).map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val total = results.collect { case (n, v, _) if !failed.contains(n) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"load_avg_start":$loadStart,"load_avg_end":$loadAvg,"cpus":$cpus,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,6 +1,7 @@
 package graft.functions
 
-import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
 
 /** Typed per-key top-k aggregator: keeps the k highest-scoring (score, id)
@@ -32,9 +33,18 @@ final class TopKAggregator[IN](k: Int, score: IN => Double, id: IN => Long)
 
   override def finish(buf: Seq[(Double, Long)]): Seq[(Double, Long)] = shrink(buf)
 
+  // ExpressionEncoder (array<struct<double,bigint>>), not kryo: partial-agg
+  // buffers stay Tungsten-columnar instead of opaque serialized blobs, so
+  // the shuffle writes compact rows and merge avoids deserialize/reserialize
+  // round-trips.
   override def bufferEncoder: Encoder[Seq[(Double, Long)]] =
-    Encoders.kryo[Seq[(Double, Long)]]
+    TopKAggregator.pairSeqEncoder
 
   override def outputEncoder: Encoder[Seq[(Double, Long)]] =
-    Encoders.kryo[Seq[(Double, Long)]]
+    TopKAggregator.pairSeqEncoder
+}
+
+object TopKAggregator {
+  private val pairSeqEncoder: Encoder[Seq[(Double, Long)]] =
+    ExpressionEncoder[Seq[(Double, Long)]]()
 }

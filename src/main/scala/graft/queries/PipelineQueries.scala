@@ -62,6 +62,26 @@ object PipelineQueries {
         "dq_balance_issues")
   }
 
+  /** Frozen per-date gold-audit goldens (also pinned by IngestE2ESpec):
+    * total_rows per date equals the GOOD ingest count of that file's date
+    * partition, and 2024-12-07 carries the corpus's 2 duplicate
+    * transaction_ids. */
+  private val goldAuditGoldens: Seq[(String, Long, Long, Long, Long)] = Seq(
+    ("2024-10-16", 828L, 828L, 0L, 0L),
+    ("2024-12-07", 1032L, 1030L, 2L, 0L),
+    ("2025-06-12", 1119L, 1119L, 0L, 0L),
+    ("2025-09-03", 964L, 964L, 0L, 0L),
+    ("2025-10-18", 1110L, 1110L, 0L, 0L))
+
+  private val goldAuditOracle = {
+    val values = goldAuditGoldens.map { case (d, t, a, r, b) =>
+      s"('$d',CAST($t AS BIGINT),CAST($a AS BIGINT),CAST($r AS BIGINT),CAST($b AS BIGINT))"
+    }.mkString(",\n        ")
+    s"""SELECT * FROM (VALUES
+        $values) AS t(date, total_rows, rows_after_dedup,
+          duplicates_removed, dq_balance_issues)"""
+  }
+
   private val ingestCountsOracle = {
     // frozen goldens: (file, class, n) — see IngestE2ESpec
     val rows = Seq(
@@ -78,5 +98,5 @@ object PipelineQueries {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("p91_ingest_sample_counts", ingestCounts, Some(ingestCountsOracle)),
-    QueryDef("p92_gold_compaction_audit", goldAudit, None))
+    QueryDef("p92_gold_compaction_audit", goldAudit, Some(goldAuditOracle)))
 }

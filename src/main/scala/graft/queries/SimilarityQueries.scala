@@ -78,10 +78,11 @@ object SimilarityQueries {
     scala.collection.concurrent.TrieMap.empty[String, Array[Array[Double]]]
 
   /** k-means-trained IVF ANN: centroids Lloyd-refined on the corpus, then
-    * the standard nProbe cell search. No SQL oracle — the trained
-    * centroids are data-dependent driver state, so the driver records the
-    * rows-only check; exactness at full probe and objective improvement
-    * are pinned by SimilaritySpec. */
+    * the standard nProbe cell search. The oracle replays the TRAINING
+    * itself in SQL ([[Similarity.sqlKmeansIvfTopK]]) — centroids are
+    * data-dependent, so literals would pin one scale factor; the CTE
+    * chain holds at any dir. Exactness at full probe and objective
+    * improvement are additionally pinned by SimilaritySpec. */
   def ivfKmeansTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir, "embeddings")
     val cents = centroidCache.getOrElseUpdate(dir,
@@ -90,6 +91,9 @@ object SimilarityQueries {
     e6(Similarity.ivfTopKTrained(emb, queriesOf(emb), "vec_id", "embedding",
       K, cents, nProbe = 8))
   }
+
+  private val ivfKmeansOracle = Similarity.sqlKmeansIvfTopK(nCells = 16,
+    iters = 2, nProbe = 8, k = K, dim = Dim, queryPred = "e.vec_id < 20")
 
   /** Embedding-cosine near-dup pairs within LSH buckets. */
   def embeddingNearDups(spark: SparkSession, dir: String): DataFrame =
@@ -114,5 +118,5 @@ object SimilarityQueries {
     QueryDef("q25_lsh_ann_topk", lshTopK, Some(lshTopKOracle)),
     QueryDef("q26_embedding_near_dups", embeddingNearDups,
       Some(embeddingNearDupsOracle)),
-    QueryDef("q39_ivf_kmeans_topk", ivfKmeansTopK, None))
+    QueryDef("q39_ivf_kmeans_topk", ivfKmeansTopK, Some(ivfKmeansOracle)))
 }

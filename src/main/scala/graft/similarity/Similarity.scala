@@ -226,4 +226,63 @@ object Similarity {
     planes.zipWithIndex.map { case (p, j) =>
       s"CASE WHEN ${sqlDot(vec, sqlPlaneLiteral(p))} > 0 THEN ${1L << j} ELSE 0 END"
     }.mkString("(", " + ", ")")
+
+  /** DuckDB mirror of the FULL [[kmeansCentroids]] + [[ivfTopKTrained]]
+    * pipeline as one CTE chain — training replayed in SQL rather than
+    * interpolating dir-dependent centroid literals, so the oracle holds at
+    * any scale factor. Step-for-step mirror of the Scala path:
+    * md5-ordered seed sample → l2 normalize → per-iteration (argmax-cosine
+    * assignment with first-index tiebreak, per-(cell,pos) mean, l2
+    * normalize, empty cells keep the previous centroid) → corpus cell
+    * assignment → per-query nProbe probe → in-cell exact cosine top-k.
+    *
+    * FP parity: both engines fold dot products left-to-right, so seed
+    * centroids and all cosines over ORIGINAL vectors are bitwise equal.
+    * The per-cell means (`avg`) may differ in the last ulp across engines
+    * (summation order); means only feed DISCRETE choices — cell argmax,
+    * probe ranking — whose score gaps dwarf an ulp, and the emitted
+    * cos_sim is computed from original vectors only, so the hash compare
+    * is stable. */
+  def sqlKmeansIvfTopK(nCells: Int, iters: Int, nProbe: Int, k: Int,
+      dim: Int, queryPred: String): String = {
+    def score(v: String, c: String) =
+      s"${sqlDot(v, c)} / (sqrt(${sqlDot(v, v)}) * sqrt(${sqlDot(c, c)}))"
+    def assign(src: String, cents: String, extra: String = "") =
+      s"""SELECT e.vec_id, e.v, k.cell,
+          row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY ${score("e.v", "k.c")} DESC, k.cell) AS rnk
+        FROM $src e CROSS JOIN $cents k$extra"""
+    val iterCtes = (1 to iters).map { i =>
+      val prev = s"c${i - 1}"
+      s"""s$i AS (${assign("emb", prev)}),
+      a$i AS (SELECT vec_id, v, cell FROM s$i WHERE rnk = 1),
+      m$i AS (SELECT a.cell, pos.p, avg(a.v[pos.p + 1]) AS m
+        FROM a$i a CROSS JOIN pos GROUP BY a.cell, pos.p),
+      n$i AS (SELECT cell, list(m ORDER BY p) AS c FROM m$i GROUP BY cell),
+      c$i AS (SELECT p.cell,
+          CASE WHEN n.cell IS NULL THEN p.c
+               ELSE list_transform(n.c, x -> x / sqrt(${sqlDot("n.c", "n.c")})) END AS c
+        FROM $prev p LEFT JOIN n$i n ON n.cell = p.cell)"""
+    }.mkString(",\n      ")
+    val fin = s"c$iters"
+    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      pos AS (SELECT CAST(unnest(range($dim)) AS BIGINT) AS p),
+      seed AS (SELECT v, CAST(row_number() OVER (ORDER BY h) AS INT) - 1 AS cell
+        FROM (SELECT md5(CAST(vec_id AS VARCHAR)) AS h, v FROM emb ORDER BY h LIMIT $nCells)),
+      c0 AS (SELECT cell, list_transform(v, x -> x / sqrt(${sqlDot("v", "v")})) AS c FROM seed),
+      $iterCtes,
+      cc AS (SELECT vec_id, v, cell FROM (${assign("emb", fin)}) WHERE rnk = 1),
+      qc AS (SELECT vec_id AS query_id, v AS qv, cell
+        FROM (${assign("emb", fin, s" WHERE $queryPred")}) WHERE rnk <= $nProbe),
+      scored AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+          ${score("q.qv", "c.v")} AS cos_sim
+        FROM qc q JOIN cc c ON c.cell = q.cell AND c.vec_id <> q.query_id),
+      ranked AS (SELECT query_id, neighbor_id, cos_sim,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY cos_sim DESC, neighbor_id) AS rank
+        FROM scored)
+      SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+        CAST(floor(cos_sim * 1000000) AS BIGINT) AS cos_sim_e6
+      FROM ranked WHERE rank <= $k"""
+  }
 }
