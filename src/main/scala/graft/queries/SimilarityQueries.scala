@@ -12,6 +12,7 @@ object SimilarityQueries {
 
   private val K = 5
   private val NumPlanes = 8
+  private val NumBands = 4
   private val Dim = 64
 
   private def queriesOf(df: DataFrame): DataFrame =
@@ -95,23 +96,17 @@ object SimilarityQueries {
   private val ivfKmeansOracle = Similarity.sqlKmeansIvfTopK(nCells = 16,
     iters = 2, nProbe = 8, k = K, dim = Dim, queryPred = "e.vec_id < 20")
 
-  /** Embedding-cosine near-dup pairs within LSH buckets. */
+  /** Embedding-cosine near-dup pairs: multi-band sign-LSH with a
+    * corpus-scaled per-band plane count (bucket count ∝ corpus size, so
+    * intra-bucket pairwise work stays O(n·cap·bands) at any scale). */
   def embeddingNearDups(spark: SparkSession, dir: String): DataFrame =
     Similarity.embeddingNearDuplicates(Tables(spark, dir, "embeddings"),
-      "vec_id", "embedding", threshold = 0.35, NumPlanes, Dim)
+      "vec_id", "embedding", threshold = 0.35, numBands = NumBands, dim = Dim)
       .select(col("a"), col("b"), floor(col("cos_sim") * 1000000).as("cos_sim_e6"))
 
-  private val embeddingNearDupsOracle = {
-    val planes = Similarity.hyperplanes(NumPlanes, Dim)
-    val xB = Similarity.sqlLshBucket("x.embedding", planes)
-    val yB = Similarity.sqlLshBucket("y.embedding", planes)
-    val cos = Similarity.sqlCosine("x.embedding", "y.embedding")
-    s"""SELECT x.vec_id AS a, y.vec_id AS b,
-        CAST(floor($cos * 1000000) AS BIGINT) AS cos_sim_e6
-      FROM embeddings x JOIN embeddings y
-        ON $xB = $yB AND x.vec_id < y.vec_id
-      WHERE $cos >= 0.35"""
-  }
+  private val embeddingNearDupsOracle = Similarity.sqlBandedNearDuplicates(
+    threshold = 0.35, numBands = NumBands, dim = Dim,
+    targetBucketCap = 1024L, minPlanes = 8, maxPlanes = 24)
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q24_cosine_topk", cosineTopK, Some(cosineTopKOracle)),

@@ -196,19 +196,69 @@ object Similarity {
     topK(scored, k)
   }
 
-  /** Embedding-cosine near-duplicate pairs (a < b): candidates share an
-    * LSH bucket, kept when cosine ≥ threshold. One shuffle on the bucket
-    * key; the pairwise cost is confined to intra-bucket pairs. */
+  /** Banded hyperplane matrix: like [[hyperplanes]] but seeded per band
+    * (`"band:plane-dim"`), so each band hashes independently. Plane j is
+    * independent of how many planes a band uses — truncating to r planes
+    * equals generating r. */
+  def bandedHyperplanes(band: Int, numPlanes: Int, dim: Int): Seq[Seq[Double]] =
+    (0 until numPlanes).map { j =>
+      (0 until dim).map { d =>
+        val digest = MessageDigest.getInstance("MD5")
+          .digest(s"$band:$j-$d".getBytes(StandardCharsets.UTF_8))
+        if ((digest(0) & 1) == 1) 1.0 else -1.0
+      }
+    }
+
+  /** Corpus-scaled planes-per-band: the smallest r in [minPlanes,
+    * maxPlanes] with `targetBucketCap · 2^r ≥ n`, so expected bucket
+    * occupancy stays ≤ targetBucketCap and the intra-bucket pairwise cost
+    * is O(n · targetBucketCap) per band instead of O((n/2^fixed)²).
+    * Pure-integer ladder — the SQL oracle derives the identical r with no
+    * FP-boundary (`ceil(log2(...))`) divergence risk. */
+  def scaledPlaneCount(n: Long, targetBucketCap: Long = 1024L,
+      minPlanes: Int = 8, maxPlanes: Int = 24): Int =
+    (minPlanes to maxPlanes).find(j => (targetBucketCap << j) >= n)
+      .getOrElse(maxPlanes)
+
+  /** Embedding-cosine near-duplicate pairs (a < b): candidates share a
+    * sign-LSH bucket in ANY of `numBands` independent bands, kept when
+    * cosine ≥ threshold (verified on the original vectors). Multi-band OR
+    * restores the recall that longer signatures cost, and the per-band
+    * plane count scales with corpus size ([[scaledPlaneCount]]) so bucket
+    * count grows ∝ n — at any scale, expected intra-bucket pair work is
+    * O(n · targetBucketCap · numBands), never all-pairs. One bucket-keyed
+    * shuffle per band; pairs found by several bands are collapsed by the
+    * final distinct on bitwise-identical cosine rows. */
   def embeddingNearDuplicates(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, numPlanes: Int = 8, dim: Int = 64): DataFrame = {
-    val planes = hyperplanes(numPlanes, dim)
-    val b = Par.ensure(df).select(col(idCol).as("id"), col(vecCol).as("_v"),
-      lshBucket(col(vecCol), planes).as("_bucket"))
-    b.as("x").join(b.as("y"),
-        col("x._bucket") === col("y._bucket") && col("x.id") < col("y.id"))
-      .select(col("x.id").as("a"), col("y.id").as("b"),
-        cosine(col("x._v"), col("y._v")).as("cos_sim"))
-      .filter(col("cos_sim") >= threshold)
+      threshold: Double, numBands: Int = 4, dim: Int = 64,
+      targetBucketCap: Long = 1024L): DataFrame =
+    embeddingNearDuplicatesReleasable(df, idCol, vecCol, threshold, numBands,
+      dim, targetBucketCap)._1
+
+  /** As [[embeddingNearDuplicates]] with a release handle for the cached
+    * per-vector signature relation (self-joined twice per band); call
+    * release() once the frame is consumed. */
+  def embeddingNearDuplicatesReleasable(df: DataFrame, idCol: String,
+      vecCol: String, threshold: Double, numBands: Int = 4, dim: Int = 64,
+      targetBucketCap: Long = 1024L): (DataFrame, () => Unit) = {
+    // count() is one cheap columnar scan; it sizes the bucket space the
+    // same way the SQL oracle does (COALESCE(MIN r: cap·2^r ≥ n, max))
+    val r = scaledPlaneCount(df.count(), targetBucketCap)
+    val bucketCols = (0 until numBands).map { b =>
+      lshBucket(col("_v"), bandedHyperplanes(b, r, dim)).as(s"_b$b")
+    }
+    val sig = Par.ensure(df)
+      .select(col(idCol).as("id") +: col(vecCol).as("_v") +: bucketCols: _*)
+      .persist()
+    val perBand = (0 until numBands).map { b =>
+      sig.as("x").join(sig.as("y"),
+          col(s"x._b$b") === col(s"y._b$b") && col("x.id") < col("y.id"))
+        .select(col("x.id").as("a"), col("y.id").as("b"),
+          cosine(col("x._v"), col("y._v")).as("cos_sim"))
+        .filter(col("cos_sim") >= threshold)
+    }
+    val out = perBand.reduce(_ unionByName _).distinct()
+    (out, () => { sig.unpersist(); () })
   }
 
   // ---- DuckDB SQL mirrors ----
@@ -226,6 +276,46 @@ object Similarity {
     planes.zipWithIndex.map { case (p, j) =>
       s"CASE WHEN ${sqlDot(vec, sqlPlaneLiteral(p))} > 0 THEN ${1L << j} ELSE 0 END"
     }.mkString("(", " + ", ")")
+
+  /** DuckDB mirror of [[embeddingNearDuplicates]] — the banded planes are
+    * DERIVED in SQL from the same md5 seeds (first digest byte's low bit,
+    * the proven cross-engine md5 parity trick) and the per-band plane
+    * count r from the same integer ladder over count(*), so one static
+    * SQL string mirrors the corpus-scaled bucketing at every scale
+    * factor. Cosines are computed on original vectors → bitwise equal →
+    * DISTINCT collapses multi-band hits identically in both engines. */
+  def sqlBandedNearDuplicates(threshold: Double, numBands: Int, dim: Int,
+      targetBucketCap: Long, minPlanes: Int, maxPlanes: Int): String = {
+    val cos = sqlCosine("x.v", "y.v")
+    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      n AS (SELECT count(*) AS c FROM emb),
+      params AS (SELECT COALESCE(MIN(js.j), $maxPlanes) AS r
+        FROM (SELECT CAST(unnest(range($minPlanes, ${maxPlanes + 1})) AS INT) AS j) js, n
+        WHERE (CAST($targetBucketCap AS BIGINT) << js.j) >= n.c),
+      planes AS (
+        SELECT band, j, list(s ORDER BY d) AS p FROM (
+          SELECT b.band, j.j, d.d,
+            CASE WHEN ((('0x' || substr(md5(b.band || ':' || j.j || '-' || d.d), 1, 2))::INT & 1) = 1)
+                 THEN 1.0 ELSE -1.0 END AS s
+          FROM (SELECT unnest(range($numBands)) AS band) b,
+               (SELECT unnest(range($maxPlanes)) AS j) j,
+               (SELECT unnest(range($dim)) AS d) d) t
+        GROUP BY band, j),
+      sigs AS (
+        SELECT e.vec_id, p.band,
+          SUM(CASE WHEN list_dot_product(e.v, p.p) > 0
+                   THEN (CAST(1 AS BIGINT) << p.j) ELSE CAST(0 AS BIGINT) END) AS sig
+        FROM emb e CROSS JOIN planes p
+        WHERE p.j < (SELECT r FROM params)
+        GROUP BY e.vec_id, p.band),
+      sv AS (SELECT s.vec_id, s.band, s.sig, e.v
+        FROM sigs s JOIN emb e ON e.vec_id = s.vec_id)
+      SELECT DISTINCT x.vec_id AS a, y.vec_id AS b,
+        CAST(floor(($cos) * 1000000) AS BIGINT) AS cos_sim_e6
+      FROM sv x JOIN sv y
+        ON x.band = y.band AND x.sig = y.sig AND x.vec_id < y.vec_id
+      WHERE ($cos) >= $threshold"""
+  }
 
   /** DuckDB mirror of the FULL [[kmeansCentroids]] + [[ivfTopKTrained]]
     * pipeline as one CTE chain — training replayed in SQL rather than

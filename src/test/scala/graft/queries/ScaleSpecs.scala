@@ -109,6 +109,45 @@ class ScaleSpecs extends SparkTestBase {
     assert(!scan.contains("lang"), scan)
   }
 
+  test("embedding near-dup bucket count scales with corpus size") {
+    import graft.similarity.Similarity.scaledPlaneCount
+    // small corpora use the floor; the ladder then doubles buckets with n,
+    // capping expected bucket occupancy at targetBucketCap (so intra-bucket
+    // pairwise work per band is O(n·cap), never O((n/2^fixed)²))
+    assert(scaledPlaneCount(500L) == 8)
+    assert(scaledPlaneCount(1024L << 8) == 8)
+    assert(scaledPlaneCount((1024L << 8) + 1) == 9)
+    assert(scaledPlaneCount(1024L << 20) == 20)
+    assert(scaledPlaneCount(Long.MaxValue) == 24) // ladder top
+    // capacity invariant below the cap: 2^r buckets × cap ≥ n
+    for (n <- Seq(1L, 1000L, 1000000L, 1000000000L)) {
+      val r = scaledPlaneCount(n)
+      assert((1024L << r) >= n, s"n=$n r=$r")
+    }
+    // monotone: more vectors never means fewer buckets
+    val rs = Seq(1L, 1e6.toLong, 1e9.toLong, 1e12.toLong).map(scaledPlaneCount(_))
+    assert(rs == rs.sorted)
+  }
+
+  test("embedding near-dups join on band buckets — equi-join, no cartesian") {
+    val (df, release) = graft.similarity.Similarity
+      .embeddingNearDuplicatesReleasable(Tables(spark, dir, "embeddings"),
+        "vec_id", "embedding", threshold = 0.35)
+    try {
+      val rows = df.collect()
+      // verified pairs only, each emitted once
+      assert(rows.forall(_.getDouble(2) >= 0.35))
+      val pairs = rows.map(r => (r.getLong(0), r.getLong(1)))
+      assert(pairs.distinct.length == pairs.length)
+      assert(pairs.forall { case (a, b) => a < b })
+      val plan = df.queryExecution.executedPlan.toString
+      // every band join restores an equi-key on its bucket column; an
+      // all-pairs fallback would plan a nested-loop/cartesian product
+      assert(!plan.contains("CartesianProduct"), plan)
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    } finally release()
+  }
+
   test("partition pruning: date-filtered gold read scans a single partition") {
     // build a tiny two-date partitioned table and check the scan prunes
     import spark.implicits._
