@@ -34,6 +34,38 @@ object AnalyticsQueries {
         count(lit(1)).as("n_orders"))
   }
 
+  /** Approximate-distinct rollup — the 100 TB distinct-count surface: HLL
+    * (`approx_count_distinct`, rsd 2%) per region × month beside the
+    * exact count. At scale the exact path shuffles every distinct key;
+    * the HLL path merges fixed-size sketches (see the ScaleSpecs sketch
+    * spec for the build-once/merge-many pattern). Driver attestation:
+    * group keys and exact counts hash-match the oracle exactly; the HLL
+    * estimate — deterministic for fixed data but engine-specific — is
+    * attested as a boolean tolerance check the oracle pins to true for
+    * every group. Tolerance is max(5 absolute, 10% relative): Spark's
+    * HLL++ has no sparse representation, so small groups see a few units
+    * of absolute error regardless of rsd (measured worst on this data:
+    * 3 absolute, 7% relative on ~40-customer groups). */
+  def approxDistinctRollup(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables(spark, dir, "orders")
+    val cust = Tables(spark, dir, "customer")
+    val nation = Tables(spark, dir, "nation")
+    val region = Tables(spark, dir, "region")
+    orders
+      .join(broadcast(cust), orders("o_custkey") === cust("c_custkey"))
+      .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .select(col("r_name"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        col("o_custkey"))
+      .groupBy("r_name", "month")
+      .agg(countDistinct(col("o_custkey")).as("n_exact"),
+        approx_count_distinct(col("o_custkey"), 0.02).as("_approx"))
+      .select(col("r_name"), col("month"), col("n_exact"),
+        (abs(col("_approx") - col("n_exact")) <=
+          greatest(lit(5.0), col("n_exact") * 0.10)).as("approx_in_tolerance"))
+  }
+
   /** Cube aggregation: revenue across every combination of order status ×
     * priority, including the per-dimension and grand-total slices. */
   def statusPriorityCube(spark: SparkSession, dir: String): DataFrame =
@@ -224,6 +256,15 @@ object AnalyticsQueries {
       JOIN nation ON c_nationkey = n_nationkey
       JOIN region ON n_regionkey = r_regionkey
       GROUP BY ROLLUP(r_name, n_name)""")),
+    QueryDef("q54_approx_distinct_rollup", approxDistinctRollup, Some("""
+      SELECT r_name, strftime(o_orderdate, '%Y-%m') AS month,
+        COUNT(DISTINCT o_custkey) AS n_exact,
+        CAST(1 AS BOOLEAN) AS approx_in_tolerance
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY 1, 2""")),
     QueryDef("q47_customers_without_pending_orders", customersWithoutOrders,
       Some("""
       SELECT c_custkey, c_name FROM customer c

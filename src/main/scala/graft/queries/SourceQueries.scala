@@ -1,0 +1,71 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.TextSources
+
+/** Source-format breadth: CSV and JSON-lines zones round-tripped through
+  * the schema'd PERMISSIVE readers (graft.sources.TextSources) and
+  * hash-verified against the original parquet content by the DuckDB
+  * oracle — a reader that mangled a value, row, type, or null would
+  * break the compare. Zone directories are derived deterministically
+  * from the data dir, so repeated runs at any scale factor are stable.
+  */
+object SourceQueries {
+
+  private def zoneDir(tag: String, dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_${Integer.toHexString(dir.hashCode)}"
+
+  private val customerSchema = StructType(Seq(
+    StructField("c_custkey", LongType),
+    StructField("c_name", StringType),
+    StructField("c_nationkey", IntegerType),
+    StructField("c_acctbal", DoubleType),
+    StructField("c_mktsegment", StringType)))
+
+  /** CSV zone: export `customer` to headered CSV, read it back through
+    * the schema'd PERMISSIVE reader. Doubles survive exactly (Java
+    * shortest round-trip formatting). */
+  def csvCustomerZone(spark: SparkSession, dir: String): DataFrame = {
+    val path = zoneDir("csvzone", dir)
+    Tables(spark, dir, "customer").write.mode("overwrite")
+      .option("header", "true").csv(path)
+    // capture off: the zone is wellformed by construction, and the driver
+    // smoke-counts this frame (a bare count over a capture read prunes to
+    // the corrupt column alone, which Spark rejects)
+    TextSources.readCsvZone(spark, path, customerSchema, capture = false)
+  }
+
+  private val eventsJsonSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts_us", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** JSON-lines zone: export `events` with epoch-micros timestamps (the
+    * idiomatic event-log JSON shape; ISO-string timestamps would lose
+    * sub-millisecond precision under the default writer format), read
+    * back schema'd, restore the µs timestamp. */
+  def jsonEventsZone(spark: SparkSession, dir: String): DataFrame = {
+    val path = zoneDir("jsonzone", dir)
+    Tables.events(spark, dir)
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").json(path)
+    TextSources.readJsonZone(spark, path, eventsJsonSchema, capture = false)
+      .select(col("event_id"), timestamp_micros(col("ts_us")).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q52_csv_zone_roundtrip", csvCustomerZone, Some("""
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+      FROM customer""")),
+    QueryDef("q53_json_zone_roundtrip", jsonEventsZone, Some("""
+      SELECT event_id, ts, user_id, event_type, value, props
+      FROM events""")))
+}
