@@ -15,6 +15,12 @@ import org.apache.spark.sql.DataFrame
 object Par {
   def ensure(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // decide from the scan's file list, not df.rdd.getNumPartitions: the
+    // latter forces a full extra physical-plan + RDD materialization per
+    // call, while inputFiles only inspects the resolved logical scan. A
+    // many-split single file may get one redundant (cheap) repartition;
+    // non-file sources (0 files) are left alone.
+    val nFiles = df.inputFiles.length
+    if (nFiles > 0 && nFiles < target) df.repartition(target) else df
   }
 }
