@@ -90,6 +90,43 @@ object AnalyticsQueries {
         percentile(col("o_totalprice"), lit(0.9)).as("p90"),
         count(lit(1)).as("n_orders"))
 
+  /** Approximate quantiles attested against exact rank bounds — the
+    * 100 TB quantile surface: `approx_percentile` (KLL/GK-style sketch,
+    * mergeable fixed-size state) beside the exact interpolated
+    * percentile. The sketch bounds RANK error (nominally 1/accuracy; the
+    * estimate is an actual data element, so it can sit a few ranks past
+    * the tightest interpolated bound), so the attested predicate is
+    * value-space rank bounds: the estimate must lie within the exact
+    * quantiles at p ± 0.01, i.e. ten nominal epsilons at accuracy 1000
+    * (all computed in-query). Group keys, exact quantiles, and the bound
+    * booleans
+    * hash-match the oracle (exact interpolation is engine-bitwise per
+    * q46); the engine-specific estimate is attested through the bound
+    * rather than exported. */
+  def approxQuantilesAttested(spark: SparkSession, dir: String): DataFrame = {
+    val acc = 1000
+    val slack = 0.01
+    val ps = Seq(0.25, 0.5, 0.75)
+    val aggs = ps.flatMap { p =>
+      val tag = (p * 100).toInt
+      Seq(
+        percentile(col("o_totalprice"), lit(p)).as(s"p${tag}_exact"),
+        approx_percentile(col("o_totalprice"), lit(p), lit(acc)).as(s"_p${tag}_approx"),
+        percentile(col("o_totalprice"), lit(math.max(0.0, p - slack))).as(s"_p${tag}_lo"),
+        percentile(col("o_totalprice"), lit(math.min(1.0, p + slack))).as(s"_p${tag}_hi"))
+    }
+    val outs = ps.flatMap { p =>
+      val tag = (p * 100).toInt
+      Seq(col(s"p${tag}_exact"),
+        (col(s"_p${tag}_approx") >= col(s"_p${tag}_lo") &&
+          col(s"_p${tag}_approx") <= col(s"_p${tag}_hi")).as(s"p${tag}_in_bounds"))
+    }
+    Tables(spark, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("o_orderstatus") +: outs: _*)
+  }
+
   /** Window-function family over orders per customer: rank, lag/lead, and
     * a running total — deterministic tiebreaks on the key. */
   def customerWindows(spark: SparkSession, dir: String): DataFrame = {
@@ -291,6 +328,15 @@ object AnalyticsQueries {
         quantile_cont(o_totalprice, 0.75) AS p75,
         quantile_cont(o_totalprice, 0.9) AS p90,
         COUNT(*) AS n_orders
+      FROM orders GROUP BY o_orderstatus""")),
+    QueryDef("q56_approx_quantiles_attested", approxQuantilesAttested, Some("""
+      SELECT o_orderstatus,
+        quantile_cont(o_totalprice, 0.25) AS p25_exact,
+        CAST(1 AS BOOLEAN) AS p25_in_bounds,
+        quantile_cont(o_totalprice, 0.5) AS p50_exact,
+        CAST(1 AS BOOLEAN) AS p50_in_bounds,
+        quantile_cont(o_totalprice, 0.75) AS p75_exact,
+        CAST(1 AS BOOLEAN) AS p75_in_bounds
       FROM orders GROUP BY o_orderstatus""")),
     QueryDef("q29_customer_windows", customerWindows, Some("""
       SELECT o_orderkey, o_custkey,

@@ -109,6 +109,34 @@ object TextQueries {
       .groupBy("bigram").agg(count(lit(1)).as("n"))
       .orderBy(desc("n"), col("bigram")).limit(50)
 
+  /** TF-IDF top-k terms per document. Classic shape: per-(doc, term)
+    * counts (one shuffle), document frequency over the tf relation (one
+    * more), a term-keyed join — the df side is vocabulary-sized, far
+    * smaller than the tf relation — and a per-doc top-k window. The corpus
+    * size joins in as a broadcast 1-row aggregate, not a driver action.
+    * Ranking is by the tfidf double with a term tiebreak: both engines
+    * compute tf·ln(N/df) from identical integers, so ordering agrees
+    * except for sub-ulp cross-pair collisions (~1e-10 probability). */
+  def tfidfTopTerms(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = graft.util.Par.ensure(Tables(spark, dir, "documents"))
+    val tf = docs
+      .select(col("doc_id"), tokens(col("text")).as("_toks"))
+      .select(col("doc_id"), explode(col("_toks")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", col("tf").cast("double") *
+        log(col("n_docs").cast("double") / col("df").cast("double")))
+    val w = Window.partitionBy("doc_id").orderBy(desc("tfidf"), col("term"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"),
+        floor(col("tfidf") * 1000000).as("tfidf_e6"))
+  }
+
   // PII patterns restricted to syntax Java regex and RE2 evaluate
   // identically (character classes + bounded repeats; no lookaround,
   // which RE2 lacks)
@@ -135,6 +163,26 @@ object TextQueries {
           PhoneRe, "<PHONE>")).as("scrubbed_md5"))
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q55_tfidf_top_terms", tfidfTopTerms(_, _), Some(s"""
+      WITH tf AS (
+        SELECT doc_id, tok AS term, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest(${sqlTokens("text")}) AS tok FROM documents)
+        GROUP BY 1, 2),
+      dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      scored AS (
+        SELECT t.doc_id, t.term, t.tf, d.df,
+          t.tf::DOUBLE * ln(n.n_docs::DOUBLE / d.df::DOUBLE) AS tfidf
+        FROM tf t JOIN dfreq d ON d.term = t.term, n),
+      ranked AS (
+        SELECT doc_id, term, tf, df, tfidf,
+          row_number() OVER (PARTITION BY doc_id
+            ORDER BY tfidf DESC, term) AS rnk
+        FROM scored)
+      SELECT doc_id, CAST(rnk AS BIGINT) AS rank, term,
+        CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+        CAST(floor(tfidf * 1000000) AS BIGINT) AS tfidf_e6
+      FROM ranked WHERE rnk <= 5""")),
     QueryDef("q50_top_bigrams", topBigrams, Some(s"""
       SELECT bigram, COUNT(*) AS n FROM (
         SELECT unnest(${graft.dedup.Dedup.sqlShingles("text", 2)}) AS bigram
