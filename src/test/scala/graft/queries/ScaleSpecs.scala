@@ -148,6 +148,58 @@ class ScaleSpecs extends SparkTestBase {
     } finally release()
   }
 
+  test("AQE splits a skewed join partition at runtime") {
+    import spark.implicits._
+    // one hot key dwarfing the rest; thresholds lowered so the local data
+    // triggers the same OptimizeSkewedJoin that rescues a 100 TB shuffle
+    val left = (1 to 200000).map(i => (if (i % 10 == 0) i.toLong else 1L, i.toLong))
+      .toDF("k", "v")
+    val right = (1L to 200000L).map(k => (k, k * 2)).toDF("k", "w")
+    val prev = Map(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" ->
+        spark.conf.get("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"),
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" ->
+        spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes"),
+      "spark.sql.autoBroadcastJoinThreshold" ->
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    try {
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = left.join(right, "k")
+      // materialize THIS DataFrame (count() executes a different plan and
+      // would leave joined's adaptive plan unfinalized)
+      assert(joined.collect().length == 200000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), plan.take(2000))
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
+  test("dynamic partition pruning: dim filter prunes the fact scan at runtime") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_dpp_").toString
+    (1 to 1000).map(i => (i.toLong, s"2024-01-0${i % 5 + 1}"))
+      .toDF("v", "date").write.partitionBy("date").mode("overwrite").parquet(path)
+    val dimPath = java.nio.file.Files.createTempDirectory("graft_dppdim_").toString
+    Seq(("2024-01-01", "keep"), ("2024-01-02", "drop"))
+      .toDF("date", "tag").write.mode("overwrite").parquet(dimPath)
+    try {
+      val fact = spark.read.parquet(path)
+      // a SELECTIVE dim filter is what makes DPP fire — and it must
+      // survive as a real Filter node over a scan (an inline local
+      // relation constant-folds the filter away and DPP sees no
+      // selective predicate)
+      val dim = spark.read.parquet(dimPath).filter(col("tag") === "keep")
+      val joined = fact.join(dim, Seq("date"))
+      assert(joined.collect().length == 200)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("dynamicpruning"), plan.take(2000))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dimPath))
+    }
+  }
+
   test("partition pruning: date-filtered gold read scans a single partition") {
     // build a tiny two-date partitioned table and check the scan prunes
     import spark.implicits._
