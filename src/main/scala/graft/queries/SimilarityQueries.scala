@@ -108,10 +108,43 @@ object SimilarityQueries {
     threshold = 0.35, numBands = NumBands, dim = Dim,
     targetBucketCap = 1024L, minPlanes = 8, maxPlanes = 24)
 
+  /** Embedding duplicate clusters: connected components over the banded
+    * near-dup pair graph — the full "collapse duplicate groups" shape for
+    * embedding-keyed dedup, sharing the adaptive CC implementation
+    * (driver union-find small, pointer-jumping at scale) with q37. */
+  def embeddingDupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val (pairs, release) = Similarity.embeddingNearDuplicatesReleasable(
+      Tables(spark, dir, "embeddings"), "vec_id", "embedding",
+      threshold = 0.35, numBands = NumBands, dim = Dim)
+    val cc = graft.dedup.Dedup.connectedComponents(
+      pairs.select(col("a"), col("b")))
+    release()
+    cc
+  }
+
+  private val embeddingDupClustersOracle = {
+    val ctes = Similarity.sqlBandedNearDupCtes(threshold = 0.35,
+      numBands = NumBands, dim = Dim, targetBucketCap = 1024L,
+      minPlanes = 8, maxPlanes = 24)
+    s"""WITH RECURSIVE $ctes,
+      edges AS (
+        SELECT a AS src, b AS dst FROM bpairs
+        UNION ALL
+        SELECT b AS src, a AS dst FROM bpairs),
+      reach AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+      SELECT src AS id, LEAST(src, MIN(dst)) AS cluster_id
+      FROM reach GROUP BY src"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q24_cosine_topk", cosineTopK, Some(cosineTopKOracle)),
     QueryDef("q25_lsh_ann_topk", lshTopK, Some(lshTopKOracle)),
     QueryDef("q26_embedding_near_dups", embeddingNearDups,
       Some(embeddingNearDupsOracle)),
-    QueryDef("q39_ivf_kmeans_topk", ivfKmeansTopK, Some(ivfKmeansOracle)))
+    QueryDef("q39_ivf_kmeans_topk", ivfKmeansTopK, Some(ivfKmeansOracle)),
+    QueryDef("q57_embedding_dup_clusters", embeddingDupClusters,
+      Some(embeddingDupClustersOracle)))
 }

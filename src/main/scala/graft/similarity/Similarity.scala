@@ -284,10 +284,13 @@ object Similarity {
     * SQL string mirrors the corpus-scaled bucketing at every scale
     * factor. Cosines are computed on original vectors → bitwise equal →
     * DISTINCT collapses multi-band hits identically in both engines. */
-  def sqlBandedNearDuplicates(threshold: Double, numBands: Int, dim: Int,
+  /** The banded-near-dup pipeline as a CTE chain ending in `bpairs`
+    * (DISTINCT verified pairs with their raw cosine) — shared by the
+    * pair query's oracle and the cluster oracle's recursive closure. */
+  def sqlBandedNearDupCtes(threshold: Double, numBands: Int, dim: Int,
       targetBucketCap: Long, minPlanes: Int, maxPlanes: Int): String = {
     val cos = sqlCosine("x.v", "y.v")
-    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       n AS (SELECT count(*) AS c FROM emb),
       params AS (SELECT COALESCE(MIN(js.j), $maxPlanes) AS r
         FROM (SELECT CAST(unnest(range($minPlanes, ${maxPlanes + 1})) AS INT) AS j) js, n
@@ -309,13 +312,19 @@ object Similarity {
         WHERE p.j < (SELECT r FROM params)
         GROUP BY e.vec_id, p.band),
       sv AS (SELECT s.vec_id, s.band, s.sig, e.v
-        FROM sigs s JOIN emb e ON e.vec_id = s.vec_id)
-      SELECT DISTINCT x.vec_id AS a, y.vec_id AS b,
-        CAST(floor(($cos) * 1000000) AS BIGINT) AS cos_sim_e6
-      FROM sv x JOIN sv y
-        ON x.band = y.band AND x.sig = y.sig AND x.vec_id < y.vec_id
-      WHERE ($cos) >= $threshold"""
+        FROM sigs s JOIN emb e ON e.vec_id = s.vec_id),
+      bpairs AS (
+        SELECT DISTINCT x.vec_id AS a, y.vec_id AS b, ($cos) AS cos_sim
+        FROM sv x JOIN sv y
+          ON x.band = y.band AND x.sig = y.sig AND x.vec_id < y.vec_id
+        WHERE ($cos) >= $threshold)"""
   }
+
+  def sqlBandedNearDuplicates(threshold: Double, numBands: Int, dim: Int,
+      targetBucketCap: Long, minPlanes: Int, maxPlanes: Int): String =
+    s"""WITH ${sqlBandedNearDupCtes(threshold, numBands, dim, targetBucketCap, minPlanes, maxPlanes)}
+      SELECT a, b, CAST(floor(cos_sim * 1000000) AS BIGINT) AS cos_sim_e6
+      FROM bpairs"""
 
   /** DuckDB mirror of the FULL [[kmeansCentroids]] + [[ivfTopKTrained]]
     * pipeline as one CTE chain — training replayed in SQL rather than
