@@ -120,6 +120,10 @@ object TextQueries {
   def tfidfTopTerms(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = graft.util.Par.ensure(Tables(spark, dir, "documents"))
+    // tf feeds BOTH the df aggregation and the join; no persist needed —
+    // both references sit in one query above the same shuffle, so
+    // ReusedExchange shares the materialized tf map output (measured:
+    // identical time with and without a cache)
     val tf = docs
       .select(col("doc_id"), tokens(col("text")).as("_toks"))
       .select(col("doc_id"), explode(col("_toks")).as("term"))

@@ -228,7 +228,12 @@ object Similarity {
     * count grows ∝ n — at any scale, expected intra-bucket pair work is
     * O(n · targetBucketCap · numBands), never all-pairs. One bucket-keyed
     * shuffle per band; pairs found by several bands are collapsed by the
-    * final distinct on bitwise-identical cosine rows. */
+    * final distinct on bitwise-identical cosine rows.
+    *
+    * This form leaves the internal signature cache to LRU/clearCache
+    * (the returned frame is lazy); long-lived sessions should use
+    * [[embeddingNearDuplicatesReleasable]] and release() after
+    * consumption. */
   def embeddingNearDuplicates(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, numBands: Int = 4, dim: Int = 64,
       targetBucketCap: Long = 1024L): DataFrame =
