@@ -127,6 +127,21 @@ object AnalyticsQueries {
       .select(col("o_orderstatus") +: outs: _*)
   }
 
+  /** Distribution-window family per customer: percent_rank, cume_dist,
+    * ntile quartiles. The ordering carries an o_orderkey tiebreak so rank
+    * positions are total; percent_rank/cume_dist are exact small-integer
+    * ratios ((k−1)/(n−1), k/n) that both engines compute identically in
+    * double. */
+  def customerDistributions(spark: SparkSession, dir: String): DataFrame = {
+    val byPrice = Window.partitionBy("o_custkey")
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+    Tables(spark, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey"),
+      percent_rank().over(byPrice).as("pct_rank"),
+      cume_dist().over(byPrice).as("cume"),
+      ntile(4).over(byPrice).cast(LongType).as("quartile"))
+  }
+
   /** Window-function family over orders per customer: rank, lag/lead, and
     * a running total — deterministic tiebreaks on the key. */
   def customerWindows(spark: SparkSession, dir: String): DataFrame = {
@@ -338,6 +353,14 @@ object AnalyticsQueries {
         quantile_cont(o_totalprice, 0.75) AS p75_exact,
         CAST(1 AS BOOLEAN) AS p75_in_bounds
       FROM orders GROUP BY o_orderstatus""")),
+    QueryDef("q59_customer_distributions", customerDistributions, Some("""
+      SELECT o_orderkey, o_custkey,
+        percent_rank() OVER w AS pct_rank,
+        cume_dist() OVER w AS cume,
+        CAST(ntile(4) OVER w AS BIGINT) AS quartile
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey
+        ORDER BY o_totalprice DESC, o_orderkey)""")),
     QueryDef("q29_customer_windows", customerWindows, Some("""
       SELECT o_orderkey, o_custkey,
         CAST(rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS price_rank,

@@ -90,7 +90,30 @@ object EventQueries {
         .as("event_types"),
         countDistinct(col("event_type")).as("n_types"))
 
+  /** Sliding-window aggregate: 1-hour windows every 15 minutes, so each
+    * event lands in exactly 4 overlapping windows — Spark's `window()`
+    * with a slide replicates rows per covering window before the hash
+    * agg (the batch twin of the watermarked streaming form). The oracle
+    * states the same replication arithmetically: window starts are the
+    * 4 preceding 15-minute grid points. */
+  def slidingHourly(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType18_6)).cast("double").as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q58_sliding_hourly", slidingHourly, Some("""
+      WITH expanded AS (
+        SELECT make_timestamp((epoch_us(ts) // 900000000 - s.i) * 900000000)
+            AS win_start,
+          event_type, value
+        FROM events, (SELECT unnest(range(4)) AS i) s)
+      SELECT win_start, event_type, COUNT(*) AS n_events,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM expanded GROUP BY 1, 2""")),
     QueryDef("q51_session_stats", sessionStats, Some("""
       WITH flagged AS (
         SELECT user_id, ts, event_id, value,
