@@ -175,6 +175,29 @@ class ScaleSpecs extends SparkTestBase {
     } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  test("runtime bloom filter prunes the probe side of a selective shuffle join") {
+    // the non-partitioned sibling of DPP: a selective dim filter builds a
+    // bloom filter that is pushed into the fact scan as might_contain,
+    // cutting shuffled fact rows before the join at 100 TB
+    val prev = Map(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" ->
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"),
+      "spark.sql.autoBroadcastJoinThreshold" ->
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    try {
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1KB")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val li = Tables(spark, dir, "lineitem")
+      val ord = Tables(spark, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val joined = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain"), plan.take(2000))
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("dynamic partition pruning: dim filter prunes the fact scan at runtime") {
     import spark.implicits._
     val path = java.nio.file.Files.createTempDirectory("graft_dpp_").toString

@@ -42,6 +42,27 @@ class EventStreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming sliding-window aggregate matches the batch q58 shape") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val q = EventStreams.slidingCounts(stream.toDF())
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("sliding_out").start()
+    try {
+      stream.addData(batchEvents)
+      q.processAllAvailable()
+      val got = spark.table("sliding_out")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+        .toSet
+      val want = graft.queries.EventQueries
+        .slidingHourly(spark, sfDir)
+        .select(col("win_start"), col("event_type"), col("n_events"))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+        .toSet
+      assert(got == want)
+    } finally q.stop()
+  }
+
   test("stateful sessionization matches the batch window implementation") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Event]
