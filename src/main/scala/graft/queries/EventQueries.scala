@@ -104,7 +104,43 @@ object EventQueries {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Ordered funnel: users reaching view → click-after-view →
+    * purchase-after-click, as per-stage user counts. Each stage is a
+    * filtered per-user MIN(ts) aggregation joined to the previous
+    * stage's frontier — all shuffles hash on user_id, so the stage
+    * joins co-partition after the first exchange. */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("first_view"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("ts") >= col("first_view"))
+      .groupBy("user_id").agg(min(col("ts")).as("first_click"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("ts") >= col("first_click"))
+      .select("user_id").distinct()
+    def staged(df: DataFrame, stage: String) =
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(stage).as("stage"), col("n_users"))
+    staged(v, "1_view")
+      .unionByName(staged(c, "2_click_after_view"))
+      .unionByName(staged(p, "3_purchase_after_click"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q60_funnel", funnel, Some("""
+      WITH v AS (SELECT user_id, MIN(ts) AS first_view FROM events
+        WHERE event_type = 'view' GROUP BY user_id),
+      c AS (SELECT e.user_id, MIN(e.ts) AS first_click
+        FROM events e JOIN v ON v.user_id = e.user_id
+        WHERE e.event_type = 'click' AND e.ts >= v.first_view
+        GROUP BY e.user_id),
+      p AS (SELECT DISTINCT e.user_id
+        FROM events e JOIN c ON c.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts >= c.first_click)
+      SELECT '1_view' AS stage, COUNT(*) AS n_users FROM v
+      UNION ALL SELECT '2_click_after_view', COUNT(*) FROM c
+      UNION ALL SELECT '3_purchase_after_click', COUNT(*) FROM p""")),
     QueryDef("q58_sliding_hourly", slidingHourly, Some("""
       WITH expanded AS (
         SELECT make_timestamp((epoch_us(ts) // 900000000 - s.i) * 900000000)
