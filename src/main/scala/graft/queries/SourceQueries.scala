@@ -15,8 +15,11 @@ import graft.sources.TextSources
   */
 object SourceQueries {
 
+  // per-process component: two concurrent JVMs running the same query
+  // against the same data dir must not overwrite-vs-read each other's
+  // zone files (write and read-back always happen in one process)
   private def zoneDir(tag: String, dir: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_${Integer.toHexString(dir.hashCode)}"
+    s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_${Integer.toHexString(dir.hashCode)}_${ProcessHandle.current().pid()}"
 
   private val customerSchema = StructType(Seq(
     StructField("c_custkey", LongType),

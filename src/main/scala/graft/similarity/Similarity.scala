@@ -282,16 +282,16 @@ object Similarity {
       s"CASE WHEN ${sqlDot(vec, sqlPlaneLiteral(p))} > 0 THEN ${1L << j} ELSE 0 END"
     }.mkString("(", " + ", ")")
 
-  /** DuckDB mirror of [[embeddingNearDuplicates]] — the banded planes are
-    * DERIVED in SQL from the same md5 seeds (first digest byte's low bit,
-    * the proven cross-engine md5 parity trick) and the per-band plane
-    * count r from the same integer ladder over count(*), so one static
-    * SQL string mirrors the corpus-scaled bucketing at every scale
-    * factor. Cosines are computed on original vectors → bitwise equal →
+  /** The banded-near-dup pipeline ([[embeddingNearDuplicates]]) as a
+    * DuckDB CTE chain ending in `bpairs` (DISTINCT verified pairs with
+    * their raw cosine) — shared by the pair query's oracle and the
+    * cluster oracle's recursive closure. The banded planes are DERIVED
+    * in SQL from the same md5 seeds (first digest byte's low bit, the
+    * proven cross-engine md5 parity trick) and the per-band plane count
+    * r from the same integer ladder over count(*), so one static SQL
+    * string mirrors the corpus-scaled bucketing at every scale factor.
+    * Cosines are computed on original vectors → bitwise equal →
     * DISTINCT collapses multi-band hits identically in both engines. */
-  /** The banded-near-dup pipeline as a CTE chain ending in `bpairs`
-    * (DISTINCT verified pairs with their raw cosine) — shared by the
-    * pair query's oracle and the cluster oracle's recursive closure. */
   def sqlBandedNearDupCtes(threshold: Double, numBands: Int, dim: Int,
       targetBucketCap: Long, minPlanes: Int, maxPlanes: Int): String = {
     val cos = sqlCosine("x.v", "y.v")

@@ -15,12 +15,24 @@ import org.apache.spark.sql.DataFrame
 object Par {
   def ensure(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    // decide from the scan's file list, not df.rdd.getNumPartitions: the
-    // latter forces a full extra physical-plan + RDD materialization per
-    // call, while inputFiles only inspects the resolved logical scan. A
-    // many-split single file may get one redundant (cheap) repartition;
-    // non-file sources (0 files) are left alone.
-    val nFiles = df.inputFiles.length
-    if (nFiles > 0 && nFiles < target) df.repartition(target) else df
+    // decide from scan metadata, not df.rdd.getNumPartitions: the latter
+    // forces a full extra physical-plan + RDD materialization per call.
+    // inputFiles inspects the resolved logical scan only; when the file
+    // count alone is inconclusive (< target), estimate the scan's split
+    // count from file sizes (a handful of driver-side FS metadata calls,
+    // bounded by target) so a single LARGE file that naturally splits
+    // wide is left alone. Non-file sources (0 files) are left alone.
+    val files = df.inputFiles
+    if (files.isEmpty || files.length >= target) return df
+    val maxSplitBytes = org.apache.spark.network.util.JavaUtils
+      .byteStringAsBytes(df.sparkSession.conf
+        .get("spark.sql.files.maxPartitionBytes", "128MB"))
+    val fs = new org.apache.hadoop.fs.Path(files.head)
+      .getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    val estSplits = files.map { f =>
+      val len = fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen
+      math.max(1L, (len + maxSplitBytes - 1) / maxSplitBytes)
+    }.sum
+    if (estSplits < target) df.repartition(target) else df
   }
 }
