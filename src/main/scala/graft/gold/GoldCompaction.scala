@@ -33,7 +33,13 @@ object GoldCompaction {
         * independent Spark job writing its own directory, so they pipeline
         * through the scheduler; the reference processes dates strictly
         * sequentially (SURVEY §7 "hard parts"). */
-      concurrency: Int = 4)
+      concurrency: Int = 4,
+      /** Catalog table to refresh after new partitions land — the Spark form
+        * of the reference's optional post-run crawler trigger
+        * (`incremental_auto_compaction.py:311-325`). Matches
+        * `LakeCatalog.factSalesTable` (kept a literal so the gold layer does
+        * not depend on the query layer). `None` disables. */
+      refreshTable: Option[String] = Some("retail_db.fact_sales"))
 
   final case class RunSummary(
       processedPartitions: Seq[String],
@@ -152,6 +158,21 @@ object GoldCompaction {
       "run_ts_utc" -> java.time.Instant.now().toString,
       "processed_partitions_count" -> selected.size,
       "results" -> results.map(metricsMap))))
+    // F1 epilogue — partition discovery for newly-written dates, so a
+    // registered analyst table never goes stale (the reference optionally
+    // re-triggers the crawler: `incremental_auto_compaction.py:311-325`).
+    // MSCK only scans the partition directory listing, not the data.
+    // Best-effort like the reference's try/except: a refresh failure (e.g.
+    // the table points at another lake whose files are gone) must not fail
+    // the compaction that already committed.
+    if (results.exists(_.status == "written"))
+      conf.refreshTable.filter(spark.catalog.tableExists).foreach { t =>
+        try spark.sql(s"MSCK REPAIR TABLE $t")
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[gold] catalog refresh of $t failed: $e")
+        }
+      }
     summary
   }
 

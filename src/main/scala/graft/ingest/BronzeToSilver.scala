@@ -48,6 +48,20 @@ object BronzeToSilver {
     def rejectRows: Long = rejectsByReason.values.sum
   }
 
+  /** File-level reject outcome of [[ingestFile]] (B3). Structural = the
+    * preflight gate said no (`lambda_validator.py:60-105`); SystemFailure =
+    * the ETL itself threw and the file was routed to `rejected/system/`
+    * (`glue_job_raw_to_processed.py:421-443`). */
+  sealed trait IngestReject { def kind: String; def detail: String }
+  object IngestReject {
+    final case class Structural(errors: Seq[String]) extends IngestReject {
+      val kind = "STRUCTURAL"; def detail: String = errors.mkString(";")
+    }
+    final case class SystemFailure(reason: String) extends IngestReject {
+      val kind = "SYSTEM"; def detail: String = reason
+    }
+  }
+
   /** Full job: read validated file → transform → write silver + rejects. */
   def run(spark: SparkSession, inputPath: String, conf: Conf): Result = {
     // A1 + C1: raw text lines, invisible-char scrub, blank filter
@@ -215,9 +229,18 @@ object BronzeToSilver {
     df.select(cols: _*)
   }
 
-  /** EP1 orchestration: preflight + routing + ETL for one raw file. */
+  /** EP1 orchestration: preflight + routing + ETL for one raw file.
+    *
+    * B3 failure half: any ETL exception routes the validated file to
+    * `rejected/system/` with a `_reason.json` sidecar and a notifier alert
+    * (`glue_job_raw_to_processed.py:421-443`, `move_to_system_reject` at
+    * `:64-88`). The staging commit in [[run]] already guarantees no partial
+    * silver partitions survive the failure; this adds the routing+alerting
+    * half so the file is never stranded in `validated/` (the watcher only
+    * picks up `raw/`, so a stranded file would otherwise be lost forever). */
   def ingestFile(spark: SparkSession, rawFile: String, layout: LakeLayout,
-      strictNullDq: Boolean = true): Either[String, Result] = {
+      strictNullDq: Boolean = true,
+      notifier: graft.lake.Notifier = graft.lake.Notifier.Log): Either[IngestReject, Result] = {
     val fileOps = new FileOps(spark.sparkContext.hadoopConfiguration)
     val origName = rawFile.split('/').last
     val runId = Naming.newRunId()
@@ -232,16 +255,33 @@ object BronzeToSilver {
         fileOps.move(archived, dst)
         fileOps.writeString(dst + "_reason.json",
           graft.lake.Json.render(Map("errors" -> decision.errors)))
-        Left(decision.errors.mkString(";"))
+        Left(IngestReject.Structural(decision.errors))
       case Preflight.ToValidated =>
         val validatedName = Naming.withTag(origName, "validated", uuid8 = runId)
         val validated = s"${layout.validated}/$validatedName"
         fileOps.move(archived, validated)
-        val result = run(spark, validated,
-          Conf(layout, runId, validatedName, strictNullDq))
-        //18: archive the validated file after a successful run
-        fileOps.move(validated, s"${layout.archiveValidated}/$validatedName")
-        Right(result)
+        try {
+          val result = run(spark, validated,
+            Conf(layout, runId, validatedName, strictNullDq))
+          //18: archive the validated file after a successful run
+          fileOps.move(validated, s"${layout.archiveValidated}/$validatedName")
+          Right(result)
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            val dst = s"${layout.rejectedSystem}/$validatedName"
+            // move is best-effort (reference swallows the copy error too:
+            // the reason sidecar + alert must land even if the move fails)
+            try fileOps.move(validated, dst)
+            catch { case scala.util.control.NonFatal(_) => () }
+            fileOps.writeString(dst + "_reason.json",
+              graft.lake.Json.render(Map(
+                "source_file" -> validatedName,
+                "ingest_run_id" -> runId,
+                "error" -> e.toString)))
+            notifier.notify("SYSTEM FAILURE",
+              s"$validatedName: ${e.toString}")
+            Left(IngestReject.SystemFailure(e.toString))
+        }
     }
   }
 }

@@ -33,7 +33,7 @@ object PipelineQueries {
         StandardCopyOption.REPLACE_EXISTING)
       BronzeToSilver.ingestFile(spark, s"${layout.raw}/$f", layout) match {
         case Right(r) => f -> r
-        case Left(err) => throw new IllegalStateException(s"$f preflight-rejected: $err")
+        case Left(err) => throw new IllegalStateException(s"$f ${err.kind}-rejected: ${err.detail}")
       }
     }.toMap
     (layout, results)

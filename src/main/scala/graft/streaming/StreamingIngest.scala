@@ -20,7 +20,7 @@ object StreamingIngest {
 
   final case class Tick(
       ingested: Seq[(String, BronzeToSilver.Result)],
-      rejected: Seq[(String, String)])
+      rejected: Seq[(String, BronzeToSilver.IngestReject)])
 
   /** Process every file currently in the raw zone, then return. Call in a
     * loop (or from a scheduler) for continuous ingest; files are moved out
@@ -35,7 +35,7 @@ object StreamingIngest {
     val files = fs.listStatus(rawPath).filter(_.isFile)
       .map(_.getPath.toString).sorted.toSeq
     val (ok, bad) = files.map { f =>
-      f -> BronzeToSilver.ingestFile(spark, f, layout, strictNullDq)
+      f -> BronzeToSilver.ingestFile(spark, f, layout, strictNullDq, notifier)
     }.partition(_._2.isRight)
     val tick = Tick(
       ok.collect { case (f, Right(r)) => f -> r },
@@ -44,8 +44,12 @@ object StreamingIngest {
       notifier.notify("DATA QUALITY REPORT",
         graft.lake.Notifier.dqSummary(f, r.totalRows, r.goodRows, r.rejectsByReason))
     }
-    tick.rejected.foreach { case (f, e) =>
-      notifier.notify("STRUCTURAL REJECT", s"$f: $e")
+    // system failures already alerted from inside ingestFile (the reference's
+    // move_to_system_reject publishes directly); only structural here
+    tick.rejected.foreach {
+      case (f, e: BronzeToSilver.IngestReject.Structural) =>
+        notifier.notify("STRUCTURAL REJECT", s"$f: ${e.detail}")
+      case _ => ()
     }
     tick
   }
