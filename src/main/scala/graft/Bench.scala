@@ -3,9 +3,12 @@ package graft
 /** Benchmark main: runs every declared query on SPARK_GRAFT_SF_DIR and
   * prints one JSON line with per-query wall-clock seconds.
   *
-  * Timing is `df.count()` per the driver contract — for most queries that
-  * still executes the full plan (aggregates/windows/joins can't be pruned
-  * away under a count), so it measures real operator throughput.
+  * Timing action is a `noop`-format write: every projected expression is
+  * evaluated and every row crosses the sink boundary, but nothing lands on
+  * disk. A bare `count()` (rounds 1-3) let Catalyst prune the projected
+  * expressions under pure-projection queries (q07-q17, q27, q40), timing
+  * scan+count instead of md5/regex/cleaning evaluation — VERDICT_r03's one
+  * measurement weakness. BASELINE.md re-records the affected queries.
   */
 object Bench {
   private def loadAvg: Double = {
@@ -41,7 +44,9 @@ object Bench {
           // cache scans instead of the operator
           spark.catalog.clearCache()
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() }
+          // full-plan execution: unlike count(), a noop write cannot have
+          // its projections pruned, so narrow per-row operators are timed
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
           catch { case _: Throwable => failed += name }
           Some((System.nanoTime() - t0) / 1e9)
         }

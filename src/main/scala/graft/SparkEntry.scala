@@ -17,7 +17,8 @@ object SparkEntry {
   private val all: Seq[QueryDef] =
     RetailQueries.defs ++ ParityQueries.defs ++ EventQueries.defs ++
       AnalyticsQueries.defs ++ TextQueries.defs ++ DedupQueries.defs ++
-      SimilarityQueries.defs ++ PipelineQueries.defs ++ SourceQueries.defs
+      SimilarityQueries.defs ++ PipelineQueries.defs ++ SourceQueries.defs ++
+      StreamingQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -34,9 +34,14 @@ import org.apache.spark.sql.SparkSessionExtensions
 object NativeAsOfJoin {
 
   /** Left as-of join via the custom physical operator. Output columns: all
-    * of `left`, then `right`'s columns minus the key. */
+    * of `left`, then `right`'s columns minus the key.
+    *
+    * `strict = true` matches the latest right row strictly BEFORE the left
+    * time (`rt < lt`) instead of at-or-before (`rt <= lt`) — DuckDB's
+    * `ASOF JOIN ... ON rt < lt` form. */
   def latestPrior(left: DataFrame, right: DataFrame, key: String,
-      leftTime: String, rightTime: String): DataFrame = {
+      leftTime: String, rightTime: String,
+      strict: Boolean = false): DataFrame = {
     // Self-healing registration: sessions built via GraftSession get the
     // strategy through spark.sql.extensions; any other session would
     // otherwise die at action time deep in the planner with no hint.
@@ -58,7 +63,32 @@ object NativeAsOfJoin {
     GraftSqlBridge.ofRows(left.sparkSession,
       AsOfJoinPlan(lPlan, rPlan,
         attr(lPlan.output, key, "left"), attr(rOut, key, "right"),
-        attr(lPlan.output, leftTime, "left"), attr(rOut, rightTime, "right")))
+        attr(lPlan.output, leftTime, "left"), attr(rOut, rightTime, "right"),
+        strict))
+  }
+
+  /** As-of join bounded by a tolerance: the matched right row must also
+    * satisfy `rightTime >= leftTime - tolerance` (DuckDB has no WITHIN
+    * clause, so both engines express the bound the same way: as-of join,
+    * then null out matches older than the window). Implemented as a
+    * projection over [[latestPrior]] — the right time column survives the
+    * join (only the right KEY is dropped), so the bound is a codegen'd
+    * row-local `when`, no second join or window. `leftTime`/`rightTime`
+    * must be distinct column names (they already must be for the join
+    * output to be unambiguous). */
+  def latestPriorWithin(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String,
+      tolerance: org.apache.spark.sql.Column,
+      strict: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.{col, when}
+    // materialize the bound once BEFORE rewriting any right column (the
+    // rewrite loop would otherwise change what `rightTime` refers to)
+    val flag = "__asof_within"
+    val joined = latestPrior(left, right, key, leftTime, rightTime, strict)
+      .withColumn(flag, col(rightTime) >= col(leftTime) - tolerance)
+    right.columns.filterNot(_ == key).foldLeft(joined)((d, c) =>
+        d.withColumn(c, when(col(flag), col(c))))
+      .drop(flag)
   }
 }
 
@@ -66,7 +96,8 @@ object NativeAsOfJoin {
   * child plans. */
 case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
     leftKey: Attribute, rightKey: Attribute,
-    leftTime: Attribute, rightTime: Attribute) extends BinaryNode {
+    leftTime: Attribute, rightTime: Attribute,
+    strict: Boolean = false) extends BinaryNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.filterNot(_.exprId == rightKey.exprId)
@@ -81,8 +112,8 @@ case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
   * through untouched. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, strict) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, strict) :: Nil
     case _ => Nil
   }
 }
@@ -100,7 +131,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   * merge pass per co-partition carrying the latest matching right row. */
 case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     leftKey: Attribute, rightKey: Attribute,
-    leftTime: Attribute, rightTime: Attribute) extends BinaryExecNode {
+    leftTime: Attribute, rightTime: Attribute,
+    strict: Boolean = false) extends BinaryExecNode {
 
   private def rightValues: Seq[Attribute] =
     right.output.filterNot(_.exprId == rightKey.exprId)
@@ -151,6 +183,9 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       var rHead: InternalRow = if (rIter.hasNext) rIter.next() else null
       var lastKey: UnsafeRow = null
       var lastVal: UnsafeRow = null
+      // strict (rt < lt) consumes/records only strictly-earlier right rows;
+      // an rt == lt row stays buffered for later (larger-lt) left rows
+      val timeBound = if (strict) -1 else 0
       lIter.map { l =>
         val lk = lKeyProj(l)
         val lt = lTimeProj(l)
@@ -163,7 +198,7 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
         while (scanning) {
           val rk = rKeyProj(rHead)
           val c = keyOrd.compare(rk, lk)
-          if (c < 0 || (c == 0 && timeOrd.compare(rTimeProj(rHead), lt) <= 0)) {
+          if (c < 0 || (c == 0 && timeOrd.compare(rTimeProj(rHead), lt) <= timeBound)) {
             if (c == 0 && !lkNull && !rk.isNullAt(0) &&
               !rTimeProj(rHead).isNullAt(0)) {
               lastKey = lk.copy()

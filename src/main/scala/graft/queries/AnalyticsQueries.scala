@@ -193,6 +193,51 @@ object AnalyticsQueries {
       .select(col("event_id"), col("bucket"), col("o_orderkey"))
   }
 
+  /** As-of join with a tolerance bound (q62): every click picks up the
+    * user's latest view at-or-before the click, but only if that view is
+    * within 30 minutes — older views are nulled out, the real-world
+    * attribution-window semantics. Both sides share the event time domain
+    * (orders end 2001, events live in 2024 — an order-side tolerance would
+    * null everything). DuckDB has no ASOF ... WITHIN clause, so the oracle
+    * states the identical two-step form: native ASOF join, then a CASE
+    * bound on the matched time. */
+  def asOfClickViewWithin(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.AsOfJoin
+    import graft.plans.NativeAsOfJoin
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val views = AsOfJoin.latestPerKeyTime(
+      ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("vts"),
+          col("event_id").as("view_id")),
+      "user_id", "vts", "view_id")
+    NativeAsOfJoin.latestPriorWithin(clicks, views, "user_id", "ts", "vts",
+        expr("INTERVAL 30 MINUTES"))
+      .select(col("event_id"), col("user_id"), col("view_id"))
+  }
+
+  /** Strictly-prior as-of join (q63): each click attributed to the user's
+    * latest view in an EARLIER minute — time is minute-truncated on both
+    * sides so the strict bound (`rt < lt`, DuckDB `ASOF ... ON rt < lt`)
+    * genuinely excludes same-minute views rather than only exact-µs ties. */
+  def asOfClickViewStrict(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.AsOfJoin
+    import graft.plans.NativeAsOfJoin
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"),
+        date_trunc("minute", col("ts")).as("cmin"))
+    val views = AsOfJoin.latestPerKeyTime(
+      ev.filter(col("event_type") === "view")
+        .select(col("user_id"), date_trunc("minute", col("ts")).as("vmin"),
+          col("event_id").as("view_id")),
+      "user_id", "vmin", "view_id")
+    NativeAsOfJoin.latestPrior(clicks, views, "user_id", "cmin", "vmin",
+        strict = true)
+      .select(col("event_id"), col("user_id"), col("view_id"))
+  }
+
   /** Range join: every event landing inside the 2-hour attribution window
     * opened by each purchase of the same user. The oracle states the naive
     * inequality join; the Spark side uses the binned equi-join. */
@@ -296,6 +341,31 @@ object AnalyticsQueries {
         AND e.ts < w.ts + INTERVAL 2 HOUR""")),
     QueryDef("q30_asof_join", asOfLatestOrder, Some(asOfOracle)),
     QueryDef("q38_asof_join_native", asOfLatestOrderNative, Some(asOfOracle)),
+    QueryDef("q62_asof_within", asOfClickViewWithin, Some("""
+      WITH c AS (SELECT event_id, user_id, ts FROM events
+        WHERE event_type = 'click'),
+      v AS (SELECT * FROM (
+        SELECT user_id, ts AS vts, event_id AS view_id,
+          row_number() OVER (PARTITION BY user_id, ts
+            ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'view') WHERE rn = 1)
+      SELECT c.event_id, c.user_id,
+        CASE WHEN v.vts >= c.ts - INTERVAL 30 MINUTE THEN v.view_id END
+          AS view_id
+      FROM c ASOF LEFT JOIN v
+        ON c.user_id = v.user_id AND v.vts <= c.ts""")),
+    QueryDef("q63_asof_strict", asOfClickViewStrict, Some("""
+      WITH c AS (SELECT event_id, user_id, date_trunc('minute', ts) AS cmin
+        FROM events WHERE event_type = 'click'),
+      v AS (SELECT * FROM (
+        SELECT user_id, date_trunc('minute', ts) AS vmin,
+          event_id AS view_id,
+          row_number() OVER (PARTITION BY user_id, date_trunc('minute', ts)
+            ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'view') WHERE rn = 1)
+      SELECT c.event_id, c.user_id, v.view_id
+      FROM c ASOF LEFT JOIN v
+        ON c.user_id = v.user_id AND v.vmin < c.cmin""")),
     QueryDef("q27_props_json", propsJson, Some("""
       SELECT event_id,
         TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value

@@ -1,0 +1,89 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.EventStreams
+
+/** Structured Streaming queries surfaced through the driver contract: the
+  * stream executes for real (file source → watermarked stateful agg →
+  * `foreachBatch` parquet sink) and the materialized result is returned as
+  * a DataFrame, so the driver's DuckDB hash gate verifies stream == batch —
+  * not just the specs (VERDICT_r03 task 4).
+  *
+  * Scale shape: the production form of this pipeline is the same code with
+  * `outputMode("append")` on an unbounded source — state per group bounded
+  * by (watermark horizon / slide) windows, emitted as watermark passes.
+  * The verification runner here uses `Trigger.AvailableNow` + complete mode
+  * because a bounded replay must also emit the windows the watermark never
+  * closes; state is (#windows in data span × #event types), fixed-size
+  * rows, far below executor memory at any sf (and independent of row
+  * count — 100 TB of events in the same time span adds no state).
+  */
+object StreamingQueries {
+
+  /** Stable scratch root per (tag, data dir) — reused across runs in the
+    * same or later JVMs and overwritten in place, so repeated bench/driver
+    * executions do not accumulate dirs (ADVICE r03). */
+  private[queries] def scratchDir(tag: String, dir: String): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_$key"
+  }
+
+  private def delete(path: String): Unit =
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+
+  /** q61 — the q58 sliding-window aggregate executed AS A STREAM.
+    *
+    * events.parquet is replayed through the file source (same
+    * nanos-as-long read + µs truncation as `Tables.events`), flows through
+    * the watermarked `EventStreams.slidingCounts` stateful aggregate, and
+    * lands in parquet via `foreachBatch`; the read-back result must
+    * hash-match the q58 batch oracle in DuckDB. The checkpoint is cleared
+    * first so every invocation recomputes from the source rather than
+    * replaying a prior run's offsets. */
+  def slidingHourlyStream(spark: SparkSession, dir: String): DataFrame = {
+    val src = s"$dir/events.parquet"
+    val out = scratchDir("stream_q61_out", dir)
+    val ckpt = scratchDir("stream_q61_ckpt", dir)
+    delete(ckpt)
+    // schema from the batch reader: ts arrives as nanos-since-epoch LONG
+    // (spark.sql.legacy.parquet.nanosAsLong), truncated to µs below
+    val schema = spark.read.parquet(src).schema
+    // a GLOB, not the literal file path: FileStreamSource force-sets
+    // basePath to a non-glob path, and a plain-file basePath fails
+    // partition inference ("Option 'basePath' must be a directory")
+    val stream = spark.readStream.schema(schema)
+      .parquet(s"$dir/events*.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val writeBatch: (Dataset[Row], Long) => Unit =
+      (batch, _) => batch.write.mode("overwrite").parquet(out)
+    val q = EventStreams.slidingCounts(stream)
+      .writeStream
+      .outputMode("complete")
+      .foreachBatch(writeBatch)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally { q.stop(); delete(ckpt) }
+    spark.read.parquet(out)
+  }
+
+  /** Same oracle text as q58 — the whole point: one SQL truth, two
+    * execution models (batch hash agg vs streaming stateful agg). */
+  private val slidingOracle = """
+      WITH expanded AS (
+        SELECT make_timestamp((epoch_us(ts) // 900000000 - s.i) * 900000000)
+            AS win_start,
+          event_type, value
+        FROM events, (SELECT unnest(range(4)) AS i) s)
+      SELECT win_start, event_type, COUNT(*) AS n_events,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM expanded GROUP BY 1, 2"""
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q61_sliding_hourly_stream", slidingHourlyStream,
+      Some(slidingOracle)))
+}

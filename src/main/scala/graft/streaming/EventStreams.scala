@@ -47,15 +47,18 @@ object EventStreams {
 
   /** Sliding 1-hour/15-minute windowed aggregate with a 10-minute
     * watermark — each event contributes to 4 overlapping windows (the
-    * streaming twin of the q58 batch query); state is bounded by
+    * streaming twin of the q58 batch query, full shape: counts + exact
+    * decimal-accumulated value sums); state is bounded by
     * (watermark horizon / slide) windows per group. */
   def slidingCounts(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double").as("sum_value"))
       .select(col("window.start").as("win_start"), col("event_type"),
-        col("n_events"))
+        col("n_events"), col("sum_value"))
 
   /** Watermarked stream-stream interval join: every event is attributed
     * to the purchase windows of the same user it falls into

@@ -91,6 +91,63 @@ class NativeAsOfJoinSpec extends SparkTestBase {
       (2L, null))) // NULL left time satisfies no rt <= lt
   }
 
+  test("strict variant: exact-time ties are excluded, earlier rows still match") {
+    val l = Seq((1L, 100L), (1L, 60L), (2L, 10L)).toDF("k", "t")
+    val r = Seq((1L, 100L, "at100"), (1L, 60L, "at60"), (1L, 40L, "at40"),
+      (2L, 10L, "at10")).toDF("k", "rt", "v")
+    val got = NativeAsOfJoin.latestPrior(l, r, "k", "t", "rt", strict = true)
+      .select("k", "t", "v")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getString(2))).toSet
+    assert(got == Set(
+      (1L, 100L, "at60"), // rt==100 tie excluded; latest strictly-prior wins
+      (1L, 60L, "at40"), // rt==60 tie excluded
+      (2L, 10L, null))) // only right row is AT the time — strict → no match
+    // the tie row stays buffered for later lefts, not consumed+discarded
+    val l2 = Seq((1L, 50L), (1L, 70L)).toDF("k", "t")
+    val r2 = Seq((1L, 50L, "x")).toDF("k", "rt", "v")
+    val got2 = NativeAsOfJoin.latestPrior(l2, r2, "k", "t", "rt", strict = true)
+      .select("t", "v")
+      .collect().map(x => (x.getLong(0), x.getString(1))).toSet
+    assert(got2 == Set((50L, null), (70L, "x")))
+  }
+
+  test("strict variant: empty sides and nulls behave like the inclusive form") {
+    val l = Seq((1L, 100L)).toDF("k", "t")
+    val empty = Seq.empty[(Long, Long, String)].toDF("k", "rt", "v")
+    assert(NativeAsOfJoin.latestPrior(l, empty, "k", "t", "rt", strict = true)
+      .collect().map(_.isNullAt(2)).toSeq == Seq(true))
+    assert(NativeAsOfJoin.latestPrior(empty.toDF("k", "t", "v")
+        .select("k", "t"), l.withColumnRenamed("t", "rt"),
+        "k", "t", "rt", strict = true).count() == 0L)
+    val nullTime = Seq((Option(1L), Option.empty[Long], "nt")).toDF("k", "rt", "v")
+    assert(NativeAsOfJoin.latestPrior(l, nullTime, "k", "t", "rt", strict = true)
+      .collect().map(_.isNullAt(3)).toSeq == Seq(true))
+  }
+
+  test("within variant: matches outside the tolerance are nulled, inside kept") {
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    val l = Seq((1L, ts(1000)), (1L, ts(5000)), (2L, ts(100)))
+      .toDF("k", "t")
+    val r = Seq((1L, ts(990), "recent"), (1L, ts(10), "stale"),
+      (2L, ts(100), "attime")).toDF("k", "rt", "v")
+    val got = NativeAsOfJoin.latestPriorWithin(l, r, "k", "t", "rt",
+        expr("INTERVAL 60 SECONDS"))
+      .select("k", "t", "v", "rt")
+      .collect().map(x => (x.getLong(0), x.getTimestamp(1).getTime / 1000,
+        x.getString(2), Option(x.getTimestamp(3)).map(_.getTime / 1000)))
+      .toSet
+    assert(got == Set(
+      (1L, 1000L, "recent", Some(990L)), // 10s old — within 60s
+      (1L, 5000L, null, None), // latest prior is 4010s old — nulled out
+      (2L, 100L, "attime", Some(100L)))) // boundary: exactly at t, kept
+    // exact boundary: rt == lt - tolerance is INSIDE the window (>=)
+    val lb = Seq((1L, ts(1000))).toDF("k", "t")
+    val rb = Seq((1L, ts(940), "edge")).toDF("k", "rt", "v")
+    val gb = NativeAsOfJoin.latestPriorWithin(lb, rb, "k", "t", "rt",
+        expr("INTERVAL 60 SECONDS")).select("v").collect()
+    assert(gb.map(_.getString(0)).toSeq == Seq("edge"))
+  }
+
   test("self-join inputs (shared lineage) do not collide on attribute ids") {
     val base = Seq((1L, 10L, "a"), (1L, 20L, "b")).toDF("k", "t", "v")
     val got = NativeAsOfJoin
