@@ -266,7 +266,16 @@ object Dedup {
     * when it fits comfortably on the driver (≤ `driverMaxEdges`, counted
     * from the already-materialized edge relation) the components are
     * solved with union-find in O(E·α) instead of scheduling distributed
-    * rounds — identical min-id labels either way (spec-pinned). */
+    * rounds — identical min-id labels either way (spec-pinned).
+    *
+    * CONTRACT — eager input materialization: `pairs` is consumed into an
+    * eager `localCheckpoint(true)` before this method returns, so the
+    * returned frame never re-reads the caller's lineage. Callers holding
+    * cache-release handles on `pairs`' inputs (e.g.
+    * `embeddingNearDuplicatesReleasable`) may therefore release them as
+    * soon as this method returns; if this implementation ever becomes
+    * lazy, those call sites must defer release until the result is
+    * materialized. */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 50,
       driverMaxEdges: Long = 1000000L): DataFrame = {
     val half = pairs

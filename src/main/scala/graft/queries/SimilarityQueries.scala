@@ -116,6 +116,9 @@ object SimilarityQueries {
     val (pairs, release) = Similarity.embeddingNearDuplicatesReleasable(
       Tables(spark, dir, "embeddings"), "vec_id", "embedding",
       threshold = 0.35, numBands = NumBands, dim = Dim)
+    // safe by connectedComponents' documented contract: it eagerly
+    // localCheckpoints the pair relation before returning, so `cc` never
+    // re-reads the released caches
     val cc = graft.dedup.Dedup.connectedComponents(
       pairs.select(col("a"), col("b")))
     release()

@@ -15,11 +15,10 @@ import graft.sources.TextSources
   */
 object SourceQueries {
 
-  // per-process component: two concurrent JVMs running the same query
-  // against the same data dir must not overwrite-vs-read each other's
-  // zone files (write and read-back always happen in one process)
+  // per-process scratch (pid isolation for concurrent JVMs, shutdown-hook
+  // cleanup so repeated runs don't accumulate /tmp dirs)
   private def zoneDir(tag: String, dir: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_${Integer.toHexString(dir.hashCode)}_${ProcessHandle.current().pid()}"
+    graft.util.Scratch.dir(tag, dir)
 
   private val customerSchema = StructType(Seq(
     StructField("c_custkey", LongType),

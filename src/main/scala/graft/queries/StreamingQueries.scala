@@ -23,14 +23,11 @@ import graft.streaming.EventStreams
   */
 object StreamingQueries {
 
-  /** Stable scratch root per (tag, data dir) — reused across runs in the
-    * same or later JVMs and overwritten in place, so repeated bench/driver
-    * executions do not accumulate dirs (ADVICE r03). */
-  private[queries] def scratchDir(tag: String, dir: String): String = {
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-    s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_$key"
-  }
+  // per-process scratch (pid isolation + shutdown-hook cleanup): the
+  // checkpoint in particular must never be shared between two concurrent
+  // JVMs, whose offset logs would corrupt each other
+  private def scratchDir(tag: String, dir: String): String =
+    graft.util.Scratch.dir(tag, dir)
 
   private def delete(path: String): Unit =
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))

@@ -53,6 +53,35 @@ object TextQueries {
       .select(col("doc_id"), col("lang"))
   }
 
+  // q64 mixing parameters — interpolated into BOTH the Spark plan and the
+  // oracle so they cannot drift apart
+  val MixHighE6 = 600000L
+  val MixMidE6 = 400000L
+  val MixRates = Map("high" -> 8000, "mid" -> 3000)
+  val MixDefaultBp = 500
+
+  /** Weighted corpus mixing (q64): documents bucketed by their q17 quality
+    * score, then sampled at per-bucket rates (80% high / 30% mid / 5% low)
+    * with the same doc_id hash predicate as q32 — a deterministic training
+    * mix that upweights high-quality text. The bucket is a DERIVED stratum
+    * (floor'd e6 score, engine-stable), the selection a pure function of
+    * (doc_id, bucket): any engine, any run, any cluster layout replays the
+    * identical corpus — the property that makes a 100 TB mix resumable and
+    * auditable. Shuffle-free: score, bucket, and hash gate are one narrow
+    * projection+filter over the scan. */
+  def corpusMix(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.Sampling
+    val scored = Tables(spark, dir, "documents")
+      .withColumn("quality_e6", floor(qualityScore(col("text")) * 1000000))
+      .withColumn("q_bucket",
+        when(col("quality_e6") >= MixHighE6, "high")
+          .when(col("quality_e6") >= MixMidE6, "mid")
+          .otherwise("low"))
+    Sampling.stratifiedHashSample(scored, "doc_id", col("q_bucket"),
+        MixRates, MixDefaultBp)
+      .select(col("doc_id"), col("q_bucket"), col("quality_e6"))
+  }
+
   /** C4-style repetition filter signals: top-word share of each document
     * (high share ⇒ boilerplate/spam). One explode + two aggregations. */
   def repetitionFilter(spark: SparkSession, dir: String): DataFrame = {
@@ -114,9 +143,15 @@ object TextQueries {
     * more), a term-keyed join — the df side is vocabulary-sized, far
     * smaller than the tf relation — and a per-doc top-k window. The corpus
     * size joins in as a broadcast 1-row aggregate, not a driver action.
-    * Ranking is by the tfidf double with a term tiebreak: both engines
-    * compute tf·ln(N/df) from identical integers, so ordering agrees
-    * except for sub-ulp cross-pair collisions (~1e-10 probability). */
+    * Ranking is on EXACT INTEGER keys (tf DESC, df ASC, term ASC) — for a
+    * fixed doc, higher tf then rarer term is tfidf-monotone per component
+    * and, unlike ordering on the double itself, cannot diverge across
+    * engines: ln carries no IEEE correct-rounding guarantee (ADVICE r03),
+    * so floor(tfidf·1e6) and a tfidf-ORDER tiebreak could flip on another
+    * libm. The tfidf double is instead ATTESTED (q54/q56 pattern): each
+    * engine checks exp(tfidf/tf)·df/N ≈ 1 within 1e-6 relative — true iff
+    * the value really is tf·ln(N/df) under any conforming libm — and the
+    * booleans hash-compare. */
   def tfidfTopTerms(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = graft.util.Par.ensure(Tables(spark, dir, "documents"))
@@ -134,11 +169,14 @@ object TextQueries {
       .crossJoin(broadcast(nDocs))
       .withColumn("tfidf", col("tf").cast("double") *
         log(col("n_docs").cast("double") / col("df").cast("double")))
-    val w = Window.partitionBy("doc_id").orderBy(desc("tfidf"), col("term"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(desc("tf"), col("df"), col("term"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"),
-        floor(col("tfidf") * 1000000).as("tfidf_e6"))
+        (abs(exp(col("tfidf") / col("tf").cast("double"))
+          * col("df").cast("double") / col("n_docs").cast("double")
+          - 1.0) < 0.000001).as("tfidf_ok"))
   }
 
   // PII patterns restricted to syntax Java regex and RE2 evaluate
@@ -175,17 +213,18 @@ object TextQueries {
       dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
       n AS (SELECT COUNT(*) AS n_docs FROM documents),
       scored AS (
-        SELECT t.doc_id, t.term, t.tf, d.df,
+        SELECT t.doc_id, t.term, t.tf, d.df, n.n_docs,
           t.tf::DOUBLE * ln(n.n_docs::DOUBLE / d.df::DOUBLE) AS tfidf
         FROM tf t JOIN dfreq d ON d.term = t.term, n),
       ranked AS (
-        SELECT doc_id, term, tf, df, tfidf,
+        SELECT doc_id, term, tf, df, tfidf, n_docs,
           row_number() OVER (PARTITION BY doc_id
-            ORDER BY tfidf DESC, term) AS rnk
+            ORDER BY tf DESC, df, term) AS rnk
         FROM scored)
       SELECT doc_id, CAST(rnk AS BIGINT) AS rank, term,
         CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
-        CAST(floor(tfidf * 1000000) AS BIGINT) AS tfidf_e6
+        abs(exp(tfidf / tf::DOUBLE) * df::DOUBLE / n_docs::DOUBLE - 1.0)
+          < 0.000001 AS tfidf_ok
       FROM ranked WHERE rnk <= 5""")),
     QueryDef("q50_top_bigrams", topBigrams, Some(s"""
       SELECT bigram, COUNT(*) AS n FROM (
@@ -260,10 +299,32 @@ object TextQueries {
       SELECT doc_id,
         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
           ELSE len(${sqlTokens("text")}) END AS BIGINT) AS n_words,
-        CAST(floor((CASE WHEN length(trim(text)) = 0 THEN 0.0 ELSE
-          least(${sqlLangScore("text", "en")} / (CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(${sqlTokens("text")}) END)::DOUBLE * 2.0, 1.0) * 0.4
-          + (1.0 - length(regexp_replace(text, '[^.,!?;:]', '', 'g'))::DOUBLE / length(text)::DOUBLE) * 0.3
-          + least(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / (CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(${sqlTokens("text")}) END)::DOUBLE / 10.0, 1.0) * 0.3
-        END) * 1000000) AS BIGINT) AS quality_e6
-      FROM documents""")))
+        $sqlQualityE6 AS quality_e6
+      FROM documents""")),
+    QueryDef("q64_corpus_mix", corpusMix, Some({
+      import graft.text.Sampling
+      s"""
+      WITH scored AS (
+        SELECT doc_id, $sqlQualityE6 AS quality_e6 FROM documents),
+      bucketed AS (
+        SELECT doc_id, quality_e6,
+          CASE WHEN quality_e6 >= $MixHighE6 THEN 'high'
+            WHEN quality_e6 >= $MixMidE6 THEN 'mid'
+            ELSE 'low' END AS q_bucket
+        FROM scored)
+      SELECT doc_id, q_bucket, quality_e6 FROM bucketed
+      WHERE ${Sampling.sqlHashBucket("doc_id")} <
+        ${Sampling.sqlStratumRate("q_bucket", MixRates, MixDefaultBp)}"""
+    })))
+
+  /** The q17 quality score at floor'd e6 precision as a DuckDB fragment —
+    * shared by q17 and the q64 mixing buckets so the two oracles cannot
+    * drift apart. floor of a bitwise-identical double is engine-stable;
+    * the derived bucket thresholds then compare exact BIGINTs. */
+  private def sqlQualityE6: String = s"""
+      CAST(floor((CASE WHEN length(trim(text)) = 0 THEN 0.0 ELSE
+        least(${sqlLangScore("text", "en")} / (CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(${sqlTokens("text")}) END)::DOUBLE * 2.0, 1.0) * 0.4
+        + (1.0 - length(regexp_replace(text, '[^.,!?;:]', '', 'g'))::DOUBLE / length(text)::DOUBLE) * 0.3
+        + least(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / (CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(${sqlTokens("text")}) END)::DOUBLE / 10.0, 1.0) * 0.3
+      END) * 1000000) AS BIGINT)"""
 }

@@ -27,9 +27,18 @@ object Sampling {
   /** Per-stratum deterministic sampling: `bpByStratum` maps stratum values
     * to basis-point rates; unlisted strata use `defaultBp`. */
   def stratifiedHashSample(df: DataFrame, keyCol: String, stratumCol: String,
+      bpByStratum: Map[String, Int], defaultBp: Int): DataFrame =
+    stratifiedHashSample(df, keyCol, col(stratumCol), bpByStratum, defaultBp)
+
+  /** As above with a DERIVED stratum expression (any string-valued Column
+    * — a quality bucket, a language group, a length band), so corpus
+    * mixing rates can key on computed signals without materializing an
+    * extra column first. Selection stays a pure function of (key, stratum
+    * value): no randomness anywhere. */
+  def stratifiedHashSample(df: DataFrame, keyCol: String, stratum: Column,
       bpByStratum: Map[String, Int], defaultBp: Int): DataFrame = {
     val rate = bpByStratum.foldLeft(lit(defaultBp)) { case (acc, (s, bp)) =>
-      when(col(stratumCol) === s, lit(bp)).otherwise(acc)
+      when(stratum === s, lit(bp)).otherwise(acc)
     }
     df.filter(hashBucket(col(keyCol)) < rate)
   }

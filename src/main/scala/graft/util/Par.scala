@@ -13,6 +13,14 @@ import org.apache.spark.sql.DataFrame
   * a no-op.
   */
 object Par {
+  /** CONTRACT — call on BASE FILE SCANS only (a frame whose partitioning
+    * is still the scan's split layout, before any shuffle/aggregate).
+    * The guard decides from `df.inputFiles`, which reflects the
+    * underlying scans, not the frame's current partitioning: on a
+    * post-shuffle or in-memory relation `inputFiles` is empty and the
+    * guard is deliberately a no-op, and on a derived plan it would
+    * mis-estimate — all internal callers apply it directly to the
+    * `Tables(...)` scan before any wide transform. */
   def ensure(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     // decide from scan metadata, not df.rdd.getNumPartitions: the latter

@@ -223,6 +223,39 @@ class ScaleSpecs extends SparkTestBase {
     }
   }
 
+  test("dynamic partition pruning fires on the registered gold catalog table") {
+    // the 100 TB read-path win the catalog surface exists for: an analyst
+    // joining retail_db.fact_sales to a filtered date dimension must only
+    // scan the partitions the dim filter selects, discovered AT RUNTIME
+    // via a dynamicpruning subquery (reference partition projection,
+    // docs/glue_crawlers.md:35-36)
+    import spark.implicits._
+    import graft.lake.LakeLayout
+    val root = java.nio.file.Files.createTempDirectory("graft_dppgold_").toString
+    val layout = LakeLayout(root)
+    (1 to 1000).map(i => (s"t$i", i.toDouble,
+        java.sql.Date.valueOf(s"2024-02-0${i % 5 + 1}")))
+      .toDF("transaction_id", "revenue", "date")
+      .write.partitionBy("date").mode("overwrite")
+      .parquet(layout.goldFactSales)
+    LakeCatalog.registerFactSales(spark, layout)
+    val dimPath = java.nio.file.Files.createTempDirectory("graft_dppdim2_").toString
+    Seq((java.sql.Date.valueOf("2024-02-01"), "keep"),
+        (java.sql.Date.valueOf("2024-02-02"), "drop"))
+      .toDF("date", "tag").write.mode("overwrite").parquet(dimPath)
+    try {
+      val dim = spark.read.parquet(dimPath).filter(col("tag") === "keep")
+      val joined = spark.table(LakeCatalog.factSalesTable).join(dim, Seq("date"))
+      assert(joined.collect().length == 200)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("dynamicpruning"), plan.take(2000))
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS ${LakeCatalog.factSalesTable}")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dimPath))
+    }
+  }
+
   test("partition pruning: date-filtered gold read scans a single partition") {
     // build a tiny two-date partitioned table and check the scan prunes
     import spark.implicits._
