@@ -15,7 +15,7 @@ object AnalyticsQueries {
   /** Semi-structured props: extract a typed field from the events JSON
     * payload (schema-on-read over a string column). */
   def propsJson(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
+    graft.util.Par.ensure(Tables.events(spark, dir))
       .select(col("event_id"),
         get_json_object(col("props"), "$.k").cast(LongType).as("k_value"))
 

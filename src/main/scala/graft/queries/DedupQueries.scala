@@ -164,6 +164,45 @@ object DedupQueries {
       SELECT src AS id, LEAST(src, MIN(dst)) AS cluster_id
       FROM reach GROUP BY src"""
 
+  /** Corpus collapse (q65) — the step the whole dedup pipeline exists
+    * for: every document labeled with its cluster canonical (minimum
+    * reachable doc id; itself when it has no near-dup) and a survives
+    * flag selecting exactly one representative per near-dup cluster.
+    * The cluster relation is tiny relative to the corpus (only docs in
+    * some verified pair), so the label join broadcasts; the corpus is
+    * scanned once. */
+  def dedupSurvivors(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents").select(col("doc_id"))
+    val (pairs, release) = Dedup.minhashNearDuplicatesWithRelease(
+      Tables(spark, dir, "documents"), "doc_id", "text", K, NH, RPB,
+      threshold = 0.5)
+    // safe by connectedComponents' eager-materialization contract
+    val cc = Dedup.connectedComponents(pairs.select(col("a"), col("b")))
+    release()
+    docs.join(broadcast(cc), docs("doc_id") === cc("id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("canonical_id"))
+      .withColumn("survives", col("doc_id") === col("canonical_id"))
+  }
+
+  private val dedupSurvivorsOracle = s"""WITH RECURSIVE $lshPairCtes,
+      pairs AS (SELECT a, b FROM jac WHERE jaccard >= 0.5),
+      edges AS (
+        SELECT a AS src, b AS dst FROM pairs
+        UNION ALL
+        SELECT b AS src, a AS dst FROM pairs),
+      reach AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      cc AS (
+        SELECT src AS id, LEAST(src, MIN(dst)) AS cluster_id
+        FROM reach GROUP BY src)
+      SELECT d.doc_id,
+        COALESCE(cc.cluster_id, d.doc_id) AS canonical_id,
+        d.doc_id = COALESCE(cc.cluster_id, d.doc_id) AS survives
+      FROM documents d LEFT JOIN cc ON cc.id = d.doc_id"""
+
   private val ngramJaccardOracle = s"""
       WITH cand AS (
         SELECT x.doc_id AS a, y.doc_id AS b
@@ -179,6 +218,7 @@ object DedupQueries {
       Some(Dedup.sqlSimhash("doc_id", "text", "documents"))),
     QueryDef("q23_ngram_jaccard", ngramJaccard, Some(ngramJaccardOracle)),
     QueryDef("q37_dup_clusters", dupClusters, Some(dupClustersOracle)),
+    QueryDef("q65_dedup_survivors", dedupSurvivors, Some(dedupSurvivorsOracle)),
     QueryDef("q43_contamination", contamination, Some(contaminationOracle)),
     QueryDef("q44_simhash_near_dups", simhashDups,
       Some(Dedup.sqlSimhashNearDuplicates("doc_id", "text", "documents"))))

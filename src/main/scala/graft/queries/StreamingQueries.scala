@@ -68,6 +68,55 @@ object StreamingQueries {
     spark.read.parquet(out)
   }
 
+  /** q66 — stateful gap sessionization executed AS A STREAM: the
+    * `flatMapGroupsWithState` operator (one compact state record per
+    * user, event-time timeout eviction) replayed over the events file and
+    * hash-matched against the q19 batch-window oracle. Proves the custom
+    * state logic — not just a built-in windowed agg — agrees with batch
+    * under the driver gate. */
+  def sessionizeStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val src = s"$dir/events.parquet"
+    val out = scratchDir("stream_q66_out", dir)
+    val ckpt = scratchDir("stream_q66_ckpt", dir)
+    delete(ckpt); delete(out)
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema)
+      .parquet(s"$dir/events*.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .as[EventStreams.Event]
+    // append, not overwrite: AvailableNow runs a FINAL no-data batch to
+    // advance the watermark and fire state timeouts — in append mode that
+    // batch emits nothing, and an overwrite sink would clobber the real
+    // output with the empty frame (out dir is cleared above instead)
+    val writeBatch: (Dataset[EventStreams.SessionAssignment], Long) => Unit =
+      (batch, _) => batch.write.mode("append").parquet(out)
+    val q = EventStreams.sessionize(stream)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch(writeBatch)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally { q.stop(); delete(ckpt) }
+    spark.read.parquet(out)
+      .select(col("event_id"), col("user_id"), col("session_seq"))
+  }
+
+  /** Same oracle text as q19's batch-window sessionization. */
+  private val sessionizeOracle = """
+      SELECT event_id, user_id,
+        CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+      FROM (
+        SELECT event_id, user_id, ts,
+          CASE WHEN lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+            OR epoch_us(ts) - lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+            THEN 1 ELSE 0 END AS is_new
+        FROM events)"""
+
   /** Same oracle text as q58 — the whole point: one SQL truth, two
     * execution models (batch hash agg vs streaming stateful agg). */
   private val slidingOracle = """
@@ -82,5 +131,7 @@ object StreamingQueries {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q61_sliding_hourly_stream", slidingHourlyStream,
-      Some(slidingOracle)))
+      Some(slidingOracle)),
+    QueryDef("q66_sessionize_stream", sessionizeStream,
+      Some(sessionizeOracle)))
 }

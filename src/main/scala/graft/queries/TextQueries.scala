@@ -12,14 +12,14 @@ object TextQueries {
 
   /** Token counting: whitespace tokens + BPE-ish regex pre-tokens. */
   def tokenCounts(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents").select(
+    graft.util.Par.ensure(Tables(spark, dir, "documents")).select(
       col("doc_id"),
       wsTokenCount(col("text")).cast("long").as("ws_tokens"),
       bpeTokenCount(col("text")).cast("long").as("bpe_tokens"))
 
   /** Document fingerprints: normalized md5 + order-sensitive rolling hash. */
   def fingerprints(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents").select(
+    graft.util.Par.ensure(Tables(spark, dir, "documents")).select(
       col("doc_id"),
       normalizedFingerprint(col("text")).as("fingerprint_md5"),
       rollingHash(col("text")).as("fingerprint_rolling"))
@@ -28,7 +28,7 @@ object TextQueries {
   def langId(spark: SparkSession, dir: String): DataFrame = {
     val scoreCols = stopwords.keys.toSeq.map(l =>
       langScore(col("text"), l).cast("long").as(s"score_$l"))
-    Tables(spark, dir, "documents").select(
+    graft.util.Par.ensure(Tables(spark, dir, "documents")).select(
       (col("doc_id") +: scoreCols :+
         predictedLang(col("text")).as("pred_lang")): _*)
   }
@@ -39,7 +39,7 @@ object TextQueries {
     * where decimal `round` is not (observed: 0.4284375 rounding 6-dp
     * differently in Spark vs DuckDB). */
   def quality(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents").select(
+    graft.util.Par.ensure(Tables(spark, dir, "documents")).select(
       col("doc_id"),
       wsTokenCount(col("text")).cast("long").as("n_words"),
       floor(qualityScore(col("text")) * 1000000).as("quality_e6"))
@@ -71,7 +71,7 @@ object TextQueries {
     * projection+filter over the scan. */
   def corpusMix(spark: SparkSession, dir: String): DataFrame = {
     import graft.text.Sampling
-    val scored = Tables(spark, dir, "documents")
+    val scored = graft.util.Par.ensure(Tables(spark, dir, "documents"))
       .withColumn("quality_e6", floor(qualityScore(col("text")) * 1000000))
       .withColumn("q_bucket",
         when(col("quality_e6") >= MixHighE6, "high")
@@ -191,7 +191,7 @@ object TextQueries {
     * not a no-op. Scrubbed text is exported as md5 to keep the dump
     * small. */
   def piiScrub(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
+    graft.util.Par.ensure(Tables(spark, dir, "documents"))
       .select(col("doc_id"), concat(col("text"),
         lit(" contact user"), col("doc_id").cast("string"),
         lit("@mail.example.com or 555-867-530"),
