@@ -98,4 +98,34 @@ object Multimodal {
     * type (decoder sessions stay hot; skew handled by AQE at scale). */
   def partitionByModality(media: Dataset[MediaRow], partitions: Int): Dataset[MediaRow] =
     media.repartition(partitions, col("media_type"))
+
+  /** Probed (not sidecar-trusted) image dimensions. */
+  final case class ProbedDims(media_id: Long, format: Option[String],
+      width: Option[Int], height: Option[Int])
+
+  /** REAL header metadata extraction (see [[ImageHeaders]]) — unlike the
+    * decode stub this parses actual PNG/GIF/JPEG container bytes, the
+    * resolution/aspect filtering pass a corpus pipeline runs before any
+    * pixel decode. Narrow mapPartitions over the payload column. */
+  def probeDimensions(media: Dataset[MediaRow]): Dataset[ProbedDims] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { m =>
+      ImageHeaders.dims(m.payload) match {
+        case Some((f, w, h)) => ProbedDims(m.media_id, Some(f), Some(w), Some(h))
+        case None => ProbedDims(m.media_id, None, None, None)
+      }
+    })
+  }
+
+  /** PNG dimensions as pure codegen'd column expressions (fixed-offset
+    * big-endian fields — `substring`/`hex`/`conv`, no UDF): the zero-JVM
+    * path for the dominant format. Null for non-PNG payloads; the
+    * mapPartitions probe covers marker-scanned formats (JPEG). */
+  def pngDimsCol(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val isPng = hex(substring(payload, 1, 8)) === "89504E470D0A1A0A" &&
+      hex(substring(payload, 13, 4)) === "49484452" // "IHDR"
+    val w = conv(hex(substring(payload, 17, 4)), 16, 10).cast("int")
+    val h = conv(hex(substring(payload, 21, 4)), 16, 10).cast("int")
+    when(isPng, struct(w.as("width"), h.as("height")))
+  }
 }

@@ -82,6 +82,38 @@ object TextQueries {
       .select(col("doc_id"), col("q_bucket"), col("quality_e6"))
   }
 
+  // q67 span width, interpolated into BOTH sides
+  private val SpanW = 4
+
+  /** Span-level exact dedup (q67) — the C4/RefinedWeb "remove duplicated
+    * spans across the corpus" step at sub-document granularity: documents
+    * are chunked into consecutive `SpanW`-word spans, a span occurrence
+    * survives iff it is the corpus-wide FIRST occurrence of that exact
+    * span text (ordered by doc_id, position — deterministic), and each
+    * doc reports how much of it survives. Two shuffles: one window keyed
+    * on the span text (first-occurrence flag), one hash-agg on doc_id —
+    * both scale-safe; span strings could be keyed by hash at 100 TB to
+    * shrink shuffle width, kept as text here so the oracle is exact. */
+  def spanDedup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = graft.util.Par.ensure(Tables(spark, dir, "documents"))
+      .filter(length(trim(col("text"))) =!= 0)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+    val nSpans = ceil(size(col("t")).cast("double") / SpanW).cast("long")
+    val spans = docs.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0L), nSpans - 1),
+        i => concat_ws(" ", slice(col("t"), i * SpanW + 1, lit(SpanW)))))
+        .as(Seq("span_idx", "span")))
+    val w = Window.partitionBy("span").orderBy("doc_id", "span_idx")
+    spans.withColumn("rn", row_number().over(w))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dup_spans"))
+      .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
+        floor((col("n_spans") - col("n_dup_spans")).cast("double") /
+          col("n_spans").cast("double") * 1000000).as("retained_e6"))
+  }
+
   /** C4-style repetition filter signals: top-word share of each document
     * (high share ⇒ boilerplate/spam). One explode + two aggregations. */
   def repetitionFilter(spark: SparkSession, dir: String): DataFrame = {
@@ -261,6 +293,30 @@ object TextQueries {
       WHERE ${Sampling.sqlHashBucket("doc_id")} <
         ${Sampling.sqlStratumRate("lang", Map("en" -> 3000), 1000)}"""
     })),
+    QueryDef("q67_span_dedup", spanDedup, Some(s"""
+      WITH toks AS (
+        SELECT doc_id, ${sqlTokens("text")} AS t FROM documents
+        WHERE length(trim(text)) <> 0),
+      ex AS (
+        SELECT doc_id,
+          unnest(range(CAST(ceil(len(t) / $SpanW.0) AS BIGINT))) AS i, t
+        FROM toks),
+      spans AS (
+        SELECT doc_id, i AS span_idx,
+          array_to_string(list_slice(t, i*$SpanW + 1, i*$SpanW + $SpanW), ' ')
+            AS span
+        FROM ex),
+      flagged AS (
+        SELECT doc_id,
+          row_number() OVER (PARTITION BY span ORDER BY doc_id, span_idx)
+            AS rn
+        FROM spans)
+      SELECT doc_id, COUNT(*) AS n_spans,
+        CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_dup_spans,
+        CAST(floor((COUNT(*) - SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END))::DOUBLE
+          / COUNT(*)::DOUBLE * 1000000) AS BIGINT) AS retained_e6
+      FROM flagged GROUP BY doc_id""")),
     QueryDef("q33_repetition_filter", repetitionFilter, Some(s"""
       WITH counts AS (
         SELECT doc_id, tok, COUNT(*) AS cnt

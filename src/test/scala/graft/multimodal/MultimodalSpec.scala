@@ -45,6 +45,64 @@ class MultimodalSpec extends SparkTestBase {
     assert(frames.map(_.getInt(1)).sorted.toSeq == Seq(0, 2, 4, 6))
   }
 
+  // genuine container bytes, built field by field from the format specs
+  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    val ihdrLen = Array(0, 0, 0, 13).map(_.toByte)
+    val ihdr = "IHDR".getBytes ++
+      Array(w >> 24, w >> 16, w >> 8, w).map(_.toByte) ++
+      Array(h >> 24, h >> 16, h >> 8, h).map(_.toByte) ++
+      Array[Byte](8, 6, 0, 0, 0) // bit depth, color type, ...
+    sig ++ ihdrLen ++ ihdr ++ Array[Byte](0, 0, 0, 0)
+  }
+  private def gifBytes(w: Int, h: Int): Array[Byte] =
+    "GIF89a".getBytes ++
+      Array(w & 0xff, w >> 8, h & 0xff, h >> 8, 0, 0, 0).map(_.toByte)
+  private def jpegBytes(w: Int, h: Int): Array[Byte] = {
+    val soi = Array(0xff, 0xd8).map(_.toByte)
+    // APP0/JFIF segment before the frame header, as real encoders emit
+    val app0 = Array(0xff, 0xe0, 0, 16).map(_.toByte) ++
+      "JFIF".getBytes ++ Array[Byte](0, 1, 1, 0, 0, 1, 0, 1, 0, 0)
+    val sof0 = Array(0xff, 0xc0, 0, 17, 8,
+      h >> 8, h & 0xff, w >> 8, w & 0xff, 3).map(_.toByte) ++
+      Array[Byte](1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1)
+    soi ++ app0 ++ sof0
+  }
+
+  test("header probe parses real PNG/GIF/JPEG container bytes") {
+    assert(ImageHeaders.dims(pngBytes(640, 480)).contains(("png", 640, 480)))
+    assert(ImageHeaders.dims(gifBytes(320, 200)).contains(("gif", 320, 200)))
+    assert(ImageHeaders.dims(jpegBytes(1920, 1080)).contains(("jpeg", 1920, 1080)))
+    // dimensions above one byte exercise the endianness handling
+    assert(ImageHeaders.dims(pngBytes(70000, 3)).contains(("png", 70000, 3)))
+    assert(ImageHeaders.dims(jpegBytes(258, 515)).contains(("jpeg", 258, 515)))
+    // garbage, truncation, empty → None, never a crash
+    assert(ImageHeaders.dims(payload(9, 64)).isEmpty)
+    assert(ImageHeaders.dims(pngBytes(640, 480).take(20)).isEmpty)
+    assert(ImageHeaders.dims(Array.emptyByteArray).isEmpty)
+    val probed = probeDimensions(Seq(
+        MediaRow(1L, "image", pngBytes(12, 34), 0, 0, 0L),
+        MediaRow(2L, "image", jpegBytes(56, 78), 0, 0, 0L),
+        MediaRow(3L, "image", payload(3, 100), 0, 0, 0L)).toDS())
+      .collect().sortBy(_.media_id)
+    assert(probed(0) == ProbedDims(1L, Some("png"), Some(12), Some(34)))
+    assert(probed(1) == ProbedDims(2L, Some("jpeg"), Some(56), Some(78)))
+    assert(probed(2) == ProbedDims(3L, None, None, None))
+  }
+
+  test("PNG dimensions via pure column expressions match the JVM parser") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq((1L, pngBytes(800, 600)), (2L, gifBytes(10, 10)),
+        (3L, pngBytes(65537, 2)))
+      .toDF("media_id", "payload")
+      .select(col("media_id"), pngDimsCol(col("payload")).as("dims"))
+      .collect().map(r => r.getLong(0) ->
+        Option(r.getStruct(1)).map(s => (s.getInt(0), s.getInt(1)))).toMap
+    assert(df(1L).contains((800, 600)))
+    assert(df(2L).isEmpty) // non-PNG → null, no misparse
+    assert(df(3L).contains((65537, 2)))
+  }
+
   test("modality partitioning co-locates media types") {
     // every media type must land in exactly one partition (hash
     // partitioning may place several types together — that's fine)
