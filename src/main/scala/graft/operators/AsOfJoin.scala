@@ -51,11 +51,24 @@ object AsOfJoin {
   }
 
   /** Deterministic right-side dedup for as-of inputs: one row per
-    * (key, time), keeping the row with the greatest tiebreak column. */
+    * (key, time), keeping the row with the greatest tiebreak column.
+    *
+    * The window partitions by KEY ALONE (ordered by time, tiebreak
+    * descending; a (key, time) run's first row is its max-tiebreak row)
+    * rather than by (key, time): the output then stays hash-partitioned
+    * on exactly the key, which satisfies the as-of join's clustering
+    * requirement directly — one shuffle for dedup + join instead of two
+    * back-to-back exchanges of the same relation. */
   def latestPerKeyTime(df: DataFrame, key: String, time: String,
       tiebreak: String): DataFrame = {
-    val w = Window.partitionBy(key, time).orderBy(desc(tiebreak))
+    val w = Window.partitionBy(key).orderBy(col(time), desc(tiebreak))
     df.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1).drop("_rn")
+      .withColumn("_prev_t", lag(col(time), 1).over(w))
+      // keep a row iff it starts a new time run; `<=>` (null-safe equal)
+      // makes repeated NULL times dedup like values, and the row_number
+      // test keeps a partition's genuine first row even when its time is
+      // NULL (lag is NULL there too, so `<=>` alone would drop it)
+      .filter(col("_rn") === 1 || !(col("_prev_t") <=> col(time)))
+      .drop("_rn", "_prev_t")
   }
 }
