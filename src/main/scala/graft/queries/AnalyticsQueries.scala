@@ -66,6 +66,35 @@ object AnalyticsQueries {
           greatest(lit(5.0), col("n_exact") * 0.10)).as("approx_in_tolerance"))
   }
 
+  /** Count-min-sketch heavy hitters (q68) — completes the mergeable-sketch
+    * trio (HLL distinct q54, KLL-style quantiles q56, CMS frequencies):
+    * the corpus term stream feeds a fixed-size count-min sketch built
+    * distributed (treeAggregate under `stat.countMinSketch`; deterministic
+    * for a fixed seed), then the exact top-50 terms are attested against
+    * it. Sketch estimates are engine-specific, so the export follows the
+    * q54/q56 pattern: exact values hash-compare, the sketch contributes a
+    * boolean the oracle pins true — here the CMS contract itself,
+    * exact ≤ estimate ≤ exact + εN. The exact side is one hash-agg +
+    * TakeOrderedAndProject; only the 50 attested rows touch the driver. */
+  def cmsHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextAnalysis.tokens
+    val eps = 0.001
+    val terms = graft.util.Par.ensure(Tables(spark, dir, "documents"))
+      .filter(length(trim(col("text"))) =!= 0) // empty text splits to [""]
+      .select(explode(tokens(col("text"))).as("term"))
+    val sketch = terms.stat.countMinSketch("term", eps, 0.99, seed = 42)
+    val top = terms.groupBy("term").agg(count(lit(1)).as("n_exact"))
+      .orderBy(desc("n_exact"), col("term")).limit(50)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val totalN = sketch.totalCount()
+    val rows = top.map { case (term, exact) =>
+      val est = sketch.estimateCount(term)
+      (term, exact, est >= exact && est <= exact + (eps * totalN).ceil.toLong)
+    }
+    import spark.implicits._
+    rows.toSeq.toDF("term", "n_exact", "cms_in_bounds")
+  }
+
   /** Cube aggregation: revenue across every combination of order status ×
     * priority, including the per-dimension and grand-total slices. */
   def statusPriorityCube(spark: SparkSession, dir: String): DataFrame =
@@ -378,6 +407,16 @@ object AnalyticsQueries {
       JOIN nation ON c_nationkey = n_nationkey
       JOIN region ON n_regionkey = r_regionkey
       GROUP BY ROLLUP(r_name, n_name)""")),
+    QueryDef("q68_cms_heavy_hitters", cmsHeavyHitters, Some({
+      import graft.text.TextAnalysis.sqlTokens
+      s"""
+      WITH t AS (
+        SELECT unnest(${sqlTokens("text")}) AS term FROM documents
+        WHERE length(trim(text)) <> 0)
+      SELECT term, COUNT(*) AS n_exact, TRUE AS cms_in_bounds
+      FROM t GROUP BY term
+      ORDER BY n_exact DESC, term LIMIT 50"""
+    })),
     QueryDef("q54_approx_distinct_rollup", approxDistinctRollup, Some("""
       SELECT r_name, strftime(o_orderdate, '%Y-%m') AS month,
         COUNT(DISTINCT o_custkey) AS n_exact,
