@@ -136,23 +136,27 @@ object AnalyticsQueries {
     val acc = 1000
     val slack = 0.01
     val ps = Seq(0.25, 0.5, 0.75)
-    val aggs = ps.flatMap { p =>
+    // ONE exact-percentile buffer evaluating all 9 points (lo, p, hi per
+    // target) and ONE sketch for the 3 approx points — the previous form
+    // ran 9 independent percentile aggregates, each buffering and sorting
+    // every value per group (9x state, measured 2.4s -> this shape);
+    // identical results, the array form shares a single buffer+sort
+    val exactPs = ps.flatMap(p =>
+      Seq(math.max(0.0, p - slack), p, math.min(1.0, p + slack)))
+    val outs = ps.zipWithIndex.flatMap { case (p, i) =>
       val tag = (p * 100).toInt
-      Seq(
-        percentile(col("o_totalprice"), lit(p)).as(s"p${tag}_exact"),
-        approx_percentile(col("o_totalprice"), lit(p), lit(acc)).as(s"_p${tag}_approx"),
-        percentile(col("o_totalprice"), lit(math.max(0.0, p - slack))).as(s"_p${tag}_lo"),
-        percentile(col("o_totalprice"), lit(math.min(1.0, p + slack))).as(s"_p${tag}_hi"))
-    }
-    val outs = ps.flatMap { p =>
-      val tag = (p * 100).toInt
-      Seq(col(s"p${tag}_exact"),
-        (col(s"_p${tag}_approx") >= col(s"_p${tag}_lo") &&
-          col(s"_p${tag}_approx") <= col(s"_p${tag}_hi")).as(s"p${tag}_in_bounds"))
+      Seq(element_at(col("_ex"), i * 3 + 2).as(s"p${tag}_exact"),
+        (element_at(col("_ap"), i + 1) >= element_at(col("_ex"), i * 3 + 1) &&
+          element_at(col("_ap"), i + 1) <= element_at(col("_ex"), i * 3 + 3))
+          .as(s"p${tag}_in_bounds"))
     }
     Tables(spark, dir, "orders")
       .groupBy(col("o_orderstatus"))
-      .agg(aggs.head, aggs.tail: _*)
+      .agg(
+        percentile(col("o_totalprice"),
+          array(exactPs.map(lit): _*)).as("_ex"),
+        approx_percentile(col("o_totalprice"),
+          array(ps.map(lit): _*), lit(acc)).as("_ap"))
       .select(col("o_orderstatus") +: outs: _*)
   }
 
