@@ -105,6 +105,52 @@ object StreamingQueries {
       .select(col("event_id"), col("user_id"), col("session_seq"))
   }
 
+  /** q69 — the watermarked STREAM-STREAM interval join replayed over the
+    * events file: every event attributed to the same user's purchase
+    * windows ([purchase_ts, purchase_ts + 2h)), hash-matched against the
+    * q31 batch range-join oracle. Completes the streaming-oracled trio:
+    * stateful agg (q61), custom state (q66), two-sided join state (q69).
+    * Inner stream-stream joins emit eagerly as matches arrive, so the
+    * bounded replay produces the full batch result; the event-time range
+    * condition plus both watermarks are what bound the join state on an
+    * unbounded run. */
+  def intervalJoinStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val src = s"$dir/events.parquet"
+    val out = scratchDir("stream_q69_out", dir)
+    val ckpt = scratchDir("stream_q69_ckpt", dir)
+    delete(ckpt); delete(out)
+    val schema = spark.read.parquet(src).schema
+    def eventStream: Dataset[EventStreams.Event] =
+      spark.readStream.schema(schema)
+        .parquet(s"$dir/events*.parquet")
+        .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .as[EventStreams.Event]
+    val joined = EventStreams.attributeToPurchases(
+      eventStream, eventStream.filter(_.event_type == "purchase"))
+    val writeBatch: (Dataset[Row], Long) => Unit =
+      (batch, _) => batch.write.mode("append").parquet(out)
+    val q = joined.writeStream
+      .outputMode("append")
+      .foreachBatch(writeBatch)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally { q.stop(); delete(ckpt) }
+    spark.read.parquet(out)
+  }
+
+  /** Same oracle text as q31's batch range join. */
+  private val intervalJoinOracle = """
+      SELECT e.event_id, e.user_id, w.event_id AS window_id
+      FROM events e JOIN events w
+        ON e.user_id = w.user_id
+        AND w.event_type = 'purchase'
+        AND e.ts >= w.ts
+        AND e.ts < w.ts + INTERVAL 2 HOUR"""
+
   /** Same oracle text as q19's batch-window sessionization. */
   private val sessionizeOracle = """
       SELECT event_id, user_id,
@@ -133,5 +179,7 @@ object StreamingQueries {
     QueryDef("q61_sliding_hourly_stream", slidingHourlyStream,
       Some(slidingOracle)),
     QueryDef("q66_sessionize_stream", sessionizeStream,
-      Some(sessionizeOracle)))
+      Some(sessionizeOracle)),
+    QueryDef("q69_interval_join_stream", intervalJoinStream,
+      Some(intervalJoinOracle)))
 }
