@@ -82,6 +82,28 @@ object TextQueries {
       .select(col("doc_id"), col("q_bucket"), col("quality_e6"))
   }
 
+  // q70 shard count, interpolated into BOTH sides
+  private val ShuffleShards = 16
+
+  /** Deterministic global shuffle (q70) — the reproducible "shuffle the
+    * corpus before packing/epochs" step: every doc gets a (shard,
+    * position) from a salted stable hash, independent of cluster layout,
+    * partitioning, or run. One hash-shuffle on the shard key and a
+    * per-shard sort — a true global random ORDER would instead serialize
+    * 100 TB through a single-partition sort; per-shard positions give the
+    * same statistical shuffle with shard-parallel ordering. Re-salting
+    * re-shuffles reproducibly (epoch seeds). */
+  def deterministicShuffle(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = wordHash(concat(lit("shuf:"), col("doc_id").cast("string")))
+    val w = Window.partitionBy("shard").orderBy("hv", "doc_id")
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), h.as("hv"))
+      .withColumn("shard", pmod(col("hv"), lit(ShuffleShards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+  }
+
   // q67 span width, interpolated into BOTH sides
   private val SpanW = 4
 
@@ -293,6 +315,15 @@ object TextQueries {
       WHERE ${Sampling.sqlHashBucket("doc_id")} <
         ${Sampling.sqlStratumRate("lang", Map("en" -> 3000), 1000)}"""
     })),
+    QueryDef("q70_deterministic_shuffle", deterministicShuffle, Some(s"""
+      WITH h AS (
+        SELECT doc_id,
+          ${sqlWordHash("('shuf:' || CAST(doc_id AS VARCHAR))")} AS hv
+        FROM documents)
+      SELECT doc_id, hv % $ShuffleShards AS shard,
+        CAST(row_number() OVER (PARTITION BY hv % $ShuffleShards
+          ORDER BY hv, doc_id) AS BIGINT) AS pos
+      FROM h""")),
     QueryDef("q67_span_dedup", spanDedup, Some(s"""
       WITH toks AS (
         SELECT doc_id, ${sqlTokens("text")} AS t FROM documents
