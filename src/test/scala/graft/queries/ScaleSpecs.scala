@@ -100,6 +100,42 @@ class ScaleSpecs extends SparkTestBase {
     assert(!plan.contains("Exchange SinglePartition"), plan)
   }
 
+  test("as-of join shuffles each side exactly once (dedup window reuses the key partitioning)") {
+    // latestPerKeyTime partitions its window by the key ALONE so its
+    // output satisfies AsOfJoinExec's clustering without a second
+    // exchange — a regression to (key, time) partitioning doubles the
+    // right side's shuffles
+    val df = AnalyticsQueries.asOfClickViewStrict(spark, dir)
+    df.collect()
+    // adaptive plans print Final AND Initial sections — count the final only
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 2, s"expected 2 exchanges, got $exchanges:\n${plan.take(3000)}")
+  }
+
+  test("dedup survivors broadcast the cluster labels onto a single corpus scan") {
+    val df = DedupQueries.dedupSurvivors(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the label relation (only docs in some verified pair) is tiny
+    // relative to the corpus: it must broadcast, never shuffle the corpus
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftOuter"),
+      plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+  }
+
+  test("deterministic shuffle orders within shards, never range-partitions globally") {
+    val df = TextQueries.deterministicShuffle(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Exchange hashpartitioning(shard"), plan.take(2000))
+    // a global ORDER BY would appear as a rangepartitioning exchange —
+    // the single-partition serialization the op exists to avoid
+    assert(!plan.contains("rangepartitioning"), plan.take(2000))
+    assert(!plan.contains("Exchange SinglePartition"), plan.take(2000))
+  }
+
   test("scans prune columns: token counting reads only doc_id and text") {
     val df = TextQueries.tokenCounts(spark, dir)
     val scan = df.queryExecution.executedPlan.toString
