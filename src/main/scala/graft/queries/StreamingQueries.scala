@@ -142,6 +142,46 @@ object StreamingQueries {
     spark.read.parquet(out)
   }
 
+  /** q71 — watermark-bounded streaming dedup: the events stream unioned
+    * with a second subscription of itself (every event arrives twice)
+    * flows through `dropDuplicatesWithinWatermark` and must come out
+    * exactly once — hash-matched against the plain events table. With
+    * this, every streaming operator family is driver-gate oracled:
+    * stateful agg (q61), custom state (q66), join state (q69), dedup
+    * state (q71). On an unbounded run the same pipeline holds per-id
+    * state only within the watermark horizon. */
+  def dedupStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val src = s"$dir/events.parquet"
+    val out = scratchDir("stream_q71_out", dir)
+    val ckpt = scratchDir("stream_q71_ckpt", dir)
+    delete(ckpt); delete(out)
+    val schema = spark.read.parquet(src).schema
+    def eventStream: Dataset[EventStreams.Event] =
+      spark.readStream.schema(schema)
+        .parquet(s"$dir/events*.parquet")
+        .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .as[EventStreams.Event]
+    val deduped = EventStreams.dedupEvents(eventStream.union(eventStream))
+    val writeBatch: (Dataset[EventStreams.Event], Long) => Unit =
+      (batch, _) => batch.write.mode("append").parquet(out)
+    val q = deduped.writeStream
+      .outputMode("append")
+      .foreachBatch(writeBatch)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally { q.stop(); delete(ckpt) }
+    spark.read.parquet(out)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+  }
+
+  private val dedupStreamOracle = """
+      SELECT event_id, ts, user_id, event_type, value FROM events"""
+
   /** Same oracle text as q31's batch range join. */
   private val intervalJoinOracle = """
       SELECT e.event_id, e.user_id, w.event_id AS window_id
@@ -181,5 +221,6 @@ object StreamingQueries {
     QueryDef("q66_sessionize_stream", sessionizeStream,
       Some(sessionizeOracle)),
     QueryDef("q69_interval_join_stream", intervalJoinStream,
-      Some(intervalJoinOracle)))
+      Some(intervalJoinOracle)),
+    QueryDef("q71_dedup_stream", dedupStream, Some(dedupStreamOracle)))
 }
