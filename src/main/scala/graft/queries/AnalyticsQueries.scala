@@ -95,6 +95,23 @@ object AnalyticsQueries {
     rows.toSeq.toDF("term", "n_exact", "cms_in_bounds")
   }
 
+  /** Salted skew join (q72): half the event stream is funneled onto one
+    * pathological hot key, then joined to a per-key dim through
+    * `Skew.saltedJoin` — the hot key spreads over 8 (key, salt) reducers
+    * instead of one. The salt is an internal rewrite that cannot change
+    * the JOIN RESULT (each row still matches its key's single dim row),
+    * which is exactly what the oracle attests: the salted plan must
+    * hash-match the plain inner join. */
+  def saltedSkewJoin(spark: SparkSession, dir: String): DataFrame = {
+    import graft.util.Skew
+    val base = Tables.events(spark, dir).select(col("event_id"),
+      when(col("user_id") % 10 < 5, lit(0L)).otherwise(col("user_id"))
+        .as("hot_key"))
+    val dim = base.groupBy("hot_key").agg(count(lit(1)).as("key_rows"))
+    Skew.saltedJoin(base, dim, "hot_key", factor = 8)
+      .select(col("event_id"), col("hot_key"), col("key_rows"))
+  }
+
   /** Cube aggregation: revenue across every combination of order status ×
     * priority, including the per-dimension and grand-total slices. */
   def statusPriorityCube(spark: SparkSession, dir: String): DataFrame =
@@ -411,6 +428,14 @@ object AnalyticsQueries {
       JOIN nation ON c_nationkey = n_nationkey
       JOIN region ON n_regionkey = r_regionkey
       GROUP BY ROLLUP(r_name, n_name)""")),
+    QueryDef("q72_salted_skew_join", saltedSkewJoin, Some("""
+      WITH b AS (
+        SELECT event_id,
+          CASE WHEN user_id % 10 < 5 THEN 0 ELSE user_id END AS hot_key
+        FROM events),
+      d AS (SELECT hot_key, COUNT(*) AS key_rows FROM b GROUP BY 1)
+      SELECT b.event_id, b.hot_key, d.key_rows
+      FROM b JOIN d USING (hot_key)""")),
     QueryDef("q68_cms_heavy_hitters", cmsHeavyHitters, Some({
       import graft.text.TextAnalysis.sqlTokens
       s"""
