@@ -68,31 +68,44 @@ object AnalyticsQueries {
 
   /** Count-min-sketch heavy hitters (q68) — completes the mergeable-sketch
     * trio (HLL distinct q54, KLL-style quantiles q56, CMS frequencies):
-    * the corpus term stream feeds a fixed-size count-min sketch built
-    * distributed (treeAggregate under `stat.countMinSketch`; deterministic
-    * for a fixed seed), then the exact top-50 terms are attested against
-    * it. Sketch estimates are engine-specific, so the export follows the
+    * the corpus term stream aggregates once to (term, count) pairs, a
+    * fixed-size count-min sketch is built distributed over the weighted
+    * pairs (treeAggregate; deterministic for a fixed seed), then the exact
+    * top-50 terms are attested against it. Sketch estimates are engine-specific, so the export follows the
     * q54/q56 pattern: exact values hash-compare, the sketch contributes a
     * boolean the oracle pins true — here the CMS contract itself,
     * exact ≤ estimate ≤ exact + εN. The exact side is one hash-agg +
     * TakeOrderedAndProject; only the 50 attested rows touch the driver. */
   def cmsHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
     import graft.text.TextAnalysis.tokens
+    import org.apache.spark.util.sketch.CountMinSketch
     val eps = 0.001
     val terms = graft.util.Par.ensure(Tables(spark, dir, "documents"))
       .filter(length(trim(col("text"))) =!= 0) // empty text splits to [""]
       .select(explode(tokens(col("text"))).as("term"))
-    val sketch = terms.stat.countMinSketch("term", eps, 0.99, seed = 42)
-    val top = terms.groupBy("term").agg(count(lit(1)).as("n_exact"))
-      .orderBy(desc("n_exact"), col("term")).limit(50)
-      .collect().map(r => (r.getString(0), r.getLong(1)))
-    val totalN = sketch.totalCount()
-    val rows = top.map { case (term, exact) =>
-      val est = sketch.estimateCount(term)
-      (term, exact, est >= exact && est <= exact + (eps * totalN).ceil.toLong)
-    }
-    import spark.implicits._
-    rows.toSeq.toDF("term", "n_exact", "cms_in_bounds")
+    // ONE corpus scan: aggregate to (term, cnt) first and build the sketch
+    // from the weighted pairs — add(term, cnt) yields the bit-identical
+    // sketch as adding each occurrence, and the vocabulary-sized relation
+    // is persisted across its two consumers (sketch build + exact top-50)
+    // so `documents` is scanned once, not twice.
+    val termCounts = terms.groupBy("term").agg(count(lit(1)).as("n_exact"))
+      .persist()
+    try {
+      val sketch = termCounts.select(col("term"), col("n_exact")).rdd
+        .treeAggregate(CountMinSketch.create(eps, 0.99, 42))(
+          (s, row) => { s.add(row.getString(0), row.getLong(1)); s },
+          (a, b) => { a.mergeInPlace(b); a })
+      val top = termCounts
+        .orderBy(desc("n_exact"), col("term")).limit(50)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      val totalN = sketch.totalCount()
+      val rows = top.map { case (term, exact) =>
+        val est = sketch.estimateCount(term)
+        (term, exact, est >= exact && est <= exact + (eps * totalN).ceil.toLong)
+      }
+      import spark.implicits._
+      rows.toSeq.toDF("term", "n_exact", "cms_in_bounds")
+    } finally termCounts.unpersist()
   }
 
   /** Salted skew join (q72): half the event stream is funneled onto one
@@ -108,7 +121,7 @@ object AnalyticsQueries {
       when(col("user_id") % 10 < 5, lit(0L)).otherwise(col("user_id"))
         .as("hot_key"))
     val dim = base.groupBy("hot_key").agg(count(lit(1)).as("key_rows"))
-    Skew.saltedJoin(base, dim, "hot_key", factor = 8)
+    Skew.saltedJoin(base, dim, "hot_key", factor = 8, saltOn = col("event_id"))
       .select(col("event_id"), col("hot_key"), col("key_rows"))
   }
 

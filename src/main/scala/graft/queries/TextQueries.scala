@@ -82,8 +82,21 @@ object TextQueries {
       .select(col("doc_id"), col("q_bucket"), col("quality_e6"))
   }
 
-  // q70 shard count, interpolated into BOTH sides
+  // q70 shard count at oracle/test scale, interpolated into BOTH sides
   private val ShuffleShards = 16
+
+  /** Corpus-scaled shard count for [[deterministicShuffle]]: enough shards
+    * that each per-shard `row_number()` window (one task per shard) sorts
+    * at most ~`targetShardBytes` of input, floored at `minShards`.
+    * Pure-integer ceil-division — no FP-boundary divergence. A fixed shard
+    * constant is the "silently caps scale" anti-pattern (16 shards = 16
+    * sort tasks at any corpus size); this ladder keeps per-task work
+    * constant as the corpus grows (100 TB / 256 MiB ≈ 400k shards). */
+  def scaledShardCount(corpusBytes: Long,
+      targetShardBytes: Long = 256L << 20, minShards: Int = 16): Int = {
+    val need = (corpusBytes + targetShardBytes - 1) / targetShardBytes
+    math.max(minShards.toLong, need).min(Int.MaxValue.toLong).toInt
+  }
 
   /** Deterministic global shuffle (q70) — the reproducible "shuffle the
     * corpus before packing/epochs" step: every doc gets a (shard,
@@ -92,14 +105,27 @@ object TextQueries {
     * per-shard sort — a true global random ORDER would instead serialize
     * 100 TB through a single-partition sort; per-shard positions give the
     * same statistical shuffle with shard-parallel ordering. Re-salting
-    * re-shuffles reproducibly (epoch seeds). */
-  def deterministicShuffle(spark: SparkSession, dir: String): DataFrame = {
+    * re-shuffles reproducibly (epoch seeds).
+    *
+    * `shards` is semantic (it appears in the output), so the driver-gate
+    * query pins the oracle's constant at test scale; callers that omit it
+    * get a corpus-scaled count from the relation's scan stats via
+    * [[scaledShardCount]] — per-shard sort work stays bounded at any
+    * corpus size. */
+  def deterministicShuffle(spark: SparkSession, dir: String,
+      shards: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val docs = Tables(spark, dir, "documents")
+    val nShards =
+      if (shards > 0) shards
+      else scaledShardCount(
+        docs.queryExecution.optimizedPlan.stats.sizeInBytes.min(
+          BigInt(Long.MaxValue)).toLong)
     val h = wordHash(concat(lit("shuf:"), col("doc_id").cast("string")))
     val w = Window.partitionBy("shard").orderBy("hv", "doc_id")
-    Tables(spark, dir, "documents")
+    docs
       .select(col("doc_id"), h.as("hv"))
-      .withColumn("shard", pmod(col("hv"), lit(ShuffleShards.toLong)))
+      .withColumn("shard", pmod(col("hv"), lit(nShards.toLong)))
       .withColumn("pos", row_number().over(w).cast("long"))
       .select(col("doc_id"), col("shard"), col("pos"))
   }
@@ -114,9 +140,17 @@ object TextQueries {
     * span text (ordered by doc_id, position — deterministic), and each
     * doc reports how much of it survives. Two shuffles: one window keyed
     * on the span text (first-occurrence flag), one hash-agg on doc_id —
-    * both scale-safe; span strings could be keyed by hash at 100 TB to
-    * shrink shuffle width, kept as text here so the oracle is exact. */
-  def spanDedup(spark: SparkSession, dir: String): DataFrame = {
+    * both scale-safe.
+    *
+    * `hashKeyedWindow` keys the first-occurrence window on
+    * `xxhash64(span)` and drops the span text BEFORE the shuffle — at
+    * 100 TB the window exchange then moves 8-byte keys instead of
+    * span-width strings (the downstream agg only needs the flag, never
+    * the text). Semantically identical up to 64-bit hash collisions;
+    * default stays exact-text so the driver oracle replays byte-for-byte
+    * semantics, and a ScaleSpecs test pins the two modes equal. */
+  def spanDedup(spark: SparkSession, dir: String,
+      hashKeyedWindow: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = graft.util.Par.ensure(Tables(spark, dir, "documents"))
       .filter(length(trim(col("text"))) =!= 0)
@@ -126,8 +160,13 @@ object TextQueries {
       posexplode(transform(sequence(lit(0L), nSpans - 1),
         i => concat_ws(" ", slice(col("t"), i * SpanW + 1, lit(SpanW)))))
         .as(Seq("span_idx", "span")))
-    val w = Window.partitionBy("span").orderBy("doc_id", "span_idx")
-    spans.withColumn("rn", row_number().over(w))
+    val keyed =
+      if (hashKeyedWindow)
+        spans.select(col("doc_id"), col("span_idx"),
+          xxhash64(col("span")).as("_k"))
+      else spans.withColumnRenamed("span", "_k")
+    val w = Window.partitionBy("_k").orderBy("doc_id", "span_idx")
+    keyed.withColumn("rn", row_number().over(w))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_spans"),
         sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dup_spans"))
@@ -315,7 +354,8 @@ object TextQueries {
       WHERE ${Sampling.sqlHashBucket("doc_id")} <
         ${Sampling.sqlStratumRate("lang", Map("en" -> 3000), 1000)}"""
     })),
-    QueryDef("q70_deterministic_shuffle", deterministicShuffle, Some(s"""
+    QueryDef("q70_deterministic_shuffle",
+      deterministicShuffle(_, _, shards = ShuffleShards), Some(s"""
       WITH h AS (
         SELECT doc_id,
           ${sqlWordHash("('shuf:' || CAST(doc_id AS VARCHAR))")} AS hv
@@ -324,7 +364,7 @@ object TextQueries {
         CAST(row_number() OVER (PARTITION BY hv % $ShuffleShards
           ORDER BY hv, doc_id) AS BIGINT) AS pos
       FROM h""")),
-    QueryDef("q67_span_dedup", spanDedup, Some(s"""
+    QueryDef("q67_span_dedup", spanDedup(_, _), Some(s"""
       WITH toks AS (
         SELECT doc_id, ${sqlTokens("text")} AS t FROM documents
         WHERE length(trim(text)) <> 0),

@@ -16,11 +16,20 @@ object Skew {
 
   /** Inner equi-join of a skewed large frame with a small frame on `key`,
     * spreading each key over `factor` partitions. Column sets must be
-    * disjoint apart from the key. */
+    * disjoint apart from the key.
+    *
+    * The salt is `pmod(xxhash64(saltOn), factor)` — a pure function of row
+    * content, NOT `rand`: a rand-salt is result-invariant but its reducer
+    * packing depends on partition layout, so a retry or a different split
+    * count re-bins rows; a content-hash salt assigns every row the same
+    * reducer on any layout, any re-run (exactly-once retry semantics at
+    * 100 TB). `saltOn` should be a row-distinguishing column of the skewed
+    * side (an id, or several columns combined) so the hot key spreads
+    * uniformly. */
   def saltedJoin(skewed: DataFrame, small: DataFrame, key: String,
-      factor: Int): DataFrame = {
+      factor: Int, saltOn: Column): DataFrame = {
     val salted = skewed.withColumn("_salt",
-      (rand(seed = 7) * factor).cast("int"))
+      pmod(xxhash64(saltOn), lit(factor.toLong)).cast("int"))
     val replicated = small.withColumn("_salt",
       explode(array((0 until factor).map(lit): _*)))
     salted.join(replicated, Seq(key, "_salt")).drop("_salt")

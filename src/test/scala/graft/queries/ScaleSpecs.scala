@@ -136,6 +136,43 @@ class ScaleSpecs extends SparkTestBase {
     assert(!plan.contains("Exchange SinglePartition"), plan.take(2000))
   }
 
+  test("deterministic shuffle shard count scales with corpus size") {
+    import graft.queries.TextQueries.scaledShardCount
+    // small corpora use the floor; above it, per-shard sort work stays
+    // bounded at targetShardBytes — shard count grows linearly with bytes
+    // instead of a fixed constant capping parallelism at 100×
+    assert(scaledShardCount(0L) == 16)
+    assert(scaledShardCount(1L << 30) == 16) // 1 GiB: floor still binding
+    assert(scaledShardCount(16L << 30) == 64) // 16 GiB / 256 MiB
+    assert(scaledShardCount(100L << 40) == 409600) // 100 TiB / 256 MiB
+    // monotone: a bigger corpus never gets fewer shards
+    val ladder = Seq(1L, 1L << 30, 1L << 35, 1L << 40, 100L << 40)
+      .map(scaledShardCount(_))
+    assert(ladder == ladder.sorted)
+    // the no-arg form derives a positive shard count from scan stats and
+    // still plans a hash exchange (asserted in the plan test above); at
+    // sf0.001 the stats sit under the floor, so the default equals it
+    val df = TextQueries.deterministicShuffle(spark, dir)
+    val shards = df.select(countDistinct(col("shard"))).collect()(0).getLong(0)
+    assert(shards == 16L, s"expected floor 16 shards, got $shards")
+  }
+
+  test("span dedup hash-keyed window matches the exact-text mode") {
+    // the 100 TB shuffle-width option: the first-occurrence window keyed
+    // on xxhash64(span) (8-byte shuffle keys, text dropped pre-exchange)
+    // must agree with the oracle-gated exact-text mode row for row
+    val exact = TextQueries.spanDedup(spark, dir)
+      .collect().map(_.toString).sorted
+    val hashed = TextQueries.spanDedup(spark, dir, hashKeyedWindow = true)
+      .collect().map(_.toString).sorted
+    assert(hashed.sameElements(exact))
+    // and the hashed mode's window exchange really drops the span text
+    val df = TextQueries.spanDedup(spark, dir, hashKeyedWindow = true)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Exchange hashpartitioning(_k"), plan.take(2000))
+  }
+
   test("scans prune columns: token counting reads only doc_id and text") {
     val df = TextQueries.tokenCounts(spark, dir)
     val scan = df.queryExecution.executedPlan.toString
