@@ -27,7 +27,24 @@ object GraftSession {
       // ms/µs parquet timestamps surface as LTZ instants (UTC session)
       // rather than NTZ — keeps unix_micros & friends applicable everywhere
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      // RocksDB by default: heap (HDFSBacked) state caps at executor
+      // memory, RocksDB is the provider a 100 TB-state deployment runs
+      // (off-heap, spillable), so the correctness gate and bench exercise
+      // it rather than the toy provider. SPARK_GRAFT_STATE_STORE=hdfs
+      // opts back into the heap provider.
+      .config("spark.sql.streaming.stateStore.providerClass",
+        stateStoreProvider)
       .config("spark.ui.enabled", "false")
+
+  /** Streaming state-store provider class from SPARK_GRAFT_STATE_STORE
+    * (`rocksdb` default | `hdfs`). */
+  def stateStoreProvider: String =
+    sys.env.getOrElse("SPARK_GRAFT_STATE_STORE", "rocksdb") match {
+      case "hdfs" =>
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+      case _ =>
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    }
 
   def get(appName: String = "graft"): SparkSession = {
     val spark = builder().appName(appName).getOrCreate()

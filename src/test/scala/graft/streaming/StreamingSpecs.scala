@@ -133,27 +133,51 @@ class EventStreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
-  test("sessionization is identical under the RocksDB state store provider") {
-    // heap state stores cap at executor memory; RocksDB is the 100 TB
-    // path (off-heap, spillable, changelog-checkpointed) — results must
-    // not depend on the provider
+  test("RocksDB state store is the session default and is actually active") {
+    // GraftSession defaults the provider to RocksDB (the 100 TB state
+    // path — off-heap, spillable) so the driver correctness gate runs the
+    // real provider, not the heap toy. Assert it is ACTIVE, not just
+    // configured: the state operator's progress must report rocksdb
+    // custom metrics.
+    assert(spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+      .endsWith("RocksDBStateStoreProvider"))
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val q = EventStreams.sessionize(stream.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("rocks_active_out").start()
+    try {
+      stream.addData(batchEvents.sortBy(_.event_id))
+      q.processAllAvailable()
+      val ops = q.lastProgress.stateOperators
+      assert(ops.nonEmpty)
+      val metricKeys = ops.flatMap(_.customMetrics.keySet()
+        .toArray(Array.empty[String]))
+      assert(metricKeys.exists(_.startsWith("rocksdb")),
+        s"no rocksdb metrics in ${metricKeys.mkString(",")}")
+    } finally q.stop()
+  }
+
+  test("sessionization is identical under the heap (HDFS) state store provider") {
+    // cross-provider parity: the heap provider must produce exactly what
+    // the RocksDB default produces — results never depend on the provider
     implicit val sqlCtx = spark.sqlContext
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
     try {
       val stream = MemoryStream[Event]
       val q = EventStreams.sessionize(stream.toDS())
         .writeStream.outputMode("append")
-        .format("memory").queryName("rocks_out").start()
+        .format("memory").queryName("heap_out").start()
       try {
         val (first, second) = batchEvents.sortBy(_.event_id).splitAt(batchEvents.size / 2)
         stream.addData(first)
         q.processAllAvailable()
         stream.addData(second)
         q.processAllAvailable()
-        val got = spark.table("rocks_out")
+        val got = spark.table("heap_out")
           .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
         val want = EventQueries.sessionize(spark, sfDir)
           .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
