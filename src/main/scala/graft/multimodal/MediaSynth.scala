@@ -1,0 +1,69 @@
+package graft.multimodal
+
+/** Deterministic synthetic media payloads for the multimodal driver gate
+  * (q73): every `doc_id` maps to one container payload — PNG, GIF, JPEG,
+  * WAV, or a truncated/corrupt blob — built as a pure function of the id,
+  * so the DuckDB oracle can construct the IDENTICAL bytes in SQL
+  * (`lpad(hex(...))` pieces → `from_hex`) and parse them back with
+  * independent fixed-offset arithmetic while the Spark side runs the real
+  * parsers ([[ImageHeaders]] marker scan, [[AudioHeaders]] chunk walk).
+  * Synthetic because the sandbox ships no media fixtures; the byte
+  * layouts are the real container formats.
+  *
+  * The payload is built FROM ITS HEX STRING ([[payloadHex]]): the hex
+  * template is the single construction source shared conceptually with
+  * the SQL oracle, and any drift between the two is exactly what the
+  * driver's hash gate catches.
+  */
+object MediaSynth {
+
+  /** Image dims: 16-bit-safe so GIF(le16)/JPEG(be16) hold them. */
+  def width(docId: Long): Int = (docId % 640).toInt + 16
+  def height(docId: Long): Int = (docId % 480).toInt + 16
+
+  def sampleRate(docId: Long): Int =
+    Seq(8000, 16000, 44100)((docId % 3).toInt)
+  def channels(docId: Long): Int = (docId % 2).toInt + 1
+  /** 16-bit PCM: block align = 2 bytes × channels. */
+  def byteRate(docId: Long): Int = sampleRate(docId) * channels(docId) * 2
+  def dataBytes(docId: Long): Int = ((docId % 997).toInt + 1) * 100
+
+  private def be16(v: Int): String = f"$v%04X"
+  private def be32(v: Long): String = f"$v%08X"
+  private def le16(v: Int): String = { val s = be16(v); s.substring(2) + s.substring(0, 2) }
+  private def le32(v: Long): String = {
+    val s = be32(v)
+    s.substring(6) + s.substring(4, 6) + s.substring(2, 4) + s.substring(0, 2)
+  }
+
+  /** Container hex template per kind = doc_id % 5. */
+  def payloadHex(docId: Long): String = (docId % 5) match {
+    case 0 => // PNG: sig + IHDR(len 13) + w/h be32 + depth/color/trailer
+      "89504E470D0A1A0A" + "0000000D" + "49484452" +
+        be32(width(docId)) + be32(height(docId)) + "0806000000"
+    case 1 => // GIF89a: logical screen w/h le16 + GCT flags
+      "474946383961" + le16(width(docId)) + le16(height(docId)) + "F70000"
+    case 2 => // JPEG: SOI + APP0(JFIF) + COM + SOF0(h/w be16) + EOI —
+      // segments before SOF exercise the real marker scan
+      "FFD8" +
+        "FFE0" + "0010" + "4A46494600" + "0101" + "00" + "0001" + "0001" + "0000" +
+        "FFFE" + "0004" + "6766" +
+        "FFC0" + "0011" + "08" + be16(height(docId)) + be16(width(docId)) +
+        "03" + "012200" + "021101" + "031101" +
+        "FFD9"
+    case 3 => // WAV: RIFF size + fmt(PCM) + data size, header-only payload
+      "52494646" + le32(36L + dataBytes(docId)) + "57415645" +
+        "666D7420" + "10000000" + "0100" + le16(channels(docId)) +
+        le32(sampleRate(docId)) + le32(byteRate(docId)) +
+        le16(channels(docId) * 2) + "1000" +
+        "64617461" + le32(dataBytes(docId))
+    case _ => // corrupt: PNG signature truncated before IHDR
+      "89504E470D0A1A0A" + "0000000D"
+  }
+
+  def payload(docId: Long): Array[Byte] = {
+    val hx = payloadHex(docId)
+    Array.tabulate(hx.length / 2)(i =>
+      Integer.parseInt(hx.substring(i * 2, i * 2 + 2), 16).toByte)
+  }
+}

@@ -1,0 +1,129 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.multimodal.{AudioHeaders, ImageHeaders, MediaSynth}
+
+/** Multimodal metadata extraction under the driver's cross-engine gate.
+  *
+  * q73 probes a binary media column with the REAL container parsers — the
+  * [[graft.multimodal.ImageHeaders]] PNG/GIF signature checks + JPEG
+  * marker scan and the [[graft.multimodal.AudioHeaders]] RIFF chunk walk —
+  * over payloads that are a pure function of `doc_id`
+  * ([[graft.multimodal.MediaSynth]]), so the DuckDB oracle can build the
+  * identical bytes in SQL and parse them back with independent hex-offset
+  * arithmetic. A wrong parser (endianness, offset, marker-walk bug) makes
+  * the hash gate fail; a wrong synth template does too.
+  *
+  * Scale shape: the probe is a narrow mapPartitions over the payload
+  * column — no shuffle anywhere; at 100 TB this is the full-corpus
+  * pre-decode filter pass (resolution/aspect/sample-rate gating) that
+  * runs before any pixel/sample decode.
+  */
+object MultimodalQueries {
+
+  /** Probe output row; None → NULL for unrecognized/truncated payloads. */
+  final case class MediaProbe(
+      doc_id: Long,
+      media_format: Option[String],
+      width: Option[Long],
+      height: Option[Long],
+      sample_rate: Option[Long],
+      channels: Option[Long],
+      duration_ms: Option[Long])
+
+  def mediaProbe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.util.Par.ensure(Tables(spark, dir, "documents"))
+      .select("doc_id").as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val p = MediaSynth.payload(id)
+          val img = ImageHeaders.dims(p)
+          val wav = AudioHeaders.wavInfo(p)
+          MediaProbe(id,
+            img.map(_._1).orElse(wav.map(_ => "wav")),
+            img.map(_._2.toLong), img.map(_._3.toLong),
+            wav.map(_.sampleRate.toLong), wav.map(_.channels.toLong),
+            wav.map(_.durationMs))
+        }
+      }
+      .toDF()
+  }
+
+  // ---- DuckDB hex-arithmetic mirrors (big/little-endian field pieces) ----
+
+  private def beHex(e: String, hexDigits: Int): String =
+    s"lpad(hex($e), $hexDigits, '0')"
+  private def leHex(e: String, bytes: Int): String = {
+    val be = beHex(e, bytes * 2)
+    (bytes - 1 to 0 by -1)
+      .map(i => s"substr($be, ${i * 2 + 1}, 2)").mkString(" || ")
+  }
+  /** Parse a little-endian field out of the payload hex at 1-based hex
+    * position `pos` spanning `bytes` bytes. */
+  private def leField(pos: Int, bytes: Int): String = {
+    val parts = (bytes - 1 to 0 by -1)
+      .map(i => s"substr(s, ${pos + i * 2}, 2)").mkString(" || ")
+    s"('0x' || $parts)::BIGINT"
+  }
+  private def beField(pos: Int, bytes: Int): String =
+    s"('0x' || substr(s, $pos, ${bytes * 2}))::BIGINT"
+
+  private val oracle: String = {
+    val pngSig = "89504E470D0A1A0A"
+    s"""
+      WITH params AS (
+        SELECT doc_id, doc_id % 5 AS kind,
+          (doc_id % 640) + 16 AS w, (doc_id % 480) + 16 AS h,
+          CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+            ELSE 44100 END AS rate,
+          (doc_id % 2) + 1 AS ch,
+          ((doc_id % 997) + 1) * 100 AS db
+        FROM documents),
+      hx AS (
+        SELECT doc_id, CASE kind
+          WHEN 0 THEN '${pngSig}0000000D49484452'
+            || ${beHex("w", 8)} || ${beHex("h", 8)} || '0806000000'
+          WHEN 1 THEN '474946383961'
+            || ${leHex("w", 2)} || ${leHex("h", 2)} || 'F70000'
+          WHEN 2 THEN 'FFD8FFE000104A46494600010100000100010000FFFE00046766FFC0001108'
+            || ${beHex("h", 4)} || ${beHex("w", 4)}
+            || '03012200021101031101FFD9'
+          WHEN 3 THEN '52494646' || ${leHex("(36 + db)", 4)} || '57415645'
+            || '666D74201000000001' || '00' || ${leHex("ch", 2)}
+            || ${leHex("rate", 4)} || ${leHex("(rate * ch * 2)", 4)}
+            || ${leHex("(ch * 2)", 2)} || '1000'
+            || '64617461' || ${leHex("db", 4)}
+          ELSE '${pngSig}0000000D' END AS s
+        FROM params),
+      parsed AS (
+        SELECT doc_id, s,
+          substr(s, 1, 16) = '$pngSig' AND length(s) >= 48
+            AND substr(s, 25, 8) = '49484452' AS is_png,
+          substr(s, 1, 8) = '47494638' AND substr(s, 9, 2) IN ('37', '39')
+            AND substr(s, 11, 2) = '61' AND length(s) >= 20 AS is_gif,
+          substr(s, 1, 4) = 'FFD8' AND length(s) >= 70 AS is_jpeg,
+          substr(s, 1, 8) = '52494646' AND substr(s, 17, 8) = '57415645'
+            AND length(s) >= 88 AS is_wav
+        FROM hx)
+      SELECT doc_id,
+        CASE WHEN is_png THEN 'png' WHEN is_gif THEN 'gif'
+          WHEN is_jpeg THEN 'jpeg' WHEN is_wav THEN 'wav' END AS media_format,
+        CASE WHEN is_png THEN ${beField(33, 4)}
+          WHEN is_gif THEN ${leField(13, 2)}
+          WHEN is_jpeg THEN ${beField(67, 2)} END AS width,
+        CASE WHEN is_png THEN ${beField(41, 4)}
+          WHEN is_gif THEN ${leField(17, 2)}
+          WHEN is_jpeg THEN ${beField(63, 2)} END AS height,
+        CASE WHEN is_wav THEN ${leField(49, 4)} END AS sample_rate,
+        CASE WHEN is_wav THEN ${leField(45, 2)} END AS channels,
+        CASE WHEN is_wav
+          THEN (${leField(81, 4)} * 1000) // ${leField(57, 4)}
+          END AS duration_ms
+      FROM parsed"""
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q73_media_probe", mediaProbe, Some(oracle)))
+}

@@ -103,6 +103,71 @@ class MultimodalSpec extends SparkTestBase {
     assert(df(3L).contains((65537, 2)))
   }
 
+  // genuine RIFF/WAVE bytes, built chunk by chunk from the format spec
+  private def le16b(v: Int) = Array(v & 0xff, (v >> 8) & 0xff).map(_.toByte)
+  private def le32b(v: Long) = Array(v & 0xff, (v >> 8) & 0xff,
+    (v >> 16) & 0xff, (v >> 24) & 0xff).map(_.toByte)
+  private def wavBytes(rate: Int, ch: Int, dataSize: Long,
+      extraChunkBefore: Option[Int] = None): Array[Byte] = {
+    val fmt = "fmt ".getBytes ++ le32b(16) ++ le16b(1) ++ le16b(ch) ++
+      le32b(rate) ++ le32b(rate.toLong * ch * 2) ++ le16b(ch * 2) ++ le16b(16)
+    val extra = extraChunkBefore.map(n =>
+      "LIST".getBytes ++ le32b(n) ++ Array.fill(n + (n & 1))(0x20.toByte))
+      .getOrElse(Array.emptyByteArray)
+    val data = "data".getBytes ++ le32b(dataSize)
+    val body = "WAVE".getBytes ++ extra ++ fmt ++ data
+    "RIFF".getBytes ++ le32b(body.length.toLong) ++ body
+  }
+
+  test("WAV probe walks real RIFF chunks: rate, channels, duration") {
+    import AudioHeaders.{wavInfo, WavInfo}
+    assert(wavInfo(wavBytes(44100, 2, 176400L))
+      .contains(WavInfo(44100, 2, 1000L))) // 1 s of 44.1k stereo 16-bit
+    assert(wavInfo(wavBytes(8000, 1, 4000L))
+      .contains(WavInfo(8000, 1, 250L)))
+    // a preceding chunk (LIST/INFO metadata) must be skipped, including
+    // the odd-size word-alignment pad byte
+    assert(wavInfo(wavBytes(16000, 1, 8000L, extraChunkBefore = Some(7)))
+      .contains(WavInfo(16000, 1, 250L)))
+    // truncations and garbage → None, never a crash
+    val full = wavBytes(44100, 2, 176400L)
+    assert(wavInfo(full.take(11)).isEmpty) // inside the RIFF header
+    assert(wavInfo(full.take(30)).isEmpty) // inside the fmt chunk
+    assert(wavInfo(full.dropRight(6)).isEmpty) // data size field cut
+    assert(wavInfo("RIFFxxxxWAVE".getBytes).isEmpty) // no chunks at all
+    assert(wavInfo(payload(7, 64)).isEmpty)
+    assert(wavInfo(Array.emptyByteArray).isEmpty)
+    // header-only payloads (probing the head of a large object) parse:
+    // the data chunk declares its size, its bytes need not be present
+    assert(wavInfo(wavBytes(22050, 1, 441000L))
+      .contains(WavInfo(22050, 1, 10000L)))
+  }
+
+  test("MediaSynth payloads round-trip through the real parsers") {
+    import graft.multimodal.MediaSynth
+    for (id <- 0L to 49L) {
+      val p = MediaSynth.payload(id)
+      (id % 5) match {
+        case 0 => assert(ImageHeaders.dims(p).contains(
+          ("png", MediaSynth.width(id), MediaSynth.height(id))))
+        case 1 => assert(ImageHeaders.dims(p).contains(
+          ("gif", MediaSynth.width(id), MediaSynth.height(id))))
+        case 2 => assert(ImageHeaders.dims(p).contains(
+          ("jpeg", MediaSynth.width(id), MediaSynth.height(id))))
+        case 3 =>
+          val got = AudioHeaders.wavInfo(p).get
+          assert(got.sampleRate == MediaSynth.sampleRate(id))
+          assert(got.channels == MediaSynth.channels(id))
+          assert(got.durationMs == MediaSynth.dataBytes(id) * 1000L /
+            MediaSynth.byteRate(id))
+          assert(ImageHeaders.dims(p).isEmpty)
+        case _ =>
+          assert(ImageHeaders.dims(p).isEmpty)
+          assert(AudioHeaders.wavInfo(p).isEmpty)
+      }
+    }
+  }
+
   test("modality partitioning co-locates media types") {
     // every media type must land in exactly one partition (hash
     // partitioning may place several types together — that's fine)
