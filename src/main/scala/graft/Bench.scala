@@ -33,8 +33,14 @@ object Bench {
     // twice and reports the faster pass: single-shot numbers on a shared
     // JVM carry multi-hundred-ms GC/codegen noise.
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
+    // SPARK_GRAFT_BENCH_ONLY: comma-separated name prefixes for iterating
+    // on a subset locally; the driver never sets it (full run).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filterNot(_._1.startsWith("p9")).map { case (name, fn) =>
+      .filterNot(_._1.startsWith("p9"))
+      .filter(q => only.forall(_.exists(q._1.startsWith)))
+      .map { case (name, fn) =>
       val times = (1 to 2).flatMap { _ =>
         if (failed.contains(name)) None // don't pay a failing query twice
         else {
