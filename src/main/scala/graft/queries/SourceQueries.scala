@@ -63,11 +63,25 @@ object SourceQueries {
         col("user_id"), col("event_type"), col("value"), col("props"))
   }
 
+  /** ORC zone: export `orders` to ORC (columnar sibling to the parquet
+    * zones — the built-in format a lake migration actually encounters),
+    * read it back, hash-verified against the parquet original. Timestamps
+    * survive at µs precision; doubles bit-exact (both columnar). */
+  def orcOrdersZone(spark: SparkSession, dir: String): DataFrame = {
+    val path = zoneDir("orczone", dir)
+    Tables(spark, dir, "orders").write.mode("overwrite").orc(path)
+    spark.read.orc(path)
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q52_csv_zone_roundtrip", csvCustomerZone, Some("""
       SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
       FROM customer""")),
     QueryDef("q53_json_zone_roundtrip", jsonEventsZone, Some("""
       SELECT event_id, ts, user_id, event_type, value, props
-      FROM events""")))
+      FROM events""")),
+    QueryDef("q76_orc_zone_roundtrip", orcOrdersZone, Some("""
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        o_orderdate, o_orderpriority
+      FROM orders""")))
 }

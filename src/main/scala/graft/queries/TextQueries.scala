@@ -175,6 +175,70 @@ object TextQueries {
           col("n_spans").cast("double") * 1000000).as("retained_e6"))
   }
 
+  // q74 rarity threshold, interpolated into BOTH sides
+  private val RareMax = 2L
+
+  /** Cross-document rarity scoring (q74) — the integer-exact stand-in for
+    * n-gram LM perplexity filtering (the CCNet/KenLM quality step): a
+    * document whose bigrams are mostly corpus-rare reads as gibberish /
+    * unique noise, one whose bigrams are all common reads as boilerplate.
+    * Per-doc output: bigram count, corpus-rare bigram count (corpus
+    * frequency ≤ [[RareMax]]), and the e6-floored rare ratio — all exact
+    * integers, no libm log anywhere (floor(ln) at a bucket boundary can
+    * diverge across engines; integer ratios cannot).
+    *
+    * Shape: one explode, one (doc, bigram) count aggregation — persisted,
+    * because BOTH the corpus-count rollup and the join probe consume it
+    * and the optimizer does not share the exchange across a broadcast
+    * boundary (measured: without the persist the corpus is scanned and
+    * tokenized twice) — then a vocabulary-keyed rollup, a join, and a
+    * doc-keyed agg. The persisted relation is (doc, bigram)-distinct,
+    * far smaller than the raw bigram stream; like
+    * [[graft.similarity.Similarity.embeddingNearDuplicates]], the lazy
+    * frame leaves the cache to LRU/`clearCache`. */
+  def rareBigramRate(spark: SparkSession, dir: String): DataFrame = {
+    val tf = graft.util.Par.ensure(Tables(spark, dir, "documents"))
+      .select(col("doc_id"), tokens(col("text")).as("_toks"))
+      .select(col("doc_id"),
+        explode(graft.dedup.Dedup.shinglesOf(col("_toks"), 2)).as("bigram"))
+      .groupBy("doc_id", "bigram").agg(count(lit(1)).as("cnt"))
+      .persist()
+    val counts = tf.groupBy("bigram").agg(sum(col("cnt")).as("corpus_n"))
+    tf.join(counts, "bigram")
+      .groupBy("doc_id")
+      .agg(sum(col("cnt")).as("n_bigrams"),
+        sum(when(col("corpus_n") <= RareMax, col("cnt")).otherwise(0L))
+          .as("n_rare"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_rare"),
+        floor(col("n_rare").cast("double") / col("n_bigrams").cast("double")
+          * 1000000).as("rare_ratio_e6"))
+  }
+
+  /** URL/domain extraction (q75) — the web-corpus domain-filtering pass
+    * (allowlist/blocklist by host, per-domain corpus share). The synthetic
+    * corpus carries no URLs, so both engines append two deterministic URLs
+    * per row first (q40's PII pattern); the per-domain rollup then proves
+    * real extraction: scheme-anchored host capture, multiple matches per
+    * document, exact per-domain document and occurrence counts. Narrow
+    * regex extraction + explode + one hash-agg on a host-cardinality-sized
+    * key space. */
+  def urlDomains(spark: SparkSession, dir: String): DataFrame =
+    graft.util.Par.ensure(Tables(spark, dir, "documents"))
+      .select(col("doc_id"), concat(col("text"),
+        lit(" see https://site"), (col("doc_id") % 50).cast("string"),
+        lit(".example.com/p/"), col("doc_id").cast("string"),
+        lit(" and http://cdn"), (col("doc_id") % 7).cast("string"),
+        lit(".example.org/x")).as("_t"))
+      .select(col("doc_id"),
+        explode(regexp_extract_all(col("_t"), lit(UrlRe), lit(1)))
+          .as("domain"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct(col("doc_id")).as("n_docs"))
+
+  // Java∩RE2-safe (no lookaround); group 1 captures the host
+  private val UrlRe = "https?://([A-Za-z0-9.-]+)"
+
   /** C4-style repetition filter signals: top-word share of each document
     * (high share ⇒ boilerplate/spam). One explode + two aggregations. */
   def repetitionFilter(spark: SparkSession, dir: String): DataFrame = {
@@ -388,6 +452,33 @@ object TextQueries {
         CAST(floor((COUNT(*) - SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END))::DOUBLE
           / COUNT(*)::DOUBLE * 1000000) AS BIGINT) AS retained_e6
       FROM flagged GROUP BY doc_id""")),
+    QueryDef("q74_rare_bigram_rate", rareBigramRate, Some(s"""
+      WITH bi AS (
+        SELECT doc_id, unnest(${graft.dedup.Dedup.sqlShingles("text", 2)})
+          AS bigram
+        FROM documents),
+      counts AS (SELECT bigram, COUNT(*) AS corpus_n FROM bi GROUP BY 1)
+      SELECT b.doc_id, COUNT(*) AS n_bigrams,
+        CAST(SUM(CASE WHEN c.corpus_n <= $RareMax THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_rare,
+        CAST(floor(SUM(CASE WHEN c.corpus_n <= $RareMax THEN 1 ELSE 0 END)::DOUBLE
+          / COUNT(*)::DOUBLE * 1000000) AS BIGINT) AS rare_ratio_e6
+      FROM bi b JOIN counts c USING (bigram)
+      GROUP BY b.doc_id""")),
+    QueryDef("q75_url_domains", urlDomains, Some(s"""
+      WITH aug AS (
+        SELECT doc_id,
+          text || ' see https://site' || CAST(doc_id % 50 AS VARCHAR)
+            || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+            || ' and http://cdn' || CAST(doc_id % 7 AS VARCHAR)
+            || '.example.org/x' AS t
+        FROM documents),
+      hosts AS (
+        SELECT doc_id, unnest(regexp_extract_all(t, '$UrlRe', 1)) AS domain
+        FROM aug)
+      SELECT domain, COUNT(*) AS n_urls,
+        CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+      FROM hosts GROUP BY domain""")),
     QueryDef("q33_repetition_filter", repetitionFilter, Some(s"""
       WITH counts AS (
         SELECT doc_id, tok, COUNT(*) AS cnt

@@ -157,6 +157,20 @@ class ScaleSpecs extends SparkTestBase {
     assert(shards == 16L, s"expected floor 16 shards, got $shards")
   }
 
+  test("rare-bigram rarity reuses the corpus scan between counts and probe") {
+    // the count rollup and the join probe both consume the persisted
+    // (doc, bigram) tf relation: the executed plan must read it from
+    // cache on both branches, never scan+tokenize the corpus twice
+    spark.catalog.clearCache()
+    val df = TextQueries.rareBigramRate(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("InMemoryTableScan"), plan.take(3000))
+    assert("FileScan parquet".r.findAllIn(plan).size <= 1, plan.take(3000))
+    spark.catalog.clearCache()
+  }
+
   test("span dedup hash-keyed window matches the exact-text mode") {
     // the 100 TB shuffle-width option: the first-occurrence window keyed
     // on xxhash64(span) (8-byte shuffle keys, text dropped pre-exchange)
