@@ -28,6 +28,10 @@ object MediaSynth {
   def byteRate(docId: Long): Int = sampleRate(docId) * channels(docId) * 2
   def dataBytes(docId: Long): Int = ((docId % 997).toInt + 1) * 100
 
+  /** MP4 movie-header fields: mvhd units/second + duration in units. */
+  def mp4Timescale(docId: Long): Long = Seq(600L, 1000L, 90000L)((docId % 3).toInt)
+  def mp4DurationUnits(docId: Long): Long = ((docId % 5000) + 1) * 37L
+
   private def be16(v: Int): String = f"$v%04X"
   private def be32(v: Long): String = f"$v%08X"
   private def le16(v: Int): String = { val s = be16(v); s.substring(2) + s.substring(0, 2) }
@@ -36,8 +40,8 @@ object MediaSynth {
     s.substring(6) + s.substring(4, 6) + s.substring(2, 4) + s.substring(0, 2)
   }
 
-  /** Container hex template per kind = doc_id % 5. */
-  def payloadHex(docId: Long): String = (docId % 5) match {
+  /** Container hex template per kind = doc_id % 6. */
+  def payloadHex(docId: Long): String = (docId % 6) match {
     case 0 => // PNG: sig + IHDR(len 13) + w/h be32 + depth/color/trailer
       "89504E470D0A1A0A" + "0000000D" + "49484452" +
         be32(width(docId)) + be32(height(docId)) + "0806000000"
@@ -57,6 +61,13 @@ object MediaSynth {
         le32(sampleRate(docId)) + le32(byteRate(docId)) +
         le16(channels(docId) * 2) + "1000" +
         "64617461" + le32(dataBytes(docId))
+    case 4 => // MP4: ftyp(isom) + moov[mvhd v0] — timescale/duration be32,
+      // remaining mvhd payload (rate..next_track_id) zeroed
+      "00000014" + "66747970" + "69736F6D" + "00000200" + "69736F6D" +
+        "00000074" + "6D6F6F76" +
+        "0000006C" + "6D766864" + "00000000" + "00000000" + "00000000" +
+        be32(mp4Timescale(docId)) + be32(mp4DurationUnits(docId)) +
+        "0" * 160 // rate..next_track_id: 80 zero bytes complete the 100-byte payload
     case _ => // corrupt: PNG signature truncated before IHDR
       "89504E470D0A1A0A" + "0000000D"
   }

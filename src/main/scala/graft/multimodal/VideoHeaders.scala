@@ -1,0 +1,64 @@
+package graft.multimodal
+
+/** REAL video-container header parsing — the ISO-BMFF (MP4/MOV) sibling of
+  * [[ImageHeaders]]/[[AudioHeaders]]: presentation duration lives in the
+  * `moov/mvhd` movie header (timescale units/second + duration in units),
+  * reachable by walking the length-prefixed box tree — no codec, no frame
+  * decode. The pass a corpus pipeline runs to bucket/filter video by
+  * length before any frame extraction.
+  *
+  * Box layout: `[size:be32]['typ'x4][payload]`, children nested inside
+  * `moov`; mvhd v0 carries timescale/duration as be32 at payload offsets
+  * 12/16, v1 (64-bit times) at 20/24 with duration be64.
+  */
+object VideoHeaders {
+
+  final case class Mp4Info(timescale: Long, durationUnits: Long) {
+    def durationMs: Long = durationUnits * 1000L / timescale
+  }
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def be32(b: Array[Byte], i: Int): Long =
+    (u8(b, i).toLong << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+  private def be64(b: Array[Byte], i: Int): Long =
+    (be32(b, i) << 32) | be32(b, i + 4)
+  private def tag(b: Array[Byte], i: Int, t: String): Boolean =
+    b(i) == t(0) && b(i + 1) == t(1) && b(i + 2) == t(2) && b(i + 3) == t(3)
+
+  private def parseMvhd(p: Array[Byte], j: Int, end: Int): Option[Mp4Info] = {
+    // j points at the mvhd box header; payload starts at j+8
+    val v = if (j + 9 <= end) u8(p, j + 8) else return None
+    if (v == 0 && j + 28 <= end)
+      Some(Mp4Info(be32(p, j + 20), be32(p, j + 24)))
+    else if (v == 1 && j + 40 <= end)
+      Some(Mp4Info(be32(p, j + 28), be64(p, j + 32)))
+    else None
+  }
+
+  /** Walk top-level boxes for `moov`, then its children for `mvhd`.
+    * Returns None for non-MP4, truncated-before-mvhd, or malformed
+    * (zero/overflowing box size) payloads. */
+  def mp4Info(p: Array[Byte]): Option[Mp4Info] = {
+    // a real MP4 starts with a box whose type is ftyp (or a moov-first
+    // streaming layout); require a plausible first box header
+    if (p.length < 16 || !(tag(p, 4, "ftyp") || tag(p, 4, "moov"))) return None
+    var i = 0
+    while (i + 8 <= p.length) {
+      val size = be32(p, i)
+      if (size < 8) return None // 64-bit/to-end sizes not used by headers
+      if (tag(p, i + 4, "moov")) {
+        val end = math.min(p.length.toLong, i + size).toInt
+        var j = i + 8
+        while (j + 8 <= end) {
+          val csize = be32(p, j)
+          if (csize < 8) return None
+          if (tag(p, j + 4, "mvhd")) return parseMvhd(p, j, end)
+          j += csize.toInt
+        }
+        return None // moov without mvhd (or truncated)
+      }
+      i += size.toInt
+    }
+    None
+  }
+}

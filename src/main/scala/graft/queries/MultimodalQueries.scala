@@ -2,14 +2,15 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.multimodal.{AudioHeaders, ImageHeaders, MediaSynth}
+import graft.multimodal.{AudioHeaders, ImageHeaders, MediaSynth, VideoHeaders}
 
 /** Multimodal metadata extraction under the driver's cross-engine gate.
   *
   * q73 probes a binary media column with the REAL container parsers — the
   * [[graft.multimodal.ImageHeaders]] PNG/GIF signature checks + JPEG
-  * marker scan and the [[graft.multimodal.AudioHeaders]] RIFF chunk walk —
-  * over payloads that are a pure function of `doc_id`
+  * marker scan, the [[graft.multimodal.AudioHeaders]] RIFF chunk walk,
+  * and the [[graft.multimodal.VideoHeaders]] ISO-BMFF box walk — over
+  * payloads that are a pure function of `doc_id`
   * ([[graft.multimodal.MediaSynth]]), so the DuckDB oracle can build the
   * identical bytes in SQL and parse them back with independent hex-offset
   * arithmetic. A wrong parser (endianness, offset, marker-walk bug) makes
@@ -41,11 +42,13 @@ object MultimodalQueries {
           val p = MediaSynth.payload(id)
           val img = ImageHeaders.dims(p)
           val wav = AudioHeaders.wavInfo(p)
+          val mp4 = VideoHeaders.mp4Info(p)
           MediaProbe(id,
-            img.map(_._1).orElse(wav.map(_ => "wav")),
+            img.map(_._1).orElse(wav.map(_ => "wav"))
+              .orElse(mp4.map(_ => "mp4")),
             img.map(_._2.toLong), img.map(_._3.toLong),
             wav.map(_.sampleRate.toLong), wav.map(_.channels.toLong),
-            wav.map(_.durationMs))
+            wav.map(_.durationMs).orElse(mp4.map(_.durationMs)))
         }
       }
       .toDF()
@@ -74,12 +77,15 @@ object MultimodalQueries {
     val pngSig = "89504E470D0A1A0A"
     s"""
       WITH params AS (
-        SELECT doc_id, doc_id % 5 AS kind,
+        SELECT doc_id, doc_id % 6 AS kind,
           (doc_id % 640) + 16 AS w, (doc_id % 480) + 16 AS h,
           CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
             ELSE 44100 END AS rate,
           (doc_id % 2) + 1 AS ch,
-          ((doc_id % 997) + 1) * 100 AS db
+          ((doc_id % 997) + 1) * 100 AS db,
+          CASE doc_id % 3 WHEN 0 THEN 600 WHEN 1 THEN 1000
+            ELSE 90000 END AS vts,
+          ((doc_id % 5000) + 1) * 37 AS vdur
         FROM documents),
       hx AS (
         SELECT doc_id, CASE kind
@@ -95,6 +101,10 @@ object MultimodalQueries {
             || ${leHex("rate", 4)} || ${leHex("(rate * ch * 2)", 4)}
             || ${leHex("(ch * 2)", 2)} || '1000'
             || '64617461' || ${leHex("db", 4)}
+          WHEN 4 THEN '0000001466747970' || '69736F6D' || '00000200'
+            || '69736F6D' || '00000074' || '6D6F6F76' || '0000006C'
+            || '6D766864' || '000000000000000000000000'
+            || ${beHex("vts", 8)} || ${beHex("vdur", 8)} || repeat('0', 160)
           ELSE '${pngSig}0000000D' END AS s
         FROM params),
       parsed AS (
@@ -105,11 +115,14 @@ object MultimodalQueries {
             AND substr(s, 11, 2) = '61' AND length(s) >= 20 AS is_gif,
           substr(s, 1, 4) = 'FFD8' AND length(s) >= 70 AS is_jpeg,
           substr(s, 1, 8) = '52494646' AND substr(s, 17, 8) = '57415645'
-            AND length(s) >= 88 AS is_wav
+            AND length(s) >= 88 AS is_wav,
+          substr(s, 9, 8) = '66747970' AND substr(s, 65, 8) = '6D766864'
+            AND length(s) >= 112 AS is_mp4
         FROM hx)
       SELECT doc_id,
         CASE WHEN is_png THEN 'png' WHEN is_gif THEN 'gif'
-          WHEN is_jpeg THEN 'jpeg' WHEN is_wav THEN 'wav' END AS media_format,
+          WHEN is_jpeg THEN 'jpeg' WHEN is_wav THEN 'wav'
+          WHEN is_mp4 THEN 'mp4' END AS media_format,
         CASE WHEN is_png THEN ${beField(33, 4)}
           WHEN is_gif THEN ${leField(13, 2)}
           WHEN is_jpeg THEN ${beField(67, 2)} END AS width,
@@ -120,6 +133,8 @@ object MultimodalQueries {
         CASE WHEN is_wav THEN ${leField(45, 2)} END AS channels,
         CASE WHEN is_wav
           THEN (${leField(81, 4)} * 1000) // ${leField(57, 4)}
+          WHEN is_mp4
+          THEN (${beField(105, 4)} * 1000) // ${beField(97, 4)}
           END AS duration_ms
       FROM parsed"""
   }

@@ -143,11 +143,26 @@ class MultimodalSpec extends SparkTestBase {
       .contains(WavInfo(22050, 1, 10000L)))
   }
 
+  test("MP4 probe walks real ISO-BMFF boxes: timescale, duration, truncation") {
+    import VideoHeaders.{mp4Info, Mp4Info}
+    val p = graft.multimodal.MediaSynth.payload(4L) // kind 4 = MP4
+    val info = mp4Info(p)
+    assert(info.contains(Mp4Info(1000L, 185L))) // doc 4: ts 1000, 5*37 units
+    assert(info.get.durationMs == 185L)
+    // truncations and garbage → None, never a crash
+    assert(mp4Info(p.take(30)).isEmpty) // inside moov, before mvhd payload
+    assert(mp4Info(p.take(40)).isEmpty) // inside mvhd, before duration
+    assert(mp4Info(p.take(12)).isEmpty)
+    assert(mp4Info("1234ftyp".getBytes).isEmpty) // header only, no moov
+    assert(mp4Info(payload(11, 64)).isEmpty)
+    assert(mp4Info(Array.emptyByteArray).isEmpty)
+  }
+
   test("MediaSynth payloads round-trip through the real parsers") {
     import graft.multimodal.MediaSynth
-    for (id <- 0L to 49L) {
+    for (id <- 0L to 59L) {
       val p = MediaSynth.payload(id)
-      (id % 5) match {
+      (id % 6) match {
         case 0 => assert(ImageHeaders.dims(p).contains(
           ("png", MediaSynth.width(id), MediaSynth.height(id))))
         case 1 => assert(ImageHeaders.dims(p).contains(
@@ -161,9 +176,16 @@ class MultimodalSpec extends SparkTestBase {
           assert(got.durationMs == MediaSynth.dataBytes(id) * 1000L /
             MediaSynth.byteRate(id))
           assert(ImageHeaders.dims(p).isEmpty)
+        case 4 =>
+          val got = VideoHeaders.mp4Info(p).get
+          assert(got.timescale == MediaSynth.mp4Timescale(id))
+          assert(got.durationUnits == MediaSynth.mp4DurationUnits(id))
+          assert(ImageHeaders.dims(p).isEmpty)
+          assert(AudioHeaders.wavInfo(p).isEmpty)
         case _ =>
           assert(ImageHeaders.dims(p).isEmpty)
           assert(AudioHeaders.wavInfo(p).isEmpty)
+          assert(VideoHeaders.mp4Info(p).isEmpty)
       }
     }
   }
