@@ -142,6 +142,39 @@ object StreamingQueries {
     spark.read.parquet(out)
   }
 
+  /** q77 — the q66 sessionization through `transformWithState` (Spark 4's
+    * arbitrary-stateful API: typed state variables + explicit event-time
+    * timers, RocksDB-backed — the GraftSession default provider it
+    * requires), replayed over the events file and hash-matched against
+    * the same q19 batch-window oracle. Both stateful APIs now prove
+    * identical semantics under the driver gate, not just in specs. */
+  def sessionizeTwsStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val src = s"$dir/events.parquet"
+    val out = scratchDir("stream_q77_out", dir)
+    val ckpt = scratchDir("stream_q77_ckpt", dir)
+    delete(ckpt); delete(out)
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema)
+      .parquet(s"$dir/events*.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .as[EventStreams.Event]
+    val writeBatch: (Dataset[EventStreams.SessionAssignment], Long) => Unit =
+      (batch, _) => batch.write.mode("append").parquet(out)
+    val q = EventStreams.sessionizeTws(stream)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch(writeBatch)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally { q.stop(); delete(ckpt) }
+    spark.read.parquet(out)
+      .select(col("event_id"), col("user_id"), col("session_seq"))
+  }
+
   /** q71 — watermark-bounded streaming dedup: the events stream unioned
     * with a second subscription of itself (every event arrives twice)
     * flows through `dropDuplicatesWithinWatermark` and must come out
@@ -222,5 +255,7 @@ object StreamingQueries {
       Some(sessionizeOracle)),
     QueryDef("q69_interval_join_stream", intervalJoinStream,
       Some(intervalJoinOracle)),
-    QueryDef("q71_dedup_stream", dedupStream, Some(dedupStreamOracle)))
+    QueryDef("q71_dedup_stream", dedupStream, Some(dedupStreamOracle)),
+    QueryDef("q77_sessionize_tws_stream", sessionizeTwsStream,
+      Some(sessionizeOracle)))
 }

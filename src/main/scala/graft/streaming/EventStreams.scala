@@ -2,9 +2,11 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
+  GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode,
+  TimerValues, ValueState}
 
 /** Structured Streaming forms of the event analytics (batch twins live in
   * graft.queries.EventQueries — the specs assert stream == batch).
@@ -117,6 +119,9 @@ object EventStreams {
         GroupStateTimeout.EventTimeTimeout)(assignSessions(idleHorizonMs))
   }
 
+  private[streaming] def eventMicros(t: Timestamp): Long =
+    (t.getTime - t.getNanos / 1000000) * 1000L + t.getNanos / 1000L
+
   private[streaming] def assignSessions(idleHorizonMs: Long)(userId: Long,
       events: Iterator[Event],
       state: GroupState[SessionState]): Iterator[SessionAssignment] = {
@@ -124,8 +129,7 @@ object EventStreams {
       state.remove()
       return Iterator.empty
     }
-    def micros(t: Timestamp): Long =
-      (t.getTime - t.getNanos / 1000000) * 1000L + t.getNanos / 1000L
+    def micros(t: Timestamp): Long = eventMicros(t)
     val ordered = events.toSeq.sortBy(e => (micros(e.ts), e.event_id))
     var st = state.getOption.getOrElse(SessionState(Long.MinValue, -1L, 0L))
     val out = ordered.map { e =>
@@ -143,5 +147,63 @@ object EventStreams {
         state.getCurrentWatermarkMs + 1L))
     }
     out.iterator
+  }
+
+  /** The same sessionization through `transformWithState` — Spark 4's
+    * arbitrary-stateful-operator API (typed state variables + explicit
+    * event-time timers; requires the RocksDB state store provider, the
+    * GraftSession default). Identical semantics to [[sessionize]]:
+    * in-batch (ts, event_id) ordering, 30-min gap, one compact state
+    * record per user, idle-horizon eviction — here via a registered timer
+    * per user that [[SessionProcessor.handleExpiredTimer]] answers by
+    * clearing state. Spec-pinned equal to both the fMGWS stream and the
+    * batch window twin. */
+  def sessionizeTws(events: Dataset[Event],
+      watermarkDelay: String = "1 hour",
+      idleHorizonMs: Long = DefaultIdleHorizonMs): Dataset[SessionAssignment] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor(idleHorizonMs),
+        TimeMode.EventTime, OutputMode.Append)
+  }
+
+  /** One state record per user; a fresh timer per batch replaces the
+    * previous one so an active user is never evicted by a stale timer. */
+  class SessionProcessor(idleHorizonMs: Long)
+      extends StatefulProcessor[Long, Event, SessionAssignment] {
+
+    @transient private var state: ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[SessionState]("session",
+        Encoders.product[SessionState], TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long, rows: Iterator[Event],
+        tv: TimerValues): Iterator[SessionAssignment] = {
+      val ordered = rows.toSeq.sortBy(e => (eventMicros(e.ts), e.event_id))
+      if (ordered.isEmpty) return Iterator.empty
+      var st =
+        if (state.exists()) state.get() else SessionState(Long.MinValue, -1L, 0L)
+      val out = ordered.map { e =>
+        val us = eventMicros(e.ts)
+        val isNew = st.sessionSeq == 0L || us - st.lastEventUs > SessionGapUs
+        st = SessionState(us, e.event_id,
+          if (isNew) st.sessionSeq + 1 else st.sessionSeq)
+        SessionAssignment(e.event_id, userId, st.sessionSeq)
+      }
+      state.update(st)
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      getHandle.registerTimer(math.max(st.lastEventUs / 1000L + idleHorizonMs,
+        tv.getCurrentWatermarkInMs + 1L))
+      out.iterator
+    }
+
+    override def handleExpiredTimer(userId: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[SessionAssignment] = {
+      state.clear()
+      Iterator.empty
+    }
   }
 }

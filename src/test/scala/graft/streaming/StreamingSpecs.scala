@@ -221,6 +221,58 @@ class EventStreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("transformWithState sessionization matches fMGWS and the batch twin") {
+    // Spark 4's arbitrary-stateful API (typed state vars + explicit
+    // timers, RocksDB-only) must assign exactly the sessions the
+    // flatMapGroupsWithState operator and the batch window twin assign
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val q = EventStreams.sessionizeTws(stream.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("tws_out").start()
+    try {
+      val (first, second) = batchEvents.sortBy(_.event_id).splitAt(batchEvents.size / 2)
+      stream.addData(first)
+      q.processAllAvailable()
+      stream.addData(second)
+      q.processAllAvailable()
+      val got = spark.table("tws_out")
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+      val want = EventQueries.sessionize(spark, sfDir)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+      assert(got == want)
+    } finally q.stop()
+  }
+
+  test("transformWithState timer expires idle state (numbering restarts)") {
+    implicit val sqlCtx = spark.sqlContext
+    import java.sql.Timestamp
+    def ev(id: Long, user: Long, tMs: Long) =
+      Event(id, new Timestamp(tMs), user, "view", 1.0)
+    val hourMs = 3600L * 1000
+    val stream = MemoryStream[Event]
+    val q = EventStreams.sessionizeTws(stream.toDS(),
+        watermarkDelay = "10 minutes", idleHorizonMs = 2 * hourMs)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("tws_expiry_out").start()
+    try {
+      val t0 = 1700000000000L
+      stream.addData(ev(1, 7L, t0)) // user 7, session 1
+      q.processAllAvailable()
+      // other-user traffic 3h later advances the watermark past 7's timer
+      stream.addData(ev(2, 8L, t0 + 3 * hourMs))
+      q.processAllAvailable()
+      stream.addData(ev(3, 8L, t0 + 3 * hourMs + 60000))
+      q.processAllAvailable()
+      // user 7 returns after its timer cleared the state: restart at 1
+      stream.addData(ev(4, 7L, t0 + 3 * hourMs + 120000))
+      q.processAllAvailable()
+      val got = spark.table("tws_expiry_out")
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+    } finally q.stop()
+  }
+
   test("event-id-ordered micro-batches preserve per-user session monotonicity") {
     val byUser = spark.table("sessions_out").as("s")
       .join(Tables.events(spark, sfDir).select("event_id", "user_id", "ts"),
