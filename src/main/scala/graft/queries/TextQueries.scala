@@ -239,6 +239,33 @@ object TextQueries {
   // Java∩RE2-safe (no lookaround); group 1 captures the host
   private val UrlRe = "https?://([A-Za-z0-9.-]+)"
 
+  // Decomposed combining sequences + a singleton (U+212B ANGSTROM SIGN),
+  // each of which NFC rewrites — appended per row so the pure-ASCII
+  // corpus actually exercises normalization
+  private val NfcVariants =
+    Seq("e\u0301", "A\u0300", "o\u0308", "c\u0327", "\u212B")
+
+  /** Unicode NFC normalization (q78) through the native codegen'd
+    * [[graft.functions.NfcNormalize]] expression — the canonical-form
+    * cleaning step that makes decomposed (`e`+combining accent) and
+    * precomposed (`é`) text fingerprint identically before dedup/hashing.
+    * Each row gets a decomposed suffix variant; the oracle computes
+    * DuckDB's `nfc_normalize` over the identical bytes and compares
+    * md5 + codepoint counts. Shuffle-free narrow projection. */
+  def unicodeNormalize(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.NfcNormalize
+    val variant = element_at(array(NfcVariants.map(lit): _*),
+      (col("doc_id") % NfcVariants.size).cast("int") + 1)
+    graft.util.Par.ensure(Tables(spark, dir, "documents"))
+      .select(col("doc_id"),
+        concat(col("text"), lit(" "), variant).as("_raw"))
+      .select(col("doc_id"),
+        (NfcNormalize(col("_raw")) =!= col("_raw")).as("changed"),
+        md5(NfcNormalize(col("_raw"))).as("norm_md5"),
+        length(col("_raw")).cast("long").as("len_before"),
+        length(NfcNormalize(col("_raw"))).cast("long").as("len_after"))
+  }
+
   /** C4-style repetition filter signals: top-word share of each document
     * (high share ⇒ boilerplate/spam). One explode + two aggregations. */
   def repetitionFilter(spark: SparkSession, dir: String): DataFrame = {
@@ -452,6 +479,22 @@ object TextQueries {
         CAST(floor((COUNT(*) - SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END))::DOUBLE
           / COUNT(*)::DOUBLE * 1000000) AS BIGINT) AS retained_e6
       FROM flagged GROUP BY doc_id""")),
+    QueryDef("q78_unicode_normalize", unicodeNormalize, Some("""
+      WITH aug AS (
+        SELECT doc_id,
+          text || ' ' || CASE doc_id % 5
+            WHEN 0 THEN 'e' || chr(769)
+            WHEN 1 THEN 'A' || chr(768)
+            WHEN 2 THEN 'o' || chr(776)
+            WHEN 3 THEN 'c' || chr(807)
+            ELSE chr(8491) END AS raw
+        FROM documents)
+      SELECT doc_id,
+        nfc_normalize(raw) <> raw AS changed,
+        md5(nfc_normalize(raw)) AS norm_md5,
+        CAST(length(raw) AS BIGINT) AS len_before,
+        CAST(length(nfc_normalize(raw)) AS BIGINT) AS len_after
+      FROM aug""")),
     QueryDef("q74_rare_bigram_rate", rareBigramRate, Some(s"""
       WITH bi AS (
         SELECT doc_id, unnest(${graft.dedup.Dedup.sqlShingles("text", 2)})
