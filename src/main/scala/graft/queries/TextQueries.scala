@@ -266,6 +266,56 @@ object TextQueries {
         length(NfcNormalize(col("_raw"))).cast("long").as("len_after"))
   }
 
+  // q79 carve size, interpolated into BOTH sides
+  private val EvalK = 50
+
+  /** Deterministic exact-k eval-set carving (q79): exactly `EvalK` docs
+    * per language stratum, chosen by a stable content hash — the "hold
+    * out a fixed eval set" step. Unlike q32's RATE sampling (expected
+    * fraction, count varies), this pins the exact count per stratum, and
+    * the hash order makes the same docs win on any engine, any run, any
+    * layout. One shuffle (per-stratum window); stratum cardinality is
+    * small, so per-stratum ordering parallelizes across strata — for a
+    * single giant stratum the q70 shard trick applies instead. */
+  def evalCarve(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = wordHash(concat(lit("evalk:"), col("doc_id").cast("string")))
+    val w = Window.partitionBy("lang").orderBy("hv", "doc_id")
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), h.as("hv"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= EvalK)
+      .select(col("doc_id"), col("lang"), col("rk"))
+  }
+
+  // Java∩RE2-safe: no lookaround, bounded char classes
+  private val TagRe = "<[^>]*>"
+
+  /** HTML/boilerplate stripping (q80) — the markup-removal pass every
+    * web-corpus pipeline runs before text analysis. Rows are wrapped in a
+    * deterministic HTML scaffold (q40's augmentation pattern — the
+    * synthetic corpus carries no markup), then tags are stripped and the
+    * common entities decoded; the oracle re-runs the identical regex
+    * chain and compares md5 + exact tag counts + markup ratio.
+    * Shuffle-free narrow projection. */
+  def htmlStrip(spark: SparkSession, dir: String): DataFrame = {
+    val raw = concat(
+      lit("<html><head><title>T"), col("doc_id").cast("string"),
+      lit("</title></head><body><p>"), col("text"),
+      lit("</p><a href=\"http://a.example.com/x\">link</a>&amp;&nbsp;</body></html>"))
+    graft.util.Par.ensure(Tables(spark, dir, "documents"))
+      .select(col("doc_id"), raw.as("_t"))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("_t"), lit(TagRe), lit(0)))
+          .cast("long").as("n_tags"),
+        md5(regexp_replace(regexp_replace(regexp_replace(
+          col("_t"), TagRe, " "), "&amp;", "&"), "&nbsp;", " "))
+          .as("stripped_md5"),
+        floor((length(col("_t")) -
+          length(regexp_replace(col("_t"), TagRe, ""))).cast("double") /
+          length(col("_t")).cast("double") * 1000000).as("markup_ratio_e6"))
+  }
+
   /** C4-style repetition filter signals: top-word share of each document
     * (high share ⇒ boilerplate/spam). One explode + two aggregations. */
   def repetitionFilter(spark: SparkSession, dir: String): DataFrame = {
@@ -479,6 +529,32 @@ object TextQueries {
         CAST(floor((COUNT(*) - SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END))::DOUBLE
           / COUNT(*)::DOUBLE * 1000000) AS BIGINT) AS retained_e6
       FROM flagged GROUP BY doc_id""")),
+    QueryDef("q79_eval_carve", evalCarve, Some(s"""
+      WITH h AS (
+        SELECT doc_id, lang,
+          ${sqlWordHash("('evalk:' || CAST(doc_id AS VARCHAR))")} AS hv
+        FROM documents),
+      ranked AS (
+        SELECT doc_id, lang,
+          CAST(row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id)
+            AS BIGINT) AS rk
+        FROM h)
+      SELECT doc_id, lang, rk FROM ranked WHERE rk <= $EvalK""")),
+    QueryDef("q80_html_strip", htmlStrip, Some(s"""
+      WITH aug AS (
+        SELECT doc_id,
+          '<html><head><title>T' || CAST(doc_id AS VARCHAR)
+            || '</title></head><body><p>' || text
+            || '</p><a href="http://a.example.com/x">link</a>&amp;&nbsp;</body></html>'
+            AS t
+        FROM documents)
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(t, '$TagRe')) AS BIGINT) AS n_tags,
+        md5(replace(replace(regexp_replace(t, '$TagRe', ' ', 'g'),
+          '&amp;', '&'), '&nbsp;', ' ')) AS stripped_md5,
+        CAST(floor((length(t) - length(regexp_replace(t, '$TagRe', '', 'g')))::DOUBLE
+          / length(t)::DOUBLE * 1000000) AS BIGINT) AS markup_ratio_e6
+      FROM aug""")),
     QueryDef("q78_unicode_normalize", unicodeNormalize, Some("""
       WITH aug AS (
         SELECT doc_id,
