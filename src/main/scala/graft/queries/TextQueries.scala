@@ -288,6 +288,31 @@ object TextQueries {
       .select(col("doc_id"), col("lang"), col("rk"))
   }
 
+  /** Per-domain quality rollup (q81) — the decision table behind a domain
+    * allowlist: every URL host joined to its document's q17 quality score,
+    * rolled up to exact per-domain occurrence counts and an integer mean
+    * quality (sum of e6 scores // count — no FP averaging). ONE corpus
+    * scan: score and domains are computed in the same narrow projection
+    * and exploded before the single hash-agg; no self-join anywhere. */
+  def domainQuality(spark: SparkSession, dir: String): DataFrame =
+    graft.util.Par.ensure(Tables(spark, dir, "documents"))
+      .select(col("doc_id"),
+        floor(qualityScore(col("text")) * 1000000).as("quality_e6"),
+        concat(col("text"),
+          lit(" see https://site"), (col("doc_id") % 50).cast("string"),
+          lit(".example.com/p/"), col("doc_id").cast("string"),
+          lit(" and http://cdn"), (col("doc_id") % 7).cast("string"),
+          lit(".example.org/x")).as("_t"))
+      .select(col("quality_e6"),
+        explode(regexp_extract_all(col("_t"), lit(UrlRe), lit(1)))
+          .as("domain"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_urls"),
+        sum(col("quality_e6")).as("sum_quality_e6"))
+      .select(col("domain"), col("n_urls"), col("sum_quality_e6"),
+        // integer DIV, not FP divide-then-cast: exact on any magnitude
+        expr("sum_quality_e6 DIV n_urls").as("avg_quality_e6"))
+
   // Java∩RE2-safe: no lookaround, bounded char classes
   private val TagRe = "<[^>]*>"
 
@@ -529,6 +554,21 @@ object TextQueries {
         CAST(floor((COUNT(*) - SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END))::DOUBLE
           / COUNT(*)::DOUBLE * 1000000) AS BIGINT) AS retained_e6
       FROM flagged GROUP BY doc_id""")),
+    QueryDef("q81_domain_quality", domainQuality, Some(s"""
+      WITH aug AS (
+        SELECT doc_id, $sqlQualityE6 AS quality_e6,
+          text || ' see https://site' || CAST(doc_id % 50 AS VARCHAR)
+            || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+            || ' and http://cdn' || CAST(doc_id % 7 AS VARCHAR)
+            || '.example.org/x' AS t
+        FROM documents),
+      hosts AS (
+        SELECT quality_e6, unnest(regexp_extract_all(t, '$UrlRe', 1)) AS domain
+        FROM aug)
+      SELECT domain, COUNT(*) AS n_urls,
+        CAST(SUM(quality_e6) AS BIGINT) AS sum_quality_e6,
+        CAST(SUM(quality_e6) AS BIGINT) // COUNT(*) AS avg_quality_e6
+      FROM hosts GROUP BY domain""")),
     QueryDef("q79_eval_carve", evalCarve, Some(s"""
       WITH h AS (
         SELECT doc_id, lang,
