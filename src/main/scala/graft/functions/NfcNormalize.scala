@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, StringType}
@@ -23,6 +24,13 @@ import org.apache.spark.unsafe.types.UTF8String
 case class NfcNormalize(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = StringType
+
+  // analysis-time type error on a non-string child (the standard contract
+  // of every built-in string expression), not a codegen/cast failure
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"nfc_normalize requires STRING input, got ${child.dataType.sql}")
 
   override def prettyName: String = "nfc_normalize"
 

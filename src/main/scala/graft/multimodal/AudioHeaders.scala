@@ -17,36 +17,34 @@ object AudioHeaders {
 
   final case class WavInfo(sampleRate: Int, channels: Int, durationMs: Long)
 
-  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
-  private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
-  private def le32(b: Array[Byte], i: Int): Long =
-    u8(b, i).toLong | (u8(b, i + 1).toLong << 8) |
-      (u8(b, i + 2).toLong << 16) | (u8(b, i + 3).toLong << 24)
-  private def tag(b: Array[Byte], i: Int, t: String): Boolean =
-    b(i) == t(0) && b(i + 1) == t(1) && b(i + 2) == t(2) && b(i + 3) == t(3)
+  import ByteReads._
 
   /** Walk the RIFF chunk list for `fmt ` + `data`. Returns None on a
     * non-WAV or truncated-before-metadata payload. The data chunk's BYTES
     * need not be present (probing the head of a large object reads only
     * the declared size) — but the fmt fields and the data size field
-    * must be. */
+    * must be. Offset arithmetic stays in Long: a corrupt unsigned 32-bit
+    * chunk size truncated to Int would advance by 0/negative (infinite
+    * loop) or overflow the index (AIOOBE) — here it just walks past the
+    * end and returns None. */
   def wavInfo(p: Array[Byte]): Option[WavInfo] = {
     if (p.length < 12 || !tag(p, 0, "RIFF") || !tag(p, 8, "WAVE")) return None
-    var i = 12
+    var i = 12L
     var rate = -1L
     var channels = -1
     var byteRate = -1L
     var dataSize = -1L
     while (i + 8 <= p.length && (rate < 0 || dataSize < 0)) {
-      val size = le32(p, i + 4)
-      if (tag(p, i, "fmt ")) {
+      val at = i.toInt // safe: i + 8 <= p.length <= Int.MaxValue
+      val size = le32(p, at + 4) // unsigned, up to 0xFFFFFFFF
+      if (tag(p, at, "fmt ")) {
         if (size < 16 || i + 8 + 16 > p.length) return None
-        channels = le16(p, i + 10)
-        rate = le32(p, i + 12)
-        byteRate = le32(p, i + 16)
-      } else if (tag(p, i, "data")) dataSize = size
+        channels = le16(p, at + 10)
+        rate = le32(p, at + 12)
+        byteRate = le32(p, at + 16)
+      } else if (tag(p, at, "data")) dataSize = size
       // chunks are word-aligned: odd sizes carry one pad byte
-      i += 8 + size.toInt + (size.toInt & 1)
+      i += 8L + size + (size & 1L)
     }
     if (rate > 0 && channels > 0 && byteRate > 0 && dataSize >= 0)
       Some(WavInfo(rate.toInt, channels, dataSize * 1000L / byteRate))

@@ -16,11 +16,7 @@ package graft.multimodal
   */
 object ImageHeaders {
 
-  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
-  private def be16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
-  private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
-  private def be32(b: Array[Byte], i: Int): Long =
-    (u8(b, i).toLong << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+  import ByteReads._
 
   def pngDims(p: Array[Byte]): Option[(Int, Int)] =
     if (p.length >= 24 && u8(p, 0) == 0x89 && p(1) == 'P' && p(2) == 'N' &&

@@ -17,13 +17,7 @@ object VideoHeaders {
     def durationMs: Long = durationUnits * 1000L / timescale
   }
 
-  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
-  private def be32(b: Array[Byte], i: Int): Long =
-    (u8(b, i).toLong << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
-  private def be64(b: Array[Byte], i: Int): Long =
-    (be32(b, i) << 32) | be32(b, i + 4)
-  private def tag(b: Array[Byte], i: Int, t: String): Boolean =
-    b(i) == t(0) && b(i + 1) == t(1) && b(i + 2) == t(2) && b(i + 3) == t(3)
+  import ByteReads._
 
   private def parseMvhd(p: Array[Byte], j: Int, end: Int): Option[Mp4Info] = {
     // j points at the mvhd box header; payload starts at j+8
@@ -37,27 +31,32 @@ object VideoHeaders {
 
   /** Walk top-level boxes for `moov`, then its children for `mvhd`.
     * Returns None for non-MP4, truncated-before-mvhd, or malformed
-    * (zero/overflowing box size) payloads. */
+    * (zero/overflowing box size) payloads. Offset arithmetic stays in
+    * Long: an unsigned 32-bit box size truncated to Int would loop
+    * forever (advance wraps to 0/negative) or overflow the index — in
+    * Long it just walks past the end and returns None. */
   def mp4Info(p: Array[Byte]): Option[Mp4Info] = {
     // a real MP4 starts with a box whose type is ftyp (or a moov-first
     // streaming layout); require a plausible first box header
     if (p.length < 16 || !(tag(p, 4, "ftyp") || tag(p, 4, "moov"))) return None
-    var i = 0
+    var i = 0L
     while (i + 8 <= p.length) {
-      val size = be32(p, i)
+      val at = i.toInt // safe: i + 8 <= p.length <= Int.MaxValue
+      val size = be32(p, at) // unsigned, up to 0xFFFFFFFF
       if (size < 8) return None // 64-bit/to-end sizes not used by headers
-      if (tag(p, i + 4, "moov")) {
+      if (tag(p, at + 4, "moov")) {
         val end = math.min(p.length.toLong, i + size).toInt
         var j = i + 8
         while (j + 8 <= end) {
-          val csize = be32(p, j)
+          val cat = j.toInt
+          val csize = be32(p, cat)
           if (csize < 8) return None
-          if (tag(p, j + 4, "mvhd")) return parseMvhd(p, j, end)
-          j += csize.toInt
+          if (tag(p, cat + 4, "mvhd")) return parseMvhd(p, cat, end)
+          j += csize
         }
         return None // moov without mvhd (or truncated)
       }
-      i += size.toInt
+      i += size
     }
     None
   }

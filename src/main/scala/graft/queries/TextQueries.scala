@@ -224,11 +224,7 @@ object TextQueries {
     * key space. */
   def urlDomains(spark: SparkSession, dir: String): DataFrame =
     graft.util.Par.ensure(Tables(spark, dir, "documents"))
-      .select(col("doc_id"), concat(col("text"),
-        lit(" see https://site"), (col("doc_id") % 50).cast("string"),
-        lit(".example.com/p/"), col("doc_id").cast("string"),
-        lit(" and http://cdn"), (col("doc_id") % 7).cast("string"),
-        lit(".example.org/x")).as("_t"))
+      .select(col("doc_id"), urlAugmentedText.as("_t"))
       .select(col("doc_id"),
         explode(regexp_extract_all(col("_t"), lit(UrlRe), lit(1)))
           .as("domain"))
@@ -238,6 +234,21 @@ object TextQueries {
 
   // Java∩RE2-safe (no lookaround); group 1 captures the host
   private val UrlRe = "https?://([A-Za-z0-9.-]+)"
+
+  // ONE definition of the deterministic URL augmentation shared by q75 and
+  // q81 (Spark side + DuckDB side) — the two gates must test the same
+  // corpus, and the Spark/SQL pair must stay byte-identical
+  private def urlAugmentedText: org.apache.spark.sql.Column = concat(
+    col("text"),
+    lit(" see https://site"), (col("doc_id") % 50).cast("string"),
+    lit(".example.com/p/"), col("doc_id").cast("string"),
+    lit(" and http://cdn"), (col("doc_id") % 7).cast("string"),
+    lit(".example.org/x"))
+  private val sqlUrlAugmentedText: String =
+    """text || ' see https://site' || CAST(doc_id % 50 AS VARCHAR)
+            || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+            || ' and http://cdn' || CAST(doc_id % 7 AS VARCHAR)
+            || '.example.org/x'"""
 
   // Decomposed combining sequences + a singleton (U+212B ANGSTROM SIGN),
   // each of which NFC rewrites — appended per row so the pure-ASCII
@@ -298,11 +309,7 @@ object TextQueries {
     graft.util.Par.ensure(Tables(spark, dir, "documents"))
       .select(col("doc_id"),
         floor(qualityScore(col("text")) * 1000000).as("quality_e6"),
-        concat(col("text"),
-          lit(" see https://site"), (col("doc_id") % 50).cast("string"),
-          lit(".example.com/p/"), col("doc_id").cast("string"),
-          lit(" and http://cdn"), (col("doc_id") % 7).cast("string"),
-          lit(".example.org/x")).as("_t"))
+        urlAugmentedText.as("_t"))
       .select(col("quality_e6"),
         explode(regexp_extract_all(col("_t"), lit(UrlRe), lit(1)))
           .as("domain"))
@@ -557,10 +564,7 @@ object TextQueries {
     QueryDef("q81_domain_quality", domainQuality, Some(s"""
       WITH aug AS (
         SELECT doc_id, $sqlQualityE6 AS quality_e6,
-          text || ' see https://site' || CAST(doc_id % 50 AS VARCHAR)
-            || '.example.com/p/' || CAST(doc_id AS VARCHAR)
-            || ' and http://cdn' || CAST(doc_id % 7 AS VARCHAR)
-            || '.example.org/x' AS t
+          $sqlUrlAugmentedText AS t
         FROM documents),
       hosts AS (
         SELECT quality_e6, unnest(regexp_extract_all(t, '$UrlRe', 1)) AS domain
@@ -627,10 +631,7 @@ object TextQueries {
     QueryDef("q75_url_domains", urlDomains, Some(s"""
       WITH aug AS (
         SELECT doc_id,
-          text || ' see https://site' || CAST(doc_id % 50 AS VARCHAR)
-            || '.example.com/p/' || CAST(doc_id AS VARCHAR)
-            || ' and http://cdn' || CAST(doc_id % 7 AS VARCHAR)
-            || '.example.org/x' AS t
+          $sqlUrlAugmentedText AS t
         FROM documents),
       hosts AS (
         SELECT doc_id, unnest(regexp_extract_all(t, '$UrlRe', 1)) AS domain

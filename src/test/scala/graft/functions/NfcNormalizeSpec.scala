@@ -35,6 +35,12 @@ class NfcNormalizeSpec extends SparkTestBase {
     val n = Seq[Option[String]](None).toDF("s")
       .select(NfcNormalize(col("s"))).collect()
     assert(n(0).isNullAt(0))
+    // a non-string child fails at ANALYSIS time with a clear type error,
+    // not at runtime inside codegen
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(1L).toDF("n").select(NfcNormalize(col("n"))).collect()
+    }
+    assert(err.getMessage.contains("nfc_normalize"), err.getMessage)
     // the expression stays inside whole-stage codegen (no UDF black box):
     // AQE prints codegen'd stages with the "*(n)" marker
     val plan = df.queryExecution.executedPlan.toString

@@ -58,6 +58,28 @@ class MediaPropertySpecs extends SparkTestBase {
     assert(ImageHeaders.dims(wide).contains(("png", 1 << 20, (1 << 19) + 3)))
   }
 
+  test("corrupt 32-bit sizes reject instead of looping or overflowing") {
+    // a chunk/box size field is corruption-controlled: values whose Int
+    // truncation is negative/zero must not wedge the walk (regression:
+    // `size.toInt` made the advance non-positive → infinite loop on an
+    // executor core, or wrapped the index → AIOOBE)
+    for (sizeHex <- Seq("F8FFFFFF", "F0FFFF7F", "FFFFFFFF", "0C000000")) {
+      val wav = hexToBytes("52494646" + "24000000" + "57415645" +
+        "4A554E4B" + sizeHex + "00" * 8)
+      assert(AudioHeaders.wavInfo(wav).isEmpty, s"wav size $sizeHex")
+    }
+    for (sizeHex <- Seq("FFFFFFF0", "7FFFFFF0", "FFFFFFFF")) {
+      val mp4 = hexToBytes("0000001466747970" + "69736F6D" + "00000200" +
+        "69736F6D" + sizeHex + "6A756E6B" + "00" * 8)
+      assert(VideoHeaders.mp4Info(mp4).isEmpty, s"mp4 top size $sizeHex")
+      // same inside moov: a child box with a wrapping size
+      val moov = hexToBytes("0000001466747970" + "69736F6D" + "00000200" +
+        "69736F6D" + "00000020" + "6D6F6F76" + sizeHex + "6A756E6B" +
+        "00" * 16)
+      assert(VideoHeaders.mp4Info(moov).isEmpty, s"mp4 child size $sizeHex")
+    }
+  }
+
   test("arbitrary WAV/MP4 headers round-trip; every truncation rejects") {
     val wavGen = for {
       rate <- Gen.oneOf(8000, 11025, 16000, 22050, 44100, 48000)
