@@ -142,7 +142,58 @@ object SimilarityQueries {
       FROM reach GROUP BY src"""
   }
 
+  /** Per-vector int8 quantization (q82) — the embedding-compression step
+    * an ANN index runs before storage (4× smaller than float32): each
+    * vector min/max-scaled to 255 levels, codes exported as an md5 over
+    * the exact integer sequence, and the reconstruction error attested
+    * per dimension against the quantization step. All arithmetic is the
+    * identical IEEE double sequence in both engines (float→double is
+    * exact; min/max/floor are bitwise-stable), so codes AND the error
+    * boolean hash-compare exactly. Shuffle-free narrow projection. */
+  def int8Quantize(spark: SparkSession, dir: String): DataFrame = {
+    val dbl = col("embedding").cast("array<double>")
+    val mn = array_min(dbl)
+    val mx = array_max(dbl)
+    val step = (mx - mn) / 255.0
+    val codes = transform(dbl, v =>
+      when(mx === mn, lit(0L))
+        .otherwise(floor((v - mn) / (mx - mn) * 255).cast("long")))
+    val errs = transform(sequence(lit(1), size(dbl)), i =>
+      abs(element_at(dbl, i) -
+        (mn + element_at(codes, i).cast("double") * step)))
+    graft.util.Par.ensure(Tables(spark, dir, "embeddings"))
+      .select(col("vec_id"),
+        size(dbl).cast("long").as("n_dims"),
+        md5(concat_ws(",", transform(codes, _.cast("string"))))
+          .as("codes_md5"),
+        when(mx === mn, lit(true))
+          .otherwise(array_max(errs) <= step).as("err_in_bound"))
+  }
+
+  private val int8QuantizeOracle = """
+      WITH v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS d FROM embeddings),
+      scaled AS (
+        SELECT vec_id, d, list_min(d) AS mn, list_max(d) AS mx,
+          (list_max(d) - list_min(d)) / 255.0 AS step
+        FROM v),
+      coded AS (
+        SELECT vec_id, d, mn, mx, step,
+          list_transform(d, x -> CASE WHEN mx = mn THEN 0
+            ELSE CAST(floor((x - mn) / (mx - mn) * 255) AS BIGINT) END)
+            AS codes
+        FROM scaled)
+      SELECT vec_id,
+        CAST(len(d) AS BIGINT) AS n_dims,
+        md5(array_to_string(codes, ',')) AS codes_md5,
+        CASE WHEN mx = mn THEN true
+          ELSE list_max(list_transform(range(1, len(d) + 1),
+            i -> abs(d[i] - (mn + codes[i] * step)))) <= step
+          END AS err_in_bound
+      FROM coded"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q82_int8_quantize", int8Quantize, Some(int8QuantizeOracle)),
     QueryDef("q24_cosine_topk", cosineTopK, Some(cosineTopKOracle)),
     QueryDef("q25_lsh_ann_topk", lshTopK, Some(lshTopKOracle)),
     QueryDef("q26_embedding_near_dups", embeddingNearDups,
