@@ -192,8 +192,64 @@ object SimilarityQueries {
           END AS err_in_bound
       FROM coded"""
 
+  /** Quantized ANN (q83) — FAISS-SQ8-style search: full-precision queries
+    * scored against the int8-DEQUANTIZED corpus (q82's codes round-tripped
+    * back to doubles), exact top-k per query. This is the accuracy/space
+    * trade an ANN deployment actually ships — 4× smaller corpus vectors,
+    * ranks computed on reconstructed values. Every reconstruction and
+    * cosine is the identical IEEE double sequence in both engines, so
+    * ranks and e6 scores hash-compare exactly (q24's contract, quantized
+    * corpus). Same broadcast-queries / no-corpus-shuffle plan shape as
+    * q24. */
+  def sq8TopK(spark: SparkSession, dir: String): DataFrame = {
+    val dbl = col("embedding").cast("array<double>")
+    val mn = array_min(dbl)
+    val mx = array_max(dbl)
+    val step = (mx - mn) / 255.0
+    val codes = transform(dbl, v =>
+      when(mx === mn, lit(0L))
+        .otherwise(floor((v - mn) / (mx - mn) * 255).cast("long")))
+    val deq = transform(codes, c => mn + c.cast("double") * step)
+    val emb = Tables(spark, dir, "embeddings")
+    val corpus = emb.select(col("vec_id"), deq.as("embedding"))
+    e6(Similarity.bruteForceTopK(corpus, queriesOf(emb), "vec_id",
+      "embedding", K))
+  }
+
+  private val sq8TopKOracle = {
+    val cosSq8 = Similarity.sqlCosine("q.embedding", "c.deq")
+    s"""
+      WITH coded AS (
+        SELECT vec_id, embedding::DOUBLE[] AS d,
+          list_min(embedding::DOUBLE[]) AS mn,
+          list_max(embedding::DOUBLE[]) AS mx,
+          (list_max(embedding::DOUBLE[]) - list_min(embedding::DOUBLE[]))
+            / 255.0 AS step
+        FROM embeddings),
+      deqd AS (
+        SELECT vec_id,
+          list_transform(d, x -> mn + (CASE WHEN mx = mn THEN 0
+            ELSE CAST(floor((x - mn) / (mx - mn) * 255) AS BIGINT) END)
+            * step) AS deq
+        FROM coded),
+      scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          $cosSq8 AS cos_sim
+        FROM embeddings q JOIN deqd c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < 20),
+      ranked AS (
+        SELECT query_id, neighbor_id, cos_sim,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY cos_sim DESC, neighbor_id) AS rank
+        FROM scored)
+      SELECT query_id, rank, neighbor_id,
+        CAST(floor(cos_sim * 1000000) AS BIGINT) AS cos_sim_e6
+      FROM ranked WHERE rank <= $K"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q82_int8_quantize", int8Quantize, Some(int8QuantizeOracle)),
+    QueryDef("q83_sq8_topk", sq8TopK, Some(sq8TopKOracle)),
     QueryDef("q24_cosine_topk", cosineTopK, Some(cosineTopKOracle)),
     QueryDef("q25_lsh_ann_topk", lshTopK, Some(lshTopKOracle)),
     QueryDef("q26_embedding_near_dups", embeddingNearDups,
