@@ -171,6 +171,25 @@ class ScaleSpecs extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("SQ8 search broadcasts the query set and never shuffles the corpus") {
+    // q83's corpus side is the dequantized projection over the scan; the
+    // only join is against the broadcast ~20-row query set — any
+    // hashpartitioning exchange on the corpus would mean a 100 TB shuffle
+    val df = SimilarityQueries.sq8TopK(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+    // quantization codes are integers in [0, 255] and runs are identical
+    val q82a = SimilarityQueries.int8Quantize(spark, dir)
+      .collect().map(_.toString).sorted
+    val q82b = SimilarityQueries.int8Quantize(spark, dir)
+      .collect().map(_.toString).sorted
+    assert(q82a.sameElements(q82b))
+  }
+
   test("span dedup hash-keyed window matches the exact-text mode") {
     // the 100 TB shuffle-width option: the first-occurrence window keyed
     // on xxhash64(span) (8-byte shuffle keys, text dropped pre-exchange)
