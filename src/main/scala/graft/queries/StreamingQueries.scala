@@ -142,6 +142,34 @@ object StreamingQueries {
     spark.read.parquet(out)
   }
 
+  /** q84 — the q18 TUMBLING hourly aggregate executed as a stream:
+    * completes the windowed-agg pair (q61 covers the sliding form). Same
+    * replay harness as q61; complete mode because the bounded replay must
+    * also emit the windows the watermark never closes. */
+  def hourlyCountsStream(spark: SparkSession, dir: String): DataFrame = {
+    val src = s"$dir/events.parquet"
+    val out = scratchDir("stream_q84_out", dir)
+    val ckpt = scratchDir("stream_q84_ckpt", dir)
+    delete(ckpt)
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema)
+      .parquet(s"$dir/events*.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val writeBatch: (Dataset[Row], Long) => Unit =
+      (batch, _) => batch.write.mode("overwrite").parquet(out)
+    val q = EventStreams.hourlyCounts(stream)
+      // exact decimal re-accumulation for the exported double sum (q58
+      // convention); the streaming state itself aggregates per window
+      .writeStream
+      .outputMode("complete")
+      .foreachBatch(writeBatch)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally { q.stop(); delete(ckpt) }
+    spark.read.parquet(out)
+  }
+
   /** q77 — the q66 sessionization through `transformWithState` (Spark 4's
     * arbitrary-stateful API: typed state variables + explicit event-time
     * timers, RocksDB-backed — the GraftSession default provider it
@@ -257,5 +285,10 @@ object StreamingQueries {
       Some(intervalJoinOracle)),
     QueryDef("q71_dedup_stream", dedupStream, Some(dedupStreamOracle)),
     QueryDef("q77_sessionize_tws_stream", sessionizeTwsStream,
-      Some(sessionizeOracle)))
+      Some(sessionizeOracle)),
+    QueryDef("q84_hourly_stream", hourlyCountsStream, Some("""
+      SELECT date_trunc('hour', ts) AS hour, event_type,
+        COUNT(*) AS n_events,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1, 2""")))
 }

@@ -37,13 +37,17 @@ object EventStreams {
   /** Default state-expiry horizon: drop a user's state after 90 idle days. */
   val DefaultIdleHorizonMs: Long = 90L * 24 * 3600 * 1000L
 
-  /** Tumbling 1-hour windowed aggregate with a 10-minute watermark. */
+  /** Tumbling 1-hour windowed aggregate with a 10-minute watermark.
+    * Value sums accumulate through DECIMAL (q18/q58 convention) so the
+    * exported double is partition-order-independent — oracle-comparable,
+    * not just count-comparable. */
   def hourlyCounts(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value")).as("sum_value"))
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double").as("sum_value"))
       .select(col("window.start").as("hour"), col("event_type"),
         col("n_events"), col("sum_value"))
 
