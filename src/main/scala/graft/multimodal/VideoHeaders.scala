@@ -22,11 +22,18 @@ object VideoHeaders {
   private def parseMvhd(p: Array[Byte], j: Int, end: Int): Option[Mp4Info] = {
     // j points at the mvhd box header; payload starts at j+8
     val v = if (j + 9 <= end) u8(p, j + 8) else return None
-    if (v == 0 && j + 28 <= end)
-      Some(Mp4Info(be32(p, j + 20), be32(p, j + 24)))
-    else if (v == 1 && j + 40 <= end)
-      Some(Mp4Info(be32(p, j + 28), be64(p, j + 32)))
-    else None
+    val raw =
+      if (v == 0 && j + 28 <= end)
+        Some(Mp4Info(be32(p, j + 20), be32(p, j + 24)))
+      else if (v == 1 && j + 40 <= end)
+        Some(Mp4Info(be32(p, j + 28), be64(p, j + 32)))
+      else None
+    // durationMs divides by timescale and multiplies duration by 1000:
+    // a corrupt-but-well-framed mvhd with timescale=0 (or a v1 be64
+    // duration that overflows the *1000L) must parse to None, not arm a
+    // later ArithmeticException/overflow in an executor task.
+    raw.filter(m => m.timescale > 0 &&
+      m.durationUnits >= 0 && m.durationUnits <= Long.MaxValue / 1000L)
   }
 
   /** Walk top-level boxes for `moov`, then its children for `mvhd`.

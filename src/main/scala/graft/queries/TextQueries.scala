@@ -98,6 +98,21 @@ object TextQueries {
     math.max(minShards.toLong, need).min(Int.MaxValue.toLong).toInt
   }
 
+  /** Row-count form of [[scaledShardCount]] — the default path of
+    * [[deterministicShuffle]] uses THIS, because (a) the per-shard sort
+    * runs over the projected `(doc_id, hv)` relation, whose size is a
+    * function of ROW count, not corpus bytes, and (b) row count is a
+    * stable corpus property: optimizer scan stats (`sizeInBytes`) vary
+    * with compression codec, caching, and session config, so a
+    * stats-derived shard count — which is part of the SEMANTIC output —
+    * could differ across environments for the same corpus and salt.
+    * ~4M rows/shard ≈ 64 MB of (hv, doc_id) pairs per sort task. */
+  def scaledShardCountRows(nRows: Long,
+      targetShardRows: Long = 4L * 1000 * 1000, minShards: Int = 16): Int = {
+    val need = (nRows + targetShardRows - 1) / targetShardRows
+    math.max(minShards.toLong, need).min(Int.MaxValue.toLong).toInt
+  }
+
   /** Deterministic global shuffle (q70) — the reproducible "shuffle the
     * corpus before packing/epochs" step: every doc gets a (shard,
     * position) from a salted stable hash, independent of cluster layout,
@@ -108,19 +123,20 @@ object TextQueries {
     * re-shuffles reproducibly (epoch seeds).
     *
     * `shards` is semantic (it appears in the output), so the driver-gate
-    * query pins the oracle's constant at test scale; callers that omit it
-    * get a corpus-scaled count from the relation's scan stats via
-    * [[scaledShardCount]] — per-shard sort work stays bounded at any
-    * corpus size. */
+    * query pins the oracle's constant at test scale, and epoch pipelines
+    * should likewise pass an explicit per-epoch value they record; callers
+    * that omit it get a corpus-scaled count derived from the ROW count via
+    * [[scaledShardCountRows]] — a stable corpus property, unlike optimizer
+    * byte stats (compression/caching/config-dependent), so the default
+    * output is reproducible across sessions and environments. Costs one
+    * metadata-only parquet count() job. */
   def deterministicShuffle(spark: SparkSession, dir: String,
       shards: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables(spark, dir, "documents")
     val nShards =
       if (shards > 0) shards
-      else scaledShardCount(
-        docs.queryExecution.optimizedPlan.stats.sizeInBytes.min(
-          BigInt(Long.MaxValue)).toLong)
+      else scaledShardCountRows(docs.count())
     val h = wordHash(concat(lit("shuf:"), col("doc_id").cast("string")))
     val w = Window.partitionBy("shard").orderBy("hv", "doc_id")
     docs

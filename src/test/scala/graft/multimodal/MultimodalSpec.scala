@@ -158,6 +158,36 @@ class MultimodalSpec extends SparkTestBase {
     assert(mp4Info(Array.emptyByteArray).isEmpty)
   }
 
+  test("MP4 probe rejects mvhd fields that would arm durationMs") {
+    import VideoHeaders.mp4Info
+    def hexBytes(hx: String): Array[Byte] =
+      Array.tabulate(hx.length / 2)(i =>
+        Integer.parseInt(hx.substring(i * 2, i * 2 + 2), 16).toByte)
+    // well-framed v0 mvhd with timescale=0: structurally valid, but
+    // durationMs would divide by zero in an executor task → must be None
+    def mp4v0(tsHex: String, durHex: String) = hexBytes(
+      "00000014" + "66747970" + "69736F6D" + "00000200" + "69736F6D" +
+        "00000074" + "6D6F6F76" +
+        "0000006C" + "6D766864" + "00000000" + "00000000" + "00000000" +
+        tsHex + durHex + "0" * 160)
+    assert(mp4Info(mp4v0("00000000", "000000B9")).isEmpty) // timescale 0
+    assert(mp4Info(mp4v0("000003E8", "000000B9")).nonEmpty) // control
+    // v1 mvhd (be64 times): a duration that overflows durationUnits*1000L
+    // must be rejected; a sane v1 duration parses
+    def mp4v1(tsHex: String, dur64Hex: String) = hexBytes(
+      "00000014" + "66747970" + "69736F6D" + "00000200" + "69736F6D" +
+        "00000080" + "6D6F6F76" +
+        "00000078" + "6D766864" + "01000000" +
+        "0000000000000000" + "0000000000000000" + // be64 create/modify
+        tsHex + dur64Hex + "0" * 160)
+    assert(mp4v1("000003E8", "00000000000000B9").length > 48)
+    assert(mp4Info(mp4v1("000003E8", "00000000000000B9"))
+      .exists(m => m.durationUnits == 185L && m.durationMs == 185L))
+    assert(mp4Info(mp4v1("000003E8", "7FFFFFFFFFFFFFFF")).isEmpty) // *1000 overflow
+    assert(mp4Info(mp4v1("000003E8", "FFFFFFFFFFFFFFFF")).isEmpty) // negative
+    assert(mp4Info(mp4v1("00000000", "00000000000000B9")).isEmpty) // v1 ts 0
+  }
+
   test("MediaSynth payloads round-trip through the real parsers") {
     import graft.multimodal.MediaSynth
     for (id <- 0L to 59L) {

@@ -137,7 +137,7 @@ class ScaleSpecs extends SparkTestBase {
   }
 
   test("deterministic shuffle shard count scales with corpus size") {
-    import graft.queries.TextQueries.scaledShardCount
+    import graft.queries.TextQueries.{scaledShardCount, scaledShardCountRows}
     // small corpora use the floor; above it, per-shard sort work stays
     // bounded at targetShardBytes — shard count grows linearly with bytes
     // instead of a fixed constant capping parallelism at 100×
@@ -149,9 +149,18 @@ class ScaleSpecs extends SparkTestBase {
     val ladder = Seq(1L, 1L << 30, 1L << 35, 1L << 40, 100L << 40)
       .map(scaledShardCount(_))
     assert(ladder == ladder.sorted)
-    // the no-arg form derives a positive shard count from scan stats and
-    // still plans a hash exchange (asserted in the plan test above); at
-    // sf0.001 the stats sit under the floor, so the default equals it
+    // the row-count ladder (the deterministicShuffle default): stable
+    // across environments — unlike byte stats, which shift with codec —
+    // and sized to the projected (hv, doc_id) sort, not corpus bytes
+    assert(scaledShardCountRows(0L) == 16)
+    assert(scaledShardCountRows(10L * 1000 * 1000) == 16) // floor binding
+    assert(scaledShardCountRows(10L * 1000 * 1000 * 1000) == 2500) // 1e10 docs
+    val rowLadder = Seq(1L, 1L << 20, 1L << 30, 1L << 34)
+      .map(scaledShardCountRows(_))
+    assert(rowLadder == rowLadder.sorted)
+    // the no-arg form derives the count from row count and still plans a
+    // hash exchange (asserted in the plan test above); at sf0.001 the row
+    // count sits under the floor, so the default equals it
     val df = TextQueries.deterministicShuffle(spark, dir)
     val shards = df.select(countDistinct(col("shard"))).collect()(0).getLong(0)
     assert(shards == 16L, s"expected floor 16 shards, got $shards")
