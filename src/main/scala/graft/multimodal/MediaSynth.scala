@@ -77,4 +77,46 @@ object MediaSynth {
     Array.tabulate(hx.length / 2)(i =>
       Integer.parseInt(hx.substring(i * 2, i * 2 + 2), 16).toByte)
   }
+
+  // ------------------------------------------------- full-pixel PNG (q85)
+
+  /** Deterministic PIXEL corpus for the real decode gate (q85): a complete
+    * PNG — IHDR + zlib-compressed filtered scanlines + IEND — whose pixel
+    * at (x, y, channel) is the closed form `(3x + 7y + 11c + doc_id) % 256`,
+    * so the DuckDB oracle can recompute every decoded statistic by pure
+    * arithmetic while the Spark side must actually inflate and unfilter the
+    * bytes. The filter type rotates per scanline (`(doc_id + y) % 5`), so
+    * the corpus exercises the whole None/Sub/Up/Average/Paeth matrix.
+    * Compressed bytes are NOT part of the contract (zlib level/version may
+    * vary); only the decoded pixels are, which is exactly what the gate
+    * hashes. */
+  def pixelWidth(docId: Long): Int = (docId % 16).toInt + 4
+  def pixelHeight(docId: Long): Int = (docId % 12).toInt + 4
+  def pixelChannels(docId: Long): Int = (docId % 2).toInt + 3 // RGB | RGBA
+
+  def pixelValue(docId: Long, x: Int, y: Int, c: Int): Int =
+    ((3L * x + 7L * y + 11L * c + docId) % 256L).toInt
+
+  def pixelImage(docId: Long): PngCodec.Image = {
+    val w = pixelWidth(docId); val h = pixelHeight(docId)
+    val ch = pixelChannels(docId)
+    val px = new Array[Byte](w * h * ch)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var c = 0
+        while (c < ch) {
+          px((y * w + x) * ch + c) = pixelValue(docId, x, y, c).toByte
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    PngCodec.Image(w, h, ch, px)
+  }
+
+  def pixelPng(docId: Long): Array[Byte] =
+    PngCodec.encode(pixelImage(docId), y => ((docId + y) % 5).toInt)
 }

@@ -6,11 +6,14 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, processed batch-at-a-time through mapPartitions.
   *
-  * The *decode* step (actual JPEG/WAV/MP4 codecs) is a deliberate,
-  * clearly-marked deterministic stub — codec libraries are not available in
-  * this environment. Everything Spark-owns is real: the schema contract,
-  * the partition-batched iteration shape (decoder state is amortized across
-  * a partition, exactly how a JNI/FFI codec would be held), repartitioning
+  * The PNG *decode* step is REAL ([[PngCodec]]: zlib inflate + scanline
+  * unfilter, gate-verified by q85) and feature extraction consumes actual
+  * pixels for PNG rows. The remaining codecs (JPEG entropy decode, audio
+  * PCM, video frames) stay behind a deliberate, clearly-marked
+  * deterministic stub — those libraries are not available in this
+  * environment. Everything Spark-owns is real: the schema contract, the
+  * partition-batched iteration shape (decoder state is amortized across a
+  * partition, exactly how a JNI/FFI codec would be held), repartitioning
   * by media type, and the feature-vector output schema.
   */
 object Multimodal {
@@ -33,10 +36,12 @@ object Multimodal {
 
   val FeatureDim = 16
 
-  /** STUB — stands in for a real codec decode (libjpeg/ffmpeg/...).
-    * Deterministic: folds payload bytes into a fixed-width float vector so
-    * tests can pin exact outputs. A production build swaps ONLY this
-    * function for a real decoder; the Spark plumbing is unchanged. */
+  /** STUB — stands in for the codecs still absent from this environment
+    * (JPEG entropy decode, PCM audio, video frames). Deterministic: folds
+    * payload bytes into a fixed-width float vector so tests can pin exact
+    * outputs. A production build swaps ONLY this function for a real
+    * decoder; the Spark plumbing is unchanged. PNG rows never reach it —
+    * they go through the real [[PngCodec.decode]]. */
   private[multimodal] def decodeStub(payload: Array[Byte]): Array[Float] = {
     val acc = new Array[Float](FeatureDim)
     var i = 0
@@ -47,6 +52,17 @@ object Multimodal {
     acc
   }
 
+  /** Feature kernel: REAL pixels when the payload is a decodable PNG
+    * ([[PngCodec]]), byte-fold stub otherwise. Same fold either way, so
+    * the vector is a pure function of the DECODED content — two PNGs with
+    * identical pixels but different compression levels map to the same
+    * feature vector, which is what a dedup/similarity consumer wants. */
+  private[multimodal] def decodeFeature(payload: Array[Byte]): Array[Float] =
+    PngCodec.decode(payload) match {
+      case Some(img) => decodeStub(img.pixels)
+      case None => decodeStub(payload)
+    }
+
   /** Decode/feature-extract, batch-shaped: one decoder "session" per
     * partition, rows streamed through it. Narrow (no shuffle); scale by
     * input splits. */
@@ -56,7 +72,7 @@ object Multimodal {
       // real codecs would be opened once here (per partition, per JVM)
       rows.map { m =>
         MediaFeatures(m.media_id, m.media_type, m.payload.length.toLong,
-          decodeStub(m.payload))
+          decodeFeature(m.payload))
       }
     }
   }

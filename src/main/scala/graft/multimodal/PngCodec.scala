@@ -1,0 +1,204 @@
+package graft.multimodal
+
+import java.util.zip.{CRC32, Deflater, Inflater}
+
+/** REAL PNG pixel codec — the step [[Multimodal.decodeStub]] stood in for.
+  * Pure JVM: the IDAT stream is zlib (`java.util.zip.Inflater`/`Deflater`)
+  * and the per-scanline filters (None/Sub/Up/Average/Paeth) are bytewise
+  * arithmetic, so no native codec library is needed for the subset a
+  * training pipeline's synthetic/screenshot-heavy PNG corpus actually
+  * uses: non-interlaced, 8-bit, truecolor RGB (color type 2) or RGBA (6).
+  *
+  * Decode contract matches the header parsers ([[ImageHeaders]]): total —
+  * any truncated, corrupt, or out-of-subset payload returns None, never
+  * throws in an executor task. Offset arithmetic stays in Long (unsigned
+  * be32 chunk lengths would wrap an Int walk), and declared dimensions are
+  * capped before allocation so a corrupt IHDR cannot OOM an executor.
+  *
+  * The encoder exists for the deterministic gate corpus ([[MediaSynth]])
+  * and the round-trip specs; it writes real CRCs and can exercise every
+  * filter type, so the decoder's unfilter path is tested against genuine
+  * filtered scanlines, not just filter-0 data.
+  */
+object PngCodec {
+
+  /** Row-major, channel-interleaved 8-bit pixels:
+    * `pixels((y*width + x)*channels + c)`. */
+  final case class Image(width: Int, height: Int, channels: Int,
+      pixels: Array[Byte])
+
+  private val Signature: Array[Byte] =
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** Refuse to allocate more than this many raw bytes for a decode —
+    * a corrupt IHDR declaring 65535×65535 must not OOM the task. */
+  private val MaxRawBytes: Long = 64L << 20
+
+  // ---------------------------------------------------------------- encode
+
+  private def be32Bytes(v: Long): Array[Byte] =
+    Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+
+  private def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+    val t = typ.getBytes("US-ASCII")
+    val crc = new CRC32
+    crc.update(t)
+    crc.update(data)
+    be32Bytes(data.length.toLong) ++ t ++ data ++ be32Bytes(crc.getValue)
+  }
+
+  /** Standard Paeth predictor (PNG spec §9.4). */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** Encode as a single-IDAT, non-interlaced 8-bit PNG. `filterFor(y)`
+    * picks the filter type (0–4) applied to scanline `y`, letting the
+    * gate corpus exercise the whole unfilter matrix deterministically. */
+  def encode(img: Image, filterFor: Int => Int = _ => 0): Array[Byte] = {
+    require(img.channels == 3 || img.channels == 4, "RGB/RGBA only")
+    require(img.pixels.length == img.width * img.height * img.channels)
+    val bpp = img.channels
+    val stride = img.width * bpp
+    val raw = new Array[Byte](img.height * (stride + 1))
+    var y = 0
+    while (y < img.height) {
+      val ft = filterFor(y) & 0xff
+      require(ft <= 4, s"filter $ft")
+      raw(y * (stride + 1)) = ft.toByte
+      var i = 0
+      while (i < stride) {
+        val x = img.pixels(y * stride + i) & 0xff
+        val a = if (i >= bpp) img.pixels(y * stride + i - bpp) & 0xff else 0
+        val b = if (y > 0) img.pixels((y - 1) * stride + i) & 0xff else 0
+        val c = if (y > 0 && i >= bpp) img.pixels((y - 1) * stride + i - bpp) & 0xff else 0
+        val filtered = ft match {
+          case 0 => x
+          case 1 => x - a
+          case 2 => x - b
+          case 3 => x - (a + b) / 2
+          case 4 => x - paeth(a, b, c)
+        }
+        raw(y * (stride + 1) + 1 + i) = filtered.toByte
+        i += 1
+      }
+      y += 1
+    }
+    val deflater = new Deflater(Deflater.DEFAULT_COMPRESSION)
+    deflater.setInput(raw)
+    deflater.finish()
+    val out = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+    val buf = new Array[Byte](8192)
+    while (!deflater.finished()) out.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    val colorType = if (img.channels == 3) 2 else 6
+    val ihdr = be32Bytes(img.width.toLong) ++ be32Bytes(img.height.toLong) ++
+      Array[Byte](8, colorType.toByte, 0, 0, 0)
+    Signature ++ chunk("IHDR", ihdr) ++ chunk("IDAT", out.toByteArray) ++
+      chunk("IEND", Array.emptyByteArray)
+  }
+
+  // ---------------------------------------------------------------- decode
+
+  import ByteReads._
+
+  /** Decode a non-interlaced 8-bit RGB/RGBA PNG; None for anything else
+    * (truncated, corrupt, out-of-subset), never a throw. Lenient on chunk
+    * CRCs — like most production decoders — but strict on structure: the
+    * inflated stream must be exactly `height * (1 + width*bpp)` bytes. */
+  def decode(payload: Array[Byte]): Option[Image] = {
+    if (payload.length < Signature.length + 25) return None
+    var k = 0
+    while (k < Signature.length) {
+      if (payload(k) != Signature(k)) return None
+      k += 1
+    }
+    // IHDR must be the first chunk (spec) — read it, then walk for IDATs
+    if (!tag(payload, 12, "IHDR") || be32(payload, 8) != 13L) return None
+    val width = be32(payload, 16)
+    val height = be32(payload, 20)
+    val bitDepth = u8(payload, 24)
+    val colorType = u8(payload, 25)
+    val interlace = u8(payload, 28)
+    if (bitDepth != 8 || (colorType != 2 && colorType != 6) ||
+      u8(payload, 26) != 0 || u8(payload, 27) != 0 || interlace != 0) return None
+    val bpp = if (colorType == 2) 3 else 4
+    if (width < 1 || height < 1) return None
+    val stride = width * bpp // Long: safe for any be32 dims
+    val rawLen = height * (stride + 1)
+    if (rawLen > MaxRawBytes) return None
+    // collect IDAT payload bytes in chunk order
+    val idat = new java.io.ByteArrayOutputStream(256)
+    var i = 8L + 25L // past IHDR chunk (12 header/crc + 13 data)
+    var sawEnd = false
+    while (!sawEnd && i + 8 <= payload.length) {
+      val at = i.toInt
+      val len = be32(payload, at) // unsigned
+      val dataStart = i + 8
+      val next = dataStart + len + 4
+      if (tag(payload, at + 4, "IEND")) sawEnd = true
+      else {
+        if (next > payload.length) return None // truncated mid-chunk
+        if (tag(payload, at + 4, "IDAT"))
+          idat.write(payload, dataStart.toInt, len.toInt)
+        i = next
+      }
+    }
+    if (!sawEnd) return None
+    inflateExact(idat.toByteArray, rawLen.toInt)
+      .flatMap(unfilter(_, width.toInt, height.toInt, bpp))
+      .map(px => Image(width.toInt, height.toInt, bpp, px))
+  }
+
+  /** Inflate to EXACTLY `expected` bytes; None on corrupt/short/long data. */
+  private def inflateExact(deflated: Array[Byte], expected: Int): Option[Array[Byte]] = {
+    val inflater = new Inflater
+    try {
+      inflater.setInput(deflated)
+      val out = new Array[Byte](expected)
+      var got = 0
+      while (got < expected && !inflater.finished()) {
+        val n = inflater.inflate(out, got, expected - got)
+        if (n == 0 && inflater.needsInput()) return None // truncated stream
+        got += n
+      }
+      if (got == expected && (inflater.finished() ||
+          inflater.inflate(new Array[Byte](1)) == 0)) Some(out)
+      else None // short, or stream continues past the declared raster
+    } catch {
+      case _: java.util.zip.DataFormatException => None
+    } finally inflater.end()
+  }
+
+  /** Reverse the per-scanline filters in place over a fresh pixel array. */
+  private def unfilter(raw: Array[Byte], width: Int, height: Int,
+      bpp: Int): Option[Array[Byte]] = {
+    val stride = width * bpp
+    val px = new Array[Byte](height * stride)
+    var y = 0
+    while (y < height) {
+      val ft = raw(y * (stride + 1)) & 0xff
+      if (ft > 4) return None
+      var i = 0
+      while (i < stride) {
+        val f = raw(y * (stride + 1) + 1 + i) & 0xff
+        val a = if (i >= bpp) px(y * stride + i - bpp) & 0xff else 0
+        val b = if (y > 0) px((y - 1) * stride + i) & 0xff else 0
+        val c = if (y > 0 && i >= bpp) px((y - 1) * stride + i - bpp) & 0xff else 0
+        val v = ft match {
+          case 0 => f
+          case 1 => f + a
+          case 2 => f + b
+          case 3 => f + (a + b) / 2
+          case 4 => f + paeth(a, b, c)
+        }
+        px(y * stride + i) = v.toByte
+        i += 1
+      }
+      y += 1
+    }
+    Some(px)
+  }
+}

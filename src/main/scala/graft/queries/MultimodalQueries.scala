@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.multimodal.{AudioHeaders, ImageHeaders, MediaSynth, VideoHeaders}
+import graft.multimodal.{AudioHeaders, ImageHeaders, MediaSynth, PngCodec, VideoHeaders}
 
 /** Multimodal metadata extraction under the driver's cross-engine gate.
   *
@@ -139,6 +139,78 @@ object MultimodalQueries {
       FROM parsed"""
   }
 
+  /** q85 — REAL pixel decode under the gate. Each doc_id maps to a
+    * complete PNG ([[graft.multimodal.MediaSynth.pixelPng]]): real zlib
+    * IDAT, real rotating scanline filters. The Spark side must inflate and
+    * unfilter genuine compressed bytes ([[graft.multimodal.PngCodec]]) to
+    * recover the pixels; the oracle recomputes every statistic from the
+    * closed-form pixel function by pure arithmetic — it never sees the
+    * bytes. Any decoder defect (wrong predictor, off-by-one stride, bad
+    * inflate framing) shifts `sum_v`/`wsum_v` and fails the hash gate;
+    * `wsum_v` weights each byte by its raster position, so even a
+    * pixel-permuting bug that preserves sums is caught.
+    *
+    * Scale shape: narrow mapPartitions over the payload column — the same
+    * no-shuffle full-corpus decode pass as q73's probe, just with the
+    * expensive kernel. At 100 TB the decoder cost dominates and
+    * parallelism comes entirely from input splits. */
+  final case class PngStats(
+      doc_id: Long,
+      width: Long,
+      height: Long,
+      channels: Long,
+      n_px: Long,
+      sum_v: Long,
+      wsum_v: Long,
+      decode_ok: Boolean)
+
+  def pngDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.util.Par.ensure(Tables(spark, dir, "documents"))
+      .select("doc_id").as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          PngCodec.decode(MediaSynth.pixelPng(id)) match {
+            case Some(img) =>
+              val n = img.pixels.length
+              var sum = 0L; var wsum = 0L; var i = 0
+              while (i < n) {
+                val v = img.pixels(i) & 0xff
+                sum += v; wsum += i.toLong * v
+                i += 1
+              }
+              PngStats(id, img.width.toLong, img.height.toLong,
+                img.channels.toLong, img.width.toLong * img.height,
+                sum, wsum, decode_ok = true)
+            case None =>
+              PngStats(id, -1L, -1L, -1L, -1L, -1L, -1L, decode_ok = false)
+          }
+        }
+      }
+      .toDF()
+  }
+
+  private val pngOracle: String = """
+    WITH params AS (
+      SELECT doc_id, (doc_id % 16) + 4 AS w, (doc_id % 12) + 4 AS h,
+        (doc_id % 2) + 3 AS ch
+      FROM documents),
+    px AS (
+      SELECT p.doc_id, p.w, p.h, p.ch, x.x, y.y, c.c,
+        (3 * x.x + 7 * y.y + 11 * c.c + p.doc_id) % 256 AS v
+      FROM params p, range(20) x(x), range(16) y(y), range(4) c(c)
+      WHERE x.x < p.w AND y.y < p.h AND c.c < p.ch)
+    SELECT doc_id,
+      CAST(MAX(w) AS BIGINT) AS width,
+      CAST(MAX(h) AS BIGINT) AS height,
+      CAST(MAX(ch) AS BIGINT) AS channels,
+      CAST(MAX(w) * MAX(h) AS BIGINT) AS n_px,
+      CAST(SUM(v) AS BIGINT) AS sum_v,
+      CAST(SUM(((y * w + x) * ch + c) * v) AS BIGINT) AS wsum_v,
+      TRUE AS decode_ok
+    FROM px GROUP BY doc_id"""
+
   val defs: Seq[QueryDef] = Seq(
-    QueryDef("q73_media_probe", mediaProbe, Some(oracle)))
+    QueryDef("q73_media_probe", mediaProbe, Some(oracle)),
+    QueryDef("q85_png_decode", pngDecode, Some(pngOracle)))
 }

@@ -1,0 +1,130 @@
+package graft.multimodal
+
+import java.util.zip.{CRC32, Deflater}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class PngCodecSpec extends AnyFunSuite {
+
+  private def img(w: Int, h: Int, ch: Int, seed: Long): PngCodec.Image = {
+    val px = Array.tabulate(w * h * ch)(i => ((i * 31 + seed * 7) % 256).toByte)
+    PngCodec.Image(w, h, ch, px)
+  }
+
+  private def assertSame(a: PngCodec.Image, b: PngCodec.Image): Unit = {
+    assert(a.width == b.width && a.height == b.height && a.channels == b.channels)
+    assert(java.util.Arrays.equals(a.pixels, b.pixels))
+  }
+
+  test("round-trips exact pixels through every filter type, RGB and RGBA") {
+    for (ch <- Seq(3, 4); ft <- 0 to 4) {
+      val orig = img(13, 9, ch, ft * 10L + ch)
+      val decoded = PngCodec.decode(PngCodec.encode(orig, _ => ft))
+      assert(decoded.nonEmpty, s"ch=$ch ft=$ft failed to decode")
+      assertSame(orig, decoded.get)
+    }
+    // rotating filters across scanlines (the gate-corpus shape)
+    val orig = img(21, 17, 4, 99L)
+    assertSame(orig, PngCodec.decode(PngCodec.encode(orig, y => y % 5)).get)
+    // 1×1 and single-row/column edges
+    for ((w, h) <- Seq((1, 1), (1, 8), (8, 1)))
+      assertSame(img(w, h, 3, 5L),
+        PngCodec.decode(PngCodec.encode(img(w, h, 3, 5L), y => (y + 3) % 5)).get)
+  }
+
+  test("truncations and byte corruption never throw") {
+    val full = PngCodec.encode(img(6, 5, 3, 1L), y => y % 5)
+    val want = PngCodec.decode(full).get
+    (0 until full.length).foreach { n =>
+      // prefixes either fail to parse or (missing only trailing IEND crc
+      // bytes the lenient walk doesn't need) decode to the same pixels
+      PngCodec.decode(full.take(n)).foreach(assertSame(want, _))
+    }
+    // single-byte corruption anywhere must not throw; flipping the zlib
+    // header or a length field must not parse to a DIFFERENT-shaped image
+    (0 until full.length).foreach { i =>
+      val mut = full.clone()
+      mut(i) = (mut(i) ^ 0x55).toByte
+      PngCodec.decode(mut).foreach(d =>
+        assert(d.pixels.length == want.pixels.length))
+    }
+  }
+
+  // custom builder for malformed-raster cases the public encoder refuses
+  private def rawPng(w: Long, h: Long, bitDepth: Int, colorType: Int,
+      interlace: Int, raw: Array[Byte]): Array[Byte] = {
+    def be32(v: Long) =
+      Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def chunk(typ: String, data: Array[Byte]) = {
+      val t = typ.getBytes("US-ASCII")
+      val crc = new CRC32; crc.update(t); crc.update(data)
+      be32(data.length.toLong) ++ t ++ data ++ be32(crc.getValue)
+    }
+    val d = new Deflater; d.setInput(raw); d.finish()
+    val out = new java.io.ByteArrayOutputStream
+    val buf = new Array[Byte](4096)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    val ihdr = be32(w) ++ be32(h) ++
+      Array[Byte](bitDepth.toByte, colorType.toByte, 0, 0, interlace.toByte)
+    sig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", out.toByteArray) ++
+      chunk("IEND", Array.emptyByteArray)
+  }
+
+  test("out-of-subset and malformed rasters decode to None, not a crash") {
+    val goodRaw = Array.tabulate(5 * (1 + 4 * 3))(i => // 4×5 RGB, filter 0
+      if (i % 13 == 0) 0.toByte else (i * 17 % 256).toByte)
+    val zeroed = goodRaw.clone()
+    (0 until 5).foreach(y => zeroed(y * 13) = 0) // valid filter bytes
+    assert(PngCodec.decode(rawPng(4, 5, 8, 2, 0, zeroed)).nonEmpty) // control
+    // 16-bit depth, grayscale, palette, interlaced: unsupported subset
+    assert(PngCodec.decode(rawPng(4, 5, 16, 2, 0, zeroed)).isEmpty)
+    assert(PngCodec.decode(rawPng(4, 5, 8, 0, 0, zeroed)).isEmpty)
+    assert(PngCodec.decode(rawPng(4, 5, 8, 3, 0, zeroed)).isEmpty)
+    assert(PngCodec.decode(rawPng(4, 5, 8, 2, 1, zeroed)).isEmpty)
+    // filter byte > 4
+    val badFilter = zeroed.clone(); badFilter(0) = 9
+    assert(PngCodec.decode(rawPng(4, 5, 8, 2, 0, badFilter)).isEmpty)
+    // raster length disagrees with IHDR dims (short and long)
+    assert(PngCodec.decode(rawPng(4, 6, 8, 2, 0, zeroed)).isEmpty)
+    assert(PngCodec.decode(rawPng(4, 4, 8, 2, 0, zeroed)).isEmpty)
+    // zero and absurd declared dims: no OOM-sized allocation attempted
+    assert(PngCodec.decode(rawPng(0, 5, 8, 2, 0, zeroed)).isEmpty)
+    assert(PngCodec.decode(rawPng(0xFFFFFFFFL, 0xFFFFFFFFL, 8, 2, 0, zeroed)).isEmpty)
+    assert(PngCodec.decode(Array.emptyByteArray).isEmpty)
+    assert(PngCodec.decode("not a png at all".getBytes).isEmpty)
+  }
+
+  test("MediaSynth pixel corpus round-trips: decoded pixels match the closed form") {
+    for (id <- 0L to 39L) {
+      val decoded = PngCodec.decode(MediaSynth.pixelPng(id))
+      assert(decoded.nonEmpty, s"doc $id")
+      assertSame(MediaSynth.pixelImage(id), decoded.get)
+      val d = decoded.get
+      assert(d.width == MediaSynth.pixelWidth(id))
+      assert(d.height == MediaSynth.pixelHeight(id))
+      assert(d.channels == MediaSynth.pixelChannels(id))
+      // spot-check the closed form against a decoded sample
+      assert((d.pixels((2 * d.width + 3) * d.channels + 1) & 0xff) ==
+        MediaSynth.pixelValue(id, 3, 2, 1))
+    }
+  }
+
+  test("feature extraction consumes real pixels for PNG payloads") {
+    val id = 7L
+    val png = MediaSynth.pixelPng(id)
+    val fromPayload = Multimodal.decodeFeature(png)
+    val fromPixels = Multimodal.decodeStub(MediaSynth.pixelImage(id).pixels)
+    assert(fromPayload.toSeq == fromPixels.toSeq)
+    // compression level must not change the feature vector: re-encode the
+    // same pixels with different filters → identical features
+    val alt = PngCodec.encode(MediaSynth.pixelImage(id), _ => 0)
+    assert(!java.util.Arrays.equals(alt, png)) // bytes differ...
+    assert(Multimodal.decodeFeature(alt).toSeq == fromPayload.toSeq) // ...features don't
+    // non-PNG payloads keep the documented stub behavior
+    val junk = Array.tabulate(64)(i => (i * 3).toByte)
+    assert(Multimodal.decodeFeature(junk).toSeq ==
+      Multimodal.decodeStub(junk).toSeq)
+  }
+}
