@@ -170,6 +170,41 @@ object StreamingQueries {
     spark.read.parquet(out)
   }
 
+  /** q86 — the PRODUCTION shape of the tumbling hourly aggregate: same
+    * watermarked agg as q84, but `outputMode("append")` — each window is
+    * emitted exactly once, when the watermark passes its end, and its
+    * state row is evicted. This is the unbounded-safe twin the q84 verdict
+    * flagged for: complete mode re-emits the whole result and keeps every
+    * window in state forever; append keeps state ∝ (watermark horizon /
+    * window size) × group cardinality and emit cost ∝ newly-closed
+    * windows. The trade-off is visible in the oracle: windows the final
+    * watermark (max event time − 10 min) never closes are NOT emitted, so
+    * the oracle filters to `window_end ≤ watermark` — on an unbounded
+    * stream those windows would simply close later. Bounded-state
+    * eviction is spec-asserted via `lastProgress.stateOperators`
+    * (StreamingEventSpecs). */
+  def hourlyCountsStreamAppend(spark: SparkSession, dir: String): DataFrame = {
+    val src = s"$dir/events.parquet"
+    val out = scratchDir("stream_q86_out", dir)
+    val ckpt = scratchDir("stream_q86_ckpt", dir)
+    delete(ckpt); delete(out)
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema)
+      .parquet(s"$dir/events*.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val writeBatch: (Dataset[Row], Long) => Unit =
+      (batch, _) => batch.write.mode("append").parquet(out)
+    val q = EventStreams.hourlyCounts(stream)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch(writeBatch)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally { q.stop(); delete(ckpt) }
+    spark.read.parquet(out)
+  }
+
   /** q77 — the q66 sessionization through `transformWithState` (Spark 4's
     * arbitrary-stateful API: typed state variables + explicit event-time
     * timers, RocksDB-backed — the GraftSession default provider it
@@ -290,5 +325,18 @@ object StreamingQueries {
       SELECT date_trunc('hour', ts) AS hour, event_type,
         COUNT(*) AS n_events,
         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
-      FROM events GROUP BY 1, 2""")))
+      FROM events GROUP BY 1, 2""")),
+    // append mode emits exactly the windows the final watermark closed:
+    // watermark_ms = floor(max event-time µs / 1000) − 10 min (Spark
+    // tracks event time in ms), a window is closed iff end ≤ watermark
+    QueryDef("q86_hourly_stream_append", hourlyCountsStreamAppend, Some("""
+      WITH wm AS (
+        SELECT (MAX(epoch_us(ts)) // 1000 - 600000) * 1000 AS wm_us
+        FROM events)
+      SELECT date_trunc('hour', ts) AS hour, event_type,
+        COUNT(*) AS n_events,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM events, wm
+      WHERE epoch_us(date_trunc('hour', ts) + INTERVAL 1 HOUR) <= wm.wm_us
+      GROUP BY 1, 2""")))
 }

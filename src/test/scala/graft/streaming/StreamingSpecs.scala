@@ -273,6 +273,53 @@ class EventStreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("append-mode tumbling windows emit once and state stays bounded") {
+    // the q86 production shape: complete mode keeps every window in state
+    // forever (state ∝ total windows — the q84 scale flag); append mode
+    // must emit each window exactly once when the watermark passes its
+    // end and EVICT its state row, so numRowsTotal tracks only the open
+    // watermark horizon, not stream history
+    implicit val sqlCtx = spark.sqlContext
+    import java.sql.Timestamp
+    def ev(id: Long, tMs: Long) =
+      Event(id, new Timestamp(tMs), 1L, "view", 1.0)
+    val hourMs = 3600L * 1000
+    val stream = MemoryStream[Event]
+    val q = EventStreams.hourlyCounts(stream.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("hourly_append_out").start()
+    try {
+      val t0 = 1700000000000L
+      stream.addData(ev(1, t0), ev(2, t0 + hourMs))
+      q.processAllAvailable()
+      // the trailing no-data batch may already have closed+evicted the
+      // first window (watermark = t0+1h − 10 min passes its end), so
+      // state holds 1–2 rows here; what matters is it never exceeds the
+      // open-window count
+      val early = q.lastProgress.stateOperators(0).numRowsTotal
+      assert(early >= 1L && early <= 2L, s"unexpected state rows: $early")
+      // jump 5h: the watermark (max − 10 min) passes the first windows —
+      // they emit once and their state rows are evicted
+      stream.addData(ev(3, t0 + 5 * hourMs))
+      q.processAllAvailable()
+      stream.addData(ev(4, t0 + 6 * hourMs))
+      q.processAllAvailable()
+      stream.addData(ev(5, t0 + 6 * hourMs + 1000))
+      q.processAllAvailable()
+      val finalRows = q.lastProgress.stateOperators(0).numRowsTotal
+      // five distinct hour windows existed over the run; only the one the
+      // watermark hasn't closed may remain — state stopped growing
+      assert(finalRows <= 2L, s"state not evicted: $finalRows rows")
+      val emitted = spark.table("hourly_append_out")
+        .collect().map(r => (r.getTimestamp(0), r.getLong(2)))
+      // closed windows (hours of t0, t0+1h, t0+5h) emitted exactly once;
+      // the still-open t0+6h window is absent
+      assert(emitted.length == 3, emitted.mkString(","))
+      assert(emitted.map(_._1).distinct.length == 3)
+      assert(emitted.map(_._2).toSeq == Seq(1L, 1L, 1L))
+    } finally q.stop()
+  }
+
   test("event-id-ordered micro-batches preserve per-user session monotonicity") {
     val byUser = spark.table("sessions_out").as("s")
       .join(Tables.events(spark, sfDir).select("event_id", "user_id", "ts"),
