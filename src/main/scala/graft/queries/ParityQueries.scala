@@ -108,6 +108,55 @@ object ParityQueries {
     FROM dirty"""
   }
 
+  /** D2-extended (q89) — the day-first formats behind the flag
+    * ([[graft.ingest.Timestamps.extendedPatterns]]): dd/MM/yyyy variants
+    * from the reference's design doc plus the dd-MM-yy H:mm shape its
+    * sample data contains. Both chains run side by side: `ts_extended`
+    * parses the day-first shapes, `ts_strict` (the default reference
+    * chain) must reject the dashed shape and mis-read or reject the
+    * slashed ones — pinning under the gate that the DEFAULT stays
+    * reference-exact while the flag adds strictly more. Variant 4 is a
+    * base-format control (both chains agree); variant 5 parses in
+    * neither. Ambiguity precedence is part of the contract: a day ≤ 12
+    * slashed string stays month-first even under the flag. */
+  def timestampParseDayFirst(spark: SparkSession, dir: String): DataFrame = {
+    val sparkFmts = Seq(
+      "dd/MM/yyyy HH:mm:ss", "dd/MM/yyyy HH:mm", "dd/MM/yyyy",
+      "dd-MM-yy HH:mm", "yyyy-MM-dd HH:mm:ss")
+    val variant = (col("event_id") % 6).cast(IntegerType)
+    val raw = sparkFmts.zipWithIndex.foldLeft(
+      when(variant === 5, concat(date_format(col("ts"), "HH:mm"), lit("XX")))) {
+      case (acc, (fmt, i)) => acc.when(variant === i, date_format(col("ts"), fmt))
+    }
+    Tables.events(spark, dir)
+      .withColumn("ts_raw", raw)
+      .select(col("event_id"), col("ts_raw"),
+        date_format(Timestamps.parseMultiFormat(col("ts_raw"), extended = true),
+          "yyyy-MM-dd HH:mm:ss").as("ts_extended"),
+        date_format(Timestamps.parseMultiFormat(col("ts_raw")),
+          "yyyy-MM-dd HH:mm:ss").as("ts_strict"))
+  }
+
+  private val timestampParseDayFirstSql = {
+    val duckGen = Seq(
+      "%d/%m/%Y %H:%M:%S", "%d/%m/%Y %H:%M", "%d/%m/%Y",
+      "%d-%m-%y %H:%M", "%Y-%m-%d %H:%M:%S")
+    val cases = duckGen.zipWithIndex.map { case (fmt, i) =>
+      s"WHEN $i THEN strftime(ts, '$fmt')"
+    }.mkString(" ")
+    s"""WITH dirty AS (
+      SELECT event_id,
+        CASE CAST(event_id % 6 AS INT) $cases
+          ELSE strftime(ts, '%H:%M') || 'XX' END AS ts_raw
+      FROM events)
+    SELECT event_id, ts_raw,
+      strftime(${Timestamps.duckParseSql("ts_raw", extended = true)},
+        '%Y-%m-%d %H:%M:%S') AS ts_extended,
+      strftime(${Timestamps.duckParseSql("ts_raw")},
+        '%Y-%m-%d %H:%M:%S') AS ts_strict
+    FROM dirty"""
+  }
+
   /** D5 — null-safe business DQ rule: revenue ≈ quantity × unit_price
     * within 0.01 (`glue_job_raw_to_processed.py:304-310`), with the
     * reference's 3VL row-loss bug (SURVEY §2.G Q4) fixed: null numerics
@@ -157,6 +206,8 @@ object ParityQueries {
         """ + Numerics.duckCleanQuantitySql("raw_qty") + """ AS quantity
       FROM dirty""")),
     QueryDef("q10_timestamp_parse", timestampParse, Some(timestampParseSql)),
+    QueryDef("q89_timestamp_dayfirst", timestampParseDayFirst,
+      Some(timestampParseDayFirstSql)),
     QueryDef("q11_business_dq", businessDq, Some("""
       WITH src AS (
         SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,

@@ -28,9 +28,13 @@ def main(sf_dir, out_dir):
         name = p.split("/")[-1].removesuffix(".parquet")
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    n_pass = n_fail = 0
+    n_pass = n_fail = n_skip = 0
     for name, sql in sorted(oracle.items()):
         spark_glob = f"{out_dir}/{name}/*.parquet"
+        if not glob.glob(spark_glob):
+            # not dumped (SPARK_GRAFT_VERIFY_ONLY subset run) — skip quietly
+            n_skip += 1
+            continue
         try:
             got = normalize(con.sql(f"SELECT * FROM '{spark_glob}'"))
             want = normalize(con.sql(sql))
@@ -62,7 +66,8 @@ def main(sf_dir, out_dir):
         else:
             print(f"PASS {name} ({len(got)} rows)")
             n_pass += 1
-    print(f"\n{n_pass} pass, {n_fail} fail")
+    skipped = f", {n_skip} skipped (not dumped)" if n_skip else ""
+    print(f"\n{n_pass} pass, {n_fail} fail{skipped}")
     return 1 if n_fail else 0
 
 
