@@ -96,7 +96,58 @@ object PipelineQueries {
         $values) AS t(source_file, row_class, n)"""
   }
 
+  /** q87 — the zones composed as ONE continuous pipeline under the gate:
+    * files arrive in three waves; each wave is discovered by the
+    * [[graft.streaming.StreamingIngest]] watcher (not called file-by-file
+    * like p91 — pickup moves files out of raw/, so re-processing is
+    * structurally impossible), flows through preflight → bronze→silver,
+    * and is gold-compacted INCREMENTALLY (selection = processed − gold,
+    * so each wave compacts exactly its own new dates — a re-compacted
+    * date would duplicate its audit row and fail the hash gate). The
+    * per-date audit constants are the same frozen p92 goldens; `wave`
+    * pins which arrival batch compacted each date. */
+  def continuousPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_lake_q87"
+    val fileOps = new FileOps(spark.sparkContext.hadoopConfiguration)
+    fileOps.delete(root)
+    val layout = LakeLayout(root)
+    Files.createDirectories(Paths.get(layout.raw))
+    val waves = Seq(sampleFiles.take(2), sampleFiles.slice(2, 4), sampleFiles.drop(4))
+    import spark.implicits._
+    waves.zipWithIndex.flatMap { case (files, i) =>
+      files.foreach { f =>
+        Files.copy(Paths.get(s"$sampleDir/$f"), Paths.get(s"${layout.raw}/$f"),
+          StandardCopyOption.REPLACE_EXISTING)
+      }
+      val tick = graft.streaming.StreamingIngest.pollOnce(spark, layout)
+      if (tick.rejected.nonEmpty || tick.ingested.size != files.size)
+        throw new IllegalStateException(
+          s"wave ${i + 1}: ingested ${tick.ingested.size}/${files.size}, " +
+            s"rejected ${tick.rejected.map(_._1)}")
+      val summary = GoldCompaction.run(spark,
+        GoldCompaction.Conf(layout, maxPartitions = 100))
+      summary.results.map(m => (i + 1L, m.target_date,
+        m.total_rows_in_source_partition, m.rows_after_dedup,
+        m.duplicate_rows_removed, m.dq_balance_issues))
+    }.toDF("wave", "date", "total_rows", "rows_after_dedup",
+      "duplicates_removed", "dq_balance_issues")
+  }
+
+  private val continuousPipelineOracle = {
+    val waveOf = Map("2024-10-16" -> 1, "2024-12-07" -> 1,
+      "2025-06-12" -> 2, "2025-09-03" -> 2, "2025-10-18" -> 3)
+    val values = goldAuditGoldens.map { case (d, t, a, r, b) =>
+      s"(CAST(${waveOf(d)} AS BIGINT),'$d',CAST($t AS BIGINT)," +
+        s"CAST($a AS BIGINT),CAST($r AS BIGINT),CAST($b AS BIGINT))"
+    }.mkString(",\n        ")
+    s"""SELECT * FROM (VALUES
+        $values) AS t(wave, date, total_rows, rows_after_dedup,
+          duplicates_removed, dq_balance_issues)"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("p91_ingest_sample_counts", ingestCounts, Some(ingestCountsOracle)),
-    QueryDef("p92_gold_compaction_audit", goldAudit, Some(goldAuditOracle)))
+    QueryDef("p92_gold_compaction_audit", goldAudit, Some(goldAuditOracle)),
+    QueryDef("q87_continuous_pipeline", continuousPipeline,
+      Some(continuousPipelineOracle)))
 }
