@@ -251,8 +251,46 @@ object SimilarityQueries {
       FROM ranked WHERE rank <= $K"""
   }
 
+  /** IVF-SQ8 (q88) — the composition a production FAISS deployment ships
+    * (`IndexIVFScalarQuantizer`): k-means cells (q39's training, shared
+    * via the centroid cache — trained on FULL-precision vectors, as a
+    * real index add() path does) over an SQ8-compressed corpus (q82's
+    * codes). The index resident set is codes + centroids — 4× smaller;
+    * search dequantizes in-cell: corpus cell assignment and all scoring
+    * run on the DEQUANTIZED vectors, queries stay full-precision, exact
+    * top-k within the probed cells. Same plan shape as q39 (narrow
+    * corpus assignment, broadcast query×cell probe, no corpus shuffle —
+    * ScaleSpecs) with q83's quantization arithmetic, so every value is
+    * the identical IEEE sequence in both engines. */
+  def ivfSq8TopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val cents = centroidCache.getOrElseUpdate(dir,
+      Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+        nCells = 16, iters = 2))
+    val corpus = quantized(emb)
+      .withColumn("embedding", transform(col("codes"), c =>
+        col("mn") + c.cast("double") * col("step")))
+      .select(col("vec_id"), col("embedding"))
+    e6(Similarity.ivfTopKTrained(corpus, queriesOf(emb), "vec_id",
+      "embedding", K, cents, nProbe = 8))
+  }
+
+  private val ivfSq8Oracle = Similarity.sqlKmeansIvfTopK(nCells = 16,
+    iters = 2, nProbe = 8, k = K, dim = Dim, queryPred = "e.vec_id < 20",
+    corpusSrc = "deq",
+    extraCtes = """deq AS (
+        SELECT vec_id,
+          list_transform(d, x -> mn + (CASE WHEN mx = mn THEN 0
+            ELSE CAST(floor((x - mn) / (mx - mn) * 255) AS BIGINT) END)
+            * step) AS v
+        FROM (
+          SELECT vec_id, d, list_min(d) AS mn, list_max(d) AS mx,
+            (list_max(d) - list_min(d)) / 255.0 AS step
+          FROM (SELECT vec_id, embedding::DOUBLE[] AS d FROM embeddings)))""")
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q82_int8_quantize", int8Quantize, Some(int8QuantizeOracle)),
+    QueryDef("q88_ivf_sq8_topk", ivfSq8TopK, Some(ivfSq8Oracle)),
     QueryDef("q83_sq8_topk", sq8TopK, Some(sq8TopKOracle)),
     QueryDef("q24_cosine_topk", cosineTopK, Some(cosineTopKOracle)),
     QueryDef("q25_lsh_ann_topk", lshTopK, Some(lshTopKOracle)),

@@ -347,8 +347,15 @@ object Similarity {
     * probe ranking — whose score gaps dwarf an ulp, and the emitted
     * cos_sim is computed from original vectors only, so the hash compare
     * is stable. */
+  /** `corpusSrc`/`extraCtes` let a caller swap the SEARCHED corpus (cell
+    * assignment + in-cell scoring) for a derived relation — e.g. the
+    * SQ8-dequantized vectors of q88 — while training still runs on the
+    * original `emb` (how a production IVF trains: full precision in,
+    * codes stored). `extraCtes` must define `corpusSrc` as
+    * `(vec_id, v DOUBLE[])` and ends WITHOUT a trailing comma. */
   def sqlKmeansIvfTopK(nCells: Int, iters: Int, nProbe: Int, k: Int,
-      dim: Int, queryPred: String): String = {
+      dim: Int, queryPred: String, corpusSrc: String = "emb",
+      extraCtes: String = ""): String = {
     def score(v: String, c: String) =
       s"${sqlDot(v, c)} / (sqrt(${sqlDot(v, v)}) * sqrt(${sqlDot(c, c)}))"
     def assign(src: String, cents: String, extra: String = "") =
@@ -369,13 +376,14 @@ object Similarity {
         FROM $prev p LEFT JOIN n$i n ON n.cell = p.cell)"""
     }.mkString(",\n      ")
     val fin = s"c$iters"
+    val extra = if (extraCtes.isEmpty) "" else s"\n      $extraCtes,"
     s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-      pos AS (SELECT CAST(unnest(range($dim)) AS BIGINT) AS p),
+      pos AS (SELECT CAST(unnest(range($dim)) AS BIGINT) AS p),$extra
       seed AS (SELECT v, CAST(row_number() OVER (ORDER BY h) AS INT) - 1 AS cell
         FROM (SELECT md5(CAST(vec_id AS VARCHAR)) AS h, v FROM emb ORDER BY h LIMIT $nCells)),
       c0 AS (SELECT cell, list_transform(v, x -> x / sqrt(${sqlDot("v", "v")})) AS c FROM seed),
       $iterCtes,
-      cc AS (SELECT vec_id, v, cell FROM (${assign("emb", fin)}) WHERE rnk = 1),
+      cc AS (SELECT vec_id, v, cell FROM (${assign(corpusSrc, fin)}) WHERE rnk = 1),
       qc AS (SELECT vec_id AS query_id, v AS qv, cell
         FROM (${assign("emb", fin, s" WHERE $queryPred")}) WHERE rnk <= $nProbe),
       scored AS (SELECT q.query_id, c.vec_id AS neighbor_id,

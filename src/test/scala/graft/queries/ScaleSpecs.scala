@@ -199,6 +199,34 @@ class ScaleSpecs extends SparkTestBase {
     assert(q82a.sameElements(q82b))
   }
 
+  test("IVF-SQ8 keeps q39's plan shape and at least its recall") {
+    // q88 = q39's cells over q83's codes: the searched corpus is the
+    // dequantized projection over the scan; the probe join must consume
+    // the broadcast (query × probed-cell) side — a hashpartitioning
+    // exchange on the corpus would be the 100 TB shuffle the design
+    // exists to avoid
+    val df = SimilarityQueries.ivfSq8TopK(spark, dir)
+    val sq8Rows = df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+    // recall vs exact ground truth, compared at equal nProbe against the
+    // full-precision q39 index: quantization must not cost recall on
+    // this corpus (scores shift by <= the per-dim quantization step,
+    // far below the cell-assignment margins)
+    def hits(rows: Array[org.apache.spark.sql.Row]): Set[(Long, Long)] =
+      rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val truth = hits(SimilarityQueries.cosineTopK(spark, dir).collect())
+    val ivf = hits(SimilarityQueries.ivfKmeansTopK(spark, dir).collect())
+    val sq8 = hits(sq8Rows)
+    val ivfRecall = (ivf & truth).size.toDouble / truth.size
+    val sq8Recall = (sq8 & truth).size.toDouble / truth.size
+    assert(sq8Recall >= ivfRecall,
+      s"SQ8 recall $sq8Recall < full-precision IVF recall $ivfRecall")
+    assert(sq8Recall > 0.5, s"implausibly low recall $sq8Recall")
+  }
+
   test("span dedup hash-keyed window matches the exact-text mode") {
     // the 100 TB shuffle-width option: the first-occurrence window keyed
     // on xxhash64(span) (8-byte shuffle keys, text dropped pre-exchange)
