@@ -38,7 +38,9 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filterNot(_._1.startsWith("p9"))
+      // q87 is the p9x sample-file pipeline composed end-to-end — same
+      // fixed-size corpus, same exclusion rationale
+      .filterNot(q => q._1.startsWith("p9") || q._1.startsWith("q87"))
       .filter(q => only.forall(_.exists(q._1.startsWith)))
       .map { case (name, fn) =>
       val times = (1 to 2).flatMap { _ =>
@@ -73,7 +75,18 @@ object Bench {
     }.mkString("{", ",", "}")
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.collect { case (n, v, _) if !failed.contains(n) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"load_avg_start":$loadStart,"load_avg_end":$loadAvg,"cpus":$cpus,"errors":$errs,"sf":"$sfDir"}""")
+    // A machine already under load before the first query starts cannot
+    // produce comparable wall-clock numbers (round-6's driver bench ran at
+    // load 5–12 and showed 10× pass spreads that read as regressions).
+    // The run still completes — smoke coverage is unaffected — but the
+    // headline is explicitly flagged so a contended total can never
+    // masquerade as a throughput signal again.
+    val contended = loadStart > cpus / 4.0
+    val caveat =
+      if (contended)
+        s""","reliable":false,"caveat":"load_avg_start $loadStart > cpus/4 (${cpus / 4.0}): machine was contended before the run; totals are noise, compare idle runs only""""
+      else ""","reliable":true"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"load_avg_start":$loadStart,"load_avg_end":$loadAvg,"cpus":$cpus$caveat,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
