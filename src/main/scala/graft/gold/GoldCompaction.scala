@@ -39,7 +39,15 @@ object GoldCompaction {
         * (`incremental_auto_compaction.py:311-325`). Matches
         * `LakeCatalog.factSalesTable` (kept a literal so the gold layer does
         * not depend on the query layer). `None` disables. */
-      refreshTable: Option[String] = Some("retail_db.fact_sales"))
+      refreshTable: Option[String] = Some("retail_db.fact_sales"),
+      /** Commit each partition through [[ManifestCommit]] instead of the
+        * in-place overwrite: data lands in a job-unique `_commits/c-<id>`
+        * dir and a small `_manifest.json` is published last, so the write
+        * is crash/S3-safe without relying on rename atomicity. Readers
+        * must resolve the manifest ([[ManifestCommit.readCommitted]]);
+        * the default stays the directory-layout write the catalog table
+        * and oracles read. */
+      s3SafeCommit: Boolean = false)
 
   final case class RunSummary(
       processedPartitions: Seq[String],
@@ -128,9 +136,13 @@ object GoldCompaction {
         // `date` is dropped from the files: the partition directory carries
         // it (the reference instead embeds an all-null date column that
         // collides with partition inference on read-back).
-        deduped.drop("date").orderBy(col("transaction_id"))
+        val sorted = deduped.drop("date").orderBy(col("transaction_id"))
           .coalesce(conf.coalesceFiles)
-          .write.mode("overwrite").parquet(outputPath)
+        if (conf.s3SafeCommit)
+          ManifestCommit.commit(spark, fileOps, sorted, outputPath,
+            agg.getAs[Long]("after"))
+        else
+          sorted.write.mode("overwrite").parquet(outputPath)
 
         val m = metrics("written", total, agg.getAs[Long]("after"),
           agg.getAs[Long]("null_ts"), agg.getAs[Long]("null_store"),
