@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 import graft.multimodal.{AudioHeaders, ImageHeaders, MediaSynth, PngCodec, VideoHeaders}
 
@@ -33,7 +34,37 @@ object MultimodalQueries {
       channels: Option[Long],
       duration_ms: Option[Long])
 
+  /** The q73 gate path: the ENTIRE probe — payload synthesis and all
+    * three container parsers — runs as codegen'd expressions
+    * ([[graft.functions.MediaProbeExpressions]]) inside one stage, no
+    * object boundary anywhere. Aliased intermediates (`_p`, `_img`, ...)
+    * are multiply-referenced non-cheap projections, so CollapseProject
+    * keeps them staged and each parser runs once per row (the q82
+    * staging discipline). NULL structs from unrecognized payloads
+    * compose through plain field access + coalesce. */
   def mediaProbe(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{MediaProbeExpressions => P}
+    graft.util.Par.ensure(Tables(spark, dir, "documents"))
+      .select(col("doc_id"), P.synthPayload(col("doc_id")).as("_p"))
+      .select(col("doc_id"), P.imageDims(col("_p")).as("_img"),
+        P.wavInfo(col("_p")).as("_wav"), P.mp4Info(col("_p")).as("_mp4"))
+      .select(col("doc_id"),
+        coalesce(col("_img.format"),
+          when(col("_wav").isNotNull, lit("wav")),
+          when(col("_mp4").isNotNull, lit("mp4"))).as("media_format"),
+        col("_img.width").as("width"),
+        col("_img.height").as("height"),
+        col("_wav.sample_rate").as("sample_rate"),
+        col("_wav.channels").as("channels"),
+        coalesce(col("_wav.duration_ms"), col("_mp4.duration_ms"))
+          .as("duration_ms"))
+  }
+
+  /** The batch-session mapPartitions form of the same probe — the shape a
+    * JNI/FFI parser would use (state amortized per partition). Kept as
+    * the cross-checked twin: MultimodalSpec pins it row-identical to the
+    * expression path the gate runs. */
+  def mediaProbePartitioned(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     graft.util.Par.ensure(Tables(spark, dir, "documents"))
       .select("doc_id").as[Long]

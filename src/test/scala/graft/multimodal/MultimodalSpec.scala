@@ -220,6 +220,28 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("expression-path probe matches mapPartitions and stays in codegen") {
+    // the q73 gate runs the probe as native expressions; the batch-session
+    // mapPartitions twin must agree row for row
+    val dir = "/root/testdata/sf0.001"
+    val expr = graft.queries.MultimodalQueries.mediaProbe(spark, dir)
+    val part = graft.queries.MultimodalQueries.mediaProbePartitioned(spark, dir)
+    val a = expr.collect().map(_.toString).sorted
+    val b = part.collect().map(_.toString).sorted
+    assert(a.length > 0 && a.sameElements(b))
+    val plan = expr.queryExecution.executedPlan.toString
+    // all three parsers plus the synth are codegen'd expressions — no
+    // object boundary (encoder deserialize/serialize) anywhere in the plan
+    for (e <- Seq("image_dims", "wav_info", "mp4_info", "media_synth_payload"))
+      assert(plan.contains(e), s"$e missing:\n${plan.take(2000)}")
+    // `*(n)` prefixes are the WholeStageCodegen stage markers in the AQE
+    // plan rendering — the probe projects must carry one
+    assert(plan.contains("*(2) Project") || plan.contains("*(1) Project"),
+      plan.take(2000))
+    assert(!plan.contains("DeserializeToObject") &&
+      !plan.contains("MapPartitions"), plan.take(2000))
+  }
+
   test("modality partitioning co-locates media types") {
     // every media type must land in exactly one partition (hash
     // partitioning may place several types together — that's fine)
