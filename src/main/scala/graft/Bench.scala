@@ -37,6 +37,7 @@ object Bench {
     // on a subset locally; the driver never sets it (full run).
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty) // empty/blank var = no filter, not "nothing"
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       // q87 is the p9x sample-file pipeline composed end-to-end — same
       // fixed-size corpus, same exclusion rationale

@@ -17,6 +17,7 @@ object Verify {
     // sets nothing, so its runs always dump the full query surface
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty) // empty/blank var = no filter, not "nothing"
     val selected = SparkEntry.queries.filter { case (name, _) =>
       only.forall(_.exists(name.startsWith)) }
     selected.foreach { case (name, fn) =>
