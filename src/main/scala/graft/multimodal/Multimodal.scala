@@ -77,20 +77,27 @@ object Multimodal {
     }
   }
 
-  /** "Resize": recompute metadata + truncate payload proportionally —
-    * deterministic stand-in keeping the contract (payload in, payload out,
-    * metadata consistent). */
+  /** Resize: REAL for decodable PNGs (decode → nearest-neighbor resample
+    * → re-encode, gate-verified by q90); other image payloads keep the
+    * deterministic truncation stand-in until their codecs exist. Either
+    * way the contract holds: payload in, payload out, metadata
+    * consistent with the payload. */
   def resize(media: Dataset[MediaRow], maxSide: Int): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
     media.map { m =>
       if (m.media_type != "image" || math.max(m.width, m.height) <= maxSide) m
-      else {
-        val scale = maxSide.toDouble / math.max(m.width, m.height)
-        val nw = math.max(1, (m.width * scale).toInt)
-        val nh = math.max(1, (m.height * scale).toInt)
-        val nBytes = math.max(1,
-          (m.payload.length * scale * scale).toInt.min(m.payload.length))
-        m.copy(payload = m.payload.take(nBytes), width = nw, height = nh)
+      else PngCodec.decode(m.payload) match {
+        case Some(img) =>
+          val (nw, nh) = PngCodec.capDims(img.width, img.height, maxSide)
+          val resized = PngCodec.resizeNearest(img, nw, nh)
+          m.copy(payload = PngCodec.encode(resized), width = nw, height = nh)
+        case None =>
+          val scale = maxSide.toDouble / math.max(m.width, m.height)
+          val nw = math.max(1, (m.width * scale).toInt)
+          val nh = math.max(1, (m.height * scale).toInt)
+          val nBytes = math.max(1,
+            (m.payload.length * scale * scale).toInt.min(m.payload.length))
+          m.copy(payload = m.payload.take(nBytes), width = nw, height = nh)
       }
     }
   }

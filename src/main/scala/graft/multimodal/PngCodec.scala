@@ -100,6 +100,41 @@ object PngCodec {
       chunk("IEND", Array.emptyByteArray)
   }
 
+  /** Nearest-neighbor resample — the standard thumbnail/bucketing kernel,
+    * in PURE integer arithmetic (`sx = x*W / nw`, floor division) so an
+    * SQL oracle can recompute every output pixel from a closed-form
+    * source image. Identity when target dims equal the source's. */
+  def resizeNearest(img: Image, nw: Int, nh: Int): Image = {
+    require(nw >= 1 && nh >= 1)
+    val out = new Array[Byte](nw * nh * img.channels)
+    var y = 0
+    while (y < nh) {
+      val sy = (y.toLong * img.height / nh).toInt
+      var x = 0
+      while (x < nw) {
+        val sx = (x.toLong * img.width / nw).toInt
+        var c = 0
+        while (c < img.channels) {
+          out((y * nw + x) * img.channels + c) =
+            img.pixels((sy * img.width + sx) * img.channels + c)
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    Image(nw, nh, img.channels, out)
+  }
+
+  /** Integer target dims capping the longer side at `maxSide` (aspect
+    * preserved, floor division, ≥ 1) — mirrored verbatim in the q90
+    * oracle. */
+  def capDims(w: Int, h: Int, maxSide: Int): (Int, Int) = {
+    val m = math.max(w, h)
+    if (m <= maxSide) (w, h)
+    else (math.max(1, w * maxSide / m), math.max(1, h * maxSide / m))
+  }
+
   // ---------------------------------------------------------------- decode
 
   import ByteReads._

@@ -241,7 +241,84 @@ object MultimodalQueries {
       TRUE AS decode_ok
     FROM px GROUP BY doc_id"""
 
+  /** q90 — REAL resize under the gate: decode → nearest-neighbor resample
+    * (longer side capped at [[ResizeMaxSide]], integer arithmetic) →
+    * RE-ENCODE → decode again, stats over the final pixels. The full
+    * decode→transform→encode cycle must round-trip exactly; the oracle
+    * recomputes every resampled pixel from the closed form
+    * (`source x = x·W / w'`, floor division — [[PngCodec.resizeNearest]])
+    * without ever touching bytes. Same narrow no-shuffle corpus pass as
+    * q85 with the transform kernel in the middle — the thumbnail/
+    * resolution-bucketing stage of a multimodal training pipeline. */
+  private val ResizeMaxSide = 8
+
+  final case class PngResizeStats(
+      doc_id: Long,
+      width: Long,
+      height: Long,
+      channels: Long,
+      resized: Boolean,
+      sum_v: Long,
+      wsum_v: Long)
+
+  def pngResize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.util.Par.ensure(Tables(spark, dir, "documents"))
+      .select("doc_id").as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val img = PngCodec.decode(MediaSynth.pixelPng(id)).get
+          val (nw, nh) = PngCodec.capDims(img.width, img.height, ResizeMaxSide)
+          val changed = (nw, nh) != (img.width, img.height)
+          val out0 =
+            if (changed) PngCodec.resizeNearest(img, nw, nh) else img
+          // prove the cycle: re-encode with rotating filters, decode back
+          val out = PngCodec.decode(
+            PngCodec.encode(out0, y => ((id + y) % 5).toInt)).get
+          val n = out.pixels.length
+          var sum = 0L; var wsum = 0L; var i = 0
+          while (i < n) {
+            val v = out.pixels(i) & 0xff
+            sum += v; wsum += i.toLong * v
+            i += 1
+          }
+          PngResizeStats(id, out.width.toLong, out.height.toLong,
+            out.channels.toLong, changed, sum, wsum)
+        }
+      }
+      .toDF()
+  }
+
+  private val pngResizeOracle: String = s"""
+    WITH params AS (
+      SELECT doc_id, (doc_id % 16) + 4 AS w, (doc_id % 12) + 4 AS h,
+        (doc_id % 2) + 3 AS ch,
+        greatest((doc_id % 16) + 4, (doc_id % 12) + 4) AS m
+      FROM documents),
+    dims AS (
+      SELECT doc_id, w, h, ch, m > $ResizeMaxSide AS resized,
+        CASE WHEN m > $ResizeMaxSide
+          THEN greatest(1, (w * $ResizeMaxSide) // m) ELSE w END AS w2,
+        CASE WHEN m > $ResizeMaxSide
+          THEN greatest(1, (h * $ResizeMaxSide) // m) ELSE h END AS h2
+      FROM params),
+    px AS (
+      SELECT d.doc_id, d.w2, d.h2, d.ch, d.resized, x.x, y.y, c.c,
+        (3 * ((x.x * d.w) // d.w2) + 7 * ((y.y * d.h) // d.h2)
+          + 11 * c.c + d.doc_id) % 256 AS v
+      FROM dims d, range(20) x(x), range(16) y(y), range(4) c(c)
+      WHERE x.x < d.w2 AND y.y < d.h2 AND c.c < d.ch)
+    SELECT doc_id,
+      CAST(MAX(w2) AS BIGINT) AS width,
+      CAST(MAX(h2) AS BIGINT) AS height,
+      CAST(MAX(ch) AS BIGINT) AS channels,
+      bool_or(resized) AS resized,
+      CAST(SUM(v) AS BIGINT) AS sum_v,
+      CAST(SUM(((y * w2 + x) * ch + c) * v) AS BIGINT) AS wsum_v
+    FROM px GROUP BY doc_id"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q73_media_probe", mediaProbe, Some(oracle)),
-    QueryDef("q85_png_decode", pngDecode, Some(pngOracle)))
+    QueryDef("q85_png_decode", pngDecode, Some(pngOracle)),
+    QueryDef("q90_png_resize", pngResize, Some(pngResizeOracle)))
 }

@@ -111,6 +111,49 @@ class PngCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("nearest-neighbor resize maps integer source coordinates exactly") {
+    // 4×2 RGB, pixel value encodes its (x, y, c) position
+    val src = PngCodec.Image(4, 2, 3, Array.tabulate(24)(i => i.toByte))
+    val half = PngCodec.resizeNearest(src, 2, 1)
+    // target (x, y) samples source (x*4/2, y*2/1) = (2x, 2y)
+    assert(half.width == 2 && half.height == 1 && half.channels == 3)
+    assert(half.pixels.toSeq == Seq[Byte](0, 1, 2, 6, 7, 8))
+    // identity when dims unchanged
+    val same = PngCodec.resizeNearest(src, 4, 2)
+    assert(java.util.Arrays.equals(same.pixels, src.pixels))
+    // upscale repeats source pixels (x*2/4 = x/2)
+    val up = PngCodec.resizeNearest(PngCodec.Image(2, 1, 3,
+      Array.tabulate(6)(i => i.toByte)), 4, 1)
+    assert(up.pixels.toSeq == Seq[Byte](0, 1, 2, 0, 1, 2, 3, 4, 5, 3, 4, 5))
+    // cap helper: aspect preserved, floor division, >= 1
+    assert(PngCodec.capDims(19, 15, 8) == (8, 6))
+    assert(PngCodec.capDims(4, 6, 8) == (4, 6)) // under the cap: identity
+    assert(PngCodec.capDims(1000, 1, 8) == (8, 1)) // extreme aspect floors to 1
+  }
+
+  test("dataset resize really resamples decodable PNGs") {
+    val spark = graft.GraftSession.get("graft-test")
+    import spark.implicits._
+    val id = 9L // 13×9 RGB: longer side 13 > 8 → resized
+    val png = MediaSynth.pixelPng(id)
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image", png,
+        MediaSynth.pixelWidth(id), MediaSynth.pixelHeight(id), 0L),
+      Multimodal.MediaRow(2L, "audio", png, 44100, 2, 5L)).toDS()
+    val out = Multimodal.resize(rows, maxSide = 8).collect()
+      .map(m => m.media_id -> m).toMap
+    val img = out(1L)
+    val dec = PngCodec.decode(img.payload).get
+    val (nw, nh) = PngCodec.capDims(
+      MediaSynth.pixelWidth(id), MediaSynth.pixelHeight(id), 8)
+    assert(img.width == nw && img.height == nh)
+    assert(dec.width == nw && dec.height == nh)
+    val want = PngCodec.resizeNearest(MediaSynth.pixelImage(id), nw, nh)
+    assert(java.util.Arrays.equals(dec.pixels, want.pixels))
+    // non-image rows untouched
+    assert(out(2L).payload.length == png.length)
+  }
+
   test("feature extraction consumes real pixels for PNG payloads") {
     val id = 7L
     val png = MediaSynth.pixelPng(id)
