@@ -119,4 +119,42 @@ object MediaSynth {
 
   def pixelPng(docId: Long): Array[Byte] =
     PngCodec.encode(pixelImage(docId), y => ((docId + y) % 5).toInt)
+
+  // ---------------------------------------------- full-sample PCM WAV (q91)
+
+  /** Deterministic SAMPLE corpus for the real audio decode gate (q91): a
+    * complete 16-bit PCM WAV whose interleaved sample i is the closed form
+    * `((2293·i + 7919·doc_id) mod 65536) − 32768` — the DuckDB oracle
+    * recomputes every decoded statistic by pure arithmetic while the
+    * Spark side must actually walk the chunks and extract signed LE16
+    * samples ([[AudioHeaders.pcm16]]). */
+  def pcmChannels(docId: Long): Int = (docId % 2).toInt + 1
+  def pcmRate(docId: Long): Int = Seq(8000, 16000, 44100)((docId % 3).toInt)
+  def pcmFrames(docId: Long): Int = (docId % 50).toInt + 10
+
+  /** Signed 16-bit sample value at interleaved position `i`. */
+  def pcmSample(docId: Long, i: Int): Int =
+    (((2293L * i + 7919L * docId) % 65536L) - 32768L).toInt
+
+  def pcmWav(docId: Long): Array[Byte] = {
+    val ch = pcmChannels(docId)
+    val rate = pcmRate(docId)
+    val n = pcmFrames(docId) * ch
+    val dataBytes = n * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataBytes)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(ch.toShort) // PCM, channels
+      .putInt(rate).putInt(rate * ch * 2) // sample rate, byte rate
+      .putShort((ch * 2).toShort).putShort(16) // block align, bits/sample
+    bb.put("data".getBytes("US-ASCII")).putInt(dataBytes)
+    var i = 0
+    while (i < n) {
+      bb.putShort(pcmSample(docId, i).toShort)
+      i += 1
+    }
+    bb.array()
+  }
 }

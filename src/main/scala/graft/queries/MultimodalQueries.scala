@@ -317,8 +317,69 @@ object MultimodalQueries {
       CAST(SUM(((y * w2 + x) * ch + c) * v) AS BIGINT) AS wsum_v
     FROM px GROUP BY doc_id"""
 
+  /** q91 — REAL audio sample decode under the gate, the PCM sibling of
+    * q85: each doc maps to a complete 16-bit PCM WAV whose interleaved
+    * samples follow a closed form ([[graft.multimodal.MediaSynth.pcmWav]]);
+    * Spark must walk the RIFF chunks and extract signed little-endian
+    * samples ([[graft.multimodal.AudioHeaders.pcm16]]) while the oracle
+    * recomputes the position-weighted sample sums by pure arithmetic.
+    * PCM is lossless sample extraction — exactly why a pure-JVM decode is
+    * COMPLETE for this subset, unlike the entropy-coded formats that stay
+    * stubbed. Narrow no-shuffle corpus pass. */
+  final case class PcmStats(
+      doc_id: Long,
+      sample_rate: Long,
+      channels: Long,
+      n_samples: Long,
+      duration_ms: Long,
+      sum_s: Long,
+      wsum_s: Long)
+
+  def pcmDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.util.Par.ensure(Tables(spark, dir, "documents"))
+      .select("doc_id").as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val a = AudioHeaders.pcm16(MediaSynth.pcmWav(id)).get
+          var sum = 0L; var wsum = 0L; var i = 0
+          while (i < a.samples.length) {
+            sum += a.samples(i)
+            wsum += i.toLong * a.samples(i)
+            i += 1
+          }
+          PcmStats(id, a.info.sampleRate.toLong, a.info.channels.toLong,
+            a.samples.length.toLong, a.info.durationMs, sum, wsum)
+        }
+      }
+      .toDF()
+  }
+
+  private val pcmOracle: String = """
+    WITH params AS (
+      SELECT doc_id, (doc_id % 2) + 1 AS ch,
+        CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+          ELSE 44100 END AS rate,
+        ((doc_id % 50) + 10) * ((doc_id % 2) + 1) AS n
+      FROM documents),
+    s AS (
+      SELECT p.doc_id, p.ch, p.rate, p.n, i.i,
+        ((2293 * i.i + 7919 * p.doc_id) % 65536) - 32768 AS v
+      FROM params p, range(120) i(i)
+      WHERE i.i < p.n)
+    SELECT doc_id,
+      CAST(MAX(rate) AS BIGINT) AS sample_rate,
+      CAST(MAX(ch) AS BIGINT) AS channels,
+      CAST(MAX(n) AS BIGINT) AS n_samples,
+      CAST((MAX(n) * 2 * 1000) // (MAX(rate) * MAX(ch) * 2) AS BIGINT)
+        AS duration_ms,
+      CAST(SUM(v) AS BIGINT) AS sum_s,
+      CAST(SUM(i * v) AS BIGINT) AS wsum_s
+    FROM s GROUP BY doc_id"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q73_media_probe", mediaProbe, Some(oracle)),
     QueryDef("q85_png_decode", pngDecode, Some(pngOracle)),
-    QueryDef("q90_png_resize", pngResize, Some(pngResizeOracle)))
+    QueryDef("q90_png_resize", pngResize, Some(pngResizeOracle)),
+    QueryDef("q91_pcm_decode", pcmDecode, Some(pcmOracle)))
 }

@@ -158,6 +158,38 @@ class MultimodalSpec extends SparkTestBase {
     assert(mp4Info(Array.emptyByteArray).isEmpty)
   }
 
+  test("PCM sample decode round-trips the synthetic WAV corpus exactly") {
+    import AudioHeaders.pcm16
+    for (id <- 0L to 29L) {
+      val p = MediaSynth.pcmWav(id)
+      // the header probe still reads the same file (body now present)
+      val probe = AudioHeaders.wavInfo(p).get
+      assert(probe.sampleRate == MediaSynth.pcmRate(id))
+      assert(probe.channels == MediaSynth.pcmChannels(id))
+      val a = pcm16(p).get
+      assert(a.info.sampleRate == probe.sampleRate)
+      assert(a.info.channels == probe.channels)
+      assert(a.info.durationMs == probe.durationMs)
+      val n = MediaSynth.pcmFrames(id) * MediaSynth.pcmChannels(id)
+      assert(a.samples.length == n)
+      (0 until n).foreach(i =>
+        assert(a.samples(i) == MediaSynth.pcmSample(id, i).toShort, s"doc $id sample $i"))
+      // body truncations never parse and never throw (pcm16 needs the
+      // full declared data, unlike the header probe)
+      Seq(p.length - 1, p.length - 2, 44, 20, 3).foreach(k =>
+        assert(pcm16(p.take(k)).isEmpty, s"doc $id truncation $k"))
+    }
+    // non-PCM format code and non-16-bit depth are out of subset
+    val good = MediaSynth.pcmWav(1L)
+    val floatFmt = good.clone(); floatFmt(20) = 3 // fmt code: IEEE float
+    assert(pcm16(floatFmt).isEmpty)
+    val bits8 = good.clone(); bits8(34) = 8
+    assert(pcm16(bits8).isEmpty)
+    // the header-only (body-absent) q73 payloads probe but don't decode
+    assert(pcm16(MediaSynth.payload(3L)).isEmpty)
+    assert(AudioHeaders.wavInfo(MediaSynth.payload(3L)).nonEmpty)
+  }
+
   test("MP4 probe rejects mvhd fields that would arm durationMs") {
     import VideoHeaders.mp4Info
     def hexBytes(hx: String): Array[Byte] =
