@@ -227,6 +227,24 @@ class ScaleSpecs extends SparkTestBase {
     assert(sq8Recall > 0.5, s"implausibly low recall $sq8Recall")
   }
 
+  test("decode kernels are narrow corpus passes: no data shuffle anywhere") {
+    // q85/q90/q91 run the expensive per-row codec work (inflate/unfilter,
+    // resample/re-encode, PCM extraction) — at 100 TB their parallelism
+    // must come entirely from input splits. The only exchange allowed is
+    // Par.ensure's round-robin spread of the small local input; a
+    // hashpartitioning exchange would mean the decode output is being
+    // shuffled for no reason
+    for (fn <- Seq(MultimodalQueries.pngDecode _, MultimodalQueries.pngResize _,
+        MultimodalQueries.pcmDecode _)) {
+      val df = fn(spark, dir)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"), plan.take(2000))
+      assert(!plan.contains("SortMergeJoin") && !plan.contains("Sort "),
+        plan.take(2000))
+    }
+  }
+
   test("span dedup hash-keyed window matches the exact-text mode") {
     // the 100 TB shuffle-width option: the first-occurrence window keyed
     // on xxhash64(span) (8-byte shuffle keys, text dropped pre-exchange)
