@@ -377,9 +377,127 @@ object MultimodalQueries {
       CAST(SUM(i * v) AS BIGINT) AS wsum_s
     FROM s GROUP BY doc_id"""
 
+  /** q92 — REAL audio decimation under the gate, the audio twin of q90's
+    * resize cycle: decode → keep every 2nd frame
+    * ([[graft.multimodal.AudioOps.decimate]]) → RE-ENCODE to WAV → decode
+    * again, stats over the final samples. Exactly replayable because
+    * filterless decimation is `out frame f = in frame 2f` (the aliasing
+    * trade-off is documented on the op — a production resampler low-pass
+    * filters first, which would not be integer-replayable). */
+  final case class PcmDecimateStats(
+      doc_id: Long,
+      sample_rate: Long,
+      n_frames: Long,
+      duration_ms: Long,
+      sum_s: Long,
+      wsum_s: Long)
+
+  def pcmDecimate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.util.Par.ensure(Tables(spark, dir, "documents"))
+      .select("doc_id").as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val ch = MediaSynth.pcmChannels(id)
+          val a = AudioHeaders.pcm16(MediaSynth.pcmWav(id)).get
+          val d = graft.multimodal.AudioOps.decimate(a, ch, factor = 2)
+          // prove the cycle: back through the container and out again
+          val rt = AudioHeaders.pcm16(
+            graft.multimodal.AudioOps.wavBytes(d.info, d.samples, ch)).get
+          var sum = 0L; var wsum = 0L; var i = 0
+          while (i < rt.samples.length) {
+            sum += rt.samples(i)
+            wsum += i.toLong * rt.samples(i)
+            i += 1
+          }
+          PcmDecimateStats(id, rt.info.sampleRate.toLong,
+            (rt.samples.length / ch).toLong, rt.info.durationMs, sum, wsum)
+        }
+      }
+      .toDF()
+  }
+
+  private val pcmDecimateOracle: String = """
+    WITH params AS (
+      SELECT doc_id, (doc_id % 2) + 1 AS ch,
+        CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+          ELSE 44100 END AS rate,
+        (doc_id % 50) + 10 AS frames
+      FROM documents),
+    dims AS (
+      SELECT doc_id, ch, rate // 2 AS rate2,
+        (frames + 1) // 2 AS frames2
+      FROM params),
+    s AS (
+      SELECT d.doc_id, d.ch, d.rate2, d.frames2, j.j,
+        ((2293 * ((j.j // d.ch) * 2 * d.ch + (j.j % d.ch))
+          + 7919 * d.doc_id) % 65536) - 32768 AS v
+      FROM dims d, range(60) j(j)
+      WHERE j.j < d.frames2 * d.ch)
+    SELECT doc_id,
+      CAST(MAX(rate2) AS BIGINT) AS sample_rate,
+      CAST(MAX(frames2) AS BIGINT) AS n_frames,
+      CAST((MAX(frames2) * MAX(ch) * 2 * 1000)
+        // (MAX(rate2) * MAX(ch) * 2) AS BIGINT) AS duration_ms,
+      CAST(SUM(v) AS BIGINT) AS sum_s,
+      CAST(SUM(j * v) AS BIGINT) AS wsum_s
+    FROM s GROUP BY doc_id"""
+
+  /** q93 — windowed audio energy features under the gate: non-overlapping
+    * 16-frame windows over the decoded samples, each exporting the EXACT
+    * sum of squared samples and negative-sample count
+    * ([[graft.multimodal.AudioOps.windowedEnergy]]) — the integer
+    * skeleton of RMS/VAD feature extraction (loudness is a downstream
+    * `sqrt(sumSq/n)`); keeping integers is what lets the gate
+    * hash-compare the whole feature tensor. One row per (doc, window). */
+  private val EnergyWindowFrames = 16
+
+  final case class PcmEnergyRow(
+      doc_id: Long,
+      window_id: Long,
+      n_frames: Long,
+      sum_sq: Long,
+      n_neg: Long)
+
+  def pcmEnergy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.util.Par.ensure(Tables(spark, dir, "documents"))
+      .select("doc_id").as[Long]
+      .mapPartitions { ids =>
+        ids.flatMap { id =>
+          val ch = MediaSynth.pcmChannels(id)
+          val a = AudioHeaders.pcm16(MediaSynth.pcmWav(id)).get
+          graft.multimodal.AudioOps.windowedEnergy(a, ch, EnergyWindowFrames)
+            .map(w => PcmEnergyRow(id, w.window_id.toLong,
+              w.nFrames.toLong, w.sumSq, w.nNeg))
+        }
+      }
+      .toDF()
+  }
+
+  private val pcmEnergyOracle: String = s"""
+    WITH params AS (
+      SELECT doc_id, (doc_id % 2) + 1 AS ch, (doc_id % 50) + 10 AS frames
+      FROM documents),
+    s AS (
+      SELECT p.doc_id, p.ch, p.frames,
+        (i.i // p.ch) // $EnergyWindowFrames AS window_id,
+        i.i // p.ch AS frame,
+        ((2293 * i.i + 7919 * p.doc_id) % 65536) - 32768 AS v
+      FROM params p, range(120) i(i)
+      WHERE i.i < p.frames * p.ch)
+    SELECT doc_id,
+      CAST(window_id AS BIGINT) AS window_id,
+      CAST(COUNT(DISTINCT frame) AS BIGINT) AS n_frames,
+      CAST(SUM(v * v) AS BIGINT) AS sum_sq,
+      CAST(SUM(CASE WHEN v < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
+    FROM s GROUP BY doc_id, window_id"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q73_media_probe", mediaProbe, Some(oracle)),
     QueryDef("q85_png_decode", pngDecode, Some(pngOracle)),
     QueryDef("q90_png_resize", pngResize, Some(pngResizeOracle)),
-    QueryDef("q91_pcm_decode", pcmDecode, Some(pcmOracle)))
+    QueryDef("q91_pcm_decode", pcmDecode, Some(pcmOracle)),
+    QueryDef("q92_pcm_decimate", pcmDecimate, Some(pcmDecimateOracle)),
+    QueryDef("q93_pcm_energy", pcmEnergy, Some(pcmEnergyOracle)))
 }

@@ -190,6 +190,33 @@ class MultimodalSpec extends SparkTestBase {
     assert(AudioHeaders.wavInfo(MediaSynth.payload(3L)).nonEmpty)
   }
 
+  test("PCM ops: decimate keeps every k-th frame, wavBytes round-trips") {
+    import AudioHeaders.{pcm16, PcmAudio, WavInfo}
+    // 2 channels, 5 frames: sample (f, c) = f*10 + c
+    val src = PcmAudio(WavInfo(8000, 2, 0L),
+      Array.tabulate[Short](10)(i => ((i / 2) * 10 + i % 2).toShort))
+    val d = AudioOps.decimate(src, channels = 2, factor = 2)
+    // frames 0, 2, 4 survive, both channels each
+    assert(d.samples.toSeq == Seq[Short](0, 1, 20, 21, 40, 41))
+    assert(d.info.sampleRate == 4000)
+    // container round trip: encode + decode restores samples and metadata
+    val rt = pcm16(AudioOps.wavBytes(d.info, d.samples, 2)).get
+    assert(rt.samples.toSeq == d.samples.toSeq)
+    assert(rt.info.sampleRate == 4000 && rt.info.channels == 2)
+    // identity factor
+    val same = AudioOps.decimate(src, 2, 1)
+    assert(same.samples.toSeq == src.samples.toSeq)
+    // windowed energy: 2-frame windows over 5 frames → sizes 2,2,1
+    val e = AudioOps.windowedEnergy(src, channels = 2, windowFrames = 2)
+    assert(e.map(_.nFrames) == Seq(2, 2, 1))
+    assert(e.map(_.window_id) == Seq(0, 1, 2))
+    assert(e.head.sumSq == 0L + 1 + 100 + 121) // 0²+1²+10²+11²
+    assert(e.forall(_.nNeg == 0L))
+    val neg = AudioOps.windowedEnergy(
+      PcmAudio(WavInfo(8000, 1, 0L), Array[Short](-3, 4)), 1, 2)
+    assert(neg.head.sumSq == 25L && neg.head.nNeg == 1L)
+  }
+
   test("MP4 probe rejects mvhd fields that would arm durationMs") {
     import VideoHeaders.mp4Info
     def hexBytes(hx: String): Array[Byte] =
