@@ -120,6 +120,72 @@ object MediaSynth {
   def pixelPng(docId: Long): Array[Byte] =
     PngCodec.encode(pixelImage(docId), y => ((docId + y) % 5).toInt)
 
+  // ------------------------------------------ raw-video ISO-BMFF (q94)
+
+  /** Deterministic FRAME corpus for the real video-extraction gate (q94):
+    * a complete ISO-BMFF file with an uncompressed (`raw ` RGB) video
+    * track — ftyp + moov (mvhd + trak/mdia/minf/stbl with a real
+    * stsd/stsz/stco sample table) + mdat holding the frames. Frame f's
+    * pixel at (x, y, channel) is `(3x + 7y + 11c + 13f + doc_id) % 256`,
+    * so the oracle replays every extracted byte while the Spark side must
+    * genuinely resolve sample sizes and absolute chunk offsets
+    * ([[VideoHeaders.rawVideoFrames]]). */
+  def videoWidth(docId: Long): Int = (docId % 4).toInt + 2
+  def videoHeight(docId: Long): Int = (docId % 3).toInt + 2
+  def videoFrames(docId: Long): Int = (docId % 5).toInt + 2
+
+  def videoPixel(docId: Long, f: Int, x: Int, y: Int, c: Int): Int =
+    ((3L * x + 7L * y + 11L * c + 13L * f + docId) % 256L).toInt
+
+  def rawVideoMp4(docId: Long): Array[Byte] = {
+    val w = videoWidth(docId); val h = videoHeight(docId)
+    val nF = videoFrames(docId)
+    val frameBytes = w * h * 3
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+      bb.putInt(8 + payload.length).put(typ.getBytes("US-ASCII")).put(payload)
+      bb.array()
+    }
+    def be32(v: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(4); bb.putInt(v); bb.array()
+    }
+    val ftyp = box("ftyp", "isom".getBytes ++ be32(0x200) ++ "isom".getBytes)
+    val mvhd = box("mvhd", new Array[Byte](12) ++
+      be32(mp4Timescale(docId).toInt) ++ be32(mp4DurationUnits(docId).toInt) ++
+      new Array[Byte](80))
+    // stsd: ver/flags + count=1 + one 86-byte VisualSampleEntry ('raw '),
+    // zero-filled except width/height at entry offsets 32/34
+    val entry = {
+      val bb = java.nio.ByteBuffer.allocate(86)
+      bb.putInt(86).put("raw ".getBytes("US-ASCII"))
+      bb.position(32)
+      bb.putShort(w.toShort).putShort(h.toShort)
+      bb.array()
+    }
+    val stsd = box("stsd", new Array[Byte](4) ++ be32(1) ++ entry)
+    // stsz in table form (sample_size = 0): exercises the per-sample path
+    val stsz = box("stsz", new Array[Byte](4) ++ be32(0) ++ be32(nF) ++
+      Array.fill(nF)(be32(frameBytes)).flatten)
+    // stco offsets are ABSOLUTE — computed from the final layout below
+    def stco(offsets: Seq[Int]) = box("stco",
+      new Array[Byte](4) ++ be32(nF) ++ offsets.flatMap(be32).toArray)
+    def moov(offsets: Seq[Int]) = box("moov", mvhd ++
+      box("trak", box("mdia", box("minf",
+        box("stbl", stsd ++ stsz ++ stco(offsets))))))
+    // layout: ftyp | moov | mdat(header + frames); moov size is offset-
+    // independent, so compute it once with placeholder offsets
+    val moovSize = moov(Seq.fill(nF)(0)).length
+    val mdatStart = ftyp.length + moovSize + 8
+    val offsets = (0 until nF).map(f => mdatStart + f * frameBytes)
+    val frames = Array.tabulate(nF * frameBytes) { i =>
+      val f = i / frameBytes
+      val r = i % frameBytes
+      val y = r / (w * 3); val x = (r % (w * 3)) / 3; val c = r % 3
+      videoPixel(docId, f, x, y, c).toByte
+    }
+    ftyp ++ moov(offsets) ++ box("mdat", frames)
+  }
+
   // ---------------------------------------------- full-sample PCM WAV (q91)
 
   /** Deterministic SAMPLE corpus for the real audio decode gate (q91): a

@@ -36,6 +36,78 @@ object VideoHeaders {
       m.durationUnits >= 0 && m.durationUnits <= Long.MaxValue / 1000L)
   }
 
+  /** Find the first child box named `typ` inside [start, end) — one level
+    * of the length-prefixed tree; returns (payload start, payload end). */
+  private def findChild(p: Array[Byte], start: Long, end: Long,
+      typ: String): Option[(Long, Long)] = {
+    var i = start
+    while (i + 8 <= end) {
+      val at = i.toInt
+      val size = be32(p, at)
+      if (size < 8) return None
+      if (tag(p, at + 4, typ))
+        return Some((i + 8, math.min(end, i + size)))
+      i += size
+    }
+    None
+  }
+
+  /** Descend a container path (e.g. moov/trak/mdia/minf/stbl), first
+    * match at each level. */
+  private def findPath(p: Array[Byte], path: Seq[String]): Option[(Long, Long)] =
+    path.foldLeft(Option((0L, p.length.toLong))) {
+      case (acc, typ) => acc.flatMap { case (s, e) => findChild(p, s, e, typ) }
+    }
+
+  final case class RawVideo(width: Int, height: Int, frames: Seq[Array[Byte]])
+
+  /** REAL frame extraction for an uncompressed-video track — the q94 gate
+    * kernel: walk moov/trak/mdia/minf/stbl, require an `stsd` whose first
+    * entry is the `raw ` (uncompressed RGB) sample format, read the
+    * per-sample sizes (`stsz` table form) and chunk offsets (`stco`,
+    * one sample per chunk), and slice each frame's bytes out of `mdat`
+    * by ABSOLUTE file offset — exactly how a demuxer addresses samples.
+    * No entropy codec involved, which is why this subset is complete in
+    * pure JVM; compressed tracks (avc1 etc.) are out of subset → None.
+    * Total: any truncated/corrupt/out-of-subset payload returns None. */
+  def rawVideoFrames(p: Array[Byte]): Option[RawVideo] = {
+    if (p.length < 16 || !(tag(p, 4, "ftyp") || tag(p, 4, "moov"))) return None
+    val stbl = findPath(p, Seq("moov", "trak", "mdia", "minf", "stbl"))
+      .getOrElse(return None)
+    val (ss, se) = stbl
+    // stsd: ver/flags(4) + entry_count(4); first entry: size(4) format(4)
+    // reserved(6) dataref(2) + VisualSampleEntry pre(16) + w/h be16
+    val (ds, de) = findChild(p, ss, se, "stsd").getOrElse(return None)
+    if (ds + 8 + 36 > de || be32(p, ds.toInt + 4) < 1L) return None
+    val entry = ds + 8
+    if (!tag(p, entry.toInt + 4, "raw ")) return None // compressed: out of subset
+    val width = be16(p, entry.toInt + 32)
+    val height = be16(p, entry.toInt + 34)
+    if (width < 1 || height < 1) return None
+    // stsz: ver/flags(4) + sample_size(4) + count(4) [+ sizes]
+    val (zs, ze) = findChild(p, ss, se, "stsz").getOrElse(return None)
+    if (zs + 12 > ze) return None
+    val uniform = be32(p, zs.toInt + 4)
+    val n = be32(p, zs.toInt + 8)
+    if (n < 1 || n > 4096) return None // bounded: a header, not a stream
+    val sizes = (0 until n.toInt).map { i =>
+      if (uniform != 0L) uniform
+      else if (zs + 12 + i * 4 + 4 <= ze) be32(p, (zs + 12 + i * 4).toInt)
+      else return None
+    }
+    // stco: ver/flags(4) + count(4) + offsets[count] (absolute)
+    val (cs, ce) = findChild(p, ss, se, "stco").getOrElse(return None)
+    if (cs + 8 > ce || be32(p, cs.toInt + 4) != n) return None
+    val frames = (0 until n.toInt).map { i =>
+      if (cs + 8 + i * 4 + 4 > ce) return None
+      val off = be32(p, (cs + 8 + i * 4).toInt)
+      val sz = sizes(i)
+      if (off + sz > p.length || sz < 1 || sz > (1L << 24)) return None
+      java.util.Arrays.copyOfRange(p, off.toInt, (off + sz).toInt)
+    }
+    Some(RawVideo(width, height, frames))
+  }
+
   /** Walk top-level boxes for `moov`, then its children for `mvhd`.
     * Returns None for non-MP4, truncated-before-mvhd, or malformed
     * (zero/overflowing box size) payloads. Offset arithmetic stays in

@@ -493,11 +493,73 @@ object MultimodalQueries {
       CAST(SUM(CASE WHEN v < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
     FROM s GROUP BY doc_id, window_id"""
 
+  /** q94 — REAL video frame extraction under the gate: each doc maps to a
+    * complete ISO-BMFF file with an uncompressed RGB track
+    * ([[graft.multimodal.MediaSynth.rawVideoMp4]]); Spark must resolve
+    * the stsd/stsz/stco sample table and slice every frame out of mdat by
+    * absolute offset ([[graft.multimodal.VideoHeaders.rawVideoFrames]]),
+    * keep every 2nd frame (the keyframe-ish sampling pass), and export
+    * per-frame position-weighted pixel stats the oracle recomputes from
+    * the closed form. Wrong box walk, off-by-one offset, or size-table
+    * misread ⇒ different bytes ⇒ hash mismatch. Entropy-coded tracks
+    * remain out of subset (documented) — sample-table addressing is the
+    * demuxer work and involves no codec. */
+  final case class FrameStats(
+      doc_id: Long,
+      frame_index: Long,
+      width: Long,
+      height: Long,
+      sum_v: Long,
+      wsum_v: Long)
+
+  def videoFrames(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.util.Par.ensure(Tables(spark, dir, "documents"))
+      .select("doc_id").as[Long]
+      .mapPartitions { ids =>
+        ids.flatMap { id =>
+          val rv = VideoHeaders.rawVideoFrames(MediaSynth.rawVideoMp4(id)).get
+          rv.frames.zipWithIndex
+            .filter(_._2 % 2 == 0) // stride-2 sampling
+            .map { case (frame, f) =>
+              var sum = 0L; var wsum = 0L; var i = 0
+              while (i < frame.length) {
+                val v = frame(i) & 0xff
+                sum += v; wsum += i.toLong * v
+                i += 1
+              }
+              FrameStats(id, f.toLong, rv.width.toLong, rv.height.toLong,
+                sum, wsum)
+            }
+        }
+      }
+      .toDF()
+  }
+
+  private val videoFramesOracle: String = """
+    WITH params AS (
+      SELECT doc_id, (doc_id % 4) + 2 AS w, (doc_id % 3) + 2 AS h,
+        (doc_id % 5) + 2 AS nf
+      FROM documents),
+    px AS (
+      SELECT p.doc_id, p.w, p.h, 2 * k.k AS f, x.x, y.y, c.c,
+        (3 * x.x + 7 * y.y + 11 * c.c + 13 * (2 * k.k) + p.doc_id) % 256 AS v
+      FROM params p, range(3) k(k), range(6) x(x), range(5) y(y), range(3) c(c)
+      WHERE 2 * k.k < p.nf AND x.x < p.w AND y.y < p.h)
+    SELECT doc_id,
+      CAST(f AS BIGINT) AS frame_index,
+      CAST(MAX(w) AS BIGINT) AS width,
+      CAST(MAX(h) AS BIGINT) AS height,
+      CAST(SUM(v) AS BIGINT) AS sum_v,
+      CAST(SUM(((y * w + x) * 3 + c) * v) AS BIGINT) AS wsum_v
+    FROM px GROUP BY doc_id, f"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q73_media_probe", mediaProbe, Some(oracle)),
     QueryDef("q85_png_decode", pngDecode, Some(pngOracle)),
     QueryDef("q90_png_resize", pngResize, Some(pngResizeOracle)),
     QueryDef("q91_pcm_decode", pcmDecode, Some(pcmOracle)),
     QueryDef("q92_pcm_decimate", pcmDecimate, Some(pcmDecimateOracle)),
-    QueryDef("q93_pcm_energy", pcmEnergy, Some(pcmEnergyOracle)))
+    QueryDef("q93_pcm_energy", pcmEnergy, Some(pcmEnergyOracle)),
+    QueryDef("q94_video_frames", videoFrames, Some(videoFramesOracle)))
 }

@@ -247,6 +247,57 @@ class MultimodalSpec extends SparkTestBase {
     assert(mp4Info(mp4v1("00000000", "00000000000000B9")).isEmpty) // v1 ts 0
   }
 
+  test("raw-video frame extraction resolves the real sample table") {
+    import VideoHeaders.rawVideoFrames
+    for (id <- 0L to 29L) {
+      val p = MediaSynth.rawVideoMp4(id)
+      // the mvhd probe reads the same file
+      val probe = VideoHeaders.mp4Info(p).get
+      assert(probe.timescale == MediaSynth.mp4Timescale(id))
+      val rv = rawVideoFrames(p).get
+      assert(rv.width == MediaSynth.videoWidth(id))
+      assert(rv.height == MediaSynth.videoHeight(id))
+      assert(rv.frames.size == MediaSynth.videoFrames(id))
+      rv.frames.zipWithIndex.foreach { case (frame, f) =>
+        assert(frame.length == rv.width * rv.height * 3)
+        for (y <- 0 until rv.height; x <- 0 until rv.width; c <- 0 until 3)
+          assert((frame((y * rv.width + x) * 3 + c) & 0xff) ==
+            MediaSynth.videoPixel(id, f, x, y, c), s"doc $id frame $f ($x,$y,$c)")
+      }
+      // truncations parse to None, never a throw (mdat cut → offsets
+      // out of bounds; moov cut → table unreadable)
+      Seq(p.length - 1, p.length / 2, 40, 12, 0).foreach(k =>
+        assert(rawVideoFrames(p.take(k)).isEmpty, s"doc $id truncation $k"))
+    }
+    // a compressed track (avc1 sample format) is out of subset, not a crash
+    val comp = MediaSynth.rawVideoMp4(5L)
+    val idx = {
+      val raw = "raw ".getBytes("US-ASCII")
+      (0 until comp.length - 4).find(i => raw.indices.forall(j => comp(i + j) == raw(j))).get
+    }
+    "avc1".getBytes("US-ASCII").zipWithIndex.foreach { case (b, j) => comp(idx + j) = b }
+    assert(VideoHeaders.rawVideoFrames(comp).isEmpty)
+    // header-only q73 payloads have no sample table
+    assert(VideoHeaders.rawVideoFrames(MediaSynth.payload(4L)).isEmpty)
+  }
+
+  test("frame sampling extracts real frames for uncompressed tracks") {
+    import spark.implicits._
+    val id = 7L
+    val p = MediaSynth.rawVideoMp4(id)
+    val rows = Seq(
+      MediaRow(1L, "video", p, MediaSynth.videoWidth(id),
+        MediaSynth.videoHeight(id), 1000L)).toDS()
+    val frames = sampleFrames(rows, frameSize = 1024, stride = 2).collect()
+    val want = VideoHeaders.rawVideoFrames(p).get.frames
+    assert(frames.map(_.getInt(1)).sorted.toSeq ==
+      (0 until MediaSynth.videoFrames(id) by 2).toSeq)
+    frames.foreach { r =>
+      assert(java.util.Arrays.equals(
+        r.getAs[Array[Byte]](2), want(r.getInt(1))))
+    }
+  }
+
   test("MediaSynth payloads round-trip through the real parsers") {
     import graft.multimodal.MediaSynth
     for (id <- 0L to 59L) {
