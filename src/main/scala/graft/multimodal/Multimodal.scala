@@ -6,12 +6,15 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, processed batch-at-a-time through mapPartitions.
   *
-  * The PNG *decode* step is REAL ([[PngCodec]]: zlib inflate + scanline
-  * unfilter, gate-verified by q85) and feature extraction consumes actual
-  * pixels for PNG rows. The remaining codecs (JPEG entropy decode, audio
-  * PCM, video frames) stay behind a deliberate, clearly-marked
-  * deterministic stub — those libraries are not available in this
-  * environment. Everything Spark-owns is real: the schema contract, the
+  * The decode layer is REAL for every subset pure JVM can implement
+  * completely, each gate-verified: PNG pixels ([[PngCodec]], q85/q90),
+  * 16-bit PCM audio samples ([[AudioHeaders.pcm16]], q91–q93), and
+  * uncompressed-track video frames ([[VideoHeaders.rawVideoFrames]],
+  * q94). Feature extraction consumes decoded content for all three.
+  * Only ENTROPY-CODED payloads (JPEG scans, compressed audio/video
+  * tracks) fall back to a deliberate, clearly-marked deterministic stub —
+  * those codec libraries are not available in this environment.
+  * Everything Spark-owns is real: the schema contract, the
   * partition-batched iteration shape (decoder state is amortized across a
   * partition, exactly how a JNI/FFI codec would be held), repartitioning
   * by media type, and the feature-vector output schema.
@@ -36,12 +39,12 @@ object Multimodal {
 
   val FeatureDim = 16
 
-  /** STUB — stands in for the codecs still absent from this environment
-    * (JPEG entropy decode, PCM audio, video frames). Deterministic: folds
+  /** STUB — stands in for the entropy codecs absent from this environment
+    * (JPEG scans, compressed audio/video tracks). Deterministic: folds
     * payload bytes into a fixed-width float vector so tests can pin exact
     * outputs. A production build swaps ONLY this function for a real
-    * decoder; the Spark plumbing is unchanged. PNG rows never reach it —
-    * they go through the real [[PngCodec.decode]]. */
+    * decoder; the Spark plumbing is unchanged. In-subset payloads never
+    * reach it — they decode for real ([[decodeFeature]]). */
   private[multimodal] def decodeStub(payload: Array[Byte]): Array[Float] = {
     val acc = new Array[Float](FeatureDim)
     var i = 0
@@ -52,15 +55,32 @@ object Multimodal {
     acc
   }
 
-  /** Feature kernel: REAL pixels when the payload is a decodable PNG
-    * ([[PngCodec]]), byte-fold stub otherwise. Same fold either way, so
-    * the vector is a pure function of the DECODED content — two PNGs with
-    * identical pixels but different compression levels map to the same
-    * feature vector, which is what a dedup/similarity consumer wants. */
+  /** Feature kernel: folds REAL decoded content whenever the payload is
+    * in a fully-decodable subset — PNG pixels, PCM sample bytes (LE16
+    * sample order), or concatenated raw video frames — and the byte-fold
+    * stub otherwise. Same fold either way, so the vector is a pure
+    * function of the DECODED content: two PNGs with identical pixels but
+    * different compression levels (or two WAV files differing only in
+    * chunk padding) map to the same feature vector — what a
+    * dedup/similarity consumer wants. */
   private[multimodal] def decodeFeature(payload: Array[Byte]): Array[Float] =
     PngCodec.decode(payload) match {
       case Some(img) => decodeStub(img.pixels)
-      case None => decodeStub(payload)
+      case None => AudioHeaders.pcm16(payload) match {
+        case Some(a) =>
+          val bytes = new Array[Byte](a.samples.length * 2)
+          var i = 0
+          while (i < a.samples.length) {
+            bytes(i * 2) = (a.samples(i) & 0xff).toByte
+            bytes(i * 2 + 1) = ((a.samples(i) >> 8) & 0xff).toByte
+            i += 1
+          }
+          decodeStub(bytes)
+        case None => VideoHeaders.rawVideoFrames(payload) match {
+          case Some(rv) => decodeStub(rv.frames.flatten.toArray)
+          case None => decodeStub(payload)
+        }
+      }
     }
 
   /** Decode/feature-extract, batch-shaped: one decoder "session" per

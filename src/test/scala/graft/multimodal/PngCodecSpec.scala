@@ -165,7 +165,22 @@ class PngCodecSpec extends AnyFunSuite {
     val alt = PngCodec.encode(MediaSynth.pixelImage(id), _ => 0)
     assert(!java.util.Arrays.equals(alt, png)) // bytes differ...
     assert(Multimodal.decodeFeature(alt).toSeq == fromPayload.toSeq) // ...features don't
-    // non-PNG payloads keep the documented stub behavior
+    // PCM WAV rows fold decoded SAMPLE bytes, not container bytes: the
+    // same samples in a container with different header framing (extra
+    // trailing pad) produce identical features
+    val wav = MediaSynth.pcmWav(3L)
+    val reframed = wav ++ "LIST".getBytes ++
+      Array[Byte](4, 0, 0, 0, 1, 2, 3, 4) // trailing chunk: samples unchanged
+    assert(Multimodal.decodeFeature(wav).toSeq ==
+      Multimodal.decodeFeature(reframed).toSeq)
+    assert(Multimodal.decodeFeature(wav).toSeq !=
+      Multimodal.decodeStub(wav).toSeq)
+    // raw-video rows fold concatenated frame bytes
+    val vid = MediaSynth.rawVideoMp4(3L)
+    val frames = VideoHeaders.rawVideoFrames(vid).get.frames.flatten.toArray
+    assert(Multimodal.decodeFeature(vid).toSeq ==
+      Multimodal.decodeStub(frames).toSeq)
+    // out-of-subset payloads keep the documented stub behavior
     val junk = Array.tabulate(64)(i => (i * 3).toByte)
     assert(Multimodal.decodeFeature(junk).toSeq ==
       Multimodal.decodeStub(junk).toSeq)
