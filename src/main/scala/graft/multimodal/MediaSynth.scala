@@ -120,6 +120,28 @@ object MediaSynth {
   def pixelPng(docId: Long): Array[Byte] =
     PngCodec.encode(pixelImage(docId), y => ((docId + y) % 5).toInt)
 
+  /** Grayscale sibling of [[pixelImage]] (q95): same dims and closed form
+    * with channel fixed at 0, one byte per pixel — exercises the whole
+    * unfilter matrix at bpp=1, where Sub/Paeth reference the immediately
+    * preceding BYTE rather than a 3/4-byte-away one. */
+  def grayImage(docId: Long): PngCodec.Image = {
+    val w = pixelWidth(docId); val h = pixelHeight(docId)
+    val px = new Array[Byte](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        px(y * w + x) = pixelValue(docId, x, y, 0).toByte
+        x += 1
+      }
+      y += 1
+    }
+    PngCodec.Image(w, h, 1, px)
+  }
+
+  def grayPng(docId: Long): Array[Byte] =
+    PngCodec.encode(grayImage(docId), y => ((docId + y) % 5).toInt)
+
   // ------------------------------------------ raw-video ISO-BMFF (q94)
 
   /** Deterministic FRAME corpus for the real video-extraction gate (q94):

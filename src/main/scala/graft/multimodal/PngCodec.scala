@@ -7,7 +7,8 @@ import java.util.zip.{CRC32, Deflater, Inflater}
   * and the per-scanline filters (None/Sub/Up/Average/Paeth) are bytewise
   * arithmetic, so no native codec library is needed for the subset a
   * training pipeline's synthetic/screenshot-heavy PNG corpus actually
-  * uses: non-interlaced, 8-bit, truecolor RGB (color type 2) or RGBA (6).
+  * uses: non-interlaced, 8-bit, grayscale (color type 0), truecolor RGB
+  * (2), or RGBA (6).
   *
   * Decode contract matches the header parsers ([[ImageHeaders]]): total —
   * any truncated, corrupt, or out-of-subset payload returns None, never
@@ -54,11 +55,14 @@ object PngCodec {
     if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
   }
 
-  /** Encode as a single-IDAT, non-interlaced 8-bit PNG. `filterFor(y)`
-    * picks the filter type (0–4) applied to scanline `y`, letting the
-    * gate corpus exercise the whole unfilter matrix deterministically. */
+  /** Encode as a single-IDAT, non-interlaced 8-bit PNG (grayscale, RGB,
+    * or RGBA by channel count). `filterFor(y)` picks the filter type
+    * (0–4) applied to scanline `y`, letting the gate corpus exercise the
+    * whole unfilter matrix deterministically — including at bpp=1, where
+    * Sub/Paeth reference the immediately preceding byte. */
   def encode(img: Image, filterFor: Int => Int = _ => 0): Array[Byte] = {
-    require(img.channels == 3 || img.channels == 4, "RGB/RGBA only")
+    require(img.channels == 1 || img.channels == 3 || img.channels == 4,
+      "grayscale/RGB/RGBA only")
     require(img.pixels.length == img.width * img.height * img.channels)
     val bpp = img.channels
     val stride = img.width * bpp
@@ -93,7 +97,11 @@ object PngCodec {
     val buf = new Array[Byte](8192)
     while (!deflater.finished()) out.write(buf, 0, deflater.deflate(buf))
     deflater.end()
-    val colorType = if (img.channels == 3) 2 else 6
+    val colorType = img.channels match {
+      case 1 => 0
+      case 3 => 2
+      case _ => 6
+    }
     val ihdr = be32Bytes(img.width.toLong) ++ be32Bytes(img.height.toLong) ++
       Array[Byte](8, colorType.toByte, 0, 0, 0)
     Signature ++ chunk("IHDR", ihdr) ++ chunk("IDAT", out.toByteArray) ++
@@ -139,9 +147,10 @@ object PngCodec {
 
   import ByteReads._
 
-  /** Decode a non-interlaced 8-bit RGB/RGBA PNG; None for anything else
-    * (truncated, corrupt, out-of-subset), never a throw. Lenient on chunk
-    * CRCs — like most production decoders — but strict on structure: the
+  /** Decode a non-interlaced 8-bit grayscale/RGB/RGBA PNG; None for
+    * anything else (truncated, corrupt, out-of-subset — palette and
+    * 16-bit depths stay out), never a throw. Lenient on chunk CRCs —
+    * like most production decoders — but strict on structure: the
     * inflated stream must be exactly `height * (1 + width*bpp)` bytes. */
   def decode(payload: Array[Byte]): Option[Image] = {
     if (payload.length < Signature.length + 25) return None
@@ -157,9 +166,14 @@ object PngCodec {
     val bitDepth = u8(payload, 24)
     val colorType = u8(payload, 25)
     val interlace = u8(payload, 28)
-    if (bitDepth != 8 || (colorType != 2 && colorType != 6) ||
+    if (bitDepth != 8 ||
+      (colorType != 0 && colorType != 2 && colorType != 6) ||
       u8(payload, 26) != 0 || u8(payload, 27) != 0 || interlace != 0) return None
-    val bpp = if (colorType == 2) 3 else 4
+    val bpp = colorType match {
+      case 0 => 1
+      case 2 => 3
+      case _ => 4
+    }
     if (width < 1 || height < 1) return None
     val stride = width * bpp // Long: safe for any be32 dims
     val rawLen = height * (stride + 1)

@@ -554,6 +554,56 @@ object MultimodalQueries {
       CAST(SUM(((y * w + x) * 3 + c) * v) AS BIGINT) AS wsum_v
     FROM px GROUP BY doc_id, f"""
 
+  /** q95 — the grayscale (color type 0) half of the PNG decode subset:
+    * same inflate+unfilter kernel as q85 at bpp=1, where the Sub/Paeth
+    * predictors reference the immediately preceding byte — a distinct
+    * arithmetic path a truecolor-only gate would never execute. Same
+    * closed-form oracle shape with the channel fixed at 0. */
+  def pngGrayDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.util.Par.ensure(Tables(spark, dir, "documents"))
+      .select("doc_id").as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          PngCodec.decode(MediaSynth.grayPng(id)) match {
+            case Some(img) =>
+              val n = img.pixels.length
+              var sum = 0L; var wsum = 0L; var i = 0
+              while (i < n) {
+                val v = img.pixels(i) & 0xff
+                sum += v; wsum += i.toLong * v
+                i += 1
+              }
+              PngStats(id, img.width.toLong, img.height.toLong,
+                img.channels.toLong, img.width.toLong * img.height,
+                sum, wsum, decode_ok = true)
+            case None =>
+              PngStats(id, -1L, -1L, -1L, -1L, -1L, -1L, decode_ok = false)
+          }
+        }
+      }
+      .toDF()
+  }
+
+  private val pngGrayOracle: String = """
+    WITH params AS (
+      SELECT doc_id, (doc_id % 16) + 4 AS w, (doc_id % 12) + 4 AS h
+      FROM documents),
+    px AS (
+      SELECT p.doc_id, p.w, p.h, x.x, y.y,
+        (3 * x.x + 7 * y.y + p.doc_id) % 256 AS v
+      FROM params p, range(20) x(x), range(16) y(y)
+      WHERE x.x < p.w AND y.y < p.h)
+    SELECT doc_id,
+      CAST(MAX(w) AS BIGINT) AS width,
+      CAST(MAX(h) AS BIGINT) AS height,
+      CAST(1 AS BIGINT) AS channels,
+      CAST(MAX(w) * MAX(h) AS BIGINT) AS n_px,
+      CAST(SUM(v) AS BIGINT) AS sum_v,
+      CAST(SUM((y * w + x) * v) AS BIGINT) AS wsum_v,
+      TRUE AS decode_ok
+    FROM px GROUP BY doc_id"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q73_media_probe", mediaProbe, Some(oracle)),
     QueryDef("q85_png_decode", pngDecode, Some(pngOracle)),
@@ -561,5 +611,6 @@ object MultimodalQueries {
     QueryDef("q91_pcm_decode", pcmDecode, Some(pcmOracle)),
     QueryDef("q92_pcm_decimate", pcmDecimate, Some(pcmDecimateOracle)),
     QueryDef("q93_pcm_energy", pcmEnergy, Some(pcmEnergyOracle)),
-    QueryDef("q94_video_frames", videoFrames, Some(videoFramesOracle)))
+    QueryDef("q94_video_frames", videoFrames, Some(videoFramesOracle)),
+    QueryDef("q95_png_gray_decode", pngGrayDecode, Some(pngGrayOracle)))
 }

@@ -16,8 +16,8 @@ class PngCodecSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(a.pixels, b.pixels))
   }
 
-  test("round-trips exact pixels through every filter type, RGB and RGBA") {
-    for (ch <- Seq(3, 4); ft <- 0 to 4) {
+  test("round-trips exact pixels through every filter type, gray/RGB/RGBA") {
+    for (ch <- Seq(1, 3, 4); ft <- 0 to 4) {
       val orig = img(13, 9, ch, ft * 10L + ch)
       val decoded = PngCodec.decode(PngCodec.encode(orig, _ => ft))
       assert(decoded.nonEmpty, s"ch=$ch ft=$ft failed to decode")
@@ -78,9 +78,13 @@ class PngCodecSpec extends AnyFunSuite {
     val zeroed = goodRaw.clone()
     (0 until 5).foreach(y => zeroed(y * 13) = 0) // valid filter bytes
     assert(PngCodec.decode(rawPng(4, 5, 8, 2, 0, zeroed)).nonEmpty) // control
-    // 16-bit depth, grayscale, palette, interlaced: unsupported subset
+    // grayscale is IN subset (bpp=1 raster: 5 rows × (1 + 4) bytes)
+    val grayRaw = Array.tabulate(5 * 5)(i =>
+      if (i % 5 == 0) 0.toByte else (i * 7 % 256).toByte)
+    assert(PngCodec.decode(rawPng(4, 5, 8, 0, 0, grayRaw))
+      .exists(_.channels == 1))
+    // 16-bit depth, palette, interlaced: unsupported subset
     assert(PngCodec.decode(rawPng(4, 5, 16, 2, 0, zeroed)).isEmpty)
-    assert(PngCodec.decode(rawPng(4, 5, 8, 0, 0, zeroed)).isEmpty)
     assert(PngCodec.decode(rawPng(4, 5, 8, 3, 0, zeroed)).isEmpty)
     assert(PngCodec.decode(rawPng(4, 5, 8, 2, 1, zeroed)).isEmpty)
     // filter byte > 4
@@ -94,6 +98,16 @@ class PngCodecSpec extends AnyFunSuite {
     assert(PngCodec.decode(rawPng(0xFFFFFFFFL, 0xFFFFFFFFL, 8, 2, 0, zeroed)).isEmpty)
     assert(PngCodec.decode(Array.emptyByteArray).isEmpty)
     assert(PngCodec.decode("not a png at all".getBytes).isEmpty)
+  }
+
+  test("grayscale gate corpus round-trips at bpp=1") {
+    for (id <- 0L to 19L) {
+      val dec = PngCodec.decode(MediaSynth.grayPng(id))
+      assert(dec.nonEmpty, s"doc $id")
+      assertSame(MediaSynth.grayImage(id), dec.get)
+      assert(dec.get.channels == 1)
+      assert((dec.get.pixels(3) & 0xff) == MediaSynth.pixelValue(id, 3, 0, 0))
+    }
   }
 
   test("MediaSynth pixel corpus round-trips: decoded pixels match the closed form") {
