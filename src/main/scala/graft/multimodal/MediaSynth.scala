@@ -142,6 +142,59 @@ object MediaSynth {
   def grayPng(docId: Long): Array[Byte] =
     PngCodec.encode(grayImage(docId), y => ((docId + y) % 5).toInt)
 
+  // ------------------------------------------------ indexed-color GIF (q96)
+
+  /** Deterministic INDEXED corpus for the real GIF decode gate (q96): a
+    * complete GIF89a — global color table + genuine variable-width LZW
+    * image data — whose palette index at (x, y) and palette entry k are
+    * closed forms of `doc_id`, so the DuckDB oracle recomputes every
+    * decoded statistic by pure arithmetic while the Spark side must
+    * actually run the LZW inflater ([[GifCodec]]). Palette sizes sweep
+    * 4..256 (all seven GIF code sizes), and the encoder's periodic CLEAR
+    * resets put real mid-stream dictionary resets in the corpus.
+    * Compressed bytes are NOT part of the contract; only the decoded
+    * indices and palette are — exactly what the gate hashes. */
+  def gifBits(docId: Long): Int = (docId % 7).toInt + 2 // 2..8
+  def gifNColors(docId: Long): Int = 1 << gifBits(docId)
+
+  def gifIndex(docId: Long, x: Int, y: Int): Int =
+    ((3L * x + 7L * y + docId) % gifNColors(docId)).toInt
+
+  /** Palette entry k as (r, g, b). */
+  def gifPaletteRgb(docId: Long, k: Int): (Int, Int, Int) = (
+    ((5L * k + docId) % 256L).toInt,
+    ((7L * k + 2L * docId) % 256L).toInt,
+    ((11L * k + 3L * docId) % 256L).toInt)
+
+  def gifImage(docId: Long): GifCodec.IndexedImage = {
+    val w = pixelWidth(docId); val h = pixelHeight(docId)
+    val nc = gifNColors(docId)
+    val pal = new Array[Byte](nc * 3)
+    var k = 0
+    while (k < nc) {
+      val (r, g, b) = gifPaletteRgb(docId, k)
+      pal(3 * k) = r.toByte; pal(3 * k + 1) = g.toByte; pal(3 * k + 2) = b.toByte
+      k += 1
+    }
+    val idx = new Array[Byte](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        idx(y * w + x) = gifIndex(docId, x, y).toByte
+        x += 1
+      }
+      y += 1
+    }
+    GifCodec.IndexedImage(w, h, pal, idx)
+  }
+
+  /** CLEAR every 48 data codes: the larger corpus images (up to 19×16
+    * pixels) reset the dictionary several times mid-stream; the smallest
+    * never do — both paths stay exercised. */
+  def gifPayload(docId: Long): Array[Byte] =
+    GifCodec.encode(gifImage(docId), gifBits(docId), clearEvery = 48)
+
   // ------------------------------------------ raw-video ISO-BMFF (q94)
 
   /** Deterministic FRAME corpus for the real video-extraction gate (q94):

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.multimodal.{AudioHeaders, ImageHeaders, MediaSynth, PngCodec, VideoHeaders}
+import graft.multimodal.{AudioHeaders, GifCodec, ImageHeaders, MediaSynth, PngCodec, VideoHeaders}
 
 /** Multimodal metadata extraction under the driver's cross-engine gate.
   *
@@ -604,6 +604,86 @@ object MultimodalQueries {
       TRUE AS decode_ok
     FROM px GROUP BY doc_id"""
 
+  /** q96 — REAL GIF LZW decode under the gate, the indexed-color sibling
+    * of q85: each doc maps to a complete GIF89a
+    * ([[graft.multimodal.MediaSynth.gifPayload]]) with genuine
+    * variable-width LZW image data (periodic CLEAR resets included);
+    * Spark must run the full LZW inflater ([[graft.multimodal.GifCodec]])
+    * to recover the palette indices, then resolve each through the global
+    * color table, while the oracle recomputes both the index and RGB
+    * statistics from the closed forms by pure arithmetic. A wrong code
+    * width, broken KwKwK case, or mishandled CLEAR shifts
+    * `sum_idx`/`wsum_idx`; a palette-offset bug shifts `sum_rgb`/
+    * `wsum_rgb`. Palette sizes sweep all seven GIF code sizes (4..256
+    * colors). Same narrow no-shuffle full-corpus decode pass as q85. */
+  final case class GifStats(
+      doc_id: Long,
+      width: Long,
+      height: Long,
+      n_colors: Long,
+      n_px: Long,
+      sum_idx: Long,
+      wsum_idx: Long,
+      sum_rgb: Long,
+      wsum_rgb: Long)
+
+  def gifDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.util.Par.ensure(Tables(spark, dir, "documents"))
+      .select("doc_id").as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          GifCodec.decode(MediaSynth.gifPayload(id)) match {
+            case Some(img) =>
+              var sumI = 0L; var wsumI = 0L; var sumC = 0L; var wsumC = 0L
+              var p = 0
+              while (p < img.indices.length) {
+                val k = img.indices(p) & 0xff
+                val rgb = (img.palette(3 * k) & 0xff) +
+                  (img.palette(3 * k + 1) & 0xff) +
+                  (img.palette(3 * k + 2) & 0xff)
+                sumI += k; wsumI += p.toLong * k
+                sumC += rgb; wsumC += p.toLong * rgb
+                p += 1
+              }
+              GifStats(id, img.width.toLong, img.height.toLong,
+                img.nColors.toLong, img.indices.length.toLong,
+                sumI, wsumI, sumC, wsumC)
+            case None =>
+              GifStats(id, -1L, -1L, -1L, -1L, -1L, -1L, -1L, -1L)
+          }
+        }
+      }
+      .toDF()
+  }
+
+  private val gifOracle: String = """
+    WITH params AS (
+      SELECT doc_id, (doc_id % 16) + 4 AS w, (doc_id % 12) + 4 AS h,
+        CASE doc_id % 7 WHEN 0 THEN 4 WHEN 1 THEN 8 WHEN 2 THEN 16
+          WHEN 3 THEN 32 WHEN 4 THEN 64 WHEN 5 THEN 128 ELSE 256 END AS nc
+      FROM documents),
+    px AS (
+      SELECT p.doc_id, p.w, p.h, p.nc, x.x, y.y,
+        (3 * x.x + 7 * y.y + p.doc_id) % p.nc AS k
+      FROM params p, range(20) x(x), range(16) y(y)
+      WHERE x.x < p.w AND y.y < p.h),
+    rgb AS (
+      SELECT doc_id, w, h, nc, x, y, k,
+        (5 * k + doc_id) % 256 + (7 * k + 2 * doc_id) % 256
+          + (11 * k + 3 * doc_id) % 256 AS v
+      FROM px)
+    SELECT doc_id,
+      CAST(MAX(w) AS BIGINT) AS width,
+      CAST(MAX(h) AS BIGINT) AS height,
+      CAST(MAX(nc) AS BIGINT) AS n_colors,
+      CAST(MAX(w) * MAX(h) AS BIGINT) AS n_px,
+      CAST(SUM(k) AS BIGINT) AS sum_idx,
+      CAST(SUM((y * w + x) * k) AS BIGINT) AS wsum_idx,
+      CAST(SUM(v) AS BIGINT) AS sum_rgb,
+      CAST(SUM((y * w + x) * v) AS BIGINT) AS wsum_rgb
+    FROM rgb GROUP BY doc_id"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q73_media_probe", mediaProbe, Some(oracle)),
     QueryDef("q85_png_decode", pngDecode, Some(pngOracle)),
@@ -612,5 +692,6 @@ object MultimodalQueries {
     QueryDef("q92_pcm_decimate", pcmDecimate, Some(pcmDecimateOracle)),
     QueryDef("q93_pcm_energy", pcmEnergy, Some(pcmEnergyOracle)),
     QueryDef("q94_video_frames", videoFrames, Some(videoFramesOracle)),
-    QueryDef("q95_png_gray_decode", pngGrayDecode, Some(pngGrayOracle)))
+    QueryDef("q95_png_gray_decode", pngGrayDecode, Some(pngGrayOracle)),
+    QueryDef("q96_gif_decode", gifDecode, Some(gifOracle)))
 }
