@@ -195,6 +195,50 @@ object MediaSynth {
   def gifPayload(docId: Long): Array[Byte] =
     GifCodec.encode(gifImage(docId), gifBits(docId), clearEvery = 48)
 
+  // --------------------------------------------- indexed-color PNG (q97)
+
+  /** Deterministic PALETTED-PNG corpus (q97): color type 3 — a PLTE table
+    * plus a filtered bpp=1 index raster — with palette sizes sweeping
+    * 6..255, most NOT powers of two (exactly what GIF's 2^n tables can
+    * never produce). The filter types rotate per scanline as in q85, so
+    * the bpp=1 unfilter matrix runs under indexed color too. */
+  def palNColors(docId: Long): Int = (docId % 250).toInt + 6 // 6..255
+
+  def palIndex(docId: Long, x: Int, y: Int): Int =
+    ((5L * x + 3L * y + docId) % palNColors(docId)).toInt
+
+  /** Palette entry k as (r, g, b). */
+  def palRgb(docId: Long, k: Int): (Int, Int, Int) = (
+    ((3L * k + docId) % 256L).toInt,
+    ((5L * k + 2L * docId) % 256L).toInt,
+    ((7L * k + 3L * docId) % 256L).toInt)
+
+  def palImage(docId: Long): GifCodec.IndexedImage = {
+    val w = pixelWidth(docId); val h = pixelHeight(docId)
+    val nc = palNColors(docId)
+    val pal = new Array[Byte](nc * 3)
+    var k = 0
+    while (k < nc) {
+      val (r, g, b) = palRgb(docId, k)
+      pal(3 * k) = r.toByte; pal(3 * k + 1) = g.toByte; pal(3 * k + 2) = b.toByte
+      k += 1
+    }
+    val idx = new Array[Byte](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        idx(y * w + x) = palIndex(docId, x, y).toByte
+        x += 1
+      }
+      y += 1
+    }
+    GifCodec.IndexedImage(w, h, pal, idx)
+  }
+
+  def palettePng(docId: Long): Array[Byte] =
+    PngCodec.encodePaletted(palImage(docId), y => ((docId + y) % 5).toInt)
+
   // ------------------------------------------ raw-video ISO-BMFF (q94)
 
   /** Deterministic FRAME corpus for the real video-extraction gate (q94):

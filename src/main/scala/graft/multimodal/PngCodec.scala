@@ -64,20 +64,53 @@ object PngCodec {
     require(img.channels == 1 || img.channels == 3 || img.channels == 4,
       "grayscale/RGB/RGBA only")
     require(img.pixels.length == img.width * img.height * img.channels)
-    val bpp = img.channels
-    val stride = img.width * bpp
-    val raw = new Array[Byte](img.height * (stride + 1))
+    val colorType = img.channels match {
+      case 1 => 0
+      case 3 => 2
+      case _ => 6
+    }
+    val idat = deflate(
+      filterRaster(img.pixels, img.width, img.height, img.channels, filterFor))
+    val ihdr = be32Bytes(img.width.toLong) ++ be32Bytes(img.height.toLong) ++
+      Array[Byte](8, colorType.toByte, 0, 0, 0)
+    Signature ++ chunk("IHDR", ihdr) ++ chunk("IDAT", idat) ++
+      chunk("IEND", Array.emptyByteArray)
+  }
+
+  /** Encode as an indexed-color (type 3, depth 8) PNG: a PLTE chunk plus
+    * a filtered bpp=1 index raster. Palettes may be any size 1..256 —
+    * unlike GIF's power-of-two tables. */
+  def encodePaletted(img: GifCodec.IndexedImage,
+      filterFor: Int => Int = _ => 0): Array[Byte] = {
+    val nc = img.nColors
+    require(nc >= 1 && nc <= 256, s"$nc palette entries")
+    require(img.palette.length == nc * 3)
+    require(img.indices.length == img.width * img.height)
+    require(img.indices.forall(b => (b & 0xff) < nc), "index out of palette")
+    val idat = deflate(
+      filterRaster(img.indices, img.width, img.height, 1, filterFor))
+    val ihdr = be32Bytes(img.width.toLong) ++ be32Bytes(img.height.toLong) ++
+      Array[Byte](8, 3, 0, 0, 0)
+    Signature ++ chunk("IHDR", ihdr) ++ chunk("PLTE", img.palette) ++
+      chunk("IDAT", idat) ++ chunk("IEND", Array.emptyByteArray)
+  }
+
+  /** Apply the per-scanline filters to a raw raster (filter byte + bytes). */
+  private def filterRaster(pixels: Array[Byte], width: Int, height: Int,
+      bpp: Int, filterFor: Int => Int): Array[Byte] = {
+    val stride = width * bpp
+    val raw = new Array[Byte](height * (stride + 1))
     var y = 0
-    while (y < img.height) {
+    while (y < height) {
       val ft = filterFor(y) & 0xff
       require(ft <= 4, s"filter $ft")
       raw(y * (stride + 1)) = ft.toByte
       var i = 0
       while (i < stride) {
-        val x = img.pixels(y * stride + i) & 0xff
-        val a = if (i >= bpp) img.pixels(y * stride + i - bpp) & 0xff else 0
-        val b = if (y > 0) img.pixels((y - 1) * stride + i) & 0xff else 0
-        val c = if (y > 0 && i >= bpp) img.pixels((y - 1) * stride + i - bpp) & 0xff else 0
+        val x = pixels(y * stride + i) & 0xff
+        val a = if (i >= bpp) pixels(y * stride + i - bpp) & 0xff else 0
+        val b = if (y > 0) pixels((y - 1) * stride + i) & 0xff else 0
+        val c = if (y > 0 && i >= bpp) pixels((y - 1) * stride + i - bpp) & 0xff else 0
         val filtered = ft match {
           case 0 => x
           case 1 => x - a
@@ -90,6 +123,10 @@ object PngCodec {
       }
       y += 1
     }
+    raw
+  }
+
+  private def deflate(raw: Array[Byte]): Array[Byte] = {
     val deflater = new Deflater(Deflater.DEFAULT_COMPRESSION)
     deflater.setInput(raw)
     deflater.finish()
@@ -97,15 +134,7 @@ object PngCodec {
     val buf = new Array[Byte](8192)
     while (!deflater.finished()) out.write(buf, 0, deflater.deflate(buf))
     deflater.end()
-    val colorType = img.channels match {
-      case 1 => 0
-      case 3 => 2
-      case _ => 6
-    }
-    val ihdr = be32Bytes(img.width.toLong) ++ be32Bytes(img.height.toLong) ++
-      Array[Byte](8, colorType.toByte, 0, 0, 0)
-    Signature ++ chunk("IHDR", ihdr) ++ chunk("IDAT", out.toByteArray) ++
-      chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
   }
 
   /** Nearest-neighbor resample — the standard thumbnail/bucketing kernel,
@@ -178,8 +207,52 @@ object PngCodec {
     val stride = width * bpp // Long: safe for any be32 dims
     val rawLen = height * (stride + 1)
     if (rawLen > MaxRawBytes) return None
-    // collect IDAT payload bytes in chunk order
+    walkChunks(payload).flatMap { case (idat, _) =>
+      inflateExact(idat, rawLen.toInt)
+        .flatMap(unfilter(_, width.toInt, height.toInt, bpp))
+        .map(px => Image(width.toInt, height.toInt, bpp, px))
+    }
+  }
+
+  /** Decode an indexed-color (type 3, depth 8) non-interlaced PNG to its
+    * palette indices + PLTE table; None for anything else — including an
+    * index referencing past the palette — never a throw. */
+  def decodePaletted(payload: Array[Byte]): Option[GifCodec.IndexedImage] = {
+    if (payload.length < Signature.length + 25) return None
+    var k = 0
+    while (k < Signature.length) {
+      if (payload(k) != Signature(k)) return None
+      k += 1
+    }
+    if (!tag(payload, 12, "IHDR") || be32(payload, 8) != 13L) return None
+    val width = be32(payload, 16)
+    val height = be32(payload, 20)
+    if (u8(payload, 24) != 8 || u8(payload, 25) != 3 ||
+      u8(payload, 26) != 0 || u8(payload, 27) != 0 || u8(payload, 28) != 0)
+      return None
+    if (width < 1 || height < 1) return None
+    val rawLen = height * (width + 1)
+    if (rawLen > MaxRawBytes) return None
+    walkChunks(payload).flatMap { case (idat, plte) =>
+      plte match {
+        case Some(pal) if pal.length >= 3 && pal.length <= 768 &&
+            pal.length % 3 == 0 =>
+          val nc = pal.length / 3
+          inflateExact(idat, rawLen.toInt)
+            .flatMap(unfilter(_, width.toInt, height.toInt, 1))
+            .filter(_.forall(b => (b & 0xff) < nc))
+            .map(GifCodec.IndexedImage(width.toInt, height.toInt, pal, _))
+        case _ => None // missing or malformed palette
+      }
+    }
+  }
+
+  /** Walk the chunk sequence past IHDR, concatenating IDAT data and
+    * capturing PLTE; None on truncation before IEND. */
+  private def walkChunks(
+      payload: Array[Byte]): Option[(Array[Byte], Option[Array[Byte]])] = {
     val idat = new java.io.ByteArrayOutputStream(256)
+    var plte: Option[Array[Byte]] = None
     var i = 8L + 25L // past IHDR chunk (12 header/crc + 13 data)
     var sawEnd = false
     while (!sawEnd && i + 8 <= payload.length) {
@@ -192,13 +265,13 @@ object PngCodec {
         if (next > payload.length) return None // truncated mid-chunk
         if (tag(payload, at + 4, "IDAT"))
           idat.write(payload, dataStart.toInt, len.toInt)
+        else if (tag(payload, at + 4, "PLTE"))
+          plte = Some(java.util.Arrays.copyOfRange(
+            payload, dataStart.toInt, (dataStart + len).toInt))
         i = next
       }
     }
-    if (!sawEnd) return None
-    inflateExact(idat.toByteArray, rawLen.toInt)
-      .flatMap(unfilter(_, width.toInt, height.toInt, bpp))
-      .map(px => Image(width.toInt, height.toInt, bpp, px))
+    if (!sawEnd) None else Some((idat.toByteArray, plte))
   }
 
   /** Inflate to EXACTLY `expected` bytes; None on corrupt/short/long data. */

@@ -684,6 +684,69 @@ object MultimodalQueries {
       CAST(SUM((y * w + x) * v) AS BIGINT) AS wsum_rgb
     FROM rgb GROUP BY doc_id"""
 
+  /** q97 — indexed-color PNG decode under the gate: color type 3 with a
+    * PLTE table, palette sizes sweeping 6..255 (mostly non-powers-of-two,
+    * which GIF's 2^n tables can never produce) and the rotating scanline
+    * filters of q85 running at bpp=1 over index data. Exercises
+    * [[graft.multimodal.PngCodec.decodePaletted]]: PLTE capture in the
+    * chunk walk, index-bounds validation, palette resolution. Same stats
+    * contract and scale shape as q96. */
+  def palettedPngDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.util.Par.ensure(Tables(spark, dir, "documents"))
+      .select("doc_id").as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          PngCodec.decodePaletted(MediaSynth.palettePng(id)) match {
+            case Some(img) =>
+              var sumI = 0L; var wsumI = 0L; var sumC = 0L; var wsumC = 0L
+              var p = 0
+              while (p < img.indices.length) {
+                val k = img.indices(p) & 0xff
+                val rgb = (img.palette(3 * k) & 0xff) +
+                  (img.palette(3 * k + 1) & 0xff) +
+                  (img.palette(3 * k + 2) & 0xff)
+                sumI += k; wsumI += p.toLong * k
+                sumC += rgb; wsumC += p.toLong * rgb
+                p += 1
+              }
+              GifStats(id, img.width.toLong, img.height.toLong,
+                img.nColors.toLong, img.indices.length.toLong,
+                sumI, wsumI, sumC, wsumC)
+            case None =>
+              GifStats(id, -1L, -1L, -1L, -1L, -1L, -1L, -1L, -1L)
+          }
+        }
+      }
+      .toDF()
+  }
+
+  private val palettedOracle: String = """
+    WITH params AS (
+      SELECT doc_id, (doc_id % 16) + 4 AS w, (doc_id % 12) + 4 AS h,
+        (doc_id % 250) + 6 AS nc
+      FROM documents),
+    px AS (
+      SELECT p.doc_id, p.w, p.h, p.nc, x.x, y.y,
+        (5 * x.x + 3 * y.y + p.doc_id) % p.nc AS k
+      FROM params p, range(20) x(x), range(16) y(y)
+      WHERE x.x < p.w AND y.y < p.h),
+    rgb AS (
+      SELECT doc_id, w, h, nc, x, y, k,
+        (3 * k + doc_id) % 256 + (5 * k + 2 * doc_id) % 256
+          + (7 * k + 3 * doc_id) % 256 AS v
+      FROM px)
+    SELECT doc_id,
+      CAST(MAX(w) AS BIGINT) AS width,
+      CAST(MAX(h) AS BIGINT) AS height,
+      CAST(MAX(nc) AS BIGINT) AS n_colors,
+      CAST(MAX(w) * MAX(h) AS BIGINT) AS n_px,
+      CAST(SUM(k) AS BIGINT) AS sum_idx,
+      CAST(SUM((y * w + x) * k) AS BIGINT) AS wsum_idx,
+      CAST(SUM(v) AS BIGINT) AS sum_rgb,
+      CAST(SUM((y * w + x) * v) AS BIGINT) AS wsum_rgb
+    FROM rgb GROUP BY doc_id"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q73_media_probe", mediaProbe, Some(oracle)),
     QueryDef("q85_png_decode", pngDecode, Some(pngOracle)),
@@ -693,5 +756,6 @@ object MultimodalQueries {
     QueryDef("q93_pcm_energy", pcmEnergy, Some(pcmEnergyOracle)),
     QueryDef("q94_video_frames", videoFrames, Some(videoFramesOracle)),
     QueryDef("q95_png_gray_decode", pngGrayDecode, Some(pngGrayOracle)),
-    QueryDef("q96_gif_decode", gifDecode, Some(gifOracle)))
+    QueryDef("q96_gif_decode", gifDecode, Some(gifOracle)),
+    QueryDef("q97_paletted_png_decode", palettedPngDecode, Some(palettedOracle)))
 }

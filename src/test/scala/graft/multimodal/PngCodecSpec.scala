@@ -100,6 +100,74 @@ class PngCodecSpec extends AnyFunSuite {
     assert(PngCodec.decode("not a png at all".getBytes).isEmpty)
   }
 
+  test("paletted (type 3) round-trips indices and PLTE through every filter") {
+    def pimg(w: Int, h: Int, nc: Int, seed: Long): GifCodec.IndexedImage =
+      GifCodec.IndexedImage(w, h,
+        Array.tabulate(nc * 3)(i => ((i * 41 + seed * 13) % 256).toByte),
+        Array.tabulate(w * h)(i => ((i * 17 + seed * 3) % nc).toByte))
+    for (ft <- 0 to 4; nc <- Seq(1, 6, 255, 256)) {
+      val orig = pimg(13, 9, nc, ft * 7L + nc)
+      val dec = PngCodec.decodePaletted(PngCodec.encodePaletted(orig, _ => ft))
+      assert(dec.nonEmpty, s"ft=$ft nc=$nc")
+      assert(java.util.Arrays.equals(orig.indices, dec.get.indices))
+      assert(java.util.Arrays.equals(orig.palette, dec.get.palette))
+    }
+    // rotating filters (the q97 corpus shape) + corpus closed forms
+    for (id <- 0L to 19L) {
+      val dec = PngCodec.decodePaletted(MediaSynth.palettePng(id))
+      assert(dec.nonEmpty, s"doc $id")
+      val d = dec.get
+      assert(d.nColors == MediaSynth.palNColors(id))
+      assert((d.indices(3 * d.width + 2) & 0xff) == MediaSynth.palIndex(id, 2, 3))
+      val k = d.indices(0) & 0xff
+      val (r, g, b) = MediaSynth.palRgb(id, k)
+      assert((d.palette(3 * k) & 0xff) == r && (d.palette(3 * k + 1) & 0xff) == g
+        && (d.palette(3 * k + 2) & 0xff) == b)
+    }
+    // cross-contract: the truecolor decoder still refuses type 3, and the
+    // paletted decoder refuses truecolor
+    val paletted = MediaSynth.palettePng(3L)
+    assert(PngCodec.decode(paletted).isEmpty)
+    assert(PngCodec.decodePaletted(MediaSynth.pixelPng(3L)).isEmpty)
+    // an index past the palette must fail, not read out of bounds
+    def rawPaletted(nc: Int, indices: Array[Byte]): Array[Byte] = {
+      def be32(v: Long) =
+        Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+      def chunk(typ: String, data: Array[Byte]) = {
+        val t = typ.getBytes("US-ASCII")
+        val crc = new CRC32; crc.update(t); crc.update(data)
+        be32(data.length.toLong) ++ t ++ data ++ be32(crc.getValue)
+      }
+      val raw = Array[Byte](0) ++ indices.take(2) ++
+        Array[Byte](0) ++ indices.drop(2) // 2×2, filter 0 rows
+      val d = new Deflater; d.setInput(raw); d.finish()
+      val out = new java.io.ByteArrayOutputStream
+      val buf = new Array[Byte](4096)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end()
+      val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+      sig ++ chunk("IHDR", be32(2) ++ be32(2) ++ Array[Byte](8, 3, 0, 0, 0)) ++
+        chunk("PLTE", Array.tabulate(nc * 3)(_.toByte)) ++
+        chunk("IDAT", out.toByteArray) ++ chunk("IEND", Array.emptyByteArray)
+    }
+    val idx = Array[Byte](0, 1, 2, 2)
+    assert(PngCodec.decodePaletted(rawPaletted(4, idx)).nonEmpty) // control
+    assert(PngCodec.decodePaletted(rawPaletted(2, idx)).isEmpty) // index 2 ≥ nc
+    // truncation/corruption totality over the paletted container
+    val full = MediaSynth.palettePng(7L)
+    val want = PngCodec.decodePaletted(full).get
+    (0 until full.length).foreach { n =>
+      PngCodec.decodePaletted(full.take(n)).foreach(d =>
+        assert(d.indices.length == want.indices.length))
+    }
+    (0 until full.length).foreach { i =>
+      val mut = full.clone()
+      mut(i) = (mut(i) ^ 0x55).toByte
+      PngCodec.decodePaletted(mut).foreach(d =>
+        assert(d.width * d.height == d.indices.length))
+    }
+  }
+
   test("grayscale gate corpus round-trips at bpp=1") {
     for (id <- 0L to 19L) {
       val dec = PngCodec.decode(MediaSynth.grayPng(id))
