@@ -125,6 +125,30 @@ object AnalyticsQueries {
       .select(col("event_id"), col("hot_key"), col("key_rows"))
   }
 
+  /** Bloom semi-join reduction (q98): a selective predicate lands on
+    * orders (one priority, finished status — ~6.7% of rows), yet a naive
+    * plan still shuffles ALL of lineitem for the join. Here the filtered
+    * orders' key set is summarized as a bounded bloom sketch
+    * ([[graft.operators.BloomSemiJoin]]) and probed inside the lineitem
+    * scan's Filter, so only ~7% of fact rows (+1% false positives) reach
+    * the exchange — at 100 TB that is the difference between shuffling
+    * 100 TB and 7 TB. The exact join above removes the false positives,
+    * so the result hash-matches the plain join oracle regardless of fpp;
+    * the plan shape (probe below the exchange, codegen intact) is pinned
+    * by ScaleSpecs. */
+  def bloomReducedJoin(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.BloomSemiJoin
+    val lineitem = graft.util.Par.ensure(Tables(spark, dir, "lineitem"))
+    val urgent = Tables(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+        col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_orderdate")
+    BloomSemiJoin.join(lineitem, col("l_orderkey"), urgent, "o_orderkey")
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n_lines"),
+        sumMoney(col("l_extendedprice")).as("revenue"))
+  }
+
   /** Cube aggregation: revenue across every combination of order status ×
     * priority, including the per-dimension and grand-total slices. */
   def statusPriorityCube(spark: SparkSession, dir: String): DataFrame =
@@ -449,6 +473,14 @@ object AnalyticsQueries {
       d AS (SELECT hot_key, COUNT(*) AS key_rows FROM b GROUP BY 1)
       SELECT b.event_id, b.hot_key, d.key_rows
       FROM b JOIN d USING (hot_key)""")),
+    QueryDef("q98_bloom_reduced_join", bloomReducedJoin, Some(s"""
+      SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        COUNT(*) AS n_lines,
+        ${sqlSumMoney("l_extendedprice")} AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'
+      GROUP BY 1""")),
     QueryDef("q68_cms_heavy_hitters", cmsHeavyHitters, Some({
       import graft.text.TextAnalysis.sqlTokens
       s"""

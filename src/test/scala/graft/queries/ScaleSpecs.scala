@@ -417,6 +417,46 @@ class ScaleSpecs extends SparkTestBase {
     }
   }
 
+  test("bloom semi-join reduction probes below the exchange and stays exact") {
+    import graft.operators.BloomSemiJoin
+    val lineitem = Tables(spark, dir, "lineitem")
+    val urgent = Tables(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+        col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_orderdate")
+    // superset guarantee + real pruning on the fact side
+    val pruned = BloomSemiJoin.prune(lineitem, col("l_orderkey"), urgent, "o_orderkey")
+    val factN = lineitem.count()
+    val prunedN = pruned.count()
+    val joinKeys = urgent.select("o_orderkey").distinct().collect()
+      .map(_.getLong(0)).toSet
+    val exactN = lineitem.filter(col("l_orderkey").isin(joinKeys.toSeq: _*)).count()
+    assert(prunedN >= exactN, "bloom dropped a joining row (false negative)")
+    assert(prunedN < factN / 2,
+      s"bloom pruned nothing: $prunedN of $factN survive")
+    // at the scale this operator exists for, the build side cannot
+    // broadcast: force the SMJ shape and pin the probe below the exchange
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val reduced = BloomSemiJoin.join(lineitem, col("l_orderkey"), urgent, "o_orderkey")
+      val plain = lineitem.join(urgent, col("l_orderkey") === col("o_orderkey"))
+      assert(reduced.count() == plain.count()) // exact despite false positives
+      val plan = reduced.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(plan.contains("SortMergeJoin"), plan.take(2000))
+      // the probe must sit under the fact-side exchange: in the tree
+      // print, bloom_might_contain appears in a Filter below the
+      // Exchange feeding the join, i.e. the scan-side stage
+      val probeAt = plan.indexOf("bloom_might_contain")
+      assert(probeAt >= 0, plan.take(2000))
+      val exchangeAt = plan.lastIndexOf("Exchange hashpartitioning(l_orderkey",
+        probeAt)
+      assert(exchangeAt >= 0 && exchangeAt < probeAt,
+        s"probe not below the fact exchange:\n${plan.take(3000)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("partition pruning: date-filtered gold read scans a single partition") {
     // build a tiny two-date partitioned table and check the scan prunes
     import spark.implicits._
