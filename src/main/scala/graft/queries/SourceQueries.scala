@@ -73,6 +73,30 @@ object SourceQueries {
     spark.read.orc(path)
   }
 
+  /** Zone-mapped range scan (q99): orders is written range-clustered on
+    * `o_totalprice` (8 files, near-disjoint slices), per-file min/max
+    * stats are persisted as the `_zonemap` sidecar
+    * ([[graft.lake.ZoneMap]]), and the range query reads ONLY the files
+    * whose interval overlaps [50k, 150k] — at 100 TB this replaces
+    * listing+footer-probing every file with one bounded sidecar read.
+    * The residual predicate over the surviving files restores exactness
+    * (boundary files carry out-of-range rows), which is what the plain
+    * full-scan oracle verifies; the file-count reduction itself is
+    * pinned by ScaleSpecs. */
+  def zoneMapScan(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.ZoneMap
+    import graft.queries.Num.sumMoney
+    val path = zoneDir("zonemap", dir)
+    Tables(spark, dir, "orders")
+      .repartitionByRange(8, col("o_totalprice"))
+      .write.mode("overwrite").parquet(path)
+    ZoneMap.writeStats(spark, path, Seq("o_totalprice"))
+    ZoneMap.prunedRead(spark, path, "o_totalprice", 50000.0, 150000.0)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        sumMoney(col("o_totalprice")).as("revenue"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q52_csv_zone_roundtrip", csvCustomerZone, Some("""
       SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
@@ -83,5 +107,11 @@ object SourceQueries {
     QueryDef("q76_orc_zone_roundtrip", orcOrdersZone, Some("""
       SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         o_orderdate, o_orderpriority
-      FROM orders""")))
+      FROM orders""")),
+    QueryDef("q99_zonemap_scan", zoneMapScan, Some(s"""
+      SELECT o_orderpriority, COUNT(*) AS n_orders,
+        ${graft.queries.Num.sqlSumMoney("o_totalprice")} AS revenue
+      FROM orders
+      WHERE o_totalprice >= 50000.0 AND o_totalprice <= 150000.0
+      GROUP BY 1""")))
 }

@@ -457,6 +457,39 @@ class ScaleSpecs extends SparkTestBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("zone map prunes the file list and stays exact at the boundaries") {
+    import graft.lake.ZoneMap
+    val path = java.nio.file.Files.createTempDirectory("graft_zonemap_").toString
+    try {
+      Tables(spark, dir, "orders")
+        .repartitionByRange(8, col("o_totalprice"))
+        .write.mode("overwrite").parquet(path)
+      ZoneMap.writeStats(spark, path, Seq("o_totalprice"))
+      val allFiles = new java.io.File(path).listFiles()
+        .count(f => f.getName.endsWith(".parquet"))
+      assert(allFiles >= 8, s"expected >= 8 data files, saw $allFiles")
+      // a narrow range hits a strict subset of the range-clustered files
+      val narrow = ZoneMap.pruneFiles(spark, path, "o_totalprice", 50000.0, 150000.0)
+      assert(narrow.length < allFiles,
+        s"no pruning: ${narrow.length} of $allFiles files survive")
+      assert(narrow.nonEmpty)
+      // exactness incl. boundary rows: pruned read == full-scan filter
+      val got = ZoneMap.prunedRead(spark, path, "o_totalprice", 50000.0, 150000.0)
+      val want = spark.read.parquet(path)
+        .filter(col("o_totalprice") >= 50000.0 && col("o_totalprice") <= 150000.0)
+      assert(got.count() == want.count())
+      assert(got.agg(sum(col("o_orderkey"))).head.getLong(0) ==
+        want.agg(sum(col("o_orderkey"))).head.getLong(0))
+      // a no-overlap range reads nothing but keeps the schema
+      val none = ZoneMap.prunedRead(spark, path, "o_totalprice", -2.0, -1.0)
+      assert(none.count() == 0)
+      assert(none.columns.sameElements(spark.read.parquet(path).columns))
+      // full-domain range degrades gracefully to all files
+      val all = ZoneMap.pruneFiles(spark, path, "o_totalprice", 0.0, 1e9)
+      assert(all.length == allFiles)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+  }
+
   test("partition pruning: date-filtered gold read scans a single partition") {
     // build a tiny two-date partitioned table and check the scan prunes
     import spark.implicits._
