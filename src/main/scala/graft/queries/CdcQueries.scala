@@ -1,0 +1,90 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+
+import graft.operators.{CdcMerge, Scd}
+
+/** Change-data-capture surface: MERGE-style upsert application and
+  * type-2 dimension history, both under the driver's cross-engine gate.
+  *
+  * The change batches are DERIVED from the tables themselves by closed
+  * forms on the key (update keys ending 0-1, a delete decile, an insert
+  * decile offset past the key domain), so the DuckDB oracle reconstructs
+  * the same batch and replays the merge semantics declaratively while
+  * Spark runs the actual shuffle-plan operators
+  * ([[graft.operators.CdcMerge]], [[graft.operators.Scd]]).
+  */
+object CdcQueries {
+
+  private val custCols =
+    Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+
+  /** q100 — CDC merge: a synthetic change batch (20% updates, 10%
+    * deletes, 10% inserts at key+1,000,000) applied to the customer
+    * snapshot through the latest-wins merge plan. The result is the full
+    * post-merge table, hash-compared against the oracle's declarative
+    * reconstruction. One keyed shuffle regardless of snapshot size. */
+  def cdcMergeCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val cust = graft.util.Par.ensure(Tables(spark, dir, "customer"))
+      .select(custCols.map(col): _*)
+    val updates = cust.filter(col("c_custkey") % 10 < 2)
+      .withColumn("c_acctbal", col("c_acctbal") + 100.0)
+      .withColumn("op", lit("U"))
+    val deletes = cust.filter(col("c_custkey") % 10 === 2)
+      .withColumn("op", lit("D"))
+    val inserts = cust.filter(col("c_custkey") % 10 === 3)
+      .withColumn("c_name",
+        concat(lit("NEW-"), col("c_custkey").cast(StringType)))
+      .withColumn("c_custkey", col("c_custkey") + 1000000L)
+      .withColumn("c_acctbal", lit(0.0))
+      .withColumn("op", lit("I"))
+    val changes = updates.unionByName(deletes).unionByName(inserts)
+      .withColumn("seq", lit(1L))
+    CdcMerge(cust, changes, Seq("c_custkey"))
+  }
+
+  private val cdcMergeOracle: String = """
+    WITH keep AS (
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+      FROM customer WHERE c_custkey % 10 NOT IN (0, 1, 2)),
+    up AS (
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100.0 AS c_acctbal,
+        c_mktsegment
+      FROM customer WHERE c_custkey % 10 IN (0, 1)),
+    ins AS (
+      SELECT c_custkey + 1000000 AS c_custkey,
+        'NEW-' || CAST(c_custkey AS VARCHAR) AS c_name,
+        c_nationkey, 0.0 AS c_acctbal, c_mktsegment
+      FROM customer WHERE c_custkey % 10 = 3)
+    SELECT * FROM keep
+    UNION ALL SELECT * FROM up
+    UNION ALL SELECT * FROM ins"""
+
+  /** q101 — SCD2 dimension history: each customer's orders, read as a
+    * stream of versions of their "latest order" attribute, become
+    * effective-dated records via the window-lead construction — the
+    * classic warehouse type-2 build. One shuffle on the dimension key. */
+  def scdOrderHistory(spark: SparkSession, dir: String): DataFrame =
+    Scd.history(
+      graft.util.Par.ensure(Tables(spark, dir, "orders"))
+        .select("o_custkey", "o_orderkey", "o_totalprice", "o_orderdate"),
+      keys = Seq("o_custkey"),
+      effectiveAt = col("o_orderdate"),
+      tieBreak = Seq(col("o_orderkey")))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        col("effective_from"), col("effective_to"), col("is_current"))
+
+  private val scdOracle: String = """
+    SELECT o_custkey, o_orderkey, o_totalprice,
+      o_orderdate AS effective_from,
+      lead(o_orderdate) OVER w AS effective_to,
+      lead(o_orderdate) OVER w IS NULL AS is_current
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"""
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q100_cdc_merge", cdcMergeCustomers, Some(cdcMergeOracle)),
+    QueryDef("q101_scd2_history", scdOrderHistory, Some(scdOracle)))
+}
