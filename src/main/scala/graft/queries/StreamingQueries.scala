@@ -299,6 +299,46 @@ object StreamingQueries {
             THEN 1 ELSE 0 END AS is_new
         FROM events)"""
 
+  /** q102 — stream-static enrichment: the events stream joined to the
+    * STATIC customer dimension (broadcast — the dim is read once per
+    * microbatch planning cycle, never shuffled, and carries no streaming
+    * state at all), then aggregated per (segment, event type). This is
+    * the canonical production enrichment topology: at 100 TB/day of
+    * events the dim join must not add state or a per-batch shuffle of
+    * the stream side, and a stream-static broadcast join adds neither —
+    * unlike the stream-stream interval join (q69), which pays two
+    * RocksDB state stores. Replay convention as q84: complete mode +
+    * AvailableNow + foreachBatch parquet, hash-matched against the
+    * batch join oracle. */
+  def enrichedStream(spark: SparkSession, dir: String): DataFrame = {
+    val src = s"$dir/events.parquet"
+    val out = scratchDir("stream_q102_out", dir)
+    val ckpt = scratchDir("stream_q102_ckpt", dir)
+    delete(ckpt)
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema)
+      .parquet(s"$dir/events*.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val dim = broadcast(Tables(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment")))
+    val enriched = stream
+      .join(dim, col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double").as("sum_value"))
+    val writeBatch: (Dataset[Row], Long) => Unit =
+      (batch, _) => batch.write.mode("overwrite").parquet(out)
+    val q = enriched.writeStream
+      .outputMode("complete")
+      .foreachBatch(writeBatch)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally { q.stop(); delete(ckpt) }
+    spark.read.parquet(out)
+  }
+
   /** Same oracle text as q58 — the whole point: one SQL truth, two
     * execution models (batch hash agg vs streaming stateful agg). */
   private val slidingOracle = """
@@ -338,5 +378,11 @@ object StreamingQueries {
         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
       FROM events, wm
       WHERE epoch_us(date_trunc('hour', ts) + INTERVAL 1 HOUR) <= wm.wm_us
+      GROUP BY 1, 2""")),
+    QueryDef("q102_enriched_stream", enrichedStream, Some("""
+      SELECT c_mktsegment, event_type, COUNT(*) AS n_events,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM events
+      JOIN customer ON user_id = c_custkey
       GROUP BY 1, 2""")))
 }
