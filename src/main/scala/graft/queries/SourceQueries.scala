@@ -97,6 +97,26 @@ object SourceQueries {
         sumMoney(col("o_totalprice")).as("revenue"))
   }
 
+  /** Z-ordered scan (q103): orders laid out on the Morton interleave of
+    * (o_totalprice, o_custkey) ranks ([[graft.lake.ZOrder]]), zone maps
+    * on BOTH columns, then a range query on the SECOND column — the one
+    * a single-column clustering would not prune at all. Each file covers
+    * a rectangle of the 2-D space, so the custkey predicate skips most
+    * files via the sidecar alone; the residual filter restores exactness
+    * and the plain full-scan oracle verifies it. Both-column pruning is
+    * pinned by ScaleSpecs. */
+  def zOrderScan(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.{ZoneMap, ZOrder}
+    import graft.queries.Num.sumMoney
+    val path = zoneDir("zorder", dir)
+    ZOrder.clusterWrite(Tables(spark, dir, "orders"), path, files = 16,
+      c1 = "o_totalprice", c2 = "o_custkey")
+    ZoneMap.prunedRead(spark, path, "o_custkey", 100L, 400L)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        sumMoney(col("o_totalprice")).as("revenue"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q52_csv_zone_roundtrip", csvCustomerZone, Some("""
       SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
@@ -113,5 +133,11 @@ object SourceQueries {
         ${graft.queries.Num.sqlSumMoney("o_totalprice")} AS revenue
       FROM orders
       WHERE o_totalprice >= 50000.0 AND o_totalprice <= 150000.0
+      GROUP BY 1""")),
+    QueryDef("q103_zorder_scan", zOrderScan, Some(s"""
+      SELECT o_orderstatus, COUNT(*) AS n_orders,
+        ${graft.queries.Num.sqlSumMoney("o_totalprice")} AS revenue
+      FROM orders
+      WHERE o_custkey >= 100 AND o_custkey <= 400
       GROUP BY 1""")))
 }

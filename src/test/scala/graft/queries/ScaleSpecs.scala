@@ -490,6 +490,51 @@ class ScaleSpecs extends SparkTestBase {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
   }
 
+  test("z-order layout prunes on both columns where 1-D clustering prunes one") {
+    import graft.lake.{ZoneMap, ZOrder}
+    // interleave unit checks: bit i of a → 2i, of b → 2i+1
+    val probe = spark.range(1).select(
+      ZOrder.interleave(lit(0xFFFFL), lit(0L)).as("a_only"),
+      ZOrder.interleave(lit(0L), lit(0xFFFFL)).as("b_only"),
+      ZOrder.interleave(lit(1L), lit(1L)).as("both_low")).head()
+    assert(probe.getLong(0) == 0x55555555L)
+    assert(probe.getLong(1) == 0xAAAAAAAAL)
+    assert(probe.getLong(2) == 3L)
+    val zPath = java.nio.file.Files.createTempDirectory("graft_zorder_").toString
+    val linPath = java.nio.file.Files.createTempDirectory("graft_linear_").toString
+    try {
+      val orders = Tables(spark, dir, "orders")
+      ZOrder.clusterWrite(orders, zPath, files = 16,
+        c1 = "o_totalprice", c2 = "o_custkey")
+      // 1-D control: range-clustered on totalprice alone, same stats
+      orders.repartitionByRange(16, col("o_totalprice"))
+        .write.mode("overwrite").parquet(linPath)
+      ZoneMap.writeStats(spark, linPath, Seq("o_totalprice", "o_custkey"))
+      val total = new java.io.File(zPath).listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      assert(total >= 16)
+      // both dimensions prune under z-order
+      val byPrice = ZoneMap.pruneFiles(spark, zPath, "o_totalprice", 50000.0, 150000.0)
+      val byCust = ZoneMap.pruneFiles(spark, zPath, "o_custkey", 10L, 40L)
+      assert(byPrice.length < total, s"price: ${byPrice.length}/$total")
+      assert(byCust.length < total, s"custkey: ${byCust.length}/$total")
+      // the linear layout cannot prune its non-clustered column
+      val linByCust = ZoneMap.pruneFiles(spark, linPath, "o_custkey", 10L, 40L)
+      val linTotal = new java.io.File(linPath).listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      assert(linByCust.length == linTotal,
+        s"unexpected pruning on unclustered column: ${linByCust.length}/$linTotal")
+      // exactness through the z-ordered layout
+      val got = ZoneMap.prunedRead(spark, zPath, "o_custkey", 10L, 40L).count()
+      val want = orders
+        .filter(col("o_custkey") >= 10L && col("o_custkey") <= 40L).count()
+      assert(got == want)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(zPath))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(linPath))
+    }
+  }
+
   test("partition pruning: date-filtered gold read scans a single partition") {
     // build a tiny two-date partitioned table and check the scan prunes
     import spark.implicits._
