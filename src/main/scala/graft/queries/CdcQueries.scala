@@ -84,7 +84,45 @@ object CdcQueries {
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"""
 
+  /** q104 — incremental aggregate maintenance: the monthly-revenue gold
+    * rollup is materialized from "history" (4/5 of orders, by key
+    * decile), then a "new batch" (the remaining 1/5) is folded in by
+    * aggregating the DELTA ALONE and merging on the month key
+    * ([[graft.gold.IncrementalAgg]]) — history is never rescanned, so
+    * the refresh is O(delta + agg) instead of O(history). The stored
+    * measures are integral cents, which re-sum exactly; the oracle
+    * aggregates all orders from scratch and must hash-match the merged
+    * result, proving merge(agg(A), agg(B)) = agg(A ∪ B) end-to-end. */
+  def incrementalMonthlyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import graft.gold.IncrementalAgg
+    import graft.queries.Num.cents
+    val orders = graft.util.Par.ensure(Tables(spark, dir, "orders"))
+    def monthlyCents(df: DataFrame): DataFrame = df
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(cents(col("o_totalprice"))).as("rev_cents"))
+    // materialize the stored rollup for real (parquet round-trip, the
+    // gold-table shape), then fold the delta batch in
+    val stored = graft.util.Scratch.dir("incragg", dir)
+    monthlyCents(orders.filter(col("o_orderkey") % 5 =!= 0))
+      .write.mode("overwrite").parquet(stored)
+    IncrementalAgg.merge(
+      spark.read.parquet(stored),
+      monthlyCents(orders.filter(col("o_orderkey") % 5 === 0)),
+      keys = Seq("month"), measures = Seq("n_orders", "rev_cents"))
+      .select(col("month"), col("n_orders"),
+        (col("rev_cents").cast("double") / 100.0).as("revenue"))
+  }
+
+  private val incrementalOracle: String = s"""
+    SELECT strftime(o_orderdate, '%Y-%m') AS month,
+      COUNT(*) AS n_orders,
+      ${graft.queries.Num.sqlSumMoney("o_totalprice")} AS revenue
+    FROM orders GROUP BY 1"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q100_cdc_merge", cdcMergeCustomers, Some(cdcMergeOracle)),
-    QueryDef("q101_scd2_history", scdOrderHistory, Some(scdOracle)))
+    QueryDef("q101_scd2_history", scdOrderHistory, Some(scdOracle)),
+    QueryDef("q104_incremental_agg", incrementalMonthlyRevenue,
+      Some(incrementalOracle)))
 }

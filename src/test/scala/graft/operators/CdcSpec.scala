@@ -55,6 +55,21 @@ class CdcSpec extends SparkTestBase {
     assert(out.toSeq == Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)))
   }
 
+  test("incremental agg merge equals from-scratch aggregation") {
+    import graft.gold.IncrementalAgg
+    val rows = Seq(
+      ("a", 1L, 10L), ("a", 1L, 20L), ("b", 1L, 5L),
+      ("a", 1L, 1L), ("c", 1L, 7L)) // last two form the delta
+      .toDF("k", "n", "v")
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("k").agg(sum("n").as("n"), sum("v").as("v"))
+    val merged = IncrementalAgg.merge(
+      agg(rows.limit(3)), agg(rows.offset(3)), Seq("k"), Seq("n", "v"))
+      .orderBy("k").as[(String, Long, Long)].collect()
+    // groups only in stored (b), only in delta (c), and in both (a)
+    assert(merged.toSeq == Seq(("a", 3L, 31L), ("b", 1L, 5L), ("c", 1L, 7L)))
+  }
+
   test("scd2 history chains effective ranges per key") {
     val versions = Seq(
       (1L, 100L, "v1"), (1L, 200L, "v2"), (1L, 300L, "v3"),
