@@ -211,7 +211,51 @@ object DedupQueries {
       SELECT a, b, CAST(floor(jaccard * 1000000) AS BIGINT) AS jaccard_e6
       FROM jac"""
 
+  /** q105 — edit-distance near-duplicate join via DELETION-NEIGHBORHOOD
+    * banding (the SymSpell construction): two strings are within
+    * Levenshtein distance 1 only if their {self} ∪ {one-char-deletion}
+    * variant sets intersect, so candidates come from an equi-join on the
+    * variant key — one shuffle on variants, group sizes bounded by how
+    * many strings share a deletion, NEVER the all-pairs cross join a
+    * naive fuzzy match runs (plan-asserted in ScaleSpecs). The variant
+    * key admits false positives (e.g. transpositions at distance 2), so
+    * every candidate is verified with the exact `levenshtein` before
+    * emission — the same verify-after-band discipline as the MinHash
+    * (q21) and SimHash (q44) families, covering the THIRD similarity
+    * regime: character-level typos, where shingle/hamming bands are
+    * blind. Distance k>1 extends by recursive deletes (neighborhood
+    * O(len^k)); k=1 is the typo-dedup workhorse. */
+  def editDistanceNearDups(spark: SparkSession, dir: String): DataFrame = {
+    val names = graft.util.Par.ensure(Tables(spark, dir, "customer"))
+      .select(col("c_name")).distinct()
+    // {self} ∪ one-char deletions, via codegen'd string slicing (the
+    // transform lambda runs once per character, not per candidate pair)
+    val withVariant = names.withColumn("variant", explode(array_union(
+      array(col("c_name")),
+      expr("""transform(sequence(1, length(c_name)),
+               i -> concat(substring(c_name, 1, i - 1),
+                           substring(c_name, i + 1, length(c_name))))"""))))
+    val a = withVariant.alias("a")
+    val b = withVariant.alias("b")
+    a.join(b, col("a.variant") === col("b.variant") &&
+        col("a.c_name") < col("b.c_name"))
+      .select(col("a.c_name").as("name_a"), col("b.c_name").as("name_b"))
+      .distinct() // a pair can share several variants
+      .withColumn("dist",
+        levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .filter(col("dist") <= 1) // exact verify kills banding false positives
+  }
+
+  private val editDistanceOracle: String = """
+    WITH names AS (SELECT DISTINCT c_name FROM customer)
+    SELECT a.c_name AS name_a, b.c_name AS name_b,
+      levenshtein(a.c_name, b.c_name) AS dist
+    FROM names a JOIN names b ON a.c_name < b.c_name
+    WHERE levenshtein(a.c_name, b.c_name) <= 1"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q105_editdist_near_dups", editDistanceNearDups,
+      Some(editDistanceOracle)),
     QueryDef("q20_minhash_signatures", minhashSigs, Some(minhashSigsOracle)),
     QueryDef("q21_minhash_near_dups", minhashDups, Some(minhashDupsOracle)),
     QueryDef("q22_simhash", simhashes,

@@ -535,6 +535,40 @@ class ScaleSpecs extends SparkTestBase {
     }
   }
 
+  test("edit-distance near-dups band on deletion variants, never cross join") {
+    val df = DedupQueries.editDistanceNearDups(spark, dir)
+    val rows = df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // candidates come from the variant equi-join: any cross-join shape
+    // means the banding regressed to all-pairs
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    // completeness at distance 1: brute-force the small sf0.001 name set
+    val names = Tables(spark, dir, "customer")
+      .select("c_name").distinct().as[String](org.apache.spark.sql.Encoders.STRING)
+      .collect()
+    def lev(s: String, t: String): Int = {
+      val d = Array.tabulate(s.length + 1)(i => i)
+      for (j <- 1 to t.length) {
+        var prev = d(0); d(0) = j
+        for (i <- 1 to s.length) {
+          val cur = d(i)
+          d(i) = math.min(math.min(d(i) + 1, d(i - 1) + 1),
+            prev + (if (s(i - 1) == t(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      d(s.length)
+    }
+    val want = (for {
+      x <- names; y <- names if x < y && lev(x, y) <= 1
+    } yield (x, y)).toSet
+    val got = rows.map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    assert(rows.forall(_.getLong(2) <= 1L))
+  }
+
   test("partition pruning: date-filtered gold read scans a single partition") {
     // build a tiny two-date partitioned table and check the scan prunes
     import spark.implicits._
