@@ -149,6 +149,43 @@ object AnalyticsQueries {
         sumMoney(col("l_extendedprice")).as("revenue"))
   }
 
+  /** Equi-depth histogram (q106): decile bucketing per order priority via
+    * NTILE — the quantile-bucketing twin of q49's equi-WIDTH histogram
+    * (fixed value ranges, skewed counts) : equi-depth gives fixed counts
+    * with data-driven boundaries, the shape feeding optimizer statistics
+    * and monotone feature binning. Scale: partitioned by priority, the
+    * per-group sort parallelizes across groups (same cost class as the
+    * q29 window family); a GLOBAL ntile would serialize to one partition,
+    * which is why the operator takes a partition dimension. Ties are
+    * broken on the order key so both engines rank identically. */
+  def equiDepthHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables(spark, dir, "orders")
+      .withColumn("bucket", ntile(10).over(w).cast(LongType))
+      .groupBy("o_orderpriority", "bucket")
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"))
+  }
+
+  /** Rolling event-time window (q107): per customer, the trailing-7-day
+    * order count and revenue AT EACH ORDER — a RANGE frame over event
+    * time, not a ROWS frame (q29) and not a tumbling/sliding bucket
+    * (q18/q58): each row gets its own look-back horizon. Ordering is
+    * floor-second epoch on both engines so the frame boundary arithmetic
+    * is integer-identical. One shuffle on the customer key. */
+  def rollingRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").cast(LongType))
+      .rangeBetween(-7L * 86400, 0)
+    Tables(spark, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+      count(lit(1)).over(w).as("n_7d"),
+      (sum(cents(col("o_totalprice"))).over(w).cast("double") / 100.0)
+        .as("rev_7d"))
+  }
+
   /** Cube aggregation: revenue across every combination of order status ×
     * priority, including the per-dimension and grand-total slices. */
   def statusPriorityCube(spark: SparkSession, dir: String): DataFrame =
@@ -481,6 +518,25 @@ object AnalyticsQueries {
       JOIN orders ON l_orderkey = o_orderkey
       WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'
       GROUP BY 1""")),
+    QueryDef("q106_equidepth_histogram", equiDepthHistogram, Some("""
+      WITH b AS (
+        SELECT o_orderpriority, o_totalprice,
+          NTILE(10) OVER (PARTITION BY o_orderpriority
+            ORDER BY o_totalprice, o_orderkey) AS bucket
+        FROM orders)
+      SELECT o_orderpriority, CAST(bucket AS BIGINT) AS bucket,
+        COUNT(*) AS n_orders,
+        MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+      FROM b GROUP BY 1, 2""")),
+    QueryDef("q107_rolling_revenue", rollingRevenue, Some(s"""
+      SELECT o_orderkey, o_custkey, o_orderdate,
+        COUNT(*) OVER w AS n_7d,
+        CAST(SUM(${Num.sqlCents("o_totalprice")}) OVER w AS DOUBLE) / 100.0
+          AS rev_7d
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey
+        ORDER BY epoch_us(o_orderdate) // 1000000
+        RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)""")),
     QueryDef("q68_cms_heavy_hitters", cmsHeavyHitters, Some({
       import graft.text.TextAnalysis.sqlTokens
       s"""
