@@ -229,21 +229,32 @@ object DedupQueries {
     val names = graft.util.Par.ensure(Tables(spark, dir, "customer"))
       .select(col("c_name")).distinct()
     // {self} ∪ one-char deletions, via codegen'd string slicing (the
-    // transform lambda runs once per character, not per candidate pair)
-    val withVariant = names.withColumn("variant", explode(array_union(
-      array(col("c_name")),
-      expr("""transform(sequence(1, length(c_name)),
+    // transform lambda runs once per character, not per candidate pair).
+    // The band key is the variant's 64-bit HASH, not the string: the
+    // shuffle moves 8 bytes per variant instead of the text, and hash
+    // collisions merely add candidates the exact verify below kills —
+    // the same trick is unsound anywhere the band key is the last check.
+    val withVariant = names.withColumn("vh", explode(expr(
+      """transform(
+           array_union(array(c_name),
+             transform(sequence(1, length(c_name)),
                i -> concat(substring(c_name, 1, i - 1),
-                           substring(c_name, i + 1, length(c_name))))"""))))
+                           substring(c_name, i + 1, length(c_name))))),
+           v -> xxhash64(v))""")))
     val a = withVariant.alias("a")
     val b = withVariant.alias("b")
-    a.join(b, col("a.variant") === col("b.variant") &&
+    a.join(b, col("a.vh") === col("b.vh") &&
         col("a.c_name") < col("b.c_name"))
       .select(col("a.c_name").as("name_a"), col("b.c_name").as("name_b"))
-      .distinct() // a pair can share several variants
+      // banded threshold form: O(len·k) per candidate instead of the
+      // full O(len²) DP; returns the true distance for kept rows. Verify
+      // BEFORE deduplicating — candidate multiplicity is small (shared
+      // variants per pair), so the cheap per-row check shrinks the set
+      // the distinct must shuffle
       .withColumn("dist",
-        levenshtein(col("name_a"), col("name_b")).cast("long"))
-      .filter(col("dist") <= 1) // exact verify kills banding false positives
+        levenshtein(col("name_a"), col("name_b"), 1).cast("long"))
+      .filter(col("dist") >= 0) // exact verify kills banding false positives
+      .distinct() // a pair can share several variants
   }
 
   private val editDistanceOracle: String = """
