@@ -117,6 +117,33 @@ object SourceQueries {
         sumMoney(col("o_totalprice")).as("revenue"))
   }
 
+  /** Bucketed-table zone (q108): lineitem and orders written as BUCKETED
+    * catalog tables (8 buckets on the join key, sorted within buckets),
+    * then joined and aggregated — the co-location contract means the
+    * join consumes the bucketed layout directly with NO exchange on
+    * either side (plan-pinned in ScaleSpecs' bucket test; at 100 TB this
+    * converts the recurring fact⋈fact shuffle into a one-time write
+    * cost). The gate verifies the bucketed write+read path preserves
+    * every row: the aggregate must hash-match the plain parquet join. */
+  def bucketedJoinZone(spark: SparkSession, dir: String): DataFrame = {
+    import graft.queries.Num.sumMoney
+    val db = "graft_q108"
+    val wh = zoneDir("bucketdb", dir)
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$wh'")
+    Tables(spark, dir, "lineitem").write
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable(s"$db.li")
+    Tables(spark, dir, "orders").write
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable(s"$db.ord")
+    spark.table(s"$db.li")
+      .join(spark.table(s"$db.ord"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority", "l_returnflag")
+      .agg(count(lit(1)).as("n_lines"),
+        sumMoney(col("l_extendedprice")).as("revenue"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q52_csv_zone_roundtrip", csvCustomerZone, Some("""
       SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
@@ -139,5 +166,12 @@ object SourceQueries {
         ${graft.queries.Num.sqlSumMoney("o_totalprice")} AS revenue
       FROM orders
       WHERE o_custkey >= 100 AND o_custkey <= 400
-      GROUP BY 1""")))
+      GROUP BY 1""")),
+    QueryDef("q108_bucketed_join", bucketedJoinZone, Some(s"""
+      SELECT o_orderpriority, l_returnflag,
+        COUNT(*) AS n_lines,
+        ${graft.queries.Num.sqlSumMoney("l_extendedprice")} AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1, 2""")))
 }

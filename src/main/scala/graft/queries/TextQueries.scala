@@ -293,6 +293,62 @@ object TextQueries {
         length(NfcNormalize(col("_raw"))).cast("long").as("len_after"))
   }
 
+  // Precomposed accented variants (compile-time \uXXXX escapes — raw
+  // UTF-8 in source can be silently NFC'd by tooling), each of which
+  // diacritic folding strips to bare ASCII
+  private val AccentVariants = Seq(
+    "caf\u00e9", "ma\u00f1ana", "\u00fcber", "\u00e0", "\u010deko")
+
+  /** Diacritic folding (q110) through the native codegen'd
+    * [[graft.functions.DiacriticFold]] expression — the accent-
+    * INSENSITIVE half of text canonicalization (q78's NFC preserves
+    * accents; folding removes them), the match-key step for dedup and
+    * entity resolution on multilingual corpora. Each row gets a
+    * precomposed accented suffix; the oracle computes DuckDB's
+    * `strip_accents` over identical bytes (chr()-constructed) and
+    * compares md5 + codepoint counts. Shuffle-free narrow projection. */
+  def diacriticFold(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.DiacriticFold
+    val variant = element_at(array(AccentVariants.map(lit): _*),
+      (col("doc_id") % AccentVariants.size).cast("int") + 1)
+    graft.util.Par.ensure(Tables(spark, dir, "documents"))
+      .select(col("doc_id"),
+        concat(col("text"), lit(" "), variant).as("_raw"))
+      .select(col("doc_id"),
+        (DiacriticFold(col("_raw")) =!= col("_raw")).as("changed"),
+        md5(DiacriticFold(col("_raw"))).as("folded_md5"),
+        length(col("_raw")).cast("long").as("len_before"),
+        length(DiacriticFold(col("_raw"))).cast("long").as("len_after"))
+  }
+
+  // q109 chunking geometry, interpolated into BOTH sides
+  private val ChunkTokens = 32
+  private val ChunkStride = 24
+
+  /** Fixed-token-window document chunking (q109): every document's token
+    * sequence split into windows of [[ChunkTokens]] tokens at stride
+    * [[ChunkStride]] (8-token overlap) — the context-window chunking
+    * step every RAG/pretraining pipeline runs between cleaning and
+    * embedding. Distinct from q42's token PACKING (bin-packing whole
+    * docs into budgets): chunking SPLITS single documents. Pure
+    * codegen'd array ops (sequence → posexplode → slice), shuffle-free;
+    * each chunk exports its geometry plus an md5 so a boundary
+    * off-by-one anywhere fails the gate. */
+  def tokenChunks(spark: SparkSession, dir: String): DataFrame =
+    graft.util.Par.ensure(Tables(spark, dir, "documents"))
+      .filter(length(trim(col("text"))) =!= 0)
+      .select(col("doc_id"), tokens(col("text")).as("_toks"))
+      .select(col("doc_id"), col("_toks"),
+        posexplode(expr(s"sequence(1, size(_toks), $ChunkStride)"))
+          .as(Seq("chunk_id", "start")))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        expr(s"slice(_toks, start, $ChunkTokens)").as("_chunk"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("_chunk")).cast("long").as("n_tokens"),
+        element_at(col("_chunk"), 1).as("first_tok"),
+        element_at(col("_chunk"), -1).as("last_tok"),
+        md5(array_join(col("_chunk"), " ")).as("chunk_md5"))
+
   // q79 carve size, interpolated into BOTH sides
   private val EvalK = 50
 
@@ -631,6 +687,40 @@ object TextQueries {
         CAST(length(raw) AS BIGINT) AS len_before,
         CAST(length(nfc_normalize(raw)) AS BIGINT) AS len_after
       FROM aug""")),
+    QueryDef("q110_diacritic_fold", diacriticFold, Some("""
+      WITH aug AS (
+        SELECT doc_id,
+          text || ' ' || CASE doc_id % 5
+            WHEN 0 THEN 'caf' || chr(233)
+            WHEN 1 THEN 'ma' || chr(241) || 'ana'
+            WHEN 2 THEN chr(252) || 'ber'
+            WHEN 3 THEN chr(224)
+            ELSE chr(269) || 'eko' END AS raw
+        FROM documents)
+      SELECT doc_id,
+        strip_accents(raw) <> raw AS changed,
+        md5(strip_accents(raw)) AS folded_md5,
+        CAST(length(raw) AS BIGINT) AS len_before,
+        CAST(length(strip_accents(raw)) AS BIGINT) AS len_after
+      FROM aug""")),
+    QueryDef("q109_token_chunks", tokenChunks, Some(s"""
+      WITH base AS (
+        SELECT doc_id, ${sqlTokens("text")} AS toks
+        FROM documents WHERE length(trim(text)) <> 0),
+      st AS (
+        SELECT doc_id, toks, len(toks) AS n,
+          unnest(range(1, len(toks) + 1, $ChunkStride)) AS strt
+        FROM base),
+      ch AS (
+        SELECT doc_id, (strt - 1) // $ChunkStride AS chunk_id,
+          toks[strt : least(strt + ${ChunkTokens - 1}, n)] AS chunk
+        FROM st)
+      SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        CAST(len(chunk) AS BIGINT) AS n_tokens,
+        chunk[1] AS first_tok,
+        chunk[len(chunk)] AS last_tok,
+        md5(array_to_string(chunk, ' ')) AS chunk_md5
+      FROM ch""")),
     QueryDef("q74_rare_bigram_rate", rareBigramRate, Some(s"""
       WITH bi AS (
         SELECT doc_id, unnest(${graft.dedup.Dedup.sqlShingles("text", 2)})
