@@ -18,7 +18,8 @@ object SparkEntry {
     RetailQueries.defs ++ ParityQueries.defs ++ EventQueries.defs ++
       AnalyticsQueries.defs ++ TextQueries.defs ++ DedupQueries.defs ++
       SimilarityQueries.defs ++ PipelineQueries.defs ++ SourceQueries.defs ++
-      StreamingQueries.defs ++ MultimodalQueries.defs ++ CdcQueries.defs
+      StreamingQueries.defs ++ MultimodalQueries.defs ++ CdcQueries.defs ++
+      ProfileQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -53,6 +53,36 @@ object CdcMerge {
   }
 }
 
+object TableDiff {
+
+  /** Reconciliation diff of two versions of a keyed table: one row per
+    * differing key with `change_type` ∈ added | removed | changed
+    * (identical rows are omitted). The inverse of [[CdcMerge]] — applying
+    * a change batch then diffing against the original recovers the
+    * batch's net effect, the audit loop a lake runs to validate a
+    * migration or replication path.
+    *
+    * One full-outer shuffle join on the key; row equality compares the
+    * non-key columns as a STRUCT (exact for doubles, well-defined for
+    * nulls — no stringification or hashing in the comparison path). */
+  def diff(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String]): DataFrame = {
+    val dataCols = oldDf.columns.filterNot(keys.contains).toSeq
+    require(newDf.columns.sorted.sameElements(oldDf.columns.sorted),
+      "diff requires identical schemas")
+    def packed(df: DataFrame, tag: String): DataFrame =
+      df.select(keys.map(col) :+
+        struct(dataCols.map(col): _*).as(s"_row_$tag"): _*)
+    packed(oldDf, "old")
+      .join(packed(newDf, "new"), keys, "full_outer")
+      .withColumn("change_type",
+        when(col("_row_old").isNull, lit("added"))
+          .when(col("_row_new").isNull, lit("removed"))
+          .when(col("_row_old") =!= col("_row_new"), lit("changed")))
+      .filter(col("change_type").isNotNull)
+      .select(keys.map(col) :+ col("change_type"): _*)
+  }
+}
+
 object Scd {
 
   /** Type-2 history from versioned rows: each key's versions (ordered by

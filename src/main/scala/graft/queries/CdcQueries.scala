@@ -120,9 +120,32 @@ object CdcQueries {
       ${graft.queries.Num.sqlSumMoney("o_totalprice")} AS revenue
     FROM orders GROUP BY 1"""
 
+  /** q113 — reconciliation diff: the merged table (q100's output) diffed
+    * against the original snapshot recovers exactly the change batch's
+    * net effect — updates as `changed`, deletes as `removed`, inserts as
+    * `added` ([[graft.operators.TableDiff]]). This closes the CDC audit
+    * loop: apply(changes) ∘ diff ≡ changes, which the oracle verifies by
+    * deriving the expected diff from the same key-decile closed forms.
+    * One full-outer shuffle join; row equality is struct comparison, no
+    * hashing or stringification. */
+  def cdcDiff(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TableDiff
+    val cust = Tables(spark, dir, "customer").select(custCols.map(col): _*)
+    TableDiff.diff(cust, cdcMergeCustomers(spark, dir), Seq("c_custkey"))
+  }
+
+  private val cdcDiffOracle: String = """
+    SELECT c_custkey, 'changed' AS change_type
+    FROM customer WHERE c_custkey % 10 IN (0, 1)
+    UNION ALL
+    SELECT c_custkey, 'removed' FROM customer WHERE c_custkey % 10 = 2
+    UNION ALL
+    SELECT c_custkey + 1000000, 'added' FROM customer WHERE c_custkey % 10 = 3"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q100_cdc_merge", cdcMergeCustomers, Some(cdcMergeOracle)),
     QueryDef("q101_scd2_history", scdOrderHistory, Some(scdOracle)),
     QueryDef("q104_incremental_agg", incrementalMonthlyRevenue,
-      Some(incrementalOracle)))
+      Some(incrementalOracle)),
+    QueryDef("q113_cdc_diff", cdcDiff, Some(cdcDiffOracle)))
 }

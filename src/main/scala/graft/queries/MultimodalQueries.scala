@@ -747,6 +747,84 @@ object MultimodalQueries {
       CAST(SUM((y * w + x) * v) AS BIGINT) AS wsum_rgb
     FROM rgb GROUP BY doc_id"""
 
+  /** q114 — image patch extraction (the ViT "patchify" step): each
+    * decoded PNG splits into 4×4 pixel tiles (edge tiles truncated), one
+    * row per patch with exact per-patch statistics weighted by the
+    * GLOBAL raster position — a patch-boundary off-by-one anywhere
+    * shifts `wsum_v` and fails the gate. Runs the REAL q85 decode first,
+    * so this is decode → patchify end-to-end, the input layout a vision
+    * tower trains on. Narrow flatMap, no shuffle; patch count per image
+    * is ceil(w/4)·ceil(h/4). */
+  private val PatchSide = 4
+
+  final case class PatchStats(
+      doc_id: Long,
+      patch_id: Long,
+      px_x: Long,
+      px_y: Long,
+      n_px: Long,
+      sum_v: Long,
+      wsum_v: Long)
+
+  def imagePatches(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.util.Par.ensure(Tables(spark, dir, "documents"))
+      .select("doc_id").as[Long]
+      .mapPartitions { ids =>
+        ids.flatMap { id =>
+          val img = PngCodec.decode(MediaSynth.pixelPng(id)).get
+          val npx = (img.width + PatchSide - 1) / PatchSide
+          val npy = (img.height + PatchSide - 1) / PatchSide
+          for {
+            py <- (0 until npy).iterator
+            px <- 0 until npx
+          } yield {
+            var sum = 0L; var wsum = 0L; var n = 0L
+            var y = py * PatchSide
+            while (y < math.min((py + 1) * PatchSide, img.height)) {
+              var x = px * PatchSide
+              while (x < math.min((px + 1) * PatchSide, img.width)) {
+                var c = 0
+                while (c < img.channels) {
+                  val i = (y * img.width + x) * img.channels + c
+                  val v = img.pixels(i) & 0xff
+                  sum += v; wsum += i.toLong * v
+                  c += 1
+                }
+                n += 1
+                x += 1
+              }
+              y += 1
+            }
+            PatchStats(id, (py.toLong * npx) + px, px.toLong, py.toLong,
+              n, sum, wsum)
+          }
+        }
+      }
+      .toDF()
+  }
+
+  private val patchOracle: String = s"""
+    WITH params AS (
+      SELECT doc_id, (doc_id % 16) + 4 AS w, (doc_id % 12) + 4 AS h,
+        (doc_id % 2) + 3 AS ch
+      FROM documents),
+    px AS (
+      SELECT p.doc_id, p.w, p.h, p.ch, x.x, y.y, c.c,
+        x.x // $PatchSide AS px, y.y // $PatchSide AS py,
+        (p.w + ${PatchSide - 1}) // $PatchSide AS npx,
+        (3 * x.x + 7 * y.y + 11 * c.c + p.doc_id) % 256 AS v
+      FROM params p, range(20) x(x), range(16) y(y), range(4) c(c)
+      WHERE x.x < p.w AND y.y < p.h AND c.c < p.ch)
+    SELECT doc_id,
+      CAST(py * npx + px AS BIGINT) AS patch_id,
+      CAST(px AS BIGINT) AS px_x,
+      CAST(py AS BIGINT) AS px_y,
+      CAST(COUNT(*) / MAX(ch) AS BIGINT) AS n_px,
+      CAST(SUM(v) AS BIGINT) AS sum_v,
+      CAST(SUM(((y * w + x) * ch + c) * v) AS BIGINT) AS wsum_v
+    FROM px GROUP BY doc_id, py, npx, px"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q73_media_probe", mediaProbe, Some(oracle)),
     QueryDef("q85_png_decode", pngDecode, Some(pngOracle)),
@@ -757,5 +835,6 @@ object MultimodalQueries {
     QueryDef("q94_video_frames", videoFrames, Some(videoFramesOracle)),
     QueryDef("q95_png_gray_decode", pngGrayDecode, Some(pngGrayOracle)),
     QueryDef("q96_gif_decode", gifDecode, Some(gifOracle)),
-    QueryDef("q97_paletted_png_decode", palettedPngDecode, Some(palettedOracle)))
+    QueryDef("q97_paletted_png_decode", palettedPngDecode, Some(palettedOracle)),
+    QueryDef("q114_image_patches", imagePatches, Some(patchOracle)))
 }
