@@ -339,6 +339,45 @@ object StreamingQueries {
     spark.read.parquet(out)
   }
 
+  /** q115 — continuously-maintained materialized rollup: each microbatch
+    * merges its partial (hour, event_type) aggregate into a VERSIONED
+    * stored rollup via [[graft.streaming.IncrementalRollup]] — q104's
+    * incremental view maintenance driven by `foreachBatch`, with
+    * atomic-pointer snapshot publication and idempotent per-batch
+    * commits (replayed batches can't double-count; crash mid-write
+    * leaves the previous version visible — spec'd in
+    * IncrementalRollupSpec). Unlike q84/q86, NO streaming state store
+    * exists at all: merge cost per batch is O(batch agg + rollup),
+    * history is never rescanned, and the rollup survives outside any
+    * checkpoint. The final published version must hash-match the
+    * from-scratch batch aggregate. */
+  def incrementalRollupStream(spark: SparkSession, dir: String): DataFrame = {
+    val src = s"$dir/events.parquet"
+    val out = scratchDir("stream_q115_roll", dir)
+    val ckpt = scratchDir("stream_q115_ckpt", dir)
+    delete(ckpt); delete(out)
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema)
+      .parquet(s"$dir/events*.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val rollup = new graft.streaming.IncrementalRollup(out,
+      keys = Seq("hour", "event_type"), measures = Seq("n_events", "sum_dec"))
+    def aggOf(df: Dataset[Row]): DataFrame = df
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("sum_dec"))
+    val q = stream.writeStream
+      .foreachBatch((batch: Dataset[Row], id: Long) => rollup(batch, id, aggOf))
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally { q.stop(); delete(ckpt) }
+    rollup.read(spark).get
+      .select(col("hour"), col("event_type"), col("n_events"),
+        col("sum_dec").cast("double").as("sum_value"))
+  }
+
   /** Same oracle text as q58 — the whole point: one SQL truth, two
     * execution models (batch hash agg vs streaming stateful agg). */
   private val slidingOracle = """
@@ -379,6 +418,12 @@ object StreamingQueries {
       FROM events, wm
       WHERE epoch_us(date_trunc('hour', ts) + INTERVAL 1 HOUR) <= wm.wm_us
       GROUP BY 1, 2""")),
+    QueryDef("q115_incremental_rollup_stream", incrementalRollupStream, Some("""
+      SELECT date_trunc('hour', ts) AS hour, event_type,
+        COUNT(*) AS n_events,
+        CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6))
+          AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1, 2""")),
     QueryDef("q102_enriched_stream", enrichedStream, Some("""
       SELECT c_mktsegment, event_type, COUNT(*) AS n_events,
         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
