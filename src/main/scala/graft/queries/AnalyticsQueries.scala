@@ -186,6 +186,54 @@ object AnalyticsQueries {
         .as("rev_7d"))
   }
 
+  /** IQR outlier audit (q116): per priority, exact rank-based quartiles
+    * (Q1/Q3 at integer ranks ceil(n/4)/ceil(3n/4), ties broken on the
+    * order key so both engines pick the identical element — the
+    * determinism trick that makes EXACT quantiles gate-able where
+    * interpolating `percentile` FP-diverges) and the Tukey fence
+    * counts (±1.5·IQR). The statistical-DQ sibling of q112's rule
+    * engine: rules catch known constraints, fences catch unknown
+    * distributional drift. One window shuffle + one broadcast of the
+    * 5-row stats relation back onto the rows. */
+  def iqrOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val ranked = Tables(spark, dir, "orders")
+      .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("o_orderpriority")))
+    val stats = ranked.groupBy("o_orderpriority").agg(
+      max(col("n")).cast("long").as("n_orders"),
+      max(when(col("rk") === expr("(n + 3) DIV 4"), col("o_totalprice")))
+        .as("q1"),
+      max(when(col("rk") === expr("(n * 3 + 3) DIV 4"), col("o_totalprice")))
+        .as("q3"))
+    Tables(spark, dir, "orders")
+      .join(broadcast(stats), "o_orderpriority")
+      .groupBy(col("o_orderpriority"), col("n_orders"), col("q1"), col("q3"))
+      .agg(
+        sum(when(col("o_totalprice") >
+          col("q3") + (col("q3") - col("q1")) * 1.5, 1L).otherwise(0L))
+          .as("n_outliers_hi"),
+        sum(when(col("o_totalprice") <
+          col("q1") - (col("q3") - col("q1")) * 1.5, 1L).otherwise(0L))
+          .as("n_outliers_lo"))
+  }
+
+  /** Time-series continuity audit (q117): per user, the hourly-bucket
+    * span between first and last event versus the buckets actually
+    * present — `n_gaps` > 0 flags silent ingestion holes, the
+    * freshness/completeness check an event pipeline alerts on. Pure
+    * integer bucket arithmetic (epoch-hour floor), one aggregation. */
+  def eventGaps(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("user_id"), expr("unix_timestamp(ts) DIV 3600").as("hb"))
+      .groupBy("user_id")
+      .agg(
+        (max(col("hb")) - min(col("hb")) + 1L).as("n_hours_span"),
+        count_distinct(col("hb")).as("n_present"))
+      .withColumn("n_gaps", col("n_hours_span") - col("n_present"))
+
   /** Cube aggregation: revenue across every combination of order status ×
     * priority, including the per-dimension and grand-total slices. */
   def statusPriorityCube(spark: SparkSession, dir: String): DataFrame =
@@ -537,6 +585,35 @@ object AnalyticsQueries {
       WINDOW w AS (PARTITION BY o_custkey
         ORDER BY epoch_us(o_orderdate) // 1000000
         RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)""")),
+    QueryDef("q116_iqr_outliers", iqrOutliers, Some("""
+      WITH ranked AS (
+        SELECT o_orderpriority, o_totalprice,
+          row_number() OVER (PARTITION BY o_orderpriority
+            ORDER BY o_totalprice, o_orderkey) AS rk,
+          COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+        FROM orders),
+      stats AS (
+        SELECT o_orderpriority,
+          CAST(MAX(n) AS BIGINT) AS n_orders,
+          MAX(CASE WHEN rk = (n + 3) // 4 THEN o_totalprice END) AS q1,
+          MAX(CASE WHEN rk = (n * 3 + 3) // 4 THEN o_totalprice END) AS q3
+        FROM ranked GROUP BY 1)
+      SELECT o.o_orderpriority, s.n_orders, s.q1, s.q3,
+        CAST(SUM(CASE WHEN o.o_totalprice > s.q3 + (s.q3 - s.q1) * 1.5
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers_hi,
+        CAST(SUM(CASE WHEN o.o_totalprice < s.q1 - (s.q3 - s.q1) * 1.5
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers_lo
+      FROM orders o JOIN stats s USING (o_orderpriority)
+      GROUP BY 1, 2, 3, 4""")),
+    QueryDef("q117_event_gaps", eventGaps, Some("""
+      SELECT user_id,
+        CAST(MAX(epoch_us(ts) // 3600000000)
+          - MIN(epoch_us(ts) // 3600000000) + 1 AS BIGINT) AS n_hours_span,
+        COUNT(DISTINCT epoch_us(ts) // 3600000000) AS n_present,
+        CAST(MAX(epoch_us(ts) // 3600000000)
+          - MIN(epoch_us(ts) // 3600000000) + 1
+          - COUNT(DISTINCT epoch_us(ts) // 3600000000) AS BIGINT) AS n_gaps
+      FROM events GROUP BY 1""")),
     QueryDef("q68_cms_heavy_hitters", cmsHeavyHitters, Some({
       import graft.text.TextAnalysis.sqlTokens
       s"""
