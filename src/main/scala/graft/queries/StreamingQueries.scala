@@ -378,6 +378,57 @@ object StreamingQueries {
         col("sum_dec").cast("double").as("sum_value"))
   }
 
+  /** q118 — streaming CDC apply (the replication pipeline shape): the
+    * event stream is read as a change log over per-user state — every
+    * event upserts the user's latest-state row, and `error` events are
+    * tombstones that remove it — applied batch-by-batch through
+    * [[graft.operators.CdcMerge]] onto a [[graft.streaming.VersionedStore]]
+    * snapshot (exactly-once per batch, atomic version publication, same
+    * guarantees spec'd for q115). The change sequence is the
+    * (event-time, event_id) struct, so within and across batches the
+    * globally-latest change wins deterministically (per-key in-order
+    * delivery across batches — the contract a real CDC log provides;
+    * applied tombstones don't retain their sequence, the standard
+    * reorder-horizon caveat); the oracle replays
+    * the same semantics as one window over the whole log — the
+    * apply-per-batch ∘ fold ≡ global-latest equivalence that makes
+    * streamed replication trustworthy. */
+  def cdcApplyStream(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.CdcMerge
+    val src = s"$dir/events.parquet"
+    val out = scratchDir("stream_q118_state", dir)
+    val ckpt = scratchDir("stream_q118_ckpt", dir)
+    delete(ckpt); delete(out)
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema)
+      .parquet(s"$dir/events*.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val store = new graft.streaming.VersionedStore(out)
+    val apply: (Dataset[Row], Long) => Unit = (batch, id) => {
+      if (!store.committedBatch.exists(_ >= id)) {
+        val changes = batch.select(
+          col("user_id"),
+          col("event_id").as("last_event_id"),
+          col("event_type").as("last_type"),
+          col("value").as("last_value"),
+          when(col("event_type") === "error", lit("D")).otherwise(lit("U"))
+            .as("op"),
+          struct(unix_micros(col("ts")), col("event_id")).as("seq"))
+        val snapshot = store.read(batch.sparkSession).getOrElse(
+          changes.select("user_id", "last_event_id", "last_type", "last_value")
+            .limit(0))
+        store.commit(CdcMerge(snapshot, changes, Seq("user_id")), id)
+      }
+    }
+    val q = stream.writeStream
+      .foreachBatch(apply)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally { q.stop(); delete(ckpt) }
+    store.read(spark).get
+  }
+
   /** Same oracle text as q58 — the whole point: one SQL truth, two
     * execution models (batch hash agg vs streaming stateful agg). */
   private val slidingOracle = """
@@ -418,6 +469,15 @@ object StreamingQueries {
       FROM events, wm
       WHERE epoch_us(date_trunc('hour', ts) + INTERVAL 1 HOUR) <= wm.wm_us
       GROUP BY 1, 2""")),
+    QueryDef("q118_cdc_apply_stream", cdcApplyStream, Some("""
+      WITH latest AS (
+        SELECT user_id, event_id, event_type, value,
+          row_number() OVER (PARTITION BY user_id
+            ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events)
+      SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+        value AS last_value
+      FROM latest WHERE rn = 1 AND event_type <> 'error'""")),
     QueryDef("q115_incremental_rollup_stream", incrementalRollupStream, Some("""
       SELECT date_trunc('hour', ts) AS hour, event_type,
         COUNT(*) AS n_events,
