@@ -234,6 +234,30 @@ object AnalyticsQueries {
         count_distinct(col("hb")).as("n_present"))
       .withColumn("n_gaps", col("n_hours_span") - col("n_present"))
 
+  /** Ordered sequence assembly (q119): each user's events collected into
+    * their time-ordered action sequence — the "user history" feature a
+    * sequence model (session recommendation, next-event prediction)
+    * trains on. `collect_list` carries (ts, id, type) structs so
+    * `array_sort`'s lexicographic struct order gives a DETERMINISTIC
+    * sequence regardless of partition arrival order (a bare
+    * collect_list is shuffle-order-dependent — the classic silent
+    * nondeterminism); the gate hashes the full joined sequence. One
+    * shuffle on the user key; per-user state bounded by history length,
+    * the same contract as any sessionizer. */
+  def userSequences(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("user_id"),
+        struct(unix_micros(col("ts")).as("ts_us"), col("event_id"),
+          col("event_type")).as("ev"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        array_sort(collect_list(col("ev"))).as("_seq"))
+      .select(col("user_id"), col("n_events"),
+        element_at(col("_seq"), 1).getField("event_type").as("first_type"),
+        element_at(col("_seq"), -1).getField("event_type").as("last_type"),
+        md5(array_join(expr("transform(_seq, x -> x.event_type)"), " "))
+          .as("seq_md5"))
+
   /** Cube aggregation: revenue across every combination of order status ×
     * priority, including the per-dimension and grand-total slices. */
   def statusPriorityCube(spark: SparkSession, dir: String): DataFrame =
@@ -585,6 +609,14 @@ object AnalyticsQueries {
       WINDOW w AS (PARTITION BY o_custkey
         ORDER BY epoch_us(o_orderdate) // 1000000
         RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)""")),
+    QueryDef("q119_user_sequences", userSequences, Some("""
+      SELECT user_id,
+        COUNT(*) AS n_events,
+        (list(event_type ORDER BY epoch_us(ts), event_id))[1] AS first_type,
+        (list(event_type ORDER BY epoch_us(ts), event_id))[-1] AS last_type,
+        md5(array_to_string(
+          list(event_type ORDER BY epoch_us(ts), event_id), ' ')) AS seq_md5
+      FROM events GROUP BY 1""")),
     QueryDef("q116_iqr_outliers", iqrOutliers, Some("""
       WITH ranked AS (
         SELECT o_orderpriority, o_totalprice,

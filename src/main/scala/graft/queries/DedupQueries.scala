@@ -203,6 +203,67 @@ object DedupQueries {
         d.doc_id = COALESCE(cc.cluster_id, d.doc_id) AS survives
       FROM documents d LEFT JOIN cc ON cc.id = d.doc_id"""
 
+  /** q120 — canonical document selection: q65's cluster collapse with
+    * the PRODUCTION survivor policy — keep the highest-QUALITY member of
+    * each near-dup cluster (q17's score, ties to the lower id), not the
+    * arbitrary min-id. The per-cluster argmax runs only over the docs
+    * that appear in some verified pair (a tiny relation against the
+    * corpus), aggregated via the max(struct(quality, -id)) total-order
+    * trick and broadcast back — the corpus itself is scanned once and
+    * never shuffled, same as q65. */
+  def keepBestSurvivors(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextAnalysis
+    val docs = Tables(spark, dir, "documents").select(col("doc_id"),
+      floor(TextAnalysis.qualityScore(col("text")) * 1000000).as("quality_e6"))
+    val (pairs, release) = Dedup.minhashNearDuplicatesWithRelease(
+      Tables(spark, dir, "documents"), "doc_id", "text", K, NH, RPB,
+      threshold = 0.5)
+    val cc = Dedup.connectedComponents(pairs.select(col("a"), col("b")))
+    release()
+    val labeled = docs.join(broadcast(cc), docs("doc_id") === cc("id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+        col("quality_e6"))
+    val best = labeled.join(broadcast(cc), labeled("doc_id") === cc("id"))
+      .groupBy(labeled("cluster_id"))
+      .agg(max(struct(col("quality_e6"), (-col("doc_id")).as("neg"))).as("b"))
+      .select(col("cluster_id"), (-col("b.neg")).as("best_doc"))
+    labeled.join(broadcast(best), Seq("cluster_id"), "left")
+      .select(col("doc_id"), col("cluster_id"), col("quality_e6"),
+        (col("best_doc").isNull || col("doc_id") === col("best_doc"))
+          .as("keep"))
+  }
+
+  private val keepBestOracle = s"""WITH RECURSIVE $lshPairCtes,
+      pairs AS (SELECT a, b FROM jac WHERE jaccard >= 0.5),
+      edges AS (
+        SELECT a AS src, b AS dst FROM pairs
+        UNION ALL
+        SELECT b AS src, a AS dst FROM pairs),
+      reach AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      cc AS (
+        SELECT src AS id, LEAST(src, MIN(dst)) AS cluster_id
+        FROM reach GROUP BY src),
+      q AS (SELECT doc_id, ${TextQueries.sqlQualityE6} AS quality_e6
+        FROM documents),
+      labeled AS (
+        SELECT d.doc_id, COALESCE(cc.cluster_id, d.doc_id) AS cluster_id,
+          q.quality_e6
+        FROM documents d
+        JOIN q ON q.doc_id = d.doc_id
+        LEFT JOIN cc ON cc.id = d.doc_id),
+      best AS (
+        SELECT l.cluster_id,
+          (list(l.doc_id ORDER BY l.quality_e6 DESC, l.doc_id))[1] AS best_doc
+        FROM labeled l JOIN cc ON cc.id = l.doc_id
+        GROUP BY 1)
+      SELECT l.doc_id, l.cluster_id, l.quality_e6,
+        (b.best_doc IS NULL OR l.doc_id = b.best_doc) AS keep
+      FROM labeled l LEFT JOIN best b USING (cluster_id)"""
+
   private val ngramJaccardOracle = s"""
       WITH cand AS (
         SELECT x.doc_id AS a, y.doc_id AS b
@@ -274,6 +335,7 @@ object DedupQueries {
     QueryDef("q23_ngram_jaccard", ngramJaccard, Some(ngramJaccardOracle)),
     QueryDef("q37_dup_clusters", dupClusters, Some(dupClustersOracle)),
     QueryDef("q65_dedup_survivors", dedupSurvivors, Some(dedupSurvivorsOracle)),
+    QueryDef("q120_keep_best_survivors", keepBestSurvivors, Some(keepBestOracle)),
     QueryDef("q43_contamination", contamination, Some(contaminationOracle)),
     QueryDef("q44_simhash_near_dups", simhashDups,
       Some(Dedup.sqlSimhashNearDuplicates("doc_id", "text", "documents"))))

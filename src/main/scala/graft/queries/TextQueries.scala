@@ -805,7 +805,8 @@ object TextQueries {
     * shared by q17 and the q64 mixing buckets so the two oracles cannot
     * drift apart. floor of a bitwise-identical double is engine-stable;
     * the derived bucket thresholds then compare exact BIGINTs. */
-  private def sqlQualityE6: String = s"""
+  // shared with DedupQueries' q120 keep-best oracle
+  def sqlQualityE6: String = s"""
       CAST(floor((CASE WHEN length(trim(text)) = 0 THEN 0.0 ELSE
         least(${sqlLangScore("text", "en")} / (CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(${sqlTokens("text")}) END)::DOUBLE * 2.0, 1.0) * 0.4
         + (1.0 - length(regexp_replace(text, '[^.,!?;:]', '', 'g'))::DOUBLE / length(text)::DOUBLE) * 0.3
