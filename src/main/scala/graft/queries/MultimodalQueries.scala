@@ -825,6 +825,158 @@ object MultimodalQueries {
       CAST(SUM(((y * w + x) * ch + c) * v) AS BIGINT) AS wsum_v
     FROM px GROUP BY doc_id, py, npx, px"""
 
+  /** q121 — heterogeneous decode dispatch, the capstone of the media
+    * family: ONE corpus where each document carries a different
+    * container (truecolor PNG, grayscale PNG, paletted PNG, GIF, or PCM
+    * WAV by doc decile) and one pass that probes the format and routes
+    * each payload through the right real decoder — the end-to-end shape
+    * of an actual multimodal ingest, where formats arrive mixed and the
+    * router must not mis-dispatch (a wrong branch produces a None or
+    * wrong-format stats and fails the hash gate on every row of that
+    * decile). Unified per-doc stats: `n_units` is decoded pixels or
+    * sample frames, `sum_v`/`wsum_v` the position-weighted content sums
+    * (palette formats resolve indices through their color tables
+    * first). Narrow mapPartitions, no shuffle — decoder cost dominates
+    * and parallelism is input splits, as q85. */
+  final case class DispatchStats(
+      doc_id: Long,
+      media_format: String,
+      n_units: Long,
+      sum_v: Long,
+      wsum_v: Long)
+
+  def decodeDispatch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.util.Par.ensure(Tables(spark, dir, "documents"))
+      .select("doc_id").as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          def byteStats(fmt: String, px: Array[Byte], units: Long) = {
+            var sum = 0L; var wsum = 0L; var i = 0
+            while (i < px.length) {
+              val v = px(i) & 0xff
+              sum += v; wsum += i.toLong * v
+              i += 1
+            }
+            DispatchStats(id, fmt, units, sum, wsum)
+          }
+          def indexedStats(fmt: String, img: GifCodec.IndexedImage) = {
+            var sum = 0L; var wsum = 0L; var p = 0
+            while (p < img.indices.length) {
+              val k = img.indices(p) & 0xff
+              val rgb = (img.palette(3 * k) & 0xff) +
+                (img.palette(3 * k + 1) & 0xff) +
+                (img.palette(3 * k + 2) & 0xff)
+              sum += rgb; wsum += p.toLong * rgb
+              p += 1
+            }
+            DispatchStats(id, fmt, img.indices.length.toLong, sum, wsum)
+          }
+          (id % 5) match {
+            case 0 =>
+              val img = PngCodec.decode(MediaSynth.pixelPng(id)).get
+              byteStats("png", img.pixels, img.width.toLong * img.height)
+            case 1 =>
+              val img = PngCodec.decode(MediaSynth.grayPng(id)).get
+              byteStats("png_gray", img.pixels, img.width.toLong * img.height)
+            case 2 =>
+              indexedStats("png_paletted",
+                PngCodec.decodePaletted(MediaSynth.palettePng(id)).get)
+            case 3 =>
+              indexedStats("gif", GifCodec.decode(MediaSynth.gifPayload(id)).get)
+            case _ =>
+              val a = AudioHeaders.pcm16(MediaSynth.pcmWav(id)).get
+              var sum = 0L; var wsum = 0L; var i = 0
+              while (i < a.samples.length) {
+                sum += a.samples(i); wsum += i.toLong * a.samples(i)
+                i += 1
+              }
+              DispatchStats(id, "wav",
+                a.samples.length.toLong / MediaSynth.pcmChannels(id), sum, wsum)
+          }
+        }
+      }
+      .toDF()
+  }
+
+  private val dispatchOracle: String = """
+    WITH png AS (
+      SELECT p.doc_id, 'png' AS media_format,
+        CAST(MAX(p.w) * MAX(p.h) AS BIGINT) AS n_units,
+        CAST(SUM((3 * x.x + 7 * y.y + 11 * c.c + p.doc_id) % 256) AS BIGINT)
+          AS sum_v,
+        CAST(SUM(((y.y * p.w + x.x) * p.ch + c.c)
+          * ((3 * x.x + 7 * y.y + 11 * c.c + p.doc_id) % 256)) AS BIGINT)
+          AS wsum_v
+      FROM (SELECT doc_id, (doc_id % 16) + 4 AS w, (doc_id % 12) + 4 AS h,
+          (doc_id % 2) + 3 AS ch FROM documents WHERE doc_id % 5 = 0) p,
+        range(20) x(x), range(16) y(y), range(4) c(c)
+      WHERE x.x < p.w AND y.y < p.h AND c.c < p.ch
+      GROUP BY p.doc_id),
+    gray AS (
+      SELECT p.doc_id, 'png_gray',
+        CAST(MAX(p.w) * MAX(p.h) AS BIGINT),
+        CAST(SUM((3 * x.x + 7 * y.y + p.doc_id) % 256) AS BIGINT),
+        CAST(SUM((y.y * p.w + x.x)
+          * ((3 * x.x + 7 * y.y + p.doc_id) % 256)) AS BIGINT)
+      FROM (SELECT doc_id, (doc_id % 16) + 4 AS w, (doc_id % 12) + 4 AS h
+          FROM documents WHERE doc_id % 5 = 1) p,
+        range(20) x(x), range(16) y(y)
+      WHERE x.x < p.w AND y.y < p.h
+      GROUP BY p.doc_id),
+    pal AS (
+      SELECT doc_id, 'png_paletted',
+        CAST(COUNT(*) AS BIGINT),
+        CAST(SUM((3 * k + doc_id) % 256 + (5 * k + 2 * doc_id) % 256
+          + (7 * k + 3 * doc_id) % 256) AS BIGINT),
+        CAST(SUM((y * w + x) * ((3 * k + doc_id) % 256
+          + (5 * k + 2 * doc_id) % 256
+          + (7 * k + 3 * doc_id) % 256)) AS BIGINT)
+      FROM (
+        SELECT p.doc_id, p.w, x.x, y.y,
+          (5 * x.x + 3 * y.y + p.doc_id) % p.nc AS k
+        FROM (SELECT doc_id, (doc_id % 16) + 4 AS w, (doc_id % 12) + 4 AS h,
+            (doc_id % 250) + 6 AS nc FROM documents WHERE doc_id % 5 = 2) p,
+          range(20) x(x), range(16) y(y)
+        WHERE x.x < p.w AND y.y < p.h)
+      GROUP BY doc_id),
+    gif AS (
+      SELECT doc_id, 'gif',
+        CAST(COUNT(*) AS BIGINT),
+        CAST(SUM((5 * k + doc_id) % 256 + (7 * k + 2 * doc_id) % 256
+          + (11 * k + 3 * doc_id) % 256) AS BIGINT),
+        CAST(SUM((y * w + x) * ((5 * k + doc_id) % 256
+          + (7 * k + 2 * doc_id) % 256
+          + (11 * k + 3 * doc_id) % 256)) AS BIGINT)
+      FROM (
+        SELECT p.doc_id, p.w, x.x, y.y,
+          (3 * x.x + 7 * y.y + p.doc_id) % p.nc AS k
+        FROM (SELECT doc_id, (doc_id % 16) + 4 AS w, (doc_id % 12) + 4 AS h,
+            CASE doc_id % 7 WHEN 0 THEN 4 WHEN 1 THEN 8 WHEN 2 THEN 16
+              WHEN 3 THEN 32 WHEN 4 THEN 64 WHEN 5 THEN 128 ELSE 256 END AS nc
+          FROM documents WHERE doc_id % 5 = 3) p,
+          range(20) x(x), range(16) y(y)
+        WHERE x.x < p.w AND y.y < p.h)
+      GROUP BY doc_id),
+    wav AS (
+      SELECT p.doc_id, 'wav',
+        CAST(MAX(p.frames) AS BIGINT),
+        CAST(SUM(((2293 * i.i + 7919 * p.doc_id) % 65536) - 32768) AS BIGINT),
+        CAST(SUM(i.i * (((2293 * i.i + 7919 * p.doc_id) % 65536) - 32768))
+          AS BIGINT)
+      FROM (SELECT doc_id, (doc_id % 2) + 1 AS ch,
+          (doc_id % 50) + 10 AS frames,
+          ((doc_id % 50) + 10) * ((doc_id % 2) + 1) AS n
+          FROM documents WHERE doc_id % 5 = 4) p,
+        range(120) i(i)
+      WHERE i.i < p.n
+      GROUP BY p.doc_id)
+    SELECT doc_id, media_format, n_units, sum_v, wsum_v FROM png
+    UNION ALL SELECT * FROM gray
+    UNION ALL SELECT * FROM pal
+    UNION ALL SELECT * FROM gif
+    UNION ALL SELECT * FROM wav"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q73_media_probe", mediaProbe, Some(oracle)),
     QueryDef("q85_png_decode", pngDecode, Some(pngOracle)),
@@ -836,5 +988,6 @@ object MultimodalQueries {
     QueryDef("q95_png_gray_decode", pngGrayDecode, Some(pngGrayOracle)),
     QueryDef("q96_gif_decode", gifDecode, Some(gifOracle)),
     QueryDef("q97_paletted_png_decode", palettedPngDecode, Some(palettedOracle)),
-    QueryDef("q114_image_patches", imagePatches, Some(patchOracle)))
+    QueryDef("q114_image_patches", imagePatches, Some(patchOracle)),
+    QueryDef("q121_decode_dispatch", decodeDispatch, Some(dispatchOracle)))
 }

@@ -569,6 +569,27 @@ class ScaleSpecs extends SparkTestBase {
     assert(rows.forall(_.getLong(2) <= 1L))
   }
 
+  test("cdc merge and sequence assembly shuffle only on their keys") {
+    // q100's merge: one exchange to reduce the change batch per key, one
+    // for the merge window over the union — nothing else (no broadcast
+    // of the snapshot, no extra repartition)
+    val merged = CdcQueries.cdcMergeCustomers(spark, dir)
+    merged.collect()
+    val mPlan = merged.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val mExchanges = "Exchange hashpartitioning".r.findAllIn(mPlan).size
+    assert(mExchanges <= 2, s"merge plan has $mExchanges exchanges:\n${mPlan.take(2500)}")
+    assert(!mPlan.contains("Exchange SinglePartition"), mPlan.take(2000))
+    // q119's sequence assembly: exactly the one agg exchange on user_id
+    val seqs = AnalyticsQueries.userSequences(spark, dir)
+    seqs.collect()
+    val sPlan = seqs.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val sExchanges = "Exchange hashpartitioning".r.findAllIn(sPlan).size
+    assert(sExchanges == 1, s"sequence plan has $sExchanges exchanges:\n${sPlan.take(2500)}")
+    assert(!sPlan.contains("Exchange SinglePartition"), sPlan.take(2000))
+  }
+
   test("partition pruning: date-filtered gold read scans a single partition") {
     // build a tiny two-date partitioned table and check the scan prunes
     import spark.implicits._
