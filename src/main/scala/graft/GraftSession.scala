@@ -40,6 +40,15 @@ object GraftSession {
       // O(state) per-batch checkpoint cost
       .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
         "true")
+      // bucketed layouts here are deliberate zones (q108's co-located
+      // join, q122's term-bucketed index): keep bucketed scans even when
+      // the planner sees no distribution benefit — the auto-disable rule
+      // (DisableUnnecessaryBucketedScan) also drops BUCKET PRUNING, which
+      // is the entire point of the q122 index lookup ("Bucketed: false
+      // (disabled by query planner)" would read all 16 buckets for a
+      // 5-term query)
+      .config("spark.sql.sources.bucketing.autoBucketedScan.enabled",
+        "false")
       .config("spark.ui.enabled", "false")
 
   /** Streaming state-store provider class from SPARK_GRAFT_STATE_STORE

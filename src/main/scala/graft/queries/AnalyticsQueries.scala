@@ -220,6 +220,49 @@ object AnalyticsQueries {
           .as("n_outliers_lo"))
   }
 
+  /** MAD robust outlier audit (q124): the robust sibling of q116's IQR
+    * fences — median absolute deviation tolerates up to 50% contamination
+    * where quartile fences break down at 25%, so it is the audit that
+    * still fires when a feed is MOSTLY bad. Entirely in exact integral
+    * cents: the median and the MAD are rank-selected ELEMENTS (lower
+    * median at rank (n+1) DIV 2, ties broken on the order key — the
+    * q116 determinism trick, no interpolation, no FP), deviations are
+    * integer |cents − median|, and the fence is the integer comparison
+    * `dev > 3·MAD`. Two rank windows (values, then deviations) + two
+    * broadcasts of the 5-row stats relations back onto the rows — same
+    * shuffle budget shape as q116 at any scale. */
+  def madOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "orders")
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        cents(col("o_totalprice")).as("cents"))
+    val w1 = Window.partitionBy("o_orderpriority")
+      .orderBy(col("cents"), col("o_orderkey"))
+    val med = c
+      .withColumn("rk", row_number().over(w1))
+      .withColumn("n",
+        count(lit(1)).over(Window.partitionBy("o_orderpriority")))
+      .groupBy("o_orderpriority").agg(
+        max(col("n")).cast("long").as("n_orders"),
+        max(when(col("rk") === expr("(n + 1) DIV 2"), col("cents")))
+          .as("median_c"))
+    val dev = c.join(broadcast(med), "o_orderpriority")
+      .withColumn("dev", abs(col("cents") - col("median_c")))
+    val w2 = Window.partitionBy("o_orderpriority")
+      .orderBy(col("dev"), col("o_orderkey"))
+    val mad = dev
+      .withColumn("rk2", row_number().over(w2))
+      .withColumn("n2",
+        count(lit(1)).over(Window.partitionBy("o_orderpriority")))
+      .groupBy("o_orderpriority").agg(
+        max(when(col("rk2") === expr("(n2 + 1) DIV 2"), col("dev")))
+          .as("mad_c"))
+    dev.join(broadcast(mad), "o_orderpriority")
+      .groupBy(col("o_orderpriority"), col("n_orders"), col("median_c"),
+        col("mad_c"))
+      .agg(sum(when(col("dev") > col("mad_c") * 3, 1L).otherwise(0L))
+        .as("n_outliers"))
+  }
+
   /** Time-series continuity audit (q117): per user, the hourly-bucket
     * span between first and last event versus the buckets actually
     * present — `n_gaps` > 0 flags silent ingestion holes, the
@@ -636,6 +679,38 @@ object AnalyticsQueries {
         CAST(SUM(CASE WHEN o.o_totalprice < s.q1 - (s.q3 - s.q1) * 1.5
           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers_lo
       FROM orders o JOIN stats s USING (o_orderpriority)
+      GROUP BY 1, 2, 3, 4""")),
+    QueryDef("q124_mad_outliers", madOutliers, Some(s"""
+      WITH c AS (
+        SELECT o_orderpriority, o_orderkey,
+          ${graft.queries.Num.sqlCents("o_totalprice")} AS cents
+        FROM orders),
+      r1 AS (
+        SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+            ORDER BY cents, o_orderkey) AS rk,
+          COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+        FROM c),
+      med AS (
+        SELECT o_orderpriority, CAST(MAX(n) AS BIGINT) AS n_orders,
+          MAX(CASE WHEN rk = (n + 1) // 2 THEN cents END) AS median_c
+        FROM r1 GROUP BY 1),
+      d AS (
+        SELECT c.o_orderpriority, c.o_orderkey,
+          abs(c.cents - m.median_c) AS dev, m.n_orders, m.median_c
+        FROM c JOIN med m USING (o_orderpriority)),
+      r2 AS (
+        SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+            ORDER BY dev, o_orderkey) AS rk2,
+          COUNT(*) OVER (PARTITION BY o_orderpriority) AS n2
+        FROM d),
+      mad AS (
+        SELECT o_orderpriority,
+          MAX(CASE WHEN rk2 = (n2 + 1) // 2 THEN dev END) AS mad_c
+        FROM r2 GROUP BY 1)
+      SELECT d.o_orderpriority, d.n_orders, d.median_c, m2.mad_c,
+        CAST(SUM(CASE WHEN d.dev > 3 * m2.mad_c THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_outliers
+      FROM d JOIN mad m2 USING (o_orderpriority)
       GROUP BY 1, 2, 3, 4""")),
     QueryDef("q117_event_gaps", eventGaps, Some("""
       SELECT user_id,

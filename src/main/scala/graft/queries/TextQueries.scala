@@ -146,6 +146,61 @@ object TextQueries {
       .select(col("doc_id"), col("shard"), col("pos"))
   }
 
+  /** q123 carve bucket count. NON-semantic (unlike q70's shard): the
+    * carve's output is bucket-count-invariant, so any deployment can pick
+    * buckets from the q70 ladder (corpus bytes / target sort size)
+    * without changing the selected set — a spec pins the invariance. */
+  val CarveBuckets = 32
+
+  /** Token-budget corpus carve (q123) — "take documents, in a stable
+    * pseudo-random order, until the token budget is hit": the step that
+    * turns a filtered corpus into a FIXED-SIZE training corpus (a token
+    * target, not a doc-rate target — q32/q64 sample at rates and the
+    * token yield drifts with doc length; this hits the budget exactly).
+    *
+    * The cumulative token count is a DISTRIBUTED two-phase prefix sum —
+    * the naive formulation (one global window `SUM OVER (ORDER BY h)`)
+    * serializes the corpus through a single sort task, the q70 problem
+    * again. Here the stable-hash order key is range-split into
+    * `buckets` contiguous h-ranges (`bucket = h·B DIV 10000` — a pure
+    * function of h, so bucket boundaries are order-prefix boundaries):
+    * phase 1 aggregates per-bucket token totals (tiny relation,
+    * collected, exclusive-prefixed on the driver); phase 2 runs the
+    * within-bucket window cumsum in parallel and adds each bucket's
+    * broadcast offset. Budget = 2/5 of the corpus token total, all
+    * integer arithmetic; selection keeps documents that START strictly
+    * before the budget boundary. Two corpus scans of a 2-column
+    * projection (phase 1 + phase 2), one window shuffle on the bucket
+    * key. The oracle replays the single global window — proving the
+    * distributed decomposition exactly equals the serial semantics. */
+  def tokenBudgetCarve(spark: SparkSession, dir: String,
+      buckets: Int = CarveBuckets): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.text.Sampling
+    val weighted = graft.util.Par.ensure(Tables(spark, dir, "documents"))
+      .select(col("doc_id"),
+        wsTokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("h", Sampling.hashBucket(col("doc_id")))
+      .withColumn("bucket",
+        expr(s"(h * $buckets) DIV ${Sampling.Denominator}"))
+    val totals = weighted.groupBy("bucket")
+      .agg(sum("n_tokens").as("t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = totals.map { case (b, t) => val o = (b, acc); acc += t; o }
+    val budget = acc * 2 / 5
+    import spark.implicits._
+    val offsetDf = offsets.toSeq.toDF("bucket", "offset")
+    val w = Window.partitionBy("bucket").orderBy("h", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    weighted
+      .withColumn("run", sum("n_tokens").over(w))
+      .join(broadcast(offsetDf), "bucket")
+      .withColumn("cum_tokens", col("run") + col("offset"))
+      .filter(col("cum_tokens") - col("n_tokens") < budget)
+      .select(col("doc_id"), col("n_tokens"), col("cum_tokens"))
+  }
+
   // q67 span width, interpolated into BOTH sides
   private val SpanW = 4
 
@@ -609,6 +664,24 @@ object TextQueries {
         CAST(row_number() OVER (PARTITION BY hv % $ShuffleShards
           ORDER BY hv, doc_id) AS BIGINT) AS pos
       FROM h""")),
+    QueryDef("q123_token_budget_carve", tokenBudgetCarve(_, _), Some({
+      import graft.text.Sampling
+      s"""
+      WITH w AS (
+        SELECT doc_id,
+          CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(${sqlTokens("text")}) END AS BIGINT) AS n_tokens,
+          ${Sampling.sqlHashBucket("doc_id")} AS h
+        FROM documents),
+      c AS (
+        SELECT doc_id, n_tokens,
+          SUM(n_tokens) OVER (ORDER BY h, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM w),
+      b AS (SELECT (SUM(n_tokens) * 2) // 5 AS budget FROM w)
+      SELECT doc_id, n_tokens, CAST(cum AS BIGINT) AS cum_tokens
+      FROM c, b WHERE cum - n_tokens < budget"""
+    })),
     QueryDef("q67_span_dedup", spanDedup(_, _), Some(s"""
       WITH toks AS (
         SELECT doc_id, ${sqlTokens("text")} AS t FROM documents

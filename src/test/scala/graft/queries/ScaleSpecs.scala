@@ -590,6 +590,43 @@ class ScaleSpecs extends SparkTestBase {
     assert(!sPlan.contains("Exchange SinglePartition"), sPlan.take(2000))
   }
 
+  test("inverted-index lookup prunes buckets and never rescans the corpus") {
+    // q122: the IN predicate on the bucket column must reach the index
+    // scan as bucket pruning (≤ K of IndexBuckets buckets opened — at
+    // 100 TB that is the difference between reading K terms' postings
+    // and reading the whole index), and the lookup subtree must contain
+    // exactly one scan — the index, never `documents`
+    RetrievalQueries.invertedIndexLookup(spark, dir).collect()
+    val look = RetrievalQueries.lookup(spark, "graft_q122")
+    look.collect()
+    val plan = look.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findFirstMatchIn(plan)
+      .getOrElse(fail(s"no bucket pruning in plan:\n${plan.take(2500)}"))
+    assert(sel.group(1).toInt <= RetrievalQueries.QueryTermK, plan.take(2000))
+    assert(sel.group(2).toInt == RetrievalQueries.IndexBuckets, plan.take(2000))
+    assert(!plan.contains("documents.parquet"), plan.take(2000))
+    assert("Scan parquet".r.findAllIn(plan).size == 1, plan.take(2500))
+  }
+
+  test("token-budget carve is bucket-count-invariant and never serializes the sort") {
+    // q123: the two-phase prefix sum must (a) produce the identical carve
+    // for ANY bucket count — proving the decomposition equals the serial
+    // cumsum semantics, so deployments can scale buckets freely — and
+    // (b) run its window partitioned by bucket, never as the
+    // single-partition global window the naive formulation plans
+    val a = TextQueries.tokenBudgetCarve(spark, dir, buckets = 32)
+    val b = TextQueries.tokenBudgetCarve(spark, dir, buckets = 7)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    val rows = a.count()
+    assert(rows > 0, s"carve selected nothing")
+    val plan = a.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("Exchange SinglePartition"), plan.take(2500))
+    assert(plan.contains("Exchange hashpartitioning(bucket"), plan.take(2500))
+  }
+
   test("partition pruning: date-filtered gold read scans a single partition") {
     // build a tiny two-date partitioned table and check the scan prunes
     import spark.implicits._
