@@ -84,7 +84,103 @@ object RetrievalQueries {
       .filter(col("n_terms") === qterms.size)
   }
 
+  /** q125 — positional phrase query: the index capability a bag-of-words
+    * posting list cannot answer ("new york" ≠ "york new"). The positional
+    * index is one row per token OCCURRENCE `(term, doc_id, pos)`,
+    * bucketed by term like q122; a two-term phrase query reads each
+    * term's postings through bucket pruning (equality → ONE bucket each)
+    * and intersects them on `(doc_id, pos+1 = pos)` — the classic
+    * positional-intersection, shuffling only the two posting lists,
+    * never the corpus. The phrase itself is corpus-derived and
+    * deterministic: the top-1 bigram by (count desc, text asc) — q50's
+    * selection — so the gate exercises a phrase that actually occurs. */
+  def phraseQuery(spark: SparkSession, dir: String): DataFrame = {
+    val db = "graft_q125"
+    val wh = graft.util.Scratch.dir("posidx", dir)
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$wh'")
+    graft.util.Par.ensure(Tables(spark, dir, "documents"))
+      .select(col("doc_id"), posexplode(tokens(col("text"))))
+      .toDF("doc_id", "pos", "term")
+      .write.bucketBy(IndexBuckets, "term").sortBy("term", "doc_id")
+      .mode("overwrite").saveAsTable(s"$db.pos_postings")
+    val Array(a, b) = TextQueries.topBigrams(spark, dir)
+      .limit(1).collect()(0).getAs[String]("bigram").split(" ", 2)
+    val pa = spark.table(s"$db.pos_postings").filter(col("term") === a)
+      .select(col("doc_id"), col("pos"))
+    val pb = spark.table(s"$db.pos_postings").filter(col("term") === b)
+      .select(col("doc_id").as("_doc_b"), col("pos").as("_pos_b"))
+    pa.join(pb, pa("doc_id") === pb("_doc_b") &&
+        pb("_pos_b") === pa("pos") + 1)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_matches"),
+        min("pos").cast("long").as("first_pos"))
+  }
+
+  /** q126 — incremental index maintenance under document UPDATES (the
+    * re-crawl case): one fifth of the corpus arrives re-ingested with
+    * changed text, and the index must converge to the new corpus WITHOUT
+    * a rebuild. Maintenance is CDC on the postings relation: drop the
+    * changed documents' old postings (anti-join on the delta's doc ids —
+    * at 100 TB the postings store is doc-sharded so this touches only
+    * affected shards), append the re-tokenized delta postings, persist
+    * v1. Cost O(index + delta), rebuild never re-tokenizes the 4/5
+    * unchanged corpus. The gate output is the per-term stats of the
+    * MAINTAINED store; the oracle rebuilds them from the updated corpus
+    * from scratch — maintenance ≡ rebuild, the q104/q115 contract for
+    * the retrieval zone. */
+  def incrementalIndexStats(spark: SparkSession, dir: String): DataFrame = {
+    def postings(df: DataFrame) = df
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+    val docs = graft.util.Par.ensure(Tables(spark, dir, "documents"))
+    val changed = col("doc_id") % 10 >= 8
+    val store = graft.util.Scratch.dir("incidx", dir)
+    postings(docs).write.mode("overwrite").parquet(s"$store/v0")
+    val delta = docs.filter(changed)
+      .select(col("doc_id"), concat(col("text"), lit(" updated")).as("text"))
+    val deltaIds = delta.select("doc_id").distinct()
+    spark.read.parquet(s"$store/v0")
+      .join(broadcast(deltaIds), Seq("doc_id"), "left_anti")
+      .unionByName(postings(delta))
+      .write.mode("overwrite").parquet(s"$store/v1")
+    spark.read.parquet(s"$store/v1")
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"), sum("tf").as("total_tf"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q125_phrase_query", phraseQuery, Some({
+      import graft.dedup.Dedup.sqlShingles
+      s"""
+      WITH toks AS (SELECT doc_id, ${sqlTokens("text")} AS t FROM documents),
+      ex AS (SELECT doc_id, unnest(range(0, len(t))) AS pos, t FROM toks),
+      pp AS (SELECT doc_id, pos, t[pos + 1] AS term FROM ex),
+      big AS (
+        SELECT bigram FROM (
+          SELECT unnest(${sqlShingles("text", 2)}) AS bigram FROM documents)
+        GROUP BY bigram ORDER BY COUNT(*) DESC, bigram LIMIT 1),
+      ab AS (SELECT string_split(bigram, ' ')[1] AS a,
+               string_split(bigram, ' ')[2] AS b FROM big)
+      SELECT pa.doc_id, COUNT(*) AS n_matches,
+        CAST(MIN(pa.pos) AS BIGINT) AS first_pos
+      FROM pp pa, pp pb, ab
+      WHERE pa.doc_id = pb.doc_id AND pa.term = ab.a AND pb.term = ab.b
+        AND pb.pos = pa.pos + 1
+      GROUP BY 1"""
+    })),
+    QueryDef("q126_incremental_index", incrementalIndexStats, Some(s"""
+      WITH corpus AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 10 >= 8 THEN text || ' updated' ELSE text END
+            AS text
+        FROM documents),
+      tf AS (
+        SELECT doc_id, tok AS term, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest(${sqlTokens("text")}) AS tok
+              FROM corpus)
+        GROUP BY 1, 2)
+      SELECT term, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS total_tf
+      FROM tf GROUP BY 1""")),
     QueryDef("q122_inverted_index", invertedIndexLookup, Some(s"""
       WITH tf AS (
         SELECT doc_id, tok AS term, COUNT(*) AS tf

@@ -610,6 +610,24 @@ class ScaleSpecs extends SparkTestBase {
     assert("Scan parquet".r.findAllIn(plan).size == 1, plan.take(2500))
   }
 
+  test("phrase query prunes to one bucket per term and never rescans the corpus") {
+    // q125: each phrase term is an equality on the bucket column — ONE
+    // bucket opened per posting read; the intersection shuffles two
+    // posting lists, never the corpus
+    val phrase = RetrievalQueries.phraseQuery(spark, dir)
+    phrase.collect()
+    val plan = phrase.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val sels = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findAllMatchIn(plan).toSeq
+    assert(sels.size == 2, s"expected 2 pruned index scans:\n${plan.take(2500)}")
+    sels.foreach { m =>
+      assert(m.group(1).toInt == 1 &&
+        m.group(2).toInt == RetrievalQueries.IndexBuckets, plan.take(2000))
+    }
+    assert(!plan.contains("documents.parquet"), plan.take(2000))
+  }
+
   test("token-budget carve is bucket-count-invariant and never serializes the sort") {
     // q123: the two-phase prefix sum must (a) produce the identical carve
     // for ANY bucket count — proving the decomposition equals the serial
