@@ -201,6 +201,25 @@ object TextQueries {
       .select(col("doc_id"), col("n_tokens"), col("cum_tokens"))
   }
 
+  /** q128 feature dimension, interpolated into BOTH sides. */
+  val FeatureDim = 64
+
+  /** Feature hashing (q128) — the hashing-trick vectorizer: terms hash
+    * into a FIXED feature dimension (no vocabulary build, no dictionary
+    * broadcast — the property that makes text vectorization a single
+    * narrow pass at 100 TB; collisions are the accepted trade, exactly
+    * as in scikit/VW/Spark MLlib's HashingTF). Emitted SPARSE: one row
+    * per (doc, slot) with the collision-summed count — the layout a
+    * downstream trainer consumes; a dense array is `FeatureDim` wide
+    * regardless of doc length and would explode storage for short docs.
+    * One shuffle (the per-doc-slot count). */
+  def featureHashing(spark: SparkSession, dir: String): DataFrame =
+    graft.util.Par.ensure(Tables(spark, dir, "documents"))
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .withColumn("slot", pmod(wordHash(col("term")), lit(FeatureDim)))
+      .groupBy("doc_id", "slot")
+      .agg(count(lit(1)).as("cnt"))
+
   // q67 span width, interpolated into BOTH sides
   private val SpanW = 4
 
@@ -682,6 +701,13 @@ object TextQueries {
       SELECT doc_id, n_tokens, CAST(cum AS BIGINT) AS cum_tokens
       FROM c, b WHERE cum - n_tokens < budget"""
     })),
+    QueryDef("q128_feature_hashing", featureHashing, Some(s"""
+      SELECT doc_id,
+        (${sqlWordHash("tok")} % $FeatureDim) AS slot,
+        COUNT(*) AS cnt
+      FROM (SELECT doc_id, unnest(${sqlTokens("text")}) AS tok
+            FROM documents)
+      GROUP BY 1, 2""")),
     QueryDef("q67_span_dedup", spanDedup(_, _), Some(s"""
       WITH toks AS (
         SELECT doc_id, ${sqlTokens("text")} AS t FROM documents

@@ -645,6 +645,23 @@ class ScaleSpecs extends SparkTestBase {
     assert(plan.contains("Exchange hashpartitioning(bucket"), plan.take(2500))
   }
 
+  test("pagerank supersteps shuffle on graph keys only, never a global sort") {
+    // q127: three supersteps composed as ONE plan — every exchange must
+    // be a hash partitioning on a node/edge key (the Pregel-by-joins
+    // contract); a single-partition exchange or cartesian product means
+    // an iteration serialized
+    val pr = GraphQueries.pageRank(spark, dir)
+    val rows = pr.collect()
+    val plan = pr.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("Exchange SinglePartition"), plan.take(2500))
+    assert(!plan.contains("CartesianProduct"), plan.take(2500))
+    // every node keeps at least the damping base mass, and the bipartite
+    // parity split is preserved
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("rank_e12") >= 150000000000L))
+  }
+
   test("partition pruning: date-filtered gold read scans a single partition") {
     // build a tiny two-date partitioned table and check the scan prunes
     import spark.implicits._
