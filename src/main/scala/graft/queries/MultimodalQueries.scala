@@ -195,6 +195,89 @@ object MultimodalQueries {
       wsum_v: Long,
       decode_ok: Boolean)
 
+  /** q129 — perceptual image hash (aHash) dedup: the image-side
+    * near-dup fingerprint a multimodal corpus dedups on (re-encoded or
+    * resized copies of one image byte-diverge but hash-collide). The
+    * whole pipeline is integer vision over REAL decoded pixels:
+    * decode → integer grayscale (channel mean, floor) → 8×8
+    * nearest-neighbor resample (the q90 `sx = x·W DIV 8` arithmetic) →
+    * strict-greater-than-mean threshold → 64-bit hash carried as two
+    * 32-bit halves (no sign-bit games in either engine). Exact-hash
+    * group sizes come back as `n_same`; sub-identical similarity
+    * (hamming ≤ t) routes through q44's simhash band machinery — same
+    * 64-bit shape. Narrow decode pass + one tiny hash-keyed aggregate;
+    * the corpus is never shuffled (hashes are 3 longs/doc). */
+  final case class PHashRow(doc_id: Long, phash_hi: Long, phash_lo: Long)
+
+  def imagePhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hashes = graft.util.Par.ensure(Tables(spark, dir, "documents"))
+      .select("doc_id").as[Long]
+      .mapPartitions { ids =>
+        ids.flatMap { id =>
+          PngCodec.decode(MediaSynth.pixelPng(id)).map { img =>
+            val w = img.width; val h = img.height; val ch = img.channels
+            def gray(x: Int, y: Int): Long = {
+              var s = 0L; var c = 0
+              while (c < ch) {
+                s += (img.pixels((y * w + x) * ch + c) & 0xff); c += 1
+              }
+              s / ch
+            }
+            val g8 = new Array[Long](64)
+            var i = 0
+            while (i < 64) {
+              g8(i) = gray(i % 8 * w / 8, i / 8 * h / 8)
+              i += 1
+            }
+            val mean = g8.sum / 64
+            var hi = 0L; var lo = 0L
+            i = 0
+            while (i < 64) {
+              if (g8(i) > mean) {
+                if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+              }
+              i += 1
+            }
+            PHashRow(id, hi, lo)
+          }
+        }
+      }.toDF()
+    val sizes = hashes.groupBy("phash_hi", "phash_lo")
+      .agg(count(lit(1)).as("n_same"))
+    hashes.join(sizes, Seq("phash_hi", "phash_lo"))
+      .select(col("doc_id"), col("phash_hi"), col("phash_lo"),
+        col("n_same"))
+  }
+
+  private val phashOracle: String = """
+    WITH params AS (
+      SELECT doc_id, (doc_id % 16) + 4 AS w, (doc_id % 12) + 4 AS h,
+        (doc_id % 2) + 3 AS ch
+      FROM documents),
+    gc AS (
+      SELECT p.doc_id, i.i, p.ch,
+        (3 * (((i.i % 8) * p.w) // 8) + 7 * (((i.i // 8) * p.h) // 8)
+          + 11 * c.c + p.doc_id) % 256 AS v
+      FROM params p, range(64) i(i), range(4) c(c)
+      WHERE c.c < p.ch),
+    g8 AS (SELECT doc_id, i, SUM(v) // MAX(ch) AS g
+      FROM gc GROUP BY doc_id, i),
+    m AS (SELECT doc_id, SUM(g) // 64 AS mean FROM g8 GROUP BY doc_id),
+    bits AS (
+      SELECT g8.doc_id,
+        CAST(SUM(CASE WHEN g > mean AND i >= 32
+          THEN (CAST(1 AS BIGINT) << CAST(i - 32 AS INT)) ELSE 0 END)
+          AS BIGINT) AS phash_hi,
+        CAST(SUM(CASE WHEN g > mean AND i < 32
+          THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE 0 END)
+          AS BIGINT) AS phash_lo
+      FROM g8 JOIN m USING (doc_id) GROUP BY 1),
+    sizes AS (SELECT phash_hi, phash_lo, COUNT(*) AS n_same
+      FROM bits GROUP BY 1, 2)
+    SELECT b.doc_id, b.phash_hi, b.phash_lo, s.n_same
+    FROM bits b JOIN sizes s USING (phash_hi, phash_lo)"""
+
   def pngDecode(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     graft.util.Par.ensure(Tables(spark, dir, "documents"))
@@ -989,5 +1072,6 @@ object MultimodalQueries {
     QueryDef("q96_gif_decode", gifDecode, Some(gifOracle)),
     QueryDef("q97_paletted_png_decode", palettedPngDecode, Some(palettedOracle)),
     QueryDef("q114_image_patches", imagePatches, Some(patchOracle)),
-    QueryDef("q121_decode_dispatch", decodeDispatch, Some(dispatchOracle)))
+    QueryDef("q121_decode_dispatch", decodeDispatch, Some(dispatchOracle)),
+    QueryDef("q129_image_phash", imagePhash, Some(phashOracle)))
 }
