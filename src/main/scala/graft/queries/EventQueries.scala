@@ -127,7 +127,43 @@ object EventQueries {
       .unionByName(staged(p, "3_purchase_after_click"))
   }
 
+  /** Lifecycle-order conformance audit (q132) — process-mining style:
+    * each user's time-ordered event sequence is checked against the
+    * funnel's stage order (signup → view → click → purchase; `error`
+    * events are stage-agnostic and excluded). Conformance is the pure
+    * INTEGER test "the stage-rank sequence is non-decreasing", i.e. the
+    * ordered rank list equals its own sort — no regex engine (whose
+    * semantics differ across engines), no FP. The q119 struct-sort trick
+    * makes the sequence deterministic under any shuffle order. One
+    * shuffle on the user key. */
+  def sequenceConformance(spark: SparkSession, dir: String): DataFrame = {
+    val stage = expr("""CASE event_type
+      WHEN 'signup' THEN 0 WHEN 'view' THEN 1
+      WHEN 'click' THEN 2 WHEN 'purchase' THEN 3 END""")
+    Tables.events(spark, dir)
+      .filter(col("event_type") =!= "error")
+      .select(col("user_id"),
+        struct(unix_micros(col("ts")).as("ts_us"), col("event_id"),
+          stage.as("stage")).as("ev"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        expr("transform(array_sort(collect_list(ev)), x -> x.stage)")
+          .as("_ranks"))
+      .select(col("user_id"), col("n_events"),
+        (col("_ranks") === array_sort(col("_ranks"))).as("conforms"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q132_sequence_conformance", sequenceConformance, Some("""
+      WITH e AS (
+        SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+          CASE event_type WHEN 'signup' THEN 0 WHEN 'view' THEN 1
+            WHEN 'click' THEN 2 WHEN 'purchase' THEN 3 END AS stage
+        FROM events WHERE event_type <> 'error')
+      SELECT user_id, COUNT(*) AS n_events,
+        (list(stage ORDER BY ts_us, event_id) =
+          list_sort(list(stage ORDER BY ts_us, event_id))) AS conforms
+      FROM e GROUP BY 1""")),
     QueryDef("q60_funnel", funnel, Some("""
       WITH v AS (SELECT user_id, MIN(ts) AS first_view FROM events
         WHERE event_type = 'view' GROUP BY user_id),

@@ -220,6 +220,60 @@ object TextQueries {
       .groupBy("doc_id", "slot")
       .agg(count(lit(1)).as("cnt"))
 
+  /** q130 per-doc distinct-term cap, interpolated into BOTH sides: pair
+    * generation is O(cap²) per document REGARDLESS of doc length — the
+    * bound that keeps collocation mining linear in corpus size (an
+    * uncapped per-doc self-join is quadratic in doc length and melts on
+    * the long tail). Deterministic cap: first `SetCap` of the SORTED
+    * distinct terms. */
+  val SetCap = 16
+
+  /** Collocation mining (q130): corpus-wide co-occurrence counts of
+    * unordered term pairs within a document — the association signal
+    * under PMI/phrase-table construction. Pairs come from each doc's
+    * capped sorted distinct-term set (see [[SetCap]]), counted corpus-
+    * wide, top-50 by (count desc, pair asc). One narrow pair expansion
+    * (≤ cap² rows per doc) + one pair-keyed aggregate. */
+  def collocations(spark: SparkSession, dir: String): DataFrame =
+    graft.util.Par.ensure(Tables(spark, dir, "documents"))
+      .select(col("doc_id"),
+        slice(array_sort(array_distinct(tokens(col("text")))), 1, SetCap)
+          .as("ts"))
+      .select(col("doc_id"), explode(col("ts")).as("a"), col("ts"))
+      .select(col("a"), explode(col("ts")).as("b"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("a"), col("b")).limit(50)
+
+  /** q131 dictionary bounds, interpolated into BOTH sides: a term is
+    * in-vocabulary iff its document frequency is ≥ MinDf (drops hapax
+    * noise) and ≤ MaxDfBp/10000 of the corpus (drops stopword-like
+    * terms) — the classic min_df/max_df vectorizer contract. */
+  val MinDf = 3
+  val MaxDfBp = 5000
+
+  /** Vocabulary pruning + OOV audit (q131): build the bounded dictionary
+    * from document frequencies, then score every document's token stream
+    * against it — `oov_e6` (floor'd integer rate) is the signal that
+    * catches vocabulary drift between a trained tokenizer/embedding table
+    * and fresh data. The dictionary is vocabulary-sized → broadcast to
+    * the occurrence stream; two aggregates (df, per-doc), no corpus
+    * self-join. */
+  def vocabOov(spark: SparkSession, dir: String): DataFrame = {
+    val occ = graft.util.Par.ensure(Tables(spark, dir, "documents"))
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val dfreq = occ.distinct().groupBy("term").agg(count(lit(1)).as("df"))
+    val total = Tables(spark, dir, "documents").count()
+    val dict = dfreq
+      .filter(col("df") >= MinDf && col("df") * 10000 <= lit(total) * MaxDfBp)
+      .select(col("term"), lit(true).as("in_vocab"))
+    occ.join(broadcast(dict), Seq("term"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_e6", expr("n_oov * 1000000 DIV n_tokens"))
+  }
+
   // q67 span width, interpolated into BOTH sides
   private val SpanW = 4
 
@@ -708,6 +762,34 @@ object TextQueries {
       FROM (SELECT doc_id, unnest(${sqlTokens("text")}) AS tok
             FROM documents)
       GROUP BY 1, 2""")),
+    QueryDef("q130_collocations", collocations, Some(s"""
+      WITH ts AS (
+        SELECT doc_id,
+          list_slice(list_sort(list_distinct(${sqlTokens("text")})),
+            1, $SetCap) AS ts
+        FROM documents),
+      e1 AS (SELECT doc_id, unnest(ts) AS a, ts FROM ts),
+      e2 AS (SELECT doc_id, a, unnest(ts) AS b FROM e1)
+      SELECT a, b, COUNT(*) AS n FROM e2 WHERE a < b
+      GROUP BY 1, 2 ORDER BY n DESC, a, b LIMIT 50""")),
+    QueryDef("q131_vocab_oov", vocabOov, Some(s"""
+      WITH occ AS (
+        SELECT doc_id, unnest(${sqlTokens("text")}) AS term
+        FROM documents),
+      dfreq AS (
+        SELECT term, COUNT(*) AS df
+        FROM (SELECT DISTINCT term, doc_id FROM occ) GROUP BY 1),
+      n AS (SELECT COUNT(*) AS total FROM documents),
+      dict AS (
+        SELECT term FROM dfreq, n
+        WHERE df >= $MinDf AND df * 10000 <= total * $MaxDfBp)
+      SELECT o.doc_id, COUNT(*) AS n_tokens,
+        CAST(SUM(CASE WHEN d.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_oov,
+        (CAST(SUM(CASE WHEN d.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          * 1000000) // COUNT(*) AS oov_e6
+      FROM occ o LEFT JOIN dict d ON d.term = o.term
+      GROUP BY 1""")),
     QueryDef("q67_span_dedup", spanDedup(_, _), Some(s"""
       WITH toks AS (
         SELECT doc_id, ${sqlTokens("text")} AS t FROM documents
