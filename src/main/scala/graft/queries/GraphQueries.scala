@@ -30,11 +30,15 @@ object GraphQueries {
     * ulp-per-iteration across engines).
     *
     * Scale shape: each superstep is one join shuffle on the edge source
-    * + one aggregate shuffle on the destination — at 100 TB the edge
-    * relation is materialized once, partitioned by src, so every
-    * iteration reuses the co-located layout; rank overflow headroom is
-    * nodes·1e12 per hub, so a web-scale graph drops the rank unit to e9
-    * or routes the sum through [[Num.sumBig]]. */
+    * + one aggregate shuffle on the destination. The edge/degree
+    * subtrees appear in every superstep's lineage, but Spark's exchange
+    * reuse dedups identical subplans — the edge shuffle runs ONCE and
+    * later supersteps read its files (`ReusedExchange`, pinned in
+    * ScaleSpecs; measured FASTER than an explicit `.persist()`, which
+    * only inserts a materialization barrier and cache-write cost on top
+    * of the same reuse). Rank overflow headroom is nodes·1e12 per hub,
+    * so a web-scale graph drops the rank unit to e9 or routes the sum
+    * through [[Num.sumBig]]. */
   def pageRank(spark: SparkSession, dir: String): DataFrame = {
     val e0 = Tables(spark, dir, "lineitem")
       .join(Tables(spark, dir, "orders"),

@@ -656,6 +656,13 @@ class ScaleSpecs extends SparkTestBase {
       .split("== Initial Plan ==").head
     assert(!plan.contains("Exchange SinglePartition"), plan.take(2500))
     assert(!plan.contains("CartesianProduct"), plan.take(2500))
+    // the edge/degree subtrees recur in every superstep's lineage; the
+    // engine must dedup them via exchange reuse rather than re-deriving
+    // the graph per iteration (an explicit cache measures SLOWER — it
+    // only adds a barrier on top of the same reuse)
+    assert(plan.contains("ReusedExchange") ||
+      plan.contains("ReusedQueryStage") || plan.contains("TableCacheQueryStage"),
+      plan.take(3000))
     // every node keeps at least the damping base mass, and the bipartite
     // parity split is preserved
     assert(rows.nonEmpty)
