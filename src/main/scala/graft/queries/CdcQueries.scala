@@ -76,6 +76,39 @@ object CdcQueries {
       .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
         col("effective_from"), col("effective_to"), col("is_current"))
 
+  /** q134 snapshot date, interpolated into BOTH sides (mid-corpus for
+    * TPC-H's 1992–1998 order-date span). */
+  val SnapshotDate = "1995-06-15"
+
+  /** q134 — SCD2 point-in-time snapshot: "the dimension as of date D",
+    * the read half of q101's type-2 build (a history nobody can query
+    * is an expensive log). One predicate over the effective-dated
+    * records — `from ≤ D < to` (open `to` = current) — returns exactly
+    * the version visible on D per key; zero-length same-day versions
+    * are correctly invisible. At scale the history table is partitioned
+    * by `effective_from` range, so a snapshot read prunes to the
+    * partitions overlapping D's horizon instead of scanning all
+    * history. */
+  def scdSnapshot(spark: SparkSession, dir: String): DataFrame = {
+    val d = lit(SnapshotDate).cast("date")
+    scdOrderHistory(spark, dir)
+      .filter(col("effective_from") <= d &&
+        (col("effective_to").isNull || col("effective_to") > d))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        col("effective_from"))
+  }
+
+  private val scdSnapshotOracle: String = s"""
+    WITH h AS (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+        o_orderdate AS effective_from,
+        lead(o_orderdate) OVER w AS effective_to
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
+    SELECT o_custkey, o_orderkey, o_totalprice, effective_from
+    FROM h WHERE effective_from <= DATE '$SnapshotDate'
+      AND (effective_to IS NULL OR effective_to > DATE '$SnapshotDate')"""
+
   private val scdOracle: String = """
     SELECT o_custkey, o_orderkey, o_totalprice,
       o_orderdate AS effective_from,
@@ -145,6 +178,7 @@ object CdcQueries {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q100_cdc_merge", cdcMergeCustomers, Some(cdcMergeOracle)),
     QueryDef("q101_scd2_history", scdOrderHistory, Some(scdOracle)),
+    QueryDef("q134_scd2_snapshot", scdSnapshot, Some(scdSnapshotOracle)),
     QueryDef("q104_incremental_agg", incrementalMonthlyRevenue,
       Some(incrementalOracle)),
     QueryDef("q113_cdc_diff", cdcDiff, Some(cdcDiffOracle)))

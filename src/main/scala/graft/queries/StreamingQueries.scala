@@ -441,7 +441,61 @@ object StreamingQueries {
         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
       FROM expanded GROUP BY 1, 2"""
 
+  /** q133 — streaming SKETCH maintenance: per-type approximate-distinct
+    * users kept current by merging each microbatch's HLL sketch into a
+    * stored one through the [[graft.streaming.VersionedStore]] (q115's
+    * exactly-once commit discipline — no state store, replay-safe).
+    * This is the mergeable-sketch trio (HLL q54 / quantile q56 / CMS
+    * q68) promoted to CONTINUOUS operation: per batch the merge cost is
+    * O(batch agg + types·sketch), never O(history), and the stored
+    * relation is a few KB per group no matter how many users streamed
+    * past — the property that makes distinct-count dashboards viable
+    * over unbounded streams. The final estimate is attested against the
+    * exact batch distinct (q54's contract: estimate within HLL
+    * tolerance, here generous 5%+16 absolute for the small gate
+    * cardinalities where HLL's sparse mode is near-exact). */
+  def distinctSketchStream(spark: SparkSession, dir: String): DataFrame = {
+    val src = s"$dir/events.parquet"
+    val out = scratchDir("stream_q133_hll", dir)
+    val ckpt = scratchDir("stream_q133_ckpt", dir)
+    delete(ckpt); delete(out)
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema)
+      .parquet(s"$dir/events*.parquet")
+    val store = new graft.streaming.VersionedStore(out)
+    val apply: (Dataset[Row], Long) => Unit = (batch, id) => {
+      if (!store.committedBatch.exists(_ >= id)) {
+        val delta = batch.groupBy("event_type")
+          .agg(hll_sketch_agg(col("user_id")).as("sk"))
+        val merged = store.read(batch.sparkSession) match {
+          case Some(prev) => prev.unionByName(delta)
+            .groupBy("event_type").agg(hll_union_agg(col("sk")).as("sk"))
+          case None => delta
+        }
+        store.commit(merged, id)
+      }
+    }
+    val q = stream.writeStream.foreachBatch(apply)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally { q.stop(); delete(ckpt) }
+    val est = store.read(spark).get
+      .select(col("event_type"), hll_sketch_estimate(col("sk")).as("est"))
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(count_distinct(col("user_id")).as("n_exact"))
+      .join(est, "event_type")
+      .select(col("event_type"), col("n_exact"),
+        (abs(col("est") - col("n_exact")) <=
+          col("n_exact") * 0.05 + 16).as("approx_in_tolerance"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q133_distinct_sketch_stream", distinctSketchStream, Some("""
+      SELECT event_type, COUNT(DISTINCT user_id) AS n_exact,
+        CAST(1 AS BOOLEAN) AS approx_in_tolerance
+      FROM events GROUP BY 1""")),
     QueryDef("q61_sliding_hourly_stream", slidingHourlyStream,
       Some(slidingOracle)),
     QueryDef("q66_sessionize_stream", sessionizeStream,
