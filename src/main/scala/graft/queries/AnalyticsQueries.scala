@@ -543,6 +543,65 @@ object AnalyticsQueries {
       types.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
   }
 
+  /** Wide→long unpivot/melt (q136) — the inverse of q35's pivot and the
+    * step every metrics store needs before a generic "metric, value"
+    * sink: per-region order metrics computed WIDE (one hash-agg pass,
+    * every metric an integral LONG so the melted value column is
+    * type-uniform and FP-free), then melted with the native `unpivot`
+    * operator. Unpivot is a zero-shuffle Expand — 4 output rows per
+    * input row, no exchange; the only shuffle is the upstream agg. */
+  def metricsUnpivot(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables(spark, dir, "orders")
+    val cust = Tables(spark, dir, "customer")
+    val nation = Tables(spark, dir, "nation")
+    val region = Tables(spark, dir, "region")
+    val wide = orders
+      .join(broadcast(cust), orders("o_custkey") === cust("c_custkey"))
+      .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(cents(col("o_totalprice"))).as("revenue_cents"),
+        max(cents(col("o_totalprice"))).as("max_price_cents"),
+        countDistinct(col("o_custkey")).as("n_customers"))
+    wide.unpivot(
+      Array(col("r_name")),
+      Array(col("n_orders"), col("revenue_cents"),
+        col("max_price_cents"), col("n_customers")),
+      "metric", "value")
+  }
+
+  /** 2-D skyline / Pareto frontier (q137) — "no part is both cheaper and
+    * larger": the classic multi-criteria OLAP operator. For two
+    * dimensions the frontier is a monotone chain, so instead of the
+    * O(n²) dominance test the plan is (a) one distributed hash-agg to
+    * per-price max-size (cardinality = distinct prices, not rows),
+    * (b) a running-max window over that SMALL relation — a price group
+    * survives iff its max size strictly exceeds every cheaper group's —
+    * and (c) a broadcast join back to recover the surviving part rows
+    * (price ties on the frontier all qualify: equal (price, size)
+    * duplicates never strictly dominate each other). The single-task
+    * window sorts distinct prices only; the corpus-sized work stays
+    * distributed. Prices compare as exact integral cents. */
+  def skylineParts(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables(spark, dir, "part")
+      .select(col("p_partkey"), cents(col("p_retailprice")).as("price_cents"),
+        col("p_size"))
+    val grouped = p.groupBy("price_cents").agg(max("p_size").as("gmax"))
+    val w = Window.orderBy("price_cents")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = grouped
+      .withColumn("prevmax", max(col("gmax")).over(w))
+      .filter(col("prevmax").isNull || col("gmax") > col("prevmax"))
+      // fresh column names: frontier derives from p, so joining on the
+      // original names would be an ambiguous self-join lineage
+      .select(col("price_cents").as("f_price"), col("gmax").as("f_size"))
+    p.join(broadcast(frontier),
+        col("price_cents") === col("f_price") &&
+          col("p_size") === col("f_size"))
+      .select(col("p_partkey"), col("price_cents"), col("p_size"))
+  }
+
   /** Shared by q30 (compositional) and q38 (custom physical operator):
     * both must reproduce DuckDB's native ASOF LEFT JOIN. */
   private val asOfOracle = """
@@ -559,6 +618,33 @@ object AnalyticsQueries {
         ON ev.bucket = ord.bucket AND ord.o_orderdate <= ev.ts"""
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q136_metrics_unpivot", metricsUnpivot, Some(s"""
+      WITH w AS (
+        SELECT r_name, COUNT(*) AS n_orders,
+          CAST(SUM(${sqlCents("o_totalprice")}) AS BIGINT) AS revenue_cents,
+          CAST(MAX(${sqlCents("o_totalprice")}) AS BIGINT) AS max_price_cents,
+          COUNT(DISTINCT o_custkey) AS n_customers
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name)
+      SELECT r_name, 'n_orders' AS metric, n_orders AS value FROM w
+      UNION ALL SELECT r_name, 'revenue_cents', revenue_cents FROM w
+      UNION ALL SELECT r_name, 'max_price_cents', max_price_cents FROM w
+      UNION ALL SELECT r_name, 'n_customers', n_customers FROM w""")),
+    QueryDef("q137_skyline_parts", skylineParts, Some(s"""
+      WITH p AS (
+        SELECT p_partkey, ${sqlCents("p_retailprice")} AS price_cents, p_size
+        FROM part),
+      g AS (SELECT price_cents, MAX(p_size) AS gmax FROM p GROUP BY 1),
+      r AS (SELECT price_cents, gmax,
+          MAX(gmax) OVER (ORDER BY price_cents
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax
+        FROM g)
+      SELECT p.p_partkey, p.price_cents, p.p_size
+      FROM p JOIN r ON p.price_cents = r.price_cents AND p.p_size = r.gmax
+      WHERE r.prevmax IS NULL OR r.gmax > r.prevmax""")),
     QueryDef("q34_set_ops", setOps, Some("""
       SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
       INTERSECT

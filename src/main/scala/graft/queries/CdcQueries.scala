@@ -175,7 +175,42 @@ object CdcQueries {
     UNION ALL
     SELECT c_custkey + 1000000, 'added' FROM customer WHERE c_custkey % 10 = 3"""
 
+  /** q139 — GDPR delete propagation (right-to-be-forgotten): a deletion
+    * request TABLE keyed on user is anti-joined through the fact table —
+    * the request list is data (a compliance log), not a filter predicate,
+    * which is what distinguishes erasure propagation from ordinary row
+    * filtering. The request side here is a deterministic ~10% of users
+    * via the q32 stable-hash gate (standing in for the real request log
+    * so the oracle can reconstruct it). Plan shape at scale: the request
+    * list is broadcast (requests are small by nature) and the fact table
+    * is scanned once with a broadcast ANTI join — no fact-side shuffle;
+    * the post-erasure per-type counts double as the compliance audit
+    * that no requested user's events survive. */
+  def gdprDelete(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.Sampling
+    val ev = Tables.events(spark, dir)
+    val requests = ev.select(col("user_id")).distinct()
+      .filter(Sampling.hashBucket(col("user_id")) < 1000)
+    ev.join(broadcast(requests), Seq("user_id"), "left_anti")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+
+  private val gdprOracle: String = {
+    import graft.text.Sampling
+    s"""
+    WITH req AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE ${Sampling.sqlHashBucket("user_id")} < 1000)
+    SELECT event_type, COUNT(*) AS n_events,
+      COUNT(DISTINCT user_id) AS n_users
+    FROM events WHERE user_id NOT IN (SELECT user_id FROM req)
+    GROUP BY 1"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q139_gdpr_delete", gdprDelete, Some(gdprOracle)),
     QueryDef("q100_cdc_merge", cdcMergeCustomers, Some(cdcMergeOracle)),
     QueryDef("q101_scd2_history", scdOrderHistory, Some(scdOracle)),
     QueryDef("q134_scd2_snapshot", scdSnapshot, Some(scdSnapshotOracle)),

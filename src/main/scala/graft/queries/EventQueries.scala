@@ -153,7 +153,38 @@ object EventQueries {
         (col("_ranks") === array_sort(col("_ranks"))).as("conforms"))
   }
 
+  /** Cohort retention matrix (q135) — the product-analytics staple: users
+    * are bucketed by the week they first appeared (their cohort) and the
+    * matrix counts how many of each cohort were active 0, 1, 2… weeks
+    * later. Weeks are integral weeks-since-epoch (`unix_micros DIV
+    * week_us`) — pure integer arithmetic, identical in both engines, no
+    * timezone/locale week-of-year semantics to disagree on. Two shuffles,
+    * both hashed on `user_id` (first-seen agg and the distinct
+    * user-week relation), so the cohort join co-partitions without a
+    * third exchange; the final rollup's cardinality is
+    * O(weeks² / 2) — tiny at any corpus size. */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val weekUs = 7L * 86400L * 1000000L
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"),
+        expr(s"unix_micros(ts) DIV ${weekUs}L").as("week"))
+    val cohort = ev.groupBy("user_id").agg(min("week").as("cohort_week"))
+    ev.distinct()
+      .join(cohort, "user_id")
+      .groupBy(col("cohort_week"),
+        (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q135_cohort_retention", cohortRetention, Some("""
+      WITH ev AS (
+        SELECT user_id, epoch_us(ts) // 604800000000 AS week FROM events),
+      c AS (SELECT user_id, MIN(week) AS cohort_week FROM ev GROUP BY 1),
+      a AS (SELECT DISTINCT user_id, week FROM ev)
+      SELECT cohort_week, week - cohort_week AS week_offset,
+        COUNT(*) AS n_users
+      FROM a JOIN c USING (user_id) GROUP BY 1, 2""")),
     QueryDef("q132_sequence_conformance", sequenceConformance, Some("""
       WITH e AS (
         SELECT user_id, epoch_us(ts) AS ts_us, event_id,

@@ -123,7 +123,30 @@ object ProfileQueries {
         THEN 1 ELSE 0 END) = 0
     FROM orders"""
 
+  /** q140 — k-anonymity audit (privacy DQ): group the table by its
+    * quasi-identifier columns and flag every equivalence class smaller
+    * than k — those rows are re-identifiable by joining the QI tuple to
+    * an external dataset, the attack k-anonymity measures. One hash-agg
+    * on the QI tuple (distributed, map-side partial); the suppression
+    * decision is a pure per-group comparison. The release policy this
+    * feeds (suppress or generalize flagged groups) composes as a
+    * semi/anti join of this audit back to the table — same broadcast
+    * shape as q139's erasure propagation. */
+  def kAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    val k = 5L
+    Tables(spark, dir, "customer")
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("suppressed", col("n_rows") < k)
+  }
+
+  private val kAnonOracle: String = """
+    SELECT c_nationkey, c_mktsegment, COUNT(*) AS n_rows,
+      COUNT(*) < 5 AS suppressed
+    FROM customer GROUP BY 1, 2"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q111_column_profile", profileOrders, Some(profileOracle)),
-    QueryDef("q112_dq_rules", dqReport, Some(dqOracle)))
+    QueryDef("q112_dq_rules", dqReport, Some(dqOracle)),
+    QueryDef("q140_k_anonymity", kAnonymity, Some(kAnonOracle)))
 }

@@ -53,6 +53,26 @@ object TextQueries {
       .select(col("doc_id"), col("lang"))
   }
 
+  /** Leakage-safe GROUP-level train/val/test split (q138): the split key
+    * is the document's SOURCE, not the document — every doc from one
+    * source lands in the same split, so near-duplicate documents within
+    * a crawl/domain can never straddle the train/test boundary (the
+    * train-test-contamination failure mode group-aware splitting
+    * exists to prevent; doc-level hashing like q32/q79 cannot give this
+    * guarantee). Same stable-hash machinery as q32 — a pure function of
+    * the source string, replayable on any engine/layout — with 80/10/10
+    * basis-point thresholds. Shuffle-free: one narrow projection over
+    * the scan; the group-coherence property costs nothing because the
+    * assignment never looks at more than the row's own group key. */
+  def groupSplit(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.Sampling
+    val b = Sampling.hashBucket(col("source"))
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        when(b < 8000, "train").when(b < 9000, "val").otherwise("test")
+          .as("split"))
+  }
+
   // q64 mixing parameters — interpolated into BOTH the Spark plan and the
   // oracle so they cannot drift apart
   val MixHighE6 = 600000L
@@ -726,6 +746,14 @@ object TextQueries {
       s"""SELECT doc_id, lang FROM documents
       WHERE ${Sampling.sqlHashBucket("doc_id")} <
         ${Sampling.sqlStratumRate("lang", Map("en" -> 3000), 1000)}"""
+    })),
+    QueryDef("q138_group_split", groupSplit, Some({
+      import graft.text.Sampling
+      s"""SELECT doc_id, source,
+        CASE WHEN ${Sampling.sqlHashBucket("source")} < 8000 THEN 'train'
+          WHEN ${Sampling.sqlHashBucket("source")} < 9000 THEN 'val'
+          ELSE 'test' END AS split
+      FROM documents"""
     })),
     QueryDef("q70_deterministic_shuffle",
       deterministicShuffle(_, _, shards = ShuffleShards), Some(s"""
