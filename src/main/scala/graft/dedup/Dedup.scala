@@ -236,6 +236,59 @@ object Dedup {
     (out, () => { sets.unpersist(); () })
   }
 
+  /** EXACT set-similarity self-join via prefix filtering — the
+    * AllPairs/PPJoin family (Bayardo et al. WWW'07; Xiao et al.
+    * "Efficient Similarity Joins for Near Duplicate Detection"): the
+    * deterministic-complete-recall counterpart to the probabilistic LSH
+    * paths (minhash q21, simhash q22). LSH banding can miss a qualifying
+    * pair (tunable, but nonzero); the prefix filter CANNOT — pigeonhole,
+    * not probability:
+    *
+    * Order the shingle universe totally (here: global rarity `(df, sh)`,
+    * rarest first — any total order is correct; rarity minimizes
+    * candidates). For Jaccard ≥ t, a qualifying pair has
+    * `c = |A∩B| ≥ ⌈t·|A|⌉` (c ≥ t·(|A|+|B|−c) and |B| ≥ c). If A's
+    * prefix — its `|A| − ⌈t·|A|⌉ + 1` smallest elements — contained no
+    * intersection element, A would hold ≥ that many non-common elements
+    * below the globally-smallest common one, capping c at ⌈t·|A|⌉ − 1:
+    * contradiction. So the smallest common element sits in BOTH prefixes
+    * and the prefix equi-join sees every qualifying pair.
+    *
+    * Plan shape at scale: df counts are one hash-agg on the shingle key;
+    * the prefix relation is ~half the exploded relation (t = 1/2);
+    * candidates come from ONE equi-join on the shingle key — bucketed by
+    * construction, never all-pairs — pre-filtered by the size-compat
+    * bound max ≤ min/t before the exact verify. Verification reuses the
+    * per-doc-array `array_intersect` path shared with the LSH verifier.
+    * Exactness of the UNIVERSE: sets are 48-bit hashed shingles, hashed
+    * identically by the oracle (the q21 contract — collisions mirror). */
+  def prefixFilterNearDuplicates(df: DataFrame, idCol: String,
+      textCol: String, shingleK: Int = 3,
+      threshold: Double = 0.5): (DataFrame, () => Unit) = {
+    require(threshold == 0.5, "prefix length is specialized to t = 1/2")
+    val ex = hashedShingleSet(df, idCol, textCol, shingleK)
+      .filter(col("sh").isNotNull).persist()
+    val dfreq = ex.groupBy("sh").agg(count(lit(1)).as("df"))
+    val perDoc = ex.join(dfreq, "sh")
+      .groupBy("id")
+      .agg(count(lit(1)).as("s"),
+        sort_array(collect_list(struct(col("df"), col("sh")))).as("sorted"))
+    // π = s − ⌈s/2⌉ + 1 = s DIV 2 + 1, integer arithmetic end to end
+    val prefix = perDoc
+      .select(col("id"), col("s"),
+        explode(expr("slice(sorted, 1, int(s DIV 2 + 1))")).as("p"))
+      .select(col("id"), col("s"), col("p.sh").as("sh"))
+      .persist() // self-joined below: one prefix build, not one per side
+    val cand = prefix.as("x").join(prefix.as("y"), col("x.sh") === col("y.sh"))
+      .filter(col("x.id") < col("y.id") &&
+        // J ≥ t bounds the size ratio: max ≤ min/t (= 2·min at t = 1/2)
+        greatest(col("x.s"), col("y.s")) <= least(col("x.s"), col("y.s")) * 2)
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+      .distinct()
+    val (out, releaseSets) = jaccardFrom(ex, cand, threshold)
+    (out, () => { ex.unpersist(); prefix.unpersist(); releaseSets() })
+  }
+
   // ---- duplicate clustering ----
 
   /** Connected components over an undirected pair relation `(a, b)`:

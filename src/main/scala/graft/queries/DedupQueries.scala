@@ -325,7 +325,45 @@ object DedupQueries {
     FROM names a JOIN names b ON a.c_name < b.c_name
     WHERE levenshtein(a.c_name, b.c_name) <= 1"""
 
+  /** q141 — exact set-similarity join via prefix filtering (AllPairs/
+    * PPJoin): deterministic complete recall at J ≥ 0.5, where the LSH
+    * paths are probabilistic. The ORACLE is the independent all-pairs
+    * formulation — it never sees the prefix filter, so a green row
+    * proves the filter lost no qualifying pair on this corpus, not just
+    * that both sides ran the same algorithm. */
+  def prefixFilterDups(spark: SparkSession, dir: String): DataFrame =
+    // handle dropped: the query contract returns a lazy frame, so the
+    // shingle/prefix caches are left to LRU / clearCache (q21/q22 trade)
+    Dedup.prefixFilterNearDuplicates(Tables(spark, dir, "documents"),
+        "doc_id", "text", K, threshold = 0.5)._1
+      .select(col("a"), col("b"),
+        floor(col("jaccard") * 1000000).as("jaccard_e6"))
+
+  private val prefixFilterOracle = s"""
+    WITH exwh AS (
+      SELECT doc_id,
+        list_transform(${sqlTokens("text")}, w -> ${sqlWordHash("w")}) AS wh
+      FROM documents),
+    ex AS (
+      SELECT doc_id, unnest(list_distinct(${Dedup.sqlShingleHashes("wh", K)})) AS sh
+      FROM exwh WHERE len(wh) >= $K),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id),
+    allc AS (
+      SELECT ea.doc_id AS a, eb.doc_id AS b, COUNT(*) AS n_inter
+      FROM ex ea JOIN ex eb ON ea.sh = eb.sh AND ea.doc_id < eb.doc_id
+      GROUP BY 1, 2),
+    jac AS (
+      SELECT a, b,
+        n_inter::DOUBLE / (sa.n + sb.n - n_inter)::DOUBLE AS jaccard
+      FROM allc
+      JOIN sizes sa ON sa.doc_id = a
+      JOIN sizes sb ON sb.doc_id = b)
+    SELECT a, b, CAST(floor(jaccard * 1000000) AS BIGINT) AS jaccard_e6
+    FROM jac WHERE jaccard >= 0.5"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q141_prefix_filter_dups", prefixFilterDups,
+      Some(prefixFilterOracle)),
     QueryDef("q105_editdist_near_dups", editDistanceNearDups,
       Some(editDistanceOracle)),
     QueryDef("q20_minhash_signatures", minhashSigs, Some(minhashSigsOracle)),

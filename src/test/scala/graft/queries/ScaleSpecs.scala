@@ -535,6 +535,33 @@ class ScaleSpecs extends SparkTestBase {
     }
   }
 
+  test("prefix-filter join stays an equi-join and recalls every exact pair") {
+    import graft.dedup.Dedup
+    val docs = Tables(spark, dir, "documents")
+    val (pairs, release) = Dedup.prefixFilterNearDuplicates(
+      docs, "doc_id", "text", shingleK = 3, threshold = 0.5)
+    val got = pairs.select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val plan = pairs.queryExecution.executedPlan.toString
+    // candidates come from the prefix equi-join on the shingle key: a
+    // cross-join shape means the filter regressed to all-pairs
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    // complete recall (the theorem, checked brute-force on sf0.001):
+    // every all-pairs Jaccard>=0.5 pair must be present
+    val sets = Dedup.hashedShingleSet(docs, "doc_id", "text", 3)
+      .filter(col("sh").isNotNull).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val ids = sets.keys.toSeq.sorted
+    val want = (for {
+      i <- ids.indices.iterator; j <- (i + 1 until ids.size).iterator
+      sa = sets(ids(i)); sb = sets(ids(j))
+      c = (sa intersect sb).size
+      if 2L * c >= (sa.size + sb.size - c)
+    } yield (ids(i), ids(j))).toSet
+    release()
+    assert(got == want, s"got ${got.size} pairs, want ${want.size}")
+  }
+
   test("edit-distance near-dups band on deletion variants, never cross join") {
     val df = DedupQueries.editDistanceNearDups(spark, dir)
     val rows = df.collect()
