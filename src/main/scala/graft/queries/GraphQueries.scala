@@ -87,6 +87,86 @@ object GraphQueries {
       SELECT node, deg, CAST(r AS BIGINT) AS rank_e12 FROM r$PrIters"""
   }
 
+  /** Minimum co-purchase support for a q142 edge: a part pair must share
+    * ≥2 orders. Interpolated into BOTH sides; it's what keeps the
+    * co-purchase graph sparse (115k raw pairs → 3.6k edges at sf0.01)
+    * so the wedge join is bounded at any scale. */
+  val TriMinSupport = 2
+
+  /** q142 — triangle participation counts over the part co-purchase
+    * graph, via degree-ordered orientation (the MapReduce-classic
+    * Suri–Vassilvitskii / Cohen formulation).
+    *
+    * Graph: parts sharing ≥[[TriMinSupport]] orders (support filter =
+    * the sparsifier). Each undirected edge is oriented from the
+    * lower-(degree, id) endpoint to the higher one; every triangle is
+    * then enumerated EXACTLY once as a wedge at its lowest-ordered
+    * vertex plus one closing-edge probe.
+    *
+    * Scale shape — the whole point of the orientation: out-degree under
+    * degree ordering is O(√m) even on power-law graphs, so the wedge
+    * self-join fans out per-vertex by √m instead of by the hub degree
+    * (a raw wedge join on a 10^6-degree hub is 10^12 rows; oriented it
+    * is ≤ m). The closing-edge check joins on the CANONICAL (lo, hi)
+    * key — a plain two-column hash equi-join, never an OR-predicate
+    * join (which would force BNL/cartesian in any engine). Wedge and
+    * closing relations both derive from the same oriented-edge subtree;
+    * exchange reuse shares its shuffle. Per-node counts export every
+    * triangle corner, so one wrong edge anywhere flips the hash. */
+  def triangles(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val pairs = li.as("a").join(li.as("b"), expr("a.ok = b.ok AND a.pk < b.pk"))
+      .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= TriMinSupport)
+      .select("u", "v")
+    val und = pairs.unionByName(pairs.select(col("v").as("u"), col("u").as("v")))
+    val deg = und.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
+    val o = und
+      .join(deg.as("du"), col("u") === col("du.node"))
+      .join(deg.as("dv"), col("v") === col("dv.node"))
+      .filter(col("du.deg") < col("dv.deg") ||
+        (col("du.deg") === col("dv.deg") && col("u") < col("v")))
+      .select(col("u").as("s"), col("v").as("t"))
+    val closing = o.select(least(col("s"), col("t")).as("lo"),
+      greatest(col("s"), col("t")).as("hi"))
+    val tri = o.as("w1").join(o.as("w2"),
+        expr("w1.s = w2.s AND w1.t < w2.t"))
+      .select(col("w1.s").as("a"), col("w1.t").as("b"), col("w2.t").as("c"))
+      .join(closing,
+        least(col("b"), col("c")) === col("lo") &&
+          greatest(col("b"), col("c")) === col("hi"))
+      .select("a", "b", "c")
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("part"))
+      .groupBy("part").agg(count(lit(1)).as("tri_cnt"))
+  }
+
+  private def triOracle: String = s"""
+    WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    pairs AS (
+      SELECT a.pk AS u, b.pk AS v
+      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY 1, 2 HAVING COUNT(*) >= $TriMinSupport),
+    und AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+    deg AS (SELECT u AS node, COUNT(*) AS deg FROM und GROUP BY 1),
+    o AS (
+      SELECT e.u AS s, e.v AS t FROM und e
+      JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
+      WHERE du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v)),
+    closing AS (
+      SELECT LEAST(s, t) AS lo, GREATEST(s, t) AS hi FROM o),
+    tri AS (
+      SELECT w1.s AS a, w1.t AS b, w2.t AS c
+      FROM o w1 JOIN o w2 ON w1.s = w2.s AND w1.t < w2.t
+      JOIN closing e3
+        ON e3.lo = LEAST(w1.t, w2.t) AND e3.hi = GREATEST(w1.t, w2.t)),
+    corners AS (
+      SELECT a AS part FROM tri UNION ALL
+      SELECT b FROM tri UNION ALL SELECT c FROM tri)
+    SELECT part, COUNT(*) AS tri_cnt FROM corners GROUP BY part"""
+
   val defs: Seq[QueryDef] = Seq(
-    QueryDef("q127_pagerank", pageRank, Some(prOracle)))
+    QueryDef("q127_pagerank", pageRank, Some(prOracle)),
+    QueryDef("q142_triangles", triangles, Some(triOracle)))
 }

@@ -696,6 +696,23 @@ class ScaleSpecs extends SparkTestBase {
     assert(rows.forall(_.getAs[Long]("rank_e12") >= 150000000000L))
   }
 
+  test("triangle closing-edge probe is a hash equi-join, never a nested loop") {
+    // q142: the closing edge connects the wedge's two endpoints in
+    // WHICHEVER direction the degree orientation chose — the naive
+    // formulation is an OR-predicate join, which no engine can hash and
+    // which degrades to BNL (quadratic in edges). Canonicalizing to
+    // (lo, hi) restores a plain two-key equi-join; this spec pins that.
+    val tri = GraphQueries.triangles(spark, dir)
+    tri.collect()
+    val plan = tri.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2500))
+    assert(!plan.contains("CartesianProduct"), plan.take(2500))
+    // at sf0.001 lineitem shares no part pair across 2+ orders, so the
+    // graph is empty — the plan shape is what this spec asserts; row
+    // content is gate-checked at sf0.01 (227 corner rows)
+  }
+
   test("partition pruning: date-filtered gold read scans a single partition") {
     // build a tiny two-date partitioned table and check the scan prunes
     import spark.implicits._
