@@ -111,7 +111,78 @@ object RetailQueries {
   private val discSql =
     s"${sqlCents("l_extendedprice")} * (100 - ${sqlCents("l_discount")})"
 
+  /** Minimum basket co-occurrence for a q143 rule; interpolated into
+    * BOTH sides. The support filter is applied at the aggregate (after
+    * the one pair shuffle), and it's what keeps the rule relation tiny
+    * relative to the corpus. */
+  val RuleMinSupport = 2
+
+  /** q143 — market-basket association rules (the Agrawal–Srikant
+    * apriori output surface): directed part→part rules with support,
+    * confidence and lift, all in EXACT integer e6 arithmetic.
+    *
+    * Baskets are order part-SETS (distinct (order, part) first — a
+    * part twice in one order is one basket membership). Pair counting
+    * is the q142/q130 bounded-expansion shape: per-basket pair fan-out
+    * is quadratic only in basket size (TPC-H ≤7 lines; a long-tail
+    * corpus caps the basket like q130 caps the term set), then ONE
+    * shuffle on the unordered pair key. conf = sup/c(ante) and
+    * lift = sup·N/(c(ante)·c(cons)) are floor-e6 rationals — engine-
+    * portable where FP ratios are not.
+    *
+    * Scale shape: the heavy relations (baskets, pairs) shuffle once
+    * each on their natural keys; everything post-support-filter is
+    * rule-sized. Item counts join onto the FILTERED pair relation
+    * (broadcast-eligible both sides), and the scalar basket total N
+    * enters as a 1-row broadcast cross join, never a driver constant
+    * round-trip. */
+  def basketRules(spark: SparkSession, dir: String): DataFrame = {
+    val baskets = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val n = baskets.agg(countDistinct(col("ok")).as("n_orders"))
+    val item = baskets.groupBy(col("pk")).agg(count(lit(1)).as("c"))
+    val pairs = baskets.as("a").join(baskets.as("b"),
+        expr("a.ok = b.ok AND a.pk < b.pk"))
+      .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+      .agg(count(lit(1)).as("sup"))
+      .filter(col("sup") >= RuleMinSupport)
+    val directed = pairs.select(col("u").as("ante"), col("v").as("cons"), col("sup"))
+      .unionByName(
+        pairs.select(col("v").as("ante"), col("u").as("cons"), col("sup")))
+    directed
+      .join(item.select(col("pk"), col("c").as("c_ante")), col("ante") === col("pk"))
+      .drop("pk")
+      .join(item.select(col("pk"), col("c").as("c_cons")), col("cons") === col("pk"))
+      .drop("pk")
+      .crossJoin(broadcast(n))
+      .select(col("ante"), col("cons"), col("sup"),
+        expr("sup * 1000000 DIV c_ante").as("conf_e6"),
+        expr("sup * n_orders * 1000000 DIV (c_ante * c_cons)").as("lift_e6"))
+  }
+
+  private def basketOracle: String = s"""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    n AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM baskets),
+    item AS (SELECT pk, COUNT(*) AS c FROM baskets GROUP BY 1),
+    pairs AS (
+      SELECT a.pk AS u, b.pk AS v, COUNT(*) AS sup
+      FROM baskets a JOIN baskets b ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY 1, 2 HAVING COUNT(*) >= $RuleMinSupport),
+    directed AS (
+      SELECT u AS ante, v AS cons, sup FROM pairs
+      UNION ALL SELECT v, u, sup FROM pairs)
+    SELECT d.ante, d.cons, d.sup,
+      CAST(d.sup * 1000000 // ia.c AS BIGINT) AS conf_e6,
+      CAST(d.sup * n.n_orders * 1000000 // (ia.c * ic.c) AS BIGINT) AS lift_e6
+    FROM directed d
+    JOIN item ia ON ia.pk = d.ante
+    JOIN item ic ON ic.pk = d.cons
+    CROSS JOIN n"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q143_basket_rules", basketRules, Some(basketOracle)),
     QueryDef("q01_pricing_summary", pricingSummary, Some(s"""
       SELECT l_returnflag, l_linestatus,
         ${sqlSumMoney("l_quantity")} AS sum_qty,

@@ -148,7 +148,89 @@ object RetrievalQueries {
       .agg(count(lit(1)).as("df"), sum("tf").as("total_tf"))
   }
 
+  /** q144 knobs, interpolated into BOTH sides. The query is the 3 terms
+    * ranked 11–13 by df (len ≥ [[MinTermLen]], df-desc term-asc ties) —
+    * a deterministic mid-selectivity band: the very top of the df order
+    * is stopword-ish and would rank almost purely on length norm. */
+  val Bm25K = 3
+  val Bm25Offset = 10
+  val Bm25TopK = 20
+
+  /** q144 — BM25-ranked disjunctive retrieval in EXACT integer e6
+    * arithmetic (the ranked half of q122's boolean lookup).
+    *
+    * Classic BM25 with k1=1.2, b=0.75, with two deliberate FP-free
+    * substitutions, both documented engine-portable rationals:
+    * tf-saturation × length-norm is computed EXACTLY — multiplying
+    * numerator and denominator by 20·avgdl clears k1 and b to integers
+    * (num = 44·avgdl·tf, den = 20·avgdl·tf + 6·avgdl + 18·dl) — and
+    * the log-idf is replaced by the rational (N−df+1)/(df+1) at e6
+    * (ln at e6 scale differs across engines in ulps, which an exact-
+    * hash gate cannot tolerate; the substitution preserves the df
+    * ordering that drives the ranking). avgdl is total_tokens DIV N.
+    *
+    * Scale shape: postings and doc-lengths derive from ONE tokenized
+    * corpus pass; the 3-term query relation and the 1-row corpus stats
+    * are broadcast; the per-term filter is a broadcast hash join that
+    * prunes postings BEFORE the doc-length join; the final top-k is
+    * TakeOrderedAndProject (O(k) per partition, no global sort). With
+    * the q122 stored index the first join becomes a bucket-pruned scan;
+    * here the build is inlined so the gate replays build∘rank. */
+  def bm25(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val postings = toks.groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+        sum(col("dl")).as("total_tokens"))
+      .select(col("n_docs"), expr("total_tokens DIV n_docs").as("avgdl"))
+    val dfRel = postings.groupBy("term").agg(count(lit(1)).as("df"))
+    val qterms = dfRel.filter(length(col("term")) >= MinTermLen)
+      .orderBy(desc("df"), asc("term")).offset(Bm25Offset).limit(Bm25K)
+      .crossJoin(broadcast(stats))
+      .select(col("term"),
+        expr("(n_docs - df + 1) * 1000000 DIV (df + 1)").as("idf_e6"))
+    postings.join(broadcast(qterms), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        expr("""idf_e6 * ((44 * avgdl * tf * 1000000)
+                DIV (20 * avgdl * tf + 6 * avgdl + 18 * dl))
+                DIV 1000000""").as("contrib"))
+      .groupBy("doc_id").agg(sum(col("contrib")).as("score_e6"))
+      .orderBy(desc("score_e6"), asc("doc_id")).limit(Bm25TopK)
+  }
+
+  private def bm25Oracle: String = s"""
+    WITH toks AS (
+      SELECT doc_id, unnest(${sqlTokens("text")}) AS term FROM documents),
+    postings AS (
+      SELECT term, doc_id, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+    stats AS (
+      SELECT COUNT(*) AS n_docs,
+        CAST(SUM(dl) AS BIGINT) // COUNT(*) AS avgdl FROM dl),
+    dfr AS (SELECT term, COUNT(*) AS df FROM postings GROUP BY 1),
+    qt AS (SELECT term, df FROM dfr WHERE length(term) >= $MinTermLen
+           ORDER BY df DESC, term LIMIT $Bm25K OFFSET $Bm25Offset),
+    qi AS (SELECT term,
+        CAST((s.n_docs - df + 1) * 1000000 // (df + 1) AS BIGINT) AS idf_e6
+      FROM qt, stats s),
+    scored AS (
+      SELECT p.doc_id,
+        qi.idf_e6 * ((44 * s.avgdl * p.tf * 1000000)
+          // (20 * s.avgdl * p.tf + 6 * s.avgdl + 18 * d.dl)) // 1000000
+          AS contrib
+      FROM postings p
+      JOIN qi ON qi.term = p.term
+      JOIN dl d ON d.doc_id = p.doc_id
+      CROSS JOIN stats s)
+    SELECT doc_id, CAST(SUM(contrib) AS BIGINT) AS score_e6
+    FROM scored GROUP BY doc_id
+    ORDER BY score_e6 DESC, doc_id LIMIT $Bm25TopK"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q144_bm25", bm25, Some(bm25Oracle)),
     QueryDef("q125_phrase_query", phraseQuery, Some({
       import graft.dedup.Dedup.sqlShingles
       s"""
