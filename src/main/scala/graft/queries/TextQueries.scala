@@ -690,7 +690,104 @@ object TextQueries {
         md5(regexp_replace(regexp_replace(col("_t"), EmailRe, "<EMAIL>"),
           PhoneRe, "<PHONE>")).as("scrubbed_md5"))
 
+  /** BPE merge iterations for q145; interpolated into BOTH sides (the
+    * oracle CTE chain replays the same count). */
+  val BpeIters = 3
+
+  /** q145 — BPE tokenizer TRAINING: learn the first [[BpeIters]] merge
+    * rules from the corpus (the Sennrich et al. algorithm that every
+    * production tokenizer trainer runs before a model ever sees data).
+    *
+    * The training relation is the WORD-FREQUENCY table, not the corpus —
+    * the corpus is scanned once, then every iteration is O(vocab), which
+    * is how HF `tokenizers` scales too (Zipf: vocab ≪ corpus). One
+    * iteration = weighted adjacent-pair counts over the symbol
+    * sequences → argmax pair (cnt desc, pair asc — deterministic) →
+    * greedy leftmost merge applied to every word.
+    *
+    * The merge step is the subtle part: BPE applies a merge left-to-
+    * right non-overlapping, exactly the semantics of SQL `replace` —
+    * EXCEPT that adjacent matches share their separator space. Doubling
+    * the separators first (' '→'  ') gives each boundary its own space
+    * on both sides, so plain replace-all is exact greedy BPE, engine-
+    * portably (no lookbehind, which RE2 lacks). Each output row attests
+    * the applied merge end-to-end: `symbols_after` must drop by exactly
+    * the count of NON-OVERLAPPING applied occurrences, over the whole
+    * corpus, or the hash fails.
+    *
+    * Scale shape: one corpus tokenize pass → vocab-sized aggregate;
+    * per-iteration pair counts are a vocab-sized shuffle; the argmax is
+    * TakeOrderedAndProject; the 1-row merge rule re-enters as a
+    * broadcast cross join (never a driver constant). */
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    val seqCol = trim(regexp_replace(col("tok"), "(.)", "$1 "))
+    var words = Tables(spark, dir, "documents")
+      .select(explode(tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("freq"))
+      .select(seqCol.as("seq"), col("freq"))
+    var out: DataFrame = null
+    for (i <- 1 to BpeIters) {
+      val t = split(col("seq"), " ")
+      val pairs = words
+        .select(col("freq"), explode(zip_with(
+          slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+          (x, y) => concat(x, lit(" "), y))).as("pair"))
+        .groupBy("pair").agg(sum(col("freq")).as("cnt"))
+      val top = pairs.orderBy(desc("cnt"), asc("pair")).limit(1)
+        .select(split(col("pair"), " ").getItem(0).as("a"),
+          split(col("pair"), " ").getItem(1).as("b"), col("cnt"))
+      words = words.crossJoin(broadcast(top))
+        .select(expr("""trim(replace(replace(
+            ' ' || replace(seq, ' ', '  ') || ' ',
+            ' ' || a || '  ' || b || ' ',
+            ' ' || a || b || ' '), '  ', ' '))""").as("seq"), col("freq"))
+      val stats = words.agg(
+        sum(col("freq") * size(split(col("seq"), " "))).as("symbols_after"))
+      val row = top.crossJoin(broadcast(stats))
+        .select(lit(i).as("iter"), col("a"), col("b"), col("cnt"),
+          col("symbols_after"))
+      out = if (out == null) row else out.unionByName(row)
+    }
+    out
+  }
+
+  private def bpeOracle: String = {
+    val stages = (1 to BpeIters).map { i =>
+      val prev = s"w${i - 1}"
+      s"""p$i AS (
+        SELECT l[i] || ' ' || l[i+1] AS pair, freq
+        FROM (SELECT string_split(seq, ' ') AS l, freq,
+                unnest(range(1, len(string_split(seq, ' ')))) AS i
+              FROM $prev)),
+      t$i AS (
+        SELECT string_split(pair, ' ')[1] AS a,
+          string_split(pair, ' ')[2] AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+        FROM p$i GROUP BY pair ORDER BY cnt DESC, pair LIMIT 1),
+      w$i AS (
+        SELECT trim(replace(replace(
+            ' ' || replace(seq, ' ', '  ') || ' ',
+            ' ' || a || '  ' || b || ' ',
+            ' ' || a || b || ' '), '  ', ' ')) AS seq, freq
+        FROM $prev, t$i),
+      s$i AS (
+        SELECT CAST(SUM(freq * len(string_split(seq, ' '))) AS BIGINT)
+          AS symbols_after FROM w$i)"""
+    }.mkString(",\n      ")
+    val rows = (1 to BpeIters).map { i =>
+      s"SELECT CAST($i AS INTEGER) AS iter, a, b, cnt, symbols_after FROM t$i, s$i"
+    }.mkString("\n      UNION ALL ")
+    s"""
+      WITH w0 AS (
+        SELECT trim(regexp_replace(tok, '(.)', '\\1 ', 'g')) AS seq,
+          COUNT(*) AS freq
+        FROM (SELECT unnest(${sqlTokens("text")}) AS tok FROM documents)
+        GROUP BY 1),
+      $stages
+      $rows"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q145_bpe_merges", bpeMerges, Some(bpeOracle)),
     QueryDef("q55_tfidf_top_terms", tfidfTopTerms(_, _), Some(s"""
       WITH tf AS (
         SELECT doc_id, tok AS term, COUNT(*) AS tf
