@@ -19,7 +19,8 @@ object SparkEntry {
       AnalyticsQueries.defs ++ TextQueries.defs ++ DedupQueries.defs ++
       SimilarityQueries.defs ++ PipelineQueries.defs ++ SourceQueries.defs ++
       StreamingQueries.defs ++ MultimodalQueries.defs ++ CdcQueries.defs ++
-      ProfileQueries.defs ++ RetrievalQueries.defs ++ GraphQueries.defs
+      ProfileQueries.defs ++ RetrievalQueries.defs ++ GraphQueries.defs ++
+      LayoutQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

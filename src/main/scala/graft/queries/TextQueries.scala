@@ -719,7 +719,14 @@ object TextQueries {
     * per-iteration pair counts are a vocab-sized shuffle; the argmax is
     * TakeOrderedAndProject; the 1-row merge rule re-enters as a
     * broadcast cross join (never a driver constant). */
-  def bpeMerges(spark: SparkSession, dir: String): DataFrame = {
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame =
+    bpeLoop(spark, dir)._2
+
+  /** Shared BPE merge loop: returns (final word-frequency relation after
+    * [[BpeIters]] merges, per-iteration merge-rule attestation rows).
+    * q145 grades the rules; q146 grades the encoded vocabulary. */
+  private def bpeLoop(spark: SparkSession,
+                      dir: String): (DataFrame, DataFrame) = {
     val seqCol = trim(regexp_replace(col("tok"), "(.)", "$1 "))
     var words = Tables(spark, dir, "documents")
       .select(explode(tokens(col("text"))).as("tok"))
@@ -748,10 +755,29 @@ object TextQueries {
           col("symbols_after"))
       out = if (out == null) row else out.unionByName(row)
     }
-    out
+    (words, out)
   }
 
-  private def bpeOracle: String = {
+  /** q146 — BPE ENCODING result: the subword vocabulary produced by
+    * applying q145's learned merge table to the whole corpus, i.e. what a
+    * tokenizer's `encode` emits in aggregate. Top-50 symbols by weighted
+    * occurrence (ties broken by symbol — deterministic); `n_chars` > 1
+    * marks learned multi-character subwords vs base characters.
+    *
+    * Same scale shape as training: the corpus is tokenized once into the
+    * word-frequency relation, encoding is O(vocab), and the final explode
+    * is a vocab-sized shuffle + TakeOrderedAndProject. */
+  def bpeVocab(spark: SparkSession, dir: String): DataFrame =
+    bpeLoop(spark, dir)._1
+      .select(explode(split(col("seq"), " ")).as("symbol"), col("freq"))
+      .groupBy("symbol").agg(sum(col("freq")).as("cnt"))
+      .select(col("symbol"), col("cnt"),
+        length(col("symbol")).cast("long").as("n_chars"))
+      .orderBy(desc("cnt"), asc("symbol")).limit(50)
+
+  /** Shared oracle CTE chain: w0 (character-split word frequencies) plus
+    * one (pair-count, argmax, merge, symbol-count) stage per iteration. */
+  private def bpeCtes: String = {
     val stages = (1 to BpeIters).map { i =>
       val prev = s"w${i - 1}"
       s"""p$i AS (
@@ -773,21 +799,35 @@ object TextQueries {
         SELECT CAST(SUM(freq * len(string_split(seq, ' '))) AS BIGINT)
           AS symbols_after FROM w$i)"""
     }.mkString(",\n      ")
-    val rows = (1 to BpeIters).map { i =>
-      s"SELECT CAST($i AS INTEGER) AS iter, a, b, cnt, symbols_after FROM t$i, s$i"
-    }.mkString("\n      UNION ALL ")
-    s"""
-      WITH w0 AS (
+    s"""WITH w0 AS (
         SELECT trim(regexp_replace(tok, '(.)', '\\1 ', 'g')) AS seq,
           COUNT(*) AS freq
         FROM (SELECT unnest(${sqlTokens("text")}) AS tok FROM documents)
         GROUP BY 1),
-      $stages
+      $stages"""
+  }
+
+  private def bpeOracle: String = {
+    val rows = (1 to BpeIters).map { i =>
+      s"SELECT CAST($i AS INTEGER) AS iter, a, b, cnt, symbols_after FROM t$i, s$i"
+    }.mkString("\n      UNION ALL ")
+    s"""
+      $bpeCtes
       $rows"""
   }
 
+  private def bpeVocabOracle: String = s"""
+      $bpeCtes
+      SELECT symbol, CAST(SUM(freq) AS BIGINT) AS cnt,
+        CAST(len(symbol) AS BIGINT) AS n_chars
+      FROM (SELECT unnest(string_split(seq, ' ')) AS symbol, freq
+            FROM w$BpeIters)
+      GROUP BY symbol
+      ORDER BY cnt DESC, symbol LIMIT 50"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q145_bpe_merges", bpeMerges, Some(bpeOracle)),
+    QueryDef("q146_bpe_vocab", bpeVocab, Some(bpeVocabOracle)),
     QueryDef("q55_tfidf_top_terms", tfidfTopTerms(_, _), Some(s"""
       WITH tf AS (
         SELECT doc_id, tok AS term, COUNT(*) AS tf
