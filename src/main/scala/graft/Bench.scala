@@ -87,7 +87,20 @@ object Bench {
       if (contended)
         s""","reliable":false,"caveat":"load_avg_start $loadStart > cpus/4 (${cpus / 4.0}): machine was contended before the run; totals are noise, compare idle runs only""""
       else ""","reliable":true"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"load_avg_start":$loadStart,"load_avg_end":$loadAvg,"cpus":$cpus$caveat,"errors":$errs,"sf":"$sfDir"}""")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"load_avg_start":$loadStart,"load_avg_end":$loadAvg,"cpus":$cpus$caveat,"errors":$errs,"sf":"$sfDir"}"""
+    // The driver captures only the LAST ~2000 chars of output and parses
+    // the metric line out of that window. With 150 queries the full line is
+    // ~10 KB, so its head (and the parse) was lost every round since r3.
+    // Ship the full record to a file and print a compact line LAST that is
+    // guaranteed to fit the window: headline total + the slowest queries.
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(sys.props("user.dir"), "BENCH_DETAIL.json"),
+      full.getBytes("UTF-8"))
+    val slow = results.filterNot(r => failed.contains(r._1))
+      .sortBy(-_._2).take(20)
+      .map { case (k, v, _) => "\"" + k + "\":" + math.round(v * 100) / 100.0 }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","n_queries":${results.size},"queries":$slow,"detail":"BENCH_DETAIL.json","load_avg_start":$loadStart,"cpus":$cpus$caveat,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

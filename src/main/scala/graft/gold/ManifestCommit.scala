@@ -51,7 +51,15 @@ object ManifestCommit {
     val id = Naming.newRunId()
     val dataDir = s"${commitsDir(partitionDir)}/c-$id"
     df.write.mode("overwrite").parquet(dataDir)
-    val files = listParquet(spark, dataDir).map(f => s"_commits/c-$id/$f")
+    val staged = listParquet(spark, dataDir)
+    // The manifest reader is a minimal regex parser (see read): a comma or
+    // quote inside a file name would silently corrupt the committed list.
+    // Spark part-file names can never contain either — enforce that at
+    // commit time so the invariant is checked where it could break.
+    staged.find(f => f.exists(c => c == ',' || c == '"' || c == '\\')).foreach(f =>
+      throw new IllegalStateException(
+        s"staged data file name not manifest-safe (comma/quote/backslash): $f"))
+    val files = staged.map(f => s"_commits/c-$id/$f")
     val m = Manifest(id, files, rowCount, java.time.Instant.now().toString)
     beforePublish()
     publish(fileOps, partitionDir, m)

@@ -56,8 +56,10 @@ object DqRules {
     require(rules.nonEmpty)
     val aggs = rules.map {
       case u: Unique =>
-        // duplicates = rows - distinct non-null values - null rows ...
-        // defined as: rows whose value occurs more than once, plus nulls
+        // violations = count(*) - count_distinct(c): the SURPLUS rows — a
+        // value occurring k times counts k-1 (the deletions needed to make
+        // the column unique), and EVERY null row counts (a null can't prove
+        // uniqueness, consistent with `violated` for the other rules)
         (count(lit(1)) - count_distinct(col(u.column)))
           .cast("long").as(u.id)
       case r =>

@@ -50,9 +50,12 @@ object ZOrder {
     val b = df.agg(
       min(col(c1).cast("double")), max(col(c1).cast("double")),
       min(col(c2).cast("double")), max(col(c2).cast("double"))).head()
+    // empty input / all-null column → min/max are null; degrade to the
+    // documented degenerate domain (lo == hi) so rank16 maps everything to 0
+    def d(i: Int): Double = if (b.isNullAt(i)) 0.0 else b.getDouble(i)
     val z = interleave(
-      rank16(col(c1), b.getDouble(0), b.getDouble(1)),
-      rank16(col(c2), b.getDouble(2), b.getDouble(3)))
+      rank16(col(c1), d(0), d(1)),
+      rank16(col(c2), d(2), d(3)))
     df.withColumn("_z", z)
       .repartitionByRange(files, col("_z"))
       .sortWithinPartitions("_z")

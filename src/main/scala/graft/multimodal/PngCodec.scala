@@ -283,7 +283,10 @@ object PngCodec {
       var got = 0
       while (got < expected && !inflater.finished()) {
         val n = inflater.inflate(out, got, expected - got)
-        if (n == 0 && inflater.needsInput()) return None // truncated stream
+        // truncated stream, or an FDICT preset-dictionary header we will
+        // never feed — without this check inflate() returns 0 forever
+        if (n == 0 && (inflater.needsInput() || inflater.needsDictionary()))
+          return None
         got += n
       }
       if (got == expected && (inflater.finished() ||
