@@ -305,6 +305,71 @@ object MediaSynth {
     ftyp ++ moov(offsets) ++ box("mdat", frames)
   }
 
+  // --------------------------------------------- baseline JPEG (q149)
+
+  /** Deterministic COEFFICIENT corpus for the real JPEG decode gate
+    * (q149): a complete baseline JFIF ([[JpegCodec.encodeGray]] — real
+    * huffman entropy coding, byte stuffing, restart markers on a third of
+    * the corpus) that [[JpegCodec.decode]] must genuinely entropy-decode,
+    * dequantize and IDCT. JPEG is lossy pixel→pixel but LOSSLESS
+    * coefficient→pixel, so the corpus is built in the FREQUENCY domain:
+    * each block carries quantized coefficients only at (0,0), (4,0),
+    * (0,4) and (4,4) — the four DCT basis functions that are ±1/8-valued
+    * over the block — with dequantized magnitudes that are multiples of 8,
+    * so every decoded pixel is the exact integer
+    * `128 + da + db·s(x) + dc·s(y) + dd·s(x)s(y)` with
+    * `s(i) = +1 if i mod 4 ∈ {0,3} else −1`, replayable by the oracle in
+    * pure arithmetic. Magnitudes are bounded (|da|≤64, |db|,|dc|≤16,
+    * |dd|≤8) so no clamping fires; the zigzag gaps between the three ACs
+    * (positions 10, 14, 39) put real (run,size) pairs AND a ZRL in every
+    * block's stream, and per-block-varying DC exercises difference
+    * coding; dims are non-multiples of 8, exercising edge crop. */
+  def jpegWidth(docId: Long): Int = (docId % 24).toInt + 9 // 9..32
+  def jpegHeight(docId: Long): Int = (docId % 20).toInt + 9 // 9..28
+  /** Restart interval in MCUs on a third of the corpus (0 = none). */
+  def jpegRestart(docId: Long): Int = if (docId % 3 == 0) 2 else 0
+
+  def jpegDa(docId: Long, bx: Int, by: Int): Int =
+    (((3L * bx + 5L * by + docId) % 128L) - 64L).toInt
+  def jpegDb(docId: Long, bx: Int, by: Int): Int =
+    (((7L * bx + 11L * by + 2L * docId) % 32L) - 16L).toInt
+  def jpegDc(docId: Long, bx: Int, by: Int): Int =
+    (((13L * bx + 17L * by + 3L * docId) % 32L) - 16L).toInt
+  def jpegDd(docId: Long, bx: Int, by: Int): Int =
+    (((19L * bx + 23L * by + 5L * docId) % 16L) - 8L).toInt
+
+  /** Natural-order quant table: 8 at the four used positions (so the
+    * dequantized values are the 8·d multiples the closed form needs),
+    * varied elsewhere — the decoder must still parse the full table. */
+  val jpegQuantTable: Array[Int] = Array.tabulate(64) {
+    case 0 | 4 | 32 | 36 => 8
+    case i => (i * 7) % 23 + 1
+  }
+
+  /** Quantized coefficients for block (bx, by), natural order. */
+  def jpegCoeffs(docId: Long)(bx: Int, by: Int): Array[Int] = {
+    val c = new Array[Int](64)
+    c(0) = jpegDa(docId, bx, by) // DC
+    c(4) = jpegDb(docId, bx, by) // (u=4, v=0): horizontal ±1/8 basis
+    c(32) = jpegDc(docId, bx, by) // (u=0, v=4): vertical
+    c(36) = jpegDd(docId, bx, by) // (u=4, v=4): checker
+    c
+  }
+
+  private def jpegSign(i: Int): Int = if (i % 4 == 0 || i % 4 == 3) 1 else -1
+
+  /** Closed-form decoded pixel value at (x, y). */
+  def jpegPixel(docId: Long, x: Int, y: Int): Int = {
+    val bx = x / 8; val by = y / 8
+    val sx = jpegSign(x % 8); val sy = jpegSign(y % 8)
+    128 + jpegDa(docId, bx, by) + jpegDb(docId, bx, by) * sx +
+      jpegDc(docId, bx, by) * sy + jpegDd(docId, bx, by) * sx * sy
+  }
+
+  def jpegPayload(docId: Long): Array[Byte] =
+    JpegCodec.encodeGray(jpegWidth(docId), jpegHeight(docId), jpegQuantTable,
+      jpegCoeffs(docId), jpegRestart(docId))
+
   // ---------------------------------------------- full-sample PCM WAV (q91)
 
   /** Deterministic SAMPLE corpus for the real audio decode gate (q91): a

@@ -8,12 +8,14 @@ import org.apache.spark.sql.functions._
   *
   * The decode layer is REAL for every subset pure JVM can implement
   * completely, each gate-verified: PNG pixels ([[PngCodec]], q85/q90),
-  * 16-bit PCM audio samples ([[AudioHeaders.pcm16]], q91–q93), and
-  * uncompressed-track video frames ([[VideoHeaders.rawVideoFrames]],
-  * q94). Feature extraction consumes decoded content for all three.
-  * Only ENTROPY-CODED payloads (JPEG scans, compressed audio/video
-  * tracks) fall back to a deliberate, clearly-marked deterministic stub —
-  * those codec libraries are not available in this environment.
+  * baseline JPEG ([[JpegCodec]], q149 — huffman entropy decode +
+  * dequant + IDCT), 16-bit PCM audio samples ([[AudioHeaders.pcm16]],
+  * q91–q93), and uncompressed-track video frames
+  * ([[VideoHeaders.rawVideoFrames]], q94). Feature extraction consumes
+  * decoded content for all four. Only the remaining out-of-subset
+  * payloads (progressive/subsampled JPEG, compressed audio/video
+  * codecs) fall back to a deliberate, clearly-marked deterministic
+  * stub — those codec libraries are not available in this environment.
   * Everything Spark-owns is real: the schema contract, the
   * partition-batched iteration shape (decoder state is amortized across a
   * partition, exactly how a JNI/FFI codec would be held), repartitioning
@@ -57,8 +59,8 @@ object Multimodal {
 
   /** Feature kernel: folds REAL decoded content whenever the payload is
     * in a fully-decodable subset — PNG pixels, PCM sample bytes (LE16
-    * sample order), or concatenated raw video frames — and the byte-fold
-    * stub otherwise. Same fold either way, so the vector is a pure
+    * sample order), concatenated raw video frames, or baseline-JPEG
+    * pixels — and the byte-fold stub otherwise. Same fold either way, so the vector is a pure
     * function of the DECODED content: two PNGs with identical pixels but
     * different compression levels (or two WAV files differing only in
     * chunk padding) map to the same feature vector — what a
@@ -78,7 +80,10 @@ object Multimodal {
           decodeStub(bytes)
         case None => VideoHeaders.rawVideoFrames(payload) match {
           case Some(rv) => decodeStub(rv.frames.flatten.toArray)
-          case None => decodeStub(payload)
+          case None => JpegCodec.decode(payload) match {
+            case Some(img) => decodeStub(img.pixels)
+            case None => decodeStub(payload)
+          }
         }
       }
     }

@@ -1060,6 +1060,73 @@ object MultimodalQueries {
     UNION ALL SELECT * FROM gif
     UNION ALL SELECT * FROM wav"""
 
+  /** q149 — REAL baseline-JPEG entropy decode under the gate, closing the
+    * repo's last stubbed image family: each doc maps to a complete JFIF
+    * ([[graft.multimodal.MediaSynth.jpegPayload]]) with genuine huffman
+    * entropy coding — per-block DC difference coding, AC (run,size) pairs
+    * with a ZRL in every block, byte stuffing, restart markers on a third
+    * of the corpus — that [[graft.multimodal.JpegCodec.decode]] must
+    * marker-walk, huffman-decode, dequantize and IDCT. The corpus lives in
+    * the frequency domain (coefficients only on ±1/8-valued DCT bases, 8·d
+    * dequantized magnitudes) so the decoded pixels are exact integers the
+    * oracle replays by pure arithmetic; a wrong huffman bound, EXTEND sign,
+    * zigzag slot, dequant index, IDCT scale, restart realign or edge crop
+    * all shift `sum_v`/`wsum_v` and fail the hash. Same narrow no-shuffle
+    * full-corpus decode pass as q85. */
+  def jpegDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.util.Par.ensure(Tables(spark, dir, "documents"))
+      .select("doc_id").as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          graft.multimodal.JpegCodec.decode(MediaSynth.jpegPayload(id)) match {
+            case Some(img) =>
+              val n = img.pixels.length
+              var sum = 0L; var wsum = 0L; var i = 0
+              while (i < n) {
+                val v = img.pixels(i) & 0xff
+                sum += v; wsum += i.toLong * v
+                i += 1
+              }
+              PngStats(id, img.width.toLong, img.height.toLong,
+                img.channels.toLong, img.width.toLong * img.height,
+                sum, wsum, decode_ok = true)
+            case None =>
+              PngStats(id, -1L, -1L, -1L, -1L, -1L, -1L, decode_ok = false)
+          }
+        }
+      }
+      .toDF()
+  }
+
+  private val jpegOracle: String = """
+    WITH params AS (
+      SELECT doc_id, (doc_id % 24) + 9 AS w, (doc_id % 20) + 9 AS h
+      FROM documents),
+    px AS (
+      SELECT p.doc_id, p.w, p.h, x.x, y.y,
+        ((3 * (x.x // 8) + 5 * (y.y // 8) + p.doc_id) % 128) - 64 AS da,
+        ((7 * (x.x // 8) + 11 * (y.y // 8) + 2 * p.doc_id) % 32) - 16 AS db,
+        ((13 * (x.x // 8) + 17 * (y.y // 8) + 3 * p.doc_id) % 32) - 16 AS dc,
+        ((19 * (x.x // 8) + 23 * (y.y // 8) + 5 * p.doc_id) % 16) - 8 AS dd,
+        CASE WHEN (x.x % 8) % 4 IN (0, 3) THEN 1 ELSE -1 END AS sx,
+        CASE WHEN (y.y % 8) % 4 IN (0, 3) THEN 1 ELSE -1 END AS sy
+      FROM params p, range(32) x(x), range(28) y(y)
+      WHERE x.x < p.w AND y.y < p.h),
+    v AS (
+      SELECT doc_id, w, h, x, y,
+        128 + da + db * sx + dc * sy + dd * sx * sy AS v
+      FROM px)
+    SELECT doc_id,
+      CAST(MAX(w) AS BIGINT) AS width,
+      CAST(MAX(h) AS BIGINT) AS height,
+      CAST(1 AS BIGINT) AS channels,
+      CAST(MAX(w) * MAX(h) AS BIGINT) AS n_px,
+      CAST(SUM(v) AS BIGINT) AS sum_v,
+      CAST(SUM((y * w + x) * v) AS BIGINT) AS wsum_v,
+      TRUE AS decode_ok
+    FROM v GROUP BY doc_id"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q73_media_probe", mediaProbe, Some(oracle)),
     QueryDef("q85_png_decode", pngDecode, Some(pngOracle)),
@@ -1073,5 +1140,6 @@ object MultimodalQueries {
     QueryDef("q97_paletted_png_decode", palettedPngDecode, Some(palettedOracle)),
     QueryDef("q114_image_patches", imagePatches, Some(patchOracle)),
     QueryDef("q121_decode_dispatch", decodeDispatch, Some(dispatchOracle)),
-    QueryDef("q129_image_phash", imagePhash, Some(phashOracle)))
+    QueryDef("q129_image_phash", imagePhash, Some(phashOracle)),
+    QueryDef("q149_jpeg_decode", jpegDecode, Some(jpegOracle)))
 }

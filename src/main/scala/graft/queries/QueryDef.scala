@@ -18,14 +18,41 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet carries TIMESTAMP(NANOS), which Spark's parquet reader
-    * rejects; sessions set `spark.sql.legacy.parquet.nanosAsLong=true`
-    * (see [[graft.GraftSession]]) so `ts` arrives as nanos-since-epoch and
-    * is floor-truncated to a µs timestamp here — exactly how DuckDB reads
-    * the same file. */
+  /** Normalize the events `ts` column to a µs `TimestampType`, dispatching
+    * on the type it ARRIVED as rather than on any config flag — testdata
+    * generations have shipped events.parquet both ways:
+    *
+    *  - TIMESTAMP(NANOS): Spark's reader rejects it natively; sessions set
+    *    `spark.sql.legacy.parquet.nanosAsLong=true` ([[graft.GraftSession]])
+    *    so `ts` arrives as a nanos-since-epoch LONG and is floor-truncated
+    *    to µs here — exactly how DuckDB reads the nanos file.
+    *  - TIMESTAMP(MICROS): arrives as a native `TimestampType` (the session
+    *    forces instant semantics via `inferTimestampNTZ=false` + UTC, same
+    *    wall values DuckDB sees) — passed through untouched.
+    *
+    * Works on batch and streaming frames alike; every events consumer must
+    * route through this so a future testdata regeneration changes nothing.
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType                           =>
+        df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case TimestampType                      => df
+      case TimestampNTZType                   =>
+        // NTZ only appears if a session re-enables inference; UTC session
+        // makes the cast a wall-value no-op while restoring instant
+        // semantics (unix_micros etc.)
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case other                              =>
+        throw new IllegalStateException(
+          s"events.ts arrived as unsupported type $other " +
+            "(expected LONG nanos or TIMESTAMP)")
+    }
+
+  /** The events table with `ts` normalized to a µs timestamp (see
+    * [[normalizeEventTs]]). */
   def events(spark: SparkSession, dir: String): DataFrame =
-    apply(spark, dir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    normalizeEventTs(apply(spark, dir, "events"))
 }
 
 /** Helpers shared by query definitions.

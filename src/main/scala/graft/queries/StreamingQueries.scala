@@ -34,8 +34,8 @@ object StreamingQueries {
 
   /** q61 — the q58 sliding-window aggregate executed AS A STREAM.
     *
-    * events.parquet is replayed through the file source (same
-    * nanos-as-long read + µs truncation as `Tables.events`), flows through
+    * events.parquet is replayed through the file source (same schema-
+    * adaptive `ts` normalization as `Tables.events`), flows through
     * the watermarked `EventStreams.slidingCounts` stateful aggregate, and
     * lands in parquet via `foreachBatch`; the read-back result must
     * hash-match the q58 batch oracle in DuckDB. The checkpoint is cleared
@@ -46,15 +46,15 @@ object StreamingQueries {
     val out = scratchDir("stream_q61_out", dir)
     val ckpt = scratchDir("stream_q61_ckpt", dir)
     delete(ckpt)
-    // schema from the batch reader: ts arrives as nanos-since-epoch LONG
-    // (spark.sql.legacy.parquet.nanosAsLong), truncated to µs below
+    // schema from the batch reader; ts type varies by testdata generation
+    // (nanos-as-long vs native µs timestamp) — normalizeEventTs dispatches
     val schema = spark.read.parquet(src).schema
     // a GLOB, not the literal file path: FileStreamSource force-sets
     // basePath to a non-glob path, and a plain-file basePath fails
     // partition inference ("Option 'basePath' must be a directory")
     val stream = spark.readStream.schema(schema)
       .parquet(s"$dir/events*.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      .transform(Tables.normalizeEventTs)
     val writeBatch: (Dataset[Row], Long) => Unit =
       (batch, _) => batch.write.mode("overwrite").parquet(out)
     val q = EventStreams.slidingCounts(stream)
@@ -83,7 +83,7 @@ object StreamingQueries {
     val schema = spark.read.parquet(src).schema
     val stream = spark.readStream.schema(schema)
       .parquet(s"$dir/events*.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      .transform(Tables.normalizeEventTs)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
         col("value"))
       .as[EventStreams.Event]
@@ -124,7 +124,7 @@ object StreamingQueries {
     def eventStream: Dataset[EventStreams.Event] =
       spark.readStream.schema(schema)
         .parquet(s"$dir/events*.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+        .transform(Tables.normalizeEventTs)
         .select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"))
         .as[EventStreams.Event]
@@ -154,7 +154,7 @@ object StreamingQueries {
     val schema = spark.read.parquet(src).schema
     val stream = spark.readStream.schema(schema)
       .parquet(s"$dir/events*.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      .transform(Tables.normalizeEventTs)
     val writeBatch: (Dataset[Row], Long) => Unit =
       (batch, _) => batch.write.mode("overwrite").parquet(out)
     val q = EventStreams.hourlyCounts(stream)
@@ -191,7 +191,7 @@ object StreamingQueries {
     val schema = spark.read.parquet(src).schema
     val stream = spark.readStream.schema(schema)
       .parquet(s"$dir/events*.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      .transform(Tables.normalizeEventTs)
     val writeBatch: (Dataset[Row], Long) => Unit =
       (batch, _) => batch.write.mode("append").parquet(out)
     val q = EventStreams.hourlyCounts(stream)
@@ -220,7 +220,7 @@ object StreamingQueries {
     val schema = spark.read.parquet(src).schema
     val stream = spark.readStream.schema(schema)
       .parquet(s"$dir/events*.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      .transform(Tables.normalizeEventTs)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
         col("value"))
       .as[EventStreams.Event]
@@ -256,7 +256,7 @@ object StreamingQueries {
     def eventStream: Dataset[EventStreams.Event] =
       spark.readStream.schema(schema)
         .parquet(s"$dir/events*.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+        .transform(Tables.normalizeEventTs)
         .select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"))
         .as[EventStreams.Event]
@@ -318,7 +318,7 @@ object StreamingQueries {
     val schema = spark.read.parquet(src).schema
     val stream = spark.readStream.schema(schema)
       .parquet(s"$dir/events*.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      .transform(Tables.normalizeEventTs)
     val dim = broadcast(Tables(spark, dir, "customer")
       .select(col("c_custkey"), col("c_mktsegment")))
     val enriched = stream
@@ -359,7 +359,7 @@ object StreamingQueries {
     val schema = spark.read.parquet(src).schema
     val stream = spark.readStream.schema(schema)
       .parquet(s"$dir/events*.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      .transform(Tables.normalizeEventTs)
     val rollup = new graft.streaming.IncrementalRollup(out,
       keys = Seq("hour", "event_type"), measures = Seq("n_events", "sum_dec"))
     def aggOf(df: Dataset[Row]): DataFrame = df
@@ -402,7 +402,7 @@ object StreamingQueries {
     val schema = spark.read.parquet(src).schema
     val stream = spark.readStream.schema(schema)
       .parquet(s"$dir/events*.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      .transform(Tables.normalizeEventTs)
     val store = new graft.streaming.VersionedStore(out)
     val apply: (Dataset[Row], Long) => Unit = (batch, id) => {
       if (!store.committedBatch.exists(_ >= id)) {

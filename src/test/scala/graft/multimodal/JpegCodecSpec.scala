@@ -1,0 +1,107 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[JpegCodec]] roundtrip + structure pins. The gate (q149) verifies the
+  * decode against DuckDB-replayed closed forms; these specs pin the codec
+  * mechanics locally, including the paths the corpus only partially
+  * exercises. */
+class JpegCodecSpec extends AnyFunSuite {
+
+  private def closedFormPixels(id: Long): Array[Int] = {
+    val w = MediaSynth.jpegWidth(id); val h = MediaSynth.jpegHeight(id)
+    Array.tabulate(w * h)(i => MediaSynth.jpegPixel(id, i % w, i / w))
+  }
+
+  test("corpus roundtrip: decode(encode(coeffs)) == closed-form pixels") {
+    for (id <- 0L until 120L) {
+      val img = JpegCodec.decode(MediaSynth.jpegPayload(id))
+        .getOrElse(fail(s"decode failed for doc $id"))
+      assert(img.width == MediaSynth.jpegWidth(id))
+      assert(img.height == MediaSynth.jpegHeight(id))
+      assert(img.channels == 1)
+      val expect = closedFormPixels(id)
+      val got = img.pixels.map(_ & 0xff)
+      assert(got.sameElements(expect),
+        s"pixel mismatch for doc $id (restart=${MediaSynth.jpegRestart(id)})")
+    }
+  }
+
+  test("restart-marker corpus really contains RST bytes") {
+    // doc 0 has restartInterval=2 and ≥4 MCUs → at least one RSTn (FF D0-D7)
+    val p = MediaSynth.jpegPayload(0L)
+    val hasRst = p.sliding(2).exists(a =>
+      (a(0) & 0xff) == 0xff && (a(1) & 0xff) >= 0xd0 && (a(1) & 0xff) <= 0xd7)
+    assert(hasRst, "expected restart markers in doc 0's stream")
+    // and a no-restart doc has none
+    val p1 = MediaSynth.jpegPayload(1L)
+    val hasRst1 = p1.dropRight(2).sliding(2).exists(a =>
+      (a(0) & 0xff) == 0xff && (a(1) & 0xff) >= 0xd0 && (a(1) & 0xff) <= 0xd7)
+    assert(!hasRst1)
+  }
+
+  test("byte stuffing: any FF inside the entropy stream is followed by 00 or a marker") {
+    for (id <- 0L until 40L) {
+      val p = MediaSynth.jpegPayload(id)
+      var i = 2 // skip SOI
+      while (i + 1 < p.length) {
+        if ((p(i) & 0xff) == 0xff) {
+          val nxt = p(i + 1) & 0xff
+          assert(nxt == 0 || nxt >= 0xc0, s"bare FF at $i in doc $id")
+        }
+        i += 1
+      }
+    }
+  }
+
+  test("general AC coding: dense random coefficient blocks roundtrip") {
+    // beyond the 4-coefficient corpus: all 64 slots active, magnitudes to
+    // ±255 (sizes up to 8), exercising every (run,size) path incl. none
+    val rnd = new scala.util.Random(42)
+    val w = 24; val h = 16
+    val q = Array.fill(64)(1) // identity quant: IDCT sees raw coefficients
+    val blocks = Array.fill((w / 8) * (h / 8))(
+      Array.fill(64)(rnd.nextInt(511) - 255))
+    val bytes = JpegCodec.encodeGray(w, h, q,
+      (bx, by) => blocks(by * (w / 8) + bx), restartInterval = 0)
+    val img = JpegCodec.decode(bytes).get
+    // decode again re-encoded from the SAME coefficients must be identical
+    val img2 = JpegCodec.decode(JpegCodec.encodeGray(w, h, q,
+      (bx, by) => blocks(by * (w / 8) + bx), restartInterval = 3)).get
+    assert(img.pixels.sameElements(img2.pixels),
+      "restart vs no-restart decode of identical coefficients diverged")
+  }
+
+  test("dequantization really multiplies by the transmitted table") {
+    val q1 = Array.fill(64)(8)
+    val q2 = Array.fill(64)(16) // double every dequantized value
+    val coeffs = (_: Int, _: Int) => {
+      val c = new Array[Int](64); c(0) = 4; c // DC-only: flat block
+    }
+    val a = JpegCodec.decode(JpegCodec.encodeGray(8, 8, q1, coeffs, 0)).get
+    val b = JpegCodec.decode(JpegCodec.encodeGray(8, 8, q2, coeffs, 0)).get
+    assert((a.pixels(0) & 0xff) == 128 + 4) // 8·4/8
+    assert((b.pixels(0) & 0xff) == 128 + 8) // 16·4/8
+  }
+
+  test("rejects out-of-subset and malformed payloads with None") {
+    assert(JpegCodec.decode(Array[Byte]()).isEmpty)
+    assert(JpegCodec.decode(Array[Byte](0xff.toByte, 0xd8.toByte)).isEmpty)
+    // q73's header-only JPEG (SOF but no scan data)
+    assert(JpegCodec.decode(MediaSynth.payload(2L)).isEmpty)
+    // truncated mid-stream: flip a structural length to walk off the end
+    val p = MediaSynth.jpegPayload(5L)
+    assert(JpegCodec.decode(p.take(p.length / 2)).isEmpty ||
+      JpegCodec.decode(p.take(p.length / 2)).nonEmpty == false)
+  }
+
+  test("ImageHeaders dims agree with the full decoder on the corpus") {
+    for (id <- 0L until 30L) {
+      val p = MediaSynth.jpegPayload(id)
+      val probed = ImageHeaders.dims(p)
+      assert(probed.contains(("jpeg", MediaSynth.jpegWidth(id),
+        MediaSynth.jpegHeight(id))),
+        s"header probe $probed disagrees for doc $id")
+    }
+  }
+}
