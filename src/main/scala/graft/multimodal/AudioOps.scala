@@ -12,9 +12,10 @@ import AudioHeaders.{PcmAudio, WavInfo}
   *
   * Deliberate subset honesty: plain decimation aliases — a production
   * resampler low-pass filters first. The filterless form is kept BECAUSE
-  * it is exactly replayable (`out frame f = in frame f·k`); a windowed-
-  * sinc variant would be FP-heavy and is the documented next step, not a
-  * hidden limitation.
+  * it is exactly replayable (`out frame f = in frame f·k`); the filtered
+  * successor is [[halfbandDownsample]], whose integer-tap polyphase form
+  * (taps ×32, floor-rounded accumulator) keeps the anti-aliased path
+  * exactly replayable too (q151).
   */
 object AudioOps {
 
@@ -54,6 +55,53 @@ object AudioOps {
       f += 1
     }
     val rate = a.info.sampleRate / factor
+    val byteRate = rate.toLong * channels * 2
+    PcmAudio(WavInfo(rate, channels,
+      outFrames.toLong * channels * 2 * 1000L / byteRate), out)
+  }
+
+  /** Fixed-point divisor offset: shifts the accumulator nonnegative so
+    * truncating and floor division agree in every engine that replays
+    * this kernel (Scala, SQL). 65536·32 ≫ max |accumulator| (≈1.2M). */
+  private val HbOffset = 65536
+
+  /** Anti-aliased downsample by 2 — the filtered successor to
+    * [[decimate]] (q151): a 7-tap symmetric halfband FIR with INTEGER
+    * coefficients (×32) `[-1, 0, 9, 16, 9, 0, -1]`, the classic
+    * quarter-band-flat halfband whose odd taps vanish (the polyphase
+    * property: only the center odd tap is nonzero, so per output frame
+    * the filter touches 5 samples, not 7). Output frame n centers on
+    * input frame 2n; edges replicate the boundary frame. The accumulator
+    * rounds by `floor((acc + 16) / 32)` in EXACT integer arithmetic —
+    * computed as truncating division on an offset-nonnegative value so
+    * the DuckDB oracle replays every output sample bit-for-bit — then
+    * clamps to 16-bit (gain can exceed unity by 36/32 at Nyquist-free
+    * extremes). Per-channel; interleaving preserved. */
+  def halfbandDownsample(a: PcmAudio, channels: Int): PcmAudio = {
+    require(a.info.sampleRate % 2 == 0,
+      s"rate ${a.info.sampleRate} must be even")
+    val frames = a.samples.length / channels
+    val outFrames = (frames + 1) / 2
+    val out = new Array[Short](outFrames * channels)
+    def in(f: Int, c: Int): Int = {
+      val fc = if (f < 0) 0 else if (f >= frames) frames - 1 else f
+      a.samples(fc * channels + c).toInt
+    }
+    var n = 0
+    while (n < outFrames) {
+      var c = 0
+      while (c < channels) {
+        val f = 2 * n
+        val acc = -in(f - 3, c) + 9 * in(f - 1, c) + 16 * in(f, c) +
+          9 * in(f + 1, c) - in(f + 3, c)
+        val v = (acc + 16 + HbOffset * 32) / 32 - HbOffset
+        out(n * channels + c) =
+          (if (v > 32767) 32767 else if (v < -32768) -32768 else v).toShort
+        c += 1
+      }
+      n += 1
+    }
+    val rate = a.info.sampleRate / 2
     val byteRate = rate.toLong * channels * 2
     PcmAudio(WavInfo(rate, channels,
       outFrames.toLong * channels * 2 * 1000L / byteRate), out)

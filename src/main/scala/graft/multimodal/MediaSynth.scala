@@ -370,6 +370,65 @@ object MediaSynth {
     JpegCodec.encodeGray(jpegWidth(docId), jpegHeight(docId), jpegQuantTable,
       jpegCoeffs(docId), jpegRestart(docId))
 
+  // ------------------------------------------ motion-JPEG ISO-BMFF (q150)
+
+  /** Deterministic COMPRESSED-video corpus (q150): the q94 container with
+    * the `jpeg` sample format — every track sample is a complete baseline
+    * JFIF built by [[JpegCodec.encodeGray]] from the q149 frequency-domain
+    * closed forms, seeded per-frame (`doc_id + 131·f`), so sample sizes
+    * genuinely differ (real stsz table addressing) and the decoder must
+    * run the full entropy decode per frame. Decoded frame f's pixel at
+    * (x, y) is exactly [[jpegPixel]](doc_id + 131·f, x, y) — except dims,
+    * which stay constant per video as a real track requires. */
+  def mjpegWidth(docId: Long): Int = (docId % 16).toInt + 9 // 9..24
+  def mjpegHeight(docId: Long): Int = (docId % 12).toInt + 9 // 9..20
+  def mjpegFrames(docId: Long): Int = (docId % 4).toInt + 2 // 2..5
+  def mjpegSeed(docId: Long, f: Int): Long = docId + 131L * f
+
+  def mjpegFrameJpeg(docId: Long, f: Int): Array[Byte] = {
+    val s = mjpegSeed(docId, f)
+    JpegCodec.encodeGray(mjpegWidth(docId), mjpegHeight(docId),
+      jpegQuantTable, jpegCoeffs(s), jpegRestart(s))
+  }
+
+  def mjpegMp4(docId: Long): Array[Byte] = {
+    val w = mjpegWidth(docId); val h = mjpegHeight(docId)
+    val nF = mjpegFrames(docId)
+    val samples = Array.tabulate(nF)(f => mjpegFrameJpeg(docId, f))
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+      bb.putInt(8 + payload.length).put(typ.getBytes("US-ASCII")).put(payload)
+      bb.array()
+    }
+    def be32b(v: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(4); bb.putInt(v); bb.array()
+    }
+    val ftyp = box("ftyp", "isom".getBytes ++ be32b(0x200) ++ "isom".getBytes)
+    val mvhd = box("mvhd", new Array[Byte](12) ++
+      be32b(mp4Timescale(docId).toInt) ++ be32b(mp4DurationUnits(docId).toInt) ++
+      new Array[Byte](80))
+    val entry = {
+      val bb = java.nio.ByteBuffer.allocate(86)
+      bb.putInt(86).put("jpeg".getBytes("US-ASCII"))
+      bb.position(32)
+      bb.putShort(w.toShort).putShort(h.toShort)
+      bb.array()
+    }
+    val stsd = box("stsd", new Array[Byte](4) ++ be32b(1) ++ entry)
+    // per-sample sizes REALLY differ here (entropy-coded lengths)
+    val stsz = box("stsz", new Array[Byte](4) ++ be32b(0) ++ be32b(nF) ++
+      samples.flatMap(s => be32b(s.length)))
+    def stco(offsets: Seq[Int]) = box("stco",
+      new Array[Byte](4) ++ be32b(nF) ++ offsets.flatMap(be32b).toArray)
+    def moov(offsets: Seq[Int]) = box("moov", mvhd ++
+      box("trak", box("mdia", box("minf",
+        box("stbl", stsd ++ stsz ++ stco(offsets))))))
+    val moovSize = moov(Seq.fill(nF)(0)).length
+    val mdatStart = ftyp.length + moovSize + 8
+    val offsets = samples.scanLeft(mdatStart)((off, s) => off + s.length).init
+    ftyp ++ moov(offsets.toSeq) ++ box("mdat", samples.flatten)
+  }
+
   // ---------------------------------------------- full-sample PCM WAV (q91)
 
   /** Deterministic SAMPLE corpus for the real audio decode gate (q91): a

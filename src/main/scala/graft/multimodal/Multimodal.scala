@@ -129,16 +129,18 @@ object Multimodal {
 
   /** Frame sampling for video rows: REAL for uncompressed ISO-BMFF tracks
     * ([[VideoHeaders.rawVideoFrames]] resolves the stsd/stsz/stco sample
-    * table and slices each frame out of mdat — gate-verified by q94);
-    * payloads whose track is compressed (codec not available here) fall
-    * back to the deterministic chunking stand-in. Either way every
-    * `stride`-th frame survives. */
+    * table and slices each frame out of mdat — gate-verified by q94) AND
+    * for motion-JPEG tracks ([[VideoHeaders.mjpegVideoFrames]] decodes
+    * each entropy-coded sample — gate-verified by q150); payloads whose
+    * track codec remains unsupported fall back to the deterministic
+    * chunking stand-in. Either way every `stride`-th frame survives. */
   def sampleFrames(media: Dataset[MediaRow], frameSize: Int,
       stride: Int): DataFrame = {
     import media.sparkSession.implicits._
     media.filter(_.media_type == "video")
       .flatMap { m =>
-        val frames = VideoHeaders.rawVideoFrames(m.payload) match {
+        val frames = VideoHeaders.rawVideoFrames(m.payload)
+          .orElse(VideoHeaders.mjpegVideoFrames(m.payload)) match {
           case Some(rv) => rv.frames.iterator.zipWithIndex
           case None => m.payload.grouped(frameSize).zipWithIndex
         }

@@ -61,16 +61,15 @@ object VideoHeaders {
 
   final case class RawVideo(width: Int, height: Int, frames: Seq[Array[Byte]])
 
-  /** REAL frame extraction for an uncompressed-video track — the q94 gate
-    * kernel: walk moov/trak/mdia/minf/stbl, require an `stsd` whose first
-    * entry is the `raw ` (uncompressed RGB) sample format, read the
-    * per-sample sizes (`stsz` table form) and chunk offsets (`stco`,
-    * one sample per chunk), and slice each frame's bytes out of `mdat`
-    * by ABSOLUTE file offset — exactly how a demuxer addresses samples.
-    * No entropy codec involved, which is why this subset is complete in
-    * pure JVM; compressed tracks (avc1 etc.) are out of subset → None.
-    * Total: any truncated/corrupt/out-of-subset payload returns None. */
-  def rawVideoFrames(p: Array[Byte]): Option[RawVideo] = {
+  /** The demuxer core shared by every track flavor: walk
+    * moov/trak/mdia/minf/stbl, read the first `stsd` entry's sample
+    * format and declared dimensions, resolve the per-sample sizes
+    * (`stsz`, uniform or table form) and chunk offsets (`stco`, one
+    * sample per chunk), and slice each sample's bytes out of `mdat` by
+    * ABSOLUTE file offset — exactly how a demuxer addresses samples.
+    * Returns (format, width, height, samples); None for any truncated/
+    * corrupt payload. */
+  private def trackSamples(p: Array[Byte]): Option[(String, Int, Int, Seq[Array[Byte]])] = {
     if (p.length < 16 || !(tag(p, 4, "ftyp") || tag(p, 4, "moov"))) return None
     val stbl = findPath(p, Seq("moov", "trak", "mdia", "minf", "stbl"))
       .getOrElse(return None)
@@ -80,7 +79,7 @@ object VideoHeaders {
     val (ds, de) = findChild(p, ss, se, "stsd").getOrElse(return None)
     if (ds + 8 + 36 > de || be32(p, ds.toInt + 4) < 1L) return None
     val entry = ds + 8
-    if (!tag(p, entry.toInt + 4, "raw ")) return None // compressed: out of subset
+    val fmt = new String(p, entry.toInt + 4, 4, "US-ASCII")
     val width = be16(p, entry.toInt + 32)
     val height = be16(p, entry.toInt + 34)
     if (width < 1 || height < 1) return None
@@ -105,8 +104,43 @@ object VideoHeaders {
       if (off + sz > p.length || sz < 1 || sz > (1L << 24)) return None
       java.util.Arrays.copyOfRange(p, off.toInt, (off + sz).toInt)
     }
-    Some(RawVideo(width, height, frames))
+    Some((fmt, width, height, frames))
   }
+
+  /** REAL frame extraction for an uncompressed-video track — the q94 gate
+    * kernel over [[trackSamples]]: requires the `raw ` (uncompressed RGB)
+    * sample format; each sample IS the frame's pixel bytes. No entropy
+    * codec involved, which is why this subset was the first complete one
+    * in pure JVM; compressed tracks dispatch through
+    * [[mjpegVideoFrames]] (motion-JPEG) or are out of subset → None. */
+  def rawVideoFrames(p: Array[Byte]): Option[RawVideo] =
+    trackSamples(p) match {
+      case Some(("raw ", w, h, frames)) => Some(RawVideo(w, h, frames))
+      case _ => None
+    }
+
+  /** REAL COMPRESSED-track frame decode — motion-JPEG (the q150 gate
+    * kernel): each track sample is a complete baseline JFIF that
+    * [[JpegCodec.decode]] entropy-decodes to pixels; the demux addressing
+    * is identical to the `raw ` path, so this is demux + per-sample codec
+    * — the real shape of compressed-video ingestion (a production build
+    * swaps the per-sample codec, not the Spark plumbing). Frames hold the
+    * DECODED grayscale pixels; a sample that fails to decode, or whose
+    * decoded dims disagree with the stsd declaration, fails the whole
+    * payload to None rather than mixing real and garbage frames. */
+  def mjpegVideoFrames(p: Array[Byte]): Option[RawVideo] =
+    trackSamples(p) match {
+      case Some(("jpeg", w, h, samples)) =>
+        val decoded = samples.map { s =>
+          JpegCodec.decode(s) match {
+            case Some(img) if img.width == w && img.height == h &&
+              img.channels == 1 => img.pixels
+            case _ => return None
+          }
+        }
+        Some(RawVideo(w, h, decoded))
+      case _ => None
+    }
 
   /** Walk top-level boxes for `moov`, then its children for `mvhd`.
     * Returns None for non-MP4, truncated-before-mvhd, or malformed

@@ -526,6 +526,76 @@ object MultimodalQueries {
       CAST(SUM(j * v) AS BIGINT) AS wsum_s
     FROM s GROUP BY doc_id"""
 
+  /** q151 — REAL anti-aliased resampling under the gate, the filtered
+    * successor to q92's filterless decimation: decode → 7-tap integer
+    * halfband FIR downsample-by-2
+    * ([[graft.multimodal.AudioOps.halfbandDownsample]]) → re-encode to
+    * WAV → decode again, stats over the final samples. Every output
+    * sample is a 5-sample integer convolution with floor rounding and a
+    * 16-bit clamp, all replayed by the oracle from the q91 closed form —
+    * a wrong tap, edge-replication off-by-one, rounding direction, or
+    * phase error (centering on odd instead of even frames) shifts
+    * `sum_s`/`wsum_s` and fails the hash. Narrow no-shuffle corpus
+    * pass. */
+  def pcmHalfband(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.util.Par.ensure(Tables(spark, dir, "documents"))
+      .select("doc_id").as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val ch = MediaSynth.pcmChannels(id)
+          val a = AudioHeaders.pcm16(MediaSynth.pcmWav(id)).get
+          val d = graft.multimodal.AudioOps.halfbandDownsample(a, ch)
+          val rt = AudioHeaders.pcm16(
+            graft.multimodal.AudioOps.wavBytes(d.info, d.samples, ch)).get
+          var sum = 0L; var wsum = 0L; var i = 0
+          while (i < rt.samples.length) {
+            sum += rt.samples(i)
+            wsum += i.toLong * rt.samples(i)
+            i += 1
+          }
+          PcmDecimateStats(id, rt.info.sampleRate.toLong,
+            (rt.samples.length / ch).toLong, rt.info.durationMs, sum, wsum)
+        }
+      }
+      .toDF()
+  }
+
+  private val pcmHalfbandOracle: String = {
+    // closed-form input sample at clamped frame (2n + off), channel c —
+    // n = j // ch, c = j % ch over the OUTPUT interleaved index j
+    def vAt(off: Int): String = {
+      val f = s"GREATEST(0, LEAST(d.frames - 1, 2 * (j.j // d.ch) + ($off)))"
+      s"(((2293 * ($f * d.ch + (j.j % d.ch)) + 7919 * d.doc_id) % 65536) - 32768)"
+    }
+    val acc = s"(- ${vAt(-3)} + 9 * ${vAt(-1)} + 16 * ${vAt(0)}" +
+      s" + 9 * ${vAt(1)} - ${vAt(3)})"
+    val v = s"GREATEST(-32768, LEAST(32767, (($acc + 16 + 2097152) // 32) - 65536))"
+    s"""
+    WITH params AS (
+      SELECT doc_id, (doc_id % 2) + 1 AS ch,
+        CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+          ELSE 44100 END AS rate,
+        (doc_id % 50) + 10 AS frames
+      FROM documents),
+    dims AS (
+      SELECT doc_id, ch, frames, rate // 2 AS rate2,
+        (frames + 1) // 2 AS frames2
+      FROM params),
+    s AS (
+      SELECT d.doc_id, d.ch, d.rate2, d.frames2, j.j, $v AS v
+      FROM dims d, range(60) j(j)
+      WHERE j.j < d.frames2 * d.ch)
+    SELECT doc_id,
+      CAST(MAX(rate2) AS BIGINT) AS sample_rate,
+      CAST(MAX(frames2) AS BIGINT) AS n_frames,
+      CAST((MAX(frames2) * MAX(ch) * 2 * 1000)
+        // (MAX(rate2) * MAX(ch) * 2) AS BIGINT) AS duration_ms,
+      CAST(SUM(v) AS BIGINT) AS sum_s,
+      CAST(SUM(j * v) AS BIGINT) AS wsum_s
+    FROM s GROUP BY doc_id"""
+  }
+
   /** q93 — windowed audio energy features under the gate: non-overlapping
     * 16-frame windows over the decoded samples, each exporting the EXACT
     * sum of squared samples and negative-sample count
@@ -1127,6 +1197,72 @@ object MultimodalQueries {
       TRUE AS decode_ok
     FROM v GROUP BY doc_id"""
 
+  /** q150 — REAL compressed-video frame decode under the gate: the q94
+    * container with a motion-JPEG track
+    * ([[graft.multimodal.MediaSynth.mjpegMp4]]) — every sample a complete
+    * baseline JFIF of genuinely different entropy-coded length (real stsz
+    * table addressing), demuxed by the same stsd/stsz/stco walk as q94 and
+    * then ENTROPY-DECODED per frame by the q149 kernel
+    * ([[graft.multimodal.VideoHeaders.mjpegVideoFrames]]). Stride-2 frame
+    * sampling, per-frame position-weighted stats over the DECODED pixels,
+    * recomputed by the oracle from the per-frame-seeded closed form. Wrong
+    * demux offset, a frame decoded with another frame's seed, or any q149
+    * decoder defect shifts the sums and fails the hash. Narrow no-shuffle
+    * corpus pass; decoder cost dominates, parallelism = input splits. */
+  def mjpegFrames(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.util.Par.ensure(Tables(spark, dir, "documents"))
+      .select("doc_id").as[Long]
+      .mapPartitions { ids =>
+        ids.flatMap { id =>
+          val rv = VideoHeaders.mjpegVideoFrames(MediaSynth.mjpegMp4(id)).get
+          rv.frames.zipWithIndex
+            .filter(_._2 % 2 == 0) // stride-2 sampling
+            .map { case (frame, f) =>
+              var sum = 0L; var wsum = 0L; var i = 0
+              while (i < frame.length) {
+                val v = frame(i) & 0xff
+                sum += v; wsum += i.toLong * v
+                i += 1
+              }
+              FrameStats(id, f.toLong, rv.width.toLong, rv.height.toLong,
+                sum, wsum)
+            }
+        }
+      }
+      .toDF()
+  }
+
+  private val mjpegOracle: String = """
+    WITH params AS (
+      SELECT doc_id, (doc_id % 16) + 9 AS w, (doc_id % 12) + 9 AS h,
+        (doc_id % 4) + 2 AS nf
+      FROM documents),
+    px AS (
+      SELECT p.doc_id, p.w, p.h, 2 * k.k AS f,
+        p.doc_id + 131 * (2 * k.k) AS seed, x.x, y.y
+      FROM params p, range(3) k(k), range(24) x(x), range(20) y(y)
+      WHERE 2 * k.k < p.nf AND x.x < p.w AND y.y < p.h),
+    v AS (
+      SELECT doc_id, w, h, f, x, y,
+        128
+        + ((3 * (x // 8) + 5 * (y // 8) + seed) % 128) - 64
+        + (((7 * (x // 8) + 11 * (y // 8) + 2 * seed) % 32) - 16)
+          * (CASE WHEN (x % 8) % 4 IN (0, 3) THEN 1 ELSE -1 END)
+        + (((13 * (x // 8) + 17 * (y // 8) + 3 * seed) % 32) - 16)
+          * (CASE WHEN (y % 8) % 4 IN (0, 3) THEN 1 ELSE -1 END)
+        + (((19 * (x // 8) + 23 * (y // 8) + 5 * seed) % 16) - 8)
+          * (CASE WHEN (x % 8) % 4 IN (0, 3) THEN 1 ELSE -1 END)
+          * (CASE WHEN (y % 8) % 4 IN (0, 3) THEN 1 ELSE -1 END) AS v
+      FROM px)
+    SELECT doc_id,
+      CAST(f AS BIGINT) AS frame_index,
+      CAST(MAX(w) AS BIGINT) AS width,
+      CAST(MAX(h) AS BIGINT) AS height,
+      CAST(SUM(v) AS BIGINT) AS sum_v,
+      CAST(SUM((y * w + x) * v) AS BIGINT) AS wsum_v
+    FROM v GROUP BY doc_id, f"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q73_media_probe", mediaProbe, Some(oracle)),
     QueryDef("q85_png_decode", pngDecode, Some(pngOracle)),
@@ -1141,5 +1277,7 @@ object MultimodalQueries {
     QueryDef("q114_image_patches", imagePatches, Some(patchOracle)),
     QueryDef("q121_decode_dispatch", decodeDispatch, Some(dispatchOracle)),
     QueryDef("q129_image_phash", imagePhash, Some(phashOracle)),
-    QueryDef("q149_jpeg_decode", jpegDecode, Some(jpegOracle)))
+    QueryDef("q149_jpeg_decode", jpegDecode, Some(jpegOracle)),
+    QueryDef("q150_mjpeg_frames", mjpegFrames, Some(mjpegOracle)),
+    QueryDef("q151_pcm_halfband", pcmHalfband, Some(pcmHalfbandOracle)))
 }

@@ -95,6 +95,29 @@ class JpegCodecSpec extends AnyFunSuite {
       JpegCodec.decode(p.take(p.length / 2)).nonEmpty == false)
   }
 
+  test("mjpeg track demux+decode yields per-frame closed-form pixels") {
+    for (id <- 0L until 60L) {
+      val rv = VideoHeaders.mjpegVideoFrames(MediaSynth.mjpegMp4(id))
+        .getOrElse(fail(s"mjpeg decode failed for doc $id"))
+      assert(rv.width == MediaSynth.mjpegWidth(id))
+      assert(rv.height == MediaSynth.mjpegHeight(id))
+      assert(rv.frames.length == MediaSynth.mjpegFrames(id))
+      for ((frame, f) <- rv.frames.zipWithIndex) {
+        val seed = MediaSynth.mjpegSeed(id, f)
+        var i = 0
+        while (i < frame.length) {
+          val x = i % rv.width; val y = i / rv.width
+          assert((frame(i) & 0xff) == MediaSynth.jpegPixel(seed, x, y),
+            s"doc $id frame $f pixel ($x,$y)")
+          i += 1
+        }
+      }
+    }
+    // the raw path must NOT claim an mjpeg track and vice versa
+    assert(VideoHeaders.rawVideoFrames(MediaSynth.mjpegMp4(3L)).isEmpty)
+    assert(VideoHeaders.mjpegVideoFrames(MediaSynth.rawVideoMp4(3L)).isEmpty)
+  }
+
   test("ImageHeaders dims agree with the full decoder on the corpus") {
     for (id <- 0L until 30L) {
       val p = MediaSynth.jpegPayload(id)

@@ -320,6 +320,69 @@ class EventStreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("checkpoint RESUME equals fresh: restart carries RocksDB state across runs") {
+    // The production fault-tolerance property (VERDICT_r08 task 6): a
+    // stateful query stopped after committing part of its input and
+    // RESTARTED from the same checkpoint must produce exactly what an
+    // uninterrupted run produces — the RocksDB state (per-user session
+    // records) restores from the checkpoint (changelog checkpointing on,
+    // the O(delta)-per-batch posture), the file source resumes from
+    // committed offsets without reprocessing, and the per-batch-id
+    // overwrite sink stays exactly-once under any replay.
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx = spark.sqlContext
+    assert(spark.conf.get(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
+      == "true")
+    val root = Files.createTempDirectory("graft_resume_").toString
+    val src = s"$root/src"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
+    Files.createDirectories(Paths.get(src))
+    val ordered = batchEvents.sortBy(_.event_id)
+    val chunks = ordered.grouped(ordered.size / 4 + 1).toSeq
+    assert(chunks.size == 4)
+    val schema = spark.createDataset(chunks.head).toDF().schema
+    def writeChunk(i: Int): Unit = {
+      val tmp = s"$root/tmp$i"
+      spark.createDataset(chunks(i)).coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, Paths.get(f"$src/chunk$i%02d.parquet"))
+    }
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$src/*.parquet")
+        .as[Event]
+      val writeBatch: (org.apache.spark.sql.Dataset[EventStreams.SessionAssignment], Long) => Unit =
+        (batch, id) => batch.write.mode("overwrite").parquet(s"$out/b$id")
+      val q = EventStreams.sessionize(stream)
+        .writeStream.outputMode("append")
+        .foreachBatch(writeBatch)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+    }
+    try {
+      writeChunk(0); writeChunk(1)
+      runOnce() // run 1 processes two files, commits, terminates
+      writeChunk(2); writeChunk(3)
+      runOnce() // run 2 RESUMES: prior per-user state must be restored
+      val got = spark.read.parquet(s"$out/b*")
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+      val want = EventQueries.sessionize(spark, sfDir)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+      // exactly-once: every event assigned once, sessions identical to an
+      // uninterrupted computation — a state restore failure renumbers
+      // every session that spans the restart boundary
+      assert(got.size == want.size)
+      assert(got == want)
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
   test("event-id-ordered micro-batches preserve per-user session monotonicity") {
     val byUser = spark.table("sessions_out").as("s")
       .join(Tables.events(spark, sfDir).select("event_id", "user_id", "ts"),
