@@ -11,13 +11,14 @@ import java.io.ByteArrayOutputStream
   * spec §F.2.2 (mincode/maxcode/valptr), byte-unstuffing (FF 00) and
   * restart-marker handling (byte realign + DC predictor reset), DC
   * difference EXTEND, AC run-length with ZRL and EOB, dequantization
-  * through the transmitted table, and a separable float IDCT with final
-  * round/clamp/level-shift and edge cropping for non-multiple-of-8 dims.
-  * Limits (returned as None, never mis-decoded): baseline SOF0 only, 8-bit
-  * precision, no chroma subsampling (all sampling factors 1×1). Components
-  * decode to interleaved planes with NO color transform — the gate
-  * measures component samples, and YCbCr→RGB is downstream integer
-  * arithmetic, not codec work.
+  * through the transmitted table, a separable float IDCT with final
+  * round/clamp/level-shift, the full sampling-factor grid (interleaved
+  * h×v data units per MCU, per-component planes, replication upsampling
+  * of subsampled chroma — 4:4:4/4:2:2/4:2:0), integer fixed-point
+  * YCbCr→RGB for 3-component JFIF frames ([[ycc2rgb]]), and edge
+  * cropping for non-MCU-multiple dims. Limits (returned as None, never
+  * mis-decoded): baseline SOF0 only, 8-bit precision, 1 (grayscale) or
+  * 3 (YCbCr) components.
   *
   * ENCODER: emits a complete JFIF byte stream from per-block QUANTIZED
   * coefficients (natural order): spec Annex K luminance huffman tables,
@@ -173,8 +174,23 @@ object JpegCodec {
     out
   }
 
-  private final case class Component(id: Int, qId: Int, var dcTbl: Int,
-      var acTbl: Int)
+  private final case class Component(id: Int, h: Int, v: Int, qId: Int,
+      var dcTbl: Int, var acTbl: Int)
+
+  /** JFIF integer YCbCr→RGB: libjpeg's classic ×65536 fixed-point
+    * constants with a +0.5 rounding term and FLOOR division — computed on
+    * an offset-nonnegative numerator so a SQL replay with truncating
+    * division gets the identical value (same trick as the q151 halfband).
+    */
+  private val RgbOffset = 256 << 16
+  private[multimodal] def ycc2rgb(y: Int, cb: Int, cr: Int): (Int, Int, Int) = {
+    def f(n: Int): Int = ((n + 32768 + RgbOffset) >> 16) - 256
+    def clamp(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+    val cbp = cb - 128; val crp = cr - 128
+    (clamp(y + f(91881 * crp)),
+      clamp(y + f(-22554 * cbp - 46802 * crp)),
+      clamp(y + f(116130 * cbp)))
+  }
 
   /** Decode a baseline JFIF payload to interleaved component samples.
     * None for anything outside the supported subset or malformed. */
@@ -229,9 +245,13 @@ object JpegCodec {
           val nc = d(seg + 5) & 0xff
           comps = Array.tabulate(nc) { i =>
             val b = seg + 6 + 3 * i
-            if ((d(b + 1) & 0xff) != 0x11) return None // 1×1 sampling only
-            Component(d(b) & 0xff, d(b + 2) & 0x0f, 0, 0)
+            val h = (d(b + 1) & 0xff) >> 4; val v = d(b + 1) & 0x0f
+            if (h < 1 || h > 4 || v < 1 || v > 4) return None
+            Component(d(b) & 0xff, h, v, d(b + 2) & 0x0f, 0, 0)
           }
+          // a single-component frame is scanned non-interleaved (MCU = one
+          // data unit); only 1×1 sampling is meaningful there
+          if (nc == 1 && (comps(0).h != 1 || comps(0).v != 1)) return None
         case m if m >= 0xc1 && m <= 0xcf && m != 0xc4 && m != 0xc8 =>
           return None // progressive/arithmetic/hierarchical: out of subset
         case 0xdd => restartInterval = u16(seg)
@@ -260,9 +280,16 @@ object JpegCodec {
       dcTables: Array[HuffTable], acTables: Array[HuffTable],
       restartInterval: Int): Option[PngCodec.Image] = {
     val nc = comps.length
-    val mcusX = (width + 7) / 8
-    val mcusY = (height + 7) / 8
-    val out = new Array[Byte](width * height * nc)
+    if (nc != 1 && nc != 3) return None // gray or JFIF YCbCr only
+    val hMax = comps.map(_.h).max
+    val vMax = comps.map(_.v).max
+    val mcusX = (width + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (height + 8 * vMax - 1) / (8 * vMax)
+    // full-MCU-padded per-component sample planes; image crop happens at
+    // assembly, exactly like the spec's extended-to-MCU-boundary frame
+    val planeW = comps.map(c => mcusX * 8 * c.h)
+    val planeH = comps.map(c => mcusY * 8 * c.v)
+    val planes = Array.tabulate(nc)(c => new Array[Int](planeW(c) * planeH(c)))
     val pred = new Array[Int](nc)
     val br = new BitReader(d, start)
     val coef = new Array[Int](64)
@@ -273,52 +300,88 @@ object JpegCodec {
         if (!br.restart()) return None
         java.util.Arrays.fill(pred, 0)
       }
-      val bx = mcu % mcusX; val by = mcu / mcusX
+      val mx = mcu % mcusX; val my = mcu / mcusX
       var ci = 0
       while (ci < nc) {
         val c = comps(ci)
         val q = quant(c.qId)
         if (q == null) return None
-        java.util.Arrays.fill(coef, 0)
-        // DC
-        val t = br.huffDecode(dcTables(c.dcTbl))
-        pred(ci) += extend(br.receive(t), t)
-        coef(0) = pred(ci) * q(0)
-        // AC
-        var k = 1
-        var eob = false
-        while (k < 64 && !eob) {
-          val rs = br.huffDecode(acTables(c.acTbl))
-          val r = rs >> 4; val s = rs & 0x0f
-          if (s == 0) {
-            if (r == 15) k += 16 else eob = true // ZRL | EOB
-          } else {
-            k += r
-            if (k > 63) return None
-            val nat = Zigzag(k)
-            coef(nat) = extend(br.receive(s), s) * q(nat)
-            k += 1
-          }
-        }
-        val px = idctBlock(coef)
-        // place with edge crop
-        var y = 0
-        while (y < 8) {
-          val oy = by * 8 + y
-          if (oy < height) {
-            var x = 0
-            while (x < 8) {
-              val ox = bx * 8 + x
-              if (ox < width)
-                out((oy * width + ox) * nc + ci) = px(y * 8 + x).toByte
-              x += 1
+        // data units per MCU for this component: v rows × h cols
+        var bv = 0
+        while (bv < c.v) {
+          var bh = 0
+          while (bh < c.h) {
+            java.util.Arrays.fill(coef, 0)
+            // DC
+            val t = br.huffDecode(dcTables(c.dcTbl))
+            pred(ci) += extend(br.receive(t), t)
+            coef(0) = pred(ci) * q(0)
+            // AC
+            var k = 1
+            var eob = false
+            while (k < 64 && !eob) {
+              val rs = br.huffDecode(acTables(c.acTbl))
+              val r = rs >> 4; val s = rs & 0x0f
+              if (s == 0) {
+                if (r == 15) k += 16 else eob = true // ZRL | EOB
+              } else {
+                k += r
+                if (k > 63) return None
+                val nat = Zigzag(k)
+                coef(nat) = extend(br.receive(s), s) * q(nat)
+                k += 1
+              }
             }
+            val px = idctBlock(coef)
+            val px0 = (mx * c.h + bh) * 8
+            val py0 = (my * c.v + bv) * 8
+            val pw = planeW(ci)
+            var y = 0
+            while (y < 8) {
+              var x = 0
+              while (x < 8) {
+                planes(ci)((py0 + y) * pw + px0 + x) = px(y * 8 + x)
+                x += 1
+              }
+              y += 1
+            }
+            bh += 1
           }
-          y += 1
+          bv += 1
         }
         ci += 1
       }
       mcu += 1
+    }
+    // assemble: replication upsampling of subsampled planes to full res
+    val out = new Array[Byte](width * height * nc)
+    if (nc == 1) {
+      val pw = planeW(0)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          out(y * width + x) = planes(0)(y * pw + x).toByte
+          x += 1
+        }
+        y += 1
+      }
+    } else {
+      def at(ci: Int, x: Int, y: Int): Int = {
+        val c = comps(ci)
+        planes(ci)((y * c.v / vMax) * planeW(ci) + (x * c.h / hMax))
+      }
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          val (r, g, b) = ycc2rgb(at(0, x, y), at(1, x, y), at(2, x, y))
+          val i = (y * width + x) * 3
+          out(i) = r.toByte; out(i + 1) = g.toByte; out(i + 2) = b.toByte
+          x += 1
+        }
+        y += 1
+      }
     }
     Some(PngCodec.Image(width, height, nc, out))
   }
@@ -355,6 +418,35 @@ object JpegCodec {
     0xf1, 0xf2, 0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8,
     0xf9, 0xfa).map(_.toByte)
 
+  /** Spec Annex K.3.1 chrominance DC table. */
+  private val DcBitsC = Array(0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0)
+  private val DcValsC: Array[Byte] = Array.tabulate[Byte](12)(_.toByte)
+
+  /** Spec Annex K.3.2 chrominance AC table. */
+  private val AcBitsC = Array(0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77)
+  private val AcValsC: Array[Byte] = Array(
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xa1, 0xb1, 0xc1, 0x09, 0x23, 0x33, 0x52, 0xf0,
+    0x15, 0x62, 0x72, 0xd1, 0x0a, 0x16, 0x24, 0x34,
+    0xe1, 0x25, 0xf1, 0x17, 0x18, 0x19, 0x1a, 0x26,
+    0x27, 0x28, 0x29, 0x2a, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7a, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8a, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5,
+    0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4,
+    0xb5, 0xb6, 0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3,
+    0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9, 0xca, 0xd2,
+    0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda,
+    0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9,
+    0xea, 0xf2, 0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8,
+    0xf9, 0xfa).map(_.toByte)
+
   /** Canonical code assignment (spec C.2): value → (code, size). */
   private def buildEncodeTable(bits: Array[Int], vals: Array[Byte]): Array[(Int, Int)] = {
     val table = new Array[(Int, Int)](256)
@@ -373,6 +465,8 @@ object JpegCodec {
   }
   private val DcEnc = buildEncodeTable(DcBits, DcVals)
   private val AcEnc = buildEncodeTable(AcBits, AcVals)
+  private val DcEncC = buildEncodeTable(DcBitsC, DcValsC)
+  private val AcEncC = buildEncodeTable(AcBitsC, AcValsC)
 
   private final class BitWriter(out: ByteArrayOutputStream) {
     private var acc = 0
@@ -395,6 +489,36 @@ object JpegCodec {
     var a = math.abs(v); var s = 0
     while (a != 0) { a >>= 1; s += 1 }
     s
+  }
+
+  /** Entropy-code one data unit (quantized coefficients, natural order);
+    * returns the new DC predictor. */
+  private def encodeBlock(bw: BitWriter, blk: Array[Int], pred: Int,
+      dcEnc: Array[(Int, Int)], acEnc: Array[(Int, Int)]): Int = {
+    val diff = blk(0) - pred
+    val s = magnitude(diff)
+    val (dcCode, dcSize) = dcEnc(s)
+    bw.put(dcCode, dcSize)
+    if (s > 0) bw.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+    var run = 0
+    var k = 1
+    while (k < 64) {
+      val v = blk(Zigzag(k))
+      if (v == 0) run += 1
+      else {
+        while (run > 15) { // ZRL
+          val (zc, zs) = acEnc(0xf0); bw.put(zc, zs); run -= 16
+        }
+        val sz = magnitude(v)
+        val (c, cs) = acEnc((run << 4) | sz)
+        bw.put(c, cs)
+        bw.put(if (v < 0) v + (1 << sz) - 1 else v, sz)
+        run = 0
+      }
+      k += 1
+    }
+    if (run > 0) { val (ec, es) = acEnc(0x00); bw.put(ec, es) } // EOB
+    blk(0)
   }
 
   /** Encode a grayscale baseline JFIF from per-block QUANTIZED
@@ -444,33 +568,95 @@ object JpegCodec {
         rstN = (rstN + 1) % 8
         pred = 0
       }
-      val blk = coeffs(mcu % mcusX, mcu / mcusX)
-      // DC
-      val diff = blk(0) - pred
-      pred = blk(0)
-      val s = magnitude(diff)
-      val (dcCode, dcSize) = DcEnc(s)
-      bw.put(dcCode, dcSize)
-      if (s > 0) bw.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
-      // AC: run-length over zigzag positions 1..63
-      var run = 0
-      k = 1
-      while (k < 64) {
-        val v = blk(Zigzag(k))
-        if (v == 0) run += 1
-        else {
-          while (run > 15) { // ZRL
-            val (zc, zs) = AcEnc(0xf0); bw.put(zc, zs); run -= 16
-          }
-          val sz = magnitude(v)
-          val (c, cs) = AcEnc((run << 4) | sz)
-          bw.put(c, cs)
-          bw.put(if (v < 0) v + (1 << sz) - 1 else v, sz)
-          run = 0
-        }
-        k += 1
+      pred = encodeBlock(bw, coeffs(mcu % mcusX, mcu / mcusX), pred,
+        DcEnc, AcEnc)
+      mcu += 1
+    }
+    bw.align()
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Encode a 3-component YCbCr baseline JFIF from per-block QUANTIZED
+    * coefficients: `coeffs(comp, bx, by)` in natural order, where
+    * (bx, by) are COMPONENT-plane block coords (Y plane spans
+    * lumaH·mcusX × lumaV·mcusY blocks including MCU padding; each chroma
+    * plane mcusX × mcusY at 1×1). Luma sampling parametrizes the
+    * subsampling scheme: (2,2) = 4:2:0 (default corpus form),
+    * (2,1) = 4:2:2, (1,1) = 4:4:4. Two quant tables (0 = luma,
+    * 1 = chroma), the four Annex K huffman tables in their conventional
+    * slots, interleaved Y×(lumaH·lumaV) + Cb + Cr MCUs, optional restart
+    * intervals. */
+  def encodeColor(width: Int, height: Int, qLuma: Array[Int],
+      qChroma: Array[Int], coeffs: (Int, Int, Int) => Array[Int],
+      restartInterval: Int, lumaH: Int = 2, lumaV: Int = 2): Array[Byte] = {
+    require(lumaH >= 1 && lumaH <= 4 && lumaV >= 1 && lumaV <= 4)
+    val out = new ByteArrayOutputStream()
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def u16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    marker(0xd8) // SOI
+    marker(0xe0); u16(16)
+    out.write("JFIF".getBytes("US-ASCII")); out.write(0)
+    out.write(1); out.write(1)
+    out.write(0); u16(1); u16(1)
+    out.write(0); out.write(0)
+    // DQT: luma table 0 + chroma table 1, zigzag order
+    marker(0xdb); u16(2 + 2 * 65)
+    out.write(0x00)
+    var k = 0
+    while (k < 64) { out.write(qLuma(Zigzag(k)) & 0xff); k += 1 }
+    out.write(0x01)
+    k = 0
+    while (k < 64) { out.write(qChroma(Zigzag(k)) & 0xff); k += 1 }
+    // SOF0: Y 2×2 sampling qtable 0; Cb/Cr 1×1 qtable 1
+    marker(0xc0); u16(8 + 9)
+    out.write(8); u16(height); u16(width); out.write(3)
+    out.write(1); out.write((lumaH << 4) | lumaV); out.write(0)
+    out.write(2); out.write(0x11); out.write(1)
+    out.write(3); out.write(0x11); out.write(1)
+    // DHT: all four Annex K tables
+    marker(0xc4); u16(2 + (1 + 16 + DcVals.length) + (1 + 16 + AcVals.length)
+      + (1 + 16 + DcValsC.length) + (1 + 16 + AcValsC.length))
+    out.write(0x00); DcBits.foreach(out.write); out.write(DcVals)
+    out.write(0x10); AcBits.foreach(out.write); out.write(AcVals)
+    out.write(0x01); DcBitsC.foreach(out.write); out.write(DcValsC)
+    out.write(0x11); AcBitsC.foreach(out.write); out.write(AcValsC)
+    if (restartInterval > 0) { marker(0xdd); u16(4); u16(restartInterval) }
+    // SOS: Y → tables 0/0, chroma → 1/1
+    marker(0xda); u16(6 + 2 * 3)
+    out.write(3)
+    out.write(1); out.write(0x00)
+    out.write(2); out.write(0x11)
+    out.write(3); out.write(0x11)
+    out.write(0); out.write(63); out.write(0)
+    val bw = new BitWriter(out)
+    val mcusX = (width + 8 * lumaH - 1) / (8 * lumaH)
+    val mcusY = (height + 8 * lumaV - 1) / (8 * lumaV)
+    val pred = new Array[Int](3)
+    var rstN = 0
+    var mcu = 0
+    val nMcus = mcusX * mcusY
+    while (mcu < nMcus) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        bw.align()
+        marker(0xd0 + rstN)
+        rstN = (rstN + 1) % 8
+        java.util.Arrays.fill(pred, 0)
       }
-      if (run > 0) { val (ec, es) = AcEnc(0x00); bw.put(ec, es) } // EOB
+      val mx = mcu % mcusX; val my = mcu / mcusX
+      // Y: v-major lumaH×lumaV data units, then Cb, then Cr
+      var bv = 0
+      while (bv < lumaV) {
+        var bh = 0
+        while (bh < lumaH) {
+          pred(0) = encodeBlock(bw,
+            coeffs(0, mx * lumaH + bh, my * lumaV + bv), pred(0), DcEnc, AcEnc)
+          bh += 1
+        }
+        bv += 1
+      }
+      pred(1) = encodeBlock(bw, coeffs(1, mx, my), pred(1), DcEncC, AcEncC)
+      pred(2) = encodeBlock(bw, coeffs(2, mx, my), pred(2), DcEncC, AcEncC)
       mcu += 1
     }
     bw.align()

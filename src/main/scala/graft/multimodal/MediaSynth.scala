@@ -370,6 +370,41 @@ object MediaSynth {
     JpegCodec.encodeGray(jpegWidth(docId), jpegHeight(docId), jpegQuantTable,
       jpegCoeffs(docId), jpegRestart(docId))
 
+  // --------------------------------- 4:2:0 color JPEG (q152)
+
+  /** Deterministic COLOR corpus for the chroma-subsampled decode gate
+    * (q152): a 3-component 4:2:0 baseline JFIF
+    * ([[JpegCodec.encodeColor]] — interleaved Y×4+Cb+Cr MCUs, two quant
+    * tables, all four Annex K huffman tables) whose per-component blocks
+    * reuse the q149 frequency-domain closed forms seeded per component
+    * (`doc_id + 1009·comp`). The decoder must run the full sampling-grid
+    * path: 4 luma data units per MCU, chroma at half resolution,
+    * replication upsampling, then the integer fixed-point YCbCr→RGB
+    * ([[JpegCodec.ycc2rgb]]) — every output channel value is exact
+    * integer arithmetic the oracle replays (including the clamps that
+    * genuinely fire on saturated chroma). Dims span 1–3 MCUs per axis
+    * with non-multiples of 16, exercising padded Y/chroma blocks that
+    * must be decoded and then cropped away. */
+  def jpegColorWidth(docId: Long): Int = (docId % 28).toInt + 9 // 9..36
+  def jpegColorHeight(docId: Long): Int = (docId % 24).toInt + 9 // 9..32
+  def jpegColorSeed(docId: Long, comp: Int): Long = docId + 1009L * comp
+
+  def jpegColorPayload(docId: Long): Array[Byte] =
+    JpegCodec.encodeColor(jpegColorWidth(docId), jpegColorHeight(docId),
+      jpegQuantTable, jpegQuantTable,
+      (comp, bx, by) => jpegCoeffs(jpegColorSeed(docId, comp))(bx, by),
+      jpegRestart(docId))
+
+  /** Closed-form decoded RGB at (x, y): luma at full resolution, chroma
+    * replicated from (x/2, y/2), converted by the same integer transform
+    * the decoder applies. */
+  def jpegColorPixel(docId: Long, x: Int, y: Int): (Int, Int, Int) = {
+    val yv = jpegPixel(jpegColorSeed(docId, 0), x, y)
+    val cb = jpegPixel(jpegColorSeed(docId, 1), x / 2, y / 2)
+    val cr = jpegPixel(jpegColorSeed(docId, 2), x / 2, y / 2)
+    JpegCodec.ycc2rgb(yv, cb, cr)
+  }
+
   // ------------------------------------------ motion-JPEG ISO-BMFF (q150)
 
   /** Deterministic COMPRESSED-video corpus (q150): the q94 container with

@@ -1263,6 +1263,90 @@ object MultimodalQueries {
       CAST(SUM((y * w + x) * v) AS BIGINT) AS wsum_v
     FROM v GROUP BY doc_id, f"""
 
+  /** q152 — chroma-subsampled COLOR JPEG decode under the gate: a
+    * 3-component 4:2:0 baseline JFIF per doc
+    * ([[graft.multimodal.MediaSynth.jpegColorPayload]]) forces the full
+    * sampling-grid decode — four luma data units per MCU interleaved with
+    * half-resolution chroma, per-component DC predictor chains, the
+    * chrominance huffman tables, replication upsampling, and the integer
+    * fixed-point YCbCr→RGB transform — with every RGB channel value
+    * replayed by the oracle in exact arithmetic (clamps included). A
+    * block placed in the wrong plane slot, a luma/chroma table swap, an
+    * upsampling phase error, or a color-transform constant off by one
+    * all shift `sum_v`/`wsum_v`. The dominant real-corpus JPEG form;
+    * same narrow no-shuffle decode pass as q85/q149. */
+  def jpegColorDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.util.Par.ensure(Tables(spark, dir, "documents"))
+      .select("doc_id").as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          graft.multimodal.JpegCodec.decode(MediaSynth.jpegColorPayload(id)) match {
+            case Some(img) =>
+              val n = img.pixels.length
+              var sum = 0L; var wsum = 0L; var i = 0
+              while (i < n) {
+                val v = img.pixels(i) & 0xff
+                sum += v; wsum += i.toLong * v
+                i += 1
+              }
+              PngStats(id, img.width.toLong, img.height.toLong,
+                img.channels.toLong, img.width.toLong * img.height,
+                sum, wsum, decode_ok = true)
+            case None =>
+              PngStats(id, -1L, -1L, -1L, -1L, -1L, -1L, decode_ok = false)
+          }
+        }
+      }
+      .toDF()
+  }
+
+  /** q149's frequency-domain closed form as SQL: decoded sample at
+    * (`xe`, `ye`) of the plane seeded by `s`. */
+  private def jpegSampleSql(s: String, xe: String, ye: String): String = {
+    val bx = s"(($xe) // 8)"; val by = s"(($ye) // 8)"
+    val sx = s"(CASE WHEN (($xe) % 8) % 4 IN (0, 3) THEN 1 ELSE -1 END)"
+    val sy = s"(CASE WHEN (($ye) % 8) % 4 IN (0, 3) THEN 1 ELSE -1 END)"
+    s"""(128 + ((3 * $bx + 5 * $by + ($s)) % 128) - 64
+      + (((7 * $bx + 11 * $by + 2 * ($s)) % 32) - 16) * $sx
+      + (((13 * $bx + 17 * $by + 3 * ($s)) % 32) - 16) * $sy
+      + (((19 * $bx + 23 * $by + 5 * ($s)) % 16) - 8) * $sx * $sy)"""
+  }
+
+  private val jpegColorOracle: String = {
+    // the decoder's fixed-point convert: floor((n + 32768) / 65536) via
+    // offset-nonnegative truncating division (DuckDB // truncates)
+    def fdiv(n: String) = s"((($n) + 32768 + 16777216) // 65536) - 256"
+    def clamp(v: String) = s"GREATEST(0, LEAST(255, $v))"
+    val r = clamp(s"yv + ${fdiv("91881 * (crv - 128)")}")
+    val g = clamp(s"yv + ${fdiv("-22554 * (cbv - 128) - 46802 * (crv - 128)")}")
+    val b = clamp(s"yv + ${fdiv("116130 * (cbv - 128)")}")
+    s"""
+    WITH params AS (
+      SELECT doc_id, (doc_id % 28) + 9 AS w, (doc_id % 24) + 9 AS h
+      FROM documents),
+    px AS (
+      SELECT p.doc_id, p.w, p.h, x.x, y.y,
+        ${jpegSampleSql("p.doc_id", "x.x", "y.y")} AS yv,
+        ${jpegSampleSql("p.doc_id + 1009", "x.x // 2", "y.y // 2")} AS cbv,
+        ${jpegSampleSql("p.doc_id + 2018", "x.x // 2", "y.y // 2")} AS crv
+      FROM params p, range(36) x(x), range(32) y(y)
+      WHERE x.x < p.w AND y.y < p.h),
+    rgb AS (
+      SELECT doc_id, w, h, x, y, $r AS r, $g AS g, $b AS b
+      FROM px)
+    SELECT doc_id,
+      CAST(MAX(w) AS BIGINT) AS width,
+      CAST(MAX(h) AS BIGINT) AS height,
+      CAST(3 AS BIGINT) AS channels,
+      CAST(MAX(w) * MAX(h) AS BIGINT) AS n_px,
+      CAST(SUM(r + g + b) AS BIGINT) AS sum_v,
+      CAST(SUM((y * w + x) * 3 * r + ((y * w + x) * 3 + 1) * g
+        + ((y * w + x) * 3 + 2) * b) AS BIGINT) AS wsum_v,
+      TRUE AS decode_ok
+    FROM rgb GROUP BY doc_id"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q73_media_probe", mediaProbe, Some(oracle)),
     QueryDef("q85_png_decode", pngDecode, Some(pngOracle)),
@@ -1279,5 +1363,6 @@ object MultimodalQueries {
     QueryDef("q129_image_phash", imagePhash, Some(phashOracle)),
     QueryDef("q149_jpeg_decode", jpegDecode, Some(jpegOracle)),
     QueryDef("q150_mjpeg_frames", mjpegFrames, Some(mjpegOracle)),
-    QueryDef("q151_pcm_halfband", pcmHalfband, Some(pcmHalfbandOracle)))
+    QueryDef("q151_pcm_halfband", pcmHalfband, Some(pcmHalfbandOracle)),
+    QueryDef("q152_jpeg_color_decode", jpegColorDecode, Some(jpegColorOracle)))
 }

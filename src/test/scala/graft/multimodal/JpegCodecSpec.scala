@@ -118,6 +118,61 @@ class JpegCodecSpec extends AnyFunSuite {
     assert(VideoHeaders.mjpegVideoFrames(MediaSynth.rawVideoMp4(3L)).isEmpty)
   }
 
+  test("4:2:0 color corpus roundtrip: decoded RGB equals closed form") {
+    for (id <- 0L until 120L) {
+      val img = JpegCodec.decode(MediaSynth.jpegColorPayload(id))
+        .getOrElse(fail(s"color decode failed for doc $id"))
+      assert(img.width == MediaSynth.jpegColorWidth(id))
+      assert(img.height == MediaSynth.jpegColorHeight(id))
+      assert(img.channels == 3)
+      var bad = 0
+      for (y <- 0 until img.height; x <- 0 until img.width) {
+        val (r, g, b) = MediaSynth.jpegColorPixel(id, x, y)
+        val i = (y * img.width + x) * 3
+        if ((img.pixels(i) & 0xff) != r || (img.pixels(i + 1) & 0xff) != g ||
+          (img.pixels(i + 2) & 0xff) != b) bad += 1
+      }
+      assert(bad == 0, s"$bad RGB mismatches for doc $id " +
+        s"(${img.width}x${img.height}, restart=${MediaSynth.jpegRestart(id)})")
+    }
+  }
+
+  test("color transform clamps genuinely fire somewhere in the corpus") {
+    // saturated chroma must hit 0/255 at least once, or the clamp path is
+    // untested dead code on both engines
+    val hits = (0L until 120L).exists { id =>
+      val img = JpegCodec.decode(MediaSynth.jpegColorPayload(id)).get
+      img.pixels.exists(p => (p & 0xff) == 0 || (p & 0xff) == 255)
+    }
+    assert(hits, "no clamped channel value in 120 docs — corpus too tame")
+  }
+
+  test("4:4:4 and 4:2:2 sampling decode through the same general grid") {
+    // the corpus pins 4:2:0; these pin the other two common schemes,
+    // verifying the grid generality (h×v loops, per-scheme upsampling)
+    for (id <- 0L until 30L; (lh, lv) <- Seq((1, 1), (2, 1))) {
+      val w = MediaSynth.jpegColorWidth(id); val h = MediaSynth.jpegColorHeight(id)
+      val bytes = JpegCodec.encodeColor(w, h,
+        MediaSynth.jpegQuantTable, MediaSynth.jpegQuantTable,
+        (c, bx, by) => MediaSynth.jpegCoeffs(MediaSynth.jpegColorSeed(id, c))(bx, by),
+        restartInterval = if (id % 2 == 0) 3 else 0, lumaH = lh, lumaV = lv)
+      val img = JpegCodec.decode(bytes)
+        .getOrElse(fail(s"decode failed: doc $id sampling ${lh}x$lv"))
+      assert(img.width == w && img.height == h && img.channels == 3)
+      var bad = 0
+      for (y <- 0 until h; x <- 0 until w) {
+        val yv = MediaSynth.jpegPixel(MediaSynth.jpegColorSeed(id, 0), x, y)
+        val cb = MediaSynth.jpegPixel(MediaSynth.jpegColorSeed(id, 1), x / lh, y / lv)
+        val cr = MediaSynth.jpegPixel(MediaSynth.jpegColorSeed(id, 2), x / lh, y / lv)
+        val (r, g, b) = JpegCodec.ycc2rgb(yv, cb, cr)
+        val i = (y * w + x) * 3
+        if ((img.pixels(i) & 0xff) != r || (img.pixels(i + 1) & 0xff) != g ||
+          (img.pixels(i + 2) & 0xff) != b) bad += 1
+      }
+      assert(bad == 0, s"$bad mismatches: doc $id sampling ${lh}x$lv")
+    }
+  }
+
   test("ImageHeaders dims agree with the full decoder on the corpus") {
     for (id <- 0L until 30L) {
       val p = MediaSynth.jpegPayload(id)
