@@ -1,0 +1,108 @@
+package graft.lake
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Merge-on-read DELETEs via deletion-vector sidecars — the lakehouse
+  * mechanism (Delta DVs / Iceberg positional deletes) that makes sparse
+  * deletes O(deleted rows) instead of O(table): data files stay
+  * byte-immutable, a tiny sidecar relation records (file, row position)
+  * tombstones, and the scan subtracts them.
+  *
+  * Spark-first shape: positions come from the parquet reader's hidden
+  * `_metadata.file_path` / `_metadata.row_index` columns (no UDF, no
+  * zipWithIndex job — the reader emits ordinals for free), and the scan
+  * applies the vector with a BROADCAST LEFT-ANTI join keyed on
+  * (file, position). At 100 TB with sparse deletes the DV relation is
+  * MBs: the anti join broadcasts, the data side never shuffles, and
+  * deletes never trigger a rewrite. Compaction ([[compact]]) is the
+  * amortized path that folds accumulated vectors back into clean files
+  * and drops the sidecars.
+  *
+  * Layout: `<table>/_dv/d<n>.parquet` sidecars, each rows of
+  * (file: STRING, pos: LONG). Multiple delete operations accumulate as
+  * separate sidecar files; application unions them (positions are
+  * naturally deduplicated by the anti join, so re-deleting a row is a
+  * no-op — idempotent like the reference's reruns). The `_dv` directory
+  * underscore-prefix keeps every plain `spark.read.parquet(table)` from
+  * picking sidecars up as data (Spark skips `_`/`.` paths), so readers
+  * that have not adopted DV semantics degrade to seeing undeleted data,
+  * never to schema corruption.
+  */
+object DeletionVectors {
+
+  private def dvDir(table: String) = s"$table/_dv"
+
+  /** The hidden-column scan every DV operation builds on. */
+  private def withPos(spark: SparkSession, table: String): DataFrame =
+    spark.read.parquet(table)
+      .withColumn("_dv_file", col("_metadata.file_path"))
+      .withColumn("_dv_pos", col("_metadata.row_index"))
+
+  /** Record `predicate` rows as a new deletion-vector sidecar WITHOUT
+    * touching any data file. Returns the number of newly tombstoned
+    * positions (rows matching the predicate, whether or not a prior
+    * vector already covered them — the anti join makes overlaps
+    * harmless). */
+  def delete(spark: SparkSession, table: String, predicate: Column): Long = {
+    val dv = withPos(spark, table)
+      .filter(predicate)
+      .select(col("_dv_file").as("file"), col("_dv_pos").as("pos"))
+    // one sidecar per operation: content-addressed name for idempotent
+    // re-runs of the same logical delete
+    val n = dv.count()
+    if (n > 0) {
+      val tag = math.abs(dv.select(sum(hash(col("file"), col("pos"))
+        .cast("long"))).head().getLong(0))
+      dv.coalesce(1).write.mode("overwrite")
+        .parquet(s"${dvDir(table)}/d$tag.parquet")
+    }
+    n
+  }
+
+  /** True if the table has any deletion vectors pending. */
+  def hasVectors(spark: SparkSession, table: String): Boolean =
+    new java.io.File(dvDir(table)).exists() &&
+      new java.io.File(dvDir(table)).listFiles() != null &&
+      new java.io.File(dvDir(table)).listFiles().nonEmpty
+
+  /** All accumulated tombstones as one (file, pos) relation. */
+  def vectors(spark: SparkSession, table: String): DataFrame =
+    if (hasVectors(spark, table))
+      spark.read.parquet(s"${dvDir(table)}/*.parquet").distinct()
+    else {
+      import spark.implicits._
+      Seq.empty[(String, Long)].toDF("file", "pos")
+    }
+
+  /** Merge-on-read scan: the table minus its deletion vectors. The DV
+    * side is broadcast (sparse deletes ⇒ small relation); the data side
+    * stays a narrow scan — no shuffle, no rewrite. */
+  def read(spark: SparkSession, table: String): DataFrame = {
+    val data = withPos(spark, table)
+    data.join(broadcast(vectors(spark, table)),
+        data("_dv_file") === col("file") && data("_dv_pos") === col("pos"),
+        "left_anti")
+      .drop("_dv_file", "_dv_pos")
+  }
+
+  /** Fold accumulated vectors into clean data files and drop the
+    * sidecars — the amortized rewrite that bounds DV accumulation. The
+    * rewrite is staged write-then-swap so a crash mid-compaction leaves
+    * either the old table+vectors or the new clean table, never a mix. */
+  def compact(spark: SparkSession, table: String): Unit = {
+    if (!hasVectors(spark, table)) return
+    val staged = s"$table.compacting"
+    read(spark, table).write.mode("overwrite").parquet(staged)
+    val live = new java.io.File(table)
+    val old = new java.io.File(s"$table.old")
+    org.apache.commons.io.FileUtils.deleteQuietly(old)
+    if (!live.renameTo(old))
+      throw new IllegalStateException(s"swap failed for $table")
+    if (!new java.io.File(staged).renameTo(live)) {
+      old.renameTo(live) // roll back
+      throw new IllegalStateException(s"swap-in failed for $table")
+    }
+    org.apache.commons.io.FileUtils.deleteQuietly(old)
+  }
+}

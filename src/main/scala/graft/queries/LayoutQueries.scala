@@ -94,7 +94,85 @@ object LayoutQueries {
        strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'),
        o_orderpriority)"""
 
+  /** q153 — merge-on-read DELETE via deletion vectors
+    * ([[graft.lake.DeletionVectors]]): a 4-file copy of orders takes two
+    * OVERLAPPING sparse deletes recorded purely as (file, row-position)
+    * sidecars — the data files stay byte-immutable (spec-asserted) — and
+    * the scan subtracts the tombstones with a broadcast left-anti join on
+    * the parquet reader's hidden `_metadata.file_path`/`row_index`
+    * columns. The gate aggregates the merge-on-read view against a plain
+    * predicate oracle: a position off-by-one, a file-path mismatch, or a
+    * lost vector in the union shifts the counts.
+    *
+    * Scale shape: deletes cost O(deleted rows), never a rewrite; the DV
+    * relation for sparse deletes is MBs at 100 TB, so the anti join
+    * broadcasts and the data side stays a shuffle-free narrow scan.
+    * [[graft.lake.DeletionVectors.compact]] is the amortized fold-back,
+    * staged write-then-swap (spec-pinned). */
+  def deletionVectorRead(spark: SparkSession, dir: String): DataFrame = {
+    val table = graft.util.Scratch.dir("dv_table", dir)
+    Tables(spark, dir, "orders")
+      .repartition(4, col("o_orderkey"))
+      .write.mode("overwrite").parquet(table) // also clears prior _dv
+    graft.lake.DeletionVectors.delete(spark, table,
+      col("o_orderstatus") === "O" && col("o_totalprice") < 50000)
+    graft.lake.DeletionVectors.delete(spark, table,
+      col("o_totalprice") < 20000)
+    graft.lake.DeletionVectors.read(spark, table)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_rows"),
+        Num.sumMoney(col("o_totalprice")).as("sum_price"))
+  }
+
+  /** q154 — TIME TRAVEL over a versioned snapshot log
+    * ([[graft.lake.Snapshots]]): three commits build version history on a
+    * scratch table — append (v1), append (v2: carries v1's files by
+    * reference, writes only its delta), overwrite (v3: replaces the list;
+    * old files stay for travel) — then one query reads ALL THREE versions
+    * concurrently and aggregates each. The oracle replays the cumulative
+    * membership per version; a log that loses carried files, an append
+    * that rewrites, or an overwrite that leaks prior files all shift a
+    * version's row. This is the reproducible-training-run primitive: pin
+    * a data version, get identical bytes forever after.
+    *
+    * Scale shape: version resolution is one KB-sized log object — no data
+    * directory listing; snapshots share unchanged files so history costs
+    * deltas, not copies. */
+  def timeTravelRead(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Snapshots
+    val table = graft.util.Scratch.dir("tt_table", dir)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+    val orders = Tables(spark, dir, "orders")
+    Snapshots.append(spark, table, orders.filter(col("o_orderkey") % 3 === 0))
+    Snapshots.append(spark, table, orders.filter(col("o_orderkey") % 3 === 1))
+    Snapshots.overwrite(spark, table, orders.filter(col("o_orderkey") % 3 === 2))
+    (1 to 3).map { v =>
+      Snapshots.readAt(spark, table, v).get
+        .agg(count(lit(1)).as("n_rows"),
+          Num.sumMoney(col("o_totalprice")).as("sum_price"))
+        .select(lit(v.toLong).as("version"), col("n_rows"), col("sum_price"))
+    }.reduce(_.unionAll(_))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q154_time_travel", timeTravelRead, Some(s"""
+      SELECT CAST(1 AS BIGINT) AS version, COUNT(*) AS n_rows,
+             ${Num.sqlSumMoney("o_totalprice")} AS sum_price
+      FROM orders WHERE o_orderkey % 3 = 0
+      UNION ALL
+      SELECT CAST(2 AS BIGINT), COUNT(*), ${Num.sqlSumMoney("o_totalprice")}
+      FROM orders WHERE o_orderkey % 3 IN (0, 1)
+      UNION ALL
+      SELECT CAST(3 AS BIGINT), COUNT(*), ${Num.sqlSumMoney("o_totalprice")}
+      FROM orders WHERE o_orderkey % 3 = 2""")),
+    QueryDef("q153_deletion_vectors", deletionVectorRead, Some(s"""
+      SELECT o_orderpriority,
+             COUNT(*) AS n_rows,
+             ${Num.sqlSumMoney("o_totalprice")} AS sum_price
+      FROM orders
+      WHERE NOT (o_orderstatus = 'O' AND o_totalprice < 50000)
+        AND NOT (o_totalprice < 20000)
+      GROUP BY 1""")),
     QueryDef("q147_global_row_ids", globalRowIds, Some("""
       SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) AS rid
       FROM documents""")),

@@ -1,0 +1,79 @@
+package graft.lake
+
+import java.io.File
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** [[Snapshots]] log mechanics the q154 gate can't see: structural
+  * file-sharing between versions, immutability under later commits,
+  * change-feed diffs, and vacuum retention. */
+class SnapshotsSpec extends SparkTestBase {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def fresh(tag: String): String =
+    s"${Files.createTempDirectory(s"graft_snap_$tag").toString}/t"
+
+  private def orders = graft.queries.Tables(spark, sfDir, "orders")
+
+  test("append shares prior files by reference; commit writes only its delta") {
+    val t = fresh("share")
+    val v1 = Snapshots.append(spark, t, orders.filter(col("o_orderkey") % 3 === 0))
+    val s1 = Snapshots.snapshot(spark, t, v1).get
+    val v2 = Snapshots.append(spark, t, orders.filter(col("o_orderkey") % 3 === 1))
+    val s2 = Snapshots.snapshot(spark, t, v2).get
+    assert(s1.files.toSet.subsetOf(s2.files.toSet), "v2 dropped carried files")
+    assert(Snapshots.newFilesBetween(spark, t, v1, v2).toSet ==
+      s2.files.toSet -- s1.files.toSet)
+    // all fresh v2 files live in v2's own commit dir — nothing rewritten
+    assert(Snapshots.newFilesBetween(spark, t, v1, v2)
+      .forall(_.startsWith("_snap/c-2/")))
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(t).getParentFile)
+  }
+
+  test("time travel is stable: v1's rows never change as history grows") {
+    val t = fresh("stable")
+    Snapshots.append(spark, t, orders.filter(col("o_orderkey") % 3 === 0))
+    def v1Sum = Snapshots.readAt(spark, t, 1).get
+      .agg(sum(graft.queries.Num.cents(col("o_totalprice")))).head().getLong(0)
+    val want = v1Sum
+    Snapshots.append(spark, t, orders.filter(col("o_orderkey") % 3 === 1))
+    Snapshots.overwrite(spark, t, orders.filter(col("o_orderkey") % 3 === 2))
+    assert(v1Sum == want)
+    // and v1's physical bytes are untouched
+    val c1 = new File(s"$t/_snap/c-1")
+    assert(c1.exists() && c1.listFiles().nonEmpty)
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(t).getParentFile)
+  }
+
+  test("overwrite replaces the view; prior versions stay readable until vacuum") {
+    val t = fresh("ow")
+    Snapshots.append(spark, t, orders.filter(col("o_orderkey") % 3 === 0))
+    Snapshots.append(spark, t, orders.filter(col("o_orderkey") % 3 === 1))
+    val v3 = Snapshots.overwrite(spark, t, orders.filter(col("o_orderkey") % 3 === 2))
+    val n3 = orders.filter(col("o_orderkey") % 3 === 2).count()
+    val n12 = orders.filter(col("o_orderkey") % 3 =!= 2).count()
+    assert(Snapshots.readLatest(spark, t).get.count() == n3)
+    assert(Snapshots.readAt(spark, t, 2).get.count() == n12)
+    // vacuum keeping only v3: old commit dirs reclaimed, v3 unharmed
+    Snapshots.vacuum(spark, t, keepFrom = v3)
+    assert(!new File(s"$t/_snap/c-1").exists())
+    assert(!new File(s"$t/_snap/c-2").exists())
+    assert(Snapshots.readAt(spark, t, v3).get.count() == n3)
+    assert(Snapshots.snapshot(spark, t, 1).isEmpty, "trimmed log entry survives")
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(t).getParentFile)
+  }
+
+  test("plain readers never see snapshot internals") {
+    val t = fresh("plain")
+    Snapshots.append(spark, t, orders.limit(100))
+    // _snap/_log are underscore-invisible: a naive read of the table root
+    // finds no parquet data at all rather than mixing versions
+    val err = intercept[Exception](spark.read.parquet(t).count())
+    assert(err != null)
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(t).getParentFile)
+  }
+}
