@@ -40,18 +40,39 @@ object RetailQueries {
       .orderBy(desc("revenue"), col("l_partkey"))
       .limit(10)
 
-  /** TPC-H Q1-style pricing summary over lineitem. */
+  /** TPC-H Q1-style pricing summary over lineitem.
+    *
+    * Explicit two-level formulation instead of `agg(..., countDistinct)`:
+    * mixing a distinct with other aggregates makes Catalyst thread every
+    * accumulator (including the DECIMAL ones) through the wide
+    * (group, orderkey)-keyed phases of its one-distinct rewrite —
+    * measured 1.4–1.7 s at sf0.1 vs 1.1 s for this form (PlanProbe).
+    * Here phase 1 pre-aggregates per (flag, status, orderkey) — the
+    * relation the distinct pass shuffles anyway — with ALL-PRIMITIVE long
+    * partials (safe at any table size: a single order's lines bound the
+    * partial, ≈8·10^11 ≪ 2^63 even at thousands of lines per order), and
+    * the final 6-group fold is where the DECIMAL headroom accumulators
+    * take over. Single scan (a two-scan split measures faster locally but
+    * doubles the dominant cost at 100 TB); `count(lit(1))` at the fold ==
+    * countDistinct(orderkey) by construction. */
   def pricingSummary(spark: SparkSession, dir: String): DataFrame = {
     val tax100 = lit(100L) + cents(col("l_tax"))
     Tables(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"), col("l_orderkey"))
+      .agg(
+        sum(cents(col("l_quantity"))).as("q"),
+        sum(cents(col("l_extendedprice"))).as("bp"),
+        sum(discRevenue).as("dp"),
+        sum(discRevenue * tax100).as("ch"),
+        count(lit(1)).as("n"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sumMoney(col("l_quantity")).as("sum_qty"),
-        sumMoney(col("l_extendedprice")).as("sum_base_price"),
-        (sumBig(discRevenue).cast(DoubleType) / 10000.0).as("sum_disc_price"),
-        (sumBig(discRevenue * tax100).cast(DoubleType) / 1000000.0).as("sum_charge"),
-        count(lit(1)).as("n_rows"),
-        countDistinct(col("l_orderkey")).as("n_orders"))
+        (sumBig(col("q")).cast(DoubleType) / 100.0).as("sum_qty"),
+        (sumBig(col("bp")).cast(DoubleType) / 100.0).as("sum_base_price"),
+        (sumBig(col("dp")).cast(DoubleType) / 10000.0).as("sum_disc_price"),
+        (sumBig(col("ch")).cast(DoubleType) / 1000000.0).as("sum_charge"),
+        sum(col("n")).as("n_rows"),
+        count(lit(1)).as("n_orders"))
   }
 
   /** Broadcast dimension join: revenue by part brand. */
