@@ -45,7 +45,7 @@ object ParityQueries {
 
   /** D3 — currency cleaning on decorated strings. */
   def currencyClean(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables(spark, dir, "lineitem")
+    val li = graft.util.Par.ensure(Tables(spark, dir, "lineitem"))
       .select(col("l_orderkey"), col("l_linenumber"),
         col("l_extendedprice"), (col("l_linenumber") % 4).as("variant"))
     val (raw, _) = decorate(col("l_extendedprice"), col("variant"))
@@ -56,7 +56,7 @@ object ParityQueries {
 
   /** D4 — quantity cleaning incl. N/A → null. */
   def quantityClean(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables(spark, dir, "lineitem")
+    val li = graft.util.Par.ensure(Tables(spark, dir, "lineitem"))
     val q = col("l_quantity").cast(LongType)
     val raw = when(col("l_linenumber") % 5 === 0, lit("N/A"))
       .when(col("l_linenumber") % 5 === 1, concat(q.cast(StringType), lit(" pcs")))
@@ -162,7 +162,7 @@ object ParityQueries {
     * reference's 3VL row-loss bug (SURVEY §2.G Q4) fixed: null numerics
     * are classified as rejects instead of silently vanishing. */
   def businessDq(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables(spark, dir, "lineitem")
+    val li = graft.util.Par.ensure(Tables(spark, dir, "lineitem"))
     // deterministically perturb some revenues; null out others
     val revenue = when(col("l_linenumber") % 7 === 3, lit(null).cast(DoubleType))
       .when(col("l_linenumber") % 7 === 5,

@@ -122,7 +122,7 @@ object RetailQueries {
   def rowHash(spark: SparkSession, dir: String): DataFrame = {
     val hashCols = Seq("l_orderkey", "l_partkey", "l_suppkey",
       "l_linenumber", "l_returnflag", "l_linestatus")
-    Tables(spark, dir, "lineitem")
+    graft.util.Par.ensure(Tables(spark, dir, "lineitem"))
       .select(col("l_orderkey"), col("l_linenumber"),
         md5(concat_ws("||",
           hashCols.map(c => coalesce(col(c).cast(StringType), lit(""))): _*))
