@@ -29,6 +29,26 @@ object StreamingQueries {
   private def scratchDir(tag: String, dir: String): String =
     graft.util.Scratch.dir(tag, dir)
 
+  /** Streaming STATE partitions are a throughput-sizing knob, decoupled
+    * from the batch shuffle width: every state partition pays fixed
+    * per-microbatch state-store costs (RocksDB open/changelog/commit), so
+    * more partitions than the event rate needs multiplies overhead
+    * without adding parallelism. Measured on this corpus: the q69
+    * stream-stream join runs 5.6 s at 32 partitions vs 2.8 s at 8
+    * (PlanProbe). A production deployment sizes this to peak
+    * events/sec ÷ per-partition throughput; the local replay defaults to
+    * 8 (override: SPARK_GRAFT_STATE_PARTITIONS). The session width is
+    * restored before returning, so the read-back result and every batch
+    * query keep the full core count — the partition count is pinned into
+    * each query's fresh checkpoint at start. */
+  private def withStatePartitions[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key,
+      sys.env.getOrElse("SPARK_GRAFT_STATE_PARTITIONS", "8"))
+    try body finally spark.conf.set(key, prev)
+  }
+
   private def delete(path: String): Unit =
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
 
@@ -41,7 +61,7 @@ object StreamingQueries {
     * hash-match the q58 batch oracle in DuckDB. The checkpoint is cleared
     * first so every invocation recomputes from the source rather than
     * replaying a prior run's offsets. */
-  def slidingHourlyStream(spark: SparkSession, dir: String): DataFrame = {
+  def slidingHourlyStream(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark) {
     val src = s"$dir/events.parquet"
     val out = scratchDir("stream_q61_out", dir)
     val ckpt = scratchDir("stream_q61_ckpt", dir)
@@ -74,7 +94,7 @@ object StreamingQueries {
     * hash-matched against the q19 batch-window oracle. Proves the custom
     * state logic — not just a built-in windowed agg — agrees with batch
     * under the driver gate. */
-  def sessionizeStream(spark: SparkSession, dir: String): DataFrame = {
+  def sessionizeStream(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark) {
     import spark.implicits._
     val src = s"$dir/events.parquet"
     val out = scratchDir("stream_q66_out", dir)
@@ -114,7 +134,7 @@ object StreamingQueries {
     * bounded replay produces the full batch result; the event-time range
     * condition plus both watermarks are what bound the join state on an
     * unbounded run. */
-  def intervalJoinStream(spark: SparkSession, dir: String): DataFrame = {
+  def intervalJoinStream(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark) {
     import spark.implicits._
     val src = s"$dir/events.parquet"
     val out = scratchDir("stream_q69_out", dir)
@@ -146,7 +166,7 @@ object StreamingQueries {
     * completes the windowed-agg pair (q61 covers the sliding form). Same
     * replay harness as q61; complete mode because the bounded replay must
     * also emit the windows the watermark never closes. */
-  def hourlyCountsStream(spark: SparkSession, dir: String): DataFrame = {
+  def hourlyCountsStream(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark) {
     val src = s"$dir/events.parquet"
     val out = scratchDir("stream_q84_out", dir)
     val ckpt = scratchDir("stream_q84_ckpt", dir)
@@ -183,7 +203,7 @@ object StreamingQueries {
     * stream those windows would simply close later. Bounded-state
     * eviction is spec-asserted via `lastProgress.stateOperators`
     * (StreamingEventSpecs). */
-  def hourlyCountsStreamAppend(spark: SparkSession, dir: String): DataFrame = {
+  def hourlyCountsStreamAppend(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark) {
     val src = s"$dir/events.parquet"
     val out = scratchDir("stream_q86_out", dir)
     val ckpt = scratchDir("stream_q86_ckpt", dir)
@@ -211,7 +231,7 @@ object StreamingQueries {
     * requires), replayed over the events file and hash-matched against
     * the same q19 batch-window oracle. Both stateful APIs now prove
     * identical semantics under the driver gate, not just in specs. */
-  def sessionizeTwsStream(spark: SparkSession, dir: String): DataFrame = {
+  def sessionizeTwsStream(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark) {
     import spark.implicits._
     val src = s"$dir/events.parquet"
     val out = scratchDir("stream_q77_out", dir)
@@ -246,7 +266,7 @@ object StreamingQueries {
     * stateful agg (q61), custom state (q66), join state (q69), dedup
     * state (q71). On an unbounded run the same pipeline holds per-id
     * state only within the watermark horizon. */
-  def dedupStream(spark: SparkSession, dir: String): DataFrame = {
+  def dedupStream(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark) {
     import spark.implicits._
     val src = s"$dir/events.parquet"
     val out = scratchDir("stream_q71_out", dir)
@@ -310,7 +330,7 @@ object StreamingQueries {
     * RocksDB state stores. Replay convention as q84: complete mode +
     * AvailableNow + foreachBatch parquet, hash-matched against the
     * batch join oracle. */
-  def enrichedStream(spark: SparkSession, dir: String): DataFrame = {
+  def enrichedStream(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark) {
     val src = s"$dir/events.parquet"
     val out = scratchDir("stream_q102_out", dir)
     val ckpt = scratchDir("stream_q102_ckpt", dir)
@@ -351,7 +371,7 @@ object StreamingQueries {
     * history is never rescanned, and the rollup survives outside any
     * checkpoint. The final published version must hash-match the
     * from-scratch batch aggregate. */
-  def incrementalRollupStream(spark: SparkSession, dir: String): DataFrame = {
+  def incrementalRollupStream(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark) {
     val src = s"$dir/events.parquet"
     val out = scratchDir("stream_q115_roll", dir)
     val ckpt = scratchDir("stream_q115_ckpt", dir)
@@ -393,7 +413,7 @@ object StreamingQueries {
     * the same semantics as one window over the whole log — the
     * apply-per-batch ∘ fold ≡ global-latest equivalence that makes
     * streamed replication trustworthy. */
-  def cdcApplyStream(spark: SparkSession, dir: String): DataFrame = {
+  def cdcApplyStream(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark) {
     import graft.operators.CdcMerge
     val src = s"$dir/events.parquet"
     val out = scratchDir("stream_q118_state", dir)
@@ -454,7 +474,7 @@ object StreamingQueries {
     * exact batch distinct (q54's contract: estimate within HLL
     * tolerance, here generous 5%+16 absolute for the small gate
     * cardinalities where HLL's sparse mode is near-exact). */
-  def distinctSketchStream(spark: SparkSession, dir: String): DataFrame = {
+  def distinctSketchStream(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark) {
     val src = s"$dir/events.parquet"
     val out = scratchDir("stream_q133_hll", dir)
     val ckpt = scratchDir("stream_q133_ckpt", dir)

@@ -94,6 +94,25 @@ object PlanProbe {
           Num.sumBig(col("n")).cast("long").as("n_rows"),
           count(lit(1)).as("n_orders"))
     }
+    def timeCall(tag: String)(f: => Unit): Unit = {
+      val ts = (1 to 2).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      println(f"PROBE $tag%-28s best=${ts.min}%.3f all=${ts.map(t => f"$t%.2f").mkString(",")}")
+    }
+    if (sys.env.contains("SPARK_GRAFT_PROBE_STREAMS")) {
+      import graft.queries.StreamingQueries
+      for (sp <- Seq("32", "8", "4")) {
+        spark.conf.set("spark.sql.shuffle.partitions", sp)
+        timeCall(s"q69_interval_sp$sp") {
+          StreamingQueries.intervalJoinStream(spark, dir).count()
+        }
+        timeCall(s"q61_sliding_sp$sp") {
+          StreamingQueries.slidingHourlyStream(spark, dir).count()
+        }
+      }
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
+    }
     time("q01_two_aggs_join") {
       val sums = li.groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(Num.sumMoney(col("l_quantity")).as("sum_qty"),
