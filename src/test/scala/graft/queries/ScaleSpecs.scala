@@ -713,6 +713,52 @@ class ScaleSpecs extends SparkTestBase {
     // content is gate-checked at sf0.01 (227 corner rows)
   }
 
+  test("deletion-vector scan broadcasts the tombstones and stays anti-join") {
+    // q153: the merge-on-read subtraction must be a BROADCAST left-anti
+    // join (the DV relation is MBs at 100 TB) — a sort-merge anti would
+    // shuffle the full data side on (file, pos), and a nested loop would
+    // be quadratic. Also pins that the vector columns never survive into
+    // the user-visible schema.
+    val table = java.nio.file.Files.createTempDirectory("graft_dvplan_")
+      .toString + "/t"
+    Tables(spark, dir, "orders").repartition(2, col("o_orderkey"))
+      .write.mode("overwrite").parquet(table)
+    graft.lake.DeletionVectors.delete(spark, table,
+      col("o_totalprice") < 30000)
+    val mor = graft.lake.DeletionVectors.read(spark, table)
+    mor.collect()
+    val plan = mor.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      plan.take(2500))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2500))
+    assert(!mor.columns.contains("_dv_file") && !mor.columns.contains("_dv_pos"))
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(table).getParentFile)
+  }
+
+  test("q01 distinct restructure: no expanded distinct phase, partials stay primitive") {
+    // the explicit two-level form must plan as two plain hash aggregates
+    // (the (group, orderkey) pre-aggregate IS the distinct), with no
+    // Expand operator and no DECIMAL accumulators in the wide first phase
+    val q1 = RetailQueries.pricingSummary(spark, dir)
+    q1.collect()
+    val plan = q1.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("Expand"), plan.take(2500))
+    // exactly one exchange keyed by the wide pre-aggregate, one by the fold
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 2, s"$exchanges exchanges:\n${plan.take(2500)}")
+  }
+
+  test("streaming state partitions: the stream runs at the sized width, batch width restored") {
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    val df = StreamingQueries.slidingHourlyStream(spark, dir)
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == before,
+      "session shuffle width not restored after streaming query")
+    assert(df.count() > 0)
+  }
+
   test("partition pruning: date-filtered gold read scans a single partition") {
     // build a tiny two-date partitioned table and check the scan prunes
     import spark.implicits._
