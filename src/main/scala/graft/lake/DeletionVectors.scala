@@ -66,14 +66,19 @@ object DeletionVectors {
       new java.io.File(dvDir(table)).listFiles() != null &&
       new java.io.File(dvDir(table)).listFiles().nonEmpty
 
-  /** All accumulated tombstones as one (file, pos) relation. */
-  def vectors(spark: SparkSession, table: String): DataFrame =
-    if (hasVectors(spark, table))
-      spark.read.parquet(s"${dvDir(table)}/*.parquet").distinct()
-    else {
+  /** All accumulated tombstones as one (file, pos) relation. Sidecars are
+    * enumerated explicitly (no glob: a concurrent writer's half-staged
+    * dir under a glob pattern surfaces as a logged read error). */
+  def vectors(spark: SparkSession, table: String): DataFrame = {
+    val dirs =
+      if (!hasVectors(spark, table)) Array.empty[String]
+      else new java.io.File(dvDir(table)).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getPath)
+    if (dirs.isEmpty) {
       import spark.implicits._
       Seq.empty[(String, Long)].toDF("file", "pos")
-    }
+    } else spark.read.parquet(dirs.toIndexedSeq: _*).distinct()
+  }
 
   /** Merge-on-read scan: the table minus its deletion vectors. The DV
     * side is broadcast (sparse deletes ⇒ small relation); the data side
