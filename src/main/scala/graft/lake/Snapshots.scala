@@ -27,7 +27,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Snapshots {
 
-  final case class Snapshot(version: Int, files: Seq[String])
+  /** One published version: data file list plus positional-delete file
+    * list (both relative to the table root). Delete files are the
+    * Iceberg-positional-delete half of merge-on-read [[merge]]: rows of
+    * (file: absolute data-file URI, pos: row index) that [[readAt]]
+    * subtracts with a broadcast anti join. */
+  final case class Snapshot(version: Int, files: Seq[String],
+      deletes: Seq[String] = Nil)
 
   private def logDir(table: String) = s"$table/_log"
   private def logPath(table: String, v: Int) = f"${logDir(table)}/v$v%06d.json"
@@ -49,40 +55,58 @@ object Snapshots {
     val path = logPath(table, v)
     if (!ops.exists(path)) return None
     val json = ops.readString(path)
-    """"files":\[([^\]]*)\]""".r.findFirstMatchIn(json).map { m =>
-      Snapshot(v, m.group(1).split(",").toSeq
-        .map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty))
-    }
+    def list(k: String): Option[Seq[String]] =
+      (s""""$k":\\[([^\\]]*)\\]""").r.findFirstMatchIn(json).map(
+        _.group(1).split(",").toSeq
+          .map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty))
+    list("files").map(fs =>
+      Snapshot(v, fs, list("deletes").getOrElse(Nil)))
   }
 
-  private def commit(spark: SparkSession, table: String, df: DataFrame,
-      carry: Seq[String]): Int = {
-    val ops = new FileOps(spark.sparkContext.hadoopConfiguration)
-    val v = latestVersion(spark, table).getOrElse(0) + 1
-    val dataDir = s"$table/_snap/c-$v"
-    df.write.mode("overwrite").parquet(dataDir)
-    val p = new org.apache.hadoop.fs.Path(dataDir)
+  private def listFresh(spark: SparkSession, dir: String,
+      rel: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val fresh = fs.listStatus(p).toSeq.map(_.getPath.getName)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
       .filter(n => n.endsWith(".parquet") && !n.startsWith("_"))
-      .sorted.map(f => s"_snap/c-$v/$f")
-    val files = carry ++ fresh
-    files.find(f => f.exists(c => c == ',' || c == '"' || c == '\\')).foreach(f =>
+      .sorted.map(f => s"$rel/$f")
+  }
+
+  private def publish(spark: SparkSession, table: String, v: Int,
+      files: Seq[String], deletes: Seq[String]): Int = {
+    val ops = new FileOps(spark.sparkContext.hadoopConfiguration)
+    (files ++ deletes).find(f =>
+      f.exists(c => c == ',' || c == '"' || c == '\\')).foreach(f =>
       throw new IllegalStateException(s"file name not log-safe: $f"))
     // publish LAST, through tmp+rename of the one small log object — the
     // same single-object atomicity contract as ManifestCommit.publish
-    val json = Json.render(Map("version" -> v.toLong, "files" -> files))
+    val json = Json.render(Map("version" -> v.toLong, "files" -> files,
+      "deletes" -> deletes))
     val tmp = s"${logPath(table, v)}.tmp"
     ops.writeString(tmp, json)
     ops.move(tmp, logPath(table, v))
     v
   }
 
-  /** New version = previous version's files + this delta. */
+  private def commit(spark: SparkSession, table: String, df: DataFrame,
+      carry: Seq[String], carryDeletes: Seq[String] = Nil): Int = {
+    val v = latestVersion(spark, table).getOrElse(0) + 1
+    val dataDir = s"$table/_snap/c-$v"
+    df.write.mode("overwrite").parquet(dataDir)
+    publish(spark, table, v,
+      carry ++ listFresh(spark, dataDir, s"_snap/c-$v"), carryDeletes)
+  }
+
+  private def latestSnapshot(spark: SparkSession, table: String): Option[Snapshot] =
+    latestVersion(spark, table).flatMap(v => snapshot(spark, table, v))
+
+  /** New version = previous version's files (and delete files) + this
+    * delta. */
   def append(spark: SparkSession, table: String, df: DataFrame): Int = {
-    val carry = latestVersion(spark, table)
-      .flatMap(v => snapshot(spark, table, v)).map(_.files).getOrElse(Nil)
-    commit(spark, table, df, carry)
+    val prev = latestSnapshot(spark, table)
+    commit(spark, table, df, prev.map(_.files).getOrElse(Nil),
+      prev.map(_.deletes).getOrElse(Nil))
   }
 
   /** New version replaces the file list wholesale (old files remain for
@@ -90,15 +114,86 @@ object Snapshots {
   def overwrite(spark: SparkSession, table: String, df: DataFrame): Int =
     commit(spark, table, df, Nil)
 
-  /** Time-travel scan: exactly version `v`'s files. */
+  /** Time-travel scan: exactly version `v`'s files, minus its positional
+    * deletes (broadcast anti join on the reader's hidden file/row-index
+    * columns — same shape and scale argument as
+    * [[DeletionVectors.read]]). */
   def readAt(spark: SparkSession, table: String, v: Int): Option[DataFrame] =
     snapshot(spark, table, v).map { s =>
       if (s.files.isEmpty) spark.emptyDataFrame
-      else spark.read.parquet(s.files.map(f => s"$table/$f"): _*)
+      else {
+        val data = spark.read.parquet(s.files.map(f => s"$table/$f"): _*)
+        if (s.deletes.isEmpty) data
+        else {
+          val withMeta = data
+            .withColumn("_snap_file", org.apache.spark.sql.functions.col("_metadata.file_path"))
+            .withColumn("_snap_pos", org.apache.spark.sql.functions.col("_metadata.row_index"))
+          val dels = spark.read.parquet(s.deletes.map(f => s"$table/$f"): _*)
+          import org.apache.spark.sql.functions.{broadcast, col}
+          withMeta.join(broadcast(dels),
+              withMeta("_snap_file") === dels("file") &&
+                withMeta("_snap_pos") === dels("pos"),
+              "left_anti")
+            .drop("_snap_file", "_snap_pos")
+        }
+      }
     }
 
   def readLatest(spark: SparkSession, table: String): Option[DataFrame] =
     latestVersion(spark, table).flatMap(v => readAt(spark, table, v))
+
+  /** MERGE (upsert, latest-wins) as a merge-on-read commit — the
+    * lakehouse UPDATE path (Iceberg positional-delete MoR): keys present
+    * in `changes` replace EVERY live copy (whether in base files or in a
+    * prior merge's delta files); new keys insert. One commit =
+    *
+    *  1. tombstones: the current live rows semi-joined (broadcast) to the
+    *     change keys → a positional-delete file (`_snap/d-<v>/`) of
+    *     (file, pos);
+    *  2. the change rows staged as new data files (`_snap/c-<v>/`);
+    *  3. one published log object referencing prior files + delta and
+    *     prior deletes + the new delete file.
+    *
+    * Cost is O(changes) + one scan to locate matches — no data file is
+    * rewritten, ever; the rewrite debt is deferred to compaction/vacuum.
+    * At 100 TB with MB-sized change batches the tombstone relation stays
+    * broadcastable and the scan side never shuffles. */
+  def merge(spark: SparkSession, table: String, changes: DataFrame,
+      keyCols: Seq[String]): Int = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val prev = latestSnapshot(spark, table)
+    val v = prev.map(_.version).getOrElse(0) + 1
+    val prevFiles = prev.map(_.files).getOrElse(Nil)
+    val prevDeletes = prev.map(_.deletes).getOrElse(Nil)
+    val newDeletes: Seq[String] =
+      if (prevFiles.isEmpty) Nil
+      else {
+        val data = spark.read.parquet(prevFiles.map(f => s"$table/$f"): _*)
+          .withColumn("_snap_file", col("_metadata.file_path"))
+          .withColumn("_snap_pos", col("_metadata.row_index"))
+        val live =
+          if (prevDeletes.isEmpty) data
+          else {
+            val dels = spark.read
+              .parquet(prevDeletes.map(f => s"$table/$f"): _*)
+            data.join(broadcast(dels),
+              data("_snap_file") === dels("file") &&
+                data("_snap_pos") === dels("pos"),
+              "left_anti")
+          }
+        val keys = changes.select(keyCols.map(col): _*).distinct()
+        val tomb = live.join(broadcast(keys), keyCols, "left_semi")
+          .select(col("_snap_file").as("file"), col("_snap_pos").as("pos"))
+        val dDir = s"$table/_snap/d-$v"
+        tomb.coalesce(1).write.mode("overwrite").parquet(dDir)
+        listFresh(spark, dDir, s"_snap/d-$v")
+      }
+    val dataDir = s"$table/_snap/c-$v"
+    changes.write.mode("overwrite").parquet(dataDir)
+    publish(spark, table, v,
+      prevFiles ++ listFresh(spark, dataDir, s"_snap/c-$v"),
+      prevDeletes ++ newDeletes)
+  }
 
   /** Files present at `v2` but not at `v1` — the incremental-read source
     * for downstream jobs (file-level change feed). */
@@ -118,7 +213,8 @@ object Snapshots {
     // trim log entries below keepFrom
     (1 until keepFrom).foreach(v => ops.delete(logPath(table, v)))
     val live = (keepFrom to latest)
-      .flatMap(v => snapshot(spark, table, v)).flatMap(_.files)
+      .flatMap(v => snapshot(spark, table, v))
+      .flatMap(s => s.files ++ s.deletes)
       .flatMap(_.split("/").drop(1).headOption).toSet
     val snapRoot = new org.apache.hadoop.fs.Path(s"$table/_snap")
     val fs = snapRoot.getFileSystem(conf)

@@ -154,7 +154,48 @@ object LayoutQueries {
     }.reduce(_.unionAll(_))
   }
 
+  /** q155 — merge-on-read MERGE (upsert) over the snapshot log
+    * ([[graft.lake.Snapshots.merge]]): a base commit takes two
+    * OVERLAPPING upsert batches — batch 1 updates keys ≡0 (mod 4) and
+    * inserts keys ≡1 (mod 4); batch 2 re-updates keys ≡0,1 (mod 8),
+    * which must tombstone rows batch 1 itself wrote (delete files
+    * pointing into delta files, not just base files) — then reads the
+    * latest snapshot and aggregates. No data file is ever rewritten; the
+    * latest-wins state is assembled at read time from base + deltas −
+    * positional deletes. The oracle replays the closed-form final state;
+    * a tombstone that misses a prior delta copy double-counts a key and
+    * shifts `n_rows`, a lost insert drops one. */
+  def mergeOnRead(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Snapshots
+    val table = graft.util.Scratch.dir("merge_table", dir)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+    val orders = Tables(spark, dir, "orders")
+    Snapshots.append(spark, table, orders.filter(col("o_orderkey") % 2 === 0))
+    val batch1 = orders.filter(col("o_orderkey") % 4 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+      .unionAll(orders.filter(col("o_orderkey") % 4 === 1))
+    Snapshots.merge(spark, table, batch1, Seq("o_orderkey"))
+    val batch2 = orders.filter(col("o_orderkey") % 8 <= 1)
+      .withColumn("o_totalprice", col("o_totalprice") + 2.0)
+    Snapshots.merge(spark, table, batch2, Seq("o_orderkey"))
+    Snapshots.readLatest(spark, table).get
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_rows"),
+        Num.sumMoney(col("o_totalprice")).as("sum_price"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q155_merge_on_read", mergeOnRead, Some(s"""
+      SELECT o_orderpriority,
+             COUNT(*) AS n_rows,
+             ${Num.sqlSumMoney(
+        """o_totalprice + CASE
+             WHEN o_orderkey % 8 <= 1 THEN 2
+             WHEN o_orderkey % 8 = 4 THEN 1
+             ELSE 0 END""")} AS sum_price
+      FROM orders
+      WHERE o_orderkey % 2 = 0 OR o_orderkey % 4 = 1
+      GROUP BY 1""")),
     QueryDef("q154_time_travel", timeTravelRead, Some(s"""
       SELECT CAST(1 AS BIGINT) AS version, COUNT(*) AS n_rows,
              ${Num.sqlSumMoney("o_totalprice")} AS sum_price

@@ -67,6 +67,68 @@ class SnapshotsSpec extends SparkTestBase {
     org.apache.commons.io.FileUtils.deleteQuietly(new File(t).getParentFile)
   }
 
+  test("merge: latest wins, tombstones reach prior delta files, history intact") {
+    val t = fresh("merge")
+    val base = orders.filter(col("o_orderkey") % 2 === 0)
+    Snapshots.append(spark, t, base)
+    val b1 = orders.filter(col("o_orderkey") % 4 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+      .unionAll(orders.filter(col("o_orderkey") % 4 === 1))
+    val v2 = Snapshots.merge(spark, t, b1, Seq("o_orderkey"))
+    // batch 2 re-updates keys batch 1 itself wrote (both its update half
+    // %8==0 and its insert half %8==1): tombstones must hit c-2's files
+    val b2 = orders.filter(col("o_orderkey") % 8 <= 1)
+      .withColumn("o_totalprice", col("o_totalprice") + 2.0)
+    val v3 = Snapshots.merge(spark, t, b2, Seq("o_orderkey"))
+    val fin = Snapshots.readAt(spark, t, v3).get.cache()
+    // exactly one live copy per key
+    assert(fin.groupBy("o_orderkey").count().filter(col("count") > 1).count() == 0)
+    val expectKeys = orders
+      .filter(col("o_orderkey") % 2 === 0 || col("o_orderkey") % 4 === 1)
+      .count()
+    assert(fin.count() == expectKeys)
+    // a key updated twice carries batch 2's value
+    val k0 = fin.filter(col("o_orderkey") % 8 === 0)
+    val base0 = orders.filter(col("o_orderkey") % 8 === 0)
+    assert(k0.agg(sum(graft.queries.Num.cents(col("o_totalprice")))).head().getLong(0)
+      == base0.agg(sum(graft.queries.Num.cents(col("o_totalprice") + 2.0))).head().getLong(0))
+    // time travel below the merges still sees the un-merged states
+    assert(Snapshots.readAt(spark, t, 1).get.count() == base.count())
+    val v2Count = Snapshots.readAt(spark, t, v2).get.count()
+    assert(v2Count == expectKeys) // same membership, pre-batch-2 values
+    fin.unpersist()
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(t).getParentFile)
+  }
+
+  test("merge never rewrites existing files; the delete subtraction broadcasts") {
+    val t = fresh("mergeplan")
+    Snapshots.append(spark, t, orders.filter(col("o_orderkey") % 2 === 0))
+    def fileHashes: Map[String, Long] = {
+      def walk(d: File): Seq[File] =
+        d.listFiles().toSeq.flatMap(f =>
+          if (f.isDirectory) walk(f) else Seq(f))
+      walk(new File(s"$t/_snap"))
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> java.nio.file.Files.readAllBytes(f.toPath)
+          .foldLeft(1125899906842597L)((h, x) => 31 * h + x)).toMap
+    }
+    val before = fileHashes
+    Snapshots.merge(spark, t,
+      orders.filter(col("o_orderkey") % 4 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1.0),
+      Seq("o_orderkey"))
+    val after = fileHashes
+    assert(before.forall { case (p, h) => after.get(p).contains(h) },
+      "an existing snapshot file changed under MERGE")
+    val mor = Snapshots.readLatest(spark, t).get
+    mor.collect()
+    val plan = mor.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      plan.take(2000))
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(t).getParentFile)
+  }
+
   test("plain readers never see snapshot internals") {
     val t = fresh("plain")
     Snapshots.append(spark, t, orders.limit(100))
