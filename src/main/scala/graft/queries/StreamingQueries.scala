@@ -511,7 +511,57 @@ object StreamingQueries {
           col("n_exact") * 0.05 + 16).as("approx_in_tolerance"))
   }
 
+  /** q156 — STREAMING SINK INTO THE SNAPSHOT LOG, exactly-once: the
+    * events table (split into three files → three micro-batches via
+    * `maxFilesPerTrigger`) streams through `foreachBatch` into a
+    * [[graft.lake.Snapshots]] table, ONE LOG VERSION PER MICRO-BATCH,
+    * idempotent under batch replay by the batchId↔version correspondence
+    * (a replayed batch id < latest version is skipped — the
+    * transactional-sink contract a foreachBatch parquet `append` cannot
+    * give, and exactly the q115 versioned-store discipline applied to
+    * the table log). The gate reads the FINAL SNAPSHOT and aggregates in
+    * exact integers: a dropped batch, a double-applied replay, or a log
+    * version that lost carried files all shift `n_events`/`sum_id`.
+    *
+    * Scale shape: each commit stages only its micro-batch (O(delta)) and
+    * publishes one KB-sized log object; the table accretes append-only
+    * files exactly like a production streaming-ingest bronze table, with
+    * snapshot isolation for concurrent readers and time travel across
+    * batch boundaries for free. */
+  def snapshotSinkStream(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Snapshots
+    val root = scratchDir("stream_q156", dir)
+    delete(root)
+    val src = s"$root/src"
+    val table = s"$root/table"
+    val ckpt = s"$root/ckpt"
+    val events = Tables.events(spark, dir)
+    events.repartition(3).write.mode("overwrite").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(src)
+    val writeBatch: (Dataset[Row], Long) => Unit = (batch, id) =>
+      // idempotent: version k+1 holds batch k; a replayed batch is a no-op
+      if (Snapshots.latestVersion(spark, table).getOrElse(0) < id + 1)
+        Snapshots.append(spark, table, batch)
+    val q = stream.writeStream
+      .foreachBatch(writeBatch)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    Snapshots.readLatest(spark, table).get
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("event_id")).as("sum_id"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q156_snapshot_sink_stream", snapshotSinkStream, Some("""
+      SELECT event_type, COUNT(*) AS n_events,
+        CAST(SUM(event_id) AS BIGINT) AS sum_id
+      FROM events GROUP BY 1""")),
     QueryDef("q133_distinct_sketch_stream", distinctSketchStream, Some("""
       SELECT event_type, COUNT(DISTINCT user_id) AS n_exact,
         CAST(1 AS BOOLEAN) AS approx_in_tolerance

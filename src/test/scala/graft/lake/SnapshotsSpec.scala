@@ -129,6 +129,44 @@ class SnapshotsSpec extends SparkTestBase {
     org.apache.commons.io.FileUtils.deleteQuietly(new File(t).getParentFile)
   }
 
+  test("streaming snapshot sink: one version per batch, replay is a no-op, restart resumes") {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = Files.createTempDirectory("graft_snapsink_").toString
+    val src = s"$root/src"; val table = s"$root/table"; val ckpt = s"$root/ckpt"
+    val ev = graft.queries.Tables.events(spark, sfDir)
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      val writeBatch: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+        (batch, id) =>
+          if (Snapshots.latestVersion(spark, table).getOrElse(0) < id + 1)
+            Snapshots.append(spark, table, batch)
+      val q = stream.writeStream.foreachBatch(writeBatch)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    }
+    runOnce()
+    val vAfter = Snapshots.latestVersion(spark, table).get
+    assert(vAfter == 4, s"expected 4 versions (one per file batch), got $vAfter")
+    assert(Snapshots.readLatest(spark, table).get.count() == ev.count())
+    // a REPLAYED batch (id below the committed frontier) must be a no-op
+    val replay = spark.read.parquet(src).limit(10)
+    if (Snapshots.latestVersion(spark, table).getOrElse(0) < 0 + 1)
+      Snapshots.append(spark, table, replay)
+    assert(Snapshots.latestVersion(spark, table).get == vAfter)
+    assert(Snapshots.readLatest(spark, table).get.count() == ev.count())
+    // RESTART from the same checkpoint with no new input: nothing commits
+    runOnce()
+    assert(Snapshots.latestVersion(spark, table).get == vAfter)
+    // and each intermediate version remains time-travelable
+    assert(Snapshots.readAt(spark, table, 2).get.count() > 0)
+    assert(Snapshots.readAt(spark, table, 2).get.count() < ev.count())
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(root))
+  }
+
   test("plain readers never see snapshot internals") {
     val t = fresh("plain")
     Snapshots.append(spark, t, orders.limit(100))
