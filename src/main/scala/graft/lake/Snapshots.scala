@@ -195,6 +195,17 @@ object Snapshots {
       prevDeletes ++ newDeletes)
   }
 
+  /** OPTIMIZE: rewrite the current live view (data minus positional
+    * deletes) into fresh compacted files published as a NEW version —
+    * the amortized answer to merge-on-read debt. Unlike
+    * [[DeletionVectors.compact]]'s in-place swap, history stays intact:
+    * prior versions remain time-travelable until [[vacuum]] trims them.
+    * Run when the delete ratio or small-file count crosses a threshold;
+    * cost is one read+write of the live data, after which scans are
+    * anti-join-free again. */
+  def optimize(spark: SparkSession, table: String): Option[Int] =
+    readLatest(spark, table).map(live => overwrite(spark, table, live))
+
   /** Files present at `v2` but not at `v1` — the incremental-read source
     * for downstream jobs (file-level change feed). */
   def newFilesBetween(spark: SparkSession, table: String, v1: Int,

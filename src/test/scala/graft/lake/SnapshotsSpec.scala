@@ -167,6 +167,31 @@ class SnapshotsSpec extends SparkTestBase {
     org.apache.commons.io.FileUtils.deleteQuietly(new File(root))
   }
 
+  test("optimize folds merge debt into clean files as a new version") {
+    val t = fresh("optimize")
+    Snapshots.append(spark, t, orders.filter(col("o_orderkey") % 2 === 0))
+    Snapshots.merge(spark, t,
+      orders.filter(col("o_orderkey") % 4 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1.0),
+      Seq("o_orderkey"))
+    val want = Snapshots.readLatest(spark, t).get
+      .agg(count(lit(1)), sum(graft.queries.Num.cents(col("o_totalprice"))))
+      .head()
+    val vOpt = Snapshots.optimize(spark, t).get
+    val s = Snapshots.snapshot(spark, t, vOpt).get
+    assert(s.deletes.isEmpty, "optimize left positional deletes behind")
+    assert(s.files.forall(_.startsWith(s"_snap/c-$vOpt/")),
+      "optimize carried old files by reference instead of compacting")
+    val got = Snapshots.readLatest(spark, t).get
+      .agg(count(lit(1)), sum(graft.queries.Num.cents(col("o_totalprice"))))
+      .head()
+    assert(got == want)
+    // history before the optimize is still travelable
+    assert(Snapshots.readAt(spark, t, 1).get.count() ==
+      orders.filter(col("o_orderkey") % 2 === 0).count())
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(t).getParentFile)
+  }
+
   test("plain readers never see snapshot internals") {
     val t = fresh("plain")
     Snapshots.append(spark, t, orders.limit(100))
