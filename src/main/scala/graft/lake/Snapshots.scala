@@ -122,7 +122,13 @@ object Snapshots {
     snapshot(spark, table, v).map { s =>
       if (s.files.isEmpty) spark.emptyDataFrame
       else {
-        val data = spark.read.parquet(s.files.map(f => s"$table/$f"): _*)
+        // mergeSchema: a version may reference files from commits with
+        // DIFFERENT schemas (additive evolution — a later append
+        // introduced a column); rows from pre-evolution files surface
+        // the new column as null. At 100 TB the union is computed from
+        // file FOOTERS, never a data pass.
+        val data = spark.read.option("mergeSchema", "true")
+          .parquet(s.files.map(f => s"$table/$f"): _*)
         if (s.deletes.isEmpty) data
         else {
           val withMeta = data

@@ -184,7 +184,39 @@ object LayoutQueries {
         Num.sumMoney(col("o_totalprice")).as("sum_price"))
   }
 
+  /** q157 — additive SCHEMA EVOLUTION across snapshot versions: v1
+    * commits orders WITHOUT a channel column; v2 appends rows that carry
+    * one. The same log mechanics serve both eras — v2's file list mixes
+    * two schemas and [[graft.lake.Snapshots.readAt]] merges them from
+    * file footers (pre-evolution rows surface the new column as null,
+    * bucketed here as 'legacy'). Proves a reader never needs a table
+    * rewrite to pick up a widened schema — the evolution cost is zero
+    * data movement. The oracle replays the era/channel assignment from
+    * the key closed form. */
+  def schemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Snapshots
+    val table = graft.util.Scratch.dir("evolve_table", dir)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+    val orders = Tables(spark, dir, "orders")
+    Snapshots.append(spark, table, orders.filter(col("o_orderkey") % 2 === 0))
+    Snapshots.append(spark, table,
+      orders.filter(col("o_orderkey") % 2 === 1)
+        .withColumn("o_channel",
+          when(col("o_orderkey") % 3 === 0, lit("web")).otherwise(lit("store"))))
+    Snapshots.readLatest(spark, table).get
+      .groupBy(coalesce(col("o_channel"), lit("legacy")).as("channel"))
+      .agg(count(lit(1)).as("n_rows"),
+        Num.sumMoney(col("o_totalprice")).as("sum_price"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q157_schema_evolution", schemaEvolution, Some(s"""
+      SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'legacy'
+                  WHEN o_orderkey % 3 = 0 THEN 'web'
+                  ELSE 'store' END AS channel,
+             COUNT(*) AS n_rows,
+             ${Num.sqlSumMoney("o_totalprice")} AS sum_price
+      FROM orders GROUP BY 1""")),
     QueryDef("q155_merge_on_read", mergeOnRead, Some(s"""
       SELECT o_orderpriority,
              COUNT(*) AS n_rows,

@@ -192,6 +192,26 @@ class SnapshotsSpec extends SparkTestBase {
     org.apache.commons.io.FileUtils.deleteQuietly(new File(t).getParentFile)
   }
 
+  test("schema evolution: old versions keep the old schema, merged reads widen") {
+    val t = fresh("evolve")
+    Snapshots.append(spark, t, orders.filter(col("o_orderkey") % 2 === 0))
+    val s1 = Snapshots.readAt(spark, t, 1).get.schema.fieldNames.toSet
+    assert(!s1.contains("o_channel"))
+    Snapshots.append(spark, t,
+      orders.filter(col("o_orderkey") % 2 === 1)
+        .withColumn("o_channel", lit("web")))
+    // v1 read is unchanged — time travel returns the era's own schema
+    assert(Snapshots.readAt(spark, t, 1).get.schema.fieldNames.toSet == s1)
+    val merged = Snapshots.readLatest(spark, t).get
+    assert(merged.schema.fieldNames.contains("o_channel"))
+    // pre-evolution rows carry null, post-evolution rows their value
+    assert(merged.filter(col("o_channel").isNull).count() ==
+      orders.filter(col("o_orderkey") % 2 === 0).count())
+    assert(merged.filter(col("o_channel") === "web").count() ==
+      orders.filter(col("o_orderkey") % 2 === 1).count())
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(t).getParentFile)
+  }
+
   test("plain readers never see snapshot internals") {
     val t = fresh("plain")
     Snapshots.append(spark, t, orders.limit(100))
