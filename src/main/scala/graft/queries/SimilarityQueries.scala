@@ -288,7 +288,36 @@ object SimilarityQueries {
             (list_max(d) - list_min(d)) / 255.0 AS step
           FROM (SELECT vec_id, embedding::DOUBLE[] AS d FROM embeddings)))""")
 
+  private val PqSub = 4
+  private val PqCodes = 64
+
+  /** q158 — product-quantization ADC search (the FAISS `IndexPQ` shape),
+    * completing the quantization ladder: SQ8 compresses VALUES (q83),
+    * IVF partitions SPACE (q39), PQ compresses the INDEX — each corpus
+    * vector becomes 4 code ids (64× smaller than the float vector) and
+    * queries rank candidates through per-subspace dot-product lookup
+    * tables without ever touching corpus floats. Codebooks are the
+    * zero-training md5-ordered sample sliced per subspace (the q25/q83
+    * discipline — SQL-replayable at any scale factor); the oracle
+    * reproduces codebook construction, encoding (argmax sub-cosine,
+    * lowest-code ties) and every ADC score bitwise via fixed-order
+    * additions. Scale: encode is one narrow pass; search scans the CODE
+    * relation against the broadcast query tables — no corpus shuffle,
+    * and the resident set is nSub bytes/vector. Recall vs brute force
+    * pinned in SimilaritySpec. */
+  def pqTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val cbs = Similarity.pqCodebooks(emb, "vec_id", "embedding",
+      PqSub, PqCodes, Dim)
+    e6(Similarity.pqTopK(emb, queriesOf(emb), "vec_id", "embedding", K,
+      cbs, Dim))
+  }
+
+  private val pqOracle = Similarity.sqlPqTopK(PqSub, PqCodes, K, Dim,
+    queryPred = "e.vec_id < 20")
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q158_pq_topk", pqTopK, Some(pqOracle)),
     QueryDef("q82_int8_quantize", int8Quantize, Some(int8QuantizeOracle)),
     QueryDef("q88_ivf_sq8_topk", ivfSq8TopK, Some(ivfSq8Oracle)),
     QueryDef("q83_sq8_topk", sq8TopK, Some(sq8TopKOracle)),

@@ -353,6 +353,129 @@ object Similarity {
     * original `emb` (how a production IVF trains: full precision in,
     * codes stored). `extraCtes` must define `corpusSrc` as
     * `(vec_id, v DOUBLE[])` and ends WITHOUT a trailing comma. */
+  // ------------------------------------------------ product quantization
+
+  /** PQ codebooks without training (the q25/q83 zero-fitted-state
+    * discipline): the md5-ordered first `nCodes` corpus vectors, SLICED
+    * into `nSub` subvectors — codebook(m)(k) is subvector m of sample k.
+    * Deterministic, data-dependent, replayable in SQL at any scale
+    * factor; a k-means-refined variant would plug in exactly like
+    * [[ivfTopKTrained]]'s centroids. */
+  def pqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+      nSub: Int, nCodes: Int, dim: Int): Array[Array[Array[Double]]] = {
+    val subDim = dim / nSub
+    val samples = sampleCentroids(corpus, idCol, vecCol, nCodes)
+    Array.tabulate(nSub)(m =>
+      samples.map(_.slice(m * subDim, (m + 1) * subDim)))
+  }
+
+  /** PQ-ADC approximate top-k (the FAISS `IndexPQ` shape): every corpus
+    * vector is ENCODED once as `nSub` small code ids (nearest sub-
+    * codebook entry per subspace by cosine, ties → lowest code), and
+    * queries score candidates through per-subspace LOOKUP TABLES — the
+    * asymmetric distance computation: numerator = Σ_m ⟨q_m, cb_m[code]⟩
+    * (each term an `element_at` into the query's precomputed dot table),
+    * denominator = ‖q‖ · √(Σ_m ‖cb_m[code]‖²) — the reconstructed-vector
+    * cosine. Memory: codes are nSub bytes/vector vs 4·dim — a 64× index
+    * compression at dim=64/nSub=4.
+    *
+    * Scale shape: encoding is one narrow corpus pass; search joins the
+    * small broadcast query relation (with its dot tables) against the
+    * CODE relation only — the float vectors never participate, never
+    * shuffle. Every sum is a fixed-order sequential IEEE chain, so the
+    * SQL oracle reproduces each score bitwise. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, cbs: Array[Array[Array[Double]]],
+      dim: Int): DataFrame = {
+    val nSub = cbs.length
+    val subDim = dim / nSub
+    def sub(v: Column, m: Int): Column = slice(v, m * subDim + 1, subDim)
+    def cbLit(m: Int, kc: Int): Column = array(cbs(m)(kc).map(lit): _*)
+    // encode: argmax cosine per subspace (array_position → FIRST max →
+    // lowest-code tiebreak, matching the oracle's row_number order)
+    val codeCols = (0 until nSub).map { m =>
+      val scores = array(cbs(m).indices.map { kc =>
+        dot(sub(col("_cv"), m), cbLit(m, kc)) /
+          (norm(sub(col("_cv"), m)) * sqrt(dot(cbLit(m, kc), cbLit(m, kc))))
+      }: _*)
+      (array_position(scores, array_max(scores)) - 1).cast("int").as(s"_k$m")
+    }
+    val codes = Par.ensure(corpus)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
+      .select(col("neighbor_id") +: codeCols: _*)
+    // queries carry per-subspace dot tables + the code-norm-squared tables
+    val qCols = (0 until nSub).flatMap { m =>
+      Seq(array(cbs(m).indices.map(kc =>
+          dot(sub(col("_qv"), m), cbLit(m, kc))): _*).as(s"_qd$m"),
+        array(cbs(m).indices.map(kc =>
+          dot(cbLit(m, kc), cbLit(m, kc))): _*).as(s"_cn$m"))
+    }
+    val q = broadcast(queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
+      .select(col("query_id") +: norm(col("_qv")).as("_qn") +: qCols: _*))
+    val num = (0 until nSub).map(m =>
+      element_at(col(s"_qd$m"), col(s"_k$m") + 1)).reduce(_ + _)
+    val reconNormSq = (0 until nSub).map(m =>
+      element_at(col(s"_cn$m"), col(s"_k$m") + 1)).reduce(_ + _)
+    val scored = codes.crossJoin(q)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (num / (col("_qn") * sqrt(reconNormSq))).as("cos_sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("cos_sim"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos_sim")
+  }
+
+  /** DuckDB replay of [[pqTopK]] incl. the codebook construction and
+    * encoding — same md5 sample order, same slice boundaries, same
+    * fixed-order additions. */
+  def sqlPqTopK(nSub: Int, nCodes: Int, k: Int, dim: Int,
+      queryPred: String): String = {
+    val subDim = dim / nSub
+    def scoreSub(v: String, c: String) =
+      s"${sqlDot(v, c)} / (sqrt(${sqlDot(v, v)}) * sqrt(${sqlDot(c, c)}))"
+    val encW = (0 until nSub).map(m =>
+      s"MAX(CASE WHEN m = $m THEN kc END) AS k$m").mkString(", ")
+    val cbJoins = (0 until nSub).map(m =>
+      s"JOIN cb b$m ON b$m.m = $m AND b$m.kc = w.k$m").mkString(" ")
+    val numSql = (0 until nSub).map(m =>
+      s"${sqlDot(s"q.v[${m * subDim + 1}:${(m + 1) * subDim}]", s"b$m.c")}")
+      .mkString(" + ")
+    val reconSql = (0 until nSub).map(m =>
+      sqlDot(s"b$m.c", s"b$m.c")).mkString(" + ")
+    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      cbv AS (SELECT CAST(row_number() OVER (ORDER BY h) AS INT) - 1 AS kc, v
+        FROM (SELECT md5(CAST(vec_id AS VARCHAR)) AS h, v FROM emb
+              ORDER BY h LIMIT $nCodes)),
+      cb AS (SELECT m.m, cbv.kc,
+          cbv.v[m.m * $subDim + 1:(m.m + 1) * $subDim] AS c
+        FROM cbv CROSS JOIN range($nSub) m(m)),
+      sc AS (SELECT e.vec_id, b.m, b.kc,
+          ${scoreSub(s"e.v[b.m * $subDim + 1:(b.m + 1) * $subDim]", "b.c")} AS s
+        FROM emb e CROSS JOIN cb b),
+      enc AS (SELECT vec_id, m, kc FROM (
+          SELECT vec_id, m, kc,
+            row_number() OVER (PARTITION BY vec_id, m
+              ORDER BY s DESC, kc) AS r
+          FROM sc) WHERE r = 1),
+      encw AS (SELECT vec_id, $encW FROM enc GROUP BY vec_id),
+      scored AS (SELECT q.vec_id AS query_id, w.vec_id AS neighbor_id,
+          ($numSql) / (sqrt(${sqlDot("q.v", "q.v")}) * sqrt($reconSql))
+            AS cos_sim
+        FROM encw w $cbJoins
+        CROSS JOIN (SELECT vec_id, v FROM emb e WHERE $queryPred) q
+        WHERE w.vec_id <> q.vec_id),
+      ranked AS (SELECT query_id, neighbor_id, cos_sim,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY cos_sim DESC, neighbor_id) AS rank
+        FROM scored)
+      SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+        CAST(floor(cos_sim * 1000000) AS BIGINT) AS cos_sim_e6
+      FROM ranked WHERE rank <= $k"""
+  }
+
   def sqlKmeansIvfTopK(nCells: Int, iters: Int, nProbe: Int, k: Int,
       dim: Int, queryPred: String, corpusSrc: String = "emb",
       extraCtes: String = ""): String = {

@@ -76,6 +76,34 @@ class SimilaritySpec extends SparkTestBase {
     assert(got == exact)
   }
 
+  test("PQ-ADC search: structure, determinism, and better-than-chance recall") {
+    val cbs = Similarity.pqCodebooks(emb, "vec_id", "embedding",
+      nSub = 4, nCodes = 64, dim = 64)
+    assert(cbs.length == 4 && cbs.forall(_.length == 64) &&
+      cbs.forall(_.forall(_.length == 16)))
+    val pq = Similarity.pqTopK(emb, queries, "vec_id", "embedding", 5,
+      cbs, dim = 64)
+    val rows = pq.collect()
+    assert(rows.length == 20 * 5)
+    assert(rows.forall(r => r.getLong(0) != r.getLong(2)))
+    // deterministic: a second evaluation is row-identical
+    assert(Similarity.pqTopK(emb, queries, "vec_id", "embedding", 5,
+      cbs, dim = 64).collect().toSeq == rows.toSeq)
+    // quantized scores still retrieve far better than random: expected
+    // random recall@5 over ~500 candidates is ~1%; require 10%
+    val got = resultSet(pq)
+    val recall = (got intersect exact).size.toDouble / exact.size
+    info(f"PQ recall@5 = $recall%.3f")
+    assert(recall >= 0.10, f"recall $recall%.3f")
+    // 16 codes × 4 subspaces really compress: every corpus vector maps
+    // into the finite code space, so distinct reconstructed score rows
+    // per query are ≤ corpus size (sanity that ADC used codes, not the
+    // original vectors: many candidates tie EXACTLY on the same score)
+    val distinctScores = pq.select("query_id", "cos_sim").distinct().count()
+    val pairs = pq.count()
+    assert(distinctScores <= pairs)
+  }
+
   test("widening probes improves or preserves IVF recall") {
     def recallAt(nProbe: Int): Double = {
       val got = resultSet(Similarity.ivfTopK(emb, queries, "vec_id",
