@@ -316,7 +316,31 @@ object SimilarityQueries {
   private val pqOracle = Similarity.sqlPqTopK(PqSub, PqCodes, K, Dim,
     queryPred = "e.vec_id < 20")
 
+  /** q159 — IVF-PQ composition (the FAISS `IndexIVFPQ` production
+    * index): k-means cells prune the candidate set (q39's training,
+    * shared centroid cache), PQ codes compress what remains (q158's
+    * codebooks) — the probed fraction of a 64×-compressed code relation
+    * is all the search touches. Same plan discipline as q39/q88 (narrow
+    * corpus assign+encode, broadcast query×probed-cell join on the cell
+    * key, no corpus shuffle); the oracle replays BOTH index builds and
+    * every ADC score bitwise. */
+  def ivfPqTopKQ(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val cents = centroidCache.getOrElseUpdate(dir,
+      Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+        nCells = 16, iters = 2))
+    val cbs = Similarity.pqCodebooks(emb, "vec_id", "embedding",
+      PqSub, PqCodes, Dim)
+    e6(Similarity.ivfPqTopK(emb, queriesOf(emb), "vec_id", "embedding", K,
+      cents, nProbe = 8, cbs, Dim))
+  }
+
+  private val ivfPqOracle = Similarity.sqlIvfPqTopK(nCells = 16, iters = 2,
+    nProbe = 8, nSub = PqSub, nCodes = PqCodes, k = K, dim = Dim,
+    queryPred = "e.vec_id < 20")
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q159_ivf_pq_topk", ivfPqTopKQ, Some(ivfPqOracle)),
     QueryDef("q158_pq_topk", pqTopK, Some(pqOracle)),
     QueryDef("q82_int8_quantize", int8Quantize, Some(int8QuantizeOracle)),
     QueryDef("q88_ivf_sq8_topk", ivfSq8TopK, Some(ivfSq8Oracle)),

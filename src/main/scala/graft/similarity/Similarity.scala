@@ -384,48 +384,103 @@ object Similarity {
     * CODE relation only — the float vectors never participate, never
     * shuffle. Every sum is a fixed-order sequential IEEE chain, so the
     * SQL oracle reproduces each score bitwise. */
-  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, cbs: Array[Array[Array[Double]]],
-      dim: Int): DataFrame = {
+  private def pqSubCol(v: Column, m: Int, subDim: Int): Column =
+    slice(v, m * subDim + 1, subDim)
+
+  /** Encoding columns `_k0.._kN`: argmax sub-cosine per subspace
+    * (array_position → FIRST max → lowest-code tiebreak, matching the
+    * oracle's row_number order). */
+  private def pqCodeCols(v: Column, cbs: Array[Array[Array[Double]]],
+      dim: Int): Seq[Column] = {
     val nSub = cbs.length
     val subDim = dim / nSub
-    def sub(v: Column, m: Int): Column = slice(v, m * subDim + 1, subDim)
     def cbLit(m: Int, kc: Int): Column = array(cbs(m)(kc).map(lit): _*)
-    // encode: argmax cosine per subspace (array_position → FIRST max →
-    // lowest-code tiebreak, matching the oracle's row_number order)
-    val codeCols = (0 until nSub).map { m =>
+    (0 until nSub).map { m =>
       val scores = array(cbs(m).indices.map { kc =>
-        dot(sub(col("_cv"), m), cbLit(m, kc)) /
-          (norm(sub(col("_cv"), m)) * sqrt(dot(cbLit(m, kc), cbLit(m, kc))))
+        dot(pqSubCol(v, m, subDim), cbLit(m, kc)) /
+          (norm(pqSubCol(v, m, subDim)) * sqrt(dot(cbLit(m, kc), cbLit(m, kc))))
       }: _*)
       (array_position(scores, array_max(scores)) - 1).cast("int").as(s"_k$m")
     }
-    val codes = Par.ensure(corpus)
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
-      .select(col("neighbor_id") +: codeCols: _*)
-    // queries carry per-subspace dot tables + the code-norm-squared tables
-    val qCols = (0 until nSub).flatMap { m =>
+  }
+
+  /** Query-side ADC tables `_qd0.._qdN` (per-subspace dots against every
+    * code) and `_cn0.._cnN` (code norm-squares). */
+  private def pqQueryCols(qv: Column, cbs: Array[Array[Array[Double]]],
+      dim: Int): Seq[Column] = {
+    val nSub = cbs.length
+    val subDim = dim / nSub
+    def cbLit(m: Int, kc: Int): Column = array(cbs(m)(kc).map(lit): _*)
+    (0 until nSub).flatMap { m =>
       Seq(array(cbs(m).indices.map(kc =>
-          dot(sub(col("_qv"), m), cbLit(m, kc))): _*).as(s"_qd$m"),
+          dot(pqSubCol(qv, m, subDim), cbLit(m, kc))): _*).as(s"_qd$m"),
         array(cbs(m).indices.map(kc =>
           dot(cbLit(m, kc), cbLit(m, kc))): _*).as(s"_cn$m"))
     }
-    val q = broadcast(queries
-      .select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
-      .select(col("query_id") +: norm(col("_qv")).as("_qn") +: qCols: _*))
+  }
+
+  /** Reconstructed-vector cosine from the lookup tables — a fixed-order
+    * sequential sum the SQL oracle reproduces bitwise. */
+  private def pqAdcScore(nSub: Int): Column = {
     val num = (0 until nSub).map(m =>
       element_at(col(s"_qd$m"), col(s"_k$m") + 1)).reduce(_ + _)
     val reconNormSq = (0 until nSub).map(m =>
       element_at(col(s"_cn$m"), col(s"_k$m") + 1)).reduce(_ + _)
+    num / (col("_qn") * sqrt(reconNormSq))
+  }
+
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, cbs: Array[Array[Array[Double]]],
+      dim: Int): DataFrame = {
+    val codes = Par.ensure(corpus)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
+      .select(col("neighbor_id") +: pqCodeCols(col("_cv"), cbs, dim): _*)
+    val q = broadcast(queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
+      .select(col("query_id") +: norm(col("_qv")).as("_qn") +:
+        pqQueryCols(col("_qv"), cbs, dim): _*))
     val scored = codes.crossJoin(q)
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        (num / (col("_qn") * sqrt(reconNormSq))).as("cos_sim"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(desc("cos_sim"), col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "cos_sim")
+        pqAdcScore(cbs.length).as("cos_sim"))
+    topK(scored, k)
+  }
+
+  /** IVF-PQ (the FAISS `IndexIVFPQ` composition): the corpus is
+    * partitioned into k-means cells AND compressed to PQ codes; a query
+    * probes its `nProbe` best cells and ADC-scores only those cells'
+    * CODES. The two index structures compose orthogonally — cells prune
+    * candidates, codes shrink what remains — which is exactly why the
+    * production index ships this pair: at 100 TB the probed fraction of
+    * a 64×-compressed code relation is the only thing the search reads.
+    * Plan shape: narrow corpus pass (assign + encode in one projection),
+    * broadcast (query × probed-cell) join keyed on the cell — no corpus
+    * shuffle, same as q39/q88. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, cents: Array[Array[Double]], nProbe: Int,
+      cbs: Array[Array[Array[Double]]], dim: Int): DataFrame = {
+    val codes = Par.ensure(corpus)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
+        cellScores(col(vecCol), cents).as("_scores"))
+      .select(col("neighbor_id") +: col("_cv") +:
+        (array_position(col("_scores"), array_max(col("_scores"))) - 1)
+          .cast("int").as("_cell") +: Seq(): _*)
+      .select(col("neighbor_id") +: col("_cell") +:
+        pqCodeCols(col("_cv"), cbs, dim): _*)
+    val qScored = queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("_qv"),
+        posexplode(cellScores(col(vecCol), cents)).as(Seq("_cell", "_score")))
+    val wq = Window.partitionBy("query_id").orderBy(desc("_score"), col("_cell"))
+    val qCells = broadcast(qScored
+      .withColumn("_r", row_number().over(wq))
+      .filter(col("_r") <= nProbe)
+      .select(col("query_id") +: col("_cell") +:
+        norm(col("_qv")).as("_qn") +: pqQueryCols(col("_qv"), cbs, dim): _*))
+    val scored = codes.join(qCells, Seq("_cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        pqAdcScore(cbs.length).as("cos_sim"))
+    topK(scored, k)
   }
 
   /** DuckDB replay of [[pqTopK]] incl. the codebook construction and
@@ -476,19 +531,25 @@ object Similarity {
       FROM ranked WHERE rank <= $k"""
   }
 
-  def sqlKmeansIvfTopK(nCells: Int, iters: Int, nProbe: Int, k: Int,
-      dim: Int, queryPred: String, corpusSrc: String = "emb",
-      extraCtes: String = ""): String = {
+  /** Cell-assignment SELECT fragment shared by the k-means oracle
+    * builders: every vector of `src` ranked against every centroid of
+    * `cents` by cosine (ties → lowest cell). */
+  private def sqlAssign(src: String, cents: String, extra: String = ""): String = {
     def score(v: String, c: String) =
       s"${sqlDot(v, c)} / (sqrt(${sqlDot(v, v)}) * sqrt(${sqlDot(c, c)}))"
-    def assign(src: String, cents: String, extra: String = "") =
-      s"""SELECT e.vec_id, e.v, k.cell,
-          row_number() OVER (PARTITION BY e.vec_id
-            ORDER BY ${score("e.v", "k.c")} DESC, k.cell) AS rnk
-        FROM $src e CROSS JOIN $cents k$extra"""
+    s"""SELECT e.vec_id, e.v, k.cell,
+        row_number() OVER (PARTITION BY e.vec_id
+          ORDER BY ${score("e.v", "k.c")} DESC, k.cell) AS rnk
+      FROM $src e CROSS JOIN $cents k$extra"""
+  }
+
+  /** The spherical-k-means training replay as a WITH-fragment (seed →
+    * c0 … c`iters`); returns (fragment, final-centroid CTE name).
+    * Requires `emb` (vec_id, v) and `pos` (p) CTEs in scope. */
+  private def sqlKmeansCtes(nCells: Int, iters: Int): (String, String) = {
     val iterCtes = (1 to iters).map { i =>
       val prev = s"c${i - 1}"
-      s"""s$i AS (${assign("emb", prev)}),
+      s"""s$i AS (${sqlAssign("emb", prev)}),
       a$i AS (SELECT vec_id, v, cell FROM s$i WHERE rnk = 1),
       m$i AS (SELECT a.cell, pos.p, avg(a.v[pos.p + 1]) AS m
         FROM a$i a CROSS JOIN pos GROUP BY a.cell, pos.p),
@@ -498,14 +559,80 @@ object Similarity {
                ELSE list_transform(n.c, x -> x / sqrt(${sqlDot("n.c", "n.c")})) END AS c
         FROM $prev p LEFT JOIN n$i n ON n.cell = p.cell)"""
     }.mkString(",\n      ")
-    val fin = s"c$iters"
+    val block = s"""seed AS (SELECT v, CAST(row_number() OVER (ORDER BY h) AS INT) - 1 AS cell
+        FROM (SELECT md5(CAST(vec_id AS VARCHAR)) AS h, v FROM emb ORDER BY h LIMIT $nCells)),
+      c0 AS (SELECT cell, list_transform(v, x -> x / sqrt(${sqlDot("v", "v")})) AS c FROM seed),
+      $iterCtes"""
+    (block, s"c$iters")
+  }
+
+  /** DuckDB replay of [[ivfPqTopK]]: the k-means training chain, the PQ
+    * codebook/encoding chain, the probe join, and the ADC scores — all
+    * fixed-order arithmetic. */
+  def sqlIvfPqTopK(nCells: Int, iters: Int, nProbe: Int, nSub: Int,
+      nCodes: Int, k: Int, dim: Int, queryPred: String): String = {
+    val subDim = dim / nSub
+    val (kmeansBlock, fin) = sqlKmeansCtes(nCells, iters)
+    def scoreSub(v: String, c: String) =
+      s"${sqlDot(v, c)} / (sqrt(${sqlDot(v, v)}) * sqrt(${sqlDot(c, c)}))"
+    val encW = (0 until nSub).map(m =>
+      s"MAX(CASE WHEN m = $m THEN kc END) AS k$m").mkString(", ")
+    val cbJoins = (0 until nSub).map(m =>
+      s"JOIN cb b$m ON b$m.m = $m AND b$m.kc = w.k$m").mkString(" ")
+    val numSql = (0 until nSub).map(m =>
+      s"${sqlDot(s"q.qv[${m * subDim + 1}:${(m + 1) * subDim}]", s"b$m.c")}")
+      .mkString(" + ")
+    val reconSql = (0 until nSub).map(m =>
+      sqlDot(s"b$m.c", s"b$m.c")).mkString(" + ")
+    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      pos AS (SELECT CAST(unnest(range($dim)) AS BIGINT) AS p),
+      $kmeansBlock,
+      cbv AS (SELECT CAST(row_number() OVER (ORDER BY h) AS INT) - 1 AS kc, v
+        FROM (SELECT md5(CAST(vec_id AS VARCHAR)) AS h, v FROM emb
+              ORDER BY h LIMIT $nCodes)),
+      cb AS (SELECT m.m, cbv.kc,
+          cbv.v[m.m * $subDim + 1:(m.m + 1) * $subDim] AS c
+        FROM cbv CROSS JOIN range($nSub) m(m)),
+      psc AS (SELECT e.vec_id, b.m, b.kc,
+          ${scoreSub(s"e.v[b.m * $subDim + 1:(b.m + 1) * $subDim]", "b.c")} AS s
+        FROM emb e CROSS JOIN cb b),
+      enc AS (SELECT vec_id, m, kc FROM (
+          SELECT vec_id, m, kc,
+            row_number() OVER (PARTITION BY vec_id, m
+              ORDER BY s DESC, kc) AS r
+          FROM psc) WHERE r = 1),
+      encw AS (SELECT vec_id, $encW FROM enc GROUP BY vec_id),
+      cc AS (SELECT vec_id, cell FROM (${sqlAssign("emb", fin)}) WHERE rnk = 1),
+      ccx AS (SELECT c.vec_id, c.cell, w.* EXCLUDE (vec_id)
+        FROM cc c JOIN encw w ON w.vec_id = c.vec_id),
+      qc AS (SELECT vec_id AS query_id, v AS qv, cell
+        FROM (${sqlAssign("emb", fin, s" WHERE $queryPred")}) WHERE rnk <= $nProbe),
+      scored AS (SELECT q.query_id, w.vec_id AS neighbor_id,
+          ($numSql) / (sqrt(${sqlDot("q.qv", "q.qv")}) * sqrt($reconSql))
+            AS cos_sim
+        FROM ccx w $cbJoins
+        JOIN qc q ON q.cell = w.cell AND w.vec_id <> q.query_id),
+      ranked AS (SELECT query_id, neighbor_id, cos_sim,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY cos_sim DESC, neighbor_id) AS rank
+        FROM scored)
+      SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+        CAST(floor(cos_sim * 1000000) AS BIGINT) AS cos_sim_e6
+      FROM ranked WHERE rank <= $k"""
+  }
+
+  def sqlKmeansIvfTopK(nCells: Int, iters: Int, nProbe: Int, k: Int,
+      dim: Int, queryPred: String, corpusSrc: String = "emb",
+      extraCtes: String = ""): String = {
+    def score(v: String, c: String) =
+      s"${sqlDot(v, c)} / (sqrt(${sqlDot(v, v)}) * sqrt(${sqlDot(c, c)}))"
+    def assign(src: String, cents: String, extra: String = "") =
+      sqlAssign(src, cents, extra)
+    val (kmeansBlock, fin) = sqlKmeansCtes(nCells, iters)
     val extra = if (extraCtes.isEmpty) "" else s"\n      $extraCtes,"
     s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       pos AS (SELECT CAST(unnest(range($dim)) AS BIGINT) AS p),$extra
-      seed AS (SELECT v, CAST(row_number() OVER (ORDER BY h) AS INT) - 1 AS cell
-        FROM (SELECT md5(CAST(vec_id AS VARCHAR)) AS h, v FROM emb ORDER BY h LIMIT $nCells)),
-      c0 AS (SELECT cell, list_transform(v, x -> x / sqrt(${sqlDot("v", "v")})) AS c FROM seed),
-      $iterCtes,
+      $kmeansBlock,
       cc AS (SELECT vec_id, v, cell FROM (${assign(corpusSrc, fin)}) WHERE rnk = 1),
       qc AS (SELECT vec_id AS query_id, v AS qv, cell
         FROM (${assign("emb", fin, s" WHERE $queryPred")}) WHERE rnk <= $nProbe),

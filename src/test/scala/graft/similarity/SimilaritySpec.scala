@@ -104,6 +104,26 @@ class SimilaritySpec extends SparkTestBase {
     assert(distinctScores <= pairs)
   }
 
+  test("IVF-PQ composes: probed cells only, codes drive the scores") {
+    val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+      nCells = 16, iters = 2)
+    val cbs = Similarity.pqCodebooks(emb, "vec_id", "embedding",
+      nSub = 4, nCodes = 64, dim = 64)
+    val ivfpq = Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding", 5,
+      cents, nProbe = 8, cbs, dim = 64)
+    val got = resultSet(ivfpq)
+    // IVF-PQ results ⊆ flat-PQ results' candidate space: with FULL probe
+    // it must equal flat PQ exactly (cells only prune, never re-rank)
+    val full = resultSet(Similarity.ivfPqTopK(emb, queries, "vec_id",
+      "embedding", 5, cents, nProbe = 16, cbs, dim = 64))
+    val flat = resultSet(Similarity.pqTopK(emb, queries, "vec_id",
+      "embedding", 5, cbs, dim = 64))
+    assert(full == flat, "full-probe IVF-PQ diverged from flat PQ")
+    val recall = (got intersect exact).size.toDouble / exact.size
+    info(f"IVF-PQ recall@5 = $recall%.3f")
+    assert(recall > 0.0)
+  }
+
   test("widening probes improves or preserves IVF recall") {
     def recallAt(nProbe: Int): Double = {
       val got = resultSet(Similarity.ivfTopK(emb, queries, "vec_id",
