@@ -15,10 +15,13 @@ import java.io.ByteArrayOutputStream
   * round/clamp/level-shift, the full sampling-factor grid (interleaved
   * h×v data units per MCU, per-component planes, replication upsampling
   * of subsampled chroma — 4:4:4/4:2:2/4:2:0), integer fixed-point
-  * YCbCr→RGB for 3-component JFIF frames ([[ycc2rgb]]), and edge
-  * cropping for non-MCU-multiple dims. Limits (returned as None, never
-  * mis-decoded): baseline SOF0 only, 8-bit precision, 1 (grayscale) or
-  * 3 (YCbCr) components.
+  * YCbCr→RGB for 3-component JFIF frames ([[ycc2rgb]]), edge cropping
+  * for non-MCU-multiple dims, and PROGRESSIVE (SOF2) spectral-selection
+  * streams — per-scan coefficient accumulation with band-limited
+  * run/size pairs and EOBn block-run codes. Limits (returned as None,
+  * never mis-decoded): 8-bit precision, 1 (grayscale) or 3 (YCbCr)
+  * components; progressive is single-component without successive
+  * approximation (Ah=Al=0) or restarts.
   *
   * ENCODER: emits a complete JFIF byte stream from per-block QUANTIZED
   * coefficients (natural order): spec Annex K luminance huffman tables,
@@ -207,6 +210,8 @@ object JpegCodec {
     var width = 0; var height = 0
     var comps: Array[Component] = null
     var restartInterval = 0
+    var progressive = false
+    var progCoef: Array[Array[Int]] = null
 
     def u16(p: Int): Int = ((d(p) & 0xff) << 8) | (d(p + 1) & 0xff)
 
@@ -239,8 +244,9 @@ object JpegCodec {
             if (tc == 0) dcTables(th) = tbl else acTables(th) = tbl
             p += 17 + n
           }
-        case 0xc0 => // SOF0 baseline
+        case 0xc0 | 0xc2 => // SOF0 baseline | SOF2 progressive
           if ((d(seg) & 0xff) != 8) return None
+          progressive = marker == 0xc2
           height = u16(seg + 1); width = u16(seg + 3)
           val nc = d(seg + 5) & 0xff
           comps = Array.tabulate(nc) { i =>
@@ -252,8 +258,14 @@ object JpegCodec {
           // a single-component frame is scanned non-interleaved (MCU = one
           // data unit); only 1×1 sampling is meaningful there
           if (nc == 1 && (comps(0).h != 1 || comps(0).v != 1)) return None
-        case m if m >= 0xc1 && m <= 0xcf && m != 0xc4 && m != 0xc8 =>
-          return None // progressive/arithmetic/hierarchical: out of subset
+          // the progressive subset is single-component (grayscale)
+          if (progressive && nc != 1) return None
+          if (progressive) {
+            val blocks = ((width + 7) / 8) * ((height + 7) / 8)
+            progCoef = Array.fill(blocks)(new Array[Int](64))
+          }
+        case m if m >= 0xc1 && m <= 0xcf && m != 0xc2 && m != 0xc4 && m != 0xc8 =>
+          return None // arithmetic/hierarchical/extended: out of subset
         case 0xdd => restartInterval = u16(seg)
         case 0xda => // SOS → entropy-coded data follows
           if (comps == null || width == 0) return None
@@ -266,13 +278,118 @@ object JpegCodec {
             c.acTbl = d(seg + 2 + 2 * i) & 0x0f
             i += 1
           }
-          return decodeScan(d, pos + 2 + len, width, height, comps, quant,
-            dcTables, acTables, restartInterval)
+          if (!progressive)
+            return decodeScan(d, pos + 2 + len, width, height, comps, quant,
+              dcTables, acTables, restartInterval)
+          // progressive: spectral-selection parameters follow the
+          // component specs; decode this scan into the coefficient
+          // buffers, then continue the marker walk after its data
+          val ss = d(seg + 1 + 2 * ns) & 0xff
+          val se = d(seg + 2 + 2 * ns) & 0xff
+          val ahal = d(seg + 3 + 2 * ns) & 0xff
+          if ((ahal >> 4) != 0 || (ahal & 0x0f) != 0)
+            return None // successive approximation: out of subset
+          if (restartInterval != 0) return None // out of subset for SOF2
+          val scanEnd = decodeProgressiveScan(d, pos + 2 + len, comps(0),
+            dcTables, acTables, ss, se, progCoef)
+          if (scanEnd < 0) return None
+          pos = scanEnd
         case _ => () // APPn / COM / anything with a length: skip
       }
-      pos += 2 + len
+      if (marker == 0xda && progressive) {
+        // pos already set to the next marker by the scan decoder
+        if (pos + 2 <= d.length && (d(pos) & 0xff) == 0xff &&
+          (d(pos + 1) & 0xff) == 0xd9)
+          return assembleProgressive(width, height, comps(0), quant, progCoef)
+      } else pos += 2 + len
     }
-    None
+    // progressive stream whose EOI the walk did not land on exactly
+    if (progressive && progCoef != null)
+      assembleProgressive(width, height, comps(0), quant, progCoef)
+    else None
+  }
+
+  /** Decode one progressive spectral-selection scan (Ah=Al=0, single
+    * component) into the per-block quantized-coefficient buffers.
+    * Returns the position of the marker following the scan's entropy
+    * data, or -1 on malformed input. */
+  private def decodeProgressiveScan(d: Array[Byte], start: Int,
+      comp: Component, dcTables: Array[HuffTable],
+      acTables: Array[HuffTable], ss: Int, se: Int,
+      coefs: Array[Array[Int]]): Int = {
+    val br = new BitReader(d, start)
+    var pred = 0
+    var eobrun = 0
+    var blk = 0
+    while (blk < coefs.length) {
+      val coef = coefs(blk)
+      if (ss == 0) { // DC scan (Se must be 0)
+        if (se != 0) return -1
+        val t = br.huffDecode(dcTables(comp.dcTbl))
+        pred += extend(br.receive(t), t)
+        coef(0) = pred
+      } else if (eobrun > 0) {
+        eobrun -= 1 // this block's band is entirely zero
+      } else {
+        var k = ss
+        var done = false
+        while (k <= se && !done) {
+          val rs = br.huffDecode(acTables(comp.acTbl))
+          val r = rs >> 4; val s = rs & 0x0f
+          if (s == 0) {
+            if (r == 15) k += 16 // ZRL
+            else { // EOBn: 2^r + extra-bits blocks end here (incl. this one)
+              eobrun = (1 << r) + br.receive(r) - 1
+              done = true
+            }
+          } else {
+            k += r
+            if (k > se) return -1
+            coef(Zigzag(k)) = extend(br.receive(s), s)
+            k += 1
+          }
+        }
+      }
+      blk += 1
+    }
+    // locate the marker after this scan's data (pad bits already consumed
+    // into the reader's buffer; fill() never reads past a marker)
+    var p = br.pos
+    while (p + 1 < d.length &&
+      !((d(p) & 0xff) == 0xff && (d(p + 1) & 0xff) != 0)) p += 1
+    if (p + 1 >= d.length) -1 else p
+  }
+
+  /** Dequantize + IDCT the accumulated progressive coefficients. */
+  private def assembleProgressive(width: Int, height: Int, comp: Component,
+      quant: Array[Array[Int]], coefs: Array[Array[Int]]): Option[PngCodec.Image] = {
+    val q = quant(comp.qId)
+    if (q == null) return None
+    val bw = (width + 7) / 8
+    val out = new Array[Byte](width * height)
+    val deq = new Array[Int](64)
+    var blk = 0
+    while (blk < coefs.length) {
+      var i = 0
+      while (i < 64) { deq(i) = coefs(blk)(i) * q(i); i += 1 }
+      val px = idctBlock(deq)
+      val bx = blk % bw; val by = blk / bw
+      var y = 0
+      while (y < 8) {
+        val oy = by * 8 + y
+        if (oy < height) {
+          var x = 0
+          while (x < 8) {
+            val ox = bx * 8 + x
+            if (ox < width) out(oy * width + ox) = px(y * 8 + x).toByte
+            x += 1
+          }
+        }
+        y += 1
+      }
+      blk += 1
+    }
+    Some(PngCodec.Image(width, height, 1, out))
   }
 
   private def decodeScan(d: Array[Byte], start: Int, width: Int, height: Int,
@@ -468,6 +585,19 @@ object JpegCodec {
   private val DcEncC = buildEncodeTable(DcBitsC, DcValsC)
   private val AcEncC = buildEncodeTable(AcBitsC, AcValsC)
 
+  /** AC table for PROGRESSIVE scans: the baseline Annex K table has no
+    * codes for the EOBn symbols (0x10..0xE0 — run-lengths of band-empty
+    * blocks), so progressive streams transmit their own. A flat canonical
+    * table (every symbol 8 bits: 160 run/size pairs + EOB + ZRL + 14
+    * EOBn = 176 ≤ 256) — compression-naive, structurally real. */
+  private val AcBitsProg = Array(0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0)
+  private val AcValsProg: Array[Byte] = {
+    val syms = (for (r <- 0 to 15; s <- 1 to 10) yield (r << 4) | s) ++
+      Seq(0x00, 0xf0) ++ (1 to 14).map(_ << 4)
+    syms.sorted.map(_.toByte).toArray
+  }
+  private val AcEncProg = buildEncodeTable(AcBitsProg, AcValsProg)
+
   private final class BitWriter(out: ByteArrayOutputStream) {
     private var acc = 0
     private var nBits = 0
@@ -574,6 +704,114 @@ object JpegCodec {
     }
     bw.align()
     marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Encode a grayscale PROGRESSIVE (SOF2, spectral selection) JFIF from
+    * per-block QUANTIZED coefficients: one DC-only first scan, then one
+    * AC scan per `bands` entry (inclusive zigzag ranges covering 1..63) —
+    * the multi-pass stream web encoders emit for incremental rendering.
+    * AC scans use the REAL progressive entropy surface: in-band
+    * run/size pairs, ZRL, and EOBn codes carrying run-lengths of
+    * band-empty BLOCKS (accumulated and flushed per spec G.1.2.2).
+    * Successive approximation is out of scope (Ah=Al=0 in every scan),
+    * matching the decoder subset. */
+  def encodeGrayProgressive(width: Int, height: Int, qtable: Array[Int],
+      coeffs: (Int, Int) => Array[Int],
+      bands: Seq[(Int, Int)] = Seq((1, 12), (13, 63))): Array[Byte] = {
+    require(bands.nonEmpty && bands.head._1 == 1 && bands.last._2 == 63 &&
+      bands.sliding(2).forall {
+        case Seq((_, e), (s, _)) => s == e + 1
+        case _ => true
+      }, s"bands must tile 1..63: $bands")
+    val out = new ByteArrayOutputStream()
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def u16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    marker(0xd8)
+    marker(0xe0); u16(16)
+    out.write("JFIF".getBytes("US-ASCII")); out.write(0)
+    out.write(1); out.write(1)
+    out.write(0); u16(1); u16(1)
+    out.write(0); out.write(0)
+    marker(0xdb); u16(2 + 1 + 64); out.write(0x00)
+    var k = 0
+    while (k < 64) { out.write(qtable(Zigzag(k)) & 0xff); k += 1 }
+    marker(0xc2); u16(8 + 3) // SOF2
+    out.write(8); u16(height); u16(width); out.write(1)
+    out.write(1); out.write(0x11); out.write(0)
+    marker(0xc4); u16(2 + 1 + 16 + DcVals.length + 1 + 16 + AcValsProg.length)
+    out.write(0x00); DcBits.foreach(out.write); out.write(DcVals)
+    out.write(0x10); AcBitsProg.foreach(out.write); out.write(AcValsProg)
+    val bw = (width + 7) / 8
+    val bh = (height + 7) / 8
+    val blocks = Array.tabulate(bw * bh)(b => coeffs(b % bw, b / bw))
+    def sosHeader(ss: Int, se: Int): Unit = {
+      marker(0xda); u16(6 + 2)
+      out.write(1); out.write(1); out.write(0x00)
+      out.write(ss); out.write(se); out.write(0)
+    }
+    // scan 1: DC only
+    sosHeader(0, 0)
+    locally {
+      val bwr = new BitWriter(out)
+      var pred = 0
+      blocks.foreach { blk =>
+        val diff = blk(0) - pred
+        pred = blk(0)
+        val s = magnitude(diff)
+        val (c, cs) = DcEnc(s)
+        bwr.put(c, cs)
+        if (s > 0) bwr.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+      }
+      bwr.align()
+    }
+    // AC scans, one per band
+    bands.foreach { case (ss, se) =>
+      sosHeader(ss, se)
+      val bwr = new BitWriter(out)
+      var eobrun = 0
+      def flushEob(): Unit = if (eobrun > 0) {
+        var r = 0
+        while ((1 << (r + 1)) <= eobrun) r += 1
+        val (c, cs) = AcEncProg(r << 4)
+        bwr.put(c, cs)
+        if (r > 0) bwr.put(eobrun - (1 << r), r)
+        eobrun = 0
+      }
+      blocks.foreach { blk =>
+        val nz = (ss to se).filter(kk => blk(Zigzag(kk)) != 0)
+        if (nz.isEmpty) {
+          eobrun += 1
+          if (eobrun == 0x7fff) flushEob()
+        } else {
+          flushEob()
+          var run = 0
+          var kk = ss
+          while (kk <= se) {
+            val v = blk(Zigzag(kk))
+            if (v == 0) run += 1
+            else {
+              while (run > 15) {
+                val (zc, zs) = AcEncProg(0xf0); bwr.put(zc, zs); run -= 16
+              }
+              val sz = magnitude(v)
+              val (c, cs) = AcEncProg((run << 4) | sz)
+              bwr.put(c, cs)
+              bwr.put(if (v < 0) v + (1 << sz) - 1 else v, sz)
+              run = 0
+            }
+            kk += 1
+          }
+          if (run > 0) { // trailing zeros to Se: this block ends in an EOB
+            eobrun += 1
+            if (eobrun == 0x7fff) flushEob()
+          }
+        }
+      }
+      flushEob()
+      bwr.align()
+    }
+    marker(0xd9)
     out.toByteArray
   }
 

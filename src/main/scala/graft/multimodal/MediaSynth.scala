@@ -370,6 +370,19 @@ object MediaSynth {
     JpegCodec.encodeGray(jpegWidth(docId), jpegHeight(docId), jpegQuantTable,
       jpegCoeffs(docId), jpegRestart(docId))
 
+  // ------------------------------- progressive JPEG (q160)
+
+  /** PROGRESSIVE twin of the q149 corpus: identical dims and
+    * frequency-domain closed forms, emitted as a multi-scan SOF2 stream
+    * (DC scan + two spectral-selection AC bands split at zigzag 13, so
+    * band 1 carries the (4,0) coefficient and band 2 the (0,4)/(4,4)
+    * pair — every scan has real content and real band-empty EOB runs).
+    * Decoded pixels must equal [[jpegPixel]] — and therefore equal the
+    * baseline q149 decode bit-for-bit. */
+  def jpegProgressivePayload(docId: Long): Array[Byte] =
+    JpegCodec.encodeGrayProgressive(jpegWidth(docId), jpegHeight(docId),
+      jpegQuantTable, jpegCoeffs(docId))
+
   // --------------------------------- 4:2:0 color JPEG (q152)
 
   /** Deterministic COLOR corpus for the chroma-subsampled decode gate

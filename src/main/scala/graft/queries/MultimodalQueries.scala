@@ -1197,6 +1197,42 @@ object MultimodalQueries {
       TRUE AS decode_ok
     FROM v GROUP BY doc_id"""
 
+  /** q160 — PROGRESSIVE JPEG decode under the gate (the multi-scan SOF2
+    * form web encoders emit): the q149 corpus re-encoded as a DC scan
+    * plus two spectral-selection AC bands, so the decoder must run the
+    * progressive entropy surface — per-scan coefficient accumulation,
+    * band-limited run/size pairs, and EOBn codes whose run-lengths skip
+    * whole band-empty BLOCKS — before the shared dequant/IDCT assembly.
+    * Same closed forms as q149, so the oracle is LITERALLY q149's: a
+    * progressive stream must decode to exactly what its baseline twin
+    * decodes to (also spec-pinned pixel-for-pixel). */
+  def jpegProgressiveDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.util.Par.ensure(Tables(spark, dir, "documents"))
+      .select("doc_id").as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          graft.multimodal.JpegCodec.decode(
+            MediaSynth.jpegProgressivePayload(id)) match {
+            case Some(img) =>
+              val n = img.pixels.length
+              var sum = 0L; var wsum = 0L; var i = 0
+              while (i < n) {
+                val v = img.pixels(i) & 0xff
+                sum += v; wsum += i.toLong * v
+                i += 1
+              }
+              PngStats(id, img.width.toLong, img.height.toLong,
+                img.channels.toLong, img.width.toLong * img.height,
+                sum, wsum, decode_ok = true)
+            case None =>
+              PngStats(id, -1L, -1L, -1L, -1L, -1L, -1L, decode_ok = false)
+          }
+        }
+      }
+      .toDF()
+  }
+
   /** q150 — REAL compressed-video frame decode under the gate: the q94
     * container with a motion-JPEG track
     * ([[graft.multimodal.MediaSynth.mjpegMp4]]) — every sample a complete
@@ -1364,5 +1400,7 @@ object MultimodalQueries {
     QueryDef("q149_jpeg_decode", jpegDecode, Some(jpegOracle)),
     QueryDef("q150_mjpeg_frames", mjpegFrames, Some(mjpegOracle)),
     QueryDef("q151_pcm_halfband", pcmHalfband, Some(pcmHalfbandOracle)),
-    QueryDef("q152_jpeg_color_decode", jpegColorDecode, Some(jpegColorOracle)))
+    QueryDef("q152_jpeg_color_decode", jpegColorDecode, Some(jpegColorOracle)),
+    QueryDef("q160_jpeg_progressive_decode", jpegProgressiveDecode,
+      Some(jpegOracle)))
 }

@@ -173,6 +173,51 @@ class JpegCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("progressive stream decodes identically to its baseline twin") {
+    for (id <- 0L until 120L) {
+      val prog = JpegCodec.decode(MediaSynth.jpegProgressivePayload(id))
+        .getOrElse(fail(s"progressive decode failed for doc $id"))
+      val base = JpegCodec.decode(MediaSynth.jpegPayload(id)).get
+      assert(prog.width == base.width && prog.height == base.height)
+      assert(prog.pixels.sameElements(base.pixels),
+        s"progressive != baseline for doc $id")
+    }
+  }
+
+  test("progressive streams really carry multiple scans and EOB runs") {
+    val p = MediaSynth.jpegProgressivePayload(7L)
+    // SOF2 present, three SOS markers (DC + two AC bands)
+    def count(m: Int): Int = p.sliding(2).count(a =>
+      (a(0) & 0xff) == 0xff && (a(1) & 0xff) == m)
+    assert(count(0xc2) == 1 && count(0xc0) == 0)
+    assert(count(0xda) == 3, s"expected 3 scans, got ${count(0xda)}")
+    // a single-band layout also roundtrips (exercises one big EOB band)
+    val one = JpegCodec.encodeGrayProgressive(
+      MediaSynth.jpegWidth(7L), MediaSynth.jpegHeight(7L),
+      MediaSynth.jpegQuantTable, MediaSynth.jpegCoeffs(7L),
+      bands = Seq((1, 63)))
+    val img = JpegCodec.decode(one).get
+    val base = JpegCodec.decode(MediaSynth.jpegPayload(7L)).get
+    assert(img.pixels.sameElements(base.pixels))
+    // fine-grained bands (many empty scans per block) too
+    val many = JpegCodec.encodeGrayProgressive(
+      MediaSynth.jpegWidth(7L), MediaSynth.jpegHeight(7L),
+      MediaSynth.jpegQuantTable, MediaSynth.jpegCoeffs(7L),
+      bands = Seq((1, 5), (6, 10), (11, 20), (21, 38), (39, 40), (41, 63)))
+    assert(JpegCodec.decode(many).get.pixels.sameElements(base.pixels))
+  }
+
+  test("progressive out-of-subset forms are rejected, not mis-decoded") {
+    // successive approximation (Al != 0): flip the last SOS's Al nibble
+    val p = MediaSynth.jpegProgressivePayload(3L)
+    // find final SOS and set its successive-approximation byte to 0x01
+    var i = p.length - 2
+    while (!((p(i) & 0xff) == 0xff && (p(i + 1) & 0xff) == 0xda)) i -= 1
+    val mod = p.clone()
+    mod(i + 2 + 2 + 1 + 2 + 2) = 0x01.toByte // Ss Se [AhAl] of 1-comp SOS
+    assert(JpegCodec.decode(mod).isEmpty)
+  }
+
   test("ImageHeaders dims agree with the full decoder on the corpus") {
     for (id <- 0L until 30L) {
       val p = MediaSynth.jpegPayload(id)
