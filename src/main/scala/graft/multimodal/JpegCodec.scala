@@ -287,11 +287,15 @@ object JpegCodec {
           val ss = d(seg + 1 + 2 * ns) & 0xff
           val se = d(seg + 2 + 2 * ns) & 0xff
           val ahal = d(seg + 3 + 2 * ns) & 0xff
-          if ((ahal >> 4) != 0 || (ahal & 0x0f) != 0)
-            return None // successive approximation: out of subset
+          val ah = ahal >> 4; val al = ahal & 0x0f
           if (restartInterval != 0) return None // out of subset for SOF2
-          val scanEnd = decodeProgressiveScan(d, pos + 2 + len, comps(0),
-            dcTables, acTables, ss, se, progCoef)
+          val scanEnd =
+            if (ah == 0)
+              decodeProgressiveScan(d, pos + 2 + len, comps(0),
+                dcTables, acTables, ss, se, al, progCoef)
+            else
+              decodeRefinementScan(d, pos + 2 + len, comps(0),
+                acTables, ss, se, al, progCoef)
           if (scanEnd < 0) return None
           pos = scanEnd
         case _ => () // APPn / COM / anything with a length: skip
@@ -309,13 +313,15 @@ object JpegCodec {
     else None
   }
 
-  /** Decode one progressive spectral-selection scan (Ah=Al=0, single
-    * component) into the per-block quantized-coefficient buffers.
-    * Returns the position of the marker following the scan's entropy
-    * data, or -1 on malformed input. */
+  /** Decode one progressive FIRST scan (Ah=0; spectral selection at the
+    * successive-approximation level `al`, single component) into the
+    * per-block quantized-coefficient buffers — decoded values land
+    * shifted left by `al` (the point transform's inverse). Returns the
+    * position of the marker following the scan's entropy data, or -1 on
+    * malformed input. */
   private def decodeProgressiveScan(d: Array[Byte], start: Int,
       comp: Component, dcTables: Array[HuffTable],
-      acTables: Array[HuffTable], ss: Int, se: Int,
+      acTables: Array[HuffTable], ss: Int, se: Int, al: Int,
       coefs: Array[Array[Int]]): Int = {
     val br = new BitReader(d, start)
     var pred = 0
@@ -327,7 +333,7 @@ object JpegCodec {
         if (se != 0) return -1
         val t = br.huffDecode(dcTables(comp.dcTbl))
         pred += extend(br.receive(t), t)
-        coef(0) = pred
+        coef(0) = pred << al
       } else if (eobrun > 0) {
         eobrun -= 1 // this block's band is entirely zero
       } else {
@@ -345,16 +351,97 @@ object JpegCodec {
           } else {
             k += r
             if (k > se) return -1
-            coef(Zigzag(k)) = extend(br.receive(s), s)
+            coef(Zigzag(k)) = extend(br.receive(s), s) << al
             k += 1
           }
         }
       }
       blk += 1
     }
-    // locate the marker after this scan's data (pad bits already consumed
-    // into the reader's buffer; fill() never reads past a marker)
-    var p = br.pos
+    scanEndPos(d, br.pos)
+  }
+
+  /** Decode one progressive REFINEMENT scan (Ah = Al + 1): every
+    * coefficient already significant receives one correction bit (set →
+    * add ±2^Al toward larger magnitude); newly significant coefficients
+    * arrive as (zero-history-run, size=1) codes with a sign bit, with
+    * the correction bits of nonzero-history positions passed over WOVEN
+    * into the stream — the spec G.2 structure. DC refinement (Ss=0) is
+    * one bit per block ORed at 2^Al. */
+  private def decodeRefinementScan(d: Array[Byte], start: Int,
+      comp: Component, acTables: Array[HuffTable], ss: Int, se: Int,
+      al: Int, coefs: Array[Array[Int]]): Int = {
+    val br = new BitReader(d, start)
+    val p1 = 1 << al
+    val m1 = -1 << al
+    var eobrun = 0
+    var blk = 0
+    while (blk < coefs.length) {
+      val coef = coefs(blk)
+      if (ss == 0) { // DC refinement: one appended bit per block
+        if (se != 0) return -1
+        if (br.readBit() == 1) coef(0) |= p1
+      } else {
+        var k = ss
+        if (eobrun == 0) {
+          var broke = false
+          while (k <= se && !broke) {
+            val rs = br.huffDecode(acTables(comp.acTbl))
+            var r = rs >> 4; val s = rs & 0x0f
+            var newval = 0
+            if (s == 0) {
+              if (r != 15) {
+                eobrun = (1 << r) + (if (r > 0) br.receive(r) else 0)
+                broke = true
+              }
+              // r == 15: ZRL — pass 16 zero-history positions
+            } else {
+              if (s != 1) return -1 // refinement codes only size 1
+              newval = if (br.readBit() == 1) p1 else m1
+            }
+            if (!broke) {
+              // advance over the run: corrections at nonzero-history
+              // positions, count down r at zero-history positions
+              var placed = false
+              while (k <= se && !placed) {
+                val nat = Zigzag(k)
+                if (coef(nat) != 0) {
+                  if (br.readBit() == 1 && (coef(nat) & p1) == 0)
+                    coef(nat) += (if (coef(nat) >= 0) p1 else m1)
+                  k += 1
+                } else if (r == 0) {
+                  if (newval != 0) { coef(nat) = newval; k += 1 }
+                  placed = true
+                } else { r -= 1; k += 1 }
+              }
+              if (!placed && newval != 0) return -1 // ran past Se
+              if (placed && newval == 0) k += 1 // ZRL landing position
+            }
+          }
+        }
+        if (eobrun > 0) {
+          // remainder of this block: corrections only
+          while (k <= se) {
+            val nat = Zigzag(k)
+            if (coef(nat) != 0) {
+              if (br.readBit() == 1 && (coef(nat) & p1) == 0)
+                coef(nat) += (if (coef(nat) >= 0) p1 else m1)
+            }
+            k += 1
+          }
+          eobrun -= 1
+        }
+      }
+      blk += 1
+    }
+    scanEndPos(d, br.pos)
+  }
+
+  /** Locate the marker after a scan's entropy data (pad bits already
+    * consumed into the reader's buffer; fill() never reads past a
+    * marker). */
+  private def scanEndPos(d: Array[Byte], from: Int): Int = {
+    var p = from
     while (p + 1 < d.length &&
       !((d(p) & 0xff) == 0xff && (d(p + 1) & 0xff) != 0)) p += 1
     if (p + 1 >= d.length) -1 else p
@@ -716,9 +803,19 @@ object JpegCodec {
     * band-empty BLOCKS (accumulated and flushed per spec G.1.2.2).
     * Successive approximation is out of scope (Ah=Al=0 in every scan),
     * matching the decoder subset. */
+  /** With `approx = true` the stream uses SUCCESSIVE APPROXIMATION on
+    * top of spectral selection (the full web-encoder form): every first
+    * scan transmits coefficients at point-transform level Al=1 (DC:
+    * arithmetic shift with diffs on shifted values; AC: sign-magnitude
+    * shift, sub-threshold coefficients absent), then refinement scans
+    * (Ah=1→Al=0) deliver the low bit — one appended bit per block for
+    * DC, and for AC the spec G.1.2.3 machinery: correction bits for
+    * already-significant coefficients woven between newly-significant
+    * (run, size=1) codes, with bits buffered behind pending EOB runs. */
   def encodeGrayProgressive(width: Int, height: Int, qtable: Array[Int],
       coeffs: (Int, Int) => Array[Int],
-      bands: Seq[(Int, Int)] = Seq((1, 12), (13, 63))): Array[Byte] = {
+      bands: Seq[(Int, Int)] = Seq((1, 12), (13, 63)),
+      approx: Boolean = false): Array[Byte] = {
     require(bands.nonEmpty && bands.head._1 == 1 && bands.last._2 == 63 &&
       bands.sliding(2).forall {
         case Seq((_, e), (s, _)) => s == e + 1
@@ -745,19 +842,21 @@ object JpegCodec {
     val bw = (width + 7) / 8
     val bh = (height + 7) / 8
     val blocks = Array.tabulate(bw * bh)(b => coeffs(b % bw, b / bw))
-    def sosHeader(ss: Int, se: Int): Unit = {
+    def sosHeader(ss: Int, se: Int, ah: Int, al: Int): Unit = {
       marker(0xda); u16(6 + 2)
       out.write(1); out.write(1); out.write(0x00)
-      out.write(ss); out.write(se); out.write(0)
+      out.write(ss); out.write(se); out.write((ah << 4) | al)
     }
-    // scan 1: DC only
-    sosHeader(0, 0)
+    val al0 = if (approx) 1 else 0
+    // scan 1: DC at approximation level al0 (arithmetic shift + diffs)
+    sosHeader(0, 0, 0, al0)
     locally {
       val bwr = new BitWriter(out)
       var pred = 0
       blocks.foreach { blk =>
-        val diff = blk(0) - pred
-        pred = blk(0)
+        val v = blk(0) >> al0
+        val diff = v - pred
+        pred = v
         val s = magnitude(diff)
         val (c, cs) = DcEnc(s)
         bwr.put(c, cs)
@@ -765,9 +864,15 @@ object JpegCodec {
       }
       bwr.align()
     }
-    // AC scans, one per band
+    if (approx) { // DC refinement: bit 0 of the two's-complement value
+      sosHeader(0, 0, 1, 0)
+      val bwr = new BitWriter(out)
+      blocks.foreach(blk => bwr.put(blk(0) & 1, 1))
+      bwr.align()
+    }
+    // AC first scans, one per band, at level al0 (sign-magnitude shift)
     bands.foreach { case (ss, se) =>
-      sosHeader(ss, se)
+      sosHeader(ss, se, 0, al0)
       val bwr = new BitWriter(out)
       var eobrun = 0
       def flushEob(): Unit = if (eobrun > 0) {
@@ -778,8 +883,12 @@ object JpegCodec {
         if (r > 0) bwr.put(eobrun - (1 << r), r)
         eobrun = 0
       }
+      def shifted(v: Int): Int = {
+        val a = math.abs(v) >> al0
+        if (v < 0) -a else a
+      }
       blocks.foreach { blk =>
-        val nz = (ss to se).filter(kk => blk(Zigzag(kk)) != 0)
+        val nz = (ss to se).filter(kk => shifted(blk(Zigzag(kk))) != 0)
         if (nz.isEmpty) {
           eobrun += 1
           if (eobrun == 0x7fff) flushEob()
@@ -788,7 +897,7 @@ object JpegCodec {
           var run = 0
           var kk = ss
           while (kk <= se) {
-            val v = blk(Zigzag(kk))
+            val v = shifted(blk(Zigzag(kk)))
             if (v == 0) run += 1
             else {
               while (run > 15) {
@@ -809,6 +918,62 @@ object JpegCodec {
         }
       }
       flushEob()
+      bwr.align()
+    }
+    if (approx) { // AC refinement over the full band (Ah=1 → Al=0)
+      sosHeader(1, 63, 1, 0)
+      val bwr = new BitWriter(out)
+      var eobrun = 0
+      val behindEob = scala.collection.mutable.ArrayBuffer.empty[Int]
+      def emitEobrun(): Unit = if (eobrun > 0) {
+        var r = 0
+        while ((1 << (r + 1)) <= eobrun) r += 1
+        val (c, cs) = AcEncProg(r << 4)
+        bwr.put(c, cs)
+        if (r > 0) bwr.put(eobrun - (1 << r), r)
+        behindEob.foreach(b => bwr.put(b, 1))
+        behindEob.clear()
+        eobrun = 0
+      }
+      blocks.foreach { blk =>
+        val absv = Array.tabulate(64)(kk =>
+          if (kk >= 1) math.abs(blk(Zigzag(kk))) else 0)
+        var eobPos = 0 // last newly-significant position (0 = none)
+        var kk = 1
+        while (kk <= 63) { if (absv(kk) == 1) eobPos = kk; kk += 1 }
+        val held = scala.collection.mutable.ArrayBuffer.empty[Int]
+        var r = 0
+        kk = 1
+        while (kk <= 63) {
+          val temp = absv(kk)
+          if (temp == 0) r += 1
+          else {
+            // ZRLs that cannot fold into the EOB run
+            while (r > 15 && kk <= eobPos) {
+              emitEobrun()
+              val (zc, zs) = AcEncProg(0xf0); bwr.put(zc, zs)
+              r -= 16
+              held.foreach(b => bwr.put(b, 1)); held.clear()
+            }
+            if (temp > 1) held += (temp & 1) // correction bit
+            else { // newly significant
+              emitEobrun()
+              val (c, cs) = AcEncProg((r << 4) | 1)
+              bwr.put(c, cs)
+              bwr.put(if (blk(Zigzag(kk)) < 0) 0 else 1, 1)
+              held.foreach(b => bwr.put(b, 1)); held.clear()
+              r = 0
+            }
+          }
+          kk += 1
+        }
+        if (r > 0 || held.nonEmpty) {
+          eobrun += 1
+          behindEob ++= held
+          if (eobrun == 0x7fff) emitEobrun()
+        }
+      }
+      emitEobrun()
       bwr.align()
     }
     marker(0xd9)

@@ -383,6 +383,15 @@ object MediaSynth {
     JpegCodec.encodeGrayProgressive(jpegWidth(docId), jpegHeight(docId),
       jpegQuantTable, jpegCoeffs(docId))
 
+  /** SUCCESSIVE-APPROXIMATION variant (q161): the same closed forms as
+    * five scans — coarse DC/AC at point-transform level 1, then DC and
+    * AC refinement scans delivering the low bits (corrections woven with
+    * newly-significant coefficients per spec G.1.2.3). Must still decode
+    * to exactly [[jpegPixel]]. */
+  def jpegApproxPayload(docId: Long): Array[Byte] =
+    JpegCodec.encodeGrayProgressive(jpegWidth(docId), jpegHeight(docId),
+      jpegQuantTable, jpegCoeffs(docId), approx = true)
+
   // --------------------------------- 4:2:0 color JPEG (q152)
 
   /** Deterministic COLOR corpus for the chroma-subsampled decode gate

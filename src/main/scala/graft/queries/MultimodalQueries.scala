@@ -1233,6 +1233,41 @@ object MultimodalQueries {
       .toDF()
   }
 
+  /** q161 — SUCCESSIVE-APPROXIMATION progressive decode under the gate,
+    * completing the full web-encoder progressive form on top of q160's
+    * spectral selection: coarse scans at point-transform level 1, then
+    * refinement scans delivering the low bits — correction bits for
+    * already-significant coefficients woven between newly-significant
+    * size-1 codes and buffered behind EOB runs (spec G.1.2.3/G.2). The
+    * oracle is again q149's: five approximation scans must reconstruct
+    * exactly what one baseline scan carries. */
+  def jpegApproxDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.util.Par.ensure(Tables(spark, dir, "documents"))
+      .select("doc_id").as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          graft.multimodal.JpegCodec.decode(
+            MediaSynth.jpegApproxPayload(id)) match {
+            case Some(img) =>
+              val n = img.pixels.length
+              var sum = 0L; var wsum = 0L; var i = 0
+              while (i < n) {
+                val v = img.pixels(i) & 0xff
+                sum += v; wsum += i.toLong * v
+                i += 1
+              }
+              PngStats(id, img.width.toLong, img.height.toLong,
+                img.channels.toLong, img.width.toLong * img.height,
+                sum, wsum, decode_ok = true)
+            case None =>
+              PngStats(id, -1L, -1L, -1L, -1L, -1L, -1L, decode_ok = false)
+          }
+        }
+      }
+      .toDF()
+  }
+
   /** q150 — REAL compressed-video frame decode under the gate: the q94
     * container with a motion-JPEG track
     * ([[graft.multimodal.MediaSynth.mjpegMp4]]) — every sample a complete
@@ -1402,5 +1437,6 @@ object MultimodalQueries {
     QueryDef("q151_pcm_halfband", pcmHalfband, Some(pcmHalfbandOracle)),
     QueryDef("q152_jpeg_color_decode", jpegColorDecode, Some(jpegColorOracle)),
     QueryDef("q160_jpeg_progressive_decode", jpegProgressiveDecode,
-      Some(jpegOracle)))
+      Some(jpegOracle)),
+    QueryDef("q161_jpeg_approx_decode", jpegApproxDecode, Some(jpegOracle)))
 }

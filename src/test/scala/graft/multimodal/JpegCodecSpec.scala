@@ -207,14 +207,57 @@ class JpegCodecSpec extends AnyFunSuite {
     assert(JpegCodec.decode(many).get.pixels.sameElements(base.pixels))
   }
 
+  test("successive-approximation progressive decodes identically to baseline") {
+    for (id <- 0L until 120L) {
+      val sa = JpegCodec.encodeGrayProgressive(
+        MediaSynth.jpegWidth(id), MediaSynth.jpegHeight(id),
+        MediaSynth.jpegQuantTable, MediaSynth.jpegCoeffs(id), approx = true)
+      val img = JpegCodec.decode(sa)
+        .getOrElse(fail(s"successive-approx decode failed for doc $id"))
+      val base = JpegCodec.decode(MediaSynth.jpegPayload(id)).get
+      assert(img.pixels.sameElements(base.pixels),
+        s"successive-approx != baseline for doc $id")
+      // five scans: DC first + DC refine + 2 AC bands + AC refine
+      val scans = sa.sliding(2).count(a =>
+        (a(0) & 0xff) == 0xff && (a(1) & 0xff) == 0xda)
+      assert(scans == 5, s"expected 5 scans, got $scans")
+    }
+  }
+
+  test("successive approximation survives dense random blocks (ZRL + buffered bits)") {
+    val rnd = new scala.util.Random(1234)
+    val w = 32; val h = 24
+    val q = Array.fill(64)(1)
+    for (trial <- 0 until 20) {
+      // mix sparse and dense blocks: long zero runs around ±1 values
+      // exercise ZRL-with-corrections and EOB-run buffering
+      val blocks = Array.fill((w / 8) * (h / 8)) {
+        val c = new Array[Int](64)
+        c(0) = rnd.nextInt(255) - 127
+        (1 until 64).foreach { kk =>
+          val roll = rnd.nextInt(10)
+          if (roll == 0) c(kk) = rnd.nextInt(63) - 31
+          else if (roll == 1) c(kk) = if (rnd.nextBoolean()) 1 else -1
+        }
+        c
+      }
+      def cf(bx: Int, by: Int): Array[Int] = blocks(by * (w / 8) + bx)
+      val base = JpegCodec.decode(
+        JpegCodec.encodeGray(w, h, q, cf, 0)).get
+      val sa = JpegCodec.decode(JpegCodec.encodeGrayProgressive(
+        w, h, q, cf, approx = true)).get
+      assert(sa.pixels.sameElements(base.pixels), s"trial $trial diverged")
+    }
+  }
+
   test("progressive out-of-subset forms are rejected, not mis-decoded") {
-    // successive approximation (Al != 0): flip the last SOS's Al nibble
+    // restart intervals inside a progressive stream are out of subset:
+    // splice a DRI segment (FF DD 00 04 00 02) in front of the first SOS
     val p = MediaSynth.jpegProgressivePayload(3L)
-    // find final SOS and set its successive-approximation byte to 0x01
-    var i = p.length - 2
-    while (!((p(i) & 0xff) == 0xff && (p(i + 1) & 0xff) == 0xda)) i -= 1
-    val mod = p.clone()
-    mod(i + 2 + 2 + 1 + 2 + 2) = 0x01.toByte // Ss Se [AhAl] of 1-comp SOS
+    var i = 2
+    while (!((p(i) & 0xff) == 0xff && (p(i + 1) & 0xff) == 0xda)) i += 1
+    val dri = Array(0xff, 0xdd, 0x00, 0x04, 0x00, 0x02).map(_.toByte)
+    val mod = p.take(i) ++ dri ++ p.drop(i)
     assert(JpegCodec.decode(mod).isEmpty)
   }
 
