@@ -339,7 +339,33 @@ object SimilarityQueries {
     nProbe = 8, nSub = PqSub, nCodes = PqCodes, k = K, dim = Dim,
     queryPred = "e.vec_id < 20")
 
+  /** Trained sub-codebooks are an index (built once, probed many times)
+    * — memoized per data dir like [[centroidCache]]. */
+  private val pqCbCache =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Array[Array[Double]]]]
+
+  /** q162 — k-means-TRAINED product quantization (the `IndexPQ` with a
+    * real `train()` call): each subspace's codebook is Lloyd-refined on
+    * the corpus's sliced subvectors instead of sampled, cutting
+    * reconstruction error at the same code budget; the oracle replays
+    * ALL FOUR training chains (prefixed k-means CTEs over the slices)
+    * plus encoding and every ADC score. Same plan shape as q158; the
+    * recall improvement over sampled codebooks is spec-pinned via the
+    * per-subspace k-means objective. */
+  def pqKmeansTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val cbs = pqCbCache.getOrElseUpdate(dir,
+      Similarity.pqCodebooksTrained(emb, "vec_id", "embedding",
+        PqSub, PqCodes, Dim, iters = 2))
+    e6(Similarity.pqTopK(emb, queriesOf(emb), "vec_id", "embedding", K,
+      cbs, Dim))
+  }
+
+  private val pqKmeansOracle = Similarity.sqlPqKmeansTopK(PqSub, PqCodes,
+    iters = 2, k = K, dim = Dim, queryPred = "e.vec_id < 20")
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q162_pq_kmeans_topk", pqKmeansTopK, Some(pqKmeansOracle)),
     QueryDef("q159_ivf_pq_topk", ivfPqTopKQ, Some(ivfPqOracle)),
     QueryDef("q158_pq_topk", pqTopK, Some(pqOracle)),
     QueryDef("q82_int8_quantize", int8Quantize, Some(int8QuantizeOracle)),

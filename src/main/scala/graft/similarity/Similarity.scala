@@ -483,12 +483,10 @@ object Similarity {
     topK(scored, k)
   }
 
-  /** DuckDB replay of [[pqTopK]] incl. the codebook construction and
-    * encoding — same md5 sample order, same slice boundaries, same
-    * fixed-order additions. */
-  def sqlPqTopK(nSub: Int, nCodes: Int, k: Int, dim: Int,
+  /** The flat-PQ encode + ADC search tail, assuming an `emb` (vec_id, v)
+    * and a `cb` (m, kc, c) CTE are in scope. */
+  private def sqlPqSearchTail(nSub: Int, subDim: Int, k: Int,
       queryPred: String): String = {
-    val subDim = dim / nSub
     def scoreSub(v: String, c: String) =
       s"${sqlDot(v, c)} / (sqrt(${sqlDot(v, v)}) * sqrt(${sqlDot(c, c)}))"
     val encW = (0 until nSub).map(m =>
@@ -500,14 +498,7 @@ object Similarity {
       .mkString(" + ")
     val reconSql = (0 until nSub).map(m =>
       sqlDot(s"b$m.c", s"b$m.c")).mkString(" + ")
-    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-      cbv AS (SELECT CAST(row_number() OVER (ORDER BY h) AS INT) - 1 AS kc, v
-        FROM (SELECT md5(CAST(vec_id AS VARCHAR)) AS h, v FROM emb
-              ORDER BY h LIMIT $nCodes)),
-      cb AS (SELECT m.m, cbv.kc,
-          cbv.v[m.m * $subDim + 1:(m.m + 1) * $subDim] AS c
-        FROM cbv CROSS JOIN range($nSub) m(m)),
-      sc AS (SELECT e.vec_id, b.m, b.kc,
+    s"""sc AS (SELECT e.vec_id, b.m, b.kc,
           ${scoreSub(s"e.v[b.m * $subDim + 1:(b.m + 1) * $subDim]", "b.c")} AS s
         FROM emb e CROSS JOIN cb b),
       enc AS (SELECT vec_id, m, kc FROM (
@@ -531,6 +522,62 @@ object Similarity {
       FROM ranked WHERE rank <= $k"""
   }
 
+  /** DuckDB replay of [[pqTopK]] incl. the codebook construction and
+    * encoding — same md5 sample order, same slice boundaries, same
+    * fixed-order additions. */
+  def sqlPqTopK(nSub: Int, nCodes: Int, k: Int, dim: Int,
+      queryPred: String): String = {
+    val subDim = dim / nSub
+    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      cbv AS (SELECT CAST(row_number() OVER (ORDER BY h) AS INT) - 1 AS kc, v
+        FROM (SELECT md5(CAST(vec_id AS VARCHAR)) AS h, v FROM emb
+              ORDER BY h LIMIT $nCodes)),
+      cb AS (SELECT m.m, cbv.kc,
+          cbv.v[m.m * $subDim + 1:(m.m + 1) * $subDim] AS c
+        FROM cbv CROSS JOIN range($nSub) m(m)),
+      ${sqlPqSearchTail(nSub, subDim, k, queryPred)}"""
+  }
+
+  /** DuckDB replay of the k-means-TRAINED PQ search: one spherical
+    * k-means chain per subspace over the SLICED vectors (prefixed CTEs),
+    * unioned into the codebook relation, then the shared encode + ADC
+    * tail. */
+  def sqlPqKmeansTopK(nSub: Int, nCodes: Int, iters: Int, k: Int, dim: Int,
+      queryPred: String): String = {
+    val subDim = dim / nSub
+    val subCtes = (0 until nSub).map(m =>
+      s"""sub$m AS (SELECT vec_id,
+          v[${m * subDim + 1}:${(m + 1) * subDim}] AS v FROM emb)""")
+      .mkString(",\n      ")
+    val chains = (0 until nSub).map(m =>
+      sqlKmeansCtes(nCodes, iters, prefix = s"q$m", src = s"sub$m"))
+    val chainCtes = chains.map(_._1).mkString(",\n      ")
+    val cbUnion = chains.zipWithIndex.map { case ((_, fin), m) =>
+      s"SELECT $m AS m, cell AS kc, c FROM $fin"
+    }.mkString(" UNION ALL ")
+    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      pos AS (SELECT CAST(unnest(range($subDim)) AS BIGINT) AS p),
+      $subCtes,
+      $chainCtes,
+      cb AS ($cbUnion),
+      ${sqlPqSearchTail(nSub, subDim, k, queryPred)}"""
+  }
+
+  /** k-means-TRAINED PQ sub-codebooks: one spherical-k-means run per
+    * subspace over the sliced subvectors (same seeding and iteration
+    * discipline as the IVF training, so the oracle replays each chain);
+    * plugs into [[pqTopK]]/[[ivfPqTopK]] exactly like the sampled
+    * codebooks. */
+  def pqCodebooksTrained(corpus: DataFrame, idCol: String, vecCol: String,
+      nSub: Int, nCodes: Int, dim: Int, iters: Int): Array[Array[Array[Double]]] = {
+    val subDim = dim / nSub
+    Array.tabulate(nSub) { m =>
+      val sub = corpus.select(col(idCol),
+        slice(col(vecCol), m * subDim + 1, subDim).as("_subv"))
+      kmeansCentroids(sub, idCol, "_subv", nCodes, iters)
+    }
+  }
+
   /** Cell-assignment SELECT fragment shared by the k-means oracle
     * builders: every vector of `src` ranked against every centroid of
     * `cents` by cosine (ties → lowest cell). */
@@ -545,25 +592,30 @@ object Similarity {
 
   /** The spherical-k-means training replay as a WITH-fragment (seed →
     * c0 … c`iters`); returns (fragment, final-centroid CTE name).
-    * Requires `emb` (vec_id, v) and `pos` (p) CTEs in scope. */
-  private def sqlKmeansCtes(nCells: Int, iters: Int): (String, String) = {
+    * Requires `$src` (vec_id, v) and `$posSrc` (p) CTEs in scope; a
+    * non-empty `prefix` namespaces every intermediate CTE so several
+    * chains (e.g. one per PQ subspace) coexist in one query. */
+  private def sqlKmeansCtes(nCells: Int, iters: Int, prefix: String = "",
+      src: String = "emb", posSrc: String = "pos"): (String, String) = {
+    def n(name: String) = s"$prefix$name"
     val iterCtes = (1 to iters).map { i =>
-      val prev = s"c${i - 1}"
-      s"""s$i AS (${sqlAssign("emb", prev)}),
-      a$i AS (SELECT vec_id, v, cell FROM s$i WHERE rnk = 1),
-      m$i AS (SELECT a.cell, pos.p, avg(a.v[pos.p + 1]) AS m
-        FROM a$i a CROSS JOIN pos GROUP BY a.cell, pos.p),
-      n$i AS (SELECT cell, list(m ORDER BY p) AS c FROM m$i GROUP BY cell),
-      c$i AS (SELECT p.cell,
+      val prev = n(s"c${i - 1}")
+      s"""${n(s"s$i")} AS (${sqlAssign(src, prev)}),
+      ${n(s"a$i")} AS (SELECT vec_id, v, cell FROM ${n(s"s$i")} WHERE rnk = 1),
+      ${n(s"m$i")} AS (SELECT a.cell, pos.p, avg(a.v[pos.p + 1]) AS m
+        FROM ${n(s"a$i")} a CROSS JOIN $posSrc pos GROUP BY a.cell, pos.p),
+      ${n(s"n$i")} AS (SELECT cell, list(m ORDER BY p) AS c
+        FROM ${n(s"m$i")} GROUP BY cell),
+      ${n(s"c$i")} AS (SELECT p.cell,
           CASE WHEN n.cell IS NULL THEN p.c
                ELSE list_transform(n.c, x -> x / sqrt(${sqlDot("n.c", "n.c")})) END AS c
-        FROM $prev p LEFT JOIN n$i n ON n.cell = p.cell)"""
+        FROM $prev p LEFT JOIN ${n(s"n$i")} n ON n.cell = p.cell)"""
     }.mkString(",\n      ")
-    val block = s"""seed AS (SELECT v, CAST(row_number() OVER (ORDER BY h) AS INT) - 1 AS cell
-        FROM (SELECT md5(CAST(vec_id AS VARCHAR)) AS h, v FROM emb ORDER BY h LIMIT $nCells)),
-      c0 AS (SELECT cell, list_transform(v, x -> x / sqrt(${sqlDot("v", "v")})) AS c FROM seed),
+    val block = s"""${n("seed")} AS (SELECT v, CAST(row_number() OVER (ORDER BY h) AS INT) - 1 AS cell
+        FROM (SELECT md5(CAST(vec_id AS VARCHAR)) AS h, v FROM $src ORDER BY h LIMIT $nCells)),
+      ${n("c0")} AS (SELECT cell, list_transform(v, x -> x / sqrt(${sqlDot("v", "v")})) AS c FROM ${n("seed")}),
       $iterCtes"""
-    (block, s"c$iters")
+    (block, n(s"c$iters"))
   }
 
   /** DuckDB replay of [[ivfPqTopK]]: the k-means training chain, the PQ

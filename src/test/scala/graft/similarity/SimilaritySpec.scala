@@ -104,6 +104,41 @@ class SimilaritySpec extends SparkTestBase {
     assert(distinctScores <= pairs)
   }
 
+  test("trained PQ sub-codebooks improve the per-subspace objective") {
+    val sampled = Similarity.pqCodebooks(emb, "vec_id", "embedding",
+      nSub = 4, nCodes = 16, dim = 64)
+    val trained = Similarity.pqCodebooksTrained(emb, "vec_id", "embedding",
+      nSub = 4, nCodes = 16, dim = 64, iters = 3)
+    val vecs = emb.select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    // mean max-sub-cosine per subspace: training must not regress it
+    for (m <- 0 until 4) {
+      def objective(cb: Array[Array[Double]]): Double =
+        vecs.map { v =>
+          val sub = v.slice(m * 16, (m + 1) * 16)
+          cb.map(c => cos(sub, c)).max
+        }.sum / vecs.length
+      val s = objective(sampled(m)); val t = objective(trained(m))
+      info(f"subspace $m objective sampled=$s%.4f trained=$t%.4f")
+      assert(t >= s - 1e-9, f"subspace $m regressed: $t%.4f < $s%.4f")
+    }
+    // the trained search still returns a full, deterministic result set
+    val pq = Similarity.pqTopK(emb, queries, "vec_id", "embedding", 5,
+      trained, dim = 64)
+    assert(pq.count() == 20 * 5)
+    val recall = (resultSet(pq) intersect exact).size.toDouble / exact.size
+    info(f"trained-PQ recall@5 = $recall%.3f")
+    assert(recall > 0.0)
+  }
+
   test("IVF-PQ composes: probed cells only, codes drive the scores") {
     val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
       nCells = 16, iters = 2)
