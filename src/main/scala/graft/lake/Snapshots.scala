@@ -212,6 +212,61 @@ object Snapshots {
   def optimize(spark: SparkSession, table: String): Option[Int] =
     readLatest(spark, table).map(live => overwrite(spark, table, live))
 
+  /** ROW-level change feed between two versions (the CDF shape): what a
+    * downstream consumer must apply to move from `v1`'s state to `v2`'s.
+    * Inserts = rows of data files added in the window, minus any of them
+    * already tombstoned by `v2`; deletes = the PRIOR images of rows
+    * tombstoned in the window, read straight out of the immutable v1
+    * files the tombstones point into (merge-on-read means the old bytes
+    * are still there — the change feed costs no extra storage). Output
+    * carries a `_change_type` column ('insert' | 'delete'); an update
+    * appears as its delete + insert pair, exactly like a merge executes.
+    * O(changed files + tombstones) — never a diff of the full table. */
+  def changesBetween(spark: SparkSession, table: String, v1: Int,
+      v2: Int): Option[DataFrame] = {
+    import org.apache.spark.sql.functions.{broadcast, col, lit}
+    for {
+      s1 <- snapshot(spark, table, v1)
+      s2 <- snapshot(spark, table, v2)
+    } yield {
+      val newFiles = s2.files.filterNot(s1.files.toSet)
+      val newDeleteFiles = s2.deletes.filterNot(s1.deletes.toSet)
+      def withMeta(files: Seq[String]) = spark.read
+        .option("mergeSchema", "true")
+        .parquet(files.map(f => s"$table/$f"): _*)
+        .withColumn("_snap_file", col("_metadata.file_path"))
+        .withColumn("_snap_pos", col("_metadata.row_index"))
+      val tombs =
+        if (newDeleteFiles.isEmpty) None
+        else Some(spark.read.parquet(
+          newDeleteFiles.map(f => s"$table/$f"): _*))
+      val inserts =
+        if (newFiles.isEmpty) None
+        else Some {
+          val rows = withMeta(newFiles)
+          tombs.fold(rows)(t => rows.join(broadcast(t),
+              rows("_snap_file") === t("file") && rows("_snap_pos") === t("pos"),
+              "left_anti"))
+            .drop("_snap_file", "_snap_pos")
+            .withColumn("_change_type", lit("insert"))
+        }
+      val deletes = tombs.map { t =>
+        val old = withMeta(s1.files)
+        old.join(broadcast(t),
+            old("_snap_file") === t("file") && old("_snap_pos") === t("pos"),
+            "left_semi")
+          .drop("_snap_file", "_snap_pos")
+          .withColumn("_change_type", lit("delete"))
+      }
+      (inserts, deletes) match {
+        case (Some(i), Some(d)) => i.unionByName(d, allowMissingColumns = true)
+        case (Some(i), None) => i
+        case (None, Some(d)) => d
+        case (None, None) => spark.emptyDataFrame
+      }
+    }
+  }
+
   /** Files present at `v2` but not at `v1` — the incremental-read source
     * for downstream jobs (file-level change feed). */
   def newFilesBetween(spark: SparkSession, table: String, v1: Int,

@@ -209,7 +209,48 @@ object LayoutQueries {
         Num.sumMoney(col("o_totalprice")).as("sum_price"))
   }
 
+  /** q163 — ROW-level CHANGE FEED between snapshot versions (the CDF a
+    * downstream incremental consumer applies): over the q155 merge
+    * history, the window (v2, v3) covers batch 2's upsert — its rows
+    * surface as inserts and the PRIOR images of the re-updated keys
+    * (batch 1's values, read straight out of the immutable earlier
+    * files the tombstones point into) surface as deletes. The oracle
+    * replays both sides from the key closed forms; a delete image
+    * carrying the wrong era's value, or an insert row leaking a
+    * same-window tombstone, shifts a group. O(changed files +
+    * tombstones) — no table diff. */
+  def changeFeed(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Snapshots
+    val table = graft.util.Scratch.dir("cdf_table", dir)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+    val orders = Tables(spark, dir, "orders")
+    Snapshots.append(spark, table, orders.filter(col("o_orderkey") % 2 === 0))
+    val batch1 = orders.filter(col("o_orderkey") % 4 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+      .unionAll(orders.filter(col("o_orderkey") % 4 === 1))
+    val v2 = Snapshots.merge(spark, table, batch1, Seq("o_orderkey"))
+    val batch2 = orders.filter(col("o_orderkey") % 8 <= 1)
+      .withColumn("o_totalprice", col("o_totalprice") + 2.0)
+    val v3 = Snapshots.merge(spark, table, batch2, Seq("o_orderkey"))
+    Snapshots.changesBetween(spark, table, v2, v3).get
+      .groupBy(col("_change_type"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_rows"),
+        Num.sumMoney(col("o_totalprice")).as("sum_price"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q163_change_feed", changeFeed, Some(s"""
+      SELECT 'insert' AS _change_type, o_orderpriority,
+             COUNT(*) AS n_rows,
+             ${Num.sqlSumMoney("o_totalprice + 2")} AS sum_price
+      FROM orders WHERE o_orderkey % 8 <= 1
+      GROUP BY 2
+      UNION ALL
+      SELECT 'delete', o_orderpriority, COUNT(*),
+             ${Num.sqlSumMoney(
+        "o_totalprice + CASE WHEN o_orderkey % 8 = 0 THEN 1 ELSE 0 END")}
+      FROM orders WHERE o_orderkey % 8 <= 1
+      GROUP BY 2""")),
     QueryDef("q157_schema_evolution", schemaEvolution, Some(s"""
       SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'legacy'
                   WHEN o_orderkey % 3 = 0 THEN 'web'
