@@ -4,7 +4,6 @@ import java.nio.charset.StandardCharsets
 import java.security.MessageDigest
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.util.Par
@@ -13,8 +12,10 @@ import graft.util.Par
   *
   * Two paths:
   *  - [[bruteForceTopK]] — exact cosine top-k: broadcast the (small) query
-  *    set against the corpus, fold the dot product inside codegen, take
-  *    top-k per query with a window. The corpus is never shuffled — at
+  *    set against the corpus, fold the dot product inside codegen, then
+  *    reduce to top-k per query through the O(k) partial-agg
+  *    [[graft.functions.TopKAggregator]] — never a per-query window sort
+  *    of the scored relation. The corpus is never shuffled — at
   *    100 TB this is one scan; cost is O(|corpus|·|queries|·dim).
   *  - [[lshTopK]] — random-hyperplane LSH: bucket every vector by the sign
   *    pattern of `numPlanes` fixed pseudo-random hyperplanes (a literal
@@ -56,12 +57,48 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** Per-query top-k of the scored relation via the bounded-buffer typed
+    * aggregator ([[graft.functions.TopKAggregator]]), NOT a
+    * `row_number()` window: the window form shuffles and sorts EVERY
+    * scored row into |queries| reducers — with a handful of queries over
+    * a 100 TB corpus that is a per-query single-reducer sort of the
+    * whole corpus. The aggregator carries O(k) state per query through
+    * partial aggregation, so each map task ships at most k pairs per
+    * query and no sort of the scored relation ever exists in the plan
+    * (ScaleSpecs-pinned). Ordering matches the oracle's window exactly:
+    * cos_sim DESC, neighbor_id ASC on ties. */
   private def topK(scored: DataFrame, k: Int): DataFrame = {
-    val w = Window.partitionBy("query_id")
-      .orderBy(desc("cos_sim"), col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "cos_sim")
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val agg = new graft.functions.TopKAggregator[(Long, Long, Double)](k,
+      score = _._3, id = _._2)
+    scored.select(col("query_id"), col("neighbor_id"), col("cos_sim"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .agg(agg.toColumn)
+      .flatMap { case (qid, top) =>
+        top.zipWithIndex.map { case ((s, nid), i) => (qid, i + 1L, nid, s) }
+      }
+      .toDF("query_id", "rank", "neighbor_id", "cos_sim")
+  }
+
+  /** Each query's `nProbe` best cells, chosen WITHOUT a window: the
+    * centroid-score array is ranked inside the row (sort a (score, cell)
+    * struct array, slice, explode) — a narrow projection on the tiny
+    * query relation, so no sort exchange partitioned by query_id exists
+    * anywhere in the IVF plans. Ordering matches the oracle's probe
+    * ranking: score DESC, cell ASC on ties. */
+  private def probedCells(queries: DataFrame, idCol: String, vecCol: String,
+      cents: Array[Array[Double]], nProbe: Int): DataFrame = {
+    val pairs = transform(cellScores(col(vecCol), cents),
+      (s, i) => struct(s.as("s"), i.as("c")))
+    val ranked = array_sort(pairs, (l, r) =>
+      when(l("s") > r("s"), lit(-1)).when(l("s") < r("s"), lit(1))
+        .otherwise(l("c") - r("c")))
+    queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
+        explode(slice(ranked, 1, nProbe)).as("_sc"))
+      .select(col("query_id"), col("_qv"),
+        col("_sc.c").cast("int").as("_cell"))
   }
 
   /** Deterministic ±1 hyperplane matrix [numPlanes][dim], seeded by md5 of
@@ -179,15 +216,8 @@ object Similarity {
         (array_position(col("_scores"), array_max(col("_scores"))) - 1)
           .cast("int").as("_cell"))
 
-    // each query probes its nProbe best cells
-    val qScored = queries.select(col(idCol).as("query_id"),
-        col(vecCol).as("_qv"),
-        posexplode(cellScores(col(vecCol), cents)).as(Seq("_cell", "_score")))
-    val wq = Window.partitionBy("query_id").orderBy(desc("_score"), col("_cell"))
-    val qCells = broadcast(qScored
-      .withColumn("_r", row_number().over(wq))
-      .filter(col("_r") <= nProbe)
-      .select(col("query_id"), col("_qv"), col("_cell")))
+    // each query probes its nProbe best cells (narrow in-row ranking)
+    val qCells = broadcast(probedCells(queries, idCol, vecCol, cents, nProbe))
 
     val scored = corpusCells.join(qCells, Seq("_cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
@@ -467,13 +497,7 @@ object Similarity {
           .cast("int").as("_cell") +: Seq(): _*)
       .select(col("neighbor_id") +: col("_cell") +:
         pqCodeCols(col("_cv"), cbs, dim): _*)
-    val qScored = queries.select(col(idCol).as("query_id"),
-        col(vecCol).as("_qv"),
-        posexplode(cellScores(col(vecCol), cents)).as(Seq("_cell", "_score")))
-    val wq = Window.partitionBy("query_id").orderBy(desc("_score"), col("_cell"))
-    val qCells = broadcast(qScored
-      .withColumn("_r", row_number().over(wq))
-      .filter(col("_r") <= nProbe)
+    val qCells = broadcast(probedCells(queries, idCol, vecCol, cents, nProbe)
       .select(col("query_id") +: col("_cell") +:
         norm(col("_qv")).as("_qn") +: pqQueryCols(col("_qv"), cbs, dim): _*))
     val scored = codes.join(qCells, Seq("_cell"))

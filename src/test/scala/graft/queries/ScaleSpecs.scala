@@ -227,6 +227,30 @@ class ScaleSpecs extends SparkTestBase {
     assert(sq8Recall > 0.5, s"implausibly low recall $sq8Recall")
   }
 
+  test("ANN top-k tail is O(k) partial aggregation — never a per-query window sort") {
+    // every ANN family ends in Similarity.topK; the window formulation
+    // (row_number OVER (PARTITION BY query_id ORDER BY cos_sim)) would
+    // shuffle + sort the whole scored relation (corpus × queries for the
+    // flat variants) into |queries| reducers — the one 100 TB
+    // scale-killer VERDICT r9 flagged. The aggregator form must plan an
+    // ObjectHashAggregate pair (partial + final, O(k) state per query)
+    // with NO window and NO sort/range exchange anywhere; the IVF probe
+    // ranking is likewise an in-row array sort, not a window.
+    for ((name, fn) <- Seq(
+        "q24_brute" -> (SimilarityQueries.cosineTopK _),
+        "q158_pq" -> (SimilarityQueries.pqTopK _),
+        "q39_ivf" -> (SimilarityQueries.ivfKmeansTopK _))) {
+      val df = fn(spark, dir)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(plan.contains("ObjectHashAggregate"), s"$name:\n${plan.take(2500)}")
+      assert(!plan.contains("Window"), s"$name plans a window:\n${plan.take(2500)}")
+      assert(!plan.contains("rangepartitioning"), s"$name:\n${plan.take(2500)}")
+      assert(!plan.contains("Exchange SinglePartition"), s"$name:\n${plan.take(2500)}")
+    }
+  }
+
   test("decode kernels are narrow corpus passes: no data shuffle anywhere") {
     // q85/q90/q91 run the expensive per-row codec work (inflate/unfilter,
     // resample/re-encode, PCM extraction) — at 100 TB their parallelism
