@@ -33,10 +33,16 @@ object DeletionVectors {
 
   private def dvDir(table: String) = s"$table/_dv"
 
-  /** The hidden-column scan every DV operation builds on. */
+  /** The hidden-column scan every DV operation builds on. File
+    * references are TABLE-RELATIVE ([[LakePaths]]): the same
+    * normalization is applied when tombstones are written and when the
+    * scan joins against them, so vectors survive a table relocation or
+    * a differently-spelled read path — an absolute-URI mismatch would
+    * silently resurrect deleted rows. */
   private def withPos(spark: SparkSession, table: String): DataFrame =
     spark.read.parquet(table)
-      .withColumn("_dv_file", col("_metadata.file_path"))
+      .withColumn("_dv_file",
+        LakePaths.relFileCol(LakePaths.tableRootPath(spark, table)))
       .withColumn("_dv_pos", col("_metadata.row_index"))
 
   /** Record `predicate` rows as a new deletion-vector sidecar WITHOUT
@@ -48,12 +54,22 @@ object DeletionVectors {
     val dv = withPos(spark, table)
       .filter(predicate)
       .select(col("_dv_file").as("file"), col("_dv_pos").as("pos"))
-    // one sidecar per operation: content-addressed name for idempotent
-    // re-runs of the same logical delete
-    val n = dv.count()
+    // One sidecar per operation: content-addressed name for idempotent
+    // re-runs of the same logical delete. The digest is 128 bits over
+    // the tombstone SET (two independent xxhash64 XOR folds — the rows
+    // are distinct positions, so XOR is a faithful set digest) plus the
+    // count; a plain sum of one 32-bit hash (the previous scheme) lets
+    // two distinct deletes collide and silently overwrite each other's
+    // sidecar.
+    val r = dv.agg(
+      bit_xor(xxhash64(col("file"), col("pos"))).as("h1"),
+      bit_xor(xxhash64(col("pos"), col("file"), lit(0x9e3779b97f4a7c15L)))
+        .as("h2"),
+      count(lit(1)).as("n")).head()
+    val n = r.getLong(2)
     if (n > 0) {
-      val tag = math.abs(dv.select(sum(hash(col("file"), col("pos"))
-        .cast("long"))).head().getLong(0))
+      val tag = java.lang.Long.toHexString(r.getLong(0)) + "-" +
+        java.lang.Long.toHexString(r.getLong(1)) + "-" + n
       dv.coalesce(1).write.mode("overwrite")
         .parquet(s"${dvDir(table)}/d$tag.parquet")
     }

@@ -129,9 +129,128 @@ object Naming {
     java.util.UUID.randomUUID().toString.replace("-", "").take(8)
 }
 
-/** Minimal JSON writer for sidecar documents (no extra deps; values are
-  * flat primitives/maps/seqs). */
+/** Minimal JSON writer + parser for sidecar documents (no extra deps;
+  * values are primitives/maps/seqs). */
 object Json {
+
+  /** Recursive-descent parser for the log/manifest documents this module
+    * writes. Objects → Map[String, Any] (insertion-ordered), arrays →
+    * Seq[Any], numbers → Long when integral else Double. Strict: trailing
+    * content or malformed input throws IllegalArgumentException — a
+    * corrupt log object must fail loudly, not parse to a partial file
+    * list (the failure mode of the regex field-scrape this replaces). */
+  def parse(s: String): Any = {
+    val c = new Cursor(s)
+    val v = c.value()
+    c.skipWs()
+    require(c.eof, s"trailing JSON content at offset ${c.pos}")
+    v
+  }
+
+  def parseObject(s: String): Map[String, Any] =
+    parse(s).asInstanceOf[Map[String, Any]]
+
+  private final class Cursor(s: String) {
+    var pos = 0
+    def eof: Boolean = pos >= s.length
+    def skipWs(): Unit = while (!eof && s.charAt(pos).isWhitespace) pos += 1
+    private def ch: Char = { require(!eof, "unexpected end of JSON"); s.charAt(pos) }
+    private def expect(c: Char): Unit = {
+      skipWs()
+      require(!eof && ch == c, s"expected '$c' at offset $pos")
+      pos += 1
+    }
+
+    def value(): Any = {
+      skipWs()
+      ch match {
+        case '{' => obj()
+        case '[' => arr()
+        case '"' => str()
+        case 't' => word("true", java.lang.Boolean.TRUE)
+        case 'f' => word("false", java.lang.Boolean.FALSE)
+        case 'n' => word("null", null)
+        case _ => num()
+      }
+    }
+
+    private def word(w: String, v: Any): Any = {
+      require(s.regionMatches(pos, w, 0, w.length), s"bad literal at offset $pos")
+      pos += w.length
+      v
+    }
+
+    private def obj(): Map[String, Any] = {
+      expect('{')
+      val b = scala.collection.immutable.ListMap.newBuilder[String, Any]
+      skipWs()
+      if (ch == '}') { pos += 1; return b.result() }
+      var done = false
+      while (!done) {
+        skipWs()
+        val k = str()
+        expect(':')
+        b += (k -> value())
+        skipWs()
+        if (ch == ',') pos += 1 else { expect('}'); done = true }
+      }
+      b.result()
+    }
+
+    private def arr(): Seq[Any] = {
+      expect('[')
+      val b = Seq.newBuilder[Any]
+      skipWs()
+      if (ch == ']') { pos += 1; return b.result() }
+      var done = false
+      while (!done) {
+        b += value()
+        skipWs()
+        if (ch == ',') pos += 1 else { expect(']'); done = true }
+      }
+      b.result()
+    }
+
+    private def str(): String = {
+      expect('"')
+      val b = new StringBuilder
+      while (ch != '"') {
+        if (ch == '\\') {
+          pos += 1
+          ch match {
+            case '"' => b += '"'; pos += 1
+            case '\\' => b += '\\'; pos += 1
+            case '/' => b += '/'; pos += 1
+            case 'n' => b += '\n'; pos += 1
+            case 'r' => b += '\r'; pos += 1
+            case 't' => b += '\t'; pos += 1
+            case 'b' => b += '\b'; pos += 1
+            case 'f' => b += '\f'; pos += 1
+            case 'u' =>
+              pos += 1
+              require(pos + 4 <= s.length, "truncated \\u escape")
+              b += Integer.parseInt(s.substring(pos, pos + 4), 16).toChar
+              pos += 4
+            case other => throw new IllegalArgumentException(
+              s"bad escape '\\$other' at offset $pos")
+          }
+        } else { b += ch; pos += 1 }
+      }
+      pos += 1
+      b.result()
+    }
+
+    private def num(): Any = {
+      val start = pos
+      if (!eof && (ch == '-' || ch == '+')) pos += 1
+      while (!eof && (ch.isDigit || ch == '.' || ch == 'e' || ch == 'E' ||
+        ch == '-' || ch == '+')) pos += 1
+      val t = s.substring(start, pos)
+      require(t.nonEmpty, s"expected a JSON value at offset $start")
+      if (t.exists(c => c == '.' || c == 'e' || c == 'E')) t.toDouble
+      else t.toLong
+    }
+  }
   def esc(s: String): String = s.flatMap {
     case '"' => "\\\""
     case '\\' => "\\\\"

@@ -1,18 +1,29 @@
 package graft.lake
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, col, lit}
+import org.apache.spark.sql.types._
 
-/** Versioned snapshot log — TIME TRAVEL and file-level incremental reads
-  * over an append-mostly table, the transaction-log shape (Delta `_delta_
-  * log` / Iceberg snapshot list) layered on [[ManifestCommit]]'s
-  * staging discipline:
+/** Versioned snapshot log — TIME TRAVEL, incremental reads, merge-on-read
+  * MERGE, schema evolution and log-level data skipping over an
+  * append-mostly table: the transaction-log shape (Delta `_delta_log` /
+  * Iceberg snapshot list) layered on [[ManifestCommit]]'s staging
+  * discipline:
   *
-  *  - every commit stages its NEW data files into a version-unique
-  *    directory (`_snap/c-<v>/`, underscore-invisible to plain readers)
-  *    and then publishes `_log/v<N>.json` — the complete file list of
-  *    that version (previous files carried forward by reference for
-  *    appends, dropped for overwrites). Data files are immutable and
-  *    SHARED between versions; an append writes only its delta.
+  *  - every commit stages its NEW data files into a run-unique directory
+  *    (`_snap/c-<runId>/`, underscore-invisible to plain readers) and
+  *    then publishes `_log/v<N>.json` — the complete file list of that
+  *    version (previous files carried forward by reference for appends,
+  *    dropped for overwrites), its positional-delete file list, and
+  *    optional per-file column min/max stats. Data files are immutable
+  *    and SHARED between versions; an append writes only its delta.
+  *  - publishing is OPTIMISTIC-CONCURRENCY: the log object for version
+  *    N+1 is claimed with a fail-if-exists rename; a committer that
+  *    loses the race re-reads the new latest snapshot, recomputes its
+  *    commit content against it, and retries — two concurrent writers
+  *    both land, as distinct versions, with neither's files lost (the
+  *    Delta/Iceberg commit protocol; [[ManifestCommit]]'s
+  *    last-writer-wins PUT is not enough once versions chain).
   *  - reads resolve one small log object and read exactly its file list:
   *    `readAt(v)` is the time-travel scan (audits, reproducible training
   *    runs pinned to a data version); `latest` is the current view.
@@ -27,13 +38,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Snapshots {
 
-  /** One published version: data file list plus positional-delete file
-    * list (both relative to the table root). Delete files are the
-    * Iceberg-positional-delete half of merge-on-read [[merge]]: rows of
-    * (file: absolute data-file URI, pos: row index) that [[readAt]]
-    * subtracts with a broadcast anti join. */
+  /** file → column → (min, max), the Iceberg-manifest stats shape: the
+    * pruning decision for a range predicate is made from the log alone —
+    * no listing, no footer probes ([[prunedFilesAt]]). */
+  type FileStats = Map[String, Map[String, (Double, Double)]]
+
+  /** One published version: data file list, positional-delete file list,
+    * and per-file stats (all file references relative to the table
+    * root). Delete files are the Iceberg-positional-delete half of
+    * merge-on-read [[merge]]: rows of (file: TABLE-RELATIVE data-file
+    * path, pos: row index) that [[readAt]] subtracts with a broadcast
+    * anti join — relative so the table survives relocation
+    * ([[LakePaths]]). */
   final case class Snapshot(version: Int, files: Seq[String],
-      deletes: Seq[String] = Nil)
+      deletes: Seq[String] = Nil, stats: FileStats = Map.empty)
 
   private def logDir(table: String) = s"$table/_log"
   private def logPath(table: String, v: Int) = f"${logDir(table)}/v$v%06d.json"
@@ -54,14 +72,29 @@ object Snapshots {
     val ops = new FileOps(spark.sparkContext.hadoopConfiguration)
     val path = logPath(table, v)
     if (!ops.exists(path)) return None
-    val json = ops.readString(path)
-    def list(k: String): Option[Seq[String]] =
-      (s""""$k":\\[([^\\]]*)\\]""").r.findFirstMatchIn(json).map(
-        _.group(1).split(",").toSeq
-          .map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty))
-    list("files").map(fs =>
-      Snapshot(v, fs, list("deletes").getOrElse(Nil)))
+    val m = Json.parseObject(ops.readString(path))
+    def strings(k: String): Seq[String] =
+      m.get(k).map(_.asInstanceOf[Seq[Any]].map(_.toString)).getOrElse(Nil)
+    def dbl(a: Any): Double = a match {
+      case l: Long => l.toDouble
+      case d: Double => d
+      case other => other.toString.toDouble
+    }
+    val stats: FileStats = m.get("stats") match {
+      case Some(sm: Map[_, _]) =>
+        sm.asInstanceOf[Map[String, Any]].map { case (f, cols) =>
+          f -> cols.asInstanceOf[Map[String, Any]].map { case (c, mm) =>
+            val b = mm.asInstanceOf[Map[String, Any]]
+            c -> (dbl(b("min")), dbl(b("max")))
+          }
+        }
+      case _ => Map.empty
+    }
+    Some(Snapshot(v, strings("files"), strings("deletes"), stats))
   }
+
+  private def latestSnapshot(spark: SparkSession, table: String): Option[Snapshot] =
+    latestVersion(spark, table).flatMap(v => snapshot(spark, table, v))
 
   private def listFresh(spark: SparkSession, dir: String,
       rel: String): Seq[String] = {
@@ -73,80 +106,300 @@ object Snapshots {
       .sorted.map(f => s"$rel/$f")
   }
 
-  private def publish(spark: SparkSession, table: String, v: Int,
-      files: Seq[String], deletes: Seq[String]): Int = {
-    val ops = new FileOps(spark.sparkContext.hadoopConfiguration)
-    (files ++ deletes).find(f =>
-      f.exists(c => c == ',' || c == '"' || c == '\\')).foreach(f =>
-      throw new IllegalStateException(s"file name not log-safe: $f"))
-    // publish LAST, through tmp+rename of the one small log object — the
-    // same single-object atomicity contract as ManifestCommit.publish
-    val json = Json.render(Map("version" -> v.toLong, "files" -> files,
-      "deletes" -> deletes))
-    val tmp = s"${logPath(table, v)}.tmp"
+  // ------------------------------------------------------------ commits
+
+  /** Claim `v`'s log object exclusively: tmp write, then a
+    * fail-if-exists rename (`FileContext.rename` with `Rename.NONE` —
+    * the HDFS/local primitive Delta's HDFSLogStore builds on; an S3
+    * deployment would use a conditional PUT). Returns false when another
+    * committer already published `v` — the optimistic-concurrency
+    * conflict signal. */
+  private def tryPublish(spark: SparkSession, table: String, v: Int,
+      files: Seq[String], deletes: Seq[String], stats: FileStats): Boolean = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val ops = new FileOps(conf)
+    val dst = new org.apache.hadoop.fs.Path(logPath(table, v))
+    val fs = dst.getFileSystem(conf)
+    if (fs.exists(dst)) return false // cheap fast path; rename still guards
+    val json = Json.render(Map(
+      "version" -> v.toLong,
+      "files" -> files,
+      "deletes" -> deletes,
+      "stats" -> stats.map { case (f, cols) =>
+        f -> cols.map { case (c, (mn, mx)) =>
+          c -> Map("min" -> mn, "max" -> mx) }
+      }))
+    val tmp = s"${logPath(table, v)}.tmp-${Naming.newRunId()}"
     ops.writeString(tmp, json)
-    ops.move(tmp, logPath(table, v))
-    v
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, conf)
+    try {
+      fc.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+      true
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+          _: java.nio.file.FileAlreadyExistsException =>
+        ops.delete(tmp); false
+      case e: java.io.IOException if fs.exists(dst) =>
+        ops.delete(tmp); false
+    }
   }
 
-  private def commit(spark: SparkSession, table: String, df: DataFrame,
-      carry: Seq[String], carryDeletes: Seq[String] = Nil): Int = {
-    val v = latestVersion(spark, table).getOrElse(0) + 1
-    val dataDir = s"$table/_snap/c-$v"
+  private val MaxCommitAttempts = 20
+
+  /** The optimistic-concurrency commit loop: read the latest snapshot,
+    * let `content` compute the full (files, deletes, stats) of the next
+    * version AGAINST IT, and attempt an exclusive publish of latest+1.
+    * A lost race re-enters `content` with the NEW latest — append/merge
+    * recompute their carry (and merge its tombstones) so no concurrent
+    * writer's files are dropped. `beforePublish` is the failure/race
+    * injection seam for specs (runs after content, before the claim). */
+  private def commitLoop(spark: SparkSession, table: String,
+      beforePublish: () => Unit = () => ())(
+      content: Option[Snapshot] => (Seq[String], Seq[String], FileStats)): Int = {
+    var attempt = 0
+    while (attempt < MaxCommitAttempts) {
+      val prev = latestSnapshot(spark, table)
+      val v = prev.map(_.version).getOrElse(0) + 1
+      val (files, deletes, stats) = content(prev)
+      beforePublish()
+      if (tryPublish(spark, table, v, files, deletes, stats)) return v
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"snapshot commit on $table lost $MaxCommitAttempts publish races")
+  }
+
+  /** Stage `df` once into a run-unique commit dir; returns the relative
+    * file list and (if requested) per-file min/max stats. Staged data is
+    * immutable, so a commit that loses a publish race re-references the
+    * same files — only the log content is recomputed. */
+  private def stage(spark: SparkSession, table: String, df: DataFrame,
+      statsCols: Seq[String]): (Seq[String], FileStats) = {
+    val rel = s"_snap/c-${Naming.newRunId()}"
+    val dataDir = s"$table/$rel"
     df.write.mode("overwrite").parquet(dataDir)
-    publish(spark, table, v,
-      carry ++ listFresh(spark, dataDir, s"_snap/c-$v"), carryDeletes)
+    val files = listFresh(spark, dataDir, rel)
+    (files, collectStats(spark, table, files, statsCols))
   }
 
-  private def latestSnapshot(spark: SparkSession, table: String): Option[Snapshot] =
-    latestVersion(spark, table).flatMap(v => snapshot(spark, table, v))
+  /** Per-file min/max for `statsCols`, computed in one narrow pass over
+    * the FRESH delta only (grouped on the hidden `_metadata.file_path`;
+    * O(new files) rows collected — a production writer folds this into
+    * the write tasks themselves). Files where a column is all-null get
+    * no entry for it: unknown never prunes. */
+  private def collectStats(spark: SparkSession, table: String,
+      files: Seq[String], statsCols: Seq[String]): FileStats = {
+    if (statsCols.isEmpty || files.isEmpty) return Map.empty
+    import org.apache.spark.sql.functions.{max, min}
+    val root = LakePaths.tableRootPath(spark, table)
+    val aggs = statsCols.flatMap(c => Seq(
+      min(col(c)).cast("double").as(s"_mn_$c"),
+      max(col(c)).cast("double").as(s"_mx_$c")))
+    spark.read.parquet(files.map(f => s"$table/$f"): _*)
+      .groupBy(LakePaths.relFileCol(root).as("_f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map { r =>
+        r.getString(0) -> statsCols.flatMap { c =>
+          val (mi, ma) = (r.getAs[Any](s"_mn_$c"), r.getAs[Any](s"_mx_$c"))
+          if (mi == null || ma == null) None
+          else Some(c -> (mi.asInstanceOf[Double], ma.asInstanceOf[Double]))
+        }.toMap
+      }.toMap
+  }
 
   /** New version = previous version's files (and delete files) + this
-    * delta. */
-  def append(spark: SparkSession, table: String, df: DataFrame): Int = {
-    val prev = latestSnapshot(spark, table)
-    commit(spark, table, df, prev.map(_.files).getOrElse(Nil),
-      prev.map(_.deletes).getOrElse(Nil))
+    * delta. `statsCols` opts the commit into log-level min/max stats for
+    * those columns; carried files keep the stats they were committed
+    * with. */
+  def append(spark: SparkSession, table: String, df: DataFrame,
+      statsCols: Seq[String] = Nil,
+      beforePublish: () => Unit = () => ()): Int = {
+    val (staged, stagedStats) = stage(spark, table, df, statsCols)
+    commitLoop(spark, table, beforePublish) { prev =>
+      (prev.map(_.files).getOrElse(Nil) ++ staged,
+        prev.map(_.deletes).getOrElse(Nil),
+        prev.map(_.stats).getOrElse(Map.empty) ++ stagedStats)
+    }
   }
 
   /** New version replaces the file list wholesale (old files remain for
     * time travel until vacuumed). */
-  def overwrite(spark: SparkSession, table: String, df: DataFrame): Int =
-    commit(spark, table, df, Nil)
+  def overwrite(spark: SparkSession, table: String, df: DataFrame,
+      statsCols: Seq[String] = Nil): Int = {
+    val (staged, stagedStats) = stage(spark, table, df, statsCols)
+    commitLoop(spark, table) { _ => (staged, Nil, stagedStats) }
+  }
+
+  // -------------------------------------------------------------- reads
+
+  /** Scan with table-relative (file, pos) reader columns attached. */
+  private def withMeta(spark: SparkSession, table: String,
+      files: Seq[String]): DataFrame = {
+    val root = LakePaths.tableRootPath(spark, table)
+    spark.read.option("mergeSchema", "true")
+      .parquet(files.map(f => s"$table/$f"): _*)
+      .withColumn("_snap_file", LakePaths.relFileCol(root))
+      .withColumn("_snap_pos", col("_metadata.row_index"))
+  }
+
+  /** Broadcast anti-join subtraction of positional deletes; expects the
+    * `_snap_file`/`_snap_pos` reader columns on `data`. */
+  private def subtractDeletes(spark: SparkSession, table: String,
+      data: DataFrame, deletes: Seq[String]): DataFrame =
+    if (deletes.isEmpty) data
+    else {
+      val dels = spark.read.parquet(deletes.map(f => s"$table/$f"): _*)
+      data.join(broadcast(dels),
+        data("_snap_file") === dels("file") && data("_snap_pos") === dels("pos"),
+        "left_anti")
+    }
+
+  private def readSnapshot(spark: SparkSession, table: String,
+      files: Seq[String], deletes: Seq[String]): DataFrame =
+    if (files.isEmpty) spark.emptyDataFrame
+    else if (deletes.isEmpty)
+      // mergeSchema: a version may reference files from commits with
+      // DIFFERENT schemas (additive evolution — a later append
+      // introduced a column); rows from pre-evolution files surface
+      // the new column as null. At 100 TB the union is computed from
+      // file FOOTERS, never a data pass.
+      spark.read.option("mergeSchema", "true")
+        .parquet(files.map(f => s"$table/$f"): _*)
+    else
+      subtractDeletes(spark, table, withMeta(spark, table, files), deletes)
+        .drop("_snap_file", "_snap_pos")
 
   /** Time-travel scan: exactly version `v`'s files, minus its positional
-    * deletes (broadcast anti join on the reader's hidden file/row-index
-    * columns — same shape and scale argument as
+    * deletes (broadcast anti join — same shape and scale argument as
     * [[DeletionVectors.read]]). */
   def readAt(spark: SparkSession, table: String, v: Int): Option[DataFrame] =
+    snapshot(spark, table, v).map(s =>
+      readSnapshot(spark, table, s.files, s.deletes))
+
+  def readLatest(spark: SparkSession, table: String): Option[DataFrame] =
+    latestVersion(spark, table).flatMap(v => readAt(spark, table, v))
+
+  // ------------------------------------------- log-level data skipping
+
+  /** Version `v`'s file list pruned BY THE LOG ALONE to files whose
+    * recorded [min, max] for `column` intersects [lo, hi]. Files with no
+    * recorded stats for the column are kept (unknown never prunes), so
+    * the result is always a superset of the matching files — exactness
+    * comes from the residual predicate in [[readAtPruned]]. Zero
+    * listings, zero footer probes: at 100 TB / O(100k files) this is the
+    * difference between one KB-sized log read and 100k object-store
+    * round-trips before the first byte of data (the Iceberg manifest /
+    * Delta checkpoint mechanism; [[ZoneMap]] is the same idea as a
+    * sidecar for plain directories — here pruning and time travel
+    * compose in one metadata object). */
+  def prunedFilesAt(spark: SparkSession, table: String, v: Int,
+      column: String, lo: Double, hi: Double): Option[Seq[String]] =
     snapshot(spark, table, v).map { s =>
-      if (s.files.isEmpty) spark.emptyDataFrame
-      else {
-        // mergeSchema: a version may reference files from commits with
-        // DIFFERENT schemas (additive evolution — a later append
-        // introduced a column); rows from pre-evolution files surface
-        // the new column as null. At 100 TB the union is computed from
-        // file FOOTERS, never a data pass.
-        val data = spark.read.option("mergeSchema", "true")
-          .parquet(s.files.map(f => s"$table/$f"): _*)
-        if (s.deletes.isEmpty) data
-        else {
-          val withMeta = data
-            .withColumn("_snap_file", org.apache.spark.sql.functions.col("_metadata.file_path"))
-            .withColumn("_snap_pos", org.apache.spark.sql.functions.col("_metadata.row_index"))
-          val dels = spark.read.parquet(s.deletes.map(f => s"$table/$f"): _*)
-          import org.apache.spark.sql.functions.{broadcast, col}
-          withMeta.join(broadcast(dels),
-              withMeta("_snap_file") === dels("file") &&
-                withMeta("_snap_pos") === dels("pos"),
-              "left_anti")
-            .drop("_snap_file", "_snap_pos")
+      s.files.filter { f =>
+        s.stats.get(f).flatMap(_.get(column)) match {
+          case Some((mn, mx)) => mx >= lo && mn <= hi
+          case None => true
         }
       }
     }
 
-  def readLatest(spark: SparkSession, table: String): Option[DataFrame] =
-    latestVersion(spark, table).flatMap(v => readAt(spark, table, v))
+  /** Range scan of version `v` through the log stats: only surviving
+    * files are opened, and the predicate is re-applied to their rows so
+    * results equal a full scan regardless of how files were clustered. */
+  def readAtPruned(spark: SparkSession, table: String, v: Int,
+      column: String, lo: Double, hi: Double): Option[DataFrame] =
+    for {
+      s <- snapshot(spark, table, v)
+      files <- prunedFilesAt(spark, table, v, column, lo, hi)
+    } yield
+      (if (files.isEmpty)
+        readSnapshot(spark, table, s.files, s.deletes).limit(0)
+      else readSnapshot(spark, table, files, s.deletes))
+        .filter(col(column) >= lo && col(column) <= hi)
+
+  // ------------------------------------------------- schema evolution
+
+  private def numRank(t: DataType): Option[Int] = t match {
+    case ByteType => Some(1)
+    case ShortType => Some(2)
+    case IntegerType => Some(3)
+    case LongType => Some(4)
+    case FloatType => Some(5)
+    case DoubleType => Some(6)
+    case _ => None
+  }
+
+  /** The widened common type of two era types: equal types pass through;
+    * integral pairs take the wider integral; any integral/fractional mix
+    * widens to double (the Iceberg `int→long` / `float→double` promotion
+    * contract). Anything else is a genuine schema conflict and throws. */
+  private[lake] def widenType(a: DataType, b: DataType): DataType =
+    if (a == b) a
+    else (numRank(a), numRank(b)) match {
+      case (Some(ra), Some(rb)) =>
+        val wide = if (ra >= rb) a else b
+        val integral = Set[DataType](ByteType, ShortType, IntegerType, LongType)
+        if (integral(a) && integral(b)) wide
+        else if (wide == FloatType || wide == DoubleType)
+          if (integral(a) || integral(b)) DoubleType else wide
+        else wide
+      case _ => throw new IllegalArgumentException(
+        s"cannot widen ${a.simpleString} vs ${b.simpleString}")
+    }
+
+  /** Union of era schemas with numeric TYPE WIDENING: first-seen field
+    * order, each field at the widened common type, nullable whenever
+    * any era misses or nulls it. */
+  private[lake] def widenSchemas(schemas: Seq[StructType]): StructType = {
+    val order = scala.collection.mutable.LinkedHashMap.empty[String, StructField]
+    schemas.foreach(_.foreach { f =>
+      order.get(f.name) match {
+        case None => order += (f.name -> f)
+        case Some(prev) =>
+          order += (f.name -> StructField(f.name,
+            widenType(prev.dataType, f.dataType),
+            prev.nullable || f.nullable))
+      }
+    })
+    // a field absent from any era is nullable in the union
+    val present = schemas.map(_.fieldNames.toSet)
+    StructType(order.values.toSeq.map(f =>
+      if (present.forall(_.contains(f.name))) f else f.copy(nullable = true)))
+  }
+
+  /** Schema-evolution read with numeric TYPE WIDENING — the other half
+    * of the evolution contract beyond additive columns: when a version's
+    * file list spans commits whose schemas disagree by int→long /
+    * float→double (parquet `mergeSchema` refuses those), resolve the
+    * widened target schema from ONE footer per commit directory (files
+    * of a commit share a schema — O(commits) metadata, not O(files)),
+    * read each era, cast up, and union. Time travel to a single-era
+    * version still returns that era's own narrow type ([[readAt]]). */
+  def readAtWidened(spark: SparkSession, table: String, v: Int): Option[DataFrame] =
+    snapshot(spark, table, v).map { s =>
+      if (s.files.isEmpty) spark.emptyDataFrame
+      else {
+        val byCommit = s.files.groupBy(f => f.split("/").dropRight(1).mkString("/"))
+          .toSeq.sortBy(_._1).map(_._2)
+        val schemas = byCommit.map(fs =>
+          spark.read.parquet(s"$table/${fs.head}").schema)
+        val target = widenSchemas(schemas)
+        val eras = byCommit.zip(schemas).map { case (fs, era) =>
+          val present = era.fieldNames.toSet
+          val casts = target.fields.toSeq.map { f =>
+            if (present(f.name)) col(f.name).cast(f.dataType).as(f.name)
+            else lit(null).cast(f.dataType).as(f.name)
+          }
+          withMeta(spark, table, fs)
+            .select(col("_snap_file") +: col("_snap_pos") +: casts: _*)
+        }
+        subtractDeletes(spark, table, eras.reduce(_ unionByName _), s.deletes)
+          .drop("_snap_file", "_snap_pos")
+      }
+    }
+
+  // -------------------------------------------------------------- merge
 
   /** MERGE (upsert, latest-wins) as a merge-on-read commit — the
     * lakehouse UPDATE path (Iceberg positional-delete MoR): keys present
@@ -154,51 +407,41 @@ object Snapshots {
     * prior merge's delta files); new keys insert. One commit =
     *
     *  1. tombstones: the current live rows semi-joined (broadcast) to the
-    *     change keys → a positional-delete file (`_snap/d-<v>/`) of
-    *     (file, pos);
-    *  2. the change rows staged as new data files (`_snap/c-<v>/`);
+    *     change keys → a positional-delete file (`_snap/d-<runId>/`) of
+    *     table-relative (file, pos);
+    *  2. the change rows staged as new data files (`_snap/c-<runId>/`);
     *  3. one published log object referencing prior files + delta and
-    *     prior deletes + the new delete file.
+    *     prior deletes + the new delete file — via the same optimistic
+    *     commit loop as [[append]]: a lost race recomputes the
+    *     tombstones against the WINNING snapshot's live view, so
+    *     concurrent merges compose instead of silently dropping each
+    *     other's deletes.
     *
     * Cost is O(changes) + one scan to locate matches — no data file is
     * rewritten, ever; the rewrite debt is deferred to compaction/vacuum.
     * At 100 TB with MB-sized change batches the tombstone relation stays
     * broadcastable and the scan side never shuffles. */
   def merge(spark: SparkSession, table: String, changes: DataFrame,
-      keyCols: Seq[String]): Int = {
-    import org.apache.spark.sql.functions.{broadcast, col}
-    val prev = latestSnapshot(spark, table)
-    val v = prev.map(_.version).getOrElse(0) + 1
-    val prevFiles = prev.map(_.files).getOrElse(Nil)
-    val prevDeletes = prev.map(_.deletes).getOrElse(Nil)
-    val newDeletes: Seq[String] =
-      if (prevFiles.isEmpty) Nil
-      else {
-        val data = spark.read.parquet(prevFiles.map(f => s"$table/$f"): _*)
-          .withColumn("_snap_file", col("_metadata.file_path"))
-          .withColumn("_snap_pos", col("_metadata.row_index"))
-        val live =
-          if (prevDeletes.isEmpty) data
-          else {
-            val dels = spark.read
-              .parquet(prevDeletes.map(f => s"$table/$f"): _*)
-            data.join(broadcast(dels),
-              data("_snap_file") === dels("file") &&
-                data("_snap_pos") === dels("pos"),
-              "left_anti")
-          }
-        val keys = changes.select(keyCols.map(col): _*).distinct()
-        val tomb = live.join(broadcast(keys), keyCols, "left_semi")
-          .select(col("_snap_file").as("file"), col("_snap_pos").as("pos"))
-        val dDir = s"$table/_snap/d-$v"
-        tomb.coalesce(1).write.mode("overwrite").parquet(dDir)
-        listFresh(spark, dDir, s"_snap/d-$v")
-      }
-    val dataDir = s"$table/_snap/c-$v"
-    changes.write.mode("overwrite").parquet(dataDir)
-    publish(spark, table, v,
-      prevFiles ++ listFresh(spark, dataDir, s"_snap/c-$v"),
-      prevDeletes ++ newDeletes)
+      keyCols: Seq[String], statsCols: Seq[String] = Nil): Int = {
+    val (staged, stagedStats) = stage(spark, table, changes, statsCols)
+    commitLoop(spark, table) { prev =>
+      val prevFiles = prev.map(_.files).getOrElse(Nil)
+      val prevDeletes = prev.map(_.deletes).getOrElse(Nil)
+      val newDeletes: Seq[String] =
+        if (prevFiles.isEmpty) Nil
+        else {
+          val live = subtractDeletes(spark, table,
+            withMeta(spark, table, prevFiles), prevDeletes)
+          val keys = changes.select(keyCols.map(col): _*).distinct()
+          val tomb = live.join(broadcast(keys), keyCols, "left_semi")
+            .select(col("_snap_file").as("file"), col("_snap_pos").as("pos"))
+          val dRel = s"_snap/d-${Naming.newRunId()}"
+          tomb.coalesce(1).write.mode("overwrite").parquet(s"$table/$dRel")
+          listFresh(spark, s"$table/$dRel", dRel)
+        }
+      (prevFiles ++ staged, prevDeletes ++ newDeletes,
+        prev.map(_.stats).getOrElse(Map.empty) ++ stagedStats)
+    }
   }
 
   /** OPTIMIZE: rewrite the current live view (data minus positional
@@ -209,33 +452,47 @@ object Snapshots {
     * Run when the delete ratio or small-file count crosses a threshold;
     * cost is one read+write of the live data, after which scans are
     * anti-join-free again. */
-  def optimize(spark: SparkSession, table: String): Option[Int] =
-    readLatest(spark, table).map(live => overwrite(spark, table, live))
+  def optimize(spark: SparkSession, table: String,
+      statsCols: Seq[String] = Nil): Option[Int] =
+    readLatest(spark, table).map(live =>
+      overwrite(spark, table, live, statsCols))
+
+  // -------------------------------------------------------- change feed
 
   /** ROW-level change feed between two versions (the CDF shape): what a
     * downstream consumer must apply to move from `v1`'s state to `v2`'s.
-    * Inserts = rows of data files added in the window, minus any of them
-    * already tombstoned by `v2`; deletes = the PRIOR images of rows
-    * tombstoned in the window, read straight out of the immutable v1
-    * files the tombstones point into (merge-on-read means the old bytes
-    * are still there — the change feed costs no extra storage). Output
-    * carries a `_change_type` column ('insert' | 'delete'); an update
-    * appears as its delete + insert pair, exactly like a merge executes.
+    * Output carries a `_change_type` column ('insert' | 'delete'); an
+    * update appears as its delete + insert pair, exactly like a merge
+    * executes. Three sources compose:
+    *
+    *  - inserts: rows of data files added in the window, minus any of
+    *    them already tombstoned by `v2`;
+    *  - tombstone deletes: the PRIOR images of rows tombstoned in the
+    *    window, read straight out of the immutable v1 files the
+    *    tombstones point into (merge-on-read keeps the old bytes — the
+    *    feed costs no extra storage);
+    *  - rewrite deletes: rows of v1 files DROPPED by the window without
+    *    covering tombstones (an overwrite/optimize rewrites the file
+    *    list with no tombstones at all). Their v1-live images are
+    *    synthesized as deletes — without this, a consumer applying the
+    *    feed across an optimize() double-counts the whole table; with
+    *    it, a rewrite surfaces as full delete + full insert, which
+    *    applies to the same end state. (Delta CDF handles rewrites the
+    *    same way unless the commit is flagged dataChange=false.)
+    *
     * O(changed files + tombstones) — never a diff of the full table. */
   def changesBetween(spark: SparkSession, table: String, v1: Int,
       v2: Int): Option[DataFrame] = {
-    import org.apache.spark.sql.functions.{broadcast, col, lit}
     for {
       s1 <- snapshot(spark, table, v1)
       s2 <- snapshot(spark, table, v2)
     } yield {
-      val newFiles = s2.files.filterNot(s1.files.toSet)
+      val s1Set = s1.files.toSet
+      val s2Set = s2.files.toSet
+      val newFiles = s2.files.filterNot(s1Set)
+      val retained = s1.files.filter(s2Set)
+      val dropped = s1.files.filterNot(s2Set)
       val newDeleteFiles = s2.deletes.filterNot(s1.deletes.toSet)
-      def withMeta(files: Seq[String]) = spark.read
-        .option("mergeSchema", "true")
-        .parquet(files.map(f => s"$table/$f"): _*)
-        .withColumn("_snap_file", col("_metadata.file_path"))
-        .withColumn("_snap_pos", col("_metadata.row_index"))
       val tombs =
         if (newDeleteFiles.isEmpty) None
         else Some(spark.read.parquet(
@@ -243,27 +500,37 @@ object Snapshots {
       val inserts =
         if (newFiles.isEmpty) None
         else Some {
-          val rows = withMeta(newFiles)
+          val rows = withMeta(spark, table, newFiles)
           tombs.fold(rows)(t => rows.join(broadcast(t),
               rows("_snap_file") === t("file") && rows("_snap_pos") === t("pos"),
               "left_anti"))
             .drop("_snap_file", "_snap_pos")
             .withColumn("_change_type", lit("insert"))
         }
-      val deletes = tombs.map { t =>
-        val old = withMeta(s1.files)
-        old.join(broadcast(t),
-            old("_snap_file") === t("file") && old("_snap_pos") === t("pos"),
-            "left_semi")
-          .drop("_snap_file", "_snap_pos")
-          .withColumn("_change_type", lit("delete"))
-      }
-      (inserts, deletes) match {
-        case (Some(i), Some(d)) => i.unionByName(d, allowMissingColumns = true)
-        case (Some(i), None) => i
-        case (None, Some(d)) => d
-        case (None, None) => spark.emptyDataFrame
-      }
+      // tombstone deletes read RETAINED v1 files only: a tombstone into a
+      // dropped file is covered by the rewrite-delete source below — one
+      // emission per dead row, never two
+      val tombDeletes =
+        if (retained.isEmpty) None
+        else tombs.map { t =>
+          val old = withMeta(spark, table, retained)
+          old.join(broadcast(t),
+              old("_snap_file") === t("file") && old("_snap_pos") === t("pos"),
+              "left_semi")
+            .drop("_snap_file", "_snap_pos")
+            .withColumn("_change_type", lit("delete"))
+        }
+      val rewriteDeletes =
+        if (dropped.isEmpty) None
+        else Some {
+          subtractDeletes(spark, table,
+              withMeta(spark, table, dropped), s1.deletes)
+            .drop("_snap_file", "_snap_pos")
+            .withColumn("_change_type", lit("delete"))
+        }
+      val parts = Seq(inserts, tombDeletes, rewriteDeletes).flatten
+      if (parts.isEmpty) spark.emptyDataFrame
+      else parts.reduce(_.unionByName(_, allowMissingColumns = true))
     }
   }
 

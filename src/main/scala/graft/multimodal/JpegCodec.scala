@@ -270,6 +270,12 @@ object JpegCodec {
         case 0xda => // SOS → entropy-coded data follows
           if (comps == null || width == 0) return None
           val ns = d(seg) & 0xff
+          // the baseline path decodes ONE interleaved scan covering every
+          // frame component: a legal non-interleaved multi-scan baseline
+          // JPEG (Ns=1, Nf=3) must return None, not be mis-decoded as
+          // interleaved with decode_ok=true (the progressive subset below
+          // has its own single-component check)
+          if (!progressive && ns != comps.length) return None
           var i = 0
           while (i < ns) {
             val cs = d(seg + 1 + 2 * i) & 0xff

@@ -8,14 +8,17 @@ import org.apache.spark.sql.functions._
   *
   * The decode layer is REAL for every subset pure JVM can implement
   * completely, each gate-verified: PNG pixels ([[PngCodec]], q85/q90),
-  * baseline JPEG ([[JpegCodec]], q149 — huffman entropy decode +
+  * JPEG — baseline gray, 4:2:0/4:2:2 subsampled color with integer
+  * YCbCr→RGB, and SOF2 progressive incl. successive approximation
+  * ([[JpegCodec]], q149/q152/q160/q161 — huffman entropy decode +
   * dequant + IDCT), 16-bit PCM audio samples ([[AudioHeaders.pcm16]],
-  * q91–q93), and uncompressed-track video frames
-  * ([[VideoHeaders.rawVideoFrames]], q94). Feature extraction consumes
-  * decoded content for all four. Only the remaining out-of-subset
-  * payloads (progressive/subsampled JPEG, compressed audio/video
-  * codecs) fall back to a deliberate, clearly-marked deterministic
-  * stub — those codec libraries are not available in this environment.
+  * q91–q93), and video frames both uncompressed and MJPEG
+  * ([[VideoHeaders.rawVideoFrames]], q94/q150). Feature extraction
+  * consumes decoded content for all four. Only the remaining
+  * out-of-subset payloads (non-MJPEG compressed tracks, non-JFIF JPEG
+  * forms like arithmetic/hierarchical coding) fall back to a
+  * deliberate, clearly-marked deterministic stub — those codec
+  * libraries are not available in this environment.
   * Everything Spark-owns is real: the schema contract, the
   * partition-batched iteration shape (decoder state is amortized across a
   * partition, exactly how a JNI/FFI codec would be held), repartitioning

@@ -238,7 +238,95 @@ object LayoutQueries {
         Num.sumMoney(col("o_totalprice")).as("sum_price"))
   }
 
+  /** q164 — TYPE-WIDENING schema evolution (the other half of q157's
+    * additive contract — the Iceberg `int→long` promotion): v1 commits an
+    * `o_units` metric as INT; v2 appends the same column as BIGINT with
+    * values beyond int range, so the widening is semantically forced,
+    * not cosmetic. Time travel to v1 surfaces the era's own narrow type
+    * (pinned in the `units_type` marker column); the widened read
+    * ([[graft.lake.Snapshots.readAtWidened]]) resolves the target schema
+    * from ONE footer per commit directory, casts each era up, and
+    * unions — parquet `mergeSchema` refuses an int/long mix outright.
+    * The oracle replays both eras from the key closed form; a read that
+    * clipped the bigint era to int, or widened v1's travel view, shifts
+    * a row. */
+  def typeWidening(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Snapshots
+    val table = graft.util.Scratch.dir("widen_table", dir)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+    val orders = Tables(spark, dir, "orders")
+    Snapshots.append(spark, table,
+      orders.filter(col("o_orderkey") % 2 === 0)
+        .withColumn("o_units", (col("o_orderkey") % 100).cast("int")))
+    Snapshots.append(spark, table,
+      orders.filter(col("o_orderkey") % 2 === 1)
+        .withColumn("o_units", col("o_orderkey") % 100 + 10000000000L))
+    val v1 = Snapshots.readAt(spark, table, 1).get
+    val era1 = v1
+      .agg(count(lit(1)).as("n_rows"), sum(col("o_units")).as("sum_units"))
+      .select(lit(1L).as("version"),
+        lit(v1.schema("o_units").dataType.simpleString).as("units_type"),
+        col("n_rows"), col("sum_units"))
+    val wide = Snapshots.readAtWidened(spark, table, 2).get
+    val era2 = wide
+      .agg(count(lit(1)).as("n_rows"), sum(col("o_units")).as("sum_units"))
+      .select(lit(2L).as("version"),
+        lit(wide.schema("o_units").dataType.simpleString).as("units_type"),
+        col("n_rows"), col("sum_units"))
+    era1.unionAll(era2)
+  }
+
+  /** q165 — log-level DATA SKIPPING (per-file min/max stats stored IN
+    * the snapshot log at commit time, the Iceberg-manifest shape): a
+    * range-clustered commit records each file's `o_totalprice` interval
+    * in the log object; a range scan then prunes its file list from the
+    * log ALONE — zero directory listings, zero footer probes (at 100 TB
+    * / O(100k) files, the difference between one KB-sized log read and
+    * 100k object-store round-trips) — and re-applies the predicate to
+    * surviving rows for exactness. Composes with time travel: the stats
+    * live in the same versioned log object the travel read resolves
+    * (q99's zone maps and q154's log were previously disjoint
+    * mechanisms). The `files_pruned` marker pins that a strict subset of
+    * files was actually opened; SnapshotsSpec additionally pins
+    * `inputFiles` equality with the pruned list. */
+  def logStatsPruning(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Snapshots
+    val table = graft.util.Scratch.dir("logstats_table", dir)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+    val orders = Tables(spark, dir, "orders")
+    Snapshots.append(spark, table,
+      orders.repartitionByRange(8, col("o_totalprice")),
+      statsCols = Seq("o_totalprice"))
+    val nAll = Snapshots.snapshot(spark, table, 1).get.files.size
+    val nPruned = Snapshots.prunedFilesAt(spark, table, 1,
+      "o_totalprice", 50000.0, 150000.0).get.size
+    Snapshots.readAtPruned(spark, table, 1,
+        "o_totalprice", 50000.0, 150000.0).get
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_rows"),
+        Num.sumMoney(col("o_totalprice")).as("sum_price"))
+      .withColumn("files_pruned", lit(nPruned > 0 && nPruned < nAll))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q165_log_stats_pruning", logStatsPruning, Some(s"""
+      SELECT o_orderpriority,
+             COUNT(*) AS n_rows,
+             ${Num.sqlSumMoney("o_totalprice")} AS sum_price,
+             true AS files_pruned
+      FROM orders
+      WHERE o_totalprice >= 50000 AND o_totalprice <= 150000
+      GROUP BY 1""")),
+    QueryDef("q164_type_widening", typeWidening, Some("""
+      SELECT CAST(1 AS BIGINT) AS version, 'int' AS units_type,
+             COUNT(*) AS n_rows,
+             CAST(SUM(o_orderkey % 100) AS BIGINT) AS sum_units
+      FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT CAST(2 AS BIGINT), 'bigint', COUNT(*),
+             CAST(SUM(CASE WHEN o_orderkey % 2 = 0 THEN o_orderkey % 100
+                      ELSE o_orderkey % 100 + 10000000000 END) AS BIGINT)
+      FROM orders""")),
     QueryDef("q163_change_feed", changeFeed, Some(s"""
       SELECT 'insert' AS _change_type, o_orderpriority,
              COUNT(*) AS n_rows,

@@ -28,9 +28,13 @@ class SnapshotsSpec extends SparkTestBase {
     assert(s1.files.toSet.subsetOf(s2.files.toSet), "v2 dropped carried files")
     assert(Snapshots.newFilesBetween(spark, t, v1, v2).toSet ==
       s2.files.toSet -- s1.files.toSet)
-    // all fresh v2 files live in v2's own commit dir — nothing rewritten
-    assert(Snapshots.newFilesBetween(spark, t, v1, v2)
-      .forall(_.startsWith("_snap/c-2/")))
+    // all fresh v2 files live in v2's own run-unique commit dir —
+    // nothing rewritten, nothing staged into v1's dir
+    val freshDirs = Snapshots.newFilesBetween(spark, t, v1, v2)
+      .map(_.split("/").dropRight(1).mkString("/")).distinct
+    assert(freshDirs.size == 1 && freshDirs.head.startsWith("_snap/c-"),
+      freshDirs.toString)
+    assert(!s1.files.exists(_.startsWith(freshDirs.head + "/")))
     org.apache.commons.io.FileUtils.deleteQuietly(new File(t).getParentFile)
   }
 
@@ -44,7 +48,8 @@ class SnapshotsSpec extends SparkTestBase {
     Snapshots.overwrite(spark, t, orders.filter(col("o_orderkey") % 3 === 2))
     assert(v1Sum == want)
     // and v1's physical bytes are untouched
-    val c1 = new File(s"$t/_snap/c-1")
+    val c1 = new File(t,
+      Snapshots.snapshot(spark, t, 1).get.files.head).getParentFile
     assert(c1.exists() && c1.listFiles().nonEmpty)
     org.apache.commons.io.FileUtils.deleteQuietly(new File(t).getParentFile)
   }
@@ -59,9 +64,10 @@ class SnapshotsSpec extends SparkTestBase {
     assert(Snapshots.readLatest(spark, t).get.count() == n3)
     assert(Snapshots.readAt(spark, t, 2).get.count() == n12)
     // vacuum keeping only v3: old commit dirs reclaimed, v3 unharmed
+    val oldDirs = Snapshots.snapshot(spark, t, 2).get.files
+      .map(f => new File(t, f).getParentFile).distinct
     Snapshots.vacuum(spark, t, keepFrom = v3)
-    assert(!new File(s"$t/_snap/c-1").exists())
-    assert(!new File(s"$t/_snap/c-2").exists())
+    oldDirs.foreach(d => assert(!d.exists(), s"vacuum left $d"))
     assert(Snapshots.readAt(spark, t, v3).get.count() == n3)
     assert(Snapshots.snapshot(spark, t, 1).isEmpty, "trimmed log entry survives")
     org.apache.commons.io.FileUtils.deleteQuietly(new File(t).getParentFile)
@@ -180,7 +186,8 @@ class SnapshotsSpec extends SparkTestBase {
     val vOpt = Snapshots.optimize(spark, t).get
     val s = Snapshots.snapshot(spark, t, vOpt).get
     assert(s.deletes.isEmpty, "optimize left positional deletes behind")
-    assert(s.files.forall(_.startsWith(s"_snap/c-$vOpt/")),
+    val carried = Snapshots.snapshot(spark, t, vOpt - 1).get.files.toSet
+    assert(s.files.nonEmpty && !s.files.exists(carried),
       "optimize carried old files by reference instead of compacting")
     val got = Snapshots.readLatest(spark, t).get
       .agg(count(lit(1)), sum(graft.queries.Num.cents(col("o_totalprice"))))
@@ -209,6 +216,181 @@ class SnapshotsSpec extends SparkTestBase {
       orders.filter(col("o_orderkey") % 2 === 0).count())
     assert(merged.filter(col("o_channel") === "web").count() ==
       orders.filter(col("o_orderkey") % 2 === 1).count())
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(t).getParentFile)
+  }
+
+  test("concurrent committers both land: the loser recomputes, no lost update") {
+    val t = fresh("occ")
+    Snapshots.append(spark, t, orders.filter(col("o_orderkey") % 3 === 0))
+    // deterministic race: while commit A has computed its content against
+    // v1 but not yet published, commit B lands v2 — A must detect the
+    // claimed version, recompute its carry against B's snapshot, and
+    // publish v3 carrying BOTH deltas
+    var injected = false
+    val vA = Snapshots.append(spark, t,
+      orders.filter(col("o_orderkey") % 3 === 1),
+      beforePublish = () => {
+        if (!injected) {
+          injected = true
+          Snapshots.append(spark, t, orders.filter(col("o_orderkey") % 3 === 2))
+        }
+      })
+    assert(vA == 3, s"racer should publish v3, got v$vA")
+    val want = orders.count()
+    assert(Snapshots.readLatest(spark, t).get.count() == want,
+      "a concurrent append's files were dropped")
+    // and the intermediate versions are each internally consistent
+    assert(Snapshots.readAt(spark, t, 2).get.count() ==
+      orders.filter(col("o_orderkey") % 3 =!= 1).count())
+    // true-parallel hammer: four threads, each appending once — all four
+    // versions land, none lost
+    val t2 = fresh("occ2")
+    Snapshots.append(spark, t2, orders.filter(col("o_orderkey") % 8 === 7))
+    val threads = (0 to 3).map { i =>
+      new Thread(() => {
+        Snapshots.append(spark, t2, orders.filter(col("o_orderkey") % 8 === i))
+        ()
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(Snapshots.latestVersion(spark, t2).contains(5))
+    assert(Snapshots.readLatest(spark, t2).get.count() ==
+      orders.filter(col("o_orderkey") % 8 <= 3 || col("o_orderkey") % 8 === 7)
+        .count())
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(t).getParentFile)
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(t2).getParentFile)
+  }
+
+  test("tombstones are table-relative: a relocated table still subtracts them") {
+    val t = fresh("move")
+    Snapshots.append(spark, t, orders.filter(col("o_orderkey") % 2 === 0))
+    Snapshots.merge(spark, t,
+      orders.filter(col("o_orderkey") % 4 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1.0),
+      Seq("o_orderkey"))
+    val want = Snapshots.readLatest(spark, t).get
+      .agg(count(lit(1)), sum(graft.queries.Num.cents(col("o_totalprice"))))
+      .head()
+    // relocate the WHOLE table directory — an absolute-URI tombstone
+    // would now match nothing and silently resurrect superseded rows
+    val moved = s"${new File(t).getParent}/moved_t"
+    assert(new File(t).renameTo(new File(moved)), "relocation rename failed")
+    val got = Snapshots.readLatest(spark, moved).get
+      .agg(count(lit(1)), sum(graft.queries.Num.cents(col("o_totalprice"))))
+      .head()
+    assert(got == want, s"relocated read drifted: $got != $want")
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(moved).getParentFile)
+  }
+
+  test("change feed across a rewrite synthesizes deletes — applying it lands on v2") {
+    val t = fresh("cdfopt")
+    Snapshots.append(spark, t, orders.filter(col("o_orderkey") % 2 === 0))
+    Snapshots.merge(spark, t,
+      orders.filter(col("o_orderkey") % 4 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1.0),
+      Seq("o_orderkey"))
+    val v2 = Snapshots.latestVersion(spark, t).get
+    val v3 = Snapshots.optimize(spark, t).get
+    val feed = Snapshots.changesBetween(spark, t, v2, v3).get.cache()
+    // the rewrite window must emit BOTH sides: every v2-live row as a
+    // delete (the dropped files) and every v3 row as an insert — an
+    // insert-only feed would double-count the whole table downstream
+    val v2n = Snapshots.readAt(spark, t, v2).get.count()
+    val v3n = Snapshots.readAt(spark, t, v3).get.count()
+    assert(feed.filter(col("_change_type") === "delete").count() == v2n)
+    assert(feed.filter(col("_change_type") === "insert").count() == v3n)
+    // applying the feed to v2's state reproduces v3's state exactly
+    val applied = Snapshots.readAt(spark, t, v2).get
+      .exceptAll(feed.filter(col("_change_type") === "delete")
+        .drop("_change_type"))
+      .unionByName(feed.filter(col("_change_type") === "insert")
+        .drop("_change_type"))
+    val v3State = Snapshots.readAt(spark, t, v3).get
+    assert(applied.exceptAll(v3State).isEmpty &&
+      v3State.exceptAll(applied).isEmpty)
+    feed.unpersist()
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(t).getParentFile)
+  }
+
+  test("type widening: int→long across eras, each era keeps its own type") {
+    val t = fresh("widen")
+    Snapshots.append(spark, t,
+      orders.filter(col("o_orderkey") % 2 === 0)
+        .withColumn("o_units", (col("o_orderkey") % 100).cast("int")))
+    Snapshots.append(spark, t,
+      orders.filter(col("o_orderkey") % 2 === 1)
+        .withColumn("o_units", col("o_orderkey") % 100 + 10000000000L))
+    // time travel to the single-era version surfaces the narrow type
+    val v1 = Snapshots.readAt(spark, t, 1).get
+    assert(v1.schema("o_units").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    // plain mergeSchema refuses int-vs-long — the widened read resolves it
+    val wide = Snapshots.readAtWidened(spark, t, 2).get
+    assert(wide.schema("o_units").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(wide.count() == orders.count())
+    val wantSum = orders.select(
+      sum(when(col("o_orderkey") % 2 === 0, col("o_orderkey") % 100)
+        .otherwise(col("o_orderkey") % 100 + 10000000000L))).head().getLong(0)
+    assert(wide.agg(sum(col("o_units"))).head().getLong(0) == wantSum)
+    // widening composes with ADDITIVE evolution in the same read
+    Snapshots.append(spark, t,
+      orders.filter(col("o_orderkey") % 2 === 0).limit(10)
+        .withColumn("o_units", col("o_orderkey") % 100 + 20000000000L)
+        .withColumn("o_channel", lit("web")))
+    val wide3 = Snapshots.readAtWidened(spark, t, 3).get
+    assert(wide3.schema("o_units").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(wide3.filter(col("o_channel").isNull).count() == orders.count())
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(t).getParentFile)
+  }
+
+  test("widenType ladder: integral widths, fractional promotion, conflicts throw") {
+    import org.apache.spark.sql.types._
+    assert(Snapshots.widenType(IntegerType, LongType) == LongType)
+    assert(Snapshots.widenType(LongType, IntegerType) == LongType)
+    assert(Snapshots.widenType(ByteType, ShortType) == ShortType)
+    assert(Snapshots.widenType(FloatType, DoubleType) == DoubleType)
+    assert(Snapshots.widenType(IntegerType, FloatType) == DoubleType)
+    assert(Snapshots.widenType(LongType, DoubleType) == DoubleType)
+    assert(Snapshots.widenType(StringType, StringType) == StringType)
+    intercept[IllegalArgumentException](
+      Snapshots.widenType(StringType, LongType))
+  }
+
+  test("log stats prune the file list: out-of-range files are never opened") {
+    val t = fresh("stats")
+    // range-cluster so per-file [min,max] intervals are narrow slices
+    Snapshots.append(spark, t,
+      orders.repartitionByRange(8, col("o_totalprice")),
+      statsCols = Seq("o_totalprice"))
+    val all = Snapshots.snapshot(spark, t, 1).get
+    assert(all.stats.nonEmpty && all.stats.keySet == all.files.toSet)
+    val pruned = Snapshots.prunedFilesAt(spark, t, 1,
+      "o_totalprice", 50000.0, 150000.0).get
+    assert(pruned.nonEmpty && pruned.size < all.files.size,
+      s"no pruning: ${pruned.size} of ${all.files.size} files survive")
+    // the pruned read opens ONLY surviving files (inputFiles is the
+    // reader's actual file list) and still equals the full-scan filter
+    val df = Snapshots.readAtPruned(spark, t, 1,
+      "o_totalprice", 50000.0, 150000.0).get
+    val opened = df.inputFiles.map(_.split("/_snap/").last).toSet
+    assert(opened == pruned.map(_.stripPrefix("_snap/")).toSet,
+      s"opened $opened vs pruned $pruned")
+    val want = Snapshots.readAt(spark, t, 1).get
+      .filter(col("o_totalprice") >= 50000.0 && col("o_totalprice") <= 150000.0)
+    assert(df.count() == want.count())
+    assert(df.agg(sum(col("o_orderkey"))).head().getLong(0) ==
+      want.agg(sum(col("o_orderkey"))).head().getLong(0))
+    // a no-overlap range opens nothing; full-domain degrades to all files
+    assert(Snapshots.readAtPruned(spark, t, 1,
+      "o_totalprice", -2.0, -1.0).get.count() == 0)
+    assert(Snapshots.prunedFilesAt(spark, t, 1,
+      "o_totalprice", 0.0, 1e9).get.size == all.files.size)
+    // carried files keep their stats across a later append
+    Snapshots.append(spark, t, orders.limit(10), statsCols = Seq("o_totalprice"))
+    val s2 = Snapshots.snapshot(spark, t, 2).get
+    assert(s2.stats.keySet == s2.files.toSet)
     org.apache.commons.io.FileUtils.deleteQuietly(new File(t).getParentFile)
   }
 
