@@ -364,7 +364,33 @@ object SimilarityQueries {
   private val pqKmeansOracle = Similarity.sqlPqKmeansTopK(PqSub, PqCodes,
     iters = 2, k = K, dim = Dim, queryPred = "e.vec_id < 20")
 
+  private val NswM = 8
+  private val NswBeam = 16
+  private val NswHops = 4
+
+  /** q166 — single-layer NSW graph ANN ([[Similarity.nswTopK]]),
+    * completing the family beyond quantization: a deterministic neighbor
+    * graph (banded-LSH candidates → per-node top-m by cosine via the
+    * O(m) partial aggregator → symmetrized) searched by greedy beam
+    * expansion from the minimum-id entry point. The oracle replays the
+    * GRAPH BUILD and every unrolled beam hop in SQL — the md5-derived
+    * banded planes, the corpus-scaled plane-count ladder, id-tiebroken
+    * top-m and beam selections, and fixed-order cosines make both
+    * engines bitwise identical. Recall vs brute force is spec-pinned
+    * (SimilaritySpec). */
+  def nswTopKQ(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    e6(Similarity.nswTopK(emb, queriesOf(emb), "vec_id", "embedding", K,
+      m = NswM, beam = NswBeam, hops = NswHops, numBands = NumBands,
+      dim = Dim))
+  }
+
+  private val nswOracle = Similarity.sqlNswTopK(k = K, m = NswM,
+    beam = NswBeam, hops = NswHops, numBands = NumBands, dim = Dim,
+    queryPred = "e.vec_id < 20")
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q166_nsw_graph_topk", nswTopKQ, Some(nswOracle)),
     QueryDef("q162_pq_kmeans_topk", pqKmeansTopK, Some(pqKmeansOracle)),
     QueryDef("q159_ivf_pq_topk", ivfPqTopKQ, Some(ivfPqOracle)),
     QueryDef("q158_pq_topk", pqTopK, Some(pqOracle)),

@@ -322,9 +322,12 @@ object Similarity {
     * string mirrors the corpus-scaled bucketing at every scale factor.
     * Cosines are computed on original vectors → bitwise equal →
     * DISTINCT collapses multi-band hits identically in both engines. */
-  def sqlBandedNearDupCtes(threshold: Double, numBands: Int, dim: Int,
-      targetBucketCap: Long, minPlanes: Int, maxPlanes: Int): String = {
-    val cos = sqlCosine("x.v", "y.v")
+  /** The banded-signature CTE prefix shared by the near-dup oracles and
+    * the NSW graph oracle: emb → corpus count → scaled plane count →
+    * md5-derived planes → per-(vector, band) signatures → sv
+    * (signatures joined back to vectors). */
+  def sqlBandSigCtes(numBands: Int, dim: Int, targetBucketCap: Long,
+      minPlanes: Int, maxPlanes: Int): String =
     s"""emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       n AS (SELECT count(*) AS c FROM emb),
       params AS (SELECT COALESCE(MIN(js.j), $maxPlanes) AS r
@@ -347,7 +350,12 @@ object Similarity {
         WHERE p.j < (SELECT r FROM params)
         GROUP BY e.vec_id, p.band),
       sv AS (SELECT s.vec_id, s.band, s.sig, e.v
-        FROM sigs s JOIN emb e ON e.vec_id = s.vec_id),
+        FROM sigs s JOIN emb e ON e.vec_id = s.vec_id)"""
+
+  def sqlBandedNearDupCtes(threshold: Double, numBands: Int, dim: Int,
+      targetBucketCap: Long, minPlanes: Int, maxPlanes: Int): String = {
+    val cos = sqlCosine("x.v", "y.v")
+    s"""${sqlBandSigCtes(numBands, dim, targetBucketCap, minPlanes, maxPlanes)},
       bpairs AS (
         SELECT DISTINCT x.vec_id AS a, y.vec_id AS b, ($cos) AS cos_sim
         FROM sv x JOIN sv y
@@ -695,6 +703,147 @@ object Similarity {
       SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
         CAST(floor(cos_sim * 1000000) AS BIGINT) AS cos_sim_e6
       FROM ranked WHERE rank <= $k"""
+  }
+
+  // --------------------------------------------------- graph ANN (NSW)
+
+  /** Single-layer navigable-small-world graph ANN (the HNSW base
+    * layer) — completing the ANN family beyond quantization: IVF prunes
+    * by SPACE partition, PQ/SQ8 compress VALUES, a neighbor GRAPH routes
+    * greedily through local connectivity.
+    *
+    * BUILD — deterministic, never all-pairs, never sequential: candidate
+    * neighbor pairs come from the multi-band sign-LSH buckets (the
+    * corpus-scaled [[scaledPlaneCount]] ladder bounds intra-bucket pair
+    * work at O(n·cap·bands), the [[embeddingNearDuplicates]]
+    * discipline); each node keeps its `m` best candidates by cosine
+    * through the O(m) partial-agg [[graft.functions.TopKAggregator]],
+    * and the directed top-m lists are symmetrized. One bucket-keyed
+    * shuffle per band plus one bounded aggregation — the connectivity a
+    * real NSW insert loop converges to, without its sequential insert
+    * dependency (which cannot scale out).
+    *
+    * SEARCH — greedy beam search from a fixed entry point (minimum id):
+    * `hops` rounds of expand-the-beam-through-the-edge-list, keeping the
+    * `beam` best nodes seen so far per query, then top-k of everything
+    * seen (self excluded). Each hop joins the edge relation against the
+    * BROADCAST (query × beam) frontier and scores new candidates on a
+    * broadcast-joined corpus projection — the corpus never shuffles.
+    *
+    * Every score is the shared fixed-order IEEE chain over ORIGINAL
+    * vectors and every selection tie-breaks on ids, so the DuckDB
+    * oracle ([[sqlNswTopK]]) replays BUILD and SEARCH bitwise. */
+  /** The graph build uses a SMALLER bucket capacity than near-dup
+    * banding: edge candidates per node ≈ cap·bands, which should be a
+    * small multiple of the out-degree m — a 1024-cap bucket space
+    * leaves buckets near-empty at modest n and the graph disconnected.
+    * Same integer ladder, cap 8, floor 3 planes. */
+  val NswPlaneCap = 8L
+  val NswMinPlanes = 3
+  val NswMaxPlanes = 30
+
+  def nswTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, m: Int = 8, beam: Int = 16, hops: Int = 4,
+      numBands: Int = 4, dim: Int = 64): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val r = scaledPlaneCount(corpus.count(), NswPlaneCap,
+      NswMinPlanes, NswMaxPlanes)
+    val bucketCols = (0 until numBands).map { b =>
+      lshBucket(col("_v"), bandedHyperplanes(b, r, dim)).as(s"_b$b")
+    }
+    val sig = Par.ensure(corpus)
+      .select(col(idCol).as("id") +: col(vecCol).as("_v") +: bucketCols: _*)
+      .persist()
+    val cand = (0 until numBands).map { b =>
+      sig.as("x").join(sig.as("y"),
+          col(s"x._b$b") === col(s"y._b$b") && col("x.id") =!= col("y.id"))
+        .select(col("x.id").as("src"), col("y.id").as("dst"),
+          cosine(col("x._v"), col("y._v")).as("w"))
+    }.reduce(_ unionByName _).distinct()
+    val mAgg = new graft.functions.TopKAggregator[(Long, Long, Double)](m,
+      score = _._3, id = _._2)
+    val topM = cand.as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .agg(mAgg.toColumn)
+      .flatMap { case (s, top) => top.map { case (_, d) => (s, d) } }
+      .toDF("src", "dst")
+    // symmetrize, then truncate lineage: the edge list is re-joined every
+    // hop — localCheckpoint materializes it once (the index build)
+    val edges = topM.unionByName(
+        topM.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
+    sig.unpersist()
+
+    val entryId = corpus.agg(min(col(idCol))).head().getLong(0)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
+    val vecs = corpus.select(col(idCol).as("node"), col(vecCol).as("_nv"))
+    def score(nodes: DataFrame): DataFrame =
+      vecs.join(broadcast(nodes), Seq("node"))
+        .join(broadcast(q), Seq("query_id"))
+        .select(col("query_id"), col("node"),
+          cosine(col("_qv"), col("_nv")).as("cos"))
+    var seen = score(q.select(col("query_id"), lit(entryId).as("node")))
+    var beamDf = seen
+    for (_ <- 1 to hops) {
+      val frontier = edges.join(broadcast(beamDf
+          .select(col("query_id"), col("node").as("src"))), Seq("src"))
+        .select(col("query_id"), col("dst").as("node")).distinct()
+      seen = seen.unionByName(score(frontier)).distinct().localCheckpoint()
+      beamDf = topK(seen.select(col("query_id"),
+          col("node").as("neighbor_id"), col("cos").as("cos_sim")), beam)
+        .select(col("query_id"), col("neighbor_id").as("node"),
+          col("cos_sim").as("cos"))
+    }
+    topK(seen.filter(col("node") =!= col("query_id"))
+      .select(col("query_id"), col("node").as("neighbor_id"),
+        col("cos").as("cos_sim")), k)
+  }
+
+  /** DuckDB replay of [[nswTopK]] — the banded-bucket candidate pairs,
+    * per-node top-m edge selection, symmetrization, and every beam hop,
+    * as one CTE chain (hops unrolled; all orderings id-tiebroken). */
+  def sqlNswTopK(k: Int, m: Int, beam: Int, hops: Int, numBands: Int,
+      dim: Int, queryPred: String,
+      targetBucketCap: Long = NswPlaneCap,
+      minPlanes: Int = NswMinPlanes, maxPlanes: Int = NswMaxPlanes): String = {
+    val wCos = sqlCosine("x.v", "y.v")
+    val sCos = sqlCosine("q.qv", "e.v")
+    val hopCtes = (1 to hops).map { h =>
+      s"""cand$h AS (SELECT DISTINCT b.query_id, ed.dst AS node
+        FROM beam${h - 1} b JOIN edges ed ON ed.src = b.node),
+      sc$h AS (SELECT c.query_id, c.node, $sCos AS c
+        FROM cand$h c JOIN emb e ON e.vec_id = c.node
+        JOIN qs q ON q.query_id = c.query_id),
+      seen$h AS (SELECT DISTINCT query_id, node, c FROM (
+        SELECT * FROM seen${h - 1} UNION ALL SELECT * FROM sc$h)),
+      beam$h AS (SELECT query_id, node, c FROM (
+          SELECT query_id, node, c,
+            row_number() OVER (PARTITION BY query_id ORDER BY c DESC, node) AS rn
+          FROM seen$h) WHERE rn <= $beam)"""
+    }.mkString(",\n      ")
+    s"""WITH ${sqlBandSigCtes(numBands, dim, targetBucketCap, minPlanes, maxPlanes)},
+      candE AS (SELECT DISTINCT x.vec_id AS src, y.vec_id AS dst, ($wCos) AS w
+        FROM sv x JOIN sv y
+          ON x.band = y.band AND x.sig = y.sig AND x.vec_id <> y.vec_id),
+      topm AS (SELECT src, dst FROM (
+          SELECT src, dst,
+            row_number() OVER (PARTITION BY src ORDER BY w DESC, dst) AS rn
+          FROM candE) WHERE rn <= $m),
+      edges AS (SELECT src, dst FROM topm
+        UNION SELECT dst AS src, src AS dst FROM topm),
+      en AS (SELECT MIN(vec_id) AS v FROM emb),
+      qs AS (SELECT vec_id AS query_id, v AS qv FROM emb e WHERE $queryPred),
+      seen0 AS (SELECT q.query_id, en.v AS node, $sCos AS c
+        FROM qs q CROSS JOIN en JOIN emb e ON e.vec_id = en.v),
+      beam0 AS (SELECT query_id, node, c FROM seen0),
+      $hopCtes,
+      fin AS (SELECT query_id, node AS neighbor_id, c,
+          row_number() OVER (PARTITION BY query_id ORDER BY c DESC, node) AS rank
+        FROM seen$hops WHERE node <> query_id)
+      SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+        CAST(floor(c * 1000000) AS BIGINT) AS cos_sim_e6
+      FROM fin WHERE rank <= $k"""
   }
 
   def sqlKmeansIvfTopK(nCells: Int, iters: Int, nProbe: Int, k: Int,

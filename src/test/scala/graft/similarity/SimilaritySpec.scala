@@ -76,6 +76,32 @@ class SimilaritySpec extends SparkTestBase {
     assert(got == exact)
   }
 
+  test("NSW graph search: structure, determinism, and useful recall") {
+    val nsw = Similarity.nswTopK(emb, queries, "vec_id", "embedding", 5)
+    val rows = nsw.collect()
+    // never a self-match; ranks contiguous from 1 per query
+    assert(rows.forall(r => r.getLong(0) != r.getLong(2)))
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      assert(rs.map(_.getLong(1)).sorted.sameElements(1L to rs.length),
+        s"non-contiguous ranks for query $q")
+      assert(rs.length <= 5)
+    }
+    // deterministic build + search: identical output across runs
+    val again = Similarity.nswTopK(emb, queries, "vec_id", "embedding", 5)
+      .collect().map(_.toString).sorted
+    assert(again.sameElements(rows.map(_.toString).sorted))
+    // greedy routing through the banded-LSH graph must find a useful
+    // fraction of the true neighbors from a single fixed entry point
+    val recall = (resultSet(nsw) intersect exact).size.toDouble / exact.size
+    info(f"NSW recall@5 = $recall%.3f")
+    assert(recall >= 0.4, f"recall $recall%.3f")
+    // scores are true cosines: no NSW hit may beat the exact top-1
+    val best = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    nsw.collect().foreach(r =>
+      assert(r.getDouble(3) <= best(r.getLong(0)) + 1e-12))
+  }
+
   test("PQ-ADC search: structure, determinism, and better-than-chance recall") {
     val cbs = Similarity.pqCodebooks(emb, "vec_id", "embedding",
       nSub = 4, nCodes = 64, dim = 64)
