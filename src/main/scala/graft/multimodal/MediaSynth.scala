@@ -256,10 +256,13 @@ object MediaSynth {
   def videoPixel(docId: Long, f: Int, x: Int, y: Int, c: Int): Int =
     ((3L * x + 7L * y + 11L * c + 13L * f + docId) % 256L).toInt
 
-  def rawVideoMp4(docId: Long): Array[Byte] = {
-    val w = videoWidth(docId); val h = videoHeight(docId)
-    val nF = videoFrames(docId)
-    val frameBytes = w * h * 3
+  /** Shared ISO-BMFF assembler: ftyp + moov (mvhd + trak/mdia/minf/stbl
+    * with stsd[`fmt`]/stsz-table/stco-absolute) + mdat holding `samples`
+    * back to back. Every video corpus (raw q94, MJPEG q150, predicted
+    * q168) differs only in the sample fourcc and bytes. */
+  def videoMp4(docId: Long, fmt: String, w: Int, h: Int,
+      samples: Seq[Array[Byte]]): Array[Byte] = {
+    val nF = samples.length
     def box(typ: String, payload: Array[Byte]): Array[Byte] = {
       val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
       bb.putInt(8 + payload.length).put(typ.getBytes("US-ASCII")).put(payload)
@@ -272,11 +275,11 @@ object MediaSynth {
     val mvhd = box("mvhd", new Array[Byte](12) ++
       be32(mp4Timescale(docId).toInt) ++ be32(mp4DurationUnits(docId).toInt) ++
       new Array[Byte](80))
-    // stsd: ver/flags + count=1 + one 86-byte VisualSampleEntry ('raw '),
+    // stsd: ver/flags + count=1 + one 86-byte VisualSampleEntry,
     // zero-filled except width/height at entry offsets 32/34
     val entry = {
       val bb = java.nio.ByteBuffer.allocate(86)
-      bb.putInt(86).put("raw ".getBytes("US-ASCII"))
+      bb.putInt(86).put(fmt.getBytes("US-ASCII"))
       bb.position(32)
       bb.putShort(w.toShort).putShort(h.toShort)
       bb.array()
@@ -284,25 +287,60 @@ object MediaSynth {
     val stsd = box("stsd", new Array[Byte](4) ++ be32(1) ++ entry)
     // stsz in table form (sample_size = 0): exercises the per-sample path
     val stsz = box("stsz", new Array[Byte](4) ++ be32(0) ++ be32(nF) ++
-      Array.fill(nF)(be32(frameBytes)).flatten)
+      samples.flatMap(s => be32(s.length).toSeq).toArray)
     // stco offsets are ABSOLUTE — computed from the final layout below
     def stco(offsets: Seq[Int]) = box("stco",
       new Array[Byte](4) ++ be32(nF) ++ offsets.flatMap(be32).toArray)
     def moov(offsets: Seq[Int]) = box("moov", mvhd ++
       box("trak", box("mdia", box("minf",
         box("stbl", stsd ++ stsz ++ stco(offsets))))))
-    // layout: ftyp | moov | mdat(header + frames); moov size is offset-
+    // layout: ftyp | moov | mdat(header + samples); moov size is offset-
     // independent, so compute it once with placeholder offsets
     val moovSize = moov(Seq.fill(nF)(0)).length
     val mdatStart = ftyp.length + moovSize + 8
-    val offsets = (0 until nF).map(f => mdatStart + f * frameBytes)
-    val frames = Array.tabulate(nF * frameBytes) { i =>
-      val f = i / frameBytes
-      val r = i % frameBytes
-      val y = r / (w * 3); val x = (r % (w * 3)) / 3; val c = r % 3
-      videoPixel(docId, f, x, y, c).toByte
+    val offsets = samples.scanLeft(mdatStart)(_ + _.length).init
+    ftyp ++ moov(offsets) ++ box("mdat", samples.flatten.toArray)
+  }
+
+  def rawVideoMp4(docId: Long): Array[Byte] = {
+    val w = videoWidth(docId); val h = videoHeight(docId)
+    val frameBytes = w * h * 3
+    val frames = (0 until videoFrames(docId)).map { f =>
+      Array.tabulate(frameBytes) { r =>
+        val y = r / (w * 3); val x = (r % (w * 3)) / 3; val c = r % 3
+        videoPixel(docId, f, x, y, c).toByte
+      }
     }
-    ftyp ++ moov(offsets) ++ box("mdat", frames)
+    videoMp4(docId, "raw ", w, h, frames)
+  }
+
+  // --------------------------- predicted (inter-frame) video (q168)
+
+  /** Deterministic PREDICTED-track corpus (q168): sample 0 is a full
+    * intra frame, every later sample holds per-pixel integer RESIDUALS —
+    * frame f only exists by summing all residuals up to f, the genuine
+    * inter-frame dependency of a P-frame track. Closed form keeps every
+    * decoded byte an exact oracle-replayable integer with no clamping:
+    * base = (3x + 7y + 11c + doc) % 220, residual_f = (x+y+c+f) % 7 + 1,
+    * so frame f's pixel = base + Σ_{j=1..f} residual_j ≤ 219 + 5·7 <
+    * 256. */
+  def pvBase(docId: Long, x: Int, y: Int, c: Int): Int =
+    ((3L * x + 7L * y + 11L * c + docId) % 220L).toInt
+
+  def pvResidual(x: Int, y: Int, c: Int, f: Int): Int = ((x + y + c + f) % 7) + 1
+
+  def predVideoMp4(docId: Long): Array[Byte] = {
+    val w = videoWidth(docId); val h = videoHeight(docId)
+    val frameBytes = w * h * 3
+    def posOf(r: Int): (Int, Int, Int) =
+      (r % (w * 3) / 3, r / (w * 3), r % 3)
+    val samples = (0 until videoFrames(docId)).map { f =>
+      Array.tabulate(frameBytes) { r =>
+        val (x, y, c) = posOf(r)
+        (if (f == 0) pvBase(docId, x, y, c) else pvResidual(x, y, c, f)).toByte
+      }
+    }
+    videoMp4(docId, "pvid", w, h, samples)
   }
 
   // --------------------------------------------- baseline JPEG (q149)
@@ -448,43 +486,11 @@ object MediaSynth {
       jpegQuantTable, jpegCoeffs(s), jpegRestart(s))
   }
 
-  def mjpegMp4(docId: Long): Array[Byte] = {
-    val w = mjpegWidth(docId); val h = mjpegHeight(docId)
-    val nF = mjpegFrames(docId)
-    val samples = Array.tabulate(nF)(f => mjpegFrameJpeg(docId, f))
-    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
-      val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
-      bb.putInt(8 + payload.length).put(typ.getBytes("US-ASCII")).put(payload)
-      bb.array()
-    }
-    def be32b(v: Int): Array[Byte] = {
-      val bb = java.nio.ByteBuffer.allocate(4); bb.putInt(v); bb.array()
-    }
-    val ftyp = box("ftyp", "isom".getBytes ++ be32b(0x200) ++ "isom".getBytes)
-    val mvhd = box("mvhd", new Array[Byte](12) ++
-      be32b(mp4Timescale(docId).toInt) ++ be32b(mp4DurationUnits(docId).toInt) ++
-      new Array[Byte](80))
-    val entry = {
-      val bb = java.nio.ByteBuffer.allocate(86)
-      bb.putInt(86).put("jpeg".getBytes("US-ASCII"))
-      bb.position(32)
-      bb.putShort(w.toShort).putShort(h.toShort)
-      bb.array()
-    }
-    val stsd = box("stsd", new Array[Byte](4) ++ be32b(1) ++ entry)
-    // per-sample sizes REALLY differ here (entropy-coded lengths)
-    val stsz = box("stsz", new Array[Byte](4) ++ be32b(0) ++ be32b(nF) ++
-      samples.flatMap(s => be32b(s.length)))
-    def stco(offsets: Seq[Int]) = box("stco",
-      new Array[Byte](4) ++ be32b(nF) ++ offsets.flatMap(be32b).toArray)
-    def moov(offsets: Seq[Int]) = box("moov", mvhd ++
-      box("trak", box("mdia", box("minf",
-        box("stbl", stsd ++ stsz ++ stco(offsets))))))
-    val moovSize = moov(Seq.fill(nF)(0)).length
-    val mdatStart = ftyp.length + moovSize + 8
-    val offsets = samples.scanLeft(mdatStart)((off, s) => off + s.length).init
-    ftyp ++ moov(offsets.toSeq) ++ box("mdat", samples.flatten)
-  }
+  /** Sample sizes REALLY differ here (entropy-coded lengths) — the
+    * shared assembler's stsz table form carries them. */
+  def mjpegMp4(docId: Long): Array[Byte] =
+    videoMp4(docId, "jpeg", mjpegWidth(docId), mjpegHeight(docId),
+      (0 until mjpegFrames(docId)).map(f => mjpegFrameJpeg(docId, f)))
 
   // ---------------------------------------------- full-sample PCM WAV (q91)
 

@@ -142,6 +142,34 @@ object VideoHeaders {
       case _ => None
     }
 
+  /** REAL INTER-FRAME decode — a predicted ('pvid') track, the P-frame
+    * shape beyond MJPEG's intra-only samples: sample 0 is a full intra
+    * frame; every later sample holds per-pixel SIGNED-BYTE residuals, and
+    * frame f is reconstructed as frame f−1 plus sample f — so no frame
+    * beyond the first exists without decoding every prior sample (the
+    * genuine temporal dependency chain of predictive video coding).
+    * A residual that would push any pixel outside [0, 255] marks the
+    * payload corrupt → None, never a silently clamped frame. */
+  def predictedVideoFrames(p: Array[Byte]): Option[RawVideo] =
+    trackSamples(p) match {
+      case Some(("pvid", w, h, samples)) if samples.nonEmpty =>
+        val frameBytes = w * h * 3
+        if (samples.exists(_.length != frameBytes)) return None
+        val frames = samples.tail.scanLeft(samples.head) { (prev, res) =>
+          val out = new Array[Byte](frameBytes)
+          var i = 0
+          while (i < frameBytes) {
+            val v = (prev(i) & 0xff) + res(i) // residual is signed
+            if (v < 0 || v > 255) return None
+            out(i) = v.toByte
+            i += 1
+          }
+          out
+        }
+        Some(RawVideo(w, h, frames))
+      case _ => None
+    }
+
   /** Walk top-level boxes for `moov`, then its children for `mvhd`.
     * Returns None for non-MP4, truncated-before-mvhd, or malformed
     * (zero/overflowing box size) payloads. Offset arithmetic stays in

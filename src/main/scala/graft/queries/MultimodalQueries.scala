@@ -1268,6 +1268,68 @@ object MultimodalQueries {
       .toDF()
   }
 
+  /** q168 — INTER-FRAME (predicted) video decode under the gate: the q94
+    * container with a `pvid` PREDICTED track
+    * ([[graft.multimodal.MediaSynth.predVideoMp4]]) — sample 0 a full
+    * intra frame, every later sample per-pixel signed residuals, so
+    * frame f only exists by reconstructing through every prior sample
+    * ([[graft.multimodal.VideoHeaders.predictedVideoFrames]]): the
+    * temporal-dependency chain MJPEG's intra-only samples never
+    * exercised. ALL frames are exported (each depends on the whole
+    * prefix of residual samples); the oracle replays the closed form
+    * base + Σ residuals in pure integer arithmetic — a decoder that
+    * dropped, reordered, or double-applied one residual sample shifts
+    * every later frame's sums and fails the hash. Narrow no-shuffle
+    * corpus pass, same as q94/q150. */
+  def predictedFrames(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.util.Par.ensure(Tables(spark, dir, "documents"))
+      .select("doc_id").as[Long]
+      .mapPartitions { ids =>
+        ids.flatMap { id =>
+          val rv = VideoHeaders.predictedVideoFrames(
+            MediaSynth.predVideoMp4(id)).get
+          rv.frames.zipWithIndex.map { case (frame, f) =>
+            var sum = 0L; var wsum = 0L; var i = 0
+            while (i < frame.length) {
+              val v = frame(i) & 0xff
+              sum += v; wsum += i.toLong * v
+              i += 1
+            }
+            FrameStats(id, f.toLong, rv.width.toLong, rv.height.toLong,
+              sum, wsum)
+          }
+        }
+      }
+      .toDF()
+  }
+
+  private val predictedFramesOracle: String = """
+    WITH params AS (
+      SELECT doc_id, (doc_id % 4) + 2 AS w, (doc_id % 3) + 2 AS h,
+        (doc_id % 5) + 2 AS nf
+      FROM documents),
+    res AS (
+      -- cumulative residual Σ_{j=1..f} ((s+j)%7 + 1) for every position
+      -- sum s = x+y+c (≤ 11) and frame f (≤ 5), enumerated uncorrelated
+      SELECT s.s, f.f,
+        SUM(CASE WHEN j.j <= f.f THEN ((s.s + j.j) % 7) + 1 ELSE 0 END) AS cum
+      FROM range(12) s(s), range(6) f(f), range(1, 6) j(j)
+      GROUP BY s.s, f.f),
+    px AS (
+      SELECT p.doc_id, p.w, p.h, f.f, x.x, y.y, c.c,
+        (3 * x.x + 7 * y.y + 11 * c.c + p.doc_id) % 220 + r.cum AS v
+      FROM params p, range(6) f(f), range(6) x(x), range(5) y(y), range(3) c(c)
+      JOIN res r ON r.s = x.x + y.y + c.c AND r.f = f.f
+      WHERE f.f < p.nf AND x.x < p.w AND y.y < p.h)
+    SELECT doc_id,
+      CAST(f AS BIGINT) AS frame_index,
+      CAST(MAX(w) AS BIGINT) AS width,
+      CAST(MAX(h) AS BIGINT) AS height,
+      CAST(SUM(v) AS BIGINT) AS sum_v,
+      CAST(SUM(((y * w + x) * 3 + c) * v) AS BIGINT) AS wsum_v
+    FROM px GROUP BY doc_id, f"""
+
   /** q150 — REAL compressed-video frame decode under the gate: the q94
     * container with a motion-JPEG track
     * ([[graft.multimodal.MediaSynth.mjpegMp4]]) — every sample a complete
@@ -1434,6 +1496,8 @@ object MultimodalQueries {
     QueryDef("q129_image_phash", imagePhash, Some(phashOracle)),
     QueryDef("q149_jpeg_decode", jpegDecode, Some(jpegOracle)),
     QueryDef("q150_mjpeg_frames", mjpegFrames, Some(mjpegOracle)),
+    QueryDef("q168_predicted_frames", predictedFrames,
+      Some(predictedFramesOracle)),
     QueryDef("q151_pcm_halfband", pcmHalfband, Some(pcmHalfbandOracle)),
     QueryDef("q152_jpeg_color_decode", jpegColorDecode, Some(jpegColorOracle)),
     QueryDef("q160_jpeg_progressive_decode", jpegProgressiveDecode,

@@ -281,6 +281,57 @@ class MultimodalSpec extends SparkTestBase {
     assert(VideoHeaders.rawVideoFrames(MediaSynth.payload(4L)).isEmpty)
   }
 
+  test("predicted-track decode reconstructs through the residual chain") {
+    import VideoHeaders.predictedVideoFrames
+    for (id <- 0L to 29L) {
+      val p = MediaSynth.predVideoMp4(id)
+      val rv = predictedVideoFrames(p).get
+      assert(rv.width == MediaSynth.videoWidth(id))
+      assert(rv.frames.size == MediaSynth.videoFrames(id))
+      // every frame equals base + cumulative residuals (the closed form)
+      rv.frames.zipWithIndex.foreach { case (frame, f) =>
+        for (y <- 0 until rv.height; x <- 0 until rv.width; c <- 0 until 3) {
+          val want = MediaSynth.pvBase(id, x, y, c) +
+            (1 to f).map(MediaSynth.pvResidual(x, y, c, _)).sum
+          assert((frame((y * rv.width + x) * 3 + c) & 0xff) == want,
+            s"doc $id frame $f ($x,$y,$c)")
+        }
+      }
+      // truncations parse to None, never a throw
+      Seq(p.length - 1, p.length / 2, 40, 0).foreach(k =>
+        assert(predictedVideoFrames(p.take(k)).isEmpty))
+    }
+    // frames genuinely depend on PRIOR samples: perturbing one residual
+    // byte in sample 1 must change every later frame at that position
+    val id = 7L
+    val clean = predictedVideoFrames(MediaSynth.predVideoMp4(id)).get
+    assert(clean.frames.size >= 3)
+    val tampered = MediaSynth.predVideoMp4(id)
+    // locate sample 1 in mdat: frames are back to back after sample 0
+    val frameBytes = clean.width * clean.height * 3
+    val mdatAt = {
+      val tag = "mdat".getBytes("US-ASCII")
+      (0 until tampered.length - 4).find(i =>
+        tag.indices.forall(j => tampered(i + j) == tag(j))).get + 4
+    }
+    val s1 = mdatAt + frameBytes // first byte of sample 1 (residual of (0,0,0))
+    tampered(s1) = (tampered(s1) - 1).toByte
+    val dirty = predictedVideoFrames(tampered).get
+    // frame 0 untouched; frames 1.. all shifted by the same -1 at (0,0,0)
+    assert(dirty.frames(0).sameElements(clean.frames(0)))
+    (1 until clean.frames.size).foreach { f =>
+      assert((dirty.frames(f)(0) & 0xff) == (clean.frames(f)(0) & 0xff) - 1,
+        s"frame $f did not inherit the perturbed residual")
+    }
+    // residuals that push a pixel past 255 mark the payload corrupt →
+    // None, never a silently clamped frame (base(7,0,0,0)=7; +127+127
+    // overflows on the third frame)
+    val boom = MediaSynth.predVideoMp4(id)
+    boom(mdatAt + frameBytes) = 127
+    boom(mdatAt + 2 * frameBytes) = 127
+    assert(predictedVideoFrames(boom).isEmpty)
+  }
+
   test("frame sampling extracts real frames for uncompressed tracks") {
     import spark.implicits._
     val id = 7L
