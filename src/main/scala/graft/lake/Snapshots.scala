@@ -444,6 +444,37 @@ object Snapshots {
     }
   }
 
+  /** Predicate DELETE (`DELETE FROM t WHERE …`) as a merge-on-read
+    * commit — the third leg of the DML triad beside [[append]] and
+    * [[merge]]: every LIVE row matching `pred` is tombstoned into a new
+    * positional-delete file and a new version publishes prior files +
+    * prior deletes + the new delete file. No data file is written or
+    * rewritten — cost is one scan to locate matches plus O(deleted
+    * rows); the pre-delete state stays time-travelable, and the rows
+    * surface as 'delete' images in [[changesBetween]]. Runs in the same
+    * optimistic commit loop (a lost race re-locates matches against the
+    * winning snapshot's live view). Deleting zero rows still publishes
+    * a version — the DML is recorded either way. */
+  def deleteWhere(spark: SparkSession, table: String,
+      pred: org.apache.spark.sql.Column): Int =
+    commitLoop(spark, table) { prev =>
+      val prevFiles = prev.map(_.files).getOrElse(Nil)
+      val prevDeletes = prev.map(_.deletes).getOrElse(Nil)
+      val newDeletes: Seq[String] =
+        if (prevFiles.isEmpty) Nil
+        else {
+          val live = subtractDeletes(spark, table,
+            withMeta(spark, table, prevFiles), prevDeletes)
+          val tomb = live.filter(pred)
+            .select(col("_snap_file").as("file"), col("_snap_pos").as("pos"))
+          val dRel = s"_snap/d-${Naming.newRunId()}"
+          tomb.coalesce(1).write.mode("overwrite").parquet(s"$table/$dRel")
+          listFresh(spark, s"$table/$dRel", dRel)
+        }
+      (prevFiles, prevDeletes ++ newDeletes,
+        prev.map(_.stats).getOrElse(Map.empty))
+    }
+
   /** OPTIMIZE: rewrite the current live view (data minus positional
     * deletes) into fresh compacted files published as a NEW version —
     * the amortized answer to merge-on-read debt. Unlike

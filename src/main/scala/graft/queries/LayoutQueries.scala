@@ -308,7 +308,47 @@ object LayoutQueries {
       .withColumn("files_pruned", lit(nPruned > 0 && nPruned < nAll))
   }
 
+  /** q169 — predicate DELETE through the snapshot log
+    * ([[graft.lake.Snapshots.deleteWhere]], the `DELETE FROM … WHERE`
+    * DML leg): every live row matching the predicate is tombstoned as a
+    * positional delete in a NEW VERSION — no data file touched, the
+    * pre-delete state stays time-travelable — and a subsequent MERGE
+    * resurrects deleted keys it upserts (latest-wins over tombstones,
+    * the composition a real lakehouse must get right). The gate reads
+    * BOTH the post-delete and post-merge versions; a tombstone that
+    * leaked into the wrong version, or a merge that failed to re-insert
+    * a previously-deleted key, shifts a row. Cost: one scan to locate
+    * matches + O(deleted rows); scale shape identical to q155. */
+  def predicateDelete(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Snapshots
+    val table = graft.util.Scratch.dir("pdel_table", dir)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+    val orders = Tables(spark, dir, "orders")
+    Snapshots.append(spark, table, orders.filter(col("o_orderkey") % 2 === 0))
+    val v2 = Snapshots.deleteWhere(spark, table, col("o_totalprice") < 50000)
+    val v3 = Snapshots.merge(spark, table,
+      orders.filter(col("o_orderkey") % 4 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1.0),
+      Seq("o_orderkey"))
+    def aggAt(v: Int) = Snapshots.readAt(spark, table, v).get
+      .agg(count(lit(1)).as("n_rows"),
+        Num.sumMoney(col("o_totalprice")).as("sum_price"))
+      .select(lit(v.toLong).as("version"), col("n_rows"), col("sum_price"))
+    aggAt(v2).unionAll(aggAt(v3))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q169_predicate_delete", predicateDelete, Some(s"""
+      SELECT CAST(2 AS BIGINT) AS version, COUNT(*) AS n_rows,
+             ${Num.sqlSumMoney("o_totalprice")} AS sum_price
+      FROM orders WHERE o_orderkey % 2 = 0 AND o_totalprice >= 50000
+      UNION ALL
+      SELECT CAST(3 AS BIGINT), COUNT(*),
+             ${Num.sqlSumMoney(
+        "o_totalprice + CASE WHEN o_orderkey % 4 = 0 THEN 1 ELSE 0 END")}
+      FROM orders
+      WHERE (o_orderkey % 4 = 2 AND o_totalprice >= 50000)
+         OR o_orderkey % 4 = 0""")),
     QueryDef("q165_log_stats_pruning", logStatsPruning, Some(s"""
       SELECT o_orderpriority,
              COUNT(*) AS n_rows,

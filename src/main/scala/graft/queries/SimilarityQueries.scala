@@ -389,7 +389,35 @@ object SimilarityQueries {
     beam = NswBeam, hops = NswHops, numBands = NumBands, dim = Dim,
     queryPred = "e.vec_id < 20")
 
+  /** q170 — metadata-FILTERED ANN (hybrid search, the production
+    * "vector search WHERE label = …" shape): queries search only the
+    * corpus subset passing a relational predicate, through the SAME
+    * k-means IVF index trained on the FULL corpus — exactly how a real
+    * deployment applies a selector to its inverted lists rather than
+    * rebuilding the index per predicate (FAISS IDSelector /
+    * filtered-HNSW). The filter composes BEFORE cell assignment in the
+    * narrow corpus pass, so the probe join scans only qualifying codes;
+    * plan shape and oracle machinery are q39's with a filtered corpus
+    * CTE swapped in (the q88 `corpusSrc` hook). */
+  def filteredIvfTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val cents = centroidCache.getOrElseUpdate(dir,
+      Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+        nCells = 16, iters = 2))
+    e6(Similarity.ivfTopKTrained(emb.filter(col("label") % 2 === 0),
+      queriesOf(emb), "vec_id", "embedding", K, cents, nProbe = 8))
+  }
+
+  private val filteredIvfOracle = Similarity.sqlKmeansIvfTopK(nCells = 16,
+    iters = 2, nProbe = 8, k = K, dim = Dim, queryPred = "e.vec_id < 20",
+    corpusSrc = "fcorpus",
+    extraCtes = """fcorpus AS (SELECT e.vec_id, e.v
+        FROM emb e JOIN embeddings r ON r.vec_id = e.vec_id
+        WHERE r.label % 2 = 0)""")
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q170_filtered_ivf_topk", filteredIvfTopK,
+      Some(filteredIvfOracle)),
     QueryDef("q166_nsw_graph_topk", nswTopKQ, Some(nswOracle)),
     QueryDef("q162_pq_kmeans_topk", pqKmeansTopK, Some(pqKmeansOracle)),
     QueryDef("q159_ivf_pq_topk", ivfPqTopKQ, Some(ivfPqOracle)),

@@ -394,6 +394,32 @@ class SnapshotsSpec extends SparkTestBase {
     org.apache.commons.io.FileUtils.deleteQuietly(new File(t).getParentFile)
   }
 
+  test("predicate delete tombstones live rows only; re-delete is a no-op version") {
+    val t = fresh("pdel")
+    Snapshots.append(spark, t, orders.filter(col("o_orderkey") % 2 === 0))
+    val before = Snapshots.readLatest(spark, t).get.count()
+    val v2 = Snapshots.deleteWhere(spark, t, col("o_totalprice") < 50000)
+    val want = orders.filter(col("o_orderkey") % 2 === 0 &&
+      col("o_totalprice") >= 50000).count()
+    assert(v2 == 2)
+    assert(Snapshots.readAt(spark, t, v2).get.count() == want)
+    // pre-delete version stays travelable, data files untouched
+    assert(Snapshots.readAt(spark, t, 1).get.count() == before)
+    assert(Snapshots.snapshot(spark, t, v2).get.files ==
+      Snapshots.snapshot(spark, t, 1).get.files)
+    // deleting the same predicate again publishes a version but changes
+    // nothing (no live row matches)
+    val v3 = Snapshots.deleteWhere(spark, t, col("o_totalprice") < 50000)
+    assert(v3 == 3)
+    assert(Snapshots.readAt(spark, t, v3).get.count() == want)
+    // the deletion surfaces in the change feed as delete images
+    val feed = Snapshots.changesBetween(spark, t, 1, v2).get
+    assert(feed.filter(col("_change_type") === "insert").count() == 0)
+    assert(feed.filter(col("_change_type") === "delete").count() ==
+      before - want)
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(t).getParentFile)
+  }
+
   test("plain readers never see snapshot internals") {
     val t = fresh("plain")
     Snapshots.append(spark, t, orders.limit(100))
