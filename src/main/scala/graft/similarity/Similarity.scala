@@ -749,18 +749,21 @@ object Similarity {
     import spark.implicits._
     val r = scaledPlaneCount(corpus.count(), NswPlaneCap,
       NswMinPlanes, NswMaxPlanes)
-    val bucketCols = (0 until numBands).map { b =>
-      lshBucket(col("_v"), bandedHyperplanes(b, r, dim)).as(s"_b$b")
-    }
+    // all bands in ONE (band, sig)-keyed relation: the candidate join is
+    // a single equi-shuffle instead of one self-join stage per band
+    // (same pair set — multi-band duplicates collapse in the distinct)
     val sig = Par.ensure(corpus)
-      .select(col(idCol).as("id") +: col(vecCol).as("_v") +: bucketCols: _*)
+      .select(col(idCol).as("id"), col(vecCol).as("_v"),
+        posexplode(array((0 until numBands).map(b =>
+          lshBucket(col(vecCol), bandedHyperplanes(b, r, dim))): _*))
+          .as(Seq("_band", "_sig")))
       .persist()
-    val cand = (0 until numBands).map { b =>
-      sig.as("x").join(sig.as("y"),
-          col(s"x._b$b") === col(s"y._b$b") && col("x.id") =!= col("y.id"))
-        .select(col("x.id").as("src"), col("y.id").as("dst"),
-          cosine(col("x._v"), col("y._v")).as("w"))
-    }.reduce(_ unionByName _).distinct()
+    val cand = sig.as("x").join(sig.as("y"),
+        col("x._band") === col("y._band") && col("x._sig") === col("y._sig") &&
+          col("x.id") =!= col("y.id"))
+      .select(col("x.id").as("src"), col("y.id").as("dst"),
+        cosine(col("x._v"), col("y._v")).as("w"))
+      .distinct()
     val mAgg = new graft.functions.TopKAggregator[(Long, Long, Double)](m,
       score = _._3, id = _._2)
     val topM = cand.as[(Long, Long, Double)]
