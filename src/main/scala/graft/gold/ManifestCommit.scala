@@ -52,13 +52,6 @@ object ManifestCommit {
     val dataDir = s"${commitsDir(partitionDir)}/c-$id"
     df.write.mode("overwrite").parquet(dataDir)
     val staged = listParquet(spark, dataDir)
-    // The manifest reader is a minimal regex parser (see read): a comma or
-    // quote inside a file name would silently corrupt the committed list.
-    // Spark part-file names can never contain either — enforce that at
-    // commit time so the invariant is checked where it could break.
-    staged.find(f => f.exists(c => c == ',' || c == '"' || c == '\\')).foreach(f =>
-      throw new IllegalStateException(
-        s"staged data file name not manifest-safe (comma/quote/backslash): $f"))
     val files = staged.map(f => s"_commits/c-$id/$f")
     val m = Manifest(id, files, rowCount, java.time.Instant.now().toString)
     beforePublish()
@@ -86,24 +79,19 @@ object ManifestCommit {
     fileOps.move(tmp, manifestPath(partitionDir))
   }
 
-  /** The committed view, or None if the partition was never published. */
+  /** The committed view, or None if the partition was never published.
+    * Parsed with the real JSON parser (graft.lake.Json.parse) — a corrupt
+    * manifest throws rather than scraping a partial file list. */
   def read(fileOps: FileOps, partitionDir: String): Option[Manifest] = {
     val path = manifestPath(partitionDir)
     if (!fileOps.exists(path)) return None
-    val json = fileOps.readString(path)
-    def field(k: String): Option[String] =
-      s""""$k":"([^"]*)"""".r.findFirstMatchIn(json).map(_.group(1))
-    def num(k: String): Option[Long] =
-      s""""$k":(\\d+)""".r.findFirstMatchIn(json).map(_.group(1).toLong)
+    val m = Json.parseObject(fileOps.readString(path))
     for {
-      id <- field("commit_id")
-      rows <- num("row_count")
-      at <- field("committed_at_utc")
-      fs <- """"files":\[([^\]]*)\]""".r.findFirstMatchIn(json).map(_.group(1))
-    } yield Manifest(id,
-      fs.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
-        .filter(_.nonEmpty),
-      rows, at)
+      id <- m.get("commit_id").map(_.toString)
+      rows <- m.get("row_count").collect { case l: Long => l }
+      at <- m.get("committed_at_utc").map(_.toString)
+      fs <- m.get("files").map(_.asInstanceOf[Seq[Any]].map(_.toString))
+    } yield Manifest(id, fs, rows, at)
   }
 
   /** Read exactly the committed file set — never a directory listing. */

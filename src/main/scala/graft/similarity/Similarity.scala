@@ -256,9 +256,10 @@ object Similarity {
     * restores the recall that longer signatures cost, and the per-band
     * plane count scales with corpus size ([[scaledPlaneCount]]) so bucket
     * count grows ∝ n — at any scale, expected intra-bucket pair work is
-    * O(n · targetBucketCap · numBands), never all-pairs. One bucket-keyed
-    * shuffle per band; pairs found by several bands are collapsed by the
-    * final distinct on bitwise-identical cosine rows.
+    * O(n · targetBucketCap · numBands), never all-pairs. ONE
+    * (band, bucket)-keyed shuffle covers every band; pairs found by
+    * several bands are collapsed by the final distinct on
+    * bitwise-identical cosine rows.
     *
     * This form leaves the internal signature cache to LRU/clearCache
     * (the returned frame is lazy); long-lived sessions should use
@@ -279,20 +280,23 @@ object Similarity {
     // count() is one cheap columnar scan; it sizes the bucket space the
     // same way the SQL oracle does (COALESCE(MIN r: cap·2^r ≥ n, max))
     val r = scaledPlaneCount(df.count(), targetBucketCap)
-    val bucketCols = (0 until numBands).map { b =>
-      lshBucket(col("_v"), bandedHyperplanes(b, r, dim)).as(s"_b$b")
-    }
+    // all bands in ONE (band, sig)-keyed relation: the candidate join is
+    // a single equi-shuffle instead of one self-join stage per band —
+    // identical pair set (multi-band hits collapse in the distinct over
+    // bitwise-identical cosine rows)
     val sig = Par.ensure(df)
-      .select(col(idCol).as("id") +: col(vecCol).as("_v") +: bucketCols: _*)
+      .select(col(idCol).as("id"), col(vecCol).as("_v"),
+        posexplode(array((0 until numBands).map(b =>
+          lshBucket(col(vecCol), bandedHyperplanes(b, r, dim))): _*))
+          .as(Seq("_band", "_sig")))
       .persist()
-    val perBand = (0 until numBands).map { b =>
-      sig.as("x").join(sig.as("y"),
-          col(s"x._b$b") === col(s"y._b$b") && col("x.id") < col("y.id"))
-        .select(col("x.id").as("a"), col("y.id").as("b"),
-          cosine(col("x._v"), col("y._v")).as("cos_sim"))
-        .filter(col("cos_sim") >= threshold)
-    }
-    val out = perBand.reduce(_ unionByName _).distinct()
+    val out = sig.as("x").join(sig.as("y"),
+        col("x._band") === col("y._band") && col("x._sig") === col("y._sig") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        cosine(col("x._v"), col("y._v")).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+      .distinct()
     (out, () => { sig.unpersist(); () })
   }
 
@@ -718,8 +722,8 @@ object Similarity {
     * work at O(n·cap·bands), the [[embeddingNearDuplicates]]
     * discipline); each node keeps its `m` best candidates by cosine
     * through the O(m) partial-agg [[graft.functions.TopKAggregator]],
-    * and the directed top-m lists are symmetrized. One bucket-keyed
-    * shuffle per band plus one bounded aggregation — the connectivity a
+    * and the directed top-m lists are symmetrized. One
+    * (band, bucket)-keyed shuffle plus one bounded aggregation — the connectivity a
     * real NSW insert loop converges to, without its sequential insert
     * dependency (which cannot scale out).
     *
