@@ -56,16 +56,47 @@ object Snapshots {
   private def logDir(table: String) = s"$table/_log"
   private def logPath(table: String, v: Int) = f"${logDir(table)}/v$v%06d.json"
 
+  private def latestHintPath(table: String) = s"${logDir(table)}/_latest"
+
+  /** Resolve the current version WITHOUT a directory listing when
+    * possible: a `_log/_latest` hint object (the `_last_checkpoint`
+    * discipline) names a known-committed version; the reader probes
+    * FORWARD from it with exists() calls until the first gap — versions
+    * are dense by the commit protocol, and the hint is advisory
+    * (last-writer-wins, written AFTER publish), so a stale or lost hint
+    * only costs extra probes or the listing fallback, never a wrong
+    * answer. On an object store this turns every read's O(versions)
+    * listing into O(1 + commits-since-hint) HEADs. */
   def latestVersion(spark: SparkSession, table: String): Option[Int] = {
-    val p = new org.apache.hadoop.fs.Path(logDir(table))
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else {
-      val vs = fs.listStatus(p).toSeq.map(_.getPath.getName)
-        .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
-          n.stripPrefix("v").stripSuffix(".json").toInt }
-      if (vs.isEmpty) None else Some(vs.max)
+    val ops = new FileOps(spark.sparkContext.hadoopConfiguration)
+    val hinted =
+      if (!ops.exists(latestHintPath(table))) None
+      else scala.util.Try(ops.readString(latestHintPath(table)).trim.toInt)
+        .toOption.filter(h => h >= 1 && ops.exists(logPath(table, h)))
+    hinted match {
+      case Some(h) =>
+        var v = h
+        while (ops.exists(logPath(table, v + 1))) v += 1
+        Some(v)
+      case None => // no/invalid hint (pre-hint table, corrupt write): list
+        val p = new org.apache.hadoop.fs.Path(logDir(table))
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(p)) None
+        else {
+          val vs = fs.listStatus(p).toSeq.map(_.getPath.getName)
+            .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
+              n.stripPrefix("v").stripSuffix(".json").toInt }
+          if (vs.isEmpty) None else Some(vs.max)
+        }
     }
+  }
+
+  /** Advisory post-publish hint update (crash-safe: stale is fine). */
+  private def writeLatestHint(spark: SparkSession, table: String, v: Int): Unit = {
+    val ops = new FileOps(spark.sparkContext.hadoopConfiguration)
+    val tmp = s"${latestHintPath(table)}.tmp-${Naming.newRunId()}"
+    ops.writeString(tmp, v.toString)
+    ops.move(tmp, latestHintPath(table))
   }
 
   def snapshot(spark: SparkSession, table: String, v: Int): Option[Snapshot] = {
@@ -162,7 +193,10 @@ object Snapshots {
       val v = prev.map(_.version).getOrElse(0) + 1
       val (files, deletes, stats) = content(prev)
       beforePublish()
-      if (tryPublish(spark, table, v, files, deletes, stats)) return v
+      if (tryPublish(spark, table, v, files, deletes, stats)) {
+        writeLatestHint(spark, table, v)
+        return v
+      }
       attempt += 1
     }
     throw new IllegalStateException(

@@ -420,6 +420,32 @@ class SnapshotsSpec extends SparkTestBase {
     org.apache.commons.io.FileUtils.deleteQuietly(new File(t).getParentFile)
   }
 
+  test("latest-version hint: stale and missing hints heal, no wrong answers") {
+    val t = fresh("hint")
+    Snapshots.append(spark, t, orders.filter(col("o_orderkey") % 3 === 0))
+    Snapshots.append(spark, t, orders.filter(col("o_orderkey") % 3 === 1))
+    Snapshots.append(spark, t, orders.filter(col("o_orderkey") % 3 === 2))
+    assert(Snapshots.latestVersion(spark, t).contains(3))
+    val ops = new FileOps(spark.sparkContext.hadoopConfiguration)
+    val hint = s"$t/_log/_latest"
+    // a STALE hint (crash between publish and hint write) probes forward
+    ops.writeString(hint, "1")
+    assert(Snapshots.latestVersion(spark, t).contains(3))
+    // a MISSING hint falls back to the listing
+    ops.delete(hint)
+    assert(Snapshots.latestVersion(spark, t).contains(3))
+    // a CORRUPT hint is ignored, not propagated
+    ops.writeString(hint, "not-a-number")
+    assert(Snapshots.latestVersion(spark, t).contains(3))
+    // a hint pointing at a vacuumed (nonexistent) version is ignored
+    ops.writeString(hint, "999")
+    assert(Snapshots.latestVersion(spark, t).contains(3))
+    // and the next commit repairs the hint
+    Snapshots.append(spark, t, orders.limit(5))
+    assert(ops.readString(hint).trim == "4")
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(t).getParentFile)
+  }
+
   test("plain readers never see snapshot internals") {
     val t = fresh("plain")
     Snapshots.append(spark, t, orders.limit(100))
