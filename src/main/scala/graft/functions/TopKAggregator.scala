@@ -20,13 +20,28 @@ final class TopKAggregator[IN](k: Int, score: IN => Double, id: IN => Long)
     extends Aggregator[IN, Seq[(Double, Long)], Seq[(Double, Long)]]
     with Serializable {
 
+  // Amortized bound: the buffer grows by O(1) Vector appends up to
+  // `cap`, then one O(cap log cap) sort trims it back to k — a sort per
+  // row (the naive shrink-on-reduce) costs O(k log k) PER INPUT ROW on
+  // the hot path. State stays O(k)-bounded for the shuffle either way:
+  // partial buffers ship at most cap = max(4k, k+8) pairs.
+  private val cap = math.max(4 * k, k + 8)
+
   private def shrink(buf: Seq[(Double, Long)]): Seq[(Double, Long)] =
     buf.sortBy { case (s, i) => (-s, i) }.take(k)
 
-  override def zero: Seq[(Double, Long)] = Seq.empty
+  private def vec(buf: Seq[(Double, Long)]): Vector[(Double, Long)] =
+    buf match {
+      case v: Vector[(Double, Long)] => v
+      case s => s.toVector
+    }
 
-  override def reduce(buf: Seq[(Double, Long)], in: IN): Seq[(Double, Long)] =
-    shrink(buf :+ ((score(in), id(in))))
+  override def zero: Seq[(Double, Long)] = Vector.empty
+
+  override def reduce(buf: Seq[(Double, Long)], in: IN): Seq[(Double, Long)] = {
+    val appended = vec(buf) :+ ((score(in), id(in)))
+    if (appended.length > cap) shrink(appended) else appended
+  }
 
   override def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] =
     shrink(a ++ b)

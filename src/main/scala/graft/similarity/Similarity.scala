@@ -733,6 +733,10 @@ object Similarity {
     * seen (self excluded). Each hop joins the edge relation against the
     * BROADCAST (query × beam) frontier and scores new candidates on a
     * broadcast-joined corpus projection — the corpus never shuffles.
+    * Each hop reads the edge relation once (the q127 superstep shape);
+    * a production deployment persists the edges as a table BUCKETED on
+    * `src` so the frontier join bucket-prunes to the touched postings,
+    * exactly like the q122 inverted-index lookup.
     *
     * Every score is the shared fixed-order IEEE chain over ORIGINAL
     * vectors and every selection tie-breaks on ids, so the DuckDB
