@@ -51,7 +51,8 @@ object Snapshots {
     * anti join — relative so the table survives relocation
     * ([[LakePaths]]). */
   final case class Snapshot(version: Int, files: Seq[String],
-      deletes: Seq[String] = Nil, stats: FileStats = Map.empty)
+      deletes: Seq[String] = Nil, stats: FileStats = Map.empty,
+      renames: Seq[(String, String)] = Nil)
 
   private def logDir(table: String) = s"$table/_log"
   private def logPath(table: String, v: Int) = f"${logDir(table)}/v$v%06d.json"
@@ -121,7 +122,14 @@ object Snapshots {
         }
       case _ => Map.empty
     }
-    Some(Snapshot(v, strings("files"), strings("deletes"), stats))
+    val renames: Seq[(String, String)] = m.get("renames") match {
+      case Some(rs: Seq[_]) => rs.map { r =>
+        val pair = r.asInstanceOf[Seq[Any]]
+        (pair(0).toString, pair(1).toString)
+      }
+      case _ => Nil
+    }
+    Some(Snapshot(v, strings("files"), strings("deletes"), stats, renames))
   }
 
   private def latestSnapshot(spark: SparkSession, table: String): Option[Snapshot] =
@@ -146,7 +154,8 @@ object Snapshots {
     * committer already published `v` — the optimistic-concurrency
     * conflict signal. */
   private def tryPublish(spark: SparkSession, table: String, v: Int,
-      files: Seq[String], deletes: Seq[String], stats: FileStats): Boolean = {
+      files: Seq[String], deletes: Seq[String], stats: FileStats,
+      renames: Seq[(String, String)]): Boolean = {
     val conf = spark.sparkContext.hadoopConfiguration
     val ops = new FileOps(conf)
     val dst = new org.apache.hadoop.fs.Path(logPath(table, v))
@@ -159,7 +168,8 @@ object Snapshots {
       "stats" -> stats.map { case (f, cols) =>
         f -> cols.map { case (c, (mn, mx)) =>
           c -> Map("min" -> mn, "max" -> mx) }
-      }))
+      },
+      "renames" -> renames.map(r => Seq(r._1, r._2))))
     val tmp = s"${logPath(table, v)}.tmp-${Naming.newRunId()}"
     ops.writeString(tmp, json)
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, conf)
@@ -186,14 +196,15 @@ object Snapshots {
     * injection seam for specs (runs after content, before the claim). */
   private def commitLoop(spark: SparkSession, table: String,
       beforePublish: () => Unit = () => ())(
-      content: Option[Snapshot] => (Seq[String], Seq[String], FileStats)): Int = {
+      content: Option[Snapshot] => (Seq[String], Seq[String], FileStats,
+        Seq[(String, String)])): Int = {
     var attempt = 0
     while (attempt < MaxCommitAttempts) {
       val prev = latestSnapshot(spark, table)
       val v = prev.map(_.version).getOrElse(0) + 1
-      val (files, deletes, stats) = content(prev)
+      val (files, deletes, stats, renames) = content(prev)
       beforePublish()
-      if (tryPublish(spark, table, v, files, deletes, stats)) {
+      if (tryPublish(spark, table, v, files, deletes, stats, renames)) {
         writeLatestHint(spark, table, v)
         return v
       }
@@ -251,9 +262,11 @@ object Snapshots {
       beforePublish: () => Unit = () => ()): Int = {
     val (staged, stagedStats) = stage(spark, table, df, statsCols)
     commitLoop(spark, table, beforePublish) { prev =>
+      guardRecycledNames(df, prev)
       (prev.map(_.files).getOrElse(Nil) ++ staged,
         prev.map(_.deletes).getOrElse(Nil),
-        prev.map(_.stats).getOrElse(Map.empty) ++ stagedStats)
+        prev.map(_.stats).getOrElse(Map.empty) ++ stagedStats,
+        prev.map(_.renames).getOrElse(Nil))
     }
   }
 
@@ -262,7 +275,10 @@ object Snapshots {
   def overwrite(spark: SparkSession, table: String, df: DataFrame,
       statsCols: Seq[String] = Nil): Int = {
     val (staged, stagedStats) = stage(spark, table, df, statsCols)
-    commitLoop(spark, table) { _ => (staged, Nil, stagedStats) }
+    commitLoop(spark, table) { prev =>
+      guardRecycledNames(df, prev)
+      (staged, Nil, stagedStats, prev.map(_.renames).getOrElse(Nil))
+    }
   }
 
   // -------------------------------------------------------------- reads
@@ -306,10 +322,17 @@ object Snapshots {
 
   /** Time-travel scan: exactly version `v`'s files, minus its positional
     * deletes (broadcast anti join — same shape and scale argument as
-    * [[DeletionVectors.read]]). */
+    * [[DeletionVectors.read]]). A snapshot carrying column renames
+    * routes through the era-aware read so every era surfaces the
+    * current names; rename-free snapshots keep the single-scan
+    * mergeSchema fast path. */
+  private def readDispatch(spark: SparkSession, table: String,
+      s: Snapshot): DataFrame =
+    if (s.renames.isEmpty) readSnapshot(spark, table, s.files, s.deletes)
+    else eraRead(spark, table, s)
+
   def readAt(spark: SparkSession, table: String, v: Int): Option[DataFrame] =
-    snapshot(spark, table, v).map(s =>
-      readSnapshot(spark, table, s.files, s.deletes))
+    snapshot(spark, table, v).map(s => readDispatch(spark, table, s))
 
   def readLatest(spark: SparkSession, table: String): Option[DataFrame] =
     latestVersion(spark, table).flatMap(v => readAt(spark, table, v))
@@ -347,12 +370,66 @@ object Snapshots {
       s <- snapshot(spark, table, v)
       files <- prunedFilesAt(spark, table, v, column, lo, hi)
     } yield
-      (if (files.isEmpty)
-        readSnapshot(spark, table, s.files, s.deletes).limit(0)
-      else readSnapshot(spark, table, files, s.deletes))
+      (if (files.isEmpty) readDispatch(spark, table, s).limit(0)
+      else readDispatch(spark, table, s.copy(files = files)))
         .filter(col(column) >= lo && col(column) <= hi)
 
   // ------------------------------------------------- schema evolution
+
+  /** A column name mapped through the snapshot's rename chain (applied
+    * in commit order, so `a→b` then `b→c` resolves an `a`-era column to
+    * `c`). */
+  private def renamedName(renames: Seq[(String, String)], n: String): String =
+    renames.foldLeft(n)((cur, r) => if (cur == r._1) r._2 else cur)
+
+  /** Renamed-away names are TOMBSTONED: a later commit may not introduce
+    * a column reusing one (the chain would mis-rename it). This is the
+    * one restriction of name-chain renames that Iceberg's numeric
+    * field-ids lift; Delta's name-based column mapping imposes the
+    * same rule. */
+  private def guardRecycledNames(df: DataFrame, prev: Option[Snapshot]): Unit = {
+    val tombstoned = prev.map(_.renames.map(_._1).toSet).getOrElse(Set.empty)
+    val clash = df.schema.fieldNames.filter(tombstoned)
+    if (clash.nonEmpty) throw new IllegalArgumentException(
+      s"column name(s) ${clash.mkString(", ")} were renamed away and " +
+        "cannot be recycled under name-chain renames")
+  }
+
+  /** Files grouped per commit directory with one probed schema each
+    * (files of a commit share a schema — O(commits) footer reads). */
+  private def eraGroups(spark: SparkSession, table: String,
+      files: Seq[String]): Seq[(Seq[String], StructType)] =
+    files.groupBy(f => f.split("/").dropRight(1).mkString("/"))
+      .toSeq.sortBy(_._1).map(_._2)
+      .map(fs => fs -> spark.read.parquet(s"$table/${fs.head}").schema)
+
+  /** Metadata-only column RENAME (`ALTER TABLE … RENAME COLUMN`): a new
+    * version records `from → to` in the log's rename chain — ZERO data
+    * files touched; every era's files keep their written name and
+    * [[readAt]] surfaces them under the current name, while time travel
+    * BELOW the rename still shows the era's own name (the chain is
+    * versioned with the log). Stats keys follow the rename so log-level
+    * pruning keeps working under the current name. Old names are
+    * tombstoned against recycling ([[guardRecycledNames]]). */
+  def renameColumn(spark: SparkSession, table: String, from: String,
+      to: String): Int = {
+    require(from != to, s"rename of $from onto itself")
+    commitLoop(spark, table) { prevOpt =>
+      val prev = prevOpt.getOrElse(throw new IllegalStateException(
+        s"cannot rename a column of never-committed table $table"))
+      val current = eraGroups(spark, table, prev.files)
+        .flatMap(_._2.fieldNames).map(renamedName(prev.renames, _)).toSet
+      require(current.contains(from), s"no current column named $from")
+      require(!current.contains(to), s"column $to already exists")
+      require(!prev.renames.exists(_._1 == to),
+        s"$to was renamed away earlier and cannot be recycled")
+      // stats keys are maintained as current-at-their-snapshot names
+      val stats = prev.stats.map { case (f, cols) =>
+        f -> cols.map { case (c, v) => (if (c == from) to else c) -> v }
+      }
+      (prev.files, prev.deletes, stats, prev.renames :+ (from -> to))
+    }
+  }
 
   private def numRank(t: DataType): Option[Int] = t match {
     case ByteType => Some(1)
@@ -402,36 +479,41 @@ object Snapshots {
       if (present.forall(_.contains(f.name))) f else f.copy(nullable = true)))
   }
 
-  /** Schema-evolution read with numeric TYPE WIDENING — the other half
-    * of the evolution contract beyond additive columns: when a version's
-    * file list spans commits whose schemas disagree by int→long /
-    * float→double (parquet `mergeSchema` refuses those), resolve the
-    * widened target schema from ONE footer per commit directory (files
-    * of a commit share a schema — O(commits) metadata, not O(files)),
-    * read each era, cast up, and union. Time travel to a single-era
-    * version still returns that era's own narrow type ([[readAt]]). */
+  /** Schema-evolution read with numeric TYPE WIDENING and column
+    * RENAMES — the other half of the evolution contract beyond additive
+    * columns: when a version's file list spans commits whose schemas
+    * disagree by int→long / float→double (parquet `mergeSchema` refuses
+    * those) or by renamed columns, resolve each era's schema from ONE
+    * footer per commit directory (files of a commit share a schema —
+    * O(commits) metadata, not O(files)), map era names through the
+    * snapshot's rename chain, widen, cast up, and union. Time travel to
+    * a single-era version still returns that era's own narrow type and
+    * names ([[readAt]] — the rename chain is versioned with the log). */
   def readAtWidened(spark: SparkSession, table: String, v: Int): Option[DataFrame] =
-    snapshot(spark, table, v).map { s =>
-      if (s.files.isEmpty) spark.emptyDataFrame
-      else {
-        val byCommit = s.files.groupBy(f => f.split("/").dropRight(1).mkString("/"))
-          .toSeq.sortBy(_._1).map(_._2)
-        val schemas = byCommit.map(fs =>
-          spark.read.parquet(s"$table/${fs.head}").schema)
-        val target = widenSchemas(schemas)
-        val eras = byCommit.zip(schemas).map { case (fs, era) =>
-          val present = era.fieldNames.toSet
-          val casts = target.fields.toSeq.map { f =>
-            if (present(f.name)) col(f.name).cast(f.dataType).as(f.name)
-            else lit(null).cast(f.dataType).as(f.name)
-          }
-          withMeta(spark, table, fs)
-            .select(col("_snap_file") +: col("_snap_pos") +: casts: _*)
-        }
-        subtractDeletes(spark, table, eras.reduce(_ unionByName _), s.deletes)
-          .drop("_snap_file", "_snap_pos")
-      }
+    snapshot(spark, table, v).map(s => eraRead(spark, table, s))
+
+  private def eraRead(spark: SparkSession, table: String, s: Snapshot): DataFrame = {
+    if (s.files.isEmpty) return spark.emptyDataFrame
+    val groups = eraGroups(spark, table, s.files)
+    val mappedSchemas = groups.map { case (_, era) =>
+      StructType(era.map(f => f.copy(name = renamedName(s.renames, f.name))))
     }
+    val target = widenSchemas(mappedSchemas)
+    val eras = groups.map { case (fs, era) =>
+      val eraByMapped = era.fieldNames
+        .map(n => renamedName(s.renames, n) -> n).toMap
+      val casts = target.fields.toSeq.map { f =>
+        eraByMapped.get(f.name) match {
+          case Some(orig) => col(orig).cast(f.dataType).as(f.name)
+          case None => lit(null).cast(f.dataType).as(f.name)
+        }
+      }
+      withMeta(spark, table, fs)
+        .select(col("_snap_file") +: col("_snap_pos") +: casts: _*)
+    }
+    subtractDeletes(spark, table, eras.reduce(_ unionByName _), s.deletes)
+      .drop("_snap_file", "_snap_pos")
+  }
 
   // -------------------------------------------------------------- merge
 
@@ -473,8 +555,10 @@ object Snapshots {
           tomb.coalesce(1).write.mode("overwrite").parquet(s"$table/$dRel")
           listFresh(spark, s"$table/$dRel", dRel)
         }
+      guardRecycledNames(changes, prev)
       (prevFiles ++ staged, prevDeletes ++ newDeletes,
-        prev.map(_.stats).getOrElse(Map.empty) ++ stagedStats)
+        prev.map(_.stats).getOrElse(Map.empty) ++ stagedStats,
+        prev.map(_.renames).getOrElse(Nil))
     }
   }
 
@@ -506,7 +590,8 @@ object Snapshots {
           listFresh(spark, s"$table/$dRel", dRel)
         }
       (prevFiles, prevDeletes ++ newDeletes,
-        prev.map(_.stats).getOrElse(Map.empty))
+        prev.map(_.stats).getOrElse(Map.empty),
+        prev.map(_.renames).getOrElse(Nil))
     }
 
   /** OPTIMIZE: rewrite the current live view (data minus positional
@@ -593,7 +678,15 @@ object Snapshots {
             .drop("_snap_file", "_snap_pos")
             .withColumn("_change_type", lit("delete"))
         }
+      // a rename inside (or before) the window: every side is surfaced
+      // under v2's CURRENT names, so old-era delete images union with
+      // new-era inserts instead of splitting into disjoint null columns
+      def normalized(df: DataFrame): DataFrame =
+        if (s2.renames.isEmpty) df
+        else df.select(df.columns.toSeq.map(c =>
+          col(c).as(renamedName(s2.renames, c))): _*)
       val parts = Seq(inserts, tombDeletes, rewriteDeletes).flatten
+        .map(normalized)
       if (parts.isEmpty) spark.emptyDataFrame
       else parts.reduce(_.unionByName(_, allowMissingColumns = true))
     }

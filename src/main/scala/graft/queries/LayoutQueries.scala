@@ -337,7 +337,48 @@ object LayoutQueries {
     aggAt(v2).unionAll(aggAt(v3))
   }
 
+  /** q171 — metadata-only column RENAME across snapshot eras
+    * ([[graft.lake.Snapshots.renameColumn]], the rename-by-id half of
+    * the Iceberg evolution contract, via a versioned name chain): v1
+    * commits under `o_chan`; a rename commit maps it to `o_channel`
+    * touching ZERO data files; v3 appends under the new name. The
+    * latest read unifies both eras under the current name (the v1 files
+    * still physically store `o_chan` — gate-pinned by the closed-form
+    * channel assignment spanning both eras), while time travel to v1
+    * surfaces the era's own name, attested in the marker column.
+    * SnapshotsSpec additionally pins the no-recycling tombstone and
+    * stats-key follow-through. */
+  def columnRename(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Snapshots
+    val table = graft.util.Scratch.dir("rename_table", dir)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+    val orders = Tables(spark, dir, "orders")
+    def channelOf(c: org.apache.spark.sql.Column) =
+      when(c % 3 === 0, lit("web")).otherwise(lit("store"))
+    Snapshots.append(spark, table,
+      orders.filter(col("o_orderkey") % 2 === 0)
+        .withColumn("o_chan", channelOf(col("o_orderkey"))))
+    Snapshots.renameColumn(spark, table, "o_chan", "o_channel")
+    Snapshots.append(spark, table,
+      orders.filter(col("o_orderkey") % 2 === 1)
+        .withColumn("o_channel", channelOf(col("o_orderkey"))))
+    val v1KeepsOldName = Snapshots.readAt(spark, table, 1).get
+      .columns.contains("o_chan")
+    Snapshots.readLatest(spark, table).get
+      .groupBy(col("o_channel"))
+      .agg(count(lit(1)).as("n_rows"),
+        Num.sumMoney(col("o_totalprice")).as("sum_price"))
+      .withColumn("v1_keeps_old_name", lit(v1KeepsOldName))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q171_column_rename", columnRename, Some(s"""
+      SELECT CASE WHEN o_orderkey % 3 = 0 THEN 'web' ELSE 'store' END
+               AS o_channel,
+             COUNT(*) AS n_rows,
+             ${Num.sqlSumMoney("o_totalprice")} AS sum_price,
+             true AS v1_keeps_old_name
+      FROM orders GROUP BY 1""")),
     QueryDef("q169_predicate_delete", predicateDelete, Some(s"""
       SELECT CAST(2 AS BIGINT) AS version, COUNT(*) AS n_rows,
              ${Num.sqlSumMoney("o_totalprice")} AS sum_price

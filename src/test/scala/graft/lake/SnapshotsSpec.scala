@@ -446,6 +446,67 @@ class SnapshotsSpec extends SparkTestBase {
     org.apache.commons.io.FileUtils.deleteQuietly(new File(t).getParentFile)
   }
 
+  test("column rename: metadata-only, versioned with the log, names tombstoned") {
+    val t = fresh("rename")
+    Snapshots.append(spark, t,
+      orders.filter(col("o_orderkey") % 2 === 0)
+        .withColumn("o_chan", lit("web")))
+    def dataFilesBytes: Long = Snapshots.snapshot(spark, t,
+        Snapshots.latestVersion(spark, t).get).get.files
+      .map(f => new File(t, f).length()).sum
+    val bytesBefore = dataFilesBytes
+    val v2 = Snapshots.renameColumn(spark, t, "o_chan", "o_channel")
+    // zero data movement; same files, new name surfaced
+    assert(dataFilesBytes == bytesBefore)
+    assert(Snapshots.snapshot(spark, t, v2).get.files ==
+      Snapshots.snapshot(spark, t, 1).get.files)
+    assert(Snapshots.readAt(spark, t, v2).get.columns.contains("o_channel"))
+    assert(!Snapshots.readAt(spark, t, v2).get.columns.contains("o_chan"))
+    // time travel below the rename keeps the era's own name
+    assert(Snapshots.readAt(spark, t, 1).get.columns.contains("o_chan"))
+    // later appends use the new name and unify
+    Snapshots.append(spark, t,
+      orders.filter(col("o_orderkey") % 2 === 1)
+        .withColumn("o_channel", lit("store")))
+    val merged = Snapshots.readLatest(spark, t).get
+    assert(merged.filter(col("o_channel") === "web").count() ==
+      orders.filter(col("o_orderkey") % 2 === 0).count())
+    assert(merged.filter(col("o_channel") === "store").count() ==
+      orders.filter(col("o_orderkey") % 2 === 1).count())
+    // chained rename resolves transitively; the old name is tombstoned
+    Snapshots.renameColumn(spark, t, "o_channel", "o_src")
+    assert(Snapshots.readLatest(spark, t).get.columns.contains("o_src"))
+    intercept[IllegalArgumentException](
+      Snapshots.append(spark, t, orders.limit(1).withColumn("o_chan", lit("x"))))
+    intercept[IllegalArgumentException](
+      Snapshots.renameColumn(spark, t, "o_src", "o_chan"))
+    // renaming a missing column or onto an existing one refuses
+    intercept[IllegalArgumentException](
+      Snapshots.renameColumn(spark, t, "nope", "x"))
+    intercept[IllegalArgumentException](
+      Snapshots.renameColumn(spark, t, "o_src", "o_orderkey"))
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(t).getParentFile)
+  }
+
+  test("rename keeps log-stats pruning working under the current name") {
+    val t = fresh("renstats")
+    Snapshots.append(spark, t,
+      orders.repartitionByRange(8, col("o_totalprice"))
+        .withColumnRenamed("o_totalprice", "o_price"),
+      statsCols = Seq("o_price"))
+    Snapshots.renameColumn(spark, t, "o_price", "o_amount")
+    val v = Snapshots.latestVersion(spark, t).get
+    val pruned = Snapshots.prunedFilesAt(spark, t, v,
+      "o_amount", 50000.0, 150000.0).get
+    val all = Snapshots.snapshot(spark, t, v).get.files
+    assert(pruned.nonEmpty && pruned.size < all.size)
+    val got = Snapshots.readAtPruned(spark, t, v, "o_amount", 50000.0, 150000.0).get
+    val want = orders.filter(col("o_totalprice") >= 50000.0 &&
+      col("o_totalprice") <= 150000.0)
+    assert(got.count() == want.count())
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(t).getParentFile)
+  }
+
   test("plain readers never see snapshot internals") {
     val t = fresh("plain")
     Snapshots.append(spark, t, orders.limit(100))
