@@ -492,14 +492,23 @@ object Snapshots {
   def readAtWidened(spark: SparkSession, table: String, v: Int): Option[DataFrame] =
     snapshot(spark, table, v).map(s => eraRead(spark, table, s))
 
-  private def eraRead(spark: SparkSession, table: String, s: Snapshot): DataFrame = {
-    if (s.files.isEmpty) return spark.emptyDataFrame
+  /** The era-aware multi-schema scan keeping the reader columns: one
+    * schema probe per commit dir, era names mapped through the rename
+    * chain, types cast to the widened union, all eras unioned. This is
+    * the multi-era equivalent of [[withMeta]] and the scan EVERY
+    * DML/feed path uses over a possibly-evolved file set — a plain
+    * mergeSchema read would throw on widened eras, and on renamed eras
+    * would silently surface old names (a merge key or delete predicate
+    * on the current name would MISS every old-era row). Requires
+    * s.files nonEmpty. */
+  private def withMetaEras(spark: SparkSession, table: String,
+      s: Snapshot): DataFrame = {
     val groups = eraGroups(spark, table, s.files)
     val mappedSchemas = groups.map { case (_, era) =>
       StructType(era.map(f => f.copy(name = renamedName(s.renames, f.name))))
     }
     val target = widenSchemas(mappedSchemas)
-    val eras = groups.map { case (fs, era) =>
+    groups.map { case (fs, era) =>
       val eraByMapped = era.fieldNames
         .map(n => renamedName(s.renames, n) -> n).toMap
       val casts = target.fields.toSeq.map { f =>
@@ -510,10 +519,13 @@ object Snapshots {
       }
       withMeta(spark, table, fs)
         .select(col("_snap_file") +: col("_snap_pos") +: casts: _*)
-    }
-    subtractDeletes(spark, table, eras.reduce(_ unionByName _), s.deletes)
-      .drop("_snap_file", "_snap_pos")
+    }.reduce(_ unionByName _)
   }
+
+  private def eraRead(spark: SparkSession, table: String, s: Snapshot): DataFrame =
+    if (s.files.isEmpty) spark.emptyDataFrame
+    else subtractDeletes(spark, table, withMetaEras(spark, table, s), s.deletes)
+      .drop("_snap_file", "_snap_pos")
 
   // -------------------------------------------------------------- merge
 
@@ -546,8 +558,10 @@ object Snapshots {
       val newDeletes: Seq[String] =
         if (prevFiles.isEmpty) Nil
         else {
+          // era-aware live view: merge keys must match old-era rows
+          // under renamed/widened schemas too
           val live = subtractDeletes(spark, table,
-            withMeta(spark, table, prevFiles), prevDeletes)
+            withMetaEras(spark, table, prev.get), prevDeletes)
           val keys = changes.select(keyCols.map(col): _*).distinct()
           val tomb = live.join(broadcast(keys), keyCols, "left_semi")
             .select(col("_snap_file").as("file"), col("_snap_pos").as("pos"))
@@ -581,8 +595,9 @@ object Snapshots {
       val newDeletes: Seq[String] =
         if (prevFiles.isEmpty) Nil
         else {
+          // era-aware live view: the predicate speaks CURRENT names
           val live = subtractDeletes(spark, table,
-            withMeta(spark, table, prevFiles), prevDeletes)
+            withMetaEras(spark, table, prev.get), prevDeletes)
           val tomb = live.filter(pred)
             .select(col("_snap_file").as("file"), col("_snap_pos").as("pos"))
           val dRel = s"_snap/d-${Naming.newRunId()}"
@@ -650,7 +665,7 @@ object Snapshots {
       val inserts =
         if (newFiles.isEmpty) None
         else Some {
-          val rows = withMeta(spark, table, newFiles)
+          val rows = withMetaEras(spark, table, s2.copy(files = newFiles))
           tombs.fold(rows)(t => rows.join(broadcast(t),
               rows("_snap_file") === t("file") && rows("_snap_pos") === t("pos"),
               "left_anti"))
@@ -663,7 +678,7 @@ object Snapshots {
       val tombDeletes =
         if (retained.isEmpty) None
         else tombs.map { t =>
-          val old = withMeta(spark, table, retained)
+          val old = withMetaEras(spark, table, s2.copy(files = retained))
           old.join(broadcast(t),
               old("_snap_file") === t("file") && old("_snap_pos") === t("pos"),
               "left_semi")
@@ -674,19 +689,14 @@ object Snapshots {
         if (dropped.isEmpty) None
         else Some {
           subtractDeletes(spark, table,
-              withMeta(spark, table, dropped), s1.deletes)
+              withMetaEras(spark, table, s2.copy(files = dropped)), s1.deletes)
             .drop("_snap_file", "_snap_pos")
             .withColumn("_change_type", lit("delete"))
         }
-      // a rename inside (or before) the window: every side is surfaced
-      // under v2's CURRENT names, so old-era delete images union with
-      // new-era inserts instead of splitting into disjoint null columns
-      def normalized(df: DataFrame): DataFrame =
-        if (s2.renames.isEmpty) df
-        else df.select(df.columns.toSeq.map(c =>
-          col(c).as(renamedName(s2.renames, c))): _*)
+      // every side reads through the era-aware scan with v2's rename
+      // chain, so old-era delete images union with new-era inserts under
+      // the CURRENT names and widened types
       val parts = Seq(inserts, tombDeletes, rewriteDeletes).flatten
-        .map(normalized)
       if (parts.isEmpty) spark.emptyDataFrame
       else parts.reduce(_.unionByName(_, allowMissingColumns = true))
     }

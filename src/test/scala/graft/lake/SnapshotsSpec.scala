@@ -507,6 +507,40 @@ class SnapshotsSpec extends SparkTestBase {
     org.apache.commons.io.FileUtils.deleteQuietly(new File(t).getParentFile)
   }
 
+  test("DML on evolved tables: merge keys and delete predicates reach old eras") {
+    val t = fresh("evolvedml")
+    // era 1: int metric, old column name
+    Snapshots.append(spark, t,
+      orders.filter(col("o_orderkey") % 2 === 0)
+        .withColumn("o_units", (col("o_orderkey") % 100).cast("int"))
+        .withColumnRenamed("o_totalprice", "o_price"))
+    Snapshots.renameColumn(spark, t, "o_price", "o_amount")
+    // era 2: bigint metric, current column name — widened + renamed mix
+    Snapshots.append(spark, t,
+      orders.filter(col("o_orderkey") % 2 === 1)
+        .withColumn("o_units", col("o_orderkey") % 100 + 10000000000L)
+        .withColumnRenamed("o_totalprice", "o_amount"))
+    // a predicate on the CURRENT name must tombstone rows of BOTH eras
+    Snapshots.deleteWhere(spark, t, col("o_amount") < 50000)
+    val afterDelete = Snapshots.readLatest(spark, t).get
+    assert(afterDelete.filter(col("o_amount") < 50000).count() == 0)
+    assert(afterDelete.count() ==
+      orders.filter(col("o_totalprice") >= 50000).count())
+    // a merge keyed on o_orderkey must supersede OLD-era copies too
+    val upd = orders.filter(col("o_orderkey") % 4 === 0)
+      .withColumn("o_units", col("o_orderkey") % 100 + 20000000000L)
+      .withColumnRenamed("o_totalprice", "o_amount")
+    Snapshots.merge(spark, t, upd, Seq("o_orderkey"))
+    val fin = Snapshots.readLatest(spark, t).get.cache()
+    assert(fin.groupBy("o_orderkey").count()
+      .filter(col("count") > 1).count() == 0,
+      "merge missed an old-era live copy (duplicate keys survive)")
+    assert(fin.filter(col("o_units") >= 20000000000L).count() ==
+      orders.filter(col("o_orderkey") % 4 === 0).count())
+    fin.unpersist()
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(t).getParentFile)
+  }
+
   test("plain readers never see snapshot internals") {
     val t = fresh("plain")
     Snapshots.append(spark, t, orders.limit(100))
