@@ -11,12 +11,16 @@ import org.apache.spark.sql.types._
   * discipline:
   *
   *  - every commit stages its NEW data files into a run-unique directory
-  *    (`_snap/c-<runId>/`, underscore-invisible to plain readers) and
-  *    then publishes `_log/v<N>.json` — the complete file list of that
-  *    version (previous files carried forward by reference for appends,
-  *    dropped for overwrites), its positional-delete file list, and
-  *    optional per-file column min/max stats. Data files are immutable
-  *    and SHARED between versions; an append writes only its delta.
+  *    (`_snap/c-<runId>/`, underscore-invisible to plain readers),
+  *    writes ONE immutable manifest object (`_log/m-<id>.json`: the
+  *    delta's file list + per-file column min/max stats — the Iceberg
+  *    manifest shape), and publishes `_log/v<N>.json` naming the
+  *    version's manifest list (previous manifests carried forward BY
+  *    REFERENCE for appends, replaced for overwrites), its
+  *    positional-delete files, and its column-rename chain. Data files
+  *    AND manifests are immutable and shared between versions, so a
+  *    commit writes O(delta) metadata and the log object stays
+  *    O(commits-since-rewrite) — never O(table files).
   *  - publishing is OPTIMISTIC-CONCURRENCY: the log object for version
   *    N+1 is claimed with a fail-if-exists rename; a committer that
   *    loses the race re-reads the new latest snapshot, recomputes its
@@ -52,7 +56,8 @@ object Snapshots {
     * ([[LakePaths]]). */
   final case class Snapshot(version: Int, files: Seq[String],
       deletes: Seq[String] = Nil, stats: FileStats = Map.empty,
-      renames: Seq[(String, String)] = Nil)
+      renames: Seq[(String, String)] = Nil,
+      manifests: Seq[String] = Nil)
 
   private def logDir(table: String) = s"$table/_log"
   private def logPath(table: String, v: Int) = f"${logDir(table)}/v$v%06d.json"
@@ -100,19 +105,13 @@ object Snapshots {
     ops.move(tmp, latestHintPath(table))
   }
 
-  def snapshot(spark: SparkSession, table: String, v: Int): Option[Snapshot] = {
-    val ops = new FileOps(spark.sparkContext.hadoopConfiguration)
-    val path = logPath(table, v)
-    if (!ops.exists(path)) return None
-    val m = Json.parseObject(ops.readString(path))
-    def strings(k: String): Seq[String] =
-      m.get(k).map(_.asInstanceOf[Seq[Any]].map(_.toString)).getOrElse(Nil)
+  private def parseStats(m: Map[String, Any]): FileStats = {
     def dbl(a: Any): Double = a match {
       case l: Long => l.toDouble
       case d: Double => d
       case other => other.toString.toDouble
     }
-    val stats: FileStats = m.get("stats") match {
+    m.get("stats") match {
       case Some(sm: Map[_, _]) =>
         sm.asInstanceOf[Map[String, Any]].map { case (f, cols) =>
           f -> cols.asInstanceOf[Map[String, Any]].map { case (c, mm) =>
@@ -122,6 +121,20 @@ object Snapshots {
         }
       case _ => Map.empty
     }
+  }
+
+  /** Resolve version `v`: one small log object naming the MANIFESTS it
+    * is composed of, plus its delete files and rename chain; each
+    * manifest is resolved (through the immutable-content cache) into
+    * its file list and stats. Stats keys are materialized under CURRENT
+    * names by mapping era-time keys through the rename chain. */
+  def snapshot(spark: SparkSession, table: String, v: Int): Option[Snapshot] = {
+    val ops = new FileOps(spark.sparkContext.hadoopConfiguration)
+    val path = logPath(table, v)
+    if (!ops.exists(path)) return None
+    val m = Json.parseObject(ops.readString(path))
+    def strings(k: String): Seq[String] =
+      m.get(k).map(_.asInstanceOf[Seq[Any]].map(_.toString)).getOrElse(Nil)
     val renames: Seq[(String, String)] = m.get("renames") match {
       case Some(rs: Seq[_]) => rs.map { r =>
         val pair = r.asInstanceOf[Seq[Any]]
@@ -129,8 +142,55 @@ object Snapshots {
       }
       case _ => Nil
     }
-    Some(Snapshot(v, strings("files"), strings("deletes"), stats, renames))
+    val manifestIds = strings("manifests")
+    val resolved = manifestIds.map(id => readManifest(spark, table, id))
+    val files = resolved.flatMap(_._1)
+    val rawStats = resolved.map(_._2).foldLeft(parseStats(m))(_ ++ _)
+    val stats = rawStats.map { case (f, cols) =>
+      f -> cols.map { case (c, v2) => renamedName(renames, c) -> v2 }
+    }
+    Some(Snapshot(v, files ++ strings("files"), strings("deletes"), stats,
+      renames, manifestIds))
   }
+
+  private def manifestPath(table: String, id: String) =
+    s"${logDir(table)}/m-$id.json"
+
+  // manifests are immutable once written: cache resolution per JVM
+  private val manifestCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), (Seq[String], FileStats)]
+
+  /** One immutable manifest object: the file list + per-file stats of a
+    * single commit's delta (the Iceberg manifest shape). Versions share
+    * manifests BY REFERENCE, so a commit writes O(delta) metadata and
+    * the log object stays O(commits-since-rewrite) — never O(table
+    * files). */
+  private def writeManifest(spark: SparkSession, table: String,
+      files: Seq[String], stats: FileStats): String = {
+    val ops = new FileOps(spark.sparkContext.hadoopConfiguration)
+    val id = Naming.newRunId()
+    val json = Json.render(Map(
+      "files" -> files,
+      "stats" -> stats.map { case (f, cols) =>
+        f -> cols.map { case (c, (mn, mx)) =>
+          c -> Map("min" -> mn, "max" -> mx) }
+      }))
+    val tmp = s"${manifestPath(table, id)}.tmp"
+    ops.writeString(tmp, json)
+    ops.move(tmp, manifestPath(table, id))
+    manifestCache.putIfAbsent((table, id), (files, stats))
+    id
+  }
+
+  private def readManifest(spark: SparkSession, table: String,
+      id: String): (Seq[String], FileStats) =
+    manifestCache.getOrElseUpdate((table, id), {
+      val ops = new FileOps(spark.sparkContext.hadoopConfiguration)
+      val m = Json.parseObject(ops.readString(manifestPath(table, id)))
+      val files = m.get("files").map(_.asInstanceOf[Seq[Any]].map(_.toString))
+        .getOrElse(Nil)
+      (files, parseStats(m))
+    })
 
   private def latestSnapshot(spark: SparkSession, table: String): Option[Snapshot] =
     latestVersion(spark, table).flatMap(v => snapshot(spark, table, v))
@@ -154,7 +214,7 @@ object Snapshots {
     * committer already published `v` — the optimistic-concurrency
     * conflict signal. */
   private def tryPublish(spark: SparkSession, table: String, v: Int,
-      files: Seq[String], deletes: Seq[String], stats: FileStats,
+      manifests: Seq[String], deletes: Seq[String],
       renames: Seq[(String, String)]): Boolean = {
     val conf = spark.sparkContext.hadoopConfiguration
     val ops = new FileOps(conf)
@@ -163,12 +223,8 @@ object Snapshots {
     if (fs.exists(dst)) return false // cheap fast path; rename still guards
     val json = Json.render(Map(
       "version" -> v.toLong,
-      "files" -> files,
+      "manifests" -> manifests,
       "deletes" -> deletes,
-      "stats" -> stats.map { case (f, cols) =>
-        f -> cols.map { case (c, (mn, mx)) =>
-          c -> Map("min" -> mn, "max" -> mx) }
-      },
       "renames" -> renames.map(r => Seq(r._1, r._2))))
     val tmp = s"${logPath(table, v)}.tmp-${Naming.newRunId()}"
     ops.writeString(tmp, json)
@@ -188,23 +244,24 @@ object Snapshots {
   private val MaxCommitAttempts = 20
 
   /** The optimistic-concurrency commit loop: read the latest snapshot,
-    * let `content` compute the full (files, deletes, stats) of the next
-    * version AGAINST IT, and attempt an exclusive publish of latest+1.
-    * A lost race re-enters `content` with the NEW latest — append/merge
-    * recompute their carry (and merge its tombstones) so no concurrent
-    * writer's files are dropped. `beforePublish` is the failure/race
-    * injection seam for specs (runs after content, before the claim). */
+    * let `content` compute the next version's (manifest list, delete
+    * files, rename chain) AGAINST IT, and attempt an exclusive publish
+    * of latest+1. A lost race re-enters `content` with the NEW latest —
+    * append/merge recompute their carry (and merge its tombstones) so
+    * no concurrent writer's files are dropped. `beforePublish` is the
+    * failure/race injection seam for specs (runs after content, before
+    * the claim). */
   private def commitLoop(spark: SparkSession, table: String,
       beforePublish: () => Unit = () => ())(
-      content: Option[Snapshot] => (Seq[String], Seq[String], FileStats,
+      content: Option[Snapshot] => (Seq[String], Seq[String],
         Seq[(String, String)])): Int = {
     var attempt = 0
     while (attempt < MaxCommitAttempts) {
       val prev = latestSnapshot(spark, table)
       val v = prev.map(_.version).getOrElse(0) + 1
-      val (files, deletes, stats, renames) = content(prev)
+      val (manifests, deletes, renames) = content(prev)
       beforePublish()
-      if (tryPublish(spark, table, v, files, deletes, stats, renames)) {
+      if (tryPublish(spark, table, v, manifests, deletes, renames)) {
         writeLatestHint(spark, table, v)
         return v
       }
@@ -261,11 +318,11 @@ object Snapshots {
       statsCols: Seq[String] = Nil,
       beforePublish: () => Unit = () => ()): Int = {
     val (staged, stagedStats) = stage(spark, table, df, statsCols)
+    val mid = writeManifest(spark, table, staged, stagedStats)
     commitLoop(spark, table, beforePublish) { prev =>
       guardRecycledNames(df, prev)
-      (prev.map(_.files).getOrElse(Nil) ++ staged,
+      (prev.map(_.manifests).getOrElse(Nil) :+ mid,
         prev.map(_.deletes).getOrElse(Nil),
-        prev.map(_.stats).getOrElse(Map.empty) ++ stagedStats,
         prev.map(_.renames).getOrElse(Nil))
     }
   }
@@ -275,9 +332,10 @@ object Snapshots {
   def overwrite(spark: SparkSession, table: String, df: DataFrame,
       statsCols: Seq[String] = Nil): Int = {
     val (staged, stagedStats) = stage(spark, table, df, statsCols)
+    val mid = writeManifest(spark, table, staged, stagedStats)
     commitLoop(spark, table) { prev =>
       guardRecycledNames(df, prev)
-      (staged, Nil, stagedStats, prev.map(_.renames).getOrElse(Nil))
+      (Seq(mid), Nil, prev.map(_.renames).getOrElse(Nil))
     }
   }
 
@@ -423,11 +481,9 @@ object Snapshots {
       require(!current.contains(to), s"column $to already exists")
       require(!prev.renames.exists(_._1 == to),
         s"$to was renamed away earlier and cannot be recycled")
-      // stats keys are maintained as current-at-their-snapshot names
-      val stats = prev.stats.map { case (f, cols) =>
-        f -> cols.map { case (c, v) => (if (c == from) to else c) -> v }
-      }
-      (prev.files, prev.deletes, stats, prev.renames :+ (from -> to))
+      // stats keys need no rewrite: [[snapshot]] materializes them
+      // through the rename chain, so pruning always sees current names
+      (prev.manifests, prev.deletes, prev.renames :+ (from -> to))
     }
   }
 
@@ -552,6 +608,7 @@ object Snapshots {
   def merge(spark: SparkSession, table: String, changes: DataFrame,
       keyCols: Seq[String], statsCols: Seq[String] = Nil): Int = {
     val (staged, stagedStats) = stage(spark, table, changes, statsCols)
+    val mid = writeManifest(spark, table, staged, stagedStats)
     commitLoop(spark, table) { prev =>
       val prevFiles = prev.map(_.files).getOrElse(Nil)
       val prevDeletes = prev.map(_.deletes).getOrElse(Nil)
@@ -570,8 +627,8 @@ object Snapshots {
           listFresh(spark, s"$table/$dRel", dRel)
         }
       guardRecycledNames(changes, prev)
-      (prevFiles ++ staged, prevDeletes ++ newDeletes,
-        prev.map(_.stats).getOrElse(Map.empty) ++ stagedStats,
+      (prev.map(_.manifests).getOrElse(Nil) :+ mid,
+        prevDeletes ++ newDeletes,
         prev.map(_.renames).getOrElse(Nil))
     }
   }
@@ -604,8 +661,7 @@ object Snapshots {
           tomb.coalesce(1).write.mode("overwrite").parquet(s"$table/$dRel")
           listFresh(spark, s"$table/$dRel", dRel)
         }
-      (prevFiles, prevDeletes ++ newDeletes,
-        prev.map(_.stats).getOrElse(Map.empty),
+      (prev.map(_.manifests).getOrElse(Nil), prevDeletes ++ newDeletes,
         prev.map(_.renames).getOrElse(Nil))
     }
 
@@ -719,9 +775,8 @@ object Snapshots {
     val latest = latestVersion(spark, table).getOrElse(return)
     // trim log entries below keepFrom
     (1 until keepFrom).foreach(v => ops.delete(logPath(table, v)))
-    val live = (keepFrom to latest)
-      .flatMap(v => snapshot(spark, table, v))
-      .flatMap(s => s.files ++ s.deletes)
+    val kept = (keepFrom to latest).flatMap(v => snapshot(spark, table, v))
+    val live = kept.flatMap(s => s.files ++ s.deletes)
       .flatMap(_.split("/").drop(1).headOption).toSet
     val snapRoot = new org.apache.hadoop.fs.Path(s"$table/_snap")
     val fs = snapRoot.getFileSystem(conf)
@@ -729,5 +784,18 @@ object Snapshots {
       fs.listStatus(snapRoot).foreach { st =>
         if (!live.contains(st.getPath.getName)) fs.delete(st.getPath, true)
       }
+    // manifest GC: drop manifest objects no kept version references
+    val liveManifests = kept.flatMap(_.manifests).toSet
+    val logRoot = new org.apache.hadoop.fs.Path(logDir(table))
+    if (fs.exists(logRoot))
+      fs.listStatus(logRoot).map(_.getPath.getName)
+        .filter(n => n.startsWith("m-") && n.endsWith(".json"))
+        .map(_.stripPrefix("m-").stripSuffix(".json"))
+        .filterNot(liveManifests)
+        .foreach { id =>
+          ops.delete(manifestPath(table, id))
+          manifestCache.remove((table, id))
+          ()
+        }
   }
 }

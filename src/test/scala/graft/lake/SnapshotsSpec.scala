@@ -541,6 +541,36 @@ class SnapshotsSpec extends SparkTestBase {
     org.apache.commons.io.FileUtils.deleteQuietly(new File(t).getParentFile)
   }
 
+  test("commit metadata is O(delta): log objects never inline the file list") {
+    val t = fresh("odelta")
+    // ten appends: every log object names manifests by reference; none
+    // inlines a growing file list, so commit cost is independent of
+    // table size
+    for (i <- 0 to 9)
+      Snapshots.append(spark, t, orders.filter(col("o_orderkey") % 10 === i))
+    val ops = new FileOps(spark.sparkContext.hadoopConfiguration)
+    val sizes = (1 to 10).map(v =>
+      ops.readString(f"$t/_log/v$v%06d.json").length)
+    // each log adds one ~12-char manifest ref — growth per version is
+    // tiny and linear in COMMITS, not files
+    assert(sizes.last < sizes.head + 10 * 40, sizes.toString)
+    assert(!ops.readString(f"$t/_log/v${10}%06d.json").contains(".parquet"),
+      "log object inlines data file names")
+    // resolution still materializes the full accumulated file list
+    val s10 = Snapshots.snapshot(spark, t, 10).get
+    assert(s10.manifests.size == 10)
+    assert(s10.files.nonEmpty &&
+      Snapshots.readLatest(spark, t).get.count() == orders.count())
+    // vacuum after an overwrite GCs the unreferenced manifests
+    val vOw = Snapshots.overwrite(spark, t, orders.limit(100))
+    Snapshots.vacuum(spark, t, keepFrom = vOw)
+    val manifestsLeft = new File(s"$t/_log").listFiles()
+      .map(_.getName).count(n => n.startsWith("m-") && n.endsWith(".json"))
+    assert(manifestsLeft == 1, s"manifest GC left $manifestsLeft objects")
+    assert(Snapshots.readLatest(spark, t).get.count() == 100)
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(t).getParentFile)
+  }
+
   test("plain readers never see snapshot internals") {
     val t = fresh("plain")
     Snapshots.append(spark, t, orders.limit(100))
