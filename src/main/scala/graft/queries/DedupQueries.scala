@@ -361,7 +361,64 @@ object DedupQueries {
     SELECT a, b, CAST(floor(jaccard * 1000000) AS BIGINT) AS jaccard_e6
     FROM jac WHERE jaccard >= 0.5"""
 
+  /** q172 — INCREMENTAL dedup against a PERSISTED signature index: the
+    * production shape for a growing corpus — historical documents'
+    * minhash band rows live in a table BUCKETED on the band key (built
+    * once, the amortized index); each arriving batch computes ONLY its
+    * own signatures and probes the index with a band equi-join that
+    * co-locates against the bucketed side (one-sided shuffle — the
+    * historical corpus is never re-shingled, never re-shuffled), then
+    * verifies candidates with exact shingle Jaccard. Per-batch cost is
+    * O(batch + matched candidates) regardless of corpus size — the
+    * q21 all-at-once formulation re-processes the whole corpus every
+    * run. The oracle rebuilds index and probe from the raw corpus
+    * (signatures are per-document, so split-built signatures equal
+    * whole-corpus ones) — the q122/q108 write-then-read contract. */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val db = "graft_q172"
+    val wh = graft.util.Scratch.dir("incdedup", dir)
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$wh'")
+    def bandRows(df: DataFrame): DataFrame = {
+      val sig = Dedup.minhashSignatures(df, "doc_id", "text", K, NH, RPB)
+        .filter(col("mh0").isNotNull)
+      sig.select(col("doc_id"),
+        explode(array((0 until NH / RPB).map(b => col(s"band$b")): _*))
+          .as("band"))
+    }
+    // index build (amortized, once per corpus era)
+    bandRows(docs.filter(col("doc_id") % 2 === 0)).write
+      .bucketBy(8, "band").sortBy("band")
+      .mode("overwrite").saveAsTable(s"$db.sig_index")
+    // batch probe: only the batch side is signed and shuffled
+    val cand = spark.table(s"$db.sig_index")
+      .withColumnRenamed("doc_id", "b")
+      .join(bandRows(docs.filter(col("doc_id") % 2 === 1))
+        .withColumnRenamed("doc_id", "a"), Seq("band"))
+      .select(col("a"), col("b")).distinct()
+    Dedup.verifiedJaccard(docs, cand, "doc_id", "text", K, threshold = 0.5)
+      .select(col("a"), col("b"),
+        floor(col("jaccard") * 1000000).as("jaccard_e6"))
+  }
+
+  private val incrementalDedupOracle = {
+    val bandList = (0 until NH / RPB).map(bandSql).mkString("[", ", ", "]")
+    s"""WITH $sigCte,
+      bands AS (
+        SELECT doc_id, unnest($bandList) AS band FROM sig
+        WHERE mh0 IS NOT NULL),
+      cand AS (
+        SELECT DISTINCT y.doc_id AS a, x.doc_id AS b
+        FROM bands x JOIN bands y ON x.band = y.band
+        WHERE x.doc_id % 2 = 0 AND y.doc_id % 2 = 1),
+      $jaccardVerifySql
+      SELECT a, b, CAST(floor(jaccard * 1000000) AS BIGINT) AS jaccard_e6
+      FROM jac WHERE jaccard >= 0.5"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q172_incremental_dedup", incrementalDedup,
+      Some(incrementalDedupOracle)),
     QueryDef("q141_prefix_filter_dups", prefixFilterDups,
       Some(prefixFilterOracle)),
     QueryDef("q105_editdist_near_dups", editDistanceNearDups,

@@ -251,6 +251,26 @@ class ScaleSpecs extends SparkTestBase {
     }
   }
 
+  test("incremental dedup never reshuffles the signature index") {
+    // q172's point: the historical index is bucketed on the band key, so
+    // a batch probe co-locates against it with a ONE-SIDED shuffle. With
+    // broadcast disabled the band join must be an SMJ whose index side
+    // scans buckets directly — exactly one band exchange (the batch side)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = DedupQueries.incrementalDedup(spark, dir)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      val bandExchanges = "Exchange hashpartitioning\\(band".r
+        .findAllIn(plan).size
+      assert(bandExchanges == 1,
+        s"expected one band exchange (batch side only), got $bandExchanges:\n${plan.take(3000)}")
+      assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("decode kernels are narrow corpus passes: no data shuffle anywhere") {
     // q85/q90/q91 run the expensive per-row codec work (inflate/unfilter,
     // resample/re-encode, PCM extraction) — at 100 TB their parallelism
