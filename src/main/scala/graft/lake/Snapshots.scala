@@ -672,11 +672,58 @@ object Snapshots {
     * prior versions remain time-travelable until [[vacuum]] trims them.
     * Run when the delete ratio or small-file count crosses a threshold;
     * cost is one read+write of the live data, after which scans are
-    * anti-join-free again. */
+    * anti-join-free again. [[optimizeSmallFiles]] is the targeted form
+    * whose cost scales with the small-file debt, not the table. */
   def optimize(spark: SparkSession, table: String,
       statsCols: Seq[String] = Nil): Option[Int] =
     readLatest(spark, table).map(live =>
       overwrite(spark, table, live, statsCols))
+
+  /** Targeted small-file compaction (the incremental OPTIMIZE a 100 TB
+    * table actually runs): only data files under `minBytes` are
+    * rewritten — their LIVE rows compact into fresh files — while every
+    * file at or above the threshold is carried BY REFERENCE into a new
+    * manifest, untouched bytes and stats included. Cost is
+    * O(small-file data + total-files metadata), not O(table): a
+    * streaming-ingest table with years of history and a thin tail of
+    * tiny recent commits compacts its tail without ever reading its
+    * bulk. Positional deletes are retained for the carried files
+    * (tombstones into rewritten files point at dropped paths and match
+    * nothing). Returns None when fewer than two small files exist —
+    * nothing worth rewriting. File sizes come from per-file status
+    * probes here; a production writer records sizes in the manifest at
+    * commit time. */
+  def optimizeSmallFiles(spark: SparkSession, table: String,
+      minBytes: Long, statsCols: Seq[String] = Nil): Option[Int] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val probe = latestSnapshot(spark, table).getOrElse(return None)
+    def sized(files: Seq[String]): Seq[(String, Long)] = files.map { f =>
+      val p = new org.apache.hadoop.fs.Path(s"$table/$f")
+      f -> p.getFileSystem(conf).getFileStatus(p).getLen
+    }
+    if (sized(probe.files).count(_._2 < minBytes) <= 1) return None
+    Some(commitLoop(spark, table) { prevOpt =>
+      val prev = prevOpt.getOrElse(throw new IllegalStateException(
+        s"$table disappeared during optimize"))
+      val (small, big) = sized(prev.files).partition(_._2 < minBytes)
+      // live rows of the small files only, era-aware, packed into
+      // ~minBytes-sized outputs (the bin-packing half of OPTIMIZE —
+      // without the coalesce the rewrite re-emits one file per scan
+      // partition and compacts nothing)
+      val outFiles = math.max(1L,
+        math.min(small.size.toLong, small.map(_._2).sum / minBytes)).toInt
+      val smallLive = subtractDeletes(spark, table,
+          withMetaEras(spark, table, prev.copy(files = small.map(_._1))),
+          prev.deletes)
+        .drop("_snap_file", "_snap_pos")
+        .coalesce(outFiles)
+      val (staged, stagedStats) = stage(spark, table, smallLive, statsCols)
+      val compacted = writeManifest(spark, table, staged, stagedStats)
+      val carried = writeManifest(spark, table, big.map(_._1),
+        prev.stats.filter { case (f, _) => big.exists(_._1 == f) })
+      (Seq(carried, compacted), prev.deletes, prev.renames)
+    })
+  }
 
   // -------------------------------------------------------- change feed
 

@@ -371,7 +371,55 @@ object LayoutQueries {
       .withColumn("v1_keeps_old_name", lit(v1KeepsOldName))
   }
 
+  /** q173 — TARGETED small-file compaction
+    * ([[graft.lake.Snapshots.optimizeSmallFiles]], the incremental
+    * OPTIMIZE a streaming-ingest table actually runs): a bulk commit
+    * takes a predicate delete, then accretes three small commits; the
+    * compaction rewrites ONLY the live rows of the sub-threshold files
+    * (packed by target size) while the bulk file is carried by
+    * reference, bytes and tombstones untouched — cost scales with the
+    * small-file debt, not the table. The gate aggregates the
+    * post-compaction state against the closed form (a lost tombstone on
+    * the carried file, a dropped small-file row, or a double-compacted
+    * row all shift a group) and pins the layout marker: fewer files,
+    * largest file carried. */
+  def smallFileOptimize(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Snapshots
+    val table = graft.util.Scratch.dir("smallopt_table", dir)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+    val orders = Tables(spark, dir, "orders")
+    Snapshots.append(spark, table,
+      orders.filter(col("o_orderkey") % 2 === 0).coalesce(1))
+    Snapshots.deleteWhere(spark, table, col("o_totalprice") < 30000)
+    for (r <- Seq(1, 3, 5))
+      Snapshots.append(spark, table,
+        orders.filter(col("o_orderkey") % 8 === r).coalesce(1))
+    def files = Snapshots.snapshot(spark, table,
+      Snapshots.latestVersion(spark, table).get).get.files
+    def len(f: String) = new java.io.File(table, f).length()
+    val before = files
+    val bulk = before.maxBy(len)
+    val vOpt = Snapshots.optimizeSmallFiles(spark, table,
+      minBytes = len(bulk)).get
+    val after = Snapshots.snapshot(spark, table, vOpt).get.files
+    val layoutOk = after.size < before.size && after.contains(bulk)
+    Snapshots.readAt(spark, table, vOpt).get
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_rows"),
+        Num.sumMoney(col("o_totalprice")).as("sum_price"))
+      .withColumn("layout_ok", lit(layoutOk))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q173_small_file_optimize", smallFileOptimize, Some(s"""
+      SELECT o_orderpriority,
+             COUNT(*) AS n_rows,
+             ${Num.sqlSumMoney("o_totalprice")} AS sum_price,
+             true AS layout_ok
+      FROM orders
+      WHERE (o_orderkey % 2 = 0 AND o_totalprice >= 30000)
+         OR o_orderkey % 8 IN (1, 3, 5)
+      GROUP BY 1""")),
     QueryDef("q171_column_rename", columnRename, Some(s"""
       SELECT CASE WHEN o_orderkey % 3 = 0 THEN 'web' ELSE 'store' END
                AS o_channel,

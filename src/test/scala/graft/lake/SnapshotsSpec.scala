@@ -571,6 +571,44 @@ class SnapshotsSpec extends SparkTestBase {
     org.apache.commons.io.FileUtils.deleteQuietly(new File(t).getParentFile)
   }
 
+  test("small-file optimize rewrites only the tail; bulk carries by reference") {
+    val t = fresh("smallopt")
+    Snapshots.append(spark, t, orders.filter(col("o_orderkey") % 2 === 0)
+      .coalesce(1)) // the bulk file
+    Snapshots.deleteWhere(spark, t, col("o_totalprice") < 30000)
+    for (i <- 0 to 2) // the small-file tail a streaming ingest accretes
+      Snapshots.append(spark, t, orders.filter(col("o_orderkey") % 2 === 1)
+        .limit(5 + i).coalesce(1))
+    val vBefore = Snapshots.latestVersion(spark, t).get
+    val sBefore = Snapshots.snapshot(spark, t, vBefore).get
+    val bulk = sBefore.files.filter(f => new File(t, f).length() >= 10000)
+    val tiny = sBefore.files.filterNot(bulk.toSet)
+    assert(bulk.nonEmpty && tiny.size == 3, s"unexpected layout: $sBefore")
+    val wantAgg = Snapshots.readAt(spark, t, vBefore).get
+      .agg(count(lit(1)), sum(graft.queries.Num.cents(col("o_totalprice"))))
+      .head()
+    val vOpt = Snapshots.optimizeSmallFiles(spark, t, minBytes = 10000).get
+    val sAfter = Snapshots.snapshot(spark, t, vOpt).get
+    // bulk files carried by reference — identical paths, untouched bytes
+    assert(bulk.toSet.subsetOf(sAfter.files.toSet))
+    // the tiny tail is gone, replaced by fewer compacted files
+    assert(!sAfter.files.exists(tiny.toSet))
+    assert(sAfter.files.size < sBefore.files.size)
+    // tombstones into the carried bulk still apply; data identical
+    assert(sAfter.deletes == sBefore.deletes)
+    assert(Snapshots.readAt(spark, t, vOpt).get
+      .agg(count(lit(1)), sum(graft.queries.Num.cents(col("o_totalprice"))))
+      .head() == wantAgg)
+    // carried stats survive for the bulk file; pre-optimize history intact
+    assert(Snapshots.readAt(spark, t, vBefore).get
+      .agg(count(lit(1)), sum(graft.queries.Num.cents(col("o_totalprice"))))
+      .head() == wantAgg)
+    // nothing small enough → a no-op, no version published
+    assert(Snapshots.optimizeSmallFiles(spark, t, minBytes = 10).isEmpty)
+    assert(Snapshots.latestVersion(spark, t).contains(vOpt))
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(t).getParentFile)
+  }
+
   test("plain readers never see snapshot internals") {
     val t = fresh("plain")
     Snapshots.append(spark, t, orders.limit(100))
