@@ -12,7 +12,7 @@ import graft.text.TextAnalysis.{P, sqlTokens, sqlWordHash}
   * simhash, and direct n-gram Jaccard on a deterministic pair set. */
 object DedupQueries {
 
-  private val K = 3 // shingle width
+  private[queries] val K = 3 // shingle width
   private val NH = 16 // minhash permutations
   private val RPB = 4 // signature rows per LSH band
 
@@ -374,18 +374,40 @@ object DedupQueries {
     * run. The oracle rebuilds index and probe from the raw corpus
     * (signatures are per-document, so split-built signatures equal
     * whole-corpus ones) — the q122/q108 write-then-read contract. */
+  /** (doc_id, band) rows of a document frame — the signature-index unit
+    * shared by the batch (q172) and streaming (q174) incremental-dedup
+    * paths. */
+  private[queries] def bandRows(df: DataFrame): DataFrame = {
+    val sig = Dedup.minhashSignatures(df, "doc_id", "text", K, NH, RPB)
+      .filter(col("mh0").isNotNull)
+    sig.select(col("doc_id"),
+      explode(array((0 until NH / RPB).map(b => col(s"band$b")): _*))
+        .as("band"))
+  }
+
+  /** q174's oracle shares q172's verify tail with a cross-batch
+    * candidate set (unordered pairs whose batch classes differ). */
+  private[queries] def crossBatchDedupOracle(batches: Int): String = {
+    val bandList = (0 until NH / RPB).map(bandSql).mkString("[", ", ", "]")
+    s"""WITH $sigCte,
+      bands AS (
+        SELECT doc_id, unnest($bandList) AS band FROM sig
+        WHERE mh0 IS NOT NULL),
+      cand AS (
+        SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        FROM bands x JOIN bands y
+          ON x.band = y.band AND x.doc_id < y.doc_id
+        WHERE x.doc_id % $batches <> y.doc_id % $batches),
+      $jaccardVerifySql
+      SELECT a, b, CAST(floor(jaccard * 1000000) AS BIGINT) AS jaccard_e6
+      FROM jac WHERE jaccard >= 0.5"""
+  }
+
   def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
     val db = "graft_q172"
     val wh = graft.util.Scratch.dir("incdedup", dir)
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$wh'")
-    def bandRows(df: DataFrame): DataFrame = {
-      val sig = Dedup.minhashSignatures(df, "doc_id", "text", K, NH, RPB)
-        .filter(col("mh0").isNotNull)
-      sig.select(col("doc_id"),
-        explode(array((0 until NH / RPB).map(b => col(s"band$b")): _*))
-          .as("band"))
-    }
     // index build (amortized, once per corpus era)
     bandRows(docs.filter(col("doc_id") % 2 === 0)).write
       .bucketBy(8, "band").sortBy("band")

@@ -622,7 +622,81 @@ object StreamingQueries {
         Num.sumMoney(col("o_totalprice")).as("sum_price"))
   }
 
+  /** q174 — STREAMING incremental dedup against a SELF-GROWING signature
+    * index (the online form of q172, the shape a continuously-ingesting
+    * corpus pipeline runs): each micro-batch (one deterministic corpus
+    * slice per file) signs ONLY itself, probes the persisted bucketed
+    * band index for near-dups against EVERYTHING ingested before it,
+    * emits exact-Jaccard-verified pairs to a snapshot table under the
+    * q156 exactly-once guard, and then appends its own band rows to the
+    * index — so later batches dedup against it. Cross-batch pairs are
+    * emitted exactly once whichever side arrives later (normalized to
+    * unordered (a < b)), making the accumulated result independent of
+    * batch arrival order; intra-batch dups are by design the batch-local
+    * q21 pass, not this stream's job. Per-batch cost is
+    * O(batch + candidates) regardless of corpus size. The oracle
+    * replays the full cross-batch candidate set + verification from the
+    * raw corpus. */
+  def incrementalDedupStream(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Snapshots
+    val root = scratchDir("stream_q174", dir)
+    delete(root)
+    val src = s"$root/src"
+    val ckpt = s"$root/ckpt"
+    val pairsT = s"$root/pairs"
+    val docs = Tables(spark, dir, "documents")
+    for (b <- 0 to 2)
+      docs.filter(col("doc_id") % 3 === b).coalesce(1)
+        .write.mode("append").parquet(src)
+    val db = "graft_q174"
+    val wh = graft.util.Scratch.dir("incdedup_stream", dir)
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$wh'")
+    DedupQueries.bandRows(docs.limit(0)).write
+      .bucketBy(8, "band").sortBy("band")
+      .mode("overwrite").saveAsTable(s"$db.sig_index")
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(src)
+    val writeBatch: (Dataset[Row], Long) => Unit = (batch, id) => {
+      // every relation goes through the MICRO-BATCH's session: foreachBatch
+      // hands a clone whose writes refresh the clone's catalog — the outer
+      // session's relation cache would pin the index's initial (empty)
+      // file listing across batches and the probe would never see growth
+      val s = batch.sparkSession
+      s.catalog.refreshTable(s"$db.sig_index")
+      val bands = DedupQueries.bandRows(batch.toDF())
+      if (Snapshots.latestVersion(s, pairsT).getOrElse(0) < id + 1) {
+        val cand = s.table(s"$db.sig_index")
+          .withColumnRenamed("doc_id", "x")
+          .join(bands.withColumnRenamed("doc_id", "y"), Seq("band"))
+          .select(least(col("x"), col("y")).as("a"),
+            greatest(col("x"), col("y")).as("b"))
+          .distinct()
+        val pairs = graft.dedup.Dedup.verifiedJaccard(
+            Tables(s, dir, "documents"), cand,
+            "doc_id", "text", DedupQueries.K, threshold = 0.5)
+          .select(col("a"), col("b"),
+            floor(col("jaccard") * 1000000).as("jaccard_e6"))
+        Snapshots.append(s, pairsT, pairs)
+      }
+      // grow the index AFTER the probe; a replayed batch re-appends band
+      // rows, which the candidate distinct makes harmless
+      bands.write.mode("append")
+        .bucketBy(8, "band").sortBy("band").saveAsTable(s"$db.sig_index")
+    }
+    val q = stream.writeStream
+      .foreachBatch(writeBatch)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    Snapshots.readLatest(spark, pairsT).get
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q174_incremental_dedup_stream", incrementalDedupStream,
+      Some(DedupQueries.crossBatchDedupOracle(3))),
     QueryDef("q167_change_feed_stream", changeFeedStream, Some(s"""
       WITH feed AS (
         SELECT 'insert' AS _change_type, o_orderpriority,
