@@ -559,12 +559,19 @@ object Snapshots {
     * s.files nonEmpty. */
   private def withMetaEras(spark: SparkSession, table: String,
       s: Snapshot): DataFrame = {
-    val groups = eraGroups(spark, table, s.files)
-    val mappedSchemas = groups.map { case (_, era) =>
+    // commit dirs sharing a schema merge into ONE scan: the union width
+    // is bounded by DISTINCT SCHEMAS (a handful, however evolution
+    // happened), not commit count — a streaming-ingest table with
+    // thousands of one-batch commits still plans 1-3 scans
+    val bySchema = eraGroups(spark, table, s.files)
+      .groupBy(_._2).toSeq
+      .map { case (sch, gs) => (gs.flatMap(_._1), sch) }
+      .sortBy(_._1.head)
+    val mappedSchemas = bySchema.map { case (_, era) =>
       StructType(era.map(f => f.copy(name = renamedName(s.renames, f.name))))
     }
     val target = widenSchemas(mappedSchemas)
-    groups.map { case (fs, era) =>
+    bySchema.map { case (fs, era) =>
       val eraByMapped = era.fieldNames
         .map(n => renamedName(s.renames, n) -> n).toMap
       val casts = target.fields.toSeq.map { f =>
