@@ -713,23 +713,36 @@ object Snapshots {
       val prev = prevOpt.getOrElse(throw new IllegalStateException(
         s"$table disappeared during optimize"))
       val (small, big) = sized(prev.files).partition(_._2 < minBytes)
-      // live rows of the small files only, era-aware, packed into
-      // ~minBytes-sized outputs (the bin-packing half of OPTIMIZE —
-      // without the coalesce the rewrite re-emits one file per scan
-      // partition and compacts nothing)
-      val outFiles = math.max(1L,
-        math.min(small.size.toLong, small.map(_._2).sum / minBytes)).toInt
-      val smallLive = subtractDeletes(spark, table,
-          withMetaEras(spark, table, prev.copy(files = small.map(_._1))),
-          prev.deletes)
-        .drop("_snap_file", "_snap_pos")
-        .coalesce(outFiles)
-      val (staged, stagedStats) = stage(spark, table, smallLive, statsCols)
-      val compacted = writeManifest(spark, table, staged, stagedStats)
-      val carried = writeManifest(spark, table, big.map(_._1),
-        prev.stats.filter { case (f, _) => big.exists(_._1 == f) })
-      (Seq(carried, compacted), prev.deletes, prev.renames)
+      // a concurrent commit may have changed the layout since the
+      // fast-path probe: with nothing left to compact, publish the
+      // previous content unchanged (the maintenance attempt is recorded
+      // as a no-op version) rather than era-scanning an empty file set
+      if (small.size <= 1)
+        (prev.manifests, prev.deletes, prev.renames)
+      else compactContent(spark, table, prev, small, big, minBytes, statsCols)
     })
+  }
+
+  private def compactContent(spark: SparkSession, table: String,
+      prev: Snapshot, small: Seq[(String, Long)], big: Seq[(String, Long)],
+      minBytes: Long, statsCols: Seq[String]): (Seq[String], Seq[String],
+      Seq[(String, String)]) = {
+    // live rows of the small files only, era-aware, packed into
+    // ~minBytes-sized outputs (the bin-packing half of OPTIMIZE —
+    // without the coalesce the rewrite re-emits one file per scan
+    // partition and compacts nothing)
+    val outFiles = math.max(1L,
+      math.min(small.size.toLong, small.map(_._2).sum / minBytes)).toInt
+    val smallLive = subtractDeletes(spark, table,
+        withMetaEras(spark, table, prev.copy(files = small.map(_._1))),
+        prev.deletes)
+      .drop("_snap_file", "_snap_pos")
+      .coalesce(outFiles)
+    val (staged, stagedStats) = stage(spark, table, smallLive, statsCols)
+    val compacted = writeManifest(spark, table, staged, stagedStats)
+    val carried = writeManifest(spark, table, big.map(_._1),
+      prev.stats.filter { case (f, _) => big.exists(_._1 == f) })
+    (Seq(carried, compacted), prev.deletes, prev.renames)
   }
 
   // -------------------------------------------------------- change feed
