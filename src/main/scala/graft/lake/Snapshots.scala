@@ -145,7 +145,8 @@ object Snapshots {
     val manifestIds = strings("manifests")
     val resolved = manifestIds.map(id => readManifest(spark, table, id))
     val files = resolved.flatMap(_._1)
-    val rawStats = resolved.map(_._2).foldLeft(parseStats(m))(_ ++ _)
+    // stats live ONLY in manifests; the log object never carries them
+    val rawStats = resolved.map(_._2).foldLeft(Map.empty: FileStats)(_ ++ _)
     val stats = rawStats.map { case (f, cols) =>
       f -> cols.map { case (c, v2) => renamedName(renames, c) -> v2 }
     }
@@ -156,7 +157,11 @@ object Snapshots {
   private def manifestPath(table: String, id: String) =
     s"${logDir(table)}/m-$id.json"
 
-  // manifests are immutable once written: cache resolution per JVM
+  // manifests are immutable once written: cache resolution per JVM.
+  // Bounded — a long-lived session over streaming-style tables would
+  // otherwise accumulate entries forever (dropped tables never evict);
+  // clearing only costs re-reads, immutability keeps it safe.
+  private val MaxCachedManifests = 4096
   private val manifestCache = scala.collection.concurrent.TrieMap
     .empty[(String, String), (Seq[String], FileStats)]
 
@@ -183,7 +188,8 @@ object Snapshots {
   }
 
   private def readManifest(spark: SparkSession, table: String,
-      id: String): (Seq[String], FileStats) =
+      id: String): (Seq[String], FileStats) = {
+    if (manifestCache.size > MaxCachedManifests) manifestCache.clear()
     manifestCache.getOrElseUpdate((table, id), {
       val ops = new FileOps(spark.sparkContext.hadoopConfiguration)
       val m = Json.parseObject(ops.readString(manifestPath(table, id)))
@@ -191,6 +197,7 @@ object Snapshots {
         .getOrElse(Nil)
       (files, parseStats(m))
     })
+  }
 
   private def latestSnapshot(spark: SparkSession, table: String): Option[Snapshot] =
     latestVersion(spark, table).flatMap(v => snapshot(spark, table, v))
@@ -228,15 +235,29 @@ object Snapshots {
       "renames" -> renames.map(r => Seq(r._1, r._2))))
     val tmp = s"${logPath(table, v)}.tmp-${Naming.newRunId()}"
     ops.writeString(tmp, json)
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, conf)
     try {
-      fc.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+      if (fs.getScheme == "file") {
+        // the local claim must be KERNEL-atomic: FileContext.rename with
+        // Rename.NONE on RawLocalFs is exists-check-then-POSIX-rename,
+        // and rename(2) silently overwrites — two racers in the TOCTOU
+        // window would both "win" and one delta would vanish. link(2)
+        // fails with EEXIST atomically; HDFS rename (below) is atomic
+        // server-side; an S3 deployment uses a conditional PUT.
+        val tmpP = java.nio.file.Paths.get(
+          new org.apache.hadoop.fs.Path(tmp).toUri.getPath)
+        val dstP = java.nio.file.Paths.get(dst.toUri.getPath)
+        java.nio.file.Files.createLink(dstP, tmpP)
+        java.nio.file.Files.delete(tmpP)
+      } else {
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, conf)
+        fc.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+      }
       true
     } catch {
       case _: org.apache.hadoop.fs.FileAlreadyExistsException |
           _: java.nio.file.FileAlreadyExistsException =>
         ops.delete(tmp); false
-      case e: java.io.IOException if fs.exists(dst) =>
+      case _: java.io.IOException if fs.exists(dst) =>
         ops.delete(tmp); false
     }
   }
@@ -384,10 +405,22 @@ object Snapshots {
     * routes through the era-aware read so every era surfaces the
     * current names; rename-free snapshots keep the single-scan
     * mergeSchema fast path. */
+  /** Rename-free snapshots take the single-scan mergeSchema fast path;
+    * renamed ones go straight to the era-aware read. A fast path that
+    * FAILS schema merging (numeric widening across eras — mergeSchema
+    * refuses int/long) falls back to the era read too, so readAt /
+    * readLatest / optimize keep working on widened tables without the
+    * caller knowing to ask for [[readAtWidened]]. */
   private def readDispatch(spark: SparkSession, table: String,
       s: Snapshot): DataFrame =
-    if (s.renames.isEmpty) readSnapshot(spark, table, s.files, s.deletes)
-    else eraRead(spark, table, s)
+    if (s.renames.nonEmpty) eraRead(spark, table, s)
+    else
+      try readSnapshot(spark, table, s.files, s.deletes)
+      catch {
+        case _: org.apache.spark.SparkException |
+            _: org.apache.spark.sql.AnalysisException =>
+          eraRead(spark, table, s)
+      }
 
   def readAt(spark: SparkSession, table: String, v: Int): Option[DataFrame] =
     snapshot(spark, table, v).map(s => readDispatch(spark, table, s))
@@ -410,12 +443,14 @@ object Snapshots {
     * compose in one metadata object). */
   def prunedFilesAt(spark: SparkSession, table: String, v: Int,
       column: String, lo: Double, hi: Double): Option[Seq[String]] =
-    snapshot(spark, table, v).map { s =>
-      s.files.filter { f =>
-        s.stats.get(f).flatMap(_.get(column)) match {
-          case Some((mn, mx)) => mx >= lo && mn <= hi
-          case None => true
-        }
+    snapshot(spark, table, v).map(s => pruneFiles(s, column, lo, hi))
+
+  private def pruneFiles(s: Snapshot, column: String, lo: Double,
+      hi: Double): Seq[String] =
+    s.files.filter { f =>
+      s.stats.get(f).flatMap(_.get(column)) match {
+        case Some((mn, mx)) => mx >= lo && mn <= hi
+        case None => true
       }
     }
 
@@ -424,13 +459,13 @@ object Snapshots {
     * results equal a full scan regardless of how files were clustered. */
   def readAtPruned(spark: SparkSession, table: String, v: Int,
       column: String, lo: Double, hi: Double): Option[DataFrame] =
-    for {
-      s <- snapshot(spark, table, v)
-      files <- prunedFilesAt(spark, table, v, column, lo, hi)
-    } yield
+    snapshot(spark, table, v).map { s =>
+      // prune from the already-resolved snapshot: ONE log read per call
+      val files = pruneFiles(s, column, lo, hi)
       (if (files.isEmpty) readDispatch(spark, table, s).limit(0)
       else readDispatch(spark, table, s.copy(files = files)))
         .filter(col(column) >= lo && col(column) <= hi)
+    }
 
   // ------------------------------------------------- schema evolution
 
@@ -708,11 +743,15 @@ object Snapshots {
       val p = new org.apache.hadoop.fs.Path(s"$table/$f")
       f -> p.getFileSystem(conf).getFileStatus(p).getLen
     }
-    if (sized(probe.files).count(_._2 < minBytes) <= 1) return None
+    val probeSized = sized(probe.files)
+    if (probeSized.count(_._2 < minBytes) <= 1) return None
     Some(commitLoop(spark, table) { prevOpt =>
       val prev = prevOpt.getOrElse(throw new IllegalStateException(
         s"$table disappeared during optimize"))
-      val (small, big) = sized(prev.files).partition(_._2 < minBytes)
+      // re-probe sizes only when a concurrent commit moved the version
+      val fileSizes =
+        if (prev.version == probe.version) probeSized else sized(prev.files)
+      val (small, big) = fileSizes.partition(_._2 < minBytes)
       // a concurrent commit may have changed the layout since the
       // fast-path probe: with nothing left to compact, publish the
       // previous content unchanged (the maintenance attempt is recorded
@@ -740,8 +779,9 @@ object Snapshots {
       .coalesce(outFiles)
     val (staged, stagedStats) = stage(spark, table, smallLive, statsCols)
     val compacted = writeManifest(spark, table, staged, stagedStats)
+    val bigSet = big.map(_._1).toSet
     val carried = writeManifest(spark, table, big.map(_._1),
-      prev.stats.filter { case (f, _) => big.exists(_._1 == f) })
+      prev.stats.filter { case (f, _) => bigSet(f) })
     (Seq(carried, compacted), prev.deletes, prev.renames)
   }
 

@@ -239,6 +239,18 @@ object Similarity {
       }
     }
 
+  /** The (id, vector, band, signature) relation shared by the banded
+    * near-dup join and the NSW graph build: one posexploded row per
+    * (vector, band), so ONE (band, signature)-keyed self-join covers
+    * every band. Callers persist/unpersist it — it is self-joined. */
+  private def bandedSignatures(df: DataFrame, idCol: String, vecCol: String,
+      numBands: Int, r: Int, dim: Int): DataFrame =
+    Par.ensure(df)
+      .select(col(idCol).as("id"), col(vecCol).as("_v"),
+        posexplode(array((0 until numBands).map(b =>
+          lshBucket(col(vecCol), bandedHyperplanes(b, r, dim))): _*))
+          .as(Seq("_band", "_sig")))
+
   /** Corpus-scaled planes-per-band: the smallest r in [minPlanes,
     * maxPlanes] with `targetBucketCap · 2^r ≥ n`, so expected bucket
     * occupancy stays ≤ targetBucketCap and the intra-bucket pairwise cost
@@ -284,11 +296,7 @@ object Similarity {
     // a single equi-shuffle instead of one self-join stage per band —
     // identical pair set (multi-band hits collapse in the distinct over
     // bitwise-identical cosine rows)
-    val sig = Par.ensure(df)
-      .select(col(idCol).as("id"), col(vecCol).as("_v"),
-        posexplode(array((0 until numBands).map(b =>
-          lshBucket(col(vecCol), bandedHyperplanes(b, r, dim))): _*))
-          .as(Seq("_band", "_sig")))
+    val sig = bandedSignatures(df, idCol, vecCol, numBands, r, dim)
       .persist()
     val out = sig.as("x").join(sig.as("y"),
         col("x._band") === col("y._band") && col("x._sig") === col("y._sig") &&
@@ -760,11 +768,7 @@ object Similarity {
     // all bands in ONE (band, sig)-keyed relation: the candidate join is
     // a single equi-shuffle instead of one self-join stage per band
     // (same pair set — multi-band duplicates collapse in the distinct)
-    val sig = Par.ensure(corpus)
-      .select(col(idCol).as("id"), col(vecCol).as("_v"),
-        posexplode(array((0 until numBands).map(b =>
-          lshBucket(col(vecCol), bandedHyperplanes(b, r, dim))): _*))
-          .as(Seq("_band", "_sig")))
+    val sig = bandedSignatures(corpus, idCol, vecCol, numBands, r, dim)
       .persist()
     val cand = sig.as("x").join(sig.as("y"),
         col("x._band") === col("y._band") && col("x._sig") === col("y._sig") &&

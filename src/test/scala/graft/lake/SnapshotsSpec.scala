@@ -333,12 +333,18 @@ class SnapshotsSpec extends SparkTestBase {
       sum(when(col("o_orderkey") % 2 === 0, col("o_orderkey") % 100)
         .otherwise(col("o_orderkey") % 100 + 10000000000L))).head().getLong(0)
     assert(wide.agg(sum(col("o_units"))).head().getLong(0) == wantSum)
+    // the PLAIN read path self-heals on a widened table: mergeSchema
+    // refuses int/long, so readLatest must fall back to the era read
+    // (and optimize, which reads through it, must keep working)
+    assert(Snapshots.readLatest(spark, t).get.count() == orders.count())
+    val vOpt = Snapshots.optimize(spark, t).get
+    assert(Snapshots.readAt(spark, t, vOpt).get.count() == orders.count())
     // widening composes with ADDITIVE evolution in the same read
-    Snapshots.append(spark, t,
+    val vAdd = Snapshots.append(spark, t,
       orders.filter(col("o_orderkey") % 2 === 0).limit(10)
         .withColumn("o_units", col("o_orderkey") % 100 + 20000000000L)
         .withColumn("o_channel", lit("web")))
-    val wide3 = Snapshots.readAtWidened(spark, t, 3).get
+    val wide3 = Snapshots.readAtWidened(spark, t, vAdd).get
     assert(wide3.schema("o_units").dataType ==
       org.apache.spark.sql.types.LongType)
     assert(wide3.filter(col("o_channel").isNull).count() == orders.count())
