@@ -95,6 +95,21 @@ class DeletionVectorsSpec extends SparkTestBase {
     org.apache.commons.io.FileUtils.deleteQuietly(new File(t).getParentFile)
   }
 
+  test("vectors are table-relative: a relocated table keeps its deletes") {
+    val t = freshTable("move")
+    val want = spark.read.parquet(t)
+      .filter(col("o_totalprice") >= 30000).count()
+    DeletionVectors.delete(spark, t, col("o_totalprice") < 30000)
+    assert(DeletionVectors.read(spark, t).count() == want)
+    // relocate the whole table directory — an absolute-URI sidecar would
+    // now match nothing and silently resurrect every deleted row
+    val moved = s"${new File(t).getParent}/moved_t"
+    assert(new File(t).renameTo(new File(moved)), "relocation rename failed")
+    assert(DeletionVectors.read(spark, moved).count() == want,
+      "deletes lost after table relocation")
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(moved).getParentFile)
+  }
+
   test("plain readers skip the _dv directory (graceful degradation)") {
     val t = freshTable("skip")
     val total = spark.read.parquet(t).count()
