@@ -47,6 +47,14 @@ object Snapshots {
     * no listing, no footer probes ([[prunedFilesAt]]). */
   type FileStats = Map[String, Map[String, (Double, Double)]]
 
+  /** file → column → serialized bloom filter over the column's non-null
+    * values: the POINT-LOOKUP half of log-level data skipping (min/max
+    * stats prune ranges; on an unclustered high-cardinality key a range
+    * interval spans the domain and prunes nothing, while a bloom answers
+    * "could key k be in this file" directly — the Delta/Iceberg per-file
+    * bloom mechanism). */
+  type FileBlooms = Map[String, Map[String, Array[Byte]]]
+
   /** One published version: data file list, positional-delete file list,
     * and per-file stats (all file references relative to the table
     * root). Delete files are the Iceberg-positional-delete half of
@@ -57,7 +65,8 @@ object Snapshots {
   final case class Snapshot(version: Int, files: Seq[String],
       deletes: Seq[String] = Nil, stats: FileStats = Map.empty,
       renames: Seq[(String, String)] = Nil,
-      manifests: Seq[String] = Nil)
+      manifests: Seq[String] = Nil,
+      blooms: FileBlooms = Map.empty)
 
   private def logDir(table: String) = s"$table/_log"
   private def logPath(table: String, v: Int) = f"${logDir(table)}/v$v%06d.json"
@@ -123,11 +132,23 @@ object Snapshots {
     }
   }
 
+  private def parseBlooms(m: Map[String, Any]): FileBlooms =
+    m.get("blooms") match {
+      case Some(bm: Map[_, _]) =>
+        bm.asInstanceOf[Map[String, Any]].map { case (f, cols) =>
+          f -> cols.asInstanceOf[Map[String, Any]].map { case (c, b64) =>
+            c -> java.util.Base64.getDecoder.decode(b64.toString)
+          }
+        }
+      case _ => Map.empty
+    }
+
   /** Resolve version `v`: one small log object naming the MANIFESTS it
     * is composed of, plus its delete files and rename chain; each
     * manifest is resolved (through the immutable-content cache) into
-    * its file list and stats. Stats keys are materialized under CURRENT
-    * names by mapping era-time keys through the rename chain. */
+    * its file list, stats and blooms. Stats/bloom keys are materialized
+    * under CURRENT names by mapping era-time keys through the rename
+    * chain. */
   def snapshot(spark: SparkSession, table: String, v: Int): Option[Snapshot] = {
     val ops = new FileOps(spark.sparkContext.hadoopConfiguration)
     val path = logPath(table, v)
@@ -145,13 +166,17 @@ object Snapshots {
     val manifestIds = strings("manifests")
     val resolved = manifestIds.map(id => readManifest(spark, table, id))
     val files = resolved.flatMap(_._1)
-    // stats live ONLY in manifests; the log object never carries them
+    // stats/blooms live ONLY in manifests; the log object never carries them
     val rawStats = resolved.map(_._2).foldLeft(Map.empty: FileStats)(_ ++ _)
     val stats = rawStats.map { case (f, cols) =>
       f -> cols.map { case (c, v2) => renamedName(renames, c) -> v2 }
     }
+    val blooms = resolved.map(_._3).foldLeft(Map.empty: FileBlooms)(_ ++ _)
+      .map { case (f, cols) =>
+        f -> cols.map { case (c, b) => renamedName(renames, c) -> b }
+      }
     Some(Snapshot(v, files ++ strings("files"), strings("deletes"), stats,
-      renames, manifestIds))
+      renames, manifestIds, blooms))
   }
 
   private def manifestPath(table: String, id: String) =
@@ -163,7 +188,7 @@ object Snapshots {
   // clearing only costs re-reads, immutability keeps it safe.
   private val MaxCachedManifests = 4096
   private val manifestCache = scala.collection.concurrent.TrieMap
-    .empty[(String, String), (Seq[String], FileStats)]
+    .empty[(String, String), (Seq[String], FileStats, FileBlooms)]
 
   /** One immutable manifest object: the file list + per-file stats of a
     * single commit's delta (the Iceberg manifest shape). Versions share
@@ -171,7 +196,8 @@ object Snapshots {
     * the log object stays O(commits-since-rewrite) — never O(table
     * files). */
   private def writeManifest(spark: SparkSession, table: String,
-      files: Seq[String], stats: FileStats): String = {
+      files: Seq[String], stats: FileStats,
+      blooms: FileBlooms = Map.empty): String = {
     val ops = new FileOps(spark.sparkContext.hadoopConfiguration)
     val id = Naming.newRunId()
     val json = Json.render(Map(
@@ -179,23 +205,27 @@ object Snapshots {
       "stats" -> stats.map { case (f, cols) =>
         f -> cols.map { case (c, (mn, mx)) =>
           c -> Map("min" -> mn, "max" -> mx) }
+      },
+      "blooms" -> blooms.map { case (f, cols) =>
+        f -> cols.map { case (c, b) =>
+          c -> java.util.Base64.getEncoder.encodeToString(b) }
       }))
     val tmp = s"${manifestPath(table, id)}.tmp"
     ops.writeString(tmp, json)
     ops.move(tmp, manifestPath(table, id))
-    manifestCache.putIfAbsent((table, id), (files, stats))
+    manifestCache.putIfAbsent((table, id), (files, stats, blooms))
     id
   }
 
   private def readManifest(spark: SparkSession, table: String,
-      id: String): (Seq[String], FileStats) = {
+      id: String): (Seq[String], FileStats, FileBlooms) = {
     if (manifestCache.size > MaxCachedManifests) manifestCache.clear()
     manifestCache.getOrElseUpdate((table, id), {
       val ops = new FileOps(spark.sparkContext.hadoopConfiguration)
       val m = Json.parseObject(ops.readString(manifestPath(table, id)))
       val files = m.get("files").map(_.asInstanceOf[Seq[Any]].map(_.toString))
         .getOrElse(Nil)
-      (files, parseStats(m))
+      (files, parseStats(m), parseBlooms(m))
     })
   }
 
@@ -297,13 +327,99 @@ object Snapshots {
     * immutable, so a commit that loses a publish race re-references the
     * same files — only the log content is recomputed. */
   private def stage(spark: SparkSession, table: String, df: DataFrame,
-      statsCols: Seq[String]): (Seq[String], FileStats) = {
+      statsCols: Seq[String],
+      bloomCols: Seq[String] = Nil): (Seq[String], FileStats, FileBlooms) = {
     val rel = s"_snap/c-${Naming.newRunId()}"
     val dataDir = s"$table/$rel"
     df.write.mode("overwrite").parquet(dataDir)
     val files = listFresh(spark, dataDir, rel)
-    (files, collectStats(spark, table, files, statsCols))
+    (files, collectStats(spark, table, files, statsCols),
+      collectBlooms(spark, table, files, bloomCols))
   }
+
+  /** Sized for KB-scale manifests; a production writer tunes bits to its
+    * rows-per-file and folds the build into the write tasks. */
+  private val BloomExpectedItems = 20000L
+  private val BloomFpp = 0.05
+
+  /** Per-file bloom filters over `bloomCols` (long-castable key columns),
+    * built in one narrow pass over the FRESH delta: partial blooms per
+    * (task, file) merge driver-side, so a file split across input
+    * partitions still gets one filter. Null keys are skipped — a point
+    * lookup is for a value, and files where the column is all-null keep
+    * no bloom (unknown never prunes). */
+  private def collectBlooms(spark: SparkSession, table: String,
+      files: Seq[String], bloomCols: Seq[String]): FileBlooms = {
+    if (bloomCols.isEmpty || files.isEmpty) return Map.empty
+    import org.apache.spark.util.sketch.BloomFilter
+    import spark.implicits._
+    val root = LakePaths.tableRootPath(spark, table)
+    def ser(b: BloomFilter): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      b.writeTo(bos)
+      bos.toByteArray
+    }
+    def deser(bytes: Array[Byte]): BloomFilter =
+      BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes))
+    val perCol = bloomCols.map { c =>
+      val partials = spark.read.parquet(files.map(f => s"$table/$f"): _*)
+        .select(LakePaths.relFileCol(root).as("_f"),
+          col(c).cast("long").as("_k"))
+        .filter(col("_k").isNotNull)
+        .as[(String, Long)]
+        .mapPartitions { it =>
+          val per = scala.collection.mutable.HashMap
+            .empty[String, BloomFilter]
+          it.foreach { case (f, k) =>
+            per.getOrElseUpdate(f,
+              BloomFilter.create(BloomExpectedItems, BloomFpp)).putLong(k)
+          }
+          per.iterator.map { case (f, b) => (f, ser(b)) }
+        }.collect()
+      val merged = partials.groupBy(_._1).map { case (f, bs) =>
+        val b0 = deser(bs.head._2)
+        bs.tail.foreach(x => b0.mergeInPlace(deser(x._2)))
+        f -> ser(b0)
+      }
+      c -> merged
+    }
+    val allFiles = perCol.flatMap(_._2.keys).distinct
+    allFiles.map { f =>
+      f -> perCol.flatMap { case (c, m) => m.get(f).map(c -> _) }.toMap
+    }.toMap
+  }
+
+  /** Version `v`'s file list pruned BY THE LOG ALONE for a point lookup:
+    * only files whose bloom might contain `key` (files without a bloom
+    * for the column are kept — unknown never prunes). The bloom's
+    * superset guarantee means a joining file is never dropped; ~fpp of
+    * non-matching files leak through and the residual predicate keeps
+    * exactness. */
+  def prunedFilesForKey(spark: SparkSession, table: String, v: Int,
+      column: String, key: Long): Option[Seq[String]] =
+    snapshot(spark, table, v).map { s =>
+      s.files.filter { f =>
+        s.blooms.get(f).flatMap(_.get(column)) match {
+          case Some(bytes) =>
+            org.apache.spark.util.sketch.BloomFilter
+              .readFrom(new java.io.ByteArrayInputStream(bytes))
+              .mightContainLong(key)
+          case None => true
+        }
+      }
+    }
+
+  /** Point-lookup scan of version `v` through the log blooms: only
+    * surviving files open, residual equality keeps exactness. */
+  def readAtKey(spark: SparkSession, table: String, v: Int,
+      column: String, key: Long): Option[DataFrame] =
+    for {
+      s <- snapshot(spark, table, v)
+      files <- prunedFilesForKey(spark, table, v, column, key)
+    } yield
+      (if (files.isEmpty) readDispatch(spark, table, s).limit(0)
+      else readDispatch(spark, table, s.copy(files = files)))
+        .filter(col(column) === key)
 
   /** Per-file min/max for `statsCols`, computed in one narrow pass over
     * the FRESH delta only (grouped on the hidden `_metadata.file_path`;
@@ -337,9 +453,11 @@ object Snapshots {
     * with. */
   def append(spark: SparkSession, table: String, df: DataFrame,
       statsCols: Seq[String] = Nil,
-      beforePublish: () => Unit = () => ()): Int = {
-    val (staged, stagedStats) = stage(spark, table, df, statsCols)
-    val mid = writeManifest(spark, table, staged, stagedStats)
+      beforePublish: () => Unit = () => (),
+      bloomCols: Seq[String] = Nil): Int = {
+    val (staged, stagedStats, stagedBlooms) =
+      stage(spark, table, df, statsCols, bloomCols)
+    val mid = writeManifest(spark, table, staged, stagedStats, stagedBlooms)
     commitLoop(spark, table, beforePublish) { prev =>
       guardRecycledNames(df, prev)
       (prev.map(_.manifests).getOrElse(Nil) :+ mid,
@@ -351,9 +469,10 @@ object Snapshots {
   /** New version replaces the file list wholesale (old files remain for
     * time travel until vacuumed). */
   def overwrite(spark: SparkSession, table: String, df: DataFrame,
-      statsCols: Seq[String] = Nil): Int = {
-    val (staged, stagedStats) = stage(spark, table, df, statsCols)
-    val mid = writeManifest(spark, table, staged, stagedStats)
+      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): Int = {
+    val (staged, stagedStats, stagedBlooms) =
+      stage(spark, table, df, statsCols, bloomCols)
+    val mid = writeManifest(spark, table, staged, stagedStats, stagedBlooms)
     commitLoop(spark, table) { prev =>
       guardRecycledNames(df, prev)
       (Seq(mid), Nil, prev.map(_.renames).getOrElse(Nil))
@@ -649,7 +768,7 @@ object Snapshots {
     * broadcastable and the scan side never shuffles. */
   def merge(spark: SparkSession, table: String, changes: DataFrame,
       keyCols: Seq[String], statsCols: Seq[String] = Nil): Int = {
-    val (staged, stagedStats) = stage(spark, table, changes, statsCols)
+    val (staged, stagedStats, _) = stage(spark, table, changes, statsCols)
     val mid = writeManifest(spark, table, staged, stagedStats)
     commitLoop(spark, table) { prev =>
       val prevFiles = prev.map(_.files).getOrElse(Nil)
@@ -777,11 +896,12 @@ object Snapshots {
         prev.deletes)
       .drop("_snap_file", "_snap_pos")
       .coalesce(outFiles)
-    val (staged, stagedStats) = stage(spark, table, smallLive, statsCols)
+    val (staged, stagedStats, _) = stage(spark, table, smallLive, statsCols)
     val compacted = writeManifest(spark, table, staged, stagedStats)
     val bigSet = big.map(_._1).toSet
     val carried = writeManifest(spark, table, big.map(_._1),
-      prev.stats.filter { case (f, _) => bigSet(f) })
+      prev.stats.filter { case (f, _) => bigSet(f) },
+      prev.blooms.filter { case (f, _) => bigSet(f) })
     (Seq(carried, compacted), prev.deletes, prev.renames)
   }
 

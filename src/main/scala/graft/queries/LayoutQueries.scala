@@ -410,7 +410,43 @@ object LayoutQueries {
       .withColumn("layout_ok", lit(layoutOk))
   }
 
+  /** q175 — log-level BLOOM file skipping for POINT LOOKUPS
+    * ([[graft.lake.Snapshots.readAtKey]]): per-file bloom filters over
+    * the key column are recorded in the commit's manifest; a key lookup
+    * prunes its file list from the log alone — min/max stats cannot
+    * prune a point predicate on a hash-distributed key (every file's
+    * interval spans the domain), the bloom can. The superset guarantee
+    * means a matching file is never dropped (~fpp of non-matching files
+    * leak and the residual equality keeps exactness). The gate replays
+    * three closed-form lookups and pins the pruning marker; the spec
+    * pins inputFiles ⊆ pruned list and the superset property over a key
+    * sample. */
+  def bloomPointLookup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Snapshots
+    val table = graft.util.Scratch.dir("bloom_table", dir)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+    val orders = Tables(spark, dir, "orders")
+    Snapshots.append(spark, table,
+      orders.repartition(8, col("o_orderkey")),
+      bloomCols = Seq("o_orderkey"))
+    val all = Snapshots.snapshot(spark, table, 1).get.files.size
+    val keys = Seq(1L, 2L, 3L)
+    val prunedOk = keys.forall(k =>
+      Snapshots.prunedFilesForKey(spark, table, 1, "o_orderkey", k)
+        .get.size < all)
+    keys.map(k => Snapshots.readAtKey(spark, table, 1, "o_orderkey", k).get)
+      .reduce(_ unionAll _)
+      .select(col("o_orderkey"),
+        Num.cents(col("o_totalprice")).as("price_cents"))
+      .withColumn("files_pruned", lit(prunedOk))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q175_bloom_point_lookup", bloomPointLookup, Some("""
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+             true AS files_pruned
+      FROM orders WHERE o_orderkey IN (1, 2, 3)""")),
     QueryDef("q173_small_file_optimize", smallFileOptimize, Some(s"""
       SELECT o_orderpriority,
              COUNT(*) AS n_rows,

@@ -615,6 +615,38 @@ class SnapshotsSpec extends SparkTestBase {
     org.apache.commons.io.FileUtils.deleteQuietly(new File(t).getParentFile)
   }
 
+  test("log blooms prune point lookups: superset guarantee over a key sample") {
+    val t = fresh("bloom")
+    Snapshots.append(spark, t,
+      orders.repartition(8, col("o_orderkey")),
+      bloomCols = Seq("o_orderkey"))
+    val s1 = Snapshots.snapshot(spark, t, 1).get
+    assert(s1.blooms.keySet == s1.files.toSet)
+    val keys = orders.select("o_orderkey").limit(50).collect()
+      .map(_.getLong(0))
+    var prunedSomething = false
+    keys.foreach { k =>
+      val pruned = Snapshots.prunedFilesForKey(spark, t, 1,
+        "o_orderkey", k).get
+      if (pruned.size < s1.files.size) prunedSomething = true
+      val got = Snapshots.readAtKey(spark, t, 1, "o_orderkey", k).get
+      // the reader opens ONLY the surviving files...
+      assert(got.inputFiles.map(_.split("/_snap/").last).toSet
+        .subsetOf(pruned.map(_.stripPrefix("_snap/")).toSet))
+      // ...and the superset guarantee means no matching row is lost
+      assert(got.count() ==
+        orders.filter(col("o_orderkey") === k).count(), s"key $k")
+    }
+    assert(prunedSomething, "blooms never pruned any file for 50 keys")
+    // an absent key usually opens nothing (fp leakage allowed, bounded)
+    val ghost = Snapshots.prunedFilesForKey(spark, t, 1,
+      "o_orderkey", -987654321L).get
+    assert(ghost.size < s1.files.size)
+    assert(Snapshots.readAtKey(spark, t, 1,
+      "o_orderkey", -987654321L).get.count() == 0)
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(t).getParentFile)
+  }
+
   test("plain readers never see snapshot internals") {
     val t = fresh("plain")
     Snapshots.append(spark, t, orders.limit(100))
