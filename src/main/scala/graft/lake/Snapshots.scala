@@ -175,7 +175,16 @@ object Snapshots {
       .map { case (f, cols) =>
         f -> cols.map { case (c, b) => renamedName(renames, c) -> b }
       }
-    Some(Snapshot(v, files ++ strings("files"), strings("deletes"), stats,
+    // Pre-manifest-format logs inlined the file list under a top-level
+    // "files" key. Every commit path carries forward only prev.manifests,
+    // so SILENTLY accepting that shape here would drop all of a legacy
+    // table's data files on its first new-format commit — fail loudly
+    // instead (the one-time migration is: read old, overwrite() new).
+    val legacy = strings("files")
+    if (legacy.nonEmpty) throw new IllegalStateException(
+      s"$path uses the pre-manifest log format (inline 'files' list); " +
+        "rewrite the table (read + overwrite) before committing to it")
+    Some(Snapshot(v, files, strings("deletes"), stats,
       renames, manifestIds, blooms))
   }
 
@@ -277,7 +286,10 @@ object Snapshots {
           new org.apache.hadoop.fs.Path(tmp).toUri.getPath)
         val dstP = java.nio.file.Paths.get(dst.toUri.getPath)
         java.nio.file.Files.createLink(dstP, tmpP)
-        java.nio.file.Files.delete(tmpP)
+        // delete the tmp through the checksummed FS, not java.nio: the
+        // LocalFileSystem write left a .v*.json.tmp-*.crc sidecar that a
+        // raw unlink orphans in _log/ forever (vacuum only GCs manifests)
+        ops.delete(tmp)
       } else {
         val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, conf)
         fc.rename(new org.apache.hadoop.fs.Path(tmp), dst)
@@ -417,7 +429,12 @@ object Snapshots {
       s <- snapshot(spark, table, v)
       files <- prunedFilesForKey(spark, table, v, column, key)
     } yield
-      (if (files.isEmpty) readDispatch(spark, table, s).limit(0)
+      // zero data files in the SNAPSHOT (a deleteWhere on a
+      // never-committed table publishes such a version): the residual
+      // filter cannot resolve `column` on the schemaless empty frame —
+      // return it unfiltered (it is empty either way)
+      if (s.files.isEmpty) readDispatch(spark, table, s)
+      else (if (files.isEmpty) readDispatch(spark, table, s).limit(0)
       else readDispatch(spark, table, s.copy(files = files)))
         .filter(col(column) === key)
 
@@ -442,7 +459,17 @@ object Snapshots {
         r.getString(0) -> statsCols.flatMap { c =>
           val (mi, ma) = (r.getAs[Any](s"_mn_$c"), r.getAs[Any](s"_mx_$c"))
           if (mi == null || ma == null) None
-          else Some(c -> (mi.asInstanceOf[Double], ma.asInstanceOf[Double]))
+          else {
+            // NaN/±Infinity are skipped like all-null columns: Spark's
+            // min/max return NaN when any NaN is present, and a non-finite
+            // value renders as unparseable JSON — the manifest would
+            // poison every subsequent snapshot() of the table. No entry →
+            // unknown never prunes, so correctness is unaffected.
+            val (lo, hi) = (mi.asInstanceOf[Double], ma.asInstanceOf[Double])
+            if (java.lang.Double.isFinite(lo) && java.lang.Double.isFinite(hi))
+              Some(c -> (lo, hi))
+            else None
+          }
         }.toMap
       }.toMap
   }
@@ -581,7 +608,10 @@ object Snapshots {
     snapshot(spark, table, v).map { s =>
       // prune from the already-resolved snapshot: ONE log read per call
       val files = pruneFiles(s, column, lo, hi)
-      (if (files.isEmpty) readDispatch(spark, table, s).limit(0)
+      // empty snapshot: the residual range predicate cannot resolve on
+      // the schemaless empty frame — return it unfiltered (empty anyway)
+      if (s.files.isEmpty) readDispatch(spark, table, s)
+      else (if (files.isEmpty) readDispatch(spark, table, s).limit(0)
       else readDispatch(spark, table, s.copy(files = files)))
         .filter(col(column) >= lo && col(column) <= hi)
     }

@@ -656,4 +656,60 @@ class SnapshotsSpec extends SparkTestBase {
     assert(err != null)
     org.apache.commons.io.FileUtils.deleteQuietly(new File(t).getParentFile)
   }
+
+  test("legacy inline-files log format fails loudly instead of dropping data") {
+    val t = fresh("legacy")
+    Snapshots.append(spark, t, orders.limit(100))
+    // hand-forge a pre-manifest-format v2 whose file list is inlined:
+    // the old shape every commit path would silently drop on carry
+    val ops = new FileOps(spark.sparkContext.hadoopConfiguration)
+    val files = Snapshots.snapshot(spark, t, 1).get.files
+    ops.writeString(s"$t/_log/v000002.json", Json.render(Map(
+      "version" -> 2L,
+      "files" -> files, "deletes" -> Nil, "renames" -> Nil)))
+    val e = intercept[IllegalStateException](Snapshots.readLatest(spark, t))
+    assert(e.getMessage.contains("pre-manifest"))
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(t).getParentFile)
+  }
+
+  test("non-finite stats values are skipped, not rendered into the manifest") {
+    val t = fresh("nan")
+    import spark.implicits._
+    val df = Seq((1L, 1.5), (2L, Double.NaN), (3L, 2.5))
+      .toDF("k", "x").coalesce(1)
+    Snapshots.append(spark, t, df, statsCols = Seq("k", "x"))
+    // the table must stay fully readable (an unparseable manifest throws
+    // here), the NaN column records no stats, the clean column does
+    val s = Snapshots.snapshot(spark, t, 1).get
+    assert(Snapshots.readLatest(spark, t).get.count() == 3)
+    val fileStats = s.stats(s.files.head)
+    assert(!fileStats.contains("x"), "NaN-poisoned max must record no entry")
+    assert(fileStats("k") == (1.0, 3.0))
+    // no stats entry → unknown never prunes: the file survives any range
+    assert(Snapshots.prunedFilesAt(spark, t, 1, "x", 100.0, 200.0)
+      .get == s.files)
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(t).getParentFile)
+  }
+
+  test("point/range reads of a zero-file snapshot return empty, not an error") {
+    val t = fresh("zerofile")
+    // deleteWhere on a never-committed table publishes a version with no
+    // files at all — every read form must survive it
+    val v = Snapshots.deleteWhere(spark, t, col("k") === 1)
+    assert(Snapshots.snapshot(spark, t, v).get.files.isEmpty)
+    assert(Snapshots.readAtKey(spark, t, v, "k", 1L).get.count() == 0)
+    assert(Snapshots.readAtPruned(spark, t, v, "k", 0.0, 9.0).get.count() == 0)
+    assert(Snapshots.readAt(spark, t, v).get.count() == 0)
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(t).getParentFile)
+  }
+
+  test("publish leaves no tmp or orphaned .crc sidecars in _log") {
+    val t = fresh("crc")
+    Snapshots.append(spark, t, orders.limit(50))
+    Snapshots.append(spark, t, orders.limit(50))
+    val leftovers = new File(t, "_log").listFiles().map(_.getName)
+      .filter(n => n.contains(".tmp-"))
+    assert(leftovers.isEmpty, leftovers.mkString(", "))
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(t).getParentFile)
+  }
 }
