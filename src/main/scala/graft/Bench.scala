@@ -38,28 +38,45 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .filter(_.nonEmpty) // empty/blank var = no filter, not "nothing"
+    def onePass(name: String, fn: (org.apache.spark.sql.SparkSession,
+        String) => org.apache.spark.sql.DataFrame): Double = {
+      // isolate passes: queries that persist internal relations would
+      // otherwise leak caches that CacheManager substitutes into the
+      // next pass and into LATER queries sharing a subplan, timing
+      // cache scans instead of the operator
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      // full-plan execution: unlike count(), a noop write cannot have
+      // its projections pruned, so narrow per-row operators are timed
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+      catch { case _: Throwable => failed += name }
+      (System.nanoTime() - t0) / 1e9
+    }
+    // A pass pair disagreeing by >3× on a non-trivial query is a
+    // scheduling artifact, not a property of the plan (round-10's driver
+    // run recorded 17× pairs like [48.4, 2.8] under `reliable:true`).
+    // Such queries get a THIRD pass — one clean measurement usually
+    // exists among three even on a busy box — and the min is reported;
+    // queries still spread >3× after that are counted into the
+    // reliability verdict below.
+    val SpreadRatio = 3.0
+    val SpreadFloorSec = 0.3 // sub-300ms queries spread on GC noise alone
+    def spreadBad(ts: Seq[Double]): Boolean =
+      ts.size >= 2 && ts.min > 0 && ts.max > SpreadFloorSec &&
+        ts.max / ts.min > SpreadRatio
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       // q87 is the p9x sample-file pipeline composed end-to-end — same
       // fixed-size corpus, same exclusion rationale
       .filterNot(q => q._1.startsWith("p9") || q._1.startsWith("q87"))
       .filter(q => only.forall(_.exists(q._1.startsWith)))
       .map { case (name, fn) =>
-      val times = (1 to 2).flatMap { _ =>
+      val two = (1 to 2).flatMap { _ =>
         if (failed.contains(name)) None // don't pay a failing query twice
-        else {
-          // isolate passes: queries that persist internal relations would
-          // otherwise leak caches that CacheManager substitutes into the
-          // next pass and into LATER queries sharing a subplan, timing
-          // cache scans instead of the operator
-          spark.catalog.clearCache()
-          val t0 = System.nanoTime()
-          // full-plan execution: unlike count(), a noop write cannot have
-          // its projections pruned, so narrow per-row operators are timed
-          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-          catch { case _: Throwable => failed += name }
-          Some((System.nanoTime() - t0) / 1e9)
-        }
+        else Some(onePass(name, fn))
       }
+      val times =
+        if (!failed.contains(name) && spreadBad(two)) two :+ onePass(name, fn)
+        else two
       // A query that threw reports -1, never a misleading wall time.
       (name, if (failed.contains(name)) -1.0 else times.min, times)
     }
@@ -82,11 +99,32 @@ object Bench {
     // The run still completes — smoke coverage is unaffected — but the
     // headline is explicitly flagged so a contended total can never
     // masquerade as a throughput signal again.
-    val contended = loadStart > cpus / 4.0
+    //
+    // TWO independent contention signals, either one flags the run:
+    //  - pre-run load: round 10 proved load 4.26 (< the old cpus/4 = 8
+    //    threshold) still produced 17× pass spreads — the threshold is
+    //    now an absolute 2.0, load a local[32] JVM alone never shows
+    //    before its first query;
+    //  - observed spread: queries whose three passes STILL disagree >3×
+    //    are direct evidence of a scheduler fighting another process,
+    //    whatever the load average claims. A handful can be GC accidents;
+    //    more than 5 cannot.
+    val spreadQueries = results.collect {
+      case (n, _, ts) if !failed.contains(n) && spreadBad(ts) => n
+    }
+    val MaxSpreadQueries = 5
+    val loadContended = loadStart > 2.0
+    val spreadContended = spreadQueries.size > MaxSpreadQueries
     val caveat =
-      if (contended)
-        s""","reliable":false,"caveat":"load_avg_start $loadStart > cpus/4 (${cpus / 4.0}): machine was contended before the run; totals are noise, compare idle runs only""""
-      else ""","reliable":true"""
+      if (loadContended || spreadContended) {
+        val why = Seq(
+          if (loadContended) Some(s"load_avg_start $loadStart > 2.0") else None,
+          if (spreadContended) Some(s"${spreadQueries.size} queries kept " +
+            s">${SpreadRatio}x pass spread after a 3rd pass " +
+            spreadQueries.take(8).mkString("(", ",", ")")) else None
+        ).flatten.mkString("; ")
+        s""","reliable":false,"caveat":"$why: machine was contended; totals are noise, compare idle runs only""""
+      } else ""","reliable":true"""
     val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"load_avg_start":$loadStart,"load_avg_end":$loadAvg,"cpus":$cpus$caveat,"errors":$errs,"sf":"$sfDir"}"""
     // The driver captures only the LAST ~2000 chars of output and parses
     // the metric line out of that window. With 150 queries the full line is

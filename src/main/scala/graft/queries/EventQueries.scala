@@ -39,26 +39,19 @@ object EventQueries {
       .select(col("event_id"), col("user_id"), col("session_seq"))
   }
 
-  /** Per-user top-3 events by value via the bounded-buffer typed
-    * Aggregator (O(k) state per key through partial aggregation) — oracle
-    * is the equivalent window formulation. */
-  def topEventsPerUser(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    import graft.functions.TopKAggregator
-    val agg = new TopKAggregator[(Long, Double, Long)](3,
-      score = _._2, id = _._3)
+  /** Per-user top-3 events by value via the native bounded-heap
+    * aggregate ([[graft.functions.TopKPairs]], O(k) state per key
+    * through partial aggregation, input rows stay Tungsten) — oracle is
+    * the equivalent window formulation. */
+  def topEventsPerUser(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .select(col("user_id"), col("value"), col("event_id"))
-      .as[(Long, Double, Long)]
-      .groupByKey(_._1)
-      .agg(agg.toColumn)
-      .flatMap { case (userId, top) =>
-        top.zipWithIndex.map { case ((v, eid), i) =>
-          (userId, i + 1L, eid, v)
-        }
-      }
-      .toDF("user_id", "rank", "event_id", "value")
-  }
+      .groupBy(col("user_id"))
+      .agg(graft.functions.TopKPairs.column(
+        col("value"), col("event_id"), 3).as("_top"))
+      .select(col("user_id"), posexplode(col("_top")).as(Seq("_i", "_p")))
+      .select(col("user_id"), (col("_i") + 1).cast("long").as("rank"),
+        col("_p.id").as("event_id"), col("_p.score").as("value"))
 
   /** Session-level aggregates via Spark's native session_window operator
     * (merging-session state under the hood; the streaming form shares the

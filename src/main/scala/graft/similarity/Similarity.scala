@@ -14,7 +14,7 @@ import graft.util.Par
   *  - [[bruteForceTopK]] — exact cosine top-k: broadcast the (small) query
   *    set against the corpus, fold the dot product inside codegen, then
   *    reduce to top-k per query through the O(k) partial-agg
-  *    [[graft.functions.TopKAggregator]] — never a per-query window sort
+  *    [[graft.functions.TopKPairs]] — never a per-query window sort
   *    of the scored relation. The corpus is never shuffled — at
   *    100 TB this is one scan; cost is O(|corpus|·|queries|·dim).
   *  - [[lshTopK]] — random-hyperplane LSH: bucket every vector by the sign
@@ -57,30 +57,27 @@ object Similarity {
     topK(scored, k)
   }
 
-  /** Per-query top-k of the scored relation via the bounded-buffer typed
-    * aggregator ([[graft.functions.TopKAggregator]]), NOT a
-    * `row_number()` window: the window form shuffles and sorts EVERY
-    * scored row into |queries| reducers — with a handful of queries over
-    * a 100 TB corpus that is a per-query single-reducer sort of the
-    * whole corpus. The aggregator carries O(k) state per query through
-    * partial aggregation, so each map task ships at most k pairs per
-    * query and no sort of the scored relation ever exists in the plan
-    * (ScaleSpecs-pinned). Ordering matches the oracle's window exactly:
-    * cos_sim DESC, neighbor_id ASC on ties. */
-  private def topK(scored: DataFrame, k: Int): DataFrame = {
-    val spark = scored.sparkSession
-    import spark.implicits._
-    val agg = new graft.functions.TopKAggregator[(Long, Long, Double)](k,
-      score = _._3, id = _._2)
-    scored.select(col("query_id"), col("neighbor_id"), col("cos_sim"))
-      .as[(Long, Long, Double)]
-      .groupByKey(_._1)
-      .agg(agg.toColumn)
-      .flatMap { case (qid, top) =>
-        top.zipWithIndex.map { case ((s, nid), i) => (qid, i + 1L, nid, s) }
-      }
-      .toDF("query_id", "rank", "neighbor_id", "cos_sim")
-  }
+  /** Per-query top-k of the scored relation via the native bounded-heap
+    * aggregate ([[graft.functions.TopKPairs]]), NOT a `row_number()`
+    * window: the window form shuffles and sorts EVERY scored row into
+    * |queries| reducers — with a handful of queries over a 100 TB corpus
+    * that is a per-query single-reducer sort of the whole corpus. The
+    * aggregate carries O(k) state per query through partial aggregation,
+    * so each map task ships at most k pairs per query and no sort of the
+    * scored relation ever exists in the plan (ScaleSpecs-pinned). Unlike
+    * the typed `groupByKey`/`Aggregator` form it replaces (VERDICT r10
+    * item 2), rows reach the aggregate as Tungsten InternalRows — no
+    * per-row tuple deserialization, and the scoring projection fuses
+    * into the aggregate's input stage under whole-stage codegen.
+    * Ordering matches the oracle's window exactly: cos_sim DESC,
+    * neighbor_id ASC on ties. */
+  private def topK(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("query_id"))
+      .agg(graft.functions.TopKPairs.column(
+        col("cos_sim"), col("neighbor_id"), k).as("_top"))
+      .select(col("query_id"), posexplode(col("_top")).as(Seq("_i", "_p")))
+      .select(col("query_id"), (col("_i") + 1).cast("long").as("rank"),
+        col("_p.id").as("neighbor_id"), col("_p.score").as("cos_sim"))
 
   /** Each query's `nProbe` best cells, chosen WITHOUT a window: the
     * centroid-score array is ranked inside the row (sort a (score, cell)
@@ -156,11 +153,12 @@ object Similarity {
     var cents = sampleCentroids(corpus, idCol, vecCol, nCells)
       .map(l2Normalize)
     for (_ <- 0 until iters) {
-      val scores = cellScores(col("_v"), cents)
+      // argmax-cosine assignment via the native single-loop expression
+      // (bitwise-equal scores and first-max ties vs the
+      // array_position/array_max form — see PqBestCode's parity note)
       val means = Par.ensure(corpus).select(col(vecCol).as("_v"))
-        .select(col("_v"), scores.as("_scores"))
-        .select(col("_v"), (array_position(col("_scores"),
-          array_max(col("_scores"))) - 1).cast("int").as("_cell"))
+        .select(col("_v"), graft.functions.PqBestCode.column(
+          col("_v"), cents, 0, cents(0).length).as("_cell"))
         .select(col("_cell"), posexplode(col("_v")).as(Seq("_pos", "_x")))
         .groupBy("_cell", "_pos").agg(avg(col("_x")).as("_m"))
         .collect()
@@ -207,14 +205,12 @@ object Similarity {
   def ivfTopKTrained(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, cents: Array[Array[Double]],
       nProbe: Int): DataFrame = {
-    // score arrays land in their own projection so argmax/max don't
-    // re-evaluate the whole centroid-dot array per lookup
+    // native single-loop argmax assignment (PqBestCode): one expression
+    // per row instead of an nCells-wide score-array tree
     val corpusCells = Par.ensure(corpus)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
-        cellScores(col(vecCol), cents).as("_scores"))
-      .select(col("neighbor_id"), col("_cv"),
-        (array_position(col("_scores"), array_max(col("_scores"))) - 1)
-          .cast("int").as("_cell"))
+        graft.functions.PqBestCode.column(
+          col(vecCol), cents, 0, cents(0).length).as("_cell"))
 
     // each query probes its nProbe best cells (narrow in-row ranking)
     val qCells = broadcast(probedCells(queries, idCol, vecCol, cents, nProbe))
@@ -437,20 +433,19 @@ object Similarity {
   private def pqSubCol(v: Column, m: Int, subDim: Int): Column =
     slice(v, m * subDim + 1, subDim)
 
-  /** Encoding columns `_k0.._kN`: argmax sub-cosine per subspace
-    * (array_position → FIRST max → lowest-code tiebreak, matching the
-    * oracle's row_number order). */
+  /** Encoding columns `_k0.._kN`: argmax sub-cosine per subspace via the
+    * native single-loop [[graft.functions.PqBestCode]] (first-max =
+    * lowest-code tiebreak, bitwise-equal scores — matching the oracle's
+    * row_number order; see PqBestCode's parity note). The expression-tree
+    * form (nCodes slice+dot chains per subspace per row) was the measured
+    * bottleneck of the whole PQ family. */
   private def pqCodeCols(v: Column, cbs: Array[Array[Array[Double]]],
       dim: Int): Seq[Column] = {
     val nSub = cbs.length
     val subDim = dim / nSub
-    def cbLit(m: Int, kc: Int): Column = array(cbs(m)(kc).map(lit): _*)
     (0 until nSub).map { m =>
-      val scores = array(cbs(m).indices.map { kc =>
-        dot(pqSubCol(v, m, subDim), cbLit(m, kc)) /
-          (norm(pqSubCol(v, m, subDim)) * sqrt(dot(cbLit(m, kc), cbLit(m, kc))))
-      }: _*)
-      (array_position(scores, array_max(scores)) - 1).cast("int").as(s"_k$m")
+      graft.functions.PqBestCode.column(v, cbs(m), m * subDim, subDim)
+        .as(s"_k$m")
     }
   }
 
@@ -511,10 +506,8 @@ object Similarity {
       cbs: Array[Array[Array[Double]]], dim: Int): DataFrame = {
     val codes = Par.ensure(corpus)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
-        cellScores(col(vecCol), cents).as("_scores"))
-      .select(col("neighbor_id") +: col("_cv") +:
-        (array_position(col("_scores"), array_max(col("_scores"))) - 1)
-          .cast("int").as("_cell") +: Seq(): _*)
+        graft.functions.PqBestCode.column(
+          col(vecCol), cents, 0, cents(0).length).as("_cell"))
       .select(col("neighbor_id") +: col("_cell") +:
         pqCodeCols(col("_cv"), cbs, dim): _*)
     val qCells = broadcast(probedCells(queries, idCol, vecCol, cents, nProbe)
@@ -729,7 +722,7 @@ object Similarity {
     * corpus-scaled [[scaledPlaneCount]] ladder bounds intra-bucket pair
     * work at O(n·cap·bands), the [[embeddingNearDuplicates]]
     * discipline); each node keeps its `m` best candidates by cosine
-    * through the O(m) partial-agg [[graft.functions.TopKAggregator]],
+    * through the O(m) partial-agg [[graft.functions.TopKPairs]],
     * and the directed top-m lists are symmetrized. One
     * (band, bucket)-keyed shuffle plus one bounded aggregation — the connectivity a
     * real NSW insert loop converges to, without its sequential insert
@@ -761,8 +754,6 @@ object Similarity {
   def nswTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, m: Int = 8, beam: Int = 16, hops: Int = 4,
       numBands: Int = 4, dim: Int = 64): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
     val r = scaledPlaneCount(corpus.count(), NswPlaneCap,
       NswMinPlanes, NswMaxPlanes)
     // all bands in ONE (band, sig)-keyed relation: the candidate join is
@@ -776,13 +767,9 @@ object Similarity {
       .select(col("x.id").as("src"), col("y.id").as("dst"),
         cosine(col("x._v"), col("y._v")).as("w"))
       .distinct()
-    val mAgg = new graft.functions.TopKAggregator[(Long, Long, Double)](m,
-      score = _._3, id = _._2)
-    val topM = cand.as[(Long, Long, Double)]
-      .groupByKey(_._1)
-      .agg(mAgg.toColumn)
-      .flatMap { case (s, top) => top.map { case (_, d) => (s, d) } }
-      .toDF("src", "dst")
+    val topM = cand.groupBy(col("src"))
+      .agg(graft.functions.TopKPairs.column(col("w"), col("dst"), m).as("_top"))
+      .select(col("src"), explode(col("_top.id")).as("dst"))
     // symmetrize, then truncate lineage: the edge list is re-joined every
     // hop — localCheckpoint materializes it once (the index build)
     val edges = topM.unionByName(
