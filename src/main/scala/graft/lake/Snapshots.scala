@@ -856,6 +856,56 @@ object Snapshots {
         prev.map(_.renames).getOrElse(Nil))
     }
 
+  /** Predicate UPDATE (`UPDATE t SET c = expr WHERE pred`) as a
+    * merge-on-read commit — the fourth DML leg beside [[append]],
+    * [[merge]] and [[deleteWhere]]: every LIVE row matching `pred` is
+    * tombstoned into a new positional-delete file AND re-staged with the
+    * `set` expressions applied, both published in ONE version. `set`
+    * right-hand sides see the PRE-update values (standard SQL UPDATE
+    * semantics) under CURRENT column names (the era-aware scan maps
+    * renamed/widened old-era rows first, so an UPDATE on an evolved
+    * table reaches every era). No existing data file is touched — cost
+    * is one scan to locate matches plus O(updated rows) write; the
+    * pre-update state stays time-travelable, and the update surfaces in
+    * [[changesBetween]] as its delete+insert pair, exactly like a merge
+    * executes. Runs in the optimistic commit loop: a lost race re-scans
+    * the WINNING snapshot's live view and re-stages, so concurrent
+    * writers compose (the staging of a lost attempt is orphaned and
+    * swept by [[vacuum]]). Matching zero rows still publishes a version
+    * — the DML is recorded either way, like [[deleteWhere]]. */
+  def updateWhere(spark: SparkSession, table: String,
+      pred: org.apache.spark.sql.Column,
+      set: Map[String, org.apache.spark.sql.Column],
+      statsCols: Seq[String] = Nil): Int =
+    commitLoop(spark, table) { prev =>
+      val prevManifests = prev.map(_.manifests).getOrElse(Nil)
+      val prevDeletes = prev.map(_.deletes).getOrElse(Nil)
+      val prevRenames = prev.map(_.renames).getOrElse(Nil)
+      if (prev.forall(_.files.isEmpty))
+        (prevManifests, prevDeletes, prevRenames)
+      else {
+        val live = subtractDeletes(spark, table,
+          withMetaEras(spark, table, prev.get), prevDeletes)
+        val matched = live.filter(pred)
+        // tombstone every matched live copy (delete half of the pair)
+        val tomb = matched
+          .select(col("_snap_file").as("file"), col("_snap_pos").as("pos"))
+        val dRel = s"_snap/d-${Naming.newRunId()}"
+        tomb.coalesce(1).write.mode("overwrite").parquet(s"$table/$dRel")
+        val dFiles = listFresh(spark, s"$table/$dRel", dRel)
+        // re-stage the matched rows with the SET expressions applied
+        // (insert half) — withColumn AFTER dropping reader columns so a
+        // SET cannot reference or collide with them
+        val updated = set.foldLeft(
+          matched.drop("_snap_file", "_snap_pos")) {
+            case (df, (c, expr)) => df.withColumn(c, expr)
+          }
+        val (staged, stagedStats, _) = stage(spark, table, updated, statsCols)
+        val mid = writeManifest(spark, table, staged, stagedStats)
+        (prevManifests :+ mid, prevDeletes ++ dFiles, prevRenames)
+      }
+    }
+
   /** OPTIMIZE: rewrite the current live view (data minus positional
     * deletes) into fresh compacted files published as a NEW version —
     * the amortized answer to merge-on-read debt. Unlike

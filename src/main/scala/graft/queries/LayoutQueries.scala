@@ -441,7 +441,65 @@ object LayoutQueries {
       .withColumn("files_pruned", lit(prunedOk))
   }
 
+  /** q176 — predicate UPDATE through the snapshot log
+    * ([[graft.lake.Snapshots.updateWhere]], the `UPDATE … SET … WHERE`
+    * DML leg completing the quartet with q154 append / q155 merge /
+    * q169 delete): every live row matching the predicate is tombstoned
+    * AND re-staged with the SET expressions applied — both in ONE
+    * version; no existing file is rewritten. The gate pins all three
+    * visibility contracts at once: the post-update state (SET applied,
+    * row count unchanged, the multi-column SET attested by the
+    * `n_upd` marker), the PRE-update state still time-travelable at v1,
+    * and the change feed surfacing the update as its delete (old image)
+    * + insert (new image) pair. A tombstone that misses a copy
+    * double-counts a key; an update that leaks into v1 shifts the v1
+    * row; a feed that loses either half shifts a cdf row. */
+  def predicateUpdate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Snapshots
+    val table = graft.util.Scratch.dir("pupd_table", dir)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+    val orders = Tables(spark, dir, "orders")
+    Snapshots.append(spark, table, orders.filter(col("o_orderkey") % 2 === 0))
+    val v2 = Snapshots.updateWhere(spark, table,
+      col("o_totalprice") < 50000,
+      Map("o_totalprice" -> (col("o_totalprice") + 100000.0),
+        "o_orderpriority" -> lit("9-UPDATED")))
+    def aggOf(df: DataFrame) = df
+      .agg(count(lit(1)).as("n_rows"),
+        count(when(col("o_orderpriority") === "9-UPDATED", 1)).as("n_upd"),
+        Num.sumMoney(col("o_totalprice")).as("sum_price"))
+    def aggAt(v: Int, label: String) =
+      aggOf(Snapshots.readAt(spark, table, v).get)
+        .select(lit(label).as("part"), col("n_rows"), col("n_upd"),
+          col("sum_price"))
+    val cdf = Snapshots.changesBetween(spark, table, 1, v2).get
+    val cdfAgg = cdf.groupBy(concat(lit("cdf_"), col("_change_type")).as("part"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(when(col("o_orderpriority") === "9-UPDATED", 1)).as("n_upd"),
+        Num.sumMoney(col("o_totalprice")).as("sum_price"))
+    aggAt(1, "v1").unionAll(aggAt(v2, "v2"))
+      .unionAll(cdfAgg.select("part", "n_rows", "n_upd", "sum_price"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q176_predicate_update", predicateUpdate, Some(s"""
+      SELECT 'v1' AS part, COUNT(*) AS n_rows, CAST(0 AS BIGINT) AS n_upd,
+             ${Num.sqlSumMoney("o_totalprice")} AS sum_price
+      FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT 'v2', COUNT(*),
+             COUNT(CASE WHEN o_totalprice < 50000 THEN 1 END),
+             ${Num.sqlSumMoney(
+        "o_totalprice + CASE WHEN o_totalprice < 50000 THEN 100000 ELSE 0 END")}
+      FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT 'cdf_delete', COUNT(*), CAST(0 AS BIGINT),
+             ${Num.sqlSumMoney("o_totalprice")}
+      FROM orders WHERE o_orderkey % 2 = 0 AND o_totalprice < 50000
+      UNION ALL
+      SELECT 'cdf_insert', COUNT(*), COUNT(*),
+             ${Num.sqlSumMoney("o_totalprice + 100000")}
+      FROM orders WHERE o_orderkey % 2 = 0 AND o_totalprice < 50000""")),
     QueryDef("q175_bloom_point_lookup", bloomPointLookup, Some("""
       SELECT o_orderkey,
              CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,

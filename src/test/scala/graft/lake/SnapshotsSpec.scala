@@ -657,6 +657,51 @@ class SnapshotsSpec extends SparkTestBase {
     org.apache.commons.io.FileUtils.deleteQuietly(new File(t).getParentFile)
   }
 
+  test("predicate update: one version, no rewrite, merge composes on top") {
+    val t = fresh("upd")
+    import graft.queries.Num
+    Snapshots.append(spark, t, orders.filter(col("o_orderkey") % 2 === 0))
+    val before = Snapshots.readLatest(spark, t).get.count()
+    val v2 = Snapshots.updateWhere(spark, t, col("o_totalprice") < 30000,
+      Map("o_totalprice" -> (col("o_totalprice") + 5.0)))
+    // row count unchanged, every prior file carried by reference
+    assert(Snapshots.readAt(spark, t, v2).get.count() == before)
+    val s1 = Snapshots.snapshot(spark, t, 1).get
+    val s2 = Snapshots.snapshot(spark, t, v2).get
+    assert(s1.files.toSet.subsetOf(s2.files.toSet), "update rewrote a file")
+    // the pre-update state stays travelable: v1 sum is the raw sum
+    def centsSum(df: org.apache.spark.sql.DataFrame) =
+      df.agg(sum(Num.cents(col("o_totalprice")))).head().getLong(0)
+    assert(centsSum(Snapshots.readAt(spark, t, 1).get) ==
+      centsSum(orders.filter(col("o_orderkey") % 2 === 0)))
+    // update-then-merge: the merge value wins over the updated value for
+    // merged keys; unmerged updated keys keep the update
+    Snapshots.merge(spark, t,
+      orders.filter(col("o_orderkey") % 4 === 0)
+        .withColumn("o_totalprice", lit(999.0)),
+      Seq("o_orderkey"))
+    val fin = Snapshots.readLatest(spark, t).get.cache()
+    try {
+      assert(fin.count() == before)
+      assert(fin.filter(col("o_orderkey") % 4 === 0)
+        .select(countDistinct(col("o_totalprice"))).head().getLong(0) == 1)
+      assert(fin.filter(col("o_orderkey") % 4 === 0)
+        .agg(max(col("o_totalprice"))).head().getDouble(0) == 999.0)
+      val unmerged = orders.filter(col("o_orderkey") % 4 === 2)
+        .withColumn("o_totalprice",
+          when(col("o_totalprice") < 30000, col("o_totalprice") + 5.0)
+            .otherwise(col("o_totalprice")))
+      assert(centsSum(fin.filter(col("o_orderkey") % 4 === 2)) ==
+        centsSum(unmerged))
+    } finally fin.unpersist()
+    // matching zero rows still records a version
+    val vNoop = Snapshots.updateWhere(spark, t, lit(false),
+      Map("o_totalprice" -> lit(0.0)))
+    assert(vNoop == Snapshots.latestVersion(spark, t).get)
+    assert(Snapshots.readLatest(spark, t).get.count() == before)
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(t).getParentFile)
+  }
+
   test("legacy inline-files log format fails loudly instead of dropping data") {
     val t = fresh("legacy")
     Snapshots.append(spark, t, orders.limit(100))
