@@ -1,7 +1,7 @@
 package graft.lake
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, col, lit}
+import org.apache.spark.sql.functions.{broadcast, col, lit, max, min}
 import org.apache.spark.sql.types._
 
 /** Versioned snapshot log — TIME TRAVEL, incremental reads, merge-on-read
@@ -935,7 +935,8 @@ object Snapshots {
     * probes here; a production writer records sizes in the manifest at
     * commit time. */
   def optimizeSmallFiles(spark: SparkSession, table: String,
-      minBytes: Long, statsCols: Seq[String] = Nil): Option[Int] = {
+      minBytes: Long, statsCols: Seq[String] = Nil,
+      zorderBy: Option[(String, String)] = None): Option[Int] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val probe = latestSnapshot(spark, table).getOrElse(return None)
     def sized(files: Seq[String]): Seq[(String, Long)] = files.map { f =>
@@ -957,13 +958,15 @@ object Snapshots {
       // as a no-op version) rather than era-scanning an empty file set
       if (small.size <= 1)
         (prev.manifests, prev.deletes, prev.renames)
-      else compactContent(spark, table, prev, small, big, minBytes, statsCols)
+      else compactContent(spark, table, prev, small, big, minBytes,
+        statsCols, zorderBy)
     })
   }
 
   private def compactContent(spark: SparkSession, table: String,
       prev: Snapshot, small: Seq[(String, Long)], big: Seq[(String, Long)],
-      minBytes: Long, statsCols: Seq[String]): (Seq[String], Seq[String],
+      minBytes: Long, statsCols: Seq[String],
+      zorderBy: Option[(String, String)]): (Seq[String], Seq[String],
       Seq[(String, String)]) = {
     // live rows of the small files only, era-aware, packed into
     // ~minBytes-sized outputs (the bin-packing half of OPTIMIZE —
@@ -971,11 +974,35 @@ object Snapshots {
     // partition and compacts nothing)
     val outFiles = math.max(1L,
       math.min(small.size.toLong, small.map(_._2).sum / minBytes)).toInt
-    val smallLive = subtractDeletes(spark, table,
+    val live = subtractDeletes(spark, table,
         withMetaEras(spark, table, prev.copy(files = small.map(_._1))),
         prev.deletes)
       .drop("_snap_file", "_snap_pos")
-      .coalesce(outFiles)
+    // `OPTIMIZE ... ZORDER BY (c1, c2)`: instead of packing arbitrary
+    // rows together, lay the rewritten tail out along the Morton curve
+    // of the two columns ([[ZOrder]]) so each fresh file covers a small
+    // RECTANGLE of the (c1, c2) domain — the manifest's min/max for
+    // BOTH columns tighten and [[prunedFilesAt]] prunes on either
+    // predicate. Pass both columns in `statsCols` to record the
+    // tightened intervals. One extra bounded driver agg (4 doubles) and
+    // a range exchange instead of the coalesce — the standard cost of a
+    // clustered write; carried big files keep their bytes and stats
+    // untouched either way.
+    val smallLive = zorderBy match {
+      case Some((c1, c2)) =>
+        val b = live.agg(
+          min(col(c1).cast("double")), max(col(c1).cast("double")),
+          min(col(c2).cast("double")), max(col(c2).cast("double"))).head()
+        def d(i: Int): Double = if (b.isNullAt(i)) 0.0 else b.getDouble(i)
+        val z = ZOrder.interleave(
+          ZOrder.rank16(col(c1), d(0), d(1)),
+          ZOrder.rank16(col(c2), d(2), d(3)))
+        live.withColumn("_z", z)
+          .repartitionByRange(outFiles, col("_z"))
+          .sortWithinPartitions("_z")
+          .drop("_z")
+      case None => live.coalesce(outFiles)
+    }
     val (staged, stagedStats, _) = stage(spark, table, smallLive, statsCols)
     val compacted = writeManifest(spark, table, staged, stagedStats)
     val bigSet = big.map(_._1).toSet

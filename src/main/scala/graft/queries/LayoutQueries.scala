@@ -481,7 +481,63 @@ object LayoutQueries {
       .unionAll(cdfAgg.select("part", "n_rows", "n_upd", "sum_price"))
   }
 
+  /** q178 — Z-ORDER-aware OPTIMIZE
+    * ([[graft.lake.Snapshots.optimizeSmallFiles]] with `zorderBy`, the
+    * `OPTIMIZE … ZORDER BY (c1, c2)` shape): ten small unclustered
+    * commits accrete, then compaction rewrites them along the Morton
+    * curve of (o_custkey, o_totalprice) and records BOTH columns'
+    * tightened min/max in the fresh manifest. The gate then prunes the
+    * file list from the log alone on EACH dimension independently — the
+    * whole point of Z-order over single-column range clustering, where
+    * the second column's intervals span the domain and prune nothing —
+    * and pins both markers plus the compacted layout (fewer files).
+    * Result rows re-apply the residual predicate, so pruning errors
+    * shift counts, not just markers. */
+  def zorderOptimize(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Snapshots
+    val table = graft.util.Scratch.dir("zopt_table", dir)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+    val orders = Tables(spark, dir, "orders")
+    // ten small commits keyed on NEITHER stats column: every file spans
+    // both domains, so pre-optimize stats prune nothing
+    for (r <- 0 until 10)
+      Snapshots.append(spark, table,
+        orders.filter(col("o_orderkey") % 10 === r).coalesce(1))
+    def files = Snapshots.snapshot(spark, table,
+      Snapshots.latestVersion(spark, table).get).get.files
+    def len(f: String) = new java.io.File(table, f).length()
+    val before = files
+    val total = before.map(len).sum
+    val vOpt = Snapshots.optimizeSmallFiles(spark, table,
+      minBytes = total / 8 + 1,
+      statsCols = Seq("o_custkey", "o_totalprice"),
+      zorderBy = Some(("o_custkey", "o_totalprice"))).get
+    val after = Snapshots.snapshot(spark, table, vOpt).get.files
+    val maxCust = orders.agg(max(col("o_custkey"))).head().getLong(0)
+    val custHi = (maxCust / 4).toDouble
+    val prunedCust = Snapshots.prunedFilesAt(spark, table, vOpt,
+      "o_custkey", 1.0, custHi).get
+    val prunedPrice = Snapshots.prunedFilesAt(spark, table, vOpt,
+      "o_totalprice", 0.0, 100000.0).get
+    val layoutOk = after.size < before.size &&
+      prunedCust.size < after.size && prunedPrice.size < after.size
+    Snapshots.readAtPruned(spark, table, vOpt, "o_custkey", 1.0, custHi).get
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_rows"),
+        Num.sumMoney(col("o_totalprice")).as("sum_price"))
+      .withColumn("zorder_prunes_both", lit(layoutOk))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q178_zorder_optimize", zorderOptimize, Some(s"""
+      SELECT o_orderpriority,
+             COUNT(*) AS n_rows,
+             ${Num.sqlSumMoney("o_totalprice")} AS sum_price,
+             true AS zorder_prunes_both
+      FROM orders
+      WHERE o_custkey >= 1
+        AND o_custkey <= (SELECT max(o_custkey) // 4 FROM orders)
+      GROUP BY 1""")),
     QueryDef("q176_predicate_update", predicateUpdate, Some(s"""
       SELECT 'v1' AS part, COUNT(*) AS n_rows, CAST(0 AS BIGINT) AS n_upd,
              ${Num.sqlSumMoney("o_totalprice")} AS sum_price

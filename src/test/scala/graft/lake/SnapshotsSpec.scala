@@ -702,6 +702,42 @@ class SnapshotsSpec extends SparkTestBase {
     org.apache.commons.io.FileUtils.deleteQuietly(new File(t).getParentFile)
   }
 
+  test("zorder optimize: fresh files cover sub-rectangles of both domains") {
+    val t = fresh("zopt")
+    for (r <- 0 until 8)
+      Snapshots.append(spark, t,
+        orders.filter(col("o_orderkey") % 8 === r).coalesce(1))
+    val before = Snapshots.snapshot(spark, t,
+      Snapshots.latestVersion(spark, t).get).get.files
+    val total = before.map(f => new File(t, f).length()).sum
+    val v = Snapshots.optimizeSmallFiles(spark, t, minBytes = total / 6 + 1,
+      statsCols = Seq("o_custkey", "o_totalprice"),
+      zorderBy = Some(("o_custkey", "o_totalprice"))).get
+    val s = Snapshots.snapshot(spark, t, v).get
+    // live rows preserved bit-for-bit in count and money sum
+    import graft.queries.Num
+    def centsSum(df: org.apache.spark.sql.DataFrame) =
+      df.agg(sum(Num.cents(col("o_totalprice")))).head().getLong(0)
+    assert(Snapshots.readAt(spark, t, v).get.count() == orders.count())
+    assert(centsSum(Snapshots.readAt(spark, t, v).get) == centsSum(orders))
+    // every fresh file records stats for BOTH columns, and the Morton
+    // layout gives sub-domain intervals on both dimensions for at least
+    // half the files (an unclustered rewrite leaves every interval
+    // spanning ~the whole domain)
+    assert(s.files.size > 1 && s.files.size < before.size)
+    val dom = orders.agg(
+      min(col("o_custkey").cast("double")), max(col("o_custkey").cast("double")),
+      min(col("o_totalprice")), max(col("o_totalprice"))).head()
+    def width(iv: (Double, Double)) = iv._2 - iv._1
+    val cw = dom.getDouble(1) - dom.getDouble(0)
+    val pw = dom.getDouble(3) - dom.getDouble(2)
+    val cSub = s.files.count(f => width(s.stats(f)("o_custkey")) < 0.75 * cw)
+    val pSub = s.files.count(f => width(s.stats(f)("o_totalprice")) < 0.75 * pw)
+    assert(cSub * 2 >= s.files.size, s"custkey intervals loose: $cSub/${s.files.size}")
+    assert(pSub * 2 >= s.files.size, s"price intervals loose: $pSub/${s.files.size}")
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(t).getParentFile)
+  }
+
   test("legacy inline-files log format fails loudly instead of dropping data") {
     val t = fresh("legacy")
     Snapshots.append(spark, t, orders.limit(100))
