@@ -162,6 +162,45 @@ object StreamingQueries {
     spark.read.parquet(out)
   }
 
+  /** q177 — the LEFT-OUTER watermarked stream-stream interval join (the
+    * production attribution shape): events with no covering purchase
+    * window surface with a NULL window id, emitted at WATERMARK EXPIRY —
+    * the eviction-emission path the inner join (q69) never exercises.
+    * Matches emit eagerly and equal the batch left-join's matched half;
+    * null rows for unmatched events emit only once the final watermark
+    * passes the event's timestamp, so the bounded replay's closed form —
+    * stated explicitly in the oracle — is: all inner pairs, plus nulls
+    * for unmatched events at least one watermark-horizon (1 h) below the
+    * replay's max event time. On an unbounded run the tail nulls flush
+    * as time advances; state stays bounded by horizon × arrival rate. */
+  def intervalJoinOuterStream(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark) {
+    import spark.implicits._
+    val src = s"$dir/events.parquet"
+    val out = scratchDir("stream_q177_out", dir)
+    val ckpt = scratchDir("stream_q177_ckpt", dir)
+    delete(ckpt); delete(out)
+    val schema = spark.read.parquet(src).schema
+    def eventStream: Dataset[EventStreams.Event] =
+      spark.readStream.schema(schema)
+        .parquet(s"$dir/events*.parquet")
+        .transform(Tables.normalizeEventTs)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .as[EventStreams.Event]
+    val joined = EventStreams.attributeToPurchasesOuter(
+      eventStream, eventStream.filter(_.event_type == "purchase"))
+    val writeBatch: (Dataset[Row], Long) => Unit =
+      (batch, _) => batch.write.mode("append").parquet(out)
+    val q = joined.writeStream
+      .outputMode("append")
+      .foreachBatch(writeBatch)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally { q.stop(); delete(ckpt) }
+    spark.read.parquet(out)
+  }
+
   /** q84 — the q18 TUMBLING hourly aggregate executed as a stream:
     * completes the windowed-agg pair (q61 covers the sliding form). Same
     * replay harness as q61; complete mode because the bounded replay must
@@ -306,6 +345,34 @@ object StreamingQueries {
         AND w.event_type = 'purchase'
         AND e.ts >= w.ts
         AND e.ts < w.ts + INTERVAL 2 HOUR"""
+
+  /** The q69 inner pairs plus the watermark-expiry nulls: unmatched
+    * events emit null-extended only when the FINAL watermark has passed
+    * their timestamp — and the query's global watermark is the MIN over
+    * its two watermarked inputs, here the (earlier) PURCHASE side's
+    * max event time − 1 h, not the event side's. An oracle keyed to the
+    * event side over-emits by exactly the events in the gap (verified
+    * empirically: nulls stop at max-purchase-ts − 1 h). The
+    * bounded-replay closed form of left-outer eviction emission — see
+    * [[graft.streaming.EventStreams.attributeToPurchasesOuter]]. */
+  private val intervalJoinOuterOracle = """
+      WITH m AS (SELECT max(ts) AS mx FROM events WHERE event_type = 'purchase')
+      SELECT e.event_id, e.user_id, w.event_id AS window_id
+      FROM events e JOIN events w
+        ON e.user_id = w.user_id
+        AND w.event_type = 'purchase'
+        AND e.ts >= w.ts
+        AND e.ts < w.ts + INTERVAL 2 HOUR
+      UNION ALL
+      SELECT e.event_id, e.user_id, CAST(NULL AS BIGINT) AS window_id
+      FROM events e, m
+      WHERE e.ts < m.mx - INTERVAL 1 HOUR
+        AND NOT EXISTS (
+          SELECT 1 FROM events w
+          WHERE w.user_id = e.user_id
+            AND w.event_type = 'purchase'
+            AND e.ts >= w.ts
+            AND e.ts < w.ts + INTERVAL 2 HOUR)"""
 
   /** Same oracle text as q19's batch-window sessionization. */
   private val sessionizeOracle = """
@@ -730,6 +797,8 @@ object StreamingQueries {
       Some(sessionizeOracle)),
     QueryDef("q69_interval_join_stream", intervalJoinStream,
       Some(intervalJoinOracle)),
+    QueryDef("q177_interval_join_outer_stream", intervalJoinOuterStream,
+      Some(intervalJoinOuterOracle)),
     QueryDef("q71_dedup_stream", dedupStream, Some(dedupStreamOracle)),
     QueryDef("q77_sessionize_tws_stream", sessionizeTwsStream,
       Some(sessionizeOracle)),

@@ -90,6 +90,40 @@ object EventStreams {
       .select(col("event_id"), col("user_id"), col("window_id"))
   }
 
+  /** LEFT-OUTER watermarked stream-stream interval join — the production
+    * attribution shape the inner form (above) never exercises: events
+    * with NO covering purchase window must still be emitted (with a null
+    * window id), and in a stream that can only happen at WATERMARK
+    * EXPIRY — an unmatched left row is held in state until the watermark
+    * proves no future purchase can start a window covering it (here:
+    * until the watermark passes the event's own timestamp, since a
+    * window starting after `ts` cannot cover `ts`), then emitted
+    * null-extended and evicted. Matches emit eagerly exactly like the
+    * inner join; the delayed-null trade is what bounds state on an
+    * unbounded run. A bounded replay therefore yields: all inner pairs,
+    * plus nulls for unmatched events far enough below the FINAL
+    * watermark — the closed form the q177 oracle states explicitly
+    * (events in the last watermark-horizon of the replay end with their
+    * nulls unflushed; on a real 24×7 stream they flush as time
+    * advances). */
+  def attributeToPurchasesOuter(events: Dataset[Event],
+      purchases: Dataset[Event],
+      watermarkDelay: String = "1 hour"): DataFrame = {
+    val e = events.toDF()
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .withWatermark("ts", watermarkDelay)
+    val p = purchases.toDF()
+      .select(col("event_id").as("window_id"), col("user_id").as("p_user"),
+        col("ts").as("w_start"))
+      .withWatermark("w_start", watermarkDelay)
+    e.join(p,
+        col("user_id") === col("p_user") &&
+          col("ts") >= col("w_start") &&
+          col("ts") < col("w_start") + expr("INTERVAL 2 HOURS"),
+        "left_outer")
+      .select(col("event_id"), col("user_id"), col("window_id"))
+  }
+
   /** Streaming dedup on event_id with bounded state: duplicates arriving
     * while the original's state is live (i.e. within the watermark
     * horizon of the first occurrence) are dropped, and the per-key state

@@ -133,6 +133,44 @@ class EventStreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("left-outer interval join: matches emit eagerly, nulls only at watermark expiry") {
+    // the eviction-emission semantics the inner join (q69) never
+    // exercises: an unmatched left row must NOT surface until the
+    // watermark proves no future purchase can cover it, then surface
+    // exactly once, null-extended
+    implicit val sqlCtx = spark.sqlContext
+    val events = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val q = EventStreams.attributeToPurchasesOuter(
+        events.toDS(), purchases.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("loj_out").start()
+    try {
+      val t0 = 1700000000000L
+      def ev(id: Long, tMs: Long, u: Long) =
+        Event(id, new java.sql.Timestamp(tMs), u, "view", 1.0)
+      def pu(id: Long, tMs: Long, u: Long) =
+        Event(id, new java.sql.Timestamp(tMs), u, "purchase", 1.0)
+      // user 1's event falls in a purchase window (eager match); user
+      // 2's has no covering purchase (must wait for the watermark)
+      events.addData(ev(10, t0 + 600000, 1), ev(20, t0 + 600000, 2))
+      purchases.addData(pu(100, t0, 1))
+      q.processAllAvailable()
+      val afterB1 = spark.table("loj_out").collect()
+        .map(r => (r.getLong(0), r.isNullAt(2))).toSet
+      assert(afterB1 == Set((10L, false)),
+        s"expected only the eager match, got $afterB1")
+      // advance BOTH inputs' watermarks far past the unmatched event
+      val far = t0 + 10L * 3600 * 1000
+      events.addData(ev(30, far, 3))
+      purchases.addData(pu(300, far, 3))
+      q.processAllAvailable()
+      val nulls = spark.table("loj_out").collect()
+        .filter(_.isNullAt(2)).map(_.getLong(0)).toSet
+      assert(nulls == Set(20L), s"expected the expired null row, got $nulls")
+    } finally q.stop()
+  }
+
   test("RocksDB state store is the session default and is actually active") {
     // GraftSession defaults the provider to RocksDB (the 100 TB state
     // path — off-heap, spillable) so the driver correctness gate runs the
