@@ -1,0 +1,136 @@
+package graft.lake
+
+import java.util
+
+import org.apache.spark.sql.{GraftSqlBridge, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
+import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSourceV2 TableCatalog over [[Snapshots]] tables — the SQL surface
+  * of the snapshot log, completing the F1 catalog story for the lake
+  * family: register once
+  *
+  * {{{
+  * spark.conf.set("spark.sql.catalog.snap", classOf[SnapshotCatalog].getName)
+  * spark.conf.set("spark.sql.catalog.snap.root", "/data/lake")
+  * }}}
+  *
+  * and every snapshot table under the root is queryable by name with
+  * native time travel:
+  *
+  * {{{
+  * SELECT ... FROM snap.orders                  -- latest version
+  * SELECT ... FROM snap.orders VERSION AS OF 2  -- pinned version
+  * }}}
+  *
+  * `VERSION AS OF` routes through `loadTable(ident, version)` — Spark's
+  * own time-travel hook, the same contract Delta/Iceberg catalogs
+  * implement — and each load resolves ONE KB-sized log object into the
+  * version's file list, served through Spark's native V2 parquet table:
+  * filter pushdown, column pruning and vectorized reads all plan exactly
+  * as for a plain table, and no directory is ever listed (the log IS the
+  * listing — at 100 TB the scan starts without a single object-store
+  * LIST call).
+  *
+  * Scope guard: snapshots carrying merge-on-read state (positional
+  * deletes) or column renames need the era-aware anti-join read and
+  * CANNOT be served as a bare parquet file list — those loads fail
+  * loudly, pointing at [[Snapshots.readAt]], rather than silently
+  * resurrecting tombstoned rows or surfacing stale names. Additive
+  * schema evolution is served (mergeSchema); int→long widened eras
+  * surface parquet's merge refusal rather than clipped values. A
+  * read-only catalog: DDL/DML route through [[Snapshots]] commits.
+  */
+final class SnapshotCatalog extends TableCatalog {
+
+  private var catalogName: String = _
+  private var root: String = _
+
+  private def spark: SparkSession = SparkSession.active
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    root = options.get("root")
+    require(root != null,
+      s"spark.sql.catalog.$name.root must point at the lake directory")
+  }
+
+  override def name(): String = catalogName
+
+  private def tablePath(ident: Identifier): String =
+    (ident.namespace() :+ ident.name()).mkString(s"$root/", "/", "")
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = new org.apache.hadoop.fs.Path(
+      (namespace.toSeq).mkString(s"$root/", "/", ""))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) Array.empty
+    else fs.listStatus(dir).toSeq
+      .filter(st => st.isDirectory &&
+        fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_log")))
+      .map(st => Identifier.of(namespace, st.getPath.getName))
+      .toArray
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val t = tablePath(ident)
+    val v = Snapshots.latestVersion(spark, t)
+      .getOrElse(throw new NoSuchTableException(ident))
+    tableAt(ident, t, v)
+  }
+
+  /** `VERSION AS OF n` — Spark passes the version literal as a string. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val v = version.toIntOption.getOrElse(throw new NoSuchTableException(ident))
+    tableAt(ident, tablePath(ident), v)
+  }
+
+  /** `TIMESTAMP AS OF` would need commit timestamps in the log objects —
+    * not recorded; version pinning is the reproducibility contract. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table =
+    throw new UnsupportedOperationException(
+      s"$catalogName supports VERSION AS OF, not TIMESTAMP AS OF " +
+        "(snapshot log records versions, not commit timestamps)")
+
+  private def tableAt(ident: Identifier, t: String, v: Int): Table = {
+    val s = Snapshots.snapshot(spark, t, v)
+      .getOrElse(throw new NoSuchTableException(ident))
+    if (s.deletes.nonEmpty) throw new UnsupportedOperationException(
+      s"version $v of ${ident.name()} carries positional deletes " +
+        "(merge-on-read); SQL reads would resurrect tombstoned rows — " +
+        "read it via Snapshots.readAt, or OPTIMIZE first")
+    if (s.renames.nonEmpty) throw new UnsupportedOperationException(
+      s"version $v of ${ident.name()} carries column renames; SQL reads " +
+        "would surface era-time names — read it via Snapshots.readAt")
+    val opts = new util.HashMap[String, String]()
+    // a version may span commits with additively-evolved schemas
+    opts.put("mergeSchema", "true")
+    GraftSqlBridge.parquetTable(s"${ident.name()}@v$v", spark,
+      s.files.map(f => s"$t/$f"), opts)
+  }
+
+  override def invalidateTable(ident: Identifier): Unit = ()
+
+  override def tableExists(ident: Identifier): Boolean =
+    Snapshots.latestVersion(spark, tablePath(ident)).isDefined
+
+  private def readOnly = new UnsupportedOperationException(
+    s"$catalogName is read-only: commit through graft.lake.Snapshots " +
+      "(append/merge/updateWhere/deleteWhere), which publishes versioned " +
+      "log objects this catalog then serves")
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = throw readOnly
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw readOnly
+
+  override def dropTable(ident: Identifier): Boolean = throw readOnly
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw readOnly
+}

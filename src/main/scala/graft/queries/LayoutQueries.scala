@@ -528,7 +528,57 @@ object LayoutQueries {
       .withColumn("zorder_prunes_both", lit(layoutOk))
   }
 
+  /** q179 — the snapshot log served through the SESSION CATALOG
+    * ([[graft.lake.SnapshotCatalog]], a DataSourceV2 TableCatalog): the
+    * table is queried BY NAME in plain SQL with native `VERSION AS OF`
+    * time travel — Spark's own `loadTable(ident, version)` hook, the
+    * same contract Delta/Iceberg catalogs implement — completing the F1
+    * catalog story for the lake family (q02/q03 cover the parquet
+    * external-table half). Version resolution reads one KB-sized log
+    * object, never lists a directory, and the scan plans through
+    * Spark's native V2 parquet path (pushdown + pruning; spec-pinned).
+    * The latest read spans two additively-evolved commits, so the
+    * catalog's mergeSchema surface is exercised too. */
+  def snapshotSqlCatalog(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Snapshots
+    val root = graft.util.Scratch.dir("snapcat", dir)
+    val table = s"$root/orders_snap"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+    val orders = Tables(spark, dir, "orders")
+    Snapshots.append(spark, table, orders.filter(col("o_orderkey") % 2 === 0))
+    Snapshots.append(spark, table,
+      orders.filter(col("o_orderkey") % 2 === 1)
+        .withColumn("o_channel",
+          when(col("o_orderkey") % 3 === 0, lit("web")).otherwise(lit("store"))))
+    // catalog instances are cached per session by name: a dir-unique
+    // name keeps a shared session (bench) from pinning another sf's root
+    val cat = s"snap_${Integer.toHexString(dir.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.lake.SnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"""
+      SELECT 'v1' AS part, COUNT(*) AS n_rows,
+             ${Num.sqlSumMoney("o_totalprice")} AS sum_price
+      FROM $cat.orders_snap VERSION AS OF 1
+      UNION ALL
+      SELECT concat('latest_', coalesce(o_channel, 'legacy')) AS part,
+             COUNT(*) AS n_rows,
+             ${Num.sqlSumMoney("o_totalprice")} AS sum_price
+      FROM $cat.orders_snap
+      GROUP BY 1""")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q179_snapshot_sql_catalog", snapshotSqlCatalog, Some(s"""
+      SELECT 'v1' AS part, COUNT(*) AS n_rows,
+             ${Num.sqlSumMoney("o_totalprice")} AS sum_price
+      FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT 'latest_' || CASE WHEN o_orderkey % 2 = 0 THEN 'legacy'
+                               WHEN o_orderkey % 3 = 0 THEN 'web'
+                               ELSE 'store' END,
+             COUNT(*), ${Num.sqlSumMoney("o_totalprice")}
+      FROM orders GROUP BY 1""")),
     QueryDef("q178_zorder_optimize", zorderOptimize, Some(s"""
       SELECT o_orderpriority,
              COUNT(*) AS n_rows,

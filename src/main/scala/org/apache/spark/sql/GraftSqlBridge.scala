@@ -24,4 +24,20 @@ object GraftSqlBridge {
   /** Wrap a (already-resolved) logical plan back into a DataFrame. */
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** A DataSourceV2 parquet Table over an EXPLICIT file list — the
+    * building block for a snapshot-log TableCatalog: each catalog load
+    * resolves a version's file list from the log and serves it through
+    * Spark's own ParquetTable (full pushdown, column pruning, vectorized
+    * read), so `VERSION AS OF` scans plan exactly like a native V2
+    * table. Internal constructor, hence bridged here. */
+  def parquetTable(name: String, spark: SparkSession, paths: Seq[String],
+      options: java.util.Map[String, String]): connector.catalog.Table =
+    execution.datasources.v2.parquet.ParquetTable(
+      name,
+      spark.asInstanceOf[classic.SparkSession],
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(options),
+      paths,
+      None,
+      classOf[execution.datasources.parquet.ParquetFileFormat])
 }
