@@ -294,6 +294,67 @@ object TextQueries {
       .withColumn("oov_e6", expr("n_oov * 1000000 DIV n_tokens"))
   }
 
+  // q180 duplicated-k-gram width (tokens), interpolated into BOTH sides
+  private val LdsK = 8
+
+  /** q180 — LONGEST-duplicated-span detection (the suffix-array exact
+    * substring dedup of Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better", in its distributed k-gram form): a
+    * position is duplicated iff some [[LdsK]]-token window covering it
+    * occurs ≥2 times CORPUS-WIDE; per document we report the total
+    * duplicated-token coverage and the longest contiguous duplicated
+    * stretch — the quantities the Lee et al. removal step cuts (their
+    * k=50-token criterion, same mechanism). This generalizes q67's
+    * fixed non-overlapping 4-word spans to OVERLAPPING windows with
+    * exact interval union, so arbitrarily long duplicated passages
+    * measure at their true length instead of rounding to span
+    * boundaries.
+    *
+    * Shape: one explode to (doc, start, k-gram) with stride 1; one
+    * hash-agg on the k-gram for corpus counts; a semi join back; then a
+    * PER-DOCUMENT window merges the fixed-length intervals
+    * ([s, s+K-1] ∪ [s', ...] merge iff s' ≤ s + K — same-length
+    * intervals sorted by start merge pairwise, so one lag + one running
+    * sum suffice). The only corpus-wide exchanges key on the k-gram and
+    * doc_id hashes; the interval window is bounded by document length,
+    * never corpus length. At 100 TB the gram exchange ships
+    * `xxhash64(gram)` instead of text (the q67 `hashKeyedWindow`
+    * discipline — identical up to 64-bit collisions); the gate keeps
+    * exact text so the oracle replays byte-for-byte. */
+  def longestDupSpan(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = graft.util.Par.ensure(Tables(spark, dir, "documents"))
+      .filter(length(trim(col("text"))) =!= 0)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), col("t"), size(col("t")).cast("long").as("n_tokens"))
+    val kg = docs.filter(col("n_tokens") >= LdsK)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0L), col("n_tokens") - LdsK),
+          s => concat_ws(" ", slice(col("t"), (s + 1).cast("int"), lit(LdsK)))))
+          .as(Seq("s", "g")))
+      .select(col("doc_id"), col("s").cast("long").as("s"), col("g"))
+    val dup = kg.groupBy("g").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select("g")
+    val w = Window.partitionBy("doc_id").orderBy("s")
+    val islands = kg.join(dup, Seq("g"), "left_semi")
+      .select(col("doc_id"), col("s"))
+      .withColumn("prev", lag(col("s"), 1).over(w))
+      .withColumn("brk", when(col("prev").isNull ||
+        col("s") > col("prev") + LdsK, 1L).otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "island")
+      .agg((max(col("s")) - min(col("s")) + LdsK).as("stretch"))
+    val perDoc = islands.groupBy("doc_id")
+      .agg(sum(col("stretch")).as("dup_tokens"),
+        max(col("stretch")).as("max_dup_span"))
+    docs.select(col("doc_id"), col("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        coalesce(col("max_dup_span"), lit(0L)).as("max_dup_span"))
+  }
+
   // q67 span width, interpolated into BOTH sides
   private val SpanW = 4
 
@@ -955,6 +1016,42 @@ object TextQueries {
           * 1000000) // COUNT(*) AS oov_e6
       FROM occ o LEFT JOIN dict d ON d.term = o.term
       GROUP BY 1""")),
+    QueryDef("q180_longest_dup_span", longestDupSpan, Some(s"""
+      WITH toks AS (
+        SELECT doc_id, ${sqlTokens("text")} AS t FROM documents
+        WHERE length(trim(text)) <> 0),
+      sized AS (SELECT doc_id, t, len(t) AS n FROM toks),
+      ex AS (
+        SELECT doc_id, CAST(unnest(range(n - $LdsK + 1)) AS BIGINT) AS s, t
+        FROM sized WHERE n >= $LdsK),
+      kg AS (
+        SELECT doc_id, s,
+          array_to_string(list_slice(t, s + 1, s + $LdsK), ' ') AS g
+        FROM ex),
+      dup AS (SELECT g FROM kg GROUP BY g HAVING count(*) >= 2),
+      ds AS (SELECT kg.doc_id, kg.s FROM kg JOIN dup USING (g)),
+      isl AS (
+        SELECT doc_id, s,
+          CASE WHEN lag(s) OVER (PARTITION BY doc_id ORDER BY s) IS NULL
+                 OR s > lag(s) OVER (PARTITION BY doc_id ORDER BY s) + $LdsK
+               THEN 1 ELSE 0 END AS brk
+        FROM ds),
+      isl2 AS (
+        SELECT doc_id, s,
+          SUM(brk) OVER (PARTITION BY doc_id ORDER BY s
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        FROM isl),
+      islands AS (
+        SELECT doc_id, island, max(s) - min(s) + $LdsK AS stretch
+        FROM isl2 GROUP BY doc_id, island),
+      perdoc AS (
+        SELECT doc_id, SUM(stretch) AS dup_tokens,
+               MAX(stretch) AS max_dup_span
+        FROM islands GROUP BY doc_id)
+      SELECT d.doc_id, CAST(d.n AS BIGINT) AS n_tokens,
+        CAST(coalesce(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+        CAST(coalesce(p.max_dup_span, 0) AS BIGINT) AS max_dup_span
+      FROM sized d LEFT JOIN perdoc p USING (doc_id)""")),
     QueryDef("q67_span_dedup", spanDedup(_, _), Some(s"""
       WITH toks AS (
         SELECT doc_id, ${sqlTokens("text")} AS t FROM documents
