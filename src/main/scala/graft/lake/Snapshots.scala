@@ -906,6 +906,24 @@ object Snapshots {
       }
     }
 
+  /** RESTORE (`RESTORE TABLE t TO VERSION AS OF v` — the Delta/Iceberg
+    * rollback): publish a NEW version whose content is exactly version
+    * `v`'s (manifests, delete files, rename chain all carried BY
+    * REFERENCE — zero data movement, O(log) metadata). History is
+    * append-only: the rolled-back-over versions remain time-travelable
+    * until [[vacuum]], and the restore itself surfaces in
+    * [[changesBetween]] as the delete/insert pairs that undo the bad
+    * commits — a downstream incremental consumer heals without a reset.
+    * Runs in the optimistic commit loop like every DML. */
+  def restore(spark: SparkSession, table: String, v: Int): Int = {
+    val target = snapshot(spark, table, v).getOrElse(
+      throw new IllegalArgumentException(
+        s"cannot restore $table to missing version $v"))
+    commitLoop(spark, table) { _ =>
+      (target.manifests, target.deletes, target.renames)
+    }
+  }
+
   /** OPTIMIZE: rewrite the current live view (data minus positional
     * deletes) into fresh compacted files published as a NEW version —
     * the amortized answer to merge-on-read debt. Unlike
@@ -1083,10 +1101,30 @@ object Snapshots {
             .drop("_snap_file", "_snap_pos")
             .withColumn("_change_type", lit("delete"))
         }
+      // resurrection inserts: tombstones REMOVED by the window (a
+      // [[restore]] rolls delete files back) revive their rows — each
+      // revived row surfaces as an insert iff its file is retained and
+      // no v2 tombstone still covers it. Without this source, applying
+      // the feed across a restore misses exactly the un-deleted rows.
+      val removedDeleteFiles = s1.deletes.filterNot(s2.deletes.toSet)
+      val resurrections =
+        if (removedDeleteFiles.isEmpty || retained.isEmpty) None
+        else Some {
+          val tOld = spark.read.parquet(
+            removedDeleteFiles.map(f => s"$table/$f"): _*)
+          val rows = withMetaEras(spark, table, s2.copy(files = retained))
+          val revived = rows.join(broadcast(tOld),
+            rows("_snap_file") === tOld("file") &&
+              rows("_snap_pos") === tOld("pos"), "left_semi")
+          subtractDeletes(spark, table, revived, s2.deletes)
+            .drop("_snap_file", "_snap_pos")
+            .withColumn("_change_type", lit("insert"))
+        }
       // every side reads through the era-aware scan with v2's rename
       // chain, so old-era delete images union with new-era inserts under
       // the CURRENT names and widened types
-      val parts = Seq(inserts, tombDeletes, rewriteDeletes).flatten
+      val parts = Seq(inserts, tombDeletes, rewriteDeletes, resurrections)
+        .flatten
       if (parts.isEmpty) spark.emptyDataFrame
       else parts.reduce(_.unionByName(_, allowMissingColumns = true))
     }

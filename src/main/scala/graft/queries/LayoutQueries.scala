@@ -568,7 +568,62 @@ object LayoutQueries {
       GROUP BY 1""")
   }
 
+  /** q181 — RESTORE to a prior version ([[graft.lake.Snapshots.restore]],
+    * the Delta/Iceberg rollback): after a delete (v2) and an update (v3),
+    * the table is restored to v1 as a NEW version (v4) — manifests,
+    * delete files, and rename chain carried by reference, zero data
+    * movement — and the gate pins all three contracts: the restored
+    * state equals v1 exactly, the rolled-over v3 stays time-travelable,
+    * and the change feed across the restore emits the HEALING pairs
+    * (delete images of the updated rows, resurrection inserts of the
+    * deleted rows — the tombstone-removal feed source a restore
+    * uniquely exercises), so an incremental consumer applying the feed
+    * lands back on v1 without a reset. */
+  def restoreVersion(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Snapshots
+    val table = graft.util.Scratch.dir("restore_table", dir)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+    val orders = Tables(spark, dir, "orders")
+    Snapshots.append(spark, table, orders.filter(col("o_orderkey") % 2 === 0))
+    Snapshots.deleteWhere(spark, table, col("o_totalprice") < 50000)
+    val v3 = Snapshots.updateWhere(spark, table,
+      col("o_totalprice") >= 200000,
+      Map("o_totalprice" -> (col("o_totalprice") + 1.0)))
+    val v4 = Snapshots.restore(spark, table, 1)
+    def aggAt(v: Int, label: String) = Snapshots.readAt(spark, table, v).get
+      .agg(count(lit(1)).as("n_rows"),
+        Num.sumMoney(col("o_totalprice")).as("sum_price"))
+      .select(lit(label).as("part"), col("n_rows"), col("sum_price"))
+    val cdf = Snapshots.changesBetween(spark, table, v3, v4).get
+      .groupBy(concat(lit("cdf_"), col("_change_type")).as("part"))
+      .agg(count(lit(1)).as("n_rows"),
+        Num.sumMoney(col("o_totalprice")).as("sum_price"))
+    aggAt(v4, "restored").unionAll(aggAt(v3, "pre_restore"))
+      .unionAll(cdf.select("part", "n_rows", "sum_price"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q181_restore_version", restoreVersion, Some(s"""
+      SELECT 'restored' AS part, COUNT(*) AS n_rows,
+             ${Num.sqlSumMoney("o_totalprice")} AS sum_price
+      FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT 'pre_restore', COUNT(*),
+             ${Num.sqlSumMoney(
+        "o_totalprice + CASE WHEN o_totalprice >= 200000 THEN 1 ELSE 0 END")}
+      FROM orders WHERE o_orderkey % 2 = 0 AND o_totalprice >= 50000
+      UNION ALL
+      -- healing deletes: the update-delta rows (new values) drop out
+      SELECT 'cdf_delete', COUNT(*), ${Num.sqlSumMoney("o_totalprice + 1")}
+      FROM orders
+      WHERE o_orderkey % 2 = 0 AND o_totalprice >= 200000
+      UNION ALL
+      -- resurrection inserts: rows deleted at v2 (original values) plus
+      -- the pre-update images of the updated rows
+      SELECT 'cdf_insert', COUNT(*), ${Num.sqlSumMoney("o_totalprice")}
+      FROM orders
+      WHERE o_orderkey % 2 = 0
+        AND (o_totalprice < 50000 OR o_totalprice >= 200000)""")),
     QueryDef("q179_snapshot_sql_catalog", snapshotSqlCatalog, Some(s"""
       SELECT 'v1' AS part, COUNT(*) AS n_rows,
              ${Num.sqlSumMoney("o_totalprice")} AS sum_price

@@ -738,6 +738,25 @@ class SnapshotsSpec extends SparkTestBase {
     org.apache.commons.io.FileUtils.deleteQuietly(new File(t).getParentFile)
   }
 
+  test("restore republishes a prior version by reference; history intact") {
+    val t = fresh("restore")
+    Snapshots.append(spark, t, orders.filter(col("o_orderkey") % 3 === 0))
+    Snapshots.append(spark, t, orders.filter(col("o_orderkey") % 3 === 1))
+    val n1 = Snapshots.readAt(spark, t, 1).get.count()
+    val n2 = Snapshots.readAt(spark, t, 2).get.count()
+    val v3 = Snapshots.restore(spark, t, 1)
+    val s1 = Snapshots.snapshot(spark, t, 1).get
+    val s3 = Snapshots.snapshot(spark, t, v3).get
+    // exact content carry, by reference — no new data files staged
+    assert(s3.files == s1.files && s3.manifests == s1.manifests)
+    assert(Snapshots.readAt(spark, t, v3).get.count() == n1)
+    // the rolled-over version stays travelable
+    assert(Snapshots.readAt(spark, t, 2).get.count() == n2)
+    // restoring a missing version fails loudly
+    intercept[IllegalArgumentException](Snapshots.restore(spark, t, 99))
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(t).getParentFile)
+  }
+
   test("legacy inline-files log format fails loudly instead of dropping data") {
     val t = fresh("legacy")
     Snapshots.append(spark, t, orders.limit(100))
