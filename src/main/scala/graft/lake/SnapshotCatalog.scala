@@ -88,12 +88,15 @@ final class SnapshotCatalog extends TableCatalog {
     tableAt(ident, tablePath(ident), v)
   }
 
-  /** `TIMESTAMP AS OF` would need commit timestamps in the log objects —
-    * not recorded; version pinning is the reproducibility contract. */
-  override def loadTable(ident: Identifier, timestamp: Long): Table =
-    throw new UnsupportedOperationException(
-      s"$catalogName supports VERSION AS OF, not TIMESTAMP AS OF " +
-        "(snapshot log records versions, not commit timestamps)")
+  /** `TIMESTAMP AS OF t` — Spark passes MICROseconds since epoch; the
+    * log records millisecond commit timestamps (strictly increasing, so
+    * resolution is unique): latest version with commitTs ≤ t. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val t = tablePath(ident)
+    val v = Snapshots.versionAtTimestamp(spark, t, timestamp / 1000L)
+      .getOrElse(throw new NoSuchTableException(ident))
+    tableAt(ident, t, v)
+  }
 
   private def tableAt(ident: Identifier, t: String, v: Int): Table = {
     val s = Snapshots.snapshot(spark, t, v)

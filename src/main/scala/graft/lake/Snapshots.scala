@@ -66,7 +66,8 @@ object Snapshots {
       deletes: Seq[String] = Nil, stats: FileStats = Map.empty,
       renames: Seq[(String, String)] = Nil,
       manifests: Seq[String] = Nil,
-      blooms: FileBlooms = Map.empty)
+      blooms: FileBlooms = Map.empty,
+      commitTs: Long = 0L)
 
   private def logDir(table: String) = s"$table/_log"
   private def logPath(table: String, v: Int) = f"${logDir(table)}/v$v%06d.json"
@@ -184,8 +185,13 @@ object Snapshots {
     if (legacy.nonEmpty) throw new IllegalStateException(
       s"$path uses the pre-manifest log format (inline 'files' list); " +
         "rewrite the table (read + overwrite) before committing to it")
+    val commitTs = m.get("ts") match {
+      case Some(l: Long) => l
+      case Some(d: Double) => d.toLong
+      case _ => 0L // pre-timestamp log objects: excluded from AS OF
+    }
     Some(Snapshot(v, files, strings("deletes"), stats,
-      renames, manifestIds, blooms))
+      renames, manifestIds, blooms, commitTs))
   }
 
   private def manifestPath(table: String, id: String) =
@@ -261,7 +267,7 @@ object Snapshots {
     * conflict signal. */
   private def tryPublish(spark: SparkSession, table: String, v: Int,
       manifests: Seq[String], deletes: Seq[String],
-      renames: Seq[(String, String)]): Boolean = {
+      renames: Seq[(String, String)], commitTs: Long): Boolean = {
     val conf = spark.sparkContext.hadoopConfiguration
     val ops = new FileOps(conf)
     val dst = new org.apache.hadoop.fs.Path(logPath(table, v))
@@ -269,6 +275,7 @@ object Snapshots {
     if (fs.exists(dst)) return false // cheap fast path; rename still guards
     val json = Json.render(Map(
       "version" -> v.toLong,
+      "ts" -> commitTs,
       "manifests" -> manifests,
       "deletes" -> deletes,
       "renames" -> renames.map(r => Seq(r._1, r._2))))
@@ -323,8 +330,15 @@ object Snapshots {
       val prev = latestSnapshot(spark, table)
       val v = prev.map(_.version).getOrElse(0) + 1
       val (manifests, deletes, renames) = content(prev)
+      // commit timestamps are MONOTONIC and STRICTLY increasing: clock
+      // skew or same-millisecond commits would otherwise make
+      // TIMESTAMP AS OF resolution ambiguous (two versions at one ts)
+      // or non-monotone (a later version with an earlier ts) — the
+      // Delta in-commit-timestamp discipline
+      val commitTs = math.max(System.currentTimeMillis(),
+        prev.map(_.commitTs + 1).getOrElse(0L))
       beforePublish()
-      if (tryPublish(spark, table, v, manifests, deletes, renames)) {
+      if (tryPublish(spark, table, v, manifests, deletes, renames, commitTs)) {
         writeLatestHint(spark, table, v)
         return v
       }
@@ -570,6 +584,31 @@ object Snapshots {
 
   def readAt(spark: SparkSession, table: String, v: Int): Option[DataFrame] =
     snapshot(spark, table, v).map(s => readDispatch(spark, table, s))
+
+  /** `TIMESTAMP AS OF` resolution: the LATEST version whose commit
+    * timestamp is ≤ `tsMillis` — None before the first commit. Commit
+    * timestamps are recorded in the log objects at publish and are
+    * strictly increasing ([[commitLoop]]), so the answer is unique and
+    * monotone in `tsMillis`. O(versions) KB-sized log reads (served
+    * from the manifest cache after the first resolution); a production
+    * deployment with deep history checkpoints the (version, ts) index,
+    * exactly as Delta's `_last_checkpoint` does. Pre-timestamp log
+    * objects (ts 0) resolve only for `tsMillis ≥ 0` — i.e. always,
+    * as the oldest candidates. */
+  def versionAtTimestamp(spark: SparkSession, table: String,
+      tsMillis: Long): Option[Int] =
+    latestVersion(spark, table).flatMap { latest =>
+      (1 to latest).flatMap(v => snapshot(spark, table, v))
+        .filter(_.commitTs <= tsMillis)
+        .map(_.version)
+        .maxOption
+    }
+
+  /** Time-travel read by wall clock (`SELECT … TIMESTAMP AS OF t`). */
+  def readAsOfTimestamp(spark: SparkSession, table: String,
+      tsMillis: Long): Option[DataFrame] =
+    versionAtTimestamp(spark, table, tsMillis)
+      .flatMap(v => readAt(spark, table, v))
 
   def readLatest(spark: SparkSession, table: String): Option[DataFrame] =
     latestVersion(spark, table).flatMap(v => readAt(spark, table, v))

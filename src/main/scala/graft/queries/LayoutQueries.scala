@@ -602,7 +602,54 @@ object LayoutQueries {
       .unionAll(cdf.select("part", "n_rows", "sum_price"))
   }
 
+  /** q182 — TIMESTAMP AS OF time travel
+    * ([[graft.lake.Snapshots.versionAtTimestamp]]): every commit records
+    * a strictly-increasing wall-clock timestamp in its log object (the
+    * Delta in-commit-timestamp discipline — monotonicity is FORCED at
+    * publish, so same-millisecond commits and clock skew cannot make
+    * resolution ambiguous), and a timestamp resolves to the latest
+    * version at-or-before it. The gate replays the contract
+    * deterministically from the table's own recorded timestamps: each
+    * version's commitTs resolves to exactly that version (strictness
+    * makes this exact, no sleeps needed), one millisecond before the
+    * first commit resolves to nothing, and the far future resolves to
+    * latest. The same resolution serves SQL `TIMESTAMP AS OF` through
+    * [[graft.lake.SnapshotCatalog]] (spec-pinned). */
+  def timestampAsOf(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Snapshots
+    val table = graft.util.Scratch.dir("tsasof_table", dir)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+    val orders = Tables(spark, dir, "orders")
+    for (r <- 0 to 2)
+      Snapshots.append(spark, table, orders.filter(col("o_orderkey") % 3 === r))
+    val ts = (1 to 3).map(v => Snapshots.snapshot(spark, table, v).get.commitTs)
+    val edgesOk =
+      Snapshots.versionAtTimestamp(spark, table, ts.head - 1).isEmpty &&
+        Snapshots.versionAtTimestamp(spark, table, Long.MaxValue / 2).contains(3)
+    (1 to 3).map { v =>
+      val resolved = Snapshots.versionAtTimestamp(spark, table, ts(v - 1)).get
+      Snapshots.readAt(spark, table, resolved).get
+        .agg(count(lit(1)).as("n_rows"),
+          Num.sumMoney(col("o_totalprice")).as("sum_price"))
+        .select(lit(v.toLong).as("version"), col("n_rows"), col("sum_price"),
+          lit(resolved == v && edgesOk).as("resolution_ok"))
+    }.reduce(_.unionAll(_))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q182_timestamp_as_of", timestampAsOf, Some(s"""
+      SELECT CAST(1 AS BIGINT) AS version, COUNT(*) AS n_rows,
+             ${Num.sqlSumMoney("o_totalprice")} AS sum_price,
+             true AS resolution_ok
+      FROM orders WHERE o_orderkey % 3 = 0
+      UNION ALL
+      SELECT CAST(2 AS BIGINT), COUNT(*), ${Num.sqlSumMoney("o_totalprice")},
+             true
+      FROM orders WHERE o_orderkey % 3 IN (0, 1)
+      UNION ALL
+      SELECT CAST(3 AS BIGINT), COUNT(*), ${Num.sqlSumMoney("o_totalprice")},
+             true
+      FROM orders""")),
     QueryDef("q181_restore_version", restoreVersion, Some(s"""
       SELECT 'restored' AS part, COUNT(*) AS n_rows,
              ${Num.sqlSumMoney("o_totalprice")} AS sum_price

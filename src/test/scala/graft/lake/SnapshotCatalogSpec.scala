@@ -38,6 +38,31 @@ class SnapshotCatalogSpec extends SparkTestBase {
     org.apache.commons.io.FileUtils.deleteQuietly(new File(root))
   }
 
+  test("TIMESTAMP AS OF resolves through recorded commit timestamps") {
+    val (cat, root) = freshCatalog("ts")
+    val t = s"$root/t"
+    Snapshots.append(spark, t, orders.filter(col("o_orderkey") % 3 === 0))
+    Snapshots.append(spark, t, orders.filter(col("o_orderkey") % 3 === 1))
+    val n1 = orders.filter(col("o_orderkey") % 3 === 0).count()
+    val n12 = orders.filter(col("o_orderkey") % 3 <= 1).count()
+    val ts1 = Snapshots.snapshot(spark, t, 1).get.commitTs
+    val ts2 = Snapshots.snapshot(spark, t, 2).get.commitTs
+    assert(ts2 > ts1, "commit timestamps must be strictly increasing")
+    def lit(ms: Long): String = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochMilli(ms))
+    assert(spark.sql(
+      s"SELECT * FROM $cat.t TIMESTAMP AS OF '${lit(ts1)}'").count() == n1)
+    assert(spark.sql(
+      s"SELECT * FROM $cat.t TIMESTAMP AS OF '${lit(ts2)}'").count() == n12)
+    // before the first commit: no resolvable version
+    val e = intercept[Exception](spark.sql(
+      s"SELECT * FROM $cat.t TIMESTAMP AS OF '${lit(ts1 - 1)}'").count())
+    assert(e != null)
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(root))
+  }
+
   test("catalog scans push filters and prune columns like a native V2 table") {
     val (cat, root) = freshCatalog("push")
     val t = s"$root/t"
