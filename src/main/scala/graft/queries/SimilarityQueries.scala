@@ -316,6 +316,29 @@ object SimilarityQueries {
   private val pqOracle = Similarity.sqlPqTopK(PqSub, PqCodes, K, Dim,
     queryPred = "e.vec_id < 20")
 
+  private val PqRefine = 8
+
+  /** q183 — two-stage PQ search with EXACT RERANKING (the FAISS
+    * `IndexRefineFlat` serving shape, the production vector-store
+    * topology): q158's ADC stage proposes each query's K·[[PqRefine]]
+    * candidates from the compressed codes; only those candidates are
+    * re-scored with exact cosine on the original vectors, so
+    * within-candidate-set quantization error is fully repaired at
+    * O(queries·K·refine·dim) exact work instead of the brute-force
+    * O(corpus·queries·dim). Candidates broadcast; the corpus is never
+    * shuffled in either stage. Recall ≥ plain PQ at equal K
+    * spec-pinned; the oracle replays both stages bitwise. */
+  def pqRerankTopKQ(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val cbs = Similarity.pqCodebooks(emb, "vec_id", "embedding",
+      PqSub, PqCodes, Dim)
+    e6(Similarity.pqRerankTopK(emb, queriesOf(emb), "vec_id", "embedding",
+      K, cbs, Dim, PqRefine))
+  }
+
+  private val pqRerankOracle = Similarity.sqlPqRerankTopK(PqSub, PqCodes,
+    K, PqRefine, Dim, queryPred = "e.vec_id < 20")
+
   /** q159 — IVF-PQ composition (the FAISS `IndexIVFPQ` production
     * index): k-means cells prune the candidate set (q39's training,
     * shared centroid cache), PQ codes compress what remains (q158's
@@ -422,6 +445,7 @@ object SimilarityQueries {
     QueryDef("q162_pq_kmeans_topk", pqKmeansTopK, Some(pqKmeansOracle)),
     QueryDef("q159_ivf_pq_topk", ivfPqTopKQ, Some(ivfPqOracle)),
     QueryDef("q158_pq_topk", pqTopK, Some(pqOracle)),
+    QueryDef("q183_pq_rerank_topk", pqRerankTopKQ, Some(pqRerankOracle)),
     QueryDef("q82_int8_quantize", int8Quantize, Some(int8QuantizeOracle)),
     QueryDef("q88_ivf_sq8_topk", ivfSq8TopK, Some(ivfSq8Oracle)),
     QueryDef("q83_sq8_topk", sq8TopK, Some(sq8TopKOracle)),

@@ -491,6 +491,37 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** Two-stage PQ search with EXACT RERANKING (the FAISS
+    * `IndexRefineFlat` serving shape — what a production vector store
+    * actually runs): stage 1 ADC-scores the compressed CODE relation for
+    * each query's `k·refine` best candidates (cheap, approximate, reads
+    * nSub bytes/vector); stage 2 re-scores ONLY those candidates with
+    * exact cosine on the ORIGINAL vectors and emits the true top-k of
+    * the candidate set. Compression errors that perturb the ADC ranking
+    * inside the candidate set are fully repaired; only candidates the
+    * ADC stage missed entirely stay missed — recall strictly ≥ the
+    * plain PQ search at the same k (spec-pinned).
+    *
+    * Scale shape: the candidate relation is |queries|·k·refine rows —
+    * broadcast; the rerank joins it against the corpus WITHOUT
+    * shuffling the corpus (one more narrow scan; a deployment with the
+    * q175 bloom index instead point-reads the candidate vectors). */
+  def pqRerankTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, cbs: Array[Array[Array[Double]]], dim: Int,
+      refine: Int = 4): DataFrame = {
+    val cand = pqTopK(corpus, queries, idCol, vecCol, k * refine, cbs, dim)
+      .select(col("query_id"), col("neighbor_id"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("_qv")))
+    val scored = Par.ensure(corpus)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
+      .join(broadcast(cand), Seq("neighbor_id"))
+      .join(q, Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("_qv"), col("_cv")).as("cos_sim"))
+    topK(scored, k)
+  }
+
   /** IVF-PQ (the FAISS `IndexIVFPQ` composition): the corpus is
     * partitioned into k-means cells AND compressed to PQ codes; a query
     * probes its `nProbe` best cells and ADC-scores only those cells'
@@ -521,9 +552,12 @@ object Similarity {
   }
 
   /** The flat-PQ encode + ADC search tail, assuming an `emb` (vec_id, v)
-    * and a `cb` (m, kc, c) CTE are in scope. */
+    * and a `cb` (m, kc, c) CTE are in scope. With `rerankTo = Some(kf)`,
+    * `k` is the ADC candidate budget and an exact-cosine rerank over the
+    * ORIGINAL vectors cuts the final result at `kf` (the
+    * [[pqRerankTopK]] replay). */
   private def sqlPqSearchTail(nSub: Int, subDim: Int, k: Int,
-      queryPred: String): String = {
+      queryPred: String, rerankTo: Option[Int] = None): String = {
     def scoreSub(v: String, c: String) =
       s"${sqlDot(v, c)} / (sqrt(${sqlDot(v, v)}) * sqrt(${sqlDot(c, c)}))"
     val encW = (0 until nSub).map(m =>
@@ -554,9 +588,26 @@ object Similarity {
           row_number() OVER (PARTITION BY query_id
             ORDER BY cos_sim DESC, neighbor_id) AS rank
         FROM scored)
-      SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
-        CAST(floor(cos_sim * 1000000) AS BIGINT) AS cos_sim_e6
-      FROM ranked WHERE rank <= $k"""
+      ${rerankTo match {
+        case None =>
+          s"""SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+            CAST(floor(cos_sim * 1000000) AS BIGINT) AS cos_sim_e6
+          FROM ranked WHERE rank <= $k"""
+        case Some(kf) =>
+          val exCos = sqlCosine("q.v", "n.v")
+          s""", cand AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= $k),
+          ex AS (SELECT c.query_id, c.neighbor_id, ($exCos) AS cos_sim
+            FROM cand c
+            JOIN emb n ON n.vec_id = c.neighbor_id
+            JOIN emb q ON q.vec_id = c.query_id),
+          rr AS (SELECT query_id, neighbor_id, cos_sim,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY cos_sim DESC, neighbor_id) AS rank
+            FROM ex)
+          SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+            CAST(floor(cos_sim * 1000000) AS BIGINT) AS cos_sim_e6
+          FROM rr WHERE rank <= $kf"""
+      }}"""
   }
 
   /** DuckDB replay of [[pqTopK]] incl. the codebook construction and
@@ -573,6 +624,22 @@ object Similarity {
           cbv.v[m.m * $subDim + 1:(m.m + 1) * $subDim] AS c
         FROM cbv CROSS JOIN range($nSub) m(m)),
       ${sqlPqSearchTail(nSub, subDim, k, queryPred)}"""
+  }
+
+  /** DuckDB replay of [[pqRerankTopK]]: the pqTopK chain at the
+    * `k·refine` candidate budget, then the exact-cosine rerank cut at
+    * `k`. */
+  def sqlPqRerankTopK(nSub: Int, nCodes: Int, k: Int, refine: Int,
+      dim: Int, queryPred: String): String = {
+    val subDim = dim / nSub
+    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      cbv AS (SELECT CAST(row_number() OVER (ORDER BY h) AS INT) - 1 AS kc, v
+        FROM (SELECT md5(CAST(vec_id AS VARCHAR)) AS h, v FROM emb
+              ORDER BY h LIMIT $nCodes)),
+      cb AS (SELECT m.m, cbv.kc,
+          cbv.v[m.m * $subDim + 1:(m.m + 1) * $subDim] AS c
+        FROM cbv CROSS JOIN range($nSub) m(m)),
+      ${sqlPqSearchTail(nSub, subDim, k * refine, queryPred, Some(k))}"""
   }
 
   /** DuckDB replay of the k-means-TRAINED PQ search: one spherical

@@ -227,6 +227,25 @@ class ScaleSpecs extends SparkTestBase {
     assert(sq8Recall > 0.5, s"implausibly low recall $sq8Recall")
   }
 
+  test("PQ rerank repairs in-candidate quantization error without a corpus shuffle") {
+    def hits(rows: Array[org.apache.spark.sql.Row]): Set[(Long, Long)] =
+      rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val truth = hits(SimilarityQueries.cosineTopK(spark, dir).collect())
+    val pq = hits(SimilarityQueries.pqTopK(spark, dir).collect())
+    val df = SimilarityQueries.pqRerankTopKQ(spark, dir)
+    val rr = hits(df.collect())
+    val pqRecall = (pq & truth).size.toDouble / truth.size
+    val rrRecall = (rr & truth).size.toDouble / truth.size
+    // the exact rerank can only repair the ADC ranking, never hurt it
+    assert(rrRecall >= pqRecall, s"rerank $rrRecall < plain PQ $pqRecall")
+    assert(rrRecall > 0.5, s"implausibly low rerank recall $rrRecall")
+    // both stages join against broadcast sides; a sort-merge join would
+    // mean the corpus shuffled in one of them
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+  }
+
   test("ANN top-k tail is O(k) partial aggregation — never a per-query window sort") {
     // every ANN family ends in Similarity.topK; the window formulation
     // (row_number OVER (PARTITION BY query_id ORDER BY cos_sim)) would
