@@ -339,6 +339,30 @@ object SimilarityQueries {
   private val pqRerankOracle = Similarity.sqlPqRerankTopK(PqSub, PqCodes,
     K, PqRefine, Dim, queryPred = "e.vec_id < 20")
 
+  private val SemTau = 0.35
+
+  /** q184 — SemDeDup cluster-scoped semantic deduplication
+    * ([[Similarity.semDedup]]): the same k-means centroids that serve
+    * the IVF index (q39 — shared [[centroidCache]], how a production
+    * pipeline amortizes training) partition the corpus into cells, and
+    * EXACT cosine within each cell marks semantic duplicates under the
+    * deterministic keep-lowest-id rule. The quadratic is confined
+    * within cells (O(Σ|cell|²), bounded by the cluster-count knob) —
+    * versus q26's banded-LSH pairs, this is the cluster-pruned
+    * production shape the SemDeDup paper runs at web scale. Oracle
+    * replays training, assignment, and every within-cell cosine
+    * bitwise. */
+  def semDedupQ(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val cents = centroidCache.getOrElseUpdate(dir,
+      Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+        nCells = 16, iters = 2))
+    Similarity.semDedup(emb, "vec_id", "embedding", cents, SemTau)
+  }
+
+  private val semDedupOracle = Similarity.sqlSemDedup(nCells = 16,
+    iters = 2, dim = Dim, threshold = SemTau)
+
   /** q159 — IVF-PQ composition (the FAISS `IndexIVFPQ` production
     * index): k-means cells prune the candidate set (q39's training,
     * shared centroid cache), PQ codes compress what remains (q158's
@@ -400,12 +424,23 @@ object SimilarityQueries {
     * banded planes, the corpus-scaled plane-count ladder, id-tiebroken
     * top-m and beam selections, and fixed-order cosines make both
     * engines bitwise identical. Recall vs brute force is spec-pinned
-    * (SimilaritySpec). */
+    * (SimilaritySpec).
+    *
+    * The edge list is an INDEX — built once per corpus, probed by every
+    * search — so it is memoized per data dir exactly like
+    * [[centroidCache]] (build is deterministic, testdata dirs are
+    * immutable; the checkpointed relation survives catalog cache
+    * clears). */
+  private val nswEdgeCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
   def nswTopKQ(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir, "embeddings")
-    e6(Similarity.nswTopK(emb, queriesOf(emb), "vec_id", "embedding", K,
-      m = NswM, beam = NswBeam, hops = NswHops, numBands = NumBands,
-      dim = Dim))
+    val edges = nswEdgeCache.getOrElseUpdate(dir,
+      Similarity.nswBuildEdges(emb, "vec_id", "embedding",
+        m = NswM, numBands = NumBands, dim = Dim))
+    e6(Similarity.nswSearch(edges, emb, queriesOf(emb), "vec_id",
+      "embedding", K, beam = NswBeam, hops = NswHops))
   }
 
   private val nswOracle = Similarity.sqlNswTopK(k = K, m = NswM,
@@ -446,6 +481,7 @@ object SimilarityQueries {
     QueryDef("q159_ivf_pq_topk", ivfPqTopKQ, Some(ivfPqOracle)),
     QueryDef("q158_pq_topk", pqTopK, Some(pqOracle)),
     QueryDef("q183_pq_rerank_topk", pqRerankTopKQ, Some(pqRerankOracle)),
+    QueryDef("q184_semdedup", semDedupQ, Some(semDedupOracle)),
     QueryDef("q82_int8_quantize", int8Quantize, Some(int8QuantizeOracle)),
     QueryDef("q88_ivf_sq8_topk", ivfSq8TopK, Some(ivfSq8Oracle)),
     QueryDef("q83_sq8_topk", sq8TopK, Some(sq8TopKOracle)),

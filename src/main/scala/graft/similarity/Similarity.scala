@@ -201,6 +201,62 @@ object Similarity {
     ivfTopKTrained(corpus, queries, idCol, vecCol, k,
       sampleCentroids(corpus, idCol, vecCol, nCells), nProbe)
 
+  /** Max-cosine cell assignment against a centroid matrix — the shared
+    * corpus-side step of IVF search and cluster-scoped dedup (the
+    * native single-loop argmax, first-max = lowest-cell ties). */
+  def assignCells(df: DataFrame, idCol: String, vecCol: String,
+      cents: Array[Array[Double]]): DataFrame =
+    Par.ensure(df).select(col(idCol), col(vecCol),
+      graft.functions.PqBestCode.column(
+        col(vecCol), cents, 0, cents(0).length).as("cell"))
+
+  /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): k-means clusters bound
+    * the pairwise work, then EXACT cosine within each cluster marks
+    * semantic duplicates — a vector is removed iff a LOWER-id cluster
+    * member sits above the threshold (the deterministic keep-lowest
+    * survivor rule, q21/q65 discipline; the paper keeps one per
+    * duplicate set — rule choice documented, not semantic-bearing).
+    * Returns one row per vector: (id, cell, kept).
+    *
+    * Scale shape: the quadratic is confined WITHIN clusters — cost
+    * O(Σ|cluster|²), and the cluster count is the knob that bounds it
+    * (the paper runs 50k clusters at web scale; cells scale ∝ corpus
+    * like [[scaledPlaneCount]] does for buckets). One cell shuffle for
+    * the self-join; training cost is shared with the IVF index
+    * ([[kmeansCentroids]] — same centroids serve search and dedup). */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+      cents: Array[Array[Double]], threshold: Double): DataFrame = {
+    val cells = assignCells(df, idCol, vecCol, cents)
+    val dups = cells.as("x").join(cells.as("y"),
+        col(s"x.cell") === col(s"y.cell") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .filter(cosine(col(s"x.$vecCol"), col(s"y.$vecCol")) >= threshold)
+      .select(col(s"y.$idCol").as(idCol)).distinct()
+      .withColumn("_dup", lit(true))
+    cells.select(col(idCol), col("cell").cast("long").as("cell"))
+      .join(dups, Seq(idCol), "left_outer")
+      .select(col(idCol), col("cell"), col("_dup").isNull.as("kept"))
+  }
+
+  /** DuckDB replay of [[semDedup]]: the k-means training chain, the
+    * assignment, and the within-cluster threshold pairs. */
+  def sqlSemDedup(nCells: Int, iters: Int, dim: Int,
+      threshold: Double): String = {
+    val (kmeansBlock, fin) = sqlKmeansCtes(nCells, iters)
+    val cos = sqlCosine("x.v", "y.v")
+    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      pos AS (SELECT CAST(unnest(range($dim)) AS BIGINT) AS p),
+      $kmeansBlock,
+      cc AS (SELECT vec_id, v, cell FROM (${sqlAssign("emb", fin)}) WHERE rnk = 1),
+      dups AS (SELECT DISTINCT y.vec_id
+        FROM cc x JOIN cc y ON x.cell = y.cell AND x.vec_id < y.vec_id
+        WHERE ($cos) >= $threshold)
+      SELECT c.vec_id, CAST(c.cell AS BIGINT) AS cell,
+             (d.vec_id IS NULL) AS kept
+      FROM cc c LEFT JOIN dups d ON d.vec_id = c.vec_id"""
+  }
+
   /** IVF probe against a given centroid matrix (sampled or k-means). */
   def ivfTopKTrained(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, cents: Array[Array[Double]],
@@ -818,9 +874,15 @@ object Similarity {
   val NswMinPlanes = 3
   val NswMaxPlanes = 30
 
-  def nswTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, m: Int = 8, beam: Int = 16, hops: Int = 4,
-      numBands: Int = 4, dim: Int = 64): DataFrame = {
+  /** The NSW index BUILD alone — the deterministic banded-bucket edge
+    * construction (see [[nswTopK]]'s BUILD notes), returned as a
+    * materialized (localCheckpointed) symmetrized edge list. A graph is
+    * an INDEX: built once per corpus, probed by every search — callers
+    * serving repeated queries cache this (the centroid-cache
+    * discipline); [[nswTopK]] composes build + search for one-shot
+    * use. */
+  def nswBuildEdges(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int = 8, numBands: Int = 4, dim: Int = 64): DataFrame = {
     val r = scaledPlaneCount(corpus.count(), NswPlaneCap,
       NswMinPlanes, NswMaxPlanes)
     // all bands in ONE (band, sig)-keyed relation: the candidate join is
@@ -843,7 +905,20 @@ object Similarity {
         topM.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint()
     sig.unpersist()
+    edges
+  }
 
+  def nswTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, m: Int = 8, beam: Int = 16, hops: Int = 4,
+      numBands: Int = 4, dim: Int = 64): DataFrame =
+    nswSearch(nswBuildEdges(corpus, idCol, vecCol, m, numBands, dim),
+      corpus, queries, idCol, vecCol, k, beam, hops)
+
+  /** Greedy beam SEARCH over a prebuilt edge list (see [[nswTopK]]'s
+    * SEARCH notes). */
+  def nswSearch(edges: DataFrame, corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, beam: Int = 16,
+      hops: Int = 4): DataFrame = {
     val entryId = corpus.agg(min(col(idCol))).head().getLong(0)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
     val vecs = corpus.select(col(idCol).as("node"), col(vecCol).as("_nv"))
