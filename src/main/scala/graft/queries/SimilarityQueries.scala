@@ -363,6 +363,49 @@ object SimilarityQueries {
   private val semDedupOracle = Similarity.sqlSemDedup(nCells = 16,
     iters = 2, dim = Dim, threshold = SemTau)
 
+  /** (centroids, sub-codebooks) trained on the INITIAL corpus subset —
+    * the q185 index's fitted state, memoized per dir like
+    * [[centroidCache]] (distinct key space: trained on a subset). */
+  private val initialFitCache = scala.collection.concurrent.TrieMap
+    .empty[String, (Array[Array[Double]], Array[Array[Array[Double]]])]
+
+  /** q185 — INCREMENTAL ANN index maintained as a versioned table (the
+    * lake × ANN composition, q172's discipline applied to vector
+    * search): the index is created from the INITIAL corpus (k-means
+    * cells + PQ codebooks trained on it, codes appended to a snapshot
+    * table), and an arriving batch is encoded with the SAME fitted
+    * state and APPENDED — the FAISS `add()` path; the initial corpus is
+    * never re-encoded, re-trained, or re-shuffled, and each commit is
+    * O(batch) data + O(delta) log metadata. Search reads the CODE TABLE
+    * ONLY (index-only serving — the float corpus never participates;
+    * spec pins inputFiles ⊆ the snapshot's files). The oracle replays
+    * training on the initial subset and encode/search over everything —
+    * the exact state the incremental build converges to. */
+  def incrementalAnnIndexQ(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Snapshots
+    val emb = Tables(spark, dir, "embeddings")
+    val table = graft.util.Scratch.dir("annidx_table", dir)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+    val initial = emb.filter(col("vec_id") % 4 =!= 0)
+    val batch = emb.filter(col("vec_id") % 4 === 0)
+    val (cents, cbs) = initialFitCache.getOrElseUpdate(dir, (
+      Similarity.kmeansCentroids(initial, "vec_id", "embedding",
+        nCells = 16, iters = 2),
+      Similarity.pqCodebooks(initial, "vec_id", "embedding",
+        PqSub, PqCodes, Dim)))
+    Snapshots.append(spark, table,
+      Similarity.ivfPqEncode(initial, "vec_id", "embedding", cents, cbs, Dim))
+    Snapshots.append(spark, table,
+      Similarity.ivfPqEncode(batch, "vec_id", "embedding", cents, cbs, Dim))
+    val codes = Snapshots.readLatest(spark, table).get
+    e6(Similarity.ivfPqSearchCodes(codes, queriesOf(emb), "vec_id",
+      "embedding", K, cents, nProbe = 8, cbs, Dim))
+  }
+
+  private val incrementalAnnOracle = Similarity.sqlIvfPqTopK(nCells = 16,
+    iters = 2, nProbe = 8, nSub = PqSub, nCodes = PqCodes, k = K, dim = Dim,
+    queryPred = "e.vec_id < 20", trainPred = "e.vec_id % 4 <> 0")
+
   /** q159 — IVF-PQ composition (the FAISS `IndexIVFPQ` production
     * index): k-means cells prune the candidate set (q39's training,
     * shared centroid cache), PQ codes compress what remains (q158's
@@ -482,6 +525,8 @@ object SimilarityQueries {
     QueryDef("q158_pq_topk", pqTopK, Some(pqOracle)),
     QueryDef("q183_pq_rerank_topk", pqRerankTopKQ, Some(pqRerankOracle)),
     QueryDef("q184_semdedup", semDedupQ, Some(semDedupOracle)),
+    QueryDef("q185_incremental_ann_index", incrementalAnnIndexQ,
+      Some(incrementalAnnOracle)),
     QueryDef("q82_int8_quantize", int8Quantize, Some(int8QuantizeOracle)),
     QueryDef("q88_ivf_sq8_topk", ivfSq8TopK, Some(ivfSq8Oracle)),
     QueryDef("q83_sq8_topk", sq8TopK, Some(sq8TopKOracle)),

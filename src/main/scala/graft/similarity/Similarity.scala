@@ -588,24 +588,48 @@ object Similarity {
     * Plan shape: narrow corpus pass (assign + encode in one projection),
     * broadcast (query × probed-cell) join keyed on the cell — no corpus
     * shuffle, same as q39/q88. */
-  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, cents: Array[Array[Double]], nProbe: Int,
-      cbs: Array[Array[Array[Double]]], dim: Int): DataFrame = {
-    val codes = Par.ensure(corpus)
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
+  /** The IVF-PQ ENCODE half alone — cell assignment + sub-codes as a
+    * plain relation `(vec_id, cell, _k0.._kN)`, the PERSISTABLE index
+    * payload: an incremental deployment trains once, stores this
+    * relation in a versioned table, and appends each arriving batch's
+    * codes encoded with the SAME centroids/codebooks (the FAISS `add()`
+    * path) — the corpus is never re-encoded. One narrow pass, no
+    * shuffle. */
+  def ivfPqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+      cents: Array[Array[Double]], cbs: Array[Array[Array[Double]]],
+      dim: Int): DataFrame =
+    Par.ensure(corpus)
+      .select(col(idCol).as("vec_id"), col(vecCol).as("_cv"),
         graft.functions.PqBestCode.column(
-          col(vecCol), cents, 0, cents(0).length).as("_cell"))
-      .select(col("neighbor_id") +: col("_cell") +:
+          col(vecCol), cents, 0, cents(0).length).as("cell"))
+      .select(col("vec_id") +: col("cell") +:
         pqCodeCols(col("_cv"), cbs, dim): _*)
+
+  /** The IVF-PQ SEARCH half over a prebuilt CODE relation (the
+    * [[ivfPqEncode]] shape, possibly read back from a versioned index
+    * table): probe join + ADC scores + O(k) top-k — the float corpus
+    * never participates. */
+  def ivfPqSearchCodes(codes: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, cents: Array[Array[Double]],
+      nProbe: Int, cbs: Array[Array[Array[Double]]], dim: Int): DataFrame = {
     val qCells = broadcast(probedCells(queries, idCol, vecCol, cents, nProbe)
       .select(col("query_id") +: col("_cell") +:
         norm(col("_qv")).as("_qn") +: pqQueryCols(col("_qv"), cbs, dim): _*))
-    val scored = codes.join(qCells, Seq("_cell"))
+    val scored = codes
+      .withColumnRenamed("vec_id", "neighbor_id")
+      .withColumnRenamed("cell", "_cell")
+      .join(qCells, Seq("_cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         pqAdcScore(cbs.length).as("cos_sim"))
     topK(scored, k)
   }
+
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, cents: Array[Array[Double]], nProbe: Int,
+      cbs: Array[Array[Array[Double]]], dim: Int): DataFrame =
+    ivfPqSearchCodes(ivfPqEncode(corpus, idCol, vecCol, cents, cbs, dim),
+      queries, idCol, vecCol, k, cents, nProbe, cbs, dim)
 
   /** The flat-PQ encode + ADC search tail, assuming an `emb` (vec_id, v)
     * and a `cb` (m, kc, c) CTE are in scope. With `rerankTo = Some(kf)`,
@@ -780,11 +804,16 @@ object Similarity {
 
   /** DuckDB replay of [[ivfPqTopK]]: the k-means training chain, the PQ
     * codebook/encoding chain, the probe join, and the ADC scores — all
-    * fixed-order arithmetic. */
+    * fixed-order arithmetic. `trainPred` restricts the TRAINING corpus
+    * (centroid seeding/refinement and codebook sampling) to a subset —
+    * the incremental-index replay, where later batches are encoded with
+    * the initial corpus's fitted state (q185); encode and search always
+    * run over the full `emb`. */
   def sqlIvfPqTopK(nCells: Int, iters: Int, nProbe: Int, nSub: Int,
-      nCodes: Int, k: Int, dim: Int, queryPred: String): String = {
+      nCodes: Int, k: Int, dim: Int, queryPred: String,
+      trainPred: String = "true"): String = {
     val subDim = dim / nSub
-    val (kmeansBlock, fin) = sqlKmeansCtes(nCells, iters)
+    val (kmeansBlock, fin) = sqlKmeansCtes(nCells, iters, src = "tr")
     def scoreSub(v: String, c: String) =
       s"${sqlDot(v, c)} / (sqrt(${sqlDot(v, v)}) * sqrt(${sqlDot(c, c)}))"
     val encW = (0 until nSub).map(m =>
@@ -797,10 +826,11 @@ object Similarity {
     val reconSql = (0 until nSub).map(m =>
       sqlDot(s"b$m.c", s"b$m.c")).mkString(" + ")
     s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      tr AS (SELECT vec_id, v FROM emb e WHERE $trainPred),
       pos AS (SELECT CAST(unnest(range($dim)) AS BIGINT) AS p),
       $kmeansBlock,
       cbv AS (SELECT CAST(row_number() OVER (ORDER BY h) AS INT) - 1 AS kc, v
-        FROM (SELECT md5(CAST(vec_id AS VARCHAR)) AS h, v FROM emb
+        FROM (SELECT md5(CAST(vec_id AS VARCHAR)) AS h, v FROM tr
               ORDER BY h LIMIT $nCodes)),
       cb AS (SELECT m.m, cbv.kc,
           cbv.v[m.m * $subDim + 1:(m.m + 1) * $subDim] AS c

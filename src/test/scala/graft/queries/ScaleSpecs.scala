@@ -227,6 +227,42 @@ class ScaleSpecs extends SparkTestBase {
     assert(sq8Recall > 0.5, s"implausibly low recall $sq8Recall")
   }
 
+  test("incremental ANN index: O(batch) appends converge to the one-shot build") {
+    import graft.lake.Snapshots
+    import graft.similarity.Similarity
+    val emb = Tables(spark, dir, "embeddings")
+    val table = graft.util.Scratch.dir("annidx_spec", dir)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+    val initial = emb.filter(col("vec_id") % 4 =!= 0)
+    val batch = emb.filter(col("vec_id") % 4 === 0)
+    val cents = Similarity.kmeansCentroids(initial, "vec_id", "embedding",
+      nCells = 16, iters = 2)
+    val cbs = Similarity.pqCodebooks(initial, "vec_id", "embedding", 4, 64, 64)
+    val v1 = Snapshots.append(spark, table,
+      Similarity.ivfPqEncode(initial, "vec_id", "embedding", cents, cbs, 64))
+    val v2 = Snapshots.append(spark, table,
+      Similarity.ivfPqEncode(batch, "vec_id", "embedding", cents, cbs, 64))
+    // append is O(batch): v1's code files carried by reference, never
+    // re-encoded
+    val s1 = Snapshots.snapshot(spark, table, v1).get
+    val s2 = Snapshots.snapshot(spark, table, v2).get
+    assert(s1.files.toSet.subsetOf(s2.files.toSet))
+    // search serves from the CODE TABLE: its corpus side reads only the
+    // snapshot's files (plus the tiny query-vector read)
+    val codes = Snapshots.readLatest(spark, table).get
+    assert(codes.inputFiles.forall(_.contains("/_snap/")))
+    // and the incrementally-built index answers EXACTLY like a one-shot
+    // encode of the full corpus under the same fitted state
+    val q = emb.filter(col("vec_id") < 20)
+    val inc = Similarity.ivfPqSearchCodes(codes, q, "vec_id", "embedding",
+      5, cents, 8, cbs, 64).collect().map(_.toString).sorted
+    val oneShot = Similarity.ivfPqTopK(emb, q, "vec_id", "embedding",
+      5, cents, 8, cbs, 64).collect().map(_.toString).sorted
+    assert(inc.sameElements(oneShot))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+    spark.catalog.clearCache()
+  }
+
   test("PQ rerank repairs in-candidate quantization error without a corpus shuffle") {
     def hits(rows: Array[org.apache.spark.sql.Row]): Set[(Long, Long)] =
       rows.map(r => (r.getLong(0), r.getLong(2))).toSet
