@@ -126,7 +126,16 @@ object PqBestCode {
         i += 1
       }
       val s = num / (normSub * norms(k))
-      if (s > bestS) { bestS = s; bestK = k }
+      // the exact ordering both replaced engines use (Spark's
+      // SQLOrderingUtil / DuckDB sort): values equal under primitive ==
+      // (so -0.0 ties 0.0 and the FIRST wins), otherwise Double.compare
+      // (so NaN outranks every finite score — a zero-norm codebook row
+      // scores NaN and must win exactly like array_max ranked it, or
+      // encodes diverge from the oracle replay). A plain `s > bestS`
+      // breaks both edge cases.
+      if (s != bestS && java.lang.Double.compare(s, bestS) > 0) {
+        bestS = s; bestK = k
+      }
       k += 1
     }
     bestK

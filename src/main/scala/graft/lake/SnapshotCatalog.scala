@@ -101,6 +101,13 @@ final class SnapshotCatalog extends TableCatalog {
   private def tableAt(ident: Identifier, t: String, v: Int): Table = {
     val s = Snapshots.snapshot(spark, t, v)
       .getOrElse(throw new NoSuchTableException(ident))
+    // the log records no schema, so a zero-file version (a DML on a
+    // never-committed table) cannot be served as a V2 table — parquet
+    // schema inference over an empty path list throws a misleading
+    // error at scan time; fail at resolution with the real reason
+    if (s.files.isEmpty) throw new UnsupportedOperationException(
+      s"version $v of ${ident.name()} has no data files (schema unknown " +
+        "to the log); read it via Snapshots.readAt, which returns empty")
     if (s.deletes.nonEmpty) throw new UnsupportedOperationException(
       s"version $v of ${ident.name()} carries positional deletes " +
         "(merge-on-read); SQL reads would resurrect tombstoned rows — " +

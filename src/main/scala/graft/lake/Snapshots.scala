@@ -933,12 +933,19 @@ object Snapshots {
         tomb.coalesce(1).write.mode("overwrite").parquet(s"$table/$dRel")
         val dFiles = listFresh(spark, s"$table/$dRel", dRel)
         // re-stage the matched rows with the SET expressions applied
-        // (insert half) — withColumn AFTER dropping reader columns so a
-        // SET cannot reference or collide with them
-        val updated = set.foldLeft(
-          matched.drop("_snap_file", "_snap_pos")) {
-            case (df, (c, expr)) => df.withColumn(c, expr)
-          }
+        // (insert half) — ALL SETs in ONE projection against the
+        // pre-update row, so a right-hand side referencing another SET
+        // target sees the PRE-update value (SQL UPDATE semantics; a
+        // sequential withColumn fold would make Map ordering decide a
+        // swap like SET a = b, b = a). SET names must be existing
+        // columns — a typo'd name would otherwise silently commit an
+        // additive schema evolution instead of updating anything.
+        val base = matched.drop("_snap_file", "_snap_pos")
+        val unknown = set.keySet -- base.columns.toSet
+        if (unknown.nonEmpty) throw new IllegalArgumentException(
+          s"UPDATE SET names non-existent column(s): ${unknown.mkString(", ")}")
+        val updated = base.select(base.columns.toSeq.map(c =>
+          set.get(c).map(_.as(c)).getOrElse(col(c))): _*)
         val (staged, stagedStats, _) = stage(spark, table, updated, statsCols)
         val mid = writeManifest(spark, table, staged, stagedStats)
         (prevManifests :+ mid, prevDeletes ++ dFiles, prevRenames)
@@ -1046,18 +1053,7 @@ object Snapshots {
     // clustered write; carried big files keep their bytes and stats
     // untouched either way.
     val smallLive = zorderBy match {
-      case Some((c1, c2)) =>
-        val b = live.agg(
-          min(col(c1).cast("double")), max(col(c1).cast("double")),
-          min(col(c2).cast("double")), max(col(c2).cast("double"))).head()
-        def d(i: Int): Double = if (b.isNullAt(i)) 0.0 else b.getDouble(i)
-        val z = ZOrder.interleave(
-          ZOrder.rank16(col(c1), d(0), d(1)),
-          ZOrder.rank16(col(c2), d(2), d(3)))
-        live.withColumn("_z", z)
-          .repartitionByRange(outFiles, col("_z"))
-          .sortWithinPartitions("_z")
-          .drop("_z")
+      case Some((c1, c2)) => ZOrder.clustered(live, outFiles, c1, c2)
       case None => live.coalesce(outFiles)
     }
     val (staged, stagedStats, _) = stage(spark, table, smallLive, statsCols)
@@ -1121,14 +1117,18 @@ object Snapshots {
         }
       // tombstone deletes read RETAINED v1 files only: a tombstone into a
       // dropped file is covered by the rewrite-delete source below — one
-      // emission per dead row, never two
+      // emission per dead row, never two. Rows ALREADY dead at v1 are
+      // excluded (anti join on v1's deletes): a restore-then-re-delete
+      // window re-tombstones rows v1 never had, and emitting deletes for
+      // those would make the feed non-composable across a restore.
       val tombDeletes =
         if (retained.isEmpty) None
         else tombs.map { t =>
           val old = withMetaEras(spark, table, s2.copy(files = retained))
-          old.join(broadcast(t),
+          val hit = old.join(broadcast(t),
               old("_snap_file") === t("file") && old("_snap_pos") === t("pos"),
               "left_semi")
+          subtractDeletes(spark, table, hit, s1.deletes)
             .drop("_snap_file", "_snap_pos")
             .withColumn("_change_type", lit("delete"))
         }

@@ -41,12 +41,12 @@ object ZOrder {
     else least(lit(65535L), greatest(lit(0L),
       ((c.cast("double") - lo) / (hi - lo) * 65535.0).cast(LongType)))
 
-  /** Write `df` z-ordered on (`c1`, `c2`) into `files` range-partitioned,
-    * internally sorted files, then persist [[ZoneMap]] stats for both
-    * columns. One driver agg for the bounds (4 doubles), one range
-    * exchange for the layout. */
-  def clusterWrite(df: DataFrame, path: String, files: Int,
-      c1: String, c2: String): Unit = {
+  /** `df` laid out along the Morton curve of (`c1`, `c2`): `files`
+    * range-partitioned, internally z-sorted partitions. One bounded
+    * driver agg for the domain bounds (4 doubles), one range exchange —
+    * the shared clustering step of [[clusterWrite]] and the snapshot
+    * log's `OPTIMIZE … ZORDER BY` ([[Snapshots.optimizeSmallFiles]]). */
+  def clustered(df: DataFrame, files: Int, c1: String, c2: String): DataFrame = {
     val b = df.agg(
       min(col(c1).cast("double")), max(col(c1).cast("double")),
       min(col(c2).cast("double")), max(col(c2).cast("double"))).head()
@@ -60,6 +60,14 @@ object ZOrder {
       .repartitionByRange(files, col("_z"))
       .sortWithinPartitions("_z")
       .drop("_z")
+  }
+
+  /** Write `df` z-ordered on (`c1`, `c2`) into `files` range-partitioned,
+    * internally sorted files, then persist [[ZoneMap]] stats for both
+    * columns. */
+  def clusterWrite(df: DataFrame, path: String, files: Int,
+      c1: String, c2: String): Unit = {
+    clustered(df, files, c1, c2)
       .write.mode("overwrite").parquet(path)
     ZoneMap.writeStats(df.sparkSession, path, Seq(c1, c2))
   }

@@ -102,6 +102,20 @@ class SnapshotCatalogSpec extends SparkTestBase {
     org.apache.commons.io.FileUtils.deleteQuietly(new File(root))
   }
 
+  test("a zero-file version fails at resolution with the real reason") {
+    val (cat, root) = freshCatalog("zero")
+    val t = s"$root/t"
+    // DML on a never-committed table publishes a version with no files;
+    // the log has no schema to serve, so the catalog must say so rather
+    // than throw parquet's misleading inference error at scan time
+    Snapshots.deleteWhere(spark, t, col("k") === 1)
+    val e = intercept[Exception](spark.sql(s"SELECT * FROM $cat.t").collect())
+    val msg = e.getMessage +
+      Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("no data files"), msg)
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(root))
+  }
+
   test("the catalog is read-only: DDL fails, commits go through Snapshots") {
     val (cat, root) = freshCatalog("ro")
     val t = s"$root/t"

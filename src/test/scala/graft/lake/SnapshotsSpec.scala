@@ -757,6 +757,41 @@ class SnapshotsSpec extends SparkTestBase {
     org.apache.commons.io.FileUtils.deleteQuietly(new File(t).getParentFile)
   }
 
+  test("feed composes across restore-then-re-delete: no spurious deletes") {
+    val t = fresh("rrd")
+    Snapshots.append(spark, t, orders.limit(400))
+    val v2 = Snapshots.deleteWhere(spark, t, col("o_totalprice") < 100000)
+    val v3 = Snapshots.restore(spark, t, 1)
+    val v4 = Snapshots.deleteWhere(spark, t, col("o_totalprice") < 100000)
+    // state at v2 and v4 is identical, so the (v2, v4) feed must be
+    // EMPTY — the re-delete's tombstones cover rows already dead at v2,
+    // and emitting deletes for them would double-delete downstream
+    assert(Snapshots.changesBetween(spark, t, v2, v4).get.count() == 0)
+    // the restore window itself still reports its resurrections
+    assert(Snapshots.changesBetween(spark, t, v2, v3).get
+      .filter(col("_change_type") === "insert").count() ==
+      orders.limit(400).filter(col("o_totalprice") < 100000).count())
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(t).getParentFile)
+  }
+
+  test("update SET is simultaneous (swap works) and rejects unknown columns") {
+    val t = fresh("swap")
+    import spark.implicits._
+    val df = Seq((1L, 10.0, 20.0), (2L, 30.0, 40.0)).toDF("k", "a", "b")
+    Snapshots.append(spark, t, df)
+    // the classic swap: both RHS must see PRE-update values
+    Snapshots.updateWhere(spark, t, lit(true),
+      Map("a" -> col("b"), "b" -> col("a")))
+    val got = Snapshots.readLatest(spark, t).get
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, 20.0, 10.0), (2L, 40.0, 30.0)), got.toSeq)
+    // a typo'd SET column fails instead of committing schema evolution
+    val e = intercept[IllegalArgumentException](
+      Snapshots.updateWhere(spark, t, lit(true), Map("nope" -> lit(0.0))))
+    assert(e.getMessage.contains("nope"))
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(t).getParentFile)
+  }
+
   test("legacy inline-files log format fails loudly instead of dropping data") {
     val t = fresh("legacy")
     Snapshots.append(spark, t, orders.limit(100))
