@@ -201,14 +201,26 @@ object Similarity {
     ivfTopKTrained(corpus, queries, idCol, vecCol, k,
       sampleCentroids(corpus, idCol, vecCol, nCells), nProbe)
 
+  /** The cell-assignment COLUMN, made NON-NULLABLE via a -1 sentinel
+    * (null vectors cannot score, and -1 never matches a probed cell, so
+    * semantics are unchanged). The nullability matters for PLAN shape:
+    * a nullable join key makes Catalyst infer `IsNotNull(cell)` and
+    * push it into the SCAN filter with the whole assignment expression
+    * inlined — alias substitution through the pushdown re-inlines any
+    * staged upstream columns (the SQ8 dequant's min/max re-evaluated
+    * PER LAMBDA ELEMENT — the measured O(d²)-per-row q88 pathology) and
+    * evaluates the argmax twice per row everywhere else. */
+  private def cellCol(vec: Column, cents: Array[Array[Double]]): Column =
+    coalesce(graft.functions.PqBestCode.column(
+      vec, cents, 0, cents(0).length), lit(-1))
+
   /** Max-cosine cell assignment against a centroid matrix — the shared
     * corpus-side step of IVF search and cluster-scoped dedup (the
     * native single-loop argmax, first-max = lowest-cell ties). */
   def assignCells(df: DataFrame, idCol: String, vecCol: String,
       cents: Array[Array[Double]]): DataFrame =
     Par.ensure(df).select(col(idCol), col(vecCol),
-      graft.functions.PqBestCode.column(
-        col(vecCol), cents, 0, cents(0).length).as("cell"))
+      cellCol(col(vecCol), cents).as("cell"))
 
   /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
     * web-scale through semantic deduplication"): k-means clusters bound
@@ -265,8 +277,7 @@ object Similarity {
     // per row instead of an nCells-wide score-array tree
     val corpusCells = Par.ensure(corpus)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
-        graft.functions.PqBestCode.column(
-          col(vecCol), cents, 0, cents(0).length).as("_cell"))
+        cellCol(col(vecCol), cents).as("_cell"))
 
     // each query probes its nProbe best cells (narrow in-row ranking)
     val qCells = broadcast(probedCells(queries, idCol, vecCol, cents, nProbe))
@@ -600,8 +611,7 @@ object Similarity {
       dim: Int): DataFrame =
     Par.ensure(corpus)
       .select(col(idCol).as("vec_id"), col(vecCol).as("_cv"),
-        graft.functions.PqBestCode.column(
-          col(vecCol), cents, 0, cents(0).length).as("cell"))
+        cellCol(col(vecCol), cents).as("cell"))
       .select(col("vec_id") +: col("cell") +:
         pqCodeCols(col("_cv"), cbs, dim): _*)
 
