@@ -585,22 +585,67 @@ object Snapshots {
   def readAt(spark: SparkSession, table: String, v: Int): Option[DataFrame] =
     snapshot(spark, table, v).map(s => readDispatch(spark, table, s))
 
+  // --------------------------------------------------- log checkpoint
+
+  private def ckptPath(table: String) = s"${logDir(table)}/_ckpt"
+
+  /** Write/refresh the log CHECKPOINT: one object holding the full
+    * (version → commit-timestamp) index up to the current latest — the
+    * `_last_checkpoint` discipline applied to AS-OF resolution. The
+    * checkpoint is ADVISORY and last-writer-wins like the version hint:
+    * its entries are immutable facts (a published version's timestamp
+    * never changes), so a stale checkpoint only costs forward probes
+    * for the versions committed after it — never a wrong answer. Run it
+    * from the same maintenance cadence as [[vacuum]]; without one,
+    * resolution degrades gracefully to the O(versions) walk. */
+  def checkpoint(spark: SparkSession, table: String): Unit = {
+    val ops = new FileOps(spark.sparkContext.hadoopConfiguration)
+    val latest = latestVersion(spark, table).getOrElse(return)
+    val index = (1 to latest).flatMap(v => snapshot(spark, table, v))
+      .map(s => Seq(s.version.toLong, s.commitTs))
+    val tmp = s"${ckptPath(table)}.tmp-${Naming.newRunId()}"
+    ops.writeString(tmp, Json.render(Map(
+      "version" -> latest.toLong, "ts_index" -> index)))
+    ops.move(tmp, ckptPath(table))
+  }
+
+  /** The checkpointed (version → commitTs) index, empty when absent or
+    * unreadable (a torn advisory object degrades, never fails). */
+  private def readCheckpoint(spark: SparkSession,
+      table: String): Map[Int, Long] = {
+    val ops = new FileOps(spark.sparkContext.hadoopConfiguration)
+    if (!ops.exists(ckptPath(table))) return Map.empty
+    scala.util.Try {
+      Json.parseObject(ops.readString(ckptPath(table)))
+        .get("ts_index") match {
+        case Some(rows: Seq[_]) => rows.map { r =>
+          val pair = r.asInstanceOf[Seq[Any]].map(_.toString.toDouble.toLong)
+          pair(0).toInt -> pair(1)
+        }.toMap
+        case _ => Map.empty[Int, Long]
+      }
+    }.getOrElse(Map.empty)
+  }
+
   /** `TIMESTAMP AS OF` resolution: the LATEST version whose commit
     * timestamp is ≤ `tsMillis` — None before the first commit. Commit
     * timestamps are recorded in the log objects at publish and are
     * strictly increasing ([[commitLoop]]), so the answer is unique and
-    * monotone in `tsMillis`. O(versions) KB-sized log reads (served
-    * from the manifest cache after the first resolution); a production
-    * deployment with deep history checkpoints the (version, ts) index,
-    * exactly as Delta's `_last_checkpoint` does. Pre-timestamp log
-    * objects (ts 0) resolve only for `tsMillis ≥ 0` — i.e. always,
-    * as the oldest candidates. */
+    * monotone in `tsMillis`. With a [[checkpoint]] the index is ONE
+    * object read plus probes for post-checkpoint versions (O(1 +
+    * commits-since-checkpoint)); without one, O(versions) KB-sized log
+    * reads. Pre-timestamp log objects (ts 0) resolve only for
+    * `tsMillis ≥ 0` — i.e. always, as the oldest candidates. */
   def versionAtTimestamp(spark: SparkSession, table: String,
       tsMillis: Long): Option[Int] =
     latestVersion(spark, table).flatMap { latest =>
-      (1 to latest).flatMap(v => snapshot(spark, table, v))
-        .filter(_.commitTs <= tsMillis)
-        .map(_.version)
+      val ck = readCheckpoint(spark, table)
+        .filter { case (v, _) => v <= latest }
+      val maxKnown = ck.keys.maxOption.getOrElse(0)
+      val fresh = (maxKnown + 1 to latest)
+        .flatMap(v => snapshot(spark, table, v))
+        .map(s => s.version -> s.commitTs)
+      (ck ++ fresh).collect { case (v, ts) if ts <= tsMillis => v }
         .maxOption
     }
 

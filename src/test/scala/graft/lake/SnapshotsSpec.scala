@@ -792,6 +792,31 @@ class SnapshotsSpec extends SparkTestBase {
     org.apache.commons.io.FileUtils.deleteQuietly(new File(t).getParentFile)
   }
 
+  test("checkpointed AS-OF resolution: identical answers, stale/corrupt heal") {
+    val t = fresh("ckpt")
+    for (r <- 0 to 2)
+      Snapshots.append(spark, t, orders.filter(col("o_orderkey") % 3 === r))
+    val ts = (1 to 3).map(v => Snapshots.snapshot(spark, t, v).get.commitTs)
+    def resolveAll() = ts.map(x => Snapshots.versionAtTimestamp(spark, t, x))
+    val want = resolveAll()
+    assert(want == Seq(Some(1), Some(2), Some(3)))
+    Snapshots.checkpoint(spark, t)
+    assert(resolveAll() == want)
+    // STALE checkpoint: a commit after it must still resolve (forward
+    // probe past the checkpointed range)
+    Snapshots.append(spark, t, orders.limit(10))
+    val ts4 = Snapshots.snapshot(spark, t, 4).get.commitTs
+    assert(Snapshots.versionAtTimestamp(spark, t, ts4).contains(4))
+    assert(resolveAll() == want)
+    // CORRUPT checkpoint degrades to the walk, never fails
+    val ops = new FileOps(spark.sparkContext.hadoopConfiguration)
+    ops.writeString(s"$t/_log/_ckpt.tmp-x", "{not json")
+    ops.move(s"$t/_log/_ckpt.tmp-x", s"$t/_log/_ckpt")
+    assert(Snapshots.versionAtTimestamp(spark, t, ts4).contains(4))
+    assert(resolveAll() == want)
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(t).getParentFile)
+  }
+
   test("legacy inline-files log format fails loudly instead of dropping data") {
     val t = fresh("legacy")
     Snapshots.append(spark, t, orders.limit(100))
