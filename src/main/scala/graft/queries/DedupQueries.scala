@@ -99,11 +99,13 @@ object DedupQueries {
       SELECT doc_id, $mhCols, $bands FROM sig"""
   }
 
-  private val jaccardVerifySql = s"""
+  private lazy val jaccardVerifySql = jaccardVerifySqlFor("documents")
+
+  private def jaccardVerifySqlFor(src: String) = s"""
       exwh AS (
         SELECT doc_id,
           list_transform(${sqlTokens("text")}, w -> ${sqlWordHash("w")}) AS wh
-        FROM documents),
+        FROM $src),
       ex AS (
         SELECT doc_id, unnest(list_distinct(${Dedup.sqlShingleHashes("wh", K)})) AS sh
         FROM exwh WHERE len(wh) >= $K),
@@ -121,18 +123,23 @@ object DedupQueries {
         JOIN sizes sa ON sa.doc_id = i.a
         JOIN sizes sb ON sb.doc_id = i.b)"""
 
-  /** Shared CTE chain ending in `jac` (verified LSH candidate pairs). */
-  private val lshPairCtes = {
+  /** Shared CTE chain ending in `jac` (verified LSH candidate pairs),
+    * over an arbitrary (doc_id, text) source relation — `documents`
+    * for the standalone dedup gates, a filtered upstream CTE for the
+    * composed curation pipeline (q186). */
+  private def lshPairCtesFor(src: String): String = {
     val bandList = (0 until NH / RPB).map(bandSql).mkString("[", ", ", "]")
-    s"""$sigCte,
+    s"""${Dedup.sqlMinhashSignatureCte("doc_id", "text", src, K, NH)},
       bands AS (
         SELECT doc_id, unnest($bandList) AS band FROM sig
         WHERE mh0 IS NOT NULL),
       cand AS (
         SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
         FROM bands x JOIN bands y ON x.band = y.band AND x.doc_id < y.doc_id),
-      $jaccardVerifySql"""
+      ${jaccardVerifySqlFor(src)}"""
   }
+
+  private val lshPairCtes = lshPairCtesFor("documents")
 
   private val minhashDupsOracle = s"""WITH $lshPairCtes
       SELECT a, b, CAST(floor(jaccard * 1000000) AS BIGINT) AS jaccard_e6
@@ -183,6 +190,108 @@ object DedupQueries {
       .select(col("doc_id"),
         coalesce(col("cluster_id"), col("doc_id")).as("canonical_id"))
       .withColumn("survives", col("doc_id") === col("canonical_id"))
+  }
+
+  // q186 pipeline parameters, interpolated into BOTH sides
+  private val CurQualityMinE6 = 440000L
+  private val CurShards = 8
+  private val CurBudget = 2048
+
+  /** q186 — the END-TO-END corpus curation pipeline, every stage an
+    * operator this library already ships, composed the way a production
+    * pretraining-data run chains them (the C4/RefinedWeb recipe):
+    *
+    *   1. language filter (q16's stopword argmax, keep 'en'),
+    *   2. quality filter (q17's score ≥ threshold),
+    *   3. exact dedup (q13's first-occurrence-by-md5),
+    *   4. minhash/LSH near-dup collapse (q21/q65's banded pipeline +
+    *      connected components, keep-lowest survivor),
+    *   5. token-budget sequence packing (q42's sharded prefix sum),
+    *
+    * reported as pack-level (shard, pack, docs, tokens) — the
+    * training-batch manifest the run feeds to a loader. The point the
+    * single-stage gates can't make: the stages COMPOSE — each consumes
+    * the previous survivors, the dedup chain runs over the filtered
+    * subset (not the raw corpus), and one oracle replays the whole
+    * five-stage chain. Scale shape inherits from the pieces: narrow
+    * filters, one md5-keyed window, the banded (never all-pairs) dedup
+    * join, a broadcast survivor label, and the sharded (never global)
+    * packing window. */
+  def corpusCuration(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.text.TextAnalysis.{predictedLang, qualityScore, wsTokenCount}
+    val docs = graft.util.Par.ensure(Tables(spark, dir, "documents"))
+    val kept0 = docs
+      .filter(predictedLang(col("text")) === "en" &&
+        floor(qualityScore(col("text")) * 1000000) >= CurQualityMinE6)
+      .select(col("doc_id"), col("text"))
+    val exactW = Window.partitionBy(md5(col("text"))).orderBy("doc_id")
+    val kept1 = kept0.withColumn("rn", row_number().over(exactW))
+      .filter(col("rn") === 1).drop("rn")
+    val (pairs, release) = Dedup.minhashNearDuplicatesWithRelease(
+      kept1, "doc_id", "text", K, NH, RPB, threshold = 0.5)
+    // safe by connectedComponents' eager-materialization contract
+    val cc = Dedup.connectedComponents(pairs.select(col("a"), col("b")))
+    release()
+    val kept2 = kept1.join(broadcast(cc), kept1("doc_id") === cc("id"), "left")
+      .filter(coalesce(col("cluster_id"), kept1("doc_id")) === kept1("doc_id"))
+      .select(kept1("doc_id"), col("text"))
+    val prefix = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    kept2
+      .select(col("doc_id"), pmod(col("doc_id"), lit(CurShards)).as("shard"),
+        wsTokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("prefix_tokens",
+        coalesce(sum(col("n_tokens")).over(prefix), lit(0L)))
+      .withColumn("pack_id",
+        floor(col("prefix_tokens") / lit(CurBudget.toDouble)).cast("long"))
+      .groupBy("shard", "pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("pack_tokens"))
+  }
+
+  private val corpusCurationOracle = {
+    val nTok = s"""CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        ELSE len(${sqlTokens("text")}) END AS BIGINT)"""
+    s"""WITH RECURSIVE
+      kept0 AS (
+        SELECT doc_id, text FROM documents
+        WHERE ${graft.text.TextAnalysis.sqlPredictedLang("text")} = 'en'
+          AND ${TextQueries.sqlQualityE6} >= $CurQualityMinE6),
+      kept1 AS (
+        SELECT doc_id, text FROM (
+          SELECT doc_id, text,
+            row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+          FROM kept0) WHERE rn = 1),
+      ${lshPairCtesFor("kept1")},
+      pairs AS (SELECT a, b FROM jac WHERE jaccard >= 0.5),
+      edges AS (
+        SELECT a AS src, b AS dst FROM pairs
+        UNION ALL
+        SELECT b AS src, a AS dst FROM pairs),
+      reach AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      cc AS (
+        SELECT src AS id, LEAST(src, MIN(dst)) AS cluster_id
+        FROM reach GROUP BY src),
+      kept2 AS (
+        SELECT k.doc_id, k.text FROM kept1 k
+        LEFT JOIN cc ON cc.id = k.doc_id
+        WHERE COALESCE(cc.cluster_id, k.doc_id) = k.doc_id),
+      packed AS (
+        SELECT doc_id, doc_id % $CurShards AS shard, $nTok AS n_tokens
+        FROM kept2),
+      packs AS (
+        SELECT doc_id, shard, n_tokens,
+          CAST(floor(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard
+            ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            / $CurBudget.0) AS BIGINT) AS pack_id
+        FROM packed)
+      SELECT shard, pack_id, COUNT(*) AS n_docs,
+        CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+      FROM packs GROUP BY shard, pack_id"""
   }
 
   private val dedupSurvivorsOracle = s"""WITH RECURSIVE $lshPairCtes,
@@ -452,6 +561,7 @@ object DedupQueries {
     QueryDef("q23_ngram_jaccard", ngramJaccard, Some(ngramJaccardOracle)),
     QueryDef("q37_dup_clusters", dupClusters, Some(dupClustersOracle)),
     QueryDef("q65_dedup_survivors", dedupSurvivors, Some(dedupSurvivorsOracle)),
+    QueryDef("q186_corpus_curation", corpusCuration, Some(corpusCurationOracle)),
     QueryDef("q120_keep_best_survivors", keepBestSurvivors, Some(keepBestOracle)),
     QueryDef("q43_contamination", contamination, Some(contaminationOracle)),
     QueryDef("q44_simhash_near_dups", simhashDups,
