@@ -21,6 +21,13 @@ object GraftSession {
       // custom planner strategies (native as-of join, graft.plans)
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus.toString)
+      // generated-class cache sized to the query surface: the 100-entry
+      // default thrashes across a ~185-query session (every evicted
+      // stage pays a full janino recompile on its next pass — measured
+      // q158 1.5 s isolated vs 3.6 s late in a full bench run, and the
+      // same churn afflicts a real multi-tenant SQL server); entries are
+      // weak-ref'd bytecode, tens of MB at worst
+      .config("spark.sql.codegen.cache.maxEntries", "3000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
