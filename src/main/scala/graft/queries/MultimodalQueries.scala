@@ -209,9 +209,12 @@ object MultimodalQueries {
     * the corpus is never shuffled (hashes are 3 longs/doc). */
   final case class PHashRow(doc_id: Long, phash_hi: Long, phash_lo: Long)
 
-  def imagePhash(spark: SparkSession, dir: String): DataFrame = {
+  /** The per-image aHash relation shared by q129 (exact-hash groups) and
+    * q187 (hamming-banded near-dups): one narrow decode pass, 3 longs
+    * per document. */
+  private def phashFrame(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val hashes = graft.util.Par.ensure(Tables(spark, dir, "documents"))
+    graft.util.Par.ensure(Tables(spark, dir, "documents"))
       .select("doc_id").as[Long]
       .mapPartitions { ids =>
         ids.flatMap { id =>
@@ -243,11 +246,62 @@ object MultimodalQueries {
           }
         }
       }.toDF()
+  }
+
+  def imagePhash(spark: SparkSession, dir: String): DataFrame = {
+    val hashes = phashFrame(spark, dir)
     val sizes = hashes.groupBy("phash_hi", "phash_lo")
       .agg(count(lit(1)).as("n_same"))
     hashes.join(sizes, Seq("phash_hi", "phash_lo"))
       .select(col("doc_id"), col("phash_hi"), col("phash_lo"),
         col("n_same"))
+  }
+
+  // q187 hamming budget: 4 pigeonhole bands of 16 bits over the 64-bit
+  // hash — a pair within hamming 3 MUST agree on at least one band
+  private val ImgMaxHamming = 3
+
+  /** q187 — IMAGE near-duplicate pairs (pHash + pigeonhole hamming
+    * bands): the image half of corpus dedup — re-encoded/perturbed
+    * copies byte-diverge but land within a few pHash bits, and exact
+    * hash equality (q129) misses them. The 64-bit aHash over REAL
+    * decoded pixels is banded into `maxHamming+1` disjoint 16-bit bands
+    * (Manku/Jain/Sarma pigeonhole: hamming ≤ 3 forces at least one
+    * band equal — recall is EXACT, not probabilistic), candidates join
+    * band-equal only, and the true bit distance verifies each pair.
+    * Plan shape: one narrow decode pass, one (pos, band)-keyed
+    * self-join over a 3-longs-per-image relation — pixels never
+    * shuffle, never join; identical to the text simhash discipline
+    * (q44) with the fingerprint swapped for vision. */
+  def imageNearDups(spark: SparkSession, dir: String): DataFrame = {
+    val numBands = ImgMaxHamming + 1 // 4 × 16-bit bands, 2 per 32-bit half
+    val bandBits = 64 / numBands
+    val mask = (1L << bandBits) - 1
+    // band over the TWO 32-bit halves directly (bands 0-1 from lo,
+    // 2-3 from hi): combining into one 64-bit long would set the sign
+    // bit for half the hashes, and DuckDB rejects the 1<<63 shift the
+    // replay would need — per-half arithmetic keeps every intermediate
+    // non-negative in both engines
+    def bandOf(i: Int) = {
+      val (half, off) = if (i < 2) ("phash_lo", i) else ("phash_hi", i - 2)
+      shiftright(col(half), off * bandBits).bitwiseAND(mask)
+    }
+    // the hash relation feeds both self-join sides; cached like q44's
+    // band relation (lazy result — cache left to LRU/clearCache)
+    val bands = phashFrame(spark, dir)
+      .select(col("doc_id").as("id"), col("phash_hi"), col("phash_lo"),
+        posexplode(array((0 until numBands).map(bandOf): _*))
+          .as(Seq("pos", "band")))
+      .persist()
+    bands.as("x").join(bands.as("y"),
+        col("x.pos") === col("y.pos") && col("x.band") === col("y.band") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        (bit_count(col("x.phash_hi").bitwiseXOR(col("y.phash_hi"))) +
+          bit_count(col("x.phash_lo").bitwiseXOR(col("y.phash_lo"))))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= ImgMaxHamming)
+      .distinct()
   }
 
   private val phashOracle: String = """
@@ -277,6 +331,54 @@ object MultimodalQueries {
       FROM bits GROUP BY 1, 2)
     SELECT b.doc_id, b.phash_hi, b.phash_lo, s.n_same
     FROM bits b JOIN sizes s USING (phash_hi, phash_lo)"""
+
+  /** The q129 pixel/hash replay plus the pigeonhole band join — bands
+    * over the two 32-bit halves (2 per half), hamming as the sum of
+    * per-half popcounts; every intermediate stays non-negative. */
+  private val imageNearDupsOracle: String = {
+    val numBands = ImgMaxHamming + 1
+    val bandBits = 64 / numBands
+    val mask = (1L << bandBits) - 1
+    s"""
+    WITH params AS (
+      SELECT doc_id, (doc_id % 16) + 4 AS w, (doc_id % 12) + 4 AS h,
+        (doc_id % 2) + 3 AS ch
+      FROM documents),
+    gc AS (
+      SELECT p.doc_id, i.i, p.ch,
+        (3 * (((i.i % 8) * p.w) // 8) + 7 * (((i.i // 8) * p.h) // 8)
+          + 11 * c.c + p.doc_id) % 256 AS v
+      FROM params p, range(64) i(i), range(4) c(c)
+      WHERE c.c < p.ch),
+    g8 AS (SELECT doc_id, i, SUM(v) // MAX(ch) AS g
+      FROM gc GROUP BY doc_id, i),
+    m AS (SELECT doc_id, SUM(g) // 64 AS mean FROM g8 GROUP BY doc_id),
+    hs AS (
+      SELECT g8.doc_id,
+        CAST(SUM(CASE WHEN g > mean AND i >= 32
+          THEN (CAST(1 AS BIGINT) << CAST(i - 32 AS INT)) ELSE 0 END)
+          AS BIGINT) AS hi,
+        CAST(SUM(CASE WHEN g > mean AND i < 32
+          THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE 0 END)
+          AS BIGINT) AS lo
+      FROM g8 JOIN m USING (doc_id) GROUP BY 1),
+    withpos AS (
+      SELECT doc_id AS id, hi, lo,
+        unnest(${(0 until numBands).mkString("[", ", ", "]")}) AS pos
+      FROM hs),
+    bands AS (
+      SELECT id, hi, lo, pos,
+        CASE WHEN pos < 2 THEN (lo >> (pos * $bandBits)) & $mask
+             ELSE (hi >> ((pos - 2) * $bandBits)) & $mask END AS band
+      FROM withpos)
+    SELECT DISTINCT x.id AS a, y.id AS b,
+      CAST(bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo))
+        AS BIGINT) AS hamming
+    FROM bands x JOIN bands y
+      ON x.pos = y.pos AND x.band = y.band AND x.id < y.id
+    WHERE bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo))
+      <= $ImgMaxHamming"""
+  }
 
   def pngDecode(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -1494,6 +1596,7 @@ object MultimodalQueries {
     QueryDef("q114_image_patches", imagePatches, Some(patchOracle)),
     QueryDef("q121_decode_dispatch", decodeDispatch, Some(dispatchOracle)),
     QueryDef("q129_image_phash", imagePhash, Some(phashOracle)),
+    QueryDef("q187_image_near_dups", imageNearDups, Some(imageNearDupsOracle)),
     QueryDef("q149_jpeg_decode", jpegDecode, Some(jpegOracle)),
     QueryDef("q150_mjpeg_frames", mjpegFrames, Some(mjpegOracle)),
     QueryDef("q168_predicted_frames", predictedFrames,
