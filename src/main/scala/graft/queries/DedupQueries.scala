@@ -13,8 +13,8 @@ import graft.text.TextAnalysis.{P, sqlTokens, sqlWordHash}
 object DedupQueries {
 
   private[queries] val K = 3 // shingle width
-  private val NH = 16 // minhash permutations
-  private val RPB = 4 // signature rows per LSH band
+  private[queries] val NH = 16 // minhash permutations
+  private[queries] val RPB = 4 // signature rows per LSH band
 
   def minhashSigs(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashSignatures(Tables(spark, dir, "documents"),
@@ -127,7 +127,7 @@ object DedupQueries {
     * over an arbitrary (doc_id, text) source relation — `documents`
     * for the standalone dedup gates, a filtered upstream CTE for the
     * composed curation pipeline (q186). */
-  private def lshPairCtesFor(src: String): String = {
+  private[queries] def lshPairCtesFor(src: String): String = {
     val bandList = (0 until NH / RPB).map(bandSql).mkString("[", ", ", "]")
     s"""${Dedup.sqlMinhashSignatureCte("doc_id", "text", src, K, NH)},
       bands AS (

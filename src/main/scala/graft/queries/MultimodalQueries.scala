@@ -332,28 +332,31 @@ object MultimodalQueries {
     SELECT b.doc_id, b.phash_hi, b.phash_lo, s.n_same
     FROM bits b JOIN sizes s USING (phash_hi, phash_lo)"""
 
-  /** The q129 pixel/hash replay plus the pigeonhole band join — bands
-    * over the two 32-bit halves (2 per half), hamming as the sum of
-    * per-half popcounts; every intermediate stays non-negative. */
-  private val imageNearDupsOracle: String = {
+  /** The q129 pixel/hash replay plus the pigeonhole band join as a
+    * prefixable CTE chain ending in `${p}ipairs` (a, b, hamming) —
+    * bands over the two 32-bit halves (2 per half), hamming as the sum
+    * of per-half popcounts; every intermediate stays non-negative.
+    * Prefixed so the chain composes with the text-dedup CTEs (q188)
+    * without name collisions. */
+  private[queries] def imagePairCtes(p: String): String = {
     val numBands = ImgMaxHamming + 1
     val bandBits = 64 / numBands
     val mask = (1L << bandBits) - 1
-    s"""
-    WITH params AS (
+    s"""${p}params AS (
       SELECT doc_id, (doc_id % 16) + 4 AS w, (doc_id % 12) + 4 AS h,
         (doc_id % 2) + 3 AS ch
       FROM documents),
-    gc AS (
+    ${p}gc AS (
       SELECT p.doc_id, i.i, p.ch,
         (3 * (((i.i % 8) * p.w) // 8) + 7 * (((i.i // 8) * p.h) // 8)
           + 11 * c.c + p.doc_id) % 256 AS v
-      FROM params p, range(64) i(i), range(4) c(c)
+      FROM ${p}params p, range(64) i(i), range(4) c(c)
       WHERE c.c < p.ch),
-    g8 AS (SELECT doc_id, i, SUM(v) // MAX(ch) AS g
-      FROM gc GROUP BY doc_id, i),
-    m AS (SELECT doc_id, SUM(g) // 64 AS mean FROM g8 GROUP BY doc_id),
-    hs AS (
+    ${p}g8 AS (SELECT doc_id, i, SUM(v) // MAX(ch) AS g
+      FROM ${p}gc GROUP BY doc_id, i),
+    ${p}m AS (SELECT doc_id, SUM(g) // 64 AS mean
+      FROM ${p}g8 GROUP BY doc_id),
+    ${p}hs AS (
       SELECT g8.doc_id,
         CAST(SUM(CASE WHEN g > mean AND i >= 32
           THEN (CAST(1 AS BIGINT) << CAST(i - 32 AS INT)) ELSE 0 END)
@@ -361,24 +364,73 @@ object MultimodalQueries {
         CAST(SUM(CASE WHEN g > mean AND i < 32
           THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE 0 END)
           AS BIGINT) AS lo
-      FROM g8 JOIN m USING (doc_id) GROUP BY 1),
-    withpos AS (
+      FROM ${p}g8 g8 JOIN ${p}m USING (doc_id) GROUP BY 1),
+    ${p}withpos AS (
       SELECT doc_id AS id, hi, lo,
         unnest(${(0 until numBands).mkString("[", ", ", "]")}) AS pos
-      FROM hs),
-    bands AS (
+      FROM ${p}hs),
+    ${p}bands AS (
       SELECT id, hi, lo, pos,
         CASE WHEN pos < 2 THEN (lo >> (pos * $bandBits)) & $mask
              ELSE (hi >> ((pos - 2) * $bandBits)) & $mask END AS band
-      FROM withpos)
-    SELECT DISTINCT x.id AS a, y.id AS b,
-      CAST(bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo))
-        AS BIGINT) AS hamming
-    FROM bands x JOIN bands y
-      ON x.pos = y.pos AND x.band = y.band AND x.id < y.id
-    WHERE bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo))
-      <= $ImgMaxHamming"""
+      FROM ${p}withpos),
+    ${p}ipairs AS (
+      SELECT DISTINCT x.id AS a, y.id AS b,
+        CAST(bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo))
+          AS BIGINT) AS hamming
+      FROM ${p}bands x JOIN ${p}bands y
+        ON x.pos = y.pos AND x.band = y.band AND x.id < y.id
+      WHERE bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo))
+        <= $ImgMaxHamming)"""
   }
+
+  private val imageNearDupsOracle: String =
+    s"""WITH ${imagePairCtes("")}
+    SELECT a, b, hamming FROM ipairs"""
+
+  /** q188 — MULTIMODAL dedup clusters: a document pair is a duplicate
+    * if its TEXT is near-identical (q21's verified minhash/LSH pairs)
+    * OR its IMAGE is (q187's hamming-banded pHash pairs) — the edge
+    * sets union and connected components collapse the combined graph,
+    * which is how a real multimodal corpus dedups: a re-captioned image
+    * post and a re-imaged text post are both duplicates even though
+    * each single modality misses one of them. Both pair generators keep
+    * their banded (never all-pairs) shapes; the union adds no new
+    * shuffle class, and the shared adaptive CC (driver union-find
+    * small, pointer-jumping at scale) labels the result. The oracle
+    * composes both CTE chains (prefix-namespaced) and replays the
+    * recursive closure. */
+  def multimodalDedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val (textPairs, release) = graft.dedup.Dedup
+      .minhashNearDuplicatesWithRelease(docs, "doc_id", "text",
+        DedupQueries.K, DedupQueries.NH, DedupQueries.RPB, threshold = 0.5)
+    val edges = textPairs.select(col("a"), col("b"))
+      .unionByName(imageNearDups(spark, dir).select(col("a"), col("b")))
+      .distinct()
+    // safe by connectedComponents' eager-materialization contract
+    val cc = graft.dedup.Dedup.connectedComponents(edges)
+    release()
+    cc
+  }
+
+  private val multimodalDedupOracle: String =
+    s"""WITH RECURSIVE ${DedupQueries.lshPairCtesFor("documents")},
+    ${imagePairCtes("img_")},
+    alledges AS (
+      SELECT a, b FROM jac WHERE jaccard >= 0.5
+      UNION
+      SELECT a, b FROM img_ipairs),
+    edges AS (
+      SELECT a AS src, b AS dst FROM alledges
+      UNION ALL
+      SELECT b AS src, a AS dst FROM alledges),
+    reach AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+    SELECT src AS id, LEAST(src, MIN(dst)) AS cluster_id
+    FROM reach GROUP BY src"""
 
   def pngDecode(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -1597,6 +1649,8 @@ object MultimodalQueries {
     QueryDef("q121_decode_dispatch", decodeDispatch, Some(dispatchOracle)),
     QueryDef("q129_image_phash", imagePhash, Some(phashOracle)),
     QueryDef("q187_image_near_dups", imageNearDups, Some(imageNearDupsOracle)),
+    QueryDef("q188_multimodal_dedup_clusters", multimodalDedupClusters,
+      Some(multimodalDedupOracle)),
     QueryDef("q149_jpeg_decode", jpegDecode, Some(jpegOracle)),
     QueryDef("q150_mjpeg_frames", mjpegFrames, Some(mjpegOracle)),
     QueryDef("q168_predicted_frames", predictedFrames,
