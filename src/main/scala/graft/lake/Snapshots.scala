@@ -645,8 +645,18 @@ object Snapshots {
       val fresh = (maxKnown + 1 to latest)
         .flatMap(v => snapshot(spark, table, v))
         .map(s => s.version -> s.commitTs)
-      (ck ++ fresh).collect { case (v, ts) if ts <= tsMillis => v }
-        .maxOption
+      val best = (ck ++ fresh)
+        .collect { case (v, ts) if ts <= tsMillis => v }.maxOption
+      // a checkpoint written before a vacuum may reference TRIMMED
+      // versions; trusting it would resolve to a version whose log
+      // object no longer exists (the old walk skipped those
+      // implicitly). One existence probe on the winner keeps the
+      // fast path O(1); only a genuinely stale entry pays the walk.
+      best.filter(v => snapshot(spark, table, v).isDefined).orElse {
+        if (best.isEmpty) None
+        else (1 to latest).flatMap(v => snapshot(spark, table, v))
+          .filter(_.commitTs <= tsMillis).map(_.version).maxOption
+      }
     }
 
   /** Time-travel read by wall clock (`SELECT … TIMESTAMP AS OF t`). */
@@ -1253,5 +1263,9 @@ object Snapshots {
           manifestCache.remove((table, id))
           ()
         }
+    // a checkpoint written before this vacuum references the trimmed
+    // versions — refresh it so AS-OF resolution keeps its fast path
+    // (resolution survives a stale one regardless, at walk cost)
+    if (ops.exists(ckptPath(table))) checkpoint(spark, table)
   }
 }

@@ -226,8 +226,14 @@ object DedupQueries {
         floor(qualityScore(col("text")) * 1000000) >= CurQualityMinE6)
       .select(col("doc_id"), col("text"))
     val exactW = Window.partitionBy(md5(col("text"))).orderBy("doc_id")
+    // persisted: BOTH the near-dup pair graph (materialized eagerly by
+    // connectedComponents) and the final survivor/packing job consume
+    // kept1 — without the cache the 6-language regex argmax, the
+    // 3-regex quality score, and the md5 window all run twice (cache
+    // left to LRU/clearCache, the q21/q44 lazy-result convention)
     val kept1 = kept0.withColumn("rn", row_number().over(exactW))
       .filter(col("rn") === 1).drop("rn")
+      .persist()
     val (pairs, release) = Dedup.minhashNearDuplicatesWithRelease(
       kept1, "doc_id", "text", K, NH, RPB, threshold = 0.5)
     // safe by connectedComponents' eager-materialization contract

@@ -276,15 +276,23 @@ object MultimodalQueries {
   def imageNearDups(spark: SparkSession, dir: String): DataFrame = {
     val numBands = ImgMaxHamming + 1 // 4 × 16-bit bands, 2 per 32-bit half
     val bandBits = 64 / numBands
+    // the pigeonhole guarantee needs every hash bit covered by exactly
+    // one band, and the per-half arithmetic needs bands that never
+    // straddle the 32-bit halves — fail loudly if a future ImgMaxHamming
+    // change breaks either (the oracle shares the formula, so the
+    // parity gate could NOT catch a silent recall loss)
+    require(64 % numBands == 0 && 32 % bandBits == 0,
+      s"$numBands bands of $bandBits bits don't tile the 32-bit halves")
     val mask = (1L << bandBits) - 1
-    // band over the TWO 32-bit halves directly (bands 0-1 from lo,
-    // 2-3 from hi): combining into one 64-bit long would set the sign
-    // bit for half the hashes, and DuckDB rejects the 1<<63 shift the
-    // replay would need — per-half arithmetic keeps every intermediate
-    // non-negative in both engines
+    // band over the TWO 32-bit halves directly: combining into one
+    // 64-bit long would set the sign bit for half the hashes, and
+    // DuckDB rejects the 1<<63 shift the replay would need — per-half
+    // arithmetic keeps every intermediate non-negative in both engines
     def bandOf(i: Int) = {
-      val (half, off) = if (i < 2) ("phash_lo", i) else ("phash_hi", i - 2)
-      shiftright(col(half), off * bandBits).bitwiseAND(mask)
+      val bit = i * bandBits
+      val (half, off) =
+        if (bit < 32) ("phash_lo", bit) else ("phash_hi", bit - 32)
+      shiftright(col(half), off).bitwiseAND(mask)
     }
     // the hash relation feeds both self-join sides; cached like q44's
     // band relation (lazy result — cache left to LRU/clearCache)
@@ -304,33 +312,11 @@ object MultimodalQueries {
       .distinct()
   }
 
-  private val phashOracle: String = """
-    WITH params AS (
-      SELECT doc_id, (doc_id % 16) + 4 AS w, (doc_id % 12) + 4 AS h,
-        (doc_id % 2) + 3 AS ch
-      FROM documents),
-    gc AS (
-      SELECT p.doc_id, i.i, p.ch,
-        (3 * (((i.i % 8) * p.w) // 8) + 7 * (((i.i // 8) * p.h) // 8)
-          + 11 * c.c + p.doc_id) % 256 AS v
-      FROM params p, range(64) i(i), range(4) c(c)
-      WHERE c.c < p.ch),
-    g8 AS (SELECT doc_id, i, SUM(v) // MAX(ch) AS g
-      FROM gc GROUP BY doc_id, i),
-    m AS (SELECT doc_id, SUM(g) // 64 AS mean FROM g8 GROUP BY doc_id),
-    bits AS (
-      SELECT g8.doc_id,
-        CAST(SUM(CASE WHEN g > mean AND i >= 32
-          THEN (CAST(1 AS BIGINT) << CAST(i - 32 AS INT)) ELSE 0 END)
-          AS BIGINT) AS phash_hi,
-        CAST(SUM(CASE WHEN g > mean AND i < 32
-          THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE 0 END)
-          AS BIGINT) AS phash_lo
-      FROM g8 JOIN m USING (doc_id) GROUP BY 1),
-    sizes AS (SELECT phash_hi, phash_lo, COUNT(*) AS n_same
-      FROM bits GROUP BY 1, 2)
-    SELECT b.doc_id, b.phash_hi, b.phash_lo, s.n_same
-    FROM bits b JOIN sizes s USING (phash_hi, phash_lo)"""
+  private lazy val phashOracle: String = s"""
+    WITH ${imageHashCtes("")},
+    sizes AS (SELECT hi, lo, COUNT(*) AS n_same FROM hs GROUP BY 1, 2)
+    SELECT h.doc_id, h.hi AS phash_hi, h.lo AS phash_lo, s.n_same
+    FROM hs h JOIN sizes s ON s.hi = h.hi AND s.lo = h.lo"""
 
   /** The q129 pixel/hash replay plus the pigeonhole band join as a
     * prefixable CTE chain ending in `${p}ipairs` (a, b, hamming) —
@@ -338,10 +324,11 @@ object MultimodalQueries {
     * of per-half popcounts; every intermediate stays non-negative.
     * Prefixed so the chain composes with the text-dedup CTEs (q188)
     * without name collisions. */
-  private[queries] def imagePairCtes(p: String): String = {
-    val numBands = ImgMaxHamming + 1
-    val bandBits = 64 / numBands
-    val mask = (1L << bandBits) - 1
+  /** The per-image hash replay alone — the CTE chain ending in `${p}hs`
+    * (doc_id, hi, lo), shared by the q129 exact-group oracle and the
+    * banded pair chain: the synthetic-pixel formulas and the
+    * grayscale/threshold arithmetic live in ONE place. */
+  private def imageHashCtes(p: String): String =
     s"""${p}params AS (
       SELECT doc_id, (doc_id % 16) + 4 AS w, (doc_id % 12) + 4 AS h,
         (doc_id % 2) + 3 AS ch
@@ -364,15 +351,24 @@ object MultimodalQueries {
         CAST(SUM(CASE WHEN g > mean AND i < 32
           THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE 0 END)
           AS BIGINT) AS lo
-      FROM ${p}g8 g8 JOIN ${p}m USING (doc_id) GROUP BY 1),
+      FROM ${p}g8 g8 JOIN ${p}m USING (doc_id) GROUP BY 1)"""
+
+  private[queries] def imagePairCtes(p: String): String = {
+    val numBands = ImgMaxHamming + 1
+    val bandBits = 64 / numBands
+    require(64 % numBands == 0 && 32 % bandBits == 0,
+      s"$numBands bands of $bandBits bits don't tile the 32-bit halves")
+    val mask = (1L << bandBits) - 1
+    s"""${imageHashCtes(p)},
     ${p}withpos AS (
       SELECT doc_id AS id, hi, lo,
         unnest(${(0 until numBands).mkString("[", ", ", "]")}) AS pos
       FROM ${p}hs),
     ${p}bands AS (
       SELECT id, hi, lo, pos,
-        CASE WHEN pos < 2 THEN (lo >> (pos * $bandBits)) & $mask
-             ELSE (hi >> ((pos - 2) * $bandBits)) & $mask END AS band
+        CASE WHEN pos * $bandBits < 32
+             THEN (lo >> (pos * $bandBits)) & $mask
+             ELSE (hi >> (pos * $bandBits - 32)) & $mask END AS band
       FROM ${p}withpos),
     ${p}ipairs AS (
       SELECT DISTINCT x.id AS a, y.id AS b,

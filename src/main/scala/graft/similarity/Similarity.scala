@@ -239,16 +239,25 @@ object Similarity {
     * ([[kmeansCentroids]] — same centroids serve search and dedup). */
   def semDedup(df: DataFrame, idCol: String, vecCol: String,
       cents: Array[Array[Double]], threshold: Double): DataFrame = {
-    val cells = assignCells(df, idCol, vecCol, cents)
+    // null vectors are UNASSIGNABLE, not members of a shared sentinel
+    // cell: they are excluded before the self-join (the -1 key would
+    // otherwise co-locate them) and surface with a null cell, kept —
+    // a vector that cannot be scored cannot be proven duplicate
+    val valid = df.filter(col(vecCol).isNotNull)
+    val cells = assignCells(valid, idCol, vecCol, cents)
     val dups = cells.as("x").join(cells.as("y"),
         col(s"x.cell") === col(s"y.cell") &&
           col(s"x.$idCol") < col(s"y.$idCol"))
       .filter(cosine(col(s"x.$vecCol"), col(s"y.$vecCol")) >= threshold)
       .select(col(s"y.$idCol").as(idCol)).distinct()
       .withColumn("_dup", lit(true))
-    cells.select(col(idCol), col("cell").cast("long").as("cell"))
+    val assigned = cells.select(col(idCol), col("cell").cast("long").as("cell"))
       .join(dups, Seq(idCol), "left_outer")
       .select(col(idCol), col("cell"), col("_dup").isNull.as("kept"))
+    val unassignable = df.filter(col(vecCol).isNull)
+      .select(col(idCol), lit(null).cast("long").as("cell"),
+        lit(true).as("kept"))
+    assigned.unionByName(unassignable)
   }
 
   /** DuckDB replay of [[semDedup]]: the k-means training chain, the

@@ -817,6 +817,27 @@ class SnapshotsSpec extends SparkTestBase {
     org.apache.commons.io.FileUtils.deleteQuietly(new File(t).getParentFile)
   }
 
+  test("AS-OF never resolves to a trimmed version, even from a stale checkpoint") {
+    val t = fresh("ckptvac")
+    for (r <- 0 to 3)
+      Snapshots.append(spark, t, orders.filter(col("o_orderkey") % 4 === r))
+    val ts = (1 to 4).map(v => Snapshots.snapshot(spark, t, v).get.commitTs)
+    Snapshots.checkpoint(spark, t)
+    // simulate a vacuum the checkpoint never saw: v1's log object gone
+    val ops = new FileOps(spark.sparkContext.hadoopConfiguration)
+    ops.delete(s"$t/_log/v000001.json")
+    // the checkpoint still lists v1 — resolution must NOT return it
+    // (the caller would find no such snapshot); the walk fallback finds
+    // nothing at-or-before ts1 among surviving versions
+    assert(Snapshots.versionAtTimestamp(spark, t, ts.head).isEmpty)
+    assert(Snapshots.versionAtTimestamp(spark, t, ts(2)).contains(3))
+    // a real vacuum refreshes the checkpoint as part of the trim
+    Snapshots.vacuum(spark, t, keepFrom = 3)
+    assert(Snapshots.versionAtTimestamp(spark, t, ts(1)).isEmpty)
+    assert(Snapshots.versionAtTimestamp(spark, t, ts(3)).contains(4))
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(t).getParentFile)
+  }
+
   test("legacy inline-files log format fails loudly instead of dropping data") {
     val t = fresh("legacy")
     Snapshots.append(spark, t, orders.limit(100))
