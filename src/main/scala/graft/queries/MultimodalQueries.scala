@@ -273,7 +273,13 @@ object MultimodalQueries {
     * self-join over a 3-longs-per-image relation — pixels never
     * shuffle, never join; identical to the text simhash discipline
     * (q44) with the fingerprint swapped for vision. */
-  def imageNearDups(spark: SparkSession, dir: String): DataFrame = {
+  def imageNearDups(spark: SparkSession, dir: String): DataFrame =
+    imageNearDupPairs(phashFrame(spark, dir))
+
+  /** The banded pair join over any (doc_id, phash_hi, phash_lo)
+    * relation — the full corpus for q187's pair listing, one
+    * representative per distinct hash for q188's clustering. */
+  private def imageNearDupPairs(hashes: DataFrame): DataFrame = {
     val numBands = ImgMaxHamming + 1 // 4 × 16-bit bands, 2 per 32-bit half
     val bandBits = 64 / numBands
     // the pigeonhole guarantee needs every hash bit covered by exactly
@@ -296,7 +302,7 @@ object MultimodalQueries {
     }
     // the hash relation feeds both self-join sides; cached like q44's
     // band relation (lazy result — cache left to LRU/clearCache)
-    val bands = phashFrame(spark, dir)
+    val bands = hashes
       .select(col("doc_id").as("id"), col("phash_hi"), col("phash_lo"),
         posexplode(array((0 until numBands).map(bandOf): _*))
           .as(Seq("pos", "band")))
@@ -401,8 +407,25 @@ object MultimodalQueries {
     val (textPairs, release) = graft.dedup.Dedup
       .minhashNearDuplicatesWithRelease(docs, "doc_id", "text",
         DedupQueries.K, DedupQueries.NH, DedupQueries.RPB, threshold = 0.5)
+    // the image side does NOT enumerate pairs (q187's listing semantic
+    // is inherently quadratic within identical-hash groups — a viral
+    // image with 1M copies would emit 5·10¹¹ pairs): clustering only
+    // needs CONNECTIVITY, so identical-hash groups collapse via
+    // O(group) STAR edges to the group minimum, and the hamming band
+    // join runs over one representative per DISTINCT hash. Connected
+    // components are identical to the all-pairs formulation (the
+    // oracle keeps the quadratic form as the independent witness).
+    val hashes = phashFrame(spark, dir)
+    val reps = hashes.groupBy("phash_hi", "phash_lo")
+      .agg(min(col("doc_id")).as("rep"))
+    val star = hashes.join(reps, Seq("phash_hi", "phash_lo"))
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("rep").as("a"), col("doc_id").as("b"))
+    val crossPairs = imageNearDupPairs(
+      reps.select(col("rep").as("doc_id"), col("phash_hi"), col("phash_lo")))
     val edges = textPairs.select(col("a"), col("b"))
-      .unionByName(imageNearDups(spark, dir).select(col("a"), col("b")))
+      .unionByName(star)
+      .unionByName(crossPairs.select(col("a"), col("b")))
       .distinct()
     // safe by connectedComponents' eager-materialization contract
     val cc = graft.dedup.Dedup.connectedComponents(edges)

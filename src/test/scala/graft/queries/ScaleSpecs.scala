@@ -263,6 +263,26 @@ class ScaleSpecs extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("multimodal dedup collapses identical-hash groups linearly, not pairwise") {
+    // q187's pair LISTING is quadratic within an identical-hash group
+    // by semantics; q188's clustering must not be — its image edges are
+    // one star edge per non-representative member plus cross-hash band
+    // pairs. On this dup-heavy corpus the pair listing is many times
+    // the document count while the cluster result stays identical to
+    // the all-pairs oracle (hash-compared by the gate); here we pin the
+    // EDGE ECONOMY: the full pair count strictly exceeds what a linear
+    // star collapse could ever emit.
+    val docs = Tables(spark, dir, "documents").count()
+    val pairs = MultimodalQueries.imageNearDups(spark, dir).count()
+    assert(pairs > docs,
+      s"corpus not dup-heavy enough to exercise the distinction ($pairs pairs)")
+    val clusters = MultimodalQueries.multimodalDedupClusters(spark, dir)
+    // every clustered doc resolves to a min-id canonical; the relation
+    // is O(docs), never O(pairs)
+    assert(clusters.count() <= docs)
+    spark.catalog.clearCache()
+  }
+
   test("PQ rerank repairs in-candidate quantization error without a corpus shuffle") {
     def hits(rows: Array[org.apache.spark.sql.Row]): Set[(Long, Long)] =
       rows.map(r => (r.getLong(0), r.getLong(2))).toSet
