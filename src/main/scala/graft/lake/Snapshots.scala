@@ -1224,6 +1224,43 @@ object Snapshots {
     }
   }
 
+  /** Apply a [[changesBetween]] feed window to a REPLICA table — the
+    * downstream half of CDC replication: delete-image keys are
+    * tombstoned and insert rows appended, in ONE published version
+    * (an update's delete+insert pair lands atomically; a consumer
+    * crash between windows re-applies idempotently per window under
+    * the caller's exactly-once guard, the q156/q167 discipline). Keys
+    * must be unique per row, the usual CDC contract. Cost is O(feed) +
+    * one scan of the replica to locate tombstone positions — the
+    * replica's files are never rewritten, exactly like [[merge]]. */
+  def applyChanges(spark: SparkSession, table: String, feed: DataFrame,
+      keyCols: Seq[String]): Int = {
+    val deletes = feed.filter(col("_change_type") === "delete")
+      .select(keyCols.map(col): _*).distinct()
+    val inserts = feed.filter(col("_change_type") === "insert")
+      .drop("_change_type")
+    val (staged, _, _) = stage(spark, table, inserts, Nil)
+    val mid = writeManifest(spark, table, staged, Map.empty)
+    commitLoop(spark, table) { prev =>
+      val prevDeletes = prev.map(_.deletes).getOrElse(Nil)
+      val newDeletes: Seq[String] =
+        if (prev.forall(_.files.isEmpty)) Nil
+        else {
+          val live = subtractDeletes(spark, table,
+            withMetaEras(spark, table, prev.get), prevDeletes)
+          val tomb = live.join(broadcast(deletes), keyCols, "left_semi")
+            .select(col("_snap_file").as("file"), col("_snap_pos").as("pos"))
+          val dRel = s"_snap/d-${Naming.newRunId()}"
+          tomb.coalesce(1).write.mode("overwrite").parquet(s"$table/$dRel")
+          listFresh(spark, s"$table/$dRel", dRel)
+        }
+      guardRecycledNames(inserts, prev)
+      (prev.map(_.manifests).getOrElse(Nil) :+ mid,
+        prevDeletes ++ newDeletes,
+        prev.map(_.renames).getOrElse(Nil))
+    }
+  }
+
   /** Files present at `v2` but not at `v1` — the incremental-read source
     * for downstream jobs (file-level change feed). */
   def newFilesBetween(spark: SparkSession, table: String, v1: Int,

@@ -636,7 +636,58 @@ object LayoutQueries {
     }.reduce(_.unionAll(_))
   }
 
+  /** q189 — CDC REPLICATION end-to-end
+    * ([[graft.lake.Snapshots.applyChanges]], the downstream half the
+    * change feed exists for): a replica is seeded with a full sync of
+    * v1, then each feed window (covering a MERGE and a predicate
+    * DELETE) is applied as one atomic commit — delete-image keys
+    * tombstoned, insert rows appended — and the gate attests exact
+    * MULTISET equality of the final live views (`exceptAll` both ways,
+    * not just aggregate equality: a row replicated with a perturbed
+    * value would survive count/sum checks). This closes the CDF loop:
+    * q163 produces the feed, q167 streams it, q189 proves a consumer
+    * applying it converges to the source. O(feed) per window; neither
+    * table's files are ever rewritten. */
+  def cdcReplication(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Snapshots
+    val src = graft.util.Scratch.dir("cdcrep_src", dir)
+    val rep = graft.util.Scratch.dir("cdcrep_rep", dir)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(src))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(rep))
+    val orders = Tables(spark, dir, "orders")
+    Snapshots.append(spark, src, orders.filter(col("o_orderkey") % 2 === 0))
+    val batch1 = orders.filter(col("o_orderkey") % 4 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+      .unionAll(orders.filter(col("o_orderkey") % 4 === 1))
+    val v2 = Snapshots.merge(spark, src, batch1, Seq("o_orderkey"))
+    val v3 = Snapshots.deleteWhere(spark, src, col("o_totalprice") < 30000)
+    Snapshots.append(spark, rep, Snapshots.readAt(spark, src, 1).get)
+    Snapshots.applyChanges(spark, rep,
+      Snapshots.changesBetween(spark, src, 1, v2).get, Seq("o_orderkey"))
+    Snapshots.applyChanges(spark, rep,
+      Snapshots.changesBetween(spark, src, v2, v3).get, Seq("o_orderkey"))
+    val s = Snapshots.readLatest(spark, src).get
+    val r = Snapshots.readLatest(spark, rep).get
+    val inSync = s.exceptAll(r).isEmpty && r.exceptAll(s).isEmpty
+    r.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_rows"),
+        Num.sumMoney(col("o_totalprice")).as("sum_price"))
+      .withColumn("in_sync", lit(inSync))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q189_cdc_replication", cdcReplication, Some(s"""
+      SELECT o_orderpriority, COUNT(*) AS n_rows,
+             ${Num.sqlSumMoney("adj")} AS sum_price,
+             true AS in_sync
+      FROM (
+        SELECT o_orderpriority,
+               o_totalprice + CASE WHEN o_orderkey % 4 = 0 THEN 1 ELSE 0 END
+                 AS adj
+        FROM orders
+        WHERE o_orderkey % 2 = 0 OR o_orderkey % 4 = 1)
+      WHERE adj >= 30000
+      GROUP BY 1""")),
     QueryDef("q182_timestamp_as_of", timestampAsOf, Some(s"""
       SELECT CAST(1 AS BIGINT) AS version, COUNT(*) AS n_rows,
              ${Num.sqlSumMoney("o_totalprice")} AS sum_price,
