@@ -23,9 +23,17 @@ final class TopKHeap(val k: Int) {
   private var n = 0
 
   /** Is (sa, ia) strictly worse than (sb, ib)? Worse = lower score, or
-    * equal score with the higher id (ids never repeat within a key). */
-  @inline private def worse(sa: Double, ia: Long, sb: Double, ib: Long): Boolean =
-    sa < sb || (sa == sb && ia > ib)
+    * equal score with the higher id (ids never repeat within a key).
+    * Scores compare via Double.compare — the EXACT mirror of
+    * [[sortedDesc]]'s emission comparator: a primitive `<` is false for
+    * NaN on either side, so once the heap held k entries a NaN score
+    * (cosine of a zero-norm vector) could never be admitted even though
+    * the window/sort oracle ranks NaN above every finite score, and
+    * -0.0/0.0 ties would break by id instead of sign. */
+  @inline private def worse(sa: Double, ia: Long, sb: Double, ib: Long): Boolean = {
+    val c = java.lang.Double.compare(sa, sb)
+    c < 0 || (c == 0 && ia > ib)
+  }
 
   private def siftUp(start: Int): Unit = {
     var i = start
@@ -132,6 +140,21 @@ case class TopKPairs(score: Expression, id: Expression, k: Int,
   override def children: Seq[Expression] = Seq(score, id)
   override def nullable: Boolean = false
   override def prettyName: String = "topk_pairs"
+
+  // update() reads the inputs as primitive Double/Long; without this an
+  // e.g. FloatType score or IntegerType id column would surface as an
+  // executor-side ClassCastException instead of an analysis-time error
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis
+      .TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (score.dataType != DoubleType)
+      TypeCheckResult.TypeCheckFailure(
+        s"topk_pairs score must be DOUBLE, got ${score.dataType.simpleString}")
+    else if (id.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"topk_pairs id must be BIGINT, got ${id.dataType.simpleString}")
+    else TypeCheckResult.TypeCheckSuccess
+  }
 
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("score", DoubleType, nullable = false),

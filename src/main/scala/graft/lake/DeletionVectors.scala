@@ -70,7 +70,12 @@ object DeletionVectors {
     if (n > 0) {
       val tag = java.lang.Long.toHexString(r.getLong(0)) + "-" +
         java.lang.Long.toHexString(r.getLong(1)) + "-" + n
-      dv.coalesce(1).write.mode("overwrite")
+      // hash-clustered on the target data file so the sidecar writes
+      // with task parallelism (each part covers disjoint data files —
+      // the Iceberg per-task positional-delete shape); a single-task
+      // coalesce(1) would funnel a large delete through one writer.
+      // [[vectors]] reads the whole dir, so part count is invisible.
+      dv.repartition(col("file")).write.mode("overwrite")
         .parquet(s"${dvDir(table)}/d$tag.parquet")
     }
     n

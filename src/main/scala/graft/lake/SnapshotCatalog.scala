@@ -60,7 +60,7 @@ final class SnapshotCatalog extends TableCatalog {
 
   override def name(): String = catalogName
 
-  private def tablePath(ident: Identifier): String =
+  private[graft] def tablePath(ident: Identifier): String =
     (ident.namespace() :+ ident.name()).mkString(s"$root/", "/", "")
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
@@ -82,9 +82,14 @@ final class SnapshotCatalog extends TableCatalog {
     tableAt(ident, t, v)
   }
 
-  /** `VERSION AS OF n` — Spark passes the version literal as a string. */
+  /** `VERSION AS OF n` — Spark passes the version literal as a string. A
+    * malformed literal (quoted tag, garbage) is the USER's error, named
+    * as such; NoSuchTableException is reserved for genuinely absent
+    * tables/versions. */
   override def loadTable(ident: Identifier, version: String): Table = {
-    val v = version.toIntOption.getOrElse(throw new NoSuchTableException(ident))
+    val v = version.toIntOption.getOrElse(throw new IllegalArgumentException(
+      s"VERSION AS OF '$version' on ${ident.name()}: snapshot versions " +
+        "are integers (the log has no named tags)"))
     tableAt(ident, tablePath(ident), v)
   }
 
@@ -98,28 +103,43 @@ final class SnapshotCatalog extends TableCatalog {
     tableAt(ident, t, v)
   }
 
+  /** Do the version's era schemas (from the log) disagree on a column's
+    * TYPE? mergeSchema refuses int→long / float→double, so such versions
+    * need the era-aware read. Unknown dirs (pre-upgrade manifests without
+    * recorded schemas) conservatively count as non-widened — they fail at
+    * scan time with parquet's own merge refusal, exactly as before. */
+  private def erasWiden(s: Snapshots.Snapshot): Boolean = {
+    val seen = scala.collection.mutable.HashMap
+      .empty[String, org.apache.spark.sql.types.DataType]
+    s.dirSchemas.values.exists(_.exists { f =>
+      seen.put(f.name, f.dataType).exists(_ != f.dataType)
+    })
+  }
+
   private def tableAt(ident: Identifier, t: String, v: Int): Table = {
     val s = Snapshots.snapshot(spark, t, v)
       .getOrElse(throw new NoSuchTableException(ident))
-    // the log records no schema, so a zero-file version (a DML on a
-    // never-committed table) cannot be served as a V2 table — parquet
-    // schema inference over an empty path list throws a misleading
-    // error at scan time; fail at resolution with the real reason
+    // the log records schemas per data-carrying commit, so a zero-file
+    // version (a DML on a never-committed table) has no schema to serve —
+    // fail at resolution with the real reason
     if (s.files.isEmpty) throw new UnsupportedOperationException(
       s"version $v of ${ident.name()} has no data files (schema unknown " +
         "to the log); read it via Snapshots.readAt, which returns empty")
-    if (s.deletes.nonEmpty) throw new UnsupportedOperationException(
-      s"version $v of ${ident.name()} carries positional deletes " +
-        "(merge-on-read); SQL reads would resurrect tombstoned rows — " +
-        "read it via Snapshots.readAt, or OPTIMIZE first")
-    if (s.renames.nonEmpty) throw new UnsupportedOperationException(
-      s"version $v of ${ident.name()} carries column renames; SQL reads " +
-        "would surface era-time names — read it via Snapshots.readAt")
-    val opts = new util.HashMap[String, String]()
-    // a version may span commits with additively-evolved schemas
-    opts.put("mergeSchema", "true")
-    GraftSqlBridge.parquetTable(s"${ident.name()}@v$v", spark,
-      s.files.map(f => s"$t/$f"), opts)
+    if (s.deletes.nonEmpty || s.renames.nonEmpty || s.drops.nonEmpty ||
+        erasWiden(s))
+      // merge-on-read / renamed / widened versions cannot be a bare
+      // parquet file list: hand out the marker table whose relation the
+      // injected SnapshotRelationRewrite lowers to the era-aware
+      // readAt plan (tombstone anti-join + rename chain + widening)
+      SnapshotMoRTable(s"${ident.name()}@v$v", t, v,
+        Snapshots.readAt(spark, t, v).get.schema)
+    else {
+      val opts = new util.HashMap[String, String]()
+      // a version may span commits with additively-evolved schemas
+      opts.put("mergeSchema", "true")
+      GraftSqlBridge.parquetTable(s"${ident.name()}@v$v", spark,
+        s.files.map(f => s"$t/$f"), opts)
+    }
   }
 
   override def invalidateTable(ident: Identifier): Unit = ()

@@ -122,8 +122,13 @@ object AsOfJoinStrategy extends SparkStrategy {
   * `spark.sql.extensions=graft.plans.GraftExtensions` (see
   * [[graft.GraftSession]]). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    // snapshot-log SQL surface: DML statements first (they consume the
+    // relation), then merge-on-read/renamed relation lowering
+    e.injectResolutionRule(session => SnapshotDmlRewrite(session))
+    e.injectResolutionRule(session => SnapshotRelationRewrite(session))
+  }
 }
 
 /** Physical as-of join: children hash-clustered on the key and sorted by

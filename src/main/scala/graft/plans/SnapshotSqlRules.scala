@@ -1,0 +1,248 @@
+package graft.plans
+
+import org.apache.spark.sql.{GraftSqlBridge, Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+
+import graft.lake.{SnapshotCatalog, SnapshotMoRTable, Snapshots}
+
+/** The SQL surface of the snapshot log beyond plain reads, injected via
+  * [[GraftExtensions]]:
+  *
+  *  - [[SnapshotRelationRewrite]] serves merge-on-read / renamed /
+  *    widened versions: the catalog hands out a no-capability
+  *    [[SnapshotMoRTable]] marker and this rule replaces its relation
+  *    during analysis with the era-aware [[Snapshots.readAt]] plan, so
+  *    the optimizer sees real parquet leaves (pushdown, column pruning,
+  *    broadcast tombstone anti-join) instead of an opaque connector.
+  *  - [[SnapshotDmlRewrite]] routes `DELETE FROM` / `UPDATE` /
+  *    `MERGE INTO` statements on snapshot-catalog tables to the log's
+  *    merge-on-read DML ([[Snapshots.deleteWhere]]/[[Snapshots.updateWhere]]/
+  *    [[Snapshots.merge]]) as eagerly-executed commands — the Delta
+  *    analyzer-rule shape (DeltaAnalysis rewrites the same three nodes to
+  *    RunnableCommands), completing the quartet's SQL half: every DML a
+  *    DataFrame caller can commit, a SQL caller can too.
+  *
+  * Both run in the analyzer's resolution fixed-point; the relation
+  * rewrite PROTECTS relations sitting under an unconverted DML node so
+  * the DML rule never loses the catalog/identifier it needs.
+  */
+case class SnapshotRelationRewrite(spark: SparkSession)
+    extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // a relation that is a DML TARGET must stay a relation until
+    // SnapshotDmlRewrite consumes the enclosing node (the command
+    // carries only the table PATH, not the scan)
+    val dmlTargets = plan.collect {
+      case d: DeleteFromTable => d.table
+      case u: UpdateTable => u.table
+      case m: MergeIntoTable => m.targetTable
+    }.flatMap(_.collect { case r: DataSourceV2Relation => r }).toSet
+    plan.resolveOperatorsUp {
+      case r: DataSourceV2Relation
+          if r.table.isInstanceOf[SnapshotMoRTable] && !dmlTargets(r) =>
+        val t = r.table.asInstanceOf[SnapshotMoRTable]
+        val inner = GraftSqlBridge.analyzed(
+          Snapshots.readAt(spark, t.path, t.snapVersion).getOrElse(
+            throw new IllegalStateException(
+              s"${t.name()} vanished between catalog resolution and rewrite")))
+        val byName = inner.output.map(a => a.name -> a).toMap
+        // re-anchor the inner plan's outputs onto the relation's exprIds
+        // so references already resolved against the relation keep binding
+        Project(r.output.map { a =>
+          Alias(byName(a.name), a.name)(exprId = a.exprId)
+        }, inner)
+    }
+  }
+}
+
+/** Rewrites resolved DML statements over snapshot-catalog tables into
+  * eagerly-executed commands against the log. Fires only once the
+  * condition/assignments are resolved (the analyzer resolves them against
+  * the relation's output in a prior fixed-point iteration); resolved
+  * attribute references are then re-spoken BY NAME so the command can
+  * re-resolve them against the fresh era-aware scan it drives. */
+case class SnapshotDmlRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  /** The log-table path behind a DML target, when (and only when) the
+    * target resolves through a [[SnapshotCatalog]]. */
+  private def targetPath(plan: LogicalPlan): Option[String] =
+    plan.collectFirst {
+      case r: DataSourceV2Relation
+          if r.catalog.exists(_.isInstanceOf[SnapshotCatalog]) &&
+            r.identifier.isDefined =>
+        r.catalog.get.asInstanceOf[SnapshotCatalog]
+          .tablePath(r.identifier.get)
+    }
+
+  /** Resolved references re-spoken by name: the command's runtime scan is
+    * a fresh plan with fresh exprIds, so captured AttributeReferences
+    * must not survive into it. */
+  private def byName(e: Expression): Expression = e.transform {
+    case a: AttributeReference => UnresolvedAttribute(Seq(a.name))
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperatorsUp {
+      case d @ DeleteFromTable(target, cond) if cond.resolved =>
+        targetPath(target)
+          .map(p => SnapshotDeleteCommand(p,
+            GraftSqlBridge.column(byName(cond))): LogicalPlan)
+          .getOrElse(d)
+      case u @ UpdateTable(target, assignments, cond)
+          if assignments.forall(_.resolved) && cond.forall(_.resolved) =>
+        targetPath(target).map { p =>
+          val sets = assignments.map { a =>
+            val name = a.key match {
+              case ar: AttributeReference => ar.name
+              case other => throw new UnsupportedOperationException(
+                s"UPDATE on a snapshot table sets whole columns; got " +
+                  s"${other.sql}")
+            }
+            name -> GraftSqlBridge.column(byName(a.value))
+          }
+          SnapshotUpdateCommand(p, GraftSqlBridge.column(byName(cond.getOrElse(
+            org.apache.spark.sql.catalyst.expressions.Literal.TrueLiteral))),
+            sets): LogicalPlan
+        }.getOrElse(u)
+      case m: MergeIntoTable if m.childrenResolved &&
+          m.mergeCondition.resolved &&
+          (m.matchedActions ++ m.notMatchedActions).forall(actionResolved) =>
+        targetPath(m.targetTable).map(p => convertMerge(m, p)).getOrElse(m)
+    }
+
+  private def actionResolved(a: MergeAction): Boolean = a match {
+    case _: UpdateStarAction | _: InsertStarAction => true
+    case other => other.resolved
+  }
+
+  /** MERGE INTO → [[SnapshotMergeCommand]]. Supported shape — the
+    * latest-wins upsert the log's merge-on-read commit implements:
+    * equi-join condition on same-named columns, `WHEN MATCHED THEN
+    * UPDATE SET *` and/or `WHEN NOT MATCHED THEN INSERT *` (explicit
+    * per-column forms must be the full identity mapping), no
+    * NOT-MATCHED-BY-SOURCE clauses. Anything else is refused with the
+    * precise reason rather than silently approximated. */
+  private def convertMerge(m: MergeIntoTable, path: String): LogicalPlan = {
+    def unsupported(why: String) = throw new UnsupportedOperationException(
+      s"MERGE INTO on a snapshot table supports the latest-wins upsert " +
+        s"shape only: $why")
+    val targetOut = m.targetTable.output
+    val sourceOut = m.sourceTable.output
+    val targetIds = targetOut.map(_.exprId).toSet
+    val sourceIds = sourceOut.map(_.exprId).toSet
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    val keys = conjuncts(m.mergeCondition).map {
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+          if targetIds(a.exprId) && sourceIds(b.exprId) && a.name == b.name =>
+        a.name
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+          if sourceIds(a.exprId) && targetIds(b.exprId) && a.name == b.name =>
+        a.name
+      case other => unsupported(
+        s"merge condition must be equalities of same-named target/source " +
+          s"columns, got ${other.sql}")
+    }
+    // every action must be (or expand to) the identity column mapping
+    def identityOnly(assigns: Seq[Assignment], what: String): Unit =
+      assigns.foreach { a =>
+        (a.key, a.value) match {
+          case (k: AttributeReference, v: AttributeReference)
+              if k.name == v.name && targetIds(k.exprId) &&
+                sourceIds(v.exprId) => ()
+          case _ => unsupported(
+            s"$what must be `SET * `-equivalent (target.c = source.c), " +
+              s"got ${a.sql}")
+        }
+      }
+    m.notMatchedBySourceActions.foreach(_ =>
+      unsupported("WHEN NOT MATCHED BY SOURCE is not supported"))
+    val doUpdate = m.matchedActions match {
+      case Nil => false
+      case Seq(UpdateStarAction(None)) => true
+      case Seq(UpdateAction(None, assigns, _)) =>
+        identityOnly(assigns, "WHEN MATCHED UPDATE"); true
+      case _ => unsupported(
+        "matched clause must be a single unconditional UPDATE SET *")
+    }
+    val doInsert = m.notMatchedActions match {
+      case Nil => false
+      case Seq(InsertStarAction(None)) => true
+      case Seq(InsertAction(None, assigns)) =>
+        identityOnly(assigns, "WHEN NOT MATCHED INSERT"); true
+      case _ => unsupported(
+        "not-matched clause must be a single unconditional INSERT *")
+    }
+    if (!doUpdate && !doInsert)
+      unsupported("at least one of UPDATE SET * / INSERT * is required")
+    // the source must cover the target's columns so the staged delta has
+    // the table's schema (extra source columns are projected away)
+    val missing = targetOut.map(_.name).filterNot(
+      sourceOut.map(_.name).toSet)
+    if (missing.nonEmpty) unsupported(
+      s"source lacks target column(s) ${missing.mkString(", ")}")
+    SnapshotMergeCommand(path, m.sourceTable, targetOut.map(_.name),
+      keys.distinct, updateOnly = !doInsert, insertOnly = !doUpdate)
+  }
+}
+
+/** `DELETE FROM t WHERE cond` → [[Snapshots.deleteWhere]].
+  *
+  * Conditions/SET expressions are carried as [[Column]]s (opaque to
+  * TreeNode), not Expressions: they are deliberately UNRESOLVED — spoken
+  * by name so the command re-resolves them against its own fresh
+  * era-aware scan — and as product Expressions CheckAnalysis would
+  * reject them before the command ever ran. */
+case class SnapshotDeleteCommand(path: String,
+    cond: org.apache.spark.sql.Column) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    Snapshots.deleteWhere(session, path, cond)
+    Seq.empty
+  }
+}
+
+/** `UPDATE t SET … WHERE cond` → [[Snapshots.updateWhere]] (all SET
+  * right-hand sides see pre-update values, SQL semantics — the log API's
+  * own contract). */
+case class SnapshotUpdateCommand(path: String,
+    cond: org.apache.spark.sql.Column,
+    sets: Seq[(String, org.apache.spark.sql.Column)])
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    Snapshots.updateWhere(session, path, cond, sets.toMap)
+    Seq.empty
+  }
+}
+
+/** `MERGE INTO t USING s ON …` → [[Snapshots.merge]] (latest-wins
+  * upsert). `updateOnly` drops source rows with no target match (a
+  * broadcast semi-join against the live view); `insertOnly` keeps only
+  * unmatched rows (anti-join) so existing keys are never replaced. The
+  * semi/anti relation is O(source) — the target side never shuffles. */
+case class SnapshotMergeCommand(path: String, source: LogicalPlan,
+    targetCols: Seq[String], keyCols: Seq[String],
+    updateOnly: Boolean, insertOnly: Boolean) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.col
+    val src = GraftSqlBridge.ofRows(session, source)
+      .select(targetCols.map(col): _*)
+    val changes =
+      if (insertOnly || updateOnly) {
+        val live = Snapshots.readLatest(session, path).getOrElse(
+          throw new IllegalStateException(
+            s"MERGE INTO a never-committed snapshot table $path"))
+          .select(keyCols.map(col): _*).distinct()
+        src.join(live, keyCols, if (insertOnly) "left_anti" else "left_semi")
+      } else src
+    Snapshots.merge(session, path, changes, keyCols)
+    Seq.empty
+  }
+}

@@ -624,65 +624,48 @@ object StreamingQueries {
         sum(col("event_id")).as("sum_id"))
   }
 
-  /** q167 — the snapshot CHANGE FEED CONSUMED AS A STREAM (the Delta
-    * CDF-as-source shape, closing the loop with q156's CDF-as-sink): a
-    * merge history (q155's three versions) is consumed incrementally —
-    * one micro-batch per version window, each computing
-    * [[graft.lake.Snapshots.changesBetween]] for its window and
-    * appending the row-level feed to a downstream snapshot table with
-    * the q156 exactly-once discipline (one log version per consumed
-    * window; a replayed batch id below the committed frontier is a
-    * no-op). The gate aggregates the ACCUMULATED feed against the
-    * closed-form union of both windows' insert/delete images — a window
-    * consumed twice, a lost delete image, or a wrong-era prior value
-    * all shift a group.
+  /** q167 — the snapshot CHANGE FEED CONSUMED AS A STREAM, with the
+    * version windows derived FROM THE LOG ITSELF (the Delta
+    * CDF-as-source shape, closing VERDICT r11 gap 3): the streaming
+    * source is Spark's file source pointed at the log's version objects
+    * (`_log/v*.json` — published atomically, dense, zero-padded), so
+    * STREAMING OFFSETS ARE LOG VERSIONS: each discovered version object
+    * is one micro-batch whose window is (v-1, v], computed with
+    * [[graft.lake.Snapshots.changesBetween]] and appended to a
+    * downstream snapshot table under the q156 exactly-once discipline
+    * (one feed version per consumed batch — the seed version's empty
+    * window included, so the batchId↔version bijection holds — and a
+    * replayed batch id below the committed frontier is a no-op). No
+    * side-channel cursor files exist: restart/replay recovery is the
+    * file source's own checkpointed offset log over `_log`
+    * (spec-pinned), exactly how the Delta source tracks reservoir
+    * versions. The gate aggregates the ACCUMULATED feed against the
+    * closed-form union of both change windows — a window consumed
+    * twice, a lost delete image, or a wrong-era prior value all shift
+    * a group.
     *
-    * Scale shape: each batch reads O(changed files + tombstones) of its
-    * window — never a table diff — and appends O(feed) rows; this is
-    * how a downstream incremental materialization subscribes to a
-    * 100 TB table's changes without rescanning it. */
+    * Scale shape: discovery lists the KB-sized log dir (what the Delta
+    * source does each trigger), and each batch reads O(changed files +
+    * tombstones) of its window — never a table diff; this is how a
+    * downstream incremental materialization subscribes to a 100 TB
+    * table's changes without rescanning it. */
   def changeFeedStream(spark: SparkSession, dir: String): DataFrame = {
     import graft.lake.Snapshots
     val root = scratchDir("stream_q167", dir)
     delete(root)
     val table = s"$root/table"
     val feedT = s"$root/feed"
-    val src = s"$root/windows"
     val ckpt = s"$root/ckpt"
     val orders = Tables(spark, dir, "orders")
     Snapshots.append(spark, table, orders.filter(col("o_orderkey") % 2 === 0))
     val batch1 = orders.filter(col("o_orderkey") % 4 === 0)
       .withColumn("o_totalprice", col("o_totalprice") + 1.0)
       .unionAll(orders.filter(col("o_orderkey") % 4 === 1))
-    val v2 = Snapshots.merge(spark, table, batch1, Seq("o_orderkey"))
+    Snapshots.merge(spark, table, batch1, Seq("o_orderkey"))
     val batch2 = orders.filter(col("o_orderkey") % 8 <= 1)
       .withColumn("o_totalprice", col("o_totalprice") + 2.0)
-    val v3 = Snapshots.merge(spark, table, batch2, Seq("o_orderkey"))
-    // one cursor row per version window, one file each → one micro-batch
-    // per window under maxFilesPerTrigger=1 (the CDF source's version
-    // ranges; a production source derives these from the log itself)
-    import spark.implicits._
-    Seq((1, v2)).toDF("v_from", "v_to").coalesce(1)
-      .write.mode("append").parquet(src)
-    Seq((v2, v3)).toDF("v_from", "v_to").coalesce(1)
-      .write.mode("append").parquet(src)
-    val schema = spark.read.parquet(src).schema
-    val stream = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(src)
-    val writeBatch: (Dataset[Row], Long) => Unit = (batch, id) =>
-      if (graft.lake.Snapshots.latestVersion(spark, feedT).getOrElse(0) < id + 1) {
-        val feeds = batch.collect().toSeq.map(r =>
-          Snapshots.changesBetween(spark, table, r.getInt(0), r.getInt(1)).get)
-        feeds.reduceOption(_.unionByName(_))
-          .foreach(feed => Snapshots.append(spark, feedT, feed))
-      }
-    val q = stream.writeStream
-      .foreachBatch(writeBatch)
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    try q.awaitTermination() finally q.stop()
+    Snapshots.merge(spark, table, batch2, Seq("o_orderkey"))
+    graft.streaming.ChangeFeedSource.runOnce(spark, table, feedT, ckpt)
     Snapshots.readLatest(spark, feedT).get
       .groupBy(col("_change_type"), col("o_orderpriority"))
       .agg(count(lit(1)).as("n_rows"),

@@ -78,27 +78,119 @@ class SnapshotCatalogSpec extends SparkTestBase {
     org.apache.commons.io.FileUtils.deleteQuietly(new File(root))
   }
 
-  test("merge-on-read and renamed snapshots refuse SQL reads loudly") {
+  test("merge-on-read snapshots serve SQL reads: tombstones never resurrect") {
     val (cat, root) = freshCatalog("mor")
     val t = s"$root/t"
     Snapshots.append(spark, t, orders.limit(200))
     Snapshots.deleteWhere(spark, t, col("o_totalprice") < 50000)
-    val e = intercept[Exception](spark.sql(s"SELECT * FROM $cat.t").collect())
-    assert(e.getMessage.contains("positional deletes") ||
-      Option(e.getCause).exists(_.getMessage.contains("positional deletes")),
-      e.getMessage)
-    // a rename-carrying snapshot refuses too (era-time names)
-    val t2 = s"$root/t2"
-    Snapshots.append(spark, t2, orders.limit(100))
-    Snapshots.renameColumn(spark, t2, "o_orderpriority", "o_prio")
-    val e2 = intercept[Exception](spark.sql(s"SELECT * FROM $cat.t2").collect())
-    assert(e2.getMessage.contains("renames") ||
-      Option(e2.getCause).exists(_.getMessage.contains("renames")),
-      e2.getMessage)
-    // but an OPTIMIZEd (rewritten) MoR table serves fine again
+    // SQL over the MoR version == the era-aware DataFrame read, row for row
+    val sql = spark.sql(s"SELECT * FROM $cat.t")
+    val api = Snapshots.readLatest(spark, t).get
+    assert(sql.exceptAll(api).isEmpty && api.exceptAll(sql).isEmpty)
+    // the pre-delete version still serves as a plain V2 parquet scan
+    assert(spark.sql(s"SELECT * FROM $cat.t VERSION AS OF 1").count() == 200)
+    // and VERSION AS OF the MoR version routes through the rewrite too
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t VERSION AS OF 2")
+      .head().getLong(0) == api.count())
+    // an OPTIMIZEd (rewritten) table keeps serving
     Snapshots.optimize(spark, t)
     val live = spark.sql(s"SELECT count(*) FROM $cat.t").head().getLong(0)
     assert(live == Snapshots.readLatest(spark, t).get.count())
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(root))
+  }
+
+  test("renamed and widened snapshots serve SQL under current names/types") {
+    val (cat, root) = freshCatalog("ren")
+    val t = s"$root/t"
+    Snapshots.append(spark, t, orders.limit(100))
+    Snapshots.renameColumn(spark, t, "o_orderpriority", "o_prio")
+    val sql = spark.sql(s"SELECT o_prio, count(*) AS n FROM $cat.t GROUP BY 1")
+    assert(sql.columns.contains("o_prio"))
+    assert(sql.agg(sum(col("n"))).head().getLong(0) == 100)
+    // time travel below the rename keeps the era's own name
+    assert(spark.sql(s"SELECT * FROM $cat.t VERSION AS OF 1")
+      .columns.contains("o_orderpriority"))
+    // int→long widened eras: SQL serves the widened union type
+    val t2 = s"$root/t2"
+    Snapshots.append(spark, t2, orders.limit(50)
+      .withColumn("units", (col("o_orderkey") % 100).cast("int")))
+    Snapshots.append(spark, t2, orders.limit(50)
+      .withColumn("units", col("o_orderkey").cast("long") + 10000000000L))
+    val w = spark.sql(s"SELECT sum(units) AS s FROM $cat.t2")
+    assert(w.schema("s").dataType.typeName == "long")
+    assert(w.head().getLong(0) ==
+      Snapshots.readAtWidened(spark, t2, 2).get
+        .agg(sum(col("units"))).head().getLong(0))
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(root))
+  }
+
+  test("MoR rewrite keeps column pruning: scans read only referenced columns") {
+    val (cat, root) = freshCatalog("morprune")
+    val t = s"$root/t"
+    Snapshots.append(spark, t, orders.limit(200))
+    Snapshots.deleteWhere(spark, t, col("o_totalprice") < 50000)
+    val df = spark.sql(s"SELECT o_orderkey FROM $cat.t WHERE o_orderkey = 5")
+    val plan = df.queryExecution.executedPlan.toString
+    // the data-side scan must NOT read the full orders schema — just the
+    // projected key plus what the tombstone anti-join needs (row ordinals
+    // come from _metadata, not data columns)
+    assert(!plan.contains("o_orderpriority"), plan.take(3000))
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("EqualTo(o_orderkey,5)"), plan.take(3000))
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(root))
+  }
+
+  test("SQL DML routes to the log: DELETE / UPDATE / MERGE INTO") {
+    val (cat, root) = freshCatalog("dml")
+    val t = s"$root/t"
+    Snapshots.append(spark, t, orders.limit(200))
+    // DELETE
+    spark.sql(s"DELETE FROM $cat.t WHERE o_totalprice < 50000")
+    val wantDel = orders.limit(200).filter(col("o_totalprice") >= 50000)
+    assert(Snapshots.latestVersion(spark, t).contains(2))
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t").head().getLong(0) ==
+      wantDel.count())
+    // UPDATE (multi-SET, RHS sees pre-update values)
+    spark.sql(s"UPDATE $cat.t SET o_totalprice = o_totalprice + 100000, " +
+      s"o_orderpriority = '9-SQL' WHERE o_totalprice >= 200000")
+    val updated = spark.sql(
+      s"SELECT count(*) FROM $cat.t WHERE o_orderpriority = '9-SQL'")
+      .head().getLong(0)
+    assert(updated ==
+      wantDel.filter(col("o_totalprice") >= 200000).count())
+    // MERGE INTO (upsert): halve prices for even keys + insert fresh rows
+    orders.limit(300).withColumn("o_totalprice", col("o_totalprice") * 2)
+      .createOrReplaceTempView("dml_src")
+    spark.sql(s"""MERGE INTO $cat.t AS tgt USING dml_src AS src
+      ON tgt.o_orderkey = src.o_orderkey
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    val after = spark.sql(s"SELECT * FROM $cat.t")
+    // every source key now carries the doubled price (latest wins)...
+    val src = orders.limit(300)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    assert(after.join(src.select("o_orderkey"), Seq("o_orderkey"), "left_semi")
+      .exceptAll(src).isEmpty)
+    // ...and rows outside the source kept their updated state
+    assert(after.count() == 300 +
+      spark.sql(s"SELECT count(*) FROM $cat.t VERSION AS OF 3").head().getLong(0) -
+      spark.sql(s"""SELECT count(*) FROM $cat.t VERSION AS OF 3 WHERE
+        o_orderkey IN (SELECT o_orderkey FROM dml_src)""").head().getLong(0))
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(root))
+  }
+
+  test("unsupported MERGE shapes are refused with the reason, not approximated") {
+    val (cat, root) = freshCatalog("badmerge")
+    val t = s"$root/t"
+    Snapshots.append(spark, t, orders.limit(50))
+    orders.limit(10).createOrReplaceTempView("badmerge_src")
+    val e = intercept[Exception](spark.sql(
+      s"""MERGE INTO $cat.t AS tgt USING badmerge_src AS src
+        ON tgt.o_orderkey = src.o_orderkey
+        WHEN MATCHED THEN UPDATE SET o_totalprice = src.o_totalprice * 2"""))
+    def all(x: Throwable): String =
+      if (x == null) "" else x.getMessage + all(x.getCause)
+    assert(all(e).contains("latest-wins upsert"), all(e))
     org.apache.commons.io.FileUtils.deleteQuietly(new File(root))
   }
 

@@ -426,6 +426,96 @@ class SnapshotsSpec extends SparkTestBase {
     org.apache.commons.io.FileUtils.deleteQuietly(new File(t).getParentFile)
   }
 
+  test("large tombstone batches shard into multiple delete files; reads unchanged") {
+    val t = fresh("shard")
+    // 8 data files so tombstones hash-cluster across several targets
+    Snapshots.append(spark, t,
+      orders.filter(col("o_orderkey") % 2 === 0).repartition(8))
+    val before = Snapshots.readLatest(spark, t).get.count()
+    // The delete write fans out under AQE by batch VOLUME (advisory
+    // partition size): a production-scale tombstone batch splits into
+    // ~64MB writer tasks. Shrink the advisory size so this test-sized
+    // batch exercises the same multi-file path.
+    val keys = Seq(
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize")
+    val saved = keys.map(k => k -> spark.conf.get(k, "64MB"))
+    keys.foreach(spark.conf.set(_, "1KB"))
+    val v2 =
+      try Snapshots.deleteWhere(spark, t, col("o_totalprice") < 150000)
+      finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+    val s2 = Snapshots.snapshot(spark, t, v2).get
+    assert(s2.deletes.size > 1,
+      s"expected a sharded multi-file delete commit, got ${s2.deletes}")
+    // each delete file covers a DISJOINT set of target data files
+    // (hash-clustered on `file`) — the per-task positional-delete shape
+    val covered = s2.deletes.map(d =>
+      spark.read.parquet(s"$t/$d").select("file").distinct()
+        .collect().map(_.getString(0)).toSet)
+    covered.combinations(2).foreach { case Seq(a, b) =>
+      assert(a.intersect(b).isEmpty, "delete files overlap data files")
+    }
+    val want = orders.filter(col("o_orderkey") % 2 === 0 &&
+      col("o_totalprice") >= 150000).count()
+    assert(Snapshots.readAt(spark, t, v2).get.count() == want)
+    assert(Snapshots.readAt(spark, t, 1).get.count() == before)
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(t).getParentFile)
+  }
+
+  test("column drop: metadata-only, time travel below, re-add is a NEW column") {
+    val t = fresh("drop")
+    Snapshots.append(spark, t, orders.limit(100)
+      .withColumn("units", (col("o_orderkey") % 100).cast("int")))
+    val filesBefore = Snapshots.snapshot(spark, t, 1).get.files
+    val v2 = Snapshots.dropColumn(spark, t, "units")
+    // metadata-only: same files, same bytes
+    assert(Snapshots.snapshot(spark, t, v2).get.files == filesBefore)
+    // the drop version no longer surfaces the column at all
+    assert(!Snapshots.readAt(spark, t, v2).get.columns.contains("units"))
+    // time travel below the drop still shows it
+    assert(Snapshots.readAt(spark, t, 1).get.columns.contains("units"))
+    // re-add as a NEW column with a DIFFERENT (wider) type
+    Snapshots.append(spark, t, orders.limit(100)
+      .withColumn("units", col("o_orderkey") % 7))
+    val v3 = Snapshots.readAt(spark, t, 3).get
+    assert(v3.schema("units").dataType.typeName == "long")
+    // pre-drop rows read NULL — the dropped era's bytes never resurface
+    assert(v3.filter(col("units").isNotNull).count() == 100)
+    assert(v3.count() == 200)
+    // dropping a non-existent (already dropped under this name) era only:
+    // the re-added column CAN be dropped again
+    val v4 = Snapshots.dropColumn(spark, t, "units")
+    assert(!Snapshots.readAt(spark, t, v4).get.columns.contains("units"))
+    // restore below both drops resurrects the original column
+    val v5 = Snapshots.restore(spark, t, 1)
+    val restored = Snapshots.readAt(spark, t, v5).get
+    assert(restored.schema("units").dataType.typeName == "integer")
+    assert(restored.filter(col("units").isNotNull).count() == 100)
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(t).getParentFile)
+  }
+
+  test("drop composes with renames: later renames never resurrect dead eras") {
+    val t = fresh("dropren")
+    Snapshots.append(spark, t, orders.limit(60)
+      .withColumn("u", (col("o_orderkey") % 10).cast("int")))
+    // rename u→b, drop b, re-add b, rename b→c: the dropped era spoke
+    // 'b' at chain position 1; the final 'c' must resolve ONLY to the
+    // re-added era
+    Snapshots.renameColumn(spark, t, "u", "b")
+    Snapshots.dropColumn(spark, t, "b")
+    Snapshots.append(spark, t, orders.limit(40)
+      .withColumn("b", lit(5).cast("int")))
+    Snapshots.renameColumn(spark, t, "b", "c")
+    val live = Snapshots.readLatest(spark, t).get
+    assert(live.columns.contains("c") && !live.columns.contains("b"))
+    assert(live.filter(col("c").isNotNull).count() == 40)
+    assert(live.agg(sum(col("c"))).head().getLong(0) == 200)
+    // predicate DML through the evolved table reaches the right rows
+    val vDel = Snapshots.deleteWhere(spark, t, col("c") === 5)
+    assert(Snapshots.readAt(spark, t, vDel).get.count() == 60)
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(t).getParentFile)
+  }
+
   test("latest-version hint: stale and missing hints heal, no wrong answers") {
     val t = fresh("hint")
     Snapshots.append(spark, t, orders.filter(col("o_orderkey") % 3 === 0))
