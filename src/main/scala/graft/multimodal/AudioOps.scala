@@ -113,6 +113,55 @@ object AudioOps {
       sumSq: Long, // Σ v² over all samples in the window — exact
       nNeg: Long) // negative-sample count (cheap polarity/activity proxy)
 
+  /** 6-bit quantized cosine table over 1/16-turn steps:
+    * round(cos(2πi/16)·64). Hardcoded (not computed) so BOTH engines use
+    * the identical integers with zero trig/rounding boundary risk — the
+    * fixed-point-twiddle discipline of integer DSP. Q=64 also bounds the
+    * spectral sums so re²+im² stays exact in a 64-bit long:
+    * |re| ≤ 16·32768·64 = 2²⁵, energy < 2⁵¹. */
+  val QCos16: Array[Int] = Array(
+    64, 59, 45, 24, 0, -24, -45, -59, -64, -59, -45, -24, 0, 24, 45, 59)
+
+  @inline private def qcos(i: Int): Int = QCos16(((i % 16) + 16) % 16)
+  // sin(x) = cos(x − π/2): four table steps back
+  @inline private def qsin(i: Int): Int = qcos(i - 4)
+
+  final case class SpectralBin(
+      window_id: Int,
+      bin: Int,
+      reQ: Long, // Σ v·qcos(2π·bin·n/16) — exact integer
+      imQ: Long) // −Σ v·qsin(2π·bin·n/16)
+
+  /** Integer-DFT energy bins over the [[windowedEnergy]] windows — the
+    * MFCC-skeleton step after raw energy: per non-overlapping
+    * `windowFrames`-frame window, the DFT of the channel-0 samples at
+    * bins 1..`nBins`, computed with the EXACT fixed-point [[QCos16]]
+    * twiddles (the Goertzel/integer-DFT form an embedded DSP runs —
+    * Goertzel's recurrence and the direct product-sum are algebraically
+    * the same sums; the direct form is what a column engine replays).
+    * Every output is a pure integer product-sum, so the oracle
+    * hash-compares the whole spectral tensor bitwise. */
+  def spectralBins(a: PcmAudio, channels: Int, windowFrames: Int,
+      nBins: Int): Seq[SpectralBin] = {
+    val frames = a.samples.length / channels
+    (0 until frames by windowFrames).zipWithIndex.flatMap { case (f0, w) =>
+      val f1 = math.min(f0 + windowFrames, frames)
+      (1 to nBins).map { k =>
+        var re = 0L
+        var im = 0L
+        var f = f0
+        while (f < f1) {
+          val n = f - f0
+          val v = a.samples(f * channels).toLong // channel 0 (mono view)
+          re += v * qcos(k * n)
+          im -= v * qsin(k * n)
+          f += 1
+        }
+        SpectralBin(w, k, re, im)
+      }
+    }
+  }
+
   /** Non-overlapping `windowFrames`-frame energy windows — the integer
     * skeleton of RMS/VAD feature extraction: per window, the exact sum of
     * squared samples and the negative-sample count. RMS/loudness are a

@@ -819,6 +819,74 @@ object MultimodalQueries {
       CAST(SUM(CASE WHEN v < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
     FROM s GROUP BY doc_id, window_id"""
 
+  /** q195 — integer-DFT SPECTRAL energy bins over the q93 windows
+    * ([[graft.multimodal.AudioOps.spectralBins]]), the MFCC-skeleton
+    * step after raw energy: per 16-frame window, the channel-0 DFT at
+    * bins 1..4 using the hardcoded 6-bit fixed-point twiddle table
+    * (round(cos·64) — the integer form an embedded Goertzel runs;
+    * hardcoding removes ALL trig/rounding boundary risk between
+    * engines). re/im/energy are pure integer product-sums — re²+im²
+    * stays inside a long by the Q=64 bound — so the gate hash-compares
+    * the whole spectral tensor bitwise against the oracle's replay from
+    * the closed-form sample generator. A real MFCC pipeline follows
+    * with mel pooling + log + DCT (floating point by nature); the
+    * integer bins are the part a hash gate can pin exactly. */
+  private val SpectralBins = 4
+
+  final case class SpectralRow(
+      doc_id: Long,
+      window_id: Long,
+      bin: Long,
+      re_q: Long,
+      im_q: Long,
+      energy_q: Long)
+
+  def pcmSpectral(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.util.Par.ensure(Tables(spark, dir, "documents"))
+      .select("doc_id").as[Long]
+      .mapPartitions { ids =>
+        ids.flatMap { id =>
+          val ch = MediaSynth.pcmChannels(id)
+          val a = AudioHeaders.pcm16(MediaSynth.pcmWav(id)).get
+          graft.multimodal.AudioOps
+            .spectralBins(a, ch, EnergyWindowFrames, SpectralBins)
+            .map(b => SpectralRow(id, b.window_id.toLong, b.bin.toLong,
+              b.reQ, b.imQ, b.reQ * b.reQ + b.imQ * b.imQ))
+        }
+      }
+      .toDF()
+  }
+
+  private val pcmSpectralOracle: String = {
+    val qc = graft.multimodal.AudioOps.QCos16.zipWithIndex
+      .map { case (c, i) => s"($i, $c)" }.mkString(", ")
+    s"""
+    WITH params AS (
+      SELECT doc_id, (doc_id % 2) + 1 AS ch, (doc_id % 50) + 10 AS frames
+      FROM documents),
+    qc(i, c) AS (VALUES $qc),
+    s AS (
+      SELECT p.doc_id, f.f // $EnergyWindowFrames AS window_id,
+        f.f % $EnergyWindowFrames AS n,
+        ((2293 * (f.f * p.ch) + 7919 * p.doc_id) % 65536) - 32768 AS v
+      FROM params p, range(60) f(f)
+      WHERE f.f < p.frames),
+    b AS (SELECT CAST(unnest(range(1, ${SpectralBins + 1})) AS BIGINT) AS bin),
+    scored AS (
+      SELECT s.doc_id, s.window_id, b.bin,
+        SUM(s.v * cc.c) AS re_q,
+        -SUM(s.v * cs.c) AS im_q
+      FROM s CROSS JOIN b
+      JOIN qc cc ON cc.i = (b.bin * s.n) % 16
+      JOIN qc cs ON cs.i = ((b.bin * s.n - 4) % 16 + 16) % 16
+      GROUP BY 1, 2, 3)
+    SELECT doc_id, CAST(window_id AS BIGINT) AS window_id, bin,
+      CAST(re_q AS BIGINT) AS re_q, CAST(im_q AS BIGINT) AS im_q,
+      CAST(re_q * re_q + im_q * im_q AS BIGINT) AS energy_q
+    FROM scored"""
+  }
+
   /** q94 — REAL video frame extraction under the gate: each doc maps to a
     * complete ISO-BMFF file with an uncompressed RGB track
     * ([[graft.multimodal.MediaSynth.rawVideoMp4]]); Spark must resolve
@@ -1660,6 +1728,7 @@ object MultimodalQueries {
     QueryDef("q91_pcm_decode", pcmDecode, Some(pcmOracle)),
     QueryDef("q92_pcm_decimate", pcmDecimate, Some(pcmDecimateOracle)),
     QueryDef("q93_pcm_energy", pcmEnergy, Some(pcmEnergyOracle)),
+    QueryDef("q195_pcm_spectral", pcmSpectral, Some(pcmSpectralOracle)),
     QueryDef("q94_video_frames", videoFrames, Some(videoFramesOracle)),
     QueryDef("q95_png_gray_decode", pngGrayDecode, Some(pngGrayOracle)),
     QueryDef("q96_gif_decode", gifDecode, Some(gifOracle)),

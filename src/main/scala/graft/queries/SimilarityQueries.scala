@@ -490,6 +490,40 @@ object SimilarityQueries {
     beam = NswBeam, hops = NswHops, numBands = NumBands, dim = Dim,
     queryPred = "e.vec_id < 20")
 
+  private val HnswUpperBeam = 4
+  private val HnswUpperHops = 2
+
+  /** q193 — multi-layer HNSW ([[Similarity.hnswBuildLayers]] /
+    * [[Similarity.hnswSearch]]): the q166 NSW base layer stacked into a
+    * real hierarchy. Layer membership is a deterministic hash-geometric
+    * rule (P(level ≥ l) = 4^-l, integer md5 divisibility — no FP
+    * boundary), each upper layer is the same banded-bucket graph build
+    * over its exponentially sparser population with the plane ladder
+    * re-scaled to that population, and search greedily DESCENDS: narrow
+    * beams through the upper layers route the entry toward the query's
+    * neighborhood before the base layer runs the full q166 beam — the
+    * log-routing that lets graph ANN start near the answer instead of
+    * at a fixed global entry. The oracle replays levels, every layer's
+    * build, and every descent hop bitwise; recall ≥ the single-layer
+    * search is spec-pinned. */
+  private val hnswLayerCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[DataFrame]]
+
+  def hnswTopKQ(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val layers = hnswLayerCache.getOrElseUpdate(dir,
+      Similarity.hnswBuildLayers(emb, "vec_id", "embedding",
+        m = NswM, numBands = NumBands, dim = Dim))
+    e6(Similarity.hnswSearch(layers, emb, queriesOf(emb), "vec_id",
+      "embedding", K, beam = NswBeam, hops = NswHops,
+      upperBeam = HnswUpperBeam, upperHops = HnswUpperHops))
+  }
+
+  private val hnswOracle = Similarity.sqlHnswTopK(k = K, m = NswM,
+    beam = NswBeam, hops = NswHops, upperBeam = HnswUpperBeam,
+    upperHops = HnswUpperHops, numBands = NumBands, dim = Dim,
+    queryPred = "e.vec_id < 20")
+
   /** q170 — metadata-FILTERED ANN (hybrid search, the production
     * "vector search WHERE label = …" shape): queries search only the
     * corpus subset passing a relational predicate, through the SAME
@@ -520,6 +554,7 @@ object SimilarityQueries {
     QueryDef("q170_filtered_ivf_topk", filteredIvfTopK,
       Some(filteredIvfOracle)),
     QueryDef("q166_nsw_graph_topk", nswTopKQ, Some(nswOracle)),
+    QueryDef("q193_hnsw_topk", hnswTopKQ, Some(hnswOracle)),
     QueryDef("q162_pq_kmeans_topk", pqKmeansTopK, Some(pqKmeansOracle)),
     QueryDef("q159_ivf_pq_topk", ivfPqTopKQ, Some(ivfPqOracle)),
     QueryDef("q158_pq_topk", pqTopK, Some(pqOracle)),

@@ -819,6 +819,120 @@ object TextQueries {
     (words, out)
   }
 
+  /** Vocab budget for q194 and the unroll cap its static oracle carries.
+    * The corpus' base character vocabulary is ~24, so budget 36 trains a
+    * data-dependent ~17 merges — genuinely "until budget", not a fixed
+    * count (a merge can retire a constituent symbol, so vocab does NOT
+    * grow by exactly 1 per step: the measured trajectory stalls at 33
+    * for three straight merges). The cap bounds the oracle's unrolled
+    * CTE chain; training stops at whichever comes first. */
+  val BpeVocabBudget = 36
+  val BpeBudgetMaxIters = 24
+
+  /** q194 — BPE training TO A VOCAB BUDGET (the production trainer
+    * contract: "give me a 32k vocabulary", not "run 3 merges"):
+    * generalizes q145's loop to iterate until the encoded corpus'
+    * distinct-symbol count reaches [[BpeVocabBudget]]. Same scale shape —
+    * the corpus is tokenized ONCE into the word-frequency relation and
+    * each iteration is O(vocab): weighted pair counts, deterministic
+    * argmax, greedy non-overlapping merge — with the iteration now
+    * driver-coordinated (one small agg action per step reads the new
+    * vocab size, exactly how HF `tokenizers` coordinates rounds) and the
+    * working relation localCheckpointed so lineage stays O(1) deep. Each
+    * emitted row attests its merge end-to-end: symbols_after strictly
+    * decreases by the applied-occurrence count and vocab_after tracks
+    * the ENCODED corpus (applying the learned table is what produces
+    * it), so the hash gate pins monotone compression and the final
+    * vocab size in one artifact. The oracle unrolls
+    * [[BpeBudgetMaxIters]] stages and selects the budget-reaching
+    * prefix, replaying the dynamic stopping rule statically. */
+  def bpeTrainToBudget(spark: SparkSession, dir: String): DataFrame = {
+    val seqCol = trim(regexp_replace(col("tok"), "(.)", "$1 "))
+    var words = Tables(spark, dir, "documents")
+      .select(explode(tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("freq"))
+      .select(seqCol.as("seq"), col("freq"))
+      .localCheckpoint()
+    def vocabOf(w: DataFrame): Long = w
+      .select(explode(split(col("seq"), " ")).as("s"))
+      .agg(countDistinct(col("s"))).head().getLong(0)
+    var out: DataFrame = null
+    var i = 0
+    var vocabNow = vocabOf(words)
+    while (vocabNow < BpeVocabBudget && i < BpeBudgetMaxIters) {
+      i += 1
+      val t = split(col("seq"), " ")
+      val pairs = words
+        .select(col("freq"), explode(zip_with(
+          slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+          (x, y) => concat(x, lit(" "), y))).as("pair"))
+        .groupBy("pair").agg(sum(col("freq")).as("cnt"))
+      val top = pairs.orderBy(desc("cnt"), asc("pair")).limit(1)
+        .select(split(col("pair"), " ").getItem(0).as("a"),
+          split(col("pair"), " ").getItem(1).as("b"), col("cnt"))
+      words = words.crossJoin(broadcast(top))
+        .select(expr("""trim(replace(replace(
+            ' ' || replace(seq, ' ', '  ') || ' ',
+            ' ' || a || '  ' || b || ' ',
+            ' ' || a || b || ' '), '  ', ' '))""").as("seq"), col("freq"))
+        .localCheckpoint()
+      vocabNow = vocabOf(words)
+      val stats = words.agg(
+        sum(col("freq") * size(split(col("seq"), " "))).as("symbols_after"))
+      val row = top.crossJoin(broadcast(stats))
+        .select(lit(i).as("iter"), col("a"), col("b"), col("cnt"),
+          col("symbols_after"), lit(vocabNow).as("vocab_after"))
+      out = if (out == null) row else out.unionByName(row)
+    }
+    out
+  }
+
+  /** Oracle for q194: [[bpeCtes]]-shaped stages unrolled to the cap,
+    * each with its vocab count; the emitted prefix is every iteration up
+    * to and including the first whose vocab reaches the budget (or the
+    * cap when none does) — the static replay of the dynamic stop. */
+  private def bpeBudgetOracle: String = {
+    val stages = (1 to BpeBudgetMaxIters).map { i =>
+      val prev = s"w${i - 1}"
+      s"""p$i AS (
+        SELECT l[i] || ' ' || l[i+1] AS pair, freq
+        FROM (SELECT string_split(seq, ' ') AS l, freq,
+                unnest(range(1, len(string_split(seq, ' ')))) AS i
+              FROM $prev)),
+      t$i AS MATERIALIZED (
+        SELECT string_split(pair, ' ')[1] AS a,
+          string_split(pair, ' ')[2] AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+        FROM p$i GROUP BY pair ORDER BY cnt DESC, pair LIMIT 1),
+      w$i AS MATERIALIZED (
+        SELECT trim(replace(replace(
+            ' ' || replace(seq, ' ', '  ') || ' ',
+            ' ' || a || '  ' || b || ' ',
+            ' ' || a || b || ' '), '  ', ' ')) AS seq, freq
+        FROM $prev, t$i),
+      s$i AS (
+        -- over the exploded symbols, each contributes its word's freq:
+        -- SUM(freq) IS the weighted symbol total
+        SELECT CAST(SUM(freq) AS BIGINT) AS symbols_after,
+          CAST(COUNT(DISTINCT sym) AS BIGINT) AS vocab_after
+        FROM (SELECT freq, unnest(string_split(seq, ' ')) AS sym FROM w$i))"""
+    }.mkString(",\n      ")
+    val sumRows = (1 to BpeBudgetMaxIters).map { i =>
+      s"SELECT CAST($i AS INTEGER) AS iter, a, b, cnt, symbols_after, vocab_after FROM t$i, s$i"
+    }.mkString("\n      UNION ALL ")
+    s"""
+      WITH w0 AS MATERIALIZED (
+        SELECT trim(regexp_replace(tok, '(.)', '\\1 ', 'g')) AS seq,
+          COUNT(*) AS freq
+        FROM (SELECT unnest(${sqlTokens("text")}) AS tok FROM documents)
+        GROUP BY 1),
+      $stages,
+      sums AS ($sumRows),
+      stop AS (SELECT COALESCE(MIN(iter), $BpeBudgetMaxIters) AS s
+        FROM sums WHERE vocab_after >= $BpeVocabBudget)
+      SELECT iter, a, b, cnt, symbols_after, vocab_after
+      FROM sums, stop WHERE iter <= stop.s"""
+  }
+
   /** q146 — BPE ENCODING result: the subword vocabulary produced by
     * applying q145's learned merge table to the whole corpus, i.e. what a
     * tokenizer's `encode` emits in aggregate. Top-50 symbols by weighted
@@ -889,6 +1003,8 @@ object TextQueries {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q145_bpe_merges", bpeMerges, Some(bpeOracle)),
     QueryDef("q146_bpe_vocab", bpeVocab, Some(bpeVocabOracle)),
+    QueryDef("q194_bpe_vocab_budget", bpeTrainToBudget(_, _),
+      Some(bpeBudgetOracle)),
     QueryDef("q55_tfidf_top_terms", tfidfTopTerms(_, _), Some(s"""
       WITH tf AS (
         SELECT doc_id, tok AS term, COUNT(*) AS tf

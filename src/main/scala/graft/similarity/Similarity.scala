@@ -993,6 +993,202 @@ object Similarity {
         col("cos").as("cos_sim")), k)
   }
 
+  // ------------------------------------------- hierarchical graph (HNSW)
+
+  /** P(level ≥ l) = HnswLevelBase^-l — the standard HNSW geometric layer
+    * distribution (mL = 1/ln 4), realized as an INTEGER divisibility
+    * rule over an md5-derived 60-bit hash instead of -ln(U)·mL: both
+    * engines derive bitwise-identical levels with zero FP-boundary risk
+    * (the q148 fingerprint discipline). */
+  val HnswLevelBase = 4L
+
+  /** Layers above the base. Fixed rather than log(n)-scaled so the
+    * oracle's unrolled CTE chain is one static string at every scale
+    * factor; at 4^-l occupancy two upper layers serve corpora to ~10⁶
+    * nodes, and a production build would grow this with log₄(n) (each
+    * added layer is one more CTE block of the same shape). */
+  val HnswMaxLevel = 2
+
+  /** Deterministic hash-geometric layer of a node: the largest l with
+    * hash(id) ≡ 0 (mod base^l), capped at [[HnswMaxLevel]]. */
+  def hnswLevel(id: Column): Column = {
+    val h = conv(substring(md5(id.cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    when(h % (HnswLevelBase * HnswLevelBase) === 0, 2)
+      .when(h % HnswLevelBase === 0, 1)
+      .otherwise(0)
+  }
+
+  /** Multi-layer HNSW index BUILD: layer l's graph is the [[nswBuildEdges]]
+    * construction over the nodes with level ≥ l — same banded-LSH
+    * candidate generation, same per-node top-m, same symmetrization,
+    * with the plane ladder re-scaled to EACH layer's population (upper
+    * layers are exponentially sparser, so their bucket spaces shrink and
+    * candidate work stays O(layer · cap · bands)). Returns base-to-top
+    * edge lists; every layer is deterministic and oracle-replayed. */
+  def hnswBuildLayers(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int = 8, numBands: Int = 4, dim: Int = 64): Seq[DataFrame] =
+    (0 to HnswMaxLevel).map { l =>
+      val sub =
+        if (l == 0) corpus
+        else corpus.filter(hnswLevel(col(idCol)) >= l)
+      nswBuildEdges(sub, idCol, vecCol, m, numBands, dim)
+    }
+
+  /** HNSW SEARCH — greedy descent from the top layer: the entry point is
+    * the minimum-id top-layer node (falling back to the global minimum
+    * if the top layer is unpopulated at tiny corpora); each upper layer
+    * runs a NARROW beam (`upperBeam`, `upperHops`) over its own sparse
+    * edge list to carry the beam toward the query's neighborhood, and
+    * the base layer finishes with the full q166 beam search seeded from
+    * the descent instead of a global entry. Everything scored anywhere
+    * in the descent participates in the final top-k (scores are exact
+    * cosines — keeping them only helps recall). Per hop the frontier
+    * joins the layer's edge relation against a BROADCAST (query × beam)
+    * set — the corpus never shuffles, upper layers touch exponentially
+    * fewer edges, and the base-layer cost is exactly q166's. Recall ≥
+    * the single-layer search is spec-pinned. */
+  def hnswSearch(layers: Seq[DataFrame], corpus: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      beam: Int = 16, hops: Int = 4, upperBeam: Int = 4,
+      upperHops: Int = 2): DataFrame = {
+    val top = layers.size - 1
+    val entryId = corpus.filter(hnswLevel(col(idCol)) >= top)
+      .agg(min(col(idCol))).head().get(0) match {
+        case null => corpus.agg(min(col(idCol))).head().getLong(0)
+        case v: Long => v
+      }
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
+    val vecs = corpus.select(col(idCol).as("node"), col(vecCol).as("_nv"))
+    def score(nodes: DataFrame): DataFrame =
+      vecs.join(broadcast(nodes), Seq("node"))
+        .join(broadcast(q), Seq("query_id"))
+        .select(col("query_id"), col("node"),
+          cosine(col("_qv"), col("_nv")).as("cos"))
+    var seen = score(q.select(col("query_id"), lit(entryId).as("node")))
+    var beamDf = seen
+    def expand(edges: DataFrame, nHops: Int, width: Int): Unit =
+      for (_ <- 1 to nHops) {
+        val frontier = edges.join(broadcast(beamDf
+            .select(col("query_id"), col("node").as("src"))), Seq("src"))
+          .select(col("query_id"), col("dst").as("node")).distinct()
+        seen = seen.unionByName(score(frontier)).distinct().localCheckpoint()
+        beamDf = topK(seen.select(col("query_id"),
+            col("node").as("neighbor_id"), col("cos").as("cos_sim")), width)
+          .select(col("query_id"), col("neighbor_id").as("node"),
+            col("cos_sim").as("cos"))
+      }
+    for (l <- top to 1 by -1) expand(layers(l), upperHops, upperBeam)
+    expand(layers(0), hops, beam)
+    topK(seen.filter(col("node") =!= col("query_id"))
+      .select(col("query_id"), col("node").as("neighbor_id"),
+        col("cos").as("cos_sim")), k)
+  }
+
+  /** [[sqlBandSigCtes]] generalized to a LAYER: same md5 planes (shared
+    * `planes` CTE), ladder and signatures computed over the layer's own
+    * node subset, CTE names suffixed. */
+  private def sqlLayerSigCtes(sfx: String, lvlMin: Int, dim: Int,
+      targetBucketCap: Long, minPlanes: Int, maxPlanes: Int): String =
+    s"""emb$sfx AS (SELECT e.vec_id, e.v FROM emb e
+        JOIN lvl ON lvl.vec_id = e.vec_id AND lvl.l >= $lvlMin),
+      n$sfx AS (SELECT count(*) AS c FROM emb$sfx),
+      params$sfx AS (SELECT COALESCE(MIN(js.j), $maxPlanes) AS r
+        FROM (SELECT CAST(unnest(range($minPlanes, ${maxPlanes + 1})) AS INT) AS j) js, n$sfx
+        WHERE (CAST($targetBucketCap AS BIGINT) << js.j) >= n$sfx.c),
+      sigs$sfx AS (
+        SELECT e.vec_id, p.band,
+          SUM(CASE WHEN list_dot_product(e.v, p.p) > 0
+                   THEN (CAST(1 AS BIGINT) << p.j) ELSE CAST(0 AS BIGINT) END) AS sig
+        FROM emb$sfx e CROSS JOIN planes p
+        WHERE p.j < (SELECT r FROM params$sfx)
+        GROUP BY e.vec_id, p.band),
+      sv$sfx AS (SELECT s.vec_id, s.band, s.sig, e.v
+        FROM sigs$sfx s JOIN emb e ON e.vec_id = s.vec_id),
+      candE$sfx AS (SELECT DISTINCT x.vec_id AS src, y.vec_id AS dst,
+          (${sqlCosine("x.v", "y.v")}) AS w
+        FROM sv$sfx x JOIN sv$sfx y
+          ON x.band = y.band AND x.sig = y.sig AND x.vec_id <> y.vec_id),
+      topm$sfx AS (SELECT src, dst FROM (
+          SELECT src, dst,
+            row_number() OVER (PARTITION BY src ORDER BY w DESC, dst) AS rn
+          FROM candE$sfx) WHERE rn <= __M__),
+      edges$sfx AS (SELECT src, dst FROM topm$sfx
+        UNION SELECT dst AS src, src AS dst FROM topm$sfx)"""
+
+  /** DuckDB replay of [[hnswBuildLayers]] + [[hnswSearch]] — the integer
+    * hash-geometric levels, every layer's banded build at its own ladder
+    * scale, and the unrolled greedy descent (upper-layer narrow beams,
+    * base-layer full beam), all id-tiebroken and cosine-exact so both
+    * engines are bitwise identical. */
+  def sqlHnswTopK(k: Int, m: Int, beam: Int, hops: Int, upperBeam: Int,
+      upperHops: Int, numBands: Int, dim: Int, queryPred: String,
+      targetBucketCap: Long = NswPlaneCap,
+      minPlanes: Int = NswMinPlanes, maxPlanes: Int = NswMaxPlanes): String = {
+    val sCos = sqlCosine("q.qv", "e.v")
+    val base = HnswLevelBase
+    // one beam-expansion CTE block; `edges` names the layer's edge CTE
+    def hopBlock(tag: String, h: Int, prev: String, edges: String,
+        width: Int): String =
+      s"""cand$tag$h AS (SELECT DISTINCT b.query_id, ed.dst AS node
+        FROM beam$prev b JOIN $edges ed ON ed.src = b.node),
+      sc$tag$h AS (SELECT c.query_id, c.node, $sCos AS c
+        FROM cand$tag$h c JOIN emb e ON e.vec_id = c.node
+        JOIN qs q ON q.query_id = c.query_id),
+      seen$tag$h AS (SELECT DISTINCT query_id, node, c FROM (
+        SELECT * FROM seen$prev UNION ALL SELECT * FROM sc$tag$h)),
+      beam$tag$h AS (SELECT query_id, node, c FROM (
+          SELECT query_id, node, c,
+            row_number() OVER (PARTITION BY query_id ORDER BY c DESC, node) AS rn
+          FROM seen$tag$h) WHERE rn <= $width)"""
+    // descent: layer 2 then layer 1 with the narrow beam, then layer 0
+    var prev = "0"
+    val blocks = scala.collection.mutable.ArrayBuffer.empty[String]
+    for (l <- HnswMaxLevel to 1 by -1; h <- 1 to upperHops) {
+      blocks += hopBlock(s"L${l}x", h, prev, s"edgesL$l", upperBeam)
+      prev = s"L${l}x$h"
+    }
+    for (h <- 1 to hops) {
+      blocks += hopBlock("B", h, prev, "edgesL0", beam)
+      prev = s"B$h"
+    }
+    val layerCtes = (0 to HnswMaxLevel).map(l =>
+      sqlLayerSigCtes(s"L$l", l, dim, targetBucketCap, minPlanes, maxPlanes)
+        .replace("__M__", m.toString)).mkString(",\n      ")
+    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      planes AS (
+        SELECT band, j, list(s ORDER BY d) AS p FROM (
+          SELECT b.band, j.j, d.d,
+            CASE WHEN ((('0x' || substr(md5(b.band || ':' || j.j || '-' || d.d), 1, 2))::INT & 1) = 1)
+                 THEN 1.0 ELSE -1.0 END AS s
+          FROM (SELECT unnest(range($numBands)) AS band) b,
+               (SELECT unnest(range($maxPlanes)) AS j) j,
+               (SELECT unnest(range($dim)) AS d) d) t
+        GROUP BY band, j),
+      lvl AS (SELECT vec_id,
+          CASE WHEN h % ${base * base} = 0 THEN 2
+               WHEN h % $base = 0 THEN 1 ELSE 0 END AS l
+        FROM (SELECT vec_id,
+            ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS h
+          FROM emb)),
+      $layerCtes,
+      en AS (SELECT COALESCE(
+          (SELECT MIN(e.vec_id) FROM emb e
+            JOIN lvl ON lvl.vec_id = e.vec_id AND lvl.l >= $HnswMaxLevel),
+          (SELECT MIN(vec_id) FROM emb)) AS v),
+      qs AS (SELECT vec_id AS query_id, v AS qv FROM emb e WHERE $queryPred),
+      seen0 AS (SELECT q.query_id, en.v AS node, $sCos AS c
+        FROM qs q CROSS JOIN en JOIN emb e ON e.vec_id = en.v),
+      beam0 AS (SELECT query_id, node, c FROM seen0),
+      ${blocks.mkString(",\n      ")},
+      fin AS (SELECT query_id, node AS neighbor_id, c,
+          row_number() OVER (PARTITION BY query_id ORDER BY c DESC, node) AS rank
+        FROM seen$prev WHERE node <> query_id)
+      SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+        CAST(floor(c * 1000000) AS BIGINT) AS cos_sim_e6
+      FROM fin WHERE rank <= $k"""
+  }
+
   /** DuckDB replay of [[nswTopK]] — the banded-bucket candidate pairs,
     * per-node top-m edge selection, symmetrization, and every beam hop,
     * as one CTE chain (hops unrolled; all orderings id-tiebroken). */

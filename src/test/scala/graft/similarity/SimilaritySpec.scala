@@ -102,6 +102,37 @@ class SimilaritySpec extends SparkTestBase {
       assert(r.getDouble(3) <= best(r.getLong(0)) + 1e-12))
   }
 
+  test("HNSW descent: layer sizes geometric, recall >= single-layer NSW") {
+    // layer populations follow the 4^-l hash-geometric rule
+    val lvls = emb.select(Similarity.hnswLevel(col("vec_id")).as("l"))
+      .groupBy("l").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val n = lvls.values.sum
+    val n1 = lvls.filterKeys(_ >= 1).values.sum
+    val n2 = lvls.getOrElse(2, 0L)
+    assert(n1 > 0 && n1 < n / 2, s"layer1 population $n1 of $n")
+    assert(n2 < n1, s"layer2 $n2 not sparser than layer1 $n1")
+    val layers = Similarity.hnswBuildLayers(emb, "vec_id", "embedding")
+    val hnsw = Similarity.hnswSearch(layers, emb, queries, "vec_id",
+      "embedding", 5)
+    val rows = hnsw.collect()
+    assert(rows.forall(r => r.getLong(0) != r.getLong(2)))
+    // deterministic
+    val again = Similarity.hnswSearch(layers, emb, queries, "vec_id",
+      "embedding", 5).collect().map(_.toString).sorted
+    assert(again.sameElements(rows.map(_.toString).sorted))
+    // the hierarchy must not LOSE recall vs the single-layer search —
+    // the descent seeds the base beam nearer the answer
+    val nsw = Similarity.nswTopK(emb, queries, "vec_id", "embedding", 5)
+    val rNsw = (resultSet(nsw) intersect exact).size.toDouble / exact.size
+    val rHnsw = (resultSet(hnsw) intersect exact).size.toDouble / exact.size
+    info(f"HNSW recall@5 = $rHnsw%.3f vs NSW $rNsw%.3f")
+    assert(rHnsw >= rNsw, f"hierarchy lost recall: $rHnsw%.3f < $rNsw%.3f")
+    // scores are true cosines: no hit may beat the exact top-1
+    val best = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    rows.foreach(r => assert(r.getDouble(3) <= best(r.getLong(0)) + 1e-12))
+  }
+
   test("PQ-ADC search: structure, determinism, and better-than-chance recall") {
     val cbs = Similarity.pqCodebooks(emb, "vec_id", "embedding",
       nSub = 4, nCodes = 64, dim = 64)
