@@ -137,8 +137,11 @@ final class SnapshotCatalog extends TableCatalog {
       val opts = new util.HashMap[String, String]()
       // a version may span commits with additively-evolved schemas
       opts.put("mergeSchema", "true")
-      GraftSqlBridge.parquetTable(s"${ident.name()}@v$v", spark,
-        s.files.map(f => s"$t/$f"), opts)
+      // SnapshotReadTable hides the FileTable so INSERT INTO stays a V2
+      // AppendData (routed to the log) instead of falling back to a V1
+      // file write into the version's file list — see its Scaladoc
+      SnapshotReadTable(GraftSqlBridge.parquetTable(s"${ident.name()}@v$v",
+        spark, s.files.map(f => s"$t/$f"), opts))
     }
   }
 

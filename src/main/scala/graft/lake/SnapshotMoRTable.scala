@@ -30,3 +30,32 @@ final case class SnapshotMoRTable(ident: String, path: String,
   override def capabilities(): util.Set[TableCapability] =
     util.Collections.emptySet()
 }
+
+/** Read delegate around Spark's native `ParquetTable` for versions that
+  * CAN be served as a bare file list. The delegation exists because
+  * `ParquetTable` is a `FileTable`, and the analyzer's built-in
+  * `FallBackFileSourceV2` rule rewrites `INSERT INTO` over any FileTable
+  * into a V1 file write against the table's PATHS — which for a snapshot
+  * version is the resolved per-commit file list, so the fallback would
+  * write data files INTO a staged commit dir behind the log's back
+  * (observed: `ParentNotDirectoryException` under `_snap/c-*`). Hiding
+  * the FileTable behind a plain `SupportsRead` keeps the insert as a V2
+  * `AppendData`, which [[graft.plans.SnapshotDmlRewrite]] then routes to
+  * a proper [[Snapshots.append]] log commit. Scans delegate verbatim to
+  * the inner ParquetTable's ScanBuilder — pushdown, column pruning and
+  * vectorized reads plan exactly as before. */
+final case class SnapshotReadTable(inner: Table)
+    extends Table with org.apache.spark.sql.connector.catalog.SupportsRead {
+  override def name(): String = inner.name()
+  override def schema(): StructType = inner.schema()
+  override def partitioning(): Array[org.apache.spark.sql.connector
+      .expressions.Transform] = inner.partitioning()
+  override def properties(): util.Map[String, String] = inner.properties()
+  override def capabilities(): util.Set[TableCapability] =
+    util.Collections.singleton(TableCapability.BATCH_READ)
+  override def newScanBuilder(
+      options: org.apache.spark.sql.util.CaseInsensitiveStringMap)
+      : org.apache.spark.sql.connector.read.ScanBuilder =
+    inner.asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+      .newScanBuilder(options)
+}

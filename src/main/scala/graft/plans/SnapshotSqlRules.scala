@@ -42,6 +42,10 @@ case class SnapshotRelationRewrite(spark: SparkSession)
       case d: DeleteFromTable => d.table
       case u: UpdateTable => u.table
       case m: MergeIntoTable => m.targetTable
+      // INSERT targets: the statement's table IS a child until
+      // ResolveInsertInto converts it to AppendData/OverwriteByExpression
+      // (whose table field is not a child) — keep it a relation meanwhile
+      case i: InsertIntoStatement => i.table
     }.flatMap(_.collect { case r: DataSourceV2Relation => r }).toSet
     plan.resolveOperatorsUp {
       case r: DataSourceV2Relation
@@ -114,7 +118,73 @@ case class SnapshotDmlRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           m.mergeCondition.resolved &&
           (m.matchedActions ++ m.notMatchedActions).forall(actionResolved) =>
         targetPath(m.targetTable).map(p => convertMerge(m, p)).getOrElse(m)
+      // INSERT INTO → append commit. The table field is NOT a child of
+      // AppendData (V2WriteCommand.child = query), so the MoR relation
+      // rewrite never touches it — no protection needed here.
+      // `outputResolved` waits for ResolveOutputRelation to have ALIGNED
+      // the query to the table schema (positional reorder + casts), so
+      // the command's `query` always carries table-shaped rows
+      case a @ AppendData(r: DataSourceV2Relation, query, _, _, _, _)
+          if query.resolved && a.outputResolved =>
+        targetPath(r).map(p => SnapshotInsertCommand(p, query,
+          r.output.map(_.name), overwrite = false): LogicalPlan).getOrElse(a)
+      // INSERT OVERWRITE TABLE → overwrite commit (full-table truncate
+      // semantics only — the deleteExpr must be the literal TRUE Spark
+      // plans for an unpartitioned static overwrite)
+      case o @ OverwriteByExpression(r: DataSourceV2Relation, deleteExpr,
+          query, _, _, _, _) if query.resolved && o.outputResolved =>
+        targetPath(r).map { p =>
+          val isTruncate = deleteExpr match {
+            case org.apache.spark.sql.catalyst.expressions.Literal(true,
+              org.apache.spark.sql.types.BooleanType) => true
+            case _ => false
+          }
+          if (!isTruncate) throw new UnsupportedOperationException(
+            "INSERT OVERWRITE on a snapshot table supports full-table " +
+              s"overwrite only; got filter ${deleteExpr.sql} — use " +
+              "DELETE FROM + INSERT INTO for partial rewrites")
+          SnapshotInsertCommand(p, query, r.output.map(_.name),
+            overwrite = true): LogicalPlan
+        }.getOrElse(o)
+      // CREATE TABLE … AS SELECT → first append commit of a NEW table
+      // (the log has no schema-only commits, so the DDL surface is CTAS,
+      // not bare CREATE TABLE — data defines the schema, as for the
+      // DataFrame path's first append)
+      case c @ CreateTableAsSelect(
+          org.apache.spark.sql.catalyst.analysis.ResolvedIdentifier(
+            cat: SnapshotCatalog, ident), partitioning, query,
+          spec: TableSpec, _, ignoreIfExists, _) if query.resolved =>
+        ctasShapeCheck(partitioning, spec, "CREATE TABLE ... AS SELECT")
+        SnapshotCtasCommand(cat.tablePath(ident), ident.name(), query,
+          ignoreIfExists = ignoreIfExists, replace = false, orCreate = false)
+      // [CREATE OR] REPLACE TABLE … AS SELECT → overwrite commit when the
+      // table exists (history stays time-travelable), create otherwise
+      case r @ ReplaceTableAsSelect(
+          org.apache.spark.sql.catalyst.analysis.ResolvedIdentifier(
+            cat: SnapshotCatalog, ident), partitioning, query,
+          spec: TableSpec, _, orCreate, _) if query.resolved =>
+        ctasShapeCheck(partitioning, spec, "REPLACE TABLE ... AS SELECT")
+        SnapshotCtasCommand(cat.tablePath(ident), ident.name(), query,
+          ignoreIfExists = false, replace = true, orCreate = orCreate)
     }
+
+  /** Snapshot tables are unpartitioned file-list tables rooted under the
+    * catalog root — shapes the log cannot honor are refused with the
+    * reason rather than silently dropped. */
+  private def ctasShapeCheck(partitioning: Seq[_], spec: TableSpec,
+      what: String): Unit = {
+    def unsupported(why: String) = throw new UnsupportedOperationException(
+      s"$what on a snapshot catalog: $why")
+    if (partitioning.nonEmpty) unsupported(
+      "PARTITIONED BY is not supported (snapshot tables are unpartitioned " +
+        "file lists; use Z-order OPTIMIZE for layout)")
+    if (spec.location.isDefined) unsupported(
+      "LOCATION is not supported (the catalog root determines the path)")
+    if (spec.properties.nonEmpty || spec.options.nonEmpty) unsupported(
+      "TBLPROPERTIES/OPTIONS are not supported")
+    if (spec.provider.exists(p => !p.equalsIgnoreCase("parquet")))
+      unsupported(s"USING ${spec.provider.get} — snapshot tables are parquet")
+  }
 
   private def actionResolved(a: MergeAction): Boolean = a match {
     case _: UpdateStarAction | _: InsertStarAction => true
@@ -218,6 +288,45 @@ case class SnapshotUpdateCommand(path: String,
     extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
     Snapshots.updateWhere(session, path, cond, sets.toMap)
+    Seq.empty
+  }
+}
+
+/** `INSERT INTO` / `INSERT OVERWRITE TABLE` → [[Snapshots.append]] /
+  * [[Snapshots.overwrite]]: the analyzer has already aligned the query's
+  * output to the table schema positionally (ResolveOutputRelation), so
+  * the command only restores the table's column NAMES before the commit
+  * stages it. One log version per statement, like every DML. */
+case class SnapshotInsertCommand(path: String, query: LogicalPlan,
+    targetCols: Seq[String], overwrite: Boolean) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val df = GraftSqlBridge.ofRows(session, query).toDF(targetCols: _*)
+    if (overwrite) Snapshots.overwrite(session, path, df)
+    else Snapshots.append(session, path, df)
+    Seq.empty
+  }
+}
+
+/** `CREATE [OR REPLACE] TABLE … AS SELECT` → the table's first
+  * [[Snapshots.append]] (create) or an [[Snapshots.overwrite]] commit
+  * (replace of an existing table — prior versions stay time-travelable,
+  * exactly like the DataFrame overwrite path). `IF NOT EXISTS` over an
+  * existing table is a no-op that never evaluates the query. */
+case class SnapshotCtasCommand(path: String, tableName: String,
+    query: LogicalPlan, ignoreIfExists: Boolean, replace: Boolean,
+    orCreate: Boolean) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val exists = Snapshots.latestVersion(session, path).isDefined
+    def df = GraftSqlBridge.ofRows(session, query)
+    if (replace) {
+      if (exists) Snapshots.overwrite(session, path, df)
+      else if (orCreate) Snapshots.append(session, path, df)
+      else throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchTableException(Seq(tableName))
+    } else if (exists) {
+      if (!ignoreIfExists) throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(Seq(tableName))
+    } else Snapshots.append(session, path, df)
     Seq.empty
   }
 }

@@ -794,7 +794,95 @@ object LayoutQueries {
       .unionAll(part(3, "v3_readded"))
   }
 
+  /** q196 — SQL INSERT routed to the snapshot log
+    * ([[graft.plans.SnapshotDmlRewrite]]'s write half, completing the
+    * q191 DML surface): `INSERT INTO` appends one log version,
+    * `INSERT OVERWRITE` publishes a full-table replace (history intact —
+    * the pre-overwrite state stays time-travelable), both as
+    * eagerly-executed commands over the analyzer-aligned query plan. The
+    * `three_versions` marker attests one commit per statement; partial
+    * (filtered) OVERWRITE is refused with the reason (spec). */
+  def sqlInsert(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Snapshots
+    val root = graft.util.Scratch.dir("sqlins", dir)
+    val table = s"$root/orders_ins"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+    val orders = Tables(spark, dir, "orders")
+    Snapshots.append(spark, table, orders.filter(col("o_orderkey") % 2 === 0))
+    val cat = s"sqlins_${Integer.toHexString(dir.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.lake.SnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    orders.createOrReplaceTempView("sqlins_src")
+    spark.sql(s"INSERT INTO $cat.orders_ins " +
+      "SELECT * FROM sqlins_src WHERE o_orderkey % 2 = 1")
+    val afterInsert = spark
+      .sql(s"SELECT count(*) FROM $cat.orders_ins").head().getLong(0)
+    spark.sql(s"INSERT OVERWRITE $cat.orders_ins " +
+      "SELECT * FROM sqlins_src WHERE o_totalprice >= 50000")
+    val ok = afterInsert == orders.count() &&
+      Snapshots.latestVersion(spark, table).contains(3)
+    spark.sql(s"""
+      SELECT o_orderpriority, COUNT(*) AS n_rows,
+             ${Num.sqlSumMoney("o_totalprice")} AS sum_price
+      FROM $cat.orders_ins GROUP BY 1""")
+      .withColumn("three_versions", lit(ok))
+  }
+
+  /** q197 — SQL `CREATE TABLE AS SELECT` on the snapshot catalog
+    * ([[graft.plans.SnapshotCtasCommand]], completing the SQL DDL story
+    * beside q196's INSERT legs): CTAS publishes the table's first append
+    * commit (data defines the schema, as for the DataFrame path),
+    * `IF NOT EXISTS` over an existing table is a version-free no-op that
+    * never evaluates its query, and `CREATE OR REPLACE` publishes an
+    * overwrite commit with the pre-replace version still travelable —
+    * attested by reading v1 back beside the replaced live view. */
+  def sqlCtas(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Snapshots
+    val root = graft.util.Scratch.dir("sqlctas", dir)
+    val table = s"$root/orders_ctas"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+    val orders = Tables(spark, dir, "orders")
+    val cat = s"sqlctas_${Integer.toHexString(dir.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.lake.SnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    orders.createOrReplaceTempView("sqlctas_src")
+    spark.sql(s"CREATE TABLE $cat.orders_ctas AS " +
+      "SELECT o_orderkey, o_orderpriority, o_totalprice FROM sqlctas_src " +
+      "WHERE o_totalprice < 100000")
+    // no-op: must add no version and must not evaluate its query
+    spark.sql(s"CREATE TABLE IF NOT EXISTS $cat.orders_ctas AS " +
+      "SELECT * FROM sqlctas_src")
+    spark.sql(s"CREATE OR REPLACE TABLE $cat.orders_ctas AS " +
+      "SELECT o_orderkey, o_orderpriority, o_totalprice FROM sqlctas_src " +
+      "WHERE o_totalprice >= 100000")
+    val ok = Snapshots.latestVersion(spark, table).contains(2)
+    def slice(part: String, asOf: String) = spark.sql(s"""
+      SELECT '$part' AS part, o_orderpriority, COUNT(*) AS n_rows,
+             ${Num.sqlSumMoney("o_totalprice")} AS sum_price
+      FROM $cat.orders_ctas $asOf GROUP BY 2""")
+    slice("replaced", "").unionAll(slice("v1_created", "VERSION AS OF 1"))
+      .withColumn("two_versions", lit(ok))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q197_sql_ctas", sqlCtas, Some(s"""
+      SELECT 'replaced' AS part, o_orderpriority, COUNT(*) AS n_rows,
+             ${Num.sqlSumMoney("o_totalprice")} AS sum_price,
+             true AS two_versions
+      FROM orders WHERE o_totalprice >= 100000 GROUP BY 2
+      UNION ALL
+      SELECT 'v1_created' AS part, o_orderpriority, COUNT(*) AS n_rows,
+             ${Num.sqlSumMoney("o_totalprice")} AS sum_price,
+             true AS two_versions
+      FROM orders WHERE o_totalprice < 100000 GROUP BY 2""")),
+    QueryDef("q196_sql_insert", sqlInsert, Some(s"""
+      SELECT o_orderpriority, COUNT(*) AS n_rows,
+             ${Num.sqlSumMoney("o_totalprice")} AS sum_price,
+             true AS three_versions
+      FROM orders WHERE o_totalprice >= 50000
+      GROUP BY 1""")),
     QueryDef("q192_column_drop", columnDrop, Some(s"""
       SELECT 'v1_below_drop' AS part, COUNT(*) AS n_rows,
              CAST(SUM(o_orderkey % 100) AS BIGINT) AS sum_units,

@@ -179,6 +179,74 @@ class SnapshotCatalogSpec extends SparkTestBase {
     org.apache.commons.io.FileUtils.deleteQuietly(new File(root))
   }
 
+  test("SQL INSERT INTO appends; OVERWRITE replaces; partial overwrite refused") {
+    val (cat, root) = freshCatalog("ins")
+    val t = s"$root/t"
+    Snapshots.append(spark, t, orders.filter(col("o_orderkey") % 2 === 0))
+    orders.createOrReplaceTempView("ins_spec_src")
+    spark.sql(s"INSERT INTO $cat.t " +
+      "SELECT * FROM ins_spec_src WHERE o_orderkey % 2 = 1")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t").head().getLong(0) ==
+      orders.count())
+    assert(Snapshots.latestVersion(spark, t).contains(2))
+    // the pre-insert version stays travelable
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t VERSION AS OF 1")
+      .head().getLong(0) ==
+      orders.filter(col("o_orderkey") % 2 === 0).count())
+    spark.sql(s"INSERT OVERWRITE $cat.t " +
+      "SELECT * FROM ins_spec_src WHERE o_totalprice >= 100000")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t").head().getLong(0) ==
+      orders.filter(col("o_totalprice") >= 100000).count())
+    assert(Snapshots.latestVersion(spark, t).contains(3))
+    // a filtered (partitioned-style) overwrite is refused with the reason
+    val e = intercept[Exception](spark.sql(
+      s"INSERT OVERWRITE $cat.t PARTITION (o_orderstatus = 'O') " +
+        "SELECT * FROM ins_spec_src"))
+    assert(e != null)
+    // INSERT INTO a table carrying merge-on-read state (the MoR marker
+    // table, not the parquet fast path) still routes to the log
+    spark.sql(s"DELETE FROM $cat.t WHERE o_orderkey % 3 = 0")
+    val afterDelete = spark.sql(s"SELECT count(*) FROM $cat.t")
+      .head().getLong(0)
+    spark.sql(s"INSERT INTO $cat.t " +
+      "SELECT * FROM ins_spec_src WHERE o_totalprice < 100000")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t").head().getLong(0) ==
+      afterDelete + orders.filter(col("o_totalprice") < 100000).count())
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(root))
+  }
+
+  test("CTAS creates; IF NOT EXISTS no-ops; REPLACE shapes are policed") {
+    val (cat, root) = freshCatalog("ctas")
+    orders.createOrReplaceTempView("ctas_spec_src")
+    spark.sql(s"CREATE TABLE $cat.t AS SELECT * FROM ctas_spec_src " +
+      "WHERE o_orderkey % 2 = 0")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t").head().getLong(0) ==
+      orders.filter(col("o_orderkey") % 2 === 0).count())
+    // plain CREATE over an existing table fails; IF NOT EXISTS no-ops
+    intercept[Exception](spark.sql(
+      s"CREATE TABLE $cat.t AS SELECT * FROM ctas_spec_src"))
+    spark.sql(s"CREATE TABLE IF NOT EXISTS $cat.t AS " +
+      "SELECT * FROM ctas_spec_src")
+    assert(Snapshots.latestVersion(spark, s"$root/t").contains(1))
+    // REPLACE overwrites, pre-replace version stays travelable
+    spark.sql(s"CREATE OR REPLACE TABLE $cat.t AS " +
+      "SELECT * FROM ctas_spec_src WHERE o_orderkey % 2 = 1")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t").head().getLong(0) ==
+      orders.filter(col("o_orderkey") % 2 === 1).count())
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t VERSION AS OF 1")
+      .head().getLong(0) ==
+      orders.filter(col("o_orderkey") % 2 === 0).count())
+    // REPLACE of a missing table without OR CREATE is an error
+    intercept[Exception](spark.sql(
+      s"REPLACE TABLE $cat.missing AS SELECT * FROM ctas_spec_src"))
+    // un-honorable shapes are refused with the reason
+    val e = intercept[UnsupportedOperationException](spark.sql(
+      s"CREATE TABLE $cat.t2 PARTITIONED BY (o_orderstatus) AS " +
+        "SELECT * FROM ctas_spec_src"))
+    assert(e.getMessage.contains("PARTITIONED BY"))
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(root))
+  }
+
   test("unsupported MERGE shapes are refused with the reason, not approximated") {
     val (cat, root) = freshCatalog("badmerge")
     val t = s"$root/t"
