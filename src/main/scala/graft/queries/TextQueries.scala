@@ -1000,7 +1000,113 @@ object TextQueries {
       GROUP BY symbol
       ORDER BY cnt DESC, symbol LIMIT 50"""
 
+  /** q198 keep-threshold: documents costing at most this many milli-bits
+    * per bigram under the reference model survive (picked to split the
+    * synthetic corpus; a production pipeline tunes it on held-out data
+    * exactly as CCNet tunes its perplexity buckets). */
+  val LmKeepMillibits = 5369L
+
+  /** q198 — n-gram LM corpus filtering (the CCNet/RedPajama perplexity
+    * gate, the one canonical curation stage q186's pipeline lacked): a
+    * word-bigram model with add-one smoothing is trained on a reference
+    * slice (even doc_ids — CCNet trains on Wikipedia), every document is
+    * scored by its total Shannon code length under that model, and
+    * high-cost (out-of-domain/gibberish) documents are flagged. The
+    * per-bigram cost is the EXACT integer `ceil(log2((c1+V)/(c2+1)))` —
+    * whole-bit code length, [[TextAnalysis.ceilLog2Ratio]] — instead of a
+    * float log-prob, so scores hash-compare bitwise across engines
+    * (the q55/q144 no-libm-in-gated-columns discipline); the per-doc
+    * ranking field is integer milli-bits per bigram.
+    *
+    * Scale shape: model training is one groupBy over the reference
+    * slice's bigrams (map-side partial aggregation); scoring is two
+    * equi-joins of doc bigrams against the model relations — NO
+    * broadcast hint, so AQE broadcasts the vocab²-bounded model at small
+    * scale and shuffle-joins at 100 TB — plus a broadcast 1-row vocab
+    * scalar. Unseen bigrams/contexts cost the full smoothed-miss bits
+    * through the same closed form (left joins + coalesce), never a
+    * special case. */
+  def ngramLmFilter(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.util.Par.ensure(Tables(spark, dir, "documents"))
+      .filter(length(trim(col("text"))) > 0)
+    val trainToks = docs.filter(col("doc_id") % 2 === 0)
+      .select(tokens(col("text")).as("_toks"))
+    val trainBigrams = trainToks
+      .select(explode(graft.dedup.Dedup.shinglesOf(col("_toks"), 2))
+        .as("bigram"))
+    val model2 = trainBigrams.groupBy("bigram").agg(count(lit(1)).as("c2"))
+    val model1 = trainBigrams
+      .select(split(col("bigram"), " ").getItem(0).as("prev"))
+      .groupBy("prev").agg(count(lit(1)).as("c1"))
+    val vocab = trainToks.select(explode(col("_toks")).as("tok"))
+      .agg(countDistinct(col("tok")).as("v_size"))
+    val docBigrams = docs
+      .select(col("doc_id"), tokens(col("text")).as("_toks"))
+      .select(col("doc_id"),
+        explode(graft.dedup.Dedup.shinglesOf(col("_toks"), 2)).as("bigram"))
+      .withColumn("prev", split(col("bigram"), " ").getItem(0))
+    val scored = docBigrams
+      .join(model2, Seq("bigram"), "left")
+      .join(model1, Seq("prev"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("a", coalesce(col("c1"), lit(0L)) + col("v_size"))
+      .withColumn("b", coalesce(col("c2"), lit(0L)) + lit(1L))
+      .withColumn("bits", ceilLog2Ratio(col("a"), col("b")).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("bits").as("bits_total"))
+    docs.select(col("doc_id"), col("lang"), col("source"))
+      .join(scored, Seq("doc_id"), "left")
+      .withColumn("n_bigrams", coalesce(col("n_bigrams"), lit(0L)))
+      .withColumn("bits_total", coalesce(col("bits_total"), lit(0L)))
+      .withColumn("millibits", expr(
+        "CASE WHEN n_bigrams = 0 THEN 0L ELSE (bits_total * 1000) div n_bigrams END"))
+      .withColumn("keep", col("millibits") <= lit(LmKeepMillibits))
+  }
+
+  private def ngramLmOracle: String = {
+    val seed = sqlCeilLog2Seed("a", "b")
+    s"""
+    WITH docs AS (SELECT * FROM documents WHERE length(trim(text)) > 0),
+    train_bi AS (
+      SELECT unnest(${graft.dedup.Dedup.sqlShingles("text", 2)}) AS bigram
+      FROM docs WHERE doc_id % 2 = 0),
+    model2 AS (SELECT bigram, COUNT(*) AS c2 FROM train_bi GROUP BY 1),
+    model1 AS (SELECT string_split(bigram, ' ')[1] AS prev, COUNT(*) AS c1
+      FROM train_bi GROUP BY 1),
+    vocab AS (SELECT COUNT(DISTINCT tok) AS v_size FROM
+      (SELECT unnest(${sqlTokens("text")}) AS tok FROM docs
+       WHERE doc_id % 2 = 0)),
+    doc_bi AS (SELECT doc_id,
+      unnest(${graft.dedup.Dedup.sqlShingles("text", 2)}) AS bigram
+      FROM docs),
+    joined AS (
+      SELECT d.doc_id,
+        COALESCE(m1.c1, 0) + v.v_size AS a,
+        COALESCE(m2.c2, 0) + 1 AS b
+      FROM doc_bi d
+      LEFT JOIN model2 m2 USING (bigram)
+      LEFT JOIN model1 m1 ON string_split(d.bigram, ' ')[1] = m1.prev
+      CROSS JOIN vocab v),
+    seeded AS (SELECT doc_id, a, b, $seed AS k0 FROM joined),
+    costed AS (SELECT doc_id,
+      ${sqlCeilLog2FromSeed("a", "b", "k0")} AS bit FROM seeded),
+    scored AS (SELECT doc_id, COUNT(*) AS n_bigrams, SUM(bit) AS bits_total
+      FROM costed GROUP BY 1)
+    SELECT doc_id, lang, source, n_bigrams, bits_total, millibits,
+      (millibits <= $LmKeepMillibits) AS keep
+    FROM (
+      SELECT d.doc_id, d.lang, d.source,
+        CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        CAST(COALESCE(s.bits_total, 0) AS BIGINT) AS bits_total,
+        CAST(CASE WHEN COALESCE(s.n_bigrams, 0) = 0 THEN 0
+          ELSE (COALESCE(s.bits_total, 0) * 1000) // s.n_bigrams
+          END AS BIGINT) AS millibits
+      FROM docs d LEFT JOIN scored s USING (doc_id))"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q198_ngram_lm_filter", ngramLmFilter(_, _),
+      Some(ngramLmOracle)),
     QueryDef("q145_bpe_merges", bpeMerges, Some(bpeOracle)),
     QueryDef("q146_bpe_vocab", bpeVocab, Some(bpeVocabOracle)),
     QueryDef("q194_bpe_vocab_budget", bpeTrainToBudget(_, _),

@@ -38,6 +38,39 @@ object TextAnalysis {
   def normalizedFingerprint(c: Column): Column =
     md5(trim(regexp_replace(lower(c), "\\s+", " ")))
 
+  /** EXACT `ceil(log2(a/b))` for positive long columns with `a ≥ b` —
+    * the Shannon code length in whole bits of a probability `b/a`. IEEE
+    * `log2` carries no cross-libm correct-rounding guarantee (ADVICE
+    * r03), so the FP value only SEEDS the answer; the result is the
+    * smallest `k` with `b·2ᵏ ≥ a`, decided by exact integer shift
+    * comparisons in a ±2 window around the seed. Overflow-safe: the
+    * probed shifts are bounded by `4a`. The DuckDB oracles inline the
+    * same seed-then-correct CASE, so both engines agree bitwise however
+    * their libms round. */
+  def ceilLog2Ratio(a: Column, b: Column): Column = {
+    val k0 = greatest(lit(0), least(lit(40),
+      ceil(log2(a.cast(DoubleType) / b.cast(DoubleType))).cast("int")))
+    def sh(k: Column) = call_function("shiftleft", b, k)
+    when(k0 >= 2 && sh(k0 - 2) >= a, k0 - 2)
+      .when(k0 >= 1 && sh(k0 - 1) >= a, k0 - 1)
+      .when(sh(k0) >= a, k0)
+      .when(sh(k0 + 1) >= a, k0 + 1)
+      .otherwise(k0 + 2)
+  }
+
+  /** DuckDB mirror of [[ceilLog2Ratio]] as a CASE over columns `a`, `b`
+    * and the seed column `k0` (bind the seed first —
+    * [[sqlCeilLog2Seed]]). */
+  def sqlCeilLog2FromSeed(a: String, b: String, k0: String): String =
+    s"""CASE WHEN $k0 >= 2 AND ($b << ($k0-2)) >= $a THEN $k0-2
+        WHEN $k0 >= 1 AND ($b << ($k0-1)) >= $a THEN $k0-1
+        WHEN ($b << $k0) >= $a THEN $k0
+        WHEN ($b << ($k0+1)) >= $a THEN $k0+1
+        ELSE $k0+2 END"""
+
+  def sqlCeilLog2Seed(a: String, b: String): String =
+    s"greatest(0, least(40, CAST(ceil(log2($a * 1.0 / $b)) AS INT)))"
+
   /** 48-bit word hash from the md5 hex prefix, reduced mod [[P]].
     * (hex-prefix hashing is engine-portable: DuckDB computes the identical
     * value via ('0x' || substr(md5(w),1,12))::BIGINT). */
