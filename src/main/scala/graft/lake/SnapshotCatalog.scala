@@ -75,11 +75,36 @@ final class SnapshotCatalog extends TableCatalog {
       .toArray
   }
 
+  /** `cat.t.history` / `cat.t.files` — Iceberg-style METADATA tables: a
+    * trailing `history`/`files` name whose NAMESPACE resolves to a
+    * snapshot table serves that table's log metadata (lowered by the
+    * relation rewrite into the driver-built O(log) relation). A REAL
+    * table at the full path always wins — metadata names don't shadow
+    * data. */
+  private def metaTable(ident: Identifier, v: Option[Int]): Option[Table] = {
+    if (ident.namespace().isEmpty) return None
+    if (!Seq("history", "files").contains(ident.name())) return None
+    if (Snapshots.latestVersion(spark, tablePath(ident)).isDefined)
+      return None // a real table named history/files shadows the metadata
+    val parent = Identifier.of(ident.namespace().dropRight(1),
+      ident.namespace().last)
+    val t = tablePath(parent)
+    Snapshots.latestVersion(spark, t).map { latest =>
+      val ver = v.getOrElse(latest)
+      val schema = if (ident.name() == "history") Snapshots.HistorySchema
+        else Snapshots.FilesSchema
+      SnapshotMetaTable(s"${parent.name()}.${ident.name()}@v$ver",
+        ident.name(), t, ver, schema)
+    }
+  }
+
   override def loadTable(ident: Identifier): Table = {
-    val t = tablePath(ident)
-    val v = Snapshots.latestVersion(spark, t)
-      .getOrElse(throw new NoSuchTableException(ident))
-    tableAt(ident, t, v)
+    metaTable(ident, None).getOrElse {
+      val t = tablePath(ident)
+      val v = Snapshots.latestVersion(spark, t)
+        .getOrElse(throw new NoSuchTableException(ident))
+      tableAt(ident, t, v)
+    }
   }
 
   /** `VERSION AS OF n` — Spark passes the version literal as a string. A
@@ -90,7 +115,7 @@ final class SnapshotCatalog extends TableCatalog {
     val v = version.toIntOption.getOrElse(throw new IllegalArgumentException(
       s"VERSION AS OF '$version' on ${ident.name()}: snapshot versions " +
         "are integers (the log has no named tags)"))
-    tableAt(ident, tablePath(ident), v)
+    metaTable(ident, Some(v)).getOrElse(tableAt(ident, tablePath(ident), v))
   }
 
   /** `TIMESTAMP AS OF t` — Spark passes MICROseconds since epoch; the
@@ -141,7 +166,7 @@ final class SnapshotCatalog extends TableCatalog {
       // AppendData (routed to the log) instead of falling back to a V1
       // file write into the version's file list — see its Scaladoc
       SnapshotReadTable(GraftSqlBridge.parquetTable(s"${ident.name()}@v$v",
-        spark, s.files.map(f => s"$t/$f"), opts))
+        spark, s.files.map(f => s"$t/$f"), opts), t, v)
     }
   }
 

@@ -31,6 +31,21 @@ final case class SnapshotMoRTable(ident: String, path: String,
     util.Collections.emptySet()
 }
 
+/** Marker V2 table for the `<table>.history` / `<table>.files` METADATA
+  * tables (the Iceberg metadata-table surface): like [[SnapshotMoRTable]]
+  * it advertises no capability and is lowered during analysis by
+  * `graft.plans.SnapshotRelationRewrite` — into the O(log) driver-built
+  * [[Snapshots.history]] / [[Snapshots.filesMetadata]] relation, never a
+  * data scan. `kind` ∈ {"history", "files"}; `snapVersion` pins the
+  * served version for `files` (history is whole-log by nature). */
+final case class SnapshotMetaTable(ident: String, kind: String,
+    path: String, snapVersion: Int, tableSchema: StructType) extends Table {
+  override def name(): String = ident
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.Collections.emptySet()
+}
+
 /** Read delegate around Spark's native `ParquetTable` for versions that
   * CAN be served as a bare file list. The delegation exists because
   * `ParquetTable` is a `FileTable`, and the analyzer's built-in
@@ -44,7 +59,8 @@ final case class SnapshotMoRTable(ident: String, path: String,
   * a proper [[Snapshots.append]] log commit. Scans delegate verbatim to
   * the inner ParquetTable's ScanBuilder — pushdown, column pruning and
   * vectorized reads plan exactly as before. */
-final case class SnapshotReadTable(inner: Table)
+final case class SnapshotReadTable(inner: Table, path: String,
+    snapVersion: Int)
     extends Table with org.apache.spark.sql.connector.catalog.SupportsRead {
   override def name(): String = inner.name()
   override def schema(): StructType = inner.schema()

@@ -78,7 +78,9 @@ object Snapshots {
       blooms: FileBlooms = Map.empty,
       commitTs: Long = 0L,
       dirSchemas: Map[String, StructType] = Map.empty,
-      drops: Seq[DropSpec] = Nil)
+      drops: Seq[DropSpec] = Nil,
+      rowCounts: Map[String, Long] = Map.empty,
+      op: String = "")
 
   private def logDir(table: String) = s"$table/_log"
   private def logPath(table: String, v: Int) = f"${logDir(table)}/v$v%06d.json"
@@ -197,6 +199,8 @@ object Snapshots {
       }
     val dirSchemas = resolved.map(_._4)
       .foldLeft(Map.empty[String, StructType])(_ ++ _)
+    val rowCounts = resolved.map(_._5)
+      .foldLeft(Map.empty[String, Long])(_ ++ _)
     // Pre-manifest-format logs inlined the file list under a top-level
     // "files" key. Every commit path carries forward only prev.manifests,
     // so SILENTLY accepting that shape here would drop all of a legacy
@@ -212,8 +216,80 @@ object Snapshots {
       case _ => 0L // pre-timestamp log objects: excluded from AS OF
     }
     Some(Snapshot(v, files, strings("deletes"), stats,
-      renames, manifestIds, blooms, commitTs, dirSchemas, drops))
+      renames, manifestIds, blooms, commitTs, dirSchemas, drops, rowCounts,
+      m.get("op").map(_.toString).getOrElse("")))
   }
+
+  /** Commit history of the table as a DataFrame — the `DESCRIBE
+    * HISTORY` surface, served over SQL as the `<table>.history` metadata
+    * table ([[SnapshotCatalog]]). One row per version: the recorded
+    * operation, commit timestamp, metadata shape, and the version's
+    * log-derived row count where the log can answer it ([[rowCountAt]];
+    * −1 where it declines — MoR versions, pre-rowcount manifests).
+    * O(versions) driver-side LOG metadata, KB per version — never a data
+    * scan. */
+  def history(spark: SparkSession, table: String): DataFrame = {
+    val latest = latestVersion(spark, table).getOrElse(0)
+    val rows = (1 to latest).flatMap(v => snapshot(spark, table, v).map { s =>
+      org.apache.spark.sql.Row(s.version, s.op, s.commitTs,
+        s.files.size, s.deletes.size, s.manifests.size,
+        s.renames.size, s.drops.size,
+        rowCountAt(spark, table, v).getOrElse(-1L))
+    })
+    spark.createDataFrame(
+      new java.util.ArrayList(scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows).asJava),
+      HistorySchema)
+  }
+
+  val HistorySchema: StructType = StructType(Seq(
+    StructField("version", IntegerType, nullable = false),
+    StructField("op", StringType, nullable = false),
+    StructField("commit_ts", LongType, nullable = false),
+    StructField("n_files", IntegerType, nullable = false),
+    StructField("n_deletes", IntegerType, nullable = false),
+    StructField("n_manifests", IntegerType, nullable = false),
+    StructField("n_renames", IntegerType, nullable = false),
+    StructField("n_drops", IntegerType, nullable = false),
+    StructField("row_count", LongType, nullable = false)))
+
+  /** Per-file metadata of one version — the `<table>.files` metadata
+    * table (the Iceberg files-table shape): every data file the version
+    * references with its manifest-recorded exact row count (−1 on
+    * pre-rowcount manifests) and per-column min/max stat count. O(version
+    * file list) from the LOG, no data scan. */
+  def filesMetadata(spark: SparkSession, table: String, v: Int): DataFrame = {
+    val s = snapshot(spark, table, v).getOrElse(
+      throw new IllegalArgumentException(s"no version $v of $table"))
+    val rows = s.files.map { f =>
+      org.apache.spark.sql.Row(f, s.version,
+        s.rowCounts.getOrElse(f, -1L),
+        s.stats.get(f).map(_.size).getOrElse(0))
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList(scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows).asJava),
+      FilesSchema)
+  }
+
+  val FilesSchema: StructType = StructType(Seq(
+    StructField("file", StringType, nullable = false),
+    StructField("snap_version", IntegerType, nullable = false),
+    StructField("rows", LongType, nullable = false),
+    StructField("n_stats_cols", IntegerType, nullable = false)))
+
+  /** Exact row count of version `v` from LOG METADATA alone — O(log
+    * objects), no table scan: the sum of the version's per-file manifest
+    * counts. Declines (None) when the version carries positional deletes
+    * (live count ≠ file count) or references a pre-rowcount manifest —
+    * callers fall back to the scan, metadata never lies. */
+  def rowCountAt(spark: SparkSession, table: String, v: Int): Option[Long] =
+    snapshot(spark, table, v).flatMap { s =>
+      if (s.deletes.nonEmpty) None
+      else if (s.files.forall(s.rowCounts.contains))
+        Some(s.files.map(s.rowCounts).sum)
+      else None
+    }
 
   private def manifestPath(table: String, id: String) =
     s"${logDir(table)}/m-$id.json"
@@ -225,21 +301,42 @@ object Snapshots {
   private val MaxCachedManifests = 4096
   private val manifestCache = scala.collection.concurrent.TrieMap
     .empty[(String, String),
-      (Seq[String], FileStats, FileBlooms, Map[String, StructType])]
+      (Seq[String], FileStats, FileBlooms, Map[String, StructType],
+        Map[String, Long])]
 
   /** One immutable manifest object: the file list + per-file stats of a
     * single commit's delta (the Iceberg manifest shape). Versions share
     * manifests BY REFERENCE, so a commit writes O(delta) metadata and
     * the log object stays O(commits-since-rewrite) — never O(table
     * files). */
+  /** Per-file exact row counts of a manifest's delta, in one narrow
+    * footer-metadata pass (zero data columns read — parquet answers the
+    * per-file count from row-group metadata). Always recorded so
+    * `count(*)` over a delete-free version is answerable from the LOG in
+    * O(manifests), never a table scan ([[rowCountAt]] — the Delta
+    * metadata-only-query discipline). Files the scan yields no group for
+    * are genuinely empty → 0. */
+  private def collectRowCounts(spark: SparkSession, table: String,
+      files: Seq[String]): Map[String, Long] = {
+    if (files.isEmpty) return Map.empty
+    val root = LakePaths.tableRootPath(spark, table)
+    files.map(_ -> 0L).toMap ++
+      spark.read.parquet(files.map(f => s"$table/$f"): _*)
+        .groupBy(LakePaths.relFileCol(root).as("_f"))
+        .count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
   private def writeManifest(spark: SparkSession, table: String,
       files: Seq[String], stats: FileStats,
       blooms: FileBlooms = Map.empty,
       dirSchemas: Map[String, StructType] = Map.empty): String = {
     val ops = new FileOps(spark.sparkContext.hadoopConfiguration)
     val id = Naming.newRunId()
+    val rows = collectRowCounts(spark, table, files)
     val json = Json.render(Map(
       "files" -> files,
+      "rows" -> rows,
       "stats" -> stats.map { case (f, cols) =>
         f -> cols.map { case (c, (mn, mx)) =>
           c -> Map("min" -> mn, "max" -> mx) }
@@ -256,13 +353,14 @@ object Snapshots {
     val tmp = s"${manifestPath(table, id)}.tmp"
     ops.writeString(tmp, json)
     ops.move(tmp, manifestPath(table, id))
-    manifestCache.putIfAbsent((table, id), (files, stats, blooms, dirSchemas))
+    manifestCache.putIfAbsent((table, id),
+      (files, stats, blooms, dirSchemas, rows))
     id
   }
 
   private def readManifest(spark: SparkSession, table: String,
       id: String): (Seq[String], FileStats, FileBlooms,
-      Map[String, StructType]) = {
+      Map[String, StructType], Map[String, Long]) = {
     if (manifestCache.size > MaxCachedManifests) manifestCache.clear()
     manifestCache.getOrElseUpdate((table, id), {
       val ops = new FileOps(spark.sparkContext.hadoopConfiguration)
@@ -275,7 +373,18 @@ object Snapshots {
             .asInstanceOf[StructType] }
         case _ => Map.empty[String, StructType]
       }
-      (files, parseStats(m), parseBlooms(m), schemas)
+      // absent on pre-rowcount manifests → rowCountAt conservatively
+      // declines and count(*) falls back to the scan
+      val rows = m.get("rows") match {
+        case Some(rm: Map[_, _]) => rm.asInstanceOf[Map[String, Any]]
+          .map { case (f, n) => f -> (n match {
+            case l: Long => l
+            case d: Double => d.toLong
+            case other => other.toString.toDouble.toLong
+          }) }
+        case _ => Map.empty[String, Long]
+      }
+      (files, parseStats(m), parseBlooms(m), schemas, rows)
     })
   }
 
@@ -303,7 +412,7 @@ object Snapshots {
   private def tryPublish(spark: SparkSession, table: String, v: Int,
       manifests: Seq[String], deletes: Seq[String],
       renames: Seq[(String, String)], drops: Seq[DropSpec],
-      commitTs: Long): Boolean = {
+      commitTs: Long, op: String = ""): Boolean = {
     val conf = spark.sparkContext.hadoopConfiguration
     val ops = new FileOps(conf)
     val dst = new org.apache.hadoop.fs.Path(logPath(table, v))
@@ -312,6 +421,7 @@ object Snapshots {
     val json = Json.render(Map(
       "version" -> v.toLong,
       "ts" -> commitTs,
+      "op" -> op,
       "manifests" -> manifests,
       "deletes" -> deletes,
       "renames" -> renames.map(r => Seq(r._1, r._2)),
@@ -359,7 +469,7 @@ object Snapshots {
     * failure/race injection seam for specs (runs after content, before
     * the claim). */
   private def commitLoop(spark: SparkSession, table: String,
-      beforePublish: () => Unit = () => ())(
+      op: String = "", beforePublish: () => Unit = () => ())(
       content: Option[Snapshot] => (Seq[String], Seq[String],
         Seq[(String, String)], Seq[DropSpec])): Int = {
     var attempt = 0
@@ -376,7 +486,7 @@ object Snapshots {
         prev.map(_.commitTs + 1).getOrElse(0L))
       beforePublish()
       if (tryPublish(spark, table, v, manifests, deletes, renames, drops,
-          commitTs)) {
+          commitTs, op)) {
         writeLatestHint(spark, table, v)
         return v
       }
@@ -540,7 +650,7 @@ object Snapshots {
       stage(spark, table, df, statsCols, bloomCols)
     val mid = writeManifest(spark, table, staged, stagedStats, stagedBlooms,
       stagedSchemas)
-    commitLoop(spark, table, beforePublish) { prev =>
+    commitLoop(spark, table, "append", beforePublish) { prev =>
       guardRecycledNames(df, prev)
       (prev.map(_.manifests).getOrElse(Nil) :+ mid,
         prev.map(_.deletes).getOrElse(Nil),
@@ -557,7 +667,7 @@ object Snapshots {
       stage(spark, table, df, statsCols, bloomCols)
     val mid = writeManifest(spark, table, staged, stagedStats, stagedBlooms,
       stagedSchemas)
-    commitLoop(spark, table) { prev =>
+    commitLoop(spark, table, "overwrite") { prev =>
       guardRecycledNames(df, prev)
       // a full rewrite references ONLY fresh files: no pre-drop dirs
       // remain, so the drop ledger resets (the rename chain must stay —
@@ -822,7 +932,7 @@ object Snapshots {
   def renameColumn(spark: SparkSession, table: String, from: String,
       to: String): Int = {
     require(from != to, s"rename of $from onto itself")
-    commitLoop(spark, table) { prevOpt =>
+    commitLoop(spark, table, "rename-column") { prevOpt =>
       val prev = prevOpt.getOrElse(throw new IllegalStateException(
         s"cannot rename a column of never-committed table $table"))
       val current = liveNames(spark, table, prev)
@@ -850,7 +960,7 @@ object Snapshots {
     * resurface their bytes under it (name-mapping discipline — Delta's
     * column-mapping drop behaves the same way). O(commits) metadata. */
   def dropColumn(spark: SparkSession, table: String, name: String): Int =
-    commitLoop(spark, table) { prevOpt =>
+    commitLoop(spark, table, "drop-column") { prevOpt =>
       val prev = prevOpt.getOrElse(throw new IllegalStateException(
         s"cannot drop a column of never-committed table $table"))
       require(liveNames(spark, table, prev).contains(name),
@@ -1023,7 +1133,7 @@ object Snapshots {
       stage(spark, table, changes, statsCols)
     val mid = writeManifest(spark, table, staged, stagedStats,
       dirSchemas = stagedSchemas)
-    commitLoop(spark, table) { prev =>
+    commitLoop(spark, table, "merge") { prev =>
       val prevFiles = prev.map(_.files).getOrElse(Nil)
       val prevDeletes = prev.map(_.deletes).getOrElse(Nil)
       val newDeletes: Seq[String] =
@@ -1059,7 +1169,7 @@ object Snapshots {
     * a version — the DML is recorded either way. */
   def deleteWhere(spark: SparkSession, table: String,
       pred: org.apache.spark.sql.Column): Int =
-    commitLoop(spark, table) { prev =>
+    commitLoop(spark, table, "delete") { prev =>
       val prevFiles = prev.map(_.files).getOrElse(Nil)
       val prevDeletes = prev.map(_.deletes).getOrElse(Nil)
       val newDeletes: Seq[String] =
@@ -1098,7 +1208,7 @@ object Snapshots {
       pred: org.apache.spark.sql.Column,
       set: Map[String, org.apache.spark.sql.Column],
       statsCols: Seq[String] = Nil): Int =
-    commitLoop(spark, table) { prev =>
+    commitLoop(spark, table, "update") { prev =>
       val prevManifests = prev.map(_.manifests).getOrElse(Nil)
       val prevDeletes = prev.map(_.deletes).getOrElse(Nil)
       val prevRenames = prev.map(_.renames).getOrElse(Nil)
@@ -1149,7 +1259,7 @@ object Snapshots {
     val target = snapshot(spark, table, v).getOrElse(
       throw new IllegalArgumentException(
         s"cannot restore $table to missing version $v"))
-    commitLoop(spark, table) { _ =>
+    commitLoop(spark, table, "restore") { _ =>
       (target.manifests, target.deletes, target.renames, target.drops)
     }
   }
@@ -1193,7 +1303,7 @@ object Snapshots {
     }
     val probeSized = sized(probe.files)
     if (probeSized.count(_._2 < minBytes) <= 1) return None
-    Some(commitLoop(spark, table) { prevOpt =>
+    Some(commitLoop(spark, table, "optimize") { prevOpt =>
       val prev = prevOpt.getOrElse(throw new IllegalStateException(
         s"$table disappeared during optimize"))
       // re-probe sizes only when a concurrent commit moved the version
@@ -1376,7 +1486,7 @@ object Snapshots {
     val (staged, _, _, stagedSchemas) = stage(spark, table, inserts, Nil)
     val mid = writeManifest(spark, table, staged, Map.empty,
       dirSchemas = stagedSchemas)
-    commitLoop(spark, table) { prev =>
+    commitLoop(spark, table, "cdc-apply") { prev =>
       val prevDeletes = prev.map(_.deletes).getOrElse(Nil)
       val newDeletes: Seq[String] =
         if (prev.forall(_.files.isEmpty)) Nil

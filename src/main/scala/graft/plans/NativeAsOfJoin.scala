@@ -128,6 +128,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // relation), then merge-on-read/renamed relation lowering
     e.injectResolutionRule(session => SnapshotDmlRewrite(session))
     e.injectResolutionRule(session => SnapshotRelationRewrite(session))
+    // count(*) from log metadata — optimizer-side so EXPLAIN of the
+    // analyzed plan still shows the relation, mirroring Delta
+    e.injectOptimizerRule(session => SnapshotMetadataCount(session))
   }
 }
 

@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 
-import graft.lake.{SnapshotCatalog, SnapshotMoRTable, Snapshots}
+import graft.lake.{SnapshotCatalog, SnapshotMoRTable, SnapshotReadTable, Snapshots}
 
 /** The SQL surface of the snapshot log beyond plain reads, injected via
   * [[GraftExtensions]]:
@@ -61,6 +61,18 @@ case class SnapshotRelationRewrite(spark: SparkSession)
         Project(r.output.map { a =>
           Alias(byName(a.name), a.name)(exprId = a.exprId)
         }, inner)
+      // metadata tables (history/files) lower to their driver-built
+      // O(log) relation — a LocalRelation, never a data scan
+      case r: DataSourceV2Relation
+          if r.table.isInstanceOf[graft.lake.SnapshotMetaTable] =>
+        val t = r.table.asInstanceOf[graft.lake.SnapshotMetaTable]
+        val inner = GraftSqlBridge.analyzed(
+          if (t.kind == "history") Snapshots.history(spark, t.path)
+          else Snapshots.filesMetadata(spark, t.path, t.snapVersion))
+        val byName = inner.output.map(a => a.name -> a).toMap
+        Project(r.output.map { a =>
+          Alias(byName(a.name), a.name)(exprId = a.exprId)
+        }, inner)
     }
   }
 }
@@ -77,9 +89,14 @@ case class SnapshotDmlRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     * target resolves through a [[SnapshotCatalog]]. */
   private def targetPath(plan: LogicalPlan): Option[String] =
     plan.collectFirst {
+      // data tables only — a DML aimed at a history/files METADATA
+      // table must not resolve to a path (it would create a bogus
+      // table under the data table's directory)
       case r: DataSourceV2Relation
           if r.catalog.exists(_.isInstanceOf[SnapshotCatalog]) &&
-            r.identifier.isDefined =>
+            r.identifier.isDefined &&
+            (r.table.isInstanceOf[SnapshotReadTable] ||
+              r.table.isInstanceOf[SnapshotMoRTable]) =>
         r.catalog.get.asInstanceOf[SnapshotCatalog]
           .tablePath(r.identifier.get)
     }
@@ -262,6 +279,66 @@ case class SnapshotDmlRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     SnapshotMergeCommand(path, m.sourceTable, targetOut.map(_.name),
       keys.distinct, updateOnly = !doInsert, insertOnly = !doUpdate)
   }
+}
+
+/** Answers a bare `count(*)` over a snapshot-catalog table from LOG
+  * METADATA instead of a table scan (the Delta optimized-metadata-query
+  * shape): a groupless Aggregate whose every output is an unfiltered
+  * `count(1)`/`count(*)` over a [[SnapshotReadTable]] relation collapses
+  * to a [[LocalRelation]] carrying the version's manifest row-count sum.
+  * At 100 TB this turns the most common sanity query from a
+  * million-file scan into O(log objects). Declines — leaving the scan
+  * plan untouched — for filtered/grouped/column counts, versions with
+  * positional deletes (live ≠ file counts; those versions are served as
+  * [[SnapshotMoRTable]] and lowered at analysis anyway), and
+  * pre-rowcount manifests. Runs as an operator-optimization rule, BEFORE
+  * V2 scan planning, so the relation identity is still visible. */
+case class SnapshotMetadataCount(spark: SparkSession)
+    extends Rule[LogicalPlan] {
+
+  /** `Some(count ⇒ output value)` for expressions this rule can answer
+    * without a scan: an unfiltered `count(1)`/`count(*)`, or a plain
+    * literal riding along in the select list (`SELECT 'live', count(*)`).
+    * Anything touching actual rows → None, the scan plan stands. */
+  private def constOrCount(e: org.apache.spark.sql.catalyst.expressions
+      .NamedExpression): Option[Long => Any] = e match {
+    case Alias(org.apache.spark.sql.catalyst.expressions.aggregate
+        .AggregateExpression(
+          org.apache.spark.sql.catalyst.expressions.aggregate.Count(
+            Seq(l: org.apache.spark.sql.catalyst.expressions.Literal)),
+          _, false, None, _), _) if l.value != null => Some(n => n)
+    case Alias(l: org.apache.spark.sql.catalyst.expressions.Literal, _) =>
+      Some(_ => l.value)
+    case _ => None
+  }
+
+  private def snapshotIdentity(plan: LogicalPlan): Option[(String, Int)] =
+    plan match {
+      case r: DataSourceV2Relation => r.table match {
+        case t: SnapshotReadTable => Some((t.path, t.snapVersion))
+        case _ => None
+      }
+      // column pruning may have inserted a Project; row count is
+      // projection-invariant (but NEVER skip a Filter)
+      case Project(_, r: DataSourceV2Relation) => snapshotIdentity(r)
+      case _ => None
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformUp {
+      // a groupless Aggregate emits exactly one row whatever the data,
+      // so any all-(count|literal) select list is answerable
+      case agg @ Aggregate(Nil, exprs, child, _)
+          if exprs.nonEmpty && exprs.forall(constOrCount(_).isDefined) =>
+        snapshotIdentity(child).flatMap { case (path, v) =>
+          Snapshots.rowCountAt(spark, path, v).map { n =>
+            LocalRelation(
+              agg.output.map(_.asInstanceOf[AttributeReference]),
+              Seq(org.apache.spark.sql.catalyst.InternalRow.fromSeq(
+                exprs.map(e => constOrCount(e).get(n)))))
+          }
+        }.getOrElse(agg)
+    }
 }
 
 /** `DELETE FROM t WHERE cond` → [[Snapshots.deleteWhere]].

@@ -866,7 +866,105 @@ object LayoutQueries {
       .withColumn("two_versions", lit(ok))
   }
 
+  /** q199 — `count(*)` answered from LOG METADATA, no table scan
+    * ([[graft.plans.SnapshotMetadataCount]] + the per-file row counts
+    * every manifest now records): the most common sanity query over a
+    * 100 TB table collapses to O(log objects) — the Delta
+    * optimized-metadata-query shape. The gate attests BOTH halves: the
+    * bare counts (live and every `VERSION AS OF`) are served by a
+    * LocalTableScan with no file scan in the executed plan
+    * (`metadata_only`), while a filtered count keeps the scan plan and
+    * its exact value — the rule declines rather than approximates. */
+  def metadataCount(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Snapshots
+    val root = graft.util.Scratch.dir("metacnt", dir)
+    val table = s"$root/orders_cnt"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+    val orders = Tables(spark, dir, "orders")
+    (0 to 2).foreach(i =>
+      Snapshots.append(spark, table, orders.filter(col("o_orderkey") % 3 === i)))
+    val cat = s"metacnt_${Integer.toHexString(dir.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.lake.SnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    def cnt(label: String, asOf: String) = spark.sql(
+      s"SELECT '$label' AS part, count(*) AS n_rows FROM $cat.orders_cnt $asOf")
+    val live = cnt("v3_live", "")
+    val plan = live.queryExecution.executedPlan.toString
+    val metaOnly = plan.contains("LocalTableScan") &&
+      !plan.contains("BatchScan") && !plan.contains("FileScan")
+    val filtered = spark.sql(s"SELECT 'filtered_scan' AS part, " +
+      s"count(*) AS n_rows FROM $cat.orders_cnt WHERE o_orderkey % 2 = 0")
+    val filteredScans = filtered.queryExecution.executedPlan.toString
+      .contains("BatchScan")
+    live.unionAll(cnt("v1", "VERSION AS OF 1"))
+      .unionAll(cnt("v2", "VERSION AS OF 2"))
+      .unionAll(filtered)
+      .withColumn("metadata_only", lit(metaOnly))
+      .withColumn("filtered_scans", lit(filteredScans))
+  }
+
+  /** q200 — `DESCRIBE HISTORY`-class METADATA TABLES over SQL
+    * (`<table>.history` / `<table>.files`, the Iceberg metadata-table
+    * surface; [[graft.lake.SnapshotCatalog]] serves a marker the
+    * relation rewrite lowers to the driver-built O(log) relation): every
+    * commit now records its OPERATION in the log, so the history table
+    * shows the full audit trail — op, per-version metadata shape, and
+    * the log-derived row count where the log can answer it (−1 on MoR
+    * versions, the q199 decline surfaced as data) — while the files
+    * table exposes each version's file list with manifest-exact row
+    * counts, time-travelable via the standard VERSION AS OF hook. The
+    * gate drives append/append/delete/restore/overwrite and checks the
+    * whole trail plus the files-table row-count sum, all from metadata:
+    * no query here ever scans the table's data. */
+  def metadataTables(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Snapshots
+    val root = graft.util.Scratch.dir("metatbl", dir)
+    val table = s"$root/orders_hist"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+    val orders = Tables(spark, dir, "orders")
+    Snapshots.append(spark, table, orders.filter(col("o_orderkey") % 2 === 0))
+    Snapshots.append(spark, table, orders.filter(col("o_orderkey") % 2 === 1))
+    Snapshots.deleteWhere(spark, table, col("o_orderkey") % 5 === 0)
+    Snapshots.restore(spark, table, 2)
+    Snapshots.overwrite(spark, table,
+      orders.filter(col("o_totalprice") >= 100000))
+    val cat = s"metatbl_${Integer.toHexString(dir.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.lake.SnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"""
+      SELECT version, op, n_deletes > 0 AS has_deletes, row_count
+      FROM $cat.orders_hist.history""")
+      .unionAll(spark.sql(s"""
+        SELECT 0 AS version, 'files' AS op, false AS has_deletes,
+               CAST(SUM(rows) AS BIGINT) AS row_count
+        FROM $cat.orders_hist.files"""))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q200_metadata_tables", metadataTables, Some("""
+      WITH c AS (SELECT
+        (SELECT COUNT(*) FROM orders WHERE o_orderkey % 2 = 0) AS evens,
+        (SELECT COUNT(*) FROM orders) AS total,
+        (SELECT COUNT(*) FROM orders WHERE o_totalprice >= 100000) AS rich)
+      SELECT 1 AS version, 'append' AS op, false AS has_deletes,
+             evens AS row_count FROM c
+      UNION ALL SELECT 2, 'append', false, total FROM c
+      UNION ALL SELECT 3, 'delete', true, CAST(-1 AS BIGINT) FROM c
+      UNION ALL SELECT 4, 'restore', false, total FROM c
+      UNION ALL SELECT 5, 'overwrite', false, rich FROM c
+      UNION ALL SELECT 0, 'files', false, rich FROM c""")),
+    QueryDef("q199_metadata_count", metadataCount, Some("""
+      SELECT 'v3_live' AS part, COUNT(*) AS n_rows,
+             true AS metadata_only, true AS filtered_scans FROM orders
+      UNION ALL
+      SELECT 'v1', COUNT(*), true, true FROM orders WHERE o_orderkey % 3 = 0
+      UNION ALL
+      SELECT 'v2', COUNT(*), true, true FROM orders WHERE o_orderkey % 3 <= 1
+      UNION ALL
+      SELECT 'filtered_scan', COUNT(*), true, true FROM orders
+      WHERE o_orderkey % 2 = 0""")),
     QueryDef("q197_sql_ctas", sqlCtas, Some(s"""
       SELECT 'replaced' AS part, o_orderpriority, COUNT(*) AS n_rows,
              ${Num.sqlSumMoney("o_totalprice")} AS sum_price,

@@ -215,6 +215,71 @@ class SnapshotCatalogSpec extends SparkTestBase {
     org.apache.commons.io.FileUtils.deleteQuietly(new File(root))
   }
 
+  test("bare count(*) is metadata-only; filtered/MoR counts still scan right") {
+    val (cat, root) = freshCatalog("cnt")
+    val t = s"$root/t"
+    Snapshots.append(spark, t, orders.filter(col("o_orderkey") % 2 === 0))
+    Snapshots.append(spark, t, orders.filter(col("o_orderkey") % 2 === 1))
+    val live = spark.sql(s"SELECT count(*) FROM $cat.t")
+    val plan = live.queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan") && !plan.contains("BatchScan"),
+      s"expected a metadata-only count plan, got:\n$plan")
+    assert(live.head().getLong(0) == orders.count())
+    // time travel stays metadata-only too
+    val v1 = spark.sql(s"SELECT count(*) FROM $cat.t VERSION AS OF 1")
+    assert(v1.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+    assert(v1.head().getLong(0) ==
+      orders.filter(col("o_orderkey") % 2 === 0).count())
+    // a filtered count must NOT collapse — and must stay exact
+    val filtered = spark.sql(
+      s"SELECT count(*) FROM $cat.t WHERE o_orderkey % 3 = 0")
+    assert(filtered.queryExecution.executedPlan.toString.contains("BatchScan"))
+    assert(filtered.head().getLong(0) ==
+      orders.filter(col("o_orderkey") % 3 === 0).count())
+    // count(col) skips nulls — never metadata-answered
+    val colCount = spark.sql(s"SELECT count(o_orderpriority) FROM $cat.t")
+    assert(colCount.queryExecution.executedPlan.toString.contains("BatchScan"))
+    // a version with positional deletes declines: rowCountAt is None and
+    // the (MoR-lowered) scan still counts the LIVE rows
+    Snapshots.deleteWhere(spark, t, col("o_orderkey") % 5 === 0)
+    assert(Snapshots.rowCountAt(spark, t,
+      Snapshots.latestVersion(spark, t).get).isEmpty)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t").head().getLong(0) ==
+      orders.filter(col("o_orderkey") % 5 =!= 0).count())
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(root))
+  }
+
+  test("history/files metadata tables serve the log over SQL, no data scan") {
+    val (cat, root) = freshCatalog("meta")
+    val t = s"$root/t"
+    Snapshots.append(spark, t, orders.filter(col("o_orderkey") % 2 === 0))
+    Snapshots.append(spark, t, orders.filter(col("o_orderkey") % 2 === 1))
+    Snapshots.deleteWhere(spark, t, col("o_orderkey") % 7 === 0)
+    val hist = spark.sql(
+      s"SELECT version, op, n_deletes, row_count FROM $cat.t.history")
+    // lowered to the driver-built local relation — never a file scan
+    assert(!hist.queryExecution.executedPlan.toString.contains("BatchScan"))
+    val rows = hist.collect().sortBy(_.getInt(0))
+    assert(rows.map(_.getString(1)).toSeq ==
+      Seq("append", "append", "delete"))
+    assert(rows(0).getLong(3) ==
+      orders.filter(col("o_orderkey") % 2 === 0).count())
+    assert(rows(1).getLong(3) == orders.count())
+    assert(rows(2).getLong(3) == -1L && rows(2).getInt(2) > 0)
+    // files: manifest-exact row counts, version-pinned via AS OF
+    assert(spark.sql(s"SELECT SUM(rows) FROM $cat.t.files VERSION AS OF 1")
+      .head().getLong(0) ==
+      orders.filter(col("o_orderkey") % 2 === 0).count())
+    // commit timestamps strictly increase
+    val ts = spark.sql(s"SELECT commit_ts FROM $cat.t.history ORDER BY version")
+      .collect().map(_.getLong(0))
+    assert(ts.sliding(2).forall(p => p(0) < p(1)))
+    // DML aimed at a metadata table must not convert to a log commit
+    intercept[Exception](spark.sql(
+      s"DELETE FROM $cat.t.history WHERE version = 1"))
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(root))
+  }
+
   test("CTAS creates; IF NOT EXISTS no-ops; REPLACE shapes are policed") {
     val (cat, root) = freshCatalog("ctas")
     orders.createOrReplaceTempView("ctas_spec_src")
