@@ -229,7 +229,156 @@ object RetrievalQueries {
     FROM scored GROUP BY doc_id
     ORDER BY score_e6 DESC, doc_id LIMIT $Bm25TopK"""
 
+  /** q201 knobs, interpolated into BOTH sides. RRF constant 60 is the
+    * original paper's (Cormack et al.); the e9 scale makes the
+    * reciprocal contributions exact integers. */
+  val HybridQueries = 3      // query docs: ids 0..2 (text AND embedding)
+  val HybridTermsPerQuery = 3
+  val HybridPoolN = 50       // per-source candidate pool depth
+  val RrfKConst = 60
+  val RrfScale = 1000000000L
+  val HybridTopK = 10
+
+  /** q201 — HYBRID retrieval: BM25 lexical ranking ∪ dense cosine
+    * ranking, fused with Reciprocal Rank Fusion (the standard hybrid-
+    * search shape every production RAG stack runs; documents and
+    * embeddings share the id space, so ids 0..2 act as more-like-this
+    * queries with both a text and a vector form). Each source
+    * contributes `floor(1e9 / (60 + rank))` for its top-[[HybridPoolN]]
+    * candidates — integer RRF, so the fused scores and ordering
+    * hash-compare bitwise (the q144 discipline; the float cosine only
+    * ever ORDERS the dense pool, exactly as q24 already pins).
+    *
+    * Scale shape: the dense pool is the q24 broadcast-probe scan with
+    * the O(k) native TopKPairs aggregate; the lexical pool prunes
+    * postings with a broadcast term join BEFORE any per-doc work and
+    * ranks through the same bounded-heap aggregate (score_e6 is exact
+    * below 2^53, so the double-scored heap ranks exactly); fusion is a
+    * full-outer join of two k-row-per-query relations — O(queries·k),
+    * nothing corpus-sized ever sorts or shuffles per query. */
+  def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    import graft.similarity.Similarity
+    val docs = Tables(spark, dir, "documents")
+    val emb = Tables(spark, dir, "embeddings")
+    // dense pool: (query_id, rank, neighbor_id) via the pinned q24 path
+    val vecRanks = Similarity.bruteForceTopK(emb,
+        emb.filter(col("vec_id") < HybridQueries),
+        "vec_id", "embedding", HybridPoolN)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("vec_rank"))
+    // lexical pool: per-query distinctive terms → BM25 over the corpus
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val postings = toks.groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+        sum(col("dl")).as("total_tokens"))
+      .select(col("n_docs"), expr("total_tokens DIV n_docs").as("avgdl"))
+    val dfRel = postings.groupBy("term").agg(count(lit(1)).as("df"))
+    // each query doc's HybridTermsPerQuery highest-tf terms (len-gated;
+    // tf desc, term asc) — the tiny query relation, ranked in-row
+    val qterms = postings
+      .filter(col("doc_id") < HybridQueries &&
+        length(col("term")) >= MinTermLen)
+      .groupBy(col("doc_id").as("query_id"))
+      .agg(slice(array_sort(collect_list(struct(
+        (-col("tf")).as("negtf"), col("term")))), 1, HybridTermsPerQuery)
+        .as("_top"))
+      .select(col("query_id"), explode(col("_top")).as("_t"))
+      .select(col("query_id"), col("_t.term").as("term"))
+      .join(dfRel, "term")
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("term"),
+        expr("(n_docs - df + 1) * 1000000 DIV (df + 1)").as("idf_e6"))
+    val lexScored = postings.join(broadcast(qterms), "term")
+      .filter(col("doc_id") =!= col("query_id"))
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("doc_id"),
+        expr("""idf_e6 * ((44 * avgdl * tf * 1000000)
+                DIV (20 * avgdl * tf + 6 * avgdl + 18 * dl))
+                DIV 1000000""").as("contrib"))
+      .groupBy("query_id", "doc_id").agg(sum(col("contrib")).as("score_e6"))
+    val lexRanks = Similarity.topK(
+        lexScored.select(col("query_id"), col("doc_id").as("neighbor_id"),
+          col("score_e6").cast("double").as("cos_sim")), HybridPoolN)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("lex_rank"))
+    // RRF fusion: integer reciprocal contributions, absent source = 0
+    val fused = vecRanks.join(lexRanks, Seq("query_id", "doc_id"),
+        "full_outer")
+      .withColumn("rrf", expr(
+        s"""coalesce($RrfScale DIV ($RrfKConst + vec_rank), 0L) +
+            coalesce($RrfScale DIV ($RrfKConst + lex_rank), 0L)"""))
+    Similarity.topK(
+        fused.select(col("query_id"), col("doc_id").as("neighbor_id"),
+          col("rrf").cast("double").as("cos_sim")), HybridTopK)
+      .select(col("query_id"), col("rank"),
+        col("neighbor_id").as("doc_id"),
+        col("cos_sim").cast("long").as("rrf_e9"))
+  }
+
+  private def hybridRrfOracle: String = {
+    val cosSql = graft.similarity.Similarity
+      .sqlCosine("q.embedding", "c.embedding")
+    s"""
+    WITH vec_scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS doc_id, $cosSql AS cos_sim
+      FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < $HybridQueries),
+    vec_ranks AS (
+      SELECT query_id, doc_id, rank FROM (
+        SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+          ORDER BY cos_sim DESC, doc_id) AS rank FROM vec_scored)
+      WHERE rank <= $HybridPoolN),
+    toks AS (
+      SELECT doc_id, unnest(${sqlTokens("text")}) AS term FROM documents),
+    postings AS (
+      SELECT term, doc_id, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+    stats AS (
+      SELECT COUNT(*) AS n_docs,
+        CAST(SUM(dl) AS BIGINT) // COUNT(*) AS avgdl FROM dl),
+    dfr AS (SELECT term, COUNT(*) AS df FROM postings GROUP BY 1),
+    qt AS (
+      SELECT doc_id AS query_id, term FROM (
+        SELECT doc_id, term, row_number() OVER (PARTITION BY doc_id
+          ORDER BY tf DESC, term) AS r
+        FROM postings
+        WHERE doc_id < $HybridQueries AND length(term) >= $MinTermLen)
+      WHERE r <= $HybridTermsPerQuery),
+    qi AS (SELECT query_id, qt.term,
+        CAST((s.n_docs - df + 1) * 1000000 // (df + 1) AS BIGINT) AS idf_e6
+      FROM qt JOIN dfr ON dfr.term = qt.term CROSS JOIN stats s),
+    lex_scored AS (
+      SELECT qi.query_id, p.doc_id,
+        CAST(SUM(qi.idf_e6 * ((44 * s.avgdl * p.tf * 1000000)
+          // (20 * s.avgdl * p.tf + 6 * s.avgdl + 18 * d.dl)) // 1000000)
+          AS BIGINT) AS score_e6
+      FROM postings p
+      JOIN qi ON qi.term = p.term AND p.doc_id <> qi.query_id
+      JOIN dl d ON d.doc_id = p.doc_id
+      CROSS JOIN stats s
+      GROUP BY 1, 2),
+    lex_ranks AS (
+      SELECT query_id, doc_id, rank FROM (
+        SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+          ORDER BY score_e6 DESC, doc_id) AS rank FROM lex_scored)
+      WHERE rank <= $HybridPoolN),
+    fused AS (
+      SELECT COALESCE(v.query_id, l.query_id) AS query_id,
+        COALESCE(v.doc_id, l.doc_id) AS doc_id,
+        COALESCE($RrfScale // ($RrfKConst + v.rank), 0) +
+          COALESCE($RrfScale // ($RrfKConst + l.rank), 0) AS rrf
+      FROM vec_ranks v FULL OUTER JOIN lex_ranks l
+        ON v.query_id = l.query_id AND v.doc_id = l.doc_id)
+    SELECT query_id, rank, doc_id, CAST(rrf AS BIGINT) AS rrf_e9 FROM (
+      SELECT query_id, doc_id, rrf, row_number() OVER (PARTITION BY query_id
+        ORDER BY rrf DESC, doc_id) AS rank FROM fused)
+    WHERE rank <= $HybridTopK"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q201_hybrid_rrf", hybridRrf, Some(hybridRrfOracle)),
     QueryDef("q144_bm25", bm25, Some(bm25Oracle)),
     QueryDef("q125_phrase_query", phraseQuery, Some({
       import graft.dedup.Dedup.sqlShingles

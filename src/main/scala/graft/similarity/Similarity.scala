@@ -71,7 +71,7 @@ object Similarity {
     * into the aggregate's input stage under whole-stage codegen.
     * Ordering matches the oracle's window exactly: cos_sim DESC,
     * neighbor_id ASC on ties. */
-  private def topK(scored: DataFrame, k: Int): DataFrame =
+  private[graft] def topK(scored: DataFrame, k: Int): DataFrame =
     scored.groupBy(col("query_id"))
       .agg(graft.functions.TopKPairs.column(
         col("cos_sim"), col("neighbor_id"), k).as("_top"))
