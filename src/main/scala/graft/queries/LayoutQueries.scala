@@ -942,7 +942,59 @@ object LayoutQueries {
         FROM $cat.orders_hist.files"""))
   }
 
+  /** q203 — VACUUM closes the lake lifecycle (the retention half every
+    * q153–q200 feature implies: time travel is only free until someone
+    * reclaims the space): `Snapshots.vacuum(keepFrom)` deletes log
+    * objects below the horizon, commit dirs no kept version references,
+    * and orphaned manifests. The gate drives append → overwrite (dead
+    * files below the horizon) → append, vacuums at keepFrom=2, and
+    * attests all four contracts AT ONCE: (a) the vacuumed version is
+    * GONE (readAt None — refusal, never resurrection), (b) the oldest
+    * kept version still reads exactly, (c) physical commit dirs
+    * actually shrank (fs-counted before/after), (d) the live view is
+    * bit-exact. Everything from metadata + one live aggregate. */
+  def vacuumLifecycle(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Snapshots
+    val root = graft.util.Scratch.dir("vaclife", dir)
+    val table = s"$root/orders_vac"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+    val orders = Tables(spark, dir, "orders")
+    Snapshots.append(spark, table, orders) // v1 — becomes garbage
+    Snapshots.overwrite(spark, table,
+      orders.filter(col("o_totalprice") >= 100000)) // v2 — v1 files dead
+    Snapshots.append(spark, table, orders.filter(
+      col("o_totalprice") < 100000 && col("o_orderkey") % 7 === 0)) // v3
+    def snapDirs: Int = {
+      val p = new org.apache.hadoop.fs.Path(s"$table/_snap")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) 0 else fs.listStatus(p).length
+    }
+    val dirsBefore = snapDirs
+    Snapshots.vacuum(spark, table, keepFrom = 2)
+    val dirsAfter = snapDirs
+    val v1Gone = Snapshots.readAt(spark, table, 1).isEmpty &&
+      Snapshots.latestVersion(spark, table).contains(3)
+    val v2Intact = Snapshots.readAt(spark, table, 2).exists(df =>
+      df.count() == orders.filter(col("o_totalprice") >= 100000).count())
+    Snapshots.readLatest(spark, table).get
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(Num.cents(col("o_totalprice"))).as("sum_cents"))
+      .withColumn("v1_gone", lit(v1Gone))
+      .withColumn("v2_intact", lit(v2Intact))
+      .withColumn("files_shrunk", lit(dirsBefore > dirsAfter))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q203_vacuum_lifecycle", vacuumLifecycle, Some(s"""
+      SELECT o_orderpriority, COUNT(*) AS n_rows,
+             CAST(SUM(${Num.sqlCents("o_totalprice")}) AS BIGINT)
+               AS sum_cents,
+             true AS v1_gone, true AS v2_intact, true AS files_shrunk
+      FROM orders
+      WHERE o_totalprice >= 100000
+         OR (o_totalprice < 100000 AND o_orderkey % 7 = 0)
+      GROUP BY 1""")),
     QueryDef("q200_metadata_tables", metadataTables, Some("""
       WITH c AS (SELECT
         (SELECT COUNT(*) FROM orders WHERE o_orderkey % 2 = 0) AS evens,
