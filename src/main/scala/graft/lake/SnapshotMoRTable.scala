@@ -60,7 +60,11 @@ final case class SnapshotMetaTable(ident: String, kind: String,
   * the inner ParquetTable's ScanBuilder — pushdown, column pruning and
   * vectorized reads plan exactly as before. */
 final case class SnapshotReadTable(inner: Table, path: String,
-    snapVersion: Int)
+    snapVersion: Int,
+    // Some(files) once SnapshotScanPruning replaced the inner table with
+    // a log-stats-pruned file list — lets the rule detect a fixed point
+    // instead of re-pruning forever in the optimizer batch
+    prunedFiles: Option[Seq[String]] = None)
     extends Table with org.apache.spark.sql.connector.catalog.SupportsRead {
   override def name(): String = inner.name()
   override def schema(): StructType = inner.schema()

@@ -80,7 +80,8 @@ object Snapshots {
       dirSchemas: Map[String, StructType] = Map.empty,
       drops: Seq[DropSpec] = Nil,
       rowCounts: Map[String, Long] = Map.empty,
-      op: String = "")
+      op: String = "",
+      constraints: Seq[(String, String)] = Nil)
 
   private def logDir(table: String) = s"$table/_log"
   private def logPath(table: String, v: Int) = f"${logDir(table)}/v$v%06d.json"
@@ -215,9 +216,16 @@ object Snapshots {
       case Some(d: Double) => d.toLong
       case _ => 0L // pre-timestamp log objects: excluded from AS OF
     }
+    val constraints: Seq[(String, String)] = m.get("constraints") match {
+      case Some(cs: Seq[_]) => cs.map { c =>
+        val pair = c.asInstanceOf[Seq[Any]]
+        (pair(0).toString, pair(1).toString)
+      }
+      case _ => Nil
+    }
     Some(Snapshot(v, files, strings("deletes"), stats,
       renames, manifestIds, blooms, commitTs, dirSchemas, drops, rowCounts,
-      m.get("op").map(_.toString).getOrElse("")))
+      m.get("op").map(_.toString).getOrElse(""), constraints))
   }
 
   /** Commit history of the table as a DataFrame — the `DESCRIBE
@@ -289,6 +297,107 @@ object Snapshots {
       else if (s.files.forall(s.rowCounts.contains))
         Some(s.files.map(s.rowCounts).sum)
       else None
+    }
+
+  /** Exact (min, max) of `column` over version `v` from LOG METADATA
+    * alone — the manifest per-file stats folded across the version's
+    * file list. Sound only when the stats ARE the data's extremes:
+    * declines on positional deletes (the extreme row may be deleted),
+    * drops (a re-added name could surface dead-era stats), or any file
+    * without a recorded range for the column (stats not collected,
+    * all-null, or non-finite values — collectStats skips those, and
+    * unknown never answers). Null-skipping matches SQL MIN/MAX: files
+    * whose column is all-null carry no entry, and if EVERY file lacked
+    * one this declines rather than fabricating a null. */
+  /** Row-failure counts of `df` against CHECK `constraints`, ONE pass:
+    * a single aggregate with a failure-sum per constraint. SQL CHECK
+    * semantics — a row violates only when the expression is FALSE
+    * (NULL/unknown passes), hence `coalesce(not(e), false)`. */
+  private def constraintFailures(df: DataFrame,
+      constraints: Seq[(String, String)]): Seq[(String, Long)] = {
+    if (constraints.isEmpty) return Nil
+    import org.apache.spark.sql.functions.{coalesce, expr, not, sum, when}
+    val aggs = constraints.map { case (name, sql) =>
+      sum(when(coalesce(not(expr(sql)), lit(false)), 1L).otherwise(0L))
+        .as(name)
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    constraints.zipWithIndex.map { case ((name, _), i) =>
+      name -> (if (row.isNullAt(i)) 0L else row.getLong(i))
+    }
+  }
+
+  /** Throws if any staged row violates the table's CHECK constraints —
+    * called by every delta-staging commit path (append/overwrite/merge/
+    * update), so INSERT/CTAS/CDC inherit enforcement for free. One
+    * O(delta) pass; the table is never scanned. Constraint set is read
+    * at operation start (the Delta isolation level: a constraint added
+    * CONCURRENTLY with an in-flight write may miss that write's rows —
+    * addConstraint validates existing data, closing the gap after the
+    * fact). */
+  private def enforceConstraints(spark: SparkSession, table: String,
+      df: DataFrame, what: String): Unit = {
+    val cons = latestSnapshot(spark, table).map(_.constraints).getOrElse(Nil)
+    val failures = constraintFailures(df, cons).filter(_._2 > 0)
+    if (failures.nonEmpty) throw new IllegalArgumentException(
+      s"$what on $table violates CHECK constraint(s): " +
+        failures.map { case (n, c) => s"$n ($c rows)" }.mkString(", ") +
+        " — no version was committed")
+  }
+
+  /** Record a named CHECK constraint in the log (op `add-constraint`,
+    * one metadata-only version; the Delta `ALTER TABLE ADD CONSTRAINT`
+    * shape). EXISTING live data is validated first — a constraint the
+    * current table already violates is refused, so a constraint holds
+    * for every row committed while it is in force. */
+  def addConstraint(spark: SparkSession, table: String, name: String,
+      checkSql: String): Int = {
+    readLatest(spark, table).foreach { live =>
+      val bad = constraintFailures(live, Seq(name -> checkSql))
+        .filter(_._2 > 0)
+      if (bad.nonEmpty) throw new IllegalArgumentException(
+        s"cannot add CHECK constraint $name to $table: existing data " +
+          s"violates it (${bad.head._2} rows)")
+    }
+    commitLoop(spark, table, "add-constraint", newConstraints = prev => {
+      val cur = prev.map(_.constraints).getOrElse(Nil)
+      require(!cur.exists(_._1 == name),
+        s"constraint $name already exists on $table")
+      Some(cur :+ (name -> checkSql))
+    }) { prev =>
+      (prev.map(_.manifests).getOrElse(Nil),
+        prev.map(_.deletes).getOrElse(Nil),
+        prev.map(_.renames).getOrElse(Nil),
+        prev.map(_.drops).getOrElse(Nil))
+    }
+  }
+
+  /** Remove a named CHECK constraint (op `drop-constraint`; versions
+    * below the drop still carry it — time travel shows the constraint
+    * set in force at each version). */
+  def dropConstraint(spark: SparkSession, table: String,
+      name: String): Int =
+    commitLoop(spark, table, "drop-constraint", newConstraints = prev => {
+      val cur = prev.map(_.constraints).getOrElse(Nil)
+      require(cur.exists(_._1 == name),
+        s"no constraint $name on $table")
+      Some(cur.filterNot(_._1 == name))
+    }) { prev =>
+      (prev.map(_.manifests).getOrElse(Nil),
+        prev.map(_.deletes).getOrElse(Nil),
+        prev.map(_.renames).getOrElse(Nil),
+        prev.map(_.drops).getOrElse(Nil))
+    }
+
+  def statsRangeAt(spark: SparkSession, table: String, v: Int,
+      column: String): Option[(Double, Double)] =
+    snapshot(spark, table, v).flatMap { s =>
+      if (s.deletes.nonEmpty || s.drops.nonEmpty || s.files.isEmpty) None
+      else {
+        val ranges = s.files.map(f => s.stats.get(f).flatMap(_.get(column)))
+        if (ranges.exists(_.isEmpty)) None
+        else Some((ranges.flatten.map(_._1).min, ranges.flatten.map(_._2).max))
+      }
     }
 
   private def manifestPath(table: String, id: String) =
@@ -412,7 +521,8 @@ object Snapshots {
   private def tryPublish(spark: SparkSession, table: String, v: Int,
       manifests: Seq[String], deletes: Seq[String],
       renames: Seq[(String, String)], drops: Seq[DropSpec],
-      commitTs: Long, op: String = ""): Boolean = {
+      commitTs: Long, op: String = "",
+      constraints: Seq[(String, String)] = Nil): Boolean = {
     val conf = spark.sparkContext.hadoopConfiguration
     val ops = new FileOps(conf)
     val dst = new org.apache.hadoop.fs.Path(logPath(table, v))
@@ -425,7 +535,8 @@ object Snapshots {
       "manifests" -> manifests,
       "deletes" -> deletes,
       "renames" -> renames.map(r => Seq(r._1, r._2)),
-      "drops" -> drops.map(d => Seq(d._1, d._2.toLong, d._3))))
+      "drops" -> drops.map(d => Seq(d._1, d._2.toLong, d._3)),
+      "constraints" -> constraints.map(c => Seq(c._1, c._2))))
     val tmp = s"${logPath(table, v)}.tmp-${Naming.newRunId()}"
     ops.writeString(tmp, json)
     try {
@@ -469,7 +580,11 @@ object Snapshots {
     * failure/race injection seam for specs (runs after content, before
     * the claim). */
   private def commitLoop(spark: SparkSession, table: String,
-      op: String = "", beforePublish: () => Unit = () => ())(
+      op: String = "", beforePublish: () => Unit = () => (),
+      // CHECK constraints carry forward UNCHANGED through every commit;
+      // only addConstraint/dropConstraint override them
+      newConstraints: Option[Snapshot] => Option[Seq[(String, String)]] =
+        _ => None)(
       content: Option[Snapshot] => (Seq[String], Seq[String],
         Seq[(String, String)], Seq[DropSpec])): Int = {
     var attempt = 0
@@ -477,6 +592,8 @@ object Snapshots {
       val prev = latestSnapshot(spark, table)
       val v = prev.map(_.version).getOrElse(0) + 1
       val (manifests, deletes, renames, drops) = content(prev)
+      val constraints = newConstraints(prev)
+        .getOrElse(prev.map(_.constraints).getOrElse(Nil))
       // commit timestamps are MONOTONIC and STRICTLY increasing: clock
       // skew or same-millisecond commits would otherwise make
       // TIMESTAMP AS OF resolution ambiguous (two versions at one ts)
@@ -486,7 +603,7 @@ object Snapshots {
         prev.map(_.commitTs + 1).getOrElse(0L))
       beforePublish()
       if (tryPublish(spark, table, v, manifests, deletes, renames, drops,
-          commitTs, op)) {
+          commitTs, op, constraints)) {
         writeLatestHint(spark, table, v)
         return v
       }
@@ -646,6 +763,7 @@ object Snapshots {
       statsCols: Seq[String] = Nil,
       beforePublish: () => Unit = () => (),
       bloomCols: Seq[String] = Nil): Int = {
+    enforceConstraints(spark, table, df, "append")
     val (staged, stagedStats, stagedBlooms, stagedSchemas) =
       stage(spark, table, df, statsCols, bloomCols)
     val mid = writeManifest(spark, table, staged, stagedStats, stagedBlooms,
@@ -663,6 +781,7 @@ object Snapshots {
     * time travel until vacuumed). */
   def overwrite(spark: SparkSession, table: String, df: DataFrame,
       statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): Int = {
+    enforceConstraints(spark, table, df, "overwrite")
     val (staged, stagedStats, stagedBlooms, stagedSchemas) =
       stage(spark, table, df, statsCols, bloomCols)
     val mid = writeManifest(spark, table, staged, stagedStats, stagedBlooms,
@@ -1129,6 +1248,7 @@ object Snapshots {
     * broadcastable and the scan side never shuffles. */
   def merge(spark: SparkSession, table: String, changes: DataFrame,
       keyCols: Seq[String], statsCols: Seq[String] = Nil): Int = {
+    enforceConstraints(spark, table, changes, "merge")
     val (staged, stagedStats, _, stagedSchemas) =
       stage(spark, table, changes, statsCols)
     val mid = writeManifest(spark, table, staged, stagedStats,
@@ -1237,6 +1357,7 @@ object Snapshots {
           s"UPDATE SET names non-existent column(s): ${unknown.mkString(", ")}")
         val updated = base.select(base.columns.toSeq.map(c =>
           set.get(c).map(_.as(c)).getOrElse(col(c))): _*)
+        enforceConstraints(spark, table, updated, "update")
         val (staged, stagedStats, _, stagedSchemas) =
           stage(spark, table, updated, statsCols)
         val mid = writeManifest(spark, table, staged, stagedStats,

@@ -128,9 +128,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // relation), then merge-on-read/renamed relation lowering
     e.injectResolutionRule(session => SnapshotDmlRewrite(session))
     e.injectResolutionRule(session => SnapshotRelationRewrite(session))
-    // count(*) from log metadata — optimizer-side so EXPLAIN of the
-    // analyzed plan still shows the relation, mirroring Delta
+    // count(*)/min/max from log metadata — optimizer-side so EXPLAIN of
+    // the analyzed plan still shows the relation, mirroring Delta
     e.injectOptimizerRule(session => SnapshotMetadataCount(session))
+    // log-stats file pruning for filtered catalog scans (data skipping)
+    e.injectOptimizerRule(session => SnapshotScanPruning(session))
   }
 }
 

@@ -281,11 +281,14 @@ case class SnapshotDmlRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 }
 
-/** Answers a bare `count(*)` over a snapshot-catalog table from LOG
-  * METADATA instead of a table scan (the Delta optimized-metadata-query
-  * shape): a groupless Aggregate whose every output is an unfiltered
-  * `count(1)`/`count(*)` over a [[SnapshotReadTable]] relation collapses
-  * to a [[LocalRelation]] carrying the version's manifest row-count sum.
+/** Answers bare `count(*)` / `min` / `max` over a snapshot-catalog
+  * table from LOG METADATA instead of a table scan (the Delta
+  * optimized-metadata-query shape): a groupless Aggregate whose every
+  * output is an unfiltered `count(1)`/`count(*)`, a DOUBLE column's
+  * `min`/`max` with manifest stats covering every file (exactly the
+  * per-file extremes collectStats records), or a literal, over a
+  * [[SnapshotReadTable]] relation collapses to a [[LocalRelation]]
+  * carrying the log's answer.
   * At 100 TB this turns the most common sanity query from a
   * million-file scan into O(log objects). Declines — leaving the scan
   * plan untouched — for filtered/grouped/column counts, versions with
@@ -296,19 +299,31 @@ case class SnapshotDmlRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 case class SnapshotMetadataCount(spark: SparkSession)
     extends Rule[LogicalPlan] {
 
-  /** `Some(count ⇒ output value)` for expressions this rule can answer
-    * without a scan: an unfiltered `count(1)`/`count(*)`, or a plain
-    * literal riding along in the select list (`SELECT 'live', count(*)`).
-    * Anything touching actual rows → None, the scan plan stands. */
-  private def constOrCount(e: org.apache.spark.sql.catalyst.expressions
-      .NamedExpression): Option[Long => Any] = e match {
-    case Alias(org.apache.spark.sql.catalyst.expressions.aggregate
-        .AggregateExpression(
-          org.apache.spark.sql.catalyst.expressions.aggregate.Count(
-            Seq(l: org.apache.spark.sql.catalyst.expressions.Literal)),
-          _, false, None, _), _) if l.value != null => Some(n => n)
-    case Alias(l: org.apache.spark.sql.catalyst.expressions.Literal, _) =>
-      Some(_ => l.value)
+  import org.apache.spark.sql.catalyst.expressions.{Literal, NamedExpression}
+  import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min}
+
+  /** What a select-list expression needs from the log, when this rule
+    * can answer it without a scan: the version's row count, a DOUBLE
+    * column's stats range (min/max — doubles only: stats are stored as
+    * doubles, so any other type would answer with a silently-cast
+    * value), a literal riding along, or nothing it can serve (None →
+    * the scan plan stands). */
+  private sealed trait MetaAnswer
+  private case object NeedCount extends MetaAnswer
+  private case class NeedMin(column: String) extends MetaAnswer
+  private case class NeedMax(column: String) extends MetaAnswer
+  private case class Const(value: Any) extends MetaAnswer
+
+  private def answerable(e: NamedExpression): Option[MetaAnswer] = e match {
+    case Alias(AggregateExpression(Count(Seq(l: Literal)), _, false, None,
+        _), _) if l.value != null => Some(NeedCount)
+    case Alias(AggregateExpression(Min(a: AttributeReference), _, false,
+        None, _), _) if a.dataType == org.apache.spark.sql.types.DoubleType =>
+      Some(NeedMin(a.name))
+    case Alias(AggregateExpression(Max(a: AttributeReference), _, false,
+        None, _), _) if a.dataType == org.apache.spark.sql.types.DoubleType =>
+      Some(NeedMax(a.name))
+    case Alias(l: Literal, _) => Some(Const(l.value))
     case _ => None
   }
 
@@ -318,26 +333,159 @@ case class SnapshotMetadataCount(spark: SparkSession)
         case t: SnapshotReadTable => Some((t.path, t.snapVersion))
         case _ => None
       }
-      // column pruning may have inserted a Project; row count is
-      // projection-invariant (but NEVER skip a Filter)
-      case Project(_, r: DataSourceV2Relation) => snapshotIdentity(r)
+      // column pruning may have inserted a Project; a projection of BARE
+      // attributes keeps names/rows intact (but NEVER skip a Filter, and
+      // never a Project that aliases — a renamed column would misbind
+      // the stats lookup)
+      case Project(ps, r: DataSourceV2Relation)
+          if ps.forall(_.isInstanceOf[AttributeReference]) =>
+        snapshotIdentity(r)
       case _ => None
     }
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformUp {
       // a groupless Aggregate emits exactly one row whatever the data,
-      // so any all-(count|literal) select list is answerable
+      // so any all-(count|min|max|literal) select list is answerable
       case agg @ Aggregate(Nil, exprs, child, _)
-          if exprs.nonEmpty && exprs.forall(constOrCount(_).isDefined) =>
+          if exprs.nonEmpty && exprs.forall(answerable(_).isDefined) =>
         snapshotIdentity(child).flatMap { case (path, v) =>
-          Snapshots.rowCountAt(spark, path, v).map { n =>
-            LocalRelation(
-              agg.output.map(_.asInstanceOf[AttributeReference]),
-              Seq(org.apache.spark.sql.catalyst.InternalRow.fromSeq(
-                exprs.map(e => constOrCount(e).get(n)))))
-          }
+          val needs = exprs.map(e => answerable(e).get)
+          val count: Option[Long] =
+            if (needs.contains(NeedCount)) Snapshots.rowCountAt(spark, path, v)
+            else Some(0L)
+          val rangeCols = needs.collect {
+            case NeedMin(c) => c
+            case NeedMax(c) => c
+          }.distinct
+          val ranges = rangeCols.map(c =>
+            c -> Snapshots.statsRangeAt(spark, path, v, c)).toMap
+          // min/max of ZERO rows is null, not the (absent) stats range —
+          // only answer when the version provably has rows
+          val nonEmpty = Snapshots.rowCountAt(spark, path, v).exists(_ > 0)
+          if (count.isEmpty || ranges.values.exists(_.isEmpty) ||
+              (rangeCols.nonEmpty && !nonEmpty)) None
+          else Some(LocalRelation(
+            agg.output.map(_.asInstanceOf[AttributeReference]),
+            Seq(org.apache.spark.sql.catalyst.InternalRow.fromSeq(
+              needs.map {
+                case NeedCount => count.get
+                case NeedMin(c) => ranges(c).get._1
+                case NeedMax(c) => ranges(c).get._2
+                case Const(value) => value
+              }))))
         }.getOrElse(agg)
+    }
+}
+
+/** LOG-STATS FILE PRUNING for snapshot-catalog SQL scans (the
+  * Delta/Iceberg data-skipping half the SQL surface was missing: the
+  * catalog resolves a version to its FULL file list, so without this a
+  * `WHERE price > x` read opens every file even when manifest stats
+  * could skip almost all of them — at 100 TB the difference between one
+  * KB-sized log read and 100k object-store opens). A Filter directly
+  * over a [[SnapshotReadTable]] relation has its top-level conjuncts
+  * mined for per-DOUBLE-column intervals (`>`, `>=`, `<`, `<=`, `=`
+  * against literals, either side); files whose recorded [min,max] can't
+  * intersect are dropped and the relation's inner ParquetTable is
+  * rebuilt over the survivors — the FULL predicate stays as the
+  * residual, so results equal the unpruned scan regardless of
+  * clustering (files without stats for a column always survive:
+  * unknown never prunes). Runs as an operator-optimization rule; a
+  * fixed point is reached when re-pruning removes nothing. */
+case class SnapshotScanPruning(spark: SparkSession)
+    extends Rule[LogicalPlan] {
+
+  import org.apache.spark.sql.catalyst.expressions.{EqualTo => EQ, GreaterThan => GT, GreaterThanOrEqual => GE, LessThan => LT, LessThanOrEqual => LE, Literal}
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other => Seq(other)
+  }
+
+  /** (column, lo, hi) per extractable conjunct; closed intervals are
+    * conservative for the strict forms, which is all pruning needs. */
+  private def interval(e: Expression): Option[(String, Double, Double)] = {
+    def dbl(l: Literal): Option[Double] = l.value match {
+      case d: java.lang.Double => Some(d)
+      case _ => None
+    }
+    def a(x: Expression): Option[String] = x match {
+      case ar: AttributeReference
+          if ar.dataType == org.apache.spark.sql.types.DoubleType =>
+        Some(ar.name)
+      case _ => None
+    }
+    e match {
+      case GT(x, l: Literal) => for (c <- a(x); v <- dbl(l))
+        yield (c, v, Double.PositiveInfinity)
+      case GE(x, l: Literal) => for (c <- a(x); v <- dbl(l))
+        yield (c, v, Double.PositiveInfinity)
+      case LT(x, l: Literal) => for (c <- a(x); v <- dbl(l))
+        yield (c, Double.NegativeInfinity, v)
+      case LE(x, l: Literal) => for (c <- a(x); v <- dbl(l))
+        yield (c, Double.NegativeInfinity, v)
+      case EQ(x, l: Literal) => for (c <- a(x); v <- dbl(l))
+        yield (c, v, v)
+      case GT(l: Literal, x) => interval(LT(x, l))
+      case GE(l: Literal, x) => interval(LE(x, l))
+      case LT(l: Literal, x) => interval(GT(x, l))
+      case LE(l: Literal, x) => interval(GE(x, l))
+      case EQ(l: Literal, x) => interval(EQ(x, l))
+      case _ => None
+    }
+  }
+
+  /** The pruned replacement for `r` under filter `cond`, or None when
+    * nothing can be dropped (fixed point / no extractable bounds). */
+  private def prunedRelation(cond: Expression,
+      r: DataSourceV2Relation): Option[LogicalPlan] = {
+    val t = r.table match {
+      case srt: SnapshotReadTable => srt
+      case _ => return None
+    }
+    val bounds = conjuncts(cond).flatMap(interval(_))
+      .groupBy(_._1)
+      .map { case (c, ivs) => c -> (ivs.map(_._2).max, ivs.map(_._3).min) }
+    if (bounds.isEmpty) return None
+    Snapshots.snapshot(spark, t.path, t.snapVersion).flatMap { s =>
+      val current = t.prunedFiles.getOrElse(s.files)
+      val kept = current.filter { file =>
+        bounds.forall { case (c, (lo, hi)) =>
+          s.stats.get(file).flatMap(_.get(c)) match {
+            case Some((mn, mx)) => mx >= lo && mn <= hi
+            case None => true // unknown never prunes
+          }
+        }
+      }
+      if (kept.size == current.size) None // fixed point: nothing to drop
+      else if (kept.isEmpty) Some(LocalRelation(r.output, Nil))
+      else {
+        val opts = new java.util.HashMap[String, String]()
+        opts.put("mergeSchema", "true")
+        val inner = GraftSqlBridge.parquetTable(
+          s"${t.inner.name()}#pruned${kept.size}", spark,
+          kept.map(fl => s"${t.path}/$fl"), opts)
+        Some(r.copy(table =
+          SnapshotReadTable(inner, t.path, t.snapVersion, Some(kept))))
+      }
+    }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformUp {
+      case f @ Filter(cond, r: DataSourceV2Relation) =>
+        prunedRelation(cond, r).map {
+          case lr: LocalRelation => Filter(cond, lr)
+          case rel => Filter(cond, rel)
+        }.getOrElse(f)
+      // the column pruner may have slid a bare-attribute Project between
+      // the filter and the relation — prune through it, keep it in place
+      case f @ Filter(cond, p @ Project(ps, r: DataSourceV2Relation))
+          if ps.forall(_.isInstanceOf[AttributeReference]) =>
+        prunedRelation(cond, r)
+          .map(rel => Filter(cond, Project(ps, rel)))
+          .getOrElse(f)
     }
 }
 

@@ -985,7 +985,156 @@ object LayoutQueries {
       .withColumn("files_shrunk", lit(dirsBefore > dirsAfter))
   }
 
+  /** q204 — `min`/`max` answered from manifest STATS (q199's rule
+    * extended to the other metadata-answerable aggregates — together
+    * they cover the "how big / what range" sanity queries every 100 TB
+    * table sees daily): a stats-committed DOUBLE column's unfiltered
+    * min/max collapses to the log's per-file extremes folded across the
+    * version — O(log objects), no scan (LocalTableScan attested) —
+    * while a column WITHOUT recorded stats falls back to the scan plan
+    * and the exact value (BatchScan attested): the rule declines, never
+    * approximates. */
+  def metadataMinMax(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Snapshots
+    val root = graft.util.Scratch.dir("metamm", dir)
+    val table = s"$root/orders_mm"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+    val orders = Tables(spark, dir, "orders")
+    Snapshots.append(spark, table, orders.filter(col("o_orderkey") % 2 === 0),
+      statsCols = Seq("o_totalprice"))
+    Snapshots.append(spark, table, orders.filter(col("o_orderkey") % 2 === 1),
+      statsCols = Seq("o_totalprice"))
+    val cat = s"metamm_${Integer.toHexString(dir.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.lake.SnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val stat = spark.sql(s"""
+      SELECT count(*) AS n_rows, min(o_totalprice) AS min_price,
+             max(o_totalprice) AS max_price FROM $cat.orders_mm""")
+    val statPlan = stat.queryExecution.executedPlan.toString
+    val metaOnly = statPlan.contains("LocalTableScan") &&
+      !statPlan.contains("BatchScan")
+    // no stats recorded for o_orderdate → must decline to the scan
+    val scanned = spark.sql(
+      s"SELECT min(o_orderdate) AS min_date FROM $cat.orders_mm")
+    val scannedScans = scanned.queryExecution.executedPlan.toString
+      .contains("BatchScan")
+    stat.crossJoin(scanned)
+      .withColumn("metadata_only", lit(metaOnly))
+      .withColumn("unstated_scans", lit(scannedScans))
+  }
+
+  /** q205 — CHECK CONSTRAINTS in the log (the Delta `ALTER TABLE ADD
+    * CONSTRAINT` surface — the write-side guarantee a curated training
+    * table needs: bad rows are refused at COMMIT time, not found
+    * downstream): `addConstraint` records a named SQL predicate as a
+    * metadata-only version after validating EXISTING data (a constraint
+    * the table already violates is refused), every delta-staging commit
+    * path (append/overwrite/merge/update — so INSERT/CTAS/CDC inherit
+    * it) validates its O(delta) rows in one pass and aborts with the
+    * name and row count, NULL passes (SQL CHECK semantics), and
+    * `dropConstraint` lifts it with the full trail in `history`. The
+    * gate drives the whole arc: holds-on-add, good append, REFUSED bad
+    * append (no version), REFUSED impossible add, drop, then the
+    * previously-bad append succeeds. */
+  def checkConstraints(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Snapshots
+    val root = graft.util.Scratch.dir("constr", dir)
+    val table = s"$root/orders_ck"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+    val orders = Tables(spark, dir, "orders")
+    val cheap = col("o_totalprice") < 100000
+    Snapshots.append(spark, table,
+      orders.filter(cheap && col("o_orderkey") % 2 === 0)) // v1
+    Snapshots.addConstraint(spark, table, "price_band",
+      "o_totalprice >= 0 AND o_totalprice < 100000") // v2
+    Snapshots.append(spark, table,
+      orders.filter(cheap && col("o_orderkey") % 2 === 1)) // v3
+    val violatedRefused =
+      try { Snapshots.append(spark, table, orders.filter(!cheap)); false }
+      catch { case e: IllegalArgumentException =>
+        e.getMessage.contains("price_band") &&
+          Snapshots.latestVersion(spark, table).contains(3) }
+    val addRefused =
+      try { Snapshots.addConstraint(spark, table, "impossible",
+        "o_orderkey < 0"); false }
+      catch { case e: IllegalArgumentException =>
+        e.getMessage.contains("existing data") }
+    Snapshots.dropConstraint(spark, table, "price_band") // v4
+    Snapshots.append(spark, table, orders.filter(!cheap)) // v5 — now fine
+    val opsOk = Snapshots.history(spark, table)
+      .orderBy("version").collect().map(_.getString(1)).toSeq ==
+      Seq("append", "add-constraint", "append", "drop-constraint", "append")
+    Snapshots.readLatest(spark, table).get
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(Num.cents(col("o_totalprice"))).as("sum_cents"))
+      .withColumn("violation_refused", lit(violatedRefused))
+      .withColumn("impossible_add_refused", lit(addRefused))
+      .withColumn("ops_ok", lit(opsOk))
+  }
+
+  /** q206 — log-stats FILE PRUNING on catalog SQL scans
+    * ([[graft.plans.SnapshotScanPruning]] — q165's data skipping wired
+    * into the SQL surface, where until now a filtered read opened every
+    * file of the version): four appends land four price bands with
+    * manifest stats, a banded `WHERE` then scans ONLY the surviving
+    * files (the rebuilt relation's `#prunedN` name is attested in the
+    * executed plan) while the FULL predicate stays residual — the
+    * result is clustering-invariant and equals the oracle's global
+    * arithmetic; a filter with no extractable interval (`%` on a long)
+    * keeps the unpruned scan, attested too: unknown never prunes. */
+  def statsPrunedSql(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Snapshots
+    val root = graft.util.Scratch.dir("sqlprune", dir)
+    val table = s"$root/orders_pr"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+    val orders = Tables(spark, dir, "orders")
+    val p = col("o_totalprice")
+    Seq(p < 50000, p >= 50000 && p < 100000,
+        p >= 100000 && p < 200000, p >= 200000)
+      .foreach(band => Snapshots.append(spark, table, orders.filter(band),
+        statsCols = Seq("o_totalprice")))
+    val cat = s"sqlprune_${Integer.toHexString(dir.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.lake.SnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val banded = spark.sql(s"""
+      SELECT o_orderpriority, COUNT(*) AS n_rows,
+             CAST(SUM(${Num.sqlCents("o_totalprice")}) AS BIGINT)
+               AS sum_cents
+      FROM $cat.orders_pr WHERE o_totalprice >= 200000 GROUP BY 1""")
+    val pruned = banded.queryExecution.executedPlan.toString
+      .contains("#pruned")
+    val unprunable = spark.sql(s"SELECT count(*) AS n FROM $cat.orders_pr " +
+      "WHERE o_orderkey % 3 = 0")
+    val unprunedOk = !unprunable.queryExecution.executedPlan.toString
+      .contains("#pruned")
+    banded
+      .withColumn("scan_pruned", lit(pruned))
+      .withColumn("unprunable_unpruned", lit(unprunedOk))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q206_stats_pruned_sql", statsPrunedSql, Some(s"""
+      SELECT o_orderpriority, COUNT(*) AS n_rows,
+             CAST(SUM(${Num.sqlCents("o_totalprice")}) AS BIGINT)
+               AS sum_cents,
+             true AS scan_pruned, true AS unprunable_unpruned
+      FROM orders WHERE o_totalprice >= 200000 GROUP BY 1""")),
+    QueryDef("q205_check_constraints", checkConstraints, Some(s"""
+      SELECT o_orderpriority, COUNT(*) AS n_rows,
+             CAST(SUM(${Num.sqlCents("o_totalprice")}) AS BIGINT)
+               AS sum_cents,
+             true AS violation_refused, true AS impossible_add_refused,
+             true AS ops_ok
+      FROM orders GROUP BY 1""")),
+    QueryDef("q204_metadata_minmax", metadataMinMax, Some("""
+      SELECT COUNT(*) AS n_rows, MIN(o_totalprice) AS min_price,
+             MAX(o_totalprice) AS max_price,
+             (SELECT MIN(o_orderdate) FROM orders) AS min_date,
+             true AS metadata_only, true AS unstated_scans
+      FROM orders""")),
     QueryDef("q203_vacuum_lifecycle", vacuumLifecycle, Some(s"""
       SELECT o_orderpriority, COUNT(*) AS n_rows,
              CAST(SUM(${Num.sqlCents("o_totalprice")}) AS BIGINT)

@@ -280,6 +280,57 @@ class SnapshotCatalogSpec extends SparkTestBase {
     org.apache.commons.io.FileUtils.deleteQuietly(new File(root))
   }
 
+  test("min/max from manifest stats; unstated columns and MoR decline") {
+    val (cat, root) = freshCatalog("mm")
+    val t = s"$root/t"
+    Snapshots.append(spark, t, orders.filter(col("o_orderkey") % 2 === 0),
+      statsCols = Seq("o_totalprice"))
+    Snapshots.append(spark, t, orders.filter(col("o_orderkey") % 2 === 1),
+      statsCols = Seq("o_totalprice"))
+    val mm = spark.sql(
+      s"SELECT min(o_totalprice), max(o_totalprice) FROM $cat.t")
+    assert(mm.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+    val expected = orders.agg(min("o_totalprice"), max("o_totalprice")).head()
+    assert(mm.head() == expected)
+    // no stats for o_orderkey (and it is LONG) → scan, still exact
+    val un = spark.sql(s"SELECT min(o_orderkey) FROM $cat.t")
+    assert(un.queryExecution.executedPlan.toString.contains("BatchScan"))
+    assert(un.head().getLong(0) == orders.agg(min("o_orderkey")).head().getLong(0))
+    // a filtered min must not collapse
+    val f = spark.sql(
+      s"SELECT min(o_totalprice) FROM $cat.t WHERE o_orderkey % 3 = 0")
+    assert(f.queryExecution.executedPlan.toString.contains("BatchScan"))
+    // after a delete the stats range may overstate → decline to the scan
+    Snapshots.deleteWhere(spark, t, col("o_totalprice") >= 100000)
+    val afterDel = spark.sql(s"SELECT max(o_totalprice) FROM $cat.t")
+    assert(afterDel.head().getDouble(0) ==
+      orders.filter(col("o_totalprice") < 100000)
+        .agg(max("o_totalprice")).head().getDouble(0))
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(root))
+  }
+
+  test("scan pruning drops banded files but never stats-less ones") {
+    val (cat, root) = freshCatalog("prune")
+    val t = s"$root/t"
+    // band-clustered commits WITH stats...
+    Snapshots.append(spark, t, orders.filter(col("o_totalprice") < 100000),
+      statsCols = Seq("o_totalprice"))
+    Snapshots.append(spark, t, orders.filter(col("o_totalprice") >= 100000),
+      statsCols = Seq("o_totalprice"))
+    // ...plus one commit with NO stats whose rows span both bands
+    Snapshots.append(spark, t, orders.filter(col("o_orderkey") % 97 === 0))
+    val q = spark.sql(
+      s"SELECT count(*) FROM $cat.t WHERE o_totalprice >= 100000")
+    assert(q.queryExecution.executedPlan.toString.contains("#pruned"),
+      "expected the low band pruned away")
+    // the stats-less file survives pruning, so rich rows from it count
+    val expected = orders.filter(col("o_totalprice") >= 100000).count() +
+      orders.filter(col("o_orderkey") % 97 === 0 &&
+        col("o_totalprice") >= 100000).count()
+    assert(q.head().getLong(0) == expected)
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(root))
+  }
+
   test("CTAS creates; IF NOT EXISTS no-ops; REPLACE shapes are policed") {
     val (cat, root) = freshCatalog("ctas")
     orders.createOrReplaceTempView("ctas_spec_src")

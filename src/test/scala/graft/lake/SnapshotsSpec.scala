@@ -19,6 +19,36 @@ class SnapshotsSpec extends SparkTestBase {
 
   private def orders = graft.queries.Tables(spark, sfDir, "orders")
 
+  test("CHECK constraints: update/merge refuse violations, NULL passes") {
+    val t = fresh("ck")
+    Snapshots.append(spark, t, orders.filter(col("o_totalprice") < 100000))
+    Snapshots.addConstraint(spark, t, "cheap", "o_totalprice < 100000")
+    // UPDATE that would push rows over the band is refused, no version
+    val before = Snapshots.latestVersion(spark, t).get
+    val e = intercept[IllegalArgumentException](
+      Snapshots.updateWhere(spark, t, col("o_orderkey") % 2 === 0,
+        Map("o_totalprice" -> (col("o_totalprice") + lit(200000.0)))))
+    assert(e.getMessage.contains("cheap"))
+    assert(Snapshots.latestVersion(spark, t).contains(before))
+    // MERGE with violating source rows is refused too
+    intercept[IllegalArgumentException](
+      Snapshots.merge(spark, t,
+        orders.filter(col("o_totalprice") >= 100000).limit(5),
+        Seq("o_orderkey")))
+    // NULL is unknown, not a violation (SQL CHECK semantics)
+    Snapshots.addConstraint(spark, t, "null_passes",
+      "CASE WHEN o_orderkey % 2 = 0 THEN NULL ELSE true END")
+    Snapshots.append(spark, t, orders.filter(col("o_totalprice") < 100000)
+      .limit(3))
+    // time travel below a drop still shows the constraint in force
+    Snapshots.dropConstraint(spark, t, "cheap")
+    val atAdd = Snapshots.snapshot(spark, t, before).get
+    assert(atAdd.constraints.exists(_._1 == "cheap"))
+    assert(!Snapshots.snapshot(spark, t,
+      Snapshots.latestVersion(spark, t).get).get
+      .constraints.exists(_._1 == "cheap"))
+  }
+
   test("append shares prior files by reference; commit writes only its delta") {
     val t = fresh("share")
     val v1 = Snapshots.append(spark, t, orders.filter(col("o_orderkey") % 3 === 0))
