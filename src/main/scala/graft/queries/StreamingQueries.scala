@@ -744,7 +744,82 @@ object StreamingQueries {
     Snapshots.readLatest(spark, pairsT).get
   }
 
+  /** q207 knobs, interpolated into BOTH sides. */
+  val ServeQueries = 30
+  val ServeK = 10
+
+  /** q207 — STREAMING vector-search SERVING (the online half of the ANN
+    * family: q24/q88/q185 build and search indexes in batch; a serving
+    * system answers queries as they ARRIVE): query vectors stream in,
+    * each micro-batch is searched against the corpus and its top-k
+    * appended to a results snapshot table as ONE commit, exactly-once
+    * under replay via the q156 batchId↔version guard — a restarted or
+    * replayed batch sees its version already published and skips, so
+    * the served results table never double-answers a query. The batch
+    * search is the pinned q24 broadcast-probe + O(k) TopKPairs path, so
+    * streaming-served results are BIT-IDENTICAL to the batch search
+    * (one oracle covers both). Corpus scale: per micro-batch cost is
+    * one corpus scan × O(batch queries) broadcast probes — the
+    * brute-force serving baseline; swap the probe for the q185
+    * incremental IVF index for the indexed path, the serving loop is
+    * unchanged. */
+  def annServingStream(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Snapshots
+    val root = scratchDir("stream_q207", dir)
+    delete(root)
+    val src = s"$root/src"
+    val ckpt = s"$root/ckpt"
+    val resultsT = s"$root/results"
+    val emb = Tables(spark, dir, "embeddings")
+    for (b <- 0 to 2)
+      emb.filter(col("vec_id") < ServeQueries && col("vec_id") % 3 === b)
+        .coalesce(1).write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(src)
+    val serveBatch: (Dataset[Row], Long) => Unit = (batch, id) => {
+      val s = batch.sparkSession
+      if (Snapshots.latestVersion(s, resultsT).getOrElse(0) < id + 1) {
+        val hits = graft.similarity.Similarity.bruteForceTopK(
+            Tables(s, dir, "embeddings"), batch.toDF(),
+            "vec_id", "embedding", ServeK)
+          .select(col("query_id"), col("rank"), col("neighbor_id"),
+            floor(col("cos_sim") * 1000000).as("cos_sim_e6"))
+        Snapshots.append(s, resultsT, hits)
+      }
+    }
+    val q = stream.writeStream
+      .foreachBatch(serveBatch)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    Snapshots.readLatest(spark, resultsT).get
+  }
+
+  private def annServingOracle: String = {
+    val cosSql = graft.similarity.Similarity
+      .sqlCosine("q.embedding", "c.embedding")
+    s"""
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        $cosSql AS cos_sim
+      FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < $ServeQueries),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos_sim,
+        row_number() OVER (PARTITION BY query_id
+          ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, rank, neighbor_id,
+      CAST(floor(cos_sim * 1000000) AS BIGINT) AS cos_sim_e6
+    FROM ranked WHERE rank <= $ServeK"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q207_ann_serving_stream", annServingStream(_, _),
+      Some(annServingOracle)),
     QueryDef("q174_incremental_dedup_stream", incrementalDedupStream,
       Some(DedupQueries.crossBatchDedupOracle(3))),
     QueryDef("q167_change_feed_stream", changeFeedStream, Some(s"""

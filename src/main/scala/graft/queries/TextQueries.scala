@@ -1104,7 +1104,104 @@ object TextQueries {
       FROM docs d LEFT JOIN scored s USING (doc_id))"""
   }
 
+  /** q208 knobs, interpolated into BOTH sides. */
+  val DsirBuckets = 4096L
+  val DsirKeepMillibits = -200L
+
+  /** q208 — DSIR data selection (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling" — beside q198's LM
+    * perplexity gate, the OTHER canonical selection method: rank raw
+    * documents by how much more likely they are under a TARGET
+    * distribution than under the RAW distribution, both modeled over
+    * HASHED n-gram features): bigrams hash into [[DsirBuckets]] buckets
+    * (the paper's hashed generative model — vocabulary-unbounded, fixed
+    * model size), per-bucket add-one-smoothed costs are EXACT integer
+    * Shannon bits ([[graft.text.TextAnalysis.ceilLog2Ratio]]), and a
+    * document's importance is Σ(bits_raw − bits_target) over its
+    * bigram occurrences — positive = target-like. Selection compares
+    * `net_bits·1000 ≥ T·n_bigrams` as an integer CROSS-MULTIPLY (no
+    * division: Spark `div` truncates toward zero while DuckDB `//`
+    * floors, so negative-weight quotients would diverge).
+    *
+    * Scale: two bucket-count aggregates (map-side combined, model size
+    * = [[DsirBuckets]] regardless of corpus), scoring = two UNHINTED
+    * equi-joins on the bucket key + a broadcast 1-row totals relation —
+    * the same 100 TB shape as q198 with a guaranteed-small model side. */
+  def dsirSelect(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.util.Par.ensure(Tables(spark, dir, "documents"))
+      .filter(length(trim(col("text"))) > 0)
+    val docBigrams = docs
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("_toks"))
+      .select(col("doc_id"), col("lang"),
+        explode(graft.dedup.Dedup.shinglesOf(col("_toks"), 2)).as("bigram"))
+      .withColumn("f", wordHash(col("bigram")) % DsirBuckets)
+    val targetCounts = docBigrams.filter(col("lang") === "en")
+      .groupBy("f").agg(count(lit(1)).as("ct"))
+    val rawCounts = docBigrams.groupBy("f").agg(count(lit(1)).as("cr"))
+    val totals = docBigrams.agg(
+      count(lit(1)).as("nr"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("nt"))
+    val scored = docBigrams
+      .join(rawCounts, Seq("f"))
+      .join(targetCounts, Seq("f"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("bits_raw", ceilLog2Ratio(
+        col("nr") + lit(DsirBuckets), col("cr") + lit(1L)).cast("long"))
+      .withColumn("bits_target", ceilLog2Ratio(
+        col("nt") + lit(DsirBuckets),
+        coalesce(col("ct"), lit(0L)) + lit(1L)).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("bits_raw") - col("bits_target")).as("net_bits"))
+    docs.select(col("doc_id"), col("lang"), col("source"))
+      .join(scored, Seq("doc_id"), "left")
+      .withColumn("n_bigrams", coalesce(col("n_bigrams"), lit(0L)))
+      .withColumn("net_bits", coalesce(col("net_bits"), lit(0L)))
+      .withColumn("selected",
+        col("net_bits") * 1000 >= lit(DsirKeepMillibits) * col("n_bigrams"))
+  }
+
+  private def dsirOracle: String = {
+    val f = s"(${sqlWordHash("bigram")} % $DsirBuckets)"
+    s"""
+    WITH docs AS (SELECT * FROM documents WHERE length(trim(text)) > 0),
+    doc_bi AS (
+      SELECT doc_id, lang,
+        unnest(${graft.dedup.Dedup.sqlShingles("text", 2)}) AS bigram
+      FROM docs),
+    feats AS (SELECT doc_id, lang, $f AS f FROM doc_bi),
+    target_counts AS (SELECT f, COUNT(*) AS ct FROM feats
+      WHERE lang = 'en' GROUP BY 1),
+    raw_counts AS (SELECT f, COUNT(*) AS cr FROM feats GROUP BY 1),
+    totals AS (SELECT COUNT(*) AS nr,
+      CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS nt
+      FROM feats),
+    joined AS (
+      SELECT d.doc_id,
+        t.nr + $DsirBuckets AS ar, rc.cr + 1 AS br,
+        t.nt + $DsirBuckets AS at_, COALESCE(tc.ct, 0) + 1 AS bt
+      FROM feats d
+      JOIN raw_counts rc USING (f)
+      LEFT JOIN target_counts tc USING (f)
+      CROSS JOIN totals t),
+    seeded AS (SELECT doc_id, ar, br, at_, bt,
+      ${sqlCeilLog2Seed("ar", "br")} AS kr0,
+      ${sqlCeilLog2Seed("at_", "bt")} AS kt0 FROM joined),
+    costed AS (SELECT doc_id,
+      (${sqlCeilLog2FromSeed("ar", "br", "kr0")}) -
+        (${sqlCeilLog2FromSeed("at_", "bt", "kt0")}) AS w FROM seeded),
+    scored AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+      CAST(SUM(w) AS BIGINT) AS net_bits FROM costed GROUP BY 1)
+    SELECT d.doc_id, d.lang, d.source,
+      CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+      CAST(COALESCE(s.net_bits, 0) AS BIGINT) AS net_bits,
+      (COALESCE(s.net_bits, 0) * 1000 >=
+        $DsirKeepMillibits * COALESCE(s.n_bigrams, 0)) AS selected
+    FROM docs d LEFT JOIN scored s USING (doc_id)"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q208_dsir_select", dsirSelect(_, _), Some(dsirOracle)),
     QueryDef("q198_ngram_lm_filter", ngramLmFilter(_, _),
       Some(ngramLmOracle)),
     QueryDef("q145_bpe_merges", bpeMerges, Some(bpeOracle)),
