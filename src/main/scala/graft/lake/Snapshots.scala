@@ -164,7 +164,35 @@ object Snapshots {
     * its file list, stats and blooms. Stats/bloom keys are materialized
     * under CURRENT names by mapping era-time keys through the rename
     * chain. */
+  // A published log object is immutable (atomic-rename publish; only
+  // vacuum removes it), so version resolution caches per JVM like
+  // manifests. Only present versions are cached — an absent one may be
+  // published a moment later. [[vacuum]] drops its table's entries so a
+  // vacuumed version correctly resolves to None afterwards; as with the
+  // manifest cache, a vacuum run by ANOTHER process can leave this JVM
+  // serving trimmed versions until restart — stale metadata, never
+  // wrong data.
+  private val MaxCachedSnapshots = 4096
+  private val snapshotCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Int), Snapshot]
+
+  private[graft] def invalidateSnapshotCache(table: String): Unit =
+    snapshotCache.keys.filter(_._1 == table)
+      .foreach(snapshotCache.remove)
+
   def snapshot(spark: SparkSession, table: String, v: Int): Option[Snapshot] = {
+    snapshotCache.get((table, v)) match {
+      case some @ Some(_) => return some
+      case None => ()
+    }
+    if (snapshotCache.size > MaxCachedSnapshots) snapshotCache.clear()
+    val loaded = readSnapshotObject(spark, table, v)
+    loaded.foreach(s => snapshotCache.putIfAbsent((table, v), s))
+    loaded
+  }
+
+  private def readSnapshotObject(spark: SparkSession, table: String,
+      v: Int): Option[Snapshot] = {
     val ops = new FileOps(spark.sparkContext.hadoopConfiguration)
     val path = logPath(table, v)
     if (!ops.exists(path)) return None
@@ -418,22 +446,40 @@ object Snapshots {
     * manifests BY REFERENCE, so a commit writes O(delta) metadata and
     * the log object stays O(commits-since-rewrite) — never O(table
     * files). */
-  /** Per-file exact row counts of a manifest's delta, in one narrow
-    * footer-metadata pass (zero data columns read — parquet answers the
-    * per-file count from row-group metadata). Always recorded so
+  /** Commits at or under this many files count rows via DRIVER-side
+    * footer reads (~1 ms/file — row counts live in the parquet footer's
+    * row-group metadata, no data touched); larger commits use a
+    * distributed zero-column scan. The threshold exists because a Spark
+    * job costs ~200–300 ms of scheduling however small its input —
+    * which dominated multi-commit operations (measured: 3-append
+    * q154 +0.85 s) — while a 100 TB bulk load staging thousands of
+    * files wants the cluster, not a driver loop. */
+  private val DriverFooterCountMaxFiles = 64
+
+  /** Per-file exact row counts of a manifest's delta. Always recorded so
     * `count(*)` over a delete-free version is answerable from the LOG in
     * O(manifests), never a table scan ([[rowCountAt]] — the Delta
-    * metadata-only-query discipline). Files the scan yields no group for
-    * are genuinely empty → 0. */
+    * metadata-only-query discipline). Files the distributed scan yields
+    * no group for are genuinely empty → 0. */
   private def collectRowCounts(spark: SparkSession, table: String,
       files: Seq[String]): Map[String, Long] = {
     if (files.isEmpty) return Map.empty
-    val root = LakePaths.tableRootPath(spark, table)
-    files.map(_ -> 0L).toMap ++
-      spark.read.parquet(files.map(f => s"$table/$f"): _*)
-        .groupBy(LakePaths.relFileCol(root).as("_f"))
-        .count()
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val conf = spark.sparkContext.hadoopConfiguration
+    if (files.size <= DriverFooterCountMaxFiles) {
+      files.map { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new org.apache.hadoop.fs.Path(s"$table/$f"), conf)
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try f -> reader.getRecordCount finally reader.close()
+      }.toMap
+    } else {
+      val root = LakePaths.tableRootPath(spark, table)
+      files.map(_ -> 0L).toMap ++
+        spark.read.parquet(files.map(f => s"$table/$f"): _*)
+          .groupBy(LakePaths.relFileCol(root).as("_f"))
+          .count()
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
   }
 
   private def writeManifest(spark: SparkSession, table: String,
@@ -590,6 +636,11 @@ object Snapshots {
     var attempt = 0
     while (attempt < MaxCommitAttempts) {
       val prev = latestSnapshot(spark, table)
+      // an empty log means the table is NEW — or re-created at a path a
+      // previous incarnation used (tests and scratch tables do this):
+      // version numbers restart at 1, so cached resolutions from the
+      // old incarnation must not shadow the new log objects
+      if (prev.isEmpty) invalidateSnapshotCache(table)
       val v = prev.map(_.version).getOrElse(0) + 1
       val (manifests, deletes, renames, drops) = content(prev)
       val constraints = newConstraints(prev)
@@ -946,9 +997,15 @@ object Snapshots {
       // object no longer exists (the old walk skipped those
       // implicitly). One existence probe on the winner keeps the
       // fast path O(1); only a genuinely stale entry pays the walk.
-      best.filter(v => snapshot(spark, table, v).isDefined).orElse {
+      // The probes are FS-TRUTH (never the snapshot cache): an
+      // out-of-band trim this JVM hasn't observed must still be seen.
+      def existsFs(v: Int): Boolean =
+        new FileOps(spark.sparkContext.hadoopConfiguration)
+          .exists(logPath(table, v))
+      best.filter(existsFs).orElse {
         if (best.isEmpty) None
-        else (1 to latest).flatMap(v => snapshot(spark, table, v))
+        else (1 to latest).filter(existsFs)
+          .flatMap(v => snapshot(spark, table, v))
           .filter(_.commitTs <= tsMillis).map(_.version).maxOption
       }
     }
@@ -1641,8 +1698,10 @@ object Snapshots {
     val conf = spark.sparkContext.hadoopConfiguration
     val ops = new FileOps(conf)
     val latest = latestVersion(spark, table).getOrElse(return)
-    // trim log entries below keepFrom
+    // trim log entries below keepFrom (and this JVM's cached resolutions
+    // of them — a vacuumed version must resolve to None, not cache hits)
     (1 until keepFrom).foreach(v => ops.delete(logPath(table, v)))
+    invalidateSnapshotCache(table)
     val kept = (keepFrom to latest).flatMap(v => snapshot(spark, table, v))
     val live = kept.flatMap(s => s.files ++ s.deletes)
       .flatMap(_.split("/").drop(1).headOption).toSet
