@@ -1,7 +1,7 @@
 package graft.lake
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, col, lit, max, min}
+import org.apache.spark.sql.functions.{broadcast, col, concat, lit, max, min, when}
 import org.apache.spark.sql.types._
 
 /** Versioned snapshot log — TIME TRAVEL, incremental reads, merge-on-read
@@ -82,6 +82,16 @@ object Snapshots {
       rowCounts: Map[String, Long] = Map.empty,
       op: String = "",
       constraints: Seq[(String, String)] = Nil)
+
+  /** Resolve a manifest file reference to a readable path. References
+    * are table-relative in the common case; a [[shallowClone]] carries
+    * the SOURCE table's files as scheme-free ABSOLUTE paths (the Delta
+    * shallow-clone mixed-reference discipline), which resolve verbatim.
+    * [[LakePaths.relFileCol]] leaves such paths absolute too (the
+    * table-root strip only fires under the table root), so reader-side
+    * (file, pos) tombstone equality holds for both reference kinds. */
+  private def filePath(table: String, f: String): String =
+    if (f.startsWith("/")) f else s"$table/$f"
 
   private def logDir(table: String) = s"$table/_log"
   private def logPath(table: String, v: Int) = f"${logDir(table)}/v$v%06d.json"
@@ -468,14 +478,14 @@ object Snapshots {
     if (files.size <= DriverFooterCountMaxFiles) {
       files.map { f =>
         val in = org.apache.parquet.hadoop.util.HadoopInputFile
-          .fromPath(new org.apache.hadoop.fs.Path(s"$table/$f"), conf)
+          .fromPath(new org.apache.hadoop.fs.Path(filePath(table, f)), conf)
         val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
         try f -> reader.getRecordCount finally reader.close()
       }.toMap
     } else {
       val root = LakePaths.tableRootPath(spark, table)
       files.map(_ -> 0L).toMap ++
-        spark.read.parquet(files.map(f => s"$table/$f"): _*)
+        spark.read.parquet(files.map(f => filePath(table, f)): _*)
           .groupBy(LakePaths.relFileCol(root).as("_f"))
           .count()
           .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -706,7 +716,7 @@ object Snapshots {
     def deser(bytes: Array[Byte]): BloomFilter =
       BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes))
     val perCol = bloomCols.map { c =>
-      val partials = spark.read.parquet(files.map(f => s"$table/$f"): _*)
+      val partials = spark.read.parquet(files.map(f => filePath(table, f)): _*)
         .select(LakePaths.relFileCol(root).as("_f"),
           col(c).cast("long").as("_k"))
         .filter(col("_k").isNotNull)
@@ -783,7 +793,7 @@ object Snapshots {
     val aggs = statsCols.flatMap(c => Seq(
       min(col(c)).cast("double").as(s"_mn_$c"),
       max(col(c)).cast("double").as(s"_mx_$c")))
-    spark.read.parquet(files.map(f => s"$table/$f"): _*)
+    spark.read.parquet(files.map(f => filePath(table, f)): _*)
       .groupBy(LakePaths.relFileCol(root).as("_f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
@@ -853,7 +863,7 @@ object Snapshots {
       files: Seq[String]): DataFrame = {
     val root = LakePaths.tableRootPath(spark, table)
     spark.read.option("mergeSchema", "true")
-      .parquet(files.map(f => s"$table/$f"): _*)
+      .parquet(files.map(f => filePath(table, f)): _*)
       .withColumn("_snap_file", LakePaths.relFileCol(root))
       .withColumn("_snap_pos", col("_metadata.row_index"))
   }
@@ -883,7 +893,7 @@ object Snapshots {
       data: DataFrame, deletes: Seq[String]): DataFrame =
     if (deletes.isEmpty) data
     else {
-      val dels = spark.read.parquet(deletes.map(f => s"$table/$f"): _*)
+      val dels = spark.read.parquet(deletes.map(f => filePath(table, f)): _*)
       data.join(broadcast(dels),
         data("_snap_file") === dels("file") && data("_snap_pos") === dels("pos"),
         "left_anti")
@@ -899,7 +909,7 @@ object Snapshots {
       // the new column as null. At 100 TB the union is computed from
       // file FOOTERS, never a data pass.
       spark.read.option("mergeSchema", "true")
-        .parquet(files.map(f => s"$table/$f"): _*)
+        .parquet(files.map(f => filePath(table, f)): _*)
     else
       subtractDeletes(spark, table, withMeta(spark, table, files), deletes)
         .drop("_snap_file", "_snap_pos")
@@ -1094,7 +1104,7 @@ object Snapshots {
       .toSeq.sortBy(_._1)
       .map { case (dir, fs) =>
         fs -> known.getOrElse(dir,
-          spark.read.parquet(s"$table/${fs.head}").schema)
+          spark.read.parquet(filePath(table, fs.head)).schema)
       }
 
   /** Metadata-only column RENAME (`ALTER TABLE … RENAME COLUMN`): a new
@@ -1442,6 +1452,58 @@ object Snapshots {
     }
   }
 
+  /** SHALLOW CLONE (`CREATE TABLE dst SHALLOW CLONE src [VERSION AS OF
+    * v]`, the Delta zero-copy clone): `dst` is born as a one-version
+    * table whose manifest references `src`'s data files BY ABSOLUTE
+    * PATH — no data byte is copied, cost is O(metadata). Stats, blooms,
+    * era schemas, the rename chain, the drop ledger and CHECK
+    * constraints all carry over, so pruning and era-aware reads work on
+    * the clone exactly as on the source at `v`. The two tables then
+    * diverge independently: DML on the clone tombstones/stages under
+    * the CLONE's directory only, and — because [[vacuum]] only ever
+    * deletes under its own table's `_snap/` — neither table's vacuum
+    * can reap the other's files (the clone's vacuum sees foreign
+    * absolute refs it never matches; the SOURCE's vacuum after trimming
+    * `v` CAN reap files the clone still references, the documented
+    * Delta shallow-clone hazard — a deployment pins source retention to
+    * outstanding clones).
+    *
+    * Tombstone sidecars need one rewrite: their CONTENT references data
+    * files in source-relative terms, while the clone's reader computes
+    * foreign files' `_snap_file` as absolute paths — so the carried
+    * delete rows are re-written under `dst` with absolute `file` refs
+    * (O(tombstones), metadata scale). Cloning a clone passes absolute
+    * refs through unchanged. */
+  def shallowClone(spark: SparkSession, src: String, dst: String,
+      version: Option[Int] = None): Int = {
+    val v = version.orElse(latestVersion(spark, src)).getOrElse(
+      throw new IllegalArgumentException(s"clone source $src has no versions"))
+    val s = snapshot(spark, src, v).getOrElse(
+      throw new IllegalArgumentException(s"$src has no version $v"))
+    val srcRoot = LakePaths.tableRootPath(spark, src)
+    def abs(f: String) = if (f.startsWith("/")) f else s"$srcRoot/$f"
+    val cloneDeletes: Seq[String] =
+      if (s.deletes.isEmpty) Nil
+      else {
+        val dels = spark.read.parquet(
+          s.deletes.map(f => filePath(src, f)): _*)
+        writeDeletes(spark, dst, dels.withColumn("file",
+          when(col("file").startsWith("/"), col("file"))
+            .otherwise(concat(lit(srcRoot + "/"), col("file")))))
+      }
+    val manifest = writeManifest(spark, dst, s.files.map(abs),
+      s.stats.map { case (f, st) => abs(f) -> st },
+      s.blooms.map { case (f, b) => abs(f) -> b },
+      s.dirSchemas.map { case (d, sch) => abs(d) -> sch })
+    commitLoop(spark, dst, "clone",
+        newConstraints = _ => Some(s.constraints)) { prev =>
+      if (prev.nonEmpty) throw new IllegalStateException(
+        s"shallow clone target $dst already has versions")
+      (Seq(manifest), cloneDeletes, s.renames,
+        s.drops.map { case (n, cl, dirs) => (n, cl, dirs.map(abs)) })
+    }
+  }
+
   /** OPTIMIZE: rewrite the current live view (data minus positional
     * deletes) into fresh compacted files published as a NEW version —
     * the amortized answer to merge-on-read debt. Unlike
@@ -1476,7 +1538,7 @@ object Snapshots {
     val conf = spark.sparkContext.hadoopConfiguration
     val probe = latestSnapshot(spark, table).getOrElse(return None)
     def sized(files: Seq[String]): Seq[(String, Long)] = files.map { f =>
-      val p = new org.apache.hadoop.fs.Path(s"$table/$f")
+      val p = new org.apache.hadoop.fs.Path(filePath(table, f))
       f -> p.getFileSystem(conf).getFileStatus(p).getLen
     }
     val probeSized = sized(probe.files)
@@ -1581,7 +1643,7 @@ object Snapshots {
       val tombs =
         if (newDeleteFiles.isEmpty) None
         else Some(spark.read.parquet(
-          newDeleteFiles.map(f => s"$table/$f"): _*))
+          newDeleteFiles.map(f => filePath(table, f)): _*))
       val inserts =
         if (newFiles.isEmpty) None
         else Some {
@@ -1627,7 +1689,7 @@ object Snapshots {
         if (removedDeleteFiles.isEmpty || retained.isEmpty) None
         else Some {
           val tOld = spark.read.parquet(
-            removedDeleteFiles.map(f => s"$table/$f"): _*)
+            removedDeleteFiles.map(f => filePath(table, f)): _*)
           val rows = withMetaEras(spark, table, s2.copy(files = retained))
           val revived = rows.join(broadcast(tOld),
             rows("_snap_file") === tOld("file") &&

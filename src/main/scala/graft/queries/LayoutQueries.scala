@@ -985,6 +985,100 @@ object LayoutQueries {
       .withColumn("files_shrunk", lit(dirsBefore > dirsAfter))
   }
 
+  /** q209 — SHALLOW CLONE ([[graft.lake.Snapshots.shallowClone]], the
+    * Delta `CREATE TABLE … SHALLOW CLONE` zero-copy branch): the clone
+    * is born referencing the SOURCE's data files by absolute path — no
+    * byte copied — then the two tables diverge independently. The gate
+    * drives the full hazard surface at once: the source carries live
+    * TOMBSTONES at clone time (the sidecar-content rewrite is what
+    * makes 'clone_v1' honor them — a broken rewrite resurrects every
+    * fifth order), the clone then UPDATEs (DML over foreign-referenced
+    * files: tombstones + restaged rows land under the CLONE only),
+    * the source appends after the clone (no leak into the clone), and
+    * the clone VACUUMs (must never reap the source's files — the
+    * `zero_copy` marker pins that v1 referenced only foreign absolute
+    * paths, `vacuum_safe` that both tables still read exactly after
+    * the clone's vacuum). At 100 TB a clone is O(metadata): the test
+    * table's semantics are byte-identical. */
+  def shallowCloneLake(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Snapshots
+    val root = graft.util.Scratch.dir("sclone", dir)
+    val src = s"$root/orders_src"
+    val dst = s"$root/orders_cl"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(src))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dst))
+    val orders = Tables(spark, dir, "orders")
+    Snapshots.append(spark, src, orders) // src v1
+    Snapshots.deleteWhere(spark, src, col("o_orderkey") % 5 === 0) // src v2
+    Snapshots.shallowClone(spark, src, dst) // clone of src@v2, tombstones live
+    val cl1 = Snapshots.snapshot(spark, dst, 1).get
+    val zeroCopy = cl1.files.nonEmpty &&
+      cl1.files.forall(f => f.startsWith("/") && f.contains("orders_src"))
+    def aggOf(df: DataFrame, label: String) = df
+      .agg(count(lit(1)).as("n_rows"),
+        count(when(col("o_orderpriority") === "9-CLONED", 1)).as("n_upd"),
+        Num.sumMoney(col("o_totalprice")).as("sum_price"))
+      .select(lit(label).as("part"), col("n_rows"), col("n_upd"),
+        col("sum_price"))
+    val cloneV1 = aggOf(Snapshots.readAt(spark, dst, 1).get, "clone_v1")
+    // diverge: DML on the clone, then append on the source — neither
+    // may observe the other
+    Snapshots.updateWhere(spark, dst, col("o_totalprice") < 50000,
+      Map("o_orderpriority" -> lit("9-CLONED")))
+    Snapshots.append(spark, src, orders.filter(col("o_orderkey") % 5 === 0))
+    val cloneV2 = aggOf(Snapshots.readLatest(spark, dst).get, "clone_v2")
+    val srcLatest = aggOf(Snapshots.readLatest(spark, src).get, "src_latest")
+    Snapshots.vacuum(spark, dst, keepFrom = 2)
+    val expectClone = orders.filter(col("o_orderkey") % 5 =!= 0).count()
+    val vacuumSafe =
+      Snapshots.readAt(spark, src, 2).get.count() == expectClone &&
+        Snapshots.readLatest(spark, dst).get.count() == expectClone
+    cloneV1.unionAll(cloneV2).unionAll(srcLatest)
+      .withColumn("zero_copy", lit(zeroCopy))
+      .withColumn("vacuum_safe", lit(vacuumSafe))
+  }
+
+  /** q210 — MERGE with AUTOMATIC SCHEMA EVOLUTION (the Delta
+    * `mergeSchema` upsert): the change batch carries a column the
+    * target has never seen (`c_tier`); the merge stages it with the
+    * batch's own schema and the era machinery widens on read — merged
+    * rows surface their tier, untouched rows surface null, and NO data
+    * file is rewritten to make that true. Time travel below the merge
+    * must NOT show the column (`v1_no_tier` — evolution is versioned
+    * with the log), and the change feed across the merge carries the
+    * evolved column on its insert images while the delete images (old
+    * rows, pre-evolution era) widen to null. */
+  def mergeSchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Snapshots
+    val root = graft.util.Scratch.dir("mevo", dir)
+    val table = s"$root/cust_evo"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+    val custCols = Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+    val cust = Tables(spark, dir, "customer")
+      .select(custCols.map(col): _*)
+    Snapshots.append(spark, table, cust) // v1: no c_tier anywhere
+    val changes = cust.filter(col("c_custkey") % 10 < 2)
+      .withColumn("c_acctbal", col("c_acctbal") + 100.0)
+      .withColumn("c_tier",
+        when(col("c_acctbal") >= 1000.0, "gold").otherwise("std"))
+    val v2 = Snapshots.merge(spark, table, changes, Seq("c_custkey"))
+    val v1NoTier = !Snapshots.readAt(spark, table, 1).get
+      .schema.fieldNames.contains("c_tier")
+    val byTier = Snapshots.readAt(spark, table, v2).get
+      .groupBy(coalesce(col("c_tier"), lit("none")).as("tier"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(Num.cents(col("c_acctbal"))).as("sum_cents"))
+      .select(lit("v2").as("part"), col("tier"), col("n_rows"),
+        col("sum_cents"))
+    val cdf = Snapshots.changesBetween(spark, table, 1, v2).get
+      .groupBy(concat(lit("cdf_"), col("_change_type")).as("part"),
+        coalesce(col("c_tier"), lit("none")).as("tier"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(Num.cents(col("c_acctbal"))).as("sum_cents"))
+    byTier.unionAll(cdf.select("part", "tier", "n_rows", "sum_cents"))
+      .withColumn("v1_no_tier", lit(v1NoTier))
+  }
+
   /** q204 — `min`/`max` answered from manifest STATS (q199's rule
     * extended to the other metadata-answerable aggregates — together
     * they cover the "how big / what range" sanity queries every 100 TB
@@ -1116,6 +1210,44 @@ object LayoutQueries {
   }
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q209_shallow_clone", shallowCloneLake, Some(s"""
+      SELECT 'clone_v1' AS part, COUNT(*) AS n_rows,
+             CAST(0 AS BIGINT) AS n_upd,
+             ${Num.sqlSumMoney("o_totalprice")} AS sum_price,
+             true AS zero_copy, true AS vacuum_safe
+      FROM orders WHERE o_orderkey % 5 <> 0
+      UNION ALL
+      SELECT 'clone_v2', COUNT(*),
+             COUNT(CASE WHEN o_totalprice < 50000 THEN 1 END),
+             ${Num.sqlSumMoney("o_totalprice")}, true, true
+      FROM orders WHERE o_orderkey % 5 <> 0
+      UNION ALL
+      SELECT 'src_latest', COUNT(*), CAST(0 AS BIGINT),
+             ${Num.sqlSumMoney("o_totalprice")}, true, true
+      FROM orders""")),
+    QueryDef("q210_merge_schema_evolution", mergeSchemaEvolution, Some(s"""
+      WITH ch AS (
+        SELECT c_custkey, c_acctbal + 100.0 AS c_acctbal,
+               CASE WHEN c_acctbal + 100.0 >= 1000.0
+                    THEN 'gold' ELSE 'std' END AS c_tier
+        FROM customer WHERE c_custkey % 10 < 2),
+      v2 AS (
+        SELECT c_acctbal, CAST(NULL AS VARCHAR) AS c_tier
+        FROM customer WHERE c_custkey % 10 >= 2
+        UNION ALL SELECT c_acctbal, c_tier FROM ch)
+      SELECT 'v2' AS part, COALESCE(c_tier, 'none') AS tier,
+             COUNT(*) AS n_rows,
+             CAST(SUM(${Num.sqlCents("c_acctbal")}) AS BIGINT) AS sum_cents,
+             true AS v1_no_tier
+      FROM v2 GROUP BY 2
+      UNION ALL
+      SELECT 'cdf_delete', 'none', COUNT(*),
+             CAST(SUM(${Num.sqlCents("c_acctbal")}) AS BIGINT), true
+      FROM customer WHERE c_custkey % 10 < 2
+      UNION ALL
+      SELECT 'cdf_insert', c_tier, COUNT(*),
+             CAST(SUM(${Num.sqlCents("c_acctbal")}) AS BIGINT), true
+      FROM ch GROUP BY 2""")),
     QueryDef("q206_stats_pruned_sql", statsPrunedSql, Some(s"""
       SELECT o_orderpriority, COUNT(*) AS n_rows,
              CAST(SUM(${Num.sqlCents("o_totalprice")}) AS BIGINT)

@@ -377,7 +377,80 @@ object RetrievalQueries {
     WHERE rank <= $HybridTopK"""
   }
 
+  /** Tokens per late-interaction query; queries are the vec_id<16
+    * vectors grouped four-a-piece (query_id = vec_id DIV 4) — fixed,
+    * corpus-derived, disjoint from the document side (vec_id ≥ 20). */
+  val MaxSimQueryTokens = 4
+  val MaxSimTopK = 3
+
+  /** q212 — LATE-INTERACTION retrieval (the ColBERT MaxSim operator):
+    * documents are BAGS of token vectors (here: each `label` group of
+    * the embeddings table), queries are small bags too, and the score
+    * is sum-over-query-tokens of max-over-doc-tokens cosine — the
+    * multi-vector semantics single-vector ANN (q24…q193) cannot
+    * express, and the reason ColBERT-style engines exist. Plan shape =
+    * the scale-correct MaxSim: corpus token vectors stay partitioned
+    * and are scored against the BROADCAST query bag in one narrow pass
+    * (no corpus shuffle); max-per-(doc, query-token) reduces with
+    * map-side partial aggregation (state = one double per group);
+    * the per-token maxima are FLOORED TO e6 INTEGERS before the final
+    * sum, so the cross-token reduction is order-independent integer
+    * arithmetic — bit-equal in any engine at any parallelism (a double
+    * sum here would be summation-order-dependent); doc ranking rides
+    * the O(k) [[graft.functions.TopKPairs]] heap. */
+  def maxsimTopK(spark: SparkSession, dir: String): DataFrame = {
+    import graft.similarity.Similarity
+    val emb = graft.util.Par.ensure(Tables(spark, dir, "embeddings"))
+    val qt = broadcast(emb
+      .filter(col("vec_id") < MaxSimQueryTokens * 4)
+      .select(expr(s"vec_id DIV $MaxSimQueryTokens").as("query_id"),
+        col("vec_id").as("qt_id"), col("embedding").as("_qv")))
+    val perToken = emb.filter(col("vec_id") >= 20)
+      .crossJoin(qt)
+      .groupBy(col("label"), col("query_id"), col("qt_id"))
+      .agg(max(Similarity.cosine(col("_qv"), col("embedding"))).as("mx"))
+      .select(col("label"), col("query_id"),
+        floor(col("mx") * 1000000).as("mxe6"))
+    perToken.groupBy("query_id", "label")
+      .agg(sum("mxe6").as("score_e6"))
+      .groupBy("query_id")
+      .agg(graft.functions.TopKPairs.column(
+        col("score_e6").cast("double"), col("label").cast("long"),
+        MaxSimTopK).as("_top"))
+      .select(col("query_id"), posexplode(col("_top")).as(Seq("_i", "_p")))
+      .select(col("query_id"), (col("_i") + 1).cast("long").as("rank"),
+        col("_p.id").as("label"),
+        col("_p.score").cast("long").as("score_e6"))
+  }
+
+  private val maxsimOracle = {
+    import graft.similarity.Similarity
+    val cos = Similarity.sqlCosine("q.embedding", "c.embedding")
+    s"""
+      WITH qt AS (
+        SELECT vec_id // $MaxSimQueryTokens AS query_id, vec_id AS qt_id,
+               embedding
+        FROM embeddings WHERE vec_id < ${MaxSimQueryTokens * 4}),
+      mx AS (
+        SELECT c.label, q.query_id, q.qt_id,
+          CAST(floor(max($cos) * 1000000) AS BIGINT) AS mxe6
+        FROM embeddings c JOIN qt q ON c.vec_id >= 20
+        GROUP BY 1, 2, 3),
+      sc AS (
+        SELECT query_id, label, SUM(mxe6) AS score_e6
+        FROM mx GROUP BY 1, 2),
+      r AS (
+        SELECT query_id, label, score_e6,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY score_e6 DESC, label) AS rank
+        FROM sc)
+      SELECT query_id, rank, CAST(label AS BIGINT) AS label,
+             CAST(score_e6 AS BIGINT) AS score_e6
+      FROM r WHERE rank <= $MaxSimTopK"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q212_maxsim_topk", maxsimTopK, Some(maxsimOracle)),
     QueryDef("q201_hybrid_rrf", hybridRrf, Some(hybridRrfOracle)),
     QueryDef("q144_bm25", bm25, Some(bm25Oracle)),
     QueryDef("q125_phrase_query", phraseQuery, Some({

@@ -550,7 +550,116 @@ object SimilarityQueries {
         FROM emb e JOIN embeddings r ON r.vec_id = e.vec_id
         WHERE r.label % 2 = 0)""")
 
+  /** 64 dims pack into 2×32-bit words (BIGINT-valued, sign-safe: a full
+    * 64-bit word's top bit would overflow the exact-double packing both
+    * engines share). */
+  private val BqWords = 2
+  /** Hamming-stage shortlist size — the recall/cost knob of every
+    * two-stage binary-quantization deployment. */
+  private val BqShortlist = 20
+
+  /** q211 — BINARY-QUANTIZATION ANN with exact rerank (the 1-bit
+    * compression ladder rung below q82's int8 / q158's PQ — what
+    * vector stores ship as "BQ + rescore"): each vector compresses to
+    * its SIGN BITS packed into [[BqWords]] integer words (32× smaller
+    * than float32; 256× smaller than the double form), candidate
+    * generation is integer HAMMING distance on the packed words
+    * (bit_count(xor) — SIMD-able, no floating point, no corpus
+    * shuffle: the same broadcast-queries narrow pass as q24), and only
+    * the [[BqShortlist]] best-by-hamming candidates per query are
+    * reranked with the exact cosine. Both stages rank through the
+    * native O(k) [[graft.functions.TopKPairs]] heap — hamming
+    * ascending via negated score, ties by id, exactly the oracle's
+    * window order. Every packed bit, xor, popcount and the final
+    * cosine is identical integer/IEEE arithmetic in both engines, so
+    * the shortlist AND the reranked top-k hash-compare exactly. */
+  def bqHammingTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = graft.util.Par.ensure(Tables(spark, dir, "embeddings"))
+    def coded(df: DataFrame) = df
+      .withColumn("_d", col("embedding").cast("array<double>"))
+      .withColumn("code", transform(sequence(lit(0), lit(BqWords - 1)), w =>
+        aggregate(sequence(lit(1), lit(32)), lit(0L), (acc, j) =>
+          acc + when(element_at(col("_d"), (w * 32 + j).cast("int")) > 0.0,
+            pow(lit(2.0), (j - 1).cast("double")).cast("long"))
+            .otherwise(lit(0L)))))
+      .drop("_d")
+    val corpus = coded(emb).select(col("vec_id"), col("embedding"),
+      col("code"))
+    val q = broadcast(coded(queriesOf(emb))
+      .select(col("vec_id").as("query_id"), col("embedding").as("_qv"),
+        col("code").as("_qc")))
+    val ham = corpus.crossJoin(q)
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        aggregate(zip_with(col("code"), col("_qc"),
+            (a, b) => bit_count(a.bitwiseXOR(b)).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("hamming"))
+    val short = ham.groupBy("query_id")
+      .agg(graft.functions.TopKPairs.column(
+        -col("hamming").cast("double"), col("vec_id"), BqShortlist)
+        .as("_top"))
+      .select(col("query_id"), explode(col("_top")).as("_p"))
+      .select(col("query_id"), col("_p.id").as("neighbor_id"),
+        (-col("_p.score")).cast("long").as("hamming"))
+    // exact rerank touches shortlist-sized data only
+    val rer = short
+      .join(corpus.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("_cv")), "neighbor_id")
+      .join(q.select(col("query_id"), col("_qv")), "query_id")
+      .select(col("query_id"), col("neighbor_id"), col("hamming"),
+        Similarity.cosine(col("_qv"), col("_cv")).as("cos_sim"))
+    rer.groupBy("query_id")
+      .agg(graft.functions.TopKPairs.column(
+        col("cos_sim"), col("neighbor_id"), K).as("_top"))
+      .select(col("query_id"), posexplode(col("_top")).as(Seq("_i", "_p")))
+      .select(col("query_id"), (col("_i") + 1).cast("long").as("rank"),
+        col("_p.id").as("neighbor_id"),
+        floor(col("_p.score") * 1000000).as("cos_sim_e6"))
+      .join(rer.select(col("query_id"), col("neighbor_id"), col("hamming")),
+        Seq("query_id", "neighbor_id"))
+  }
+
+  private val bqHammingOracle = {
+    val cosRer = Similarity.sqlCosine("qe.embedding", "ce.embedding")
+    s"""
+      WITH v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS d FROM embeddings),
+      coded AS (
+        SELECT vec_id,
+          list_transform(range(0, $BqWords), w ->
+            CAST(list_sum(list_transform(range(1, 33), j ->
+              CASE WHEN d[w * 32 + j] > 0 THEN 2.0 ** (j - 1)
+                   ELSE 0 END)) AS BIGINT)) AS code
+        FROM v),
+      ham AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          CAST(bit_count(xor(c.code[1], q.code[1]))
+             + bit_count(xor(c.code[2], q.code[2])) AS BIGINT) AS hamming
+        FROM coded q JOIN coded c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < 20),
+      short AS (
+        SELECT query_id, neighbor_id, hamming,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY hamming, neighbor_id) AS hrank
+        FROM ham),
+      rer AS (
+        SELECT s.query_id, s.neighbor_id, s.hamming, $cosRer AS cos_sim
+        FROM short s
+        JOIN embeddings qe ON qe.vec_id = s.query_id
+        JOIN embeddings ce ON ce.vec_id = s.neighbor_id
+        WHERE s.hrank <= $BqShortlist),
+      ranked AS (
+        SELECT query_id, neighbor_id, hamming, cos_sim,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY cos_sim DESC, neighbor_id) AS rank
+        FROM rer)
+      SELECT query_id, rank, neighbor_id,
+        CAST(floor(cos_sim * 1000000) AS BIGINT) AS cos_sim_e6, hamming
+      FROM ranked WHERE rank <= $K"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q211_bq_hamming_topk", bqHammingTopK, Some(bqHammingOracle)),
     QueryDef("q170_filtered_ivf_topk", filteredIvfTopK,
       Some(filteredIvfOracle)),
     QueryDef("q166_nsw_graph_topk", nswTopKQ, Some(nswOracle)),

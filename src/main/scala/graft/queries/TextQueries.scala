@@ -221,6 +221,68 @@ object TextQueries {
       .select(col("doc_id"), col("n_tokens"), col("cum_tokens"))
   }
 
+  /** q213 — TEMPERATURE-WEIGHTED domain mixture (the multilingual/
+    * multi-domain sampling rule every large LM corpus ships: domain
+    * weights ∝ size^α with α < 1, so small domains are UP-sampled
+    * relative to proportional mixing — here α = 1/2, realized as an
+    * INTEGER sqrt so every weight, budget and boundary is exact integer
+    * arithmetic in both engines). Per-domain token budgets =
+    * global_budget · √T_s / Σ√T, then each domain is carved to its
+    * budget in the stable-hash order by q123's DISTRIBUTED two-phase
+    * prefix sum — per-(domain, bucket) totals are a tiny driver-side
+    * relation, the within-bucket cumsum runs in parallel, and NO
+    * global or per-domain single-task window exists in the plan (the
+    * naive per-domain `SUM OVER (PARTITION BY domain ORDER BY …)`
+    * serializes each domain through one task — exactly the q70 hazard
+    * the decomposition removes). Output: per-domain doc/token yield vs
+    * budget, zero-budget domains included. The driver-side budget
+    * arithmetic uses BigInt (Σtokens·weight overflows a long at
+    * ~10 TB of tokens); the oracle's HUGEINT matches exactly. */
+  def domainMixtureCarve(spark: SparkSession, dir: String,
+      buckets: Int = CarveBuckets): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.text.Sampling
+    val weighted = graft.util.Par.ensure(Tables(spark, dir, "documents"))
+      .select(col("doc_id"), col("source"),
+        wsTokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("h", Sampling.hashBucket(col("doc_id")))
+      .withColumn("bucket",
+        expr(s"(h * $buckets) DIV ${Sampling.Denominator}"))
+    val totals = weighted.groupBy("source", "bucket")
+      .agg(sum("n_tokens").as("t"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val perSource = totals.groupBy(_._1).view.mapValues(_.map(_._3).sum)
+      .toMap
+    val wgt = perSource.map { case (s, t) =>
+      s -> math.floor(math.sqrt(t.toDouble)).toLong }
+    val wsum = wgt.values.sum
+    val budgetAll = perSource.values.sum * 2 / 5
+    val budgets = wgt.map { case (s, ww) =>
+      s -> (BigInt(budgetAll) * ww / wsum).toLong }
+    val offsets = totals.groupBy(_._1).toSeq.flatMap { case (s, rows) =>
+      var acc = 0L
+      rows.sortBy(_._2).map { case (_, b, t) =>
+        val o = (s, b, acc); acc += t; o }
+    }
+    import spark.implicits._
+    val offsetDf = offsets.toDF("source", "bucket", "offset")
+    val budgetDf = budgets.toSeq.toDF("source", "budget")
+    val w = Window.partitionBy("source", "bucket").orderBy("h", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sel = weighted
+      .withColumn("run", sum("n_tokens").over(w))
+      .join(broadcast(offsetDf), Seq("source", "bucket"))
+      .withColumn("cum", col("run") + col("offset"))
+      .join(broadcast(budgetDf), Seq("source"))
+      .filter(col("cum") - col("n_tokens") < col("budget"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sel_tokens"))
+    budgetDf.join(sel, Seq("source"), "left")
+      .select(col("source"), coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("sel_tokens"), lit(0L)).as("sel_tokens"),
+        col("budget"))
+  }
+
   /** q128 feature dimension, interpolated into BOTH sides. */
   val FeatureDim = 64
 
@@ -1282,6 +1344,36 @@ object TextQueries {
         CAST(row_number() OVER (PARTITION BY hv % $ShuffleShards
           ORDER BY hv, doc_id) AS BIGINT) AS pos
       FROM h""")),
+    QueryDef("q213_domain_mixture", domainMixtureCarve(_, _), Some({
+      import graft.text.Sampling
+      s"""
+      WITH w AS (
+        SELECT doc_id, source,
+          CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(${sqlTokens("text")}) END AS BIGINT) AS n_tokens,
+          ${Sampling.sqlHashBucket("doc_id")} AS h
+        FROM documents),
+      t AS (SELECT source, SUM(n_tokens) AS tot FROM w GROUP BY 1),
+      wt AS (SELECT source, tot,
+               CAST(floor(sqrt(tot)) AS BIGINT) AS wgt FROM t),
+      g AS (SELECT SUM(tot) AS all_tok, SUM(wgt) AS wsum FROM wt),
+      b AS (SELECT source,
+              CAST(((all_tok * 2) // 5) * wgt // wsum AS BIGINT) AS budget
+            FROM wt, g),
+      c AS (SELECT doc_id, source, n_tokens,
+              SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM w),
+      s AS (SELECT c.source, COUNT(*) AS n_docs,
+              SUM(c.n_tokens) AS sel_tokens
+            FROM c JOIN b ON b.source = c.source
+            WHERE c.cum - c.n_tokens < b.budget
+            GROUP BY 1)
+      SELECT b.source, COALESCE(s.n_docs, 0) AS n_docs,
+             CAST(COALESCE(s.sel_tokens, 0) AS BIGINT) AS sel_tokens,
+             b.budget
+      FROM b LEFT JOIN s ON s.source = b.source"""
+    })),
     QueryDef("q123_token_budget_carve", tokenBudgetCarve(_, _), Some({
       import graft.text.Sampling
       s"""

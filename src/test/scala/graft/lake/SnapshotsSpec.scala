@@ -1004,6 +1004,73 @@ class SnapshotsSpec extends SparkTestBase {
     org.apache.commons.io.FileUtils.deleteQuietly(new File(t).getParentFile)
   }
 
+  test("shallow clone: zero-copy birth, tombstones honored, divergence") {
+    val t = fresh("clsrc")
+    val c = s"${new File(t).getParent}/c"
+    Snapshots.append(spark, t, orders.limit(100))
+    Snapshots.deleteWhere(spark, t, col("o_orderkey") % 3 === 0)
+    Snapshots.shallowClone(spark, t, c)
+    // zero copy: the clone's only _snap content is the rewritten delete
+    // sidecar — no c- data dir exists until the clone itself writes
+    val snapDirs = new File(c, "_snap").listFiles().map(_.getName)
+    assert(snapDirs.forall(_.startsWith("d-")), snapDirs.mkString(", "))
+    val s1 = Snapshots.snapshot(spark, c, 1).get
+    assert(s1.files.nonEmpty && s1.files.forall(_.startsWith("/")))
+    // carried tombstones subtract on the clone read
+    val expect = Snapshots.readLatest(spark, t).get.count()
+    assert(Snapshots.readLatest(spark, c).get.count() == expect)
+    // divergence: delete on the clone never touches the source
+    Snapshots.deleteWhere(spark, c, col("o_orderkey") % 3 === 1)
+    assert(Snapshots.readLatest(spark, t).get.count() == expect)
+    assert(Snapshots.readLatest(spark, c).get.count() < expect)
+    // stats/constraints/schema carried: a second clone OF THE CLONE
+    // passes absolute refs through unchanged
+    val cc = s"${new File(t).getParent}/cc"
+    Snapshots.shallowClone(spark, c, cc)
+    assert(Snapshots.readLatest(spark, cc).get.count() ==
+      Snapshots.readLatest(spark, c).get.count())
+    assert(Snapshots.snapshot(spark, cc, 1).get.files == // same foreign refs
+      Snapshots.snapshot(spark, c,
+        Snapshots.latestVersion(spark, c).get).get.files)
+    // clone into an existing table is refused
+    intercept[IllegalStateException](Snapshots.shallowClone(spark, t, c))
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(t).getParentFile)
+  }
+
+  test("shallow clone: clone vacuum never reaps source files") {
+    val t = fresh("clvac")
+    val c = s"${new File(t).getParent}/c"
+    Snapshots.append(spark, t, orders.limit(80))
+    Snapshots.shallowClone(spark, t, c)
+    Snapshots.updateWhere(spark, c, col("o_orderkey") % 2 === 0,
+      Map("o_orderpriority" -> lit("X")))
+    Snapshots.vacuum(spark, c, keepFrom = 2)
+    // clone v1 gone, clone live intact, source fully intact
+    assert(Snapshots.readAt(spark, c, 1).isEmpty)
+    assert(Snapshots.readLatest(spark, c).get.count() == 80)
+    assert(Snapshots.readLatest(spark, t).get.count() == 80)
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(t).getParentFile)
+  }
+
+  test("merge with a new column: eras widen, v1 stays narrow") {
+    val t = fresh("mevo")
+    Snapshots.append(spark, t, orders.limit(60)
+      .select("o_orderkey", "o_totalprice"))
+    Snapshots.merge(spark, t, orders.limit(60)
+      .filter(col("o_orderkey") % 4 === 0)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        lit("fresh").as("o_tag")),
+      Seq("o_orderkey"))
+    val v2 = Snapshots.readLatest(spark, t).get
+    assert(v2.schema.fieldNames.contains("o_tag"))
+    assert(v2.count() == 60)
+    assert(v2.filter(col("o_tag").isNull).count() ==
+      v2.filter(col("o_orderkey") % 4 =!= 0).count())
+    assert(!Snapshots.readAt(spark, t, 1).get
+      .schema.fieldNames.contains("o_tag"))
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(t).getParentFile)
+  }
+
   test("publish leaves no tmp or orphaned .crc sidecars in _log") {
     val t = fresh("crc")
     Snapshots.append(spark, t, orders.limit(50))
