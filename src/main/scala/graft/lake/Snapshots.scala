@@ -1561,6 +1561,76 @@ object Snapshots {
     })
   }
 
+  /** DELETE-RATIO-targeted compaction (Iceberg's
+    * `rewrite_data_files` with a delete-ratio filter / Delta's purge:
+    * the maintenance policy that pays down merge-on-read debt WHERE IT
+    * HURTS and nowhere else): only data files whose tombstone fraction
+    * reaches `minDeleteRatio` are rewritten — their live rows restage
+    * into fresh files with no covering tombstones — while cold files
+    * carry by reference, bytes, stats and blooms untouched, and the
+    * tombstones POINTING INTO THEM are retained (re-written minus the
+    * hot files' rows, O(tombstones) metadata). Ratios come entirely
+    * from the LOG: per-file row counts from the manifests, per-file
+    * tombstone counts from one aggregate over the delete sidecars —
+    * no data file is opened to DECIDE. Cost: O(hot-file data +
+    * tombstones); a 100 TB table whose churn concentrates in recent
+    * partitions compacts exactly those. Returns None when no file
+    * qualifies. */
+  def optimizeDeletes(spark: SparkSession, table: String,
+      minDeleteRatio: Double, statsCols: Seq[String] = Nil): Option[Int] = {
+    val probe = latestSnapshot(spark, table).getOrElse(return None)
+    if (probe.deletes.isEmpty) return None
+    def hotOf(s: Snapshot): (org.apache.spark.sql.DataFrame, Seq[String]) = {
+      val allTombs = spark.read
+        .parquet(s.deletes.map(f => filePath(table, f)): _*)
+      val tombCounts = allTombs.groupBy("file").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      (allTombs, s.files.filter { f =>
+        val n = s.rowCounts.getOrElse(f, 0L)
+        n > 0 && tombCounts.getOrElse(f, 0L).toDouble / n >= minDeleteRatio
+      })
+    }
+    // fast-path probe: nothing qualifies → None, no version published;
+    // a concurrent commit between probe and publish re-decides inside
+    // the loop (and records a no-op version, like optimizeSmallFiles)
+    if (hotOf(probe)._2.isEmpty) return None
+    def content(prev: Snapshot): (Seq[String], Seq[String],
+        Seq[(String, String)], Seq[DropSpec]) = {
+      val noop = (prev.manifests, prev.deletes, prev.renames, prev.drops)
+      if (prev.deletes.isEmpty) return noop
+      val (allTombs, hot) = hotOf(prev)
+      if (hot.isEmpty) return noop
+      val hotSet = hot.toSet
+      val live = subtractDeletes(spark, table,
+          withMetaEras(spark, table, prev.copy(files = hot)), prev.deletes)
+        .drop("_snap_file", "_snap_pos")
+      val (staged, stagedStats, _, stagedSchemas) =
+        stage(spark, table, live.coalesce(math.max(1, hot.size / 2)),
+          statsCols)
+      val fresh = writeManifest(spark, table, staged, stagedStats,
+        dirSchemas = stagedSchemas)
+      val carriedFiles = prev.files.filterNot(hotSet)
+      val carriedDirs =
+        carriedFiles.map(_.split("/").dropRight(1).mkString("/")).toSet
+      val carried = writeManifest(spark, table, carriedFiles,
+        prev.stats.filter { case (f, _) => !hotSet(f) },
+        prev.blooms.filter { case (f, _) => !hotSet(f) },
+        prev.dirSchemas.filter { case (d, _) => carriedDirs(d) })
+      // tombstones into carried files survive; hot files' are dropped
+      // with the files they covered (broadcast anti-join — never isin
+      // over an unbounded literal list)
+      import spark.implicits._
+      val hotDf = hot.toDF("file")
+      val keep = allTombs.join(broadcast(hotDf), Seq("file"), "left_anti")
+      (Seq(carried, fresh), writeDeletes(spark, table, keep),
+        prev.renames, prev.drops)
+    }
+    Some(commitLoop(spark, table, "optimize") { prevOpt =>
+      content(prevOpt.getOrElse(throw new IllegalStateException(
+        s"$table disappeared during optimize")))
+    })
+  }
+
   private def compactContent(spark: SparkSession, table: String,
       prev: Snapshot, small: Seq[(String, Long)], big: Seq[(String, Long)],
       minBytes: Long, statsCols: Seq[String],

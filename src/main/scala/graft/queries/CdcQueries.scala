@@ -209,7 +209,71 @@ object CdcQueries {
     GROUP BY 1"""
   }
 
+  /** q215 — CDF-driven MATERIALIZED-VIEW maintenance (the consumer the
+    * change feed exists FOR: q104 folds additive deltas, but a real MV
+    * must survive DELETEs and UPDATEs, which is exactly what signed
+    * insert/delete images enable): the view (revenue by priority) is
+    * materialized once at v1, the base table then takes an append, a
+    * predicate DELETE and a predicate UPDATE, and the view advances to
+    * v4 by folding ONE O(changes) feed pass — insert rows add, delete
+    * rows subtract, an update's delete+insert pair MOVES its row across
+    * groups; net-zero groups drop out. Cost is O(feed + view), never a
+    * base recompute; the `matches_recompute` marker pins the maintained
+    * view row-for-row against the direct aggregate of the final state
+    * (a full-outer diff with zero mismatches). */
+  def cdfMaterializedView(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Snapshots
+    import graft.queries.Num.cents
+    val root = graft.util.Scratch.dir("cdfmv", dir)
+    val table = s"$root/orders_mv"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+    val orders = graft.util.Par.ensure(Tables(spark, dir, "orders"))
+    def viewOf(df: DataFrame): DataFrame = df
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(cents(col("o_totalprice"))).as("sum_cents"))
+    Snapshots.append(spark, table, orders.filter(col("o_orderkey") % 2 === 0))
+    val mvStore = s"$root/mv"
+    viewOf(Snapshots.readAt(spark, table, 1).get)
+      .write.mode("overwrite").parquet(mvStore)
+    Snapshots.append(spark, table, orders.filter(col("o_orderkey") % 2 === 1))
+    Snapshots.deleteWhere(spark, table, col("o_orderkey") % 5 === 0)
+    val v4 = Snapshots.updateWhere(spark, table, col("o_totalprice") < 50000,
+      Map("o_orderpriority" -> lit("9-X")))
+    val feed = Snapshots.changesBetween(spark, table, 1, v4).get
+    val sign = when(col("_change_type") === "insert", 1L).otherwise(-1L)
+    val delta = feed.groupBy("o_orderpriority")
+      .agg(sum(sign).as("dn"),
+        sum(sign * cents(col("o_totalprice"))).as("dc"))
+    val mv = spark.read.parquet(mvStore)
+      .join(delta, Seq("o_orderpriority"), "full_outer")
+      .select(col("o_orderpriority"),
+        (coalesce(col("n_rows"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+          .as("n_rows"),
+        (coalesce(col("sum_cents"), lit(0L)) + coalesce(col("dc"), lit(0L)))
+          .as("sum_cents"))
+      .filter(col("n_rows") > 0)
+    val direct = viewOf(Snapshots.readAt(spark, table, v4).get)
+      .withColumnRenamed("n_rows", "n2").withColumnRenamed("sum_cents", "c2")
+    val mismatches = mv.join(direct, Seq("o_orderpriority"), "full_outer")
+      .filter(col("n_rows").isNull || col("n2").isNull ||
+        col("n_rows") =!= col("n2") || col("sum_cents") =!= col("c2"))
+      .count()
+    mv.withColumn("matches_recompute", lit(mismatches == 0))
+  }
+
+  private val cdfMvOracle: String = s"""
+    SELECT CASE WHEN o_totalprice < 50000 THEN '9-X'
+                ELSE o_orderpriority END AS o_orderpriority,
+           COUNT(*) AS n_rows,
+           CAST(SUM(${graft.queries.Num.sqlCents("o_totalprice")}) AS BIGINT)
+             AS sum_cents,
+           true AS matches_recompute
+    FROM orders WHERE o_orderkey % 5 <> 0 GROUP BY 1"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q215_cdf_materialized_view", cdfMaterializedView,
+      Some(cdfMvOracle)),
     QueryDef("q139_gdpr_delete", gdprDelete, Some(gdprOracle)),
     QueryDef("q100_cdc_merge", cdcMergeCustomers, Some(cdcMergeOracle)),
     QueryDef("q101_scd2_history", scdOrderHistory, Some(scdOracle)),

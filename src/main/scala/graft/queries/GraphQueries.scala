@@ -166,7 +166,72 @@ object GraphQueries {
       SELECT b FROM tri UNION ALL SELECT c FROM tri)
     SELECT part, COUNT(*) AS tri_cnt FROM corners GROUP BY part"""
 
+  /** Fixed synchronous supersteps, interpolated into BOTH sides. */
+  val LpaIters = 3
+
+  /** q216 — LABEL-PROPAGATION community detection over the part
+    * co-purchase graph (q142's support-sparsified edges): labels start
+    * as node ids; each synchronous superstep reassigns every node the
+    * MODE of its neighbors' labels, ties to the smallest label — the
+    * classic LPA vote, made gate-able by being pure integer argmax
+    * (no float score ever exists, so the fixpoint is bit-identical in
+    * any engine). The per-node argmax is computed WITHOUT a window:
+    * `max(struct(cnt, -label))` reduces with map-side partial
+    * aggregation carrying one struct per node — lexicographic struct
+    * order = count DESC then label ASC, exactly the oracle's
+    * row_number ordering. Scale shape per superstep: one join shuffle
+    * on the edge source + one aggregate on the destination — the q127
+    * Pregel-by-joins cost, with exchange reuse sharing the edge
+    * shuffle across supersteps. */
+  def labelPropagation(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val pairs = li.as("a").join(li.as("b"), expr("a.ok = b.ok AND a.pk < b.pk"))
+      .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= TriMinSupport)
+      .select("u", "v")
+    val edges = pairs.unionByName(
+      pairs.select(col("v").as("u"), col("u").as("v")))
+    var labels = edges.select(col("u").as("node")).distinct()
+      .withColumn("label", col("node").cast("long"))
+    for (_ <- 1 to LpaIters) {
+      labels = edges.join(labels, col("u") === col("node"))
+        .groupBy(col("v"), col("label")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("v").as("n2"))
+        .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
+        .select(col("n2").as("node"), (-col("m.nl")).as("label"))
+    }
+    labels.select(col("node").cast("long").as("node"), col("label"))
+  }
+
+  private def lpaOracle: String = {
+    val iters = (1 to LpaIters).map { i =>
+      val prev = s"l${i - 1}"
+      s"""c$i AS (
+        SELECT e.v AS node, l.label, COUNT(*) AS cnt
+        FROM und e JOIN $prev l ON l.node = e.u GROUP BY 1, 2),
+      l$i AS (
+        SELECT node, label FROM (
+          SELECT node, label, row_number() OVER (PARTITION BY node
+            ORDER BY cnt DESC, label) AS rn
+          FROM c$i) WHERE rn = 1)"""
+    }.mkString(",\n      ")
+    s"""
+      WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      pairs AS (
+        SELECT a.pk AS u, b.pk AS v
+        FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        GROUP BY 1, 2 HAVING COUNT(*) >= $TriMinSupport),
+      und AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+      l0 AS (SELECT DISTINCT u AS node, CAST(u AS BIGINT) AS label
+             FROM und),
+      $iters
+      SELECT CAST(node AS BIGINT) AS node, label FROM l$LpaIters"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q127_pagerank", pageRank, Some(prOracle)),
-    QueryDef("q142_triangles", triangles, Some(triOracle)))
+    QueryDef("q142_triangles", triangles, Some(triOracle)),
+    QueryDef("q216_label_propagation", labelPropagation, Some(lpaOracle)))
 }

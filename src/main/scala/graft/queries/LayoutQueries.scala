@@ -1038,6 +1038,51 @@ object LayoutQueries {
       .withColumn("vacuum_safe", lit(vacuumSafe))
   }
 
+  /** q214 — delete-ratio-TARGETED compaction
+    * ([[graft.lake.Snapshots.optimizeDeletes]], Iceberg's
+    * `rewrite_data_files` delete-ratio filter): two clustered commits
+    * accrete skewed tombstone debt (the even-key era ~50% deleted, the
+    * odd-key era ~20%), then compaction at threshold 0.3 rewrites ONLY
+    * the hot era. The gate pins the whole policy: hot files gone +
+    * fresh files present + cold files carried byte-identical
+    * (`hot_rewritten`), every surviving tombstone points into a
+    * carried file (`tombs_scoped` — retained via the O(tombstones)
+    * sidecar rewrite, so cold files' deletes still subtract), and the
+    * pre-optimize version still time-travels to the same live rows
+    * (`history_intact`). Result rows are the live aggregate, so a
+    * resurrection or a lost row anywhere shifts the hash. */
+  def optimizeDeletesLake(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Snapshots
+    val root = graft.util.Scratch.dir("optdel", dir)
+    val table = s"$root/orders_od"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+    val orders = Tables(spark, dir, "orders")
+    Snapshots.append(spark, table, orders.filter(col("o_orderkey") % 2 === 0))
+    val aFiles = Snapshots.snapshot(spark, table, 1).get.files.toSet
+    Snapshots.append(spark, table, orders.filter(col("o_orderkey") % 2 === 1))
+    val bFiles = Snapshots.snapshot(spark, table, 2).get.files.toSet -- aFiles
+    Snapshots.deleteWhere(spark, table, col("o_orderkey") % 4 === 0)
+    Snapshots.deleteWhere(spark, table, col("o_orderkey") % 10 === 1)
+    val vOpt = Snapshots.optimizeDeletes(spark, table, minDeleteRatio = 0.3).get
+    val after = Snapshots.snapshot(spark, table, vOpt).get
+    val afterSet = after.files.toSet
+    val hotRewritten = afterSet.intersect(aFiles).isEmpty &&
+      bFiles.subsetOf(afterSet) && afterSet.size > bFiles.size
+    val tombsScoped = after.deletes.nonEmpty && spark.read
+      .parquet(after.deletes.map(f => s"$table/$f"): _*)
+      .select("file").distinct().collect().map(_.getString(0))
+      .forall(bFiles)
+    val historyIntact = Snapshots.readAt(spark, table, 4).get.count() ==
+      Snapshots.readAt(spark, table, vOpt).get.count()
+    Snapshots.readLatest(spark, table).get
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(Num.cents(col("o_totalprice"))).as("sum_cents"))
+      .withColumn("hot_rewritten", lit(hotRewritten))
+      .withColumn("tombs_scoped", lit(tombsScoped))
+      .withColumn("history_intact", lit(historyIntact))
+  }
+
   /** q210 — MERGE with AUTOMATIC SCHEMA EVOLUTION (the Delta
     * `mergeSchema` upsert): the change batch carries a column the
     * target has never seen (`c_tier`); the merge stages it with the
@@ -1210,6 +1255,15 @@ object LayoutQueries {
   }
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q214_optimize_deletes", optimizeDeletesLake, Some(s"""
+      SELECT o_orderpriority, COUNT(*) AS n_rows,
+             CAST(SUM(${Num.sqlCents("o_totalprice")}) AS BIGINT)
+               AS sum_cents,
+             true AS hot_rewritten, true AS tombs_scoped,
+             true AS history_intact
+      FROM orders
+      WHERE o_orderkey % 4 <> 0 AND o_orderkey % 10 <> 1
+      GROUP BY 1""")),
     QueryDef("q209_shallow_clone", shallowCloneLake, Some(s"""
       SELECT 'clone_v1' AS part, COUNT(*) AS n_rows,
              CAST(0 AS BIGINT) AS n_upd,

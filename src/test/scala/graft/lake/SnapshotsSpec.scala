@@ -1071,6 +1071,38 @@ class SnapshotsSpec extends SparkTestBase {
     org.apache.commons.io.FileUtils.deleteQuietly(new File(t).getParentFile)
   }
 
+  test("optimizeDeletes: one sidecar spanning hot+cold splits correctly") {
+    val t = fresh("odsplit")
+    // two clustered commits, then ONE delete whose sidecar tombstones
+    // rows in BOTH eras: hot-era ratio 1.0, cold-era ratio ~0.2
+    Snapshots.append(spark, t,
+      orders.filter(col("o_orderkey") % 5 === 0).limit(40).coalesce(1))
+    Snapshots.append(spark, t,
+      orders.filter(col("o_orderkey") % 5 =!= 0).limit(200).coalesce(1))
+    Snapshots.deleteWhere(spark, t,
+      col("o_orderkey") % 5 === 0 || col("o_orderkey") % 5 === 1)
+    val coldDeleted = Snapshots.readAt(spark, t, 2).get
+      .filter(col("o_orderkey") % 5 === 1).count()
+    val before = Snapshots.readLatest(spark, t).get.count()
+    val v = Snapshots.optimizeDeletes(spark, t, minDeleteRatio = 0.5).get
+    val s = Snapshots.snapshot(spark, t, v).get
+    // live rows unchanged; retained tombstones all point into cold files
+    assert(Snapshots.readAt(spark, t, v).get.count() == before)
+    val fileSet = s.files.toSet
+    val remaining = spark.read
+      .parquet(s.deletes.map(f => s"$t/$f"): _*)
+      .select("file").distinct().collect().map(_.getString(0))
+    assert(remaining.nonEmpty && remaining.forall(fileSet))
+    // rewritten-era rows need no tombstones: exactly the cold-era
+    // (%5==1) tombstones survive, the hot era's 40 are gone
+    val tombRows = spark.read
+      .parquet(s.deletes.map(f => s"$t/$f"): _*).count()
+    assert(tombRows == coldDeleted && coldDeleted > 0)
+    // nothing qualifies at an impossible threshold → no-op None
+    assert(Snapshots.optimizeDeletes(spark, t, minDeleteRatio = 2.0).isEmpty)
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(t).getParentFile)
+  }
+
   test("publish leaves no tmp or orphaned .crc sidecars in _log") {
     val t = fresh("crc")
     Snapshots.append(spark, t, orders.limit(50))
