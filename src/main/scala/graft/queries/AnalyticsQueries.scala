@@ -277,6 +277,45 @@ object AnalyticsQueries {
         count_distinct(col("hb")).as("n_present"))
       .withColumn("n_gaps", col("n_hours_span") - col("n_present"))
 
+  /** q217 — hourly GAP FILL with last-observation-carried-forward (the
+    * time-series resample/LOCF operator q117's audit implies: q117
+    * COUNTS the holes, this FILLS them — what a feature pipeline does
+    * before feeding a model that expects a dense regular grid): per
+    * user, the dense hourly grid between first and last event is
+    * generated (`sequence` + explode — no driver loop), each present
+    * bucket carries its LAST event's value (deterministic
+    * `max(struct(ts, event_id, vc))` — no shuffle-order dependence),
+    * and missing buckets forward-fill via `last(..., ignoreNulls)`
+    * over the per-user hourly window. Scale shape: per-user state is
+    * the user's hour span (the sessionizer contract); grid expansion
+    * is a narrow generator, the fill one window shuffle on user_id.
+    * The gate hashes per-user integer aggregates of the filled series
+    * including a POSITION-WEIGHTED checksum — a fill landing in the
+    * wrong hour shifts `weighted_cents` even when the value sum
+    * doesn't. */
+  def gapFillLocf(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.util.Par.ensure(Tables.events(spark, dir))
+      .select(col("user_id"), expr("unix_timestamp(ts) DIV 3600").as("hb"),
+        col("ts"), col("event_id"), cents(col("value")).as("vc"))
+    val buckets = ev.groupBy("user_id", "hb")
+      .agg(max(struct(col("ts"), col("event_id"), col("vc"))).as("m"))
+      .select(col("user_id"), col("hb"), col("m.vc").as("vc"))
+    val grid = buckets.groupBy("user_id")
+      .agg(min("hb").as("lo"), max("hb").as("hi"))
+      .select(col("user_id"), col("lo"),
+        explode(sequence(col("lo"), col("hi"))).as("hb"))
+    val w = Window.partitionBy("user_id").orderBy("hb")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(buckets, Seq("user_id", "hb"), "left")
+      .withColumn("fill", last(col("vc"), ignoreNulls = true).over(w))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_hours"),
+        count(col("vc")).as("n_present"),
+        sum(col("fill")).as("sum_filled_cents"),
+        sum((col("hb") - col("lo") + 1) * col("fill")).as("weighted_cents"))
+      .withColumn("n_filled", col("n_hours") - col("n_present"))
+  }
+
   /** Ordered sequence assembly (q119): each user's events collected into
     * their time-ordered action sequence — the "user history" feature a
     * sequence model (session recommendation, next-event prediction)
@@ -798,6 +837,31 @@ object AnalyticsQueries {
           AS BIGINT) AS n_outliers
       FROM d JOIN mad m2 USING (o_orderpriority)
       GROUP BY 1, 2, 3, 4""")),
+    QueryDef("q217_gap_fill_locf", gapFillLocf, Some("""
+      WITH ev AS (
+        SELECT user_id, epoch_us(ts) // 3600000000 AS hb, ts, event_id,
+          CAST(round(value * 100) AS BIGINT) AS vc
+        FROM events),
+      b AS (
+        SELECT user_id, hb, vc FROM (
+          SELECT user_id, hb, vc, row_number() OVER (
+            PARTITION BY user_id, hb ORDER BY ts DESC, event_id DESC) AS rn
+          FROM ev) WHERE rn = 1),
+      s AS (SELECT user_id, MIN(hb) AS lo, MAX(hb) AS hi
+            FROM b GROUP BY 1),
+      g AS (SELECT user_id, lo, unnest(range(lo, hi + 1)) AS hb FROM s),
+      f AS (
+        SELECT g.user_id, g.hb, g.lo, b.vc,
+          last_value(b.vc IGNORE NULLS) OVER (PARTITION BY g.user_id
+            ORDER BY g.hb ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS fill
+        FROM g LEFT JOIN b ON b.user_id = g.user_id AND b.hb = g.hb)
+      SELECT user_id, COUNT(*) AS n_hours,
+        COUNT(vc) AS n_present,
+        CAST(SUM(fill) AS BIGINT) AS sum_filled_cents,
+        CAST(SUM((hb - lo + 1) * fill) AS BIGINT) AS weighted_cents,
+        COUNT(*) - COUNT(vc) AS n_filled
+      FROM f GROUP BY 1""")),
     QueryDef("q117_event_gaps", eventGaps, Some("""
       SELECT user_id,
         CAST(MAX(epoch_us(ts) // 3600000000)

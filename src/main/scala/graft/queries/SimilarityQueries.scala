@@ -406,6 +406,64 @@ object SimilarityQueries {
     iters = 2, nProbe = 8, nSub = PqSub, nCodes = PqCodes, k = K, dim = Dim,
     queryPred = "e.vec_id < 20", trainPred = "e.vec_id % 4 <> 0")
 
+  /** q218 — ANN index DELETE + compaction (FAISS `remove_ids()` under
+    * merge-on-read: the missing lifecycle leg beside q185's `add()`):
+    * the versioned code table takes a predicate DELETE — O(matches)
+    * tombstones, not one re-encoded vector — and search over the live
+    * view immediately excludes the removed ids; then
+    * [[graft.lake.Snapshots.optimizeDeletes]] pays down the dead-code
+    * debt (every code file's dead fraction crosses the threshold, so
+    * all are rewritten and ZERO tombstones remain), and the identical
+    * top-k attests the rewrite moved no live code
+    * (`post_compact_identical` via a two-sided exceptAll;
+    * `no_tombstones_left` counts surviving sidecar rows). Centroids
+    * and codebooks stay frozen throughout — deletes never retrain, the
+    * production contract. */
+  def annIndexDeleteQ(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Snapshots
+    val emb = Tables(spark, dir, "embeddings")
+    val table = graft.util.Scratch.dir("anndel_table", dir)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+    val initial = emb.filter(col("vec_id") % 4 =!= 0)
+    val batch = emb.filter(col("vec_id") % 4 === 0)
+    val (cents, cbs) = initialFitCache.getOrElseUpdate(dir, (
+      Similarity.kmeansCentroids(initial, "vec_id", "embedding",
+        nCells = 16, iters = 2),
+      Similarity.pqCodebooks(initial, "vec_id", "embedding",
+        PqSub, PqCodes, Dim)))
+    Snapshots.append(spark, table,
+      Similarity.ivfPqEncode(initial, "vec_id", "embedding", cents, cbs, Dim))
+    Snapshots.append(spark, table,
+      Similarity.ivfPqEncode(batch, "vec_id", "embedding", cents, cbs, Dim))
+    Snapshots.deleteWhere(spark, table, col("vec_id") % 7 === 3)
+    def search() = e6(Similarity.ivfPqSearchCodes(
+      Snapshots.readLatest(spark, table).get, queriesOf(emb), "vec_id",
+      "embedding", K, cents, nProbe = 8, cbs, Dim))
+    val r1 = search()
+    val compacted =
+      Snapshots.optimizeDeletes(spark, table, minDeleteRatio = 0.05)
+    val r2 = search()
+    val identical = r1.exceptAll(r2).isEmpty && r2.exceptAll(r1).isEmpty
+    val s = Snapshots.snapshot(spark, table,
+      Snapshots.latestVersion(spark, table).get).get
+    val tombsLeft =
+      if (s.deletes.isEmpty) 0L
+      else spark.read.parquet(s.deletes.map(f => s"$table/$f"): _*).count()
+    r2.withColumn("post_compact_identical",
+        lit(identical && compacted.nonEmpty))
+      .withColumn("no_tombstones_left", lit(tombsLeft == 0L))
+  }
+
+  private val annIndexDeleteOracle = {
+    val base = Similarity.sqlIvfPqTopK(nCells = 16, iters = 2, nProbe = 8,
+      nSub = PqSub, nCodes = PqCodes, k = K, dim = Dim,
+      queryPred = "e.vec_id < 20", trainPred = "e.vec_id % 4 <> 0",
+      corpusPred = "e.vec_id % 7 <> 3")
+    s"""SELECT query_id, rank, neighbor_id, cos_sim_e6,
+             true AS post_compact_identical, true AS no_tombstones_left
+      FROM ($base)"""
+  }
+
   /** q159 — IVF-PQ composition (the FAISS `IndexIVFPQ` production
     * index): k-means cells prune the candidate set (q39's training,
     * shared centroid cache), PQ codes compress what remains (q158's
@@ -659,6 +717,8 @@ object SimilarityQueries {
   }
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q218_ann_index_delete", annIndexDeleteQ,
+      Some(annIndexDeleteOracle)),
     QueryDef("q211_bq_hamming_topk", bqHammingTopK, Some(bqHammingOracle)),
     QueryDef("q170_filtered_ivf_topk", filteredIvfTopK,
       Some(filteredIvfOracle)),

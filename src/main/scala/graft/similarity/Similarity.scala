@@ -830,7 +830,7 @@ object Similarity {
     * run over the full `emb`. */
   def sqlIvfPqTopK(nCells: Int, iters: Int, nProbe: Int, nSub: Int,
       nCodes: Int, k: Int, dim: Int, queryPred: String,
-      trainPred: String = "true"): String = {
+      trainPred: String = "true", corpusPred: String = "true"): String = {
     val subDim = dim / nSub
     val (kmeansBlock, fin) = sqlKmeansCtes(nCells, iters, src = "tr")
     def scoreSub(v: String, c: String) =
@@ -846,6 +846,7 @@ object Similarity {
       sqlDot(s"b$m.c", s"b$m.c")).mkString(" + ")
     s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       tr AS (SELECT vec_id, v FROM emb e WHERE $trainPred),
+      corp AS (SELECT vec_id, v FROM emb e WHERE $corpusPred),
       pos AS (SELECT CAST(unnest(range($dim)) AS BIGINT) AS p),
       $kmeansBlock,
       cbv AS (SELECT CAST(row_number() OVER (ORDER BY h) AS INT) - 1 AS kc, v
@@ -856,14 +857,14 @@ object Similarity {
         FROM cbv CROSS JOIN range($nSub) m(m)),
       psc AS (SELECT e.vec_id, b.m, b.kc,
           ${scoreSub(s"e.v[b.m * $subDim + 1:(b.m + 1) * $subDim]", "b.c")} AS s
-        FROM emb e CROSS JOIN cb b),
+        FROM corp e CROSS JOIN cb b),
       enc AS (SELECT vec_id, m, kc FROM (
           SELECT vec_id, m, kc,
             row_number() OVER (PARTITION BY vec_id, m
               ORDER BY s DESC, kc) AS r
           FROM psc) WHERE r = 1),
       encw AS (SELECT vec_id, $encW FROM enc GROUP BY vec_id),
-      cc AS (SELECT vec_id, cell FROM (${sqlAssign("emb", fin)}) WHERE rnk = 1),
+      cc AS (SELECT vec_id, cell FROM (${sqlAssign("corp", fin)}) WHERE rnk = 1),
       ccx AS (SELECT c.vec_id, c.cell, w.* EXCLUDE (vec_id)
         FROM cc c JOIN encw w ON w.vec_id = c.vec_id),
       qc AS (SELECT vec_id AS query_id, v AS qv, cell
