@@ -1,0 +1,116 @@
+package graft.plans
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.LongType
+
+import graft.lake.Snapshots
+
+/** SQL MAINTENANCE surface for snapshot tables — the three lifecycle
+  * statements every lakehouse ships beside DML (Delta's `OPTIMIZE` /
+  * `VACUUM` / `CREATE TABLE … SHALLOW CLONE`), parsed by a delegating
+  * [[GraftSqlParser]] injected via `SparkSessionExtensions.injectParser`
+  * and executed as driver commands over [[Snapshots]]:
+  *
+  * {{{
+  * CREATE TABLE cat.dst SHALLOW CLONE cat.src [VERSION AS OF n]
+  * OPTIMIZE cat.t
+  * VACUUM cat.t RETAIN n VERSIONS
+  * }}}
+  *
+  * Table names are CATALOG-QUALIFIED and resolve through the SAME
+  * `spark.sql.catalog.<name>.root` configuration the
+  * [[graft.lake.SnapshotCatalog]] reads — one registration serves
+  * reads, DML (SnapshotSqlRules) and maintenance. Anything that is not
+  * one of these three statements falls through verbatim to Spark's own
+  * parser: the interception is a full-match on syntax Spark has no
+  * grammar for, so no standard SQL ever changes meaning. Commands
+  * return the resulting version as a one-row relation, the Delta
+  * convention. */
+class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
+    extends ParserInterface {
+
+  private val CloneRe =
+    """(?is)^\s*CREATE\s+TABLE\s+([\w.]+)\s+SHALLOW\s+CLONE\s+([\w.]+)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*$""".r
+  private val OptimizeRe =
+    """(?is)^\s*OPTIMIZE\s+([\w.]+)\s*;?\s*$""".r
+  private val VacuumRe =
+    """(?is)^\s*VACUUM\s+([\w.]+)\s+RETAIN\s+(\d+)\s+VERSIONS\s*;?\s*$""".r
+
+  /** `cat.ns….name` → `<root>/<ns…>/<name>`, mirroring
+    * [[graft.lake.SnapshotCatalog.tablePath]]. */
+  private def path(ident: String): String = {
+    val parts = ident.split("\\.")
+    require(parts.length >= 2,
+      s"maintenance SQL needs a catalog-qualified table name, got '$ident'")
+    val root = session.conf.getOption(s"spark.sql.catalog.${parts.head}.root")
+      .getOrElse(throw new IllegalArgumentException(
+        s"'${parts.head}' is not a registered snapshot catalog " +
+          s"(spark.sql.catalog.${parts.head}.root is unset)"))
+    parts.tail.mkString(s"$root/", "/", "")
+  }
+
+  override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case CloneRe(dst, src, ver) =>
+      ShallowCloneCommand(path(src), path(dst), Option(ver).map(_.toInt))
+    case OptimizeRe(t) => OptimizeTableCommand(path(t))
+    case VacuumRe(t, n) => VacuumTableCommand(path(t), n.toInt)
+    case _ => delegate.parsePlan(sqlText)
+  }
+
+  override def parseExpression(sqlText: String) =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String) =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String) =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String) =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseTableSchema(sqlText: String) =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String) =
+    delegate.parseDataType(sqlText)
+  override def parseQuery(sqlText: String) =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String) =
+    delegate.parseRoutineParam(sqlText)
+}
+
+private[plans] trait VersionOutput { self: LeafRunnableCommand =>
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+}
+
+/** `CREATE TABLE dst SHALLOW CLONE src [VERSION AS OF n]` →
+  * [[Snapshots.shallowClone]]; returns the clone's (always 1) version. */
+case class ShallowCloneCommand(src: String, dst: String,
+    version: Option[Int]) extends LeafRunnableCommand with VersionOutput {
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(Snapshots.shallowClone(spark, src, dst, version).toLong))
+}
+
+/** `OPTIMIZE t` → [[Snapshots.optimize]] (full live rewrite; the
+  * targeted forms stay API-side knobs). Returns the published version,
+  * or -1 when the table is empty and nothing was committed. */
+case class OptimizeTableCommand(table: String)
+    extends LeafRunnableCommand with VersionOutput {
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(Snapshots.optimize(spark, table).map(_.toLong).getOrElse(-1L)))
+}
+
+/** `VACUUM t RETAIN n VERSIONS` → [[Snapshots.vacuum]] keeping the
+  * latest `n` versions; returns the oldest version retained. */
+case class VacuumTableCommand(table: String, retain: Int)
+    extends LeafRunnableCommand with VersionOutput {
+  override def run(spark: SparkSession): Seq[Row] = {
+    require(retain >= 1, s"RETAIN $retain VERSIONS: must keep at least 1")
+    val latest = Snapshots.latestVersion(spark, table).getOrElse(
+      throw new IllegalArgumentException(s"no snapshot table at $table"))
+    val keepFrom = math.max(1, latest - retain + 1)
+    Snapshots.vacuum(spark, table, keepFrom)
+    Seq(Row(keepFrom.toLong))
+  }
+}

@@ -124,6 +124,10 @@ object AsOfJoinStrategy extends SparkStrategy {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    // SQL maintenance statements (SHALLOW CLONE / OPTIMIZE / VACUUM) —
+    // full-match interception, everything else delegates verbatim
+    e.injectParser((session, delegate) =>
+      new GraftSqlParser(session, delegate))
     // snapshot-log SQL surface: DML statements first (they consume the
     // relation), then merge-on-read/renamed relation lowering
     e.injectResolutionRule(session => SnapshotDmlRewrite(session))

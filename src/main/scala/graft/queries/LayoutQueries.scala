@@ -1038,6 +1038,56 @@ object LayoutQueries {
       .withColumn("vacuum_safe", lit(vacuumSafe))
   }
 
+  /** q219 — SQL MAINTENANCE statements ([[graft.plans.GraftSqlParser]]
+    * via `injectParser`: `CREATE TABLE … SHALLOW CLONE`, `OPTIMIZE`,
+    * `VACUUM … RETAIN n VERSIONS` — the lifecycle trio that completes
+    * the SQL story beside reads (q179), DML (q191) and DDL (q196/197),
+    * so an operator never needs the Scala API for routine table
+    * maintenance): the gate drives all three purely through
+    * `spark.sql` against the SAME catalog registration the V2 reads
+    * use. Clone of a tombstone-carrying table (the sidecar rewrite
+    * exercised through SQL), OPTIMIZE localizes the clone (post-rewrite
+    * files all live under the clone — `files_local`), VACUUM RETAIN 1
+    * trims the clone's birth version (`v1_gone`) without touching the
+    * SOURCE's files (`src_intact` — the cross-table safety q209 pins,
+    * now reached through SQL). Result rows re-aggregate the clone's
+    * live view via a SQL read of the same catalog. */
+  def sqlMaintenance(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Snapshots
+    val root = graft.util.Scratch.dir("sqlmaint", dir)
+    val src = s"$root/orders_m"
+    val dst = s"$root/orders_cl"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(src))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dst))
+    val orders = Tables(spark, dir, "orders")
+    Snapshots.append(spark, src, orders.filter(col("o_orderkey") % 2 === 0))
+    Snapshots.deleteWhere(spark, src, col("o_orderkey") % 4 === 0)
+    val cat = s"sqlmaint_${Integer.toHexString(dir.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.lake.SnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"CREATE TABLE $cat.orders_cl SHALLOW CLONE $cat.orders_m")
+      .collect()
+    spark.sql(s"OPTIMIZE $cat.orders_cl").collect()
+    spark.sql(s"VACUUM $cat.orders_cl RETAIN 1 VERSIONS").collect()
+    val after = Snapshots.snapshot(spark, dst,
+      Snapshots.latestVersion(spark, dst).get).get
+    val filesLocal = after.files.nonEmpty &&
+      after.files.forall(!_.startsWith("/")) && after.deletes.isEmpty
+    val v1Gone = Snapshots.readAt(spark, dst, 1).isEmpty
+    val srcIntact = Snapshots.readLatest(spark, src).get.count() ==
+      orders.filter(col("o_orderkey") % 2 === 0 &&
+        col("o_orderkey") % 4 =!= 0).count()
+    spark.sql(s"""
+        SELECT o_orderpriority, COUNT(*) AS n_rows,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                 AS BIGINT) AS sum_cents
+        FROM $cat.orders_cl GROUP BY 1""")
+      .withColumn("files_local", lit(filesLocal))
+      .withColumn("v1_gone", lit(v1Gone))
+      .withColumn("src_intact", lit(srcIntact))
+  }
+
   /** q214 — delete-ratio-TARGETED compaction
     * ([[graft.lake.Snapshots.optimizeDeletes]], Iceberg's
     * `rewrite_data_files` delete-ratio filter): two clustered commits
@@ -1255,6 +1305,14 @@ object LayoutQueries {
   }
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q219_sql_maintenance", sqlMaintenance, Some(s"""
+      SELECT o_orderpriority, COUNT(*) AS n_rows,
+             CAST(SUM(${Num.sqlCents("o_totalprice")}) AS BIGINT)
+               AS sum_cents,
+             true AS files_local, true AS v1_gone, true AS src_intact
+      FROM orders
+      WHERE o_orderkey % 2 = 0 AND o_orderkey % 4 <> 0
+      GROUP BY 1""")),
     QueryDef("q214_optimize_deletes", optimizeDeletesLake, Some(s"""
       SELECT o_orderpriority, COUNT(*) AS n_rows,
              CAST(SUM(${Num.sqlCents("o_totalprice")}) AS BIGINT)

@@ -405,4 +405,27 @@ class SnapshotCatalogSpec extends SparkTestBase {
     assert(spark.sql(s"SELECT * FROM $cat.t").count() == 50)
     org.apache.commons.io.FileUtils.deleteQuietly(new File(root))
   }
+
+  test("maintenance SQL: intercept is full-match only; errors are loud") {
+    val (cat, root) = freshCatalog("maint")
+    val t = s"$root/t"
+    Snapshots.append(spark, t, orders.limit(60))
+    // the three statements round-trip and return versions
+    assert(spark.sql(s"CREATE TABLE $cat.c SHALLOW CLONE $cat.t")
+      .head().getLong(0) == 1L)
+    assert(spark.sql(s"OPTIMIZE $cat.c").head().getLong(0) == 2L)
+    assert(spark.sql(s"VACUUM $cat.c RETAIN 1 VERSIONS")
+      .head().getLong(0) == 2L)
+    assert(spark.sql(s"SELECT * FROM $cat.c").count() == 60)
+    // full-match only: the keywords inside larger statements stay
+    // Spark's problem (alias named optimize parses as standard SQL)
+    assert(spark.sql("SELECT 1 AS optimize").head().getInt(0) == 1)
+    // an unregistered catalog name errors loudly at parse time
+    val e = intercept[Exception](spark.sql("OPTIMIZE nocat.t"))
+    assert(e.getMessage.contains("not a registered snapshot catalog"))
+    // unqualified names are refused, not resolved against a guess
+    val e2 = intercept[Exception](spark.sql("OPTIMIZE bare"))
+    assert(e2.getMessage.contains("catalog-qualified"))
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(root))
+  }
 }
