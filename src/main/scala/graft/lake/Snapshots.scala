@@ -1826,15 +1826,80 @@ object Snapshots {
 
   /** Drop data files no live log version references (after retention
     * trims old log entries). Kept O(versions·files) metadata work. */
+  // ------------------------------------------------------------- tags
+
+  private def tagPath(table: String, name: String) =
+    s"${logDir(table)}/ref-$name.json"
+  private val TagName = "[A-Za-z0-9._-]+".r
+
+  /** Create an IMMUTABLE named tag on version `v` (the Iceberg tag
+    * ref: "the snapshot training run X read" gets a name that survives
+    * retention — [[vacuum]] keeps tagged versions alive past the
+    * horizon until the tag is dropped). Tags never move; re-tagging a
+    * name is an error, making a tag a durable audit pin. O(1)
+    * metadata: one KB-sized ref object beside the log. */
+  def createTag(spark: SparkSession, table: String, name: String,
+      v: Int): Unit = {
+    require(TagName.matches(name), s"invalid tag name '$name'")
+    val ops = new FileOps(spark.sparkContext.hadoopConfiguration)
+    require(snapshot(spark, table, v).isDefined,
+      s"cannot tag missing version $v of $table")
+    val p = tagPath(table, name)
+    if (ops.exists(p)) throw new IllegalStateException(
+      s"tag '$name' already exists on $table")
+    ops.writeString(p,
+      Json.render(Map("name" -> name, "version" -> v.toLong)))
+  }
+
+  /** Release a tag; the version it pinned becomes reclaimable by the
+    * next [[vacuum]] (if below the retention horizon). */
+  def dropTag(spark: SparkSession, table: String, name: String): Unit = {
+    new FileOps(spark.sparkContext.hadoopConfiguration)
+      .delete(tagPath(table, name))
+    ()
+  }
+
+  /** All tags of a table as (name, version), name-sorted. O(tags). */
+  def listTags(spark: SparkSession, table: String): Seq[(String, Int)] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val ops = new FileOps(conf)
+    val dir = new org.apache.hadoop.fs.Path(logDir(table))
+    val fs = dir.getFileSystem(conf)
+    if (!fs.exists(dir)) return Nil
+    fs.listStatus(dir).map(_.getPath.getName).toSeq
+      .filter(n => n.startsWith("ref-") && n.endsWith(".json"))
+      .map { n =>
+        val m = Json.parseObject(ops.readString(s"${logDir(table)}/$n"))
+        (m("name").toString, m("version").toString.toDouble.toInt)
+      }
+      .sortBy(_._1)
+  }
+
+  def tagVersion(spark: SparkSession, table: String,
+      name: String): Option[Int] =
+    listTags(spark, table).collectFirst { case (`name`, v) => v }
+
+  /** Time-travel read through a tag name. */
+  def readAtTag(spark: SparkSession, table: String,
+      name: String): Option[DataFrame] =
+    tagVersion(spark, table, name).flatMap(v => readAt(spark, table, v))
+
   def vacuum(spark: SparkSession, table: String, keepFrom: Int): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val ops = new FileOps(conf)
     val latest = latestVersion(spark, table).getOrElse(return)
+    // tagged versions are retention-pinned: their log objects survive
+    // below the horizon and their files count as live until the tag is
+    // dropped (the Iceberg ref-retention contract)
+    val tagged = listTags(spark, table).map(_._2).toSet
     // trim log entries below keepFrom (and this JVM's cached resolutions
     // of them — a vacuumed version must resolve to None, not cache hits)
-    (1 until keepFrom).foreach(v => ops.delete(logPath(table, v)))
+    (1 until keepFrom).filterNot(tagged).foreach(v =>
+      ops.delete(logPath(table, v)))
     invalidateSnapshotCache(table)
-    val kept = (keepFrom to latest).flatMap(v => snapshot(spark, table, v))
+    val keptVersions =
+      ((keepFrom to latest) ++ tagged.filter(_ < keepFrom)).distinct.sorted
+    val kept = keptVersions.flatMap(v => snapshot(spark, table, v))
     val live = kept.flatMap(s => s.files ++ s.deletes)
       .flatMap(_.split("/").drop(1).headOption).toSet
     val snapRoot = new org.apache.hadoop.fs.Path(s"$table/_snap")

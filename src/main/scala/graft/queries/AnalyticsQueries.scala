@@ -277,6 +277,72 @@ object AnalyticsQueries {
         count_distinct(col("hb")).as("n_present"))
       .withColumn("n_gaps", col("n_hours_span") - col("n_present"))
 
+  /** q220 register count (m = 2^6) and max register rank, interpolated
+    * into BOTH sides. */
+  val HllRegs = 64
+  val HllMaxRank = 32
+
+  /** The single fp constant of the q220 estimator, precomputed ONCE and
+    * interpolated as the same literal into both engines: α_64·m²·2^R.
+    * (Both sides then perform the identical two IEEE ops — one divide,
+    * one multiply — so the floored e6 estimate is bit-stable.) */
+  private val HllAlphaNum: Double =
+    0.709 * HllRegs * HllRegs * math.pow(2, HllMaxRank)
+
+  /** q220 — an OWN mergeable HyperLogLog (the cross-engine-exact
+    * counterpart of q133's opaque datasketches blobs: every register,
+    * and even the ESTIMATE, is bit-reproducible in any engine, so a
+    * sketch persisted by this pipeline can be audited by another
+    * system): h = 48-bit md5 prefix; register = h mod m; rank =
+    * trailing zeros of the remaining bits + 1 (branch-free
+    * `bit_count((x & -x) - 1)`), capped at [[HllMaxRank]]. The
+    * harmonic denominator Σ2^−Mⱼ is computed EXACTLY as the integer
+    * Σ2^(R−Mⱼ) (order-independent — a float sum here would drift
+    * ulps across engines and summation orders). Mergeability — the
+    * property that lets a 100 TB pipeline sketch per partition/day
+    * and combine later — is exercised for real: per-day sketches
+    * merge by register-wise max and the merged estimate is pinned
+    * identical to the direct one. One narrow pass + O(groups·m)
+    * aggregation state; nothing rescans raw data to merge. */
+  def hllSketchCustom(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val ev = graft.util.Par.ensure(Tables.events(spark, dir))
+      .filter(col("user_id").isNotNull)
+      .select(col("event_type"), col("user_id"),
+        to_date(col("ts")).as("day"))
+      .withColumn("h", conv(substring(md5(col("user_id").cast("string")),
+        1, 12), 16, 10).cast(LongType))
+      .withColumn("reg", pmod(col("h"), lit(HllRegs)))
+      .withColumn("rest", expr(s"h DIV $HllRegs"))
+      .withColumn("rank", least(
+        when(col("rest") === 0, lit(HllMaxRank))
+          .otherwise(bit_count(col("rest").bitwiseAND(-col("rest")) - 1)
+            .cast(LongType) + 1),
+        lit(HllMaxRank.toLong)))
+    val daily = ev.groupBy("event_type", "day", "reg")
+      .agg(max("rank").as("m"))
+    val merged = daily.groupBy("event_type", "reg").agg(max("m").as("m"))
+    val direct = ev.groupBy("event_type", "reg").agg(max("rank").as("m"))
+    def estimate(sk: DataFrame): DataFrame = sk.groupBy("event_type")
+      .agg(sum(pow(lit(2.0), lit(HllMaxRank) - col("m")).cast(LongType))
+          .as("s_present"),
+        count(lit(1)).as("n_regs"))
+      .withColumn("s_total", col("s_present") +
+        (lit(HllRegs.toLong) - col("n_regs")) * lit(1L << HllMaxRank))
+      .withColumn("est_e6",
+        floor(lit(HllAlphaNum) / col("s_total") * 1000000))
+      .select("event_type", "n_regs", "s_total", "est_e6")
+    val dEst = estimate(direct)
+    val mEst = estimate(merged)
+    val mergeOk = dEst.exceptAll(mEst).isEmpty && mEst.exceptAll(dEst).isEmpty
+    val exact = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .groupBy("event_type")
+      .agg(count_distinct(col("user_id")).as("n_exact"))
+    dEst.join(exact, "event_type")
+      .withColumn("merged_equals_direct", lit(mergeOk))
+  }
+
   /** q217 — hourly GAP FILL with last-observation-carried-forward (the
     * time-series resample/LOCF operator q117's audit implies: q117
     * COUNTS the holes, this FILLS them — what a feature pipeline does
@@ -837,6 +903,30 @@ object AnalyticsQueries {
           AS BIGINT) AS n_outliers
       FROM d JOIN mad m2 USING (o_orderpriority)
       GROUP BY 1, 2, 3, 4""")),
+    QueryDef("q220_hll_custom", hllSketchCustom, Some(s"""
+      WITH ev AS (
+        SELECT event_type,
+          ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT AS h
+        FROM events WHERE user_id IS NOT NULL),
+      r AS (
+        SELECT event_type, h % $HllRegs AS reg,
+          LEAST(CASE WHEN h // $HllRegs = 0 THEN $HllMaxRank
+            ELSE bit_count(((h // $HllRegs) & -(h // $HllRegs)) - 1) + 1
+            END, $HllMaxRank) AS rank
+        FROM ev),
+      sk AS (SELECT event_type, reg, MAX(rank) AS m FROM r GROUP BY 1, 2),
+      est AS (SELECT event_type,
+          COUNT(*) AS n_regs,
+          CAST(SUM(CAST(2 ** ($HllMaxRank - m) AS BIGINT))
+            + ($HllRegs - COUNT(*)) * ${1L << HllMaxRank} AS BIGINT)
+            AS s_total
+        FROM sk GROUP BY 1),
+      ex AS (SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
+             FROM events WHERE user_id IS NOT NULL GROUP BY 1)
+      SELECT e.event_type, e.n_regs, e.s_total,
+        CAST(floor($HllAlphaNum / e.s_total * 1000000) AS BIGINT) AS est_e6,
+        x.n_exact, true AS merged_equals_direct
+      FROM est e JOIN ex x USING (event_type)""")),
     QueryDef("q217_gap_fill_locf", gapFillLocf, Some("""
       WITH ev AS (
         SELECT user_id, epoch_us(ts) // 3600000000 AS hb, ts, event_id,

@@ -1038,6 +1038,59 @@ object LayoutQueries {
       .withColumn("vacuum_safe", lit(vacuumSafe))
   }
 
+  /** q221 — named TAGS with retention protection
+    * ([[graft.lake.Snapshots.createTag]], the Iceberg tag ref): a tag
+    * pins "the exact data training run X read" by NAME, and — the
+    * half that matters operationally — [[graft.lake.Snapshots.vacuum]]
+    * keeps the tagged version's log object AND files alive below the
+    * retention horizon until the tag is dropped. The gate overwrites
+    * the tagged version's files into dead state, vacuums past it, and
+    * pins: the tagged version still reads exactly (`tag_survives` —
+    * its files were dead-but-pinned), the untagged version in the same
+    * trimmed range is GONE (`v2_gone` — the pin is per-tag, not a
+    * blanket hold), the live view is untouched (`latest_intact`), and
+    * after `dropTag` the NEXT vacuum reclaims it
+    * (`reclaimed_after_drop` — tags release storage, never leak it).
+    * Result rows re-aggregate the tagged read itself. */
+  def versionTags(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Snapshots
+    val root = graft.util.Scratch.dir("vtags", dir)
+    val table = s"$root/orders_tag"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+    val orders = Tables(spark, dir, "orders")
+    Snapshots.append(spark, table, orders.filter(col("o_orderkey") % 2 === 0))
+    Snapshots.overwrite(spark, table,
+      orders.filter(col("o_totalprice") >= 100000))
+    Snapshots.append(spark, table, orders.filter(
+      col("o_totalprice") < 100000 && col("o_orderkey") % 7 === 0))
+    Snapshots.createTag(spark, table, "train-v1", 1)
+    Snapshots.vacuum(spark, table, keepFrom = 3)
+    val tagged = Snapshots.readAtTag(spark, table, "train-v1")
+    val evens = orders.filter(col("o_orderkey") % 2 === 0)
+    val tagSurvives = tagged.exists(_.count() == evens.count())
+    val v2Gone = Snapshots.readAt(spark, table, 2).isEmpty
+    val latestIntact = Snapshots.readLatest(spark, table).get.count() ==
+      orders.filter(col("o_totalprice") >= 100000).count() +
+        orders.filter(col("o_totalprice") < 100000 &&
+          col("o_orderkey") % 7 === 0).count()
+    // materialize BEFORE the drop+vacuum below reclaims v1's files
+    // (the aggregate is lazy; an unpinned plan would scan dead paths)
+    val tagAgg = tagged.get
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(Num.cents(col("o_totalprice"))).as("sum_cents"))
+      .localCheckpoint()
+    Snapshots.dropTag(spark, table, "train-v1")
+    Snapshots.vacuum(spark, table, keepFrom = 3)
+    val reclaimed = Snapshots.readAt(spark, table, 1).isEmpty &&
+      Snapshots.readAtTag(spark, table, "train-v1").isEmpty
+    tagAgg
+      .withColumn("tag_survives", lit(tagSurvives))
+      .withColumn("v2_gone", lit(v2Gone))
+      .withColumn("latest_intact", lit(latestIntact))
+      .withColumn("reclaimed_after_drop", lit(reclaimed))
+  }
+
   /** q219 — SQL MAINTENANCE statements ([[graft.plans.GraftSqlParser]]
     * via `injectParser`: `CREATE TABLE … SHALLOW CLONE`, `OPTIMIZE`,
     * `VACUUM … RETAIN n VERSIONS` — the lifecycle trio that completes
@@ -1305,6 +1358,13 @@ object LayoutQueries {
   }
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q221_version_tags", versionTags, Some(s"""
+      SELECT o_orderpriority, COUNT(*) AS n_rows,
+             CAST(SUM(${Num.sqlCents("o_totalprice")}) AS BIGINT)
+               AS sum_cents,
+             true AS tag_survives, true AS v2_gone,
+             true AS latest_intact, true AS reclaimed_after_drop
+      FROM orders WHERE o_orderkey % 2 = 0 GROUP BY 1""")),
     QueryDef("q219_sql_maintenance", sqlMaintenance, Some(s"""
       SELECT o_orderpriority, COUNT(*) AS n_rows,
              CAST(SUM(${Num.sqlCents("o_totalprice")}) AS BIGINT)

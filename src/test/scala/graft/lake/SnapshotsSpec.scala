@@ -1103,6 +1103,27 @@ class SnapshotsSpec extends SparkTestBase {
     org.apache.commons.io.FileUtils.deleteQuietly(new File(t).getParentFile)
   }
 
+  test("tags are immutable, validated, and list correctly") {
+    val t = fresh("tags")
+    Snapshots.append(spark, t, orders.limit(30))
+    Snapshots.append(spark, t, orders.limit(60))
+    Snapshots.createTag(spark, t, "a.1", 1)
+    Snapshots.createTag(spark, t, "b-2", 2)
+    assert(Snapshots.listTags(spark, t) == Seq(("a.1", 1), ("b-2", 2)))
+    assert(Snapshots.readAtTag(spark, t, "a.1").get.count() == 30)
+    // immutable: re-tagging an existing name is an error, tag unmoved
+    intercept[IllegalStateException](Snapshots.createTag(spark, t, "a.1", 2))
+    assert(Snapshots.tagVersion(spark, t, "a.1").contains(1))
+    // a tag must point at a real version; names are validated
+    intercept[IllegalArgumentException](
+      Snapshots.createTag(spark, t, "ghost", 9))
+    intercept[IllegalArgumentException](
+      Snapshots.createTag(spark, t, "bad name", 1))
+    // unknown tag reads as None, not an error
+    assert(Snapshots.readAtTag(spark, t, "nope").isEmpty)
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(t).getParentFile)
+  }
+
   test("publish leaves no tmp or orphaned .crc sidecars in _log") {
     val t = fresh("crc")
     Snapshots.append(spark, t, orders.limit(50))
