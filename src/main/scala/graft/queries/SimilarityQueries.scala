@@ -675,6 +675,7 @@ object SimilarityQueries {
         floor(col("_p.score") * 1000000).as("cos_sim_e6"))
       .join(rer.select(col("query_id"), col("neighbor_id"), col("hamming")),
         Seq("query_id", "neighbor_id"))
+      .select("query_id", "rank", "neighbor_id", "cos_sim_e6", "hamming")
   }
 
   private val bqHammingOracle = {

@@ -878,6 +878,82 @@ class ScaleSpecs extends SparkTestBase {
     assert(df.count() > 0)
   }
 
+  test("BQ hamming search: broadcast queries, O(k) heaps, no corpus shuffle") {
+    // q211's both stages must keep the ANN plan discipline: the packed
+    // corpus joins only the broadcast query codes, each top-k tail is
+    // the ObjectHashAggregate heap pair, and no window / range exchange
+    // exists anywhere — the hamming stage over a 100 TB corpus is a
+    // narrow integer pass or it is nothing
+    val df = SimilarityQueries.bqHammingTopK(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(plan.contains("ObjectHashAggregate"), plan.take(2000))
+    assert(!plan.contains("Window"), plan.take(2500))
+    assert(!plan.contains("rangepartitioning"), plan.take(2500))
+    // the 1-bit stage must actually shortlist: recall vs exact truth
+    def hits(rows: Array[org.apache.spark.sql.Row]): Set[(Long, Long)] =
+      rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val truth = hits(SimilarityQueries.cosineTopK(spark, dir).collect())
+    val bq = hits(df.collect())
+    val recall = (bq & truth).size.toDouble / truth.size
+    // sanity floor, not a quality claim: iid-random vectors are the
+    // WORST case for a 1-bit proxy (all true cosines are small, hamming
+    // margins are binomial noise); on real clustered embeddings the
+    // 4×k shortlist recalls far higher. Chance recall here would be
+    // ~20/499 ≈ 0.04.
+    assert(recall > 0.3, s"implausibly low BQ recall $recall")
+  }
+
+  test("MaxSim late interaction: partial max aggregation, no per-doc window") {
+    // q212's max-per-(doc, query-token) must reduce map-side (partial +
+    // final HashAggregate on integer/double state), the doc ranking is
+    // the O(k) heap, and the corpus never shuffles before its first
+    // aggregate — the late-interaction score is one narrow pass + two
+    // bounded aggregations at any corpus size
+    val df = RetrievalQueries.maxsimTopK(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(plan.contains("ObjectHashAggregate"), plan.take(2000))
+    assert(!plan.contains("Window"), plan.take(2500))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2500))
+  }
+
+  test("domain mixture carve windows on (source, bucket), never per source alone") {
+    // q213's whole point: the per-domain cumsum must be decomposed over
+    // the hash buckets — a window partitioned by source alone serializes
+    // each domain through one task (the q70 hazard)
+    val df = TextQueries.domainMixtureCarve(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // every Window operator must partition on BOTH source and bucket
+    // (source-only aggregate exchanges elsewhere in the plan are fine —
+    // they carry O(domains) rows, not the corpus)
+    val windowLines = plan.linesIterator
+      .filter(_.contains("Window [")).toSeq
+    assert(windowLines.nonEmpty, plan.take(2000))
+    assert(windowLines.forall(l =>
+      l.contains("source") && l.contains("bucket")),
+      s"a window not keyed on (source, bucket):\n${windowLines.mkString("\n")}")
+  }
+
+  test("label propagation reuses the edge shuffle across supersteps") {
+    // q216 composes three supersteps over the same edge relation; Spark's
+    // exchange reuse must dedup the identical edge subplans (the q127
+    // discipline) — without it every superstep rescans and reshuffles
+    // the corpus-derived edge list
+    val df = GraphQueries.labelPropagation(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange"), plan.take(3000))
+  }
+
   test("partition pruning: date-filtered gold read scans a single partition") {
     // build a tiny two-date partitioned table and check the scan prunes
     import spark.implicits._
