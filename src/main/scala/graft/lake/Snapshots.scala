@@ -1,7 +1,7 @@
 package graft.lake
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, col, concat, lit, max, min, when}
+import org.apache.spark.sql.functions.{broadcast, col, concat, lit, max, min, regexp_replace, when}
 import org.apache.spark.sql.types._
 
 /** Versioned snapshot log — TIME TRAVEL, incremental reads, merge-on-read
@@ -1474,33 +1474,87 @@ object Snapshots {
     * delete rows are re-written under `dst` with absolute `file` refs
     * (O(tombstones), metadata scale). Cloning a clone passes absolute
     * refs through unchanged. */
+  /** The by-reference commit content both [[shallowClone]] and
+    * [[fastForward]] publish: `src@v`'s file list / stats / blooms /
+    * era schemas rewritten to absolute refs under `src`'s root, and
+    * the tombstone sidecars re-written under `dst` with absolute
+    * `file` refs (O(tombstones)). Returns everything a commit needs. */
+  private def cloneContent(spark: SparkSession, src: String, dst: String,
+      s: Snapshot): (String, Seq[String], Seq[(String, String)],
+      Seq[DropSpec], Seq[(String, String)]) = {
+    val srcRoot = LakePaths.tableRootPath(spark, src)
+    val dstRoot = LakePaths.tableRootPath(spark, dst)
+    // canonical reference rule, matching [[LakePaths.relFileCol]]
+    // exactly: a file under DST's own root is dst-RELATIVE, anything
+    // else is absolute. A fastForward publishing a branch state back
+    // into its clone source round-trips the source's own files through
+    // the branch's absolute refs — leaving those absolute would make
+    // the reader's relativized `_snap_file` miss the tombstone content
+    // and silently resurrect deleted rows.
+    def ref(f: String) = {
+      val a = if (f.startsWith("/")) f else s"$srcRoot/$f"
+      if (a.startsWith(dstRoot + "/")) a.stripPrefix(dstRoot + "/") else a
+    }
+    val cloneDeletes: Seq[String] =
+      if (s.deletes.isEmpty) Nil
+      else {
+        val dels = spark.read.parquet(
+          s.deletes.map(f => filePath(src, f)): _*)
+        val absCol = when(col("file").startsWith("/"), col("file"))
+          .otherwise(concat(lit(srcRoot + "/"), col("file")))
+        writeDeletes(spark, dst, dels.withColumn("file",
+          regexp_replace(absCol,
+            lit("^" + java.util.regex.Pattern.quote(dstRoot + "/")),
+            lit(""))))
+      }
+    val manifest = writeManifest(spark, dst, s.files.map(ref),
+      s.stats.map { case (f, st) => ref(f) -> st },
+      s.blooms.map { case (f, b) => ref(f) -> b },
+      s.dirSchemas.map { case (d, sch) => ref(d) -> sch })
+    (manifest, cloneDeletes, s.renames,
+      s.drops.map { case (n, cl, dirs) => (n, cl, dirs.map(ref)) },
+      s.constraints)
+  }
+
   def shallowClone(spark: SparkSession, src: String, dst: String,
       version: Option[Int] = None): Int = {
     val v = version.orElse(latestVersion(spark, src)).getOrElse(
       throw new IllegalArgumentException(s"clone source $src has no versions"))
     val s = snapshot(spark, src, v).getOrElse(
       throw new IllegalArgumentException(s"$src has no version $v"))
-    val srcRoot = LakePaths.tableRootPath(spark, src)
-    def abs(f: String) = if (f.startsWith("/")) f else s"$srcRoot/$f"
-    val cloneDeletes: Seq[String] =
-      if (s.deletes.isEmpty) Nil
-      else {
-        val dels = spark.read.parquet(
-          s.deletes.map(f => filePath(src, f)): _*)
-        writeDeletes(spark, dst, dels.withColumn("file",
-          when(col("file").startsWith("/"), col("file"))
-            .otherwise(concat(lit(srcRoot + "/"), col("file")))))
-      }
-    val manifest = writeManifest(spark, dst, s.files.map(abs),
-      s.stats.map { case (f, st) => abs(f) -> st },
-      s.blooms.map { case (f, b) => abs(f) -> b },
-      s.dirSchemas.map { case (d, sch) => abs(d) -> sch })
+    val (manifest, cloneDeletes, renames, drops, constraints) =
+      cloneContent(spark, src, dst, s)
     commitLoop(spark, dst, "clone",
-        newConstraints = _ => Some(s.constraints)) { prev =>
+        newConstraints = _ => Some(constraints)) { prev =>
       if (prev.nonEmpty) throw new IllegalStateException(
         s"shallow clone target $dst already has versions")
-      (Seq(manifest), cloneDeletes, s.renames,
-        s.drops.map { case (n, cl, dirs) => (n, cl, dirs.map(abs)) })
+      (Seq(manifest), cloneDeletes, renames, drops)
+    }
+  }
+
+  /** FAST-FORWARD publish — the closing half of WRITE-AUDIT-PUBLISH
+    * (the Iceberg branch/WAP workflow, built on [[shallowClone]] as
+    * the branch-create half): the branch's latest state publishes INTO
+    * `dst` as dst's next version, BY REFERENCE — one metadata commit,
+    * zero data movement, exactly like a clone in the reverse
+    * direction. The WAP loop is then: clone main → branch; write + run
+    * audits on the branch (constraints, reconciliation, whatever the
+    * pipeline requires) while main serves readers untouched; on pass,
+    * fastForward main ← branch — readers see the audited state
+    * atomically, and main's pre-publish history stays time-travelable.
+    * On audit failure the branch is simply dropped; main never saw a
+    * byte. The branch directory must outlive `dst`'s use of the
+    * published version (the q209 retention contract, same hazard as
+    * any shallow clone). */
+  def fastForward(spark: SparkSession, dst: String, branch: String): Int = {
+    val v = latestVersion(spark, branch).getOrElse(
+      throw new IllegalArgumentException(s"branch $branch has no versions"))
+    val s = snapshot(spark, branch, v).get
+    val (manifest, cloneDeletes, renames, drops, constraints) =
+      cloneContent(spark, branch, dst, s)
+    commitLoop(spark, dst, "fast-forward",
+        newConstraints = _ => Some(constraints)) { _ =>
+      (Seq(manifest), cloneDeletes, renames, drops)
     }
   }
 
@@ -1900,13 +1954,32 @@ object Snapshots {
     val keptVersions =
       ((keepFrom to latest) ++ tagged.filter(_ < keepFrom)).distinct.sorted
     val kept = keptVersions.flatMap(v => snapshot(spark, table, v))
-    val live = kept.flatMap(s => s.files ++ s.deletes)
-      .flatMap(_.split("/").drop(1).headOption).toSet
+    // FILE-granular reaping (the Delta vacuum semantics): a targeted
+    // compaction ([[optimizeDeletes]]/[[optimizeSmallFiles]]) drops
+    // individual FILES from a commit dir while siblings stay live — a
+    // dir-level reap would either leak the dead files' bytes forever
+    // (a GDPR physical-erasure violation, q222's audit) or delete live
+    // siblings. Fully-dead dirs are removed whole (one delete), mixed
+    // dirs lose exactly their unreferenced files, and a dir emptied by
+    // the sweep is removed. Clone-carried ABSOLUTE refs never match
+    // this table's relative names, so a clone's vacuum still cannot
+    // reap another table's files.
+    val liveFiles = kept.flatMap(s => s.files ++ s.deletes).toSet
+    val liveDirs = liveFiles
+      .flatMap(f => f.split("/").drop(1).dropRight(1).headOption)
     val snapRoot = new org.apache.hadoop.fs.Path(s"$table/_snap")
     val fs = snapRoot.getFileSystem(conf)
     if (fs.exists(snapRoot))
       fs.listStatus(snapRoot).foreach { st =>
-        if (!live.contains(st.getPath.getName)) fs.delete(st.getPath, true)
+        val dirName = st.getPath.getName
+        if (!liveDirs.contains(dirName)) fs.delete(st.getPath, true)
+        else {
+          fs.listStatus(st.getPath).foreach { f =>
+            if (!liveFiles.contains(s"_snap/$dirName/${f.getPath.getName}"))
+              fs.delete(f.getPath, false)
+          }
+          if (fs.listStatus(st.getPath).isEmpty) fs.delete(st.getPath, true)
+        }
       }
     // manifest GC: drop manifest objects no kept version references
     val liveManifests = kept.flatMap(_.manifests).toSet

@@ -271,7 +271,74 @@ object CdcQueries {
            true AS matches_recompute
     FROM orders WHERE o_orderkey % 5 <> 0 GROUP BY 1"""
 
+  /** q222 — RIGHT-TO-BE-FORGOTTEN through the whole lake lifecycle (the
+    * privacy composition q139's event scrub only starts: under
+    * merge-on-read, a DELETE is an append-only tombstone — the erased
+    * BYTES are still on disk, and still on every replica; an auditor
+    * checks files, not query results): erase a key set from the source
+    * (one O(matches) tombstone commit), propagate the deletion to a
+    * CDC replica through the change feed, then make the erasure
+    * PHYSICAL on both tables — delete-ratio compaction rewrites every
+    * file carrying an erased row, vacuum reclaims the dead files and
+    * pre-erasure versions. The `physically_erased` marker is the audit
+    * itself: it scans EVERY data file remaining under BOTH table
+    * directories DIRECTLY (bypassing the log — exactly what a
+    * regulator's forensic read does) and finds zero erased keys;
+    * `in_sync` pins multiset equality of the live views. Cost at
+    * 100 TB: O(files-containing-erased-rows) rewrite + O(feed), never
+    * a full-table rewrite. */
+  def gdprLakeErasure(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Snapshots
+    val src = graft.util.Scratch.dir("gdpr_src", dir)
+    val rep = graft.util.Scratch.dir("gdpr_rep", dir)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(src))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(rep))
+    val cust = graft.util.Par.ensure(Tables(spark, dir, "customer"))
+      .select(custCols.map(col): _*)
+    Snapshots.append(spark, src, cust)
+    Snapshots.append(spark, rep, Snapshots.readAt(spark, src, 1).get)
+    val erased = col("c_custkey") % 97 === 13
+    val v2 = Snapshots.deleteWhere(spark, src, erased)
+    Snapshots.applyChanges(spark, rep,
+      Snapshots.changesBetween(spark, src, 1, v2).get, Seq("c_custkey"))
+    // logical erasure done; now make it physical on both tables
+    for (t <- Seq(src, rep)) {
+      Snapshots.optimizeDeletes(spark, t, minDeleteRatio = 1e-9)
+      Snapshots.vacuum(spark, t, Snapshots.latestVersion(spark, t).get)
+    }
+    // forensic audit: every remaining DATA file, read directly
+    def physicalHits(table: String): Long = {
+      val snap = new java.io.File(s"$table/_snap")
+      val files = Option(snap.listFiles()).getOrElse(Array.empty)
+        .filter(d => d.isDirectory && d.getName.startsWith("c-"))
+        .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty))
+        .filter(_.getName.endsWith(".parquet")).map(_.getPath).toSeq
+      if (files.isEmpty) 0L
+      else spark.read.parquet(files: _*).filter(erased).count()
+    }
+    val nErased = cust.filter(erased).count()
+    val physOk = nErased > 0 &&
+      physicalHits(src) == 0L && physicalHits(rep) == 0L
+    val s = Snapshots.readLatest(spark, src).get
+    val r = Snapshots.readLatest(spark, rep).get
+    val inSync = s.exceptAll(r).isEmpty && r.exceptAll(s).isEmpty
+    s.groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(graft.queries.Num.cents(col("c_acctbal"))).as("sum_cents"))
+      .withColumn("in_sync", lit(inSync))
+      .withColumn("physically_erased", lit(physOk))
+  }
+
+  private val gdprLakeOracle: String = s"""
+    SELECT c_mktsegment, COUNT(*) AS n_rows,
+           CAST(SUM(${graft.queries.Num.sqlCents("c_acctbal")}) AS BIGINT)
+             AS sum_cents,
+           true AS in_sync, true AS physically_erased
+    FROM customer WHERE c_custkey % 97 <> 13 GROUP BY 1"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q222_gdpr_lake_erasure", gdprLakeErasure,
+      Some(gdprLakeOracle)),
     QueryDef("q215_cdf_materialized_view", cdfMaterializedView,
       Some(cdfMvOracle)),
     QueryDef("q139_gdpr_delete", gdprDelete, Some(gdprOracle)),

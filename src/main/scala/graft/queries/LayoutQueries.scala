@@ -1038,6 +1038,67 @@ object LayoutQueries {
       .withColumn("vacuum_safe", lit(vacuumSafe))
   }
 
+  /** q223 — WRITE-AUDIT-PUBLISH via branch + fast-forward
+    * ([[graft.lake.Snapshots.fastForward]] closing the WAP loop
+    * [[graft.lake.Snapshots.shallowClone]] opens — the Iceberg branch
+    * workflow, the way a production pipeline lands risky rewrites):
+    * main is cloned to a branch (zero copy); the WRITE (a MERGE price
+    * adjustment + a predicate DELETE) happens ON THE BRANCH while main
+    * serves readers untouched (`main_isolated` pins main's live view
+    * mid-write); the AUDIT runs against the branch; on pass,
+    * `fastForward` publishes the branch state into main as ONE
+    * metadata commit — `published_exact` pins multiset equality of
+    * main's new live view against the branch (exceptAll both ways, so
+    * a resurrected tombstone or a perturbed row flips it),
+    * `history_ok` pins main's pre-publish version still reading
+    * exactly, and `zero_copy` that the publish staged no data file
+    * under main (only the tombstone sidecar rewrite). */
+  def wapBranch(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Snapshots
+    val root = graft.util.Scratch.dir("wap", dir)
+    val main = s"$root/orders_main"
+    val branch = s"$root/orders_br"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(main))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(branch))
+    val orders = Tables(spark, dir, "orders")
+    Snapshots.append(spark, main, orders)
+    Snapshots.shallowClone(spark, main, branch)
+    // the WRITE, on the branch only
+    Snapshots.merge(spark, branch,
+      orders.filter(col("o_orderkey") % 4 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 5.0),
+      Seq("o_orderkey"))
+    Snapshots.deleteWhere(spark, branch, col("o_totalprice") < 20000)
+    // main untouched mid-write; the AUDIT runs on the branch
+    val mainIsolated =
+      Snapshots.readLatest(spark, main).get.count() == orders.count()
+    val expected = orders.withColumn("o_totalprice",
+        when(col("o_orderkey") % 4 === 0, col("o_totalprice") + 5.0)
+          .otherwise(col("o_totalprice")))
+      .filter(col("o_totalprice") >= 20000)
+    val auditPass =
+      Snapshots.readLatest(spark, branch).get.count() == expected.count()
+    val mainDataDirs = Option(new java.io.File(s"$main/_snap").listFiles())
+      .getOrElse(Array.empty).count(_.getName.startsWith("c-"))
+    val vPub = Snapshots.fastForward(spark, main, branch)
+    val mainDataDirsAfter =
+      Option(new java.io.File(s"$main/_snap").listFiles())
+        .getOrElse(Array.empty).count(_.getName.startsWith("c-"))
+    val mainLive = Snapshots.readAt(spark, main, vPub).get
+    val branchLive = Snapshots.readLatest(spark, branch).get
+    val publishedExact = mainLive.exceptAll(branchLive).isEmpty &&
+      branchLive.exceptAll(mainLive).isEmpty
+    val historyOk =
+      Snapshots.readAt(spark, main, 1).get.count() == orders.count()
+    mainLive.groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(Num.cents(col("o_totalprice"))).as("sum_cents"))
+      .withColumn("main_isolated", lit(mainIsolated && auditPass))
+      .withColumn("published_exact", lit(publishedExact))
+      .withColumn("history_ok", lit(historyOk))
+      .withColumn("zero_copy", lit(mainDataDirs == mainDataDirsAfter))
+  }
+
   /** q221 — named TAGS with retention protection
     * ([[graft.lake.Snapshots.createTag]], the Iceberg tag ref): a tag
     * pins "the exact data training run X read" by NAME, and — the
@@ -1358,6 +1419,17 @@ object LayoutQueries {
   }
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q223_wap_branch", wapBranch, Some(s"""
+      WITH m AS (
+        SELECT o_orderpriority,
+               CASE WHEN o_orderkey % 4 = 0 THEN o_totalprice + 5.0
+                    ELSE o_totalprice END AS p
+        FROM orders)
+      SELECT o_orderpriority, COUNT(*) AS n_rows,
+             CAST(SUM(${Num.sqlCents("p")}) AS BIGINT) AS sum_cents,
+             true AS main_isolated, true AS published_exact,
+             true AS history_ok, true AS zero_copy
+      FROM m WHERE p >= 20000 GROUP BY 1""")),
     QueryDef("q221_version_tags", versionTags, Some(s"""
       SELECT o_orderpriority, COUNT(*) AS n_rows,
              CAST(SUM(${Num.sqlCents("o_totalprice")}) AS BIGINT)

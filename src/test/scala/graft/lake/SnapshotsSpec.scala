@@ -1103,6 +1103,54 @@ class SnapshotsSpec extends SparkTestBase {
     org.apache.commons.io.FileUtils.deleteQuietly(new File(t).getParentFile)
   }
 
+  test("fast-forward round-trips tombstones: no resurrection into source") {
+    val t = fresh("wapff")
+    val b = s"${new File(t).getParent}/b"
+    Snapshots.append(spark, t, orders.limit(100))
+    Snapshots.shallowClone(spark, t, b)
+    // branch deletes rows that live in the SOURCE's files: the publish
+    // must canonicalize those refs back to source-relative or the
+    // anti-join misses and deleted rows resurrect
+    Snapshots.deleteWhere(spark, b, col("o_orderkey") % 3 === 0)
+    val expect = Snapshots.readLatest(spark, b).get.count()
+    val v = Snapshots.fastForward(spark, t, b)
+    assert(Snapshots.readAt(spark, t, v).get.count() == expect)
+    // canonical refs: the published version's source-resident files are
+    // RELATIVE again (matching relFileCol), so a later source vacuum
+    // tracks them correctly
+    val s = Snapshots.snapshot(spark, t, v).get
+    assert(s.files.exists(!_.startsWith("/")), s.files.take(3).toString)
+    // pre-publish source history intact
+    assert(Snapshots.readAt(spark, t, 1).get.count() == 100)
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(t).getParentFile)
+  }
+
+  test("vacuum is file-granular: dead siblings reaped, live ones kept") {
+    val t = fresh("vacfile")
+    // one commit dir with several files; targeted compaction rewrites
+    // only the tombstoned ones, leaving dead files beside live siblings
+    Snapshots.append(spark, t,
+      orders.limit(300).repartition(4, col("o_orderkey")))
+    Snapshots.deleteWhere(spark, t, col("o_orderkey") % 2 === 0)
+    val before = Snapshots.readLatest(spark, t).get.count()
+    Snapshots.optimizeDeletes(spark, t, minDeleteRatio = 1e-9)
+    Snapshots.vacuum(spark, t, Snapshots.latestVersion(spark, t).get)
+    // live view intact through the sweep
+    assert(Snapshots.readLatest(spark, t).get.count() == before)
+    // every parquet file still on disk is referenced by the live version
+    val s = Snapshots.snapshot(spark, t,
+      Snapshots.latestVersion(spark, t).get).get
+    val onDisk = Option(new File(t, "_snap").listFiles()).get
+      .filter(_.isDirectory)
+      .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => s"_snap/${d.getName}/${f.getName}"))
+      .toSet
+    assert(onDisk == (s.files ++ s.deletes).toSet,
+      s"orphans: ${(onDisk -- s.files -- s.deletes).take(3)}")
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(t).getParentFile)
+  }
+
   test("tags are immutable, validated, and list correctly") {
     val t = fresh("tags")
     Snapshots.append(spark, t, orders.limit(30))
