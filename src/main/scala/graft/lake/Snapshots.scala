@@ -90,7 +90,7 @@ object Snapshots {
     * [[LakePaths.relFileCol]] leaves such paths absolute too (the
     * table-root strip only fires under the table root), so reader-side
     * (file, pos) tombstone equality holds for both reference kinds. */
-  private def filePath(table: String, f: String): String =
+  private[graft] def filePath(table: String, f: String): String =
     if (f.startsWith("/")) f else s"$table/$f"
 
   private def logDir(table: String) = s"$table/_log"
@@ -788,12 +788,28 @@ object Snapshots {
   private def collectStats(spark: SparkSession, table: String,
       files: Seq[String], statsCols: Seq[String]): FileStats = {
     if (statsCols.isEmpty || files.isEmpty) return Map.empty
-    import org.apache.spark.sql.functions.{max, min}
+    import org.apache.spark.sql.functions.{datediff, max, min}
     val root = LakePaths.tableRootPath(spark, table)
-    val aggs = statsCols.flatMap(c => Seq(
-      min(col(c)).cast("double").as(s"_mn_$c"),
-      max(col(c)).cast("double").as(s"_mx_$c")))
-    spark.read.parquet(files.map(f => filePath(table, f)): _*)
+    val scan = spark.read.parquet(files.map(f => filePath(table, f)): _*)
+    val types = scan.schema.fields.map(f => f.name -> f.dataType).toMap
+    // DATE columns record stats as EPOCH DAYS (the parquet physical
+    // encoding and the DateType literal value; an ANSI cast date→double
+    // would throw) and TIMESTAMP columns as EPOCH SECONDS with
+    // fractional micros (what timestamp→double yields) — time-range
+    // pruning is the single most common data-skipping predicate on a
+    // time-partitioned 100 TB table, and [[graft.plans.SnapshotSqlRules]]
+    // converts the matching Catalyst literal (Int days / Long micros)
+    // to the same unit. Everything else keeps the plain double cast.
+    val aggs = statsCols.flatMap { c =>
+      val base = types.get(c) match {
+        case Some(DateType) =>
+          datediff(col(c), lit(java.sql.Date.valueOf("1970-01-01")))
+        case _ => col(c)
+      }
+      Seq(min(base).cast("double").as(s"_mn_$c"),
+        max(base).cast("double").as(s"_mx_$c"))
+    }
+    scan
       .groupBy(LakePaths.relFileCol(root).as("_f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()

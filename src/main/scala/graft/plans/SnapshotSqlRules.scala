@@ -406,13 +406,29 @@ case class SnapshotScanPruning(spark: SparkSession)
   /** (column, lo, hi) per extractable conjunct; closed intervals are
     * conservative for the strict forms, which is all pruning needs. */
   private def interval(e: Expression): Option[(String, Double, Double)] = {
+    // DATE literals carry epoch DAYS as an Int and TIMESTAMP literals
+    // epoch MICROS as a Long — the manifest records DateType stats in
+    // days and TimestampType stats in seconds ([[graft.lake.Snapshots]]
+    // collectStats), so each literal converts to its column's unit and
+    // time predicates prune through the same double intervals. Type
+    // agreement is guaranteed post-analysis (a comparison's sides share
+    // a type — a DATE literal against a timestamp column arrives here
+    // already constant-folded to a timestamp literal).
     def dbl(l: Literal): Option[Double] = l.value match {
       case d: java.lang.Double => Some(d)
+      case i: java.lang.Integer
+          if l.dataType == org.apache.spark.sql.types.DateType =>
+        Some(i.toDouble)
+      case lg: java.lang.Long
+          if l.dataType == org.apache.spark.sql.types.TimestampType =>
+        Some(lg.toDouble / 1e6)
       case _ => None
     }
     def a(x: Expression): Option[String] = x match {
       case ar: AttributeReference
-          if ar.dataType == org.apache.spark.sql.types.DoubleType =>
+          if ar.dataType == org.apache.spark.sql.types.DoubleType ||
+            ar.dataType == org.apache.spark.sql.types.DateType ||
+            ar.dataType == org.apache.spark.sql.types.TimestampType =>
         Some(ar.name)
       case _ => None
     }
@@ -465,7 +481,7 @@ case class SnapshotScanPruning(spark: SparkSession)
         opts.put("mergeSchema", "true")
         val inner = GraftSqlBridge.parquetTable(
           s"${t.inner.name()}#pruned${kept.size}", spark,
-          kept.map(fl => s"${t.path}/$fl"), opts)
+          kept.map(fl => Snapshots.filePath(t.path, fl)), opts)
         Some(r.copy(table =
           SnapshotReadTable(inner, t.path, t.snapVersion, Some(kept))))
       }

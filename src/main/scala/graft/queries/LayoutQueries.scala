@@ -1038,6 +1038,68 @@ object LayoutQueries {
       .withColumn("vacuum_safe", lit(vacuumSafe))
   }
 
+  /** q224 — TIME-typed log stats + SQL time-range pruning (the single
+    * most common data-skipping predicate a time-clustered 100 TB table
+    * sees: "last month's data" should open last month's files):
+    * temporal stats columns record per-file min/max in the manifest in
+    * their Catalyst-native scale — DATE as EPOCH DAYS, TIMESTAMP as
+    * epoch seconds ([[graft.lake.Snapshots]] collectStats) — and the
+    * scan-pruning rule converts DateType (Int days) / TimestampType
+    * (Long micros) literals to the same unit, so a
+    * `WHERE o_orderdate >= DATE '…'` over the timestamp-typed orders
+    * table prunes year-clustered commits from the log alone. Pinned
+    * three ways: the SQL plan shows the pruned relation
+    * (`scan_pruned`), the DataFrame-side `prunedFilesAt` drops exactly
+    * the pre-1997 year files for the same interval (`api_pruned`), and
+    * a predicate on a stats-less column leaves the plan untouched
+    * (`unpruned_ok`); result rows re-apply the full predicate, so
+    * over-pruning shifts counts, not just markers. */
+  def dateStatsPruning(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Snapshots
+    val root = graft.util.Scratch.dir("dateprune", dir)
+    val table = s"$root/orders_dt"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+    val orders = Tables(spark, dir, "orders")
+    // one commit (= one file) per calendar year actually present — the
+    // years are data-derived (O(years) driver rows), not assumed
+    val years = orders.select(year(col("o_orderdate")).as("y"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    for (y <- years)
+      Snapshots.append(spark, table,
+        orders.filter(year(col("o_orderdate")) === y).coalesce(1),
+        statsCols = Seq("o_orderdate"))
+    val v = Snapshots.latestVersion(spark, table).get
+    val all = Snapshots.snapshot(spark, table, v).get.files.size
+    // TimestampType stats are epoch SECONDS; the cutoff is midnight
+    // 1997-01-01 in the session zone (UTC here), matching the SQL
+    // literal's post-coercion timestamp value
+    val cutoffSec =
+      java.time.LocalDate.parse("1997-01-01").toEpochDay * 86400d
+    val apiPruned = Snapshots.prunedFilesAt(spark, table, v, "o_orderdate",
+      cutoffSec, Double.PositiveInfinity).get
+    val cat = s"dateprune_${Integer.toHexString(dir.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.lake.SnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val q = spark.sql(s"""
+      SELECT o_orderpriority, COUNT(*) AS n_rows,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+      FROM $cat.orders_dt WHERE o_orderdate >= DATE '1997-01-01'
+      GROUP BY 1""")
+    val scanPruned = q.queryExecution.executedPlan.toString
+      .contains("#pruned")
+    val unpruned = spark.sql(s"SELECT count(*) AS n FROM $cat.orders_dt " +
+      "WHERE o_totalprice >= 100000")
+    val unprunedOk = !unpruned.queryExecution.executedPlan.toString
+      .contains("#pruned")
+    val expectKept = years.count(_ >= 1997)
+    q.withColumn("scan_pruned", lit(scanPruned))
+      .withColumn("api_pruned",
+        lit(apiPruned.size == expectKept && expectKept < all))
+      .withColumn("unpruned_ok", lit(unprunedOk))
+  }
+
   /** q223 — WRITE-AUDIT-PUBLISH via branch + fast-forward
     * ([[graft.lake.Snapshots.fastForward]] closing the WAP loop
     * [[graft.lake.Snapshots.shallowClone]] opens — the Iceberg branch
@@ -1419,6 +1481,13 @@ object LayoutQueries {
   }
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q224_date_stats_pruning", dateStatsPruning, Some(s"""
+      SELECT o_orderpriority, COUNT(*) AS n_rows,
+             CAST(SUM(${Num.sqlCents("o_totalprice")}) AS BIGINT)
+               AS sum_cents,
+             true AS scan_pruned, true AS api_pruned, true AS unpruned_ok
+      FROM orders WHERE o_orderdate >= DATE '1997-01-01'
+      GROUP BY 1""")),
     QueryDef("q223_wap_branch", wapBranch, Some(s"""
       WITH m AS (
         SELECT o_orderpriority,
