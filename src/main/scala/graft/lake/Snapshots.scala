@@ -81,7 +81,8 @@ object Snapshots {
       drops: Seq[DropSpec] = Nil,
       rowCounts: Map[String, Long] = Map.empty,
       op: String = "",
-      constraints: Seq[(String, String)] = Nil)
+      constraints: Seq[(String, String)] = Nil,
+      partitionSpec: Seq[String] = Nil)
 
   /** Resolve a manifest file reference to a readable path. References
     * are table-relative in the common case; a [[shallowClone]] carries
@@ -263,7 +264,8 @@ object Snapshots {
     }
     Some(Snapshot(v, files, strings("deletes"), stats,
       renames, manifestIds, blooms, commitTs, dirSchemas, drops, rowCounts,
-      m.get("op").map(_.toString).getOrElse(""), constraints))
+      m.get("op").map(_.toString).getOrElse(""), constraints,
+      strings("partition_spec")))
   }
 
   /** Commit history of the table as a DataFrame — the `DESCRIBE
@@ -578,7 +580,8 @@ object Snapshots {
       manifests: Seq[String], deletes: Seq[String],
       renames: Seq[(String, String)], drops: Seq[DropSpec],
       commitTs: Long, op: String = "",
-      constraints: Seq[(String, String)] = Nil): Boolean = {
+      constraints: Seq[(String, String)] = Nil,
+      partitionSpec: Seq[String] = Nil): Boolean = {
     val conf = spark.sparkContext.hadoopConfiguration
     val ops = new FileOps(conf)
     val dst = new org.apache.hadoop.fs.Path(logPath(table, v))
@@ -592,7 +595,8 @@ object Snapshots {
       "deletes" -> deletes,
       "renames" -> renames.map(r => Seq(r._1, r._2)),
       "drops" -> drops.map(d => Seq(d._1, d._2.toLong, d._3)),
-      "constraints" -> constraints.map(c => Seq(c._1, c._2))))
+      "constraints" -> constraints.map(c => Seq(c._1, c._2)),
+      "partition_spec" -> partitionSpec))
     val tmp = s"${logPath(table, v)}.tmp-${Naming.newRunId()}"
     ops.writeString(tmp, json)
     try {
@@ -640,6 +644,10 @@ object Snapshots {
       // CHECK constraints carry forward UNCHANGED through every commit;
       // only addConstraint/dropConstraint override them
       newConstraints: Option[Snapshot] => Option[Seq[(String, String)]] =
+        _ => None,
+      // the persisted PARTITION SPEC likewise carries forward; only
+      // appendPartitioned/overwritePartitioned/setPartitionSpec override
+      newPartitionSpec: Option[Snapshot] => Option[Seq[String]] =
         _ => None)(
       content: Option[Snapshot] => (Seq[String], Seq[String],
         Seq[(String, String)], Seq[DropSpec])): Int = {
@@ -655,6 +663,8 @@ object Snapshots {
       val (manifests, deletes, renames, drops) = content(prev)
       val constraints = newConstraints(prev)
         .getOrElse(prev.map(_.constraints).getOrElse(Nil))
+      val partitionSpec = newPartitionSpec(prev)
+        .getOrElse(prev.map(_.partitionSpec).getOrElse(Nil))
       // commit timestamps are MONOTONIC and STRICTLY increasing: clock
       // skew or same-millisecond commits would otherwise make
       // TIMESTAMP AS OF resolution ambiguous (two versions at one ts)
@@ -664,7 +674,7 @@ object Snapshots {
         prev.map(_.commitTs + 1).getOrElse(0L))
       beforePublish()
       if (tryPublish(spark, table, v, manifests, deletes, renames, drops,
-          commitTs, op, constraints)) {
+          commitTs, op, constraints, partitionSpec)) {
         writeLatestHint(spark, table, v)
         return v
       }
@@ -862,20 +872,80 @@ object Snapshots {
       }.toMap
   }
 
+  /** The SOURCE column a (possibly transform-encoded) spec entry reads. */
+  private[graft] def specSourceCol(name: String): String = name match {
+    case BucketSpec(_, c) => c
+    case DaysSpec(c) => c
+    case c => c
+  }
+
+  private val PlainCol = """[A-Za-z0-9_]+""".r
+
+  /** Refuse malformed spec entries at commit time, not at first read. */
+  private def validateSpec(spec: Seq[String]): Unit = spec.foreach {
+    case BucketSpec(n, _) => require(n.toInt > 0,
+      s"bucket transform needs a positive bucket count, got $n")
+    case DaysSpec(_) => ()
+    case PlainCol() => ()
+    case bad => throw new IllegalArgumentException(
+      s"malformed partition spec entry '$bad': expected a column name, " +
+        "bucket(n,col) or days(col)")
+  }
+
+  /** Range-cluster `df` by the spec's transform tuple — `numFiles <= 0`
+    * leaves the shuffle width to the session default (one file per
+    * shuffle task, the production shape). */
+  private def clusterBySpec(df: DataFrame, spec: Seq[String],
+      numFiles: Int): DataFrame = {
+    val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    val exprs = spec.map(statsExpr(_, types))
+    if (numFiles > 0) df.repartitionByRange(numFiles, exprs: _*)
+    else df.repartitionByRange(exprs: _*)
+  }
+
+  /** Honor the table's PERSISTED partition spec on an un-clustered write
+    * (the Iceberg write contract: the table's spec shapes every write,
+    * whatever path produced it — SQL INSERT, CDC apply, a plain
+    * DataFrame append). The spec is read once, outside the commit loop:
+    * a spec changed concurrently with an in-flight write only affects
+    * that write's CLUSTERING quality, never correctness (per-file stats
+    * carry their own transform names). Writes missing a spec source
+    * column (schema evolution in flight) skip clustering rather than
+    * fail. */
+  private def honorSpec(spark: SparkSession, table: String, df: DataFrame,
+      statsCols: Seq[String]): (DataFrame, Seq[String]) = {
+    val spec = latestSnapshot(spark, table).map(_.partitionSpec)
+      .getOrElse(Nil)
+    val names = df.schema.fieldNames.toSet
+    if (spec.isEmpty || !spec.map(specSourceCol).forall(names)) (df, statsCols)
+    else (clusterBySpec(df, spec, 0), (spec ++ statsCols).distinct)
+  }
+
   /** New version = previous version's files (and delete files) + this
     * delta. `statsCols` opts the commit into log-level min/max stats for
     * those columns; carried files keep the stats they were committed
-    * with. */
+    * with. A table carrying a persisted partition spec
+    * ([[appendPartitioned]] / CTAS `PARTITIONED BY`) clusters this
+    * delta by it automatically. */
   def append(spark: SparkSession, table: String, df: DataFrame,
       statsCols: Seq[String] = Nil,
       beforePublish: () => Unit = () => (),
       bloomCols: Seq[String] = Nil): Int = {
+    val (clustered, stats) = honorSpec(spark, table, df, statsCols)
+    appendStaged(spark, table, clustered, stats, beforePublish, bloomCols,
+      newSpec = None)
+  }
+
+  private def appendStaged(spark: SparkSession, table: String, df: DataFrame,
+      statsCols: Seq[String], beforePublish: () => Unit,
+      bloomCols: Seq[String], newSpec: Option[Seq[String]]): Int = {
     enforceConstraints(spark, table, df, "append")
     val (staged, stagedStats, stagedBlooms, stagedSchemas) =
       stage(spark, table, df, statsCols, bloomCols)
     val mid = writeManifest(spark, table, staged, stagedStats, stagedBlooms,
       stagedSchemas)
-    commitLoop(spark, table, "append", beforePublish) { prev =>
+    commitLoop(spark, table, "append", beforePublish,
+      newPartitionSpec = _ => newSpec) { prev =>
       guardRecycledNames(df, prev)
       (prev.map(_.manifests).getOrElse(Nil) :+ mid,
         prev.map(_.deletes).getOrElse(Nil),
@@ -887,27 +957,52 @@ object Snapshots {
   /** HIDDEN-PARTITIONED append (the Iceberg partition-transform write
     * path): rows are RANGE-clustered by the transform tuple (`spec`
     * entries are transform-encoded stats names — `bucket(n,c)`,
-    * `days(c)`, or plain columns) into `numFiles` files, and each
-    * file's min/max OF THE TRANSFORM VALUES is recorded in the
-    * manifest. The data files carry no partition column and the
-    * directory layout is flat — partitioning lives entirely in the
-    * log, so a predicate on the SOURCE column prunes via the same
-    * transform applied to its literal ([[readAtBucketPoint]] for point
-    * lookups, `days(c)` intervals via [[prunedFilesAt]], and both
-    * automatically on catalog SQL scans). Range clustering makes the
-    * per-file transform intervals near-disjoint, which is what gives
-    * the transform stats their pruning power; at 100 TB this is one
-    * shuffle at write time buying every subsequent scan's file
-    * skipping. */
+    * `days(c)`, or plain columns) into `numFiles` files (`<= 0` = the
+    * session's shuffle width), and each file's min/max OF THE TRANSFORM
+    * VALUES is recorded in the manifest. The data files carry no
+    * partition column and the directory layout is flat — partitioning
+    * lives entirely in the log, so a predicate on the SOURCE column
+    * prunes via the same transform applied to its literal
+    * ([[readAtBucketPoint]] for point lookups, `days(c)` intervals via
+    * [[prunedFilesAt]], and both automatically on catalog SQL scans).
+    * Range clustering makes the per-file transform intervals
+    * near-disjoint, which is what gives the transform stats their
+    * pruning power; at 100 TB this is one shuffle at write time buying
+    * every subsequent scan's file skipping. The spec is PERSISTED in
+    * the log as the table's partition spec: later un-clustered writes
+    * (SQL INSERT, plain appends) cluster by it automatically, and
+    * [[setPartitionSpec]] evolves it without touching old files. */
   def appendPartitioned(spark: SparkSession, table: String, df: DataFrame,
-      spec: Seq[String], numFiles: Int,
+      spec: Seq[String], numFiles: Int = 0,
       statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): Int = {
     require(spec.nonEmpty, "appendPartitioned needs a partition spec")
-    val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
-    val clustered =
-      df.repartitionByRange(numFiles, spec.map(statsExpr(_, types)): _*)
-    append(spark, table, clustered,
-      statsCols = (spec ++ statsCols).distinct, bloomCols = bloomCols)
+    validateSpec(spec)
+    appendStaged(spark, table, clusterBySpec(df, spec, numFiles),
+      (spec ++ statsCols).distinct, () => (), bloomCols, Some(spec))
+  }
+
+  /** The table's current persisted partition spec (empty =
+    * unpartitioned / never declared). */
+  def currentPartitionSpec(spark: SparkSession, table: String): Seq[String] =
+    latestSnapshot(spark, table).map(_.partitionSpec).getOrElse(Nil)
+
+  /** Evolve the table's persisted partition spec — ONE metadata-only
+    * commit, no data rewritten (Iceberg partition-spec evolution): old
+    * files keep the transform stats of the spec they were written
+    * under, new writes cluster by the new spec, and reads prune each
+    * file through whichever transform stats it carries (stat names are
+    * per-file, so mixed-spec tables need no special read path). An
+    * empty spec clears it: subsequent writes stop clustering. */
+  def setPartitionSpec(spark: SparkSession, table: String,
+      spec: Seq[String]): Int = {
+    validateSpec(spec)
+    commitLoop(spark, table, "set-partition-spec",
+      newPartitionSpec = _ => Some(spec)) { prev =>
+      (prev.map(_.manifests).getOrElse(Nil),
+        prev.map(_.deletes).getOrElse(Nil),
+        prev.map(_.renames).getOrElse(Nil),
+        prev.map(_.drops).getOrElse(Nil))
+    }
   }
 
   /** The bucket id `bucket(n,·)` assigns to a key literal — evaluated
@@ -951,15 +1046,40 @@ object Snapshots {
   }
 
   /** New version replaces the file list wholesale (old files remain for
-    * time travel until vacuumed). */
+    * time travel until vacuumed). A persisted partition spec survives
+    * the rewrite and clusters the replacement data
+    * ([[appendPartitioned]]'s write contract). */
   def overwrite(spark: SparkSession, table: String, df: DataFrame,
       statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): Int = {
+    val (clustered, stats) = honorSpec(spark, table, df, statsCols)
+    overwriteStaged(spark, table, clustered, stats, bloomCols,
+      newSpec = None)
+  }
+
+  /** [[overwrite]] that RE-DECLARES the table's partition spec in the
+    * same commit — the `[CREATE OR] REPLACE TABLE [PARTITIONED BY]`
+    * shape: the spec given here replaces the persisted one entirely
+    * (empty = the replacement is unpartitioned), unlike [[overwrite]],
+    * which is a data rewrite that leaves the declared layout alone. */
+  def replaceTable(spark: SparkSession, table: String, df: DataFrame,
+      spec: Seq[String] = Nil, numFiles: Int = 0,
+      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): Int = {
+    validateSpec(spec)
+    val clustered = if (spec.isEmpty) df else clusterBySpec(df, spec, numFiles)
+    overwriteStaged(spark, table, clustered,
+      (spec ++ statsCols).distinct, bloomCols, Some(spec))
+  }
+
+  private def overwriteStaged(spark: SparkSession, table: String,
+      df: DataFrame, statsCols: Seq[String], bloomCols: Seq[String],
+      newSpec: Option[Seq[String]]): Int = {
     enforceConstraints(spark, table, df, "overwrite")
     val (staged, stagedStats, stagedBlooms, stagedSchemas) =
       stage(spark, table, df, statsCols, bloomCols)
     val mid = writeManifest(spark, table, staged, stagedStats, stagedBlooms,
       stagedSchemas)
-    commitLoop(spark, table, "overwrite") { prev =>
+    commitLoop(spark, table, "overwrite",
+      newPartitionSpec = _ => newSpec) { prev =>
       guardRecycledNames(df, prev)
       // a full rewrite references ONLY fresh files: no pre-drop dirs
       // remain, so the drop ledger resets (the rename chain must stay —

@@ -171,30 +171,65 @@ case class SnapshotDmlRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           org.apache.spark.sql.catalyst.analysis.ResolvedIdentifier(
             cat: SnapshotCatalog, ident), partitioning, query,
           spec: TableSpec, _, ignoreIfExists, _) if query.resolved =>
-        ctasShapeCheck(partitioning, spec, "CREATE TABLE ... AS SELECT")
+        ctasShapeCheck(spec, "CREATE TABLE ... AS SELECT")
         SnapshotCtasCommand(cat.tablePath(ident), ident.name(), query,
-          ignoreIfExists = ignoreIfExists, replace = false, orCreate = false)
+          ignoreIfExists = ignoreIfExists, replace = false, orCreate = false,
+          partitionSpec = transformSpec(partitioning,
+            "CREATE TABLE ... AS SELECT"))
       // [CREATE OR] REPLACE TABLE … AS SELECT → overwrite commit when the
       // table exists (history stays time-travelable), create otherwise
       case r @ ReplaceTableAsSelect(
           org.apache.spark.sql.catalyst.analysis.ResolvedIdentifier(
             cat: SnapshotCatalog, ident), partitioning, query,
           spec: TableSpec, _, orCreate, _) if query.resolved =>
-        ctasShapeCheck(partitioning, spec, "REPLACE TABLE ... AS SELECT")
+        ctasShapeCheck(spec, "REPLACE TABLE ... AS SELECT")
         SnapshotCtasCommand(cat.tablePath(ident), ident.name(), query,
-          ignoreIfExists = false, replace = true, orCreate = orCreate)
+          ignoreIfExists = false, replace = true, orCreate = orCreate,
+          partitionSpec = transformSpec(partitioning,
+            "REPLACE TABLE ... AS SELECT"))
     }
 
-  /** Snapshot tables are unpartitioned file-list tables rooted under the
-    * catalog root — shapes the log cannot honor are refused with the
+  /** `PARTITIONED BY` transforms → the log's transform-encoded spec
+    * strings (HIDDEN PARTITIONING — [[Snapshots.appendPartitioned]]):
+    * `bucket(n, col)`, `days(col)` and bare identity columns are the
+    * supported transform vocabulary; anything else is refused with the
     * reason rather than silently dropped. */
-  private def ctasShapeCheck(partitioning: Seq[_], spec: TableSpec,
-      what: String): Unit = {
+  private def transformSpec(
+      partitioning: Seq[org.apache.spark.sql.connector.expressions.Transform],
+      what: String): Seq[String] = {
+    import org.apache.spark.sql.connector.expressions.{Literal => V2Literal}
+    def unsupported(why: String): Nothing =
+      throw new UnsupportedOperationException(
+        s"$what on a snapshot catalog: $why")
+    partitioning.map { t =>
+      val refs = t.references()
+      if (refs.length != 1 || refs(0).fieldNames().length != 1) unsupported(
+        s"PARTITIONED BY ${t.describe()} must reference exactly one " +
+          "top-level column")
+      val c = refs(0).fieldNames()(0)
+      t.name() match {
+        case "identity" => c
+        case "days" => s"days($c)"
+        case "bucket" =>
+          val n = t.arguments().collectFirst {
+            case l: V2Literal[_] if l.value().isInstanceOf[Number] =>
+              l.value().asInstanceOf[Number].intValue()
+          }.getOrElse(unsupported(
+            s"bucket transform ${t.describe()} carries no bucket count"))
+          s"bucket($n,$c)"
+        case other => unsupported(
+          s"PARTITIONED BY transform '$other' (supported: identity " +
+            "columns, bucket(n, col), days(col))")
+      }
+    }
+  }
+
+  /** Snapshot tables are flat file-list tables rooted under the catalog
+    * root — shapes the log cannot honor are refused with the reason
+    * rather than silently dropped. */
+  private def ctasShapeCheck(spec: TableSpec, what: String): Unit = {
     def unsupported(why: String) = throw new UnsupportedOperationException(
       s"$what on a snapshot catalog: $why")
-    if (partitioning.nonEmpty) unsupported(
-      "PARTITIONED BY is not supported (snapshot tables are unpartitioned " +
-        "file lists; use Z-order OPTIMIZE for layout)")
     if (spec.location.isDefined) unsupported(
       "LOCATION is not supported (the catalog root determines the path)")
     if (spec.properties.nonEmpty || spec.options.nonEmpty) unsupported(
@@ -583,25 +618,35 @@ case class SnapshotInsertCommand(path: String, query: LogicalPlan,
 }
 
 /** `CREATE [OR REPLACE] TABLE … AS SELECT` → the table's first
-  * [[Snapshots.append]] (create) or an [[Snapshots.overwrite]] commit
+  * [[Snapshots.append]] (create) or an [[Snapshots.replaceTable]] commit
   * (replace of an existing table — prior versions stay time-travelable,
   * exactly like the DataFrame overwrite path). `IF NOT EXISTS` over an
-  * existing table is a no-op that never evaluates the query. */
+  * existing table is a no-op that never evaluates the query.
+  * `PARTITIONED BY` transforms arrive as the log's transform-encoded
+  * `partitionSpec` and are PERSISTED: the CTAS data is range-clustered by
+  * them, and every later write to the table (SQL INSERT, DataFrame
+  * append, CDC apply) clusters by the recorded spec automatically —
+  * hidden partitioning end-to-end in SQL. A REPLACE re-declares the
+  * spec (absent = the replacement is unpartitioned). */
 case class SnapshotCtasCommand(path: String, tableName: String,
     query: LogicalPlan, ignoreIfExists: Boolean, replace: Boolean,
-    orCreate: Boolean) extends LeafRunnableCommand {
+    orCreate: Boolean, partitionSpec: Seq[String] = Nil)
+    extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
     val exists = Snapshots.latestVersion(session, path).isDefined
     def df = GraftSqlBridge.ofRows(session, query)
+    def create(): Unit =
+      if (partitionSpec.isEmpty) Snapshots.append(session, path, df)
+      else Snapshots.appendPartitioned(session, path, df, partitionSpec)
     if (replace) {
-      if (exists) Snapshots.overwrite(session, path, df)
-      else if (orCreate) Snapshots.append(session, path, df)
+      if (exists) Snapshots.replaceTable(session, path, df, partitionSpec)
+      else if (orCreate) create()
       else throw new org.apache.spark.sql.catalyst.analysis
         .NoSuchTableException(Seq(tableName))
     } else if (exists) {
       if (!ignoreIfExists) throw new org.apache.spark.sql.catalyst.analysis
         .TableAlreadyExistsException(Seq(tableName))
-    } else Snapshots.append(session, path, df)
+    } else create()
     Seq.empty
   }
 }

@@ -1173,6 +1173,71 @@ object LayoutQueries {
       .withColumn("api_pruned", lit(apiPruned))
   }
 
+  /** q226 — HIDDEN PARTITIONING end-to-end in SQL (the Iceberg DDL
+    * surface over q225's transform-stats machinery): `CREATE TABLE ...
+    * PARTITIONED BY (bucket(8, o_custkey), days(o_orderdate)) AS
+    * SELECT` persists the transform spec IN THE LOG, and a later plain
+    * `INSERT INTO` — which names no partitioning at all — is
+    * range-clustered by the persisted spec automatically, its files
+    * carrying the same transform stats (the Iceberg write contract:
+    * the table's spec shapes every write, whatever path produced it).
+    * Markers pin each leg: `spec_persisted` (the log records the DDL's
+    * spec verbatim), `insert_clustered` (every INSERT-staged file
+    * carries BOTH transforms' stats — auto-clustering worked),
+    * `scan_pruned`/`eq_pruned` (a date range and a key equality each
+    * shrink the SQL scan's file list from the log alone), and
+    * `sql_point_rows` is the cross-engine row count through the pruned
+    * path — a broken writer-side hash or a wrong prune under-counts
+    * rows, not just flips a marker. At 100 TB this is the full UX:
+    * declare the spec once in DDL, never mention it again, every
+    * write clusters and every read skips. */
+  def hiddenPartitioningSql(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Snapshots
+    val root = graft.util.Scratch.dir("hiddenpartsql", dir)
+    val table = s"$root/orders_hps"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+    val cat = s"hiddenpartsql_${Integer.toHexString(dir.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.lake.SnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    Tables(spark, dir, "orders").createOrReplaceTempView("orders_src_q226")
+    spark.sql(s"""
+      CREATE TABLE $cat.orders_hps
+      PARTITIONED BY (bucket(8, o_custkey), days(o_orderdate))
+      AS SELECT * FROM orders_src_q226 WHERE o_orderkey % 2 = 0""")
+    spark.sql(s"""
+      INSERT INTO $cat.orders_hps
+      SELECT * FROM orders_src_q226 WHERE o_orderkey % 2 = 1""")
+    val spec = Seq("bucket(8,o_custkey)", "days(o_orderdate)")
+    val specPersisted = Snapshots.currentPartitionSpec(spark, table) == spec
+    val v = Snapshots.latestVersion(spark, table).get
+    val s2 = Snapshots.snapshot(spark, table, v).get
+    val prior = Snapshots.snapshot(spark, table, v - 1).get.files.toSet
+    val inserted = s2.files.filterNot(prior)
+    val insertClustered = inserted.nonEmpty && inserted.forall(f =>
+      s2.stats.get(f).exists(m => spec.forall(m.contains)))
+    val key = Tables(spark, dir, "orders")
+      .agg(min(col("o_custkey"))).head.getLong(0)
+    val q = spark.sql(s"""
+      SELECT o_orderpriority, COUNT(*) AS n_rows,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+      FROM $cat.orders_hps WHERE o_orderdate >= DATE '2000-01-01'
+      GROUP BY 1""")
+    val scanPruned = q.queryExecution.executedPlan.toString
+      .contains("#pruned")
+    val eqq = spark.sql(
+      s"SELECT count(*) AS n FROM $cat.orders_hps WHERE o_custkey = $key")
+    val eqPruned = eqq.queryExecution.executedPlan.toString
+      .contains("#pruned")
+    val sqlPointRows = eqq.head().getLong(0)
+    q.withColumn("sql_point_rows", lit(sqlPointRows))
+      .withColumn("spec_persisted", lit(specPersisted))
+      .withColumn("insert_clustered", lit(insertClustered))
+      .withColumn("scan_pruned", lit(scanPruned))
+      .withColumn("eq_pruned", lit(eqPruned))
+  }
+
   /** q223 — WRITE-AUDIT-PUBLISH via branch + fast-forward
     * ([[graft.lake.Snapshots.fastForward]] closing the WAP loop
     * [[graft.lake.Snapshots.shallowClone]] opens — the Iceberg branch
@@ -1554,6 +1619,17 @@ object LayoutQueries {
   }
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q226_hidden_partitioning_sql", hiddenPartitioningSql, Some(s"""
+      SELECT o_orderpriority, COUNT(*) AS n_rows,
+             CAST(SUM(${Num.sqlCents("o_totalprice")}) AS BIGINT)
+               AS sum_cents,
+             (SELECT count(*) FROM orders
+              WHERE o_custkey = (SELECT min(o_custkey) FROM orders))
+               AS sql_point_rows,
+             true AS spec_persisted, true AS insert_clustered,
+             true AS scan_pruned, true AS eq_pruned
+      FROM orders WHERE o_orderdate >= DATE '2000-01-01'
+      GROUP BY 1""")),
     QueryDef("q225_hidden_partitioning", hiddenPartitioning, Some(s"""
       SELECT o_orderpriority, COUNT(*) AS n_rows,
              CAST(SUM(${Num.sqlCents("o_totalprice")}) AS BIGINT)

@@ -1185,9 +1185,11 @@ class SnapshotsSpec extends SparkTestBase {
   test("hidden partitioning: transform stats prune exactly, never wrongly") {
     val t = fresh("hp")
     val spec = Seq("bucket(4,o_custkey)", "days(o_orderdate)")
-    Snapshots.appendPartitioned(spark, t, orders, spec, numFiles = 8)
     // a stats-less commit spans everything: unknown must never prune
+    // (committed BEFORE the spec exists — once appendPartitioned has
+    // persisted the spec, every later write carries transform stats)
     Snapshots.append(spark, t, orders.limit(7))
+    Snapshots.appendPartitioned(spark, t, orders, spec, numFiles = 8)
     val v = Snapshots.latestVersion(spark, t).get
     val s = Snapshots.snapshot(spark, t, v).get
     val statless = s.files.filter(f => !s.stats.contains(f) ||
@@ -1224,6 +1226,51 @@ class SnapshotsSpec extends SparkTestBase {
       0.0, 1.0).get
     assert(none.toSet == statless.toSet,
       "an impossible day interval must keep exactly the stats-less files")
+  }
+
+  test("persisted partition spec: plain writes cluster; evolution is per-file") {
+    val t = fresh("hpspec")
+    val specA = Seq("bucket(4,o_custkey)")
+    Snapshots.appendPartitioned(spark, t,
+      orders.filter(col("o_orderkey") % 3 === 0), specA, numFiles = 4)
+    assert(Snapshots.currentPartitionSpec(spark, t) == specA)
+    // a PLAIN append now honors the persisted spec: its files carry
+    // bucket stats without the caller asking
+    val v1 = Snapshots.append(spark, t,
+      orders.filter(col("o_orderkey") % 3 === 1))
+    val s1 = Snapshots.snapshot(spark, t, v1).get
+    val freshA = s1.files.filterNot(
+      Snapshots.snapshot(spark, t, v1 - 1).get.files.toSet)
+    assert(freshA.nonEmpty &&
+      freshA.forall(f => s1.stats.get(f).exists(_.contains(specA.head))),
+      "plain append on a spec'd table must carry the spec's transform stats")
+    // spec EVOLUTION: one metadata-only commit, old files untouched
+    val specB = Seq("days(o_orderdate)")
+    val vSet = Snapshots.setPartitionSpec(spark, t, specB)
+    assert(Snapshots.snapshot(spark, t, vSet).get.files == s1.files)
+    val v2 = Snapshots.append(spark, t,
+      orders.filter(col("o_orderkey") % 3 === 2))
+    val s2 = Snapshots.snapshot(spark, t, v2).get
+    val freshB = s2.files.filterNot(s1.files.toSet)
+    assert(freshB.nonEmpty &&
+      freshB.forall(f => s2.stats.get(f).exists(_.contains(specB.head))),
+      "appends after evolution must carry the NEW spec's stats")
+    // era-A files keep era-A stats: a bucket point-prune still skips them
+    assert(freshA.forall(f => s2.stats.get(f).exists(_.contains(specA.head))))
+    // reads stay exact across the mixed-spec eras
+    val k = orders.agg(min(col("o_custkey"))).head.getLong(0)
+    val viaPoint = Snapshots.readAtBucketPoint(spark, t,
+      s2.version, "bucket(4,o_custkey)", k).get.count()
+    val direct = Snapshots.readAt(spark, t, s2.version).get
+      .filter(col("o_custkey") === k).count()
+    assert(viaPoint == direct)
+    // malformed specs are refused at declaration time
+    intercept[IllegalArgumentException] {
+      Snapshots.setPartitionSpec(spark, t, Seq("bucket(0,o_custkey)"))
+    }
+    intercept[IllegalArgumentException] {
+      Snapshots.setPartitionSpec(spark, t, Seq("years(o_orderdate)"))
+    }
   }
 
   test("bucketValueOf matches the distributed xxhash64 the writer records") {
