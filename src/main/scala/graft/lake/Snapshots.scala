@@ -838,12 +838,27 @@ object Snapshots {
     * Files where a column is all-null get no entry for it: unknown
     * never prunes. */
   private def collectStats(spark: SparkSession, table: String,
-      files: Seq[String], statsCols: Seq[String]): FileStats = {
-    if (statsCols.isEmpty || files.isEmpty) return Map.empty
+      files: Seq[String], statsCols0: Seq[String]): FileStats = {
+    if (statsCols0.isEmpty || files.isEmpty) return Map.empty
     import org.apache.spark.sql.functions.{max, min}
     val root = LakePaths.tableRootPath(spark, table)
     val scan = spark.read.parquet(files.map(f => filePath(table, f)): _*)
     val types = scan.schema.fields.map(f => f.name -> f.dataType).toMap
+    // manifest stats are doubles: only columns whose stats expression
+    // casts to double TOTALLY (never an ANSI cast error) are
+    // collectable. A string/binary identity-partition column (legal —
+    // it still range-clusters the write) simply records no stats:
+    // unknown never prunes, correctness unaffected. Absent columns
+    // (schema evolution in flight) are skipped the same way.
+    val statsCols = statsCols0.filter { c =>
+      scala.util.Try(scan.select(statsExpr(c, types)).schema.head.dataType)
+        .toOption.exists {
+          case _: NumericType | DateType | TimestampType |
+               TimestampNTZType => true
+          case _ => false
+        }
+    }
+    if (statsCols.isEmpty) return Map.empty
     val aggs = statsCols.flatMap { c =>
       val base = statsExpr(c, types)
       Seq(min(base).cast("double").as(s"_mn_$c"),

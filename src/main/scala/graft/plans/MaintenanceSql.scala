@@ -19,6 +19,7 @@ import graft.lake.Snapshots
   * CREATE TABLE cat.dst SHALLOW CLONE cat.src [VERSION AS OF n]
   * OPTIMIZE cat.t
   * VACUUM cat.t RETAIN n VERSIONS
+  * ALTER TABLE cat.t SET PARTITION SPEC (bucket(8, c), days(d))
   * }}}
   *
   * Table names are CATALOG-QUALIFIED and resolve through the SAME
@@ -39,6 +40,30 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     """(?is)^\s*OPTIMIZE\s+([\w.]+)\s*;?\s*$""".r
   private val VacuumRe =
     """(?is)^\s*VACUUM\s+([\w.]+)\s+RETAIN\s+(\d+)\s+VERSIONS\s*;?\s*$""".r
+  private val AlterSpecRe =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+SET\s+PARTITION\s+SPEC\s*\((.*)\)\s*;?\s*$""".r
+
+  /** The statement's transform list → the log's transform-encoded spec
+    * strings: split at depth-0 commas so `bucket(8, c), days(d)` parses
+    * as two entries, then strip ALL whitespace (entry grammar is
+    * `\w`-only, so blanks are never load-bearing); `()` declares an
+    * EMPTY spec — subsequent writes stop clustering. Entry validity
+    * itself is [[Snapshots.setPartitionSpec]]'s job (one validator for
+    * SQL and API callers). */
+  private def splitSpec(body: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    body.foreach {
+      case '(' => depth += 1; cur += '('
+      case ')' => depth -= 1; cur += ')'
+      case ',' if depth == 0 => out += cur.toString; cur.clear()
+      case ch => cur += ch
+    }
+    require(depth == 0, s"unbalanced parentheses in partition spec ($body)")
+    out += cur.toString
+    out.result().map(_.replaceAll("\\s+", "")).filter(_.nonEmpty)
+  }
 
   /** `cat.ns….name` → `<root>/<ns…>/<name>`, mirroring
     * [[graft.lake.SnapshotCatalog.tablePath]]. */
@@ -58,6 +83,7 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       ShallowCloneCommand(path(src), path(dst), Option(ver).map(_.toInt))
     case OptimizeRe(t) => OptimizeTableCommand(path(t))
     case VacuumRe(t, n) => VacuumTableCommand(path(t), n.toInt)
+    case AlterSpecRe(t, body) => SetPartitionSpecCommand(path(t), splitSpec(body))
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -90,6 +116,20 @@ case class ShallowCloneCommand(src: String, dst: String,
     version: Option[Int]) extends LeafRunnableCommand with VersionOutput {
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row(Snapshots.shallowClone(spark, src, dst, version).toLong))
+}
+
+/** `ALTER TABLE t SET PARTITION SPEC (bucket(8, c), days(d))` →
+  * [[Snapshots.setPartitionSpec]] — PARTITION-SPEC EVOLUTION as one
+  * metadata-only commit (the Iceberg `REPLACE PARTITION FIELD` shape):
+  * no data rewritten, old files keep the transform stats of the spec
+  * they were written under, subsequent writes cluster by the new spec.
+  * Spark has no grammar for this form, so the full-match interception
+  * changes no standard ALTER TABLE meaning. Returns the published
+  * metadata version. */
+case class SetPartitionSpecCommand(table: String, spec: Seq[String])
+    extends LeafRunnableCommand with VersionOutput {
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(Snapshots.setPartitionSpec(spark, table, spec).toLong))
 }
 
 /** `OPTIMIZE t` → [[Snapshots.optimize]] (full live rewrite; the

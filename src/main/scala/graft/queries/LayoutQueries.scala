@@ -1201,13 +1201,18 @@ object LayoutQueries {
       classOf[graft.lake.SnapshotCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$cat.root", root)
     Tables(spark, dir, "orders").createOrReplaceTempView("orders_src_q226")
-    spark.sql(s"""
-      CREATE TABLE $cat.orders_hps
-      PARTITIONED BY (bucket(8, o_custkey), days(o_orderdate))
-      AS SELECT * FROM orders_src_q226 WHERE o_orderkey % 2 = 0""")
-    spark.sql(s"""
-      INSERT INTO $cat.orders_hps
-      SELECT * FROM orders_src_q226 WHERE o_orderkey % 2 = 1""")
+    // gate-scale writes pin the clustered width (see [[pinnedWriteWidth]]):
+    // AQE would right-size a ~1.5k-row insert to one file — correct
+    // production sizing, vacuous for the pruning markers below
+    pinnedWriteWidth(spark) {
+      spark.sql(s"""
+        CREATE TABLE $cat.orders_hps
+        PARTITIONED BY (bucket(8, o_custkey), days(o_orderdate))
+        AS SELECT * FROM orders_src_q226 WHERE o_orderkey % 2 = 0""")
+      spark.sql(s"""
+        INSERT INTO $cat.orders_hps
+        SELECT * FROM orders_src_q226 WHERE o_orderkey % 2 = 1""")
+    }
     val spec = Seq("bucket(8,o_custkey)", "days(o_orderdate)")
     val specPersisted = Snapshots.currentPartitionSpec(spark, table) == spec
     val v = Snapshots.latestVersion(spark, table).get
@@ -1236,6 +1241,110 @@ object LayoutQueries {
       .withColumn("insert_clustered", lit(insertClustered))
       .withColumn("scan_pruned", lit(scanPruned))
       .withColumn("eq_pruned", lit(eqPruned))
+  }
+
+  /** Pin the clustered-write width while `body` writes: a table-spec'd
+    * write clusters via a width-0 `repartitionByRange`, whose partition
+    * count AQE right-sizes to the data volume — the correct PRODUCTION
+    * sizing, which at gate scale (a ~1.5k-row insert) collapses to ONE
+    * file and makes any file-pruning demonstration vacuous. Disabling
+    * AQE partition coalescing for the write's duration restores the
+    * many-files-per-write reality of a large table without touching
+    * product code; explicit-width writes ([[Snapshots.appendPartitioned]]
+    * with `numFiles > 0`) are unaffected either way. */
+  private def pinnedWriteWidth[T](spark: SparkSession)(body: => T): T = {
+    val k = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.getOption(k)
+    spark.conf.set(k, "false")
+    try body finally prev match {
+      case Some(v) => spark.conf.set(k, v)
+      case None => spark.conf.unset(k)
+    }
+  }
+
+  /** q227 — PARTITION-SPEC EVOLUTION (Iceberg `REPLACE PARTITION
+    * FIELD`, the lifecycle leg q225/q226's hidden partitioning
+    * implies): the table starts bucket-clustered, one metadata-only
+    * `ALTER TABLE … SET PARTITION SPEC (days(o_orderdate))` evolves the
+    * spec WITHOUT rewriting a byte, and a later plain append — which
+    * names no partitioning — range-clusters by the NEW spec
+    * automatically. Because transform stats are recorded PER FILE under
+    * the spec each file was written with, the mixed-spec table needs no
+    * special read path: a date-range scan prunes only new-era files
+    * (old files lack `days` stats and "unknown never prunes"), a bucket
+    * point lookup prunes only old-era files, and BOTH legs flow through
+    * the same SQL scan rule. Markers pin each claim: `spec_evolved`
+    * (the log's current spec is the new one), `metadata_only` (the
+    * ALTER commit carries the identical file list), `new_clustered` /
+    * `old_kept` (per-era stats names), `date_pruned` / `bucket_pruned`
+    * (each transform still prunes its own era, never the other's), and
+    * `point_rows` + the cross-engine aggregate catch value-level damage
+    * a marker can't. At 100 TB this is the operation that saves a
+    * repartition of history when the workload's partition key changes:
+    * O(1) metadata now, the new layout amortizes in from the next write
+    * on. */
+  def partitionSpecEvolution(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Snapshots
+    val root = graft.util.Scratch.dir("specevo", dir)
+    val table = s"$root/orders_pe"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+    val orders = Tables(spark, dir, "orders")
+    val oldSpec = "bucket(8,o_custkey)"
+    val newSpec = "days(o_orderdate)"
+    Snapshots.appendPartitioned(spark, table,
+      orders.filter(col("o_orderkey") % 2 === 0), Seq(oldSpec), numFiles = 8)
+    val v1 = Snapshots.latestVersion(spark, table).get
+    val oldFiles = Snapshots.snapshot(spark, table, v1).get.files.toSet
+    val cat = s"specevo_${Integer.toHexString(dir.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.lake.SnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"ALTER TABLE $cat.orders_pe SET PARTITION SPEC ($newSpec)")
+    val v2 = Snapshots.latestVersion(spark, table).get
+    val specEvolved = v2 == v1 + 1 &&
+      Snapshots.currentPartitionSpec(spark, table) == Seq(newSpec)
+    val metadataOnly =
+      Snapshots.snapshot(spark, table, v2).get.files.toSet == oldFiles
+    pinnedWriteWidth(spark) {
+      Snapshots.append(spark, table,
+        orders.filter(col("o_orderkey") % 2 === 1))
+    }
+    val v3 = Snapshots.latestVersion(spark, table).get
+    val s3 = Snapshots.snapshot(spark, table, v3).get
+    val newFiles = s3.files.filterNot(oldFiles)
+    val newClustered = newFiles.nonEmpty &&
+      newFiles.forall(f => s3.stats.get(f).exists(_.contains(newSpec)))
+    val oldKept = oldFiles.nonEmpty &&
+      oldFiles.forall(f => s3.stats.get(f).exists(m =>
+        m.contains(oldSpec) && !m.contains(newSpec)))
+    // cutoff well inside the date domain: new-era files split around it
+    val cutDays =
+      java.time.LocalDate.parse("2000-01-01").toEpochDay.toDouble
+    val dateFiles = Snapshots.prunedFilesAt(spark, table, v3, newSpec,
+      cutDays, Double.PositiveInfinity).get
+    val datePruned = dateFiles.size < s3.files.size &&
+      oldFiles.forall(dateFiles.contains) // stat-less era never prunes
+    val key = orders.agg(min(col("o_custkey"))).head.getLong(0)
+    val b = Snapshots.bucketValueOf(8, key)
+    val bucketFiles = Snapshots.prunedFilesAt(spark, table, v3, oldSpec,
+      b, b).get
+    val bucketPruned = bucketFiles.size < s3.files.size &&
+      newFiles.forall(bucketFiles.contains)
+    val pointRows = Snapshots.readAtBucketPoint(spark, table, v3, oldSpec,
+      key).get.count()
+    val q = spark.sql(s"""
+      SELECT o_orderpriority, COUNT(*) AS n_rows,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+      FROM $cat.orders_pe WHERE o_orderdate >= DATE '2000-01-01'
+      GROUP BY 1""")
+    q.withColumn("point_rows", lit(pointRows))
+      .withColumn("spec_evolved", lit(specEvolved))
+      .withColumn("metadata_only", lit(metadataOnly))
+      .withColumn("new_clustered", lit(newClustered))
+      .withColumn("old_kept", lit(oldKept))
+      .withColumn("date_pruned", lit(datePruned))
+      .withColumn("bucket_pruned", lit(bucketPruned))
   }
 
   /** q223 — WRITE-AUDIT-PUBLISH via branch + fast-forward
@@ -1619,6 +1728,18 @@ object LayoutQueries {
   }
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q227_partition_evolution", partitionSpecEvolution, Some(s"""
+      SELECT o_orderpriority, COUNT(*) AS n_rows,
+             CAST(SUM(${Num.sqlCents("o_totalprice")}) AS BIGINT)
+               AS sum_cents,
+             (SELECT count(*) FROM orders
+              WHERE o_custkey = (SELECT min(o_custkey) FROM orders))
+               AS point_rows,
+             true AS spec_evolved, true AS metadata_only,
+             true AS new_clustered, true AS old_kept,
+             true AS date_pruned, true AS bucket_pruned
+      FROM orders WHERE o_orderdate >= DATE '2000-01-01'
+      GROUP BY 1""")),
     QueryDef("q226_hidden_partitioning_sql", hiddenPartitioningSql, Some(s"""
       SELECT o_orderpriority, COUNT(*) AS n_rows,
              CAST(SUM(${Num.sqlCents("o_totalprice")}) AS BIGINT)

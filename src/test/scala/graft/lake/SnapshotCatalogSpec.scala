@@ -355,9 +355,22 @@ class SnapshotCatalogSpec extends SparkTestBase {
     // REPLACE of a missing table without OR CREATE is an error
     intercept[Exception](spark.sql(
       s"REPLACE TABLE $cat.missing AS SELECT * FROM ctas_spec_src"))
+    // a STRING identity partition column is legal: the write clusters
+    // by it, but manifest stats are doubles so the column records NO
+    // stats (unknown never prunes) instead of crashing the commit on an
+    // ANSI string→double cast
+    spark.sql(s"CREATE TABLE $cat.t2 PARTITIONED BY (o_orderstatus) AS " +
+      "SELECT * FROM ctas_spec_src")
+    val s2 = Snapshots.snapshot(spark, s"$root/t2",
+      Snapshots.latestVersion(spark, s"$root/t2").get).get
+    assert(s2.partitionSpec == Seq("o_orderstatus"))
+    assert(s2.files.nonEmpty &&
+      s2.files.forall(f => !s2.stats.get(f).exists(_.contains("o_orderstatus"))))
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t2").head().getLong(0) ==
+      orders.count())
     // un-honorable shapes are refused with the reason
     val e = intercept[UnsupportedOperationException](spark.sql(
-      s"CREATE TABLE $cat.t2 PARTITIONED BY (o_orderstatus) AS " +
+      s"CREATE TABLE $cat.t3 PARTITIONED BY (years(o_orderdate)) AS " +
         "SELECT * FROM ctas_spec_src"))
     assert(e.getMessage.contains("PARTITIONED BY"))
     org.apache.commons.io.FileUtils.deleteQuietly(new File(root))
@@ -417,9 +430,25 @@ class SnapshotCatalogSpec extends SparkTestBase {
     assert(spark.sql(s"VACUUM $cat.c RETAIN 1 VERSIONS")
       .head().getLong(0) == 2L)
     assert(spark.sql(s"SELECT * FROM $cat.c").count() == 60)
+    // ALTER ... SET PARTITION SPEC evolves the spec as a metadata-only
+    // commit; whitespace inside transform args is tolerated, and the
+    // empty spec () clears it
+    assert(spark.sql(s"ALTER TABLE $cat.c SET PARTITION SPEC " +
+      "(bucket(4, o_custkey), days(o_orderdate))").head().getLong(0) == 3L)
+    assert(Snapshots.currentPartitionSpec(spark, s"$root/c") ==
+      Seq("bucket(4,o_custkey)", "days(o_orderdate)"))
+    spark.sql(s"ALTER TABLE $cat.c SET PARTITION SPEC ()")
+    assert(Snapshots.currentPartitionSpec(spark, s"$root/c").isEmpty)
+    // a malformed transform is refused by the shared validator
+    val eSpec = intercept[Exception](spark.sql(
+      s"ALTER TABLE $cat.c SET PARTITION SPEC (years(o_orderdate))"))
+    assert(eSpec.getMessage.contains("malformed partition spec"))
     // full-match only: the keywords inside larger statements stay
-    // Spark's problem (alias named optimize parses as standard SQL)
+    // Spark's problem (alias named optimize parses as standard SQL);
+    // standard ALTER TABLE forms delegate verbatim too
     assert(spark.sql("SELECT 1 AS optimize").head().getInt(0) == 1)
+    intercept[Exception](spark.sql(s"ALTER TABLE $cat.c SET " +
+      "TBLPROPERTIES ('x'='y')")) // Spark's parser+catalog, not ours
     // an unregistered catalog name errors loudly at parse time
     val e = intercept[Exception](spark.sql("OPTIMIZE nocat.t"))
     assert(e.getMessage.contains("not a registered snapshot catalog"))
