@@ -1763,6 +1763,48 @@ object Snapshots {
       s.constraints)
   }
 
+  /** IN-PLACE ADOPTION (Iceberg `add_files` / `migrate`, Delta
+    * `CONVERT TO DELTA`): register parquet files that ALREADY EXIST —
+    * a directory some other system wrote — into the table as ONE
+    * commit, WITHOUT rewriting or moving a byte. The files enter the
+    * log as scheme-free ABSOLUTE references (the shallow-clone
+    * reference kind, so reader-side tombstone equality and vacuum's
+    * root-scoped reaping both already handle them), with exact row
+    * counts from one footer pass and optional min/max stats / blooms
+    * from one narrow scan — after which they participate FULLY: time
+    * travel, metadata-only `count(*)`, log-stats pruning, DML
+    * (tombstones target them like any file), OPTIMIZE (their live rows
+    * restage into table-owned files), constraints, CDC. Vacuum never
+    * reaps them (they live outside `$table/_snap` — retention of the
+    * source directory stays the adopter's contract, as with clone
+    * sources). At 100 TB this is the migration story: adopting a
+    * petabyte of legacy parquet is O(files) metadata + an optional
+    * stats pass, not a rewrite. Files must not already live under the
+    * table root — adoption is for FOREIGN data; table-owned files are
+    * already in the log. */
+  def adoptFiles(spark: SparkSession, table: String, dir: String,
+      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): Int = {
+    require(dir.startsWith("/"), s"adoptFiles needs an absolute directory, got $dir")
+    val root = LakePaths.tableRootPath(spark, table)
+    require(!s"$dir/".startsWith(s"$root/"),
+      s"cannot adopt $dir: it is under the table root $root (already table-owned)")
+    val files = listFresh(spark, dir, dir) // dir prefix = absolute refs
+    require(files.nonEmpty, s"no parquet files to adopt under $dir")
+    val scan = spark.read.parquet(dir)
+    enforceConstraints(spark, table, scan, "adopt")
+    val mid = writeManifest(spark, table, files,
+      collectStats(spark, table, files, statsCols),
+      collectBlooms(spark, table, files, bloomCols),
+      Map(dir -> scan.schema))
+    commitLoop(spark, table, "adopt") { prev =>
+      guardRecycledNames(scan, prev)
+      (prev.map(_.manifests).getOrElse(Nil) :+ mid,
+        prev.map(_.deletes).getOrElse(Nil),
+        prev.map(_.renames).getOrElse(Nil),
+        prev.map(_.drops).getOrElse(Nil))
+    }
+  }
+
   def shallowClone(spark: SparkSession, src: String, dst: String,
       version: Option[Int] = None): Int = {
     val v = version.orElse(latestVersion(spark, src)).getOrElse(

@@ -1262,6 +1262,72 @@ object LayoutQueries {
     }
   }
 
+  /** q228 — IN-PLACE ADOPTION ([[graft.lake.Snapshots.adoptFiles]] —
+    * Iceberg `add_files`/`migrate`, Delta `CONVERT TO DELTA`): a
+    * "legacy" date-clustered parquet directory written by a plain
+    * `df.write` (another system's layout) is registered into a fresh
+    * snapshot table as ONE metadata commit, and from then on
+    * participates fully — metadata-only `count(*)` answers from the
+    * footer-collected row counts, a date predicate prunes files via the
+    * adopted min/max stats, a predicate DELETE tombstones rows INSIDE
+    * the adopted files (merge-on-read — the files themselves are
+    * immutable foreign bytes), and time travel below the delete still
+    * serves the full corpus. The decisive markers are forensic:
+    * `bytes_untouched` re-fingerprints every legacy file (length +
+    * mtime) AFTER the whole lifecycle — adoption, stats, DELETE, reads
+    * — and `no_copies` pins that the table directory holds no data
+    * files at all (`_snap` never materialized). At 100 TB this is the
+    * migration story: a petabyte of legacy parquet becomes a versioned,
+    * DML-capable, pruning-enabled table for O(files) metadata + one
+    * optional stats pass, zero rewrite. */
+  def addFilesAdoption(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Snapshots
+    val root = graft.util.Scratch.dir("adopt", dir)
+    val legacy = s"$root/legacy_orders"
+    val table = s"$root/orders_ad"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(legacy))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+    val orders = Tables(spark, dir, "orders")
+    // the legacy system happened to cluster by date — adoption inherits
+    // whatever pruning power the foreign layout has, no more
+    orders.repartitionByRange(8, col("o_orderdate"))
+      .write.parquet(legacy)
+    def fingerprint(): Map[String, (Long, Long)] =
+      new java.io.File(legacy).listFiles()
+        .filter(f => f.getName.endsWith(".parquet"))
+        .map(f => f.getName -> (f.length(), f.lastModified())).toMap
+    val before = fingerprint()
+    val srcCount = orders.count()
+    val v1 = Snapshots.adoptFiles(spark, table, legacy,
+      statsCols = Seq("o_orderdate"))
+    val metadataCount = Snapshots.rowCountAt(spark, table, v1)
+      .contains(srcCount)
+    val s1 = Snapshots.snapshot(spark, table, v1).get
+    // o_orderdate is a TIMESTAMP here: plain-column stats are epoch
+    // seconds (statsExpr's unit for non-DATE temporals)
+    val cutSecs =
+      java.time.LocalDate.parse("2000-01-01").toEpochDay.toDouble * 86400d
+    val pruned = Snapshots.prunedFilesAt(spark, table, v1, "o_orderdate",
+      cutSecs, Double.PositiveInfinity).get
+    val statsPrune = pruned.size < s1.files.size
+    // _snap stays empty of DATA files through adoption; the DELETE below
+    // legitimately stages its positional-delete sidecar there
+    val noCopies = !new java.io.File(s"$table/_snap").exists()
+    Snapshots.deleteWhere(spark, table, col("o_orderkey") % 10 === 0)
+    val travelIntact =
+      Snapshots.readAt(spark, table, v1).get.count() == srcCount
+    val bytesUntouched = fingerprint() == before
+    Snapshots.readLatest(spark, table).get
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(Num.cents(col("o_totalprice"))).as("sum_cents"))
+      .withColumn("metadata_count", lit(metadataCount))
+      .withColumn("stats_prune", lit(statsPrune))
+      .withColumn("travel_intact", lit(travelIntact))
+      .withColumn("no_copies", lit(noCopies))
+      .withColumn("bytes_untouched", lit(bytesUntouched))
+  }
+
   /** q227 — PARTITION-SPEC EVOLUTION (Iceberg `REPLACE PARTITION
     * FIELD`, the lifecycle leg q225/q226's hidden partitioning
     * implies): the table starts bucket-clustered, one metadata-only
@@ -1728,6 +1794,15 @@ object LayoutQueries {
   }
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q228_add_files", addFilesAdoption, Some(s"""
+      SELECT o_orderpriority, COUNT(*) AS n_rows,
+             CAST(SUM(${Num.sqlCents("o_totalprice")}) AS BIGINT)
+               AS sum_cents,
+             true AS metadata_count, true AS stats_prune,
+             true AS travel_intact, true AS no_copies,
+             true AS bytes_untouched
+      FROM orders WHERE o_orderkey % 10 <> 0
+      GROUP BY 1""")),
     QueryDef("q227_partition_evolution", partitionSpecEvolution, Some(s"""
       SELECT o_orderpriority, COUNT(*) AS n_rows,
              CAST(SUM(${Num.sqlCents("o_totalprice")}) AS BIGINT)

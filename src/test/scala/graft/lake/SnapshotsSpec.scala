@@ -1273,6 +1273,38 @@ class SnapshotsSpec extends SparkTestBase {
     }
   }
 
+  test("adoptFiles: refusals, OPTIMIZE migrates off foreign bytes, vacuum-safe") {
+    val t = fresh("adopt")
+    val legacyDir = Files.createTempDirectory("graft_adopt_legacy").toString
+    val legacy = s"$legacyDir/data"
+    orders.limit(40).repartition(3).write.parquet(legacy)
+    // refusals: a dir under the table root, an empty dir
+    Snapshots.append(spark, t, orders.limit(5))
+    intercept[IllegalArgumentException](
+      Snapshots.adoptFiles(spark, t, s"$t/_snap"))
+    intercept[IllegalArgumentException](
+      Snapshots.adoptFiles(spark, t, s"$legacyDir/nothing_here"))
+    val v = Snapshots.adoptFiles(spark, t, legacy)
+    assert(Snapshots.readAt(spark, t, v).get.count() == 45)
+    // adopted refs are absolute and constraints see adopted rows
+    val s = Snapshots.snapshot(spark, t, v).get
+    assert(s.files.exists(_.startsWith(legacy)))
+    intercept[IllegalArgumentException](
+      Snapshots.addConstraint(spark, t, "impossible", "o_orderkey < 0"))
+    // OPTIMIZE migrates the live view into table-owned files: the new
+    // version references nothing under the legacy dir, whose bytes and
+    // names survive untouched
+    val legacyNames = new File(legacy).listFiles().map(_.getName).toSet
+    val vOpt = Snapshots.optimize(spark, t).get
+    val sOpt = Snapshots.snapshot(spark, t, vOpt).get
+    assert(!sOpt.files.exists(_.startsWith(legacy)))
+    assert(Snapshots.readAt(spark, t, vOpt).get.count() == 45)
+    // vacuum of ALL history never reaps foreign files
+    Snapshots.vacuum(spark, t, keepFrom = vOpt)
+    assert(new File(legacy).listFiles().map(_.getName).toSet == legacyNames)
+    assert(Snapshots.readLatest(spark, t).get.count() == 45)
+  }
+
   test("bucketValueOf matches the distributed xxhash64 the writer records") {
     val t = fresh("hpv")
     Snapshots.appendPartitioned(spark, t, orders,
