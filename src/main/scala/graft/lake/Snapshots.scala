@@ -1847,6 +1847,110 @@ object Snapshots {
     }
   }
 
+  /** CHERRY-PICK one commit from a branch onto this table (Iceberg's
+    * `cherrypick_snapshot` — the surgical third publish path beside
+    * [[shallowClone]] and [[fastForward]]): version `v`'s DELTA on the
+    * branch — the manifests and positional-delete files it added over
+    * `v-1` — lands on `dst` as ONE by-reference metadata commit, with
+    * the branch's other commits left behind. This is how a WAP branch
+    * publishes a single audited change when main has DIVERGED and a
+    * fast-forward no longer applies. Rules, checked against dst's
+    * latest state INSIDE the commit loop (so an OCC retry re-validates):
+    *
+    *  - only ADDITIVE commits pick: the source commit must carry every
+    *    manifest of its parent (append/merge/delete/update shapes).
+    *    Overwrites, restores and compactions rewrite global file lists
+    *    and are refused — picking one out of context would silently
+    *    drop unrelated data.
+    *  - metadata ops (rename/drop/spec/constraint changes) are refused:
+    *    they reorder whole-table state, not a delta.
+    *  - every tombstone the commit added must target a file still LIVE
+    *    in dst (the Iceberg missing-data-file conflict): picking a
+    *    DELETE whose anchor dst never had (or no longer has) would
+    *    tombstone nothing and silently lose the deletion.
+    *
+    * File references re-canonicalize under dst ([[cloneContent]]'s rule)
+    * so a branch whose refs point back into dst's own files round-trips
+    * exactly. Dst's OWN constraints validate the picked rows (O(delta)).
+    * Zero data movement; the branch directory must outlive dst's use of
+    * the picked files (the clone retention contract). */
+  def cherryPick(spark: SparkSession, dst: String, branch: String,
+      v: Int): Int = {
+    val sV = snapshot(spark, branch, v).getOrElse(throw
+      new IllegalArgumentException(s"$branch has no version $v"))
+    val sPrev = snapshot(spark, branch, v - 1).getOrElse(throw
+      new IllegalArgumentException(
+        s"$branch has no version ${v - 1} (cannot delta a root commit " +
+          "that has no parent; fast-forward or clone instead)"))
+    if (sV.renames != sPrev.renames || sV.drops != sPrev.drops ||
+        sV.partitionSpec != sPrev.partitionSpec ||
+        sV.constraints != sPrev.constraints)
+      throw new IllegalArgumentException(
+        s"cherry-pick of $branch@$v: metadata operations (rename/drop/" +
+          "partition-spec/constraint changes) are whole-table state, not " +
+          "a delta — refused")
+    if (!sPrev.manifests.forall(sV.manifests.contains))
+      throw new IllegalArgumentException(
+        s"cherry-pick of $branch@$v: the commit replaced its parent's " +
+          "file list (overwrite/restore/compaction) — only additive " +
+          "commits cherry-pick")
+    val srcRoot = LakePaths.tableRootPath(spark, branch)
+    val dstRoot = LakePaths.tableRootPath(spark, dst)
+    def ref(f: String) = {
+      val a = if (f.startsWith("/")) f else s"$srcRoot/$f"
+      if (a.startsWith(dstRoot + "/")) a.stripPrefix(dstRoot + "/") else a
+    }
+    val prevMans = sPrev.manifests.toSet
+    val deltaMids = sV.manifests.filterNot(prevMans).map { mid =>
+      val (files, stats, blooms, dirSchemas, _) =
+        readManifest(spark, branch, mid)
+      writeManifest(spark, dst, files.map(ref),
+        stats.map { case (f, st) => ref(f) -> st },
+        blooms.map { case (f, b) => ref(f) -> b },
+        dirSchemas.map { case (d, sch) => ref(d) -> sch })
+    }
+    val prevDels = sPrev.deletes.toSet
+    val deltaDelSrc = sV.deletes.filterNot(prevDels)
+    val (deltaDeletes, anchors) =
+      if (deltaDelSrc.isEmpty) (Nil, Set.empty[String])
+      else {
+        val dels = spark.read.parquet(
+            deltaDelSrc.map(f => filePath(branch, f)): _*)
+          .withColumn("file", regexp_replace(
+            when(col("file").startsWith("/"), col("file"))
+              .otherwise(concat(lit(srcRoot + "/"), col("file"))),
+            lit("^" + java.util.regex.Pattern.quote(dstRoot + "/")),
+            lit("")))
+        val anchored = dels.select("file").distinct()
+          .collect().map(_.getString(0)).toSet
+        (writeDeletes(spark, dst, dels), anchored)
+      }
+    if (deltaMids.nonEmpty)
+      enforceConstraints(spark, dst, readManifestScan(spark, dst, deltaMids),
+        "cherry-pick")
+    commitLoop(spark, dst, "cherry-pick") { prevOpt =>
+      val prev = prevOpt.getOrElse(throw new IllegalArgumentException(
+        s"cherry-pick target $dst has no versions"))
+      val live = prev.files.toSet
+      val missing = anchors.filterNot(live)
+      if (missing.nonEmpty) throw new IllegalArgumentException(
+        s"cherry-pick of $branch@$v: its tombstones target " +
+          s"${missing.size} file(s) not live in $dst (first: " +
+          s"${missing.head}) — the deletion would be silently lost")
+      (prev.manifests ++ deltaMids, prev.deletes ++ deltaDeletes,
+        prev.renames, prev.drops)
+    }
+  }
+
+  /** A plain scan of the union of `mids`' file lists (already
+    * dst-canonical refs) — schema-widened via one read, used only for
+    * O(delta) validation passes. */
+  private def readManifestScan(spark: SparkSession, table: String,
+      mids: Seq[String]): DataFrame = {
+    val files = mids.flatMap(m => readManifest(spark, table, m)._1)
+    spark.read.parquet(files.map(f => filePath(table, f)): _*)
+  }
+
   /** OPTIMIZE: rewrite the current live view (data minus positional
     * deletes) into fresh compacted files published as a NEW version —
     * the amortized answer to merge-on-read debt. Unlike

@@ -1262,6 +1262,69 @@ object LayoutQueries {
     }
   }
 
+  /** q230 — CHERRY-PICK a single branch commit onto a DIVERGED main
+    * ([[graft.lake.Snapshots.cherryPick]], Iceberg
+    * `cherrypick_snapshot` — the publish path when q223's fast-forward
+    * no longer applies): main is cloned to a branch, the branch lands
+    * an append (batch A) and then a predicate DELETE inside A; main
+    * meanwhile diverges with its own append (batch C). Picking the
+    * branch's DELETE commit FIRST is REFUSED — its tombstones anchor
+    * into batch A's file, which main does not have, so the deletion
+    * would be silently lost (the Iceberg missing-data-file conflict;
+    * `out_of_order_refused`). Picking the APPEND, then the DELETE, lands
+    * both as by-reference metadata commits (`in_order_applied`), with
+    * batch A's bytes never copied under main (`zero_copy`: the picked
+    * refs stay absolute into the branch directory) and main's own
+    * divergent history intact (`divergence_kept`). The final aggregate
+    * over main's live view is the cross-engine witness that exactly
+    * (evens ∪ C ∪ A-minus-deleted) survived. At 100 TB cherry-pick is
+    * how one audited change ships out of a long-lived branch: O(delta)
+    * metadata, zero data movement, conflicts checked against the
+    * target's live state inside the commit loop. */
+  def cherryPickBranch(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Snapshots
+    val root = graft.util.Scratch.dir("cherry", dir)
+    val main = s"$root/orders_main"
+    val branch = s"$root/orders_branch"
+    Seq(main, branch).foreach(t =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t)))
+    val orders = Tables(spark, dir, "orders")
+    Snapshots.append(spark, main, orders.filter(col("o_orderkey") % 2 === 0))
+    Snapshots.shallowClone(spark, main, branch)
+    // branch: batch A, then a DELETE inside A (half of it)
+    val vA = Snapshots.append(spark, branch,
+      orders.filter(col("o_orderkey") % 4 === 1))
+    val vDel = Snapshots.deleteWhere(spark, branch,
+      col("o_orderkey") % 8 === 1)
+    // main diverges
+    Snapshots.append(spark, main, orders.filter(col("o_orderkey") % 4 === 3))
+    val divergedAt = Snapshots.latestVersion(spark, main).get
+    val outOfOrderRefused =
+      try { Snapshots.cherryPick(spark, main, branch, vDel); false }
+      catch { case e: IllegalArgumentException =>
+        e.getMessage.contains("not live") }
+    val vPickA = Snapshots.cherryPick(spark, main, branch, vA)
+    val vPickDel = Snapshots.cherryPick(spark, main, branch, vDel)
+    val inOrderApplied = vPickA == divergedAt + 1 && vPickDel == vPickA + 1
+    val sMain = Snapshots.snapshot(spark, main, vPickDel).get
+    val branchRoot = graft.lake.LakePaths.tableRootPath(spark, branch)
+    val picked = sMain.files.filterNot(
+      Snapshots.snapshot(spark, main, divergedAt).get.files.toSet)
+    val zeroCopy = picked.nonEmpty &&
+      picked.forall(_.startsWith(branchRoot + "/"))
+    val divergenceKept = Snapshots.readAt(spark, main, divergedAt).get
+      .count() == orders.filter(col("o_orderkey") % 2 === 0 ||
+        col("o_orderkey") % 4 === 3).count()
+    Snapshots.readLatest(spark, main).get
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(Num.cents(col("o_totalprice"))).as("sum_cents"))
+      .withColumn("out_of_order_refused", lit(outOfOrderRefused))
+      .withColumn("in_order_applied", lit(inOrderApplied))
+      .withColumn("zero_copy", lit(zeroCopy))
+      .withColumn("divergence_kept", lit(divergenceKept))
+  }
+
   /** q228 — IN-PLACE ADOPTION ([[graft.lake.Snapshots.adoptFiles]] —
     * Iceberg `add_files`/`migrate`, Delta `CONVERT TO DELTA`): a
     * "legacy" date-clustered parquet directory written by a plain
@@ -1794,6 +1857,15 @@ object LayoutQueries {
   }
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q230_cherry_pick", cherryPickBranch, Some(s"""
+      SELECT o_orderpriority, COUNT(*) AS n_rows,
+             CAST(SUM(${Num.sqlCents("o_totalprice")}) AS BIGINT)
+               AS sum_cents,
+             true AS out_of_order_refused, true AS in_order_applied,
+             true AS zero_copy, true AS divergence_kept
+      FROM orders
+      WHERE o_orderkey % 2 = 0 OR o_orderkey % 4 = 3 OR o_orderkey % 8 = 5
+      GROUP BY 1""")),
     QueryDef("q228_add_files", addFilesAdoption, Some(s"""
       SELECT o_orderpriority, COUNT(*) AS n_rows,
              CAST(SUM(${Num.sqlCents("o_totalprice")}) AS BIGINT)

@@ -1273,6 +1273,31 @@ class SnapshotsSpec extends SparkTestBase {
     }
   }
 
+  test("cherryPick refuses non-additive and metadata commits, and root picks") {
+    val main = fresh("cpm")
+    val br = fresh("cpb")
+    Snapshots.append(spark, main, orders.filter(col("o_orderkey") % 2 === 0))
+    Snapshots.shallowClone(spark, main, br)
+    // a root commit has no parent delta
+    intercept[IllegalArgumentException](Snapshots.cherryPick(spark, main, br, 1))
+    // overwrite replaces the parent's file list: refused
+    val vOw = Snapshots.overwrite(spark, br, orders.limit(10))
+    val e = intercept[IllegalArgumentException](
+      Snapshots.cherryPick(spark, main, br, vOw))
+    assert(e.getMessage.contains("additive"))
+    // an append after the overwrite still picks cleanly (delta-only)
+    val vApp = Snapshots.append(spark, br,
+      orders.filter(col("o_orderkey") % 4 === 1))
+    val vPick = Snapshots.cherryPick(spark, main, br, vApp)
+    assert(Snapshots.readAt(spark, main, vPick).get.count() ==
+      orders.filter(col("o_orderkey") % 2 === 0 ||
+        col("o_orderkey") % 4 === 1).count())
+    // metadata op: a rename on the branch is whole-table state
+    val vRen = Snapshots.renameColumn(spark, br, "o_orderpriority", "o_prio")
+    intercept[IllegalArgumentException](
+      Snapshots.cherryPick(spark, main, br, vRen))
+  }
+
   test("adoptFiles: refusals, OPTIMIZE migrates off foreign bytes, vacuum-safe") {
     val t = fresh("adopt")
     val legacyDir = Files.createTempDirectory("graft_adopt_legacy").toString
