@@ -1262,7 +1262,143 @@ object TextQueries {
     FROM docs d LEFT JOIN scored s USING (doc_id)"""
   }
 
+  /** q231 — NAIVE-BAYES text classifier, trained and applied IN the
+    * engine (the fastText-style linear classifier every curation
+    * pipeline runs, via the WEAK-SUPERVISION workflow: a cheap labeling
+    * rule labels the train split, the model distills it into per-token
+    * weights and generalizes to unseen docs — how production quality
+    * classifiers are bootstrapped when no human labels exist). The rule
+    * here marks docs whose `fast`+`small` counts outweigh `slow`+`big`;
+    * the NB sees only the BAG OF ALL TOKENS and must rediscover which
+    * of them carry the signal from class-conditional counts alone.
+    * Every model weight is an EXACT integer Shannon code length in
+    * QUARTER BITS ([[graft.text.TextAnalysis.quarterBitsRatio]] — the
+    * q198 no-libm discipline at sub-bit resolution, because NB token
+    * ratios live well under one bit and whole-bit ceil() flattens them
+    * to noise — measured 51% → 81% held-out accuracy on this corpus):
+    * priors cost floor(4·log2((docs+2)/(docs_c+1))), each token
+    * floor(4·log2((tokens_c+V)/(count_{tok,c}+1))), prediction = lower
+    * total code length (ties → positive), so train, apply and verdict
+    * hash bitwise against the oracle's replay. Scale shape: training is
+    * one groupBy(token) over the train split (model is vocab-bounded —
+    * at 100 TB it lands in the low GBs), scoring is one explode + one
+    * UNHINTED equi-join against the model (AQE broadcasts small,
+    * shuffle-joins beyond) + one groupBy(doc) — no window, no per-class
+    * join (both classes' costs ride the same model row), no driver-side
+    * weights. */
+  def nbClassifier(spark: SparkSession, dir: String): DataFrame = {
+    def nOf(w: String): org.apache.spark.sql.Column =
+      size(filter(tokens(col("text")), t => t === w))
+    val labeled = graft.util.Par.ensure(Tables(spark, dir, "documents"))
+      .filter(length(trim(col("text"))) > 0)
+      .withColumn("is_pos",
+        nOf("fast") + nOf("small") >= nOf("slow") + nOf("big"))
+    val train = labeled.filter(col("doc_id") % 2 === 0)
+    val trainToks = train.select(col("is_pos"),
+      explode(tokens(col("text"))).as("tok"))
+    val model = trainToks.groupBy("tok").agg(
+      sum(when(col("is_pos"), 1L).otherwise(0L)).as("c_pos"),
+      sum(when(col("is_pos"), 0L).otherwise(1L)).as("c_neg"))
+    // one broadcast scalar row: class token totals, vocab size, doc priors
+    val stats = trainToks.agg(
+        sum(when(col("is_pos"), 1L).otherwise(0L)).as("t_pos"),
+        sum(when(col("is_pos"), 0L).otherwise(1L)).as("t_neg"),
+        countDistinct(col("tok")).as("v"))
+      .crossJoin(train.agg(
+        sum(when(col("is_pos"), 1L).otherwise(0L)).as("d_pos"),
+        count(lit(1)).as("d_all")))
+    val test = labeled.filter(col("doc_id") % 2 === 1)
+    val scored = test
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .join(model, Seq("tok"), "left")
+      .crossJoin(broadcast(stats))
+      .withColumn("qb_pos", quarterBitsRatio(col("t_pos") + col("v"),
+        coalesce(col("c_pos"), lit(0L)) + lit(1L)))
+      .withColumn("qb_neg", quarterBitsRatio(col("t_neg") + col("v"),
+        coalesce(col("c_neg"), lit(0L)) + lit(1L)))
+      .groupBy("doc_id")
+      .agg(sum("qb_pos").as("s_pos"), sum("qb_neg").as("s_neg"))
+    test.select(col("doc_id"), col("is_pos").as("actual_pos"))
+      .join(scored, Seq("doc_id"), "left")
+      .crossJoin(broadcast(stats.select(col("d_pos"), col("d_all"))))
+      .withColumn("qbits_pos", coalesce(col("s_pos"), lit(0L)) +
+        quarterBitsRatio(col("d_all") + lit(2L), col("d_pos") + lit(1L)))
+      .withColumn("qbits_neg", coalesce(col("s_neg"), lit(0L)) +
+        quarterBitsRatio(col("d_all") + lit(2L),
+          col("d_all") - col("d_pos") + lit(1L)))
+      .withColumn("predict_pos", col("qbits_pos") <= col("qbits_neg"))
+      .withColumn("correct", col("predict_pos") === col("actual_pos"))
+      .select("doc_id", "qbits_pos", "qbits_neg", "predict_pos",
+        "actual_pos", "correct")
+  }
+
+  private def nbOracle: String = {
+    val toks = sqlTokens("text")
+    def nOf(w: String) = s"len(list_filter($toks, x -> x = '$w'))"
+    s"""
+    WITH docs AS (SELECT doc_id, text,
+        (${nOf("fast")} + ${nOf("small")} >=
+         ${nOf("slow")} + ${nOf("big")}) AS is_pos
+      FROM documents WHERE length(trim(text)) > 0),
+    train AS (SELECT * FROM docs WHERE doc_id % 2 = 0),
+    toks AS (SELECT is_pos, unnest($toks) AS tok FROM train),
+    model AS (SELECT tok,
+        SUM(CASE WHEN is_pos THEN 1 ELSE 0 END) AS c_pos,
+        SUM(CASE WHEN is_pos THEN 0 ELSE 1 END) AS c_neg
+      FROM toks GROUP BY 1),
+    stats AS (SELECT
+        SUM(CASE WHEN is_pos THEN 1 ELSE 0 END) AS t_pos,
+        SUM(CASE WHEN is_pos THEN 0 ELSE 1 END) AS t_neg,
+        COUNT(DISTINCT tok) AS v
+      FROM toks),
+    pri AS (SELECT SUM(CASE WHEN is_pos THEN 1 ELSE 0 END) AS d_pos,
+        COUNT(*) AS d_all FROM train),
+    test_toks AS (SELECT doc_id, unnest($toks) AS tok
+      FROM docs WHERE doc_id % 2 = 1),
+    joined AS (SELECT tt.doc_id,
+        s.t_pos + s.v AS a_pos, COALESCE(m.c_pos, 0) + 1 AS b_pos,
+        s.t_neg + s.v AS a_neg, COALESCE(m.c_neg, 0) + 1 AS b_neg
+      FROM test_toks tt LEFT JOIN model m USING (tok) CROSS JOIN stats s),
+    seeded AS (SELECT doc_id, a_pos, b_pos, a_neg, b_neg,
+        ${sqlFloorLog2Seed("a_pos", "b_pos")} AS k0_pos,
+        ${sqlFloorLog2Seed("a_neg", "b_neg")} AS k0_neg
+      FROM joined),
+    kfixed AS (SELECT doc_id, a_pos, b_pos, a_neg, b_neg,
+        ${sqlFloorLog2FromSeed("a_pos", "b_pos", "k0_pos")} AS k_pos,
+        ${sqlFloorLog2FromSeed("a_neg", "b_neg", "k0_neg")} AS k_neg
+      FROM seeded),
+    costed AS (SELECT doc_id,
+        ${sqlQuarterBitsFromK("a_pos", "b_pos", "k_pos")} AS qb_pos,
+        ${sqlQuarterBitsFromK("a_neg", "b_neg", "k_neg")} AS qb_neg
+      FROM kfixed),
+    sc AS (SELECT doc_id, SUM(qb_pos) AS s_pos, SUM(qb_neg) AS s_neg
+      FROM costed GROUP BY 1),
+    pseed AS (SELECT (d_all + 2) AS pa, (d_pos + 1) AS pb_pos,
+        (d_all - d_pos + 1) AS pb_neg,
+        ${sqlFloorLog2Seed("(d_all + 2)", "(d_pos + 1)")} AS kp0_pos,
+        ${sqlFloorLog2Seed("(d_all + 2)", "(d_all - d_pos + 1)")} AS kp0_neg
+      FROM pri),
+    pfixed AS (SELECT pa, pb_pos, pb_neg,
+        ${sqlFloorLog2FromSeed("pa", "pb_pos", "kp0_pos")} AS kp_pos,
+        ${sqlFloorLog2FromSeed("pa", "pb_neg", "kp0_neg")} AS kp_neg
+      FROM pseed),
+    pbits AS (SELECT
+        ${sqlQuarterBitsFromK("pa", "pb_pos", "kp_pos")} AS p_pos,
+        ${sqlQuarterBitsFromK("pa", "pb_neg", "kp_neg")} AS p_neg
+      FROM pfixed)
+    SELECT doc_id, qbits_pos, qbits_neg,
+      (qbits_pos <= qbits_neg) AS predict_pos, actual_pos,
+      ((qbits_pos <= qbits_neg) = actual_pos) AS correct
+    FROM (
+      SELECT d.doc_id, d.is_pos AS actual_pos,
+        CAST(COALESCE(sc.s_pos, 0) + pb.p_pos AS BIGINT) AS qbits_pos,
+        CAST(COALESCE(sc.s_neg, 0) + pb.p_neg AS BIGINT) AS qbits_neg
+      FROM docs d LEFT JOIN sc USING (doc_id) CROSS JOIN pbits pb
+      WHERE d.doc_id % 2 = 1)"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q231_nb_classifier", nbClassifier(_, _), Some(nbOracle)),
     QueryDef("q208_dsir_select", dsirSelect(_, _), Some(dsirOracle)),
     QueryDef("q198_ngram_lm_filter", ngramLmFilter(_, _),
       Some(ngramLmOracle)),

@@ -58,6 +58,71 @@ object TextAnalysis {
       .otherwise(k0 + 2)
   }
 
+  /** EXACT `floor(4·log2(a/b))` for positive long columns with `a ≥ b` —
+    * QUARTER-BIT Shannon costs. [[ceilLog2Ratio]]'s whole bits are too
+    * coarse when per-item probability ratios sit well under one bit
+    * (e.g. naive-Bayes token weights, where class-conditional ratios
+    * are typically 1.1–1.5×): ceil quantizes most of them to the same
+    * integer and the classifier's signal dies. Quarter bits keep the
+    * sub-bit structure while staying EXACT INTEGER arithmetic end to
+    * end: the whole-bit part `k = floor(log2(a/b))` is FP-seeded then
+    * decided by shift comparisons (the [[ceilLog2Ratio]] discipline);
+    * the mantissa is fixed-pointed at 2^13 by one integer division
+    * `s = (a·2^13) div (b·2^k) ∈ [2^13, 2^14)`, and the fractional
+    * quarter-bit index is read off `s⁴`'s magnitude (`s⁴ ∈ [2^52,
+    * 2^56)` — fits a long). The 2^13 mantissa truncation makes this a
+    * DEFINED deterministic cost function (≈2×10⁻⁴ bit quantization, far
+    * below quarter-bit resolution), identical in any engine. Domain:
+    * `1 ≤ b ≤ a ≤ 2^49` (token counts — at 2^49 ≈ 5×10¹⁴ tokens per
+    * class, revisit the fixed point). */
+  def quarterBitsRatio(a: Column, b: Column): Column = {
+    val k0 = greatest(lit(0), least(lit(49),
+      floor(log2(a.cast(DoubleType) / b.cast(DoubleType))).cast("int")))
+    def sh(k: Column) = call_function("shiftleft", b, k)
+    val k = when(sh(k0 + 2) <= a, k0 + 2)
+      .when(sh(k0 + 1) <= a, k0 + 1)
+      .when(sh(k0) <= a, k0)
+      .when(k0 >= 1 && sh(k0 - 1) <= a, k0 - 1)
+      .otherwise(greatest(lit(0), k0 - 2))
+    import org.apache.spark.sql.catalyst.expressions.IntegralDivide
+    import org.apache.spark.sql.GraftSqlBridge.{column => toCol, expression => toExpr}
+    val s = toCol(IntegralDivide(
+      toExpr(call_function("shiftleft", a, lit(13))),
+      toExpr(call_function("shiftleft", b, k))))
+    val s4 = s * s * s * s
+    val j = when(s4 >= lit(1L << 55), 3)
+      .when(s4 >= lit(1L << 54), 2)
+      .when(s4 >= lit(1L << 53), 1)
+      .otherwise(0)
+    k.cast(LongType) * lit(4L) + j.cast(LongType)
+  }
+
+  /** DuckDB mirror of [[quarterBitsRatio]]: bind `k` first (seed via
+    * [[sqlCeilLog2Seed]]'s floor twin [[sqlFloorLog2Seed]], corrected by
+    * the same shift CASE), then read the quarter-bit index off the
+    * fixed-point mantissa's fourth power. */
+  def sqlFloorLog2Seed(a: String, b: String): String =
+    s"greatest(0, least(49, CAST(floor(log2($a * 1.0 / $b)) AS INT)))"
+
+  def sqlFloorLog2FromSeed(a: String, b: String, k0: String): String =
+    s"""CASE WHEN ($b << ($k0+2)) <= $a THEN $k0+2
+        WHEN ($b << ($k0+1)) <= $a THEN $k0+1
+        WHEN ($b << $k0) <= $a THEN $k0
+        WHEN $k0 >= 1 AND ($b << ($k0-1)) <= $a THEN $k0-1
+        ELSE greatest(0, $k0-2) END"""
+
+  /** Quarter-bit cost from already-bound columns `a`, `b`, `k` (the
+    * corrected whole-bit floor). */
+  def sqlQuarterBitsFromK(a: String, b: String, k: String): String = {
+    val s = s"(($a << 13) // ($b << $k))"
+    val s4 = s"($s * $s * $s * $s)"
+    s"""(4 * CAST($k AS BIGINT) +
+        CASE WHEN $s4 >= (CAST(1 AS BIGINT) << 55) THEN 3
+             WHEN $s4 >= (CAST(1 AS BIGINT) << 54) THEN 2
+             WHEN $s4 >= (CAST(1 AS BIGINT) << 53) THEN 1
+             ELSE 0 END)"""
+  }
+
   /** DuckDB mirror of [[ceilLog2Ratio]] as a CASE over columns `a`, `b`
     * and the seed column `k0` (bind the seed first —
     * [[sqlCeilLog2Seed]]). */
