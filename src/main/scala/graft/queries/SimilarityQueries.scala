@@ -142,6 +142,148 @@ object SimilarityQueries {
       FROM reach GROUP BY src"""
   }
 
+  /** q232 — MATRYOSHKA two-stage ANN (MRL, Kusupati et al.: embeddings
+    * trained so information concentrates in the PREFIX dims — search
+    * coarse on a short prefix, rerank exact on the full vector; the
+    * dimension-truncation rung of the compression ladder beside int8
+    * (q83), PQ (q158) and binary (q211)): stage 1 scores every corpus
+    * vector against the broadcast queries on the FIRST 16 of 64 dims
+    * (¼ the flops and — with the prefix materialized as its own column,
+    * as a production table would — ¼ the bytes; this demo slices
+    * in-flight, a narrow projection) and keeps 4k candidates per query
+    * through the O(k) [[graft.functions.TopKPairs]] heap; stage 2
+    * gathers only those 4k·|queries| full vectors and reranks with
+    * exact cosine. Both stage boundaries hash-compare bitwise: the
+    * shortlist membership AND the final ranking replay in SQL from the
+    * same doubles (array-order summation parity, the q24 contract). */
+  def matryoshkaTopK(spark: SparkSession, dir: String): DataFrame = {
+    import graft.util.Par
+    val prefixDim = 16
+    val shortlist = 4 * K
+    val emb = Tables(spark, dir, "embeddings")
+    val corpus = Par.ensure(emb).select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("_cv"),
+      slice(col("embedding"), 1, prefixDim).as("_cp"))
+    val q = broadcast(queriesOf(emb).select(col("vec_id").as("query_id"),
+      col("embedding").as("_qv"),
+      slice(col("embedding"), 1, prefixDim).as("_qp")))
+    val coarse = corpus.crossJoin(q)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Similarity.cosine(col("_qp"), col("_cp")).as("cos_sim"))
+    val short = Similarity.topK(coarse, shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val rer = short
+      .join(corpus.select(col("neighbor_id"), col("_cv")), Seq("neighbor_id"))
+      .join(q.select(col("query_id"), col("_qv")), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Similarity.cosine(col("_qv"), col("_cv")).as("cos_sim"))
+    e6(Similarity.topK(rer, K))
+  }
+
+  private val matryoshkaOracle = {
+    val preCos = Similarity.sqlCosine("q.pre", "c.pre")
+    val fullCos = Similarity.sqlCosine("q.embedding", "c.embedding")
+    s"""WITH corpus AS (
+        SELECT vec_id, embedding, embedding[1:16] AS pre FROM embeddings),
+      q AS (SELECT * FROM corpus WHERE vec_id < 20),
+      coarse AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          $preCos AS coarse
+        FROM q JOIN corpus c ON c.vec_id <> q.vec_id),
+      short AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY coarse DESC, neighbor_id) AS r
+          FROM coarse) WHERE r <= ${4 * K}),
+      rer AS (
+        SELECT s.query_id, s.neighbor_id, $fullCos AS cos_sim
+        FROM short s
+        JOIN corpus c ON c.vec_id = s.neighbor_id
+        JOIN q ON q.vec_id = s.query_id),
+      ranked AS (
+        SELECT query_id, neighbor_id, cos_sim,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY cos_sim DESC, neighbor_id) AS rank
+        FROM rer)
+      SELECT query_id, rank, neighbor_id,
+        CAST(floor(cos_sim * 1000000) AS BIGINT) AS cos_sim_e6
+      FROM ranked WHERE rank <= $K"""
+  }
+
+  private val KnnK = 3
+  private val KnnBandPlanes = 4
+
+  /** q233 — corpus-wide k-NN GRAPH (every node's top-k neighbors — the
+    * build block under SemDeDup-style clustering, graph-based dedup and
+    * NN-descent index construction; unlike the query-side families,
+    * EVERY vector is a query, so a broadcast-probe plan is impossible
+    * and the candidate generation must be a SELF-JOIN): two 4-plane
+    * sign-LSH bands bucket the corpus, candidate pairs come from one
+    * shuffle equi-join on (band, signature) — both sides partition by
+    * bucket, no broadcast, no all-pairs — multi-band hits collapse via
+    * DISTINCT, survivors score exact cosine and each node keeps top-k
+    * through the O(k) heap. Output is O(n·k); intermediates are
+    * O(Σ bucket²) per band, bounded by the band width. Nodes whose
+    * buckets hold no cohort simply emit fewer (possibly zero) edges —
+    * the declared approximate-graph semantics, replayed exactly by the
+    * oracle. */
+  def knnGraph(spark: SparkSession, dir: String): DataFrame = {
+    import graft.util.Par
+    val planes = Similarity.hyperplanes(NumPlanes, Dim)
+    val emb = Par.ensure(Tables(spark, dir, "embeddings"))
+    val bands = (0 until NumPlanes / KnnBandPlanes).map { t =>
+      val sub = planes.slice(t * KnnBandPlanes, (t + 1) * KnnBandPlanes)
+      emb.select(col("vec_id"),
+        lit(t).as("_band"), Similarity.lshBucket(col("embedding"), sub)
+          .as("_sig"))
+    }.reduce(_ unionAll _)
+    val cands = bands.as("a")
+      .join(bands.as("b"), col("a._band") === col("b._band") &&
+        col("a._sig") === col("b._sig") &&
+        col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor_id"))
+      .distinct()
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+    val scored = cands
+      .join(vecs.withColumnRenamed("vec_id", "query_id")
+        .withColumnRenamed("embedding", "_qv"), Seq("query_id"))
+      .join(vecs.withColumnRenamed("vec_id", "neighbor_id")
+        .withColumnRenamed("embedding", "_cv"), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Similarity.cosine(col("_qv"), col("_cv")).as("cos_sim"))
+    e6(Similarity.topK(scored, KnnK))
+  }
+
+  private val knnGraphOracle = {
+    val planes = Similarity.hyperplanes(NumPlanes, Dim)
+    val bandSelects = (0 until NumPlanes / KnnBandPlanes).map { t =>
+      val sub = planes.slice(t * KnnBandPlanes, (t + 1) * KnnBandPlanes)
+      s"SELECT vec_id, $t AS band, " +
+        s"${Similarity.sqlLshBucket("embedding", sub)} AS sig FROM embeddings"
+    }.mkString(" UNION ALL ")
+    val cos = Similarity.sqlCosine("q.embedding", "c.embedding")
+    s"""WITH sigs AS ($bandSelects),
+      cands AS (
+        SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+        FROM sigs a JOIN sigs b
+          ON a.band = b.band AND a.sig = b.sig AND a.vec_id <> b.vec_id),
+      scored AS (
+        SELECT p.query_id, p.neighbor_id, $cos AS cos_sim
+        FROM cands p
+        JOIN embeddings q ON q.vec_id = p.query_id
+        JOIN embeddings c ON c.vec_id = p.neighbor_id),
+      ranked AS (
+        SELECT query_id, neighbor_id, cos_sim,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY cos_sim DESC, neighbor_id) AS rank
+        FROM scored)
+      SELECT query_id, rank, neighbor_id,
+        CAST(floor(cos_sim * 1000000) AS BIGINT) AS cos_sim_e6
+      FROM ranked WHERE rank <= $KnnK"""
+  }
+
   /** Per-vector int8 quantization (q82) — the embedding-compression step
     * an ANN index runs before storage (4× smaller than float32): each
     * vector min/max-scaled to 255 levels, codes exported as an md5 over
@@ -735,6 +877,8 @@ object SimilarityQueries {
     QueryDef("q82_int8_quantize", int8Quantize, Some(int8QuantizeOracle)),
     QueryDef("q88_ivf_sq8_topk", ivfSq8TopK, Some(ivfSq8Oracle)),
     QueryDef("q83_sq8_topk", sq8TopK, Some(sq8TopKOracle)),
+    QueryDef("q232_matryoshka_topk", matryoshkaTopK, Some(matryoshkaOracle)),
+    QueryDef("q233_knn_graph", knnGraph, Some(knnGraphOracle)),
     QueryDef("q24_cosine_topk", cosineTopK, Some(cosineTopKOracle)),
     QueryDef("q25_lsh_ann_topk", lshTopK, Some(lshTopKOracle)),
     QueryDef("q26_embedding_near_dups", embeddingNearDups,

@@ -907,6 +907,64 @@ class ScaleSpecs extends SparkTestBase {
     assert(recall > 0.3, s"implausibly low BQ recall $recall")
   }
 
+  test("matryoshka rerank: both stage tails are O(k) heaps, no window") {
+    // q232's coarse pass is the broadcast-query narrow scan (prefix
+    // slice is a projection, not a shuffle) and BOTH ranking tails ride
+    // the bounded-heap aggregate — a window would sort corpus-sized
+    // relations per query
+    val df = SimilarityQueries.matryoshkaTopK(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(plan.contains("ObjectHashAggregate"), plan.take(2000))
+    assert(!plan.contains("Window"), plan.take(2500))
+    assert(!plan.contains("rangepartitioning"), plan.take(2500))
+    // the prefix stage must shortlist usefully: top-1 via 16 of 64 dims
+    def top1(rows: Array[org.apache.spark.sql.Row]): Set[(Long, Long)] =
+      rows.filter(_.getLong(1) == 1L)
+        .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val truth = top1(SimilarityQueries.cosineTopK(spark, dir).collect())
+    val got = top1(df.collect())
+    val recall = (got & truth).size.toDouble / truth.size
+    // sanity floor, not a quality claim: iid-random vectors are the
+    // WORST case for prefix truncation (no MRL training concentrated
+    // information up front, so 16 of 64 dims carry ~1/4 of a weak
+    // signal); chance top-1-in-shortlist here is ~20/499 ≈ 0.04
+    assert(recall > 0.2, s"implausibly low matryoshka top-1 recall $recall")
+  }
+
+  test("knn graph: candidate generation is an equi-join, never all-pairs") {
+    // q233 has EVERY vector as a query, so a broadcast PROBE plan is
+    // impossible by design — candidates must come from an equi-join on
+    // (band, signature) and the per-node tail from the O(k) heap; a
+    // cartesian/BNL product here is the quadratic corpus blowup. At
+    // gate scale AQE rightly broadcasts the small build side, so the
+    // scale claim is pinned by disabling broadcast: the plan must
+    // degrade to a PARTITIONED equi-join, not a nested loop.
+    val df = SimilarityQueries.knnGraph(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("CartesianProduct"), plan.take(2500))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2500))
+    assert(plan.contains("ObjectHashAggregate"), plan.take(2000))
+    assert(!plan.contains("Window"), plan.take(2500))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val big = SimilarityQueries.knnGraph(spark, dir)
+      big.collect()
+      val bigPlan = big.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(bigPlan.contains("SortMergeJoin") ||
+        bigPlan.contains("ShuffledHashJoin"), bigPlan.take(2500))
+      assert(!bigPlan.contains("CartesianProduct") &&
+        !bigPlan.contains("BroadcastNestedLoopJoin"), bigPlan.take(2500))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("MaxSim late interaction: partial max aggregation, no per-doc window") {
     // q212's max-per-(doc, query-token) must reduce map-side (partial +
     // final HashAggregate on integer/double state), the doc ranking is
