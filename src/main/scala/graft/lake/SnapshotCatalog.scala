@@ -151,7 +151,11 @@ final class SnapshotCatalog extends TableCatalog {
       s"version $v of ${ident.name()} has no data files (schema unknown " +
         "to the log); read it via Snapshots.readAt, which returns empty")
     if (s.deletes.nonEmpty || s.renames.nonEmpty || s.drops.nonEmpty ||
-        erasWiden(s))
+        erasWiden(s) ||
+        // row-id-materialized files carry the hidden physical id column
+        // (Snapshots.optimizeRowIds) — a bare parquet scan would surface
+        // it to SQL; the readAt plan hides it
+        s.dirSchemas.values.exists(_.fieldNames.contains(Snapshots.RowIdCol)))
       // merge-on-read / renamed / widened versions cannot be a bare
       // parquet file list: hand out the marker table whose relation the
       // injected SnapshotRelationRewrite lowers to the era-aware

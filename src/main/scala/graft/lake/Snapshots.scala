@@ -1154,12 +1154,72 @@ object Snapshots {
       // DIFFERENT schemas (additive evolution — a later append
       // introduced a column); rows from pre-evolution files surface
       // the new column as null. At 100 TB the union is computed from
-      // file FOOTERS, never a data pass.
+      // file FOOTERS, never a data pass. RowIdCol is a hidden physical
+      // column ([[optimizeRowIds]]) — plain reads never surface it.
       spark.read.option("mergeSchema", "true")
         .parquet(files.map(f => filePath(table, f)): _*)
+        .drop(RowIdCol)
     else
       subtractDeletes(spark, table, withMeta(spark, table, files), deletes)
-        .drop("_snap_file", "_snap_pos")
+        .drop("_snap_file", "_snap_pos", RowIdCol)
+
+  // ---------------------------------------------------- row tracking
+
+  /** Reserved name of the PHYSICAL row-id column a row-id-preserving
+    * rewrite ([[optimizeRowIds]]) materializes into its files; plain
+    * reads hide it, [[readAtWithRowIds]] serves it as `_row_id`. */
+  private[graft] val RowIdCol = "_graft_row_id"
+
+  /** Time-travel scan WITH STABLE ROW IDS (the Delta row-tracking
+    * surface): `_row_id` identifies a ROW, not a position — stable
+    * across every commit that does not rewrite the row's file (appends,
+    * merge-on-read DELETE/UPDATE tombstones) and across
+    * [[optimizeRowIds]] rewrites via materialization. A row's id is
+    * derived from the immutable identity it is BORN with —
+    * `xxhash64(file, row index)` over the commit-relative path — which
+    * is log-free (no watermark field to thread through the commit
+    * protocol) and concurrency-safe by construction: staging
+    * directories are run-unique, so two commits can never mint the same
+    * (file, pos) even when racing, where a watermark reservation would
+    * need re-reservation on a lost publish race. Files whose schema
+    * carries a materialized [[RowIdCol]] (a prior [[optimizeRowIds]])
+    * serve that value instead — `coalesce` arbitrates per row, so mixed
+    * materialized + fresh eras read in one scan. Tables with column
+    * renames/drops are out of scope here (plain [[readAt]] serves
+    * them). */
+  def readAtWithRowIds(spark: SparkSession, table: String,
+      v: Int): Option[DataFrame] =
+    snapshot(spark, table, v).map { s =>
+      require(s.renames.isEmpty && s.drops.isEmpty,
+        "row-id reads of tables with column renames/drops are not supported")
+      if (s.files.isEmpty) spark.emptyDataFrame
+      else {
+        val data = subtractDeletes(spark, table,
+          withMeta(spark, table, s.files), s.deletes)
+        val fresh = org.apache.spark.sql.functions
+          .xxhash64(col("_snap_file"), col("_snap_pos"))
+        val withId =
+          if (data.schema.fieldNames.contains(RowIdCol))
+            data.withColumn("_row_id",
+              org.apache.spark.sql.functions.coalesce(col(RowIdCol), fresh))
+          else data.withColumn("_row_id", fresh)
+        withId.drop("_snap_file", "_snap_pos", RowIdCol)
+      }
+    }
+
+  /** [[optimize]] that PRESERVES row ids (Delta `row tracking` across
+    * compaction): the live view is read WITH its row ids and rewritten
+    * with them materialized as the hidden [[RowIdCol]] — positions
+    * change, files change, `_row_id` does not. Cost is the same one
+    * read+write as plain OPTIMIZE; subsequent fresh appends mint hash
+    * ids that cannot collide with materialized ones (disjoint (file,
+    * pos) domains). */
+  def optimizeRowIds(spark: SparkSession, table: String,
+      statsCols: Seq[String] = Nil): Option[Int] =
+    latestVersion(spark, table)
+      .flatMap(v => readAtWithRowIds(spark, table, v))
+      .map(live => overwrite(spark, table,
+        live.withColumnRenamed("_row_id", RowIdCol), statsCols))
 
   /** Time-travel scan: exactly version `v`'s files, minus its positional
     * deletes (broadcast anti join — same shape and scale argument as
@@ -1536,7 +1596,7 @@ object Snapshots {
   private def eraRead(spark: SparkSession, table: String, s: Snapshot): DataFrame =
     if (s.files.isEmpty) spark.emptyDataFrame
     else subtractDeletes(spark, table, withMetaEras(spark, table, s), s.deletes)
-      .drop("_snap_file", "_snap_pos")
+      .drop("_snap_file", "_snap_pos", RowIdCol)
 
   // -------------------------------------------------------------- merge
 

@@ -1262,6 +1262,82 @@ object LayoutQueries {
     }
   }
 
+  /** q229 — ROW TRACKING ([[graft.lake.Snapshots.readAtWithRowIds]] /
+    * [[graft.lake.Snapshots.optimizeRowIds]] — Delta's row-tracking
+    * surface): every row carries a STABLE `_row_id` derived from the
+    * immutable (file, position) identity it was born with, served
+    * alongside any time-travel read. Stability legs, each pinned by an
+    * order-independent fingerprint over (o_orderkey, _row_id) pairs:
+    * a predicate DELETE leaves every survivor's id untouched
+    * (`stable_under_delete` — tombstones never rewrite), a compaction
+    * REWRITES every live file yet ids survive via materialization into
+    * the hidden `_graft_row_id` physical column (`stable_under_optimize`
+    * — the leg naive position-derived ids cannot pass), the hidden
+    * column never leaks into plain reads (`hidden_from_reads`), and
+    * post-compaction appends mint fresh ids with zero collisions
+    * (`ids_unique` over the grown table — hash-of-birth-identity ids
+    * cannot collide across commits because staging dirs are
+    * run-unique). Row ids are what CDC consumers, incremental ML
+    * feature pipelines and audit trails key on when positions stop
+    * being stable; at 100 TB the id column costs one xxhash64 per row
+    * on read (codegen'd, no shuffle) until a rewrite materializes it. */
+  def rowTracking(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Snapshots
+    val root = graft.util.Scratch.dir("rowtrack", dir)
+    val table = s"$root/orders_rt"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+    val orders = Tables(spark, dir, "orders")
+    Snapshots.append(spark, table, orders.filter(col("o_orderkey") % 2 === 0))
+    val v2 = Snapshots.append(spark, table,
+      orders.filter(col("o_orderkey") % 4 === 1))
+    // order-independent exact fingerprint of the (key, id) assignment
+    def fp(df: DataFrame): (Long, Long) = {
+      val r = df.agg(
+        sum(pmod(xxhash64(col("o_orderkey"), col("_row_id")),
+          lit(2147483647L))).as("_fp"),
+        count(lit(1)).as("_n")).head
+      (r.getLong(0), r.getLong(1))
+    }
+    val all2 = Snapshots.readAtWithRowIds(spark, table, v2).get
+    val idsUniqueAtV2 = all2.select(countDistinct(col("_row_id"))).head
+      .getLong(0) == all2.count()
+    val survBefore = fp(all2.filter(col("o_orderkey") % 10 =!= 0))
+    val v3 = Snapshots.deleteWhere(spark, table, col("o_orderkey") % 10 === 0)
+    val stableUnderDelete =
+      fp(Snapshots.readAtWithRowIds(spark, table, v3).get) == survBefore
+    val v4 = Snapshots.optimizeRowIds(spark, table).get
+    val stableUnderOptimize =
+      fp(Snapshots.readAtWithRowIds(spark, table, v4).get) == survBefore
+    val hiddenFromReads = !Snapshots.readAt(spark, table, v4).get
+      .schema.fieldNames.contains("_graft_row_id")
+    val v5 = Snapshots.append(spark, table,
+      orders.filter(col("o_orderkey") % 4 === 3))
+    val grown = Snapshots.readAtWithRowIds(spark, table, v5).get
+    val idsUnique = idsUniqueAtV2 &&
+      grown.select(countDistinct(col("_row_id"))).head.getLong(0) ==
+        grown.count()
+    // the SQL surface must hide the materialized column too (the
+    // catalog routes row-id-materialized versions through the readAt
+    // plan instead of a bare parquet scan)
+    val cat = s"rowtrack_${Integer.toHexString(dir.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.lake.SnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val sqlDf = spark.sql(s"SELECT * FROM $cat.orders_rt")
+    val sqlHidden =
+      !sqlDf.schema.fieldNames.contains("_graft_row_id") &&
+        sqlDf.count() == grown.count()
+    Snapshots.readLatest(spark, table).get
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(Num.cents(col("o_totalprice"))).as("sum_cents"))
+      .withColumn("stable_under_delete", lit(stableUnderDelete))
+      .withColumn("stable_under_optimize", lit(stableUnderOptimize))
+      .withColumn("hidden_from_reads", lit(hiddenFromReads))
+      .withColumn("sql_hidden", lit(sqlHidden))
+      .withColumn("ids_unique", lit(idsUnique))
+  }
+
   /** q230 — CHERRY-PICK a single branch commit onto a DIVERGED main
     * ([[graft.lake.Snapshots.cherryPick]], Iceberg
     * `cherrypick_snapshot` — the publish path when q223's fast-forward
@@ -1857,6 +1933,17 @@ object LayoutQueries {
   }
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q229_row_tracking", rowTracking, Some(s"""
+      SELECT o_orderpriority, COUNT(*) AS n_rows,
+             CAST(SUM(${Num.sqlCents("o_totalprice")}) AS BIGINT)
+               AS sum_cents,
+             true AS stable_under_delete, true AS stable_under_optimize,
+             true AS hidden_from_reads, true AS sql_hidden,
+             true AS ids_unique
+      FROM orders
+      WHERE ((o_orderkey % 2 = 0 OR o_orderkey % 4 = 1)
+             AND o_orderkey % 10 <> 0) OR o_orderkey % 4 = 3
+      GROUP BY 1""")),
     QueryDef("q230_cherry_pick", cherryPickBranch, Some(s"""
       SELECT o_orderpriority, COUNT(*) AS n_rows,
              CAST(SUM(${Num.sqlCents("o_totalprice")}) AS BIGINT)

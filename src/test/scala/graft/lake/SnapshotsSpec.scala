@@ -1273,6 +1273,37 @@ class SnapshotsSpec extends SparkTestBase {
     }
   }
 
+  test("row ids: repeat optimize stable, merge keeps untouched ids, rename refused") {
+    val t = fresh("rowid")
+    Snapshots.append(spark, t, orders.filter(col("o_orderkey") % 2 === 0))
+    def idMap(): Map[Long, Long] = {
+      val v = Snapshots.latestVersion(spark, t).get
+      Snapshots.readAtWithRowIds(spark, t, v).get
+        .select(col("o_orderkey"), col("_row_id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val m0 = idMap()
+    assert(m0.values.toSet.size == m0.size) // unique
+    Snapshots.optimizeRowIds(spark, t)
+    assert(idMap() == m0, "first optimize moved row ids")
+    Snapshots.optimizeRowIds(spark, t)
+    assert(idMap() == m0, "second optimize moved materialized row ids")
+    // a MERGE rewrites only its matched keys: untouched rows keep ids,
+    // rewritten rows are NEW row versions and mint fresh unique ids
+    val touched = orders.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + lit(1.0))
+    Snapshots.merge(spark, t, touched, Seq("o_orderkey"))
+    val m1 = idMap()
+    val untouchedKeys = m0.keySet.filter(_ % 10 != 0)
+    assert(untouchedKeys.forall(k => m1(k) == m0(k)),
+      "merge moved an untouched row's id")
+    assert(m1.values.toSet.size == m1.size)
+    // renamed tables are out of row-id scope: refused, not wrong
+    Snapshots.renameColumn(spark, t, "o_orderpriority", "o_prio")
+    intercept[IllegalArgumentException](Snapshots.readAtWithRowIds(spark, t,
+      Snapshots.latestVersion(spark, t).get))
+  }
+
   test("cherryPick refuses non-additive and metadata commits, and root picks") {
     val main = fresh("cpm")
     val br = fresh("cpb")
