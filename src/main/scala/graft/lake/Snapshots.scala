@@ -497,10 +497,18 @@ object Snapshots {
   private def writeManifest(spark: SparkSession, table: String,
       files: Seq[String], stats: FileStats,
       blooms: FileBlooms = Map.empty,
-      dirSchemas: Map[String, StructType] = Map.empty): String = {
+      dirSchemas: Map[String, StructType] = Map.empty,
+      // carried-by-reference manifests (metadata delete, manifest
+      // rewrites) already KNOW every file's row count from the source
+      // manifest — recounting would re-open O(files) footers for data
+      // that never moved
+      knownRows: Map[String, Long] = null): String = {
     val ops = new FileOps(spark.sparkContext.hadoopConfiguration)
     val id = Naming.newRunId()
-    val rows = collectRowCounts(spark, table, files)
+    val rows =
+      if (knownRows != null && files.forall(knownRows.contains))
+        files.map(f => f -> knownRows(f)).toMap
+      else collectRowCounts(spark, table, files)
     val json = Json.render(Map(
       "files" -> files,
       "rows" -> rows,
@@ -859,10 +867,20 @@ object Snapshots {
         }
     }
     if (statsCols.isEmpty) return Map.empty
+    import org.apache.spark.sql.functions.{sum => fsum}
     val aggs = statsCols.flatMap { c =>
       val base = statsExpr(c, types)
       Seq(min(base).cast("double").as(s"_mn_$c"),
-        max(base).cast("double").as(s"_mx_$c"))
+        max(base).cast("double").as(s"_mx_$c"),
+        // per-file NULL count beside min/max (the Iceberg manifest's
+        // null_value_counts): what lets a metadata DELETE prove "every
+        // row of this file matches" — min/max only speak for non-null
+        // rows. Stored as a pseudo-entry `nulls(c) -> (n, n)` so it
+        // rides the existing stats plumbing (render/parse/clone/
+        // cherry-pick) untouched; no pruning path ever looks a column
+        // named `nulls(...)` up.
+        fsum(when(base.isNull, 1L).otherwise(0L)).cast("double")
+          .as(s"_nl_$c"))
     }
     scan
       .groupBy(LakePaths.relFileCol(root).as("_f"))
@@ -871,7 +889,11 @@ object Snapshots {
       .map { r =>
         r.getString(0) -> statsCols.flatMap { c =>
           val (mi, ma) = (r.getAs[Any](s"_mn_$c"), r.getAs[Any](s"_mx_$c"))
-          if (mi == null || ma == null) None
+          val nl = r.getAs[Any](s"_nl_$c")
+          val nulls = Option(nl).map(_.asInstanceOf[Double])
+            .filter(java.lang.Double.isFinite)
+            .map(n => s"nulls($c)" -> (n, n)).toSeq
+          if (mi == null || ma == null) nulls
           else {
             // NaN/±Infinity are skipped like all-null columns: Spark's
             // min/max return NaN when any NaN is present, and a non-finite
@@ -880,8 +902,8 @@ object Snapshots {
             // unknown never prunes, so correctness is unaffected.
             val (lo, hi) = (mi.asInstanceOf[Double], ma.asInstanceOf[Double])
             if (java.lang.Double.isFinite(lo) && java.lang.Double.isFinite(hi))
-              Some(c -> (lo, hi))
-            else None
+              nulls :+ (c -> (lo, hi))
+            else nulls
           }
         }.toMap
       }.toMap
@@ -1679,6 +1701,82 @@ object Snapshots {
       (prev.map(_.manifests).getOrElse(Nil), prevDeletes ++ newDeletes,
         prev.map(_.renames).getOrElse(Nil),
         prev.map(_.drops).getOrElse(Nil))
+    }
+
+  /** METADATA-ACCELERATED predicate DELETE for interval predicates —
+    * the retention-delete shape (`DELETE WHERE days(ts) < cutoff`, the
+    * single most common DELETE a 100 TB table runs). [[deleteWhere]]
+    * scans the WHOLE live view to locate matches and tombstones
+    * O(matches) rows; this form classifies every file FROM THE LOG
+    * first (the Delta/Iceberg metadata-delete optimization):
+    *
+    *  - FULL files — the manifest proves every row matches (`[min,max]`
+    *    inside the interval AND the recorded `nulls(col)` count is 0;
+    *    min/max only speak for non-null rows, so without the null count
+    *    a file could smuggle NULL rows — for which the predicate is
+    *    UNKNOWN, not true — into the drop) — are dropped from the file
+    *    list in ONE carried-by-reference manifest: no scan, no
+    *    tombstone rows, no data movement. The change feed synthesizes
+    *    their live rows as deletes (the rewrite-delete leg), so CDC
+    *    consumers see the erasure.
+    *  - NONE files — `[min,max]` disjoint from the interval (correct
+    *    even with nulls present: a null never matches) — are untouched
+    *    and NEVER SCANNED.
+    *  - BOUNDARY files (overlap, stats-less, or null-bearing inside the
+    *    interval) — only these are scanned, era-aware, and tombstone
+    *    their matching rows.
+    *
+    * On a date-partitioned table a retention delete of the oldest 30%
+    * touches metadata for the dropped span plus a scan of ONE boundary
+    * file — versus a full-table scan and 10⁹ tombstones. `statName` is
+    * a stats/spec name (`days(c)`, plain column, `bucket(n,c)`) in its
+    * manifest unit; the row predicate applies the SAME transform
+    * expression the writer recorded, closed interval `[lo, hi]`. */
+  def deleteWhereInterval(spark: SparkSession, table: String,
+      statName: String, lo: Double, hi: Double): Int =
+    commitLoop(spark, table, "delete") { prevOpt =>
+      val prev = prevOpt.getOrElse(throw new IllegalArgumentException(
+        s"cannot DELETE from never-committed table $table"))
+      def nullsOf(f: String): Option[Double] =
+        prev.stats.get(f).flatMap(_.get(s"nulls($statName)")).map(_._1)
+      def cls(f: String): Int =
+        prev.stats.get(f).flatMap(_.get(statName)) match {
+          case Some((mn, mx)) if mx < lo || mn > hi => 0 // none
+          case Some((mn, mx)) if mn >= lo && mx <= hi &&
+            nullsOf(f).contains(0.0) => 2 // full
+          case _ => 1 // boundary: overlap, stats-less, or null-bearing
+        }
+      val byCls = prev.files.groupBy(cls)
+      val full = byCls.getOrElse(2, Nil)
+      val boundary = byCls.getOrElse(1, Nil)
+      val newDeletes =
+        if (boundary.isEmpty) Nil
+        else {
+          val live = subtractDeletes(spark, table,
+            withMetaEras(spark, table, prev.copy(files = boundary)),
+            prev.deletes)
+          val types = live.schema.fields.map(f => f.name -> f.dataType).toMap
+          val v = statsExpr(statName, types)
+          val tomb = live.filter(v >= lit(lo) && v <= lit(hi))
+            .select(col("_snap_file").as("file"), col("_snap_pos").as("pos"))
+          writeDeletes(spark, table, tomb)
+        }
+      val manifests =
+        if (full.isEmpty) prev.manifests
+        else {
+          val survivors = prev.files.filterNot(full.toSet)
+          val dirs = survivors
+            .map(_.split("/").dropRight(1).mkString("/")).toSet
+          Seq(writeManifest(spark, table, survivors,
+            prev.stats.filter { case (f, _) => !full.contains(f) },
+            prev.blooms.filter { case (f, _) => !full.contains(f) },
+            prev.dirSchemas.filter { case (d, _) => dirs(d) },
+            knownRows = prev.rowCounts))
+        }
+      // tombstones already covering dropped files now point at absent
+      // paths and match nothing — same carry note as optimizeSmallFiles
+      (manifests, prev.deletes ++ newDeletes,
+        prev.renames, prev.drops)
     }
 
   /** Predicate UPDATE (`UPDATE t SET c = expr WHERE pred`) as a

@@ -1262,6 +1262,83 @@ object LayoutQueries {
     }
   }
 
+  /** q235 — METADATA-ACCELERATED RETENTION DELETE
+    * ([[graft.lake.Snapshots.deleteWhereInterval]] — the Delta/Iceberg
+    * metadata-delete optimization for THE most common DELETE a 100 TB
+    * table runs: `DELETE WHERE days(ts) < cutoff`): files the log
+    * PROVES fully-matching drop as one carried-by-reference manifest
+    * (no scan, no tombstones, no data movement), provably-disjoint
+    * files are never scanned, and only BOUNDARY files scan and
+    * tombstone. The trap this gate sets: the earliest file is poisoned
+    * with NULL dates (every `o_orderkey % 1000 = 7` row), and its
+    * non-null [min,max] sits entirely inside the delete interval — a
+    * min/max-only classifier would drop the whole file and erase rows
+    * the SQL predicate never matched (NULL compares UNKNOWN). The
+    * manifest's per-file `nulls(col)` count (recorded beside min/max,
+    * the Iceberg null_value_counts) demotes it to boundary, and
+    * `nulls_kept` pins every null row surviving. Other markers:
+    * `full_dropped` (the file list shrank), `drops_proven` (every
+    * dropped file's recorded stats prove full match + zero nulls),
+    * `tombstones_bounded` (tombstone rows = matches MINUS dropped
+    * files' rows — the proof no full file was tombstoned row-wise),
+    * `travel_intact`. On a date-clustered 100 TB table this turns a
+    * full-scan + 10⁹-tombstone retention job into KB of metadata plus
+    * one boundary-file scan. */
+  def retentionDelete(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Snapshots
+    val root = graft.util.Scratch.dir("retdel", dir)
+    val table = s"$root/orders_rd"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+    val orders = Tables(spark, dir, "orders")
+    val data = orders.withColumn("o_orderdate",
+      when(col("o_orderkey") % 1000 === 7,
+        lit(null).cast(orders.schema("o_orderdate").dataType))
+        .otherwise(col("o_orderdate")))
+    Snapshots.appendPartitioned(spark, table, data,
+      Seq("days(o_orderdate)"), numFiles = 8)
+    val v1 = Snapshots.latestVersion(spark, table).get
+    val s1 = Snapshots.snapshot(spark, table, v1).get
+    val total = data.count()
+    val cutDays =
+      java.time.LocalDate.parse("1997-01-01").toEpochDay.toDouble
+    val hi = cutDays - 1 // delete days <= cutoff-1 ⟺ ts < 1997-01-01
+    val matches = Snapshots.readAt(spark, table, v1).get
+      .filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .count()
+    val v2 = Snapshots.deleteWhereInterval(spark, table,
+      "days(o_orderdate)", Double.NegativeInfinity, hi)
+    val s2 = Snapshots.snapshot(spark, table, v2).get
+    val dropped = s1.files.filterNot(s2.files.toSet)
+    val fullDropped = dropped.nonEmpty
+    val dropsProven = dropped.forall { f =>
+      s1.stats.get(f).exists { m =>
+        m.get("days(o_orderdate)").exists(_._2 <= hi) &&
+          m.get("nulls(days(o_orderdate))").contains((0.0, 0.0))
+      }
+    }
+    val droppedRows = dropped.map(s1.rowCounts.getOrElse(_, -1L)).sum
+    val newDelFiles = s2.deletes.filterNot(s1.deletes.toSet)
+    val tombRows =
+      if (newDelFiles.isEmpty) 0L
+      else spark.read.parquet(
+        newDelFiles.map(f => s"$table/$f"): _*).count()
+    val tombstonesBounded = tombRows == matches - droppedRows
+    val nullCount = data.filter(col("o_orderdate").isNull).count()
+    val nullsKept = Snapshots.readLatest(spark, table).get
+      .filter(col("o_orderdate").isNull).count() == nullCount
+    val travelIntact =
+      Snapshots.readAt(spark, table, v1).get.count() == total
+    Snapshots.readLatest(spark, table).get
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(Num.cents(col("o_totalprice"))).as("sum_cents"))
+      .withColumn("full_dropped", lit(fullDropped))
+      .withColumn("drops_proven", lit(dropsProven))
+      .withColumn("tombstones_bounded", lit(tombstonesBounded))
+      .withColumn("nulls_kept", lit(nullsKept))
+      .withColumn("travel_intact", lit(travelIntact))
+  }
+
   /** q229 — ROW TRACKING ([[graft.lake.Snapshots.readAtWithRowIds]] /
     * [[graft.lake.Snapshots.optimizeRowIds]] — Delta's row-tracking
     * surface): every row carries a STABLE `_row_id` derived from the
@@ -1933,6 +2010,17 @@ object LayoutQueries {
   }
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q235_retention_delete", retentionDelete, Some(s"""
+      SELECT o_orderpriority, COUNT(*) AS n_rows,
+             CAST(SUM(${Num.sqlCents("o_totalprice")}) AS BIGINT)
+               AS sum_cents,
+             true AS full_dropped, true AS drops_proven,
+             true AS tombstones_bounded, true AS nulls_kept,
+             true AS travel_intact
+      FROM orders
+      WHERE o_orderkey % 1000 = 7
+         OR o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY 1""")),
     QueryDef("q229_row_tracking", rowTracking, Some(s"""
       SELECT o_orderpriority, COUNT(*) AS n_rows,
              CAST(SUM(${Num.sqlCents("o_totalprice")}) AS BIGINT)

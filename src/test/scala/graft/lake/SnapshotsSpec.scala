@@ -1273,6 +1273,44 @@ class SnapshotsSpec extends SparkTestBase {
     }
   }
 
+  test("deleteWhereInterval: stats-less files scan, prior tombstones compose") {
+    val t = fresh("dwi")
+    // commit WITHOUT stats: nothing is provable, everything is boundary —
+    // the delete must still be exactly right, just unaccelerated
+    Snapshots.append(spark, t, orders)
+    val keep = orders.filter(col("o_orderkey") % 3 =!= 0)
+    Snapshots.deleteWhere(spark, t, col("o_orderkey") % 3 === 0)
+    val v1files = Snapshots.snapshot(spark, t,
+      Snapshots.latestVersion(spark, t).get).get.files
+    val cut = java.time.LocalDate.parse("1997-01-01").toEpochDay.toDouble
+    val v = Snapshots.deleteWhereInterval(spark, t, "days(o_orderdate)",
+      Double.NegativeInfinity, cut - 1)
+    val s = Snapshots.snapshot(spark, t, v).get
+    assert(s.files == v1files, "stats-less files must never full-drop")
+    // prior tombstones compose: only % 3 != 0 rows were live to delete
+    val want = keep.filter(
+      col("o_orderdate") >= lit("1997-01-01").cast("timestamp")).count()
+    assert(Snapshots.readAt(spark, t, v).get.count() == want)
+    // a second interval delete over already-tombstoned ground is a no-op
+    val v2 = Snapshots.deleteWhereInterval(spark, t, "days(o_orderdate)",
+      Double.NegativeInfinity, cut - 1)
+    assert(Snapshots.readAt(spark, t, v2).get.count() == want)
+  }
+
+  test("deleteWhereInterval: a fully-matching table drops to empty, travelable") {
+    val t = fresh("dwi2")
+    Snapshots.appendPartitioned(spark, t, orders,
+      Seq("days(o_orderdate)"), numFiles = 4)
+    val v1 = Snapshots.latestVersion(spark, t).get
+    val v = Snapshots.deleteWhereInterval(spark, t, "days(o_orderdate)",
+      Double.NegativeInfinity, Double.PositiveInfinity)
+    val s = Snapshots.snapshot(spark, t, v).get
+    assert(s.files.isEmpty && s.deletes.isEmpty,
+      "an all-full delete must be pure metadata: no files, no tombstones")
+    assert(Snapshots.readAt(spark, t, v).get.count() == 0)
+    assert(Snapshots.readAt(spark, t, v1).get.count() == orders.count())
+  }
+
   test("row ids: repeat optimize stable, merge keeps untouched ids, rename refused") {
     val t = fresh("rowid")
     Snapshots.append(spark, t, orders.filter(col("o_orderkey") % 2 === 0))
