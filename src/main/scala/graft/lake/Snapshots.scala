@@ -2109,6 +2109,32 @@ object Snapshots {
     spark.read.parquet(files.map(f => filePath(table, f)): _*)
   }
 
+  /** MANIFEST-LIST COMPACTION (Iceberg `rewrite_manifests` — OPTIMIZE
+    * for the METADATA instead of the data): a long-lived table accretes
+    * one manifest per commit, so every snapshot resolution walks
+    * O(commits-since-rewrite) metadata objects and the version object
+    * lists them all. This folds the current version's entire file list
+    * into ONE manifest — every file carried BY REFERENCE with its
+    * stats, blooms, schemas and row counts copied — published as a
+    * metadata-only commit: zero data movement, file set bit-identical,
+    * pruning and metadata-count behavior unchanged. History below stays
+    * travelable (prior manifests remain until [[vacuum]] GCs them).
+    * On a streaming-ingest table with 100k commits this is the
+    * difference between a KB and a multi-MB read before the first data
+    * byte — run it on the same cadence as small-file compaction, which
+    * ([[optimizeSmallFiles]]) already folds the small-file tail but
+    * leaves untouched commits' manifests in place. */
+  def rewriteManifests(spark: SparkSession, table: String): Int =
+    commitLoop(spark, table, "rewrite-manifests") { prevOpt =>
+      val prev = prevOpt.getOrElse(throw new IllegalArgumentException(
+        s"cannot rewrite manifests of never-committed table $table"))
+      val dirs = prev.files.map(_.split("/").dropRight(1).mkString("/")).toSet
+      (Seq(writeManifest(spark, table, prev.files, prev.stats, prev.blooms,
+        prev.dirSchemas.filter { case (d, _) => dirs(d) },
+        knownRows = prev.rowCounts)),
+        prev.deletes, prev.renames, prev.drops)
+    }
+
   /** OPTIMIZE: rewrite the current live view (data minus positional
     * deletes) into fresh compacted files published as a NEW version —
     * the amortized answer to merge-on-read debt. Unlike

@@ -1262,6 +1262,60 @@ object LayoutQueries {
     }
   }
 
+  /** q234 — MANIFEST-LIST COMPACTION
+    * ([[graft.lake.Snapshots.rewriteManifests]] — Iceberg
+    * `rewrite_manifests`, OPTIMIZE for the METADATA): eight separate
+    * appends leave the version referencing eight manifests; one
+    * metadata-only commit folds them into ONE carrying every file by
+    * reference. Markers pin the fold lossless along every axis the log
+    * serves: `one_manifest` (the list collapsed), `files_identical`
+    * (bit-same file set — nothing staged, nothing dropped),
+    * `stats_preserved` (a date-range prune shrinks the file list
+    * exactly as before the rewrite), `count_from_log` (metadata-only
+    * `count(*)` still answers exactly — row counts were carried, not
+    * recounted), `travel_intact` (the pre-rewrite version still
+    * resolves through its own manifests). On a streaming-ingest table
+    * with 100k commits this turns every snapshot resolution from a
+    * multi-MB O(commits) metadata walk into one KB object — the
+    * metadata twin of small-file compaction, on the same cadence. */
+  def manifestRewrite(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Snapshots
+    val root = graft.util.Scratch.dir("manrw", dir)
+    val table = s"$root/orders_mr"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+    val orders = Tables(spark, dir, "orders")
+    // commits arrive in time order (the streaming-ingest reality that
+    // gives manifests their pruning power): one append per order year
+    (1995 to 2002).foreach(y => Snapshots.append(spark, table,
+      orders.filter(year(col("o_orderdate")) === y),
+      statsCols = Seq("days(o_orderdate)")))
+    val v1 = Snapshots.latestVersion(spark, table).get
+    val s1 = Snapshots.snapshot(spark, table, v1).get
+    val cut = java.time.LocalDate.parse("2000-01-01").toEpochDay.toDouble
+    val prunedBefore = Snapshots.prunedFilesAt(spark, table, v1,
+      "days(o_orderdate)", cut, Double.PositiveInfinity).get.toSet
+    val v2 = Snapshots.rewriteManifests(spark, table)
+    val s2 = Snapshots.snapshot(spark, table, v2).get
+    val oneManifest = s1.manifests.size == 8 && s2.manifests.size == 1
+    val filesIdentical = s2.files.toSet == s1.files.toSet
+    val statsPreserved = Snapshots.prunedFilesAt(spark, table, v2,
+      "days(o_orderdate)", cut, Double.PositiveInfinity).get
+      .toSet == prunedBefore && prunedBefore.size < s1.files.size
+    val total = orders.count()
+    val countFromLog = Snapshots.rowCountAt(spark, table, v2).contains(total)
+    val travelIntact =
+      Snapshots.readAt(spark, table, v1).get.count() == total
+    Snapshots.readLatest(spark, table).get
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(Num.cents(col("o_totalprice"))).as("sum_cents"))
+      .withColumn("one_manifest", lit(oneManifest))
+      .withColumn("files_identical", lit(filesIdentical))
+      .withColumn("stats_preserved", lit(statsPreserved))
+      .withColumn("count_from_log", lit(countFromLog))
+      .withColumn("travel_intact", lit(travelIntact))
+  }
+
   /** q235 — METADATA-ACCELERATED RETENTION DELETE
     * ([[graft.lake.Snapshots.deleteWhereInterval]] — the Delta/Iceberg
     * metadata-delete optimization for THE most common DELETE a 100 TB
@@ -2010,6 +2064,15 @@ object LayoutQueries {
   }
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q234_rewrite_manifests", manifestRewrite, Some(s"""
+      SELECT o_orderpriority, COUNT(*) AS n_rows,
+             CAST(SUM(${Num.sqlCents("o_totalprice")}) AS BIGINT)
+               AS sum_cents,
+             true AS one_manifest, true AS files_identical,
+             true AS stats_preserved, true AS count_from_log,
+             true AS travel_intact
+      FROM orders
+      GROUP BY 1""")),
     QueryDef("q235_retention_delete", retentionDelete, Some(s"""
       SELECT o_orderpriority, COUNT(*) AS n_rows,
              CAST(SUM(${Num.sqlCents("o_totalprice")}) AS BIGINT)
