@@ -107,14 +107,19 @@ final class SnapshotCatalog extends TableCatalog {
     }
   }
 
-  /** `VERSION AS OF n` — Spark passes the version literal as a string. A
-    * malformed literal (quoted tag, garbage) is the USER's error, named
-    * as such; NoSuchTableException is reserved for genuinely absent
+  /** `VERSION AS OF n` — Spark passes the version literal as a string.
+    * Integers resolve directly; anything else is tried as a NAMED TAG
+    * (the Iceberg `VERSION AS OF 'ref'` semantics over the q221 tag
+    * store — `CREATE TAG` pins, SQL readers travel by name). A literal
+    * that is neither is the USER's error, named as such;
+    * NoSuchTableException is reserved for genuinely absent
     * tables/versions. */
   override def loadTable(ident: Identifier, version: String): Table = {
-    val v = version.toIntOption.getOrElse(throw new IllegalArgumentException(
-      s"VERSION AS OF '$version' on ${ident.name()}: snapshot versions " +
-        "are integers (the log has no named tags)"))
+    val v = version.toIntOption
+      .orElse(Snapshots.tagVersion(spark, tablePath(ident), version))
+      .getOrElse(throw new IllegalArgumentException(
+        s"VERSION AS OF '$version' on ${ident.name()}: neither an " +
+          "integer snapshot version nor a tag of this table"))
     metaTable(ident, Some(v)).getOrElse(tableAt(ident, tablePath(ident), v))
   }
 

@@ -1,7 +1,7 @@
 package graft.lake
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, col, concat, lit, max, min, regexp_replace, when}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, concat, lit, max, min, regexp_replace, when}
 import org.apache.spark.sql.types._
 
 /** Versioned snapshot log — TIME TRAVEL, incremental reads, merge-on-read
@@ -1158,15 +1158,65 @@ object Snapshots {
 
   /** Broadcast anti-join subtraction of positional deletes; expects the
     * `_snap_file`/`_snap_pos` reader columns on `data`. */
+  /** Is this deletes-list entry an EQUALITY-delete directory
+    * ([[deleteByKeys]]) rather than a positional-delete file? The two
+    * kinds share the log's `deletes` list; the `_snap/e-` prefix is the
+    * dispatch (positional files live under `_snap/d-`). */
+  private[graft] def isEqDelete(f: String): Boolean = f.contains("_snap/e-")
+
   private def subtractDeletes(spark: SparkSession, table: String,
-      data: DataFrame, deletes: Seq[String]): DataFrame =
-    if (deletes.isEmpty) data
+      data: DataFrame, deletes: Seq[String]): DataFrame = {
+    val (eq, pos) = deletes.partition(isEqDelete)
+    val afterPos =
+      if (pos.isEmpty) data
+      else {
+        val dels = spark.read.parquet(pos.map(f => filePath(table, f)): _*)
+        data.join(broadcast(dels),
+          data("_snap_file") === dels("file") &&
+            data("_snap_pos") === dels("pos"),
+          "left_anti")
+      }
+    eq.foldLeft(afterPos)((d, e) => applyEqDelete(spark, table, d, e))
+  }
+
+  /** Apply ONE equality-delete entry: suppress rows whose key matches a
+    * delete key AND whose data file is in the delete's recorded SCOPE —
+    * the manifests live when the delete committed (the Iceberg
+    * sequence-number rule expressed over immutable manifest ids, so a
+    * row appended AFTER the delete with the same key survives, which is
+    * what makes key-upserts compose). Two broadcast left joins (scope
+    * flag, key flag) + one filter — O(keys + scoped-file-list) driver
+    * metadata, no shuffle of `data`. */
+  private def applyEqDelete(spark: SparkSession, table: String,
+      data: DataFrame, eqRef: String): DataFrame = {
+    import spark.implicits._
+    val ops = new FileOps(spark.sparkContext.hadoopConfiguration)
+    val keys = spark.read.parquet(s"${filePath(table, eqRef)}/keys")
+    val scopeManifests = Json
+      .parseObject(ops.readString(s"${filePath(table, eqRef)}/scope.json"))
+      .get("manifests").map(_.asInstanceOf[Seq[Any]].map(_.toString))
+      .getOrElse(Nil)
+    val covered = scopeManifests
+      .flatMap(m => readManifest(spark, table, m)._1).distinct
+    if (covered.isEmpty || keys.columns.isEmpty) data
     else {
-      val dels = spark.read.parquet(deletes.map(f => filePath(table, f)): _*)
-      data.join(broadcast(dels),
-        data("_snap_file") === dels("file") && data("_snap_pos") === dels("pos"),
-        "left_anti")
+      val covDf = covered.toDF("_eq_cov_file")
+        .withColumn("_eq_cov", lit(true))
+      val keyCols = keys.columns.toSeq
+      // distinct defends the row count: a duplicate key row in a left
+      // join would FAN OUT the data side
+      val flagged = keys.distinct().withColumn("_eq_hit", lit(true))
+      val keyCond = keyCols.map(c => data(c) === flagged(c)).reduce(_ && _)
+      val out = data
+        .join(broadcast(covDf),
+          data("_snap_file") === covDf("_eq_cov_file"), "left")
+        .join(broadcast(flagged), keyCond, "left")
+        .filter(coalesce(col("_eq_cov"), lit(false)) === false ||
+          coalesce(col("_eq_hit"), lit(false)) === false)
+        .drop("_eq_cov_file", "_eq_cov", "_eq_hit")
+      keyCols.foldLeft(out)((d, c) => d.drop(flagged(c)))
     }
+  }
 
   private def readSnapshot(spark: SparkSession, table: String,
       files: Seq[String], deletes: Seq[String]): DataFrame =
@@ -1779,6 +1829,87 @@ object Snapshots {
         prev.renames, prev.drops)
     }
 
+  /** EQUALITY DELETE ([[https://iceberg.apache.org Iceberg v2]]'s second
+    * delete kind beside positional tombstones): delete every live row
+    * matching a KEY SET with ZERO scan at write time — the keys
+    * themselves are the delete file. Positional deletes
+    * ([[deleteWhere]]/[[merge]]) pay one table scan to LOCATE (file,
+    * pos) targets; a streaming CDC consumer applying thousands of
+    * key-deletes per minute cannot afford that, so it writes the key
+    * set (O(keys), no table read at all) and the cost moves to READ
+    * time as one broadcast anti-join per outstanding delete. Sequence
+    * semantics ride the log's immutable manifest ids: the delete
+    * records the manifests live at its commit (`scope.json`) and
+    * suppresses keys only in THOSE files — a row re-appended after the
+    * delete survives, which is exactly what makes delete+insert
+    * upserts compose. Read debt is cleared by [[materializeEqDeletes]]
+    * (one scan converts outstanding equality deletes to positional) or
+    * any full [[optimize]]; operations that must interpret or carry
+    * delete CONTENT (clone, cherry-pick, change feed, targeted
+    * compaction, manifest rewrite) refuse while equality deletes are
+    * outstanding and name the cure, rather than mis-handle them. */
+  def deleteByKeys(spark: SparkSession, table: String,
+      keys: DataFrame): Int = {
+    require(keys.columns.nonEmpty, "deleteByKeys needs at least one key column")
+    val ops = new FileOps(spark.sparkContext.hadoopConfiguration)
+    val rel = s"_snap/e-${Naming.newRunId()}"
+    keys.distinct().write.mode("overwrite").parquet(s"$table/$rel/keys")
+    commitLoop(spark, table, "delete") { prevOpt =>
+      val prev = prevOpt.getOrElse(throw new IllegalArgumentException(
+        s"cannot DELETE from never-committed table $table"))
+      // scope = manifests live NOW; rewritten per OCC retry so the
+      // delete applies to exactly the state it committed against
+      ops.writeString(s"$table/$rel/scope.json",
+        Json.render(Map("manifests" -> prev.manifests)))
+      (prev.manifests, prev.deletes :+ rel, prev.renames, prev.drops)
+    }
+  }
+
+  /** Convert every outstanding equality delete to positional tombstones
+    * in ONE commit (Iceberg's `rewrite_position_delete_files`
+    * convert-equality-deletes maintenance): one scan of the covered
+    * files locates each key's live positions; the published version
+    * carries positional deletes only, the live view is IDENTICAL, and
+    * the operations that refuse under equality deletes work again.
+    * Returns None when none are outstanding. */
+  def materializeEqDeletes(spark: SparkSession, table: String): Option[Int] = {
+    val s = latestSnapshot(spark, table).getOrElse(return None)
+    val (eq, pos) = s.deletes.partition(isEqDelete)
+    if (eq.isEmpty) return None
+    // live rows the equality deletes currently suppress = (all minus
+    // positional) minus (all minus ALL deletes): compute directly by
+    // flagging each eq delete's matches on the positional-only view
+    val base = subtractDeletes(spark, table,
+      withMeta(spark, table, s.files), pos)
+    val ops = new FileOps(spark.sparkContext.hadoopConfiguration)
+    val tombs = eq.map { e =>
+      import spark.implicits._
+      val keys = spark.read.parquet(s"${filePath(table, e)}/keys").distinct()
+      val scopeManifests = Json
+        .parseObject(ops.readString(s"${filePath(table, e)}/scope.json"))
+        .get("manifests").map(_.asInstanceOf[Seq[Any]].map(_.toString))
+        .getOrElse(Nil)
+      val covered = scopeManifests
+        .flatMap(m => readManifest(spark, table, m)._1).distinct
+      val covDf = broadcast(covered.toDF("_eq_cov_file"))
+      base.join(broadcast(keys), keys.columns.toSeq, "left_semi")
+        .join(covDf, col("_snap_file") === col("_eq_cov_file"), "left_semi")
+        .select(col("_snap_file").as("file"), col("_snap_pos").as("pos"))
+    }.reduce(_ unionAll _).distinct()
+    val newDeletes = writeDeletes(spark, table, tombs)
+    Some(commitLoop(spark, table, "delete") { prevOpt =>
+      val prev = prevOpt.getOrElse(throw new IllegalStateException(
+        s"$table lost its log during materializeEqDeletes"))
+      val stillPos = prev.deletes.filterNot(isEqDelete)
+      (prev.manifests, stillPos ++ newDeletes, prev.renames, prev.drops)
+    })
+  }
+
+  private def requireNoEqDeletes(s: Snapshot, what: String): Unit =
+    require(!s.deletes.exists(isEqDelete),
+      s"$what with outstanding equality deletes would mis-handle them: " +
+        "run materializeEqDeletes (or a full optimize) first")
+
   /** Predicate UPDATE (`UPDATE t SET c = expr WHERE pred`) as a
     * merge-on-read commit — the fourth DML leg beside [[append]],
     * [[merge]] and [[deleteWhere]]: every LIVE row matching `pred` is
@@ -1887,6 +2018,7 @@ object Snapshots {
   private def cloneContent(spark: SparkSession, src: String, dst: String,
       s: Snapshot): (String, Seq[String], Seq[(String, String)],
       Seq[DropSpec], Seq[(String, String)]) = {
+    requireNoEqDeletes(s, "shallow clone / fast-forward")
     val srcRoot = LakePaths.tableRootPath(spark, src)
     val dstRoot = LakePaths.tableRootPath(spark, dst)
     // canonical reference rule, matching [[LakePaths.relFileCol]]
@@ -2069,6 +2201,10 @@ object Snapshots {
     }
     val prevDels = sPrev.deletes.toSet
     val deltaDelSrc = sV.deletes.filterNot(prevDels)
+    require(deltaDelSrc.forall(!isEqDelete(_)),
+      s"cherry-pick of $branch@$v: the commit added equality deletes, " +
+        "whose manifest-id scope is meaningless in another table — " +
+        "materialize them on the branch first")
     val (deltaDeletes, anchors) =
       if (deltaDelSrc.isEmpty) (Nil, Set.empty[String])
       else {
@@ -2128,6 +2264,9 @@ object Snapshots {
     commitLoop(spark, table, "rewrite-manifests") { prevOpt =>
       val prev = prevOpt.getOrElse(throw new IllegalArgumentException(
         s"cannot rewrite manifests of never-committed table $table"))
+      // an equality delete's SCOPE is a manifest-id list: replacing the
+      // manifests would silently detach it from every covered file
+      requireNoEqDeletes(prev, "rewriteManifests")
       val dirs = prev.files.map(_.split("/").dropRight(1).mkString("/")).toSet
       (Seq(writeManifest(spark, table, prev.files, prev.stats, prev.blooms,
         prev.dirSchemas.filter { case (d, _) => dirs(d) },
@@ -2168,6 +2307,7 @@ object Snapshots {
       zorderBy: Option[(String, String)] = None): Option[Int] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val probe = latestSnapshot(spark, table).getOrElse(return None)
+    requireNoEqDeletes(probe, "optimizeSmallFiles")
     def sized(files: Seq[String]): Seq[(String, Long)] = files.map { f =>
       val p = new org.apache.hadoop.fs.Path(filePath(table, f))
       f -> p.getFileSystem(conf).getFileStatus(p).getLen
@@ -2211,6 +2351,7 @@ object Snapshots {
       minDeleteRatio: Double, statsCols: Seq[String] = Nil): Option[Int] = {
     val probe = latestSnapshot(spark, table).getOrElse(return None)
     if (probe.deletes.isEmpty) return None
+    requireNoEqDeletes(probe, "optimizeDeletes")
     def hotOf(s: Snapshot): (org.apache.spark.sql.DataFrame, Seq[String]) = {
       val allTombs = spark.read
         .parquet(s.deletes.map(f => filePath(table, f)): _*)
@@ -2335,6 +2476,8 @@ object Snapshots {
       s1 <- snapshot(spark, table, v1)
       s2 <- snapshot(spark, table, v2)
     } yield {
+      requireNoEqDeletes(s1, "changesBetween (window start)")
+      requireNoEqDeletes(s2, "changesBetween (window end)")
       val s1Set = s1.files.toSet
       val s2Set = s2.files.toSet
       val newFiles = s2.files.filterNot(s1Set)
@@ -2542,14 +2685,21 @@ object Snapshots {
     // this table's relative names, so a clone's vacuum still cannot
     // reap another table's files.
     val liveFiles = kept.flatMap(s => s.files ++ s.deletes).toSet
-    val liveDirs = liveFiles
-      .flatMap(f => f.split("/").drop(1).dropRight(1).headOption)
+    // both reference shapes resolve to their _snap subdirectory: files
+    // ("_snap/c-x/part…") and whole-dir equality-delete refs ("_snap/e-x")
+    val liveDirs = liveFiles.flatMap { f =>
+      val segs = f.split("/")
+      if (segs.headOption.contains("_snap")) segs.lift(1) else None
+    }
     val snapRoot = new org.apache.hadoop.fs.Path(s"$table/_snap")
     val fs = snapRoot.getFileSystem(conf)
     if (fs.exists(snapRoot))
       fs.listStatus(snapRoot).foreach { st =>
         val dirName = st.getPath.getName
         if (!liveDirs.contains(dirName)) fs.delete(st.getPath, true)
+        else if (liveFiles.contains(s"_snap/$dirName")) ()
+        // ^ whole-dir reference (equality delete): keys + scope live as
+        //   a unit until no kept version names the dir
         else {
           fs.listStatus(st.getPath).foreach { f =>
             if (!liveFiles.contains(s"_snap/$dirName/${f.getPath.getName}"))

@@ -1262,6 +1262,131 @@ object LayoutQueries {
     }
   }
 
+  /** q237 — EQUALITY DELETES ([[graft.lake.Snapshots.deleteByKeys]] —
+    * Iceberg v2's second delete kind): delete by KEY with ZERO scan at
+    * write time — the key set IS the delete file, so a streaming CDC
+    * consumer can land thousands of key-deletes per minute where a
+    * positional delete would pay a locate-scan each. The gate walks the
+    * full lifecycle: `no_scan_commit` pins the delete commit touched no
+    * data file and staged no positional tombstone (structural proof of
+    * the zero-scan write), `mid_suppressed` pins the keys gone from the
+    * live view, the UPSERT half re-appends the same keys with changed
+    * prices and `reinsert_survives` pins them back (the delete's
+    * manifest-id SCOPE — the Iceberg sequence-number rule — protects
+    * rows appended after it, which is what makes delete+insert upserts
+    * compose), `clone_refused` pins that operations which would
+    * mis-handle equality-delete content refuse and name the cure,
+    * `materialize_lossless` + `eq_cleared` pin the one-scan conversion
+    * to positional tombstones leaving the live view bit-identical, and
+    * `clone_after_ok` shows the refused operation working once
+    * materialized. The final aggregate is the cross-engine witness
+    * that exactly the upserted state survived. */
+  def equalityDelete(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Snapshots
+    val root = graft.util.Scratch.dir("eqdel", dir)
+    val table = s"$root/orders_eq"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+    val orders = Tables(spark, dir, "orders")
+    val evens = orders.filter(col("o_orderkey") % 2 === 0)
+    Snapshots.append(spark, table, evens)
+    val v1 = Snapshots.latestVersion(spark, table).get
+    val s1 = Snapshots.snapshot(spark, table, v1).get
+    val keys = orders.filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey"))
+    val nKeys = keys.count()
+    val v2 = Snapshots.deleteByKeys(spark, table, keys)
+    val s2 = Snapshots.snapshot(spark, table, v2).get
+    val newDel = s2.deletes.filterNot(s1.deletes.toSet)
+    val noScanCommit = s2.files == s1.files &&
+      newDel.nonEmpty && newDel.forall(Snapshots.isEqDelete)
+    val midSuppressed = Snapshots.readAt(spark, table, v2).get
+      .count() == evens.count() - nKeys
+    val v3 = Snapshots.append(spark, table,
+      orders.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0)))
+    val after = Snapshots.readAt(spark, table, v3).get
+    val reinsertSurvives = after.count() == evens.count() &&
+      after.filter(col("o_orderkey") % 10 === 0).count() == nKeys
+    val cloneRefused =
+      try { Snapshots.shallowClone(spark, table, s"$root/clone1"); false }
+      catch { case e: IllegalArgumentException =>
+        e.getMessage.contains("equality deletes") }
+    def fp(): (Long, Long) = {
+      val r = Snapshots.readLatest(spark, table).get.agg(
+        sum(pmod(xxhash64(col("o_orderkey"),
+          Num.cents(col("o_totalprice"))), lit(2147483647L))).as("_f"),
+        count(lit(1)).as("_n")).head
+      (r.getLong(0), r.getLong(1))
+    }
+    val before = fp()
+    Snapshots.materializeEqDeletes(spark, table).get
+    val materializeLossless = fp() == before
+    val eqCleared = Snapshots
+      .snapshot(spark, table, Snapshots.latestVersion(spark, table).get)
+      .get.deletes.forall(f => !Snapshots.isEqDelete(f))
+    val cloneAfterOk = {
+      Snapshots.shallowClone(spark, table, s"$root/clone2")
+      Snapshots.readLatest(spark, s"$root/clone2").get
+        .count() == evens.count()
+    }
+    Snapshots.readLatest(spark, table).get
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(Num.cents(col("o_totalprice"))).as("sum_cents"))
+      .withColumn("no_scan_commit", lit(noScanCommit))
+      .withColumn("mid_suppressed", lit(midSuppressed))
+      .withColumn("reinsert_survives", lit(reinsertSurvives))
+      .withColumn("clone_refused", lit(cloneRefused))
+      .withColumn("materialize_lossless", lit(materializeLossless))
+      .withColumn("eq_cleared", lit(eqCleared))
+      .withColumn("clone_after_ok", lit(cloneAfterOk))
+  }
+
+  /** q236 — SQL TIME TRAVEL BY TAG (`VERSION AS OF 'name'` — the
+    * Iceberg named-ref read over the q221 tag store): a tag pinned
+    * before later writes serves the EXACT tagged state to any SQL
+    * reader by name — the reproducible-training-run contract ("train on
+    * `experiment-7`") without anyone passing version numbers around.
+    * Integer literals keep their meaning, unknown refs error with the
+    * reason (`bad_ref_refused`), and the tagged read's aggregate is the
+    * cross-engine witness. Combined with q221's retention pinning, a
+    * tag is a durable, vacuum-proof, SQL-addressable dataset version —
+    * at 100 TB that is how a training corpus stays citable for months
+    * while the table keeps ingesting. */
+  def versionAsOfTag(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Snapshots
+    val root = graft.util.Scratch.dir("sqltag", dir)
+    val table = s"$root/orders_tag"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+    val orders = Tables(spark, dir, "orders")
+    val v1 = Snapshots.append(spark, table,
+      orders.filter(col("o_orderkey") % 2 === 0))
+    Snapshots.createTag(spark, table, "experiment-7", v1)
+    Snapshots.append(spark, table, orders.filter(col("o_orderkey") % 2 === 1))
+    val cat = s"sqltag_${Integer.toHexString(dir.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.lake.SnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val latestRows = spark.sql(
+      s"SELECT count(*) AS n FROM $cat.orders_tag").head.getLong(0)
+    val latestIsAll = latestRows == orders.count()
+    val badRefRefused =
+      try { spark.sql(s"SELECT * FROM $cat.orders_tag VERSION AS OF " +
+        "'no-such-tag'").collect(); false }
+      catch { case e: Throwable =>
+        def all(x: Throwable): String =
+          if (x == null) "" else x.getMessage + all(x.getCause)
+        all(e).contains("neither an integer snapshot version nor a tag") }
+    spark.sql(s"""
+      SELECT o_orderpriority, COUNT(*) AS n_rows,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+      FROM $cat.orders_tag VERSION AS OF 'experiment-7'
+      GROUP BY 1""")
+      .withColumn("latest_is_all", lit(latestIsAll))
+      .withColumn("bad_ref_refused", lit(badRefRefused))
+  }
+
   /** q234 — MANIFEST-LIST COMPACTION
     * ([[graft.lake.Snapshots.rewriteManifests]] — Iceberg
     * `rewrite_manifests`, OPTIMIZE for the METADATA): eight separate
@@ -2064,6 +2189,24 @@ object LayoutQueries {
   }
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q237_equality_delete", equalityDelete, Some(s"""
+      SELECT o_orderpriority, COUNT(*) AS n_rows,
+             CAST(SUM(CAST(round((CASE WHEN o_orderkey % 10 = 0
+                 THEN o_totalprice + 1000 ELSE o_totalprice END) * 100)
+               AS BIGINT)) AS BIGINT) AS sum_cents,
+             true AS no_scan_commit, true AS mid_suppressed,
+             true AS reinsert_survives, true AS clone_refused,
+             true AS materialize_lossless, true AS eq_cleared,
+             true AS clone_after_ok
+      FROM orders WHERE o_orderkey % 2 = 0
+      GROUP BY 1""")),
+    QueryDef("q236_version_as_of_tag", versionAsOfTag, Some(s"""
+      SELECT o_orderpriority, COUNT(*) AS n_rows,
+             CAST(SUM(${Num.sqlCents("o_totalprice")}) AS BIGINT)
+               AS sum_cents,
+             true AS latest_is_all, true AS bad_ref_refused
+      FROM orders WHERE o_orderkey % 2 = 0
+      GROUP BY 1""")),
     QueryDef("q234_rewrite_manifests", manifestRewrite, Some(s"""
       SELECT o_orderpriority, COUNT(*) AS n_rows,
              CAST(SUM(${Num.sqlCents("o_totalprice")}) AS BIGINT)

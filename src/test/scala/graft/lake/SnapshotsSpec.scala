@@ -1273,6 +1273,36 @@ class SnapshotsSpec extends SparkTestBase {
     }
   }
 
+  test("equality deletes: vacuum keeps the live dir whole, reaps it after") {
+    val t = fresh("eqvac")
+    import spark.implicits._
+    Snapshots.append(spark, t, orders.limit(60))
+    val keys = orders.limit(60).select(col("o_orderkey")).limit(10)
+    val vDel = Snapshots.deleteByKeys(spark, t, keys)
+    val eqRef = Snapshots.snapshot(spark, t, vDel).get.deletes
+      .find(Snapshots.isEqDelete).get
+    val eqDir = new File(s"$t/$eqRef")
+    assert(eqDir.isDirectory &&
+      new File(eqDir, "scope.json").exists(), "eq dir must carry scope")
+    // vacuum with the eq version live: the dir survives INTACT (keys +
+    // scope are a unit — a file-granular sweep must not gut it)
+    Snapshots.vacuum(spark, t, keepFrom = 1)
+    assert(new File(eqDir, "scope.json").exists())
+    assert(Snapshots.readLatest(spark, t).get.count() == 50)
+    // stacked equality deletes apply independently
+    val keys2 = orders.limit(60).select(col("o_orderkey"))
+      .orderBy(col("o_orderkey").desc).limit(5)
+    Snapshots.deleteByKeys(spark, t, keys2)
+    assert(Snapshots.readLatest(spark, t).get.count() >= 45)
+    // materialize, then vacuum history: the eq dirs are reaped whole
+    Snapshots.materializeEqDeletes(spark, t)
+    val latest = Snapshots.latestVersion(spark, t).get
+    Snapshots.vacuum(spark, t, keepFrom = latest)
+    assert(!eqDir.exists(), "a no-longer-referenced eq dir must be reaped")
+    assert(Snapshots.readLatest(spark, t).get.count() ==
+      Snapshots.readAt(spark, t, latest).get.count())
+  }
+
   test("deleteWhereInterval: stats-less files scan, prior tombstones compose") {
     val t = fresh("dwi")
     // commit WITHOUT stats: nothing is provable, everything is boundary —
