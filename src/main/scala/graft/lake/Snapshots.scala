@@ -1187,9 +1187,13 @@ object Snapshots {
     * what makes key-upserts compose). Two broadcast left joins (scope
     * flag, key flag) + one filter — O(keys + scoped-file-list) driver
     * metadata, no shuffle of `data`. */
-  private def applyEqDelete(spark: SparkSession, table: String,
-      data: DataFrame, eqRef: String): DataFrame = {
-    import spark.implicits._
+  /** Load ONE equality delete's (key set, covered data-file list):
+    * keys are the delete file itself; coverage is the union of data
+    * files in the manifests recorded live at the delete's commit
+    * (`scope.json` — the Iceberg sequence-number rule over immutable
+    * manifest ids). O(keys + scoped metadata), driver-side. */
+  private def eqDeleteParts(spark: SparkSession, table: String,
+      eqRef: String): (DataFrame, Seq[String]) = {
     val ops = new FileOps(spark.sparkContext.hadoopConfiguration)
     val keys = spark.read.parquet(s"${filePath(table, eqRef)}/keys")
     val scopeManifests = Json
@@ -1198,6 +1202,34 @@ object Snapshots {
       .getOrElse(Nil)
     val covered = scopeManifests
       .flatMap(m => readManifest(spark, table, m)._1).distinct
+    (keys, covered)
+  }
+
+  /** The COMPLEMENT of [[applyEqDelete]]: the rows of `data` the
+    * equality delete SUPPRESSES (key match AND file in scope) — the
+    * delete-image source for a change feed crossing an equality-delete
+    * commit. Same two broadcast semi joins, no shuffle of `data`. */
+  private def eqDeleteHits(spark: SparkSession, table: String,
+      data: DataFrame, eqRef: String): DataFrame = {
+    import spark.implicits._
+    val (keys, covered) = eqDeleteParts(spark, table, eqRef)
+    if (covered.isEmpty || keys.columns.isEmpty) data.limit(0)
+    else {
+      val covDf = broadcast(covered.toDF("_eq_cov_file"))
+      val flagged = keys.distinct()
+      val keyCond = keys.columns.toSeq
+        .map(c => data(c) <=> flagged(c)).reduce(_ && _)
+      data
+        .join(covDf, data("_snap_file") === covDf("_eq_cov_file"),
+          "left_semi")
+        .join(broadcast(flagged), keyCond, "left_semi")
+    }
+  }
+
+  private def applyEqDelete(spark: SparkSession, table: String,
+      data: DataFrame, eqRef: String): DataFrame = {
+    import spark.implicits._
+    val (keys, covered) = eqDeleteParts(spark, table, eqRef)
     if (covered.isEmpty || keys.columns.isEmpty) data
     else {
       val covDf = covered.toDF("_eq_cov_file")
@@ -1206,7 +1238,9 @@ object Snapshots {
       // distinct defends the row count: a duplicate key row in a left
       // join would FAN OUT the data side
       val flagged = keys.distinct().withColumn("_eq_hit", lit(true))
-      val keyCond = keyCols.map(c => data(c) === flagged(c)).reduce(_ && _)
+      // null-safe: Iceberg v2 equality deletes treat null as equal to
+      // null, so a null-keyed delete row must still match
+      val keyCond = keyCols.map(c => data(c) <=> flagged(c)).reduce(_ && _)
       val out = data
         .join(broadcast(covDf),
           data("_snap_file") === covDf("_eq_cov_file"), "left")
@@ -1797,8 +1831,19 @@ object Snapshots {
           case _ => 1 // boundary: overlap, stats-less, or null-bearing
         }
       val byCls = prev.files.groupBy(cls)
-      val full = byCls.getOrElse(2, Nil)
-      val boundary = byCls.getOrElse(1, Nil)
+      // Under OUTSTANDING EQUALITY DELETES the metadata fast path is
+      // unsafe: dropping full files replaces the manifest list, but an
+      // eq delete's scope.json references the OLD manifest ids — after
+      // vacuum's manifest GC the delete's scope becomes unreadable and
+      // the version unreadable with no repair. Demote full files to
+      // boundary (scan + tombstone) so the DELETE still works, at scan
+      // cost, instead of refusing or corrupting. Vacuum also pins eq
+      // scope manifests as live (belt and braces), but demotion keeps
+      // the invariant local to the commit.
+      val hasEq = prev.deletes.exists(isEqDelete)
+      val full = if (hasEq) Nil else byCls.getOrElse(2, Nil)
+      val boundary = byCls.getOrElse(1, Nil) ++
+        (if (hasEq) byCls.getOrElse(2, Nil) else Nil)
       val newDeletes =
         if (boundary.isEmpty) Nil
         else {
@@ -1844,10 +1889,13 @@ object Snapshots {
     * delete survives, which is exactly what makes delete+insert
     * upserts compose. Read debt is cleared by [[materializeEqDeletes]]
     * (one scan converts outstanding equality deletes to positional) or
-    * any full [[optimize]]; operations that must interpret or carry
-    * delete CONTENT (clone, cherry-pick, change feed, targeted
-    * compaction, manifest rewrite) refuse while equality deletes are
-    * outstanding and name the cure, rather than mis-handle them. */
+    * any full [[optimize]]. The change feed ([[changesBetween]])
+    * composes with outstanding equality deletes directly (delete
+    * images come from the keys semi-joined to each delete's scoped
+    * files); operations that must CARRY delete content across table
+    * boundaries (clone, cherry-pick, targeted compaction, manifest
+    * rewrite) refuse while equality deletes are outstanding and name
+    * the cure, rather than mis-handle them. */
   def deleteByKeys(spark: SparkSession, table: String,
       keys: DataFrame): Int = {
     require(keys.columns.nonEmpty, "deleteByKeys needs at least one key column")
@@ -1878,9 +1926,12 @@ object Snapshots {
     if (eq.isEmpty) return None
     // live rows the equality deletes currently suppress = (all minus
     // positional) minus (all minus ALL deletes): compute directly by
-    // flagging each eq delete's matches on the positional-only view
+    // flagging each eq delete's matches on the positional-only view.
+    // Era-aware scan: the key join must resolve RENAMED key columns the
+    // way the read path does ([[eraRead]]) — a plain withMeta would
+    // throw (or miss old-era rows) on an evolved table.
     val base = subtractDeletes(spark, table,
-      withMeta(spark, table, s.files), pos)
+      withMetaEras(spark, table, s), pos)
     val ops = new FileOps(spark.sparkContext.hadoopConfiguration)
     val tombs = eq.map { e =>
       import spark.implicits._
@@ -1892,16 +1943,26 @@ object Snapshots {
       val covered = scopeManifests
         .flatMap(m => readManifest(spark, table, m)._1).distinct
       val covDf = broadcast(covered.toDF("_eq_cov_file"))
-      base.join(broadcast(keys), keys.columns.toSeq, "left_semi")
+      // null-safe key match (Iceberg v2: null equals null in an
+      // equality delete) — a name-list join would use === and silently
+      // drop null-keyed deletes
+      val kcond = keys.columns.toSeq
+        .map(c => base(c) <=> keys(c)).reduce(_ && _)
+      base.join(broadcast(keys), kcond, "left_semi")
         .join(covDf, col("_snap_file") === col("_eq_cov_file"), "left_semi")
         .select(col("_snap_file").as("file"), col("_snap_pos").as("pos"))
     }.reduce(_ unionAll _).distinct()
     val newDeletes = writeDeletes(spark, table, tombs)
+    val scanned = eq.toSet
     Some(commitLoop(spark, table, "delete") { prevOpt =>
       val prev = prevOpt.getOrElse(throw new IllegalStateException(
         s"$table lost its log during materializeEqDeletes"))
-      val stillPos = prev.deletes.filterNot(isEqDelete)
-      (prev.manifests, stillPos ++ newDeletes, prev.renames, prev.drops)
+      // drop ONLY the eq deletes this scan converted: an equality
+      // delete committed concurrently (visible here after an OCC retry)
+      // stays outstanding rather than being silently discarded
+      // unmaterialized — the caller can materialize again
+      (prev.manifests, prev.deletes.filterNot(scanned) ++ newDeletes,
+        prev.renames, prev.drops)
     })
   }
 
@@ -2476,24 +2537,38 @@ object Snapshots {
       s1 <- snapshot(spark, table, v1)
       s2 <- snapshot(spark, table, v2)
     } yield {
-      requireNoEqDeletes(s1, "changesBetween (window start)")
-      requireNoEqDeletes(s2, "changesBetween (window end)")
       val s1Set = s1.files.toSet
       val s2Set = s2.files.toSet
       val newFiles = s2.files.filterNot(s1Set)
       val retained = s1.files.filter(s2Set)
       val dropped = s1.files.filterNot(s2Set)
-      val newDeleteFiles = s2.deletes.filterNot(s1.deletes.toSet)
+      // Equality deletes compose with the feed WITHOUT materializing
+      // first (the Iceberg CDC-under-eq-deletes semantics): a new eq
+      // delete's delete images are its keys semi-joined to the rows of
+      // its SCOPED files ([[eqDeleteHits]]); eq deletes already
+      // outstanding at v1 ride [[subtractDeletes]]' dispatch in every
+      // "live at v1/v2" computation below. Positional tombstones keep
+      // their direct (file,pos) reads — an eq-delete DIR cannot be
+      // parquet-read wholesale, hence the partition.
+      val (newEq, newPos) = s2.deletes.filterNot(s1.deletes.toSet)
+        .partition(isEqDelete)
       val tombs =
-        if (newDeleteFiles.isEmpty) None
+        if (newPos.isEmpty) None
         else Some(spark.read.parquet(
-          newDeleteFiles.map(f => filePath(table, f)): _*))
+          newPos.map(f => filePath(table, f)): _*))
       val inserts =
         if (newFiles.isEmpty) None
         else Some {
           val rows = withMetaEras(spark, table, s2.copy(files = newFiles))
-          tombs.fold(rows)(t => rows.join(broadcast(t),
-              rows("_snap_file") === t("file") && rows("_snap_pos") === t("pos"),
+          // a NEW eq delete may scope files appended earlier in the
+          // window (its scope = manifests at ITS commit) — suppress
+          // those, or the feed inserts rows dead at v2. Pre-window eq
+          // deletes cannot cover post-window files, so only newEq folds.
+          val afterEq = newEq.foldLeft(rows)(
+            (d, e) => applyEqDelete(spark, table, d, e))
+          tombs.fold(afterEq)(t => afterEq.join(broadcast(t),
+              afterEq("_snap_file") === t("file") &&
+                afterEq("_snap_pos") === t("pos"),
               "left_anti"))
             .drop("_snap_file", "_snap_pos")
             .withColumn("_change_type", lit("insert"))
@@ -2505,12 +2580,16 @@ object Snapshots {
       // window re-tombstones rows v1 never had, and emitting deletes for
       // those would make the feed non-composable across a restore.
       val tombDeletes =
-        if (retained.isEmpty) None
-        else tombs.map { t =>
+        if (retained.isEmpty || (tombs.isEmpty && newEq.isEmpty)) None
+        else Some {
           val old = withMetaEras(spark, table, s2.copy(files = retained))
-          val hit = old.join(broadcast(t),
-              old("_snap_file") === t("file") && old("_snap_pos") === t("pos"),
-              "left_semi")
+          val posHit = tombs.map(t => old.join(broadcast(t),
+            old("_snap_file") === t("file") && old("_snap_pos") === t("pos"),
+            "left_semi"))
+          // eq-delete delete images: rows of retained files the new eq
+          // deletes suppress — key semi-join within each delete's scope
+          val eqHit = newEq.map(e => eqDeleteHits(spark, table, old, e))
+          val hit = (posHit.toSeq ++ eqHit).reduce(_ unionAll _).distinct()
           subtractDeletes(spark, table, hit, s1.deletes)
             .drop("_snap_file", "_snap_pos")
             .withColumn("_change_type", lit("delete"))
@@ -2528,16 +2607,30 @@ object Snapshots {
       // revived row surfaces as an insert iff its file is retained and
       // no v2 tombstone still covers it. Without this source, applying
       // the feed across a restore misses exactly the un-deleted rows.
-      val removedDeleteFiles = s1.deletes.filterNot(s2.deletes.toSet)
+      val (remEq, remPos) = s1.deletes.filterNot(s2.deletes.toSet)
+        .partition(isEqDelete)
       val resurrections =
-        if (removedDeleteFiles.isEmpty || retained.isEmpty) None
+        if ((remEq.isEmpty && remPos.isEmpty) || retained.isEmpty) None
         else Some {
-          val tOld = spark.read.parquet(
-            removedDeleteFiles.map(f => filePath(table, f)): _*)
           val rows = withMetaEras(spark, table, s2.copy(files = retained))
-          val revived = rows.join(broadcast(tOld),
-            rows("_snap_file") === tOld("file") &&
-              rows("_snap_pos") === tOld("pos"), "left_semi")
+          val posRevived =
+            if (remPos.isEmpty) None
+            else Some {
+              val tOld = spark.read.parquet(
+                remPos.map(f => filePath(table, f)): _*)
+              rows.join(broadcast(tOld),
+                rows("_snap_file") === tOld("file") &&
+                  rows("_snap_pos") === tOld("pos"), "left_semi")
+            }
+          // a REMOVED eq delete (a restore rolled it back, or a
+          // materialize converted it) revives its suppressed rows —
+          // for a materialize window the replacement positional
+          // tombstones land in s2.deletes and the subtraction below
+          // cancels the revival exactly, so the feed is empty (the
+          // live view did not change)
+          val eqRevived = remEq.map(e => eqDeleteHits(spark, table, rows, e))
+          val revived = (posRevived.toSeq ++ eqRevived)
+            .reduce(_ unionAll _).distinct()
           subtractDeletes(spark, table, revived, s2.deletes)
             .drop("_snap_file", "_snap_pos")
             .withColumn("_change_type", lit("insert"))
@@ -2615,6 +2708,12 @@ object Snapshots {
   def createTag(spark: SparkSession, table: String, name: String,
       v: Int): Unit = {
     require(TagName.matches(name), s"invalid tag name '$name'")
+    // all-digit names are forbidden (Iceberg-style): SQL `VERSION AS OF
+    // '7'` resolves integer literals as VERSIONS first, so a tag named
+    // '7' would be creatable but unreachable (shadowed by version 7)
+    require(!name.forall(_.isDigit),
+      s"tag name '$name' is all digits — shadowed by version numbers " +
+        "in VERSION AS OF; pick a name with a letter")
     val ops = new FileOps(spark.sparkContext.hadoopConfiguration)
     require(snapshot(spark, table, v).isDefined,
       s"cannot tag missing version $v of $table")
@@ -2708,8 +2807,21 @@ object Snapshots {
           if (fs.listStatus(st.getPath).isEmpty) fs.delete(st.getPath, true)
         }
       }
-    // manifest GC: drop manifest objects no kept version references
-    val liveManifests = kept.flatMap(_.manifests).toSet
+    // manifest GC: drop manifest objects no kept version references.
+    // An OUTSTANDING equality delete's scope.json references the
+    // manifest ids live at ITS commit — those may no longer appear in
+    // any kept version's manifest list (a later commit rewrote the
+    // list), but the delete's read path still opens them, so they are
+    // live until the delete is materialized or vacuumed away.
+    val eqScopes = kept.flatMap(_.deletes).filter(isEqDelete).distinct
+      .flatMap { e =>
+        val p = s"${filePath(table, e)}/scope.json"
+        if (!ops.exists(p)) Nil
+        else Json.parseObject(ops.readString(p))
+          .get("manifests").map(_.asInstanceOf[Seq[Any]].map(_.toString))
+          .getOrElse(Nil)
+      }
+    val liveManifests = kept.flatMap(_.manifests).toSet ++ eqScopes
     val logRoot = new org.apache.hadoop.fs.Path(logDir(table))
     if (fs.exists(logRoot))
       fs.listStatus(logRoot).map(_.getPath.getName)

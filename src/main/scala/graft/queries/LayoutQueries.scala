@@ -1286,6 +1286,8 @@ object LayoutQueries {
     val root = graft.util.Scratch.dir("eqdel", dir)
     val table = s"$root/orders_eq"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$root/clone1"))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$root/clone2"))
     val orders = Tables(spark, dir, "orders")
     val evens = orders.filter(col("o_orderkey") % 2 === 0)
     Snapshots.append(spark, table, evens)

@@ -1449,4 +1449,131 @@ class SnapshotsSpec extends SparkTestBase {
         s"driver-side bucket hash diverged from the writer for key $k")
     assert(s.stats.nonEmpty)
   }
+
+  /** One (sorted) fingerprint of a change feed: key, price cents,
+    * change type — order-free equality across paths. */
+  private def feedFp(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, String)] =
+    df.select(col("o_orderkey"),
+        (col("o_totalprice") * 100).cast("long").as("c"),
+        col("_change_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sortBy(identity).toSeq
+
+  test("change feed composes with outstanding equality deletes") {
+    val t = fresh("eqcdf")
+    val base = orders.limit(60).cache()
+    val v1 = Snapshots.append(spark, t, base)
+    val keys = base.select(col("o_orderkey")).limit(10)
+    val v2 = Snapshots.deleteByKeys(spark, t, keys)
+    // feed WITHOUT materializing: 10 full-row delete images
+    val feed = Snapshots.changesBetween(spark, t, v1, v2).get
+    assert(feed.filter(col("_change_type") === "delete").count() == 10)
+    assert(feed.filter(col("_change_type") === "insert").count() == 0)
+    // … and it hash-matches the materialize-first path on a twin table
+    val t2 = fresh("eqcdf2")
+    Snapshots.append(spark, t2, base)
+    Snapshots.deleteByKeys(spark, t2, keys)
+    val v3b = Snapshots.materializeEqDeletes(spark, t2).get
+    assert(feedFp(feed) ==
+      feedFp(Snapshots.changesBetween(spark, t2, 1, v3b).get))
+    // the materialize window ITSELF is a no-op feed (live view unchanged)
+    val v3 = Snapshots.materializeEqDeletes(spark, t).get
+    assert(Snapshots.changesBetween(spark, t, v2, v3).get.count() == 0)
+    // re-insert after the eq delete: scope protects the new rows — the
+    // window spanning delete+reinsert nets to the price-change pair only
+    val t3 = fresh("eqcdf3")
+    val w1 = Snapshots.append(spark, t3, base)
+    Snapshots.deleteByKeys(spark, t3, keys)
+    val reins = base.join(keys, Seq("o_orderkey"), "left_semi")
+      .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
+    val w3 = Snapshots.append(spark, t3, reins)
+    val f13 = Snapshots.changesBetween(spark, t3, w1, w3).get.cache()
+    assert(f13.filter(col("_change_type") === "delete").count() == 10)
+    val ins = f13.filter(col("_change_type") === "insert")
+    assert(ins.count() == 10 &&
+      ins.join(keys, Seq("o_orderkey"), "left_anti").count() == 0,
+      "inserts must be exactly the re-appended keys, live at window end")
+    // an eq delete committed AFTER an in-window append scopes it: the
+    // appended rows matching the keys must NOT surface as inserts
+    val t4 = fresh("eqcdf4")
+    val u1 = Snapshots.append(spark, t4, base.filter(col("o_orderkey") % 2 === 0))
+    Snapshots.append(spark, t4, base.filter(col("o_orderkey") % 2 =!= 0))
+    val u3 = Snapshots.deleteByKeys(spark, t4,
+      base.filter(col("o_orderkey") % 2 =!= 0).select(col("o_orderkey")))
+    val f = Snapshots.changesBetween(spark, t4, u1, u3).get
+    assert(f.count() == 0,
+      "in-window append fully covered by a later in-window eq delete " +
+        "must net to an empty feed")
+  }
+
+  test("materializeEqDeletes is era-aware and keeps unseen eq deletes") {
+    val t = fresh("eqera")
+    val base = orders.limit(60).cache()
+    Snapshots.append(spark, t, base)
+    Snapshots.renameColumn(spark, t, "o_orderkey", "order_id")
+    import spark.implicits._
+    val delKeys = base.select(col("o_orderkey").as("order_id")).limit(10)
+    Snapshots.deleteByKeys(spark, t, delKeys)
+    Snapshots.materializeEqDeletes(spark, t).get
+    // live view identical to the never-renamed twin's
+    val t2 = fresh("eqera2")
+    Snapshots.append(spark, t2, base)
+    Snapshots.deleteByKeys(spark, t2,
+      base.select(col("o_orderkey")).limit(10))
+    val got = Snapshots.readLatest(spark, t).get
+      .select(col("order_id")).as[Long].collect().sorted.toSeq
+    val want = Snapshots.readLatest(spark, t2).get
+      .select(col("o_orderkey")).as[Long].collect().sorted.toSeq
+    assert(got == want)
+  }
+
+  test("null-keyed equality deletes match null rows (Iceberg v2)") {
+    val t = fresh("eqnull")
+    import spark.implicits._
+    val data = Seq((1L, "a"), (2L, null.asInstanceOf[String]),
+      (3L, "c"), (4L, null.asInstanceOf[String]))
+      .toDF("id", "grp")
+    Snapshots.append(spark, t, data)
+    Snapshots.deleteByKeys(spark, t,
+      Seq(null.asInstanceOf[String]).toDF("grp"))
+    assert(Snapshots.readLatest(spark, t).get
+      .select(col("id")).as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+    // materialize honors the null key too
+    Snapshots.materializeEqDeletes(spark, t).get
+    assert(Snapshots.readLatest(spark, t).get
+      .select(col("id")).as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+  }
+
+  test("deleteWhereInterval demotes metadata drops under outstanding eq deletes") {
+    val t = fresh("eqdwi")
+    val base = orders.limit(100).cache()
+    Snapshots.append(spark, t, base, statsCols = Seq("o_orderkey"))
+    val mid = base.agg(expr("percentile_approx(o_orderkey, 0.5)"))
+      .head.getLong(0).toDouble
+    Snapshots.deleteByKeys(spark, t,
+      base.select(col("o_orderkey")).limit(5))
+    val sBefore = Snapshots.snapshot(spark, t,
+      Snapshots.latestVersion(spark, t).get).get
+    val v = Snapshots.deleteWhereInterval(spark, t, "o_orderkey",
+      Double.NegativeInfinity, mid)
+    val s = Snapshots.snapshot(spark, t, v).get
+    // no file drop (manifest list preserved) — eq scope stays readable
+    assert(s.files == sBefore.files,
+      "full-drop must demote to tombstones while eq deletes outstanding")
+    val want = base.filter(col("o_orderkey") > mid)
+      .join(base.select(col("o_orderkey")).limit(5),
+        Seq("o_orderkey"), "left_anti").count()
+    assert(Snapshots.readAt(spark, t, v).get.count() == want)
+    // the outstanding eq delete still applies and materializes cleanly
+    Snapshots.materializeEqDeletes(spark, t).get
+    assert(Snapshots.readLatest(spark, t).get.count() == want)
+  }
+
+  test("all-digit tag names are refused (version-literal shadowing)") {
+    val t = fresh("tagdig")
+    Snapshots.append(spark, t, orders.limit(5))
+    intercept[IllegalArgumentException](
+      Snapshots.createTag(spark, t, "7", 1))
+    Snapshots.createTag(spark, t, "v7", 1) // letters are fine
+  }
 }
