@@ -101,25 +101,30 @@ final class SnapshotCatalog extends TableCatalog {
   override def loadTable(ident: Identifier): Table = {
     metaTable(ident, None).getOrElse {
       val t = tablePath(ident)
-      val v = Snapshots.latestVersion(spark, t)
+      // MAIN head, not global latest: branch-staged commits stay
+      // invisible to plain SQL readers until fast-forwarded
+      val v = Snapshots.mainHeadVersion(spark, t)
         .getOrElse(throw new NoSuchTableException(ident))
       tableAt(ident, t, v)
     }
   }
 
   /** `VERSION AS OF n` — Spark passes the version literal as a string.
-    * Integers resolve directly; anything else is tried as a NAMED TAG
-    * (the Iceberg `VERSION AS OF 'ref'` semantics over the q221 tag
-    * store — `CREATE TAG` pins, SQL readers travel by name). A literal
-    * that is neither is the USER's error, named as such;
-    * NoSuchTableException is reserved for genuinely absent
+    * Integers resolve directly; anything else is tried as a NAMED TAG,
+    * then a NAMED BRANCH head (the Iceberg `VERSION AS OF 'ref'`
+    * semantics over the q221 tag store and the in-log branch refs —
+    * tags win because they are immutable pins; all-digit ref names are
+    * refused at creation, so the integer precedence can never shadow
+    * one). A literal that is none of these is the USER's error, named
+    * as such; NoSuchTableException is reserved for genuinely absent
     * tables/versions. */
   override def loadTable(ident: Identifier, version: String): Table = {
     val v = version.toIntOption
       .orElse(Snapshots.tagVersion(spark, tablePath(ident), version))
+      .orElse(Snapshots.branchHead(spark, tablePath(ident), version))
       .getOrElse(throw new IllegalArgumentException(
         s"VERSION AS OF '$version' on ${ident.name()}: neither an " +
-          "integer snapshot version nor a tag of this table"))
+          "integer snapshot version, a tag, nor a branch of this table"))
     metaTable(ident, Some(v)).getOrElse(tableAt(ident, tablePath(ident), v))
   }
 

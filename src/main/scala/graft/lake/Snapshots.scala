@@ -82,7 +82,8 @@ object Snapshots {
       rowCounts: Map[String, Long] = Map.empty,
       op: String = "",
       constraints: Seq[(String, String)] = Nil,
-      partitionSpec: Seq[String] = Nil)
+      partitionSpec: Seq[String] = Nil,
+      ref: String = "")
 
   /** Resolve a manifest file reference to a readable path. References
     * are table-relative in the common case; a [[shallowClone]] carries
@@ -265,7 +266,8 @@ object Snapshots {
     Some(Snapshot(v, files, strings("deletes"), stats,
       renames, manifestIds, blooms, commitTs, dirSchemas, drops, rowCounts,
       m.get("op").map(_.toString).getOrElse(""), constraints,
-      strings("partition_spec")))
+      strings("partition_spec"),
+      m.get("ref").map(_.toString).getOrElse("")))
   }
 
   /** Commit history of the table as a DataFrame — the `DESCRIBE
@@ -566,6 +568,33 @@ object Snapshots {
   private def latestSnapshot(spark: SparkSession, table: String): Option[Snapshot] =
     latestVersion(spark, table).flatMap(v => snapshot(spark, table, v))
 
+  /** Head snapshot of MAIN: the highest version NOT addressed to a
+    * named branch ([[createBranch]]). Branch commits claim global
+    * version numbers (the one OCC allocator serializes every writer,
+    * whatever ref it targets) but main readers skip them — so a WAP
+    * write staged on a branch is invisible here until
+    * [[fastForwardMain]] publishes it. Walk cost is O(branch commits
+    * at the tip) cached log-object reads; zero for a branch-less table.
+    * Holes from vacuum's pinned-version trimming are skipped (a hole
+    * can never be main's head — vacuum pins it). */
+  /** Main's current head VERSION — equals [[latestVersion]] unless
+    * branch commits sit at the tip. The version plain readers and SQL
+    * scans serve. */
+  def mainHeadVersion(spark: SparkSession, table: String): Option[Int] =
+    mainHeadSnapshot(spark, table).map(_.version)
+
+  private def mainHeadSnapshot(spark: SparkSession,
+      table: String): Option[Snapshot] = {
+    var v = latestVersion(spark, table).getOrElse(return None)
+    while (v >= 1) {
+      snapshot(spark, table, v) match {
+        case Some(s) if s.ref.isEmpty => return Some(s)
+        case _ => v -= 1
+      }
+    }
+    None
+  }
+
   private def listFresh(spark: SparkSession, dir: String,
       rel: String): Seq[String] = {
     val p = new org.apache.hadoop.fs.Path(dir)
@@ -589,7 +618,8 @@ object Snapshots {
       renames: Seq[(String, String)], drops: Seq[DropSpec],
       commitTs: Long, op: String = "",
       constraints: Seq[(String, String)] = Nil,
-      partitionSpec: Seq[String] = Nil): Boolean = {
+      partitionSpec: Seq[String] = Nil,
+      ref: String = ""): Boolean = {
     val conf = spark.sparkContext.hadoopConfiguration
     val ops = new FileOps(conf)
     val dst = new org.apache.hadoop.fs.Path(logPath(table, v))
@@ -599,6 +629,7 @@ object Snapshots {
       "version" -> v.toLong,
       "ts" -> commitTs,
       "op" -> op,
+      "ref" -> ref,
       "manifests" -> manifests,
       "deletes" -> deletes,
       "renames" -> renames.map(r => Seq(r._1, r._2)),
@@ -656,18 +687,29 @@ object Snapshots {
       // the persisted PARTITION SPEC likewise carries forward; only
       // appendPartitioned/overwritePartitioned/setPartitionSpec override
       newPartitionSpec: Option[Snapshot] => Option[Seq[String]] =
-        _ => None)(
+        _ => None,
+      // "" = main; a branch name computes content against the BRANCH
+      // head and stamps the published log object with the ref, so main
+      // readers skip it ([[mainHeadSnapshot]]) until fast-forwarded
+      toBranch: String = "")(
       content: Option[Snapshot] => (Seq[String], Seq[String],
         Seq[(String, String)], Seq[DropSpec])): Int = {
     var attempt = 0
     while (attempt < MaxCommitAttempts) {
-      val prev = latestSnapshot(spark, table)
+      // version numbers are GLOBAL commit ids: every writer (any ref)
+      // allocates latest+1, so the exclusive publish below serializes
+      // same-branch racers exactly like main racers — a lost race
+      // re-reads the branch head and recomputes
+      val global = latestSnapshot(spark, table)
       // an empty log means the table is NEW — or re-created at a path a
       // previous incarnation used (tests and scratch tables do this):
       // version numbers restart at 1, so cached resolutions from the
       // old incarnation must not shadow the new log objects
-      if (prev.isEmpty) invalidateSnapshotCache(table)
-      val v = prev.map(_.version).getOrElse(0) + 1
+      if (global.isEmpty) invalidateSnapshotCache(table)
+      val prev =
+        if (toBranch.isEmpty) mainHeadSnapshot(spark, table)
+        else Some(branchHeadSnapshot(spark, table, toBranch))
+      val v = global.map(_.version).getOrElse(0) + 1
       val (manifests, deletes, renames, drops) = content(prev)
       val constraints = newConstraints(prev)
         .getOrElse(prev.map(_.constraints).getOrElse(Nil))
@@ -678,11 +720,14 @@ object Snapshots {
       // TIMESTAMP AS OF resolution ambiguous (two versions at one ts)
       // or non-monotone (a later version with an earlier ts) — the
       // Delta in-commit-timestamp discipline
+      // the floor is the GLOBAL latest ts, not the branch head's:
+      // branch and main commits interleave in one log, and TIMESTAMP
+      // AS OF resolution needs the whole chain monotone
       val commitTs = math.max(System.currentTimeMillis(),
-        prev.map(_.commitTs + 1).getOrElse(0L))
+        global.map(_.commitTs + 1).getOrElse(0L))
       beforePublish()
       if (tryPublish(spark, table, v, manifests, deletes, renames, drops,
-          commitTs, op, constraints, partitionSpec)) {
+          commitTs, op, constraints, partitionSpec, toBranch)) {
         writeLatestHint(spark, table, v)
         return v
       }
@@ -1425,11 +1470,22 @@ object Snapshots {
       def existsFs(v: Int): Boolean =
         new FileOps(spark.sparkContext.hadoopConfiguration)
           .exists(logPath(table, v))
-      best.filter(existsFs).orElse {
+      val resolved = best.filter(existsFs).orElse {
         if (best.isEmpty) None
         else (1 to latest).filter(existsFs)
           .flatMap(v => snapshot(spark, table, v))
           .filter(_.commitTs <= tsMillis).map(_.version).maxOption
+      }
+      // TIMESTAMP AS OF travels the MAIN timeline: a branch commit at
+      // the resolved instant is skipped down to the newest main commit
+      // at or before it (branch-staged data must never leak to a
+      // wall-clock reader). Commit ts is chain-monotone, so the walk
+      // preserves "latest main version with ts <= t".
+      resolved.flatMap { r =>
+        var v = r
+        while (v >= 1 && !snapshot(spark, table, v).exists(_.ref.isEmpty))
+          v -= 1
+        if (v >= 1) Some(v) else None
       }
     }
 
@@ -1440,7 +1496,9 @@ object Snapshots {
       .flatMap(v => readAt(spark, table, v))
 
   def readLatest(spark: SparkSession, table: String): Option[DataFrame] =
-    latestVersion(spark, table).flatMap(v => readAt(spark, table, v))
+    // MAIN head, not global latest: a commit staged on a branch must
+    // stay invisible to plain readers until fast-forwarded
+    mainHeadSnapshot(spark, table).flatMap(s => readAt(spark, table, s.version))
 
   // ------------------------------------------- log-level data skipping
 
@@ -2717,6 +2775,8 @@ object Snapshots {
     val ops = new FileOps(spark.sparkContext.hadoopConfiguration)
     require(snapshot(spark, table, v).isDefined,
       s"cannot tag missing version $v of $table")
+    require(!ops.exists(branchPath(table, name)),
+      s"'$name' already names a branch on $table")
     val p = tagPath(table, name)
     if (ops.exists(p)) throw new IllegalStateException(
       s"tag '$name' already exists on $table")
@@ -2757,14 +2817,166 @@ object Snapshots {
       name: String): Option[DataFrame] =
     tagVersion(spark, table, name).flatMap(v => readAt(spark, table, v))
 
+  // ---------------------------------------------------------- branches
+
+  private def branchPath(table: String, name: String) =
+    s"${logDir(table)}/branch-$name.json"
+
+  /** Create a NAMED IN-LOG BRANCH rooted at version `v` (the Iceberg
+    * writable-branch ref — the WAP surface on ONE table directory,
+    * where [[shallowClone]] is the separate-directory form): commits
+    * addressed to the branch ([[appendToBranch]]) claim global version
+    * numbers in the same log — so the one OCC allocator serializes
+    * every writer — but carry the branch name in their `ref` field,
+    * and main readers ([[readLatest]], SQL scans) skip them. The
+    * branch head is LOG-DERIVED (highest version carrying the ref,
+    * falling back to this base), so there is no mutable head pointer
+    * to lose a race on; `base` here is the only branch state, O(1)
+    * metadata. Publish with [[fastForwardMain]]; a branch is
+    * vacuum-pinned like a tag until dropped. */
+  def createBranch(spark: SparkSession, table: String, name: String,
+      v: Int): Unit = {
+    require(TagName.matches(name), s"invalid branch name '$name'")
+    require(!name.forall(_.isDigit),
+      s"branch name '$name' is all digits — shadowed by version " +
+        "numbers in VERSION AS OF; pick a name with a letter")
+    require(name != "main", "'main' is the implicit trunk, not a branch")
+    val ops = new FileOps(spark.sparkContext.hadoopConfiguration)
+    require(snapshot(spark, table, v).isDefined,
+      s"cannot branch from missing version $v of $table")
+    require(!ops.exists(tagPath(table, name)),
+      s"'$name' already names a tag on $table")
+    val p = branchPath(table, name)
+    if (ops.exists(p)) throw new IllegalStateException(
+      s"branch '$name' already exists on $table")
+    ops.writeString(p,
+      Json.render(Map("name" -> name, "base" -> v.toLong)))
+  }
+
+  /** Delete a branch ref. Its commits stay in the log (addressable by
+    * version number) but stop being vacuum-pinned — the next [[vacuum]]
+    * reclaims unpublished staged data. */
+  def dropBranch(spark: SparkSession, table: String, name: String): Unit = {
+    new FileOps(spark.sparkContext.hadoopConfiguration)
+      .delete(branchPath(table, name))
+    ()
+  }
+
+  private def branchBase(spark: SparkSession, table: String,
+      name: String): Option[Int] = {
+    val ops = new FileOps(spark.sparkContext.hadoopConfiguration)
+    val p = branchPath(table, name)
+    if (!ops.exists(p)) None
+    else Some(Json.parseObject(ops.readString(p))("base")
+      .toString.toDouble.toInt)
+  }
+
+  /** Current head version of a branch: the highest version carrying
+    * its ref, or the base when the branch has no commits yet. O(commits
+    * since base) cached log-object reads. */
+  def branchHead(spark: SparkSession, table: String,
+      name: String): Option[Int] = {
+    val base = branchBase(spark, table, name).getOrElse(return None)
+    var v = latestVersion(spark, table).getOrElse(return Some(base))
+    while (v > base) {
+      if (snapshot(spark, table, v).exists(_.ref == name)) return Some(v)
+      v -= 1
+    }
+    Some(base)
+  }
+
+  private def branchHeadSnapshot(spark: SparkSession, table: String,
+      name: String): Snapshot = {
+    val h = branchHead(spark, table, name).getOrElse(
+      throw new IllegalArgumentException(
+        s"no branch '$name' on $table — createBranch first"))
+    snapshot(spark, table, h).getOrElse(throw new IllegalStateException(
+      s"branch '$name' head version $h of $table is unreadable"))
+  }
+
+  /** All branches of a table as (name, head version), name-sorted. */
+  def listBranches(spark: SparkSession, table: String): Seq[(String, Int)] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new org.apache.hadoop.fs.Path(logDir(table))
+    val fs = dir.getFileSystem(conf)
+    if (!fs.exists(dir)) return Nil
+    fs.listStatus(dir).map(_.getPath.getName).toSeq
+      .filter(n => n.startsWith("branch-") && n.endsWith(".json"))
+      .map(n => n.stripPrefix("branch-").stripSuffix(".json"))
+      .flatMap(n => branchHead(spark, table, n).map(n -> _))
+      .sortBy(_._1)
+  }
+
+  /** Read a branch's current head. */
+  def readAtBranch(spark: SparkSession, table: String,
+      name: String): Option[DataFrame] =
+    branchHead(spark, table, name).flatMap(v => readAt(spark, table, v))
+
+  /** Read through any named ref — tag first (immutable pins win),
+    * then branch. The SQL `VERSION AS OF '<name>'` resolution. */
+  def readAtRef(spark: SparkSession, table: String,
+      name: String): Option[DataFrame] =
+    tagVersion(spark, table, name) match {
+      case Some(v) => readAt(spark, table, v)
+      case None => readAtBranch(spark, table, name)
+    }
+
+  /** Append addressed to a branch: staged like [[append]], committed
+    * against the BRANCH head, invisible to main until
+    * [[fastForwardMain]] — the write half of write-audit-publish on one
+    * table directory. */
+  def appendToBranch(spark: SparkSession, table: String, branch: String,
+      df: DataFrame, statsCols: Seq[String] = Nil): Int = {
+    branchHeadSnapshot(spark, table, branch) // fail fast on no such branch
+    enforceConstraints(spark, table, df, s"append to branch '$branch'")
+    val (staged, stagedStats, stagedBlooms, stagedSchemas) =
+      stage(spark, table, df, statsCols)
+    val mid = writeManifest(spark, table, staged, stagedStats, stagedBlooms,
+      stagedSchemas)
+    commitLoop(spark, table, "append", toBranch = branch) { prev =>
+      guardRecycledNames(df, prev)
+      (prev.map(_.manifests).getOrElse(Nil) :+ mid,
+        prev.map(_.deletes).getOrElse(Nil),
+        prev.map(_.renames).getOrElse(Nil),
+        prev.map(_.drops).getOrElse(Nil))
+    }
+  }
+
+  /** Publish a branch to main — the fast-forward half of WAP: one
+    * metadata-only main commit re-referencing the branch head's exact
+    * content (manifests by reference, no data movement). Refuses when
+    * main advanced past the branch base (that is a merge, not a
+    * fast-forward — cherry-pick or rebase the branch instead), so a
+    * concurrent main writer can never be silently overwritten. */
+  def fastForwardMain(spark: SparkSession, table: String,
+      branch: String): Int = {
+    val head = branchHeadSnapshot(spark, table, branch)
+    val base = branchBase(spark, table, branch).get
+    commitLoop(spark, table, "fast-forward",
+      newConstraints = _ => Some(head.constraints),
+      newPartitionSpec = _ => Some(head.partitionSpec)) { prev =>
+      val mainV = prev.map(_.version).getOrElse(0)
+      if (mainV > base) throw new IllegalStateException(
+        s"fastForwardMain: main advanced to $mainV past branch " +
+          s"'$branch' base $base — not a fast-forward; cherry-pick " +
+          "the branch commits instead")
+      (head.manifests, head.deletes, head.renames, head.drops)
+    }
+  }
+
   def vacuum(spark: SparkSession, table: String, keepFrom: Int): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val ops = new FileOps(conf)
     val latest = latestVersion(spark, table).getOrElse(return)
     // tagged versions are retention-pinned: their log objects survive
     // below the horizon and their files count as live until the tag is
-    // dropped (the Iceberg ref-retention contract)
-    val tagged = listTags(spark, table).map(_._2).toSet
+    // dropped (the Iceberg ref-retention contract). Branch HEADS and
+    // main's head pin the same way — a caller-supplied horizon above
+    // main's head (possible when the tip is all branch commits) must
+    // never trim the trunk.
+    val tagged = listTags(spark, table).map(_._2).toSet ++
+      listBranches(spark, table).map(_._2) ++
+      mainHeadSnapshot(spark, table).map(_.version)
     // trim log entries below keepFrom (and this JVM's cached resolutions
     // of them — a vacuumed version must resolve to None, not cache hits)
     (1 until keepFrom).filterNot(tagged).foreach(v =>

@@ -1378,7 +1378,7 @@ object LayoutQueries {
       catch { case e: Throwable =>
         def all(x: Throwable): String =
           if (x == null) "" else x.getMessage + all(x.getCause)
-        all(e).contains("neither an integer snapshot version nor a tag") }
+        all(e).contains("neither an integer snapshot version") }
     spark.sql(s"""
       SELECT o_orderpriority, COUNT(*) AS n_rows,
              CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
@@ -1387,6 +1387,87 @@ object LayoutQueries {
       GROUP BY 1""")
       .withColumn("latest_is_all", lit(latestIsAll))
       .withColumn("bad_ref_refused", lit(badRefRefused))
+  }
+
+  /** q238 — NAMED IN-LOG BRANCH WAP
+    * ([[graft.lake.Snapshots.createBranch]] /
+    * [[graft.lake.Snapshots.appendToBranch]] /
+    * [[graft.lake.Snapshots.fastForwardMain]] — the Iceberg writable
+    * branch ref): the write-audit-publish cycle q223 ran across TWO
+    * table directories (shallowClone) replayed on ONE — branch commits
+    * land in the same log under a named ref, claim global version
+    * numbers (one OCC allocator serializes every writer), and stay
+    * invisible to main readers until fast-forwarded. Markers pin each
+    * leg: `main_isolated` (API and SQL mains both blind to the staged
+    * commit), `branch_visible` (the branch read and SQL
+    * `VERSION AS OF 'wap'` both serve base+staged by NAME),
+    * `published_exact` (fast-forward re-references the branch head's
+    * content bit-exactly), `zero_copy` (publish staged no data file —
+    * manifests carry by reference), `history_ok` (pre-branch main
+    * still travels), `stale_refused` (a branch whose base main has
+    * advanced past cannot fast-forward — a concurrent main writer is
+    * never silently overwritten). At 100 TB this is how audited
+    * ingest ships: writers stage terabytes on the branch with zero
+    * copy, the audit reads the branch by name, and publish is one
+    * KB-sized metadata commit. */
+  def branchWap(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Snapshots
+    val root = graft.util.Scratch.dir("bwap", dir)
+    val table = s"$root/orders_br"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+    val orders = Tables(spark, dir, "orders")
+    val base = orders.filter(col("o_orderkey") % 2 === 0)
+    val staged = orders.filter(
+      col("o_orderkey") % 2 === 1 && col("o_orderkey") % 3 === 0)
+    val v1 = Snapshots.append(spark, table, base)
+    Snapshots.createBranch(spark, table, "wap", v1)
+    Snapshots.appendToBranch(spark, table, "wap", staged)
+    val cat = s"bwap_${Integer.toHexString(dir.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.lake.SnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val mainIsolated =
+      Snapshots.readLatest(spark, table).get.count() == base.count() &&
+      spark.sql(s"SELECT count(*) AS n FROM $cat.orders_br")
+        .head.getLong(0) == base.count()
+    val branchVisible =
+      Snapshots.readAtBranch(spark, table, "wap").get.count() ==
+        base.count() + staged.count() &&
+      spark.sql(s"SELECT count(*) AS n FROM $cat.orders_br " +
+        "VERSION AS OF 'wap'").head.getLong(0) ==
+        base.count() + staged.count()
+    // audit passed — publish: one metadata-only fast-forward commit
+    val dataDirs = Option(new java.io.File(s"$table/_snap").listFiles())
+      .getOrElse(Array.empty).count(_.getName.startsWith("c-"))
+    val vPub = Snapshots.fastForwardMain(spark, table, "wap")
+    val dataDirsAfter =
+      Option(new java.io.File(s"$table/_snap").listFiles())
+        .getOrElse(Array.empty).count(_.getName.startsWith("c-"))
+    val mainLive = Snapshots.readAt(spark, table, vPub).get
+    val branchLive = Snapshots.readAtBranch(spark, table, "wap").get
+    val publishedExact = mainLive.exceptAll(branchLive).isEmpty &&
+      branchLive.exceptAll(mainLive).isEmpty
+    val historyOk =
+      Snapshots.readAt(spark, table, v1).get.count() == base.count()
+    Snapshots.dropBranch(spark, table, "wap")
+    // a stale branch (main advanced past its base) refuses to publish
+    Snapshots.createBranch(spark, table, "stale", v1)
+    Snapshots.appendToBranch(spark, table, "stale",
+      orders.filter(col("o_orderkey") % 2 === 1))
+    val staleRefused =
+      try { Snapshots.fastForwardMain(spark, table, "stale"); false }
+      catch { case e: IllegalStateException =>
+        e.getMessage.contains("not a fast-forward") }
+    Snapshots.readLatest(spark, table).get
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(Num.cents(col("o_totalprice"))).as("sum_cents"))
+      .withColumn("main_isolated", lit(mainIsolated))
+      .withColumn("branch_visible", lit(branchVisible))
+      .withColumn("published_exact", lit(publishedExact))
+      .withColumn("zero_copy", lit(dataDirs == dataDirsAfter))
+      .withColumn("history_ok", lit(historyOk))
+      .withColumn("stale_refused", lit(staleRefused))
   }
 
   /** q234 — MANIFEST-LIST COMPACTION
@@ -2201,6 +2282,17 @@ object LayoutQueries {
              true AS materialize_lossless, true AS eq_cleared,
              true AS clone_after_ok
       FROM orders WHERE o_orderkey % 2 = 0
+      GROUP BY 1""")),
+    QueryDef("q238_branch_wap", branchWap, Some(s"""
+      SELECT o_orderpriority, COUNT(*) AS n_rows,
+             CAST(SUM(${Num.sqlCents("o_totalprice")}) AS BIGINT)
+               AS sum_cents,
+             true AS main_isolated, true AS branch_visible,
+             true AS published_exact, true AS zero_copy,
+             true AS history_ok, true AS stale_refused
+      FROM orders
+      WHERE o_orderkey % 2 = 0
+         OR (o_orderkey % 2 = 1 AND o_orderkey % 3 = 0)
       GROUP BY 1""")),
     QueryDef("q236_version_as_of_tag", versionAsOfTag, Some(s"""
       SELECT o_orderpriority, COUNT(*) AS n_rows,

@@ -1569,6 +1569,61 @@ class SnapshotsSpec extends SparkTestBase {
     assert(Snapshots.readLatest(spark, t).get.count() == want)
   }
 
+  test("named in-log branches: WAP on one table directory") {
+    val t = fresh("branch")
+    val a = orders.filter(col("o_orderkey") % 3 === 0)
+    val b = orders.filter(col("o_orderkey") % 3 === 1)
+    val c = orders.filter(col("o_orderkey") % 3 === 2)
+    val v1 = Snapshots.append(spark, t, a)
+    // write: staged on the branch, invisible to main
+    Snapshots.createBranch(spark, t, "audit", v1)
+    val vb = Snapshots.appendToBranch(spark, t, "audit", b)
+    assert(vb > v1)
+    assert(Snapshots.readLatest(spark, t).get.count() == a.count(),
+      "main must not see branch-staged rows")
+    assert(Snapshots.mainHeadVersion(spark, t).contains(v1))
+    assert(Snapshots.latestVersion(spark, t).contains(vb))
+    assert(Snapshots.branchHead(spark, t, "audit").contains(vb))
+    // audit: the branch read serves base + staged
+    assert(Snapshots.readAtBranch(spark, t, "audit").get.count() ==
+      a.count() + b.count())
+    // TIMESTAMP AS OF now resolves main's head, never the branch tip
+    assert(Snapshots.versionAtTimestamp(spark, t,
+      System.currentTimeMillis() + 60000).contains(v1))
+    // publish: fast-forward re-references the branch head's content
+    val vm = Snapshots.fastForwardMain(spark, t, "audit")
+    assert(Snapshots.readLatest(spark, t).get.count() ==
+      a.count() + b.count())
+    assert(Snapshots.mainHeadVersion(spark, t).contains(vm))
+    Snapshots.dropBranch(spark, t, "audit")
+    // a branch whose base main has advanced past cannot fast-forward
+    Snapshots.createBranch(spark, t, "stale", v1)
+    Snapshots.appendToBranch(spark, t, "stale", c)
+    intercept[IllegalStateException](
+      Snapshots.fastForwardMain(spark, t, "stale"))
+    assert(Snapshots.readLatest(spark, t).get.count() ==
+      a.count() + b.count(), "refused publish must not move main")
+    // two branches advance independently; listBranches reports heads
+    Snapshots.createBranch(spark, t, "exp2", vm)
+    val vs2 = Snapshots.appendToBranch(spark, t, "exp2", c)
+    assert(Snapshots.listBranches(spark, t).toMap ==
+      Map("stale" -> (vs2 - 1), "exp2" -> vs2))
+    // ref-name hygiene: collisions and all-digit names are refused
+    intercept[IllegalArgumentException](
+      Snapshots.createBranch(spark, t, "99", vm))
+    Snapshots.createTag(spark, t, "pin", vm)
+    intercept[IllegalArgumentException](
+      Snapshots.createBranch(spark, t, "pin", vm))
+    intercept[IllegalArgumentException](
+      Snapshots.createTag(spark, t, "exp2", vm))
+    // vacuum pins branch heads like tags; dropping unpins
+    Snapshots.vacuum(spark, t, keepFrom = vs2 + 1)
+    assert(Snapshots.readAtBranch(spark, t, "exp2").get.count() ==
+      a.count() + b.count() + c.count())
+    assert(Snapshots.readLatest(spark, t).get.count() ==
+      a.count() + b.count(), "vacuum above main head must pin the trunk")
+  }
+
   test("all-digit tag names are refused (version-literal shadowing)") {
     val t = fresh("tagdig")
     Snapshots.append(spark, t, orders.limit(5))
