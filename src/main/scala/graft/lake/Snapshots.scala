@@ -1814,6 +1814,145 @@ object Snapshots {
     }
   }
 
+  /** One WHEN clause of [[mergeWhen]]. Conditions and right-hand sides
+    * are Columns over the JOINED row: TARGET columns by their own
+    * names, SOURCE columns as `_src_<name>`. An empty `set`/`values`
+    * map means the star form (`UPDATE SET *` / `INSERT *` — identity
+    * from the same-named source columns). */
+  sealed trait MergeClause { def cond: Option[org.apache.spark.sql.Column] }
+  final case class WhenMatchedUpdate(
+      cond: Option[org.apache.spark.sql.Column] = None,
+      set: Map[String, org.apache.spark.sql.Column] = Map.empty)
+    extends MergeClause
+  final case class WhenMatchedDelete(
+      cond: Option[org.apache.spark.sql.Column] = None) extends MergeClause
+  final case class WhenNotMatchedInsert(
+      cond: Option[org.apache.spark.sql.Column] = None,
+      values: Map[String, org.apache.spark.sql.Column] = Map.empty)
+    extends MergeClause
+
+  /** MULTI-CLAUSE MERGE — the full Delta/Iceberg `MERGE INTO`
+    * semantics over the same merge-on-read commit as [[merge]]:
+    * `WHEN MATCHED [AND cond] THEN UPDATE SET …/DELETE` (first true
+    * clause wins, SQL order), `WHEN NOT MATCHED [AND cond] THEN
+    * INSERT …`. One commit publishes: positional tombstones for every
+    * matched row a clause claimed (UPDATE tombstones + restages;
+    * DELETE tombstones only) plus the staged updated/inserted rows.
+    * Matched routing is ONE inner join of the era-aware live view with
+    * the broadcast source and a codegen'd `when`-chain — never a pass
+    * per clause; the unmatched side is one anti-join of the (small)
+    * source. A target row matched by MULTIPLE source rows is refused
+    * (the SQL cardinality rule) — latest-wins callers want [[merge]].
+    * Cost: one scan to locate matches + O(affected rows) write; at
+    * 100 TB the source is a CDC batch, broadcastable, and the live
+    * side never shuffles. */
+  def mergeWhen(spark: SparkSession, table: String, source: DataFrame,
+      keyCols: Seq[String], clauses: Seq[MergeClause],
+      statsCols: Seq[String] = Nil): Int = {
+    require(keyCols.nonEmpty, "mergeWhen needs key columns")
+    require(clauses.nonEmpty, "mergeWhen needs at least one WHEN clause")
+    val matched = clauses.filter {
+      case _: WhenNotMatchedInsert => false; case _ => true }
+    val insertClauses = clauses.collect { case c: WhenNotMatchedInsert => c }
+    val srcCols = source.columns.toSeq
+    val src = source.select(srcCols.map(c => col(c).as(s"_src_$c")): _*)
+    // null condition = not applied (SQL three-valued WHEN)
+    def condOf(c: MergeClause) =
+      c.cond.map(x => coalesce(x, lit(false))).getOrElse(lit(true))
+    // first-true clause routing: a when-chain IS first-match-wins
+    def routeOf(cs: Seq[MergeClause]) =
+      cs.zipWithIndex.drop(1).foldLeft(
+        when(condOf(cs.head), lit(0))) { case (acc, (c, i)) =>
+        acc.when(condOf(c), lit(i)) }.otherwise(lit(-1))
+    commitLoop(spark, table, "merge") { prevOpt =>
+      val prev = prevOpt.getOrElse(throw new IllegalArgumentException(
+        s"cannot MERGE into never-committed table $table"))
+      val liveOpt =
+        if (prev.files.isEmpty) None
+        else Some(subtractDeletes(spark, table,
+          withMetaEras(spark, table, prev), prev.deletes))
+      val targetCols = liveOpt.map(_.columns.toSeq
+        .filterNot(Set("_snap_file", "_snap_pos", RowIdCol))).getOrElse(Nil)
+      val liveTypes = liveOpt.map(_.schema.fields
+        .map(f => f.name -> f.dataType).toMap).getOrElse(Map.empty)
+      // ---------------- matched side: tombstones + update restages
+      var newDeleteFiles: Seq[String] = Nil
+      var restaged: Option[DataFrame] = None
+      liveOpt.filter(_ => matched.nonEmpty).foreach { live =>
+        val joinCond = keyCols
+          .map(k => live(k) === src(s"_src_$k")).reduce(_ && _)
+        val pairs = live.join(broadcast(src), joinCond, "inner")
+        val routed = pairs.withColumn("_clause", routeOf(matched))
+        val affected = routed.filter(col("_clause") >= 0)
+        val ambiguous = affected
+          .groupBy(col("_snap_file"), col("_snap_pos")).count()
+          .filter(col("count") > 1).count()
+        if (ambiguous > 0) throw new IllegalArgumentException(
+          s"MERGE is ambiguous: $ambiguous target row(s) matched by " +
+            "multiple source rows — dedup the source or use merge() " +
+            "(latest-wins)")
+        newDeleteFiles = writeDeletes(spark, table, affected
+          .select(col("_snap_file").as("file"), col("_snap_pos").as("pos")))
+        val updates = matched.zipWithIndex.collect {
+          case (u: WhenMatchedUpdate, i) =>
+            val sets =
+              if (u.set.nonEmpty) u.set
+              else targetCols.map(c => c -> col(s"_src_$c")).toMap
+            val unknown = sets.keySet -- targetCols.toSet
+            if (unknown.nonEmpty) throw new IllegalArgumentException(
+              s"MERGE UPDATE sets non-existent column(s): " +
+                unknown.mkString(", "))
+            affected.filter(col("_clause") === i)
+              .select(targetCols.map(c => sets.get(c)
+                .map(_.cast(liveTypes(c)).as(c))
+                .getOrElse(col(c).as(c))): _*)
+        }
+        restaged = updates.reduceOption(_ unionAll _)
+      }
+      // ---------------- unmatched side: routed inserts
+      val inserted: Option[DataFrame] =
+        if (insertClauses.isEmpty) None
+        else {
+          val unmatched = liveOpt match {
+            case None => src
+            case Some(live) => src.join(
+              live.select(keyCols.map(k => col(k).as(s"_src_$k")): _*)
+                .distinct(),
+              keyCols.map(k => s"_src_$k"), "left_anti")
+          }
+          val routed = unmatched.withColumn("_clause", routeOf(insertClauses))
+          val tCols =
+            if (targetCols.nonEmpty) targetCols
+            else if (insertClauses.head.values.nonEmpty)
+              insertClauses.head.values.keys.toSeq.sorted
+            else srcCols
+          Some(insertClauses.zipWithIndex.map { case (c, i) =>
+            val vals =
+              if (c.values.nonEmpty) c.values
+              else tCols.map(c2 => c2 -> col(s"_src_$c2")).toMap
+            val missing = tCols.filterNot(vals.keySet)
+            if (missing.nonEmpty) throw new IllegalArgumentException(
+              s"MERGE INSERT must provide every target column; " +
+                s"missing ${missing.mkString(", ")}")
+            routed.filter(col("_clause") === i)
+              .select(tCols.map(c2 => liveTypes.get(c2)
+                .map(t => vals(c2).cast(t).as(c2))
+                .getOrElse(vals(c2).as(c2))): _*)
+          }.reduce(_ unionAll _))
+        }
+      val staged = (restaged.toSeq ++ inserted.toSeq)
+        .reduceOption(_.unionByName(_))
+      val newManifests = staged.map { df =>
+        enforceConstraints(spark, table, df, "merge")
+        guardRecycledNames(df, prevOpt)
+        val (files, fStats, _, fSchemas) = stage(spark, table, df, statsCols)
+        writeManifest(spark, table, files, fStats, dirSchemas = fSchemas)
+      }.toSeq
+      (prev.manifests ++ newManifests, prev.deletes ++ newDeleteFiles,
+        prev.renames, prev.drops)
+    }
+  }
+
   /** Predicate DELETE (`DELETE FROM t WHERE …`) as a merge-on-read
     * commit — the third leg of the DML triad beside [[append]] and
     * [[merge]]: every LIVE row matching `pred` is tombstoned into a new

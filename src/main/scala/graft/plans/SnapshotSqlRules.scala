@@ -243,17 +243,18 @@ case class SnapshotDmlRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     case other => other.resolved
   }
 
-  /** MERGE INTO → [[SnapshotMergeCommand]]. Supported shape — the
-    * latest-wins upsert the log's merge-on-read commit implements:
-    * equi-join condition on same-named columns, `WHEN MATCHED THEN
-    * UPDATE SET *` and/or `WHEN NOT MATCHED THEN INSERT *` (explicit
-    * per-column forms must be the full identity mapping), no
-    * NOT-MATCHED-BY-SOURCE clauses. Anything else is refused with the
-    * precise reason rather than silently approximated. */
+  /** MERGE INTO conversion. The star shape (`WHEN MATCHED THEN UPDATE
+    * SET *` / `WHEN NOT MATCHED THEN INSERT *`, both unconditional)
+    * takes the cheap latest-wins path ([[SnapshotMergeCommand]] →
+    * [[Snapshots.merge]], which never inner-joins). Everything else —
+    * conditional clauses, multiple clauses, `WHEN MATCHED … DELETE`,
+    * non-identity assignments — routes to the full multi-clause
+    * semantics ([[SnapshotMergeWhenCommand]] →
+    * [[Snapshots.mergeWhen]]). Only NOT-MATCHED-BY-SOURCE clauses and
+    * non-equi merge conditions are refused, with the precise reason. */
   private def convertMerge(m: MergeIntoTable, path: String): LogicalPlan = {
     def unsupported(why: String) = throw new UnsupportedOperationException(
-      s"MERGE INTO on a snapshot table supports the latest-wins upsert " +
-        s"shape only: $why")
+      s"MERGE INTO on a snapshot table: $why")
     val targetOut = m.targetTable.output
     val sourceOut = m.sourceTable.output
     val targetIds = targetOut.map(_.exprId).toSet
@@ -273,46 +274,83 @@ case class SnapshotDmlRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         s"merge condition must be equalities of same-named target/source " +
           s"columns, got ${other.sql}")
     }
-    // every action must be (or expand to) the identity column mapping
-    def identityOnly(assigns: Seq[Assignment], what: String): Unit =
-      assigns.foreach { a =>
-        (a.key, a.value) match {
-          case (k: AttributeReference, v: AttributeReference)
-              if k.name == v.name && targetIds(k.exprId) &&
-                sourceIds(v.exprId) => ()
-          case _ => unsupported(
-            s"$what must be `SET * `-equivalent (target.c = source.c), " +
-              s"got ${a.sql}")
-        }
-      }
     m.notMatchedBySourceActions.foreach(_ =>
       unsupported("WHEN NOT MATCHED BY SOURCE is not supported"))
-    val doUpdate = m.matchedActions match {
-      case Nil => false
-      case Seq(UpdateStarAction(None)) => true
-      case Seq(UpdateAction(None, assigns, _)) =>
-        identityOnly(assigns, "WHEN MATCHED UPDATE"); true
-      case _ => unsupported(
-        "matched clause must be a single unconditional UPDATE SET *")
+
+    // ---- fast path: unconditional star upsert → latest-wins merge
+    def identityAssigns(assigns: Seq[Assignment]): Boolean =
+      assigns.forall { a =>
+        (a.key, a.value) match {
+          case (k: AttributeReference, v: AttributeReference) =>
+            k.name == v.name && targetIds(k.exprId) && sourceIds(v.exprId)
+          case _ => false
+        }
+      }
+    val starUpdate = m.matchedActions match {
+      case Nil => Some(false)
+      case Seq(UpdateStarAction(None)) => Some(true)
+      case Seq(UpdateAction(None, assigns, _))
+          if identityAssigns(assigns) => Some(true)
+      case _ => None
     }
-    val doInsert = m.notMatchedActions match {
-      case Nil => false
-      case Seq(InsertStarAction(None)) => true
-      case Seq(InsertAction(None, assigns)) =>
-        identityOnly(assigns, "WHEN NOT MATCHED INSERT"); true
-      case _ => unsupported(
-        "not-matched clause must be a single unconditional INSERT *")
+    val starInsert = m.notMatchedActions match {
+      case Nil => Some(false)
+      case Seq(InsertStarAction(None)) => Some(true)
+      case Seq(InsertAction(None, assigns))
+          if identityAssigns(assigns) => Some(true)
+      case _ => None
     }
-    if (!doUpdate && !doInsert)
-      unsupported("at least one of UPDATE SET * / INSERT * is required")
-    // the source must cover the target's columns so the staged delta has
-    // the table's schema (extra source columns are projected away)
-    val missing = targetOut.map(_.name).filterNot(
-      sourceOut.map(_.name).toSet)
-    if (missing.nonEmpty) unsupported(
-      s"source lacks target column(s) ${missing.mkString(", ")}")
-    SnapshotMergeCommand(path, m.sourceTable, targetOut.map(_.name),
-      keys.distinct, updateOnly = !doInsert, insertOnly = !doUpdate)
+    val sourceCoversTarget = targetOut.map(_.name)
+      .forall(sourceOut.map(_.name).toSet)
+    (starUpdate, starInsert) match {
+      case (Some(u), Some(i)) if (u || i) && sourceCoversTarget =>
+        return SnapshotMergeCommand(path, m.sourceTable,
+          targetOut.map(_.name), keys.distinct,
+          updateOnly = !i, insertOnly = !u)
+      case _ => ()
+    }
+
+    // ---- general path: conditional / multi-clause / DELETE / exprs.
+    // Resolved references re-spoken by name for the command's runtime
+    // plan — SOURCE columns under the `_src_` prefix [[Snapshots
+    // .mergeWhen]] serves the joined row's source side as.
+    def srcAware(e: Expression) = GraftSqlBridge.column(e.transform {
+      case a: AttributeReference if sourceIds(a.exprId) =>
+        UnresolvedAttribute(Seq("_src_" + a.name))
+      case a: AttributeReference => UnresolvedAttribute(Seq(a.name))
+    })
+    def assignMap(assigns: Seq[Assignment],
+        what: String): Map[String, org.apache.spark.sql.Column] =
+      assigns.map { a =>
+        val name = a.key match {
+          case k: AttributeReference => k.name
+          case other => unsupported(
+            s"$what assigns whole columns; got ${other.sql}")
+        }
+        name -> srcAware(a.value)
+      }.toMap
+    val matched: Seq[Snapshots.MergeClause] = m.matchedActions.map {
+      case UpdateStarAction(cond) =>
+        Snapshots.WhenMatchedUpdate(cond.map(srcAware))
+      case UpdateAction(cond, assigns, _) =>
+        Snapshots.WhenMatchedUpdate(cond.map(srcAware),
+          assignMap(assigns, "WHEN MATCHED UPDATE"))
+      case DeleteAction(cond) =>
+        Snapshots.WhenMatchedDelete(cond.map(srcAware))
+      case other => unsupported(s"unsupported matched action $other")
+    }
+    val notMatched: Seq[Snapshots.MergeClause] = m.notMatchedActions.map {
+      case InsertStarAction(cond) =>
+        Snapshots.WhenNotMatchedInsert(cond.map(srcAware))
+      case InsertAction(cond, assigns) =>
+        Snapshots.WhenNotMatchedInsert(cond.map(srcAware),
+          assignMap(assigns, "WHEN NOT MATCHED INSERT"))
+      case other => unsupported(s"unsupported not-matched action $other")
+    }
+    if (matched.isEmpty && notMatched.isEmpty)
+      unsupported("at least one WHEN clause is required")
+    SnapshotMergeWhenCommand(path, m.sourceTable, keys.distinct,
+      matched ++ notMatched)
   }
 }
 
@@ -672,6 +710,20 @@ case class SnapshotMergeCommand(path: String, source: LogicalPlan,
         src.join(live, keyCols, if (insertOnly) "left_anti" else "left_semi")
       } else src
     Snapshots.merge(session, path, changes, keyCols)
+    Seq.empty
+  }
+}
+
+/** General `MERGE INTO` (conditional / multi-clause / DELETE) →
+  * [[Snapshots.mergeWhen]]: clause conditions and assignments were
+  * re-spoken by name at conversion (source columns under `_src_`), so
+  * they resolve against the joined row mergeWhen builds. */
+case class SnapshotMergeWhenCommand(path: String, source: LogicalPlan,
+    keyCols: Seq[String], clauses: Seq[Snapshots.MergeClause])
+  extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    Snapshots.mergeWhen(session, path,
+      GraftSqlBridge.ofRows(session, source), keyCols, clauses)
     Seq.empty
   }
 }

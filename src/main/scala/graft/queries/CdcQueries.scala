@@ -62,6 +62,54 @@ object CdcQueries {
     UNION ALL SELECT * FROM up
     UNION ALL SELECT * FROM ins"""
 
+  /** q239 — CONDITIONAL MULTI-CLAUSE `MERGE INTO` (the Delta/Iceberg
+    * CDC-merge statement, [[graft.lake.Snapshots.mergeWhen]] via
+    * [[graft.plans.SnapshotMergeWhenCommand]]): q100's change batch —
+    * updates, deletes AND inserts — applied to a snapshot-log table in
+    * ONE SQL statement with per-clause routing (`WHEN MATCHED AND
+    * op='D' THEN DELETE / AND op='U' THEN UPDATE SET * / WHEN NOT
+    * MATCHED AND op='I' THEN INSERT *`), the exact statement a Delta
+    * user ports. One merge-on-read commit: positional tombstones for
+    * every claimed row + the staged updated/inserted rows; the matched
+    * side is one inner join against the broadcast batch (first-true
+    * clause routing is a codegen'd when-chain, not a pass per clause),
+    * so at 100 TB the cost is one scan + O(batch). The result is the
+    * full post-merge table, hash-compared against the same declarative
+    * oracle as q100 — the cross-engine witness that one statement
+    * carries the whole CDC contract. */
+  def mergeWhenCdc(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Snapshots
+    val root = graft.util.Scratch.dir("mrgwhen", dir)
+    val table = s"$root/customer_mw"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+    val cust = Tables(spark, dir, "customer").select(custCols.map(col): _*)
+    Snapshots.append(spark, table, cust)
+    val updates = cust.filter(col("c_custkey") % 10 < 2)
+      .withColumn("c_acctbal", col("c_acctbal") + 100.0)
+      .withColumn("op", lit("U"))
+    val deletes = cust.filter(col("c_custkey") % 10 === 2)
+      .withColumn("op", lit("D"))
+    val inserts = cust.filter(col("c_custkey") % 10 === 3)
+      .withColumn("c_name",
+        concat(lit("NEW-"), col("c_custkey").cast(StringType)))
+      .withColumn("c_custkey", col("c_custkey") + 1000000L)
+      .withColumn("c_acctbal", lit(0.0))
+      .withColumn("op", lit("I"))
+    updates.unionByName(deletes).unionByName(inserts)
+      .createOrReplaceTempView("mw_changes")
+    val cat = s"mw_${Integer.toHexString(dir.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.lake.SnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"""MERGE INTO $cat.customer_mw AS tgt
+      USING mw_changes AS src
+      ON tgt.c_custkey = src.c_custkey
+      WHEN MATCHED AND src.op = 'D' THEN DELETE
+      WHEN MATCHED AND src.op = 'U' THEN UPDATE SET *
+      WHEN NOT MATCHED AND src.op = 'I' THEN INSERT *""")
+    spark.sql(s"SELECT ${custCols.mkString(", ")} FROM $cat.customer_mw")
+  }
+
   /** q101 — SCD2 dimension history: each customer's orders, read as a
     * stream of versions of their "latest order" attribute, become
     * effective-dated records via the window-lead construction — the
@@ -343,6 +391,7 @@ object CdcQueries {
       Some(cdfMvOracle)),
     QueryDef("q139_gdpr_delete", gdprDelete, Some(gdprOracle)),
     QueryDef("q100_cdc_merge", cdcMergeCustomers, Some(cdcMergeOracle)),
+    QueryDef("q239_merge_when", mergeWhenCdc, Some(cdcMergeOracle)),
     QueryDef("q101_scd2_history", scdOrderHistory, Some(scdOracle)),
     QueryDef("q134_scd2_snapshot", scdSnapshot, Some(scdSnapshotOracle)),
     QueryDef("q104_incremental_agg", incrementalMonthlyRevenue,

@@ -376,18 +376,49 @@ class SnapshotCatalogSpec extends SparkTestBase {
     org.apache.commons.io.FileUtils.deleteQuietly(new File(root))
   }
 
-  test("unsupported MERGE shapes are refused with the reason, not approximated") {
-    val (cat, root) = freshCatalog("badmerge")
+  test("conditional multi-clause MERGE: UPDATE exprs, DELETE, routed INSERT") {
+    val (cat, root) = freshCatalog("condmerge")
     val t = s"$root/t"
-    Snapshots.append(spark, t, orders.limit(50))
-    orders.limit(10).createOrReplaceTempView("badmerge_src")
+    import spark.implicits._
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0),
+      (4L, "d", 40.0)).toDF("k", "g", "p")
+    Snapshots.append(spark, t, base)
+    Seq((1L, "upd", 100.0), (2L, "del", 0.0), (4L, "noop", 5.0),
+      (5L, "new", 50.0), (6L, "skip", -1.0)).toDF("k", "g", "p")
+      .createOrReplaceTempView("cm_src")
+    spark.sql(s"""MERGE INTO $cat.t AS tgt USING cm_src AS src
+      ON tgt.k = src.k
+      WHEN MATCHED AND src.g = 'del' THEN DELETE
+      WHEN MATCHED AND src.g = 'upd' THEN
+        UPDATE SET p = src.p + tgt.p, g = src.g
+      WHEN NOT MATCHED AND src.p > 0 THEN
+        INSERT (k, g, p) VALUES (src.k, src.g, src.p * 2)""")
+    val got = spark.sql(s"SELECT k, g, p FROM $cat.t ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .toSeq
+    assert(got == Seq(
+      (1L, "upd", 110.0), // conditional UPDATE, expr sees both sides
+      // 2 deleted by the DELETE clause
+      (3L, "c", 30.0),    // unmatched target row untouched
+      (4L, "d", 40.0),    // matched, but no clause condition true
+      (5L, "new", 100.0)  // conditional INSERT with expression
+      // 6 filtered by the INSERT condition
+    ), got.toString)
+    // the SQL cardinality rule: a target row hit twice is refused
+    Seq((1L, "x", 1.0), (1L, "y", 2.0)).toDF("k", "g", "p")
+      .createOrReplaceTempView("cm_dup")
     val e = intercept[Exception](spark.sql(
-      s"""MERGE INTO $cat.t AS tgt USING badmerge_src AS src
-        ON tgt.o_orderkey = src.o_orderkey
-        WHEN MATCHED THEN UPDATE SET o_totalprice = src.o_totalprice * 2"""))
+      s"""MERGE INTO $cat.t AS tgt USING cm_dup AS src ON tgt.k = src.k
+        WHEN MATCHED AND src.p > 0 THEN UPDATE SET p = src.p"""))
     def all(x: Throwable): String =
       if (x == null) "" else x.getMessage + all(x.getCause)
-    assert(all(e).contains("latest-wins upsert"), all(e))
+    assert(all(e).contains("ambiguous"), all(e))
+    // NOT MATCHED BY SOURCE stays refused with the reason
+    val e2 = intercept[Exception](spark.sql(
+      s"""MERGE INTO $cat.t AS tgt USING cm_src AS src ON tgt.k = src.k
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED BY SOURCE THEN DELETE"""))
+    assert(all(e2).contains("NOT MATCHED BY SOURCE"), all(e2))
     org.apache.commons.io.FileUtils.deleteQuietly(new File(root))
   }
 
