@@ -83,7 +83,7 @@ final class SnapshotCatalog extends TableCatalog {
     * data. */
   private def metaTable(ident: Identifier, v: Option[Int]): Option[Table] = {
     if (ident.namespace().isEmpty) return None
-    if (!Seq("history", "files").contains(ident.name())) return None
+    if (!Seq("history", "files", "refs").contains(ident.name())) return None
     if (Snapshots.latestVersion(spark, tablePath(ident)).isDefined)
       return None // a real table named history/files shadows the metadata
     val parent = Identifier.of(ident.namespace().dropRight(1),
@@ -91,8 +91,11 @@ final class SnapshotCatalog extends TableCatalog {
     val t = tablePath(parent)
     Snapshots.latestVersion(spark, t).map { latest =>
       val ver = v.getOrElse(latest)
-      val schema = if (ident.name() == "history") Snapshots.HistorySchema
-        else Snapshots.FilesSchema
+      val schema = ident.name() match {
+        case "history" => Snapshots.HistorySchema
+        case "refs" => Snapshots.RefsSchema
+        case _ => Snapshots.FilesSchema
+      }
       SnapshotMetaTable(s"${parent.name()}.${ident.name()}@v$ver",
         ident.name(), t, ver, schema)
     }
@@ -122,6 +125,8 @@ final class SnapshotCatalog extends TableCatalog {
     val v = version.toIntOption
       .orElse(Snapshots.tagVersion(spark, tablePath(ident), version))
       .orElse(Snapshots.branchHead(spark, tablePath(ident), version))
+      .orElse(if (version == "main") // the implicit trunk is a ref too
+        Snapshots.mainHeadVersion(spark, tablePath(ident)) else None)
       .getOrElse(throw new IllegalArgumentException(
         s"VERSION AS OF '$version' on ${ident.name()}: neither an " +
           "integer snapshot version, a tag, nor a branch of this table"))

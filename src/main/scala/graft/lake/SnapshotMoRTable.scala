@@ -35,9 +35,10 @@ final case class SnapshotMoRTable(ident: String, path: String,
   * tables (the Iceberg metadata-table surface): like [[SnapshotMoRTable]]
   * it advertises no capability and is lowered during analysis by
   * `graft.plans.SnapshotRelationRewrite` — into the O(log) driver-built
-  * [[Snapshots.history]] / [[Snapshots.filesMetadata]] relation, never a
-  * data scan. `kind` ∈ {"history", "files"}; `snapVersion` pins the
-  * served version for `files` (history is whole-log by nature). */
+  * [[Snapshots.history]] / [[Snapshots.filesMetadata]] /
+  * [[Snapshots.refsMetadata]] relation, never a data scan. `kind` ∈
+  * {"history", "files", "refs"}; `snapVersion` pins the served version
+  * for `files` (history and refs are whole-log by nature). */
 final case class SnapshotMetaTable(ident: String, kind: String,
     path: String, snapVersion: Int, tableSchema: StructType) extends Table {
   override def name(): String = ident

@@ -1,7 +1,7 @@
 package graft.lake
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, coalesce, col, concat, lit, max, min, regexp_replace, when}
+import org.apache.spark.sql.functions.{arrays_overlap, broadcast, coalesce, col, collect_set, concat, lit, max, min, regexp_replace, when}
 import org.apache.spark.sql.types._
 
 /** Versioned snapshot log — TIME TRAVEL, incremental reads, merge-on-read
@@ -327,6 +327,30 @@ object Snapshots {
     StructField("snap_version", IntegerType, nullable = false),
     StructField("rows", LongType, nullable = false),
     StructField("n_stats_cols", IntegerType, nullable = false)))
+
+  /** Named refs of the table — the `<table>.refs` metadata table (the
+    * Iceberg refs-table shape): every tag and branch with its pinned /
+    * head version, plus the implicit `main` trunk, so SQL users can
+    * DISCOVER travel targets (`VERSION AS OF '<name>'`) instead of
+    * being told them out of band. O(refs) driver-side log metadata. */
+  def refsMetadata(spark: SparkSession, table: String): DataFrame = {
+    val rows =
+      mainHeadSnapshot(spark, table).map(s =>
+        org.apache.spark.sql.Row("main", "branch", s.version)).toSeq ++
+      listBranches(spark, table).map { case (n, v) =>
+        org.apache.spark.sql.Row(n, "branch", v) } ++
+      listTags(spark, table).map { case (n, v) =>
+        org.apache.spark.sql.Row(n, "tag", v) }
+    spark.createDataFrame(
+      new java.util.ArrayList(scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows).asJava),
+      RefsSchema)
+  }
+
+  val RefsSchema: StructType = StructType(Seq(
+    StructField("ref_name", StringType, nullable = false),
+    StructField("ref_type", StringType, nullable = false),
+    StructField("version", IntegerType, nullable = false)))
 
   /** Exact row count of version `v` from LOG METADATA alone — O(log
     * objects), no table scan: the sum of the version's per-file manifest
@@ -1221,7 +1245,55 @@ object Snapshots {
             data("_snap_pos") === dels("pos"),
           "left_anti")
       }
-    eq.foldLeft(afterPos)((d, e) => applyEqDelete(spark, table, d, e))
+    // CONSOLIDATED eq-delete apply: all outstanding equality deletes
+    // sharing a key schema fold into ONE broadcast join pair (keys,
+    // scoped files) instead of a pair per delete — a streaming CDC
+    // writer leaves dozens outstanding, and k join pairs would bloat
+    // the plan k-fold. Scope tagging keeps per-delete sequence
+    // semantics: a row dies iff SOME delete both covers its file and
+    // matches its key, tested via set overlap after grouping (so the
+    // joins stay 1:1 — no fan-out, no repair distinct).
+    eq.map(e => (e, eqDeleteParts(spark, table, e)))
+      .filter { case (_, (k, cov)) => cov.nonEmpty && k.columns.nonEmpty }
+      .groupBy(_._2._1.columns.toSeq.sorted)
+      .values.toSeq
+      .foldLeft(afterPos) { (d, grp) =>
+        if (grp.size == 1) applyEqDelete(spark, table, d, grp.head._1)
+        else applyEqDeleteGroup(spark, d, grp.map(_._2))
+      }
+  }
+
+  /** Apply k SAME-KEY-SCHEMA equality deletes in one broadcast join
+    * pair: keys grouped to (key → scope-id set), covered files grouped
+    * to (file → scope-id set), and a row is suppressed iff the two
+    * sets overlap — each delete still only kills keys inside its own
+    * recorded scope (the sequence rule), but the plan carries TWO
+    * joins however many deletes are outstanding. */
+  private def applyEqDeleteGroup(spark: SparkSession, data: DataFrame,
+      parts: Seq[(DataFrame, Seq[String])]): DataFrame = {
+    import spark.implicits._
+    val keyCols = parts.head._1.columns.toSeq.sorted
+    val keysAll = parts.zipWithIndex.map { case ((k, _), i) =>
+      k.select(keyCols.map(col): _*).distinct()
+        .withColumn("_eq_scope", lit(i)) }
+      .reduce(_ unionAll _)
+      .groupBy(keyCols.map(col): _*)
+      .agg(collect_set(col("_eq_scope")).as("_eq_kscopes"))
+    val covAll = parts.zipWithIndex
+      .flatMap { case ((_, cov), i) => cov.map(f => (f, i)) }
+      .toDF("_eq_cov_file", "_eq_scope")
+      .groupBy(col("_eq_cov_file"))
+      .agg(collect_set(col("_eq_scope")).as("_eq_fscopes"))
+    val keyCond = keyCols.map(c => data(c) <=> keysAll(c)).reduce(_ && _)
+    val out = data
+      .join(broadcast(covAll),
+        data("_snap_file") === covAll("_eq_cov_file"), "left")
+      .join(broadcast(keysAll), keyCond, "left")
+      .filter(!coalesce(
+        arrays_overlap(col("_eq_kscopes"), col("_eq_fscopes")),
+        lit(false)))
+      .drop("_eq_cov_file", "_eq_kscopes", "_eq_fscopes")
+    keyCols.foldLeft(out)((d, c) => d.drop(keysAll(c)))
   }
 
   /** Apply ONE equality-delete entry: suppress rows whose key matches a

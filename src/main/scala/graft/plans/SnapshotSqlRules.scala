@@ -61,14 +61,16 @@ case class SnapshotRelationRewrite(spark: SparkSession)
         Project(r.output.map { a =>
           Alias(byName(a.name), a.name)(exprId = a.exprId)
         }, inner)
-      // metadata tables (history/files) lower to their driver-built
+      // metadata tables (history/files/refs) lower to their driver-built
       // O(log) relation — a LocalRelation, never a data scan
       case r: DataSourceV2Relation
           if r.table.isInstanceOf[graft.lake.SnapshotMetaTable] =>
         val t = r.table.asInstanceOf[graft.lake.SnapshotMetaTable]
-        val inner = GraftSqlBridge.analyzed(
-          if (t.kind == "history") Snapshots.history(spark, t.path)
-          else Snapshots.filesMetadata(spark, t.path, t.snapVersion))
+        val inner = GraftSqlBridge.analyzed(t.kind match {
+          case "history" => Snapshots.history(spark, t.path)
+          case "refs" => Snapshots.refsMetadata(spark, t.path)
+          case _ => Snapshots.filesMetadata(spark, t.path, t.snapVersion)
+        })
         val byName = inner.output.map(a => a.name -> a).toMap
         Project(r.output.map { a =>
           Alias(byName(a.name), a.name)(exprId = a.exprId)

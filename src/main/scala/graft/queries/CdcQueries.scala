@@ -110,6 +110,105 @@ object CdcQueries {
     spark.sql(s"SELECT ${custCols.mkString(", ")} FROM $cat.customer_mw")
   }
 
+  /** q240 — STREAMING CDC SINK VIA EQUALITY DELETES
+    * ([[graft.lake.Snapshots.deleteByKeys]] composed with the q156
+    * exactly-once discipline — the write path q237's mechanism was
+    * built FOR): a keyed change stream lands each micro-batch as ONE
+    * zero-scan equality-delete commit (the U/D key set — no table read
+    * at write time, the cost a thousands-of-deletes-per-minute CDC
+    * consumer cannot pay per batch) plus ONE append of the new row
+    * images, with [[graft.lake.Snapshots.materializeEqDeletes]] run as
+    * in-stream maintenance every second batch to cap read debt. Batch
+    * replay is idempotent at COMMIT granularity (each sub-commit
+    * guarded by its deterministic version slot, so a crash between the
+    * delete and the append resumes exactly). Post-hoc log audit pins
+    * `zero_scan_writes` (every eq-delete commit left the file list
+    * untouched), `materialized_mid` (maintenance converted outstanding
+    * eq deletes mid-stream), and `eq_outstanding_at_read` (the final
+    * batch's eq delete is STILL outstanding when the gate reads — the
+    * read path serves correct rows under debt). The accumulated state
+    * hash-matches the batch CDC merge (q100) of the same change log:
+    * the cross-engine witness that stream-of-eq-deletes ≡ batch merge. */
+  def streamingEqDeleteSink(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.{Dataset, Row}
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.lake.Snapshots
+    val root = graft.util.Scratch.dir("stream_q240", dir)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val src = s"$root/src"
+    val table = s"$root/table"
+    val ckpt = s"$root/ckpt"
+    val cust = Tables(spark, dir, "customer").select(custCols.map(col): _*)
+    Snapshots.append(spark, table, cust) // version 1: the base snapshot
+    val updates = cust.filter(col("c_custkey") % 10 < 2)
+      .withColumn("c_acctbal", col("c_acctbal") + 100.0)
+      .withColumn("op", lit("U"))
+    val deletes = cust.filter(col("c_custkey") % 10 === 2)
+      .withColumn("op", lit("D"))
+    val inserts = cust.filter(col("c_custkey") % 10 === 3)
+      .withColumn("c_name",
+        concat(lit("NEW-"), col("c_custkey").cast(StringType)))
+      .withColumn("c_custkey", col("c_custkey") + 1000000L)
+      .withColumn("c_acctbal", lit(0.0))
+      .withColumn("op", lit("I"))
+    val changes = updates.unionByName(deletes).unionByName(inserts)
+    // three key-deterministic micro-batches (one file per trigger)
+    for (b <- 0 to 2)
+      changes.filter(pmod(col("c_custkey"), lit(3)) === b).coalesce(1)
+        .write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val writeBatch: (Dataset[Row], Long) => Unit = (batch, id) => {
+      val s = batch.sparkSession
+      // deterministic version slots: base 1, +2 per prior batch, +1
+      // per prior odd-batch materialize — each sub-commit replays as
+      // a no-op when its slot is already filled
+      val base = 1 + 2 * id + id / 2
+      def latest = Snapshots.latestVersion(s, table).getOrElse(0)
+      if (latest < base + 1)
+        Snapshots.deleteByKeys(s, table,
+          batch.filter(col("op").isin("U", "D")).select(col("c_custkey")))
+      if (latest < base + 2)
+        Snapshots.append(s, table,
+          batch.filter(col("op").isin("U", "I")).drop("op"))
+      if (id % 2 == 1 && latest < base + 3) {
+        Snapshots.materializeEqDeletes(s, table)
+        ()
+      }
+    }
+    val q = stream.writeStream
+      .foreachBatch(writeBatch)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    // post-hoc log audit, straight from the version chain
+    val latestV = Snapshots.latestVersion(spark, table).get
+    def snap(v: Int) = Snapshots.snapshot(spark, table, v).get
+    val zeroScanWrites = (2 to latestV).forall { v =>
+      val s = snap(v); val p = snap(v - 1)
+      val newEq = s.deletes.filterNot(p.deletes.toSet)
+        .filter(Snapshots.isEqDelete)
+      newEq.isEmpty || s.files == p.files
+    }
+    val materializedMid = (2 to latestV).exists { v =>
+      snap(v - 1).deletes.exists(Snapshots.isEqDelete) &&
+        !snap(v).deletes.exists(Snapshots.isEqDelete)
+    }
+    val eqOutstanding = snap(latestV).deletes.exists(Snapshots.isEqDelete)
+    Snapshots.readLatest(spark, table).get
+      .select(custCols.map(col): _*)
+      .withColumn("zero_scan_writes", lit(zeroScanWrites))
+      .withColumn("materialized_mid", lit(materializedMid))
+      .withColumn("eq_outstanding_at_read", lit(eqOutstanding))
+  }
+
+  private val streamingEqDeleteOracle: String = s"""
+    SELECT t.*, true AS zero_scan_writes, true AS materialized_mid,
+           true AS eq_outstanding_at_read
+    FROM ($cdcMergeOracle) t"""
+
   /** q101 — SCD2 dimension history: each customer's orders, read as a
     * stream of versions of their "latest order" attribute, become
     * effective-dated records via the window-lead construction — the
@@ -392,6 +491,8 @@ object CdcQueries {
     QueryDef("q139_gdpr_delete", gdprDelete, Some(gdprOracle)),
     QueryDef("q100_cdc_merge", cdcMergeCustomers, Some(cdcMergeOracle)),
     QueryDef("q239_merge_when", mergeWhenCdc, Some(cdcMergeOracle)),
+    QueryDef("q240_streaming_eq_delete_sink", streamingEqDeleteSink,
+      Some(streamingEqDeleteOracle)),
     QueryDef("q101_scd2_history", scdOrderHistory, Some(scdOracle)),
     QueryDef("q134_scd2_snapshot", scdSnapshot, Some(scdSnapshotOracle)),
     QueryDef("q104_incremental_agg", incrementalMonthlyRevenue,

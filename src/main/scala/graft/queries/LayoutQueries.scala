@@ -1470,6 +1470,46 @@ object LayoutQueries {
       .withColumn("stale_refused", lit(staleRefused))
   }
 
+  /** q241 — THE `refs` METADATA TABLE
+    * ([[graft.lake.Snapshots.refsMetadata]], the Iceberg refs-table
+    * surface): tags, branches and the implicit `main` trunk listed
+    * over SQL with their pinned/head versions — the DISCOVERY half of
+    * named time travel (q236/q238 let SQL readers travel by name; this
+    * table tells them which names exist, so "train on `train-v1`" is
+    * self-serve instead of out-of-band). `travel_targets_resolve` pins
+    * that every listed name actually serves rows through
+    * `VERSION AS OF '<name>'`; the row set itself is the cross-engine
+    * witness (deterministic versions by construction). O(refs) log
+    * metadata — never a data scan, any table size. */
+  def refsMetadataTable(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Snapshots
+    val root = graft.util.Scratch.dir("refsmeta", dir)
+    val table = s"$root/orders_refs"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+    val orders = Tables(spark, dir, "orders")
+    val v1 = Snapshots.append(spark, table,
+      orders.filter(col("o_orderkey") % 2 === 0))
+    val v2 = Snapshots.append(spark, table,
+      orders.filter(col("o_orderkey") % 2 === 1))
+    Snapshots.createTag(spark, table, "train-v1", v1)
+    Snapshots.createTag(spark, table, "train-v2", v2)
+    Snapshots.createBranch(spark, table, "exp", v2)
+    Snapshots.appendToBranch(spark, table, "exp",
+      orders.filter(col("o_orderkey") % 7 === 0))
+    val cat = s"refsm_${Integer.toHexString(dir.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.lake.SnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val refs = spark.sql(
+      s"SELECT ref_name, ref_type, version FROM $cat.orders_refs.refs")
+    // every listed name is a live SQL travel target
+    val names = refs.select(col("ref_name")).collect().map(_.getString(0))
+    val travelResolve = names.forall(n =>
+      spark.sql(s"SELECT count(*) AS n FROM $cat.orders_refs " +
+        s"VERSION AS OF '$n'").head.getLong(0) > 0)
+    refs.withColumn("travel_targets_resolve", lit(travelResolve))
+  }
+
   /** q234 — MANIFEST-LIST COMPACTION
     * ([[graft.lake.Snapshots.rewriteManifests]] — Iceberg
     * `rewrite_manifests`, OPTIMIZE for the METADATA): eight separate
@@ -2283,6 +2323,13 @@ object LayoutQueries {
              true AS clone_after_ok
       FROM orders WHERE o_orderkey % 2 = 0
       GROUP BY 1""")),
+    QueryDef("q241_refs_metadata", refsMetadataTable, Some("""
+      SELECT * FROM (VALUES
+        ('main', 'branch', 2, true),
+        ('exp', 'branch', 3, true),
+        ('train-v1', 'tag', 1, true),
+        ('train-v2', 'tag', 2, true))
+        AS t(ref_name, ref_type, version, travel_targets_resolve)""")),
     QueryDef("q238_branch_wap", branchWap, Some(s"""
       SELECT o_orderpriority, COUNT(*) AS n_rows,
              CAST(SUM(${Num.sqlCents("o_totalprice")}) AS BIGINT)

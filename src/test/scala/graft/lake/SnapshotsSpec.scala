@@ -1624,6 +1624,28 @@ class SnapshotsSpec extends SparkTestBase {
       a.count() + b.count(), "vacuum above main head must pin the trunk")
   }
 
+  test("k same-key eq deletes consolidate to ONE join pair, scopes intact") {
+    val t = fresh("eqcons")
+    import spark.implicits._
+    val base = orders.limit(60).cache()
+    Snapshots.append(spark, t, base)
+    val keys = base.select(col("o_orderkey")).as[Long].collect().sorted
+    Snapshots.deleteByKeys(spark, t, keys.slice(0, 5).toSeq.toDF("o_orderkey"))
+    Snapshots.deleteByKeys(spark, t, keys.slice(5, 10).toSeq.toDF("o_orderkey"))
+    // re-appended rows are protected from BOTH prior deletes' scopes
+    Snapshots.append(spark, t,
+      base.filter(col("o_orderkey").isin(keys.slice(0, 3).map(Long.box): _*)))
+    Snapshots.deleteByKeys(spark, t,
+      keys.slice(10, 15).toSeq.toDF("o_orderkey"))
+    val df = Snapshots.readLatest(spark, t).get
+    assert(df.count() == 60 - 15 + 3)
+    val plan = df.queryExecution.executedPlan.toString
+    val joins = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(joins == 2,
+      s"3 same-key eq deletes must read through ONE consolidated join " +
+        s"pair (2 broadcast joins), got $joins:\n${plan.take(3000)}")
+  }
+
   test("all-digit tag names are refused (version-literal shadowing)") {
     val t = fresh("tagdig")
     Snapshots.append(spark, t, orders.limit(5))
