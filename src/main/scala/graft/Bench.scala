@@ -104,6 +104,52 @@ object Bench {
       // A query that threw reports -1, never a misleading wall time.
       (name, if (failed.contains(name)) -1.0 else times.min, times)
     }
+    // Per-query minima self-adjudication (the round-13 q105 episode:
+    // sustained co-load inflated one query ~2.6x with BOTH passes
+    // agreeing, evading the spread detector entirely — the recorded
+    // minimum is the only reference that catches consistent inflation).
+    // BENCH_MINIMA.json keeps the best time each query has ever shown
+    // per sf dir; this run emits ratio_vs_min per query into
+    // BENCH_DETAIL, names >2x rows in the headline, then lowers any
+    // minima it beat. Wall-clock contention only ever INFLATES, so
+    // min-updates are safe from any run, contended or not; a real code
+    // regression also flags >2x — in both cases the row deserves a
+    // re-measure before anyone believes it.
+    val minimaPath = java.nio.file.Paths.get(
+      sys.props("user.dir"), "BENCH_MINIMA.json")
+    val sfKey = new java.io.File(sfDir).getName
+    val priorAll: Map[String, Any] =
+      if (!java.nio.file.Files.exists(minimaPath)) Map.empty
+      else try graft.lake.Json.parseObject(new String(
+        java.nio.file.Files.readAllBytes(minimaPath), "UTF-8"))
+      catch { case scala.util.control.NonFatal(_) => Map.empty }
+    val prior: Map[String, Double] = priorAll.get(sfKey)
+      .map(_.asInstanceOf[Map[String, Any]]
+        .map { case (k, v) => k -> v.toString.toDouble })
+      .getOrElse(Map.empty)
+    val ratios = results.collect {
+      case (n, best, _) if !failed.contains(n) && prior.get(n).exists(_ > 0) =>
+        n -> math.round(best / prior(n) * 100) / 100.0
+    }
+    val inflated = ratios.collect {
+      case (n, r) if r > 2.0 && results
+        .exists(x => x._1 == n && x._2 > SpreadFloorSec) => n
+    }
+    val newMinima = (prior.keySet ++ results.collect {
+      case (n, best, _) if !failed.contains(n) && best > 0 => n }.toSet)
+      .map { n =>
+        val measured = results.collectFirst {
+          case (`n`, best, _) if !failed.contains(n) && best > 0 => best }
+        n -> ((prior.get(n), measured) match {
+          case (Some(p), Some(m)) => math.min(p, m)
+          case (p, m) => p.orElse(m).get
+        })
+      }.toMap
+    java.nio.file.Files.write(minimaPath, graft.lake.Json.render(
+      priorAll + (sfKey -> newMinima)).getBytes("UTF-8"))
+    val ratioJson = ratios.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val inflatedJson = inflated.map("\"" + _ + "\"").mkString("[", ",", "]")
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // Contention evidence (a round-2 driver run recorded 7× inflated
@@ -149,7 +195,7 @@ object Bench {
         ).flatten.mkString("; ")
         s""","reliable":false,"caveat":"$why: machine was contended; totals are noise, compare idle runs only""""
       } else ""","reliable":true"""
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"load_avg_start":$loadStart,"load_avg_end":$loadAvg,"cpus":$cpus$caveat,"errors":$errs,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"ratio_vs_min":$ratioJson,"inflated_vs_min":$inflatedJson,"load_avg_start":$loadStart,"load_avg_end":$loadAvg,"cpus":$cpus$caveat,"errors":$errs,"sf":"$sfDir"}"""
     // The driver captures only the LAST ~2000 chars of output and parses
     // the metric line out of that window. With 150 queries the full line is
     // ~10 KB, so its head (and the parse) was lost every round since r3.
@@ -162,7 +208,7 @@ object Bench {
       .sortBy(-_._2).take(20)
       .map { case (k, v, _) => "\"" + k + "\":" + math.round(v * 100) / 100.0 }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","n_queries":${results.size},"queries":$slow,"detail":"BENCH_DETAIL.json","load_avg_start":$loadStart,"cpus":$cpus$caveat,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","n_queries":${results.size},"queries":$slow,"detail":"BENCH_DETAIL.json","inflated_vs_min":$inflatedJson,"load_avg_start":$loadStart,"cpus":$cpus$caveat,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
