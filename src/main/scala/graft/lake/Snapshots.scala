@@ -1857,13 +1857,15 @@ object Snapshots {
     * At 100 TB with MB-sized change batches the tombstone relation stays
     * broadcastable and the scan side never shuffles. */
   def merge(spark: SparkSession, table: String, changes: DataFrame,
-      keyCols: Seq[String], statsCols: Seq[String] = Nil): Int = {
+      keyCols: Seq[String], statsCols: Seq[String] = Nil,
+      branch: String = ""): Int = {
+    if (branch.nonEmpty) branchHeadSnapshot(spark, table, branch) // fail fast
     enforceConstraints(spark, table, changes, "merge")
     val (staged, stagedStats, _, stagedSchemas) =
       stage(spark, table, changes, statsCols)
     val mid = writeManifest(spark, table, staged, stagedStats,
       dirSchemas = stagedSchemas)
-    commitLoop(spark, table, "merge") { prev =>
+    commitLoop(spark, table, "merge", toBranch = branch) { prev =>
       val prevFiles = prev.map(_.files).getOrElse(Nil)
       val prevDeletes = prev.map(_.deletes).getOrElse(Nil)
       val newDeletes: Seq[String] =
@@ -2037,8 +2039,9 @@ object Snapshots {
     * winning snapshot's live view). Deleting zero rows still publishes
     * a version — the DML is recorded either way. */
   def deleteWhere(spark: SparkSession, table: String,
-      pred: org.apache.spark.sql.Column): Int =
-    commitLoop(spark, table, "delete") { prev =>
+      pred: org.apache.spark.sql.Column, branch: String = ""): Int = {
+    if (branch.nonEmpty) branchHeadSnapshot(spark, table, branch) // fail fast
+    commitLoop(spark, table, "delete", toBranch = branch) { prev =>
       val prevFiles = prev.map(_.files).getOrElse(Nil)
       val prevDeletes = prev.map(_.deletes).getOrElse(Nil)
       val newDeletes: Seq[String] =
@@ -2055,6 +2058,7 @@ object Snapshots {
         prev.map(_.renames).getOrElse(Nil),
         prev.map(_.drops).getOrElse(Nil))
     }
+  }
 
   /** METADATA-ACCELERATED predicate DELETE for interval predicates —
     * the retention-delete shape (`DELETE WHERE days(ts) < cutoff`, the
@@ -2348,7 +2352,6 @@ object Snapshots {
   private def cloneContent(spark: SparkSession, src: String, dst: String,
       s: Snapshot): (String, Seq[String], Seq[(String, String)],
       Seq[DropSpec], Seq[(String, String)]) = {
-    requireNoEqDeletes(s, "shallow clone / fast-forward")
     val srcRoot = LakePaths.tableRootPath(spark, src)
     val dstRoot = LakePaths.tableRootPath(spark, dst)
     // canonical reference rule, matching [[LakePaths.relFileCol]]
@@ -2362,18 +2365,37 @@ object Snapshots {
       val a = if (f.startsWith("/")) f else s"$srcRoot/$f"
       if (a.startsWith(dstRoot + "/")) a.stripPrefix(dstRoot + "/") else a
     }
-    val cloneDeletes: Seq[String] =
-      if (s.deletes.isEmpty) Nil
+    def dstCanonical(dels: DataFrame): DataFrame = {
+      val absCol = when(col("file").startsWith("/"), col("file"))
+        .otherwise(concat(lit(srcRoot + "/"), col("file")))
+      dels.withColumn("file",
+        regexp_replace(absCol,
+          lit("^" + java.util.regex.Pattern.quote(dstRoot + "/")),
+          lit("")))
+    }
+    val (eqDels, posDels) = s.deletes.partition(isEqDelete)
+    val posCloneDeletes: Seq[String] =
+      if (posDels.isEmpty) Nil
+      else writeDeletes(spark, dst, dstCanonical(
+        spark.read.parquet(posDels.map(f => filePath(src, f)): _*)))
+    // outstanding EQUALITY deletes materialize INTO THE CLONE: their
+    // scope speaks source manifest ids, meaningless to carry — so the
+    // suppressed positions are located here (one scan of the scoped
+    // files, the same join shape as materializeEqDeletes) and written
+    // as the clone's own positional tombstones. The source is never
+    // mutated, the clone carries no eq debt, and the cloned live view
+    // is bit-identical to the source's.
+    val eqCloneDeletes: Seq[String] =
+      if (eqDels.isEmpty) Nil
       else {
-        val dels = spark.read.parquet(
-          s.deletes.map(f => filePath(src, f)): _*)
-        val absCol = when(col("file").startsWith("/"), col("file"))
-          .otherwise(concat(lit(srcRoot + "/"), col("file")))
-        writeDeletes(spark, dst, dels.withColumn("file",
-          regexp_replace(absCol,
-            lit("^" + java.util.regex.Pattern.quote(dstRoot + "/")),
-            lit(""))))
+        val base = subtractDeletes(spark, src,
+          withMetaEras(spark, src, s), posDels)
+        val hits = eqDels.map(e => eqDeleteHits(spark, src, base, e))
+          .reduce(_ unionAll _).distinct()
+          .select(col("_snap_file").as("file"), col("_snap_pos").as("pos"))
+        writeDeletes(spark, dst, dstCanonical(hits))
       }
+    val cloneDeletes = posCloneDeletes ++ eqCloneDeletes
     val manifest = writeManifest(spark, dst, s.files.map(ref),
       s.stats.map { case (f, st) => ref(f) -> st },
       s.blooms.map { case (f, b) => ref(f) -> b },
@@ -2594,9 +2616,12 @@ object Snapshots {
     commitLoop(spark, table, "rewrite-manifests") { prevOpt =>
       val prev = prevOpt.getOrElse(throw new IllegalArgumentException(
         s"cannot rewrite manifests of never-committed table $table"))
-      // an equality delete's SCOPE is a manifest-id list: replacing the
-      // manifests would silently detach it from every covered file
-      requireNoEqDeletes(prev, "rewriteManifests")
+      // Outstanding equality deletes are SAFE here: a delete's scope is
+      // a list of immutable manifest IDS resolved as objects, not a
+      // pointer into the current manifest list — replacing the list
+      // changes nothing the scope reads, and vacuum pins every
+      // outstanding eq delete's scope manifests live (liveManifests ∪
+      // eqScopes), so GC cannot orphan them either.
       val dirs = prev.files.map(_.split("/").dropRight(1).mkString("/")).toSet
       (Seq(writeManifest(spark, table, prev.files, prev.stats, prev.blooms,
         prev.dirSchemas.filter { case (d, _) => dirs(d) },

@@ -20,6 +20,10 @@ import graft.lake.Snapshots
   * OPTIMIZE cat.t
   * VACUUM cat.t RETAIN n VERSIONS
   * ALTER TABLE cat.t SET PARTITION SPEC (bucket(8, c), days(d))
+  * ALTER TABLE cat.t CREATE BRANCH b [AS OF VERSION n]
+  * ALTER TABLE cat.t CREATE TAG g [AS OF VERSION n]
+  * ALTER TABLE cat.t DROP BRANCH b / DROP TAG g
+  * ALTER TABLE cat.t FAST FORWARD BRANCH b
   * }}}
   *
   * Table names are CATALOG-QUALIFIED and resolve through the SAME
@@ -42,6 +46,18 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     """(?is)^\s*VACUUM\s+([\w.]+)\s+RETAIN\s+(\d+)\s+VERSIONS\s*;?\s*$""".r
   private val AlterSpecRe =
     """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+SET\s+PARTITION\s+SPEC\s*\((.*)\)\s*;?\s*$""".r
+  // ref DDL (the Iceberg Spark-extension ALTER TABLE ref statements):
+  // branches/tags create at an explicit version or the current main head
+  private val CreateBranchRe =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+CREATE\s+BRANCH\s+([A-Za-z0-9._-]+)(?:\s+AS\s+OF\s+VERSION\s+(\d+))?\s*;?\s*$""".r
+  private val DropBranchRe =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+BRANCH\s+([A-Za-z0-9._-]+)\s*;?\s*$""".r
+  private val CreateTagRe =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+CREATE\s+TAG\s+([A-Za-z0-9._-]+)(?:\s+AS\s+OF\s+VERSION\s+(\d+))?\s*;?\s*$""".r
+  private val DropTagRe =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+TAG\s+([A-Za-z0-9._-]+)\s*;?\s*$""".r
+  private val FastForwardRe =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+FAST\s+FORWARD\s+BRANCH\s+([A-Za-z0-9._-]+)\s*;?\s*$""".r
 
   /** The statement's transform list → the log's transform-encoded spec
     * strings: split at depth-0 commas so `bucket(8, c), days(d)` parses
@@ -84,6 +100,13 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     case OptimizeRe(t) => OptimizeTableCommand(path(t))
     case VacuumRe(t, n) => VacuumTableCommand(path(t), n.toInt)
     case AlterSpecRe(t, body) => SetPartitionSpecCommand(path(t), splitSpec(body))
+    case CreateBranchRe(t, n, v) =>
+      CreateRefCommand(path(t), n, Option(v).map(_.toInt), isTag = false)
+    case DropBranchRe(t, n) => DropRefCommand(path(t), n, isTag = false)
+    case CreateTagRe(t, n, v) =>
+      CreateRefCommand(path(t), n, Option(v).map(_.toInt), isTag = true)
+    case DropTagRe(t, n) => DropRefCommand(path(t), n, isTag = true)
+    case FastForwardRe(t, n) => FastForwardCommand(path(t), n)
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -139,6 +162,46 @@ case class OptimizeTableCommand(table: String)
     extends LeafRunnableCommand with VersionOutput {
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row(Snapshots.optimize(spark, table).map(_.toLong).getOrElse(-1L)))
+}
+
+/** `ALTER TABLE t CREATE BRANCH|TAG name [AS OF VERSION n]` →
+  * [[Snapshots.createBranch]] / [[Snapshots.createTag]] (the Iceberg
+  * ref-DDL shape); defaults to the current MAIN head. Returns the
+  * version the ref was pinned/rooted at. */
+case class CreateRefCommand(table: String, name: String,
+    version: Option[Int], isTag: Boolean)
+    extends LeafRunnableCommand with VersionOutput {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val v = version.orElse(Snapshots.mainHeadVersion(spark, table))
+      .getOrElse(throw new IllegalArgumentException(
+        s"no snapshot table at $table"))
+    if (isTag) Snapshots.createTag(spark, table, name, v)
+    else Snapshots.createBranch(spark, table, name, v)
+    Seq(Row(v.toLong))
+  }
+}
+
+/** `ALTER TABLE t DROP BRANCH|TAG name` → [[Snapshots.dropBranch]] /
+  * [[Snapshots.dropTag]]. Returns the version the ref last addressed
+  * (now unpinned), or -1 if the ref did not exist. */
+case class DropRefCommand(table: String, name: String, isTag: Boolean)
+    extends LeafRunnableCommand with VersionOutput {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val was =
+      if (isTag) Snapshots.tagVersion(spark, table, name)
+      else Snapshots.branchHead(spark, table, name)
+    if (isTag) Snapshots.dropTag(spark, table, name)
+    else Snapshots.dropBranch(spark, table, name)
+    Seq(Row(was.map(_.toLong).getOrElse(-1L)))
+  }
+}
+
+/** `ALTER TABLE t FAST FORWARD BRANCH b` → [[Snapshots.fastForwardMain]]
+  * (the WAP publish); returns the new main version. */
+case class FastForwardCommand(table: String, branch: String)
+    extends LeafRunnableCommand with VersionOutput {
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(Snapshots.fastForwardMain(spark, table, branch).toLong))
 }
 
 /** `VACUUM t RETAIN n VERSIONS` → [[Snapshots.vacuum]] keeping the

@@ -1274,13 +1274,14 @@ object LayoutQueries {
     * prices and `reinsert_survives` pins them back (the delete's
     * manifest-id SCOPE — the Iceberg sequence-number rule — protects
     * rows appended after it, which is what makes delete+insert upserts
-    * compose), `clone_refused` pins that operations which would
-    * mis-handle equality-delete content refuse and name the cure,
-    * `materialize_lossless` + `eq_cleared` pin the one-scan conversion
-    * to positional tombstones leaving the live view bit-identical, and
-    * `clone_after_ok` shows the refused operation working once
-    * materialized. The final aggregate is the cross-engine witness
-    * that exactly the upserted state survived. */
+    * compose), `clone_under_debt` pins that a shallow clone taken with
+    * eq deletes outstanding works: the deletes materialize into the
+    * CLONE's own positional tombstones (source untouched, live view
+    * bit-identical, no eq debt carried), `materialize_lossless` +
+    * `eq_cleared` pin the one-scan conversion to positional tombstones
+    * leaving the live view bit-identical, and `clone_after_ok` clones
+    * again once materialized. The final aggregate is the cross-engine
+    * witness that exactly the upserted state survived. */
   def equalityDelete(spark: SparkSession, dir: String): DataFrame = {
     import graft.lake.Snapshots
     val root = graft.util.Scratch.dir("eqdel", dir)
@@ -1309,10 +1310,18 @@ object LayoutQueries {
     val after = Snapshots.readAt(spark, table, v3).get
     val reinsertSurvives = after.count() == evens.count() &&
       after.filter(col("o_orderkey") % 10 === 0).count() == nKeys
-    val cloneRefused =
-      try { Snapshots.shallowClone(spark, table, s"$root/clone1"); false }
-      catch { case e: IllegalArgumentException =>
-        e.getMessage.contains("equality deletes") }
+    // clone UNDER eq debt: works — the outstanding equality deletes
+    // materialize into the CLONE's own positional tombstones (one scan
+    // of scoped files; the source is untouched), so the cloned live
+    // view is bit-identical and the clone carries no eq debt
+    val cloneUnderDebt = {
+      Snapshots.shallowClone(spark, table, s"$root/clone1")
+      val cs = Snapshots
+        .snapshot(spark, s"$root/clone1", 1).get
+      Snapshots.readLatest(spark, s"$root/clone1").get
+        .count() == evens.count() &&
+        cs.deletes.nonEmpty && cs.deletes.forall(f => !Snapshots.isEqDelete(f))
+    }
     def fp(): (Long, Long) = {
       val r = Snapshots.readLatest(spark, table).get.agg(
         sum(pmod(xxhash64(col("o_orderkey"),
@@ -1338,7 +1347,7 @@ object LayoutQueries {
       .withColumn("no_scan_commit", lit(noScanCommit))
       .withColumn("mid_suppressed", lit(midSuppressed))
       .withColumn("reinsert_survives", lit(reinsertSurvives))
-      .withColumn("clone_refused", lit(cloneRefused))
+      .withColumn("clone_under_debt", lit(cloneUnderDebt))
       .withColumn("materialize_lossless", lit(materializeLossless))
       .withColumn("eq_cleared", lit(eqCleared))
       .withColumn("clone_after_ok", lit(cloneAfterOk))
@@ -1397,10 +1406,14 @@ object LayoutQueries {
     * table directories (shallowClone) replayed on ONE — branch commits
     * land in the same log under a named ref, claim global version
     * numbers (one OCC allocator serializes every writer), and stay
-    * invisible to main readers until fast-forwarded. Markers pin each
-    * leg: `main_isolated` (API and SQL mains both blind to the staged
-    * commit), `branch_visible` (the branch read and SQL
-    * `VERSION AS OF 'wap'` both serve base+staged by NAME),
+    * invisible to main readers until fast-forwarded. The write is the
+    * FULL DML surface — an append plus a merge-on-read predicate
+    * DELETE, both addressed to the branch — so the q223 clone WAP
+    * lifecycle replays wholly in-log. Markers pin each leg:
+    * `main_isolated` (API and SQL mains both blind to the staged
+    * commits, the branch tombstone included), `branch_visible` (the
+    * branch read and SQL `VERSION AS OF 'wap'` both serve the staged
+    * post-DML state by NAME),
     * `published_exact` (fast-forward re-references the branch head's
     * content bit-exactly), `zero_copy` (publish staged no data file —
     * manifests carry by reference), `history_ok` (pre-branch main
@@ -1422,6 +1435,12 @@ object LayoutQueries {
     val v1 = Snapshots.append(spark, table, base)
     Snapshots.createBranch(spark, table, "wap", v1)
     Snapshots.appendToBranch(spark, table, "wap", staged)
+    // the write is the full DML surface, not just appends: a MoR
+    // predicate DELETE addressed to the branch tombstones branch-only
+    Snapshots.deleteWhere(spark, table,
+      col("o_totalprice") < lit(10000.0), branch = "wap")
+    val branchState = base.unionAll(staged)
+      .filter(col("o_totalprice") >= 10000.0)
     val cat = s"bwap_${Integer.toHexString(dir.hashCode)}"
     spark.conf.set(s"spark.sql.catalog.$cat",
       classOf[graft.lake.SnapshotCatalog].getName)
@@ -1432,10 +1451,9 @@ object LayoutQueries {
         .head.getLong(0) == base.count()
     val branchVisible =
       Snapshots.readAtBranch(spark, table, "wap").get.count() ==
-        base.count() + staged.count() &&
+        branchState.count() &&
       spark.sql(s"SELECT count(*) AS n FROM $cat.orders_br " +
-        "VERSION AS OF 'wap'").head.getLong(0) ==
-        base.count() + staged.count()
+        "VERSION AS OF 'wap'").head.getLong(0) == branchState.count()
     // audit passed — publish: one metadata-only fast-forward commit
     val dataDirs = Option(new java.io.File(s"$table/_snap").listFiles())
       .getOrElse(Array.empty).count(_.getName.startsWith("c-"))
@@ -2318,7 +2336,7 @@ object LayoutQueries {
                  THEN o_totalprice + 1000 ELSE o_totalprice END) * 100)
                AS BIGINT)) AS BIGINT) AS sum_cents,
              true AS no_scan_commit, true AS mid_suppressed,
-             true AS reinsert_survives, true AS clone_refused,
+             true AS reinsert_survives, true AS clone_under_debt,
              true AS materialize_lossless, true AS eq_cleared,
              true AS clone_after_ok
       FROM orders WHERE o_orderkey % 2 = 0
@@ -2338,8 +2356,9 @@ object LayoutQueries {
              true AS published_exact, true AS zero_copy,
              true AS history_ok, true AS stale_refused
       FROM orders
-      WHERE o_orderkey % 2 = 0
-         OR (o_orderkey % 2 = 1 AND o_orderkey % 3 = 0)
+      WHERE (o_orderkey % 2 = 0
+         OR (o_orderkey % 2 = 1 AND o_orderkey % 3 = 0))
+        AND o_totalprice >= 10000
       GROUP BY 1""")),
     QueryDef("q236_version_as_of_tag", versionAsOfTag, Some(s"""
       SELECT o_orderpriority, COUNT(*) AS n_rows,

@@ -450,6 +450,37 @@ class SnapshotCatalogSpec extends SparkTestBase {
     org.apache.commons.io.FileUtils.deleteQuietly(new File(root))
   }
 
+  test("ref DDL SQL: branch/tag lifecycle + fast forward, WAP end-to-end") {
+    val (cat, root) = freshCatalog("refddl")
+    val t = s"$root/t"
+    Snapshots.append(spark, t, orders.limit(40))
+    // create at explicit version and at the (default) main head
+    assert(spark.sql(s"ALTER TABLE $cat.t CREATE TAG pinned AS OF VERSION 1")
+      .head().getLong(0) == 1L)
+    assert(spark.sql(s"ALTER TABLE $cat.t CREATE BRANCH audit")
+      .head().getLong(0) == 1L)
+    // write to the branch, read it by name, publish, drop — all SQL-visible
+    Snapshots.appendToBranch(spark, t, "audit", orders.limit(60).except(orders.limit(40)))
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.t").head.getLong(0) == 40)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.t VERSION AS OF 'audit'")
+      .head.getLong(0) == 60)
+    val vPub = spark.sql(s"ALTER TABLE $cat.t FAST FORWARD BRANCH audit")
+      .head().getLong(0)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.t").head.getLong(0) == 60)
+    assert(spark.sql(s"SELECT version FROM $cat.t.refs " +
+      "WHERE ref_name = 'main'").head.getInt(0).toLong == vPub)
+    assert(spark.sql(s"ALTER TABLE $cat.t DROP BRANCH audit")
+      .head().getLong(0) >= 1L)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.t.refs " +
+      "WHERE ref_type = 'branch'").head.getLong(0) == 1) // main only
+    assert(spark.sql(s"ALTER TABLE $cat.t DROP TAG pinned")
+      .head().getLong(0) == 1L)
+    // dropping a missing ref reports -1, not an exception (idempotent ops)
+    assert(spark.sql(s"ALTER TABLE $cat.t DROP TAG pinned")
+      .head().getLong(0) == -1L)
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(root))
+  }
+
   test("maintenance SQL: intercept is full-match only; errors are loud") {
     val (cat, root) = freshCatalog("maint")
     val t = s"$root/t"

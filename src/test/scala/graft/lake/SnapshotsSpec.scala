@@ -1646,6 +1646,41 @@ class SnapshotsSpec extends SparkTestBase {
         s"pair (2 broadcast joins), got $joins:\n${plan.take(3000)}")
   }
 
+  test("clone and manifest rewrite work under outstanding eq deletes") {
+    val t = fresh("eqclone")
+    import spark.implicits._
+    val base = orders.limit(60).cache()
+    Snapshots.append(spark, t, base)
+    val keys = base.select(col("o_orderkey")).as[Long].collect().sorted
+    Snapshots.deleteByKeys(spark, t, keys.take(10).toSeq.toDF("o_orderkey"))
+    // reinsert 3 deleted keys AFTER the delete: its scope must protect them
+    Snapshots.append(spark, t,
+      base.filter(col("o_orderkey").isin(keys.take(3).map(Long.box): _*)))
+    val want = 60 - 10 + 3
+    assert(Snapshots.readLatest(spark, t).get.count() == want)
+    // rewriteManifests under eq debt: the scope rides immutable
+    // manifest IDs, not the current list — the fold is safe
+    val vR = Snapshots.rewriteManifests(spark, t)
+    assert(Snapshots.snapshot(spark, t, vR).get.manifests.size == 1)
+    assert(Snapshots.readLatest(spark, t).get.count() == want)
+    // vacuum after the rewrite: eq scope manifests are pinned live
+    Snapshots.vacuum(spark, t, keepFrom = vR)
+    assert(Snapshots.readLatest(spark, t).get.count() == want)
+    // clone under eq debt: deletes materialize into the CLONE's own
+    // positional tombstones; live view identical, no eq debt carried
+    val c = s"${new File(t).getParent}/c"
+    Snapshots.shallowClone(spark, t, c)
+    assert(Snapshots.readLatest(spark, c).get.count() == want)
+    val cs = Snapshots.snapshot(spark, c, 1).get
+    assert(cs.deletes.nonEmpty &&
+      cs.deletes.forall(f => !Snapshots.isEqDelete(f)))
+    // the source still carries its eq delete, untouched by the clone
+    assert(Snapshots.snapshot(spark, t,
+      Snapshots.latestVersion(spark, t).get).get
+      .deletes.exists(Snapshots.isEqDelete))
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(t).getParentFile)
+  }
+
   test("all-digit tag names are refused (version-literal shadowing)") {
     val t = fresh("tagdig")
     Snapshots.append(spark, t, orders.limit(5))
