@@ -1987,12 +1987,19 @@ object Snapshots {
       val inserted: Option[DataFrame] =
         if (insertClauses.isEmpty) None
         else {
+          // "not matched" without shuffling the live table: the keys
+          // that DID match are ≤ |source| (semi-join live against the
+          // broadcast source keys), so they broadcast back for the
+          // anti join — the live side never exchanges, at any scale
           val unmatched = liveOpt match {
             case None => src
-            case Some(live) => src.join(
-              live.select(keyCols.map(k => col(k).as(s"_src_$k")): _*)
-                .distinct(),
-              keyCols.map(k => s"_src_$k"), "left_anti")
+            case Some(live) =>
+              val srcKeys = source.select(keyCols.map(col): _*).distinct()
+              val matchedKeys = live.select(keyCols.map(col): _*)
+                .join(broadcast(srcKeys), keyCols, "left_semi").distinct()
+                .select(keyCols.map(k => col(k).as(s"_src_$k")): _*)
+              src.join(broadcast(matchedKeys),
+                keyCols.map(k => s"_src_$k"), "left_anti")
           }
           val routed = unmatched.withColumn("_clause", routeOf(insertClauses))
           val tCols =
