@@ -1234,7 +1234,8 @@ object Snapshots {
   private[graft] def isEqDelete(f: String): Boolean = f.contains("_snap/e-")
 
   private def subtractDeletes(spark: SparkSession, table: String,
-      data: DataFrame, deletes: Seq[String]): DataFrame = {
+      data: DataFrame, deletes: Seq[String],
+      renames: Seq[(String, String)] = Nil): DataFrame = {
     val (eq, pos) = deletes.partition(isEqDelete)
     val afterPos =
       if (pos.isEmpty) data
@@ -1253,12 +1254,12 @@ object Snapshots {
     // semantics: a row dies iff SOME delete both covers its file and
     // matches its key, tested via set overlap after grouping (so the
     // joins stay 1:1 — no fan-out, no repair distinct).
-    eq.map(e => (e, eqDeleteParts(spark, table, e)))
+    eq.map(e => (e, eqDeleteParts(spark, table, e, renames)))
       .filter { case (_, (k, cov)) => cov.nonEmpty && k.columns.nonEmpty }
       .groupBy(_._2._1.columns.toSeq.sorted)
       .values.toSeq
       .foldLeft(afterPos) { (d, grp) =>
-        if (grp.size == 1) applyEqDelete(spark, table, d, grp.head._1)
+        if (grp.size == 1) applyEqDelete(spark, table, d, grp.head._1, renames)
         else applyEqDeleteGroup(spark, d, grp.map(_._2))
       }
   }
@@ -1308,11 +1309,18 @@ object Snapshots {
     * keys are the delete file itself; coverage is the union of data
     * files in the manifests recorded live at the delete's commit
     * (`scope.json` — the Iceberg sequence-number rule over immutable
-    * manifest ids). O(keys + scoped metadata), driver-side. */
+    * manifest ids). O(keys + scoped metadata), driver-side. Key
+    * columns are mapped through the RENAME CHAIN (Iceberg identifier
+    * fields survive renames by field id; the name chain is our
+    * equivalent): a delete written when the key was `a` still matches
+    * after `a` was renamed — the keys relation is served under the
+    * current names the data side speaks. */
   private def eqDeleteParts(spark: SparkSession, table: String,
-      eqRef: String): (DataFrame, Seq[String]) = {
+      eqRef: String,
+      renames: Seq[(String, String)] = Nil): (DataFrame, Seq[String]) = {
     val ops = new FileOps(spark.sparkContext.hadoopConfiguration)
-    val keys = spark.read.parquet(s"${filePath(table, eqRef)}/keys")
+    val raw = spark.read.parquet(s"${filePath(table, eqRef)}/keys")
+    val keys = raw.toDF(raw.columns.map(c => renamedName(renames, c)): _*)
     val scopeManifests = Json
       .parseObject(ops.readString(s"${filePath(table, eqRef)}/scope.json"))
       .get("manifests").map(_.asInstanceOf[Seq[Any]].map(_.toString))
@@ -1327,9 +1335,10 @@ object Snapshots {
     * delete-image source for a change feed crossing an equality-delete
     * commit. Same two broadcast semi joins, no shuffle of `data`. */
   private def eqDeleteHits(spark: SparkSession, table: String,
-      data: DataFrame, eqRef: String): DataFrame = {
+      data: DataFrame, eqRef: String,
+      renames: Seq[(String, String)] = Nil): DataFrame = {
     import spark.implicits._
-    val (keys, covered) = eqDeleteParts(spark, table, eqRef)
+    val (keys, covered) = eqDeleteParts(spark, table, eqRef, renames)
     if (covered.isEmpty || keys.columns.isEmpty) data.limit(0)
     else {
       val covDf = broadcast(covered.toDF("_eq_cov_file"))
@@ -1344,9 +1353,10 @@ object Snapshots {
   }
 
   private def applyEqDelete(spark: SparkSession, table: String,
-      data: DataFrame, eqRef: String): DataFrame = {
+      data: DataFrame, eqRef: String,
+      renames: Seq[(String, String)] = Nil): DataFrame = {
     import spark.implicits._
-    val (keys, covered) = eqDeleteParts(spark, table, eqRef)
+    val (keys, covered) = eqDeleteParts(spark, table, eqRef, renames)
     if (covered.isEmpty || keys.columns.isEmpty) data
     else {
       val covDf = covered.toDF("_eq_cov_file")
@@ -1831,7 +1841,8 @@ object Snapshots {
 
   private def eraRead(spark: SparkSession, table: String, s: Snapshot): DataFrame =
     if (s.files.isEmpty) spark.emptyDataFrame
-    else subtractDeletes(spark, table, withMetaEras(spark, table, s), s.deletes)
+    else subtractDeletes(spark, table, withMetaEras(spark, table, s),
+      s.deletes, s.renames)
       .drop("_snap_file", "_snap_pos", RowIdCol)
 
   // -------------------------------------------------------------- merge
@@ -1874,7 +1885,8 @@ object Snapshots {
           // era-aware live view: merge keys must match old-era rows
           // under renamed/widened schemas too
           val live = subtractDeletes(spark, table,
-            withMetaEras(spark, table, prev.get), prevDeletes)
+            withMetaEras(spark, table, prev.get), prevDeletes,
+            prev.get.renames)
           val keys = changes.select(keyCols.map(col): _*).distinct()
           val tomb = live.join(broadcast(keys), keyCols, "left_semi")
             .select(col("_snap_file").as("file"), col("_snap_pos").as("pos"))
@@ -1944,7 +1956,7 @@ object Snapshots {
       val liveOpt =
         if (prev.files.isEmpty) None
         else Some(subtractDeletes(spark, table,
-          withMetaEras(spark, table, prev), prev.deletes))
+          withMetaEras(spark, table, prev), prev.deletes, prev.renames))
       val targetCols = liveOpt.map(_.columns.toSeq
         .filterNot(Set("_snap_file", "_snap_pos", RowIdCol))).getOrElse(Nil)
       val liveTypes = liveOpt.map(_.schema.fields
@@ -2056,7 +2068,8 @@ object Snapshots {
         else {
           // era-aware live view: the predicate speaks CURRENT names
           val live = subtractDeletes(spark, table,
-            withMetaEras(spark, table, prev.get), prevDeletes)
+            withMetaEras(spark, table, prev.get), prevDeletes,
+            prev.get.renames)
           val tomb = live.filter(pred)
             .select(col("_snap_file").as("file"), col("_snap_pos").as("pos"))
           writeDeletes(spark, table, tomb)
@@ -2129,7 +2142,7 @@ object Snapshots {
         else {
           val live = subtractDeletes(spark, table,
             withMetaEras(spark, table, prev.copy(files = boundary)),
-            prev.deletes)
+            prev.deletes, prev.renames)
           val types = live.schema.fields.map(f => f.name -> f.dataType).toMap
           val v = statsExpr(statName, types)
           val tomb = live.filter(v >= lit(lo) && v <= lit(hi))
@@ -2211,11 +2224,16 @@ object Snapshots {
     // way the read path does ([[eraRead]]) — a plain withMeta would
     // throw (or miss old-era rows) on an evolved table.
     val base = subtractDeletes(spark, table,
-      withMetaEras(spark, table, s), pos)
+      withMetaEras(spark, table, s), pos, s.renames)
     val ops = new FileOps(spark.sparkContext.hadoopConfiguration)
     val tombs = eq.map { e =>
       import spark.implicits._
-      val keys = spark.read.parquet(s"${filePath(table, e)}/keys").distinct()
+      // keys written before a RENAME resolve through the chain, the
+      // same mapping [[eqDeleteParts]] serves the read path
+      val rawKeys = spark.read.parquet(s"${filePath(table, e)}/keys")
+      val keys = rawKeys
+        .toDF(rawKeys.columns.map(c => renamedName(s.renames, c)): _*)
+        .distinct()
       val scopeManifests = Json
         .parseObject(ops.readString(s"${filePath(table, e)}/scope.json"))
         .get("manifests").map(_.asInstanceOf[Seq[Any]].map(_.toString))
@@ -2281,7 +2299,8 @@ object Snapshots {
         (prevManifests, prevDeletes, prevRenames, prevDrops)
       else {
         val live = subtractDeletes(spark, table,
-          withMetaEras(spark, table, prev.get), prevDeletes)
+          withMetaEras(spark, table, prev.get), prevDeletes,
+          prev.get.renames)
         val matched = live.filter(pred)
         // tombstone every matched live copy (delete half of the pair)
         val tomb = matched
@@ -2396,8 +2415,8 @@ object Snapshots {
       if (eqDels.isEmpty) Nil
       else {
         val base = subtractDeletes(spark, src,
-          withMetaEras(spark, src, s), posDels)
-        val hits = eqDels.map(e => eqDeleteHits(spark, src, base, e))
+          withMetaEras(spark, src, s), posDels, s.renames)
+        val hits = eqDels.map(e => eqDeleteHits(spark, src, base, e, s.renames))
           .reduce(_ unionAll _).distinct()
           .select(col("_snap_file").as("file"), col("_snap_pos").as("pos"))
         writeDeletes(spark, dst, dstCanonical(hits))
@@ -2736,7 +2755,8 @@ object Snapshots {
       if (hot.isEmpty) return noop
       val hotSet = hot.toSet
       val live = subtractDeletes(spark, table,
-          withMetaEras(spark, table, prev.copy(files = hot)), prev.deletes)
+          withMetaEras(spark, table, prev.copy(files = hot)), prev.deletes,
+          prev.renames)
         .drop("_snap_file", "_snap_pos")
       val (staged, stagedStats, _, stagedSchemas) =
         stage(spark, table, live.coalesce(math.max(1, hot.size / 2)),
@@ -2778,7 +2798,7 @@ object Snapshots {
       math.min(small.size.toLong, small.map(_._2).sum / minBytes)).toInt
     val live = subtractDeletes(spark, table,
         withMetaEras(spark, table, prev.copy(files = small.map(_._1))),
-        prev.deletes)
+        prev.deletes, prev.renames)
       .drop("_snap_file", "_snap_pos")
     // `OPTIMIZE ... ZORDER BY (c1, c2)`: instead of packing arbitrary
     // rows together, lay the rewritten tail out along the Morton curve
@@ -2866,7 +2886,7 @@ object Snapshots {
           // those, or the feed inserts rows dead at v2. Pre-window eq
           // deletes cannot cover post-window files, so only newEq folds.
           val afterEq = newEq.foldLeft(rows)(
-            (d, e) => applyEqDelete(spark, table, d, e))
+            (d, e) => applyEqDelete(spark, table, d, e, s2.renames))
           tombs.fold(afterEq)(t => afterEq.join(broadcast(t),
               afterEq("_snap_file") === t("file") &&
                 afterEq("_snap_pos") === t("pos"),
@@ -2889,9 +2909,10 @@ object Snapshots {
             "left_semi"))
           // eq-delete delete images: rows of retained files the new eq
           // deletes suppress — key semi-join within each delete's scope
-          val eqHit = newEq.map(e => eqDeleteHits(spark, table, old, e))
+          val eqHit = newEq.map(e =>
+            eqDeleteHits(spark, table, old, e, s2.renames))
           val hit = (posHit.toSeq ++ eqHit).reduce(_ unionAll _).distinct()
-          subtractDeletes(spark, table, hit, s1.deletes)
+          subtractDeletes(spark, table, hit, s1.deletes, s2.renames)
             .drop("_snap_file", "_snap_pos")
             .withColumn("_change_type", lit("delete"))
         }
@@ -2899,7 +2920,8 @@ object Snapshots {
         if (dropped.isEmpty) None
         else Some {
           subtractDeletes(spark, table,
-              withMetaEras(spark, table, s2.copy(files = dropped)), s1.deletes)
+              withMetaEras(spark, table, s2.copy(files = dropped)),
+              s1.deletes, s2.renames)
             .drop("_snap_file", "_snap_pos")
             .withColumn("_change_type", lit("delete"))
         }
@@ -2929,10 +2951,11 @@ object Snapshots {
           // tombstones land in s2.deletes and the subtraction below
           // cancels the revival exactly, so the feed is empty (the
           // live view did not change)
-          val eqRevived = remEq.map(e => eqDeleteHits(spark, table, rows, e))
+          val eqRevived = remEq.map(e =>
+            eqDeleteHits(spark, table, rows, e, s2.renames))
           val revived = (posRevived.toSeq ++ eqRevived)
             .reduce(_ unionAll _).distinct()
-          subtractDeletes(spark, table, revived, s2.deletes)
+          subtractDeletes(spark, table, revived, s2.deletes, s2.renames)
             .drop("_snap_file", "_snap_pos")
             .withColumn("_change_type", lit("insert"))
         }
@@ -2970,7 +2993,8 @@ object Snapshots {
         if (prev.forall(_.files.isEmpty)) Nil
         else {
           val live = subtractDeletes(spark, table,
-            withMetaEras(spark, table, prev.get), prevDeletes)
+            withMetaEras(spark, table, prev.get), prevDeletes,
+            prev.get.renames)
           val tomb = live.join(broadcast(deletes), keyCols, "left_semi")
             .select(col("_snap_file").as("file"), col("_snap_pos").as("pos"))
           writeDeletes(spark, table, tomb)

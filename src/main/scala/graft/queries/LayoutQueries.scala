@@ -1353,6 +1353,71 @@ object LayoutQueries {
       .withColumn("clone_after_ok", lit(cloneAfterOk))
   }
 
+  /** q242 — EQUALITY DELETES ACROSS COLUMN RENAMES (Iceberg identifier
+    * fields survive schema evolution by field id; our name-chain
+    * equivalent resolves a delete's stored key columns through every
+    * rename committed after it): a CDC writer lands key-deletes, a
+    * schema migration renames the key column TWICE (`o_orderkey` →
+    * `order_id` → `oid`), and the deletes keep applying — the read
+    * path serves the stored `o_orderkey` keys under `oid`
+    * ([[graft.lake.Snapshots]] `eqDeleteParts` rename mapping), the
+    * change feed crossing both the delete and the renames emits its
+    * delete images under the CURRENT name (`chain_resolved` /
+    * `feed_under_current_name`), and `materializeEqDeletes` converts
+    * the old-name keys to positional tombstones losslessly
+    * (`materialize_lossless`). Without the chain mapping every one of
+    * these would either miss all rows or throw on the unresolvable
+    * column — the exact failure a production table hits the first time
+    * a migration renames a CDC key. */
+  def eqDeleteRename(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Snapshots
+    val root = graft.util.Scratch.dir("eqren", dir)
+    val table = s"$root/orders_eqren"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+    val orders = Tables(spark, dir, "orders")
+    val evens = orders.filter(col("o_orderkey") % 2 === 0)
+    val v1 = Snapshots.append(spark, table, evens)
+    val keys = orders.filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey"))
+    val nKeys = keys.count()
+    Snapshots.deleteByKeys(spark, table, keys)
+    // two renames AFTER the delete: stored keys must resolve through
+    // the whole chain, not just one hop
+    Snapshots.renameColumn(spark, table, "o_orderkey", "order_id")
+    val vRen2 = Snapshots.renameColumn(spark, table, "order_id", "oid")
+    val live = Snapshots.readLatest(spark, table).get
+    val chainResolved = live.columns.contains("oid") &&
+      live.filter(col("oid") % 10 === 0).count() == 0 &&
+      live.count() == evens.count() - nKeys
+    // feed across (append .. rename2]: the eq delete's images surface
+    // under the CURRENT name with _change_type=delete, nothing else
+    val feed = Snapshots.changesBetween(spark, table, v1, vRen2).get
+    val feedUnderCurrentName = feed.columns.contains("oid") &&
+      feed.filter(col("_change_type") === "delete").count() == nKeys &&
+      feed.filter(col("_change_type") =!= "delete").count() == 0
+    def fp(): (Long, Long) = {
+      val r = Snapshots.readLatest(spark, table).get.agg(
+        sum(pmod(xxhash64(col("oid"),
+          Num.cents(col("o_totalprice"))), lit(2147483647L))).as("_f"),
+        count(lit(1)).as("_n")).head
+      (r.getLong(0), r.getLong(1))
+    }
+    val before = fp()
+    Snapshots.materializeEqDeletes(spark, table).get
+    val materializeLossless = fp() == before
+    val eqCleared = Snapshots
+      .snapshot(spark, table, Snapshots.latestVersion(spark, table).get)
+      .get.deletes.forall(f => !Snapshots.isEqDelete(f))
+    Snapshots.readLatest(spark, table).get
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(Num.cents(col("o_totalprice"))).as("sum_cents"))
+      .withColumn("chain_resolved", lit(chainResolved))
+      .withColumn("feed_under_current_name", lit(feedUnderCurrentName))
+      .withColumn("materialize_lossless", lit(materializeLossless))
+      .withColumn("eq_cleared", lit(eqCleared))
+  }
+
   /** q236 — SQL TIME TRAVEL BY TAG (`VERSION AS OF 'name'` — the
     * Iceberg named-ref read over the q221 tag store): a tag pinned
     * before later writes serves the EXACT tagged state to any SQL
@@ -2340,6 +2405,15 @@ object LayoutQueries {
              true AS materialize_lossless, true AS eq_cleared,
              true AS clone_after_ok
       FROM orders WHERE o_orderkey % 2 = 0
+      GROUP BY 1""")),
+    QueryDef("q242_eq_delete_rename", eqDeleteRename, Some(s"""
+      SELECT o_orderpriority, COUNT(*) AS n_rows,
+             CAST(SUM(${Num.sqlCents("o_totalprice")}) AS BIGINT)
+               AS sum_cents,
+             true AS chain_resolved, true AS feed_under_current_name,
+             true AS materialize_lossless, true AS eq_cleared
+      FROM orders
+      WHERE o_orderkey % 2 = 0 AND o_orderkey % 10 <> 0
       GROUP BY 1""")),
     QueryDef("q241_refs_metadata", refsMetadataTable, Some("""
       SELECT * FROM (VALUES

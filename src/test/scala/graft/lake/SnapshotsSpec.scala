@@ -1527,6 +1527,31 @@ class SnapshotsSpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("eq-delete keys written BEFORE a rename still match after it") {
+    val t = fresh("eqpre")
+    val base = orders.limit(60).cache()
+    Snapshots.append(spark, t, base)
+    import spark.implicits._
+    // delete keyed on the ORIGINAL name, then rename the key column:
+    // Iceberg identifier fields survive by field id; our name chain
+    // must map the stored key column o_orderkey -> order_id on read
+    Snapshots.deleteByKeys(spark, t, base.select(col("o_orderkey")).limit(10))
+    Snapshots.renameColumn(spark, t, "o_orderkey", "order_id")
+    val dead = base.select(col("o_orderkey")).limit(10)
+      .as[Long].collect().toSet
+    val survivors = base.select(col("o_orderkey")).as[Long].collect()
+      .filterNot(dead).sorted.toSeq
+    // read path resolves the old-name keys through the chain
+    val got = Snapshots.readLatest(spark, t).get
+      .select(col("order_id")).as[Long].collect().sorted.toSeq
+    assert(got == survivors)
+    // materializer resolves them identically (same live view after)
+    Snapshots.materializeEqDeletes(spark, t).get
+    val got2 = Snapshots.readLatest(spark, t).get
+      .select(col("order_id")).as[Long].collect().sorted.toSeq
+    assert(got2 == survivors)
+  }
+
   test("null-keyed equality deletes match null rows (Iceberg v2)") {
     val t = fresh("eqnull")
     import spark.implicits._
