@@ -1916,12 +1916,24 @@ object Snapshots {
       cond: Option[org.apache.spark.sql.Column] = None,
       values: Map[String, org.apache.spark.sql.Column] = Map.empty)
     extends MergeClause
+  /** `WHEN NOT MATCHED BY SOURCE` (Delta's full-sync third family):
+    * applies to TARGET rows with no source key match — conditions and
+    * `set` right-hand sides may reference target columns only. */
+  final case class WhenNotMatchedBySourceUpdate(
+      cond: Option[org.apache.spark.sql.Column] = None,
+      set: Map[String, org.apache.spark.sql.Column] = Map.empty)
+    extends MergeClause
+  final case class WhenNotMatchedBySourceDelete(
+      cond: Option[org.apache.spark.sql.Column] = None) extends MergeClause
 
   /** MULTI-CLAUSE MERGE — the full Delta/Iceberg `MERGE INTO`
     * semantics over the same merge-on-read commit as [[merge]]:
     * `WHEN MATCHED [AND cond] THEN UPDATE SET …/DELETE` (first true
     * clause wins, SQL order), `WHEN NOT MATCHED [AND cond] THEN
-    * INSERT …`. One commit publishes: positional tombstones for every
+    * INSERT …`, and `WHEN NOT MATCHED BY SOURCE [AND cond] THEN
+    * UPDATE SET …/DELETE` (the Delta full-sync family: target rows
+    * whose key the source lacks, conditions over target columns
+    * only). One commit publishes: positional tombstones for every
     * matched row a clause claimed (UPDATE tombstones + restages;
     * DELETE tombstones only) plus the staged updated/inserted rows.
     * Matched routing is ONE inner join of the era-aware live view with
@@ -1938,8 +1950,13 @@ object Snapshots {
     require(keyCols.nonEmpty, "mergeWhen needs key columns")
     require(clauses.nonEmpty, "mergeWhen needs at least one WHEN clause")
     val matched = clauses.filter {
-      case _: WhenNotMatchedInsert => false; case _ => true }
+      case _: WhenMatchedUpdate | _: WhenMatchedDelete => true
+      case _ => false }
     val insertClauses = clauses.collect { case c: WhenNotMatchedInsert => c }
+    val bySource = clauses.filter {
+      case _: WhenNotMatchedBySourceUpdate
+         | _: WhenNotMatchedBySourceDelete => true
+      case _ => false }
     val srcCols = source.columns.toSeq
     val src = source.select(srcCols.map(c => col(c).as(s"_src_$c")): _*)
     // null condition = not applied (SQL three-valued WHEN)
@@ -1994,6 +2011,35 @@ object Snapshots {
                 .getOrElse(col(c).as(c))): _*)
         }
         restaged = updates.reduceOption(_ unionAll _)
+      }
+      // ------- not-matched-by-source side (full-sync): target rows
+      // with NO source key, routed by target-only conditions — one
+      // anti join against the broadcast source keys; the live side
+      // never exchanges, and scanning every target row is exactly
+      // what the semantics ask for (the source claims completeness)
+      liveOpt.filter(_ => bySource.nonEmpty).foreach { live =>
+        val srcKeys = source.select(keyCols.map(col): _*).distinct()
+        val orphans = live.join(broadcast(srcKeys), keyCols, "left_anti")
+        val routed = orphans.withColumn("_clause", routeOf(bySource))
+        val affected = routed.filter(col("_clause") >= 0)
+        newDeleteFiles = newDeleteFiles ++ writeDeletes(spark, table,
+          affected.select(col("_snap_file").as("file"),
+            col("_snap_pos").as("pos")))
+        val updates = bySource.zipWithIndex.collect {
+          case (u: WhenNotMatchedBySourceUpdate, i) =>
+            require(u.set.nonEmpty,
+              "WHEN NOT MATCHED BY SOURCE UPDATE needs explicit SET " +
+                "expressions — there are no source columns to star from")
+            val unknown = u.set.keySet -- targetCols.toSet
+            if (unknown.nonEmpty) throw new IllegalArgumentException(
+              s"MERGE UPDATE sets non-existent column(s): " +
+                unknown.mkString(", "))
+            affected.filter(col("_clause") === i)
+              .select(targetCols.map(c => u.set.get(c)
+                .map(_.cast(liveTypes(c)).as(c))
+                .getOrElse(col(c).as(c))): _*)
+        }
+        restaged = (restaged.toSeq ++ updates).reduceOption(_ unionAll _)
       }
       // ---------------- unmatched side: routed inserts
       val inserted: Option[DataFrame] =
@@ -2263,11 +2309,6 @@ object Snapshots {
         prev.renames, prev.drops)
     })
   }
-
-  private def requireNoEqDeletes(s: Snapshot, what: String): Unit =
-    require(!s.deletes.exists(isEqDelete),
-      s"$what with outstanding equality deletes would mis-handle them: " +
-        "run materializeEqDeletes (or a full optimize) first")
 
   /** Predicate UPDATE (`UPDATE t SET c = expr WHERE pred`) as a
     * merge-on-read commit — the fourth DML leg beside [[append]],
@@ -2569,7 +2610,8 @@ object Snapshots {
       if (a.startsWith(dstRoot + "/")) a.stripPrefix(dstRoot + "/") else a
     }
     val prevMans = sPrev.manifests.toSet
-    val deltaMids = sV.manifests.filterNot(prevMans).map { mid =>
+    val srcDeltaMids = sV.manifests.filterNot(prevMans)
+    val deltaMids = srcDeltaMids.map { mid =>
       val (files, stats, blooms, dirSchemas, _) =
         readManifest(spark, branch, mid)
       writeManifest(spark, dst, files.map(ref),
@@ -2579,15 +2621,33 @@ object Snapshots {
     }
     val prevDels = sPrev.deletes.toSet
     val deltaDelSrc = sV.deletes.filterNot(prevDels)
-    require(deltaDelSrc.forall(!isEqDelete(_)),
-      s"cherry-pick of $branch@$v: the commit added equality deletes, " +
-        "whose manifest-id scope is meaningless in another table — " +
-        "materialize them on the branch first")
+    val (deltaEqSrc, deltaPosSrc) = deltaDelSrc.partition(isEqDelete)
+    // an EQUALITY delete replays rather than copies: its keys are
+    // portable but its scope is a list of the BRANCH's manifest ids,
+    // meaningless in dst — so each one is rewritten as a fresh eq
+    // delete whose scope is dst's live manifests at the pick commit
+    // (exactly the scope a deleteByKeys(dst, keys) issued at the pick
+    // would get: the delete re-applies to dst's state, and rows dst
+    // appends later survive). Whether the source scope covered the
+    // same commit's own new manifests is preserved relative to the
+    // replayed deltaMids.
+    val ops = new FileOps(spark.sparkContext.hadoopConfiguration)
+    val srcDeltaSet = srcDeltaMids.toSet
+    val eqReplays = deltaEqSrc.map { e =>
+      val rel = s"_snap/e-${Naming.newRunId()}"
+      spark.read.parquet(s"${filePath(branch, e)}/keys")
+        .write.mode("overwrite").parquet(s"$dst/$rel/keys")
+      val srcScope = Json
+        .parseObject(ops.readString(s"${filePath(branch, e)}/scope.json"))
+        .get("manifests").map(_.asInstanceOf[Seq[Any]].map(_.toString))
+        .getOrElse(Nil)
+      (rel, srcScope.exists(srcDeltaSet))
+    }
     val (deltaDeletes, anchors) =
-      if (deltaDelSrc.isEmpty) (Nil, Set.empty[String])
+      if (deltaPosSrc.isEmpty) (Nil, Set.empty[String])
       else {
         val dels = spark.read.parquet(
-            deltaDelSrc.map(f => filePath(branch, f)): _*)
+            deltaPosSrc.map(f => filePath(branch, f)): _*)
           .withColumn("file", regexp_replace(
             when(col("file").startsWith("/"), col("file"))
               .otherwise(concat(lit(srcRoot + "/"), col("file"))),
@@ -2609,7 +2669,17 @@ object Snapshots {
         s"cherry-pick of $branch@$v: its tombstones target " +
           s"${missing.size} file(s) not live in $dst (first: " +
           s"${missing.head}) — the deletion would be silently lost")
-      (prev.manifests ++ deltaMids, prev.deletes ++ deltaDeletes,
+      // scope written per OCC attempt so the replayed delete applies to
+      // exactly the dst state it commits against ([[deleteByKeys]]'
+      // rule); keys matching nothing are fine (Iceberg semantics)
+      eqReplays.foreach { case (rel, coversOwn) =>
+        val scope = if (coversOwn) prev.manifests ++ deltaMids
+          else prev.manifests
+        ops.writeString(s"$dst/$rel/scope.json",
+          Json.render(Map("manifests" -> scope)))
+      }
+      (prev.manifests ++ deltaMids,
+        prev.deletes ++ deltaDeletes ++ eqReplays.map(_._1),
         prev.renames, prev.drops)
     }
   }
@@ -2679,16 +2749,20 @@ object Snapshots {
     * tiny recent commits compacts its tail without ever reading its
     * bulk. Positional deletes are retained for the carried files
     * (tombstones into rewritten files point at dropped paths and match
-    * nothing). Returns None when fewer than two small files exist —
-    * nothing worth rewriting. File sizes come from per-file status
-    * probes here; a production writer records sizes in the manifest at
-    * commit time. */
+    * nothing). Outstanding EQUALITY deletes are safe too: the rewrite
+    * reads the LIVE view (suppressed keys never reach the fresh files,
+    * whose names no scope covers), the deletes stay outstanding for the
+    * carried files their scopes still cover, and the whole scan runs
+    * INSIDE the commit loop so an eq delete committed concurrently is
+    * re-applied on the OCC retry, never lost. Returns None when fewer
+    * than two small files exist — nothing worth rewriting. File sizes
+    * come from per-file status probes here; a production writer records
+    * sizes in the manifest at commit time. */
   def optimizeSmallFiles(spark: SparkSession, table: String,
       minBytes: Long, statsCols: Seq[String] = Nil,
       zorderBy: Option[(String, String)] = None): Option[Int] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val probe = latestSnapshot(spark, table).getOrElse(return None)
-    requireNoEqDeletes(probe, "optimizeSmallFiles")
     def sized(files: Seq[String]): Seq[(String, Long)] = files.map { f =>
       val p = new org.apache.hadoop.fs.Path(filePath(table, f))
       f -> p.getFileSystem(conf).getFileStatus(p).getLen
@@ -2731,11 +2805,17 @@ object Snapshots {
   def optimizeDeletes(spark: SparkSession, table: String,
       minDeleteRatio: Double, statsCols: Seq[String] = Nil): Option[Int] = {
     val probe = latestSnapshot(spark, table).getOrElse(return None)
-    if (probe.deletes.isEmpty) return None
-    requireNoEqDeletes(probe, "optimizeDeletes")
+    if (probe.deletes.forall(isEqDelete)) return None
+    // the RATIO decision reads positional sidecars only (an equality
+    // delete's per-file impact is unknowable without the key join this
+    // function exists to avoid); outstanding eq deletes are still
+    // APPLIED by the rewrite below and carried outstanding for the
+    // cold files their scopes cover — same discipline as
+    // [[optimizeSmallFiles]]
     def hotOf(s: Snapshot): (org.apache.spark.sql.DataFrame, Seq[String]) = {
+      val posDels = s.deletes.filterNot(isEqDelete)
       val allTombs = spark.read
-        .parquet(s.deletes.map(f => filePath(table, f)): _*)
+        .parquet(posDels.map(f => filePath(table, f)): _*)
       val tombCounts = allTombs.groupBy("file").count()
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       (allTombs, s.files.filter { f =>
@@ -2750,7 +2830,7 @@ object Snapshots {
     def content(prev: Snapshot): (Seq[String], Seq[String],
         Seq[(String, String)], Seq[DropSpec]) = {
       val noop = (prev.manifests, prev.deletes, prev.renames, prev.drops)
-      if (prev.deletes.isEmpty) return noop
+      if (prev.deletes.forall(isEqDelete)) return noop
       val (allTombs, hot) = hotOf(prev)
       if (hot.isEmpty) return noop
       val hotSet = hot.toSet
@@ -2776,12 +2856,55 @@ object Snapshots {
       import spark.implicits._
       val hotDf = hot.toDF("file")
       val keep = allTombs.join(broadcast(hotDf), Seq("file"), "left_anti")
-      (Seq(carried, fresh), writeDeletes(spark, table, keep),
+      // outstanding eq deletes carry by reference: the fresh files'
+      // names sit outside every scope (their suppressed rows were
+      // removed by the live-view rewrite), the cold files stay covered
+      (Seq(carried, fresh),
+        prev.deletes.filter(isEqDelete) ++ writeDeletes(spark, table, keep),
         prev.renames, prev.drops)
     }
     Some(commitLoop(spark, table, "optimize") { prevOpt =>
       content(prevOpt.getOrElse(throw new IllegalStateException(
         s"$table disappeared during optimize")))
+    })
+  }
+
+  /** RANGE-SCOPED COMPACTION (Iceberg `rewrite_data_files` with a
+    * filter / Delta `OPTIMIZE … WHERE`): compacts only files whose
+    * log-recorded `column` interval intersects `[lo, hi]` AND are
+    * under `minBytes`; everything else — including small files OUTSIDE
+    * the range — carries by reference, bytes and stats untouched. This
+    * is the maintenance shape a 100 TB streaming table actually
+    * schedules: churn concentrates in recent partitions, so "compact
+    * yesterday" must not even LIST last year's bytes. Selection is
+    * decided entirely from the log (the same per-file stats reads
+    * prune by — files with no recorded stats for `column` are
+    * conservatively IN range); the rewrite reads live rows (positional
+    * AND equality deletes applied, era-aware) and the commit loop
+    * re-decides per OCC attempt. Pass `statsCols` (typically the
+    * partition/stat columns) so the fresh files keep their pruning
+    * power. Returns None when fewer than two files qualify. */
+  def optimizeWhere(spark: SparkSession, table: String, column: String,
+      lo: Double, hi: Double, minBytes: Long,
+      statsCols: Seq[String] = Nil): Option[Int] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val probe = latestSnapshot(spark, table).getOrElse(return None)
+    def split(s: Snapshot): (Seq[(String, Long)], Seq[(String, Long)]) = {
+      val hit = pruneFiles(s, column, lo, hi).toSet
+      s.files.map { f =>
+        val p = new org.apache.hadoop.fs.Path(filePath(table, f))
+        f -> p.getFileSystem(conf).getFileStatus(p).getLen
+      }.partition { case (f, b) => hit(f) && b < minBytes }
+    }
+    if (split(probe)._1.size <= 1) return None
+    Some(commitLoop(spark, table, "optimize") { prevOpt =>
+      val prev = prevOpt.getOrElse(throw new IllegalStateException(
+        s"$table disappeared during optimize"))
+      val (small, big) = split(prev)
+      if (small.size <= 1)
+        (prev.manifests, prev.deletes, prev.renames, prev.drops)
+      else compactContent(spark, table, prev, small, big, minBytes,
+        statsCols, None)
     })
   }
 

@@ -250,10 +250,10 @@ case class SnapshotDmlRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     * takes the cheap latest-wins path ([[SnapshotMergeCommand]] →
     * [[Snapshots.merge]], which never inner-joins). Everything else —
     * conditional clauses, multiple clauses, `WHEN MATCHED … DELETE`,
-    * non-identity assignments — routes to the full multi-clause
-    * semantics ([[SnapshotMergeWhenCommand]] →
-    * [[Snapshots.mergeWhen]]). Only NOT-MATCHED-BY-SOURCE clauses and
-    * non-equi merge conditions are refused, with the precise reason. */
+    * non-identity assignments, `WHEN NOT MATCHED BY SOURCE` — routes
+    * to the full multi-clause semantics ([[SnapshotMergeWhenCommand]]
+    * → [[Snapshots.mergeWhen]]). Only non-equi merge conditions are
+    * refused, with the precise reason. */
   private def convertMerge(m: MergeIntoTable, path: String): LogicalPlan = {
     def unsupported(why: String) = throw new UnsupportedOperationException(
       s"MERGE INTO on a snapshot table: $why")
@@ -276,9 +276,6 @@ case class SnapshotDmlRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         s"merge condition must be equalities of same-named target/source " +
           s"columns, got ${other.sql}")
     }
-    m.notMatchedBySourceActions.foreach(_ =>
-      unsupported("WHEN NOT MATCHED BY SOURCE is not supported"))
-
     // ---- fast path: unconditional star upsert → latest-wins merge
     def identityAssigns(assigns: Seq[Assignment]): Boolean =
       assigns.forall { a =>
@@ -305,7 +302,8 @@ case class SnapshotDmlRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     val sourceCoversTarget = targetOut.map(_.name)
       .forall(sourceOut.map(_.name).toSet)
     (starUpdate, starInsert) match {
-      case (Some(u), Some(i)) if (u || i) && sourceCoversTarget =>
+      case (Some(u), Some(i)) if (u || i) && sourceCoversTarget &&
+          m.notMatchedBySourceActions.isEmpty =>
         return SnapshotMergeCommand(path, m.sourceTable,
           targetOut.map(_.name), keys.distinct,
           updateOnly = !i, insertOnly = !u)
@@ -349,10 +347,23 @@ case class SnapshotDmlRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           assignMap(assigns, "WHEN NOT MATCHED INSERT"))
       case other => unsupported(s"unsupported not-matched action $other")
     }
-    if (matched.isEmpty && notMatched.isEmpty)
+    // target-only by construction: Spark's analyzer rejects source
+    // references inside NOT MATCHED BY SOURCE conditions/assignments,
+    // so srcAware's source branch never fires here
+    val bySource: Seq[Snapshots.MergeClause] =
+      m.notMatchedBySourceActions.map {
+        case UpdateAction(cond, assigns, _) =>
+          Snapshots.WhenNotMatchedBySourceUpdate(cond.map(srcAware),
+            assignMap(assigns, "WHEN NOT MATCHED BY SOURCE UPDATE"))
+        case DeleteAction(cond) =>
+          Snapshots.WhenNotMatchedBySourceDelete(cond.map(srcAware))
+        case other =>
+          unsupported(s"unsupported not-matched-by-source action $other")
+      }
+    if (matched.isEmpty && notMatched.isEmpty && bySource.isEmpty)
       unsupported("at least one WHEN clause is required")
     SnapshotMergeWhenCommand(path, m.sourceTable, keys.distinct,
-      matched ++ notMatched)
+      matched ++ notMatched ++ bySource)
   }
 }
 

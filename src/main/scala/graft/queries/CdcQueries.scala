@@ -110,6 +110,67 @@ object CdcQueries {
     spark.sql(s"SELECT ${custCols.mkString(", ")} FROM $cat.customer_mw")
   }
 
+  /** q243 — FULL-SYNC `MERGE INTO` WITH `WHEN NOT MATCHED BY SOURCE`
+    * (Delta's third clause family, [[graft.lake.Snapshots.mergeWhen]]
+    * `WhenNotMatchedBySource*`): the source claims COMPLETENESS — a
+    * nightly dimension snapshot replacing upstream state — so target
+    * rows whose key the source no longer carries must be reconciled
+    * too: here deleted when their balance is small, marked stale
+    * (`c_acctbal = -1`) otherwise, with the conditions referencing
+    * TARGET columns only (there is no source row to speak of). One
+    * merge-on-read commit: the by-source side is one anti join of the
+    * live view against the broadcast source keys — the live side never
+    * exchanges, and scanning every target row is exactly what
+    * full-sync semantics require. The result is the full post-sync
+    * table, hash-matched against the declarative replay. */
+  def mergeFullSync(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Snapshots
+    val root = graft.util.Scratch.dir("mrgsync", dir)
+    val table = s"$root/customer_fs"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+    val cust = Tables(spark, dir, "customer").select(custCols.map(col): _*)
+    Snapshots.append(spark, table, cust)
+    // the upstream truth: keys ending 0-6 survive with bumped balances;
+    // 7-9 vanished upstream; a decile of new keys appears
+    val present = cust.filter(col("c_custkey") % 10 < 7)
+      .withColumn("c_acctbal", col("c_acctbal") + 100.0)
+    val fresh = cust.filter(col("c_custkey") % 10 === 3)
+      .withColumn("c_name",
+        concat(lit("NEW-"), col("c_custkey").cast(StringType)))
+      .withColumn("c_custkey", col("c_custkey") + 1000000L)
+      .withColumn("c_acctbal", lit(0.0))
+    present.unionByName(fresh).createOrReplaceTempView("fs_truth")
+    val cat = s"fs_${Integer.toHexString(dir.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.lake.SnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"""MERGE INTO $cat.customer_fs AS tgt
+      USING fs_truth AS src
+      ON tgt.c_custkey = src.c_custkey
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *
+      WHEN NOT MATCHED BY SOURCE AND tgt.c_acctbal < 5000.0 THEN DELETE
+      WHEN NOT MATCHED BY SOURCE THEN UPDATE SET c_acctbal = -1.0""")
+    spark.sql(s"SELECT ${custCols.mkString(", ")} FROM $cat.customer_fs")
+  }
+
+  private val mergeFullSyncOracle: String = """
+    WITH up AS (
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100.0 AS c_acctbal,
+        c_mktsegment
+      FROM customer WHERE c_custkey % 10 < 7),
+    stale AS (
+      SELECT c_custkey, c_name, c_nationkey, -1.0 AS c_acctbal, c_mktsegment
+      FROM customer WHERE c_custkey % 10 >= 7 AND c_acctbal >= 5000.0),
+    ins AS (
+      SELECT c_custkey + 1000000 AS c_custkey,
+        'NEW-' || CAST(c_custkey AS VARCHAR) AS c_name,
+        c_nationkey, 0.0 AS c_acctbal, c_mktsegment
+      FROM customer WHERE c_custkey % 10 = 3)
+    SELECT * FROM up
+    UNION ALL SELECT * FROM stale
+    UNION ALL SELECT * FROM ins"""
+
   /** q240 — STREAMING CDC SINK VIA EQUALITY DELETES
     * ([[graft.lake.Snapshots.deleteByKeys]] composed with the q156
     * exactly-once discipline — the write path q237's mechanism was
@@ -491,6 +552,8 @@ object CdcQueries {
     QueryDef("q139_gdpr_delete", gdprDelete, Some(gdprOracle)),
     QueryDef("q100_cdc_merge", cdcMergeCustomers, Some(cdcMergeOracle)),
     QueryDef("q239_merge_when", mergeWhenCdc, Some(cdcMergeOracle)),
+    QueryDef("q243_merge_full_sync", mergeFullSync,
+      Some(mergeFullSyncOracle)),
     QueryDef("q240_streaming_eq_delete_sink", streamingEqDeleteSink,
       Some(streamingEqDeleteOracle)),
     QueryDef("q101_scd2_history", scdOrderHistory, Some(scdOracle)),

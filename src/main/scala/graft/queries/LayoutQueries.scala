@@ -1418,6 +1418,70 @@ object LayoutQueries {
       .withColumn("eq_cleared", lit(eqCleared))
   }
 
+  /** q244 — RANGE-SCOPED COMPACTION
+    * ([[graft.lake.Snapshots.optimizeWhere]] — Iceberg
+    * `rewrite_data_files` with a filter / Delta `OPTIMIZE … WHERE`):
+    * the maintenance job a streaming table actually schedules —
+    * "compact the hot range" — must not even LIST the cold bytes. The
+    * gate lands three key bands as separate commits (two files each),
+    * compacts ONLY the top band, and pins from the log: every
+    * out-of-range file carried byte-identical BY NAME
+    * (`cold_untouched`), the in-range files replaced by exactly one
+    * fresh file (`hot_compacted`), post-compaction stat pruning still
+    * serving range reads off the fresh file alone (`pruning_kept`,
+    * inputFiles-pinned), and the live view unchanged (the final
+    * aggregate is the cross-engine witness). Selection is log-only;
+    * cost is O(hot bytes + total-files metadata), never O(table). */
+  def optimizeWhereScoped(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Snapshots
+    val root = graft.util.Scratch.dir("optwhere", dir)
+    val table = s"$root/orders_ow"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+    val orders = Tables(spark, dir, "orders")
+    val maxKey = orders.agg(max(col("o_orderkey"))).head.getLong(0)
+    val (b1, b2) = (maxKey / 3, 2 * maxKey / 3)
+    def band(loK: Long, hiK: Long) = orders
+      .filter(col("o_orderkey") >= loK && col("o_orderkey") < hiK)
+    def filesNow() = Snapshots
+      .snapshot(spark, table, Snapshots.latestVersion(spark, table).get)
+      .get.files.toSet
+    Snapshots.append(spark, table, band(0, b1).repartition(2),
+      statsCols = Seq("o_orderkey"))
+    val f1 = filesNow()
+    Snapshots.append(spark, table, band(b1, b2).repartition(2),
+      statsCols = Seq("o_orderkey"))
+    val f2 = filesNow() -- f1
+    Snapshots.append(spark, table, band(b2, maxKey + 1).repartition(2),
+      statsCols = Seq("o_orderkey"))
+    val f3 = filesNow() -- f1 -- f2
+    Snapshots.optimizeWhere(spark, table, "o_orderkey",
+      b2.toDouble, maxKey.toDouble + 1, minBytes = 512L * 1024 * 1024,
+      statsCols = Seq("o_orderkey")).get
+    val after = filesNow()
+    val fresh = after -- f1 -- f2
+    val coldUntouched = (f1 ++ f2).subsetOf(after)
+    val hotCompacted = after.intersect(f3).isEmpty && fresh.size == 1
+    // stat pruning survives the rewrite: a top-band read resolves to
+    // the ONE fresh file, a bottom-band read to band 1's files only
+    val v = Snapshots.latestVersion(spark, table).get
+    val hotRead = Snapshots.readAtPruned(spark, table, v, "o_orderkey",
+      b2.toDouble, maxKey.toDouble + 1).get
+    val coldRead = Snapshots.readAtPruned(spark, table, v, "o_orderkey",
+      0.0, b1.toDouble - 1).get
+    def resolved(df: DataFrame) =
+      df.inputFiles.map(_.split("/_snap/").last).toSet
+    def rel(fs: Set[String]) = fs.map(_.stripPrefix("_snap/"))
+    val pruningKept = resolved(hotRead).subsetOf(rel(fresh)) &&
+      resolved(coldRead).subsetOf(rel(f1))
+    Snapshots.readLatest(spark, table).get
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(Num.cents(col("o_totalprice"))).as("sum_cents"))
+      .withColumn("cold_untouched", lit(coldUntouched))
+      .withColumn("hot_compacted", lit(hotCompacted))
+      .withColumn("pruning_kept", lit(pruningKept))
+  }
+
   /** q236 — SQL TIME TRAVEL BY TAG (`VERSION AS OF 'name'` — the
     * Iceberg named-ref read over the q221 tag store): a tag pinned
     * before later writes serves the EXACT tagged state to any SQL
@@ -2405,6 +2469,14 @@ object LayoutQueries {
              true AS materialize_lossless, true AS eq_cleared,
              true AS clone_after_ok
       FROM orders WHERE o_orderkey % 2 = 0
+      GROUP BY 1""")),
+    QueryDef("q244_optimize_where", optimizeWhereScoped, Some(s"""
+      SELECT o_orderpriority, COUNT(*) AS n_rows,
+             CAST(SUM(${Num.sqlCents("o_totalprice")}) AS BIGINT)
+               AS sum_cents,
+             true AS cold_untouched, true AS hot_compacted,
+             true AS pruning_kept
+      FROM orders
       GROUP BY 1""")),
     QueryDef("q242_eq_delete_rename", eqDeleteRename, Some(s"""
       SELECT o_orderpriority, COUNT(*) AS n_rows,

@@ -413,12 +413,24 @@ class SnapshotCatalogSpec extends SparkTestBase {
     def all(x: Throwable): String =
       if (x == null) "" else x.getMessage + all(x.getCause)
     assert(all(e).contains("ambiguous"), all(e))
-    // NOT MATCHED BY SOURCE stays refused with the reason
-    val e2 = intercept[Exception](spark.sql(
-      s"""MERGE INTO $cat.t AS tgt USING cm_src AS src ON tgt.k = src.k
-        WHEN MATCHED THEN UPDATE SET *
-        WHEN NOT MATCHED BY SOURCE THEN DELETE"""))
-    assert(all(e2).contains("NOT MATCHED BY SOURCE"), all(e2))
+    // NOT MATCHED BY SOURCE (full-sync family): target rows whose key
+    // the source lacks route by TARGET-only conditions — first-true
+    // wins: k=3 (p=30 < 35) deletes, k=4 (p=40) marks stale
+    Seq((1L, "t", 0.0), (5L, "t", 0.0)).toDF("k", "g", "p")
+      .createOrReplaceTempView("cm_sync")
+    spark.sql(s"""MERGE INTO $cat.t AS tgt USING cm_sync AS src
+      ON tgt.k = src.k
+      WHEN NOT MATCHED BY SOURCE AND tgt.p < 35.0 THEN DELETE
+      WHEN NOT MATCHED BY SOURCE THEN UPDATE SET g = 'stale'""")
+    val got2 = spark.sql(s"SELECT k, g, p FROM $cat.t ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .toSeq
+    assert(got2 == Seq(
+      (1L, "upd", 110.0), // matched by source: untouched
+      (4L, "stale", 40.0), // by-source, condition false → second clause
+      (5L, "new", 100.0)   // matched by source: untouched
+      // 3 deleted by the conditional by-source DELETE
+    ), got2.toString)
     org.apache.commons.io.FileUtils.deleteQuietly(new File(root))
   }
 

@@ -1706,6 +1706,80 @@ class SnapshotsSpec extends SparkTestBase {
     org.apache.commons.io.FileUtils.deleteQuietly(new File(t).getParentFile)
   }
 
+  test("targeted compactions run under outstanding eq deletes") {
+    val t = fresh("eqopt")
+    import spark.implicits._
+    val base = orders.limit(60).cache()
+    val keys = base.select(col("o_orderkey")).as[Long].collect().sorted
+    // three one-file commits so there is a small-file tail to compact
+    Seq(keys.slice(0, 20), keys.slice(20, 40), keys.slice(40, 60))
+      .foreach { ks =>
+        Snapshots.append(spark, t,
+          base.filter(col("o_orderkey").isin(ks.map(Long.box): _*))
+            .coalesce(1))
+      }
+    Snapshots.deleteByKeys(spark, t, keys.take(10).toSeq.toDF("o_orderkey"))
+    // reinsert 3 deleted keys AFTER the eq delete: its scope protects
+    // them, and compaction must keep protecting them
+    Snapshots.append(spark, t,
+      base.filter(col("o_orderkey").isin(keys.take(3).map(Long.box): _*)))
+    // positional debt into the middle file for the ratio decision
+    Snapshots.deleteWhere(spark, t, col("o_orderkey") === keys(25))
+    val want = 60 - 10 + 3 - 1
+    def liveKeys() = Snapshots.readLatest(spark, t).get
+      .select(col("o_orderkey")).as[Long].collect().sorted.toSeq
+    val wantKeys = liveKeys()
+    assert(wantKeys.size == want)
+    // delete-ratio compaction: decides from POSITIONAL sidecars only,
+    // applies the eq delete in the rewrite, carries it outstanding
+    Snapshots.optimizeDeletes(spark, t, minDeleteRatio = 1e-9).get
+    assert(liveKeys() == wantKeys)
+    assert(Snapshots.snapshot(spark, t,
+      Snapshots.latestVersion(spark, t).get).get
+      .deletes.exists(Snapshots.isEqDelete))
+    // small-file compaction under the same debt
+    Snapshots.optimizeSmallFiles(spark, t, minBytes = 10L * 1000 * 1000).get
+    assert(liveKeys() == wantKeys)
+    // materializing afterwards is a no-op on the live view
+    Snapshots.materializeEqDeletes(spark, t)
+    assert(liveKeys() == wantKeys)
+  }
+
+  test("cherryPick replays an eq-delete commit re-scoped to the target") {
+    val t = fresh("eqpick")
+    import spark.implicits._
+    val base = orders.limit(60).cache()
+    val keys = base.select(col("o_orderkey")).as[Long].collect().sorted
+    val evens = base.filter(col("o_orderkey") % 2 === 0)
+    Snapshots.append(spark, t, evens)
+    // branch off, key-delete on the branch (v2 there)
+    val br = s"${new File(t).getParent}/br"
+    Snapshots.shallowClone(spark, t, br)
+    val delKeys = keys.filter(_ % 10 == 0).take(5).toSeq
+    val vDel = Snapshots.deleteByKeys(spark, br, delKeys.toDF("o_orderkey"))
+    // main diverges: appends odd keys — fast-forward no longer applies
+    Snapshots.append(spark, t, base.filter(col("o_orderkey") % 2 === 1))
+    // the pick replays the delete re-scoped to MAIN's live manifests:
+    // the keys intent transfers, the branch's manifest ids do not
+    Snapshots.cherryPick(spark, t, br, vDel)
+    val got = Snapshots.readLatest(spark, t).get
+      .select(col("o_orderkey")).as[Long].collect().sorted.toSeq
+    assert(got == keys.filterNot(delKeys.toSet).toSeq)
+    val s = Snapshots.snapshot(spark, t,
+      Snapshots.latestVersion(spark, t).get).get
+    assert(s.deletes.exists(Snapshots.isEqDelete))
+    // rows appended AFTER the pick survive (fresh-deleteByKeys scoping)
+    Snapshots.append(spark, t,
+      base.filter(col("o_orderkey").isin(delKeys.take(2).map(Long.box): _*)))
+    assert(Snapshots.readLatest(spark, t).get.count() ==
+      60 - delKeys.size + 2)
+    // and the replayed delete materializes on the target
+    Snapshots.materializeEqDeletes(spark, t).get
+    assert(Snapshots.readLatest(spark, t).get.count() ==
+      60 - delKeys.size + 2)
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(t).getParentFile)
+  }
+
   test("all-digit tag names are refused (version-literal shadowing)") {
     val t = fresh("tagdig")
     Snapshots.append(spark, t, orders.limit(5))
