@@ -166,7 +166,7 @@ final class SnapshotCatalog extends TableCatalog {
       s"version $v of ${ident.name()} has no data files (schema unknown " +
         "to the log); read it via Snapshots.readAt, which returns empty")
     if (s.deletes.nonEmpty || s.renames.nonEmpty || s.drops.nonEmpty ||
-        erasWiden(s) ||
+        s.defaults.nonEmpty || erasWiden(s) ||
         // row-id-materialized files carry the hidden physical id column
         // (Snapshots.optimizeRowIds) — a bare parquet scan would surface
         // it to SQL; the readAt plan hides it

@@ -1,7 +1,7 @@
 package graft.lake
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{arrays_overlap, broadcast, coalesce, col, collect_set, concat, lit, max, min, regexp_replace, when}
+import org.apache.spark.sql.functions.{arrays_overlap, broadcast, coalesce, col, collect_set, concat, expr, lit, max, min, regexp_replace, when}
 import org.apache.spark.sql.types._
 
 /** Versioned snapshot log — TIME TRAVEL, incremental reads, merge-on-read
@@ -83,7 +83,8 @@ object Snapshots {
       op: String = "",
       constraints: Seq[(String, String)] = Nil,
       partitionSpec: Seq[String] = Nil,
-      ref: String = "")
+      ref: String = "",
+      defaults: Seq[(String, String)] = Nil)
 
   /** Resolve a manifest file reference to a readable path. References
     * are table-relative in the common case; a [[shallowClone]] carries
@@ -263,11 +264,18 @@ object Snapshots {
       }
       case _ => Nil
     }
+    val defaults: Seq[(String, String)] = m.get("defaults") match {
+      case Some(ds: Seq[_]) => ds.map { d =>
+        val pair = d.asInstanceOf[Seq[Any]]
+        (pair(0).toString, pair(1).toString)
+      }
+      case _ => Nil
+    }
     Some(Snapshot(v, files, strings("deletes"), stats,
       renames, manifestIds, blooms, commitTs, dirSchemas, drops, rowCounts,
       m.get("op").map(_.toString).getOrElse(""), constraints,
       strings("partition_spec"),
-      m.get("ref").map(_.toString).getOrElse("")))
+      m.get("ref").map(_.toString).getOrElse(""), defaults))
   }
 
   /** Commit history of the table as a DataFrame — the `DESCRIBE
@@ -643,7 +651,8 @@ object Snapshots {
       commitTs: Long, op: String = "",
       constraints: Seq[(String, String)] = Nil,
       partitionSpec: Seq[String] = Nil,
-      ref: String = ""): Boolean = {
+      ref: String = "",
+      defaults: Seq[(String, String)] = Nil): Boolean = {
     val conf = spark.sparkContext.hadoopConfiguration
     val ops = new FileOps(conf)
     val dst = new org.apache.hadoop.fs.Path(logPath(table, v))
@@ -659,7 +668,8 @@ object Snapshots {
       "renames" -> renames.map(r => Seq(r._1, r._2)),
       "drops" -> drops.map(d => Seq(d._1, d._2.toLong, d._3)),
       "constraints" -> constraints.map(c => Seq(c._1, c._2)),
-      "partition_spec" -> partitionSpec))
+      "partition_spec" -> partitionSpec,
+      "defaults" -> defaults.map(d => Seq(d._1, d._2))))
     val tmp = s"${logPath(table, v)}.tmp-${Naming.newRunId()}"
     ops.writeString(tmp, json)
     try {
@@ -712,6 +722,10 @@ object Snapshots {
       // appendPartitioned/overwritePartitioned/setPartitionSpec override
       newPartitionSpec: Option[Snapshot] => Option[Seq[String]] =
         _ => None,
+      // column DEFAULTS (initial-default semantics) carry forward;
+      // only setColumnDefault/dropColumnDefault/rename/drop override
+      newDefaults: Option[Snapshot] => Option[Seq[(String, String)]] =
+        _ => None,
       // "" = main; a branch name computes content against the BRANCH
       // head and stamps the published log object with the ref, so main
       // readers skip it ([[mainHeadSnapshot]]) until fast-forwarded
@@ -739,6 +753,8 @@ object Snapshots {
         .getOrElse(prev.map(_.constraints).getOrElse(Nil))
       val partitionSpec = newPartitionSpec(prev)
         .getOrElse(prev.map(_.partitionSpec).getOrElse(Nil))
+      val defaults = newDefaults(prev)
+        .getOrElse(prev.map(_.defaults).getOrElse(Nil))
       // commit timestamps are MONOTONIC and STRICTLY increasing: clock
       // skew or same-millisecond commits would otherwise make
       // TIMESTAMP AS OF resolution ambiguous (two versions at one ts)
@@ -751,7 +767,7 @@ object Snapshots {
         global.map(_.commitTs + 1).getOrElse(0L))
       beforePublish()
       if (tryPublish(spark, table, v, manifests, deletes, renames, drops,
-          commitTs, op, constraints, partitionSpec, toBranch)) {
+          commitTs, op, constraints, partitionSpec, toBranch, defaults)) {
         writeLatestHint(spark, table, v)
         return v
       }
@@ -1468,7 +1484,8 @@ object Snapshots {
     * caller knowing to ask for [[readAtWidened]]. */
   private def readDispatch(spark: SparkSession, table: String,
       s: Snapshot): DataFrame =
-    if (s.renames.nonEmpty || s.drops.nonEmpty) eraRead(spark, table, s)
+    if (s.renames.nonEmpty || s.drops.nonEmpty || s.defaults.nonEmpty)
+      eraRead(spark, table, s)
     else
       try readSnapshot(spark, table, s.files, s.deletes)
       catch {
@@ -1668,10 +1685,56 @@ object Snapshots {
     * versioned with the log). Stats keys follow the rename so log-level
     * pruning keeps working under the current name. Old names are
     * tombstoned against recycling ([[guardRecycledNames]]). */
+  /** Metadata-only COLUMN DEFAULT (Iceberg v3 initial-default / Delta
+    * column DEFAULT, read-side form): rows in files that do not CARRY
+    * `column` surface `defaultSql` (any literal/deterministic SQL
+    * expression) instead of null — the backfill-free way to add a
+    * populated column to a 100 TB table: add the column to new writes,
+    * declare the default, and every pre-existing byte stays untouched
+    * while reads see the value. Versioned with the log (time travel
+    * below the declaration still sees nulls); renames follow the key;
+    * dropping the column drops its default (a re-added same-named
+    * column starts clean, the q192 rule). The column must exist in the
+    * CURRENT live schema — a default for a column no file carries yet
+    * would silently apply to the whole table the moment one write adds
+    * it, which is exactly what the caller asked for, but we still
+    * require the name to be real to catch typos. */
+  def setColumnDefault(spark: SparkSession, table: String, column: String,
+      defaultSql: String): Int = {
+    // validate now: a bad or non-self-contained expression must fail
+    // the DDL, not every read — a default may not reference columns
+    // (it fills rows that don't HAVE the columns), so analyzing it
+    // against a columnless row is exactly the right check
+    spark.range(1).select(expr(defaultSql)).schema
+    commitLoop(spark, table, "set-default", newDefaults = prevOpt => {
+      val prev = prevOpt.getOrElse(throw new IllegalStateException(
+        s"cannot set a default on never-committed table $table"))
+      require(liveNames(spark, table, prev).contains(column),
+        s"no current column named $column")
+      Some(prev.defaults.filterNot(_._1 == column) :+ (column -> defaultSql))
+    }) { prevOpt =>
+      val prev = prevOpt.get
+      (prev.manifests, prev.deletes, prev.renames, prev.drops)
+    }
+  }
+
+  /** Remove a column default — absent-column rows read as null again
+    * (from this version forward; history keeps the default). */
+  def dropColumnDefault(spark: SparkSession, table: String,
+      column: String): Int =
+    commitLoop(spark, table, "drop-default", newDefaults = prevOpt =>
+      prevOpt.map(_.defaults.filterNot(_._1 == column))) { prevOpt =>
+      val prev = prevOpt.getOrElse(throw new IllegalStateException(
+        s"cannot drop a default on never-committed table $table"))
+      (prev.manifests, prev.deletes, prev.renames, prev.drops)
+    }
+
   def renameColumn(spark: SparkSession, table: String, from: String,
       to: String): Int = {
     require(from != to, s"rename of $from onto itself")
-    commitLoop(spark, table, "rename-column") { prevOpt =>
+    commitLoop(spark, table, "rename-column", newDefaults = prevOpt =>
+      prevOpt.map(_.defaults.map { case (c, d) =>
+        (if (c == from) to else c, d) })) { prevOpt =>
       val prev = prevOpt.getOrElse(throw new IllegalStateException(
         s"cannot rename a column of never-committed table $table"))
       val current = liveNames(spark, table, prev)
@@ -1699,7 +1762,10 @@ object Snapshots {
     * resurface their bytes under it (name-mapping discipline — Delta's
     * column-mapping drop behaves the same way). O(commits) metadata. */
   def dropColumn(spark: SparkSession, table: String, name: String): Int =
-    commitLoop(spark, table, "drop-column") { prevOpt =>
+    // the dropped column's DEFAULT goes with it: a re-added same-named
+    // column must start clean (nulls for pre-re-add eras — q192 rule)
+    commitLoop(spark, table, "drop-column", newDefaults = prevOpt =>
+      prevOpt.map(_.defaults.filterNot(_._1 == name))) { prevOpt =>
       val prev = prevOpt.getOrElse(throw new IllegalStateException(
         s"cannot drop a column of never-committed table $table"))
       require(liveNames(spark, table, prev).contains(name),
@@ -1831,7 +1897,13 @@ object Snapshots {
       val casts = target.fields.toSeq.map { f =>
         eraByMapped.get(f.name) match {
           case Some(orig) => col(orig).cast(f.dataType).as(f.name)
-          case None => lit(null).cast(f.dataType).as(f.name)
+          // absent column: a registered DEFAULT fills instead of null
+          // (initial-default semantics — zero bytes rewritten)
+          case None => s.defaults
+            .collectFirst { case (c, d)
+                if renamedName(s.renames, c) == f.name => expr(d) }
+            .getOrElse(lit(null))
+            .cast(f.dataType).as(f.name)
         }
       }
       withMeta(spark, table, fs)
@@ -2384,7 +2456,10 @@ object Snapshots {
     val target = snapshot(spark, table, v).getOrElse(
       throw new IllegalArgumentException(
         s"cannot restore $table to missing version $v"))
-    commitLoop(spark, table, "restore") { _ =>
+    commitLoop(spark, table, "restore",
+        newConstraints = _ => Some(target.constraints),
+        newPartitionSpec = _ => Some(target.partitionSpec),
+        newDefaults = _ => Some(target.defaults)) { _ =>
       (target.manifests, target.deletes, target.renames, target.drops)
     }
   }
@@ -2523,7 +2598,8 @@ object Snapshots {
     val (manifest, cloneDeletes, renames, drops, constraints) =
       cloneContent(spark, src, dst, s)
     commitLoop(spark, dst, "clone",
-        newConstraints = _ => Some(constraints)) { prev =>
+        newConstraints = _ => Some(constraints),
+        newDefaults = _ => Some(s.defaults)) { prev =>
       if (prev.nonEmpty) throw new IllegalStateException(
         s"shallow clone target $dst already has versions")
       (Seq(manifest), cloneDeletes, renames, drops)
@@ -2551,7 +2627,8 @@ object Snapshots {
     val (manifest, cloneDeletes, renames, drops, constraints) =
       cloneContent(spark, branch, dst, s)
     commitLoop(spark, dst, "fast-forward",
-        newConstraints = _ => Some(constraints)) { _ =>
+        newConstraints = _ => Some(constraints),
+        newDefaults = _ => Some(s.defaults)) { _ =>
       (Seq(manifest), cloneDeletes, renames, drops)
     }
   }
@@ -2593,7 +2670,8 @@ object Snapshots {
           "that has no parent; fast-forward or clone instead)"))
     if (sV.renames != sPrev.renames || sV.drops != sPrev.drops ||
         sV.partitionSpec != sPrev.partitionSpec ||
-        sV.constraints != sPrev.constraints)
+        sV.constraints != sPrev.constraints ||
+        sV.defaults != sPrev.defaults)
       throw new IllegalArgumentException(
         s"cherry-pick of $branch@$v: metadata operations (rename/drop/" +
           "partition-spec/constraint changes) are whole-table state, not " +
@@ -3344,7 +3422,8 @@ object Snapshots {
     val base = branchBase(spark, table, branch).get
     commitLoop(spark, table, "fast-forward",
       newConstraints = _ => Some(head.constraints),
-      newPartitionSpec = _ => Some(head.partitionSpec)) { prev =>
+      newPartitionSpec = _ => Some(head.partitionSpec),
+      newDefaults = _ => Some(head.defaults)) { prev =>
       val mainV = prev.map(_.version).getOrElse(0)
       if (mainV > base) throw new IllegalStateException(
         s"fastForwardMain: main advanced to $mainV past branch " +

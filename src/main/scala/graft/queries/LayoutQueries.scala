@@ -1482,6 +1482,67 @@ object LayoutQueries {
       .withColumn("pruning_kept", lit(pruningKept))
   }
 
+  /** q245 — METADATA-ONLY COLUMN DEFAULTS
+    * ([[graft.lake.Snapshots.setColumnDefault]] — Iceberg v3
+    * initial-default / Delta column DEFAULT, read-side form): the
+    * backfill-free populated-column add. A 100 TB table gains a column
+    * by writing it in NEW commits only; declaring a default makes
+    * every pre-existing row surface the value WITHOUT rewriting a
+    * byte — the log records `(column, defaultSql)` and the era-aware
+    * scan fills it where the files don't carry the column. The gate
+    * pins: old rows fill the default, new rows keep written values
+    * (`default_fills`/`values_kept`), time travel BELOW the
+    * declaration still reads nulls (`travel_null` — the default is
+    * versioned metadata like everything else), a rename carries the
+    * default to the new name (`rename_follows`), and SQL catalog scans
+    * serve the filled values (`sql_serves`). The final aggregate
+    * groups by the defaulted column — the cross-engine witness that
+    * fill and written values compose exactly. */
+  def columnDefaults(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Snapshots
+    val root = graft.util.Scratch.dir("coldef", dir)
+    val table = s"$root/orders_cd"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+    val orders = Tables(spark, dir, "orders")
+    val evens = orders.filter(col("o_orderkey") % 2 === 0)
+    val odds = orders.filter(col("o_orderkey") % 2 === 1)
+      .withColumn("tier", col("o_orderkey") % 3)
+    Snapshots.append(spark, table, evens)
+    val vPre = Snapshots.append(spark, table, odds)
+    Snapshots.setColumnDefault(spark, table, "tier", "7")
+    val live = Snapshots.readLatest(spark, table).get
+    val defaultFills =
+      live.filter(col("tier") === 7 && col("o_orderkey") % 2 === 0)
+        .count() == evens.count() &&
+      live.filter(col("tier").isNull).count() == 0
+    val valuesKept = live.filter(col("o_orderkey") % 2 === 1 &&
+      col("tier") === col("o_orderkey") % 3).count() == odds.count()
+    val travelNull = Snapshots.readAt(spark, table, vPre).get
+      .filter(col("tier").isNull).count() == evens.count()
+    Snapshots.renameColumn(spark, table, "tier", "loyalty_tier")
+    val renamed = Snapshots.readLatest(spark, table).get
+    val renameFollows =
+      renamed.filter(col("loyalty_tier") === 7).count() == evens.count()
+    val cat = s"cd_${Integer.toHexString(dir.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.lake.SnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val sqlServes = spark.sql(
+      s"SELECT count(*) AS n FROM $cat.orders_cd WHERE loyalty_tier = 7")
+      .head.getLong(0) == evens.count()
+    spark.sql(s"""
+      SELECT loyalty_tier, COUNT(*) AS n_rows,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+      FROM $cat.orders_cd
+      GROUP BY 1""")
+      .withColumn("default_fills", lit(defaultFills))
+      .withColumn("values_kept", lit(valuesKept))
+      .withColumn("travel_null", lit(travelNull))
+      .withColumn("rename_follows", lit(renameFollows))
+      .withColumn("sql_serves", lit(sqlServes))
+  }
+
   /** q236 — SQL TIME TRAVEL BY TAG (`VERSION AS OF 'name'` — the
     * Iceberg named-ref read over the q221 tag store): a tag pinned
     * before later writes serves the EXACT tagged state to any SQL
@@ -2469,6 +2530,17 @@ object LayoutQueries {
              true AS materialize_lossless, true AS eq_cleared,
              true AS clone_after_ok
       FROM orders WHERE o_orderkey % 2 = 0
+      GROUP BY 1""")),
+    QueryDef("q245_column_defaults", columnDefaults, Some(s"""
+      SELECT CASE WHEN o_orderkey % 2 = 0 THEN 7
+                  ELSE o_orderkey % 3 END AS loyalty_tier,
+             COUNT(*) AS n_rows,
+             CAST(SUM(${Num.sqlCents("o_totalprice")}) AS BIGINT)
+               AS sum_cents,
+             true AS default_fills, true AS values_kept,
+             true AS travel_null, true AS rename_follows,
+             true AS sql_serves
+      FROM orders
       GROUP BY 1""")),
     QueryDef("q244_optimize_where", optimizeWhereScoped, Some(s"""
       SELECT o_orderpriority, COUNT(*) AS n_rows,

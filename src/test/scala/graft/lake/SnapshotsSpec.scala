@@ -1780,6 +1780,55 @@ class SnapshotsSpec extends SparkTestBase {
     org.apache.commons.io.FileUtils.deleteQuietly(new File(t).getParentFile)
   }
 
+  test("column defaults: absent eras fill, travel stays null, rename/drop follow") {
+    val t = fresh("coldef")
+    import spark.implicits._
+    val base = orders.limit(60).cache()
+    val evens = base.filter(col("o_orderkey") % 2 === 0)
+    val odds = base.filter(col("o_orderkey") % 2 === 1)
+      .withColumn("tier", col("o_orderkey") % 3)
+    Snapshots.append(spark, t, evens)
+    val vPre = Snapshots.append(spark, t, odds)
+    // before the default: additive evolution surfaces null for evens
+    assert(Snapshots.readAt(spark, t, vPre).get
+      .filter(col("tier").isNull).count() == evens.count())
+    Snapshots.setColumnDefault(spark, t, "tier", "7")
+    val live = Snapshots.readLatest(spark, t).get
+    assert(live.filter(col("tier") === 7).count() == evens.count())
+    assert(live.filter(col("tier").isNull).count() == 0)
+    // odds keep their written values
+    assert(live.filter(col("o_orderkey") % 2 === 1 &&
+      col("tier") === col("o_orderkey") % 3).count() == odds.count())
+    // time travel BELOW the declaration still reads nulls (versioned)
+    assert(Snapshots.readAt(spark, t, vPre).get
+      .filter(col("tier").isNull).count() == evens.count())
+    // rename: the default follows the key
+    Snapshots.renameColumn(spark, t, "tier", "loyalty")
+    assert(Snapshots.readLatest(spark, t).get
+      .filter(col("loyalty") === 7).count() == evens.count())
+    // typos refuse; a broken expression refuses at DDL time
+    intercept[IllegalArgumentException](
+      Snapshots.setColumnDefault(spark, t, "nope", "1"))
+    intercept[Exception](
+      Snapshots.setColumnDefault(spark, t, "loyalty", "not a ( valid"))
+    // drop the column: the default dies with it — a re-added same-named
+    // column starts clean (nulls for pre-re-add eras)
+    Snapshots.dropColumn(spark, t, "loyalty")
+    Snapshots.append(spark, t,
+      base.limit(5).withColumn("loyalty", lit(99L)))
+    val after = Snapshots.readLatest(spark, t).get
+    assert(after.filter(col("loyalty").isNull).count() == 60)
+    assert(after.filter(col("loyalty") === 99).count() == 5)
+    // dropColumnDefault: explicit removal reads null again
+    val t2 = fresh("coldef2")
+    Snapshots.append(spark, t2, evens)
+    Snapshots.append(spark, t2, odds)
+    Snapshots.setColumnDefault(spark, t2, "tier", "7")
+    Snapshots.dropColumnDefault(spark, t2, "tier")
+    assert(Snapshots.readLatest(spark, t2).get
+      .filter(col("tier").isNull).count() == evens.count())
+  }
+
   test("all-digit tag names are refused (version-literal shadowing)") {
     val t = fresh("tagdig")
     Snapshots.append(spark, t, orders.limit(5))
