@@ -24,6 +24,7 @@ import graft.lake.Snapshots
   * ALTER TABLE cat.t CREATE TAG g [AS OF VERSION n]
   * ALTER TABLE cat.t DROP BRANCH b / DROP TAG g
   * ALTER TABLE cat.t FAST FORWARD BRANCH b
+  * ALTER TABLE cat.t ALTER COLUMN c SET DEFAULT expr / DROP DEFAULT
   * }}}
   *
   * Table names are CATALOG-QUALIFIED and resolve through the SAME
@@ -58,6 +59,14 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+TAG\s+([A-Za-z0-9._-]+)\s*;?\s*$""".r
   private val FastForwardRe =
     """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+FAST\s+FORWARD\s+BRANCH\s+([A-Za-z0-9._-]+)\s*;?\s*$""".r
+  // column DEFAULT DDL. Spark HAS grammar for these two (V2 ALTER
+  // COLUMN), so unlike every other intercept they match only when the
+  // catalog is a REGISTERED snapshot catalog and fall through verbatim
+  // otherwise — standard SQL against other catalogs keeps its meaning.
+  private val SetDefaultRe =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+ALTER\s+COLUMN\s+(\w+)\s+SET\s+DEFAULT\s+(.+?)\s*;?\s*$""".r
+  private val DropDefaultRe =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+ALTER\s+COLUMN\s+(\w+)\s+DROP\s+DEFAULT\s*;?\s*$""".r
 
   /** The statement's transform list → the log's transform-encoded spec
     * strings: split at depth-0 commas so `bucket(8, c), days(d)` parses
@@ -107,7 +116,22 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       CreateRefCommand(path(t), n, Option(v).map(_.toInt), isTag = true)
     case DropTagRe(t, n) => DropRefCommand(path(t), n, isTag = true)
     case FastForwardRe(t, n) => FastForwardCommand(path(t), n)
+    case SetDefaultRe(t, c, e) if snapshotPath(t).isDefined =>
+      SetColumnDefaultCommand(snapshotPath(t).get, c, e)
+    case DropDefaultRe(t, c) if snapshotPath(t).isDefined =>
+      DropColumnDefaultCommand(snapshotPath(t).get, c)
     case _ => delegate.parsePlan(sqlText)
+  }
+
+  /** [[path]] that declines (None) instead of throwing when the name is
+    * not catalog-qualified under a registered snapshot catalog — for
+    * intercepts of syntax Spark ALSO parses, where a non-match must
+    * fall through to the delegate rather than error. */
+  private def snapshotPath(ident: String): Option[String] = {
+    val parts = ident.split("\\.")
+    if (parts.length < 2) None
+    else session.conf.getOption(s"spark.sql.catalog.${parts.head}.root")
+      .map(root => parts.tail.mkString(s"$root/", "/", ""))
   }
 
   override def parseExpression(sqlText: String) =
@@ -202,6 +226,24 @@ case class FastForwardCommand(table: String, branch: String)
     extends LeafRunnableCommand with VersionOutput {
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row(Snapshots.fastForwardMain(spark, table, branch).toLong))
+}
+
+/** `ALTER TABLE t ALTER COLUMN c SET DEFAULT expr` →
+  * [[Snapshots.setColumnDefault]] (initial-default semantics: rows in
+  * files not carrying `c` read `expr`); returns the published version. */
+case class SetColumnDefaultCommand(table: String, column: String,
+    defaultSql: String) extends LeafRunnableCommand with VersionOutput {
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(Snapshots.setColumnDefault(spark, table, column,
+      defaultSql).toLong))
+}
+
+/** `ALTER TABLE t ALTER COLUMN c DROP DEFAULT` →
+  * [[Snapshots.dropColumnDefault]]; returns the published version. */
+case class DropColumnDefaultCommand(table: String, column: String)
+    extends LeafRunnableCommand with VersionOutput {
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(Snapshots.dropColumnDefault(spark, table, column).toLong))
 }
 
 /** `VACUUM t RETAIN n VERSIONS` → [[Snapshots.vacuum]] keeping the

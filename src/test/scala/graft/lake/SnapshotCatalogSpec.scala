@@ -529,6 +529,22 @@ class SnapshotCatalogSpec extends SparkTestBase {
     // unqualified names are refused, not resolved against a guess
     val e2 = intercept[Exception](spark.sql("OPTIMIZE bare"))
     assert(e2.getMessage.contains("catalog-qualified"))
+    // column DEFAULT DDL: additive column + SET DEFAULT fills the old
+    // era over SQL; DROP DEFAULT reads null again. Unlike the other
+    // intercepts Spark HAS grammar for this form — an unregistered
+    // catalog must fall through to Spark (its error, not ours)
+    Snapshots.append(spark, s"$root/c",
+      orders.limit(5).withColumn("chan", lit("web")))
+    spark.sql(s"ALTER TABLE $cat.c ALTER COLUMN chan SET DEFAULT 'store'")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.c " +
+      "WHERE chan = 'store'").head().getLong(0) == 60)
+    spark.sql(s"ALTER TABLE $cat.c ALTER COLUMN chan DROP DEFAULT")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.c " +
+      "WHERE chan IS NULL").head().getLong(0) == 60)
+    val e3 = intercept[Exception](spark.sql(
+      "ALTER TABLE nocat.t ALTER COLUMN x SET DEFAULT 1"))
+    assert(!e3.getMessage.contains("not a registered snapshot catalog"),
+      s"must delegate to Spark, got: ${e3.getMessage}")
     org.apache.commons.io.FileUtils.deleteQuietly(new File(root))
   }
 }
