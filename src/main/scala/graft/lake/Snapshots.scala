@@ -2838,7 +2838,7 @@ object Snapshots {
     * sizes in the manifest at commit time. */
   def optimizeSmallFiles(spark: SparkSession, table: String,
       minBytes: Long, statsCols: Seq[String] = Nil,
-      zorderBy: Option[(String, String)] = None): Option[Int] = {
+      zorderBy: Seq[String] = Nil): Option[Int] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val probe = latestSnapshot(spark, table).getOrElse(return None)
     def sized(files: Seq[String]): Seq[(String, Long)] = files.map { f =>
@@ -2982,14 +2982,14 @@ object Snapshots {
       if (small.size <= 1)
         (prev.manifests, prev.deletes, prev.renames, prev.drops)
       else compactContent(spark, table, prev, small, big, minBytes,
-        statsCols, None)
+        statsCols, Nil)
     })
   }
 
   private def compactContent(spark: SparkSession, table: String,
       prev: Snapshot, small: Seq[(String, Long)], big: Seq[(String, Long)],
       minBytes: Long, statsCols: Seq[String],
-      zorderBy: Option[(String, String)]): (Seq[String], Seq[String],
+      zorderBy: Seq[String]): (Seq[String], Seq[String],
       Seq[(String, String)], Seq[DropSpec]) = {
     // live rows of the small files only, era-aware, packed into
     // ~minBytes-sized outputs (the bin-packing half of OPTIMIZE —
@@ -3011,10 +3011,9 @@ object Snapshots {
     // a range exchange instead of the coalesce — the standard cost of a
     // clustered write; carried big files keep their bytes and stats
     // untouched either way.
-    val smallLive = zorderBy match {
-      case Some((c1, c2)) => ZOrder.clustered(live, outFiles, c1, c2)
-      case None => live.coalesce(outFiles)
-    }
+    val smallLive =
+      if (zorderBy.nonEmpty) ZOrder.clusteredN(live, outFiles, zorderBy)
+      else live.coalesce(outFiles)
     val (staged, stagedStats, _, stagedSchemas) =
       stage(spark, table, smallLive, statsCols)
     val compacted = writeManifest(spark, table, staged, stagedStats,

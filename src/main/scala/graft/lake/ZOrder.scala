@@ -25,42 +25,63 @@ import org.apache.spark.sql.types.LongType
   */
 object ZOrder {
 
+  /** Morton-interleave N `bits`-bit values (bit i of input j lands at
+    * bit `i*N + j`). Inputs must already be in [0, 2^bits). */
+  def interleaveN(cols: Seq[Column], bits: Int): Column =
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      cols.zipWithIndex.foldLeft(acc) { case (a, (c, j)) =>
+        a.bitwiseOR(shiftleft(shiftright(c, i).bitwiseAND(lit(1L)),
+          i * cols.size + j))
+      }
+    }
+
   /** Morton-interleave two 16-bit values (bit i of `a` → bit 2i, bit i
     * of `b` → bit 2i+1). Inputs must already be in [0, 65535]. */
-  def interleave(a: Column, b: Column): Column =
-    (0 until 16).foldLeft(lit(0L)) { (acc, i) =>
-      acc
-        .bitwiseOR(shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i))
-        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
-    }
+  def interleave(a: Column, b: Column): Column = interleaveN(Seq(a, b), 16)
+
+  /** Min/max-scale a numeric column to a `bits`-bit rank. Degenerate
+    * domains (lo == hi) map to 0. */
+  def rankBits(c: Column, lo: Double, hi: Double, bits: Int): Column = {
+    val top = (1L << bits) - 1
+    if (hi <= lo) lit(0L)
+    else least(lit(top), greatest(lit(0L),
+      ((c.cast("double") - lo) / (hi - lo) * top.toDouble).cast(LongType)))
+  }
 
   /** Min/max-scale a numeric column to a 16-bit rank. Degenerate domains
     * (lo == hi) map to 0. */
   def rank16(c: Column, lo: Double, hi: Double): Column =
-    if (hi <= lo) lit(0L)
-    else least(lit(65535L), greatest(lit(0L),
-      ((c.cast("double") - lo) / (hi - lo) * 65535.0).cast(LongType)))
+    rankBits(c, lo, hi, 16)
 
-  /** `df` laid out along the Morton curve of (`c1`, `c2`): `files`
-    * range-partitioned, internally z-sorted partitions. One bounded
-    * driver agg for the domain bounds (4 doubles), one range exchange —
-    * the shared clustering step of [[clusterWrite]] and the snapshot
-    * log's `OPTIMIZE … ZORDER BY` ([[Snapshots.optimizeSmallFiles]]). */
-  def clustered(df: DataFrame, files: Int, c1: String, c2: String): DataFrame = {
-    val b = df.agg(
-      min(col(c1).cast("double")), max(col(c1).cast("double")),
-      min(col(c2).cast("double")), max(col(c2).cast("double"))).head()
+  /** `df` laid out along the Morton curve of `cols` (any arity ≥ 1):
+    * `files` range-partitioned, internally z-sorted partitions. Each
+    * column gets `min(16, 62/N)` rank bits so the interleaved key stays
+    * inside a non-negative Long — at 4 columns that is 15 bits each,
+    * still 32k distinct ranks per axis, far finer than file granularity.
+    * One bounded driver agg for the domain bounds (2N doubles), one
+    * range exchange — the shared clustering step of [[clusterWrite]]
+    * and the snapshot log's `OPTIMIZE … ZORDER BY`
+    * ([[Snapshots.optimizeSmallFiles]]). */
+  def clusteredN(df: DataFrame, files: Int, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "z-order needs at least one column")
+    val bits = math.min(16, 62 / cols.size)
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c).cast("double")), max(col(c).cast("double"))))
+    val b = df.agg(aggs.head, aggs.tail: _*).head()
     // empty input / all-null column → min/max are null; degrade to the
-    // documented degenerate domain (lo == hi) so rank16 maps everything to 0
+    // documented degenerate domain (lo == hi) so the rank maps to 0
     def d(i: Int): Double = if (b.isNullAt(i)) 0.0 else b.getDouble(i)
-    val z = interleave(
-      rank16(col(c1), d(0), d(1)),
-      rank16(col(c2), d(2), d(3)))
+    val z = interleaveN(cols.zipWithIndex.map { case (c, j) =>
+      rankBits(col(c), d(2 * j), d(2 * j + 1), bits) }, bits)
     df.withColumn("_z", z)
       .repartitionByRange(files, col("_z"))
       .sortWithinPartitions("_z")
       .drop("_z")
   }
+
+  /** Two-column form of [[clusteredN]]. */
+  def clustered(df: DataFrame, files: Int, c1: String, c2: String): DataFrame =
+    clusteredN(df, files, Seq(c1, c2))
 
   /** Write `df` z-ordered on (`c1`, `c2`) into `files` range-partitioned,
     * internally sorted files, then persist [[ZoneMap]] stats for both

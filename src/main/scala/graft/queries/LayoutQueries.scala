@@ -511,7 +511,7 @@ object LayoutQueries {
     val vOpt = Snapshots.optimizeSmallFiles(spark, table,
       minBytes = total / 8 + 1,
       statsCols = Seq("o_custkey", "o_totalprice"),
-      zorderBy = Some(("o_custkey", "o_totalprice"))).get
+      zorderBy = Seq("o_custkey", "o_totalprice")).get
     val after = Snapshots.snapshot(spark, table, vOpt).get.files
     val maxCust = orders.agg(max(col("o_custkey"))).head().getLong(0)
     val custHi = (maxCust / 4).toDouble
@@ -526,6 +526,54 @@ object LayoutQueries {
       .agg(count(lit(1)).as("n_rows"),
         Num.sumMoney(col("o_totalprice")).as("sum_price"))
       .withColumn("zorder_prunes_both", lit(layoutOk))
+  }
+
+  /** q246 — MULTI-COLUMN Z-ORDER (q178's curve generalized to arity N,
+    * [[graft.lake.ZOrder.clusteredN]]): `OPTIMIZE … ZORDER BY (k, c,
+    * p)` interleaves THREE 16-bit ranks, so each fresh file covers a
+    * small BOX of the 3-D domain and a predicate on ANY single axis
+    * prunes from the log — the layout a wide-filter workload (key
+    * lookups + customer scans + price bands on one table) needs, where
+    * two-column Z-order leaves the third axis spanning every file.
+    * The gate pins per-axis pruning on ALL THREE columns independently
+    * (`prunes_all_axes`) plus the compacted layout, and the result
+    * re-applies the residual predicate so a pruning error shifts
+    * counts, not just markers. Bit budget: N·16 ≤ 62 keeps the key a
+    * non-negative Long (4+ columns drop to 62/N bits per axis). */
+  def zorderMulti(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Snapshots
+    val table = graft.util.Scratch.dir("zmulti_table", dir)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+    val orders = Tables(spark, dir, "orders")
+    for (r <- 0 until 10)
+      Snapshots.append(spark, table,
+        orders.filter(col("o_orderkey") % 10 === r).coalesce(1))
+    def files = Snapshots.snapshot(spark, table,
+      Snapshots.latestVersion(spark, table).get).get.files
+    def len(f: String) = new java.io.File(table, f).length()
+    val before = files
+    val total = before.map(len).sum
+    val zCols = Seq("o_orderkey", "o_custkey", "o_totalprice")
+    val vOpt = Snapshots.optimizeSmallFiles(spark, table,
+      minBytes = total / 8 + 1, statsCols = zCols, zorderBy = zCols).get
+    val after = Snapshots.snapshot(spark, table, vOpt).get.files
+    val maxKey = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+    val maxCust = orders.agg(max(col("o_custkey"))).head().getLong(0)
+    val keyHi = (maxKey / 4).toDouble
+    val prunes = Seq(
+      Snapshots.prunedFilesAt(spark, table, vOpt,
+        "o_orderkey", 1.0, keyHi).get,
+      Snapshots.prunedFilesAt(spark, table, vOpt,
+        "o_custkey", 1.0, (maxCust / 4).toDouble).get,
+      Snapshots.prunedFilesAt(spark, table, vOpt,
+        "o_totalprice", 0.0, 80000.0).get)
+    val prunesAllAxes = after.size < before.size &&
+      prunes.forall(_.size < after.size)
+    Snapshots.readAtPruned(spark, table, vOpt, "o_orderkey", 1.0, keyHi).get
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_rows"),
+        Num.sumMoney(col("o_totalprice")).as("sum_price"))
+      .withColumn("prunes_all_axes", lit(prunesAllAxes))
   }
 
   /** q179 — the snapshot log served through the SESSION CATALOG
@@ -2921,6 +2969,15 @@ object LayoutQueries {
                                ELSE 'store' END,
              COUNT(*), ${Num.sqlSumMoney("o_totalprice")}
       FROM orders GROUP BY 1""")),
+    QueryDef("q246_zorder_multi", zorderMulti, Some(s"""
+      SELECT o_orderpriority,
+             COUNT(*) AS n_rows,
+             ${Num.sqlSumMoney("o_totalprice")} AS sum_price,
+             true AS prunes_all_axes
+      FROM orders
+      WHERE o_orderkey >= 1
+        AND o_orderkey <= (SELECT max(o_orderkey) // 4 FROM orders)
+      GROUP BY 1""")),
     QueryDef("q178_zorder_optimize", zorderOptimize, Some(s"""
       SELECT o_orderpriority,
              COUNT(*) AS n_rows,

@@ -832,7 +832,7 @@ class SnapshotsSpec extends SparkTestBase {
     val total = before.map(f => new File(t, f).length()).sum
     val v = Snapshots.optimizeSmallFiles(spark, t, minBytes = total / 6 + 1,
       statsCols = Seq("o_custkey", "o_totalprice"),
-      zorderBy = Some(("o_custkey", "o_totalprice"))).get
+      zorderBy = Seq("o_custkey", "o_totalprice")).get
     val s = Snapshots.snapshot(spark, t, v).get
     // live rows preserved bit-for-bit in count and money sum
     import graft.queries.Num
