@@ -2138,9 +2138,17 @@ object Snapshots {
               insertClauses.head.values.keys.toSeq.sorted
             else srcCols
           Some(insertClauses.zipWithIndex.map { case (c, i) =>
-            val vals =
+            val explicit =
               if (c.values.nonEmpty) c.values
-              else tCols.map(c2 => c2 -> col(s"_src_$c2")).toMap
+              else tCols.filter(srcCols.contains)
+                .map(c2 => c2 -> col(s"_src_$c2")).toMap
+            // a registered column DEFAULT fills unspecified INSERT
+            // columns (SQL DEFAULT-on-write semantics, composing with
+            // the read-side initial-default)
+            val defMap = prev.defaults.toMap
+            val vals = explicit ++ tCols
+              .filterNot(explicit.keySet).filter(defMap.contains)
+              .map(c2 => c2 -> expr(defMap(c2)))
             val missing = tCols.filterNot(vals.keySet)
             if (missing.nonEmpty) throw new IllegalArgumentException(
               s"MERGE INSERT must provide every target column; " +

@@ -1806,6 +1806,15 @@ class SnapshotsSpec extends SparkTestBase {
     Snapshots.renameColumn(spark, t, "tier", "loyalty")
     assert(Snapshots.readLatest(spark, t).get
       .filter(col("loyalty") === 7).count() == evens.count())
+    // write-side fill: a star MERGE INSERT whose source lacks the
+    // defaulted column stages rows that CARRY the default
+    val newKey = 9000001L
+    val src = base.limit(1).withColumn("o_orderkey", lit(newKey))
+    Snapshots.mergeWhen(spark, t, src, Seq("o_orderkey"),
+      Seq(Snapshots.WhenNotMatchedInsert()))
+    assert(Snapshots.readLatest(spark, t).get
+      .filter(col("o_orderkey") === newKey && col("loyalty") === 7)
+      .count() == 1)
     // typos refuse; a broken expression refuses at DDL time
     intercept[IllegalArgumentException](
       Snapshots.setColumnDefault(spark, t, "nope", "1"))
@@ -1817,7 +1826,9 @@ class SnapshotsSpec extends SparkTestBase {
     Snapshots.append(spark, t,
       base.limit(5).withColumn("loyalty", lit(99L)))
     val after = Snapshots.readLatest(spark, t).get
-    assert(after.filter(col("loyalty").isNull).count() == 60)
+    // 60 base rows + the merged row: ALL pre-drop (the merged row's
+    // written loyalty is dead too — the drop ledger is era-scoped)
+    assert(after.filter(col("loyalty").isNull).count() == 61)
     assert(after.filter(col("loyalty") === 99).count() == 5)
     // dropColumnDefault: explicit removal reads null again
     val t2 = fresh("coldef2")
