@@ -1669,6 +1669,17 @@ class SnapshotsSpec extends SparkTestBase {
     assert(joins == 2,
       s"3 same-key eq deletes must read through ONE consolidated join " +
         s"pair (2 broadcast joins), got $joins:\n${plan.take(3000)}")
+    // a rename AFTER the deletes maps every stored key through the
+    // chain to the SAME current name — the group stays one join pair
+    // (k plans would creep back if mapped names stopped deduplicating)
+    Snapshots.renameColumn(spark, t, "o_orderkey", "okey")
+    val df2 = Snapshots.readLatest(spark, t).get
+    assert(df2.count() == 60 - 15 + 3)
+    val plan2 = df2.queryExecution.executedPlan.toString
+    val joins2 = "BroadcastHashJoin".r.findAllIn(plan2).length
+    assert(joins2 == 2,
+      s"consolidation must survive a rename, got $joins2 joins:\n" +
+        plan2.take(3000))
   }
 
   test("clone and manifest rewrite work under outstanding eq deletes") {

@@ -9,6 +9,61 @@ class ScaleSpecs extends SparkTestBase {
 
   private val dir = "/root/testdata/sf0.001"
 
+  test("full-sync merge: every write-path join broadcasts, live side never sort-merges") {
+    // q243's scale contract, captured from the ACTUAL write-path plans
+    // via a QueryExecutionListener: the matched inner join, the
+    // not-matched anti join and the by-source anti join must all
+    // consume the live scan with a BROADCAST hash join — a sort-merge
+    // would shuffle the full table on the merge keys per statement,
+    // and at 100 TB the CDC batch is always the broadcastable side.
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    val plans = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution,
+          durationNs: Long): Unit =
+        plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String, qe: QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    val table = java.nio.file.Files.createTempDirectory("graft_mwplan_")
+      .toString + "/t"
+    val orders = Tables(spark, dir, "orders")
+    graft.lake.Snapshots.append(spark, table, orders)
+    spark.listenerManager.register(listener)
+    try {
+      val src = orders.filter(col("o_orderkey") % 10 < 7)
+        .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+      graft.lake.Snapshots.mergeWhen(spark, table, src, Seq("o_orderkey"),
+        Seq(graft.lake.Snapshots.WhenMatchedUpdate(),
+          graft.lake.Snapshots.WhenNotMatchedInsert(),
+          graft.lake.Snapshots.WhenNotMatchedBySourceDelete()))
+      // the listener bus is asynchronous: poll until the join plans
+      // (tombstone writes + staged rows) have all been delivered
+      val deadline = System.currentTimeMillis() + 30000
+      def joined = (0 until plans.size).map(plans.get)
+        .filter(p => p.contains("Join"))
+      while (joined.isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      Thread.sleep(500) // drain stragglers
+      val jp = joined
+      assert(jp.nonEmpty, "no join plans captured from the merge")
+      jp.foreach { p =>
+        assert(!p.contains("SortMergeJoin"),
+          s"merge write path sort-merged:\n${p.take(2500)}")
+        assert(!p.contains("CartesianProduct") &&
+          !p.contains("BroadcastNestedLoopJoin"),
+          s"merge write path went non-equi:\n${p.take(2500)}")
+      }
+      assert(jp.exists(p => p.contains("LeftAnti")),
+        "expected at least one anti-join (insert routing / by-source)")
+    } finally {
+      spark.listenerManager.unregister(listener)
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(table).getParentFile)
+    }
+  }
+
   test("bucketed tables co-locate the join: no shuffle exchange in the plan") {
     val wh = "/tmp/graft_buckets_wh"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
