@@ -3440,6 +3440,20 @@ object Snapshots {
     }
   }
 
+  /** Time-based retention (`VACUUM t RETAIN n HOURS` — the Delta
+    * retention shape): keeps every version whose commit timestamp is at
+    * or after `cutoffTs` (and always the latest), then delegates to the
+    * version-based [[vacuum]]. Commit timestamps are strictly monotone
+    * in this log ([[commitLoop]]), so the cutoff maps to one keepFrom. */
+  def vacuumOlderThan(spark: SparkSession, table: String,
+      cutoffTs: Long): Unit = {
+    val latest = latestVersion(spark, table).getOrElse(return)
+    val keepFrom = (1 to latest)
+      .find(v => snapshot(spark, table, v).exists(_.commitTs >= cutoffTs))
+      .getOrElse(latest)
+    vacuum(spark, table, keepFrom)
+  }
+
   def vacuum(spark: SparkSession, table: String, keepFrom: Int): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val ops = new FileOps(conf)

@@ -18,7 +18,7 @@ import graft.lake.Snapshots
   * {{{
   * CREATE TABLE cat.dst SHALLOW CLONE cat.src [VERSION AS OF n]
   * OPTIMIZE cat.t
-  * VACUUM cat.t RETAIN n VERSIONS
+  * VACUUM cat.t RETAIN n VERSIONS / RETAIN n HOURS
   * ALTER TABLE cat.t SET PARTITION SPEC (bucket(8, c), days(d))
   * ALTER TABLE cat.t CREATE BRANCH b [AS OF VERSION n]
   * ALTER TABLE cat.t CREATE TAG g [AS OF VERSION n]
@@ -45,6 +45,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     """(?is)^\s*OPTIMIZE\s+([\w.]+)\s*;?\s*$""".r
   private val VacuumRe =
     """(?is)^\s*VACUUM\s+([\w.]+)\s+RETAIN\s+(\d+)\s+VERSIONS\s*;?\s*$""".r
+  private val VacuumHoursRe =
+    """(?is)^\s*VACUUM\s+([\w.]+)\s+RETAIN\s+(\d+)\s+HOURS\s*;?\s*$""".r
   private val AlterSpecRe =
     """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+SET\s+PARTITION\s+SPEC\s*\((.*)\)\s*;?\s*$""".r
   // ref DDL (the Iceberg Spark-extension ALTER TABLE ref statements):
@@ -108,6 +110,7 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       ShallowCloneCommand(path(src), path(dst), Option(ver).map(_.toInt))
     case OptimizeRe(t) => OptimizeTableCommand(path(t))
     case VacuumRe(t, n) => VacuumTableCommand(path(t), n.toInt)
+    case VacuumHoursRe(t, n) => VacuumHoursCommand(path(t), n.toInt)
     case AlterSpecRe(t, body) => SetPartitionSpecCommand(path(t), splitSpec(body))
     case CreateBranchRe(t, n, v) =>
       CreateRefCommand(path(t), n, Option(v).map(_.toInt), isTag = false)
@@ -244,6 +247,18 @@ case class DropColumnDefaultCommand(table: String, column: String)
     extends LeafRunnableCommand with VersionOutput {
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row(Snapshots.dropColumnDefault(spark, table, column).toLong))
+}
+
+/** `VACUUM t RETAIN n HOURS` → [[Snapshots.vacuumOlderThan]] (the
+  * Delta retention shape over this log's strictly-monotone commit
+  * timestamps); returns the cutoff timestamp used. */
+case class VacuumHoursCommand(table: String, hours: Int)
+    extends LeafRunnableCommand with VersionOutput {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val cutoff = System.currentTimeMillis() - hours * 3600L * 1000L
+    Snapshots.vacuumOlderThan(spark, table, cutoff)
+    Seq(Row(cutoff))
+  }
 }
 
 /** `VACUUM t RETAIN n VERSIONS` → [[Snapshots.vacuum]] keeping the

@@ -545,6 +545,14 @@ class SnapshotCatalogSpec extends SparkTestBase {
       "ALTER TABLE nocat.t ALTER COLUMN x SET DEFAULT 1"))
     assert(!e3.getMessage.contains("not a registered snapshot catalog"),
       s"must delegate to Spark, got: ${e3.getMessage}")
+    // time-based retention: a 1000h horizon covers every commit, so
+    // nothing is reaped and every version stays travelable
+    val vLatest = Snapshots.latestVersion(spark, s"$root/c").get
+    spark.sql(s"VACUUM $cat.c RETAIN 1000 HOURS")
+    assert(Snapshots.readAt(spark, s"$root/c", vLatest).isDefined)
+    // a zero-hour horizon keeps only the latest (cutoff = now)
+    spark.sql(s"VACUUM $cat.c RETAIN 0 HOURS")
+    assert(Snapshots.readLatest(spark, s"$root/c").get.count() == 65)
     org.apache.commons.io.FileUtils.deleteQuietly(new File(root))
   }
 }
