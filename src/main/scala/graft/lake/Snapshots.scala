@@ -1686,31 +1686,48 @@ object Snapshots {
     * pruning keeps working under the current name. Old names are
     * tombstoned against recycling ([[guardRecycledNames]]). */
   /** Metadata-only COLUMN DEFAULT (Iceberg v3 initial-default / Delta
-    * column DEFAULT, read-side form): rows in files that do not CARRY
-    * `column` surface `defaultSql` (any literal/deterministic SQL
-    * expression) instead of null — the backfill-free way to add a
-    * populated column to a 100 TB table: add the column to new writes,
-    * declare the default, and every pre-existing byte stays untouched
-    * while reads see the value. Versioned with the log (time travel
-    * below the declaration still sees nulls); renames follow the key;
-    * dropping the column drops its default (a re-added same-named
-    * column starts clean, the q192 rule). The column must exist in the
-    * CURRENT live schema — a default for a column no file carries yet
-    * would silently apply to the whole table the moment one write adds
-    * it, which is exactly what the caller asked for, but we still
-    * require the name to be real to catch typos. */
+    * column DEFAULT + generated columns, read-side form): rows in
+    * files that do not CARRY `column` surface `defaultSql` instead of
+    * null — the backfill-free way to add a populated column to a
+    * 100 TB table: add the column to new writes, declare the default,
+    * and every pre-existing byte stays untouched while reads see the
+    * value. `defaultSql` may be a literal OR an expression over the
+    * row's other stored columns (the generated-column-on-read form —
+    * `band = CASE WHEN price < 50 THEN 'low' … END` materializes for
+    * history without rewriting it); references resolve under CURRENT
+    * names, so renaming or dropping a referenced column refuses with
+    * the cure. Versioned with the log (time travel below the
+    * declaration still sees nulls); renames follow the key; dropping
+    * the column drops its default (a re-added same-named column starts
+    * clean, the q192 rule). The column must exist in the CURRENT live
+    * schema — a default for a column no file carries yet would
+    * silently apply to the whole table the moment one write adds it,
+    * which is exactly what the caller asked for, but we still require
+    * the name to be real to catch typos. */
+  /** The column names a default/generation expression references
+    * (pre-analysis, so usable for DDL-time guards). */
+  private def exprRefs(spark: SparkSession, sql: String): Set[String] =
+    spark.sessionState.sqlParser.parseExpression(sql).collect {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        a.name
+    }.toSet
+
   def setColumnDefault(spark: SparkSession, table: String, column: String,
       defaultSql: String): Int = {
-    // validate now: a bad or non-self-contained expression must fail
-    // the DDL, not every read — a default may not reference columns
-    // (it fills rows that don't HAVE the columns), so analyzing it
-    // against a columnless row is exactly the right check
-    spark.range(1).select(expr(defaultSql)).schema
     commitLoop(spark, table, "set-default", newDefaults = prevOpt => {
       val prev = prevOpt.getOrElse(throw new IllegalStateException(
         s"cannot set a default on never-committed table $table"))
       require(liveNames(spark, table, prev).contains(column),
         s"no current column named $column")
+      // a GENERATION expression may reference the row's other stored
+      // columns (they resolve under CURRENT names at read time) but
+      // never the defaulted column itself; validate the whole
+      // expression against the live plan now — a bad default must
+      // fail the DDL, not every read
+      require(!exprRefs(spark, defaultSql).contains(column),
+        s"default for $column references itself")
+      readDispatch(spark, table, prev).limit(0).select(expr(defaultSql))
+        .schema
       Some(prev.defaults.filterNot(_._1 == column) :+ (column -> defaultSql))
     }) { prevOpt =>
       val prev = prevOpt.get
@@ -1742,6 +1759,13 @@ object Snapshots {
       require(!current.contains(to), s"column $to already exists")
       require(!prev.renames.exists(_._1 == to),
         s"$to was renamed away earlier and cannot be recycled")
+      // default/generation EXPRESSIONS store column names as SQL text;
+      // a rename of a referenced column would silently break them at
+      // read time — refuse with the cure (Delta's generated-column rule)
+      prev.defaults.foreach { case (c, d) =>
+        require(!exprRefs(spark, d).contains(from),
+          s"column $from is referenced by the default of $c — " +
+            "drop that default first") }
       // stats keys need no rewrite: [[snapshot]] materializes them
       // through the rename chain, so pruning always sees current names
       (prev.manifests, prev.deletes, prev.renames :+ (from -> to),
@@ -1770,6 +1794,12 @@ object Snapshots {
         s"cannot drop a column of never-committed table $table"))
       require(liveNames(spark, table, prev).contains(name),
         s"no current column named $name")
+      // dropping a column OTHER defaults compute from would break them
+      // at read time — refuse with the cure ([[renameColumn]]'s rule)
+      prev.defaults.filterNot(_._1 == name).foreach { case (c, d) =>
+        require(!exprRefs(spark, d).contains(name),
+          s"column $name is referenced by the default of $c — " +
+            "drop that default first") }
       val dirs = prev.files
         .map(_.split("/").dropRight(1).mkString("/")).distinct
       (prev.manifests, prev.deletes, prev.renames,
@@ -1897,17 +1927,23 @@ object Snapshots {
       val casts = target.fields.toSeq.map { f =>
         eraByMapped.get(f.name) match {
           case Some(orig) => col(orig).cast(f.dataType).as(f.name)
-          // absent column: a registered DEFAULT fills instead of null
-          // (initial-default semantics — zero bytes rewritten)
-          case None => s.defaults
-            .collectFirst { case (c, d)
-                if renamedName(s.renames, c) == f.name => expr(d) }
-            .getOrElse(lit(null))
-            .cast(f.dataType).as(f.name)
+          case None => lit(null).cast(f.dataType).as(f.name)
         }
       }
-      withMeta(spark, table, fs)
+      val mapped = withMeta(spark, table, fs)
         .select(col("_snap_file") +: col("_snap_pos") +: casts: _*)
+      // absent columns with a registered DEFAULT fill AFTER the
+      // era→current mapping, so the expression resolves under CURRENT
+      // names and may reference the row's OTHER stored columns — the
+      // generated-column-on-read generalization of initial defaults
+      // (zero bytes rewritten either way); declaration order applies,
+      // so a default may reference an earlier-declared one
+      s.defaults.foldLeft(mapped) { case (d0, (c, d)) =>
+        val cur = renamedName(s.renames, c)
+        if (eraByMapped.contains(cur) || !target.fieldNames.contains(cur)) d0
+        else d0.withColumn(cur,
+          expr(d).cast(target(target.fieldIndex(cur)).dataType))
+      }
     }.reduce(_ unionByName _)
   }
 
@@ -2144,11 +2180,21 @@ object Snapshots {
                 .map(c2 => c2 -> col(s"_src_$c2")).toMap
             // a registered column DEFAULT fills unspecified INSERT
             // columns (SQL DEFAULT-on-write semantics, composing with
-            // the read-side initial-default)
+            // the read-side initial-default); a GENERATION expression's
+            // column refs resolve against the SOURCE row's same-named
+            // columns (served under the `_src_` prefix here)
             val defMap = prev.defaults.toMap
+            def defaultCol(d: String) = org.apache.spark.sql.GraftSqlBridge
+              .column(spark.sessionState.sqlParser.parseExpression(d)
+                .transform {
+                  case a: org.apache.spark.sql.catalyst.analysis
+                      .UnresolvedAttribute =>
+                    org.apache.spark.sql.catalyst.analysis
+                      .UnresolvedAttribute(Seq("_src_" + a.name))
+                })
             val vals = explicit ++ tCols
               .filterNot(explicit.keySet).filter(defMap.contains)
-              .map(c2 => c2 -> expr(defMap(c2)))
+              .map(c2 => c2 -> defaultCol(defMap(c2)))
             val missing = tCols.filterNot(vals.keySet)
             if (missing.nonEmpty) throw new IllegalArgumentException(
               s"MERGE INSERT must provide every target column; " +

@@ -1591,6 +1591,55 @@ object LayoutQueries {
       .withColumn("sql_serves", lit(sqlServes))
   }
 
+  /** q247 — GENERATED COLUMNS ON READ (the expression form of q245's
+    * defaults — Delta generated columns without the rewrite): the
+    * default COMPUTES from the row's other stored columns, so a
+    * derived column (`value_band` from `o_totalprice`) materializes
+    * for ALL history — files written years before the DDL — with zero
+    * bytes rewritten; new writes store the column physically and keep
+    * their written values (`stored_kept` pins a deliberately
+    * mislabeled stored row surviving — generation fills ABSENCE, it
+    * never overwrites data). References resolve under current names;
+    * renaming or dropping a referenced column refuses with the cure
+    * (spec-pinned). The final aggregate groups by the generated
+    * column across one filled era and one stored era — the
+    * cross-engine witness that the computed fill and the stored
+    * values compose exactly. */
+  def generatedColumns(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Snapshots
+    val root = graft.util.Scratch.dir("gencol", dir)
+    val table = s"$root/orders_gen"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+    val orders = Tables(spark, dir, "orders")
+    val bandExpr = "CASE WHEN o_totalprice < 150000 THEN 'low' " +
+      "ELSE 'high' END"
+    val evens = orders.filter(col("o_orderkey") % 2 === 0)
+    // odds STORE the band physically — with one deliberate exception
+    // proving stored values always win over the generation expression
+    val odds = orders.filter(col("o_orderkey") % 2 === 1)
+      .withColumn("value_band",
+        when(col("o_orderkey") % 1000 === 1, lit("manual"))
+          .otherwise(expr(bandExpr)))
+    Snapshots.append(spark, table, evens)
+    val vPre = Snapshots.append(spark, table, odds)
+    Snapshots.setColumnDefault(spark, table, "value_band", bandExpr)
+    val live = Snapshots.readLatest(spark, table).get
+    val generatedFills = live.filter(col("value_band").isNull).count() == 0 &&
+      live.filter(col("o_orderkey") % 2 === 0 &&
+        col("value_band") =!= expr(bandExpr)).count() == 0
+    val storedKept = live.filter(col("value_band") === "manual").count() ==
+      odds.filter(col("o_orderkey") % 1000 === 1).count()
+    val travelNull = Snapshots.readAt(spark, table, vPre).get
+      .filter(col("value_band").isNull).count() == evens.count()
+    Snapshots.readLatest(spark, table).get
+      .groupBy(col("value_band"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(Num.cents(col("o_totalprice"))).as("sum_cents"))
+      .withColumn("generated_fills", lit(generatedFills))
+      .withColumn("stored_kept", lit(storedKept))
+      .withColumn("travel_null", lit(travelNull))
+  }
+
   /** q236 — SQL TIME TRAVEL BY TAG (`VERSION AS OF 'name'` — the
     * Iceberg named-ref read over the q221 tag store): a tag pinned
     * before later writes serves the EXACT tagged state to any SQL
@@ -2578,6 +2627,18 @@ object LayoutQueries {
              true AS materialize_lossless, true AS eq_cleared,
              true AS clone_after_ok
       FROM orders WHERE o_orderkey % 2 = 0
+      GROUP BY 1""")),
+    QueryDef("q247_generated_columns", generatedColumns, Some(s"""
+      SELECT CASE WHEN o_orderkey % 2 = 1 AND o_orderkey % 1000 = 1
+                  THEN 'manual'
+                  WHEN o_totalprice < 150000 THEN 'low'
+                  ELSE 'high' END AS value_band,
+             COUNT(*) AS n_rows,
+             CAST(SUM(${Num.sqlCents("o_totalprice")}) AS BIGINT)
+               AS sum_cents,
+             true AS generated_fills, true AS stored_kept,
+             true AS travel_null
+      FROM orders
       GROUP BY 1""")),
     QueryDef("q245_column_defaults", columnDefaults, Some(s"""
       SELECT CASE WHEN o_orderkey % 2 = 0 THEN 7

@@ -1849,6 +1849,32 @@ class SnapshotsSpec extends SparkTestBase {
     Snapshots.dropColumnDefault(spark, t2, "tier")
     assert(Snapshots.readLatest(spark, t2).get
       .filter(col("tier").isNull).count() == evens.count())
+    // GENERATED-on-read: the default may compute from the row's other
+    // stored columns — history materializes the derived value with
+    // zero bytes rewritten
+    Snapshots.setColumnDefault(spark, t2, "tier",
+      "CASE WHEN o_totalprice < 150000 THEN 1 ELSE 2 END")
+    val gen = Snapshots.readLatest(spark, t2).get
+    assert(gen.filter(col("o_orderkey") % 2 === 0 &&
+      col("tier") =!= when(col("o_totalprice") < 150000, 1).otherwise(2))
+      .count() == 0)
+    assert(gen.filter(col("o_orderkey") % 2 === 0 && col("tier").isNull)
+      .count() == 0)
+    // odds keep their WRITTEN values — generation fills absence only
+    assert(gen.filter(col("o_orderkey") % 2 === 1 &&
+      col("tier") === col("o_orderkey") % 3).count() == odds.count())
+    // self-reference and references to missing columns refuse at DDL
+    intercept[Exception](
+      Snapshots.setColumnDefault(spark, t2, "tier", "tier + 1"))
+    intercept[Exception](
+      Snapshots.setColumnDefault(spark, t2, "tier", "no_such_col * 2"))
+    // renaming/dropping a referenced column refuses with the cure
+    val eRef = intercept[IllegalArgumentException](
+      Snapshots.renameColumn(spark, t2, "o_totalprice", "price"))
+    assert(eRef.getMessage.contains("referenced by the default"))
+    val eDrop = intercept[IllegalArgumentException](
+      Snapshots.dropColumn(spark, t2, "o_totalprice"))
+    assert(eDrop.getMessage.contains("referenced by the default"))
   }
 
   test("all-digit tag names are refused (version-literal shadowing)") {
