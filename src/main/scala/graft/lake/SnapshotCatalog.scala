@@ -83,7 +83,8 @@ final class SnapshotCatalog extends TableCatalog {
     * data. */
   private def metaTable(ident: Identifier, v: Option[Int]): Option[Table] = {
     if (ident.namespace().isEmpty) return None
-    if (!Seq("history", "files", "refs").contains(ident.name())) return None
+    if (!Seq("history", "files", "refs", "detail").contains(ident.name()))
+      return None
     if (Snapshots.latestVersion(spark, tablePath(ident)).isDefined)
       return None // a real table named history/files shadows the metadata
     val parent = Identifier.of(ident.namespace().dropRight(1),
@@ -94,6 +95,7 @@ final class SnapshotCatalog extends TableCatalog {
       val schema = ident.name() match {
         case "history" => Snapshots.HistorySchema
         case "refs" => Snapshots.RefsSchema
+        case "detail" => Snapshots.DetailSchema
         case _ => Snapshots.FilesSchema
       }
       SnapshotMetaTable(s"${parent.name()}.${ident.name()}@v$ver",

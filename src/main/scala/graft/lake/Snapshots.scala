@@ -360,6 +360,45 @@ object Snapshots {
     StructField("ref_type", StringType, nullable = false),
     StructField("version", IntegerType, nullable = false)))
 
+  /** One-row table summary — the `<table>.detail` metadata table
+    * (Delta `DESCRIBE DETAIL`): the version's shape and every piece of
+    * declared table metadata (spec, constraints, defaults, refs) in
+    * one discoverable SQL row. O(log) driver-side; row_count is the
+    * log-derived exact count or −1 where the log declines
+    * ([[rowCountAt]] — MoR versions, pre-rowcount manifests). */
+  def detailMetadata(spark: SparkSession, table: String,
+      v: Int): DataFrame = {
+    val s = snapshot(spark, table, v).getOrElse(
+      throw new IllegalArgumentException(s"no version $v of $table"))
+    val row = org.apache.spark.sql.Row(
+      s.version, s.op,
+      s.files.size, s.manifests.size, s.deletes.size,
+      rowCountAt(spark, table, v).getOrElse(-1L),
+      s.partitionSpec.mkString(","),
+      s.constraints.size, s.defaults.size,
+      s.renames.size, s.drops.size,
+      listTags(spark, table).size, listBranches(spark, table).size)
+    spark.createDataFrame(
+      new java.util.ArrayList(scala.jdk.CollectionConverters
+        .SeqHasAsJava(Seq(row)).asJava),
+      DetailSchema)
+  }
+
+  val DetailSchema: StructType = StructType(Seq(
+    StructField("version", IntegerType, nullable = false),
+    StructField("op", StringType, nullable = false),
+    StructField("n_files", IntegerType, nullable = false),
+    StructField("n_manifests", IntegerType, nullable = false),
+    StructField("n_deletes", IntegerType, nullable = false),
+    StructField("row_count", LongType, nullable = false),
+    StructField("partition_spec", StringType, nullable = false),
+    StructField("n_constraints", IntegerType, nullable = false),
+    StructField("n_defaults", IntegerType, nullable = false),
+    StructField("n_renames", IntegerType, nullable = false),
+    StructField("n_drops", IntegerType, nullable = false),
+    StructField("n_tags", IntegerType, nullable = false),
+    StructField("n_branches", IntegerType, nullable = false)))
+
   /** Exact row count of version `v` from LOG METADATA alone — O(log
     * objects), no table scan: the sum of the version's per-file manifest
     * counts. Declines (None) when the version carries positional deletes

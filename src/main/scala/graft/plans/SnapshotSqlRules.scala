@@ -69,6 +69,8 @@ case class SnapshotRelationRewrite(spark: SparkSession)
         val inner = GraftSqlBridge.analyzed(t.kind match {
           case "history" => Snapshots.history(spark, t.path)
           case "refs" => Snapshots.refsMetadata(spark, t.path)
+          case "detail" => Snapshots.detailMetadata(spark, t.path,
+            t.snapVersion)
           case _ => Snapshots.filesMetadata(spark, t.path, t.snapVersion)
         })
         val byName = inner.output.map(a => a.name -> a).toMap

@@ -1815,6 +1815,39 @@ object LayoutQueries {
     refs.withColumn("travel_targets_resolve", lit(travelResolve))
   }
 
+  /** q248 — THE `detail` METADATA TABLE
+    * ([[graft.lake.Snapshots.detailMetadata]] — Delta `DESCRIBE
+    * DETAIL`): one discoverable SQL row holding the version's shape
+    * (files/manifests/deletes, exact log-derived row count) and every
+    * piece of declared table metadata — partition spec, CHECK
+    * constraints, column defaults, rename chain, drop ledger, refs —
+    * so an operator answers "what IS this table?" without reading a
+    * data byte or knowing the API. Lowered at analysis to an O(log)
+    * driver-built LocalRelation like history/files/refs; every field
+    * here is pinned to the exact values the preceding DDL produced,
+    * cross-engine. */
+  def detailMetadataTable(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Snapshots
+    val root = graft.util.Scratch.dir("detailmeta", dir)
+    val table = s"$root/orders_dt"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+    val orders = Tables(spark, dir, "orders")
+    Snapshots.append(spark, table,
+      orders.filter(col("o_orderkey") % 2 === 0).repartition(2))
+    Snapshots.append(spark, table,
+      orders.filter(col("o_orderkey") % 2 === 1).repartition(3))
+    Snapshots.addConstraint(spark, table, "pos", "o_totalprice >= 0")
+    Snapshots.setPartitionSpec(spark, table, Seq("bucket(4,o_custkey)"))
+    val v5 = Snapshots.setColumnDefault(spark, table, "o_orderstatus", "'O'")
+    Snapshots.createTag(spark, table, "t1", 1)
+    Snapshots.createBranch(spark, table, "b1", v5)
+    val cat = s"dtm_${Integer.toHexString(dir.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.lake.SnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"SELECT * FROM $cat.orders_dt.detail")
+  }
+
   /** q234 — MANIFEST-LIST COMPACTION
     * ([[graft.lake.Snapshots.rewriteManifests]] — Iceberg
     * `rewrite_manifests`, OPTIMIZE for the METADATA): eight separate
@@ -2668,6 +2701,14 @@ object LayoutQueries {
       FROM orders
       WHERE o_orderkey % 2 = 0 AND o_orderkey % 10 <> 0
       GROUP BY 1""")),
+    QueryDef("q248_detail_metadata", detailMetadataTable, Some("""
+      SELECT 5 AS version, 'set-default' AS op,
+             5 AS n_files, 2 AS n_manifests, 0 AS n_deletes,
+             (SELECT COUNT(*) FROM orders) AS row_count,
+             'bucket(4,o_custkey)' AS partition_spec,
+             1 AS n_constraints, 1 AS n_defaults,
+             0 AS n_renames, 0 AS n_drops,
+             1 AS n_tags, 1 AS n_branches""")),
     QueryDef("q241_refs_metadata", refsMetadataTable, Some("""
       SELECT * FROM (VALUES
         ('main', 'branch', 2, true),
