@@ -2093,7 +2093,8 @@ object Snapshots {
     * side never shuffles. */
   def mergeWhen(spark: SparkSession, table: String, source: DataFrame,
       keyCols: Seq[String], clauses: Seq[MergeClause],
-      statsCols: Seq[String] = Nil): Int = {
+      statsCols: Seq[String] = Nil, branch: String = ""): Int = {
+    if (branch.nonEmpty) branchHeadSnapshot(spark, table, branch) // fail fast
     require(keyCols.nonEmpty, "mergeWhen needs key columns")
     require(clauses.nonEmpty, "mergeWhen needs at least one WHEN clause")
     val matched = clauses.filter {
@@ -2114,7 +2115,7 @@ object Snapshots {
       cs.zipWithIndex.drop(1).foldLeft(
         when(condOf(cs.head), lit(0))) { case (acc, (c, i)) =>
         acc.when(condOf(c), lit(i)) }.otherwise(lit(-1))
-    commitLoop(spark, table, "merge") { prevOpt =>
+    commitLoop(spark, table, "merge", toBranch = branch) { prevOpt =>
       val prev = prevOpt.getOrElse(throw new IllegalArgumentException(
         s"cannot MERGE into never-committed table $table"))
       val liveOpt =
@@ -2401,12 +2402,13 @@ object Snapshots {
     * rewrite) refuse while equality deletes are outstanding and name
     * the cure, rather than mis-handle them. */
   def deleteByKeys(spark: SparkSession, table: String,
-      keys: DataFrame): Int = {
+      keys: DataFrame, branch: String = ""): Int = {
+    if (branch.nonEmpty) branchHeadSnapshot(spark, table, branch) // fail fast
     require(keys.columns.nonEmpty, "deleteByKeys needs at least one key column")
     val ops = new FileOps(spark.sparkContext.hadoopConfiguration)
     val rel = s"_snap/e-${Naming.newRunId()}"
     keys.distinct().write.mode("overwrite").parquet(s"$table/$rel/keys")
-    commitLoop(spark, table, "delete") { prevOpt =>
+    commitLoop(spark, table, "delete", toBranch = branch) { prevOpt =>
       val prev = prevOpt.getOrElse(throw new IllegalArgumentException(
         s"cannot DELETE from never-committed table $table"))
       // scope = manifests live NOW; rewritten per OCC retry so the
@@ -2495,8 +2497,9 @@ object Snapshots {
   def updateWhere(spark: SparkSession, table: String,
       pred: org.apache.spark.sql.Column,
       set: Map[String, org.apache.spark.sql.Column],
-      statsCols: Seq[String] = Nil): Int =
-    commitLoop(spark, table, "update") { prev =>
+      statsCols: Seq[String] = Nil, branch: String = ""): Int = {
+    if (branch.nonEmpty) branchHeadSnapshot(spark, table, branch) // fail fast
+    commitLoop(spark, table, "update", toBranch = branch) { prev =>
       val prevManifests = prev.map(_.manifests).getOrElse(Nil)
       val prevDeletes = prev.map(_.deletes).getOrElse(Nil)
       val prevRenames = prev.map(_.renames).getOrElse(Nil)
@@ -2535,6 +2538,7 @@ object Snapshots {
           prevDrops)
       }
     }
+  }
 
   /** RESTORE (`RESTORE TABLE t TO VERSION AS OF v` — the Delta/Iceberg
     * rollback): publish a NEW version whose content is exactly version

@@ -1594,6 +1594,36 @@ class SnapshotsSpec extends SparkTestBase {
     assert(Snapshots.readLatest(spark, t).get.count() == want)
   }
 
+  test("full DML surface is branch-addressable: mergeWhen/updateWhere/deleteByKeys") {
+    val t = fresh("brdml")
+    import spark.implicits._
+    val base = orders.limit(60).cache()
+    val keys = base.select(col("o_orderkey")).as[Long].collect().sorted
+    Snapshots.append(spark, t, base)
+    Snapshots.createBranch(spark, t, "b", 1)
+    // three branch-addressed DML commits main must not see
+    Snapshots.updateWhere(spark, t, col("o_orderkey") === keys(0),
+      Map("o_totalprice" -> lit(1.0)), branch = "b")
+    Snapshots.mergeWhen(spark, t,
+      base.filter(col("o_orderkey") === keys(1)),
+      Seq("o_orderkey"), Seq(Snapshots.WhenMatchedDelete()), branch = "b")
+    Snapshots.deleteByKeys(spark, t,
+      Seq(keys(2)).toDF("o_orderkey"), branch = "b")
+    val main = Snapshots.readLatest(spark, t).get
+    assert(main.count() == 60 &&
+      main.filter(col("o_totalprice") === 1.0).count() == 0,
+      "main must not see branch-staged DML")
+    val br = Snapshots.readAtBranch(spark, t, "b").get
+    assert(br.count() == 58)
+    assert(br.filter(col("o_orderkey") === keys(0))
+      .head.getAs[Double]("o_totalprice") == 1.0)
+    // publish and verify the whole staged state lands atomically
+    Snapshots.fastForwardMain(spark, t, "b")
+    val after = Snapshots.readLatest(spark, t).get
+    assert(after.count() == 58 &&
+      after.filter(col("o_totalprice") === 1.0).count() == 1)
+  }
+
   test("named in-log branches: WAP on one table directory") {
     val t = fresh("branch")
     val a = orders.filter(col("o_orderkey") % 3 === 0)
