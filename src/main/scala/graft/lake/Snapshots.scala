@@ -1742,7 +1742,14 @@ object Snapshots {
     * schema — a default for a column no file carries yet would
     * silently apply to the whole table the moment one write adds it,
     * which is exactly what the caller asked for, but we still require
-    * the name to be real to catch typos. */
+    * the name to be real to catch typos.
+    *
+    * CDC note: like every metadata-only commit (and like Delta's CDF
+    * on metadata changes), declaring a default emits NO change-feed
+    * rows even though the live view of absent-column rows changes —
+    * emitting delete/insert pairs for every filled row would be the
+    * O(table) diff the feed exists to avoid. Downstream consumers
+    * apply the same DDL out of band, exactly as they do for renames. */
   /** The column names a default/generation expression references
     * (pre-analysis, so usable for DDL-time guards). */
   private def exprRefs(spark: SparkSession, sql: String): Set[String] =
