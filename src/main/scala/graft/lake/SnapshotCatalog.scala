@@ -83,7 +83,8 @@ final class SnapshotCatalog extends TableCatalog {
     * data. */
   private def metaTable(ident: Identifier, v: Option[Int]): Option[Table] = {
     if (ident.namespace().isEmpty) return None
-    if (!Seq("history", "files", "refs", "detail").contains(ident.name()))
+    if (!Seq("history", "files", "refs", "detail", "partitions")
+        .contains(ident.name()))
       return None
     if (Snapshots.latestVersion(spark, tablePath(ident)).isDefined)
       return None // a real table named history/files shadows the metadata
@@ -96,6 +97,7 @@ final class SnapshotCatalog extends TableCatalog {
         case "history" => Snapshots.HistorySchema
         case "refs" => Snapshots.RefsSchema
         case "detail" => Snapshots.DetailSchema
+        case "partitions" => Snapshots.PartitionsSchema
         case _ => Snapshots.FilesSchema
       }
       SnapshotMetaTable(s"${parent.name()}.${ident.name()}@v$ver",

@@ -399,6 +399,66 @@ object Snapshots {
     StructField("n_tags", IntegerType, nullable = false),
     StructField("n_branches", IntegerType, nullable = false)))
 
+  /** Per-partition shape of one version — the `<table>.partitions`
+    * metadata table (the Iceberg partitions-table shape), computed from
+    * LOG METADATA alone. Partitioning here is HIDDEN (transform stats in
+    * the manifest, no directory layout), so partition membership is
+    * decided from each file's recorded interval: a file belongs to a
+    * partition tuple iff EVERY spec entry's recorded [min,max] collapses
+    * to a point AND the entry's null count is zero — exactly the files a
+    * clustered write produces. Files the log can't place (interval spans
+    * values, nulls present, stats missing — e.g. a pre-spec append)
+    * aggregate honestly under a NULL partition row instead of being
+    * mis-binned. `row_count` is the manifest-exact per-partition count,
+    * −1 where the log declines (any deletes outstanding — live count ≠
+    * file count — or a pre-rowcount manifest in the group). O(version
+    * file list) driver-side; never a data scan. An unpartitioned table
+    * is one NULL-partition row covering everything. */
+  def partitionsMetadata(spark: SparkSession, table: String,
+      v: Int): DataFrame = {
+    val s = snapshot(spark, table, v).getOrElse(
+      throw new IllegalArgumentException(s"no version $v of $table"))
+    def render(d: Double): String =
+      if (d == scala.math.rint(d) && d.abs < 1e15) d.toLong.toString
+      else d.toString
+    // None = unplaceable; Some(tuple) = the file's partition values
+    def tupleOf(f: String): Option[Seq[String]] = {
+      if (s.partitionSpec.isEmpty) return None
+      val st = s.stats.getOrElse(f, Map.empty)
+      val vals = s.partitionSpec.map { e =>
+        st.get(e) match {
+          case Some((lo, hi))
+              if lo == hi &&
+                st.get(s"nulls($e)").forall(_._1 == 0d) =>
+            Some(render(lo))
+          case _ => None
+        }
+      }
+      if (vals.forall(_.isDefined)) Some(vals.map(_.get)) else None
+    }
+    val groups = s.files.groupBy(tupleOf)
+    val countable = s.deletes.isEmpty
+    val rows = groups.toSeq.map { case (tup, fs) =>
+      val part = tup.map(vs =>
+        s.partitionSpec.zip(vs).map { case (e, x) => s"$e=$x" }
+          .mkString("/")).orNull
+      val n =
+        if (countable && fs.forall(s.rowCounts.contains))
+          fs.map(s.rowCounts).sum
+        else -1L
+      org.apache.spark.sql.Row(part, fs.size, n)
+    }.sortBy(r => Option(r.getString(0)).getOrElse("￿"))
+    spark.createDataFrame(
+      new java.util.ArrayList(scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows).asJava),
+      PartitionsSchema)
+  }
+
+  val PartitionsSchema: StructType = StructType(Seq(
+    StructField("partition", StringType, nullable = true),
+    StructField("file_count", IntegerType, nullable = false),
+    StructField("row_count", LongType, nullable = false)))
+
   /** Exact row count of version `v` from LOG METADATA alone — O(log
     * objects), no table scan: the sum of the version's per-file manifest
     * counts. Declines (None) when the version carries positional deletes

@@ -71,6 +71,8 @@ case class SnapshotRelationRewrite(spark: SparkSession)
           case "refs" => Snapshots.refsMetadata(spark, t.path)
           case "detail" => Snapshots.detailMetadata(spark, t.path,
             t.snapVersion)
+          case "partitions" => Snapshots.partitionsMetadata(spark, t.path,
+            t.snapVersion)
           case _ => Snapshots.filesMetadata(spark, t.path, t.snapVersion)
         })
         val byName = inner.output.map(a => a.name -> a).toMap

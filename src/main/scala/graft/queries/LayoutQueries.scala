@@ -1848,6 +1848,66 @@ object LayoutQueries {
     spark.sql(s"SELECT * FROM $cat.orders_dt.detail")
   }
 
+  /** q249 — THE `partitions` METADATA TABLE
+    * ([[graft.lake.Snapshots.partitionsMetadata]] — the Iceberg
+    * partitions-table shape): per-partition file counts and EXACT
+    * row counts served from log metadata alone, over SQL. The table
+    * is hidden-partitioned (transform stats in the manifest, flat
+    * directory layout), so membership is decided from each file's
+    * recorded interval: a clustered write's files collapse to a
+    * point per spec entry and place cleanly; anything the log can't
+    * place aggregates under a NULL partition row rather than being
+    * mis-binned. The gate partitions orders by an identity year
+    * column across TWO clustered appends, then lands a third slice
+    * WITHOUT the partition column at all (schema evolution in
+    * flight — its files carry no `o_year` stats, so the log provably
+    * cannot place them): per-year counts must be exact over the two
+    * placeable appends, the third must surface ONLY in the NULL row
+    * with its exact row count (`null_bucket_exact` — never mis-binned
+    * into a year), each file counts exactly once (`files_bounded`),
+    * and every reported count is log-exact (`counts_exact`). On a
+    * 100 TB table this is the "how big is each partition" answer —
+    * KB of metadata, zero data bytes. */
+  def partitionsMetadataTable(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Snapshots
+    val root = graft.util.Scratch.dir("partmeta", dir)
+    val table = s"$root/orders_pm"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+    val orders = Tables(spark, dir, "orders")
+      .withColumn("o_year", year(col("o_orderdate")))
+    val odd = col("o_orderkey") % 2 === 1
+    val stray = odd && col("o_orderkey") % 1000 === 7
+    Snapshots.appendPartitioned(spark, table,
+      orders.filter(!odd), Seq("o_year"), numFiles = 32)
+    Snapshots.appendPartitioned(spark, table,
+      orders.filter(odd && !stray), Seq("o_year"), numFiles = 32)
+    Snapshots.append(spark, table,
+      orders.filter(stray).drop("o_year"))
+    val strayCount = orders.filter(stray).count()
+    val cat = s"pm_${Integer.toHexString(dir.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.lake.SnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val parts = spark.sql(
+      s"SELECT partition, file_count, row_count FROM $cat.orders_pm.partitions")
+    val rows = parts.collect()
+    val nullRows = rows.filter(_.getString(0) == null)
+    val nullBucketExact =
+      nullRows.length == 1 && nullRows.head.getLong(2) == strayCount
+    val v = Snapshots.latestVersion(spark, table).get
+    val filesBounded =
+      rows.map(_.getInt(1)).sum == Snapshots.snapshot(spark, table, v)
+        .get.files.size
+    val countsExact = rows.forall(_.getLong(2) >= 0L)
+    parts.filter(col("partition").isNotNull)
+      .withColumn("o_year",
+        expr("cast(split(partition, '=')[1] as int)"))
+      .select(col("o_year"), col("row_count"))
+      .withColumn("null_bucket_exact", lit(nullBucketExact))
+      .withColumn("files_bounded", lit(filesBounded))
+      .withColumn("counts_exact", lit(countsExact))
+  }
+
   /** q234 — MANIFEST-LIST COMPACTION
     * ([[graft.lake.Snapshots.rewriteManifests]] — Iceberg
     * `rewrite_manifests`, OPTIMIZE for the METADATA): eight separate
@@ -2709,6 +2769,14 @@ object LayoutQueries {
              1 AS n_constraints, 1 AS n_defaults,
              0 AS n_renames, 0 AS n_drops,
              1 AS n_tags, 1 AS n_branches""")),
+    QueryDef("q249_partitions_metadata", partitionsMetadataTable, Some("""
+      SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+             COUNT(*) AS row_count,
+             true AS null_bucket_exact, true AS files_bounded,
+             true AS counts_exact
+      FROM orders
+      WHERE NOT (o_orderkey % 2 = 1 AND o_orderkey % 1000 = 7)
+      GROUP BY 1""")),
     QueryDef("q241_refs_metadata", refsMetadataTable, Some("""
       SELECT * FROM (VALUES
         ('main', 'branch', 2, true),

@@ -1914,4 +1914,27 @@ class SnapshotsSpec extends SparkTestBase {
       Snapshots.createTag(spark, t, "7", 1))
     Snapshots.createTag(spark, t, "v7", 1) // letters are fine
   }
+
+  test("partitions metadata: NULL bucket, delete decline, unpartitioned") {
+    val t = fresh("partm")
+    val df = orders.withColumn("o_year", year(col("o_orderdate")))
+    // unpartitioned table = one NULL row covering everything, exact count
+    Snapshots.append(spark, t, df.limit(20).repartition(2))
+    val un = Snapshots.partitionsMetadata(spark, t, 1).collect()
+    assert(un.length == 1 && un.head.getString(0) == null &&
+      un.head.getLong(2) == 20L, "unpartitioned = one NULL row")
+    // declare the spec: clustered writes place cleanly
+    val t2 = fresh("partm2")
+    Snapshots.appendPartitioned(spark, t2, df, Seq("o_year"), numFiles = 32)
+    val placed = Snapshots.partitionsMetadata(spark, t2, 1).collect()
+    assert(placed.forall(_.getString(0) != null), "clustered writes place")
+    assert(placed.map(_.getLong(2)).sum == df.count(), "counts exact")
+    // outstanding tombstones make live count ≠ file count: row_count
+    // declines to -1 everywhere rather than overstating
+    Snapshots.deleteWhere(spark, t2, col("o_orderkey") % 10 === 0)
+    val v = Snapshots.latestVersion(spark, t2).get
+    val declined = Snapshots.partitionsMetadata(spark, t2, v).collect()
+    assert(declined.forall(_.getLong(2) == -1L),
+      "deletes outstanding: metadata declines, never lies")
+  }
 }
