@@ -751,7 +751,8 @@ object Snapshots {
       constraints: Seq[(String, String)] = Nil,
       partitionSpec: Seq[String] = Nil,
       ref: String = "",
-      defaults: Seq[(String, String)] = Nil): Boolean = {
+      defaults: Seq[(String, String)] = Nil,
+      extraFields: Map[String, Any] = Map.empty): Boolean = {
     val conf = spark.sparkContext.hadoopConfiguration
     val ops = new FileOps(conf)
     val dst = new org.apache.hadoop.fs.Path(logPath(table, v))
@@ -768,7 +769,7 @@ object Snapshots {
       "drops" -> drops.map(d => Seq(d._1, d._2.toLong, d._3)),
       "constraints" -> constraints.map(c => Seq(c._1, c._2)),
       "partition_spec" -> partitionSpec,
-      "defaults" -> defaults.map(d => Seq(d._1, d._2))))
+      "defaults" -> defaults.map(d => Seq(d._1, d._2))) ++ extraFields)
     val tmp = s"${logPath(table, v)}.tmp-${Naming.newRunId()}"
     ops.writeString(tmp, json)
     try {
@@ -828,7 +829,10 @@ object Snapshots {
       // "" = main; a branch name computes content against the BRANCH
       // head and stamps the published log object with the ref, so main
       // readers skip it ([[mainHeadSnapshot]]) until fast-forwarded
-      toBranch: String = "")(
+      toBranch: String = "",
+      // opaque extra commit-object fields (e.g. the COPY INTO source
+      // ledger) — atomic with the publish, ignored by snapshot()
+      extraFields: Map[String, Any] = Map.empty)(
       content: Option[Snapshot] => (Seq[String], Seq[String],
         Seq[(String, String)], Seq[DropSpec])): Int = {
     var attempt = 0
@@ -866,7 +870,8 @@ object Snapshots {
         global.map(_.commitTs + 1).getOrElse(0L))
       beforePublish()
       if (tryPublish(spark, table, v, manifests, deletes, renames, drops,
-          commitTs, op, constraints, partitionSpec, toBranch, defaults)) {
+          commitTs, op, constraints, partitionSpec, toBranch, defaults,
+          extraFields)) {
         writeLatestHint(spark, table, v)
         return v
       }
@@ -1206,6 +1211,88 @@ object Snapshots {
     * unpartitioned / never declared). */
   def currentPartitionSpec(spark: SparkSession, table: String): Seq[String] =
     latestSnapshot(spark, table).map(_.partitionSpec).getOrElse(Nil)
+
+  // ------------------------------------------------ idempotent COPY INTO
+
+  /** Source-file identity for the [[copyInto]] ledger: file NAME plus
+    * byte length (the Delta COPY INTO discipline — a re-upload with the
+    * same name and size is the same file; a CHANGED file is a new
+    * identity and loads again, by design). */
+  private def sourceIdentity(st: org.apache.hadoop.fs.FileStatus): String =
+    s"${st.getPath.getName}:${st.getLen}"
+
+  /** Every source identity a LIVE log version records having ingested
+    * (the `ingest_sources` field [[copyInto]] publishes atomically with
+    * its data). O(versions) driver-side KB metadata — the walk the log
+    * already is; versions vacuum reclaims age their entries out, so the
+    * dedup horizon IS the log retention horizon (Delta's documented
+    * COPY INTO behavior). */
+  def loadedSources(spark: SparkSession, table: String): Set[String] = {
+    val ops = new FileOps(spark.sparkContext.hadoopConfiguration)
+    val latest = latestVersion(spark, table).getOrElse(0)
+    (1 to latest).iterator.flatMap { v =>
+      val p = logPath(table, v)
+      if (!ops.exists(p)) Iterator.empty[String]
+      else Json.parseObject(ops.readString(p)).get("ingest_sources") match {
+        case Some(xs: Seq[_]) => xs.iterator.map(_.toString)
+        case _ => Iterator.empty[String]
+      }
+    }.toSet
+  }
+
+  /** Idempotent incremental load — Delta `COPY INTO`: list `srcDir`'s
+    * parquet files, SKIP every identity a live log version already
+    * ingested, and load only the rest through the normal write path
+    * (persisted-spec clustering, stats, blooms, CHECK constraints). The
+    * loaded identities ride INSIDE the commit object, so ledger and
+    * data are one atomic publish: a crash on either side of the claim
+    * replays exactly (nothing recorded ⇒ nothing visible ⇒ next run
+    * loads; recorded ⇒ visible ⇒ next run skips). Re-running against an
+    * unchanged directory is a listing + log walk — no scan, no commit.
+    * An OCC re-entry re-checks the ledger and REFUSES if a racing
+    * copy-into landed any of the same identities (loading a file twice
+    * is the one thing this op exists to prevent); the caller's re-run
+    * then skips them. Returns (version, files loaded) — version
+    * unchanged when nothing was new. At 100 TB this is the
+    * micro-batchless ingestion loop: an hourly cron against a landing
+    * prefix, safe to fire twice, safe to crash anywhere. */
+  def copyInto(spark: SparkSession, table: String, srcDir: String,
+      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
+      beforePublish: () => Unit = () => ()): (Int, Int) = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val src = new org.apache.hadoop.fs.Path(srcDir)
+    val fs = src.getFileSystem(conf)
+    val candidates = fs.listStatus(src).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet") &&
+        !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+      .sortBy(_.getPath.getName)
+    val loaded = loadedSources(spark, table)
+    val fresh = candidates.filterNot(st => loaded(sourceIdentity(st)))
+    if (fresh.isEmpty) return (latestVersion(spark, table).getOrElse(0), 0)
+    val freshIds = fresh.map(sourceIdentity)
+    val df = spark.read.parquet(fresh.map(_.getPath.toString): _*)
+    val (clustered, stats) = honorSpec(spark, table, df, statsCols)
+    enforceConstraints(spark, table, df, "copy-into")
+    val (staged, stagedStats, stagedBlooms, stagedSchemas) =
+      stage(spark, table, clustered, stats, bloomCols)
+    val mid = writeManifest(spark, table, staged, stagedStats, stagedBlooms,
+      stagedSchemas)
+    val v = commitLoop(spark, table, "copy-into", beforePublish,
+      extraFields = Map("ingest_sources" -> freshIds)) { prev =>
+      guardRecycledNames(df, prev)
+      val nowLoaded = loadedSources(spark, table)
+      val dup = freshIds.filter(nowLoaded)
+      if (dup.nonEmpty) throw new IllegalStateException(
+        s"copy-into on $table lost a race: ${dup.size} source file(s) " +
+          "were ingested concurrently — re-run to skip them")
+      (prev.map(_.manifests).getOrElse(Nil) :+ mid,
+        prev.map(_.deletes).getOrElse(Nil),
+        prev.map(_.renames).getOrElse(Nil),
+        prev.map(_.drops).getOrElse(Nil))
+    }
+    (v, fresh.size)
+  }
 
   /** Evolve the table's persisted partition spec — ONE metadata-only
     * commit, no data rewritten (Iceberg partition-spec evolution): old

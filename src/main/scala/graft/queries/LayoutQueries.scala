@@ -1908,6 +1908,46 @@ object LayoutQueries {
       .withColumn("counts_exact", lit(countsExact))
   }
 
+  /** q250 — IDEMPOTENT INCREMENTAL LOAD
+    * ([[graft.lake.Snapshots.copyInto]] — Delta `COPY INTO`): the
+    * micro-batchless ingestion loop. Files land in a directory; each
+    * run loads ONLY identities no live log version has ingested, and
+    * the ledger rides INSIDE the commit object — data and dedup state
+    * are one atomic publish, so the loop is safe to fire twice and
+    * safe to crash anywhere. The gate lands 4 files, loads them, lands
+    * 3 more beside them, loads again (`incremental_only` — exactly the
+    * 3 new files, one new version), replays a third time
+    * (`noop_on_replay` — zero files, zero commits, no scan), and pins
+    * `ledger_exact` (all 7 identities recorded in the log). Final
+    * content = both slices exactly once, oracle-matched. At 100 TB
+    * this is the hourly cron against a landing prefix that never
+    * double-loads and never misses. */
+  def copyIntoIdempotent(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Snapshots
+    val root = graft.util.Scratch.dir("copyinto", dir)
+    val table = s"$root/orders_ci"
+    val src = s"$root/incoming"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(src))
+    val orders = Tables(spark, dir, "orders")
+    val even = col("o_orderkey") % 2 === 0
+    orders.filter(even).repartition(4).write.mode("overwrite").parquet(src)
+    val (v1, n1) = Snapshots.copyInto(spark, table, src)
+    orders.filter(!even).repartition(3).write.mode("append").parquet(src)
+    val (v2, n2) = Snapshots.copyInto(spark, table, src)
+    val (v3, n3) = Snapshots.copyInto(spark, table, src)
+    val incrementalOnly = n1 == 4 && n2 == 3 && v2 == v1 + 1
+    val noopOnReplay = n3 == 0 && v3 == v2
+    val ledgerExact = Snapshots.loadedSources(spark, table).size == 7
+    Snapshots.readLatest(spark, table).get
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(Num.cents(col("o_totalprice"))).as("sum_cents"))
+      .withColumn("incremental_only", lit(incrementalOnly))
+      .withColumn("noop_on_replay", lit(noopOnReplay))
+      .withColumn("ledger_exact", lit(ledgerExact))
+  }
+
   /** q234 — MANIFEST-LIST COMPACTION
     * ([[graft.lake.Snapshots.rewriteManifests]] — Iceberg
     * `rewrite_manifests`, OPTIMIZE for the METADATA): eight separate
@@ -2776,6 +2816,14 @@ object LayoutQueries {
              true AS counts_exact
       FROM orders
       WHERE NOT (o_orderkey % 2 = 1 AND o_orderkey % 1000 = 7)
+      GROUP BY 1""")),
+    QueryDef("q250_copy_into", copyIntoIdempotent, Some(s"""
+      SELECT o_orderpriority, COUNT(*) AS n_rows,
+             CAST(SUM(${Num.sqlCents("o_totalprice")}) AS BIGINT)
+               AS sum_cents,
+             true AS incremental_only, true AS noop_on_replay,
+             true AS ledger_exact
+      FROM orders
       GROUP BY 1""")),
     QueryDef("q241_refs_metadata", refsMetadataTable, Some("""
       SELECT * FROM (VALUES

@@ -1915,6 +1915,36 @@ class SnapshotsSpec extends SparkTestBase {
     Snapshots.createTag(spark, t, "v7", 1) // letters are fine
   }
 
+  test("copyInto: crash replay is exact, concurrent ingest refused") {
+    val root = Files.createTempDirectory("graft_ci").toString
+    val t = s"$root/t"
+    val src = s"$root/incoming"
+    orders.limit(40).repartition(2).write.parquet(src)
+    // crash BEFORE the claim: nothing recorded, replay loads exactly once
+    intercept[RuntimeException](
+      Snapshots.copyInto(spark, t, src,
+        beforePublish = () => throw new RuntimeException("crash")))
+    assert(Snapshots.latestVersion(spark, t).isEmpty, "no version on crash")
+    val (v1, n1) = Snapshots.copyInto(spark, t, src)
+    assert(v1 == 1 && n1 == 2)
+    assert(Snapshots.readLatest(spark, t).get.count() == 40,
+      "crash-then-replay must load once, not twice")
+    // a racing copy-into that lands the same identities first: the OCC
+    // retry re-checks the ledger and refuses instead of double-loading
+    val t2 = s"$root/t2"
+    var raced = false
+    val e = intercept[IllegalStateException](
+      Snapshots.copyInto(spark, t2, src, beforePublish = () => {
+        if (!raced) { raced = true; Snapshots.copyInto(spark, t2, src) }
+      }))
+    assert(e.getMessage.contains("lost a race"))
+    assert(Snapshots.readLatest(spark, t2).get.count() == 40,
+      "the racer's load stands alone — no duplicates")
+    // the refused caller's re-run is the documented cure: a clean no-op
+    val (_, n2) = Snapshots.copyInto(spark, t2, src)
+    assert(n2 == 0)
+  }
+
   test("partitions metadata: NULL bucket, delete decline, unpartitioned") {
     val t = fresh("partm")
     val df = orders.withColumn("o_year", year(col("o_orderdate")))
