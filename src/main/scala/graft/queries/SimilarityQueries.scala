@@ -256,6 +256,103 @@ object SimilarityQueries {
     e6(Similarity.topK(scored, KnnK))
   }
 
+  private val HnK = 3
+
+  /** q251 — HARD-NEGATIVE MINING (contrastive-training data prep — the
+    * triplet builder behind embedding-model finetuning, reranker
+    * training and CLIP-style pipelines): for EVERY anchor, the top-k
+    * most-similar vectors of a DIFFERENT label (the hard negatives —
+    * random negatives are trivially separable; the near-miss ones carry
+    * the gradient) plus its nearest SAME-label neighbor (the positive)
+    * and the pos−neg cosine margin the triplet loss will see. Corpus-
+    * wide like q233 — every vector is an anchor, so broadcast-probe is
+    * impossible: candidates come from the same 2×4-plane sign-LSH band
+    * equi-join (partitioned, never all-pairs), label routing is a
+    * per-row filter AFTER the join (labels ride the candidate pair, no
+    * second shuffle), and both the negative top-k and the positive
+    * top-1 run the O(k) heap aggregate — no window sort of the scored
+    * relation exists in the plan. Anchors whose buckets hold no
+    * same-label cohort emit NULL positive/margin (declared semantics,
+    * oracle-replayed via LEFT JOIN). */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    import graft.util.Par
+    val planes = Similarity.hyperplanes(NumPlanes, Dim)
+    val emb = Par.ensure(Tables(spark, dir, "embeddings"))
+    val bands = (0 until NumPlanes / KnnBandPlanes).map { t =>
+      val sub = planes.slice(t * KnnBandPlanes, (t + 1) * KnnBandPlanes)
+      emb.select(col("vec_id"),
+        lit(t).as("_band"), Similarity.lshBucket(col("embedding"), sub)
+          .as("_sig"))
+    }.reduce(_ unionAll _)
+    val cands = bands.as("a")
+      .join(bands.as("b"), col("a._band") === col("b._band") &&
+        col("a._sig") === col("b._sig") &&
+        col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor_id"))
+      .distinct()
+    val meta = emb.select(col("vec_id"), col("embedding"), col("label"))
+    val scored = cands
+      .join(meta.select(col("vec_id").as("query_id"),
+        col("embedding").as("_qv"), col("label").as("_ql")), Seq("query_id"))
+      .join(meta.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("_cv"), col("label").as("_cl")), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Similarity.cosine(col("_qv"), col("_cv")).as("cos_sim"),
+        col("_ql"), col("_cl"))
+    val negs = Similarity.topK(
+      scored.filter(col("_ql") =!= col("_cl"))
+        .select(col("query_id"), col("neighbor_id"), col("cos_sim")), HnK)
+    val pos = Similarity.topK(
+      scored.filter(col("_ql") === col("_cl"))
+        .select(col("query_id"), col("neighbor_id"), col("cos_sim")), 1)
+      .select(col("query_id"), col("neighbor_id").as("pos_id"),
+        col("cos_sim").as("_pc"))
+    negs.join(pos, Seq("query_id"), "left")
+      .select(col("query_id").as("anchor_id"), col("rank"),
+        col("neighbor_id").as("neg_id"),
+        floor(col("cos_sim") * 1000000).as("neg_cos_e6"),
+        col("pos_id"),
+        floor((col("_pc") - col("cos_sim")) * 1000000).as("margin_e6"))
+  }
+
+  private val hardNegativesOracle = {
+    val planes = Similarity.hyperplanes(NumPlanes, Dim)
+    val bandSelects = (0 until NumPlanes / KnnBandPlanes).map { t =>
+      val sub = planes.slice(t * KnnBandPlanes, (t + 1) * KnnBandPlanes)
+      s"SELECT vec_id, $t AS band, " +
+        s"${Similarity.sqlLshBucket("embedding", sub)} AS sig, label " +
+        "FROM embeddings"
+    }.mkString(" UNION ALL ")
+    val cos = Similarity.sqlCosine("q.embedding", "c.embedding")
+    s"""WITH sigs AS ($bandSelects),
+      cands AS (
+        SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+        FROM sigs a JOIN sigs b
+          ON a.band = b.band AND a.sig = b.sig AND a.vec_id <> b.vec_id),
+      scored AS (
+        SELECT p.query_id, p.neighbor_id, q.label AS ql, c.label AS cl,
+          $cos AS cos_sim
+        FROM cands p
+        JOIN embeddings q ON q.vec_id = p.query_id
+        JOIN embeddings c ON c.vec_id = p.neighbor_id),
+      negs AS (
+        SELECT query_id, neighbor_id, cos_sim,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY cos_sim DESC, neighbor_id) AS rank
+        FROM scored WHERE ql <> cl),
+      pos AS (
+        SELECT query_id, neighbor_id AS pos_id, cos_sim AS pc,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY cos_sim DESC, neighbor_id) AS pr
+        FROM scored WHERE ql = cl)
+      SELECT n.query_id AS anchor_id, n.rank, n.neighbor_id AS neg_id,
+        CAST(floor(n.cos_sim * 1000000) AS BIGINT) AS neg_cos_e6,
+        p.pos_id,
+        CAST(floor((p.pc - n.cos_sim) * 1000000) AS BIGINT) AS margin_e6
+      FROM negs n LEFT JOIN pos p ON p.query_id = n.query_id AND p.pr = 1
+      WHERE n.rank <= $HnK"""
+  }
+
   private val knnGraphOracle = {
     val planes = Similarity.hyperplanes(NumPlanes, Dim)
     val bandSelects = (0 until NumPlanes / KnnBandPlanes).map { t =>
@@ -879,6 +976,8 @@ object SimilarityQueries {
     QueryDef("q83_sq8_topk", sq8TopK, Some(sq8TopKOracle)),
     QueryDef("q232_matryoshka_topk", matryoshkaTopK, Some(matryoshkaOracle)),
     QueryDef("q233_knn_graph", knnGraph, Some(knnGraphOracle)),
+    QueryDef("q251_hard_negatives", hardNegatives,
+      Some(hardNegativesOracle)),
     QueryDef("q24_cosine_topk", cosineTopK, Some(cosineTopKOracle)),
     QueryDef("q25_lsh_ann_topk", lshTopK, Some(lshTopKOracle)),
     QueryDef("q26_embedding_near_dups", embeddingNearDups,

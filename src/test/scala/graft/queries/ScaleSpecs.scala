@@ -1020,6 +1020,35 @@ class ScaleSpecs extends SparkTestBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("hard negatives: banded equi-join + heaps, never all-pairs, no window") {
+    // q251 mines corpus-wide (every vector an anchor): the label routing
+    // must be a filter on the banded candidate join's output — not a
+    // second shuffle, not a label-cross join — and both the negative
+    // top-k and positive top-1 must run the O(k) heap aggregate. Same
+    // broadcast-off degradation pin as q233: partitioned equi-join, no
+    // cartesian/BNL, no window sort of the scored relation.
+    val df = SimilarityQueries.hardNegatives(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("CartesianProduct"), plan.take(2500))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2500))
+    assert(plan.contains("ObjectHashAggregate"), plan.take(2000))
+    assert(!plan.contains("Window"), plan.take(2500))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val big = SimilarityQueries.hardNegatives(spark, dir)
+      big.collect()
+      val bigPlan = big.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(bigPlan.contains("SortMergeJoin") ||
+        bigPlan.contains("ShuffledHashJoin"), bigPlan.take(2500))
+      assert(!bigPlan.contains("CartesianProduct") &&
+        !bigPlan.contains("BroadcastNestedLoopJoin"), bigPlan.take(2500))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("MaxSim late interaction: partial max aggregation, no per-doc window") {
     // q212's max-per-(doc, query-token) must reduce map-side (partial +
     // final HashAggregate on integer/double state), the doc ranking is
