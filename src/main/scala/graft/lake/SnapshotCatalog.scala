@@ -207,8 +207,26 @@ final class SnapshotCatalog extends TableCatalog {
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = throw readOnly
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw readOnly
+  /** `ALTER TABLE cat.t SET/UNSET TBLPROPERTIES` — the one alterTable
+    * shape this catalog serves natively (property commits are pure log
+    * metadata; schema/DML changes go through graft.lake.Snapshots or
+    * the intercepted DDL). Mixed change sets containing anything else
+    * refuse whole — never a partial apply. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    import org.apache.spark.sql.connector.catalog.TableChange.{
+      RemoveProperty, SetProperty}
+    val t = tablePath(ident)
+    if (Snapshots.latestVersion(spark, t).isEmpty)
+      throw new NoSuchTableException(ident)
+    val sets = changes.collect { case s: SetProperty =>
+      s.property() -> s.value() }
+    val removes = changes.collect { case r: RemoveProperty => r.property() }
+    if (sets.size + removes.size != changes.size ||
+        (sets.isEmpty && removes.isEmpty)) throw readOnly
+    if (sets.nonEmpty) Snapshots.setTableProperties(spark, t, sets.toMap)
+    if (removes.nonEmpty) Snapshots.unsetTableProperties(spark, t, removes)
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = throw readOnly
 

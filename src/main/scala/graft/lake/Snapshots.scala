@@ -84,7 +84,8 @@ object Snapshots {
       constraints: Seq[(String, String)] = Nil,
       partitionSpec: Seq[String] = Nil,
       ref: String = "",
-      defaults: Seq[(String, String)] = Nil)
+      defaults: Seq[(String, String)] = Nil,
+      properties: Map[String, String] = Map.empty)
 
   /** Resolve a manifest file reference to a readable path. References
     * are table-relative in the common case; a [[shallowClone]] carries
@@ -271,11 +272,18 @@ object Snapshots {
       }
       case _ => Nil
     }
+    val properties: Map[String, String] = m.get("properties") match {
+      case Some(ps: Seq[_]) => ps.map { p =>
+        val pair = p.asInstanceOf[Seq[Any]]
+        (pair(0).toString, pair(1).toString)
+      }.toMap
+      case _ => Map.empty
+    }
     Some(Snapshot(v, files, strings("deletes"), stats,
       renames, manifestIds, blooms, commitTs, dirSchemas, drops, rowCounts,
       m.get("op").map(_.toString).getOrElse(""), constraints,
       strings("partition_spec"),
-      m.get("ref").map(_.toString).getOrElse(""), defaults))
+      m.get("ref").map(_.toString).getOrElse(""), defaults, properties))
   }
 
   /** Commit history of the table as a DataFrame — the `DESCRIBE
@@ -752,7 +760,8 @@ object Snapshots {
       partitionSpec: Seq[String] = Nil,
       ref: String = "",
       defaults: Seq[(String, String)] = Nil,
-      extraFields: Map[String, Any] = Map.empty): Boolean = {
+      extraFields: Map[String, Any] = Map.empty,
+      properties: Map[String, String] = Map.empty): Boolean = {
     val conf = spark.sparkContext.hadoopConfiguration
     val ops = new FileOps(conf)
     val dst = new org.apache.hadoop.fs.Path(logPath(table, v))
@@ -769,7 +778,9 @@ object Snapshots {
       "drops" -> drops.map(d => Seq(d._1, d._2.toLong, d._3)),
       "constraints" -> constraints.map(c => Seq(c._1, c._2)),
       "partition_spec" -> partitionSpec,
-      "defaults" -> defaults.map(d => Seq(d._1, d._2))) ++ extraFields)
+      "defaults" -> defaults.map(d => Seq(d._1, d._2)),
+      "properties" -> properties.toSeq.sortBy(_._1)
+        .map(p => Seq(p._1, p._2))) ++ extraFields)
     val tmp = s"${logPath(table, v)}.tmp-${Naming.newRunId()}"
     ops.writeString(tmp, json)
     try {
@@ -826,6 +837,11 @@ object Snapshots {
       // only setColumnDefault/dropColumnDefault/rename/drop override
       newDefaults: Option[Snapshot] => Option[Seq[(String, String)]] =
         _ => None,
+      // TABLE PROPERTIES (TBLPROPERTIES) carry forward; only
+      // setTableProperties/unsetTableProperties (and version-pinning
+      // ops like restore) override
+      newProperties: Option[Snapshot] => Option[Map[String, String]] =
+        _ => None,
       // "" = main; a branch name computes content against the BRANCH
       // head and stamps the published log object with the ref, so main
       // readers skip it ([[mainHeadSnapshot]]) until fast-forwarded
@@ -858,6 +874,8 @@ object Snapshots {
         .getOrElse(prev.map(_.partitionSpec).getOrElse(Nil))
       val defaults = newDefaults(prev)
         .getOrElse(prev.map(_.defaults).getOrElse(Nil))
+      val properties = newProperties(prev)
+        .getOrElse(prev.map(_.properties).getOrElse(Map.empty))
       // commit timestamps are MONOTONIC and STRICTLY increasing: clock
       // skew or same-millisecond commits would otherwise make
       // TIMESTAMP AS OF resolution ambiguous (two versions at one ts)
@@ -871,7 +889,7 @@ object Snapshots {
       beforePublish()
       if (tryPublish(spark, table, v, manifests, deletes, renames, drops,
           commitTs, op, constraints, partitionSpec, toBranch, defaults,
-          extraFields)) {
+          extraFields, properties)) {
         writeLatestHint(spark, table, v)
         return v
       }
@@ -1170,7 +1188,7 @@ object Snapshots {
       stage(spark, table, df, statsCols, bloomCols)
     val mid = writeManifest(spark, table, staged, stagedStats, stagedBlooms,
       stagedSchemas)
-    commitLoop(spark, table, "append", beforePublish,
+    val v = commitLoop(spark, table, "append", beforePublish,
       newPartitionSpec = _ => newSpec) { prev =>
       guardRecycledNames(df, prev)
       (prev.map(_.manifests).getOrElse(Nil) :+ mid,
@@ -1178,6 +1196,8 @@ object Snapshots {
         prev.map(_.renames).getOrElse(Nil),
         prev.map(_.drops).getOrElse(Nil))
     }
+    maybeAutoCompact(spark, table)
+    v
   }
 
   /** HIDDEN-PARTITIONED append (the Iceberg partition-transform write
@@ -1211,6 +1231,81 @@ object Snapshots {
     * unpartitioned / never declared). */
   def currentPartitionSpec(spark: SparkSession, table: String): Seq[String] =
     latestSnapshot(spark, table).map(_.partitionSpec).getOrElse(Nil)
+
+  // ------------------------------------------------- table properties
+
+  /** The table's current properties (TBLPROPERTIES — versioned: time
+    * travel below a set/unset sees the old map, restore pins the
+    * target version's, clone/fast-forward carry the source's). */
+  def tableProperties(spark: SparkSession, table: String): Map[String, String] =
+    latestSnapshot(spark, table).map(_.properties).getOrElse(Map.empty)
+
+  /** Merge `props` into the table's properties — ONE metadata-only
+    * commit (op `set-properties`), the Delta/Iceberg `ALTER TABLE SET
+    * TBLPROPERTIES` shape; also reachable over SQL through the
+    * [[SnapshotCatalog]]'s alterTable. Properties are opaque
+    * string pairs; the ones the engine itself reads are documented at
+    * their consumer ([[maybeAutoCompact]]). */
+  def setTableProperties(spark: SparkSession, table: String,
+      props: Map[String, String]): Int =
+    commitLoop(spark, table, "set-properties",
+      newProperties = prev =>
+        Some(prev.map(_.properties).getOrElse(Map.empty) ++ props)) { prev =>
+      (prev.map(_.manifests).getOrElse(Nil),
+        prev.map(_.deletes).getOrElse(Nil),
+        prev.map(_.renames).getOrElse(Nil),
+        prev.map(_.drops).getOrElse(Nil))
+    }
+
+  /** Remove `keys` from the table's properties — ONE metadata-only
+    * commit (op `unset-properties`); absent keys are a no-op, like
+    * `UNSET TBLPROPERTIES IF EXISTS`. */
+  def unsetTableProperties(spark: SparkSession, table: String,
+      keys: Seq[String]): Int =
+    commitLoop(spark, table, "unset-properties",
+      newProperties = prev =>
+        Some(prev.map(_.properties).getOrElse(Map.empty) -- keys)) { prev =>
+      (prev.map(_.manifests).getOrElse(Nil),
+        prev.map(_.deletes).getOrElse(Nil),
+        prev.map(_.renames).getOrElse(Nil),
+        prev.map(_.drops).getOrElse(Nil))
+    }
+
+  /** Property keys the engine consumes (Delta auto-compaction shape):
+    * when `graft.autoCompact.minFiles` is set, any append/copy-into
+    * that leaves at least that many files under
+    * `graft.autoCompact.targetBytes` (default 8 MiB) triggers an
+    * inline [[optimizeSmallFiles]] as a FOLLOW-ON commit — the write
+    * itself publishes first and keeps its own version (a reader
+    * between the two sees correct data in small files), the
+    * compaction clusters by the persisted partition spec so pruning
+    * stats survive. The threshold check is one O(files) driver-side
+    * FS stat pass, skipped entirely when the property is absent. At
+    * 100 TB this is what keeps a streaming-cadence ingest table from
+    * accreting millions of KB files without an external OPTIMIZE
+    * scheduler. */
+  val AutoCompactMinFilesKey = "graft.autoCompact.minFiles"
+  val AutoCompactTargetBytesKey = "graft.autoCompact.targetBytes"
+
+  private def maybeAutoCompact(spark: SparkSession, table: String): Unit = {
+    val props = tableProperties(spark, table)
+    val minFiles = props.get(AutoCompactMinFilesKey)
+      .flatMap(_.toIntOption) match {
+      case Some(n) if n > 0 => n
+      case _ => return
+    }
+    val target = props.get(AutoCompactTargetBytesKey)
+      .flatMap(_.toLongOption).getOrElse(8L << 20)
+    val s = latestSnapshot(spark, table).getOrElse(return)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val small = s.files.count { f =>
+      val p = new org.apache.hadoop.fs.Path(filePath(table, f))
+      p.getFileSystem(conf).getFileStatus(p).getLen < target
+    }
+    if (small >= minFiles)
+      optimizeSmallFiles(spark, table, target,
+        statsCols = s.partitionSpec)
+  }
 
   // ------------------------------------------------ idempotent COPY INTO
 
@@ -1291,6 +1386,7 @@ object Snapshots {
         prev.map(_.renames).getOrElse(Nil),
         prev.map(_.drops).getOrElse(Nil))
     }
+    maybeAutoCompact(spark, table)
     (v, fresh.size)
   }
 
@@ -2710,7 +2806,8 @@ object Snapshots {
     commitLoop(spark, table, "restore",
         newConstraints = _ => Some(target.constraints),
         newPartitionSpec = _ => Some(target.partitionSpec),
-        newDefaults = _ => Some(target.defaults)) { _ =>
+        newDefaults = _ => Some(target.defaults),
+        newProperties = _ => Some(target.properties)) { _ =>
       (target.manifests, target.deletes, target.renames, target.drops)
     }
   }
@@ -2850,7 +2947,8 @@ object Snapshots {
       cloneContent(spark, src, dst, s)
     commitLoop(spark, dst, "clone",
         newConstraints = _ => Some(constraints),
-        newDefaults = _ => Some(s.defaults)) { prev =>
+        newDefaults = _ => Some(s.defaults),
+        newProperties = _ => Some(s.properties)) { prev =>
       if (prev.nonEmpty) throw new IllegalStateException(
         s"shallow clone target $dst already has versions")
       (Seq(manifest), cloneDeletes, renames, drops)
@@ -2879,7 +2977,8 @@ object Snapshots {
       cloneContent(spark, branch, dst, s)
     commitLoop(spark, dst, "fast-forward",
         newConstraints = _ => Some(constraints),
-        newDefaults = _ => Some(s.defaults)) { _ =>
+        newDefaults = _ => Some(s.defaults),
+        newProperties = _ => Some(s.properties)) { _ =>
       (Seq(manifest), cloneDeletes, renames, drops)
     }
   }
@@ -3673,7 +3772,8 @@ object Snapshots {
     commitLoop(spark, table, "fast-forward",
       newConstraints = _ => Some(head.constraints),
       newPartitionSpec = _ => Some(head.partitionSpec),
-      newDefaults = _ => Some(head.defaults)) { prev =>
+      newDefaults = _ => Some(head.defaults),
+      newProperties = _ => Some(head.properties)) { prev =>
       val mainV = prev.map(_.version).getOrElse(0)
       if (mainV > base) throw new IllegalStateException(
         s"fastForwardMain: main advanced to $mainV past branch " +

@@ -1948,6 +1948,72 @@ object LayoutQueries {
       .withColumn("ledger_exact", lit(ledgerExact))
   }
 
+  /** q252 — TABLE PROPERTIES + AUTO-COMPACTION ON WRITE
+    * ([[graft.lake.Snapshots.setTableProperties]] /
+    * [[graft.lake.Snapshots.maybeAutoCompact]] — Delta TBLPROPERTIES +
+    * auto compaction): properties are VERSIONED log metadata set over
+    * plain SQL (`ALTER TABLE cat.t SET TBLPROPERTIES`, served by the
+    * catalog's alterTable), and the engine consumes one pair itself —
+    * with `graft.autoCompact.minFiles` declared, every append that
+    * leaves that many small files triggers an inline OPTIMIZE as a
+    * follow-on commit, so a streaming-cadence ingest table never
+    * accretes KB files waiting for an external scheduler. The gate
+    * runs five 2-file appends under minFiles=4 and pins the exact
+    * compaction cadence (`auto_compacted` — three optimize commits,
+    * one after every second append), the bounded end state
+    * (`bounded_files` — ONE file where twelve landed), the SQL
+    * round-trip (`props_via_sql`), and that `UNSET TBLPROPERTIES`
+    * genuinely stops the machinery (`unset_stops` — the next append's
+    * files stay). Content stays oracle-exact throughout. */
+  def autoCompact(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Snapshots
+    val root = graft.util.Scratch.dir("autocomp", dir)
+    val table = s"$root/orders_ac"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+    val orders = Tables(spark, dir, "orders")
+    val even = col("o_orderkey") % 2 === 0
+    Snapshots.append(spark, table, orders.filter(even).repartition(2))
+    val cat = s"ac_${Integer.toHexString(dir.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.lake.SnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"ALTER TABLE $cat.orders_ac SET TBLPROPERTIES(" +
+      s"'${Snapshots.AutoCompactMinFilesKey}'='4'," +
+      s"'${Snapshots.AutoCompactTargetBytesKey}'='33554432')")
+    val propsViaSql = Snapshots.tableProperties(spark, table) == Map(
+      Snapshots.AutoCompactMinFilesKey -> "4",
+      Snapshots.AutoCompactTargetBytesKey -> "33554432")
+    // five small appends: every file is far under 32 MiB at gate scale,
+    // so the file count walks 2,4→1,3,5→1,3,5→1 — compaction fires
+    // exactly after appends 1, 3 and 5
+    Seq(1, 3, 5, 7, 9).foreach { r =>
+      Snapshots.append(spark, table,
+        orders.filter(!even && col("o_orderkey") % 12 === r).repartition(2))
+    }
+    val vAfter = Snapshots.latestVersion(spark, table).get
+    val sAfter = Snapshots.snapshot(spark, table, vAfter).get
+    val boundedFiles = sAfter.files.size == 1
+    def optimizeOps: Int = (1 to Snapshots.latestVersion(spark, table).get)
+      .flatMap(v => Snapshots.snapshot(spark, table, v))
+      .count(_.op == "optimize")
+    val autoCompacted = optimizeOps == 3
+    spark.sql(s"ALTER TABLE $cat.orders_ac UNSET TBLPROPERTIES(" +
+      s"'${Snapshots.AutoCompactMinFilesKey}')")
+    Snapshots.append(spark, table,
+      orders.filter(!even && col("o_orderkey") % 12 === 11).repartition(4))
+    val sEnd = Snapshots.snapshot(spark, table,
+      Snapshots.latestVersion(spark, table).get).get
+    val unsetStops = sEnd.files.size == 5 && optimizeOps == 3
+    Snapshots.readLatest(spark, table).get
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(Num.cents(col("o_totalprice"))).as("sum_cents"))
+      .withColumn("props_via_sql", lit(propsViaSql))
+      .withColumn("bounded_files", lit(boundedFiles))
+      .withColumn("auto_compacted", lit(autoCompacted))
+      .withColumn("unset_stops", lit(unsetStops))
+  }
+
   /** q234 — MANIFEST-LIST COMPACTION
     * ([[graft.lake.Snapshots.rewriteManifests]] — Iceberg
     * `rewrite_manifests`, OPTIMIZE for the METADATA): eight separate
@@ -2816,6 +2882,14 @@ object LayoutQueries {
              true AS counts_exact
       FROM orders
       WHERE NOT (o_orderkey % 2 = 1 AND o_orderkey % 1000 = 7)
+      GROUP BY 1""")),
+    QueryDef("q252_auto_compact", autoCompact, Some(s"""
+      SELECT o_orderpriority, COUNT(*) AS n_rows,
+             CAST(SUM(${Num.sqlCents("o_totalprice")}) AS BIGINT)
+               AS sum_cents,
+             true AS props_via_sql, true AS bounded_files,
+             true AS auto_compacted, true AS unset_stops
+      FROM orders
       GROUP BY 1""")),
     QueryDef("q250_copy_into", copyIntoIdempotent, Some(s"""
       SELECT o_orderpriority, COUNT(*) AS n_rows,

@@ -1915,6 +1915,29 @@ class SnapshotsSpec extends SparkTestBase {
     Snapshots.createTag(spark, t, "v7", 1) // letters are fine
   }
 
+  test("table properties: versioned, restore pins, clone carries") {
+    val t = fresh("props")
+    Snapshots.append(spark, t, orders.limit(10))
+    val vBare = Snapshots.latestVersion(spark, t).get
+    Snapshots.setTableProperties(spark, t, Map("a" -> "1", "b" -> "2"))
+    Snapshots.setTableProperties(spark, t, Map("b" -> "3")) // merge wins
+    assert(Snapshots.tableProperties(spark, t) == Map("a" -> "1", "b" -> "3"))
+    // versioned: the pre-set version still shows the empty map
+    assert(Snapshots.snapshot(spark, t, vBare).get.properties.isEmpty)
+    // unset removes only the named key; absent keys are a no-op
+    Snapshots.unsetTableProperties(spark, t, Seq("b", "nope"))
+    assert(Snapshots.tableProperties(spark, t) == Map("a" -> "1"))
+    // restore pins the TARGET version's map (not the latest)
+    Snapshots.restore(spark, t, vBare)
+    assert(Snapshots.tableProperties(spark, t).isEmpty,
+      "restore must carry the restored version's properties")
+    // clone carries the source's map at the cloned version
+    Snapshots.setTableProperties(spark, t, Map("c" -> "9"))
+    val t2 = fresh("props2")
+    Snapshots.shallowClone(spark, t, t2)
+    assert(Snapshots.tableProperties(spark, t2) == Map("c" -> "9"))
+  }
+
   test("copyInto: crash replay is exact, concurrent ingest refused") {
     val root = Files.createTempDirectory("graft_ci").toString
     val t = s"$root/t"
