@@ -521,8 +521,12 @@ class SnapshotCatalogSpec extends SparkTestBase {
     // Spark's problem (alias named optimize parses as standard SQL);
     // standard ALTER TABLE forms delegate verbatim too
     assert(spark.sql("SELECT 1 AS optimize").head().getInt(0) == 1)
-    intercept[Exception](spark.sql(s"ALTER TABLE $cat.c SET " +
-      "TBLPROPERTIES ('x'='y')")) // Spark's parser+catalog, not ours
+    // SET/UNSET TBLPROPERTIES is the one alterTable shape the catalog
+    // serves natively (q252): a versioned metadata commit, not readOnly
+    spark.sql(s"ALTER TABLE $cat.c SET TBLPROPERTIES ('x'='y')")
+    assert(Snapshots.tableProperties(spark, s"$root/c") == Map("x" -> "y"))
+    spark.sql(s"ALTER TABLE $cat.c UNSET TBLPROPERTIES ('x')")
+    assert(Snapshots.tableProperties(spark, s"$root/c").isEmpty)
     // an unregistered catalog name errors loudly at parse time
     val e = intercept[Exception](spark.sql("OPTIMIZE nocat.t"))
     assert(e.getMessage.contains("not a registered snapshot catalog"))
