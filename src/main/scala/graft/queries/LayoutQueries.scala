@@ -2014,6 +2014,75 @@ object LayoutQueries {
       .withColumn("unset_stops", lit(unsetStops))
   }
 
+  /** q253 — MULTI-TABLE ATOMIC TRANSACTIONS
+    * ([[graft.lake.TableGroup]] — the capability neither Delta nor
+    * single-catalog Iceberg gives a pipeline whose fact table and
+    * derived tables must move in lockstep): stage each member's writes
+    * on a per-transaction in-log branch, claim ONE atomic marker
+    * pinning every staged head (the commit point — it exists with all
+    * pins or not at all), then roll `main`s forward as pure idempotent
+    * publish that anyone can resume. The gate runs the canonical
+    * CDC-plus-summary shape — append the odd half to `facts` while a
+    * branch-addressed MERGE refreshes `summary` — and CRASHES between
+    * MARK and PUBLISH: the group read must serve the WHOLE transaction
+    * (`atomic_visible` — facts and summary consistent with each other
+    * at the new state) while single-table main readers still see the
+    * old state (`main_isolated`); `rollForward` then heals mains to
+    * the identical state (`rollforward_heals`) and drops the
+    * transaction branches (`branches_reclaimed`). Markers are KB
+    * objects; nothing here scans data — at 100 TB the transaction
+    * costs exactly its member writes. */
+  def groupTransaction(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.{Snapshots, TableGroup}
+    val root = graft.util.Scratch.dir("txngrp", dir)
+    val group = s"$root/grp"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(group))
+    val orders = Tables(spark, dir, "orders")
+    val even = col("o_orderkey") % 2 === 0
+    def sumOf(df: DataFrame): DataFrame =
+      df.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(Num.cents(col("o_totalprice"))).as("sum_cents"))
+    Snapshots.append(spark, s"$group/facts", orders.filter(even))
+    Snapshots.append(spark, s"$group/summary", sumOf(orders.filter(even)))
+    val total = orders.count()
+    val evenN = orders.filter(even).count()
+    val txn: Seq[(String, TableGroup.Write)] = Seq(
+      "facts" -> ((t, br) => Snapshots.appendToBranch(spark, t, br,
+        orders.filter(!even))),
+      "summary" -> ((t, br) => Snapshots.mergeWhen(spark, t, sumOf(orders),
+        Seq("o_orderpriority"),
+        Seq(Snapshots.WhenMatchedUpdate(), Snapshots.WhenNotMatchedInsert()),
+        branch = br)))
+    var crashed = false
+    try TableGroup.commitAll(spark, group, txn,
+      afterMark = () => throw new RuntimeException("crash before publish"))
+    catch { case e: RuntimeException
+        if e.getMessage == "crash before publish" => crashed = true }
+    def consistent(facts: DataFrame, summary: DataFrame): Boolean =
+      summary.exceptAll(sumOf(facts)).isEmpty &&
+        sumOf(facts).exceptAll(summary).isEmpty
+    val staged = TableGroup.readAll(spark, group, Seq("facts", "summary"))
+    val atomicVisible = crashed &&
+      staged("facts").count() == total &&
+      consistent(staged("facts"), staged("summary"))
+    val mainIsolated =
+      Snapshots.readLatest(spark, s"$group/facts").get.count() == evenN
+    TableGroup.rollForward(spark, group)
+    val factsMain = Snapshots.readLatest(spark, s"$group/facts").get
+    val summaryMain = Snapshots.readLatest(spark, s"$group/summary").get
+    val rollforwardHeals = factsMain.count() == total &&
+      consistent(factsMain, summaryMain)
+    val branchesReclaimed =
+      Snapshots.listBranches(spark, s"$group/facts").isEmpty &&
+        Snapshots.listBranches(spark, s"$group/summary").isEmpty
+    summaryMain
+      .withColumn("atomic_visible", lit(atomicVisible))
+      .withColumn("main_isolated", lit(mainIsolated))
+      .withColumn("rollforward_heals", lit(rollforwardHeals))
+      .withColumn("branches_reclaimed", lit(branchesReclaimed))
+  }
+
   /** q234 — MANIFEST-LIST COMPACTION
     * ([[graft.lake.Snapshots.rewriteManifests]] — Iceberg
     * `rewrite_manifests`, OPTIMIZE for the METADATA): eight separate
@@ -2882,6 +2951,14 @@ object LayoutQueries {
              true AS counts_exact
       FROM orders
       WHERE NOT (o_orderkey % 2 = 1 AND o_orderkey % 1000 = 7)
+      GROUP BY 1""")),
+    QueryDef("q253_group_transaction", groupTransaction, Some(s"""
+      SELECT o_orderpriority, COUNT(*) AS n_rows,
+             CAST(SUM(${Num.sqlCents("o_totalprice")}) AS BIGINT)
+               AS sum_cents,
+             true AS atomic_visible, true AS main_isolated,
+             true AS rollforward_heals, true AS branches_reclaimed
+      FROM orders
       GROUP BY 1""")),
     QueryDef("q252_auto_compact", autoCompact, Some(s"""
       SELECT o_orderpriority, COUNT(*) AS n_rows,
