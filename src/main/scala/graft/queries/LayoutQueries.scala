@@ -2083,6 +2083,61 @@ object LayoutQueries {
       .withColumn("branches_reclaimed", lit(branchesReclaimed))
   }
 
+  /** q254 — VERSION-PINNED RESULT CACHE
+    * ([[graft.lake.ResultCache]] — materialized result reuse made
+    * SOUND by the log): a cached result is keyed by the canonicalized
+    * plan PLUS the exact log version of every input snapshot table, so
+    * a hit is provably the same computation over provably the same
+    * data — no TTL heuristics, no invalidation daemon. The gate pins
+    * the full lifecycle: the repeat request scans ONLY the KB cache
+    * entry (`served_from_cache` — inputFiles-pinned, the 100 TB
+    * dashboard shape where repeats between commits never touch the
+    * corpus), one key means one entry (`single_entry`), a commit to
+    * the input table changes the key and recomputes
+    * (`commit_invalidates` — the result reflects the append
+    * immediately, stale is structurally impossible), and the sweeper
+    * reclaims orphaned entries whose inputs moved on
+    * (`swept_recomputes`). */
+  def resultCacheServing(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.{ResultCache, Snapshots}
+    val root = graft.util.Scratch.dir("rescache", dir)
+    val table = s"$root/orders_rc"
+    val cache = s"$root/cache"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(cache))
+    val orders = Tables(spark, dir, "orders")
+    val even = col("o_orderkey") % 2 === 0
+    Snapshots.append(spark, table, orders.filter(even))
+    def q(): DataFrame = Snapshots.readLatest(spark, table).get
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(Num.cents(col("o_totalprice"))).as("sum_cents"))
+    def entries: Seq[String] = {
+      val d = new java.io.File(cache)
+      if (!d.exists) Nil
+      else d.listFiles.toSeq.map(_.getName).filter(_.startsWith("r-"))
+    }
+    val r1 = ResultCache.through(spark, cache, q(), Seq(table))
+    val r2 = ResultCache.through(spark, cache, q(), Seq(table))
+    val servedFromCache = r2.inputFiles.nonEmpty &&
+      r2.inputFiles.forall(_.contains("/cache/")) &&
+      r2.inputFiles.sorted.sameElements(r1.inputFiles.sorted)
+    val singleEntry = entries.size == 1
+    Snapshots.append(spark, table, orders.filter(!even))
+    val r3 = ResultCache.through(spark, cache, q(), Seq(table))
+    val total = orders.count()
+    val commitInvalidates = entries.size == 2 &&
+      r3.agg(sum(col("n_rows"))).head.getLong(0) == total
+    val swept = ResultCache.sweep(spark, cache, -1000L)
+    val r4 = ResultCache.through(spark, cache, q(), Seq(table))
+    val sweptRecomputes = swept == 2 && entries.size == 1 &&
+      r4.agg(sum(col("n_rows"))).head.getLong(0) == total
+    r4.withColumn("served_from_cache", lit(servedFromCache))
+      .withColumn("single_entry", lit(singleEntry))
+      .withColumn("commit_invalidates", lit(commitInvalidates))
+      .withColumn("swept_recomputes", lit(sweptRecomputes))
+  }
+
   /** q234 — MANIFEST-LIST COMPACTION
     * ([[graft.lake.Snapshots.rewriteManifests]] — Iceberg
     * `rewrite_manifests`, OPTIMIZE for the METADATA): eight separate
@@ -2951,6 +3006,14 @@ object LayoutQueries {
              true AS counts_exact
       FROM orders
       WHERE NOT (o_orderkey % 2 = 1 AND o_orderkey % 1000 = 7)
+      GROUP BY 1""")),
+    QueryDef("q254_result_cache", resultCacheServing, Some(s"""
+      SELECT o_orderpriority, COUNT(*) AS n_rows,
+             CAST(SUM(${Num.sqlCents("o_totalprice")}) AS BIGINT)
+               AS sum_cents,
+             true AS served_from_cache, true AS single_entry,
+             true AS commit_invalidates, true AS swept_recomputes
+      FROM orders
       GROUP BY 1""")),
     QueryDef("q253_group_transaction", groupTransaction, Some(s"""
       SELECT o_orderpriority, COUNT(*) AS n_rows,
