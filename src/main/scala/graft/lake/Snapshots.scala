@@ -1307,6 +1307,58 @@ object Snapshots {
         statsCols = s.partitionSpec)
   }
 
+  /** POLICY-DRIVEN MAINTENANCE — one entry point that applies the
+    * table's own declared upkeep (the Iceberg "table maintenance from
+    * table config" shape; SQL: `MAINTAIN cat.t`). Reads these
+    * properties and runs, in dependency order, only what they declare:
+    *
+    *  - `graft.maintain.optimizeTargetBytes` — small-file compaction
+    *    floor; `graft.maintain.zorderBy` (comma list) clusters the
+    *    fresh file.
+    *  - `graft.maintain.rewriteManifestsAt` — fold the manifest list
+    *    to one when it holds at least this many manifests.
+    *  - `graft.maintain.vacuumRetainVersions` — reclaim log + data
+    *    below the last-N-versions horizon (tags/branches stay pinned).
+    *
+    * Compaction before manifest fold (the fold then covers the fresh
+    * layout), vacuum LAST (it reclaims what the first two orphaned —
+    * this ordering is the entire point of one entry point). Returns
+    * the (action, detail) report; an undeclared policy is an empty
+    * run, so a cron can blindly `MAINTAIN` every table and touch only
+    * the ones that opted in. */
+  def maintainTable(spark: SparkSession,
+      table: String): Seq[(String, String)] = {
+    val props = tableProperties(spark, table)
+    val report = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    props.get("graft.maintain.optimizeTargetBytes")
+      .flatMap(_.toLongOption).foreach { target =>
+      val z = props.get("graft.maintain.zorderBy")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Nil)
+      // record the z-order columns' tightened intervals beside the
+      // spec's — clustering without the stats would buy no pruning
+      optimizeSmallFiles(spark, table, target,
+        statsCols = (currentPartitionSpec(spark, table) ++ z).distinct,
+        zorderBy = z)
+        .foreach(v => report += ("optimize" -> s"v$v"))
+    }
+    props.get("graft.maintain.rewriteManifestsAt")
+      .flatMap(_.toIntOption).foreach { at =>
+      if (latestSnapshot(spark, table).exists(_.manifests.size >= at))
+        report += ("rewrite-manifests" ->
+          s"v${rewriteManifests(spark, table)}")
+    }
+    props.get("graft.maintain.vacuumRetainVersions")
+      .flatMap(_.toIntOption).foreach { n =>
+      latestVersion(spark, table).foreach { latest =>
+        val keepFrom = math.max(1, latest - n + 1)
+        vacuum(spark, table, keepFrom)
+        report += ("vacuum" -> s"keepFrom=v$keepFrom")
+      }
+    }
+    report.toSeq
+  }
+
   // ------------------------------------------------ idempotent COPY INTO
 
   /** Source-file identity for the [[copyInto]] ledger: file NAME plus

@@ -43,6 +43,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     """(?is)^\s*CREATE\s+TABLE\s+([\w.]+)\s+SHALLOW\s+CLONE\s+([\w.]+)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*$""".r
   private val OptimizeRe =
     """(?is)^\s*OPTIMIZE\s+([\w.]+)\s*;?\s*$""".r
+  private val MaintainRe =
+    """(?is)^\s*MAINTAIN\s+([\w.]+)\s*;?\s*$""".r
   private val VacuumRe =
     """(?is)^\s*VACUUM\s+([\w.]+)\s+RETAIN\s+(\d+)\s+VERSIONS\s*;?\s*$""".r
   private val VacuumHoursRe =
@@ -109,6 +111,7 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     case CloneRe(dst, src, ver) =>
       ShallowCloneCommand(path(src), path(dst), Option(ver).map(_.toInt))
     case OptimizeRe(t) => OptimizeTableCommand(path(t))
+    case MaintainRe(t) => MaintainTableCommand(path(t))
     case VacuumRe(t, n) => VacuumTableCommand(path(t), n.toInt)
     case VacuumHoursRe(t, n) => VacuumHoursCommand(path(t), n.toInt)
     case AlterSpecRe(t, body) => SetPartitionSpecCommand(path(t), splitSpec(body))
@@ -158,6 +161,19 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
 private[plans] trait VersionOutput { self: LeafRunnableCommand =>
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
+}
+
+/** `MAINTAIN cat.t` — apply the table's own declared upkeep policy
+  * ([[Snapshots.maintainTable]]: optimize / rewrite-manifests / vacuum
+  * as its `graft.maintain.*` properties direct, in dependency order).
+  * Returns the count of actions taken — 0 for a table that declared no
+  * policy, so a cron can blindly MAINTAIN everything. */
+case class MaintainTableCommand(table: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("n_actions", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(Snapshots.maintainTable(spark, table).size.toLong))
 }
 
 /** `CREATE TABLE dst SHALLOW CLONE src [VERSION AS OF n]` →

@@ -2138,6 +2138,58 @@ object LayoutQueries {
       .withColumn("swept_recomputes", lit(sweptRecomputes))
   }
 
+  /** q255 — POLICY-DRIVEN MAINTENANCE
+    * ([[graft.lake.Snapshots.maintainTable]] / SQL `MAINTAIN cat.t` —
+    * the Iceberg maintenance-from-table-config shape composed over
+    * q252's versioned properties): the table DECLARES its upkeep
+    * (`graft.maintain.optimizeTargetBytes` / `zorderBy` /
+    * `rewriteManifestsAt` / `vacuumRetainVersions`) and ONE statement
+    * applies it in dependency order — compaction first, manifest fold
+    * over the fresh layout, vacuum LAST to reclaim what the first two
+    * orphaned. The gate builds an 8-append streaming-ingest shape and
+    * pins: MAINTAIN before any policy is a 0-action no-op
+    * (`noop_without_policy` — a cron can blindly maintain every
+    * table), the policy run takes exactly the three declared actions
+    * (`all_actions`), the end state is one file + one manifest
+    * (`compacted_folded`), the horizon actually reclaimed
+    * (`vacuumed`), and the immediate re-run touches only the vacuum
+    * (`second_run_minimal` — maintenance is idempotent, not
+    * re-churning). Content stays oracle-exact. */
+  def maintainPolicy(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Snapshots
+    val root = graft.util.Scratch.dir("maintain", dir)
+    val table = s"$root/orders_mt"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+    val orders = Tables(spark, dir, "orders")
+    (1995 to 2002).foreach(y => Snapshots.append(spark, table,
+      orders.filter(year(col("o_orderdate")) === y)))
+    val cat = s"mt_${Integer.toHexString(dir.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.lake.SnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val n0 = spark.sql(s"MAINTAIN $cat.orders_mt").head.getLong(0)
+    spark.sql(s"ALTER TABLE $cat.orders_mt SET TBLPROPERTIES(" +
+      "'graft.maintain.optimizeTargetBytes'='33554432'," +
+      "'graft.maintain.zorderBy'='o_custkey,o_orderkey'," +
+      "'graft.maintain.rewriteManifestsAt'='2'," +
+      "'graft.maintain.vacuumRetainVersions'='2')")
+    val n1 = spark.sql(s"MAINTAIN $cat.orders_mt").head.getLong(0)
+    val v = Snapshots.latestVersion(spark, table).get
+    val s = Snapshots.snapshot(spark, table, v).get
+    val compactedFolded = s.files.size == 1 && s.manifests.size == 1
+    val vacuumed = Snapshots.snapshot(spark, table, 1).isEmpty
+    val n2 = spark.sql(s"MAINTAIN $cat.orders_mt").head.getLong(0)
+    Snapshots.readLatest(spark, table).get
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(Num.cents(col("o_totalprice"))).as("sum_cents"))
+      .withColumn("noop_without_policy", lit(n0 == 0L))
+      .withColumn("all_actions", lit(n1 == 3L))
+      .withColumn("compacted_folded", lit(compactedFolded))
+      .withColumn("vacuumed", lit(vacuumed))
+      .withColumn("second_run_minimal", lit(n2 == 1L))
+  }
+
   /** q234 — MANIFEST-LIST COMPACTION
     * ([[graft.lake.Snapshots.rewriteManifests]] — Iceberg
     * `rewrite_manifests`, OPTIMIZE for the METADATA): eight separate
@@ -3006,6 +3058,16 @@ object LayoutQueries {
              true AS counts_exact
       FROM orders
       WHERE NOT (o_orderkey % 2 = 1 AND o_orderkey % 1000 = 7)
+      GROUP BY 1""")),
+    QueryDef("q255_maintain_policy", maintainPolicy, Some(s"""
+      SELECT o_orderpriority, COUNT(*) AS n_rows,
+             CAST(SUM(${Num.sqlCents("o_totalprice")}) AS BIGINT)
+               AS sum_cents,
+             true AS noop_without_policy, true AS all_actions,
+             true AS compacted_folded, true AS vacuumed,
+             true AS second_run_minimal
+      FROM orders
+      WHERE year(o_orderdate) BETWEEN 1995 AND 2002
       GROUP BY 1""")),
     QueryDef("q254_result_cache", resultCacheServing, Some(s"""
       SELECT o_orderpriority, COUNT(*) AS n_rows,
