@@ -539,15 +539,26 @@ object LayoutQueries {
     * (`prunes_all_axes`) plus the compacted layout, and the result
     * re-applies the residual predicate so a pruning error shifts
     * counts, not just markers. Bit budget: N·16 ≤ 62 keeps the key a
-    * non-negative Long (4+ columns drop to 62/N bits per axis). */
+    * non-negative Long (4+ columns drop to 62/N bits per axis).
+    *
+    * The marker is probed at BOTH value-quarters of each axis and
+    * requires pruning on EITHER side — the form that is DETERMINISTIC
+    * under the curve's sampled range boundaries (which seed from RDD
+    * ids, i.e. from how many jobs ran before this one): with ≥10
+    * output files, pigeonhole puts two consecutive boundaries inside
+    * one of the ≤8 constant-MSB curve windows of every axis, and the
+    * file enclosed between them has a constant axis MSB — disjoint
+    * from one of the two quarter probes whatever the sampling did. A
+    * single-sided probe at 7 files (the original form) held or failed
+    * with the sampling accident of the day. */
   def zorderMulti(spark: SparkSession, dir: String): DataFrame = {
     import graft.lake.Snapshots
     val table = graft.util.Scratch.dir("zmulti_table", dir)
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
     val orders = Tables(spark, dir, "orders")
-    for (r <- 0 until 10)
+    for (r <- 0 until 20)
       Snapshots.append(spark, table,
-        orders.filter(col("o_orderkey") % 10 === r).coalesce(1))
+        orders.filter(col("o_orderkey") % 20 === r).coalesce(1))
     def files = Snapshots.snapshot(spark, table,
       Snapshots.latestVersion(spark, table).get).get.files
     def len(f: String) = new java.io.File(table, f).length()
@@ -555,20 +566,26 @@ object LayoutQueries {
     val total = before.map(len).sum
     val zCols = Seq("o_orderkey", "o_custkey", "o_totalprice")
     val vOpt = Snapshots.optimizeSmallFiles(spark, table,
-      minBytes = total / 8 + 1, statsCols = zCols, zorderBy = zCols).get
+      minBytes = total / 16 + 1, statsCols = zCols, zorderBy = zCols).get
     val after = Snapshots.snapshot(spark, table, vOpt).get.files
     val maxKey = orders.agg(max(col("o_orderkey"))).head().getLong(0)
-    val maxCust = orders.agg(max(col("o_custkey"))).head().getLong(0)
+    // per-axis [min, max] in the same linear scale the curve ranks by
+    val ext = orders.agg(
+      min(col("o_orderkey")).cast("double"), max(col("o_orderkey")).cast("double"),
+      min(col("o_custkey")).cast("double"), max(col("o_custkey")).cast("double"),
+      min(col("o_totalprice")), max(col("o_totalprice"))).head()
+    def prunesEitherQuarter(c: String, mn: Double, mx: Double): Boolean = {
+      val q1 = mn + (mx - mn) * 0.25
+      val q3 = mn + (mx - mn) * 0.75
+      val bottom = Snapshots.prunedFilesAt(spark, table, vOpt, c, mn, q1).get
+      val top = Snapshots.prunedFilesAt(spark, table, vOpt, c, q3, mx).get
+      bottom.size < after.size || top.size < after.size
+    }
+    val prunesAllAxes = after.size < before.size && after.size >= 10 &&
+      prunesEitherQuarter("o_orderkey", ext.getDouble(0), ext.getDouble(1)) &&
+      prunesEitherQuarter("o_custkey", ext.getDouble(2), ext.getDouble(3)) &&
+      prunesEitherQuarter("o_totalprice", ext.getDouble(4), ext.getDouble(5))
     val keyHi = (maxKey / 4).toDouble
-    val prunes = Seq(
-      Snapshots.prunedFilesAt(spark, table, vOpt,
-        "o_orderkey", 1.0, keyHi).get,
-      Snapshots.prunedFilesAt(spark, table, vOpt,
-        "o_custkey", 1.0, (maxCust / 4).toDouble).get,
-      Snapshots.prunedFilesAt(spark, table, vOpt,
-        "o_totalprice", 0.0, 80000.0).get)
-    val prunesAllAxes = after.size < before.size &&
-      prunes.forall(_.size < after.size)
     Snapshots.readAtPruned(spark, table, vOpt, "o_orderkey", 1.0, keyHi).get
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_rows"),

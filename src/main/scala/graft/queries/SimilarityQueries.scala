@@ -645,6 +645,78 @@ object SimilarityQueries {
     iters = 2, nProbe = 8, nSub = PqSub, nCodes = PqCodes, k = K, dim = Dim,
     queryPred = "e.vec_id < 20", trainPred = "e.vec_id % 4 <> 0")
 
+  /** q256 — CORPUS + INDEX IN TRANSACTIONAL LOCKSTEP
+    * ([[graft.lake.TableGroup]] × q185's incremental index — the
+    * marquee multi-table-transaction shape for a training-data
+    * platform): a batch of new vectors must land in the corpus table
+    * AND (encoded) in the ANN index table atomically, because the two
+    * failure modes a non-atomic ingest produces are both silent —
+    * vectors the index can't find, or index hits the corpus can't
+    * resolve. The transaction stages the raw batch and its IVF-PQ
+    * codes on per-txn branches and CRASHES between MARK and PUBLISH:
+    * the group read must serve corpus and index with IDENTICAL id
+    * sets at the NEW state (`lockstep_staged`) while main readers see
+    * identical id sets at the OLD state (`lockstep_main` — consistency
+    * held at every instant, on both sides of the crash). After the
+    * heal, search over the published code table must equal the q185
+    * oracle's replay of the full converged index — the gate is the
+    * SEARCH RESULT, not just the bookkeeping. Fitted state (cells,
+    * codebooks) stays frozen throughout, the FAISS `add()` contract. */
+  def annGroupIngestQ(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.{Snapshots, TableGroup}
+    val emb = Tables(spark, dir, "embeddings")
+    val group = graft.util.Scratch.dir("anngrp", dir)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(group))
+    val initial = emb.filter(col("vec_id") % 4 =!= 0)
+    val batch = emb.filter(col("vec_id") % 4 === 0)
+    val (cents, cbs) = initialFitCache.getOrElseUpdate(dir, (
+      Similarity.kmeansCentroids(initial, "vec_id", "embedding",
+        nCells = 16, iters = 2),
+      Similarity.pqCodebooks(initial, "vec_id", "embedding",
+        PqSub, PqCodes, Dim)))
+    Snapshots.append(spark, s"$group/corpus", initial)
+    Snapshots.append(spark, s"$group/index",
+      Similarity.ivfPqEncode(initial, "vec_id", "embedding", cents, cbs, Dim))
+    val txn: Seq[(String, TableGroup.Write)] = Seq(
+      "corpus" -> ((t, br) =>
+        Snapshots.appendToBranch(spark, t, br, batch)),
+      "index" -> ((t, br) => Snapshots.appendToBranch(spark, t, br,
+        Similarity.ivfPqEncode(batch, "vec_id", "embedding",
+          cents, cbs, Dim))))
+    var crashed = false
+    try TableGroup.commitAll(spark, group, txn,
+      afterMark = () => throw new RuntimeException("crash before publish"))
+    catch { case e: RuntimeException
+        if e.getMessage == "crash before publish" => crashed = true }
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id")).distinct()
+    def sameIds(a: org.apache.spark.sql.DataFrame,
+        b: org.apache.spark.sql.DataFrame): Boolean =
+      ids(a).exceptAll(ids(b)).isEmpty && ids(b).exceptAll(ids(a)).isEmpty
+    val staged = TableGroup.readAll(spark, group, Seq("corpus", "index"))
+    val lockstepStaged = crashed &&
+      sameIds(staged("corpus"), staged("index")) &&
+      staged("corpus").count() == emb.count()
+    val mainCorpus = Snapshots.readLatest(spark, s"$group/corpus").get
+    val mainIndex = Snapshots.readLatest(spark, s"$group/index").get
+    val lockstepMain = sameIds(mainCorpus, mainIndex) &&
+      mainCorpus.count() == initial.count()
+    TableGroup.rollForward(spark, group)
+    val codes = Snapshots.readLatest(spark, s"$group/index").get
+    e6(Similarity.ivfPqSearchCodes(codes, queriesOf(emb), "vec_id",
+      "embedding", K, cents, nProbe = 8, cbs, Dim))
+      .withColumn("lockstep_staged", lit(lockstepStaged))
+      .withColumn("lockstep_main", lit(lockstepMain))
+  }
+
+  private val annGroupIngestOracle = {
+    val base = Similarity.sqlIvfPqTopK(nCells = 16, iters = 2, nProbe = 8,
+      nSub = PqSub, nCodes = PqCodes, k = K, dim = Dim,
+      queryPred = "e.vec_id < 20", trainPred = "e.vec_id % 4 <> 0")
+    s"""SELECT o.*, true AS lockstep_staged, true AS lockstep_main
+      FROM ($base) o"""
+  }
+
   /** q218 — ANN index DELETE + compaction (FAISS `remove_ids()` under
     * merge-on-read: the missing lifecycle leg beside q185's `add()`):
     * the versioned code table takes a predicate DELETE — O(matches)
@@ -978,6 +1050,8 @@ object SimilarityQueries {
     QueryDef("q233_knn_graph", knnGraph, Some(knnGraphOracle)),
     QueryDef("q251_hard_negatives", hardNegatives,
       Some(hardNegativesOracle)),
+    QueryDef("q256_ann_group_ingest", annGroupIngestQ,
+      Some(annGroupIngestOracle)),
     QueryDef("q24_cosine_topk", cosineTopK, Some(cosineTopKOracle)),
     QueryDef("q25_lsh_ann_topk", lshTopK, Some(lshTopKOracle)),
     QueryDef("q26_embedding_near_dups", embeddingNearDups,
