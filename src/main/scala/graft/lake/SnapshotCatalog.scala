@@ -83,8 +83,8 @@ final class SnapshotCatalog extends TableCatalog {
     * data. */
   private def metaTable(ident: Identifier, v: Option[Int]): Option[Table] = {
     if (ident.namespace().isEmpty) return None
-    if (!Seq("history", "files", "refs", "detail", "partitions")
-        .contains(ident.name()))
+    if (!Seq("history", "files", "refs", "detail", "partitions",
+        "properties").contains(ident.name()))
       return None
     if (Snapshots.latestVersion(spark, tablePath(ident)).isDefined)
       return None // a real table named history/files shadows the metadata
@@ -98,6 +98,7 @@ final class SnapshotCatalog extends TableCatalog {
         case "refs" => Snapshots.RefsSchema
         case "detail" => Snapshots.DetailSchema
         case "partitions" => Snapshots.PartitionsSchema
+        case "properties" => Snapshots.PropertiesSchema
         case _ => Snapshots.FilesSchema
       }
       SnapshotMetaTable(s"${parent.name()}.${ident.name()}@v$ver",

@@ -467,6 +467,28 @@ object Snapshots {
     StructField("file_count", IntegerType, nullable = false),
     StructField("row_count", LongType, nullable = false)))
 
+  /** Key/value table properties of one version — the
+    * `<table>.properties` metadata table (the Iceberg properties-table
+    * shape): every TBLPROPERTY pair as a SQL row, VERSIONED like the
+    * map itself (an AS-OF read below the set shows the old pairs).
+    * O(properties) driver metadata. */
+  def propertiesMetadata(spark: SparkSession, table: String,
+      v: Int): DataFrame = {
+    val s = snapshot(spark, table, v).getOrElse(
+      throw new IllegalArgumentException(s"no version $v of $table"))
+    val rows = s.properties.toSeq.sortBy(_._1).map { case (k, x) =>
+      org.apache.spark.sql.Row(k, x)
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList(scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows).asJava),
+      PropertiesSchema)
+  }
+
+  val PropertiesSchema: StructType = StructType(Seq(
+    StructField("key", StringType, nullable = false),
+    StructField("value", StringType, nullable = false)))
+
   /** Exact row count of version `v` from LOG METADATA alone — O(log
     * objects), no table scan: the sum of the version's per-file manifest
     * counts. Declines (None) when the version carries positional deletes

@@ -73,6 +73,8 @@ case class SnapshotRelationRewrite(spark: SparkSession)
             t.snapVersion)
           case "partitions" => Snapshots.partitionsMetadata(spark, t.path,
             t.snapVersion)
+          case "properties" => Snapshots.propertiesMetadata(spark, t.path,
+            t.snapVersion)
           case _ => Snapshots.filesMetadata(spark, t.path, t.snapVersion)
         })
         val byName = inner.output.map(a => a.name -> a).toMap

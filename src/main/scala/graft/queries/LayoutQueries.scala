@@ -2207,6 +2207,34 @@ object LayoutQueries {
       .withColumn("second_run_minimal", lit(n2 == 1L))
   }
 
+  /** q257 — THE `properties` METADATA TABLE
+    * ([[graft.lake.Snapshots.propertiesMetadata]] — the Iceberg
+    * properties-table shape): every TBLPROPERTY pair as a SQL row,
+    * discoverable beside history/files/refs/detail/partitions, and
+    * VERSIONED like the map itself — the gate mixes SQL DDL and API
+    * writes, pins the exact final pairs cross-engine, and reads the
+    * table `VERSION AS OF` the pre-DDL version to pin the empty map
+    * (`versioned`). O(properties) driver metadata, never a scan. */
+  def propertiesMetadataTable(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Snapshots
+    val root = graft.util.Scratch.dir("propmeta", dir)
+    val table = s"$root/orders_pp"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+    val orders = Tables(spark, dir, "orders")
+    Snapshots.append(spark, table, orders.filter(col("o_orderkey") % 2 === 0))
+    val cat = s"pp_${Integer.toHexString(dir.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.lake.SnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"ALTER TABLE $cat.orders_pp SET TBLPROPERTIES(" +
+      "'team'='ml-platform','retention.policy'='30d')")
+    Snapshots.setTableProperties(spark, table, Map("pipeline" -> "ingest-v2"))
+    val versioned = spark.sql(
+      s"SELECT * FROM $cat.orders_pp.properties VERSION AS OF 1").count() == 0
+    spark.sql(s"SELECT key, value FROM $cat.orders_pp.properties")
+      .withColumn("versioned", lit(versioned))
+  }
+
   /** q234 — MANIFEST-LIST COMPACTION
     * ([[graft.lake.Snapshots.rewriteManifests]] — Iceberg
     * `rewrite_manifests`, OPTIMIZE for the METADATA): eight separate
@@ -3076,6 +3104,12 @@ object LayoutQueries {
       FROM orders
       WHERE NOT (o_orderkey % 2 = 1 AND o_orderkey % 1000 = 7)
       GROUP BY 1""")),
+    QueryDef("q257_properties_metadata", propertiesMetadataTable, Some("""
+      SELECT * FROM (VALUES
+        ('team', 'ml-platform', true),
+        ('pipeline', 'ingest-v2', true),
+        ('retention.policy', '30d', true))
+        AS t(key, value, versioned)""")),
     QueryDef("q255_maintain_policy", maintainPolicy, Some(s"""
       SELECT o_orderpriority, COUNT(*) AS n_rows,
              CAST(SUM(${Num.sqlCents("o_totalprice")}) AS BIGINT)
