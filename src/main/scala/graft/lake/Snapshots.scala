@@ -1081,24 +1081,27 @@ object Snapshots {
     val root = LakePaths.tableRootPath(spark, table)
     val scan = spark.read.parquet(files.map(f => filePath(table, f)): _*)
     val types = scan.schema.fields.map(f => f.name -> f.dataType).toMap
-    // manifest stats are doubles: only columns whose stats expression
-    // casts to double TOTALLY (never an ANSI cast error) are
-    // collectable. A string/binary identity-partition column (legal —
-    // it still range-clusters the write) simply records no stats:
-    // unknown never prunes, correctness unaffected. Absent columns
-    // (schema evolution in flight) are skipped the same way.
-    val statsCols = statsCols0.filter { c =>
+    // manifest stats are doubles: columns whose stats expression casts
+    // to double TOTALLY (never an ANSI cast error) record it directly;
+    // STRING identity columns record the order-preserving prefix rank
+    // ([[stringRank]]) instead — clustering still uses the raw string
+    // (full range quality), only the recorded bounds are ranked, and
+    // `lang = 'en'`-class predicates prune through them. Binary and
+    // absent columns (schema evolution in flight) still record
+    // nothing: unknown never prunes, correctness unaffected.
+    val statsExprs: Seq[(String, Column)] = statsCols0.flatMap { c =>
       scala.util.Try(scan.select(statsExpr(c, types)).schema.head.dataType)
-        .toOption.exists {
+        .toOption.flatMap {
           case _: NumericType | DateType | TimestampType |
-               TimestampNTZType => true
-          case _ => false
+               TimestampNTZType => Some(c -> statsExpr(c, types))
+          case StringType => Some(c -> stringRankCol(col(specSourceCol(c))))
+          case _ => None
         }
     }
+    val statsCols = statsExprs.map(_._1)
     if (statsCols.isEmpty) return Map.empty
     import org.apache.spark.sql.functions.{sum => fsum}
-    val aggs = statsCols.flatMap { c =>
-      val base = statsExpr(c, types)
+    val aggs = statsExprs.flatMap { case (c, base) =>
       Seq(min(base).cast("double").as(s"_mn_$c"),
         max(base).cast("double").as(s"_mx_$c"),
         // per-file NULL count beside min/max (the Iceberg manifest's
@@ -1136,6 +1139,60 @@ object Snapshots {
           }
         }.toMap
       }.toMap
+  }
+
+  /** ORDER-PRESERVING NUMERIC RANK of a string's first 3 code points —
+    * what lets STRING columns ride the manifest's double min/max stats
+    * (the gap `collectStats` used to declare: string identity columns
+    * recorded nothing, so `lang = 'en'` could never prune). Per
+    * position: missing → 0, ASCII code point cp → cp+1 ∈ [1,128],
+    * anything non-ASCII → 129 (a saturating sentinel) — and once a
+    * position saturates, EVERY later digit saturates too, folded in
+    * base 130. The tail saturation is what makes the rank PROVABLY
+    * monotone (u ≤ v ⇒ rank(u) ≤ rank(v)) over arbitrary unicode: at
+    * the first divergent code point inside the prefix either both
+    * digits are real and ordered like the code points, or the larger
+    * side's digit is the sentinel (an ASCII cp can never exceed a
+    * non-ASCII one); strings whose shared prefix already saturated
+    * tie outright, and later positions can never flip an order the
+    * sentinel collapsed (the bug a per-position-only sentinel has:
+    * '中文' vs '😀a' ties at position 1 but position 2 would compare
+    * 129 against 'a'+1). Monotone rank ⇒ every comparison predicate
+    * translates to a sound closed interval (ties never mis-prune —
+    * interval checks are inclusive), so `=`, `<`, `>`, `<=`, `>=`
+    * against string literals all prune from the log. 3 code points is
+    * deliberately coarse: enough for the categorical predicates that
+    * dominate real scans (language codes, status enums, source tags)
+    * at 3 exact-integer digits ≪ 2^53. */
+  def stringRank(s: String): Double = {
+    val cps = s.codePoints().limit(3).toArray
+    var saturated = false
+    def digit(i: Int): Int =
+      if (saturated) 129
+      else if (i >= cps.length) 0
+      else if (cps(i) <= 127) cps(i) + 1
+      else { saturated = true; 129 }
+    val d1 = digit(0); val d2 = digit(1); val d3 = digit(2)
+    (d1 * 130 * 130 + d2 * 130 + d3).toDouble
+  }
+
+  /** The Column twin of [[stringRank]] — MUST encode bit-identically
+    * (equality pruning compares the driver-ranked literal against
+    * column-ranked file bounds). NULL stays NULL so the null-count
+    * pseudo-stat and all-null skipping keep working. */
+  private[graft] def stringRankCol(c: Column): Column = {
+    import org.apache.spark.sql.functions.{ascii, length, substring, when}
+    def rawDigit(i: Int): Column = {
+      val ch = substring(c, i, 1)
+      when(length(ch) === 0, 0)
+        .when(ascii(ch).between(0, 127), ascii(ch) + 1)
+        .otherwise(129)
+    }
+    val d1 = rawDigit(1)
+    val d2 = when(d1 === 129, 129).otherwise(rawDigit(2))
+    val d3 = when(d2 === 129, 129).otherwise(rawDigit(3))
+    when(c.isNull, lit(null))
+      .otherwise((d1 * 16900 + d2 * 130 + d3).cast("double"))
   }
 
   /** The SOURCE column a (possibly transform-encoded) spec entry reads. */

@@ -510,10 +510,14 @@ case class SnapshotScanPruning(spark: SparkSession)
     // agreement is guaranteed post-analysis (a comparison's sides share
     // a type — a DATE literal against a timestamp column arrives here
     // already constant-folded to a timestamp literal).
-    import org.apache.spark.sql.types.{DateType, DoubleType, IntegerType, LongType, TimestampType}
+    import org.apache.spark.sql.types.{DateType, DoubleType, IntegerType, LongType, StringType, TimestampType}
     // INTEGRAL columns (join/point-lookup keys) prune through the same
     // double intervals; stats recorded for them are exact for |v|<2^53,
-    // far past any realistic key domain.
+    // far past any realistic key domain. STRING literals prune through
+    // the order-preserving prefix rank ([[graft.lake.Snapshots
+    // .stringRank]] — the exact expression collectStats recorded, and
+    // MONOTONE, so every comparison form stays a sound closed
+    // interval: `lang = 'en'`, `status >= 'P'` both skip files).
     def dbl(l: Literal): Option[Double] = l.value match {
       case d: java.lang.Double => Some(d)
       case i: java.lang.Integer if l.dataType == DateType => Some(i.toDouble)
@@ -522,13 +526,15 @@ case class SnapshotScanPruning(spark: SparkSession)
       case lg: java.lang.Long if l.dataType == LongType => Some(lg.toDouble)
       case i: java.lang.Integer if l.dataType == IntegerType =>
         Some(i.toDouble)
+      case s if l.dataType == StringType && s != null =>
+        Some(Snapshots.stringRank(s.toString))
       case _ => None
     }
     def a(x: Expression): Option[AttributeReference] = x match {
       case ar: AttributeReference
           if ar.dataType == DoubleType || ar.dataType == DateType ||
             ar.dataType == TimestampType || ar.dataType == LongType ||
-            ar.dataType == IntegerType =>
+            ar.dataType == IntegerType || ar.dataType == StringType =>
         Some(ar)
       case _ => None
     }

@@ -2235,6 +2235,50 @@ object LayoutQueries {
       .withColumn("versioned", lit(versioned))
   }
 
+  /** q258 — STRING-COLUMN FILE SKIPPING
+    * ([[graft.lake.Snapshots.stringRank]] — the gap the manifest's
+    * double-only stats used to declare: string identity columns
+    * recorded nothing, so the single most common categorical
+    * predicate class — `lang = 'en'`, `source >= 'src5'`, status
+    * enums — could never skip a file): writes now record each string
+    * stats column's order-preserving 3-code-point prefix RANK as
+    * ordinary min/max bounds (clustering still uses the raw string,
+    * so range quality is unchanged), and the SQL pruning rule ranks
+    * string literals with the same MONOTONE function — every
+    * comparison form stays a sound closed interval. The gate clusters
+    * documents by `lang`, then pins over plain catalog SQL: an
+    * equality predicate reads a strict subset of files
+    * (`eq_pruned` — inputFiles), a RANGE predicate does too
+    * (`range_pruned`), and both results stay exact. At 100 TB this is
+    * language/source/status partition pruning without hive
+    * directories — KB of log metadata deciding scan membership. */
+  def stringStatsPruning(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Snapshots
+    val root = graft.util.Scratch.dir("strstats", dir)
+    val table = s"$root/docs_ls"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+    val docs = Tables(spark, dir, "documents")
+    Snapshots.appendPartitioned(spark, table, docs, Seq("lang"),
+      numFiles = 32)
+    val cat = s"ls_${Integer.toHexString(dir.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.lake.SnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val eq = spark.sql(s"SELECT count(*) AS n FROM $cat.docs_ls " +
+      "WHERE lang = 'en'")
+    val eqPruned = eq.head.getLong(0) > 0 &&
+      eq.queryExecution.executedPlan.toString.contains("#pruned")
+    val ranged = spark.sql(
+      s"""SELECT lang, count(*) AS n_docs,
+            sum(n_chars) AS sum_chars
+          FROM $cat.docs_ls WHERE lang >= 'es' GROUP BY lang""")
+    val rangePruned =
+      ranged.queryExecution.executedPlan.toString.contains("#pruned")
+    ranged
+      .withColumn("eq_pruned", lit(eqPruned))
+      .withColumn("range_pruned", lit(rangePruned))
+  }
+
   /** q234 — MANIFEST-LIST COMPACTION
     * ([[graft.lake.Snapshots.rewriteManifests]] — Iceberg
     * `rewrite_manifests`, OPTIMIZE for the METADATA): eight separate
@@ -3103,6 +3147,13 @@ object LayoutQueries {
              true AS counts_exact
       FROM orders
       WHERE NOT (o_orderkey % 2 = 1 AND o_orderkey % 1000 = 7)
+      GROUP BY 1""")),
+    QueryDef("q258_string_stats_pruning", stringStatsPruning, Some("""
+      SELECT lang, COUNT(*) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+             true AS eq_pruned, true AS range_pruned
+      FROM documents
+      WHERE lang >= 'es'
       GROUP BY 1""")),
     QueryDef("q257_properties_metadata", propertiesMetadataTable, Some("""
       SELECT * FROM (VALUES

@@ -1915,6 +1915,37 @@ class SnapshotsSpec extends SparkTestBase {
     Snapshots.createTag(spark, t, "v7", 1) // letters are fine
   }
 
+  test("stringRank: monotone over tricky unicode; Column twin identical") {
+    // the corpus that broke naive encodings: non-ASCII inside the
+    // prefix, NUL, empties, supplementary-plane chars, ties beyond 3
+    val corpus = Seq("", " ", "a", "ab", "abc", "abcd", "abce",
+      "abé", "ac", "az", "aé", "b", "src1", "src10", "src19",
+      "src2", "zz", "é", "éx", "中文", "😀a",
+      "en", "es", "fr", "zh")
+    // monotone: u <= v  =>  rank(u) <= rank(v)
+    val sorted = corpus.sorted
+    val ranks = sorted.map(Snapshots.stringRank)
+    ranks.sliding(2).foreach { case Seq(x, y) =>
+      assert(x <= y, s"rank not monotone at $x > $y") }
+    // ties collapse exactly at shared 3-prefixes, never across
+    assert(Snapshots.stringRank("src1") == Snapshots.stringRank("src10"))
+    assert(Snapshots.stringRank("en") != Snapshots.stringRank("es"))
+    // the Column twin must encode bit-identically (pruning compares
+    // driver-ranked literals against column-ranked file bounds)
+    import spark.implicits._
+    val fromCol = corpus.toDF("s")
+      .select(col("s"), Snapshots.stringRankCol(col("s")).as("r"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    corpus.foreach { s =>
+      assert(fromCol(s) == Snapshots.stringRank(s),
+        s"Column/driver rank mismatch on ${s.codePoints().toArray.toSeq}")
+    }
+    // NULL stays NULL (all-null files must record no bounds)
+    val nr = Seq[String](null).toDF("s")
+      .select(Snapshots.stringRankCol(col("s"))).head
+    assert(nr.isNullAt(0))
+  }
+
   test("table properties: versioned, restore pins, clone carries") {
     val t = fresh("props")
     Snapshots.append(spark, t, orders.limit(10))
