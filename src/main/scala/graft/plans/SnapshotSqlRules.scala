@@ -495,6 +495,37 @@ case class SnapshotScanPruning(spark: SparkSession)
     case other => Seq(other)
   }
 
+  /** A literal's value in the manifest's double stat space — the same
+    * unit conversions collectStats applied at write time (DATE days,
+    * TIMESTAMP seconds, STRING prefix rank). */
+  private def litToDouble(value: Any,
+      dt: org.apache.spark.sql.types.DataType): Option[Double] = {
+    import org.apache.spark.sql.types.{DateType, IntegerType, LongType, StringType, TimestampType}
+    value match {
+      case d: java.lang.Double => Some(d)
+      case i: java.lang.Integer if dt == DateType => Some(i.toDouble)
+      case lg: java.lang.Long if dt == TimestampType =>
+        Some(lg.toDouble / 1e6)
+      case lg: java.lang.Long if dt == LongType => Some(lg.toDouble)
+      case i: java.lang.Integer if dt == IntegerType => Some(i.toDouble)
+      case s if dt == StringType && s != null =>
+        Some(Snapshots.stringRank(s.toString))
+      case _ => None
+    }
+  }
+
+  private def attrOf(x: Expression): Option[AttributeReference] = {
+    import org.apache.spark.sql.types.{DateType, DoubleType, IntegerType, LongType, StringType, TimestampType}
+    x match {
+      case ar: AttributeReference
+          if ar.dataType == DoubleType || ar.dataType == DateType ||
+            ar.dataType == TimestampType || ar.dataType == LongType ||
+            ar.dataType == IntegerType || ar.dataType == StringType =>
+        Some(ar)
+      case _ => None
+    }
+  }
+
   /** (column, dataType, lo, hi) per extractable conjunct; closed
     * intervals are conservative for the strict forms, which is all
     * pruning needs. The dataType rides along so TRANSFORM stats
@@ -518,26 +549,8 @@ case class SnapshotScanPruning(spark: SparkSession)
     // .stringRank]] — the exact expression collectStats recorded, and
     // MONOTONE, so every comparison form stays a sound closed
     // interval: `lang = 'en'`, `status >= 'P'` both skip files).
-    def dbl(l: Literal): Option[Double] = l.value match {
-      case d: java.lang.Double => Some(d)
-      case i: java.lang.Integer if l.dataType == DateType => Some(i.toDouble)
-      case lg: java.lang.Long if l.dataType == TimestampType =>
-        Some(lg.toDouble / 1e6)
-      case lg: java.lang.Long if l.dataType == LongType => Some(lg.toDouble)
-      case i: java.lang.Integer if l.dataType == IntegerType =>
-        Some(i.toDouble)
-      case s if l.dataType == StringType && s != null =>
-        Some(Snapshots.stringRank(s.toString))
-      case _ => None
-    }
-    def a(x: Expression): Option[AttributeReference] = x match {
-      case ar: AttributeReference
-          if ar.dataType == DoubleType || ar.dataType == DateType ||
-            ar.dataType == TimestampType || ar.dataType == LongType ||
-            ar.dataType == IntegerType || ar.dataType == StringType =>
-        Some(ar)
-      case _ => None
-    }
+    def dbl(l: Literal): Option[Double] = litToDouble(l.value, l.dataType)
+    def a(x: Expression): Option[AttributeReference] = attrOf(x)
     e match {
       case GT(x, l: Literal) => for (c <- a(x); v <- dbl(l))
         yield (c.name, c.dataType, v, Double.PositiveInfinity)
@@ -578,7 +591,35 @@ case class SnapshotScanPruning(spark: SparkSession)
       case EQC(ar: AttributeReference, l: Literal) => ar.name -> l
       case EQC(l: Literal, ar: AttributeReference) => ar.name -> l
     }.toMap
-    if (bounds.isEmpty && eqLits.isEmpty) return None
+    // IN-lists prune as a UNION of point intervals — a file survives
+    // only if SOME member's stat point lands inside its bounds (the
+    // min..max fold would keep everything between the extremes). All
+    // members must translate or the conjunct is skipped whole.
+    import org.apache.spark.sql.catalyst.expressions.{In, InSet, IsNotNull, IsNull, Literal => Lit}
+    val inChecks: Seq[(String, Seq[Double])] = conjuncts(cond).flatMap {
+      case In(x, lits) => for {
+        ar <- attrOf(x)
+        if lits.forall(_.isInstanceOf[Lit])
+        pts <- Some(lits.map { case l: Lit => litToDouble(l.value, l.dataType) })
+        if pts.forall(_.isDefined)
+      } yield ar.name -> pts.map(_.get)
+      case InSet(x, hset) => for {
+        ar <- attrOf(x)
+        pts <- Some(hset.toSeq.map(litToDouble(_, ar.dataType)))
+        if pts.forall(_.isDefined)
+      } yield ar.name -> pts.map(_.get)
+      case _ => None
+    }
+    // NULL predicates prune through the manifest's per-file null
+    // counts: IS NULL drops files recorded null-free; IS NOT NULL
+    // (which the optimizer injects under every filter) drops files
+    // recorded ALL-null. Both only fire when the counts are known.
+    val nullChecks: Seq[(String, Boolean)] = conjuncts(cond).collect {
+      case IsNull(ar: AttributeReference) => ar.name -> true
+      case IsNotNull(ar: AttributeReference) => ar.name -> false
+    }
+    if (bounds.isEmpty && eqLits.isEmpty && inChecks.isEmpty &&
+      nullChecks.isEmpty) return None
     Snapshots.snapshot(spark, t.path, t.snapVersion).flatMap { s =>
       val current = t.prunedFiles.getOrElse(s.files)
       // all transform-encoded stats names present anywhere in this
@@ -600,11 +641,25 @@ case class SnapshotScanPruning(spark: SparkSession)
           case Some((mn, mx)) => mx >= lo && mn <= hi
           case None => true // unknown never prunes
         }
+      def nullsOf(file: String, c: String): Option[Double] =
+        s.stats.get(file).flatMap(_.get(s"nulls($c)")).map(_._1)
       val kept = current.filter { file =>
         bounds.forall { case (c, (dt, lo, hi)) =>
           ok(file, c, lo, hi) &&
             ok(file, s"days($c)", toDays(dt, lo), toDays(dt, hi))
-        } && bucketChecks.forall { case (sp, b) => ok(file, sp, b, b) }
+        } && bucketChecks.forall { case (sp, b) => ok(file, sp, b, b) } &&
+          inChecks.forall { case (c, pts) =>
+            s.stats.get(file).flatMap(_.get(c)) match {
+              case Some((mn, mx)) => pts.exists(p => p >= mn && p <= mx)
+              case None => true // unknown never prunes
+            }
+          } &&
+          nullChecks.forall { case (c, wantNull) =>
+            if (wantNull) !nullsOf(file, c).contains(0d)
+            else !(nullsOf(file, c).exists(n => n > 0d) &&
+              s.rowCounts.get(file).exists(_.toDouble ==
+                nullsOf(file, c).get))
+          }
       }
       if (kept.size == current.size) None // fixed point: nothing to drop
       else if (kept.isEmpty) Some(LocalRelation(r.output, Nil))

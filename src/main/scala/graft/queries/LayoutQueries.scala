@@ -2279,6 +2279,61 @@ object LayoutQueries {
       .withColumn("range_pruned", lit(rangePruned))
   }
 
+  /** q259 — IN-LIST + NULL-PREDICATE FILE SKIPPING (the two predicate
+    * families the interval miner couldn't see): `IN` prunes as a
+    * UNION of point intervals — a file survives only if SOME member
+    * lands inside its bounds, where the min..max fold would keep
+    * every file between the extremes — and the NULL predicates prune
+    * through the manifest's per-file null counts: `IS NULL` drops
+    * files recorded null-free, `IS NOT NULL` (which the optimizer
+    * injects under EVERY filter, so this fires on queries that never
+    * wrote the word) drops files recorded all-null. The gate builds a
+    * priority-clustered table whose late band carries an all-null
+    * ship reference, and pins all three prunings over plain catalog
+    * SQL with exact results. At 100 TB the IS-NOT-NULL leg alone
+    * skips the sparse-column dead weight every join filter walks. */
+  def inNullPruning(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Snapshots
+    val root = graft.util.Scratch.dir("innull", dir)
+    val table = s"$root/orders_in"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+    val orders = Tables(spark, dir, "orders")
+    val early = year(col("o_orderdate")) <= 1997
+    Snapshots.appendPartitioned(spark, table,
+      orders.filter(early).withColumn("ship_ref",
+        concat(lit("S"), col("o_orderkey"))),
+      Seq("o_orderpriority"), numFiles = 32, statsCols = Seq("ship_ref"))
+    Snapshots.append(spark, table,
+      orders.filter(!early).withColumn("ship_ref",
+        lit(null).cast("string")),
+      statsCols = Seq("ship_ref"))
+    val cat = s"in_${Integer.toHexString(dir.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.lake.SnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    def prunedPlan(df: DataFrame): Boolean =
+      df.queryExecution.executedPlan.toString.contains("#pruned")
+    val isNull = spark.sql(s"SELECT count(*) AS n FROM $cat.orders_in " +
+      "WHERE ship_ref IS NULL")
+    val isNullPruned = prunedPlan(isNull) &&
+      isNull.head.getLong(0) == orders.filter(!early).count()
+    val notNull = spark.sql(s"SELECT count(*) AS n FROM $cat.orders_in " +
+      "WHERE ship_ref IS NOT NULL")
+    val isNotNullPruned = prunedPlan(notNull) &&
+      notNull.head.getLong(0) == orders.filter(early).count()
+    val inQ = spark.sql(
+      s"""SELECT o_orderpriority, count(*) AS n_rows,
+            CAST(SUM(${Num.sqlCents("o_totalprice")}) AS BIGINT)
+              AS sum_cents
+          FROM $cat.orders_in
+          WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+          GROUP BY o_orderpriority""")
+    val inPruned = prunedPlan(inQ)
+    inQ.withColumn("in_pruned", lit(inPruned))
+      .withColumn("isnull_pruned", lit(isNullPruned))
+      .withColumn("isnotnull_pruned", lit(isNotNullPruned))
+  }
+
   /** q234 — MANIFEST-LIST COMPACTION
     * ([[graft.lake.Snapshots.rewriteManifests]] — Iceberg
     * `rewrite_manifests`, OPTIMIZE for the METADATA): eight separate
@@ -3147,6 +3202,15 @@ object LayoutQueries {
              true AS counts_exact
       FROM orders
       WHERE NOT (o_orderkey % 2 = 1 AND o_orderkey % 1000 = 7)
+      GROUP BY 1""")),
+    QueryDef("q259_in_null_pruning", inNullPruning, Some(s"""
+      SELECT o_orderpriority, COUNT(*) AS n_rows,
+             CAST(SUM(${Num.sqlCents("o_totalprice")}) AS BIGINT)
+               AS sum_cents,
+             true AS in_pruned, true AS isnull_pruned,
+             true AS isnotnull_pruned
+      FROM orders
+      WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
       GROUP BY 1""")),
     QueryDef("q258_string_stats_pruning", stringStatsPruning, Some("""
       SELECT lang, COUNT(*) AS n_docs,
