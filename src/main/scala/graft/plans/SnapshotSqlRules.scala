@@ -395,26 +395,59 @@ case class SnapshotMetadataCount(spark: SparkSession)
   import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min}
 
   /** What a select-list expression needs from the log, when this rule
-    * can answer it without a scan: the version's row count, a DOUBLE
-    * column's stats range (min/max — doubles only: stats are stored as
-    * doubles, so any other type would answer with a silently-cast
-    * value), a literal riding along, or nothing it can serve (None →
-    * the scan plan stands). */
+    * can answer it without a scan: the version's row count, a
+    * column's stats range (min/max — DOUBLE natively; DATE (stats ARE
+    * epoch days, an exact int), and INTEGRAL columns whose bounds are
+    * provably exact in double space (|v| well under 2^53) convert
+    * back losslessly; strings never answer — their stats are prefix
+    * RANKS, sound for pruning but not values), a literal riding
+    * along, or nothing it can serve (None → the scan plan stands). */
   private sealed trait MetaAnswer
   private case object NeedCount extends MetaAnswer
-  private case class NeedMin(column: String) extends MetaAnswer
-  private case class NeedMax(column: String) extends MetaAnswer
+  private case class NeedMin(column: String,
+      dt: org.apache.spark.sql.types.DataType) extends MetaAnswer
+  private case class NeedMax(column: String,
+      dt: org.apache.spark.sql.types.DataType) extends MetaAnswer
   private case class Const(value: Any) extends MetaAnswer
+
+  private def rangeAnswerable(
+      dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types.{DateType, DoubleType, IntegerType, LongType, TimestampType}
+    dt == DoubleType || dt == DateType || dt == LongType ||
+      dt == IntegerType || dt == TimestampType
+  }
+
+  /** A stats-space double back in the column's own type — None when
+    * the round trip could have lost exactness (a LONG beyond double's
+    * integer range, a timestamp so far out that double seconds can't
+    * resolve a microsecond). Timestamp stats are epoch seconds
+    * rounded to the nearest double: for |sec| < 4e9 (year ~2096) that
+    * rounding error is under 0.07 µs, so `rint(sec·1e6)` recovers the
+    * original micros EXACTLY — beyond it, decline. */
+  private def fromStat(d: Double,
+      dt: org.apache.spark.sql.types.DataType): Option[Any] = {
+    import org.apache.spark.sql.types.{DateType, DoubleType, IntegerType, LongType, TimestampType}
+    dt match {
+      case DoubleType => Some(d)
+      case DateType => Some(d.toInt)
+      case IntegerType => Some(d.toInt)
+      case LongType if d == scala.math.rint(d) && d.abs < (1L << 50)
+        .toDouble => Some(d.toLong)
+      case TimestampType if d.abs < 4e9 =>
+        Some(scala.math.rint(d * 1e6).toLong)
+      case _ => None
+    }
+  }
 
   private def answerable(e: NamedExpression): Option[MetaAnswer] = e match {
     case Alias(AggregateExpression(Count(Seq(l: Literal)), _, false, None,
         _), _) if l.value != null => Some(NeedCount)
     case Alias(AggregateExpression(Min(a: AttributeReference), _, false,
-        None, _), _) if a.dataType == org.apache.spark.sql.types.DoubleType =>
-      Some(NeedMin(a.name))
+        None, _), _) if rangeAnswerable(a.dataType) =>
+      Some(NeedMin(a.name, a.dataType))
     case Alias(AggregateExpression(Max(a: AttributeReference), _, false,
-        None, _), _) if a.dataType == org.apache.spark.sql.types.DoubleType =>
-      Some(NeedMax(a.name))
+        None, _), _) if rangeAnswerable(a.dataType) =>
+      Some(NeedMax(a.name, a.dataType))
     case Alias(l: Literal, _) => Some(Const(l.value))
     case _ => None
   }
@@ -447,25 +480,28 @@ case class SnapshotMetadataCount(spark: SparkSession)
             if (needs.contains(NeedCount)) Snapshots.rowCountAt(spark, path, v)
             else Some(0L)
           val rangeCols = needs.collect {
-            case NeedMin(c) => c
-            case NeedMax(c) => c
+            case NeedMin(c, _) => c
+            case NeedMax(c, _) => c
           }.distinct
           val ranges = rangeCols.map(c =>
             c -> Snapshots.statsRangeAt(spark, path, v, c)).toMap
           // min/max of ZERO rows is null, not the (absent) stats range —
           // only answer when the version provably has rows
           val nonEmpty = Snapshots.rowCountAt(spark, path, v).exists(_ > 0)
-          if (count.isEmpty || ranges.values.exists(_.isEmpty) ||
+          val answers: Seq[Option[Any]] = needs.map {
+            case NeedCount => count
+            case NeedMin(c, dt) =>
+              ranges(c).flatMap(r => fromStat(r._1, dt))
+            case NeedMax(c, dt) =>
+              ranges(c).flatMap(r => fromStat(r._2, dt))
+            case Const(value) => Some(value)
+          }
+          if (count.isEmpty || answers.exists(_.isEmpty) ||
               (rangeCols.nonEmpty && !nonEmpty)) None
           else Some(LocalRelation(
             agg.output.map(_.asInstanceOf[AttributeReference]),
             Seq(org.apache.spark.sql.catalyst.InternalRow.fromSeq(
-              needs.map {
-                case NeedCount => count.get
-                case NeedMin(c) => ranges(c).get._1
-                case NeedMax(c) => ranges(c).get._2
-                case Const(value) => value
-              }))))
+              answers.map(_.get)))))
         }.getOrElse(agg)
     }
 }

@@ -2334,6 +2334,48 @@ object LayoutQueries {
       .withColumn("isnotnull_pruned", lit(isNotNullPruned))
   }
 
+  /** q260 — TYPED METADATA MIN/MAX (q204's rule widened past doubles):
+    * `min`/`max` over DATE and INTEGRAL columns answer from manifest
+    * stats as a LocalRelation — DATE stats ARE exact epoch days, and
+    * integral bounds convert back only when provably exact in double
+    * space — while STRING min/max must DECLINE to the scan even
+    * though string stats now exist (`string_declines` — they are
+    * prefix RANKS, sound for pruning, poison as values; answering
+    * `min(status)` with a rank is the trap this gate sets). The
+    * dashboard trio — `count(*)`, freshness (`max(date)`), key range —
+    * costs KB of log metadata instead of a 100 TB scan. */
+  def metadataMinMaxTyped(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Snapshots
+    val root = graft.util.Scratch.dir("metamm2", dir)
+    val table = s"$root/orders_m2"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+    val orders = Tables(spark, dir, "orders")
+    val cols = Seq("o_orderdate", "o_orderkey", "o_orderpriority")
+    Snapshots.append(spark, table, orders.filter(col("o_orderkey") % 2 === 0),
+      statsCols = cols)
+    Snapshots.append(spark, table, orders.filter(col("o_orderkey") % 2 === 1),
+      statsCols = cols)
+    val cat = s"mm2_${Integer.toHexString(dir.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.lake.SnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val stat = spark.sql(s"""
+      SELECT count(*) AS n_rows,
+             min(o_orderdate) AS min_date, max(o_orderdate) AS max_date,
+             min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+      FROM $cat.orders_m2""")
+    val statPlan = stat.queryExecution.executedPlan.toString
+    val metaOnly = statPlan.contains("LocalTableScan") &&
+      !statPlan.contains("BatchScan")
+    val strQ = spark.sql(
+      s"SELECT min(o_orderpriority) AS min_prio FROM $cat.orders_m2")
+    val stringDeclines = strQ.queryExecution.executedPlan.toString
+      .contains("BatchScan")
+    stat.crossJoin(strQ)
+      .withColumn("metadata_only", lit(metaOnly))
+      .withColumn("string_declines", lit(stringDeclines))
+  }
+
   /** q234 — MANIFEST-LIST COMPACTION
     * ([[graft.lake.Snapshots.rewriteManifests]] — Iceberg
     * `rewrite_manifests`, OPTIMIZE for the METADATA): eight separate
@@ -3203,6 +3245,13 @@ object LayoutQueries {
       FROM orders
       WHERE NOT (o_orderkey % 2 = 1 AND o_orderkey % 1000 = 7)
       GROUP BY 1""")),
+    QueryDef("q260_metadata_minmax_typed", metadataMinMaxTyped, Some("""
+      SELECT COUNT(*) AS n_rows,
+             MIN(o_orderdate) AS min_date, MAX(o_orderdate) AS max_date,
+             MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+             MIN(o_orderpriority) AS min_prio,
+             true AS metadata_only, true AS string_declines
+      FROM orders""")),
     QueryDef("q259_in_null_pruning", inNullPruning, Some(s"""
       SELECT o_orderpriority, COUNT(*) AS n_rows,
              CAST(SUM(${Num.sqlCents("o_totalprice")}) AS BIGINT)
