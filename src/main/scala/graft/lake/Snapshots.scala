@@ -1263,8 +1263,12 @@ object Snapshots {
       statsCols: Seq[String], beforePublish: () => Unit,
       bloomCols: Seq[String], newSpec: Option[Seq[String]]): Int = {
     enforceConstraints(spark, table, df, "append")
+    val allStats =
+      (statsCols ++ declaredCols(spark, table, StatsColumnsKey)).distinct
+    val allBlooms =
+      (bloomCols ++ declaredCols(spark, table, BloomColumnsKey)).distinct
     val (staged, stagedStats, stagedBlooms, stagedSchemas) =
-      stage(spark, table, df, statsCols, bloomCols)
+      stage(spark, table, df, allStats, allBlooms)
     val mid = writeManifest(spark, table, staged, stagedStats, stagedBlooms,
       stagedSchemas)
     val v = commitLoop(spark, table, "append", beforePublish,
@@ -1365,6 +1369,22 @@ object Snapshots {
     * scheduler. */
   val AutoCompactMinFilesKey = "graft.autoCompact.minFiles"
   val AutoCompactTargetBytesKey = "graft.autoCompact.targetBytes"
+
+  /** Stats/bloom columns the TABLE declares (`graft.stats.columns` /
+    * `graft.stats.bloomColumns`, comma-separated) — merged into every
+    * append/copy-into, which closes the gap no caller-side parameter
+    * can reach: SQL `INSERT INTO` and CDC appends have nowhere to
+    * pass `statsCols`, so without a table-level declaration their
+    * files carried no skipping metadata (the Delta
+    * dataSkippingNumIndexedCols shape, but by name). */
+  val StatsColumnsKey = "graft.stats.columns"
+  val BloomColumnsKey = "graft.stats.bloomColumns"
+
+  private def declaredCols(spark: SparkSession, table: String,
+      key: String): Seq[String] =
+    tableProperties(spark, table).get(key)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
 
   private def maybeAutoCompact(spark: SparkSession, table: String): Unit = {
     val props = tableProperties(spark, table)
@@ -1498,10 +1518,12 @@ object Snapshots {
     if (fresh.isEmpty) return (latestVersion(spark, table).getOrElse(0), 0)
     val freshIds = fresh.map(sourceIdentity)
     val df = spark.read.parquet(fresh.map(_.getPath.toString): _*)
-    val (clustered, stats) = honorSpec(spark, table, df, statsCols)
+    val (clustered, stats) = honorSpec(spark, table, df,
+      (statsCols ++ declaredCols(spark, table, StatsColumnsKey)).distinct)
     enforceConstraints(spark, table, df, "copy-into")
     val (staged, stagedStats, stagedBlooms, stagedSchemas) =
-      stage(spark, table, clustered, stats, bloomCols)
+      stage(spark, table, clustered, stats,
+        (bloomCols ++ declaredCols(spark, table, BloomColumnsKey)).distinct)
     val mid = writeManifest(spark, table, staged, stagedStats, stagedBlooms,
       stagedSchemas)
     val v = commitLoop(spark, table, "copy-into", beforePublish,

@@ -2376,6 +2376,59 @@ object LayoutQueries {
       .withColumn("string_declines", lit(stringDeclines))
   }
 
+  /** q261 — DECLARED STATS COLUMNS
+    * (`graft.stats.columns` / `graft.stats.bloomColumns` — the Delta
+    * dataSkippingNumIndexedCols shape, by name, over q252's
+    * properties): the TABLE declares which columns every write must
+    * record skipping metadata for, which closes the gap no caller
+    * parameter can reach — SQL `INSERT INTO` and CDC appends have
+    * nowhere to pass `statsCols`, so their files carried nothing and
+    * silently rotted the table's pruning power. The gate lands one
+    * band BEFORE the declaration (stats-less — and `unknown never
+    * prunes` keeps it correct forever), declares the property over
+    * SQL, INSERTs three more bands over SQL, and pins: the inserted
+    * files all carry the declared column's bounds
+    * (`stats_recorded`), and a band predicate prunes the scan
+    * (`declared_stats_prune`) while results stay exact — including
+    * the stats-less band that must always survive. */
+  def declaredStatsColumns(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Snapshots
+    val root = graft.util.Scratch.dir("declstats", dir)
+    val table = s"$root/orders_ds"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+    val orders = Tables(spark, dir, "orders")
+    val p = col("o_totalprice")
+    Snapshots.append(spark, table, orders.filter(p < 50000)) // stats-less
+    val cat = s"ds_${Integer.toHexString(dir.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.lake.SnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"ALTER TABLE $cat.orders_ds SET TBLPROPERTIES(" +
+      s"'${Snapshots.StatsColumnsKey}'='o_totalprice')")
+    val beforeInserts = Snapshots.snapshot(spark, table,
+      Snapshots.latestVersion(spark, table).get).get.files.toSet
+    Seq(p >= 50000 && p < 100000, p >= 100000 && p < 200000, p >= 200000)
+      .zipWithIndex.foreach { case (band, i) =>
+        orders.filter(band).createOrReplaceTempView(s"ds_band_$i")
+        spark.sql(s"INSERT INTO $cat.orders_ds SELECT * FROM ds_band_$i")
+      }
+    val s = Snapshots.snapshot(spark, table,
+      Snapshots.latestVersion(spark, table).get).get
+    val inserted = s.files.filterNot(beforeInserts)
+    val statsRecorded = inserted.nonEmpty &&
+      inserted.forall(f => s.stats.get(f).exists(_.contains("o_totalprice")))
+    val banded = spark.sql(s"""
+      SELECT o_orderpriority, COUNT(*) AS n_rows,
+             CAST(SUM(${Num.sqlCents("o_totalprice")}) AS BIGINT)
+               AS sum_cents
+      FROM $cat.orders_ds WHERE o_totalprice >= 200000 GROUP BY 1""")
+    val pruned = banded.queryExecution.executedPlan.toString
+      .contains("#pruned")
+    banded
+      .withColumn("stats_recorded", lit(statsRecorded))
+      .withColumn("declared_stats_prune", lit(pruned))
+  }
+
   /** q234 — MANIFEST-LIST COMPACTION
     * ([[graft.lake.Snapshots.rewriteManifests]] — Iceberg
     * `rewrite_manifests`, OPTIMIZE for the METADATA): eight separate
@@ -3244,6 +3297,14 @@ object LayoutQueries {
              true AS counts_exact
       FROM orders
       WHERE NOT (o_orderkey % 2 = 1 AND o_orderkey % 1000 = 7)
+      GROUP BY 1""")),
+    QueryDef("q261_declared_stats_columns", declaredStatsColumns, Some(s"""
+      SELECT o_orderpriority, COUNT(*) AS n_rows,
+             CAST(SUM(${Num.sqlCents("o_totalprice")}) AS BIGINT)
+               AS sum_cents,
+             true AS stats_recorded, true AS declared_stats_prune
+      FROM orders
+      WHERE o_totalprice >= 200000
       GROUP BY 1""")),
     QueryDef("q260_metadata_minmax_typed", metadataMinMaxTyped, Some("""
       SELECT COUNT(*) AS n_rows,

@@ -356,16 +356,20 @@ class SnapshotCatalogSpec extends SparkTestBase {
     intercept[Exception](spark.sql(
       s"REPLACE TABLE $cat.missing AS SELECT * FROM ctas_spec_src"))
     // a STRING identity partition column is legal: the write clusters
-    // by it, but manifest stats are doubles so the column records NO
-    // stats (unknown never prunes) instead of crashing the commit on an
-    // ANSI string→double cast
+    // by the raw string, and since q258 the column records the
+    // order-preserving prefix RANK as its double bounds (never an ANSI
+    // string→double crash) — so string equality predicates prune
     spark.sql(s"CREATE TABLE $cat.t2 PARTITIONED BY (o_orderstatus) AS " +
       "SELECT * FROM ctas_spec_src")
     val s2 = Snapshots.snapshot(spark, s"$root/t2",
       Snapshots.latestVersion(spark, s"$root/t2").get).get
     assert(s2.partitionSpec == Seq("o_orderstatus"))
     assert(s2.files.nonEmpty &&
-      s2.files.forall(f => !s2.stats.get(f).exists(_.contains("o_orderstatus"))))
+      s2.files.forall(f => s2.stats.get(f).exists(_.contains("o_orderstatus"))))
+    s2.files.foreach { f =>
+      val (lo, hi) = s2.stats(f)("o_orderstatus")
+      assert(lo >= 0 && hi <= 130 * 130 * 130, "rank-space bounds")
+    }
     assert(spark.sql(s"SELECT count(*) FROM $cat.t2").head().getLong(0) ==
       orders.count())
     // un-honorable shapes are refused with the reason
