@@ -3320,6 +3320,35 @@ object Snapshots {
     readLatest(spark, table).map(live =>
       overwrite(spark, table, live, statsCols))
 
+  /** FULL-SCOPE Z-ORDER rewrite (`OPTIMIZE … ZORDER BY (c1, c2, …)` —
+    * the Delta statement semantics: every live file re-lays along the
+    * multi-column Morton curve into ~`targetBytes` outputs, with the
+    * z-order columns' tightened intervals recorded beside the
+    * persisted spec's). Unlike [[optimizeSmallFiles]] (the incremental
+    * tail compactor) this rewrites the whole scope by design — the
+    * one-shot layout migration a table runs when its query mix
+    * changes, after which the incremental compactor maintains it. */
+  def optimizeZorder(spark: SparkSession, table: String, cols: Seq[String],
+      targetBytes: Long = 128L << 20): Option[Int] = {
+    require(cols.nonEmpty, "optimizeZorder needs z-order columns")
+    val conf = spark.sparkContext.hadoopConfiguration
+    if (latestSnapshot(spark, table).isEmpty) return None
+    Some(commitLoop(spark, table, "optimize") { prevOpt =>
+      val prev = prevOpt.getOrElse(throw new IllegalStateException(
+        s"$table disappeared during optimizeZorder"))
+      if (prev.files.isEmpty)
+        (prev.manifests, prev.deletes, prev.renames, prev.drops)
+      else {
+        val sized = prev.files.map { f =>
+          val p = new org.apache.hadoop.fs.Path(filePath(table, f))
+          f -> p.getFileSystem(conf).getFileStatus(p).getLen
+        }
+        compactContent(spark, table, prev, sized, Nil, targetBytes,
+          (prev.partitionSpec ++ cols).distinct, cols)
+      }
+    })
+  }
+
   /** Targeted small-file compaction (the incremental OPTIMIZE a 100 TB
     * table actually runs): only data files under `minBytes` are
     * rewritten — their LIVE rows compact into fresh files — while every
@@ -3948,6 +3977,67 @@ object Snapshots {
       .find(v => snapshot(spark, table, v).exists(_.commitTs >= cutoffTs))
       .getOrElse(latest)
     vacuum(spark, table, keepFrom)
+  }
+
+  /** What [[vacuum]] at this horizon WOULD reclaim, without touching
+    * anything — the Delta `VACUUM … DRY RUN` shape (the answer to "is
+    * this retention setting about to delete something I still need",
+    * asked before the irreversible step, which is the whole point).
+    * Returns table-relative paths: trimmed log objects, dead data
+    * files / equality-delete dirs under `_snap`, and unreferenced
+    * manifests. Read-only MIRROR of vacuum's live-set walk — the two
+    * must stay in lockstep (spec-pinned: dry run == the exact FS diff
+    * a real vacuum then produces). */
+  def vacuumDryRun(spark: SparkSession, table: String,
+      keepFrom: Int): Seq[String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val ops = new FileOps(conf)
+    val latest = latestVersion(spark, table).getOrElse(return Nil)
+    val tagged = listTags(spark, table).map(_._2).toSet ++
+      listBranches(spark, table).map(_._2) ++
+      mainHeadSnapshot(spark, table).map(_.version)
+    val deadLog = (1 until keepFrom).filterNot(tagged)
+      .filter(v => ops.exists(logPath(table, v)))
+      .map(v => f"_log/v$v%06d.json")
+    val keptVersions =
+      ((keepFrom to latest) ++ tagged.filter(_ < keepFrom)).distinct.sorted
+    val kept = keptVersions.flatMap(v => snapshot(spark, table, v))
+    val liveFiles = kept.flatMap(s => s.files ++ s.deletes).toSet
+    val liveDirs = liveFiles.flatMap { f =>
+      val segs = f.split("/")
+      if (segs.headOption.contains("_snap")) segs.lift(1) else None
+    }
+    val snapRoot = new org.apache.hadoop.fs.Path(s"$table/_snap")
+    val fs = snapRoot.getFileSystem(conf)
+    val deadData = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (fs.exists(snapRoot))
+      fs.listStatus(snapRoot).foreach { st =>
+        val dirName = st.getPath.getName
+        if (!liveDirs.contains(dirName)) deadData += s"_snap/$dirName"
+        else if (liveFiles.contains(s"_snap/$dirName")) ()
+        else fs.listStatus(st.getPath).foreach { f =>
+          if (!liveFiles.contains(s"_snap/$dirName/${f.getPath.getName}"))
+            deadData += s"_snap/$dirName/${f.getPath.getName}"
+        }
+      }
+    val eqScopes = kept.flatMap(_.deletes).filter(isEqDelete).distinct
+      .flatMap { e =>
+        val p = s"${filePath(table, e)}/scope.json"
+        if (!ops.exists(p)) Nil
+        else Json.parseObject(ops.readString(p))
+          .get("manifests").map(_.asInstanceOf[Seq[Any]].map(_.toString))
+          .getOrElse(Nil)
+      }
+    val liveManifests = kept.flatMap(_.manifests).toSet ++ eqScopes
+    val logRoot = new org.apache.hadoop.fs.Path(logDir(table))
+    val deadManifests =
+      if (!fs.exists(logRoot)) Nil
+      else fs.listStatus(logRoot).map(_.getPath.getName).toSeq
+        .filter(n => n.startsWith("m-") && n.endsWith(".json"))
+        .filterNot(n =>
+          liveManifests(n.stripPrefix("m-").stripSuffix(".json")))
+        .map(n => s"_log/$n")
+    (deadLog ++ deadData ++ deadManifests).sorted
   }
 
   def vacuum(spark: SparkSession, table: String, keepFrom: Int): Unit = {

@@ -47,6 +47,10 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     """(?is)^\s*MAINTAIN\s+([\w.]+)\s*;?\s*$""".r
   private val VacuumRe =
     """(?is)^\s*VACUUM\s+([\w.]+)\s+RETAIN\s+(\d+)\s+VERSIONS\s*;?\s*$""".r
+  private val VacuumDryRe =
+    """(?is)^\s*VACUUM\s+([\w.]+)\s+RETAIN\s+(\d+)\s+VERSIONS\s+DRY\s+RUN\s*;?\s*$""".r
+  private val OptimizeZorderRe =
+    """(?is)^\s*OPTIMIZE\s+([\w.]+)\s+ZORDER\s+BY\s*\((.*)\)\s*;?\s*$""".r
   private val VacuumHoursRe =
     """(?is)^\s*VACUUM\s+([\w.]+)\s+RETAIN\s+(\d+)\s+HOURS\s*;?\s*$""".r
   private val AlterSpecRe =
@@ -111,7 +115,10 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     case CloneRe(dst, src, ver) =>
       ShallowCloneCommand(path(src), path(dst), Option(ver).map(_.toInt))
     case OptimizeRe(t) => OptimizeTableCommand(path(t))
+    case OptimizeZorderRe(t, cols) =>
+      OptimizeZorderCommand(path(t), splitSpec(cols))
     case MaintainRe(t) => MaintainTableCommand(path(t))
+    case VacuumDryRe(t, n) => VacuumDryRunCommand(path(t), n.toInt)
     case VacuumRe(t, n) => VacuumTableCommand(path(t), n.toInt)
     case VacuumHoursRe(t, n) => VacuumHoursCommand(path(t), n.toInt)
     case AlterSpecRe(t, body) => SetPartitionSpecCommand(path(t), splitSpec(body))
@@ -174,6 +181,40 @@ case class MaintainTableCommand(table: String)
     Seq(AttributeReference("n_actions", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row(Snapshots.maintainTable(spark, table).size.toLong))
+}
+
+/** `OPTIMIZE cat.t ZORDER BY (c1, c2, …)` → [[Snapshots.optimize]]'s
+  * small-file fold laid out along the multi-column Morton curve
+  * ([[graft.lake.ZOrder]]), with the z-order columns' tightened
+  * intervals recorded for pruning — the Delta OPTIMIZE ZORDER
+  * statement. Returns the new version, −1 when nothing was small
+  * enough to fold. */
+case class OptimizeZorderCommand(table: String, cols: Seq[String])
+    extends LeafRunnableCommand with VersionOutput {
+  override def run(spark: SparkSession): Seq[Row] = {
+    // output sizing comes from table config, like Delta's
+    // maxFileSize — the statement names only the layout
+    val target = Snapshots.tableProperties(spark, table)
+      .get("graft.optimize.targetBytes").flatMap(_.toLongOption)
+      .getOrElse(128L << 20)
+    Seq(Row(Snapshots.optimizeZorder(spark, table, cols, target)
+      .map(_.toLong).getOrElse(-1L)))
+  }
+}
+
+/** `VACUUM cat.t RETAIN n VERSIONS DRY RUN` →
+  * [[Snapshots.vacuumDryRun]]: one row per path a real vacuum at that
+  * horizon would reclaim, nothing touched — the look-before-the-
+  * irreversible-step statement. */
+case class VacuumDryRunCommand(table: String, retain: Int)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(AttributeReference(
+    "path", org.apache.spark.sql.types.StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val latest = Snapshots.latestVersion(spark, table).getOrElse(0)
+    val keepFrom = math.max(1, latest - retain + 1)
+    Snapshots.vacuumDryRun(spark, table, keepFrom).map(Row(_))
+  }
 }
 
 /** `CREATE TABLE dst SHALLOW CLONE src [VERSION AS OF n]` →

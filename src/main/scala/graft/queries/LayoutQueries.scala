@@ -2429,6 +2429,104 @@ object LayoutQueries {
       .withColumn("declared_stats_prune", lit(pruned))
   }
 
+  /** q262 — `OPTIMIZE … ZORDER BY` OVER SQL
+    * ([[graft.lake.Snapshots.optimizeZorder]] — the Delta statement:
+    * a FULL-scope re-layout along the multi-column Morton curve into
+    * ~target-sized files, the one-shot layout migration a table runs
+    * when its query mix changes; output sizing comes from
+    * `graft.optimize.targetBytes` table config, the statement names
+    * only the layout). The gate scatters 12 appends, runs the
+    * statement, and pins per-axis pruning on BOTH z-order columns
+    * via two-sided quarter probes over plain SQL reads (the q246
+    * pigeonhole form — deterministic under sampled curve boundaries),
+    * with the result re-applying the residual predicate. */
+  def zorderSql(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Snapshots
+    val root = graft.util.Scratch.dir("zsql", dir)
+    val table = s"$root/orders_zs"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+    val orders = Tables(spark, dir, "orders")
+    for (r <- 0 until 12)
+      Snapshots.append(spark, table,
+        orders.filter(col("o_orderkey") % 12 === r).coalesce(1))
+    val cat = s"zs_${Integer.toHexString(dir.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.lake.SnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"ALTER TABLE $cat.orders_zs SET TBLPROPERTIES(" +
+      "'graft.optimize.targetBytes'='32768')")
+    val v = spark.sql(
+      s"OPTIMIZE $cat.orders_zs ZORDER BY (o_custkey, o_orderkey)")
+      .head.getLong(0)
+    val statementRan = v == 14 // 12 appends + property + this rewrite
+    def pruned(where: String): Boolean = {
+      val df = spark.sql(
+        s"SELECT count(*) AS n FROM $cat.orders_zs WHERE $where")
+      df.collect()
+      df.queryExecution.executedPlan.toString.contains("#pruned")
+    }
+    val maxCust = orders.agg(max(col("o_custkey"))).head.getLong(0)
+    val maxKey = orders.agg(max(col("o_orderkey"))).head.getLong(0)
+    val prunesCust = pruned(s"o_custkey <= ${maxCust / 4}") ||
+      pruned(s"o_custkey >= ${3 * (maxCust / 4)}")
+    val prunesKey = pruned(s"o_orderkey <= ${maxKey / 4}") ||
+      pruned(s"o_orderkey >= ${3 * (maxKey / 4)}")
+    spark.sql(s"""
+      SELECT o_orderpriority, COUNT(*) AS n_rows,
+             CAST(SUM(${Num.sqlCents("o_totalprice")}) AS BIGINT)
+               AS sum_cents
+      FROM $cat.orders_zs WHERE o_custkey <= ${maxCust / 4}
+      GROUP BY 1""")
+      .withColumn("statement_ran", lit(statementRan))
+      .withColumn("prunes_custkey", lit(prunesCust))
+      .withColumn("prunes_orderkey", lit(prunesKey))
+  }
+
+  /** q263 — `VACUUM … DRY RUN` OVER SQL
+    * ([[graft.lake.Snapshots.vacuumDryRun]] — the look BEFORE the
+    * irreversible step: one row per path a real vacuum at that
+    * horizon would reclaim, nothing touched). The gate orphans a
+    * compacted table's tail, takes the forecast, and pins the three
+    * things a dry run must mean: it names something
+    * (`forecast_nonempty`), it deletes nothing (`nothing_deleted` —
+    * every named path still on disk), and it is EXACT — the real
+    * VACUUM then removes precisely the named set
+    * (`forecast_exact`) with the live view untouched
+    * (`live_intact`). The spec additionally pins the full FS diff
+    * against the forecast file-by-file. */
+  def vacuumDryRunSql(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Snapshots
+    val root = graft.util.Scratch.dir("vacdry", dir)
+    val table = s"$root/orders_vd"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+    val orders = Tables(spark, dir, "orders")
+    val third = col("o_orderkey") % 3
+    (0 to 2).foreach(r =>
+      Snapshots.append(spark, table, orders.filter(third === r)))
+    Snapshots.optimize(spark, table) // v4: prior versions now orphaned
+    val cat = s"vd_${Integer.toHexString(dir.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.lake.SnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val dry = spark.sql(
+      s"VACUUM $cat.orders_vd RETAIN 1 VERSIONS DRY RUN")
+      .collect().map(_.getString(0))
+    def onDisk(p: String) = new java.io.File(table, p).exists
+    val forecastNonempty = dry.nonEmpty
+    val nothingDeleted = dry.forall(onDisk)
+    spark.sql(s"VACUUM $cat.orders_vd RETAIN 1 VERSIONS")
+    val forecastExact = dry.forall(p => !onDisk(p))
+    val live = Snapshots.readLatest(spark, table).get
+    val liveIntact = live.count() == orders.count()
+    live.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(Num.cents(col("o_totalprice"))).as("sum_cents"))
+      .withColumn("forecast_nonempty", lit(forecastNonempty))
+      .withColumn("nothing_deleted", lit(nothingDeleted))
+      .withColumn("forecast_exact", lit(forecastExact))
+      .withColumn("live_intact", lit(liveIntact))
+  }
+
   /** q234 — MANIFEST-LIST COMPACTION
     * ([[graft.lake.Snapshots.rewriteManifests]] — Iceberg
     * `rewrite_manifests`, OPTIMIZE for the METADATA): eight separate
@@ -3297,6 +3395,23 @@ object LayoutQueries {
              true AS counts_exact
       FROM orders
       WHERE NOT (o_orderkey % 2 = 1 AND o_orderkey % 1000 = 7)
+      GROUP BY 1""")),
+    QueryDef("q262_zorder_sql", zorderSql, Some(s"""
+      SELECT o_orderpriority, COUNT(*) AS n_rows,
+             CAST(SUM(${Num.sqlCents("o_totalprice")}) AS BIGINT)
+               AS sum_cents,
+             true AS statement_ran, true AS prunes_custkey,
+             true AS prunes_orderkey
+      FROM orders
+      WHERE o_custkey <= (SELECT MAX(o_custkey) // 4 FROM orders)
+      GROUP BY 1""")),
+    QueryDef("q263_vacuum_dry_run", vacuumDryRunSql, Some(s"""
+      SELECT o_orderpriority, COUNT(*) AS n_rows,
+             CAST(SUM(${Num.sqlCents("o_totalprice")}) AS BIGINT)
+               AS sum_cents,
+             true AS forecast_nonempty, true AS nothing_deleted,
+             true AS forecast_exact, true AS live_intact
+      FROM orders
       GROUP BY 1""")),
     QueryDef("q261_declared_stats_columns", declaredStatsColumns, Some(s"""
       SELECT o_orderpriority, COUNT(*) AS n_rows,

@@ -1946,6 +1946,55 @@ class SnapshotsSpec extends SparkTestBase {
     assert(nr.isNullAt(0))
   }
 
+  test("vacuum dry run forecasts the exact reclamation set") {
+    val t = fresh("vacdry")
+    Snapshots.append(spark, t, orders.filter(col("o_orderkey") % 2 === 0))
+    Snapshots.append(spark, t, orders.filter(col("o_orderkey") % 2 === 1))
+    Snapshots.createTag(spark, t, "keepme", 1) // tag pins v1 below horizon
+    Snapshots.deleteWhere(spark, t, col("o_orderkey") % 10 === 0)
+    Snapshots.optimize(spark, t) // orphans the pre-compact layout
+    val latest = Snapshots.latestVersion(spark, t).get
+    val keepFrom = latest // retain 1
+    def allFiles(): Set[String] = {
+      val base = new java.io.File(t).toPath
+      val out = scala.collection.mutable.Set.empty[String]
+      java.nio.file.Files.walk(base).forEach { p =>
+        if (java.nio.file.Files.isRegularFile(p)) {
+          val rel = base.relativize(p).toString
+          if (!rel.endsWith(".crc") && !rel.endsWith("_latest") &&
+            !rel.contains("ckpt")) { out += rel; () }
+        }
+      }
+      out.toSet
+    }
+    val dry = Snapshots.vacuumDryRun(spark, t, keepFrom)
+    // expand whole-dir forecast entries (equality-delete style) into
+    // the files a real vacuum's dir delete removes
+    val expanded = dry.flatMap { p =>
+      val f = new java.io.File(t, p)
+      if (f.isDirectory) {
+        val base = new java.io.File(t).toPath
+        val buf = scala.collection.mutable.Buffer.empty[String]
+        java.nio.file.Files.walk(f.toPath).forEach { q =>
+          if (java.nio.file.Files.isRegularFile(q)) {
+            val rel = base.relativize(q).toString
+            if (!rel.endsWith(".crc")) { buf += rel; () }
+          }
+        }
+        buf.toSeq
+      } else Seq(p)
+    }.toSet
+    val before = allFiles()
+    Snapshots.vacuum(spark, t, keepFrom)
+    val removed = before -- allFiles()
+    assert(expanded == removed,
+      s"forecast != reality; only-forecast=${expanded -- removed}, " +
+        s"only-removed=${removed -- expanded}")
+    // the tag-pinned version stayed readable below the horizon
+    assert(Snapshots.readAt(spark, t, 1).get.count() ==
+      orders.filter(col("o_orderkey") % 2 === 0).count())
+  }
+
   test("table properties: versioned, restore pins, clone carries") {
     val t = fresh("props")
     Snapshots.append(spark, t, orders.limit(10))
