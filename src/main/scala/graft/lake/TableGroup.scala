@@ -163,7 +163,15 @@ object TableGroup {
       val seq = latestMarkerSeq(ops, group) + 1
       val id = Naming.newRunId()
       val branch = s"txn-$id"
-      val pins = writes.map { case (name, w) =>
+      def dropStaged(): Unit = writes.foreach { case (name, _) =>
+        val table = s"$group/$name"
+        if (Snapshots.listBranches(spark, table).exists(_._1 == branch))
+          Snapshots.dropBranch(spark, table, branch)
+      }
+      // a crash mid-stage must not LEAK the transaction branches: a
+      // surviving branch ref pins its staged versions against vacuum
+      // forever (nothing would ever publish or drop it)
+      val pins = try writes.map { case (name, w) =>
         val table = s"$group/$name"
         val base = Snapshots.mainHeadVersion(spark, table).getOrElse(
           throw new IllegalArgumentException(
@@ -171,7 +179,7 @@ object TableGroup {
         Snapshots.createBranch(spark, table, branch, base)
         w(table, branch)
         (name, branch, Snapshots.branchHead(spark, table, branch).get)
-      }
+      } catch { case e: Throwable => dropStaged(); throw e }
       if (claimMarker(spark, group, seq, pins)) {
         afterMark()
         rollForward(spark, group)
@@ -180,11 +188,7 @@ object TableGroup {
       // lost the marker race: unstage (drop the branches — their
       // commits become unreferenced and vacuum-reclaimable) and replay
       // against the winner's state
-      writes.foreach { case (name, _) =>
-        val table = s"$group/$name"
-        if (Snapshots.listBranches(spark, table).exists(_._1 == branch))
-          Snapshots.dropBranch(spark, table, branch)
-      }
+      dropStaged()
       attempt += 1
     }
     throw new IllegalStateException(

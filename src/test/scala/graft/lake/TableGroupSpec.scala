@@ -40,6 +40,11 @@ class TableGroupSpec extends SparkTestBase {
     val r = TableGroup.readAll(spark, g, Seq("a", "b"))
     assert(r("a").count() == evenN)
     assert(Snapshots.readLatest(spark, s"$g/a").get.count() == evenN)
+    // no leaked transaction branches: a surviving ref would pin the
+    // half-staged versions against vacuum forever
+    assert(Snapshots.listBranches(spark, s"$g/a").isEmpty &&
+      Snapshots.listBranches(spark, s"$g/b").isEmpty,
+      "stage crash must drop the transaction branches")
     // the half-staged transaction replays cleanly
     TableGroup.commitAll(spark, g, Seq("a" -> appendOdd))
     assert(Snapshots.readLatest(spark, s"$g/a").get.count() ==
