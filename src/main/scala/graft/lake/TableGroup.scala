@@ -55,7 +55,8 @@ object TableGroup {
   type Write = (String, String) => Unit
 
   private final case class Marker(seq: Int,
-      pins: Seq[(String, String, Int)]) // (table name, branch, version)
+      pins: Seq[(String, String, Int)], // (table name, branch, version)
+      token: String)
 
   private def readMarker(ops: FileOps, group: String,
       seq: Int): Option[Marker] = {
@@ -66,7 +67,7 @@ object TableGroup {
       val row = t.asInstanceOf[Seq[Any]]
       (row(0).toString, row(1).toString, row(2).toString.toDouble.toInt)
     }
-    Some(Marker(seq, pins))
+    Some(Marker(seq, pins, m.get("token").map(_.toString).getOrElse("")))
   }
 
   /** Markers are dense from 1, so the latest is found by forward probe
@@ -85,7 +86,7 @@ object TableGroup {
     * link/rename primitive the log's version claim uses: false means
     * another transaction won the slot. */
   private def claimMarker(spark: SparkSession, group: String, seq: Int,
-      pins: Seq[(String, String, Int)]): Boolean = {
+      pins: Seq[(String, String, Int)], token: String): Boolean = {
     val conf = spark.sparkContext.hadoopConfiguration
     val ops = new FileOps(conf)
     val dstS = markerPath(group, seq)
@@ -96,6 +97,7 @@ object TableGroup {
     val json = Json.render(Map(
       "seq" -> seq.toLong,
       "ts" -> System.currentTimeMillis(),
+      "token" -> token,
       "tables" -> pins.map(p => Seq(p._1, p._2, p._3.toLong))))
     val tmp = s"$dstS.tmp-${Naming.newRunId()}"
     ops.writeString(tmp, json)
@@ -119,6 +121,15 @@ object TableGroup {
       case _: java.io.IOException if fs.exists(dst) =>
         ops.delete(tmp); false
     }
+  }
+
+  /** Each published marker's pins as (member → version), in marker
+    * order — the audit surface for replaying group consistency at
+    * every commit point. */
+  def markerPins(spark: SparkSession,
+      group: String): Seq[Map[String, Int]] = {
+    val ops = new FileOps(spark.sparkContext.hadoopConfiguration)
+    markers(ops, group).map(_.pins.map(p => p._1 -> p._3).toMap)
   }
 
   /** Apply every marked-but-unpublished pin, in marker order — the
@@ -147,7 +158,13 @@ object TableGroup {
     * no member's main has moved. */
   def commitAll(spark: SparkSession, group: String,
       writes: Seq[(String, Write)],
-      afterMark: () => Unit = () => ()): Int = {
+      afterMark: () => Unit = () => (),
+      // IDEMPOTENCY TOKEN (the Delta txn appId/version discipline):
+      // a non-empty token that already rode a published marker makes
+      // this call a pure no-op returning that marker's seq — what
+      // lets a streaming micro-batch replay its group transaction
+      // after a restart without double-applying
+      token: String = ""): Int = {
     require(writes.nonEmpty, "commitAll needs at least one member write")
     val ops = new FileOps(spark.sparkContext.hadoopConfiguration)
     var attempt = 0
@@ -155,6 +172,9 @@ object TableGroup {
       // heal any predecessor's unpublished marker first: staging must
       // base on the group's true committed state
       rollForward(spark, group)
+      if (token.nonEmpty)
+        markers(ops, group).find(_.token == token)
+          .foreach(m => return m.seq)
       // reserve the slot BEFORE staging: members move only when a
       // marker publishes (the group write contract), so winning THIS
       // seq later proves no transaction intervened while we staged —
@@ -180,7 +200,7 @@ object TableGroup {
         w(table, branch)
         (name, branch, Snapshots.branchHead(spark, table, branch).get)
       } catch { case e: Throwable => dropStaged(); throw e }
-      if (claimMarker(spark, group, seq, pins)) {
+      if (claimMarker(spark, group, seq, pins, token)) {
         afterMark()
         rollForward(spark, group)
         return seq

@@ -190,6 +190,86 @@ object CdcQueries {
     * read path serves correct rows under debt). The accumulated state
     * hash-matches the batch CDC merge (q100) of the same change log:
     * the cross-engine witness that stream-of-eq-deletes ≡ batch merge. */
+  /** q264 — STREAMING GROUP COMMIT (q253's transactions as a streaming
+    * sink: every micro-batch lands its fact append AND its summary
+    * MERGE as ONE marker, so no reader — group or main — ever sees a
+    * batch half-applied): the batch id rides the marker as an
+    * IDEMPOTENCY TOKEN (the Delta txn appId/version discipline), so a
+    * restart's replayed batch is a pure no-op — the gate re-runs a
+    * batch closure by hand after the stream drains and pins zero new
+    * versions on both members (`replay_noop`). `lockstep_every_marker`
+    * replays history: at EVERY published marker's pins, the summary
+    * table equals the group-by of the fact table at the paired pin —
+    * consistency held at every commit point, not just the end. Final
+    * content is oracle-exact. At 100 TB this is the CDC topology that
+    * kills the 3am "dashboard disagrees with the facts" page: the two
+    * tables cannot diverge, not even transiently. */
+  def streamingGroupCommit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.{Dataset, Row}
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.lake.{Snapshots, TableGroup}
+    val root = graft.util.Scratch.dir("stream_q264", dir)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val src = s"$root/src"
+    val group = s"$root/grp"
+    val ckpt = s"$root/ckpt"
+    val orders = Tables(spark, dir, "orders")
+    val even = col("o_orderkey") % 2 === 0
+    def sumOf(df: DataFrame): DataFrame =
+      df.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(Num.cents(col("o_totalprice"))).as("sum_cents"))
+    Snapshots.append(spark, s"$group/facts", orders.filter(even))
+    Snapshots.append(spark, s"$group/summary", sumOf(orders.filter(even)))
+    // three deterministic micro-batches of the odd half
+    for (b <- 0 to 2)
+      orders.filter(!even && pmod(col("o_orderkey"), lit(6)) === 2 * b + 1)
+        .coalesce(1).write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val writeBatch: (Dataset[Row], Long) => Unit = (batch, id) => {
+      val s = batch.sparkSession
+      val delta = batch.cache()
+      TableGroup.commitAll(s, group, Seq(
+        "facts" -> ((t, br) => Snapshots.appendToBranch(s, t, br, delta)),
+        "summary" -> ((t, br) => Snapshots.mergeWhen(s, t, sumOf(delta),
+          Seq("o_orderpriority"),
+          Seq(Snapshots.WhenMatchedUpdate(set = Map(
+            "n_rows" -> (col("n_rows") + col("_src_n_rows")),
+            "sum_cents" -> (col("sum_cents") + col("_src_sum_cents")))),
+            Snapshots.WhenNotMatchedInsert()),
+          branch = br))), token = s"batch-$id")
+      delta.unpersist()
+      ()
+    }
+    val q = stream.writeStream
+      .foreachBatch(writeBatch)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    // a restart replays a batch: the token makes it a no-op
+    def vOf(t: String) = Snapshots.latestVersion(spark, s"$group/$t").get
+    val (vf0, vs0) = (vOf("facts"), vOf("summary"))
+    val replayed = spark.read.parquet(src).filter(
+      pmod(col("o_orderkey"), lit(6)) === 3) // batch 1's content
+    writeBatch(replayed, 1L)
+    val replayNoop = vOf("facts") == vf0 && vOf("summary") == vs0
+    // consistency held at EVERY marker, not just the end
+    val lockstepEveryMarker = TableGroup.markerPins(spark, group)
+      .forall { pins =>
+        val f = Snapshots.readAt(spark, s"$group/facts",
+          pins("facts")).get
+        val sm = Snapshots.readAt(spark, s"$group/summary",
+          pins("summary")).get
+        sm.exceptAll(sumOf(f)).isEmpty && sumOf(f).exceptAll(sm).isEmpty
+      }
+    Snapshots.readLatest(spark, s"$group/summary").get
+      .withColumn("replay_noop", lit(replayNoop))
+      .withColumn("lockstep_every_marker", lit(lockstepEveryMarker))
+  }
+
   def streamingEqDeleteSink(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.{Dataset, Row}
     import org.apache.spark.sql.streaming.Trigger
@@ -554,6 +634,13 @@ object CdcQueries {
     QueryDef("q239_merge_when", mergeWhenCdc, Some(cdcMergeOracle)),
     QueryDef("q243_merge_full_sync", mergeFullSync,
       Some(mergeFullSyncOracle)),
+    QueryDef("q264_streaming_group_commit", streamingGroupCommit, Some(s"""
+      SELECT o_orderpriority, COUNT(*) AS n_rows,
+             CAST(SUM(${Num.sqlCents("o_totalprice")}) AS BIGINT)
+               AS sum_cents,
+             true AS replay_noop, true AS lockstep_every_marker
+      FROM orders
+      GROUP BY 1""")),
     QueryDef("q240_streaming_eq_delete_sink", streamingEqDeleteSink,
       Some(streamingEqDeleteOracle)),
     QueryDef("q101_scd2_history", scdOrderHistory, Some(scdOracle)),
