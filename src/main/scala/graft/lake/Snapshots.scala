@@ -2191,7 +2191,21 @@ object Snapshots {
   def renameColumn(spark: SparkSession, table: String, from: String,
       to: String): Int = {
     require(from != to, s"rename of $from onto itself")
-    commitLoop(spark, table, "rename-column", newDefaults = prevOpt =>
+    // the persisted PARTITION SPEC follows the rename (Iceberg specs
+    // are field-id-bound, so a rename never detaches them; here the
+    // name-keyed spec must be rewritten or later writes would silently
+    // stop clustering — "spec source column missing" is meant for
+    // schema evolution in flight, not for renames)
+    def respell(entry: String): String = entry match {
+      case BucketSpec(n, c) if c == from => s"bucket($n,$to)"
+      case DaysSpec(c) if c == from => s"days($to)"
+      case c if c == from => to
+      case other => other
+    }
+    commitLoop(spark, table, "rename-column",
+      newPartitionSpec = prevOpt =>
+        prevOpt.map(_.partitionSpec.map(respell)),
+      newDefaults = prevOpt =>
       prevOpt.map(_.defaults.map { case (c, d) =>
         (if (c == from) to else c, d) })) { prevOpt =>
       val prev = prevOpt.getOrElse(throw new IllegalStateException(

@@ -1946,6 +1946,35 @@ class SnapshotsSpec extends SparkTestBase {
     assert(nr.isNullAt(0))
   }
 
+  test("partition spec follows column renames; writes keep clustering") {
+    val t = fresh("specren")
+    val df = orders.withColumn("o_year", year(col("o_orderdate")))
+    Snapshots.appendPartitioned(spark, t, df, Seq("o_year"), numFiles = 8)
+    Snapshots.renameColumn(spark, t, "o_year", "yr")
+    assert(Snapshots.currentPartitionSpec(spark, t) == Seq("yr"),
+      "identity spec entry must be respelled by the rename")
+    // a write under the NEW name still engages the spec: honorSpec
+    // clusters by (and records stats for) the respelled entry — with
+    // the stale name it would silently skip both ("source column
+    // missing"), which is exactly the regression this pins. AQE may
+    // fold the tiny delta to one file; stats PRESENCE is the signal.
+    val df2 = orders.withColumn("yr", year(col("o_orderdate")) + 100)
+    val v = Snapshots.append(spark, t, df2)
+    val s = Snapshots.snapshot(spark, t, v).get
+    val fresh2 = s.files.filterNot(
+      Snapshots.snapshot(spark, t, v - 1).get.files.toSet)
+    assert(fresh2.nonEmpty && fresh2.forall(f =>
+      s.stats.get(f).exists(_.contains("yr"))),
+      "post-rename writes must record stats for the respelled spec")
+    // transform entries respell too
+    val t2 = fresh("specren2")
+    Snapshots.appendPartitioned(spark, t2, orders,
+      Seq("bucket(4,o_custkey)", "days(o_orderdate)"))
+    Snapshots.renameColumn(spark, t2, "o_custkey", "cust")
+    assert(Snapshots.currentPartitionSpec(spark, t2) ==
+      Seq("bucket(4,cust)", "days(o_orderdate)"))
+  }
+
   test("vacuum dry run forecasts the exact reclamation set") {
     val t = fresh("vacdry")
     Snapshots.append(spark, t, orders.filter(col("o_orderkey") % 2 === 0))
