@@ -2202,9 +2202,19 @@ object Snapshots {
       case c if c == from => to
       case other => other
     }
+    // column-LIST properties the engine consumes must follow too, or
+    // declared skipping metadata silently stops being collected
+    val listProps = Set(StatsColumnsKey, BloomColumnsKey,
+      "graft.maintain.zorderBy")
     commitLoop(spark, table, "rename-column",
       newPartitionSpec = prevOpt =>
         prevOpt.map(_.partitionSpec.map(respell)),
+      newProperties = prevOpt => prevOpt.map(_.properties.map {
+        case (k, v) if listProps(k) =>
+          k -> v.split(",").map(_.trim)
+            .map(c => if (c == from) to else c).mkString(",")
+        case kv => kv
+      }),
       newDefaults = prevOpt =>
       prevOpt.map(_.defaults.map { case (c, d) =>
         (if (c == from) to else c, d) })) { prevOpt =>

@@ -1970,9 +1970,16 @@ class SnapshotsSpec extends SparkTestBase {
     val t2 = fresh("specren2")
     Snapshots.appendPartitioned(spark, t2, orders,
       Seq("bucket(4,o_custkey)", "days(o_orderdate)"))
+    Snapshots.setTableProperties(spark, t2, Map(
+      Snapshots.StatsColumnsKey -> "o_custkey,o_totalprice",
+      "graft.maintain.zorderBy" -> "o_custkey"))
     Snapshots.renameColumn(spark, t2, "o_custkey", "cust")
     assert(Snapshots.currentPartitionSpec(spark, t2) ==
       Seq("bucket(4,cust)", "days(o_orderdate)"))
+    // declared column-list properties follow the rename as well
+    val props = Snapshots.tableProperties(spark, t2)
+    assert(props(Snapshots.StatsColumnsKey) == "cust,o_totalprice")
+    assert(props("graft.maintain.zorderBy") == "cust")
   }
 
   test("vacuum dry run forecasts the exact reclamation set") {
