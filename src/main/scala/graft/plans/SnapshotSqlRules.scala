@@ -646,6 +646,27 @@ case class SnapshotScanPruning(spark: SparkSession)
       } yield ar.name -> pts.map(_.get)
       case _ => None
     }
+    // OR-trees prune as a DISJUNCTION of interval conjunctions: the
+    // file survives the conjunct iff SOME disjunct's intervals all
+    // intersect its stats. Every disjunct must translate completely
+    // (an untranslatable one is potentially always-true, so the whole
+    // conjunct is skipped — sound). Disjuncts may be conjunctions
+    // themselves and may speak DIFFERENT columns: `price < lo OR
+    // price > hi`, `(d >= a AND d < b) OR status = 'X'` both prune.
+    import org.apache.spark.sql.catalyst.expressions.Or
+    def disjuncts(e: Expression): Seq[Expression] = e match {
+      case Or(l, r) => disjuncts(l) ++ disjuncts(r)
+      case other => Seq(other)
+    }
+    val orChecks: Seq[Seq[Seq[(String,
+        org.apache.spark.sql.types.DataType, Double, Double)]]] =
+      conjuncts(cond).flatMap {
+        case or @ Or(_, _) =>
+          val perDisjunct = disjuncts(or).map(d =>
+            conjuncts(d).flatMap(interval(_)))
+          if (perDisjunct.forall(_.nonEmpty)) Some(perDisjunct) else None
+        case _ => None
+      }
     // NULL predicates prune through the manifest's per-file null
     // counts: IS NULL drops files recorded null-free; IS NOT NULL
     // (which the optimizer injects under every filter) drops files
@@ -655,7 +676,7 @@ case class SnapshotScanPruning(spark: SparkSession)
       case IsNotNull(ar: AttributeReference) => ar.name -> false
     }
     if (bounds.isEmpty && eqLits.isEmpty && inChecks.isEmpty &&
-      nullChecks.isEmpty) return None
+      nullChecks.isEmpty && orChecks.isEmpty) return None
     Snapshots.snapshot(spark, t.path, t.snapVersion).flatMap { s =>
       val current = t.prunedFiles.getOrElse(s.files)
       // all transform-encoded stats names present anywhere in this
@@ -695,7 +716,11 @@ case class SnapshotScanPruning(spark: SparkSession)
             else !(nullsOf(file, c).exists(n => n > 0d) &&
               s.rowCounts.get(file).exists(_.toDouble ==
                 nullsOf(file, c).get))
-          }
+          } &&
+          orChecks.forall(_.exists(_.forall { case (c, dt, lo, hi) =>
+            ok(file, c, lo, hi) &&
+              ok(file, s"days($c)", toDays(dt, lo), toDays(dt, hi))
+          }))
       }
       if (kept.size == current.size) None // fixed point: nothing to drop
       else if (kept.isEmpty) Some(LocalRelation(r.output, Nil))

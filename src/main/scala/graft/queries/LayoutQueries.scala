@@ -2527,6 +2527,58 @@ object LayoutQueries {
       .withColumn("live_intact", lit(liveIntact))
   }
 
+  /** q265 — OR-DISJUNCTION FILE SKIPPING (the last predicate family
+    * the interval miner couldn't see): an OR-tree prunes as a
+    * DISJUNCTION of interval conjunctions — a file survives only if
+    * SOME branch's intervals all intersect its stats, so the
+    * two-sided band query every retention/outlier scan runs
+    * (`price < lo OR price >= hi`) skips the middle of a banded
+    * table, and a CROSS-COLUMN or (`price >= hi OR key < 0`) prunes
+    * through whichever branch each file fails. Untranslatable
+    * branches disable the whole conjunct (potentially always-true —
+    * sound), pinned by `residual_unpruned`. Results stay exact. */
+  def orPruning(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Snapshots
+    val root = graft.util.Scratch.dir("orprune", dir)
+    val table = s"$root/orders_or"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+    val orders = Tables(spark, dir, "orders")
+    val p = col("o_totalprice")
+    Seq(p < 50000, p >= 50000 && p < 100000,
+        p >= 100000 && p < 200000, p >= 200000)
+      .foreach(band => Snapshots.append(spark, table, orders.filter(band),
+        statsCols = Seq("o_totalprice", "o_orderkey")))
+    val cat = s"or_${Integer.toHexString(dir.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.lake.SnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    def prunedPlan(df: DataFrame): Boolean =
+      df.queryExecution.executedPlan.toString.contains("#pruned")
+    val twoSided = spark.sql(s"""
+      SELECT o_orderpriority, COUNT(*) AS n_rows,
+             CAST(SUM(${Num.sqlCents("o_totalprice")}) AS BIGINT)
+               AS sum_cents
+      FROM $cat.orders_or
+      WHERE o_totalprice < 50000 OR o_totalprice >= 200000
+      GROUP BY 1""")
+    val orPruned = prunedPlan(twoSided)
+    val cross = spark.sql(s"SELECT count(*) AS n FROM $cat.orders_or " +
+      "WHERE o_totalprice >= 200000 OR o_orderkey < 0")
+    val crossPruned = prunedPlan(cross) && cross.head.getLong(0) ==
+      orders.filter(p >= 200000).count()
+    // an OR with an untranslatable branch must NOT prune (the branch
+    // could match anything) — and must still answer exactly
+    val residual = spark.sql(s"SELECT count(*) AS n FROM $cat.orders_or " +
+      "WHERE o_totalprice >= 200000 OR o_orderkey % 3 = 0")
+    val residualUnpruned = !prunedPlan(residual) &&
+      residual.head.getLong(0) ==
+        orders.filter(p >= 200000 || col("o_orderkey") % 3 === 0).count()
+    twoSided
+      .withColumn("or_pruned", lit(orPruned))
+      .withColumn("cross_column_or_pruned", lit(crossPruned))
+      .withColumn("residual_unpruned", lit(residualUnpruned))
+  }
+
   /** q234 — MANIFEST-LIST COMPACTION
     * ([[graft.lake.Snapshots.rewriteManifests]] — Iceberg
     * `rewrite_manifests`, OPTIMIZE for the METADATA): eight separate
@@ -3395,6 +3447,15 @@ object LayoutQueries {
              true AS counts_exact
       FROM orders
       WHERE NOT (o_orderkey % 2 = 1 AND o_orderkey % 1000 = 7)
+      GROUP BY 1""")),
+    QueryDef("q265_or_pruning", orPruning, Some(s"""
+      SELECT o_orderpriority, COUNT(*) AS n_rows,
+             CAST(SUM(${Num.sqlCents("o_totalprice")}) AS BIGINT)
+               AS sum_cents,
+             true AS or_pruned, true AS cross_column_or_pruned,
+             true AS residual_unpruned
+      FROM orders
+      WHERE o_totalprice < 50000 OR o_totalprice >= 200000
       GROUP BY 1""")),
     QueryDef("q262_zorder_sql", zorderSql, Some(s"""
       SELECT o_orderpriority, COUNT(*) AS n_rows,
