@@ -132,6 +132,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // relation), then merge-on-read/renamed relation lowering
     e.injectResolutionRule(session => SnapshotDmlRewrite(session))
     e.injectResolutionRule(session => SnapshotRelationRewrite(session))
+    // the Delta CDF table-valued function (Spark has no TVF hook, so
+    // resolution-rule it): SELECT ... FROM table_changes('cat.t', a, b)
+    e.injectResolutionRule(session => TableChangesResolution(session))
     // count(*)/min/max from log metadata — optimizer-side so EXPLAIN of
     // the analyzed plan still shows the relation, mirroring Delta
     e.injectOptimizerRule(session => SnapshotMetadataCount(session))

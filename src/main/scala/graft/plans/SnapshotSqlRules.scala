@@ -753,6 +753,58 @@ case class SnapshotScanPruning(spark: SparkSession)
     }
 }
 
+/** `SELECT … FROM table_changes('cat.t', v1, v2)` — the Delta CDF
+  * table-valued function: the row-level change feed between two
+  * versions ([[Snapshots.changesBetween]] — inserts, delete images,
+  * eq-delete composition, restore resurrection) served as an ordinary
+  * FROM-clause relation, so a downstream consumer's incremental
+  * refresh is one SQL statement. Spark has no such built-in TVF, so an
+  * unresolved `table_changes` with three literal arguments resolves
+  * here; anything else keeps Spark's own "could not resolve" error. */
+case class TableChangesResolution(spark: SparkSession)
+    extends Rule[LogicalPlan] {
+  // REGISTRATION, not resolution: Spark's ResolveTableValuedFunctions
+  // throws UNRESOLVABLE_TABLE_VALUED_FUNCTION on unknown TVFs in the
+  // MAIN resolution batch, before extended rules ever see the node —
+  // so this rule's construction (once per session, when the analyzer
+  // is built) registers the builder in the session's
+  // tableFunctionRegistry and the built-in resolver does the rest.
+  TableChangesResolution.register(spark)
+  override def apply(plan: LogicalPlan): LogicalPlan = plan
+}
+
+object TableChangesResolution {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.{ExpressionInfo, Literal}
+
+  private def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.tableFunctionRegistry
+    val ident = FunctionIdentifier("table_changes")
+    if (reg.functionExists(ident)) return
+    val info = new ExpressionInfo(getClass.getName, "table_changes")
+    reg.registerFunction(ident, info, (args: Seq[Expression]) =>
+      args match {
+        case Seq(Literal(name, org.apache.spark.sql.types.StringType),
+            Literal(v1: Int, _), Literal(v2: Int, _)) =>
+          val parts = name.toString.split("\\.")
+          require(parts.length >= 2, "table_changes needs a " +
+            "catalog-qualified table name, got '" + name + "'")
+          val root = spark.conf
+            .getOption(s"spark.sql.catalog.${parts.head}.root")
+            .getOrElse(throw new IllegalArgumentException(
+              s"'${parts.head}' is not a registered snapshot catalog"))
+          val path = parts.tail.mkString(s"$root/", "/", "")
+          val feed = Snapshots.changesBetween(spark, path, v1, v2)
+            .getOrElse(throw new IllegalArgumentException(
+              s"table_changes: no versions $v1/$v2 of $name"))
+          GraftSqlBridge.analyzed(feed)
+        case _ => throw new IllegalArgumentException(
+          "table_changes takes ('cat.table', fromVersion, toVersion) " +
+            "as literals")
+      })
+  }
+}
+
 /** `DELETE FROM t WHERE cond` → [[Snapshots.deleteWhere]].
   *
   * Conditions/SET expressions are carried as [[Column]]s (opaque to

@@ -2579,6 +2579,52 @@ object LayoutQueries {
       .withColumn("residual_unpruned", lit(residualUnpruned))
   }
 
+  /** q266 — `table_changes` TABLE-VALUED FUNCTION
+    * ([[graft.plans.TableChangesResolution]] — the Delta CDF TVF over
+    * SQL: `SELECT … FROM table_changes('cat.t', v1, v2)`): the
+    * row-level change feed as an ordinary FROM-clause relation, so a
+    * downstream consumer's incremental refresh is ONE SQL statement —
+    * no API, no export job. Spark has no TVF extension hook, so an
+    * unresolved `table_changes` with three literal arguments resolves
+    * through an injected analysis rule. The gate replays q163's exact
+    * merge history and pins the TVF feed equal to the API feed
+    * (`tvf_equals_api` — two-sided exceptAll) and loud errors for an
+    * unregistered catalog (`bad_catalog_loud`); content is the same
+    * cross-engine oracle as q163. */
+  def tableChangesTvf(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Snapshots
+    val root = graft.util.Scratch.dir("tvfcdf", dir)
+    val table = s"$root/orders_tc"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+    val orders = Tables(spark, dir, "orders")
+    Snapshots.append(spark, table, orders.filter(col("o_orderkey") % 2 === 0))
+    val batch1 = orders.filter(col("o_orderkey") % 4 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+      .unionAll(orders.filter(col("o_orderkey") % 4 === 1))
+    val v2 = Snapshots.merge(spark, table, batch1, Seq("o_orderkey"))
+    val batch2 = orders.filter(col("o_orderkey") % 8 <= 1)
+      .withColumn("o_totalprice", col("o_totalprice") + 2.0)
+    val v3 = Snapshots.merge(spark, table, batch2, Seq("o_orderkey"))
+    val cat = s"tc_${Integer.toHexString(dir.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.lake.SnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val tvf = spark.sql(
+      s"SELECT * FROM table_changes('$cat.orders_tc', $v2, $v3)")
+    val api = Snapshots.changesBetween(spark, table, v2, v3).get
+    val tvfEqualsApi = tvf.exceptAll(api).isEmpty &&
+      api.exceptAll(tvf).isEmpty
+    val badCatalogLoud = scala.util.Try(spark.sql(
+      "SELECT * FROM table_changes('nocat.t', 1, 2)").collect())
+      .failed.toOption.exists(_.getMessage
+        .contains("not a registered snapshot catalog"))
+    tvf.groupBy(col("_change_type"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_rows"),
+        Num.sumMoney(col("o_totalprice")).as("sum_price"))
+      .withColumn("tvf_equals_api", lit(tvfEqualsApi))
+      .withColumn("bad_catalog_loud", lit(badCatalogLoud))
+  }
+
   /** q234 — MANIFEST-LIST COMPACTION
     * ([[graft.lake.Snapshots.rewriteManifests]] — Iceberg
     * `rewrite_manifests`, OPTIMIZE for the METADATA): eight separate
@@ -4001,6 +4047,20 @@ object LayoutQueries {
              CAST(SUM(CASE WHEN o_orderkey % 2 = 0 THEN o_orderkey % 100
                       ELSE o_orderkey % 100 + 10000000000 END) AS BIGINT)
       FROM orders""")),
+    QueryDef("q266_table_changes_tvf", tableChangesTvf, Some(s"""
+      SELECT 'insert' AS _change_type, o_orderpriority,
+             COUNT(*) AS n_rows,
+             ${Num.sqlSumMoney("o_totalprice + 2")} AS sum_price,
+             true AS tvf_equals_api, true AS bad_catalog_loud
+      FROM orders WHERE o_orderkey % 8 <= 1
+      GROUP BY 2
+      UNION ALL
+      SELECT 'delete', o_orderpriority, COUNT(*),
+             ${Num.sqlSumMoney(
+        "o_totalprice + CASE WHEN o_orderkey % 8 = 0 THEN 1 ELSE 0 END")},
+             true, true
+      FROM orders WHERE o_orderkey % 8 <= 1
+      GROUP BY 2""")),
     QueryDef("q163_change_feed", changeFeed, Some(s"""
       SELECT 'insert' AS _change_type, o_orderpriority,
              COUNT(*) AS n_rows,
