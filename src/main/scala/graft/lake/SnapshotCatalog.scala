@@ -84,7 +84,7 @@ final class SnapshotCatalog extends TableCatalog {
   private def metaTable(ident: Identifier, v: Option[Int]): Option[Table] = {
     if (ident.namespace().isEmpty) return None
     if (!Seq("history", "files", "refs", "detail", "partitions",
-        "properties").contains(ident.name()))
+        "properties", "manifests").contains(ident.name()))
       return None
     if (Snapshots.latestVersion(spark, tablePath(ident)).isDefined)
       return None // a real table named history/files shadows the metadata
@@ -99,6 +99,7 @@ final class SnapshotCatalog extends TableCatalog {
         case "detail" => Snapshots.DetailSchema
         case "partitions" => Snapshots.PartitionsSchema
         case "properties" => Snapshots.PropertiesSchema
+        case "manifests" => Snapshots.ManifestsSchema
         case _ => Snapshots.FilesSchema
       }
       SnapshotMetaTable(s"${parent.name()}.${ident.name()}@v$ver",

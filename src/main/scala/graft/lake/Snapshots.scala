@@ -467,6 +467,35 @@ object Snapshots {
     StructField("file_count", IntegerType, nullable = false),
     StructField("row_count", LongType, nullable = false)))
 
+  /** Per-manifest shape of one version — the `<table>.manifests`
+    * metadata table (the Iceberg manifests-table shape): each manifest
+    * the version references with its file count and manifest-exact row
+    * count (−1 when any of its files predates row counting). The
+    * operational read: "how fragmented is my metadata" — the
+    * rewriteManifests trigger q234 automates via q255's policy.
+    * O(version manifest list) driver-side log metadata. */
+  def manifestsMetadata(spark: SparkSession, table: String,
+      v: Int): DataFrame = {
+    val s = snapshot(spark, table, v).getOrElse(
+      throw new IllegalArgumentException(s"no version $v of $table"))
+    val rows = s.manifests.map { id =>
+      val (files, _, _, _, rowCounts) = readManifest(spark, table, id)
+      val n =
+        if (files.forall(rowCounts.contains)) files.map(rowCounts).sum
+        else -1L
+      org.apache.spark.sql.Row(id, files.size, n)
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList(scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows).asJava),
+      ManifestsSchema)
+  }
+
+  val ManifestsSchema: StructType = StructType(Seq(
+    StructField("manifest_id", StringType, nullable = false),
+    StructField("n_files", IntegerType, nullable = false),
+    StructField("n_rows", LongType, nullable = false)))
+
   /** Key/value table properties of one version — the
     * `<table>.properties` metadata table (the Iceberg properties-table
     * shape): every TBLPROPERTY pair as a SQL row, VERSIONED like the

@@ -75,6 +75,8 @@ case class SnapshotRelationRewrite(spark: SparkSession)
             t.snapVersion)
           case "properties" => Snapshots.propertiesMetadata(spark, t.path,
             t.snapVersion)
+          case "manifests" => Snapshots.manifestsMetadata(spark, t.path,
+            t.snapVersion)
           case _ => Snapshots.filesMetadata(spark, t.path, t.snapVersion)
         })
         val byName = inner.output.map(a => a.name -> a).toMap
@@ -785,7 +787,7 @@ object TableChangesResolution {
     reg.registerFunction(ident, info, (args: Seq[Expression]) =>
       args match {
         case Seq(Literal(name, org.apache.spark.sql.types.StringType),
-            Literal(v1: Int, _), Literal(v2: Int, _)) =>
+            a1: Literal, a2: Literal) =>
           val parts = name.toString.split("\\.")
           require(parts.length >= 2, "table_changes needs a " +
             "catalog-qualified table name, got '" + name + "'")
@@ -794,6 +796,27 @@ object TableChangesResolution {
             .getOrElse(throw new IllegalArgumentException(
               s"'${parts.head}' is not a registered snapshot catalog"))
           val path = parts.tail.mkString(s"$root/", "/", "")
+          // version args: integer literals directly, or NAMED REFS
+          // (tag / branch / the implicit 'main') resolved like
+          // VERSION AS OF — "changes since the last sync tag" is the
+          // statement an incremental consumer actually writes
+          def ver(l: Literal): Int = l match {
+            case Literal(i: Int, org.apache.spark.sql.types.IntegerType) => i
+            case Literal(s, org.apache.spark.sql.types.StringType)
+                if s != null =>
+              val ref = s.toString
+              Snapshots.tagVersion(spark, path, ref)
+                .orElse(Snapshots.branchHead(spark, path, ref))
+                .orElse(if (ref == "main")
+                  Snapshots.mainHeadVersion(spark, path) else None)
+                .getOrElse(throw new IllegalArgumentException(
+                  s"table_changes: '$ref' is neither a tag, a branch " +
+                    s"nor 'main' on $name"))
+            case other => throw new IllegalArgumentException(
+              "table_changes version arguments must be integer or " +
+                s"ref-name literals, got $other")
+          }
+          val (v1, v2) = (ver(a1), ver(a2))
           val feed = Snapshots.changesBetween(spark, path, v1, v2)
             .getOrElse(throw new IllegalArgumentException(
               s"table_changes: no versions $v1/$v2 of $name"))

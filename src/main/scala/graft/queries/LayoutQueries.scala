@@ -2614,6 +2614,13 @@ object LayoutQueries {
     val api = Snapshots.changesBetween(spark, table, v2, v3).get
     val tvfEqualsApi = tvf.exceptAll(api).isEmpty &&
       api.exceptAll(tvf).isEmpty
+    // "changes since the last sync tag" — the statement an
+    // incremental consumer actually writes: named-ref version args
+    Snapshots.createTag(spark, table, "sync-base", v2)
+    val byRef = spark.sql(s"SELECT * FROM table_changes(" +
+      s"'$cat.orders_tc', 'sync-base', 'main')")
+    val refArgsResolve = byRef.exceptAll(api).isEmpty &&
+      api.exceptAll(byRef).isEmpty
     val badCatalogLoud = scala.util.Try(spark.sql(
       "SELECT * FROM table_changes('nocat.t', 1, 2)").collect())
       .failed.toOption.exists(_.getMessage
@@ -2622,7 +2629,46 @@ object LayoutQueries {
       .agg(count(lit(1)).as("n_rows"),
         Num.sumMoney(col("o_totalprice")).as("sum_price"))
       .withColumn("tvf_equals_api", lit(tvfEqualsApi))
+      .withColumn("ref_args_resolve", lit(refArgsResolve))
       .withColumn("bad_catalog_loud", lit(badCatalogLoud))
+  }
+
+  /** q267 — THE `manifests` METADATA TABLE
+    * ([[graft.lake.Snapshots.manifestsMetadata]] — the Iceberg
+    * manifests-table shape, completing the metadata family beside
+    * history/files/refs/detail/partitions/properties): each manifest
+    * the version references with its file count and manifest-exact
+    * row count, over SQL. The operational read is "how fragmented is
+    * my metadata" — the q234 rewrite trigger, now discoverable; the
+    * gate pins one manifest per yearly append with exact per-year
+    * row counts, unique ids, and that a rewriteManifests folds the
+    * table to ONE row covering everything (`fold_visible`). */
+  def manifestsMetadataTable(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Snapshots
+    val root = graft.util.Scratch.dir("manmeta", dir)
+    val table = s"$root/orders_mf"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+    val orders = Tables(spark, dir, "orders")
+    (1995 to 2001).foreach(y => Snapshots.append(spark, table,
+      orders.filter(year(col("o_orderdate")) === y).coalesce(1)))
+    val cat = s"mf_${Integer.toHexString(dir.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.lake.SnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val m = spark.sql(
+      s"SELECT manifest_id, n_files, n_rows FROM $cat.orders_mf.manifests")
+    val rows = m.collect()
+    val idsUnique =
+      rows.map(_.getString(0)).distinct.length == rows.length
+    Snapshots.rewriteManifests(spark, table)
+    val after = spark.sql(
+      s"SELECT n_files, n_rows FROM $cat.orders_mf.manifests").collect()
+    val foldVisible = after.length == 1 &&
+      after.head.getLong(1) == orders.count() &&
+      after.head.getInt(0) == 7
+    m.select(col("n_files"), col("n_rows"))
+      .withColumn("ids_unique", lit(idsUnique))
+      .withColumn("fold_visible", lit(foldVisible))
   }
 
   /** q234 — MANIFEST-LIST COMPACTION
@@ -4051,16 +4097,23 @@ object LayoutQueries {
       SELECT 'insert' AS _change_type, o_orderpriority,
              COUNT(*) AS n_rows,
              ${Num.sqlSumMoney("o_totalprice + 2")} AS sum_price,
-             true AS tvf_equals_api, true AS bad_catalog_loud
+             true AS tvf_equals_api, true AS ref_args_resolve,
+             true AS bad_catalog_loud
       FROM orders WHERE o_orderkey % 8 <= 1
       GROUP BY 2
       UNION ALL
       SELECT 'delete', o_orderpriority, COUNT(*),
              ${Num.sqlSumMoney(
         "o_totalprice + CASE WHEN o_orderkey % 8 = 0 THEN 1 ELSE 0 END")},
-             true, true
+             true, true, true
       FROM orders WHERE o_orderkey % 8 <= 1
       GROUP BY 2""")),
+    QueryDef("q267_manifests_metadata", manifestsMetadataTable, Some("""
+      SELECT 1 AS n_files, COUNT(*) AS n_rows,
+             true AS ids_unique, true AS fold_visible
+      FROM orders
+      WHERE year(o_orderdate) BETWEEN 1995 AND 2001
+      GROUP BY year(o_orderdate)""")),
     QueryDef("q163_change_feed", changeFeed, Some(s"""
       SELECT 'insert' AS _change_type, o_orderpriority,
              COUNT(*) AS n_rows,
