@@ -962,8 +962,19 @@ object Snapshots {
     val dataDir = s"$table/$rel"
     df.write.mode("overwrite").parquet(dataDir)
     val files = listFresh(spark, dataDir, rel)
-    (files, collectStats(spark, table, files, statsCols),
-      collectBlooms(spark, table, files, bloomCols),
+    // DECLARED stats/bloom columns (q261 table properties) apply at
+    // this one chokepoint so EVERY staged write records them —
+    // appends, SQL INSERTs, and crucially the DML restages
+    // (merge/update/delete boundary rewrites), whose fresh files
+    // would otherwise silently shed the table's skipping metadata.
+    // Columns absent from this delta's schema are skipped by
+    // collectStats as always.
+    val allStats =
+      (statsCols ++ declaredCols(spark, table, StatsColumnsKey)).distinct
+    val allBlooms =
+      (bloomCols ++ declaredCols(spark, table, BloomColumnsKey)).distinct
+    (files, collectStats(spark, table, files, allStats),
+      collectBlooms(spark, table, files, allBlooms),
       if (files.isEmpty) Map.empty else Map(rel -> df.schema))
   }
 
@@ -1292,12 +1303,8 @@ object Snapshots {
       statsCols: Seq[String], beforePublish: () => Unit,
       bloomCols: Seq[String], newSpec: Option[Seq[String]]): Int = {
     enforceConstraints(spark, table, df, "append")
-    val allStats =
-      (statsCols ++ declaredCols(spark, table, StatsColumnsKey)).distinct
-    val allBlooms =
-      (bloomCols ++ declaredCols(spark, table, BloomColumnsKey)).distinct
     val (staged, stagedStats, stagedBlooms, stagedSchemas) =
-      stage(spark, table, df, allStats, allBlooms)
+      stage(spark, table, df, statsCols, bloomCols)
     val mid = writeManifest(spark, table, staged, stagedStats, stagedBlooms,
       stagedSchemas)
     val v = commitLoop(spark, table, "append", beforePublish,
@@ -1547,12 +1554,10 @@ object Snapshots {
     if (fresh.isEmpty) return (latestVersion(spark, table).getOrElse(0), 0)
     val freshIds = fresh.map(sourceIdentity)
     val df = spark.read.parquet(fresh.map(_.getPath.toString): _*)
-    val (clustered, stats) = honorSpec(spark, table, df,
-      (statsCols ++ declaredCols(spark, table, StatsColumnsKey)).distinct)
+    val (clustered, stats) = honorSpec(spark, table, df, statsCols)
     enforceConstraints(spark, table, df, "copy-into")
     val (staged, stagedStats, stagedBlooms, stagedSchemas) =
-      stage(spark, table, clustered, stats,
-        (bloomCols ++ declaredCols(spark, table, BloomColumnsKey)).distinct)
+      stage(spark, table, clustered, stats, bloomCols)
     val mid = writeManifest(spark, table, staged, stagedStats, stagedBlooms,
       stagedSchemas)
     val v = commitLoop(spark, table, "copy-into", beforePublish,

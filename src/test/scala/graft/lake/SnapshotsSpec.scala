@@ -1946,6 +1946,23 @@ class SnapshotsSpec extends SparkTestBase {
     assert(nr.isNullAt(0))
   }
 
+  test("declared stats columns survive DML restages") {
+    val t = fresh("decldml")
+    Snapshots.append(spark, t, orders)
+    Snapshots.setTableProperties(spark, t,
+      Map(Snapshots.StatsColumnsKey -> "o_totalprice"))
+    // an UPDATE's restaged files must carry the declared bounds —
+    // without the chokepoint they'd silently shed skipping metadata
+    val v = Snapshots.updateWhere(spark, t, col("o_orderkey") % 5 === 0,
+      Map("o_totalprice" -> (col("o_totalprice") + 1.0)))
+    val s = Snapshots.snapshot(spark, t, v).get
+    val restaged = s.files.filterNot(
+      Snapshots.snapshot(spark, t, 1).get.files.toSet)
+    assert(restaged.nonEmpty && restaged.forall(f =>
+      s.stats.get(f).exists(_.contains("o_totalprice"))),
+      "restaged files must carry declared stats")
+  }
+
   test("partition spec follows column renames; writes keep clustering") {
     val t = fresh("specren")
     val df = orders.withColumn("o_year", year(col("o_orderdate")))
