@@ -182,7 +182,7 @@ final class SnapshotCatalog extends TableCatalog {
       // injected SnapshotRelationRewrite lowers to the era-aware
       // readAt plan (tombstone anti-join + rename chain + widening)
       SnapshotMoRTable(s"${ident.name()}@v$v", t, v,
-        Snapshots.readAt(spark, t, v).get.schema)
+        Snapshots.readAt(spark, t, v).get.schema, s.properties)
     else {
       val opts = new util.HashMap[String, String]()
       // a version may span commits with additively-evolved schemas
@@ -191,7 +191,8 @@ final class SnapshotCatalog extends TableCatalog {
       // AppendData (routed to the log) instead of falling back to a V1
       // file write into the version's file list — see its Scaladoc
       SnapshotReadTable(GraftSqlBridge.parquetTable(s"${ident.name()}@v$v",
-        spark, s.files.map(f => Snapshots.filePath(t, f)), opts), t, v)
+        spark, s.files.map(f => Snapshots.filePath(t, f)), opts), t, v,
+        logProps = s.properties)
     }
   }
 

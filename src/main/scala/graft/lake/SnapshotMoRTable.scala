@@ -24,11 +24,18 @@ import org.apache.spark.sql.types.StructType
   * tombstoned rows — refusing loudly remains the fallback, never wrong
   * results. */
 final case class SnapshotMoRTable(ident: String, path: String,
-    snapVersion: Int, tableSchema: StructType) extends Table {
+    snapVersion: Int, tableSchema: StructType,
+    logProps: Map[String, String] = Map.empty) extends Table {
   override def name(): String = ident
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.Collections.emptySet()
+  // the LOG's TBLPROPERTIES — what `SHOW TBLPROPERTIES cat.t` reads
+  override def properties(): util.Map[String, String] = {
+    val m = new util.HashMap[String, String]()
+    logProps.foreach { case (k, v) => m.put(k, v) }
+    m
+  }
 }
 
 /** Marker V2 table for the `<table>.history` / `<table>.files` METADATA
@@ -65,13 +72,21 @@ final case class SnapshotReadTable(inner: Table, path: String,
     // Some(files) once SnapshotScanPruning replaced the inner table with
     // a log-stats-pruned file list — lets the rule detect a fixed point
     // instead of re-pruning forever in the optimizer batch
-    prunedFiles: Option[Seq[String]] = None)
+    prunedFiles: Option[Seq[String]] = None,
+    // the LOG's TBLPROPERTIES, served through properties() so
+    // `SHOW TBLPROPERTIES cat.t` answers from the snapshot, not the
+    // inner ParquetTable's file options
+    logProps: Map[String, String] = Map.empty)
     extends Table with org.apache.spark.sql.connector.catalog.SupportsRead {
   override def name(): String = inner.name()
   override def schema(): StructType = inner.schema()
   override def partitioning(): Array[org.apache.spark.sql.connector
       .expressions.Transform] = inner.partitioning()
-  override def properties(): util.Map[String, String] = inner.properties()
+  override def properties(): util.Map[String, String] = {
+    val m = new util.HashMap[String, String]()
+    logProps.foreach { case (k, v) => m.put(k, v) }
+    m
+  }
   override def capabilities(): util.Set[TableCapability] =
     util.Collections.singleton(TableCapability.BATCH_READ)
   override def newScanBuilder(

@@ -45,6 +45,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     """(?is)^\s*OPTIMIZE\s+([\w.]+)\s*;?\s*$""".r
   private val MaintainRe =
     """(?is)^\s*MAINTAIN\s+([\w.]+)\s*;?\s*$""".r
+  private val RestoreRe =
+    """(?is)^\s*RESTORE\s+TABLE\s+([\w.]+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+|'[A-Za-z0-9._-]+')\s*;?\s*$""".r
   private val VacuumRe =
     """(?is)^\s*VACUUM\s+([\w.]+)\s+RETAIN\s+(\d+)\s+VERSIONS\s*;?\s*$""".r
   private val VacuumDryRe =
@@ -118,6 +120,7 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     case OptimizeZorderRe(t, cols) =>
       OptimizeZorderCommand(path(t), splitSpec(cols))
     case MaintainRe(t) => MaintainTableCommand(path(t))
+    case RestoreRe(t, v) => RestoreTableCommand(path(t), v)
     case VacuumDryRe(t, n) => VacuumDryRunCommand(path(t), n.toInt)
     case VacuumRe(t, n) => VacuumTableCommand(path(t), n.toInt)
     case VacuumHoursRe(t, n) => VacuumHoursCommand(path(t), n.toInt)
@@ -168,6 +171,25 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
 private[plans] trait VersionOutput { self: LeafRunnableCommand =>
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
+}
+
+/** `RESTORE TABLE cat.t TO VERSION AS OF n|'ref'` →
+  * [[Snapshots.restore]] (the Delta RESTORE statement): one
+  * metadata-only commit re-publishing the target version's exact
+  * content — by number, or by tag/branch name in quotes (the same
+  * ref resolution VERSION AS OF reads use). Returns the new version. */
+case class RestoreTableCommand(table: String, target: String)
+    extends LeafRunnableCommand with VersionOutput {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val v = target.toIntOption.getOrElse {
+      val ref = target.stripPrefix("'").stripSuffix("'")
+      Snapshots.tagVersion(spark, table, ref)
+        .orElse(Snapshots.branchHead(spark, table, ref))
+        .getOrElse(throw new IllegalArgumentException(
+          s"RESTORE: '$ref' is neither a tag nor a branch of $table"))
+    }
+    Seq(Row(Snapshots.restore(spark, table, v).toLong))
+  }
 }
 
 /** `MAINTAIN cat.t` — apply the table's own declared upkeep policy

@@ -2671,6 +2671,54 @@ object LayoutQueries {
       .withColumn("fold_visible", lit(foldVisible))
   }
 
+  /** q268 — `RESTORE TABLE … TO VERSION AS OF` OVER SQL (+ `SHOW
+    * TBLPROPERTIES` served from the log): the Delta RESTORE statement
+    * — one metadata-only commit republishing a prior version's exact
+    * content, addressed by NUMBER or by TAG in quotes (the "roll back
+    * to the last blessed state" a 3am incident runs, where hunting a
+    * version number is exactly what you don't want to be doing). The
+    * gate tags the good state, makes a mess (append + DELETE),
+    * restores BY TAG over SQL, and pins: the live view equals the
+    * tagged state, the messy version stays travel-readable above it
+    * (restore never rewrites history), and `SHOW TBLPROPERTIES`
+    * answers from the snapshot log (served-table properties are the
+    * LOG's map, not the inner scan's file options). */
+  def restoreSql(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Snapshots
+    val root = graft.util.Scratch.dir("restsql", dir)
+    val table = s"$root/orders_rs"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+    val orders = Tables(spark, dir, "orders")
+    val even = col("o_orderkey") % 2 === 0
+    Snapshots.append(spark, table, orders.filter(even)) // v1: blessed
+    Snapshots.createTag(spark, table, "good", 1)
+    Snapshots.append(spark, table, orders.filter(!even)) // v2
+    Snapshots.deleteWhere(spark, table, col("o_orderkey") % 3 === 0) // v3
+    Snapshots.setTableProperties(spark, table, Map("team" -> "pipeline"))
+    val cat = s"rs_${Integer.toHexString(dir.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.lake.SnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val show = spark.sql(s"SHOW TBLPROPERTIES $cat.orders_rs")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val showServes = show.get("team").contains("pipeline")
+    val messyCount = Snapshots.readLatest(spark, table).get.count()
+    val v = spark.sql(
+      s"RESTORE TABLE $cat.orders_rs TO VERSION AS OF 'good'")
+      .head.getLong(0)
+    val evenN = orders.filter(even).count()
+    val restoredByTag =
+      Snapshots.readLatest(spark, table).get.count() == evenN
+    val historyIntact = Snapshots.readAt(spark, table, 3).get
+      .count() == messyCount && v == 5L
+    spark.sql(s"SELECT o_orderpriority, COUNT(*) AS n_rows, " +
+      s"CAST(SUM(${Num.sqlCents("o_totalprice")}) AS BIGINT) " +
+      s"AS sum_cents FROM $cat.orders_rs GROUP BY 1")
+      .withColumn("show_serves", lit(showServes))
+      .withColumn("restored_by_tag", lit(restoredByTag))
+      .withColumn("history_intact", lit(historyIntact))
+  }
+
   /** q234 — MANIFEST-LIST COMPACTION
     * ([[graft.lake.Snapshots.rewriteManifests]] — Iceberg
     * `rewrite_manifests`, OPTIMIZE for the METADATA): eight separate
@@ -4108,6 +4156,15 @@ object LayoutQueries {
              true, true, true
       FROM orders WHERE o_orderkey % 8 <= 1
       GROUP BY 2""")),
+    QueryDef("q268_restore_sql", restoreSql, Some(s"""
+      SELECT o_orderpriority, COUNT(*) AS n_rows,
+             CAST(SUM(${Num.sqlCents("o_totalprice")}) AS BIGINT)
+               AS sum_cents,
+             true AS show_serves, true AS restored_by_tag,
+             true AS history_intact
+      FROM orders
+      WHERE o_orderkey % 2 = 0
+      GROUP BY 1""")),
     QueryDef("q267_manifests_metadata", manifestsMetadataTable, Some("""
       SELECT 1 AS n_files, COUNT(*) AS n_rows,
              true AS ids_unique, true AS fold_visible
