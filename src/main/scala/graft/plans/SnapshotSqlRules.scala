@@ -702,6 +702,26 @@ case class SnapshotScanPruning(spark: SparkSession)
         }
       def nullsOf(file: String, c: String): Option[Double] =
         s.stats.get(file).flatMap(_.get(s"nulls($c)")).map(_._1)
+      // BLOOM point-lookup pruning (the q175 sidecar, now consulted by
+      // SQL scans): an equality literal on a bloom-carrying column
+      // drops every file whose filter says the key is definitely
+      // absent. Blooms hash the LONG cast of the key, so only integral
+      // literals participate; a false positive keeps a file (never
+      // wrong, just unpruned), absence of a filter never prunes.
+      val bloomKeyChecks: Seq[(String, Long)] = eqLits.toSeq.flatMap {
+        case (c, l) => l.value match {
+          case i: java.lang.Integer => Some(c -> i.longValue())
+          case lg: java.lang.Long => Some(c -> lg.longValue())
+          case _ => None
+        }
+      }
+      def bloomOk(file: String, c: String, key: Long): Boolean =
+        s.blooms.get(file).flatMap(_.get(c)) match {
+          case Some(bytes) => org.apache.spark.util.sketch.BloomFilter
+            .readFrom(new java.io.ByteArrayInputStream(bytes))
+            .mightContainLong(key)
+          case None => true
+        }
       val kept = current.filter { file =>
         bounds.forall { case (c, (dt, lo, hi)) =>
           ok(file, c, lo, hi) &&
@@ -722,7 +742,8 @@ case class SnapshotScanPruning(spark: SparkSession)
           orChecks.forall(_.exists(_.forall { case (c, dt, lo, hi) =>
             ok(file, c, lo, hi) &&
               ok(file, s"days($c)", toDays(dt, lo), toDays(dt, hi))
-          }))
+          })) &&
+          bloomKeyChecks.forall { case (c, key) => bloomOk(file, c, key) }
       }
       if (kept.size == current.size) None // fixed point: nothing to drop
       else if (kept.isEmpty) Some(LocalRelation(r.output, Nil))

@@ -2719,6 +2719,53 @@ object LayoutQueries {
       .withColumn("history_intact", lit(historyIntact))
   }
 
+  /** q269 — BLOOM POINT-LOOKUP PRUNING ON SQL SCANS (q175's sidecar
+    * filters, now consulted by the catalog's pruning rule — and
+    * declared via q261's `graft.stats.bloomColumns`, so plain appends
+    * carry them without any caller parameter): an equality literal on
+    * a bloom-carrying column drops every file whose filter proves the
+    * key absent — the needle-in-100 TB lookup where min/max intervals
+    * are useless (keys interleave across files, every range
+    * intersects). The gate spreads customer keys across residue-class
+    * appends, points SQL at one key (`bloom_pruned` — files of the
+    * other classes drop, the pre-declaration file survives: no bloom
+    * never prunes), and at an absent key (`absent_zero` — zero rows,
+    * still pruned). False positives only unprune — results exact. */
+  def bloomSqlPruning(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Snapshots
+    val root = graft.util.Scratch.dir("bloomsql", dir)
+    val table = s"$root/orders_bl"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+    val orders = Tables(spark, dir, "orders")
+    val res = pmod(col("o_custkey"), lit(4))
+    Snapshots.append(spark, table, orders.filter(res === 0)) // pre-declare
+    Snapshots.setTableProperties(spark, table,
+      Map(Snapshots.BloomColumnsKey -> "o_custkey"))
+    (1 to 3).foreach(r =>
+      Snapshots.append(spark, table, orders.filter(res === r)))
+    val cat = s"bl_${Integer.toHexString(dir.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.lake.SnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val k = orders.agg(max(when(res === 1, col("o_custkey"))))
+      .head.getLong(0)
+    val point = spark.sql(s"""
+      SELECT o_orderpriority, COUNT(*) AS n_rows,
+             CAST(SUM(${Num.sqlCents("o_totalprice")}) AS BIGINT)
+               AS sum_cents
+      FROM $cat.orders_bl WHERE o_custkey = $k GROUP BY 1""")
+    point.collect()
+    val bloomPruned = point.queryExecution.executedPlan.toString
+      .contains("#pruned")
+    val absent = spark.sql(s"SELECT count(*) AS n FROM $cat.orders_bl " +
+      s"WHERE o_custkey = ${k + 9000000L}")
+    val absentZero = absent.head.getLong(0) == 0L &&
+      absent.queryExecution.executedPlan.toString.contains("#pruned")
+    point
+      .withColumn("bloom_pruned", lit(bloomPruned))
+      .withColumn("absent_zero", lit(absentZero))
+  }
+
   /** q234 — MANIFEST-LIST COMPACTION
     * ([[graft.lake.Snapshots.rewriteManifests]] — Iceberg
     * `rewrite_manifests`, OPTIMIZE for the METADATA): eight separate
@@ -4156,6 +4203,15 @@ object LayoutQueries {
              true, true, true
       FROM orders WHERE o_orderkey % 8 <= 1
       GROUP BY 2""")),
+    QueryDef("q269_bloom_sql_pruning", bloomSqlPruning, Some(s"""
+      SELECT o_orderpriority, COUNT(*) AS n_rows,
+             CAST(SUM(${Num.sqlCents("o_totalprice")}) AS BIGINT)
+               AS sum_cents,
+             true AS bloom_pruned, true AS absent_zero
+      FROM orders
+      WHERE o_custkey = (SELECT MAX(CASE WHEN o_custkey % 4 = 1
+                                    THEN o_custkey END) FROM orders)
+      GROUP BY 1""")),
     QueryDef("q268_restore_sql", restoreSql, Some(s"""
       SELECT o_orderpriority, COUNT(*) AS n_rows,
              CAST(SUM(${Num.sqlCents("o_totalprice")}) AS BIGINT)
