@@ -379,6 +379,82 @@ object DedupQueries {
         (b.best_doc IS NULL OR l.doc_id = b.best_doc) AS keep
       FROM labeled l LEFT JOIN best b USING (cluster_id)"""
 
+  private val ContainTau = 0.5
+  private val RareShingleMaxDocs = 8
+
+  /** q270 — CONTAINMENT near-duplicates (inclusion detection — the
+    * ASYMMETRIC similarity Jaccard is blind to: a document quoted or
+    * embedded whole inside a larger one scores
+    * `|A∩B| / min(|A|,|B|) ≈ 1` while its Jaccard drowns in the
+    * container's extra text; the quote/boilerplate-inclusion dedup
+    * pass corpus pipelines run beside q21/q23). Candidates come from
+    * a RARE-shingle equi-join — only shingles appearing in at most
+    * [[RareShingleMaxDocs]] docs generate pairs, so group sizes are
+    * bounded and no cross join exists at any corpus size. Recall
+    * argument: a contained document shares ALL its shingles with its
+    * container, so the pair is found unless the contained doc is
+    * built ENTIRELY of ubiquitous shingles — which is boilerplate,
+    * the thing the frequency cut deliberately excludes (declared
+    * semantics, oracle-replayed exactly). Survivors verify with the
+    * exact set containment — band admits, verify decides, the family
+    * discipline. */
+  def containmentDups(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.util.Par.ensure(Tables(spark, dir, "documents"))
+    val ex = Dedup.hashedShingleSet(docs, "doc_id", "text", K)
+      .filter(col("sh").isNotNull)
+    val rare = ex.join(
+      ex.groupBy("sh").agg(count(lit(1)).as("nd"))
+        .filter(col("nd") <= RareShingleMaxDocs).select("sh"), Seq("sh"))
+    val cand = rare.select(col("id").as("a"), col("sh"))
+      .join(rare.select(col("id").as("b"), col("sh")), Seq("sh"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    val sets = ex.groupBy("id").agg(collect_list("sh").as("shs"))
+      .select(col("id"), col("shs"), size(col("shs")).as("n"))
+    cand
+      .join(sets.select(col("id").as("a"), col("shs").as("sha"),
+        col("n").as("na")), Seq("a"))
+      .join(sets.select(col("id").as("b"), col("shs").as("shb"),
+        col("n").as("nb")), Seq("b"))
+      .select(col("a"), col("b"),
+        (size(array_intersect(col("sha"), col("shb"))).cast("double") /
+          least(col("na"), col("nb")).cast("double")).as("containment"))
+      .filter(col("containment") >= ContainTau)
+      .select(col("a"), col("b"),
+        floor(col("containment") * 1000000).as("containment_e6"))
+  }
+
+  private val containmentOracle = s"""
+      WITH exwh AS (
+        SELECT doc_id,
+          list_transform(${sqlTokens("text")}, w -> ${sqlWordHash("w")}) AS wh
+        FROM documents),
+      ex AS (
+        SELECT doc_id, unnest(list_distinct(${Dedup.sqlShingleHashes("wh", K)})) AS sh
+        FROM exwh WHERE len(wh) >= $K),
+      freq AS (SELECT sh, COUNT(*) AS nd FROM ex GROUP BY sh),
+      rare AS (SELECT e.doc_id, e.sh FROM ex e
+               JOIN freq f ON f.sh = e.sh AND f.nd <= $RareShingleMaxDocs),
+      cand AS (
+        SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        FROM rare x JOIN rare y ON x.sh = y.sh AND x.doc_id < y.doc_id),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id),
+      inter AS (
+        SELECT c.a, c.b, COUNT(*) AS n_inter
+        FROM cand c
+        JOIN ex ea ON ea.doc_id = c.a
+        JOIN ex eb ON eb.doc_id = c.b AND ea.sh = eb.sh
+        GROUP BY c.a, c.b),
+      cont AS (
+        SELECT i.a, i.b,
+          i.n_inter::DOUBLE / least(sa.n, sb.n)::DOUBLE AS containment
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.a
+        JOIN sizes sb ON sb.doc_id = i.b)
+      SELECT a, b, CAST(floor(containment * 1000000) AS BIGINT)
+        AS containment_e6
+      FROM cont WHERE containment >= $ContainTau"""
+
   private val ngramJaccardOracle = s"""
       WITH cand AS (
         SELECT x.doc_id AS a, y.doc_id AS b
@@ -565,6 +641,8 @@ object DedupQueries {
     QueryDef("q22_simhash", simhashes,
       Some(Dedup.sqlSimhash("doc_id", "text", "documents"))),
     QueryDef("q23_ngram_jaccard", ngramJaccard, Some(ngramJaccardOracle)),
+    QueryDef("q270_containment_dups", containmentDups,
+      Some(containmentOracle)),
     QueryDef("q37_dup_clusters", dupClusters, Some(dupClustersOracle)),
     QueryDef("q65_dedup_survivors", dedupSurvivors, Some(dedupSurvivorsOracle)),
     QueryDef("q186_corpus_curation", corpusCuration, Some(corpusCurationOracle)),

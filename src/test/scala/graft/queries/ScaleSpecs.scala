@@ -1049,6 +1049,23 @@ class ScaleSpecs extends SparkTestBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("containment dups: rare-shingle equi-join, never all-pairs") {
+    // q270's candidates must come from the frequency-cut shingle
+    // equi-join — a cartesian/BNL here is the all-pairs blowup the
+    // rare-shingle band exists to prevent, and the discipline must
+    // hold even with broadcast disabled (the 100 TB shape)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = DedupQueries.containmentDups(spark, dir)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(!plan.contains("CartesianProduct"), plan.take(2500))
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2500))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("MaxSim late interaction: partial max aggregation, no per-doc window") {
     // q212's max-per-(doc, query-token) must reduce map-side (partial +
     // final HashAggregate on integer/double state), the doc ranking is
