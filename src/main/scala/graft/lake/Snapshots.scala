@@ -3806,6 +3806,61 @@ object Snapshots {
     b.filterNot(a)
   }
 
+  /** The ROWS version `v` appended to the MAIN timeline — the unit of
+    * the plain streaming read over a snapshot table (the Delta
+    * `readStream.format("delta")` shape, where most consumers want new
+    * rows, not change images):
+    *
+    *  - the window is `v` against the previous MAIN version (branch
+    *    versions interleave in the same dense log but never change the
+    *    main view, so they are skipped as window anchors AND return
+    *    `None` themselves — branch-staged data must not leak to a
+    *    stream any more than to [[readLatest]]);
+    *  - the commit must be APPEND-SHAPED, decided structurally from the
+    *    two KB-sized log objects alone (no op-name trust): every prior
+    *    file retained and the delete set unchanged. Appends, COPY INTO,
+    *    WAP fast-forwards and no-op metadata commits qualify; DML,
+    *    OPTIMIZE and RESTORE do not. A non-append version throws with
+    *    the reason (Delta's default for a streaming source) unless
+    *    `ignoreChanges` is set, which skips it — the consumer accepting
+    *    it may miss deletions, exactly Delta's `ignoreChanges` caveat;
+    *  - rows are served through the era-aware scan under version `v`'s
+    *    names/types, so a stream survives renames and widenings.
+    *
+    * `None` = nothing to emit (branch version, empty commit, or an
+    * ignored change). Cost is O(new files of v) — never a table diff —
+    * which is what lets a 100 TB table feed a streaming consumer at
+    * per-commit granularity. */
+  def appendedVersionRows(spark: SparkSession, table: String, v: Int,
+      ignoreChanges: Boolean = false): Option[DataFrame] =
+    snapshot(spark, table, v).flatMap { s2 =>
+      if (s2.ref.nonEmpty) None
+      else {
+        var w = v - 1
+        while (w >= 1 && !snapshot(spark, table, w).exists(_.ref.isEmpty))
+          w -= 1
+        val s1 = if (w >= 1) snapshot(spark, table, w) else None
+        val prevFiles = s1.map(_.files.toSet).getOrElse(Set.empty)
+        val prevDeletes = s1.map(_.deletes.toSet).getOrElse(Set.empty)
+        val appendShaped = prevFiles.subsetOf(s2.files.toSet) &&
+          s2.deletes.toSet == prevDeletes
+        if (!appendShaped) {
+          if (ignoreChanges) None
+          else throw new IllegalStateException(
+            s"streaming read of $table reached non-append version $v " +
+              s"(op='${s2.op}'): the commit deleted or rewrote rows, " +
+              "which a row-level stream cannot represent. Restart from " +
+              "a startingVersion past it, consume the change feed " +
+              "instead, or pass ignoreChanges=true to skip it.")
+        } else {
+          val newFiles = s2.files.filterNot(prevFiles)
+          if (newFiles.isEmpty) None
+          else Some(withMetaEras(spark, table, s2.copy(files = newFiles))
+            .drop("_snap_file", "_snap_pos"))
+        }
+      }
+    }
+
   /** Drop data files no live log version references (after retention
     * trims old log entries). Kept O(versions·files) metadata work. */
   // ------------------------------------------------------------- tags

@@ -672,6 +672,82 @@ object StreamingQueries {
         Num.sumMoney(col("o_totalprice")).as("sum_price"))
   }
 
+  /** q271 — SNAPSHOT TABLE AS A PLAIN STREAMING SOURCE
+    * ([[graft.streaming.SnapshotStreamSource]], the Delta
+    * `readStream.format("delta")` read path: appended ROWS as a stream,
+    * not change images): five append commits land orders slice by slice
+    * (`o_orderkey % 5`), the first four are consumed in one
+    * AvailableNow run (rate-limited to ONE VERSION PER MICRO-BATCH, so
+    * the sink's version count equals the consumed log-version count —
+    * `one_version_per_batch`), the fifth lands AFTER that run and a
+    * RESTART with the same checkpoint consumes exactly it
+    * (`resume_exact`: +1 sink version, +slice-4 rows — the frontier is
+    * the file-source checkpoint over `_log`, no cursor side-channel). A
+    * second consumer with `startingVersion=4` on a fresh checkpoint
+    * receives slices 3 and 4 only (`starting_version_ok` — the Delta
+    * startingVersion option). Then a DELETE commits on the source and
+    * the stream REFUSES it with the reason (`dml_refused` — a row
+    * stream cannot represent deletions; Delta's default), while an
+    * `ignoreChanges=true` run skips the version and keeps the sink's
+    * row set unchanged (`ignore_changes_skips`). Final sink content —
+    * all five slices = the whole orders table — is hash-compared
+    * against the oracle. Every decision above is made from KB-sized log
+    * objects; each batch reads O(new files of its version), never a
+    * table diff, which is what lets a 100 TB curated table feed
+    * consumers per-commit. */
+  def snapshotSourceStream(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Snapshots
+    import graft.streaming.SnapshotStreamSource
+    val root = scratchDir("stream_q271", dir)
+    delete(root)
+    val src = s"$root/src"
+    val sink = s"$root/sink"
+    val late = s"$root/late"
+    val orders = Tables(spark, dir, "orders")
+    def slice(b: Int) = orders.filter(pmod(col("o_orderkey"), lit(5)) === b)
+    for (b <- 0 to 3) Snapshots.append(spark, src, slice(b))
+    SnapshotStreamSource.runOnce(spark, src, sink, s"$root/ckpt")
+    def sinkRows = Snapshots.readLatest(spark, sink).get
+    val afterFirst = sinkRows.count()
+    val oneVersionPerBatch =
+      Snapshots.latestVersion(spark, sink) == Snapshots.latestVersion(
+        spark, src) && afterFirst == slice(0).unionAll(slice(1))
+        .unionAll(slice(2)).unionAll(slice(3)).count()
+    // fifth slice lands after the first run; restart = exactly its rows
+    Snapshots.append(spark, src, slice(4))
+    SnapshotStreamSource.runOnce(spark, src, sink, s"$root/ckpt")
+    val resumeExact = sinkRows.count() == afterFirst + slice(4).count() &&
+      Snapshots.latestVersion(spark, sink).contains(5)
+    // late consumer from startingVersion=4: slices 3 and 4 only
+    SnapshotStreamSource.runOnce(spark, src, late, s"$root/ckpt_late",
+      startingVersion = 4)
+    val startingVersionOk = Snapshots.readLatest(spark, late).get.count() ==
+      slice(3).count() + slice(4).count()
+    // a DML version fails the stream loudly…
+    Snapshots.deleteWhere(spark, src, col("o_totalprice") < 10000)
+    val dmlRefused = scala.util.Try(
+      SnapshotStreamSource.runOnce(spark, src, sink, s"$root/ckpt")) match {
+      case scala.util.Failure(e) =>
+        def causes(t: Throwable): Seq[Throwable] =
+          if (t == null) Nil else t +: causes(t.getCause)
+        causes(e).exists(_.getMessage match {
+          case m: String => m.contains("non-append version")
+          case _ => false
+        })
+      case _ => false
+    }
+    // …and ignoreChanges skips it without touching the sink's row set
+    SnapshotStreamSource.runOnce(spark, src, sink, s"$root/ckpt",
+      ignoreChanges = true)
+    val ignoreChangesSkips = sinkRows.count() == afterFirst + slice(4).count()
+    sinkRows
+      .withColumn("one_version_per_batch", lit(oneVersionPerBatch))
+      .withColumn("resume_exact", lit(resumeExact))
+      .withColumn("starting_version_ok", lit(startingVersionOk))
+      .withColumn("dml_refused", lit(dmlRefused))
+      .withColumn("ignore_changes_skips", lit(ignoreChangesSkips))
+  }
+
   /** q174 — STREAMING incremental dedup against a SELF-GROWING signature
     * index (the online form of q172, the shape a continuously-ingesting
     * corpus pipeline runs): each micro-batch (one deterministic corpus
@@ -818,6 +894,11 @@ object StreamingQueries {
   }
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q271_snapshot_source_stream", snapshotSourceStream, Some("""
+      SELECT o.*, true AS one_version_per_batch, true AS resume_exact,
+             true AS starting_version_ok, true AS dml_refused,
+             true AS ignore_changes_skips
+      FROM orders o""")),
     QueryDef("q207_ann_serving_stream", annServingStream(_, _),
       Some(annServingOracle)),
     QueryDef("q174_incremental_dedup_stream", incrementalDedupStream,
