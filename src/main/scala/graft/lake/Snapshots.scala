@@ -190,9 +190,43 @@ object Snapshots {
   private val snapshotCache = scala.collection.concurrent.TrieMap
     .empty[(String, Int), Snapshot]
 
-  private[graft] def invalidateSnapshotCache(table: String): Unit =
+  private[graft] def invalidateSnapshotCache(table: String): Unit = {
     snapshotCache.keys.filter(_._1 == table)
       .foreach(snapshotCache.remove)
+    bloomCache.keys.filter(_._1 == table).foreach(bloomCache.remove)
+  }
+
+  // Deserialized per-file bloom filters, cached beside the snapshot
+  // cache (VERDICT r14 note 1: deserializing per (file, key) per query
+  // copies the whole ~15 KB bit array each time — at 100k bloom-carrying
+  // files that is ~1.5 GB of driver-side copying PER POINT LOOKUP).
+  // Keyed by (table, file, column): data files are immutable and
+  // run-unique once committed, carried files keep their bytes across
+  // versions, and bloom stats keys follow column renames into NEW cache
+  // entries — so an entry can never serve stale bits. Reads
+  // (mightContainLong) are mutation-free, hence thread-safe to share.
+  private val MaxCachedBlooms = 65536
+  private val bloomCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String, String), org.apache.spark.util.sketch.BloomFilter]
+
+  /** Deserialization counter — lets specs pin "one deserialization per
+    * (file, column), however many lookups run". */
+  private[graft] val bloomDeserializations =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** The deserialized bloom for (table, file, column) — at most one
+    * `readFrom` per key per JVM; repeated point lookups reuse the
+    * shared bit array. */
+  private[graft] def deserializedBloom(table: String, file: String,
+      column: String,
+      bytes: Array[Byte]): org.apache.spark.util.sketch.BloomFilter = {
+    if (bloomCache.size > MaxCachedBlooms) bloomCache.clear()
+    bloomCache.getOrElseUpdate((table, file, column), {
+      bloomDeserializations.incrementAndGet()
+      org.apache.spark.util.sketch.BloomFilter
+        .readFrom(new java.io.ByteArrayInputStream(bytes))
+    })
+  }
 
   def snapshot(spark: SparkSession, table: String, v: Int): Option[Snapshot] = {
     snapshotCache.get((table, v)) match {
@@ -234,11 +268,11 @@ object Snapshots {
     // stats/blooms live ONLY in manifests; the log object never carries them
     val rawStats = resolved.map(_._2).foldLeft(Map.empty: FileStats)(_ ++ _)
     val stats = rawStats.map { case (f, cols) =>
-      f -> cols.map { case (c, v2) => renamedName(renames, c) -> v2 }
+      f -> cols.map { case (c, v2) => renamedStatsKey(renames, c) -> v2 }
     }
     val blooms = resolved.map(_._3).foldLeft(Map.empty: FileBlooms)(_ ++ _)
       .map { case (f, cols) =>
-        f -> cols.map { case (c, b) => renamedName(renames, c) -> b }
+        f -> cols.map { case (c, b) => renamedStatsKey(renames, c) -> b }
       }
     val dirSchemas = resolved.map(_._4)
       .foldLeft(Map.empty[String, StructType])(_ ++ _)
@@ -1042,9 +1076,7 @@ object Snapshots {
       s.files.filter { f =>
         s.blooms.get(f).flatMap(_.get(column)) match {
           case Some(bytes) =>
-            org.apache.spark.util.sketch.BloomFilter
-              .readFrom(new java.io.ByteArrayInputStream(bytes))
-              .mightContainLong(key)
+            deserializedBloom(table, f, column, bytes).mightContainLong(key)
           case None => true
         }
       }
@@ -1079,6 +1111,25 @@ object Snapshots {
     * the user never writes or even sees the partition column. */
   private[graft] val BucketSpec = """bucket\((\d+),([A-Za-z0-9_]+)\)""".r
   private[graft] val DaysSpec = """days\(([A-Za-z0-9_]+)\)""".r
+  private[graft] val NullsSpec = """nulls\((.+)\)""".r
+
+  /** A stats key mapped through the rename chain, aware of the key
+    * GRAMMAR: transform-encoded keys (`bucket(n,c)` / `days(c)`) rename
+    * their SOURCE column, `nulls(k)` wraps the renamed inner key, and a
+    * dot-path LEAF key (struct-leaf stats, e.g. `props.country`)
+    * follows a rename of its ROOT struct column — the leaf segment
+    * itself is not renameable ([[renameColumn]] refuses paths), so the
+    * tail carries verbatim. Plain flat keys behave exactly as before. */
+  private def renamedStatsKey(renames: Seq[(String, String)],
+      k: String): String = k match {
+    case NullsSpec(inner) => s"nulls(${renamedStatsKey(renames, inner)})"
+    case BucketSpec(n, c) => s"bucket($n,${renamedName(renames, c)})"
+    case DaysSpec(c) => s"days(${renamedName(renames, c)})"
+    case c =>
+      val i = c.indexOf('.')
+      if (i < 0) renamedName(renames, c)
+      else renamedName(renames, c.substring(0, i)) + c.substring(i)
+  }
 
   /** The derived Column a (possibly transform-encoded) stats name
     * denotes, in the unit its manifest entries use. Plain names: DATE
@@ -1120,7 +1171,18 @@ object Snapshots {
     import org.apache.spark.sql.functions.{max, min}
     val root = LakePaths.tableRootPath(spark, table)
     val scan = spark.read.parquet(files.map(f => filePath(table, f)): _*)
-    val types = scan.schema.fields.map(f => f.name -> f.dataType).toMap
+    // struct LEAVES join the type map under their dot paths (the
+    // Iceberg leaf-path stats norm), so `props.signup_date`-style stats
+    // columns get the same unit conversions flat columns do
+    def leafTypes(prefix: String, st: StructType): Seq[(String, DataType)] =
+      st.fields.toSeq.flatMap { f =>
+        val p = if (prefix.isEmpty) f.name else s"$prefix.${f.name}"
+        f.dataType match {
+          case nested: StructType => leafTypes(p, nested)
+          case dt => Seq(p -> dt)
+        }
+      }
+    val types = leafTypes("", scan.schema).toMap
     // manifest stats are doubles: columns whose stats expression casts
     // to double TOTALLY (never an ANSI cast error) record it directly;
     // STRING identity columns record the order-preserving prefix rank
@@ -2190,6 +2252,11 @@ object Snapshots {
 
   def setColumnDefault(spark: SparkSession, table: String, column: String,
       defaultSql: String): Int = {
+    // defaults fill whole ABSENT COLUMNS; a leaf default would have to
+    // rebuild structs per era — out of scope, refuse loudly
+    require(!column.contains('.'),
+      s"default on struct leaf path '$column' is not supported — " +
+        "default the whole struct column")
     commitLoop(spark, table, "set-default", newDefaults = prevOpt => {
       val prev = prevOpt.getOrElse(throw new IllegalStateException(
         s"cannot set a default on never-committed table $table"))
@@ -2225,6 +2292,13 @@ object Snapshots {
   def renameColumn(spark: SparkSession, table: String, from: String,
       to: String): Int = {
     require(from != to, s"rename of $from onto itself")
+    // leaf-path DDL is out of scope for name-chain renames: a struct
+    // LEAF rename would need per-era struct rewrites the chain cannot
+    // express — rename the whole struct column instead (its leaf stats
+    // keys follow the root rename automatically)
+    require(!from.contains('.') && !to.contains('.'),
+      s"rename of struct leaf path '$from' is not supported — rename " +
+        "the whole struct column; leaf names travel with their struct")
     // the persisted PARTITION SPEC follows the rename (Iceberg specs
     // are field-id-bound, so a rename never detaches them; here the
     // name-keyed spec must be rewritten or later writes would silently
@@ -2285,7 +2359,13 @@ object Snapshots {
     * ALLOWED and yields a semantically NEW column: pre-drop eras never
     * resurface their bytes under it (name-mapping discipline — Delta's
     * column-mapping drop behaves the same way). O(commits) metadata. */
-  def dropColumn(spark: SparkSession, table: String, name: String): Int =
+  def dropColumn(spark: SparkSession, table: String, name: String): Int = {
+    // leaf-path DDL is out of scope (see renameColumn): dropping one
+    // struct leaf would need per-era struct rewrites — drop the whole
+    // struct column instead
+    require(!name.contains('.'),
+      s"drop of struct leaf path '$name' is not supported — drop the " +
+        "whole struct column")
     // the dropped column's DEFAULT goes with it: a re-added same-named
     // column must start clean (nulls for pre-re-add eras — q192 rule)
     commitLoop(spark, table, "drop-column", newDefaults = prevOpt =>
@@ -2305,6 +2385,7 @@ object Snapshots {
       (prev.manifests, prev.deletes, prev.renames,
         prev.drops :+ ((name, prev.renames.length, dirs)))
     }
+  }
 
   private def numRank(t: DataType): Option[Int] = t match {
     case ByteType => Some(1)

@@ -552,16 +552,30 @@ case class SnapshotScanPruning(spark: SparkSession)
     }
   }
 
-  private def attrOf(x: Expression): Option[AttributeReference] = {
-    import org.apache.spark.sql.types.{DateType, DoubleType, IntegerType, LongType, StringType, TimestampType}
+  /** The manifest stats-key NAME an expression prunes under: a plain
+    * column reference, or a struct LEAF reached by a GetStructField
+    * chain — spoken as the dot path (`props.country`) collectStats
+    * records leaf stats with (the Iceberg leaf-path norm). */
+  private def leafName(x: Expression): Option[String] = {
+    import org.apache.spark.sql.catalyst.expressions.GetStructField
     x match {
-      case ar: AttributeReference
-          if ar.dataType == DoubleType || ar.dataType == DateType ||
-            ar.dataType == TimestampType || ar.dataType == LongType ||
-            ar.dataType == IntegerType || ar.dataType == StringType =>
-        Some(ar)
+      case ar: AttributeReference => Some(ar.name)
+      case g: GetStructField =>
+        leafName(g.child).map(p => s"$p.${g.extractFieldName}")
       case _ => None
     }
+  }
+
+  /** [[leafName]] restricted to the types whose stats translate to the
+    * manifest's double space. */
+  private def attrOf(x: Expression): Option[(String,
+      org.apache.spark.sql.types.DataType)] = {
+    import org.apache.spark.sql.types.{DateType, DoubleType, IntegerType, LongType, StringType, TimestampType}
+    if (x.dataType == DoubleType || x.dataType == DateType ||
+      x.dataType == TimestampType || x.dataType == LongType ||
+      x.dataType == IntegerType || x.dataType == StringType)
+      leafName(x).map(_ -> x.dataType)
+    else None
   }
 
   /** (column, dataType, lo, hi) per extractable conjunct; closed
@@ -588,18 +602,19 @@ case class SnapshotScanPruning(spark: SparkSession)
     // MONOTONE, so every comparison form stays a sound closed
     // interval: `lang = 'en'`, `status >= 'P'` both skip files).
     def dbl(l: Literal): Option[Double] = litToDouble(l.value, l.dataType)
-    def a(x: Expression): Option[AttributeReference] = attrOf(x)
+    def a(x: Expression): Option[(String,
+        org.apache.spark.sql.types.DataType)] = attrOf(x)
     e match {
       case GT(x, l: Literal) => for (c <- a(x); v <- dbl(l))
-        yield (c.name, c.dataType, v, Double.PositiveInfinity)
+        yield (c._1, c._2, v, Double.PositiveInfinity)
       case GE(x, l: Literal) => for (c <- a(x); v <- dbl(l))
-        yield (c.name, c.dataType, v, Double.PositiveInfinity)
+        yield (c._1, c._2, v, Double.PositiveInfinity)
       case LT(x, l: Literal) => for (c <- a(x); v <- dbl(l))
-        yield (c.name, c.dataType, Double.NegativeInfinity, v)
+        yield (c._1, c._2, Double.NegativeInfinity, v)
       case LE(x, l: Literal) => for (c <- a(x); v <- dbl(l))
-        yield (c.name, c.dataType, Double.NegativeInfinity, v)
+        yield (c._1, c._2, Double.NegativeInfinity, v)
       case EQ(x, l: Literal) => for (c <- a(x); v <- dbl(l))
-        yield (c.name, c.dataType, v, v)
+        yield (c._1, c._2, v, v)
       case GT(l: Literal, x) => interval(LT(x, l))
       case GE(l: Literal, x) => interval(LE(x, l))
       case LT(l: Literal, x) => interval(GT(x, l))
@@ -625,9 +640,10 @@ case class SnapshotScanPruning(spark: SparkSession)
     // stats (hidden partitioning): the literal's bucket id is computed
     // with the exact writer expression, driver-side
     import org.apache.spark.sql.catalyst.expressions.{EqualTo => EQC}
-    val eqLits: Map[String, Literal] = conjuncts(cond).collect {
-      case EQC(ar: AttributeReference, l: Literal) => ar.name -> l
-      case EQC(l: Literal, ar: AttributeReference) => ar.name -> l
+    val eqLits: Map[String, Literal] = conjuncts(cond).flatMap {
+      case EQC(x, l: Literal) => leafName(x).map(_ -> l)
+      case EQC(l: Literal, x) => leafName(x).map(_ -> l)
+      case _ => None
     }.toMap
     // IN-lists prune as a UNION of point intervals — a file survives
     // only if SOME member's stat point lands inside its bounds (the
@@ -640,12 +656,12 @@ case class SnapshotScanPruning(spark: SparkSession)
         if lits.forall(_.isInstanceOf[Lit])
         pts <- Some(lits.map { case l: Lit => litToDouble(l.value, l.dataType) })
         if pts.forall(_.isDefined)
-      } yield ar.name -> pts.map(_.get)
+      } yield ar._1 -> pts.map(_.get)
       case InSet(x, hset) => for {
         ar <- attrOf(x)
-        pts <- Some(hset.toSeq.map(litToDouble(_, ar.dataType)))
+        pts <- Some(hset.toSeq.map(litToDouble(_, ar._2)))
         if pts.forall(_.isDefined)
-      } yield ar.name -> pts.map(_.get)
+      } yield ar._1 -> pts.map(_.get)
       case _ => None
     }
     // OR-trees prune as a DISJUNCTION of interval conjunctions: the
@@ -673,9 +689,10 @@ case class SnapshotScanPruning(spark: SparkSession)
     // counts: IS NULL drops files recorded null-free; IS NOT NULL
     // (which the optimizer injects under every filter) drops files
     // recorded ALL-null. Both only fire when the counts are known.
-    val nullChecks: Seq[(String, Boolean)] = conjuncts(cond).collect {
-      case IsNull(ar: AttributeReference) => ar.name -> true
-      case IsNotNull(ar: AttributeReference) => ar.name -> false
+    val nullChecks: Seq[(String, Boolean)] = conjuncts(cond).flatMap {
+      case IsNull(x) => leafName(x).map(_ -> true)
+      case IsNotNull(x) => leafName(x).map(_ -> false)
+      case _ => None
     }
     if (bounds.isEmpty && eqLits.isEmpty && inChecks.isEmpty &&
       nullChecks.isEmpty && orChecks.isEmpty) return None
@@ -715,11 +732,14 @@ case class SnapshotScanPruning(spark: SparkSession)
           case _ => None
         }
       }
+      // filters deserialize ONCE per (file, column) per JVM — the
+      // shared-bit-array cache in Snapshots, not a fresh ~15 KB copy
+      // per (file, key) per query
       def bloomOk(file: String, c: String, key: Long): Boolean =
         s.blooms.get(file).flatMap(_.get(c)) match {
-          case Some(bytes) => org.apache.spark.util.sketch.BloomFilter
-            .readFrom(new java.io.ByteArrayInputStream(bytes))
-            .mightContainLong(key)
+          case Some(bytes) =>
+            Snapshots.deserializedBloom(t.path, file, c, bytes)
+              .mightContainLong(key)
           case None => true
         }
       val kept = current.filter { file =>
@@ -817,12 +837,25 @@ object TableChangesResolution {
             .getOrElse(throw new IllegalArgumentException(
               s"'${parts.head}' is not a registered snapshot catalog"))
           val path = parts.tail.mkString(s"$root/", "/", "")
-          // version args: integer literals directly, or NAMED REFS
+          // version args: integer literals directly, NAMED REFS
           // (tag / branch / the implicit 'main') resolved like
           // VERSION AS OF — "changes since the last sync tag" is the
-          // statement an incremental consumer actually writes
+          // statement an incremental consumer actually writes — or
+          // TIMESTAMP literals (the Delta TVF's timestamp form):
+          // each instant resolves through the in-commit-timestamp
+          // index ([[Snapshots.versionAtTimestamp]], the q182
+          // machinery) to the latest main version committed AT OR
+          // BEFORE it, so the window is "state at instant a → state
+          // at instant b"; commit timestamps are strictly monotone,
+          // making the resolution unambiguous
           def ver(l: Literal): Int = l match {
             case Literal(i: Int, org.apache.spark.sql.types.IntegerType) => i
+            case Literal(us: Long, org.apache.spark.sql.types.TimestampType) =>
+              Snapshots.versionAtTimestamp(spark, path,
+                Math.floorDiv(us, 1000L)).getOrElse(
+                throw new IllegalArgumentException(
+                  "table_changes: no version of " + name +
+                    " committed at or before the given timestamp"))
             case Literal(s, org.apache.spark.sql.types.StringType)
                 if s != null =>
               val ref = s.toString
@@ -834,8 +867,8 @@ object TableChangesResolution {
                   s"table_changes: '$ref' is neither a tag, a branch " +
                     s"nor 'main' on $name"))
             case other => throw new IllegalArgumentException(
-              "table_changes version arguments must be integer or " +
-                s"ref-name literals, got $other")
+              "table_changes version arguments must be integer, " +
+                s"timestamp or ref-name literals, got $other")
           }
           val (v1, v2) = (ver(a1), ver(a2))
           val feed = Snapshots.changesBetween(spark, path, v1, v2)
