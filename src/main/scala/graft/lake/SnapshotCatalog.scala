@@ -127,7 +127,28 @@ final class SnapshotCatalog extends TableCatalog {
     * one). A literal that is none of these is the USER's error, named
     * as such; NoSuchTableException is reserved for genuinely absent
     * tables/versions. */
+  private val TxnRef = """txn:(\d+)""".r
+
   override def loadTable(ident: Identifier, version: String): Table = {
+    // `VERSION AS OF 'txn:<seq>'` — the GROUP-TRANSACTION cut (the SQL
+    // face of TableGroup.readAll's consistency contract): the member is
+    // served at its pin from the newest marker ≤ seq, so facts and
+    // summary read at the same marker can never disagree — and a
+    // marked-but-unpublished transaction already serves in full (the
+    // marker IS the commit point), while mid-transaction states stay
+    // invisible. The group is the member's parent directory.
+    version match {
+      case TxnRef(seqStr) =>
+        val t = tablePath(ident)
+        val group = (root +: ident.namespace()).mkString("/")
+        val v = TableGroup.versionAtMarker(spark, group, ident.name(),
+          seqStr.toInt).getOrElse(throw new IllegalArgumentException(
+          s"VERSION AS OF '$version' on ${ident.name()}: no published " +
+            s"group-transaction marker ≤ ${seqStr.toInt} pins this " +
+            "member (is the table a group member, and the seq real?)"))
+        return tableAt(ident, t, v)
+      case _ => ()
+    }
     val v = version.toIntOption
       .orElse(Snapshots.tagVersion(spark, tablePath(ident), version))
       .orElse(Snapshots.branchHead(spark, tablePath(ident), version))

@@ -215,6 +215,25 @@ object TableGroup {
       s"group transaction on $group lost 20 marker races")
   }
 
+  /** The transaction-consistent version of `member` AT marker `seq` —
+    * the resolution behind SQL `VERSION AS OF 'txn:<seq>'` on group
+    * members: the newest pin for the member across markers 1..seq.
+    * The marker itself decides (a marked-but-unpublished transaction
+    * serves in full; anything staged after it is invisible), so a SQL
+    * dashboard reading facts AND summary at the same marker gets the
+    * exact cut [[commitAll]] committed — never a half-applied state.
+    * None when marker `seq` was never published or no marker ≤ seq
+    * pins the member (its pre-governance state has no marker-addressed
+    * identity — refusing beats guessing). O(markers) KB reads. */
+  def versionAtMarker(spark: SparkSession, group: String, member: String,
+      seq: Int): Option[Int] = {
+    val ops = new FileOps(spark.sparkContext.hadoopConfiguration)
+    if (!ops.exists(markerPath(group, seq))) return None
+    markers(ops, group).filter(_.seq <= seq)
+      .flatMap(_.pins.collect { case (n, _, v) if n == member => v })
+      .maxOption
+  }
+
   /** Transaction-consistent read of the named members: each is served
     * at max(its main head, its newest marker pin) — a marked-but-
     * unpublished transaction is visible IN FULL, an unmarked one not

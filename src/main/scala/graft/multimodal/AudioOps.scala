@@ -107,6 +107,78 @@ object AudioOps {
       outFrames.toLong * channels * 2 * 1000L / byteRate), out)
   }
 
+  /** RATIONAL polyphase resample by `up`/`down` (q275 — the
+    * arbitrary-ratio generalization of [[halfbandDownsample]]'s ÷2):
+    * conceptually upsample by L=`up`, FIR low-pass, keep every
+    * M=`down`-th fine-grid sample — implemented directly as the
+    * polyphase product-sum (output n touches only the O(K/L) input
+    * frames within the kernel's support, no fine grid materializes).
+    *
+    * Kernel: the TRIANGULAR (linear B-spline) kernel of fine half-width
+    * `K = L·ceil(max(L,M)/L)` — wide enough to anti-alias a downsample
+    * (support scales with M) and chosen over a windowed sinc for one
+    * decisive property: K is a multiple of L, so the hat function's
+    * partition of unity makes EVERY polyphase branch's taps sum to
+    * exactly `D = K²/L`. DC gain is therefore exactly 1 in INTEGER
+    * arithmetic — no per-phase gain ripple to hide, and the rounding
+    * `floor((acc + D/2)/D)` replays bit-exact in any engine via the
+    * offset-nonnegative division trick ([[halfbandDownsample]]'s
+    * discipline). L==M degenerates to the identity (single tap D),
+    * pure upsample (M=1) to exact linear interpolation with original
+    * samples passed through untouched — both spec-pinned. Edges
+    * replicate the boundary frame, which preserves the per-branch tap
+    * sum, so DC stays exact at the edges too.
+    *
+    * Declared subset: a triangle's stopband is gentler than a long
+    * windowed sinc's — this is the integer-exact skeleton; a sharper
+    * kernel drops in by changing T(·) as long as each branch's tap sum
+    * stays constant. Output rate `rate·L/M` must be integral. */
+  def polyphaseResample(a: PcmAudio, channels: Int, up: Int,
+      down: Int): PcmAudio = {
+    require(up >= 1 && down >= 1, s"ratio $up/$down must be positive")
+    require((a.info.sampleRate.toLong * up) % down == 0,
+      s"rate ${a.info.sampleRate}·$up/$down is not integral")
+    val L = up
+    val M = down
+    val K = L * ((math.max(L, M) + L - 1) / L)
+    val D = (K.toLong * K / L).toInt // exact: L | K by construction
+    val frames = a.samples.length / channels
+    val rate = (a.info.sampleRate.toLong * L / M).toInt
+    if (frames == 0)
+      return PcmAudio(WavInfo(rate, channels, 0L), Array.empty[Short])
+    val outFrames = ((frames - 1).toLong * L / M).toInt + 1
+    val out = new Array[Short](outFrames * channels)
+    def in(f: Long, c: Int): Int = {
+      val fc = if (f < 0) 0 else if (f >= frames) frames - 1 else f.toInt
+      a.samples(fc * channels + c).toInt
+    }
+    val off = HbOffset.toLong * D // acc ≥ −D·32768 > −off: stays nonneg
+    var n = 0
+    while (n < outFrames) {
+      val pos = n.toLong * M // position on the ×L fine grid
+      val iLo = Math.floorDiv(pos - K, L)
+      val iHi = Math.floorDiv(pos + K, L)
+      var c = 0
+      while (c < channels) {
+        var acc = 0L
+        var i = iLo
+        while (i <= iHi) {
+          val t = K - Math.abs(pos - i * L) // triangle tap, ≥ 0 in range
+          if (t > 0) acc += t * in(i, c)
+          i += 1
+        }
+        val v = ((acc + D / 2 + off) / D - HbOffset).toInt
+        out(n * channels + c) =
+          (if (v > 32767) 32767 else if (v < -32768) -32768 else v).toShort
+        c += 1
+      }
+      n += 1
+    }
+    val byteRate = rate.toLong * channels * 2
+    PcmAudio(WavInfo(rate, channels,
+      outFrames.toLong * channels * 2 * 1000L / byteRate), out)
+  }
+
   final case class WindowEnergy(
       window_id: Int,
       nFrames: Int,

@@ -270,6 +270,84 @@ object CdcQueries {
       .withColumn("lockstep_every_marker", lit(lockstepEveryMarker))
   }
 
+  /** q274 — GROUP-TRANSACTION CONSISTENT READS OVER SQL
+    * (`VERSION AS OF 'txn:<seq>'` — VERDICT r14 task 8: q253's
+    * [[graft.lake.TableGroup.readAll]] cut, addressable from a SQL
+    * dashboard): each member resolves to its pin from the newest
+    * marker ≤ seq, so facts and summary read AT THE SAME MARKER can
+    * never disagree — `lockstep_every_marker_sql` replays every
+    * published marker over SQL and pins summary == group-by(facts) at
+    * each. The marker IS the commit point: during the MARK→PUBLISH
+    * window (crash-injection seam) the txn-addressed SQL read already
+    * serves the full transaction while the PLAIN main read still
+    * serves the old state (`marked_visible_main_not`) — the
+    * dashboard's "consistent as of transaction N" without waiting for
+    * publish. An unpinned seq refuses loudly (`bad_seq_loud`).
+    * Resolution is O(markers) KB objects; the read itself is the
+    * ordinary pinned-version scan. */
+  def txnSqlReads(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.{Snapshots, TableGroup}
+    val root = graft.util.Scratch.dir("txnsql", dir)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val orders = Tables(spark, dir, "orders")
+    val even = col("o_orderkey") % 2 === 0
+    def sumOf(df: DataFrame): DataFrame =
+      df.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(Num.cents(col("o_totalprice"))).as("sum_cents"))
+    Snapshots.append(spark, s"$root/facts", orders.filter(even))
+    Snapshots.append(spark, s"$root/summary", sumOf(orders.filter(even)))
+    val cat = s"tx_${Integer.toHexString(dir.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.lake.SnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    def commitSlice(b: Int, afterMark: () => Unit = () => ()): Int = {
+      val delta = orders.filter(!even &&
+        pmod(col("o_orderkey"), lit(6)) === 2 * b + 1)
+      TableGroup.commitAll(spark, root, Seq(
+        "facts" -> ((t, br) => Snapshots.appendToBranch(spark, t, br, delta)),
+        "summary" -> ((t, br) => Snapshots.mergeWhen(spark, t, sumOf(delta),
+          Seq("o_orderpriority"),
+          Seq(Snapshots.WhenMatchedUpdate(set = Map(
+            "n_rows" -> (col("n_rows") + col("_src_n_rows")),
+            "sum_cents" -> (col("sum_cents") + col("_src_sum_cents")))),
+            Snapshots.WhenNotMatchedInsert()),
+          branch = br))), afterMark = afterMark)
+    }
+    val s1 = commitSlice(0)
+    val s2 = commitSlice(1)
+    def factsAt(seq: Int) = spark.sql(
+      s"SELECT * FROM $cat.facts VERSION AS OF 'txn:$seq'")
+    def summaryAt(seq: Int) = spark.sql(
+      s"SELECT * FROM $cat.summary VERSION AS OF 'txn:$seq'")
+    // marked-but-unpublished: inside the MARK→PUBLISH seam the txn
+    // read serves the new cut IN FULL, the plain main read none of it
+    var markedVisibleMainNot = false
+    val s3 = commitSlice(2, afterMark = () => {
+      val atMarker = spark.sql(s"SELECT count(*) AS n FROM $cat.facts " +
+        s"VERSION AS OF 'txn:${s2 + 1}'").head.getLong(0)
+      val onMain = spark.sql(s"SELECT count(*) AS n FROM $cat.facts")
+        .head.getLong(0)
+      markedVisibleMainNot = atMarker > onMain &&
+        onMain == factsAt(s2).count()
+    })
+    def sameSet(a: DataFrame, b: DataFrame) =
+      a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+    val lockstepEveryMarkerSql = Seq(s1, s2, s3).forall(seq =>
+      sameSet(summaryAt(seq), sumOf(factsAt(seq))))
+    val badSeqLoud = scala.util.Try(factsAt(99).collect()) match {
+      case scala.util.Failure(e) =>
+        Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+          .exists(t => Option(t.getMessage)
+            .exists(_.contains("no published group-transaction")))
+      case _ => false
+    }
+    summaryAt(s3)
+      .withColumn("lockstep_every_marker_sql", lit(lockstepEveryMarkerSql))
+      .withColumn("marked_visible_main_not", lit(markedVisibleMainNot))
+      .withColumn("bad_seq_loud", lit(badSeqLoud))
+  }
+
   def streamingEqDeleteSink(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.{Dataset, Row}
     import org.apache.spark.sql.streaming.Trigger
@@ -634,6 +712,14 @@ object CdcQueries {
     QueryDef("q239_merge_when", mergeWhenCdc, Some(cdcMergeOracle)),
     QueryDef("q243_merge_full_sync", mergeFullSync,
       Some(mergeFullSyncOracle)),
+    QueryDef("q274_txn_sql_reads", txnSqlReads, Some(s"""
+      SELECT o_orderpriority, COUNT(*) AS n_rows,
+             CAST(SUM(${Num.sqlCents("o_totalprice")}) AS BIGINT)
+               AS sum_cents,
+             true AS lockstep_every_marker_sql,
+             true AS marked_visible_main_not, true AS bad_seq_loud
+      FROM orders
+      GROUP BY 1""")),
     QueryDef("q264_streaming_group_commit", streamingGroupCommit, Some(s"""
       SELECT o_orderpriority, COUNT(*) AS n_rows,
              CAST(SUM(${Num.sqlCents("o_totalprice")}) AS BIGINT)

@@ -831,6 +831,86 @@ object MultimodalQueries {
     FROM s GROUP BY doc_id"""
   }
 
+  /** q275 — ARBITRARY-RATIO POLYPHASE RESAMPLE under the gate
+    * ([[graft.multimodal.AudioOps.polyphaseResample]] — VERDICT r14
+    * task 7, q151's integer halfband generalized from ÷2 to rational
+    * L/M): the classic 48 kHz → 32 kHz (3:2 down, L=2 M=3) over the
+    * synth PCM corpus — decode → polyphase triangular-kernel FIR
+    * (every branch's taps sum to exactly D=K²/L, so DC gain is exactly
+    * 1 in integer arithmetic) → re-encode to WAV → decode → stats. The
+    * oracle replays BOTH polyphase branches from the q91 closed form
+    * (even outputs: taps 2/4/2; odd: 1/3/3/1, offset-nonnegative floor
+    * division, 16-bit clamp, edge replication) — a wrong tap, phase,
+    * rounding direction or edge clamp shifts `sum_s`/`wsum_s` and
+    * fails the hash. Narrow no-shuffle corpus pass, like every codec
+    * kernel here. */
+  def pcmPolyphase(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.util.Par.ensure(Tables(spark, dir, "documents"))
+      .select("doc_id").as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val ch = MediaSynth.pcmChannels(id)
+          val a0 = AudioHeaders.pcm16(MediaSynth.pcmWav(id)).get
+          // the ratio is the subject; pin the nominal rate to the
+          // classic 48 kHz so 2/3 of it is integral for every doc
+          val a = a0.copy(info = a0.info.copy(sampleRate = 48000))
+          val d = graft.multimodal.AudioOps.polyphaseResample(a, ch, 2, 3)
+          val rt = AudioHeaders.pcm16(
+            graft.multimodal.AudioOps.wavBytes(d.info, d.samples, ch)).get
+          var sum = 0L; var wsum = 0L; var i = 0
+          while (i < rt.samples.length) {
+            sum += rt.samples(i)
+            wsum += i.toLong * rt.samples(i)
+            i += 1
+          }
+          PcmDecimateStats(id, rt.info.sampleRate.toLong,
+            (rt.samples.length / ch).toLong, rt.info.durationMs, sum, wsum)
+        }
+      }
+      .toDF()
+  }
+
+  private val pcmPolyphaseOracle: String = {
+    // closed-form input sample at clamped frame f, channel c = j % ch;
+    // output frame n = j // ch sits at fine-grid position 3n (L=2, M=3,
+    // K=4, D=8): even n touches frames base±1 with taps 2/4/2, odd n
+    // frames base-1..base+2 with taps 1/3/3/1, base = (3n) // 2
+    def vAt(fExpr: String): String = {
+      val f = s"GREATEST(0, LEAST(d.frames - 1, $fExpr))"
+      s"(((2293 * ($f * d.ch + (j.j % d.ch)) + 7919 * d.doc_id) % 65536) - 32768)"
+    }
+    val base = "((3 * (j.j // d.ch)) // 2)"
+    val accEven = s"(2 * ${vAt(s"$base - 1")} + 4 * ${vAt(base)}" +
+      s" + 2 * ${vAt(s"$base + 1")})"
+    val accOdd = s"(${vAt(s"$base - 1")} + 3 * ${vAt(base)}" +
+      s" + 3 * ${vAt(s"$base + 1")} + ${vAt(s"$base + 2")})"
+    val acc = s"(CASE WHEN (j.j // d.ch) % 2 = 0 THEN $accEven" +
+      s" ELSE $accOdd END)"
+    val v = s"GREATEST(-32768, LEAST(32767, (($acc + 4 + 524288) // 8) - 65536))"
+    s"""
+    WITH params AS (
+      SELECT doc_id, (doc_id % 2) + 1 AS ch,
+        (doc_id % 50) + 10 AS frames
+      FROM documents),
+    dims AS (
+      SELECT doc_id, ch, frames,
+        ((frames - 1) * 2) // 3 + 1 AS frames2
+      FROM params),
+    s AS (
+      SELECT d.doc_id, d.ch, d.frames2, j.j, $v AS v
+      FROM dims d, range(80) j(j)
+      WHERE j.j < d.frames2 * d.ch)
+    SELECT doc_id,
+      CAST(32000 AS BIGINT) AS sample_rate,
+      CAST(MAX(frames2) AS BIGINT) AS n_frames,
+      CAST((MAX(frames2) * MAX(ch) * 2 * 1000)
+        // (32000 * MAX(ch) * 2) AS BIGINT) AS duration_ms,
+      CAST(SUM(v) AS BIGINT) AS sum_s,
+      CAST(SUM(j * v) AS BIGINT) AS wsum_s
+    FROM s GROUP BY doc_id"""
+  }
+
   /** q93 — windowed audio energy features under the gate: non-overlapping
     * 16-frame windows over the decoded samples, each exporting the EXACT
     * sum of squared samples and negative-sample count
@@ -1808,6 +1888,7 @@ object MultimodalQueries {
     QueryDef("q168_predicted_frames", predictedFrames,
       Some(predictedFramesOracle)),
     QueryDef("q151_pcm_halfband", pcmHalfband, Some(pcmHalfbandOracle)),
+    QueryDef("q275_pcm_polyphase", pcmPolyphase, Some(pcmPolyphaseOracle)),
     QueryDef("q152_jpeg_color_decode", jpegColorDecode, Some(jpegColorOracle)),
     QueryDef("q160_jpeg_progressive_decode", jpegProgressiveDecode,
       Some(jpegOracle)),

@@ -859,6 +859,49 @@ object SimilarityQueries {
     beam = NswBeam, hops = NswHops, numBands = NumBands, dim = Dim,
     queryPred = "e.vec_id < 20")
 
+  /** q276 — INCREMENTAL GRAPH-ANN INDEX (VERDICT r14 task 5 — the
+    * q185 FAISS-`add()` path for the NSW graph family): the index
+    * persists as two snapshot tables (banded-LSH bucket relation +
+    * symmetrized edges) with the plane ladder PINNED as table
+    * properties at build; an appended batch hashes with the pinned
+    * planes, probes the persisted buckets with one BROADCAST join
+    * (the index side never exchanges), wires per-NEW-node top-m +
+    * reverse edges, and lands as ONE append per table — the initial
+    * corpus's sig/edge files carry BY REFERENCE
+    * (`carried_by_reference`, file-list-pinned), never re-encoded or
+    * rewired (where q193's HNSW build was per-corpus-dir: an append
+    * triggered a full graph rebuild). Search walks the union graph;
+    * the oracle replays the pinned ladder, both wiring phases and
+    * every beam hop bitwise. Recall ≥ the fresh-rebuild floor is
+    * spec-pinned (SimilaritySpec), plan shape ScaleSpec-pinned. */
+  def nswIncrementalQ(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Snapshots
+    val root = graft.util.Scratch.dir("nswidx", dir)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val emb = Tables(spark, dir, "embeddings")
+    val initial = emb.filter(col("vec_id") % 5 =!= 0)
+    val batch = emb.filter(col("vec_id") % 5 === 0)
+    Similarity.nswIndexBuild(spark, root, initial, "vec_id", "embedding",
+      m = NswM, numBands = NumBands, dim = Dim)
+    def filesOf(t: String) = Snapshots.snapshot(spark, s"$root/$t",
+      Snapshots.latestVersion(spark, s"$root/$t").get).get.files.toSet
+    val (e1, s1) = (filesOf("edges"), filesOf("sigs"))
+    Similarity.nswIndexAdd(spark, root, batch, "vec_id", "embedding")
+    val carried = e1.subsetOf(filesOf("edges")) &&
+      s1.subsetOf(filesOf("sigs"))
+    e6(Similarity.nswIndexSearch(spark, root, emb, queriesOf(emb),
+      "vec_id", "embedding", K, beam = NswBeam, hops = NswHops))
+      .withColumn("carried_by_reference", lit(carried))
+  }
+
+  private val nswIncrementalOracle: String = {
+    val inner = Similarity.sqlNswIncrementalTopK(k = K, m = NswM,
+      beam = NswBeam, hops = NswHops, numBands = NumBands, dim = Dim,
+      queryPred = "e.vec_id < 20", initialPred = "vec_id % 5 <> 0",
+      batchPred = "vec_id % 5 = 0")
+    s"""SELECT t.*, true AS carried_by_reference FROM ($inner) t"""
+  }
+
   private val HnswUpperBeam = 4
   private val HnswUpperHops = 2
 
@@ -1035,6 +1078,8 @@ object SimilarityQueries {
     QueryDef("q170_filtered_ivf_topk", filteredIvfTopK,
       Some(filteredIvfOracle)),
     QueryDef("q166_nsw_graph_topk", nswTopKQ, Some(nswOracle)),
+    QueryDef("q276_nsw_incremental_add", nswIncrementalQ,
+      Some(nswIncrementalOracle)),
     QueryDef("q193_hnsw_topk", hnswTopKQ, Some(hnswOracle)),
     QueryDef("q162_pq_kmeans_topk", pqKmeansTopK, Some(pqKmeansOracle)),
     QueryDef("q159_ivf_pq_topk", ivfPqTopKQ, Some(ivfPqOracle)),

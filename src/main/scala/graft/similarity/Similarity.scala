@@ -1262,4 +1262,204 @@ object Similarity {
         CAST(floor(cos_sim * 1000000) AS BIGINT) AS cos_sim_e6
       FROM ranked WHERE rank <= $k"""
   }
+
+  // -------------------------------- incremental graph-ANN index (q276)
+
+  /** Table properties pinning a persisted NSW index's fitted state —
+    * the plane ladder is frozen at build time (like FAISS's nlist): a
+    * later `add()` MUST hash with the initial r or its signatures live
+    * in a different bucket space and never meet the corpus's. */
+  val AnnPlanesKey = "graft.ann.planes"
+  val AnnBandsKey = "graft.ann.bands"
+  val AnnMKey = "graft.ann.m"
+  val AnnDimKey = "graft.ann.dim"
+
+  /** Per-src top-m edge selection + symmetrization over a candidate
+    * (src, dst, w) relation — the wiring step shared by the one-shot
+    * build and the incremental add. */
+  private def wireTopM(cand: DataFrame, m: Int): DataFrame = {
+    val topM = cand.groupBy(col("src"))
+      .agg(graft.functions.TopKPairs.column(col("w"), col("dst"), m)
+        .as("_top"))
+      .select(col("src"), explode(col("_top.id")).as("dst"))
+    topM.unionByName(
+        topM.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+  }
+
+  /** PERSISTED incremental NSW index (VERDICT r14 task 5 — the q185
+    * FAISS-`add()` discipline extended to the GRAPH family): the index
+    * is two snapshot tables under `indexDir` —
+    *
+    *  - `sigs` (id, band, sig, vector): the banded-LSH bucket relation,
+    *    the structure an insert probes to find its neighbors (hnswlib's
+    *    beam-search insert, re-expressed as the bucket join the
+    *    distributed build already uses). The plane ladder is scaled to
+    *    the INITIAL corpus and pinned as table properties — add()
+    *    batches hash with the same planes, so buckets stay compatible
+    *    forever (re-scaling is a full-rebuild decision, like FAISS
+    *    nlist).
+    *  - `edges` (src, dst): the symmetrized neighbor graph the beam
+    *    search walks.
+    *
+    * Both are ordinary snapshot tables: every add() is ONE O(batch)
+    * append to each — the initial corpus's sig/edge FILES carry by
+    * reference and are never rewritten or re-encoded. */
+  def nswIndexBuild(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int = 8, numBands: Int = 4, dim: Int = 64): Unit = {
+    import graft.lake.Snapshots
+    val r = scaledPlaneCount(corpus.count(), NswPlaneCap,
+      NswMinPlanes, NswMaxPlanes)
+    val sig = bandedSignatures(corpus, idCol, vecCol, numBands, r, dim)
+      .persist()
+    val cand = sig.as("x").join(sig.as("y"),
+        col("x._band") === col("y._band") && col("x._sig") === col("y._sig") &&
+          col("x.id") =!= col("y.id"))
+      .select(col("x.id").as("src"), col("y.id").as("dst"),
+        cosine(col("x._v"), col("y._v")).as("w"))
+      .distinct()
+    Snapshots.append(spark, s"$indexDir/sigs",
+      sig.select(col("id"), col("_band"), col("_sig"), col("_v")))
+    Snapshots.setTableProperties(spark, s"$indexDir/sigs", Map(
+      AnnPlanesKey -> r.toString, AnnBandsKey -> numBands.toString,
+      AnnMKey -> m.toString, AnnDimKey -> dim.toString))
+    Snapshots.append(spark, s"$indexDir/edges", wireTopM(cand, m))
+    sig.unpersist()
+    ()
+  }
+
+  /** Incremental `add()` on a [[nswIndexBuild]] index: the batch hashes
+    * with the PINNED plane ladder, its signatures append to `sigs`
+    * (one commit), and its wiring is ONE candidate join — the
+    * BROADCAST batch signatures against the persisted bucket relation
+    * (the index side never exchanges; at cluster scale the sig table
+    * is bucketed on the band key and the join prunes to touched
+    * buckets, the q172 discipline) — followed by per-NEW-node top-m
+    * and symmetrization, appended to `edges` (one commit). Existing
+    * nodes gain the reverse edges (degree may exceed m until a rebuild
+    * re-prunes — hnswlib's insert behaves the same way); existing
+    * edges and vectors are never touched: O(batch·candidates) compute,
+    * O(batch) new bytes, O(delta) log metadata. */
+  def nswIndexAdd(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, batch: DataFrame, idCol: String,
+      vecCol: String): Unit = {
+    import graft.lake.Snapshots
+    val props = Snapshots.tableProperties(spark, s"$indexDir/sigs")
+    val r = props(AnnPlanesKey).toInt
+    val numBands = props(AnnBandsKey).toInt
+    val m = props(AnnMKey).toInt
+    val dim = props(AnnDimKey).toInt
+    val bSig = bandedSignatures(batch, idCol, vecCol, numBands, r, dim)
+      .persist()
+    // sigs append FIRST so batch-internal pairs candidate too
+    Snapshots.append(spark, s"$indexDir/sigs",
+      bSig.select(col("id"), col("_band"), col("_sig"), col("_v")))
+    val index = Snapshots.readLatest(spark, s"$indexDir/sigs").get
+    val cand = index.as("y").join(
+        broadcast(bSig.select(col("id"), col("_band"), col("_sig"),
+          col("_v")).as("x")),
+        col("x._band") === col("y._band") && col("x._sig") === col("y._sig") &&
+          col("x.id") =!= col("y.id"))
+      .select(col("x.id").as("src"), col("y.id").as("dst"),
+        cosine(col("x._v"), col("y._v")).as("w"))
+      .distinct()
+    Snapshots.append(spark, s"$indexDir/edges", wireTopM(cand, m))
+    bSig.unpersist()
+    ()
+  }
+
+  /** Beam search over a persisted index ([[nswSearch]] on the `edges`
+    * table's live view). */
+  def nswIndexSearch(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, beam: Int = 16,
+      hops: Int = 4): DataFrame =
+    nswSearch(graft.lake.Snapshots.readLatest(spark, s"$indexDir/edges").get,
+      corpus, queries, idCol, vecCol, k, beam, hops)
+
+  /** DuckDB replay of build-then-add-then-search ([[nswIndexBuild]] +
+    * [[nswIndexAdd]] + [[nswIndexSearch]]): the plane ladder scales to
+    * the INITIAL subset's count (the pinned-property contract), initial
+    * edges come from the initial-only self-join, batch wiring from the
+    * batch-against-everything join with per-new-node top-m, and the
+    * search walks the UNION graph — every ordering id-tiebroken, so
+    * both engines are bitwise identical. `initialPred`/`batchPred`
+    * speak over `vec_id`. */
+  def sqlNswIncrementalTopK(k: Int, m: Int, beam: Int, hops: Int,
+      numBands: Int, dim: Int, queryPred: String, initialPred: String,
+      batchPred: String,
+      targetBucketCap: Long = NswPlaneCap,
+      minPlanes: Int = NswMinPlanes, maxPlanes: Int = NswMaxPlanes): String = {
+    val wCos = sqlCosine("x.v", "y.v")
+    val sCos = sqlCosine("q.qv", "e.v")
+    val hopCtes = (1 to hops).map { h =>
+      s"""cand$h AS (SELECT DISTINCT b.query_id, ed.dst AS node
+        FROM beam${h - 1} b JOIN edges ed ON ed.src = b.node),
+      sc$h AS (SELECT c.query_id, c.node, $sCos AS c
+        FROM cand$h c JOIN emb e ON e.vec_id = c.node
+        JOIN qs q ON q.query_id = c.query_id),
+      seen$h AS (SELECT DISTINCT query_id, node, c FROM (
+        SELECT * FROM seen${h - 1} UNION ALL SELECT * FROM sc$h)),
+      beam$h AS (SELECT query_id, node, c FROM (
+          SELECT query_id, node, c,
+            row_number() OVER (PARTITION BY query_id ORDER BY c DESC, node) AS rn
+          FROM seen$h) WHERE rn <= $beam)"""
+    }.mkString(",\n      ")
+    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      n AS (SELECT count(*) AS c FROM emb WHERE $initialPred),
+      params AS (SELECT COALESCE(MIN(js.j), $maxPlanes) AS r
+        FROM (SELECT CAST(unnest(range($minPlanes, ${maxPlanes + 1})) AS INT) AS j) js, n
+        WHERE (CAST($targetBucketCap AS BIGINT) << js.j) >= n.c),
+      planes AS (
+        SELECT band, j, list(s ORDER BY d) AS p FROM (
+          SELECT b.band, j.j, d.d,
+            CASE WHEN ((('0x' || substr(md5(b.band || ':' || j.j || '-' || d.d), 1, 2))::INT & 1) = 1)
+                 THEN 1.0 ELSE -1.0 END AS s
+          FROM (SELECT unnest(range($numBands)) AS band) b,
+               (SELECT unnest(range($maxPlanes)) AS j) j,
+               (SELECT unnest(range($dim)) AS d) d) t
+        GROUP BY band, j),
+      sigs AS (
+        SELECT e.vec_id, p.band,
+          SUM(CASE WHEN list_dot_product(e.v, p.p) > 0
+                   THEN (CAST(1 AS BIGINT) << p.j) ELSE CAST(0 AS BIGINT) END) AS sig
+        FROM emb e CROSS JOIN planes p
+        WHERE p.j < (SELECT r FROM params)
+        GROUP BY e.vec_id, p.band),
+      sv AS (SELECT s.vec_id, s.band, s.sig, e.v
+        FROM sigs s JOIN emb e ON e.vec_id = s.vec_id),
+      sv0 AS (SELECT * FROM sv WHERE $initialPred),
+      svb AS (SELECT * FROM sv WHERE $batchPred),
+      cand0 AS (SELECT DISTINCT x.vec_id AS src, y.vec_id AS dst, ($wCos) AS w
+        FROM sv0 x JOIN sv0 y
+          ON x.band = y.band AND x.sig = y.sig AND x.vec_id <> y.vec_id),
+      topm0 AS (SELECT src, dst FROM (
+          SELECT src, dst,
+            row_number() OVER (PARTITION BY src ORDER BY w DESC, dst) AS rn
+          FROM cand0) WHERE rn <= $m),
+      candb AS (SELECT DISTINCT x.vec_id AS src, y.vec_id AS dst, ($wCos) AS w
+        FROM svb x JOIN sv y
+          ON x.band = y.band AND x.sig = y.sig AND x.vec_id <> y.vec_id),
+      topmb AS (SELECT src, dst FROM (
+          SELECT src, dst,
+            row_number() OVER (PARTITION BY src ORDER BY w DESC, dst) AS rn
+          FROM candb) WHERE rn <= $m),
+      edges AS (SELECT src, dst FROM topm0
+        UNION SELECT dst AS src, src AS dst FROM topm0
+        UNION SELECT src, dst FROM topmb
+        UNION SELECT dst AS src, src AS dst FROM topmb),
+      en AS (SELECT MIN(vec_id) AS v FROM emb),
+      qs AS (SELECT vec_id AS query_id, v AS qv FROM emb e WHERE $queryPred),
+      seen0 AS (SELECT q.query_id, en.v AS node, $sCos AS c
+        FROM qs q CROSS JOIN en JOIN emb e ON e.vec_id = en.v),
+      beam0 AS (SELECT query_id, node, c FROM seen0),
+      $hopCtes,
+      fin AS (SELECT query_id, node AS neighbor_id, c,
+          row_number() OVER (PARTITION BY query_id ORDER BY c DESC, node) AS rank
+        FROM seen$hops WHERE node <> query_id)
+      SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+        CAST(floor(c * 1000000) AS BIGINT) AS cos_sim_e6
+      FROM fin WHERE rank <= $k"""
+  }
 }

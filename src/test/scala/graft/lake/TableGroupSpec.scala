@@ -103,4 +103,23 @@ class TableGroupSpec extends SparkTestBase {
     // the loser's abandoned first-attempt branch is gone from a
     assert(Snapshots.listBranches(spark, s"$g/a").isEmpty)
   }
+
+  test("versionAtMarker: newest pin ≤ seq; skipped members carry; " +
+      "unknown refuses") {
+    val g = freshGroup("vam")
+    initMembers(g)
+    // marker 1 writes both members; marker 2 writes only b
+    TableGroup.commitAll(spark, g, Seq("a" -> appendOdd, "b" -> appendOdd))
+    TableGroup.commitAll(spark, g, Seq("b" -> appendOdd))
+    val a1 = TableGroup.versionAtMarker(spark, g, "a", 1).get
+    // a at marker 2 = its marker-1 pin (newest pin ≤ 2): a skipped
+    // member's cut CARRIES, it doesn't vanish or jump ahead
+    assert(TableGroup.versionAtMarker(spark, g, "a", 2).contains(a1))
+    // b advanced between the markers
+    assert(TableGroup.versionAtMarker(spark, g, "b", 2).get >
+      TableGroup.versionAtMarker(spark, g, "b", 1).get)
+    // unpublished seq and never-pinned member both refuse (None)
+    assert(TableGroup.versionAtMarker(spark, g, "a", 3).isEmpty)
+    assert(TableGroup.versionAtMarker(spark, g, "zzz", 1).isEmpty)
+  }
 }

@@ -75,6 +75,63 @@ class AudioResampleSpec extends AnyFunSuite {
     assert(out.samples.length == 6)
   }
 
+  test("polyphase L/M: DC unit gain exact for every ratio, incl. odd D") {
+    // D = K²/L is odd for (1,3) (K=3, D=9) — the truncated-half rounding
+    // branch; the partition property must hold regardless
+    for ((l, m) <- Seq((2, 3), (3, 2), (1, 3), (3, 1), (5, 4), (4, 5));
+        v <- Seq[Short](0, 1, -1, 1000, -1000, 32767, -32768)) {
+      val in = pcm(l * m * 100, 1, Array.fill(41)(v))
+      val out = AudioOps.polyphaseResample(in, 1, l, m)
+      assert(out.samples.forall(_ == v), s"DC $v broken at $l/$m")
+      assert(out.info.sampleRate == l * m * 100 * l / m)
+      assert(out.samples.length == (40 * l) / m + 1)
+    }
+  }
+
+  test("polyphase L==M is the identity; pure upsample passes samples") {
+    val sig = Array.tabulate[Short](37)(i => ((i * 997) % 3000 - 1500).toShort)
+    val same = AudioOps.polyphaseResample(pcm(8000, 1, sig), 1, 3, 3)
+    assert(same.samples.sameElements(sig) && same.info.sampleRate == 8000)
+    // 1→2 upsample: even outputs are the originals untouched, odd
+    // outputs the floor-rounded midpoints (exact linear interpolation)
+    val up = AudioOps.polyphaseResample(pcm(8000, 1, sig), 1, 2, 1)
+    assert(up.info.sampleRate == 16000)
+    sig.indices.foreach(i => assert(up.samples(2 * i) == sig(i)))
+    (0 until sig.length - 1).foreach { i =>
+      val mid = Math.floorDiv(sig(i) + sig(i + 1) + 1, 2)
+      assert(up.samples(2 * i + 1) == mid.toShort)
+    }
+  }
+
+  test("polyphase 3:2 downsample anti-aliases the input Nyquist tone") {
+    val alt = Array.tabulate[Short](61)(i => if (i % 2 == 0) 12000 else -12000)
+    val out = AudioOps.polyphaseResample(pcm(48000, 1, alt), 1, 2, 3)
+    // input Nyquist (±v alternating) would alias under bare 2/3-rate
+    // resampling; the triangle kernel's taps {2,4,2}/{1,3,3,1} cancel
+    // it exactly on both branches in the interior
+    assert(out.samples.slice(2, out.samples.length - 2).forall(_ == 0),
+      s"Nyquist leaked: ${out.samples.mkString(",")}")
+    // non-integral output rate refuses loudly
+    val bad = intercept[IllegalArgumentException](
+      AudioOps.polyphaseResample(pcm(8000, 1, alt), 1, 2, 3))
+    assert(bad.getMessage.contains("not integral"))
+  }
+
+  test("polyphase channels stay independent and interleaved") {
+    val n = 30
+    val inter = new Array[Short](2 * n)
+    for (f <- 0 until n) {
+      inter(2 * f) = 100
+      inter(2 * f + 1) = (f * 10).toShort
+    }
+    val out = AudioOps.polyphaseResample(pcm(48000, 2, inter), 2, 2, 3)
+    val frames = out.samples.length / 2
+    assert((0 until frames).forall(f => out.samples(2 * f) == 100))
+    // ch1 is a ramp: resampled ramp stays monotone nondecreasing
+    val ch1 = (0 until frames).map(f => out.samples(2 * f + 1))
+    assert(ch1.zip(ch1.tail).forall { case (a, b) => a <= b })
+  }
+
   test("wav roundtrip preserves filtered samples exactly") {
     for (id <- 0L until 40L) {
       val ch = MediaSynth.pcmChannels(id)

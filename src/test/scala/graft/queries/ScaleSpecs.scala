@@ -381,6 +381,51 @@ class ScaleSpecs extends SparkTestBase {
     }
   }
 
+  test("incremental NSW add probes the index without shuffling it") {
+    // q276's scale contract: the add() candidate join BROADCASTS the
+    // batch signatures against the persisted bucket relation — the
+    // index side never exchanges (at cluster scale it is additionally
+    // band-bucketed, the q172 discipline), and the wiring groupBy
+    // exchanges only the candidate relation (batch-sized). Captured
+    // from the actual write-path plans via a listener.
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    val plans = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution,
+          durationNs: Long): Unit =
+        plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String, qe: QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_nswscale").toString + "/idx"
+    val emb = Tables(spark, dir, "embeddings")
+    graft.similarity.Similarity.nswIndexBuild(spark, root,
+      emb.filter(col("vec_id") % 5 =!= 0), "vec_id", "embedding")
+    spark.listenerManager.register(listener)
+    try {
+      graft.similarity.Similarity.nswIndexAdd(spark, root,
+        emb.filter(col("vec_id") % 5 === 0), "vec_id", "embedding")
+      val deadline = System.currentTimeMillis() + 30000
+      def joined = (0 until plans.size).map(plans.get)
+        .filter(p => p.contains("BroadcastHashJoin") ||
+          p.contains("SortMergeJoin"))
+      while (joined.isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      Thread.sleep(500)
+      val jp = joined
+      assert(jp.nonEmpty, "no candidate-join plan captured from add()")
+      jp.foreach { p =>
+        assert(!p.contains("SortMergeJoin"),
+          s"add() sort-merged the index:\n${p.take(2500)}")
+        assert(!p.contains("CartesianProduct") &&
+          !p.contains("BroadcastNestedLoopJoin"),
+          s"add() went non-equi:\n${p.take(2500)}")
+      }
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("incremental dedup never reshuffles the signature index") {
     // q172's point: the historical index is bucketed on the band key, so
     // a batch probe co-locates against it with a ONE-SIDED shuffle. With

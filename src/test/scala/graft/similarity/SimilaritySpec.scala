@@ -76,6 +76,46 @@ class SimilaritySpec extends SparkTestBase {
     assert(got == exact)
   }
 
+  test("incremental NSW add: recall holds the fresh-build floor") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_nswinc").toString + "/idx"
+    val initial = emb.filter(col("vec_id") % 5 =!= 0)
+    val batch = emb.filter(col("vec_id") % 5 === 0)
+    Similarity.nswIndexBuild(spark, root, initial, "vec_id", "embedding")
+    Similarity.nswIndexAdd(spark, root, batch, "vec_id", "embedding")
+    val inc = Similarity.nswIndexSearch(spark, root, emb, queries,
+      "vec_id", "embedding", 5)
+    val fresh = Similarity.nswTopK(emb, queries, "vec_id", "embedding", 5)
+    val rInc = (resultSet(inc) intersect exact).size.toDouble / exact.size
+    val rFresh = (resultSet(fresh) intersect exact).size.toDouble / exact.size
+    info(f"incremental recall@5 = $rInc%.3f vs fresh $rFresh%.3f")
+    // insert wiring differs from a one-shot build (batch nodes wire
+    // only against existing buckets, old nodes keep their edges), but
+    // it must stay within a fixed floor of the fresh rebuild — the
+    // FAISS add() quality contract
+    assert(rInc >= 0.4, f"incremental recall $rInc%.3f below floor")
+    assert(rInc >= rFresh - 0.15,
+      f"add() lost too much vs fresh rebuild: $rInc%.3f < $rFresh%.3f - 0.15")
+    // added vectors are findable: batch ids appear among results of a
+    // search whose true top-k contains them
+    val incSet = resultSet(inc)
+    val exactBatchPairs = exact.filter { case (_, n) => n % 5 == 0 }
+    if (exactBatchPairs.nonEmpty)
+      assert((incSet intersect exactBatchPairs).nonEmpty,
+        "no batch vector ever surfaced despite being a true neighbor")
+    // a second add() is one O(batch) append, never a rewrite: v2 files
+    // carry into v3 by reference
+    import graft.lake.Snapshots
+    def files(t: String) = Snapshots.snapshot(spark, s"$root/$t",
+      Snapshots.latestVersion(spark, s"$root/$t").get).get.files.toSet
+    val (e2, s2) = (files("edges"), files("sigs"))
+    Similarity.nswIndexAdd(spark, root,
+      emb.filter(col("vec_id") % 5 === 0)
+        .withColumn("vec_id", col("vec_id") + 1000000L),
+      "vec_id", "embedding")
+    assert(e2.subsetOf(files("edges")) && s2.subsetOf(files("sigs")))
+  }
+
   test("NSW graph search: structure, determinism, and useful recall") {
     val nsw = Similarity.nswTopK(emb, queries, "vec_id", "embedding", 5)
     val rows = nsw.collect()
