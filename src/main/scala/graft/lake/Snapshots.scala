@@ -85,7 +85,14 @@ object Snapshots {
       partitionSpec: Seq[String] = Nil,
       ref: String = "",
       defaults: Seq[(String, String)] = Nil,
-      properties: Map[String, String] = Map.empty)
+      properties: Map[String, String] = Map.empty,
+      // manifest-LIST summaries (the Iceberg manifest-list partition
+      // summaries): per manifest, the fold of its per-file stats over
+      // the columns EVERY file in it records — what lets a pruned
+      // lookup skip whole manifests from the log object alone
+      // ([[prunedFilesAt]]); KB per manifest, carried by reference
+      manifestSummaries: Map[String, Map[String, (Double, Double)]] =
+        Map.empty)
 
   /** Resolve a manifest file reference to a readable path. References
     * are table-relative in the common case; a [[shallowClone]] carries
@@ -239,8 +246,23 @@ object Snapshots {
     loaded
   }
 
-  private def readSnapshotObject(spark: SparkSession, table: String,
-      v: Int): Option[Snapshot] = {
+  /** Log-object-only snapshot view — everything the version object
+    * itself records, with NO manifest resolution: O(KB) however many
+    * files the table holds (VERDICT r14 task 6, the sharded-resolution
+    * half). The manifest-sharded pruning paths ([[prunedFilesAt]],
+    * [[prunedFilesForKey]], [[readAtPruned]], [[readAtKey]]) start
+    * here and resolve only the manifests their predicate touches. */
+  private[graft] final case class LiteSnapshot(version: Int,
+      manifests: Seq[String],
+      summaries: Map[String, Map[String, (Double, Double)]],
+      deletes: Seq[String], renames: Seq[(String, String)],
+      drops: Seq[DropSpec], commitTs: Long, op: String,
+      constraints: Seq[(String, String)], partitionSpec: Seq[String],
+      ref: String, defaults: Seq[(String, String)],
+      properties: Map[String, String])
+
+  private[graft] def readLite(spark: SparkSession, table: String,
+      v: Int): Option[LiteSnapshot] = {
     val ops = new FileOps(spark.sparkContext.hadoopConfiguration)
     val path = logPath(table, v)
     if (!ops.exists(path)) return None
@@ -262,22 +284,6 @@ object Snapshots {
       }
       case _ => Nil
     }
-    val manifestIds = strings("manifests")
-    val resolved = manifestIds.map(id => readManifest(spark, table, id))
-    val files = resolved.flatMap(_._1)
-    // stats/blooms live ONLY in manifests; the log object never carries them
-    val rawStats = resolved.map(_._2).foldLeft(Map.empty: FileStats)(_ ++ _)
-    val stats = rawStats.map { case (f, cols) =>
-      f -> cols.map { case (c, v2) => renamedStatsKey(renames, c) -> v2 }
-    }
-    val blooms = resolved.map(_._3).foldLeft(Map.empty: FileBlooms)(_ ++ _)
-      .map { case (f, cols) =>
-        f -> cols.map { case (c, b) => renamedStatsKey(renames, c) -> b }
-      }
-    val dirSchemas = resolved.map(_._4)
-      .foldLeft(Map.empty[String, StructType])(_ ++ _)
-    val rowCounts = resolved.map(_._5)
-      .foldLeft(Map.empty[String, Long])(_ ++ _)
     // Pre-manifest-format logs inlined the file list under a top-level
     // "files" key. Every commit path carries forward only prev.manifests,
     // so SILENTLY accepting that shape here would drop all of a legacy
@@ -313,12 +319,55 @@ object Snapshots {
       }.toMap
       case _ => Map.empty
     }
-    Some(Snapshot(v, files, strings("deletes"), stats,
-      renames, manifestIds, blooms, commitTs, dirSchemas, drops, rowCounts,
+    // manifest-list summaries: id → column → [min, max] (keys as
+    // WRITTEN; consumers map them through the rename chain). Absent on
+    // pre-summary log objects — the sharded paths then touch every
+    // manifest, exactly the pre-upgrade behavior.
+    val summaries: Map[String, Map[String, (Double, Double)]] =
+      m.get("msum") match {
+        case Some(sm: Map[_, _]) => sm.asInstanceOf[Map[String, Any]]
+          .map { case (id, cols) =>
+            id -> cols.asInstanceOf[Seq[Any]].map { entry =>
+              val t = entry.asInstanceOf[Seq[Any]]
+              t.head.toString -> (t(1).toString.toDouble,
+                t(2).toString.toDouble)
+            }.toMap
+          }
+        case _ => Map.empty
+      }
+    Some(LiteSnapshot(v, strings("manifests"), summaries,
+      strings("deletes"), renames, drops, commitTs,
       m.get("op").map(_.toString).getOrElse(""), constraints,
       strings("partition_spec"),
       m.get("ref").map(_.toString).getOrElse(""), defaults, properties))
   }
+
+  private def readSnapshotObject(spark: SparkSession, table: String,
+      v: Int): Option[Snapshot] =
+    readLite(spark, table, v).map { lite =>
+      val resolved = lite.manifests.map(id => readManifest(spark, table, id))
+      val files = resolved.flatMap(_._1)
+      // stats/blooms live ONLY in manifests; the log object carries
+      // just their per-manifest summaries
+      val rawStats = resolved.map(_._2).foldLeft(Map.empty: FileStats)(_ ++ _)
+      val stats = rawStats.map { case (f, cols) =>
+        f -> cols.map { case (c, v2) =>
+          renamedStatsKey(lite.renames, c) -> v2 }
+      }
+      val blooms = resolved.map(_._3).foldLeft(Map.empty: FileBlooms)(_ ++ _)
+        .map { case (f, cols) =>
+          f -> cols.map { case (c, b) =>
+            renamedStatsKey(lite.renames, c) -> b }
+        }
+      val dirSchemas = resolved.map(_._4)
+        .foldLeft(Map.empty[String, StructType])(_ ++ _)
+      val rowCounts = resolved.map(_._5)
+        .foldLeft(Map.empty[String, Long])(_ ++ _)
+      Snapshot(v, files, lite.deletes, stats, lite.renames, lite.manifests,
+        blooms, lite.commitTs, dirSchemas, lite.drops, rowCounts, lite.op,
+        lite.constraints, lite.partitionSpec, lite.ref, lite.defaults,
+        lite.properties, lite.summaries)
+    }
 
   /** Commit history of the table as a DataFrame — the `DESCRIBE
     * HISTORY` surface, served over SQL as the `<table>.history` metadata
@@ -789,6 +838,31 @@ object Snapshots {
     })
   }
 
+  /** Fold a manifest's per-file stats into its manifest-list summary:
+    * per column, (min of mins, max of maxes) — recorded ONLY for
+    * columns EVERY file in the manifest has stats for, because a
+    * summary-level skip drops the whole manifest and a stats-less file
+    * must never be skipped (unknown never prunes, at every level).
+    * `nulls(...)` pseudo-entries are excluded (they are counts, not
+    * intervals — no skip decision reads them at the list level). */
+  private def summarizeManifest(stats: FileStats,
+      files: Seq[String]): Map[String, (Double, Double)] = {
+    if (files.isEmpty) return Map.empty
+    val perFile = files.map(f => stats.getOrElse(f, Map.empty))
+    val keys = perFile.map(_.keySet).reduce(_ intersect _)
+      .filterNot(NullsSpec.matches)
+    keys.map { k =>
+      val vs = perFile.map(_(k))
+      k -> (vs.map(_._1).min, vs.map(_._2).max)
+    }.toMap
+  }
+
+  /** Manifests MATERIALIZED by the sharded pruning paths — what the
+    * sharding spec pins: a pruned point lookup touches only the
+    * manifests whose summary admits its predicate. */
+  private[graft] val manifestsTouched =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
   private def latestSnapshot(spark: SparkSession, table: String): Option[Snapshot] =
     latestVersion(spark, table).flatMap(v => snapshot(spark, table, v))
 
@@ -846,7 +920,9 @@ object Snapshots {
       ref: String = "",
       defaults: Seq[(String, String)] = Nil,
       extraFields: Map[String, Any] = Map.empty,
-      properties: Map[String, String] = Map.empty): Boolean = {
+      properties: Map[String, String] = Map.empty,
+      summaries: Map[String, Map[String, (Double, Double)]] =
+        Map.empty): Boolean = {
     val conf = spark.sparkContext.hadoopConfiguration
     val ops = new FileOps(conf)
     val dst = new org.apache.hadoop.fs.Path(logPath(table, v))
@@ -865,7 +941,11 @@ object Snapshots {
       "partition_spec" -> partitionSpec,
       "defaults" -> defaults.map(d => Seq(d._1, d._2)),
       "properties" -> properties.toSeq.sortBy(_._1)
-        .map(p => Seq(p._1, p._2))) ++ extraFields)
+        .map(p => Seq(p._1, p._2)),
+      "msum" -> summaries.map { case (id, cols) =>
+        id -> cols.toSeq.sortBy(_._1)
+          .map { case (c, (mn, mx)) => Seq[Any](c, mn, mx) }
+      }) ++ extraFields)
     val tmp = s"${logPath(table, v)}.tmp-${Naming.newRunId()}"
     ops.writeString(tmp, json)
     try {
@@ -953,6 +1033,17 @@ object Snapshots {
         else Some(branchHeadSnapshot(spark, table, toBranch))
       val v = global.map(_.version).getOrElse(0) + 1
       val (manifests, deletes, renames, drops) = content(prev)
+      // manifest-list summaries: carried ids reuse the previous
+      // version's entry (KB copy, never a manifest read); new ids fold
+      // their per-file stats once — O(new manifests). A pre-summary
+      // table backfills on its next commit.
+      val summaries: Map[String, Map[String, (Double, Double)]] =
+        manifests.map { id =>
+          id -> prev.flatMap(_.manifestSummaries.get(id)).getOrElse {
+            val (fs, st, _, _, _) = readManifest(spark, table, id)
+            summarizeManifest(st, fs)
+          }
+        }.toMap
       val constraints = newConstraints(prev)
         .getOrElse(prev.map(_.constraints).getOrElse(Nil))
       val partitionSpec = newPartitionSpec(prev)
@@ -974,7 +1065,7 @@ object Snapshots {
       beforePublish()
       if (tryPublish(spark, table, v, manifests, deletes, renames, drops,
           commitTs, op, constraints, partitionSpec, toBranch, defaults,
-          extraFields, properties)) {
+          extraFields, properties, summaries)) {
         writeLatestHint(spark, table, v)
         return v
       }
@@ -1070,34 +1161,44 @@ object Snapshots {
     * superset guarantee means a joining file is never dropped; ~fpp of
     * non-matching files leak through and the residual predicate keeps
     * exactness. */
+  /** The point-lookup selection shared by [[prunedFilesForKey]] and
+    * [[readAtKey]]: manifests whose stats SUMMARY excludes the key are
+    * skipped whole (never materialized); files in touched manifests
+    * drop when their bloom proves the key absent. Both levels are
+    * supersets of the truth — unknown never prunes at either. */
+  private def shardedKeySelect(spark: SparkSession, table: String,
+      lite: LiteSnapshot, column: String,
+      key: Long): (Seq[String], Map[String, StructType]) =
+    shardedSelect(spark, table, lite)(
+      _.get(column).forall { case (mn, mx) =>
+        key.toDouble >= mn && key.toDouble <= mx },
+      (f, _, bl) => bl.get(column) match {
+        case Some(bytes) =>
+          deserializedBloom(table, f, column, bytes).mightContainLong(key)
+        case None => true
+      })
+
   def prunedFilesForKey(spark: SparkSession, table: String, v: Int,
       column: String, key: Long): Option[Seq[String]] =
-    snapshot(spark, table, v).map { s =>
-      s.files.filter { f =>
-        s.blooms.get(f).flatMap(_.get(column)) match {
-          case Some(bytes) =>
-            deserializedBloom(table, f, column, bytes).mightContainLong(key)
-          case None => true
-        }
-      }
-    }
+    readLite(spark, table, v)
+      .map(lite => shardedKeySelect(spark, table, lite, column, key)._1)
 
   /** Point-lookup scan of version `v` through the log blooms: only
-    * surviving files open, residual equality keeps exactness. */
+    * surviving files open, residual equality keeps exactness.
+    * Manifest-sharded like [[readAtPruned]]. */
   def readAtKey(spark: SparkSession, table: String, v: Int,
       column: String, key: Long): Option[DataFrame] =
-    for {
-      s <- snapshot(spark, table, v)
-      files <- prunedFilesForKey(spark, table, v, column, key)
-    } yield
-      // zero data files in the SNAPSHOT (a deleteWhere on a
-      // never-committed table publishes such a version): the residual
-      // filter cannot resolve `column` on the schemaless empty frame —
-      // return it unfiltered (it is empty either way)
-      if (s.files.isEmpty) readDispatch(spark, table, s)
-      else (if (files.isEmpty) readDispatch(spark, table, s).limit(0)
-      else readDispatch(spark, table, s.copy(files = files)))
-        .filter(col(column) === key)
+    readLite(spark, table, v).map { lite =>
+      val (files, schemas) = shardedKeySelect(spark, table, lite, column, key)
+      if (files.nonEmpty)
+        readDispatch(spark, table, partialSnapshot(lite, files, schemas))
+          .filter(col(column) === key)
+      // zero kept files — or zero data files in the snapshot (a
+      // deleteWhere on a never-committed table publishes such a
+      // version): the residual filter cannot resolve `column` on the
+      // schemaless empty frame, so the rare empty path resolves eagerly
+      else shardedEmptyRead(spark, table, v, _.filter(col(column) === key))
+    }
 
   /** Transform-encoded stats names — the HIDDEN-PARTITIONING spec
     * (Iceberg partition transforms, re-expressed as manifest stats over
@@ -1689,12 +1790,15 @@ object Snapshots {
         s"not a bucket transform spec: $spec")
     }
     val b = bucketValueOf(n, key)
-    snapshot(spark, table, v).map { s =>
-      val files = pruneFiles(s, spec, b, b)
-      if (s.files.isEmpty) readDispatch(spark, table, s)
-      else (if (files.isEmpty) readDispatch(spark, table, s).limit(0)
-      else readDispatch(spark, table, s.copy(files = files)))
-        .filter(col(c) === lit(key))
+    readLite(spark, table, v).map { lite =>
+      val (files, schemas) = shardedSelect(spark, table, lite)(
+        _.get(spec).forall { case (mn, mx) => mx >= b && mn <= b },
+        (_, st, _) => st.get(spec)
+          .forall { case (mn, mx) => mx >= b && mn <= b })
+      if (files.nonEmpty)
+        readDispatch(spark, table, partialSnapshot(lite, files, schemas))
+          .filter(col(c) === lit(key))
+      else shardedEmptyRead(spark, table, v, _.filter(col(c) === lit(key)))
     }
   }
 
@@ -2143,10 +2247,79 @@ object Snapshots {
     * Delta checkpoint mechanism; [[ZoneMap]] is the same idea as a
     * sidecar for plain directories — here pruning and time travel
     * compose in one metadata object). */
+  /** MANIFEST-SHARDED selection (VERDICT r14 task 6 — bounding the
+    * driver's per-operation metadata): walk the log object's manifest
+    * list, SKIP whole manifests whose summary proves every file misses
+    * (`summaryAdmits` false — their per-file entries are never
+    * materialized), and load + per-file-filter only the touched rest.
+    * Per-file stats/bloom keys are mapped through the rename chain
+    * exactly like full resolution. Returns the kept files (manifest
+    * order, so identical to the eager path's order) and the touched
+    * manifests' dir schemas (what [[readDispatch]] needs). At 10M files
+    * in 10k manifests, a selective lookup materializes O(touched)
+    * instead of O(table). */
+  private def shardedSelect(spark: SparkSession, table: String,
+      lite: LiteSnapshot)(
+      summaryAdmits: Map[String, (Double, Double)] => Boolean,
+      keepFile: (String, Map[String, (Double, Double)],
+        Map[String, Array[Byte]]) => Boolean)
+      : (Seq[String], Map[String, StructType]) = {
+    val schemas = Map.newBuilder[String, StructType]
+    val kept = lite.manifests.flatMap { id =>
+      val sum = lite.summaries.getOrElse(id, Map.empty)
+        .map { case (c, iv) => renamedStatsKey(lite.renames, c) -> iv }
+      if (!summaryAdmits(sum)) Nil
+      else {
+        manifestsTouched.incrementAndGet()
+        val (fs, st, bl, sch, _) = readManifest(spark, table, id)
+        schemas ++= sch
+        fs.filter { f =>
+          val fst = st.getOrElse(f, Map.empty).map { case (c, iv) =>
+            renamedStatsKey(lite.renames, c) -> iv }
+          val fbl = bl.getOrElse(f, Map.empty).map { case (c, b) =>
+            renamedStatsKey(lite.renames, c) -> b }
+          keepFile(f, fst, fbl)
+        }
+      }
+    }
+    (kept, schemas.result())
+  }
+
+  /** A [[Snapshot]] view carrying only a sharded selection: stats,
+    * blooms and row counts stay EMPTY by design — [[readDispatch]]
+    * (plain scan, tombstone/eq-delete subtraction, era mapping) reads
+    * none of them, so the driver never materializes the untouched
+    * manifests' entries. */
+  private def partialSnapshot(lite: LiteSnapshot, files: Seq[String],
+      schemas: Map[String, StructType]): Snapshot =
+    Snapshot(lite.version, files, lite.deletes, Map.empty, lite.renames,
+      lite.manifests, Map.empty, lite.commitTs, schemas, lite.drops,
+      Map.empty, lite.op, lite.constraints, lite.partitionSpec, lite.ref,
+      lite.defaults, lite.properties, lite.summaries)
+
+  /** The schemaless corners of a sharded read, resolved eagerly (rare
+    * paths): zero kept files still needs the table's SCHEMA for the
+    * empty frame, and a zero-file snapshot returns the unfiltered empty
+    * dispatch exactly as before. */
+  private def shardedEmptyRead(spark: SparkSession, table: String,
+      v: Int, residual: DataFrame => DataFrame): DataFrame = {
+    val s = snapshot(spark, table, v).get
+    if (s.files.isEmpty) readDispatch(spark, table, s)
+    else residual(readDispatch(spark, table, s).limit(0))
+  }
+
   def prunedFilesAt(spark: SparkSession, table: String, v: Int,
       column: String, lo: Double, hi: Double): Option[Seq[String]] =
-    snapshot(spark, table, v).map(s => pruneFiles(s, column, lo, hi))
+    readLite(spark, table, v).map { lite =>
+      shardedSelect(spark, table, lite)(
+        _.get(column).forall { case (mn, mx) => mx >= lo && mn <= hi },
+        (_, st, _) => st.get(column)
+          .forall { case (mn, mx) => mx >= lo && mn <= hi })._1
+    }
 
+  /** Interval pruning over an already-resolved snapshot — for callers
+    * (compactions) that hold the full view anyway; lookups use the
+    * manifest-sharded [[prunedFilesAt]] instead. */
   private def pruneFiles(s: Snapshot, column: String, lo: Double,
       hi: Double): Seq[String] =
     s.files.filter { f =>
@@ -2158,18 +2331,21 @@ object Snapshots {
 
   /** Range scan of version `v` through the log stats: only surviving
     * files are opened, and the predicate is re-applied to their rows so
-    * results equal a full scan regardless of how files were clustered. */
+    * results equal a full scan regardless of how files were clustered.
+    * Manifest-sharded: manifests whose summary misses the range are
+    * never materialized. */
   def readAtPruned(spark: SparkSession, table: String, v: Int,
       column: String, lo: Double, hi: Double): Option[DataFrame] =
-    snapshot(spark, table, v).map { s =>
-      // prune from the already-resolved snapshot: ONE log read per call
-      val files = pruneFiles(s, column, lo, hi)
-      // empty snapshot: the residual range predicate cannot resolve on
-      // the schemaless empty frame — return it unfiltered (empty anyway)
-      if (s.files.isEmpty) readDispatch(spark, table, s)
-      else (if (files.isEmpty) readDispatch(spark, table, s).limit(0)
-      else readDispatch(spark, table, s.copy(files = files)))
-        .filter(col(column) >= lo && col(column) <= hi)
+    readLite(spark, table, v).map { lite =>
+      val (files, schemas) = shardedSelect(spark, table, lite)(
+        _.get(column).forall { case (mn, mx) => mx >= lo && mn <= hi },
+        (_, st, _) => st.get(column)
+          .forall { case (mn, mx) => mx >= lo && mn <= hi })
+      if (files.nonEmpty)
+        readDispatch(spark, table, partialSnapshot(lite, files, schemas))
+          .filter(col(column) >= lo && col(column) <= hi)
+      else shardedEmptyRead(spark, table, v,
+        _.filter(col(column) >= lo && col(column) <= hi))
     }
 
   // ------------------------------------------------- schema evolution
