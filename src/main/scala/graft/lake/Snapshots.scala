@@ -2495,8 +2495,11 @@ object Snapshots {
         prevOpt.map(_.partitionSpec.map(respell)),
       newProperties = prevOpt => prevOpt.map(_.properties.map {
         case (k, v) if listProps(k) =>
+          // entries may be dot-path LEAVES (`meta.uid`): a rename of
+          // the ROOT struct must carry them or declared leaf stats
+          // silently stop being collected
           k -> v.split(",").map(_.trim)
-            .map(c => if (c == from) to else c).mkString(",")
+            .map(c => renamedStatsKey(Seq(from -> to), c)).mkString(",")
         case kv => kv
       }),
       newDefaults = prevOpt =>

@@ -905,6 +905,49 @@ object SimilarityQueries {
   private val HnswUpperBeam = 4
   private val HnswUpperHops = 2
 
+  /** q277 — INCREMENTAL HNSW `add()` (q276's persisted-index discipline
+    * stacked into q193's hierarchy — the full VERDICT r14 task 5: both
+    * graph families now take appends without a rebuild): one persisted
+    * (sigs, edges) pair PER LAYER, each layer's plane ladder pinned to
+    * its initial population; an appended batch wires its level-≥l slice
+    * against layer l's persisted buckets — layer membership is the
+    * deterministic hash rule, so upper layers see exponentially fewer
+    * batch nodes and the whole hierarchy's add cost stays
+    * O(batch·candidates). Every layer's initial files carry by
+    * reference (`carried_by_reference`). Search descends the union
+    * graphs; the oracle replays levels, every layer's pinned-ladder
+    * two-phase wiring, and the full descent bitwise. */
+  def hnswIncrementalQ(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Snapshots
+    val root = graft.util.Scratch.dir("hnswidx", dir)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val emb = Tables(spark, dir, "embeddings")
+    val initial = emb.filter(col("vec_id") % 5 =!= 0)
+    val batch = emb.filter(col("vec_id") % 5 === 0)
+    Similarity.hnswIndexBuild(spark, root, initial, "vec_id", "embedding",
+      m = NswM, numBands = NumBands, dim = Dim)
+    def filesOf(t: String) = Snapshots.snapshot(spark, s"$root/$t",
+      Snapshots.latestVersion(spark, s"$root/$t").get).get.files.toSet
+    val tables = (0 to Similarity.HnswMaxLevel)
+      .flatMap(l => Seq(s"l$l/edges", s"l$l/sigs"))
+    val before = tables.map(t => t -> filesOf(t)).toMap
+    Similarity.hnswIndexAdd(spark, root, batch, "vec_id", "embedding")
+    val carried = tables.forall(t => before(t).subsetOf(filesOf(t)))
+    e6(Similarity.hnswIndexSearch(spark, root, emb, queriesOf(emb),
+      "vec_id", "embedding", K, beam = NswBeam, hops = NswHops,
+      upperBeam = HnswUpperBeam, upperHops = HnswUpperHops))
+      .withColumn("carried_by_reference", lit(carried))
+  }
+
+  private val hnswIncrementalOracle: String = {
+    val inner = Similarity.sqlHnswIncrementalTopK(k = K, m = NswM,
+      beam = NswBeam, hops = NswHops, upperBeam = HnswUpperBeam,
+      upperHops = HnswUpperHops, numBands = NumBands, dim = Dim,
+      queryPred = "e.vec_id < 20", initialPred = "vec_id % 5 <> 0",
+      batchPred = "vec_id % 5 = 0")
+    s"""SELECT t.*, true AS carried_by_reference FROM ($inner) t"""
+  }
+
   /** q193 — multi-layer HNSW ([[Similarity.hnswBuildLayers]] /
     * [[Similarity.hnswSearch]]): the q166 NSW base layer stacked into a
     * real hierarchy. Layer membership is a deterministic hash-geometric
@@ -1080,6 +1123,8 @@ object SimilarityQueries {
     QueryDef("q166_nsw_graph_topk", nswTopKQ, Some(nswOracle)),
     QueryDef("q276_nsw_incremental_add", nswIncrementalQ,
       Some(nswIncrementalOracle)),
+    QueryDef("q277_hnsw_incremental_add", hnswIncrementalQ,
+      Some(hnswIncrementalOracle)),
     QueryDef("q193_hnsw_topk", hnswTopKQ, Some(hnswOracle)),
     QueryDef("q162_pq_kmeans_topk", pqKmeansTopK, Some(pqKmeansOracle)),
     QueryDef("q159_ivf_pq_topk", ivfPqTopKQ, Some(ivfPqOracle)),

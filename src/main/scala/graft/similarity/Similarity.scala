@@ -266,7 +266,7 @@ object Similarity {
       threshold: Double): String = {
     val (kmeansBlock, fin) = sqlKmeansCtes(nCells, iters)
     val cos = sqlCosine("x.v", "y.v")
-    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""WITH emb AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       pos AS (SELECT CAST(unnest(range($dim)) AS BIGINT) AS p),
       $kmeansBlock,
       cc AS (SELECT vec_id, v, cell FROM (${sqlAssign("emb", fin)}) WHERE rnk = 1),
@@ -417,7 +417,7 @@ object Similarity {
       params AS (SELECT COALESCE(MIN(js.j), $maxPlanes) AS r
         FROM (SELECT CAST(unnest(range($minPlanes, ${maxPlanes + 1})) AS INT) AS j) js, n
         WHERE (CAST($targetBucketCap AS BIGINT) << js.j) >= n.c),
-      planes AS (
+      planes AS MATERIALIZED (
         SELECT band, j, list(s ORDER BY d) AS p FROM (
           SELECT b.band, j.j, d.d,
             CASE WHEN ((('0x' || substr(md5(b.band || ':' || j.j || '-' || d.d), 1, 2))::INT & 1) = 1)
@@ -715,7 +715,7 @@ object Similarity {
   def sqlPqTopK(nSub: Int, nCodes: Int, k: Int, dim: Int,
       queryPred: String): String = {
     val subDim = dim / nSub
-    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""WITH emb AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       cbv AS (SELECT CAST(row_number() OVER (ORDER BY h) AS INT) - 1 AS kc, v
         FROM (SELECT md5(CAST(vec_id AS VARCHAR)) AS h, v FROM emb
               ORDER BY h LIMIT $nCodes)),
@@ -731,7 +731,7 @@ object Similarity {
   def sqlPqRerankTopK(nSub: Int, nCodes: Int, k: Int, refine: Int,
       dim: Int, queryPred: String): String = {
     val subDim = dim / nSub
-    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""WITH emb AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       cbv AS (SELECT CAST(row_number() OVER (ORDER BY h) AS INT) - 1 AS kc, v
         FROM (SELECT md5(CAST(vec_id AS VARCHAR)) AS h, v FROM emb
               ORDER BY h LIMIT $nCodes)),
@@ -758,7 +758,7 @@ object Similarity {
     val cbUnion = chains.zipWithIndex.map { case ((_, fin), m) =>
       s"SELECT $m AS m, cell AS kc, c FROM $fin"
     }.mkString(" UNION ALL ")
-    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""WITH emb AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       pos AS (SELECT CAST(unnest(range($subDim)) AS BIGINT) AS p),
       $subCtes,
       $chainCtes,
@@ -844,7 +844,7 @@ object Similarity {
       .mkString(" + ")
     val reconSql = (0 until nSub).map(m =>
       sqlDot(s"b$m.c", s"b$m.c")).mkString(" + ")
-    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""WITH emb AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       tr AS (SELECT vec_id, v FROM emb e WHERE $trainPred),
       corp AS (SELECT vec_id, v FROM emb e WHERE $corpusPred),
       pos AS (SELECT CAST(unnest(range($dim)) AS BIGINT) AS p),
@@ -1089,22 +1089,27 @@ object Similarity {
   /** [[sqlBandSigCtes]] generalized to a LAYER: same md5 planes (shared
     * `planes` CTE), ladder and signatures computed over the layer's own
     * node subset, CTE names suffixed. */
+  // the heavy relations are marked MATERIALIZED: DuckDB's default CTE
+  // inlining re-evaluates a CTE PER REFERENCE, and these chains are
+  // referenced across every layer and hop — measured on the q193
+  // oracle at sf0.01, materialization is 398 s → seconds with
+  // bit-identical results (it only pins evaluation, never semantics)
   private def sqlLayerSigCtes(sfx: String, lvlMin: Int, dim: Int,
       targetBucketCap: Long, minPlanes: Int, maxPlanes: Int): String =
-    s"""emb$sfx AS (SELECT e.vec_id, e.v FROM emb e
+    s"""emb$sfx AS MATERIALIZED (SELECT e.vec_id, e.v FROM emb e
         JOIN lvl ON lvl.vec_id = e.vec_id AND lvl.l >= $lvlMin),
       n$sfx AS (SELECT count(*) AS c FROM emb$sfx),
       params$sfx AS (SELECT COALESCE(MIN(js.j), $maxPlanes) AS r
         FROM (SELECT CAST(unnest(range($minPlanes, ${maxPlanes + 1})) AS INT) AS j) js, n$sfx
         WHERE (CAST($targetBucketCap AS BIGINT) << js.j) >= n$sfx.c),
-      sigs$sfx AS (
+      sigs$sfx AS MATERIALIZED (
         SELECT e.vec_id, p.band,
           SUM(CASE WHEN list_dot_product(e.v, p.p) > 0
                    THEN (CAST(1 AS BIGINT) << p.j) ELSE CAST(0 AS BIGINT) END) AS sig
         FROM emb$sfx e CROSS JOIN planes p
         WHERE p.j < (SELECT r FROM params$sfx)
         GROUP BY e.vec_id, p.band),
-      sv$sfx AS (SELECT s.vec_id, s.band, s.sig, e.v
+      sv$sfx AS MATERIALIZED (SELECT s.vec_id, s.band, s.sig, e.v
         FROM sigs$sfx s JOIN emb e ON e.vec_id = s.vec_id),
       candE$sfx AS (SELECT DISTINCT x.vec_id AS src, y.vec_id AS dst,
           (${sqlCosine("x.v", "y.v")}) AS w
@@ -1114,7 +1119,7 @@ object Similarity {
           SELECT src, dst,
             row_number() OVER (PARTITION BY src ORDER BY w DESC, dst) AS rn
           FROM candE$sfx) WHERE rn <= __M__),
-      edges$sfx AS (SELECT src, dst FROM topm$sfx
+      edges$sfx AS MATERIALIZED (SELECT src, dst FROM topm$sfx
         UNION SELECT dst AS src, src AS dst FROM topm$sfx)"""
 
   /** DuckDB replay of [[hnswBuildLayers]] + [[hnswSearch]] — the integer
@@ -1156,8 +1161,8 @@ object Similarity {
     val layerCtes = (0 to HnswMaxLevel).map(l =>
       sqlLayerSigCtes(s"L$l", l, dim, targetBucketCap, minPlanes, maxPlanes)
         .replace("__M__", m.toString)).mkString(",\n      ")
-    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-      planes AS (
+    s"""WITH emb AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      planes AS MATERIALIZED (
         SELECT band, j, list(s ORDER BY d) AS p FROM (
           SELECT b.band, j.j, d.d,
             CASE WHEN ((('0x' || substr(md5(b.band || ':' || j.j || '-' || d.d), 1, 2))::INT & 1) = 1)
@@ -1166,7 +1171,7 @@ object Similarity {
                (SELECT unnest(range($maxPlanes)) AS j) j,
                (SELECT unnest(range($dim)) AS d) d) t
         GROUP BY band, j),
-      lvl AS (SELECT vec_id,
+      lvl AS MATERIALIZED (SELECT vec_id,
           CASE WHEN h % ${base * base} = 0 THEN 2
                WHEN h % $base = 0 THEN 1 ELSE 0 END AS l
         FROM (SELECT vec_id,
@@ -1245,7 +1250,7 @@ object Similarity {
       sqlAssign(src, cents, extra)
     val (kmeansBlock, fin) = sqlKmeansCtes(nCells, iters)
     val extra = if (extraCtes.isEmpty) "" else s"\n      $extraCtes,"
-    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""WITH emb AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       pos AS (SELECT CAST(unnest(range($dim)) AS BIGINT) AS p),$extra
       $kmeansBlock,
       cc AS (SELECT vec_id, v, cell FROM (${assign(corpusSrc, fin)}) WHERE rnk = 1),
@@ -1378,6 +1383,165 @@ object Similarity {
     nswSearch(graft.lake.Snapshots.readLatest(spark, s"$indexDir/edges").get,
       corpus, queries, idCol, vecCol, k, beam, hops)
 
+  /** [[nswIndexBuild]] stacked into the HNSW hierarchy: one persisted
+    * (sigs, edges) table pair PER LAYER, each layer built over the
+    * nodes with [[hnswLevel]] ≥ l and its plane ladder pinned to that
+    * layer's initial population. Layer membership is the deterministic
+    * hash rule, so an added node's layers need no coordination — the
+    * same id always lands the same levels in both engines. */
+  def hnswIndexBuild(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int = 8, numBands: Int = 4, dim: Int = 64): Unit =
+    (0 to HnswMaxLevel).foreach { l =>
+      val sub =
+        if (l == 0) corpus
+        else corpus.filter(hnswLevel(col(idCol)) >= l)
+      nswIndexBuild(spark, s"$indexDir/l$l", sub, idCol, vecCol,
+        m, numBands, dim)
+    }
+
+  /** Incremental HNSW `add()`: per layer, the batch's level-≥l slice
+    * wires against THAT layer's persisted buckets exactly like
+    * [[nswIndexAdd]] — upper layers see exponentially fewer batch
+    * nodes, so the added work stays O(batch·candidates) across the
+    * whole hierarchy. Every layer's initial files carry by
+    * reference. */
+  def hnswIndexAdd(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, batch: DataFrame, idCol: String,
+      vecCol: String): Unit =
+    (0 to HnswMaxLevel).foreach { l =>
+      val sub =
+        if (l == 0) batch
+        else batch.filter(hnswLevel(col(idCol)) >= l)
+      nswIndexAdd(spark, s"$indexDir/l$l", sub, idCol, vecCol)
+    }
+
+  /** Greedy descent over a persisted hierarchical index
+    * ([[hnswSearch]] on each layer's live edge view). */
+  def hnswIndexSearch(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, beam: Int = 16,
+      hops: Int = 4, upperBeam: Int = 4, upperHops: Int = 2): DataFrame =
+    hnswSearch((0 to HnswMaxLevel).map(l =>
+      graft.lake.Snapshots.readLatest(spark, s"$indexDir/l$l/edges").get),
+      corpus, queries, idCol, vecCol, k, beam, hops, upperBeam, upperHops)
+
+  /** The incremental twin of [[sqlLayerSigCtes]]: layer edges = the
+    * initial sub-population's self-join wiring UNION the batch slice's
+    * wiring against the whole layer — the ladder pinned to the INITIAL
+    * layer population, mirroring the persisted properties. */
+  private def sqlLayerSigCtesIncremental(sfx: String, lvlMin: Int,
+      dim: Int, initialPred: String, batchPred: String,
+      targetBucketCap: Long, minPlanes: Int, maxPlanes: Int): String =
+    s"""emb$sfx AS MATERIALIZED (SELECT e.vec_id, e.v FROM emb e
+        JOIN lvl ON lvl.vec_id = e.vec_id AND lvl.l >= $lvlMin),
+      n$sfx AS (SELECT count(*) AS c FROM emb$sfx WHERE $initialPred),
+      params$sfx AS (SELECT COALESCE(MIN(js.j), $maxPlanes) AS r
+        FROM (SELECT CAST(unnest(range($minPlanes, ${maxPlanes + 1})) AS INT) AS j) js, n$sfx
+        WHERE (CAST($targetBucketCap AS BIGINT) << js.j) >= n$sfx.c),
+      sigs$sfx AS MATERIALIZED (
+        SELECT e.vec_id, p.band,
+          SUM(CASE WHEN list_dot_product(e.v, p.p) > 0
+                   THEN (CAST(1 AS BIGINT) << p.j) ELSE CAST(0 AS BIGINT) END) AS sig
+        FROM emb$sfx e CROSS JOIN planes p
+        WHERE p.j < (SELECT r FROM params$sfx)
+        GROUP BY e.vec_id, p.band),
+      sv$sfx AS MATERIALIZED (SELECT s.vec_id, s.band, s.sig, e.v
+        FROM sigs$sfx s JOIN emb e ON e.vec_id = s.vec_id),
+      sv0$sfx AS MATERIALIZED (SELECT * FROM sv$sfx WHERE $initialPred),
+      svb$sfx AS MATERIALIZED (SELECT * FROM sv$sfx WHERE $batchPred),
+      cand0$sfx AS (SELECT DISTINCT x.vec_id AS src, y.vec_id AS dst,
+          (${sqlCosine("x.v", "y.v")}) AS w
+        FROM sv0$sfx x JOIN sv0$sfx y
+          ON x.band = y.band AND x.sig = y.sig AND x.vec_id <> y.vec_id),
+      topm0$sfx AS (SELECT src, dst FROM (
+          SELECT src, dst,
+            row_number() OVER (PARTITION BY src ORDER BY w DESC, dst) AS rn
+          FROM cand0$sfx) WHERE rn <= __M__),
+      candb$sfx AS (SELECT DISTINCT x.vec_id AS src, y.vec_id AS dst,
+          (${sqlCosine("x.v", "y.v")}) AS w
+        FROM svb$sfx x JOIN sv$sfx y
+          ON x.band = y.band AND x.sig = y.sig AND x.vec_id <> y.vec_id),
+      topmb$sfx AS (SELECT src, dst FROM (
+          SELECT src, dst,
+            row_number() OVER (PARTITION BY src ORDER BY w DESC, dst) AS rn
+          FROM candb$sfx) WHERE rn <= __M__),
+      edges$sfx AS MATERIALIZED (SELECT src, dst FROM topm0$sfx
+        UNION SELECT dst AS src, src AS dst FROM topm0$sfx
+        UNION SELECT src, dst FROM topmb$sfx
+        UNION SELECT dst AS src, src AS dst FROM topmb$sfx)"""
+
+  /** DuckDB replay of [[hnswIndexBuild]] + [[hnswIndexAdd]] +
+    * [[hnswIndexSearch]]: levels, every layer's pinned-ladder
+    * incremental wiring, and the unrolled descent — bitwise. */
+  def sqlHnswIncrementalTopK(k: Int, m: Int, beam: Int, hops: Int,
+      upperBeam: Int, upperHops: Int, numBands: Int, dim: Int,
+      queryPred: String, initialPred: String, batchPred: String,
+      targetBucketCap: Long = NswPlaneCap,
+      minPlanes: Int = NswMinPlanes, maxPlanes: Int = NswMaxPlanes): String = {
+    val sCos = sqlCosine("q.qv", "e.v")
+    val base = HnswLevelBase
+    def hopBlock(tag: String, h: Int, prev: String, edges: String,
+        width: Int): String =
+      s"""cand$tag$h AS (SELECT DISTINCT b.query_id, ed.dst AS node
+        FROM beam$prev b JOIN $edges ed ON ed.src = b.node),
+      sc$tag$h AS (SELECT c.query_id, c.node, $sCos AS c
+        FROM cand$tag$h c JOIN emb e ON e.vec_id = c.node
+        JOIN qs q ON q.query_id = c.query_id),
+      seen$tag$h AS (SELECT DISTINCT query_id, node, c FROM (
+        SELECT * FROM seen$prev UNION ALL SELECT * FROM sc$tag$h)),
+      beam$tag$h AS (SELECT query_id, node, c FROM (
+          SELECT query_id, node, c,
+            row_number() OVER (PARTITION BY query_id ORDER BY c DESC, node) AS rn
+          FROM seen$tag$h) WHERE rn <= $width)"""
+    var prev = "0"
+    val blocks = scala.collection.mutable.ArrayBuffer.empty[String]
+    for (l <- HnswMaxLevel to 1 by -1; h <- 1 to upperHops) {
+      blocks += hopBlock(s"L${l}x", h, prev, s"edgesL$l", upperBeam)
+      prev = s"L${l}x$h"
+    }
+    for (h <- 1 to hops) {
+      blocks += hopBlock("B", h, prev, "edgesL0", beam)
+      prev = s"B$h"
+    }
+    val layerCtes = (0 to HnswMaxLevel).map(l =>
+      sqlLayerSigCtesIncremental(s"L$l", l, dim, initialPred, batchPred,
+        targetBucketCap, minPlanes, maxPlanes)
+        .replace("__M__", m.toString)).mkString(",\n      ")
+    s"""WITH emb AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      planes AS MATERIALIZED (
+        SELECT band, j, list(s ORDER BY d) AS p FROM (
+          SELECT b.band, j.j, d.d,
+            CASE WHEN ((('0x' || substr(md5(b.band || ':' || j.j || '-' || d.d), 1, 2))::INT & 1) = 1)
+                 THEN 1.0 ELSE -1.0 END AS s
+          FROM (SELECT unnest(range($numBands)) AS band) b,
+               (SELECT unnest(range($maxPlanes)) AS j) j,
+               (SELECT unnest(range($dim)) AS d) d) t
+        GROUP BY band, j),
+      lvl AS MATERIALIZED (SELECT vec_id,
+          CASE WHEN h % ${base * base} = 0 THEN 2
+               WHEN h % $base = 0 THEN 1 ELSE 0 END AS l
+        FROM (SELECT vec_id,
+            ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS h
+          FROM emb)),
+      $layerCtes,
+      en AS (SELECT COALESCE(
+          (SELECT MIN(e.vec_id) FROM emb e
+            JOIN lvl ON lvl.vec_id = e.vec_id AND lvl.l >= $HnswMaxLevel),
+          (SELECT MIN(vec_id) FROM emb)) AS v),
+      qs AS (SELECT vec_id AS query_id, v AS qv FROM emb e WHERE $queryPred),
+      seen0 AS (SELECT q.query_id, en.v AS node, $sCos AS c
+        FROM qs q CROSS JOIN en JOIN emb e ON e.vec_id = en.v),
+      beam0 AS (SELECT query_id, node, c FROM seen0),
+      ${blocks.mkString(",\n      ")},
+      fin AS (SELECT query_id, node AS neighbor_id, c,
+          row_number() OVER (PARTITION BY query_id ORDER BY c DESC, node) AS rank
+        FROM seen$prev WHERE node <> query_id)
+      SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+        CAST(floor(c * 1000000) AS BIGINT) AS cos_sim_e6
+      FROM fin WHERE rank <= $k"""
+  }
+
   /** DuckDB replay of build-then-add-then-search ([[nswIndexBuild]] +
     * [[nswIndexAdd]] + [[nswIndexSearch]]): the plane ladder scales to
     * the INITIAL subset's count (the pinned-property contract), initial
@@ -1406,12 +1570,12 @@ object Similarity {
             row_number() OVER (PARTITION BY query_id ORDER BY c DESC, node) AS rn
           FROM seen$h) WHERE rn <= $beam)"""
     }.mkString(",\n      ")
-    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""WITH emb AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       n AS (SELECT count(*) AS c FROM emb WHERE $initialPred),
       params AS (SELECT COALESCE(MIN(js.j), $maxPlanes) AS r
         FROM (SELECT CAST(unnest(range($minPlanes, ${maxPlanes + 1})) AS INT) AS j) js, n
         WHERE (CAST($targetBucketCap AS BIGINT) << js.j) >= n.c),
-      planes AS (
+      planes AS MATERIALIZED (
         SELECT band, j, list(s ORDER BY d) AS p FROM (
           SELECT b.band, j.j, d.d,
             CASE WHEN ((('0x' || substr(md5(b.band || ':' || j.j || '-' || d.d), 1, 2))::INT & 1) = 1)

@@ -57,7 +57,19 @@ object SnapshotStreamSource {
   def runOnce(spark: SparkSession, table: String, sinkTable: String,
       checkpoint: String, startingVersion: Int = 1,
       maxVersionsPerTrigger: Int = 1,
-      ignoreChanges: Boolean = false): Unit = {
+      ignoreChanges: Boolean = false,
+      // Delta's `startingTimestamp`: consume from the first version
+      // committed AFTER the instant (the state AT the instant is the
+      // batch-read baseline; the stream carries what came later).
+      // Resolved once through the in-commit-timestamp index; wins over
+      // `startingVersion` when set.
+      startingTimestampMs: Option[Long] = None): Unit = {
+    val fromVersion = startingTimestampMs match {
+      case Some(ts) =>
+        Snapshots.versionAtTimestamp(spark, table, ts).map(_ + 1)
+          .getOrElse(1)
+      case None => startingVersion
+    }
     // version objects' NAMES are the offsets; `_metadata` is projected
     // on the SOURCE side (inside foreachBatch the batch is a plain
     // relation without reader columns)
@@ -69,7 +81,7 @@ object SnapshotStreamSource {
       if (Snapshots.latestVersion(spark, sinkTable).getOrElse(0) < id + 1) {
         val versions = batch.select(col("log_object")).distinct()
           .collect().map(r => versionOf(r.getString(0))).toSeq.sorted
-        val emitted = versions.filter(_ >= startingVersion).flatMap(v =>
+        val emitted = versions.filter(_ >= fromVersion).flatMap(v =>
           Snapshots.appendedVersionRows(spark, table, v, ignoreChanges))
         val rows = emitted
           .reduceOption(_.unionByName(_, allowMissingColumns = true))

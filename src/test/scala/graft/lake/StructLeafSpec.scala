@@ -47,6 +47,13 @@ class StructLeafSpec extends SparkTestBase {
     assert(Snapshots.readLatest(spark, t).get
       .filter(col("info.uid") === 5).count() ==
       structEvents.filter(col("meta.uid") === 5).count())
+    // DECLARED leaf stats (table property) follow the root rename too,
+    // or collection silently stops after the DDL
+    Snapshots.setTableProperties(spark, t,
+      Map(Snapshots.StatsColumnsKey -> "info.uid,info.seg"))
+    Snapshots.renameColumn(spark, t, "info", "meta2")
+    assert(Snapshots.tableProperties(spark, t)(Snapshots.StatsColumnsKey)
+      == "meta2.uid,meta2.seg")
     org.apache.commons.io.FileUtils.deleteQuietly(new File(root))
   }
 

@@ -66,6 +66,14 @@ class SnapshotStreamSourceSpec extends SparkTestBase {
     // 4 source versions at 2 per trigger = 2 sink versions, all rows
     assert(Snapshots.latestVersion(spark, sink).contains(2))
     assert(Snapshots.readLatest(spark, sink).get.count() == orders.count())
+    // startingTimestamp: the state AT v2's instant is the batch-read
+    // baseline; the stream carries versions committed AFTER it (v3, v4)
+    val sink2 = s"$root/sink2"
+    val ts2 = Snapshots.snapshot(spark, t, 2).get.commitTs
+    SnapshotStreamSource.runOnce(spark, t, sink2, s"$root/ckpt2",
+      startingTimestampMs = Some(ts2))
+    val expect = orders.filter(pmod(col("o_orderkey"), lit(4)) >= 2).count()
+    assert(Snapshots.readLatest(spark, sink2).get.count() == expect)
     org.apache.commons.io.FileUtils.deleteQuietly(new File(root))
   }
 }
