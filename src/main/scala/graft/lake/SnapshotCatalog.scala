@@ -193,7 +193,7 @@ final class SnapshotCatalog extends TableCatalog {
       s"version $v of ${ident.name()} has no data files (schema unknown " +
         "to the log); read it via Snapshots.readAt, which returns empty")
     if (s.deletes.nonEmpty || s.renames.nonEmpty || s.drops.nonEmpty ||
-        s.defaults.nonEmpty || erasWiden(s) ||
+        s.defaults.nonEmpty || s.addedColumns.nonEmpty || erasWiden(s) ||
         // row-id-materialized files carry the hidden physical id column
         // (Snapshots.optimizeRowIds) — a bare parquet scan would surface
         // it to SQL; the readAt plan hides it
@@ -231,24 +231,64 @@ final class SnapshotCatalog extends TableCatalog {
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = throw readOnly
 
-  /** `ALTER TABLE cat.t SET/UNSET TBLPROPERTIES` — the one alterTable
-    * shape this catalog serves natively (property commits are pure log
-    * metadata; schema/DML changes go through graft.lake.Snapshots or
-    * the intercepted DDL). Mixed change sets containing anything else
-    * refuse whole — never a partial apply. */
+  /** `ALTER TABLE cat.t …` — the alterTable shapes this catalog serves:
+    *
+    *  - SET/UNSET TBLPROPERTIES → property commits (pure log metadata)
+    *  - RENAME COLUMN a TO b → [[Snapshots.renameColumn]] (metadata-only
+    *    name-chain commit; history below keeps the old name, stats keys
+    *    and the partition spec follow — the q171 semantics, now reachable
+    *    from plain Spark SQL because the parser routes the native
+    *    `ALTER TABLE … RENAME COLUMN` V2 command here)
+    *  - DROP COLUMN a → [[Snapshots.dropColumn]] (metadata-only drop
+    *    marker; bytes stay for time travel — the q192 semantics)
+    *  - ADD COLUMN c T [DEFAULT lit] → [[Snapshots.addColumn]] (declared
+    *    metadata-only add; reads fill null or the default until appends
+    *    materialize it — the q284 semantics)
+    *
+    * Everything else (type changes, column positions) still refuses.
+    * Mixed change sets containing anything unsupported refuse WHOLE,
+    * before any member applies — never a partial apply. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     import org.apache.spark.sql.connector.catalog.TableChange.{
-      RemoveProperty, SetProperty}
+      AddColumn, DeleteColumn, RemoveProperty, RenameColumn, SetProperty}
     val t = tablePath(ident)
     if (Snapshots.latestVersion(spark, t).isEmpty)
       throw new NoSuchTableException(ident)
     val sets = changes.collect { case s: SetProperty =>
       s.property() -> s.value() }
     val removes = changes.collect { case r: RemoveProperty => r.property() }
-    if (sets.size + removes.size != changes.size ||
-        (sets.isEmpty && removes.isEmpty)) throw readOnly
+    // nested-field DDL (multi-part fieldNames) is leaf-path DDL — the
+    // Snapshots API refuses it with the rename-the-struct cure; joining
+    // with '.' surfaces that exact message instead of a generic one
+    val renames = changes.collect { case r: RenameColumn =>
+      r.fieldNames().mkString(".") -> r.newName() }
+    val drops = changes.collect { case d: DeleteColumn =>
+      d.fieldNames().mkString(".") }
+    // ADD COLUMN → the metadata-only declared add; a DEFAULT literal
+    // travels in the same commit (initial-default semantics). NOT NULL
+    // is unsatisfiable for existing rows without a default and refused
+    // like Delta refuses it; FIRST/AFTER positions are cosmetic-only
+    // here and refused rather than silently ignored.
+    val adds = changes.collect { case a: AddColumn =>
+      if (a.position() != null) throw new UnsupportedOperationException(
+        "ADD COLUMN … FIRST/AFTER: column positions are not supported")
+      val default = Option(a.defaultValue()).map(_.getSql)
+      if (!a.isNullable && default.isEmpty)
+        throw new UnsupportedOperationException(
+          "ADD COLUMN … NOT NULL without DEFAULT cannot be satisfied " +
+            "for existing rows")
+      (a.fieldNames().mkString("."), a.dataType().sql, default)
+    }
+    val known =
+      sets.size + removes.size + renames.size + drops.size + adds.size
+    if (known != changes.size || known == 0) throw readOnly
     if (sets.nonEmpty) Snapshots.setTableProperties(spark, t, sets.toMap)
     if (removes.nonEmpty) Snapshots.unsetTableProperties(spark, t, removes)
+    renames.foreach { case (from, to) =>
+      Snapshots.renameColumn(spark, t, from, to) }
+    drops.foreach(c => Snapshots.dropColumn(spark, t, c))
+    adds.foreach { case (name, ddl, default) =>
+      Snapshots.addColumn(spark, t, name, ddl, default) }
     loadTable(ident)
   }
 

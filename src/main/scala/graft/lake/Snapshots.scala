@@ -92,7 +92,13 @@ object Snapshots {
       // lookup skip whole manifests from the log object alone
       // ([[prunedFilesAt]]); KB per manifest, carried by reference
       manifestSummaries: Map[String, Map[String, (Double, Double)]] =
-        Map.empty)
+        Map.empty,
+      // DECLARED columns no data file carries yet (`ALTER TABLE … ADD
+      // COLUMN`, the Delta/Iceberg metadata-only add): (name, Spark DDL
+      // type). Reads surface them as null — or as their registered
+      // DEFAULT — until some append materializes them; names are stored
+      // CURRENT (rename/drop rewrite the entry, no chain mapping)
+      addedColumns: Seq[(String, String)] = Nil)
 
   /** Resolve a manifest file reference to a readable path. References
     * are table-relative in the common case; a [[shallowClone]] carries
@@ -259,7 +265,8 @@ object Snapshots {
       drops: Seq[DropSpec], commitTs: Long, op: String,
       constraints: Seq[(String, String)], partitionSpec: Seq[String],
       ref: String, defaults: Seq[(String, String)],
-      properties: Map[String, String])
+      properties: Map[String, String],
+      addedColumns: Seq[(String, String)])
 
   private[graft] def readLite(spark: SparkSession, table: String,
       v: Int): Option[LiteSnapshot] = {
@@ -335,11 +342,19 @@ object Snapshots {
           }
         case _ => Map.empty
       }
+    val addedColumns: Seq[(String, String)] = m.get("addcols") match {
+      case Some(as: Seq[_]) => as.map { a =>
+        val pair = a.asInstanceOf[Seq[Any]]
+        (pair(0).toString, pair(1).toString)
+      }
+      case _ => Nil
+    }
     Some(LiteSnapshot(v, strings("manifests"), summaries,
       strings("deletes"), renames, drops, commitTs,
       m.get("op").map(_.toString).getOrElse(""), constraints,
       strings("partition_spec"),
-      m.get("ref").map(_.toString).getOrElse(""), defaults, properties))
+      m.get("ref").map(_.toString).getOrElse(""), defaults, properties,
+      addedColumns))
   }
 
   private def readSnapshotObject(spark: SparkSession, table: String,
@@ -366,7 +381,7 @@ object Snapshots {
       Snapshot(v, files, lite.deletes, stats, lite.renames, lite.manifests,
         blooms, lite.commitTs, dirSchemas, lite.drops, rowCounts, lite.op,
         lite.constraints, lite.partitionSpec, lite.ref, lite.defaults,
-        lite.properties, lite.summaries)
+        lite.properties, lite.summaries, lite.addedColumns)
     }
 
   /** Commit history of the table as a DataFrame — the `DESCRIBE
@@ -922,7 +937,8 @@ object Snapshots {
       extraFields: Map[String, Any] = Map.empty,
       properties: Map[String, String] = Map.empty,
       summaries: Map[String, Map[String, (Double, Double)]] =
-        Map.empty): Boolean = {
+        Map.empty,
+      addedColumns: Seq[(String, String)] = Nil): Boolean = {
     val conf = spark.sparkContext.hadoopConfiguration
     val ops = new FileOps(conf)
     val dst = new org.apache.hadoop.fs.Path(logPath(table, v))
@@ -940,6 +956,7 @@ object Snapshots {
       "constraints" -> constraints.map(c => Seq(c._1, c._2)),
       "partition_spec" -> partitionSpec,
       "defaults" -> defaults.map(d => Seq(d._1, d._2)),
+      "addcols" -> addedColumns.map(a => Seq(a._1, a._2)),
       "properties" -> properties.toSeq.sortBy(_._1)
         .map(p => Seq(p._1, p._2)),
       "msum" -> summaries.map { case (id, cols) =>
@@ -1007,6 +1024,11 @@ object Snapshots {
       // ops like restore) override
       newProperties: Option[Snapshot] => Option[Map[String, String]] =
         _ => None,
+      // DECLARED added columns (ADD COLUMN without data) carry forward;
+      // only addColumn/renameColumn/dropColumn (and version-pinning
+      // ops) override
+      newAddedColumns: Option[Snapshot] => Option[Seq[(String, String)]] =
+        _ => None,
       // "" = main; a branch name computes content against the BRANCH
       // head and stamps the published log object with the ref, so main
       // readers skip it ([[mainHeadSnapshot]]) until fast-forwarded
@@ -1052,6 +1074,8 @@ object Snapshots {
         .getOrElse(prev.map(_.defaults).getOrElse(Nil))
       val properties = newProperties(prev)
         .getOrElse(prev.map(_.properties).getOrElse(Map.empty))
+      val addedColumns = newAddedColumns(prev)
+        .getOrElse(prev.map(_.addedColumns).getOrElse(Nil))
       // commit timestamps are MONOTONIC and STRICTLY increasing: clock
       // skew or same-millisecond commits would otherwise make
       // TIMESTAMP AS OF resolution ambiguous (two versions at one ts)
@@ -1065,7 +1089,7 @@ object Snapshots {
       beforePublish()
       if (tryPublish(spark, table, v, manifests, deletes, renames, drops,
           commitTs, op, constraints, partitionSpec, toBranch, defaults,
-          extraFields, properties, summaries)) {
+          extraFields, properties, summaries, addedColumns)) {
         writeLatestHint(spark, table, v)
         return v
       }
@@ -2119,7 +2143,8 @@ object Snapshots {
     * caller knowing to ask for [[readAtWidened]]. */
   private def readDispatch(spark: SparkSession, table: String,
       s: Snapshot): DataFrame =
-    if (s.renames.nonEmpty || s.drops.nonEmpty || s.defaults.nonEmpty)
+    if (s.renames.nonEmpty || s.drops.nonEmpty || s.defaults.nonEmpty ||
+        s.addedColumns.nonEmpty)
       eraRead(spark, table, s)
     else
       try readSnapshot(spark, table, s.files, s.deletes)
@@ -2295,7 +2320,7 @@ object Snapshots {
     Snapshot(lite.version, files, lite.deletes, Map.empty, lite.renames,
       lite.manifests, Map.empty, lite.commitTs, schemas, lite.drops,
       Map.empty, lite.op, lite.constraints, lite.partitionSpec, lite.ref,
-      lite.defaults, lite.properties, lite.summaries)
+      lite.defaults, lite.properties, lite.summaries, lite.addedColumns)
 
   /** The schemaless corners of a sharded read, resolved eagerly (rare
     * paths): zero kept files still needs the table's SCHEMA for the
@@ -2504,7 +2529,12 @@ object Snapshots {
       }),
       newDefaults = prevOpt =>
       prevOpt.map(_.defaults.map { case (c, d) =>
-        (if (c == from) to else c, d) })) { prevOpt =>
+        (if (c == from) to else c, d) }),
+      // declared-only columns store CURRENT names: the entry itself is
+      // rewritten (no chain mapping ever applies to it)
+      newAddedColumns = prevOpt =>
+      prevOpt.map(_.addedColumns.map { case (c, t) =>
+        (if (c == from) to else c, t) })) { prevOpt =>
       val prev = prevOpt.getOrElse(throw new IllegalStateException(
         s"cannot rename a column of never-committed table $table"))
       val current = liveNames(spark, table, prev)
@@ -2548,7 +2578,12 @@ object Snapshots {
     // the dropped column's DEFAULT goes with it: a re-added same-named
     // column must start clean (nulls for pre-re-add eras — q192 rule)
     commitLoop(spark, table, "drop-column", newDefaults = prevOpt =>
-      prevOpt.map(_.defaults.filterNot(_._1 == name))) { prevOpt =>
+      prevOpt.map(_.defaults.filterNot(_._1 == name)),
+      // a declared-only column drops by erasing its entry (no bytes
+      // anywhere); if later appends materialized it, the drop ledger
+      // below handles those eras like any stored column
+      newAddedColumns = prevOpt =>
+      prevOpt.map(_.addedColumns.filterNot(_._1 == name))) { prevOpt =>
       val prev = prevOpt.getOrElse(throw new IllegalStateException(
         s"cannot drop a column of never-committed table $table"))
       require(liveNames(spark, table, prev).contains(name),
@@ -2563,6 +2598,46 @@ object Snapshots {
         .map(_.split("/").dropRight(1).mkString("/")).distinct
       (prev.manifests, prev.deletes, prev.renames,
         prev.drops :+ ((name, prev.renames.length, dirs)))
+    }
+  }
+
+  /** Metadata-only column ADD (`ALTER TABLE … ADD COLUMN`), the fourth
+    * schema-evolution leg beside widening, renames and drops: a new
+    * version DECLARES (name, type) in the log — ZERO data files touched
+    * at ANY table size. Reads from this version on surface the column
+    * as null (or as `defaultSql`, the Delta initial-default semantics:
+    * every row of every pre-add era fills, because absent-column fill
+    * is exactly what the q245 default machinery already does); history
+    * below the add is untouched. Later appends may materialize the
+    * column — stored and declared types then unify under the usual
+    * era-widening rules. `defaultSql` validates against the PRE-ADD
+    * live plan, so it may reference stored columns but never the added
+    * column itself, and a broken expression fails the DDL instead of
+    * every read. */
+  def addColumn(spark: SparkSession, table: String, name: String,
+      typeDdl: String, defaultSql: Option[String] = None): Int = {
+    require(!name.contains('.'),
+      s"add of struct leaf path '$name' is not supported — add a whole " +
+        "column (a struct-typed one if leaves are wanted)")
+    // a bad type string must fail the DDL, not the first read
+    org.apache.spark.sql.types.DataType.fromDDL(typeDdl)
+    commitLoop(spark, table, "add-column",
+      newAddedColumns = prevOpt => {
+        val prev = prevOpt.getOrElse(throw new IllegalStateException(
+          s"cannot add a column to never-committed table $table"))
+        require(!liveNames(spark, table, prev).contains(name),
+          s"column $name already exists")
+        Some(prev.addedColumns :+ (name -> typeDdl))
+      },
+      newDefaults = prevOpt => defaultSql.map { d =>
+        val prev = prevOpt.get
+        require(!exprRefs(spark, d).contains(name),
+          s"default for $name references itself")
+        readDispatch(spark, table, prev).limit(0).select(expr(d)).schema
+        prev.defaults.filterNot(_._1 == name) :+ (name -> d)
+      }) { prevOpt =>
+      val prev = prevOpt.get
+      (prev.manifests, prev.deletes, prev.renames, prev.drops)
     }
   }
 
@@ -2647,7 +2722,7 @@ object Snapshots {
       val dir = fs.head.split("/").dropRight(1).mkString("/")
       sch.fieldNames.filterNot(deadInDir(s, dir, _))
         .map(renamedName(s.renames, _))
-    }.toSet
+    }.toSet ++ s.addedColumns.map(_._1)
 
   /** The era-aware multi-schema scan keeping the reader columns: one
     * schema probe per commit dir, era names mapped through the rename
@@ -2676,7 +2751,17 @@ object Snapshots {
       StructType(era.filterNot(f => dead(f.name))
         .map(f => f.copy(name = renamedName(s.renames, f.name))))
     }
-    val target = widenSchemas(mappedSchemas)
+    // DECLARED added columns join the union target like one more era:
+    // if no file carries one yet it lands as an all-null (or DEFAULT-
+    // filled) slot; once appends materialize it, widenSchemas unifies
+    // the declared type with the stored one under the usual promotion
+    // rules
+    val addedSchema = StructType(s.addedColumns.map { case (n, t) =>
+      StructField(n, org.apache.spark.sql.types.DataType.fromDDL(t),
+        nullable = true) })
+    val target = widenSchemas(
+      if (addedSchema.isEmpty) mappedSchemas
+      else mappedSchemas :+ addedSchema)
     bySchema.map { case (fs, era, dead) =>
       // dropped era fields are EXCLUDED from the mapping: their bytes
       // stay in the files (time travel below the drop reads them) but
@@ -3278,7 +3363,8 @@ object Snapshots {
         newConstraints = _ => Some(target.constraints),
         newPartitionSpec = _ => Some(target.partitionSpec),
         newDefaults = _ => Some(target.defaults),
-        newProperties = _ => Some(target.properties)) { _ =>
+        newProperties = _ => Some(target.properties),
+        newAddedColumns = _ => Some(target.addedColumns)) { _ =>
       (target.manifests, target.deletes, target.renames, target.drops)
     }
   }
@@ -3419,7 +3505,8 @@ object Snapshots {
     commitLoop(spark, dst, "clone",
         newConstraints = _ => Some(constraints),
         newDefaults = _ => Some(s.defaults),
-        newProperties = _ => Some(s.properties)) { prev =>
+        newProperties = _ => Some(s.properties),
+        newAddedColumns = _ => Some(s.addedColumns)) { prev =>
       if (prev.nonEmpty) throw new IllegalStateException(
         s"shallow clone target $dst already has versions")
       (Seq(manifest), cloneDeletes, renames, drops)
@@ -3449,7 +3536,8 @@ object Snapshots {
     commitLoop(spark, dst, "fast-forward",
         newConstraints = _ => Some(constraints),
         newDefaults = _ => Some(s.defaults),
-        newProperties = _ => Some(s.properties)) { _ =>
+        newProperties = _ => Some(s.properties),
+        newAddedColumns = _ => Some(s.addedColumns)) { _ =>
       (Seq(manifest), cloneDeletes, renames, drops)
     }
   }
@@ -4328,7 +4416,8 @@ object Snapshots {
       newConstraints = _ => Some(head.constraints),
       newPartitionSpec = _ => Some(head.partitionSpec),
       newDefaults = _ => Some(head.defaults),
-      newProperties = _ => Some(head.properties)) { prev =>
+      newProperties = _ => Some(head.properties),
+      newAddedColumns = _ => Some(head.addedColumns)) { prev =>
       val mainV = prev.map(_.version).getOrElse(0)
       if (mainV > base) throw new IllegalStateException(
         s"fastForwardMain: main advanced to $mainV past branch " +

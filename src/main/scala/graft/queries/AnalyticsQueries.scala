@@ -722,7 +722,82 @@ object AnalyticsQueries {
       FROM ev ASOF LEFT JOIN ord
         ON ev.bucket = ord.bucket AND ord.o_orderdate <= ev.ts"""
 
+  /** Priority-sampling size and the hash-derived "uniform" denominator:
+    * u ≈ h/2^20 with h ∈ [1, 2^20] from the md5 word hash, so priorities
+    * q = w·2^20/h are EXACT longs (max w ≈ 6·10^7 cents × 2^20 ≈ 6·10^13,
+    * inside both the long range and double's 2^53 exact-integer window —
+    * the latter is what lets the TopKPairs heap carry them losslessly). */
+  private val PsK = 4
+  private val PsDenom = 1048576L
+
+  /** q279 — WEIGHTED SAMPLING WITHOUT REPLACEMENT at corpus scale:
+    * Duffield–Lund–Thorup priority sampling ("Priority sampling for
+    * estimation of arbitrary subset sums", JACM 2007). Each row gets
+    * priority q = w/u with u uniform in (0,1]; the k highest-priority
+    * rows per group are the sample, τ = the (k+1)-th priority, and the
+    * Horvitz–Thompson adjusted weight max(w, τ) makes any subset-sum
+    * estimate unbiased. Randomness is a DETERMINISTIC salted hash
+    * (reproducible pipelines, and the only way a cross-engine oracle
+    * can exist at all); all arithmetic is exact integer division.
+    *
+    * Scale shape: top-(k+1) per group via the native bounded-heap
+    * aggregate ([[graft.functions.TopKPairs]]) — O(k) state per group
+    * through MAP-SIDE partial aggregation, so 100 TB of rows reduce to
+    * k+1 pairs per group before the shuffle; the window-function
+    * formulation (the oracle) would shuffle every row. The weight
+    * join-back broadcasts the tiny sampled set against the corpus. */
+  def prioritySample(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextAnalysis.wordHash
+    val pr = Tables(spark, dir, "orders")
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        cents(col("o_totalprice")).as("w_cents"))
+      .withColumn("_h",
+        pmod(wordHash(concat(lit("ps:"), col("o_orderkey").cast("string"))),
+          lit(PsDenom)) + 1)
+      .withColumn("priority", expr(s"(w_cents * $PsDenom) DIV _h"))
+    val top = pr.groupBy("o_orderpriority")
+      .agg(graft.functions.TopKPairs.column(
+        col("priority").cast("double"), col("o_orderkey"), PsK + 1).as("_top"))
+      .select(col("o_orderpriority"), posexplode(col("_top")).as(Seq("_i", "_p")))
+      .select(col("o_orderpriority"), (col("_i") + 1).cast("long").as("rank"),
+        col("_p.id").as("o_orderkey"),
+        col("_p.score").cast("long").as("priority"))
+    // τ per group: the threshold priority; groups smaller than k+1 have
+    // none — their members were certain inclusions (adjusted weight = w)
+    val tau = top.filter(col("rank") === PsK + 1)
+      .select(col("o_orderpriority"), col("priority").as("_tau"))
+    val sampled = top.filter(col("rank") <= PsK)
+      .join(tau, Seq("o_orderpriority"), "left")
+    pr.join(broadcast(sampled),
+        Seq("o_orderkey", "o_orderpriority", "priority"))
+      .select(col("o_orderpriority"), col("rank"), col("o_orderkey"),
+        col("w_cents"), col("priority"),
+        greatest(col("w_cents"), coalesce(col("_tau"), lit(0L)))
+          .as("adj_cents"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q279_priority_sample", prioritySample, Some(s"""
+      WITH pr AS (
+        SELECT o_orderpriority, o_orderkey,
+          ${sqlCents("o_totalprice")} AS w_cents,
+          (${graft.text.TextAnalysis.sqlWordHash(
+            "'ps:' || CAST(o_orderkey AS VARCHAR)")} % $PsDenom) + 1 AS h
+        FROM orders),
+      p2 AS (SELECT *, (w_cents * $PsDenom) // h AS priority FROM pr),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+          ORDER BY priority DESC, o_orderkey) AS rank
+        FROM p2),
+      tau AS (
+        SELECT o_orderpriority,
+          max(CASE WHEN rank = ${PsK + 1} THEN priority END) AS tau
+        FROM ranked GROUP BY 1)
+      SELECT r.o_orderpriority, CAST(r.rank AS BIGINT) AS rank,
+        r.o_orderkey, r.w_cents, CAST(r.priority AS BIGINT) AS priority,
+        CAST(greatest(r.w_cents, coalesce(t.tau, 0)) AS BIGINT) AS adj_cents
+      FROM ranked r JOIN tau t ON t.o_orderpriority = r.o_orderpriority
+      WHERE r.rank <= $PsK""")),
     QueryDef("q136_metrics_unpivot", metricsUnpivot, Some(s"""
       WITH w AS (
         SELECT r_name, COUNT(*) AS n_orders,

@@ -3672,7 +3672,112 @@ object LayoutQueries {
       .withColumn("unprunable_unpruned", lit(unprunedOk))
   }
 
+  /** q278 — COLUMN DDL OVER PLAIN SPARK SQL (`ALTER TABLE … RENAME
+    * COLUMN` / `DROP COLUMN` against the V2 catalog): Spark's native
+    * parser already produces `TableChange.RenameColumn` /
+    * `DeleteColumn` for a catalog table — the catalog now routes them
+    * to the metadata-only name-chain commits of q171/q192
+    * ([[graft.lake.SnapshotCatalog.alterTable]]), so the whole column
+    * lifecycle is reachable without touching the Scala API. Both
+    * commits are O(log-entry): no file is read or rewritten at ANY
+    * table size, and history below the DDL keeps the old shape. The
+    * gate renames a column and drops another via SQL, appends under
+    * the new name (cross-era union), and pins that v1 still serves
+    * BOTH old columns while the live view lost exactly the dropped
+    * one. */
+  def alterColumnSql(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Snapshots
+    val root = graft.util.Scratch.dir("altsql", dir)
+    val table = s"$root/orders_ac"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+    val orders = Tables(spark, dir, "orders")
+    def channelOf(c: org.apache.spark.sql.Column) =
+      when(c % 3 === 0, lit("web")).otherwise(lit("store"))
+    Snapshots.append(spark, table,
+      orders.filter(col("o_orderkey") % 2 === 0)
+        .withColumn("o_chan", channelOf(col("o_orderkey")))
+        .withColumn("o_junk", lit(1L)))
+    // catalog names must be UNIQUE across the query surface: Spark's
+    // CatalogManager caches the instance (with its root) at first use,
+    // so a name reused by another query would silently serve THAT
+    // query's root here (the q252/q278 `ac_` collision this replaces)
+    val cat = s"acs_${Integer.toHexString(dir.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.lake.SnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"ALTER TABLE $cat.orders_ac RENAME COLUMN o_chan TO o_channel")
+    spark.sql(s"ALTER TABLE $cat.orders_ac DROP COLUMN o_junk")
+    Snapshots.append(spark, table,
+      orders.filter(col("o_orderkey") % 2 === 1)
+        .withColumn("o_channel", channelOf(col("o_orderkey"))))
+    val v1 = Snapshots.readAt(spark, table, 1).get
+    val historyIntact =
+      v1.columns.contains("o_chan") && v1.columns.contains("o_junk")
+    val live = spark.table(s"$cat.orders_ac")
+    val dropGone = !live.columns.contains("o_junk")
+    live.groupBy(col("o_channel"))
+      .agg(count(lit(1)).as("n_rows"),
+        Num.sumMoney(col("o_totalprice")).as("sum_price"))
+      .withColumn("history_intact", lit(historyIntact))
+      .withColumn("drop_gone", lit(dropGone))
+  }
+
+  /** q284 — `ALTER TABLE … ADD COLUMN` OVER PLAIN SPARK SQL (the Delta
+    * metadata-only add, [[graft.lake.Snapshots.addColumn]]): the commit
+    * DECLARES (name, type[, default]) in the log — zero data files
+    * touched at any table size. Reads from the add onward fill the
+    * column with null (or the DEFAULT, for every pre-add row — the
+    * initial-default semantics, riding the q245 absent-column fill);
+    * a later append materializes it and stored/declared types unify
+    * under era widening. The gate adds a null-filled column and a
+    * defaulted one via SQL, appends a second era that CARRIES both,
+    * and pins that v1 time travel still shows neither. */
+  def addColumnSql(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Snapshots
+    val root = graft.util.Scratch.dir("addsql", dir)
+    val table = s"$root/orders_add"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+    val orders = Tables(spark, dir, "orders")
+    Snapshots.append(spark, table, orders.filter(col("o_orderkey") % 2 === 0))
+    val cat = s"ad_${Integer.toHexString(dir.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.lake.SnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"ALTER TABLE $cat.orders_add ADD COLUMN chan STRING")
+    spark.sql(s"ALTER TABLE $cat.orders_add ADD COLUMN bonus BIGINT DEFAULT 7")
+    Snapshots.append(spark, table,
+      orders.filter(col("o_orderkey") % 2 === 1)
+        .withColumn("chan",
+          when(col("o_orderkey") % 3 === 0, lit("web")).otherwise(lit("store")))
+        .withColumn("bonus", lit(2L)))
+    val v1 = Snapshots.readAt(spark, table, 1).get
+    val historyIntact =
+      !v1.columns.contains("chan") && !v1.columns.contains("bonus")
+    spark.table(s"$cat.orders_add")
+      .groupBy(coalesce(col("chan"), lit("none")).as("chan"), col("bonus"))
+      .agg(count(lit(1)).as("n_rows"),
+        Num.sumMoney(col("o_totalprice")).as("sum_price"))
+      .withColumn("history_intact", lit(historyIntact))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q284_add_column_sql", addColumnSql, Some(s"""
+      SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'none'
+                  WHEN o_orderkey % 3 = 0 THEN 'web'
+                  ELSE 'store' END AS chan,
+             CAST(CASE WHEN o_orderkey % 2 = 0 THEN 7 ELSE 2 END
+               AS BIGINT) AS bonus,
+             COUNT(*) AS n_rows,
+             ${Num.sqlSumMoney("o_totalprice")} AS sum_price,
+             true AS history_intact
+      FROM orders GROUP BY 1, 2""")),
+    QueryDef("q278_alter_column_sql", alterColumnSql, Some(s"""
+      SELECT CASE WHEN o_orderkey % 3 = 0 THEN 'web' ELSE 'store' END
+               AS o_channel,
+             COUNT(*) AS n_rows,
+             ${Num.sqlSumMoney("o_totalprice")} AS sum_price,
+             true AS history_intact, true AS drop_gone
+      FROM orders GROUP BY 1""")),
     QueryDef("q237_equality_delete", equalityDelete, Some(s"""
       SELECT o_orderpriority, COUNT(*) AS n_rows,
              CAST(SUM(CAST(round((CASE WHEN o_orderkey % 10 = 0

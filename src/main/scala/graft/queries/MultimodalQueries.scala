@@ -961,6 +961,84 @@ object MultimodalQueries {
       CAST(SUM(CASE WHEN v < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
     FROM s GROUP BY doc_id, window_id"""
 
+  /** VAD threshold and hangover: a window is SPEECH-ACTIVE when its
+    * energy clears the threshold (≈ the corpus median, measured), and a
+    * segment keeps running through up to [[VadHangover]] sub-threshold
+    * windows after an active one — the hangover smoothing every
+    * production VAD applies so trailing fricatives/pauses don't shatter
+    * an utterance into fragments. */
+  private val VadThreshold = 8000000000L
+  private val VadHangover = 1
+
+  /** q282 — VOICE-ACTIVITY SEGMENT EXTRACTION over the PCM corpus: the
+    * speech-segmentation pass an audio training pipeline runs before
+    * transcription/embedding (energy gate → hangover smoothing →
+    * maximal-run merge). Builds on q93's exact per-window energies;
+    * activity, hangover, and the gaps-and-islands merge are all integer
+    * window functions PARTITIONED BY CLIP — per-clip state never leaves
+    * its partition, so 100 TB of audio segments with one doc-keyed
+    * shuffle and no global ordering anywhere. Output: one row per
+    * (clip, segment) with its window span and exact energy mass.
+    *
+    * (A production VAD swaps the energy gate for a model score per
+    * window; the segmentation lattice — threshold, hangover, merge —
+    * is exactly this query.) */
+  def vadSegments(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy("doc_id").orderBy("window_id")
+    pcmEnergy(spark, dir)
+      .withColumn("active",
+        when(col("sum_sq") >= VadThreshold, 1L).otherwise(0L))
+      // window ids are dense per clip, so a ROWS frame IS the
+      // H-window hangover lookback
+      .withColumn("kept",
+        max("active").over(byDoc.rowsBetween(-VadHangover, 0)))
+      .filter(col("kept") === 1)
+      .withColumn("grp", col("window_id") - row_number().over(byDoc))
+      .groupBy("doc_id", "grp")
+      .agg(min("window_id").as("seg_start"),
+        max("window_id").as("seg_end"),
+        count(lit(1)).as("n_windows"),
+        sum("active").as("n_active"),
+        sum("sum_sq").as("sum_energy"))
+      .select("doc_id", "seg_start", "seg_end", "n_windows", "n_active",
+        "sum_energy")
+  }
+
+  private val vadSegmentsOracle: String = s"""
+    WITH params AS (
+      SELECT doc_id, (doc_id % 2) + 1 AS ch, (doc_id % 50) + 10 AS frames
+      FROM documents),
+    s AS (
+      SELECT p.doc_id,
+        (i.i // p.ch) // $EnergyWindowFrames AS window_id,
+        ((2293 * i.i + 7919 * p.doc_id) % 65536) - 32768 AS v
+      FROM params p, range(120) i(i)
+      WHERE i.i < p.frames * p.ch),
+    w AS (
+      SELECT doc_id, CAST(window_id AS BIGINT) AS window_id,
+        SUM(v * v) AS sum_sq
+      FROM s GROUP BY 1, 2),
+    a AS (
+      SELECT *, CASE WHEN sum_sq >= $VadThreshold THEN 1 ELSE 0 END
+        AS active
+      FROM w),
+    k AS (
+      SELECT *, max(active) OVER (PARTITION BY doc_id ORDER BY window_id
+        ROWS BETWEEN $VadHangover PRECEDING AND CURRENT ROW) AS kept
+      FROM a),
+    g AS (
+      SELECT *, window_id - row_number() OVER (PARTITION BY doc_id
+        ORDER BY window_id) AS grp
+      FROM k WHERE kept = 1)
+    SELECT doc_id,
+      MIN(window_id) AS seg_start,
+      MAX(window_id) AS seg_end,
+      COUNT(*) AS n_windows,
+      CAST(SUM(active) AS BIGINT) AS n_active,
+      CAST(SUM(sum_sq) AS BIGINT) AS sum_energy
+    FROM g GROUP BY doc_id, grp"""
+
   /** q195 — integer-DFT SPECTRAL energy bins over the q93 windows
     * ([[graft.multimodal.AudioOps.spectralBins]]), the MFCC-skeleton
     * step after raw energy: per 16-frame window, the channel-0 DFT at
@@ -1870,6 +1948,7 @@ object MultimodalQueries {
     QueryDef("q91_pcm_decode", pcmDecode, Some(pcmOracle)),
     QueryDef("q92_pcm_decimate", pcmDecimate, Some(pcmDecimateOracle)),
     QueryDef("q93_pcm_energy", pcmEnergy, Some(pcmEnergyOracle)),
+    QueryDef("q282_vad_segments", vadSegments, Some(vadSegmentsOracle)),
     QueryDef("q195_pcm_spectral", pcmSpectral, Some(pcmSpectralOracle)),
     QueryDef("q94_video_frames", videoFrames, Some(videoFramesOracle)),
     QueryDef("q95_png_gray_decode", pngGrayDecode, Some(pngGrayOracle)),

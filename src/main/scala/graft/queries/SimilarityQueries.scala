@@ -22,6 +22,161 @@ object SimilarityQueries {
     df.select(col("query_id"), col("rank"), col("neighbor_id"),
       floor(col("cos_sim") * 1000000).as("cos_sim_e6"))
 
+  /** Quantization scale for the exact covariance: embedding floats carry
+    * ≤7 significant digits, so q = round(x·10³) keeps products and sums
+    * inside long range at gate scale while the ACCUMULATOR runs in
+    * DECIMAL(38,0)/HUGEINT ([[Num.sumBig]] discipline) — n·Σqq tops out
+    * near 10²⁴ at 10⁹ rows, far past 2⁶³ but comfortably inside 38
+    * digits; the BIGINT export is exact until ~10¹⁸ absolute value
+    * (≈10⁵× the sf0.1 magnitudes). */
+  private val CovScale = 1000
+
+  /** q280 — the REDUCE STEP OF DISTRIBUTED PCA, integer-exact: the d×d
+    * centered covariance numerator C_ij = n·Σxᵢxⱼ − Σxᵢ·Σxⱼ over the
+    * corpus embeddings, quantized so both engines agree bitwise. This is
+    * how PCA/whitening actually runs at 100 TB (d small, n huge): each
+    * row CONTRIBUTES its d(d+1)/2 upper-triangle products INLINE — a
+    * narrow generated-array pass with NO self-join and NO shuffle of the
+    * corpus; map-side partial aggregation reduces every partition to
+    * ≤d² running sums before the one tiny exchange (d²=4096 groups), the
+    * relational mirror of `treeAggregate(outer-product)`. The driver-side
+    * eigen solve on the 64×64 result is O(d³), independent of n
+    * (PcaSpec pins power-iteration recovery on this output).
+    *
+    * Scale shape: cost O(n·d²) compute, O(d²) shuffle bytes per
+    * partition, zero corpus movement — survives any n. The oracle
+    * computes the same sums via a components self-join (fine at sf0.01;
+    * the INLINE form is the scale path). */
+  def pcaCovariance(spark: SparkSession, dir: String): DataFrame = {
+    val q = graft.util.Par.ensure(Tables(spark, dir, "embeddings"))
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * CovScale).cast("long")).as("q"))
+    val nDf = q.agg(count(lit(1)).as("n"))
+    val sums = q.select(posexplode(col("q")).as(Seq("_p", "_x")))
+      .groupBy((col("_p") + 1).cast("long").as("i"))
+      .agg(Num.sumBig(col("_x")).as("si"))
+    val pairs = q.select(explode(flatten(transform(col("q"), (qi, i) =>
+        transform(slice(col("q"), i + lit(1), lit(Dim) - i), (qj, joff) =>
+          struct((i + 1).cast("long").as("i"),
+            (i + joff + 1).cast("long").as("j"),
+            (qi * qj).as("p")))))).as("pr"))
+      .groupBy(col("pr.i").as("i"), col("pr.j").as("j"))
+      .agg(Num.sumBig(col("pr.p")).as("sij"))
+    pairs
+      .join(sums.select(col("i"), col("si").as("_sa")), Seq("i"))
+      .join(sums.select(col("i").as("j"), col("si").as("_sb")), Seq("j"))
+      .crossJoin(broadcast(nDf))
+      .select(col("i"), col("j"),
+        (col("n") * col("sij") - col("_sa") * col("_sb"))
+          .cast("long").as("cov_num"))
+  }
+
+  private val pcaCovOracle = s"""
+      WITH qv AS (
+        SELECT vec_id, list_transform(embedding,
+          x -> CAST(round(x * $CovScale) AS BIGINT)) AS q
+        FROM embeddings),
+      comp AS (
+        SELECT vec_id, unnest(range(1, $Dim + 1)) AS i, q FROM qv),
+      c2 AS (SELECT vec_id, i, q[CAST(i AS INT)] AS x FROM comp),
+      nn AS (SELECT COUNT(*) AS n FROM qv),
+      s AS (SELECT i, SUM(x) AS si FROM c2 GROUP BY i),
+      g AS (SELECT a.i AS i, b.i AS j, SUM(a.x * b.x) AS sij
+            FROM c2 a JOIN c2 b ON b.vec_id = a.vec_id AND b.i >= a.i
+            GROUP BY 1, 2)
+      SELECT g.i, g.j,
+        CAST((SELECT n FROM nn) * g.sij - sa.si * sb.si AS BIGINT)
+          AS cov_num
+      FROM g JOIN s sa ON sa.i = g.i JOIN s sb ON sb.i = g.j"""
+
+  /** Range-search threshold (cosine) and cell count. The corpus is the
+    * embeddings table shifted into 10 WELL-SEPARATED clusters (+8.0 on
+    * dimension label·6, deterministic in both engines via exact
+    * float→double + dyadic-literal addition) — the geometry a curated
+    * near-dup corpus actually has, and the regime where metric-tree
+    * pruning pays; the raw table is isotropic noise where NO sound
+    * method can prune (max pairwise cosine ≈0.49, measured). */
+  private val RangeTheta = 0.9
+  private val RangeCells = 12
+
+  private def shiftedCorpus(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        x.cast("double") +
+          when(i === col("label") * 6, lit(8.0)).otherwise(lit(0.0)))
+        .as("v"))
+
+  /** q281 — ANN RANGE SEARCH (radius query) with PROVABLY COMPLETE cell
+    * pruning: return every corpus vector within cosine ≥ θ of each
+    * query. IVF cells (k-means) carry a per-cell COVERING RADIUS
+    * rad_c = max member distance to centroid (on the unit sphere,
+    * d(a,b) = √(2−2cos)); a query visits cell c only if
+    * d(q,c) ≤ r + rad_c + ε (triangle inequality, r = √(2−2θ)) — a cell
+    * skipped PROVABLY contains no answer, so results equal brute force
+    * EXACTLY (the oracle IS brute force; any unsound prune fails the
+    * hash gate). The ε slack absorbs fp rounding in the bound only —
+    * it can only unprune.
+    *
+    * Scale shape: candidate work is Σ|kept cells|, not n, and the kept
+    * count shrinks as cells tighten (more cells at bigger corpora —
+    * FAISS's nlist ∝ √n rule); the tiny (query × kept-cell) relation
+    * broadcasts against the cell-partitioned corpus — one equi-join,
+    * no corpus shuffle, same plan family as [[Similarity.ivfTopK]].
+    * The `pruned` column ATTESTS pruning happened (kept < q·cells). */
+  def ivfRangeSearch(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = shiftedCorpus(Tables(spark, dir, "embeddings"))
+    val cents = Similarity.kmeansCentroids(corpus, "vec_id", "v", RangeCells)
+    val assigned = Similarity.assignCells(corpus, "vec_id", "v", cents)
+    val centArr = array(cents.map(c => array(c.map(lit): _*)): _*)
+    val minCos = assigned
+      .select(col("cell"),
+        Similarity.cosine(col("v"), element_at(centArr, col("cell") + 1))
+          .as("_c"))
+      .groupBy("cell").agg(min("_c").as("mc")).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val rad = (0 until RangeCells).map(c =>
+      math.sqrt(math.max(0.0, 2.0 - 2.0 * minCos.getOrElse(c, 1.0))))
+    val r = math.sqrt(2.0 - 2.0 * RangeTheta)
+    val eps = 1e-6
+    val queries = corpus.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("v").as("_qv"))
+    val qcell = queries
+      .select(col("query_id"), col("_qv"),
+        posexplode(array((0 until RangeCells).map(c =>
+          Similarity.cosine(col("_qv"), array(cents(c).map(lit): _*))): _*))
+          .as(Seq("cell", "_qc")))
+      .filter(sqrt(greatest(lit(0.0), lit(2.0) - lit(2.0) * col("_qc"))) <=
+        lit(r + eps) + element_at(array(rad.map(lit): _*), col("cell") + 1))
+      .select(col("query_id"), col("_qv"), col("cell"))
+    val nq = queries.count()
+    val kept = qcell.count()
+    require(kept >= nq, s"every query must keep its own cell ($kept < $nq)")
+    val pruned = kept < nq * RangeCells
+    assigned.join(broadcast(qcell), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        Similarity.cosine(col("_qv"), col("v")).as("_cos"))
+      .filter(col("_cos") >= RangeTheta)
+      .select(col("query_id"), col("neighbor_id"),
+        floor(col("_cos") * 1000000).as("cos_sim_e6"))
+      .withColumn("pruned", lit(pruned))
+  }
+
+  private val ivfRangeOracle = {
+    val cos = Similarity.sqlCosine("q.v", "c.v")
+    s"""WITH sh AS (
+        SELECT vec_id, list_transform(embedding, (x, i) ->
+          CAST(x AS DOUBLE) +
+            CASE WHEN i - 1 = label * 6 THEN 8.0 ELSE 0.0 END) AS v
+        FROM embeddings)
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        CAST(floor($cos * 1000000) AS BIGINT) AS cos_sim_e6,
+        true AS pruned
+      FROM sh q JOIN sh c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < 20 AND $cos >= $RangeTheta"""
+  }
+
   def cosineTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir, "embeddings")
     e6(Similarity.bruteForceTopK(emb, queriesOf(emb), "vec_id", "embedding", K))
@@ -1142,6 +1297,9 @@ object SimilarityQueries {
       Some(hardNegativesOracle)),
     QueryDef("q256_ann_group_ingest", annGroupIngestQ,
       Some(annGroupIngestOracle)),
+    QueryDef("q280_pca_covariance", pcaCovariance, Some(pcaCovOracle)),
+    QueryDef("q281_ivf_range_search", ivfRangeSearch,
+      Some(ivfRangeOracle)),
     QueryDef("q24_cosine_topk", cosineTopK, Some(cosineTopKOracle)),
     QueryDef("q25_lsh_ann_topk", lshTopK, Some(lshTopKOracle)),
     QueryDef("q26_embedding_near_dups", embeddingNearDups,

@@ -893,7 +893,57 @@ object StreamingQueries {
     FROM ranked WHERE rank <= $ServeK"""
   }
 
+  /** q283 — STREAM–SNAPSHOT JOIN with PER-BATCH dimension re-resolution
+    * (Delta's stream–static join contract: the static side is read at
+    * its LATEST version for every micro-batch, not pinned at stream
+    * start — a plain `spark.read` frame captured in the plan would
+    * serve the launch-time file list forever). The fact stream is the
+    * q271 plain snapshot source; the dim table is OVERWRITTEN between
+    * fact versions, and the enriched sink pins that batch b joined dim
+    * state b — values a pinned static frame cannot produce. Broadcast
+    * join per batch: the dim is read fresh (KB log resolution + small
+    * files) and shipped once per micro-batch; the fact window never
+    * shuffles. The sink stays exactly-once under the batchId↔version
+    * bijection the source provides. */
+  def streamSnapshotJoin(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Snapshots
+    import graft.streaming.SnapshotStreamSource
+    val root = scratchDir("stream_q283", dir)
+    delete(root)
+    val facts = s"$root/facts"
+    val dim = s"$root/dim"
+    val sink = s"$root/sink"
+    val ckpt = s"$root/ckpt"
+    val orders = Tables(spark, dir, "orders")
+    val prios = orders.select(col("o_orderpriority")).distinct()
+    def slice(b: Int) = orders.filter(pmod(col("o_orderkey"), lit(3)) === b)
+    for (b <- 0 to 2) {
+      // dim state advances BETWEEN fact versions; each single-version
+      // run must observe the state current at ITS batch
+      Snapshots.overwrite(spark, dim,
+        prios.withColumn("bonus", lit(b + 1L)))
+      Snapshots.append(spark, facts, slice(b))
+      SnapshotStreamSource.runOnce(spark, facts, sink, ckpt,
+        enrich = rows => rows.join(
+          broadcast(Snapshots.readLatest(spark, dim).get),
+          Seq("o_orderpriority")))
+    }
+    Snapshots.readLatest(spark, sink).get
+      .groupBy(col("o_orderpriority"), col("bonus"))
+      .agg(count(lit(1)).as("n_rows"),
+        Num.sumMoney(col("o_totalprice")).as("sum_price"))
+  }
+
+  private val streamSnapshotJoinOracle: String = (0 to 2).map(b => s"""
+      SELECT o_orderpriority, CAST(${b + 1} AS BIGINT) AS bonus,
+             COUNT(*) AS n_rows,
+             ${Num.sqlSumMoney("o_totalprice")} AS sum_price
+      FROM orders WHERE o_orderkey % 3 = $b
+      GROUP BY 1""").mkString("\nUNION ALL\n")
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q283_stream_snapshot_join", streamSnapshotJoin,
+      Some(streamSnapshotJoinOracle)),
     QueryDef("q271_snapshot_source_stream", snapshotSourceStream, Some("""
       SELECT o.*, true AS one_version_per_batch, true AS resume_exact,
              true AS starting_version_ok, true AS dml_refused,

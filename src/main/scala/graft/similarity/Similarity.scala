@@ -139,7 +139,15 @@ object Similarity {
     corpus.select(col(vecCol))
       .orderBy(md5(col(idCol).cast("string")))
       .limit(nCells).collect()
-      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+      // element-wise dispatch: the corpus may carry float OR double
+      // vectors (q281's shifted corpus is double), and Seq's erasure
+      // means a typed getSeq would unbox-cast and throw on the mix
+      .map(_.getSeq[Any](0).toArray.map {
+        case f: Float => f.toDouble
+        case d: Double => d
+        case other => throw new IllegalArgumentException(
+          s"non-numeric vector element $other")
+      })
 
   /** Spherical k-means (Lloyd) refinement of the sampled centroids:
     * assign every corpus vector to its max-cosine centroid, recompute each

@@ -63,7 +63,13 @@ object SnapshotStreamSource {
       // batch-read baseline; the stream carries what came later).
       // Resolved once through the in-commit-timestamp index; wins over
       // `startingVersion` when set.
-      startingTimestampMs: Option[Long] = None): Unit = {
+      startingTimestampMs: Option[Long] = None,
+      // per-batch transform applied to the window's rows INSIDE
+      // foreachBatch — the hook for stream–static joins with Delta's
+      // re-resolution semantics: a closure that reads a snapshot table
+      // here sees that table's LATEST version at each batch, not the
+      // version pinned when the stream started (q283)
+      enrich: Dataset[Row] => Dataset[Row] = identity): Unit = {
     val fromVersion = startingTimestampMs match {
       case Some(ts) =>
         Snapshots.versionAtTimestamp(spark, table, ts).map(_ + 1)
@@ -91,7 +97,7 @@ object SnapshotStreamSource {
             // batchId↔version bijection holds under replay
             Snapshots.readLatest(spark, table).get.limit(0)
           }
-        Snapshots.append(spark, sinkTable, rows)
+        Snapshots.append(spark, sinkTable, enrich(rows))
       }
     val q = stream.writeStream
       .foreachBatch(writeBatch)
