@@ -1831,10 +1831,15 @@ object Snapshots {
     * the rewrite and clusters the replacement data
     * ([[appendPartitioned]]'s write contract). */
   def overwrite(spark: SparkSession, table: String, df: DataFrame,
-      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): Int = {
+      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
+      // property updates folded into the SAME commit — for state that
+      // must advance atomically with the rewrite (the materialized-view
+      // refresh frontier: a separate property commit would leave a
+      // crash window where the fold replays and double-counts)
+      propUpdates: Map[String, String] = Map.empty): Int = {
     val (clustered, stats) = honorSpec(spark, table, df, statsCols)
     overwriteStaged(spark, table, clustered, stats, bloomCols,
-      newSpec = None)
+      newSpec = None, propUpdates = propUpdates)
   }
 
   /** [[overwrite]] that RE-DECLARES the table's partition spec in the
@@ -1853,14 +1858,19 @@ object Snapshots {
 
   private def overwriteStaged(spark: SparkSession, table: String,
       df: DataFrame, statsCols: Seq[String], bloomCols: Seq[String],
-      newSpec: Option[Seq[String]]): Int = {
+      newSpec: Option[Seq[String]],
+      propUpdates: Map[String, String] = Map.empty): Int = {
     enforceConstraints(spark, table, df, "overwrite")
     val (staged, stagedStats, stagedBlooms, stagedSchemas) =
       stage(spark, table, df, statsCols, bloomCols)
     val mid = writeManifest(spark, table, staged, stagedStats, stagedBlooms,
       stagedSchemas)
     commitLoop(spark, table, "overwrite",
-      newPartitionSpec = _ => newSpec) { prev =>
+      newPartitionSpec = _ => newSpec,
+      newProperties = prevOpt =>
+        if (propUpdates.isEmpty) None
+        else Some(prevOpt.map(_.properties).getOrElse(Map.empty)
+          ++ propUpdates)) { prev =>
       guardRecycledNames(df, prev)
       // a full rewrite references ONLY fresh files: no pre-drop dirs
       // remain, so the drop ledger resets (the rename chain must stay —

@@ -69,6 +69,20 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+TAG\s+([A-Za-z0-9._-]+)\s*;?\s*$""".r
   private val FastForwardRe =
     """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+FAST\s+FORWARD\s+BRANCH\s+([A-Za-z0-9._-]+)\s*;?\s*$""".r
+  // CHECK constraint DDL (the Delta statements): existing data is
+  // validated at ADD (refuses naming the violation count), versions
+  // below a DROP still carry the constraint — q205's semantics over SQL
+  private val AddConstraintRe =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+CONSTRAINT\s+([A-Za-z0-9._-]+)\s+CHECK\s*\((.*)\)\s*;?\s*$""".r
+  private val DropConstraintRe =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+CONSTRAINT\s+([A-Za-z0-9._-]+)\s*;?\s*$""".r
+  // materialized views (the Databricks statements; the canonical-shape
+  // view SQL is validated by graft.lake.MaterializedViews.parseViewSql,
+  // whose FROM table is resolved against the SAME catalog confs)
+  private val CreateMvRe =
+    """(?is)^\s*CREATE\s+MATERIALIZED\s+VIEW\s+([\w.]+)\s+AS\s+(SELECT\s.+)$""".r
+  private val RefreshMvRe =
+    """(?is)^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+([\w.]+)\s*;?\s*$""".r
   // column DEFAULT DDL. Spark HAS grammar for these two (V2 ALTER
   // COLUMN), so unlike every other intercept they match only when the
   // catalog is a REGISTERED snapshot catalog and fall through verbatim
@@ -114,6 +128,12 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   }
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case CreateMvRe(mv, view) =>
+      CreateMaterializedViewCommand(path(mv), view.trim)
+    case RefreshMvRe(mv) => RefreshMaterializedViewCommand(path(mv))
+    case AddConstraintRe(t, n, check) =>
+      AddConstraintCommand(path(t), n, check.trim)
+    case DropConstraintRe(t, n) => DropConstraintCommand(path(t), n)
     case CloneRe(dst, src, ver) =>
       ShallowCloneCommand(path(src), path(dst), Option(ver).map(_.toInt))
     case OptimizeRe(t) => OptimizeTableCommand(path(t))
@@ -352,4 +372,57 @@ case class VacuumTableCommand(table: String, retain: Int)
     Snapshots.vacuum(spark, table, keepFrom)
     Seq(Row(keepFrom.toLong))
   }
+}
+
+/** `CREATE MATERIALIZED VIEW cat.mv AS SELECT …` →
+  * [[graft.lake.MaterializedViews.create]]: the view materializes at
+  * the source's current head and its definition pins itself in the
+  * MV's table properties. The view SQL's FROM table resolves against
+  * the same `spark.sql.catalog.<name>.root` confs the parser uses.
+  * Returns the MV's published version. */
+case class CreateMaterializedViewCommand(mv: String, viewSql: String)
+    extends LeafRunnableCommand with VersionOutput {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val d = graft.lake.MaterializedViews.parseViewSql(viewSql)
+    val parts = d.srcIdent.split("\\.")
+    require(parts.length >= 2, "materialized view sources need a " +
+      s"catalog-qualified table name, got '${d.srcIdent}'")
+    val root = spark.conf.getOption(s"spark.sql.catalog.${parts.head}.root")
+      .getOrElse(throw new IllegalArgumentException(
+        s"'${parts.head}' is not a registered snapshot catalog"))
+    val src = parts.tail.mkString(s"$root/", "/", "")
+    Seq(Row(graft.lake.MaterializedViews
+      .create(spark, mv, src, viewSql).toLong))
+  }
+}
+
+/** `REFRESH MATERIALIZED VIEW cat.mv` →
+  * [[graft.lake.MaterializedViews.refresh]]: one change-feed pass over
+  * the source versions since the last refresh, folded into the stored
+  * view — O(feed + view), never a base recompute. Returns the MV
+  * version serving the refreshed state. */
+case class RefreshMaterializedViewCommand(mv: String)
+    extends LeafRunnableCommand with VersionOutput {
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(graft.lake.MaterializedViews.refresh(spark, mv).toLong))
+}
+
+/** `ALTER TABLE cat.t ADD CONSTRAINT name CHECK (expr)` →
+  * [[Snapshots.addConstraint]] (the Delta statement): existing data is
+  * validated first — a violated ADD refuses naming the row count, no
+  * version burned. Returns the new version. */
+case class AddConstraintCommand(table: String, name: String,
+    checkSql: String) extends LeafRunnableCommand with VersionOutput {
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(Snapshots.addConstraint(spark, table, name, checkSql).toLong))
+}
+
+/** `ALTER TABLE cat.t DROP CONSTRAINT name` →
+  * [[Snapshots.dropConstraint]]; versions below the drop still carry
+  * the constraint (time travel shows the set in force at each
+  * version). Returns the new version. */
+case class DropConstraintCommand(table: String, name: String)
+    extends LeafRunnableCommand with VersionOutput {
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(Snapshots.dropConstraint(spark, table, name).toLong))
 }

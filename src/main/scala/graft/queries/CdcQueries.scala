@@ -702,7 +702,71 @@ object CdcQueries {
            true AS in_sync, true AS physically_erased
     FROM customer WHERE c_custkey % 97 <> 13 GROUP BY 1"""
 
+  /** q285 — MATERIALIZED VIEWS OVER PLAIN SQL
+    * ([[graft.lake.MaterializedViews]], the first-class form of q215's
+    * hand fold): `CREATE MATERIALIZED VIEW` pins (source, view SQL,
+    * last folded version) in the MV's own table properties;
+    * `REFRESH MATERIALIZED VIEW` folds ONE change-feed pass over the
+    * source versions since — insert adds, delete subtracts, an
+    * update's pair moves its row across groups — at O(feed + view)
+    * cost, never a base recompute. The gate creates the view, drives
+    * the source through append + predicate DELETE + group-moving
+    * UPDATE, refreshes once, and pins (a) row-exact equality with the
+    * direct recompute of the final state (`matches_recompute`, a
+    * full-outer diff) and (b) that a refresh with no source movement
+    * publishes NOTHING (`noop_stable` — idempotent cron refreshes). */
+  def materializedViewSql(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Snapshots
+    import graft.queries.Num.cents
+    val root = graft.util.Scratch.dir("mvsql", dir)
+    val table = s"$root/orders_src"
+    val mv = s"$root/rev_mv"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(mv))
+    val orders = graft.util.Par.ensure(Tables(spark, dir, "orders"))
+    Snapshots.append(spark, table, orders.filter(col("o_orderkey") % 2 === 0))
+    val cat = s"mvq_${Integer.toHexString(dir.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.lake.SnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"""CREATE MATERIALIZED VIEW $cat.rev_mv AS
+      SELECT o_orderpriority, COUNT(*) AS n_rows,
+        SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS sum_cents
+      FROM $cat.orders_src GROUP BY o_orderpriority""")
+    Snapshots.append(spark, table, orders.filter(col("o_orderkey") % 2 === 1))
+    Snapshots.deleteWhere(spark, table, col("o_orderkey") % 5 === 0)
+    Snapshots.updateWhere(spark, table, col("o_totalprice") < 50000,
+      Map("o_orderpriority" -> lit("9-X")))
+    spark.sql(s"REFRESH MATERIALIZED VIEW $cat.rev_mv")
+    val served = Snapshots.readLatest(spark, mv).get
+      .select("o_orderpriority", "n_rows", "sum_cents")
+    val direct = Snapshots.readLatest(spark, table).get
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n2"), sum(cents(col("o_totalprice"))).as("c2"))
+    val mismatches = served.join(direct, Seq("o_orderpriority"), "full_outer")
+      .filter(col("n_rows").isNull || col("n2").isNull ||
+        col("n_rows") =!= col("n2") || col("sum_cents") =!= col("c2"))
+      .count()
+    val vServed = Snapshots.latestVersion(spark, mv).get
+    spark.sql(s"REFRESH MATERIALIZED VIEW $cat.rev_mv")
+    val noopStable = Snapshots.latestVersion(spark, mv).contains(vServed)
+    served
+      .withColumn("matches_recompute", lit(mismatches == 0))
+      .withColumn("noop_stable", lit(noopStable))
+  }
+
+  private val mvSqlOracle: String = s"""
+    SELECT CASE WHEN o_totalprice < 50000 THEN '9-X'
+                ELSE o_orderpriority END AS o_orderpriority,
+           COUNT(*) AS n_rows,
+           CAST(SUM(${graft.queries.Num.sqlCents("o_totalprice")}) AS BIGINT)
+             AS sum_cents,
+           true AS matches_recompute, true AS noop_stable
+    FROM orders WHERE o_orderkey % 5 <> 0 GROUP BY 1"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q285_materialized_view_sql", materializedViewSql,
+      Some(mvSqlOracle)),
     QueryDef("q222_gdpr_lake_erasure", gdprLakeErasure,
       Some(gdprLakeOracle)),
     QueryDef("q215_cdf_materialized_view", cdfMaterializedView,

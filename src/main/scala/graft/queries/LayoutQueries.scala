@@ -3760,7 +3760,59 @@ object LayoutQueries {
       .withColumn("history_intact", lit(historyIntact))
   }
 
+  /** q287 — CHECK CONSTRAINT DDL OVER SQL (`ALTER TABLE … ADD
+    * CONSTRAINT name CHECK (…)` / `DROP CONSTRAINT name`, the Delta
+    * statements over q205's machinery): ADD validates EXISTING data
+    * first — a violated add refuses naming the row count with no
+    * version burned; while in force, a violating append refuses whole;
+    * DROP re-opens the gate and versions below it still carry the
+    * constraint for time travel. The gate walks the full lifecycle and
+    * lands every row exactly once — a refused-append leak or a
+    * post-drop loss would shift the aggregate. */
+  def constraintSql(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Snapshots
+    val root = graft.util.Scratch.dir("cksql", dir)
+    val table = s"$root/orders_ck"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+    val orders = Tables(spark, dir, "orders")
+    val cheap = col("o_totalprice") < 300000
+    Snapshots.append(spark, table,
+      orders.filter(cheap && col("o_orderkey") % 2 === 0))
+    val cat = s"cksql_${Integer.toHexString(dir.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.lake.SnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"ALTER TABLE $cat.orders_ck ADD CONSTRAINT price_band " +
+      "CHECK (o_totalprice < 300000)")
+    val appendRefused = scala.util.Try(Snapshots.append(spark, table,
+      orders.filter(!cheap).limit(5))).isFailure
+    val before = Snapshots.latestVersion(spark, table).get
+    val violatedAddRefused = scala.util.Try(spark.sql(
+      s"ALTER TABLE $cat.orders_ck ADD CONSTRAINT impossible " +
+        "CHECK (o_totalprice < 0)")).isFailure &&
+      Snapshots.latestVersion(spark, table).contains(before)
+    Snapshots.append(spark, table,
+      orders.filter(cheap && col("o_orderkey") % 2 === 1))
+    spark.sql(s"ALTER TABLE $cat.orders_ck DROP CONSTRAINT price_band")
+    Snapshots.append(spark, table, orders.filter(!cheap))
+    val vAdd = Snapshots.snapshot(spark, table, before).get
+    val historyCarries = vAdd.constraints.exists(_._1 == "price_band")
+    Snapshots.readLatest(spark, table).get
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_rows"),
+        Num.sumMoney(col("o_totalprice")).as("sum_price"))
+      .withColumn("append_refused", lit(appendRefused))
+      .withColumn("violated_add_refused", lit(violatedAddRefused))
+      .withColumn("history_carries", lit(historyCarries))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q287_constraint_sql", constraintSql, Some(s"""
+      SELECT o_orderpriority, COUNT(*) AS n_rows,
+             ${Num.sqlSumMoney("o_totalprice")} AS sum_price,
+             true AS append_refused, true AS violated_add_refused,
+             true AS history_carries
+      FROM orders GROUP BY 1""")),
     QueryDef("q284_add_column_sql", addColumnSql, Some(s"""
       SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'none'
                   WHEN o_orderkey % 3 = 0 THEN 'web'

@@ -845,17 +845,86 @@ object TextQueries {
   def bpeMerges(spark: SparkSession, dir: String): DataFrame =
     bpeLoop(spark, dir)._2
 
+  /** q286 — BPE corpus ENCODING with the trained merge table (the pass
+    * that actually tokenizes a training dataset: q145/q194 learn the
+    * rules, this APPLIES them to every document). The scale discipline
+    * is per-DISTINCT-word encoding: merges apply over the word
+    * vocabulary (Zipf: vocab ≪ corpus — HF `tokenizers` caches word
+    * encodings the same way), then one equi-join carries each word's
+    * encoding back to its corpus positions; corpus-side cost is the
+    * join, never the merge chain. Each rank-ordered rule re-enters as a
+    * broadcast 1-row cross join (the q145 rule: never a driver
+    * constant), applied with the same doubled-separator replace that
+    * makes greedy leftmost non-overlapping merging engine-portable.
+    * Output per document: word count, BPE token count, and an
+    * order-insensitive digest of the encoded word multiset — a
+    * mis-merged single word anywhere in the corpus shifts its doc's
+    * digest and fails the hash gate. */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextAnalysis.wordHash
+    val rules = bpeLoop(spark, dir)._3
+    val docs = graft.util.Par.ensure(Tables(spark, dir, "documents"))
+      .filter(length(trim(col("text"))) > 0)
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    var uniq = toks.select(col("tok")).distinct()
+      .select(col("tok"),
+        trim(regexp_replace(col("tok"), "(.)", "$1 ")).as("seq"))
+    rules.foreach { rule =>
+      uniq = uniq.crossJoin(broadcast(rule))
+        .select(col("tok"), expr("""trim(replace(replace(
+            ' ' || replace(seq, ' ', '  ') || ' ',
+            ' ' || a || '  ' || b || ' ',
+            ' ' || a || b || ' '), '  ', ' '))""").as("seq"))
+    }
+    toks.join(uniq, Seq("tok"))
+      .select(col("doc_id"),
+        size(split(col("seq"), " ")).cast("long").as("_n"),
+        wordHash(col("seq")).as("_h"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("_n").as("n_tokens"),
+        sum("_h").as("words_digest"))
+  }
+
+  private def bpeEncodeOracle: String = {
+    val encodeStages = (1 to BpeIters).map { i =>
+      s"""u$i AS (
+        SELECT tok, trim(replace(replace(
+            ' ' || replace(seq, ' ', '  ') || ' ',
+            ' ' || a || '  ' || b || ' ',
+            ' ' || a || b || ' '), '  ', ' ')) AS seq
+        FROM u${i - 1}, t$i)"""
+    }.mkString(",\n      ")
+    s"""
+      $bpeCtes,
+      d AS (
+        SELECT doc_id, unnest(${sqlTokens("text")}) AS tok
+        FROM documents WHERE length(trim(text)) > 0),
+      u0 AS (
+        SELECT DISTINCT tok,
+          trim(regexp_replace(tok, '(.)', '\\1 ', 'g')) AS seq
+        FROM d),
+      $encodeStages
+      SELECT d.doc_id, COUNT(*) AS n_words,
+        CAST(SUM(len(string_split(u.seq, ' '))) AS BIGINT) AS n_tokens,
+        CAST(SUM(${sqlWordHash("u.seq")}) AS BIGINT) AS words_digest
+      FROM d JOIN u$BpeIters u USING (tok)
+      GROUP BY d.doc_id"""
+  }
+
   /** Shared BPE merge loop: returns (final word-frequency relation after
-    * [[BpeIters]] merges, per-iteration merge-rule attestation rows).
-    * q145 grades the rules; q146 grades the encoded vocabulary. */
+    * [[BpeIters]] merges, per-iteration merge-rule attestation rows,
+    * the per-iteration 1-row rule frames in rank order). q145 grades the
+    * rules; q146 grades the encoded vocabulary; q286 APPLIES the rules
+    * to encode the corpus. */
   private def bpeLoop(spark: SparkSession,
-                      dir: String): (DataFrame, DataFrame) = {
+                      dir: String): (DataFrame, DataFrame, Seq[DataFrame]) = {
     val seqCol = trim(regexp_replace(col("tok"), "(.)", "$1 "))
     var words = Tables(spark, dir, "documents")
       .select(explode(tokens(col("text"))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("freq"))
       .select(seqCol.as("seq"), col("freq"))
     var out: DataFrame = null
+    val rules = Seq.newBuilder[DataFrame]
     for (i <- 1 to BpeIters) {
       val t = split(col("seq"), " ")
       val pairs = words
@@ -877,8 +946,9 @@ object TextQueries {
         .select(lit(i).as("iter"), col("a"), col("b"), col("cnt"),
           col("symbols_after"))
       out = if (out == null) row else out.unionByName(row)
+      rules += top.select(col("a"), col("b"))
     }
-    (words, out)
+    (words, out, rules.result())
   }
 
   /** Vocab budget for q194 and the unroll cap its static oracle carries.
@@ -1403,6 +1473,7 @@ object TextQueries {
     QueryDef("q198_ngram_lm_filter", ngramLmFilter(_, _),
       Some(ngramLmOracle)),
     QueryDef("q145_bpe_merges", bpeMerges, Some(bpeOracle)),
+    QueryDef("q286_bpe_encode", bpeEncode, Some(bpeEncodeOracle)),
     QueryDef("q146_bpe_vocab", bpeVocab, Some(bpeVocabOracle)),
     QueryDef("q194_bpe_vocab_budget", bpeTrainToBudget(_, _),
       Some(bpeBudgetOracle)),
