@@ -3108,6 +3108,51 @@ object Snapshots {
     }
   }
 
+  /** REPLACE WHERE (Delta's `replaceWhere` / Spark's `INSERT INTO …
+    * REPLACE WHERE` V2 overwrite-by-expression): atomically replace the
+    * rows matching `pred` with `df` — ONE commit carrying BOTH the
+    * tombstones for current matches (the [[deleteWhere]] merge-on-read
+    * leg, O(matches)) and the staged new files. No reader can ever see
+    * the window half-swapped, and a crash between "delete" and "insert"
+    * cannot exist because there is no between. Incoming rows must ALL
+    * match the predicate (the Delta guard: an "overwrite of March" that
+    * smuggles April rows corrupts the very invariant the caller is
+    * stating); predicate and data speak CURRENT column names. */
+  def replaceWhere(spark: SparkSession, table: String,
+      pred: org.apache.spark.sql.Column, df: DataFrame,
+      statsCols: Seq[String] = Nil): Int = {
+    val offending = df.filter(!coalesce(pred, lit(false))).limit(1).count()
+    require(offending == 0,
+      "replaceWhere: incoming rows must all satisfy the predicate — " +
+        "a row outside the replaced window would silently survive the " +
+        "next replace of ITS window twice")
+    enforceConstraints(spark, table, df, "replaceWhere")
+    val (clustered, stats) = honorSpec(spark, table, df, statsCols)
+    val (staged, stagedStats, stagedBlooms, stagedSchemas) =
+      stage(spark, table, clustered, stats)
+    val mid = writeManifest(spark, table, staged, stagedStats,
+      stagedBlooms, stagedSchemas)
+    commitLoop(spark, table, "replace-where") { prev =>
+      guardRecycledNames(df, prev)
+      val prevFiles = prev.map(_.files).getOrElse(Nil)
+      val prevDeletes = prev.map(_.deletes).getOrElse(Nil)
+      val newDeletes: Seq[String] =
+        if (prevFiles.isEmpty) Nil
+        else {
+          val live = subtractDeletes(spark, table,
+            withMetaEras(spark, table, prev.get), prevDeletes,
+            prev.get.renames)
+          val tomb = live.filter(pred)
+            .select(col("_snap_file").as("file"), col("_snap_pos").as("pos"))
+          writeDeletes(spark, table, tomb)
+        }
+      (prev.map(_.manifests).getOrElse(Nil) :+ mid,
+        prevDeletes ++ newDeletes,
+        prev.map(_.renames).getOrElse(Nil),
+        prev.map(_.drops).getOrElse(Nil))
+    }
+  }
+
   /** METADATA-ACCELERATED predicate DELETE for interval predicates —
     * the retention-delete shape (`DELETE WHERE days(ts) < cutoff`, the
     * single most common DELETE a 100 TB table runs). [[deleteWhere]]

@@ -155,9 +155,11 @@ case class SnapshotDmlRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           if query.resolved && a.outputResolved =>
         targetPath(r).map(p => SnapshotInsertCommand(p, query,
           r.output.map(_.name), overwrite = false): LogicalPlan).getOrElse(a)
-      // INSERT OVERWRITE TABLE → overwrite commit (full-table truncate
-      // semantics only — the deleteExpr must be the literal TRUE Spark
-      // plans for an unpartitioned static overwrite)
+      // INSERT OVERWRITE TABLE → overwrite commit (literal-TRUE
+      // deleteExpr, the unpartitioned static overwrite Spark plans);
+      // INSERT INTO … REPLACE WHERE cond → ONE atomic replace-where
+      // commit (tombstones for current matches + the staged insert —
+      // Delta's replaceWhere; no reader sees the window half-swapped)
       case o @ OverwriteByExpression(r: DataSourceV2Relation, deleteExpr,
           query, _, _, _, _) if query.resolved && o.outputResolved =>
         targetPath(r).map { p =>
@@ -166,12 +168,15 @@ case class SnapshotDmlRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
               org.apache.spark.sql.types.BooleanType) => true
             case _ => false
           }
-          if (!isTruncate) throw new UnsupportedOperationException(
-            "INSERT OVERWRITE on a snapshot table supports full-table " +
-              s"overwrite only; got filter ${deleteExpr.sql} — use " +
-              "DELETE FROM + INSERT INTO for partial rewrites")
-          SnapshotInsertCommand(p, query, r.output.map(_.name),
-            overwrite = true): LogicalPlan
+          if (isTruncate)
+            SnapshotInsertCommand(p, query, r.output.map(_.name),
+              overwrite = true): LogicalPlan
+          else
+            // re-parse by SQL text so the predicate re-resolves by NAME
+            // against the era-aware live view inside the commit (the
+            // relation's attribute ids mean nothing there)
+            SnapshotReplaceWhereCommand(p, query, r.output.map(_.name),
+              deleteExpr.sql): LogicalPlan
         }.getOrElse(o)
       // CREATE TABLE … AS SELECT → first append commit of a NEW table
       // (the log has no schema-only commits, so the DDL surface is CTAS,
@@ -921,6 +926,20 @@ case class SnapshotInsertCommand(path: String, query: LogicalPlan,
     val df = GraftSqlBridge.ofRows(session, query).toDF(targetCols: _*)
     if (overwrite) Snapshots.overwrite(session, path, df)
     else Snapshots.append(session, path, df)
+    Seq.empty
+  }
+}
+
+/** `INSERT INTO … REPLACE WHERE cond` → [[Snapshots.replaceWhere]]:
+  * one atomic commit replacing exactly the predicate's rows with the
+  * query's (which must all satisfy it — the command surfaces the
+  * engine's guard). */
+case class SnapshotReplaceWhereCommand(path: String, query: LogicalPlan,
+    targetCols: Seq[String], condSql: String) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val df = GraftSqlBridge.ofRows(session, query).toDF(targetCols: _*)
+    Snapshots.replaceWhere(session, path,
+      org.apache.spark.sql.functions.expr(condSql), df)
     Seq.empty
   }
 }

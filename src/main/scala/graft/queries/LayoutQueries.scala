@@ -3806,7 +3806,57 @@ object LayoutQueries {
       .withColumn("history_carries", lit(historyCarries))
   }
 
+  /** q288 — `INSERT INTO … REPLACE WHERE` (Delta's replaceWhere — the
+    * partition-window backfill every nightly pipeline runs, as ONE
+    * atomic commit): the statement's predicate rows are tombstoned
+    * (merge-on-read, O(matches)) and the query's rows staged in the
+    * SAME version — no reader ever sees the window half-swapped, and
+    * there is no delete/insert seam for a crash to land in
+    * ([[graft.lake.Snapshots.replaceWhere]]). Incoming rows must all
+    * satisfy the predicate (the Delta guard — `guard_refuses` pins a
+    * smuggling statement failing whole, version unburned);
+    * `single_commit` pins the atomicity structurally. The gate
+    * backfills one priority window with adjusted prices reading from
+    * the table itself. */
+  def replaceWhereSql(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Snapshots
+    val root = graft.util.Scratch.dir("rwsql", dir)
+    val table = s"$root/orders_rw"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+    val orders = Tables(spark, dir, "orders")
+    Snapshots.append(spark, table, orders)
+    val cat = s"rwsql_${Integer.toHexString(dir.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.lake.SnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val before = Snapshots.latestVersion(spark, table).get
+    val guardRefuses = scala.util.Try(spark.sql(s"""
+      INSERT INTO $cat.orders_rw REPLACE WHERE o_orderpriority = '1-URGENT'
+      SELECT * FROM $cat.orders_rw WHERE o_orderpriority = '2-HIGH'""")
+    ).isFailure && Snapshots.latestVersion(spark, table).contains(before)
+    spark.sql(s"""
+      INSERT INTO $cat.orders_rw REPLACE WHERE o_orderpriority = '1-URGENT'
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice + 10,
+             o_orderdate, o_orderpriority
+      FROM $cat.orders_rw WHERE o_orderpriority = '1-URGENT'""")
+    val singleCommit =
+      Snapshots.latestVersion(spark, table).contains(before + 1)
+    Snapshots.readLatest(spark, table).get
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_rows"),
+        Num.sumMoney(col("o_totalprice")).as("sum_price"))
+      .withColumn("guard_refuses", lit(guardRefuses))
+      .withColumn("single_commit", lit(singleCommit))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q288_replace_where_sql", replaceWhereSql, Some(s"""
+      SELECT o_orderpriority, COUNT(*) AS n_rows,
+             ${Num.sqlSumMoney(
+               """o_totalprice + CASE WHEN o_orderpriority = '1-URGENT'
+                  THEN 10 ELSE 0 END""")} AS sum_price,
+             true AS guard_refuses, true AS single_commit
+      FROM orders GROUP BY 1""")),
     QueryDef("q287_constraint_sql", constraintSql, Some(s"""
       SELECT o_orderpriority, COUNT(*) AS n_rows,
              ${Num.sqlSumMoney("o_totalprice")} AS sum_price,
