@@ -4597,10 +4597,27 @@ object Snapshots {
     }
     val snapRoot = new org.apache.hadoop.fs.Path(s"$table/_snap")
     val fs = snapRoot.getFileSystem(conf)
+    // ORPHAN GRACE (the Delta vacuum retention-threshold discipline,
+    // applied to the one genuinely ambiguous bucket): an UNREFERENCED
+    // _snap dir is either a vacuumed version's leftovers or a crashed
+    // staging — both safe to reap — or a CONCURRENT writer's staged-
+    // but-uncommitted files, which a reap would silently amputate from
+    // its commit. Age disambiguates: with `graft.vacuum.graceMs` set,
+    // unreferenced dirs younger than the grace survive this vacuum and
+    // fall to a later one. Referenced-dir file-granular reaping below
+    // needs no guard — commits stage into their OWN fresh dir, never
+    // into an existing one, so dead files inside live dirs are always
+    // vacuumed-version debris.
+    val graceMs = tableProperties(spark, table)
+      .get("graft.vacuum.graceMs").flatMap(_.toLongOption).getOrElse(0L)
+    val nowMs = System.currentTimeMillis()
     if (fs.exists(snapRoot))
       fs.listStatus(snapRoot).foreach { st =>
         val dirName = st.getPath.getName
-        if (!liveDirs.contains(dirName)) fs.delete(st.getPath, true)
+        if (!liveDirs.contains(dirName)) {
+          if (nowMs - st.getModificationTime >= graceMs)
+            fs.delete(st.getPath, true)
+        }
         else if (liveFiles.contains(s"_snap/$dirName")) ()
         // ^ whole-dir reference (equality delete): keys + scope live as
         //   a unit until no kept version names the dir

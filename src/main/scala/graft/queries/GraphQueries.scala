@@ -230,7 +230,64 @@ object GraphQueries {
       SELECT CAST(node AS BIGINT) AS node, label FROM l$LpaIters"""
   }
 
+  /** q289 — 2-HOP NEIGHBORHOOD FEATURES over the purchase graph (the
+    * graph-feature extraction a GNN/recsys training pipeline runs per
+    * node): for every customer, the out-degree (distinct parts), the
+    * co-purchase cohort size (distinct customers sharing ≥1 part), and
+    * the cohort's total degree mass — all exact integers. Two
+    * relational supersteps: edges ⋈ edges on the part key (the wedge
+    * join), then a per-source aggregate; degree mass joins the degree
+    * relation back on the DISTINCT cohort pairs so shared parts never
+    * double-count a neighbor.
+    *
+    * Scale shape: the wedge join's cost is Σ_part deg(part)² — the
+    * triangle-counting bound, governed by hub parts. At 100 TB the
+    * standard cures compose (degree-capped wedges like q142's
+    * degree-ordering, or hub salting via [[graft.util.Skew]]); at gate
+    * scale the honest exact join is the point. Distinct-before-join
+    * keeps the cohort relation a set, so the degree join is
+    * |cohort pairs|, not |wedges|. */
+  def khopFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Tables(spark, dir, "lineitem")
+      .join(Tables(spark, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").cast("long").as("cust"),
+        col("l_partkey").cast("long").as("part"))
+      .distinct()
+    val deg = edges.groupBy(col("cust").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    val cohort = edges.as("a")
+      .join(edges.as("b"), col("a.part") === col("b.part"))
+      .filter(col("a.cust") =!= col("b.cust"))
+      .select(col("a.cust").as("cust"), col("b.cust").as("peer"))
+      .distinct()
+    cohort.join(deg.select(col("node").as("peer"), col("deg")), Seq("peer"))
+      .groupBy("cust")
+      .agg(count(lit(1)).as("n_cohort"), sum("deg").as("cohort_degree"))
+      .join(deg.select(col("node").as("cust"), col("deg").as("out_degree")),
+        Seq("cust"))
+      .select("cust", "out_degree", "n_cohort", "cohort_degree")
+  }
+
+  private val khopOracle: String = """
+      WITH e AS (
+        SELECT DISTINCT CAST(o_custkey AS BIGINT) AS cust,
+          CAST(l_partkey AS BIGINT) AS part
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      deg AS (SELECT cust AS node, COUNT(*) AS deg FROM e GROUP BY 1),
+      cohort AS (
+        SELECT DISTINCT a.cust AS cust, b.cust AS peer
+        FROM e a JOIN e b ON b.part = a.part AND b.cust <> a.cust)
+      SELECT c.cust, d2.deg AS out_degree,
+        COUNT(*) AS n_cohort,
+        CAST(SUM(d.deg) AS BIGINT) AS cohort_degree
+      FROM cohort c
+      JOIN deg d ON d.node = c.peer
+      JOIN deg d2 ON d2.node = c.cust
+      GROUP BY 1, 2"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q289_khop_features", khopFeatures, Some(khopOracle)),
     QueryDef("q127_pagerank", pageRank, Some(prOracle)),
     QueryDef("q142_triangles", triangles, Some(triOracle)),
     QueryDef("q216_label_propagation", labelPropagation, Some(lpaOracle)))
