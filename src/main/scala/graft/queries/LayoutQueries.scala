@@ -3849,7 +3849,95 @@ object LayoutQueries {
       .withColumn("single_commit", lit(singleCommit))
   }
 
+  /** q290 — DATA-QUALITY EXPECTATIONS WITH ATOMIC QUARANTINE
+    * ([[graft.lake.Expectations]], the DLT expectation contract + the
+    * quarantine pattern, and the reference pipeline's reject-routing
+    * DNA promoted to lakehouse transactions): a batch with violating
+    * rows splits ONCE — clean rows into the member table, violations
+    * (tagged with the failed expectation names, both names when both
+    * fail) into `<member>_rejects` — under ONE group-transaction
+    * marker, so no audit can see admitted rows whose rejects aren't
+    * visible yet. `fail_refuses` pins expect-or-fail refusing a dirty
+    * batch whole with no version burned; `atomic_marker` pins both
+    * tables' heads on the same marker. */
+  def expectationsQ(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.{Expectations, Snapshots, TableGroup}
+    val group = graft.util.Scratch.dir("expectq", dir)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(group))
+    val orders = Tables(spark, dir, "orders")
+    val src = orders
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 97 === 3, -col("o_totalprice"))
+          .otherwise(col("o_totalprice")))
+      .withColumn("o_orderstatus",
+        when(col("o_orderkey") % 101 === 5, lit("Z"))
+          .otherwise(col("o_orderstatus")))
+    val exps = Seq(
+      "positive_price" -> "o_totalprice > 0",
+      "known_status" -> "o_orderstatus IN ('O', 'F', 'P')")
+    // expect-or-fail refuses the dirty batch whole, no version burned
+    val failT = s"$group/fail_probe"
+    Snapshots.append(spark, failT, src.limit(0))
+    val failRefuses = scala.util.Try(
+      Expectations.expectOrFail(spark, failT, src, exps)).isFailure &&
+      Snapshots.latestVersion(spark, failT).contains(1)
+    // quarantine: members seeded empty, then ONE marker lands both
+    Snapshots.append(spark, s"$group/silver", src.limit(0))
+    Snapshots.append(spark, s"$group/silver_rejects",
+      src.limit(0).withColumn(Expectations.FailedCol, lit("")))
+    val marker =
+      Expectations.expectOrQuarantine(spark, group, "silver", src, exps)
+    // the marker pins the transaction's BRANCH versions; main serves
+    // the fast-forwarded copies — same content, different version ids,
+    // so the lockstep attestation compares the served row sets
+    def countAtMarker(member: String): Long =
+      Snapshots.readAt(spark, s"$group/$member",
+        TableGroup.versionAtMarker(spark, group, member, marker).get)
+        .get.count()
+    val atomicMarker =
+      countAtMarker("silver") ==
+        Snapshots.readLatest(spark, s"$group/silver").get.count() &&
+      countAtMarker("silver_rejects") ==
+        Snapshots.readLatest(spark, s"$group/silver_rejects").get.count()
+    val clean = Snapshots.readLatest(spark, s"$group/silver").get
+      .groupBy(col("o_orderpriority").as("key"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(Num.cents(col("o_totalprice"))).as("sum_cents"))
+      .withColumn("side", lit("clean"))
+    val rejects = Snapshots.readLatest(spark, s"$group/silver_rejects").get
+      .groupBy(col(Expectations.FailedCol).as("key"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(Num.cents(col("o_totalprice"))).as("sum_cents"))
+      .withColumn("side", lit("reject"))
+    clean.unionByName(rejects)
+      .select("side", "key", "n_rows", "sum_cents")
+      .withColumn("fail_refuses", lit(failRefuses))
+      .withColumn("atomic_marker", lit(atomicMarker))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q290_expectations", expectationsQ, Some(s"""
+      WITH src AS (
+        SELECT o_orderpriority,
+          CASE WHEN o_orderkey % 97 = 3 THEN -o_totalprice
+               ELSE o_totalprice END AS p,
+          CASE WHEN o_orderkey % 101 = 5 THEN 'Z'
+               ELSE o_orderstatus END AS st
+        FROM orders),
+      tagged AS (
+        SELECT *, concat_ws(',',
+          CASE WHEN NOT (p > 0) THEN 'positive_price' END,
+          CASE WHEN st NOT IN ('O', 'F', 'P') THEN 'known_status' END)
+          AS failed
+        FROM src)
+      SELECT 'clean' AS side, o_orderpriority AS key, COUNT(*) AS n_rows,
+             CAST(SUM(${Num.sqlCents("p")}) AS BIGINT) AS sum_cents,
+             true AS fail_refuses, true AS atomic_marker
+      FROM tagged WHERE failed = '' GROUP BY 2
+      UNION ALL
+      SELECT 'reject', failed, COUNT(*),
+             CAST(SUM(${Num.sqlCents("p")}) AS BIGINT), true, true
+      FROM tagged WHERE failed <> '' GROUP BY 2""")),
     QueryDef("q288_replace_where_sql", replaceWhereSql, Some(s"""
       SELECT o_orderpriority, COUNT(*) AS n_rows,
              ${Num.sqlSumMoney(
