@@ -776,7 +776,119 @@ object AnalyticsQueries {
           .as("adj_cents"))
   }
 
+  /** KMV sketch size and the 48-bit hash domain (the md5-prefix hash
+    * every cross-engine query here uses). k=64 sits safely under the
+    * smallest segment's cardinality at every test sf, so the
+    * small-set-exact branch stays reachable-but-untaken — both engines
+    * still carry it. */
+  private val KmvK = 64
+  private val KmvDomain = 281474976710656L // 2^48
+
+  /** q291 — MERGEABLE DISTINCT-SKETCH SET ALGEBRA (KMV / bottom-k theta
+    * sketches, Beyer et al. SIGMOD'07): per customer segment, the k
+    * SMALLEST distinct hash values are a fixed-size synopsis; the k-th
+    * smallest m estimates the cardinality as (k−1)·U/m, two sketches
+    * UNION by merging hash sets and re-truncating to k, and
+    * intersection follows by inclusion–exclusion — the set algebra HLL
+    * (q220) cannot do, and the reason warehouses ship theta sketches
+    * beside HLL. Everything is exact integer arithmetic on
+    * deterministic hashes, so estimates hash-compare bitwise.
+    *
+    * Scale shape: one distinct pass + a bottom-k per segment through
+    * the bounded-heap aggregate (O(k) state, map-side combine — the
+    * corpus never sorts); the k·|segments| sketch values come to the
+    * driver as the synopsis (KB — the whole point of a sketch), where
+    * pairwise algebra is O(k) per pair. The exact union counts beside
+    * them are the gate's ground truth (at 100 TB one would keep only
+    * the sketch side). */
+  def kmvSketchOps(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val base = Tables(spark, dir, "orders")
+      .select(col("o_orderpriority").as("s"), col("o_custkey")).distinct()
+      .withColumn("h", conv(substring(md5(col("o_custkey").cast("string")),
+        1, 12), 16, 10).cast(LongType))
+    val sketches = base.groupBy("s")
+      .agg(graft.functions.TopKPairs.column(
+        -col("h").cast("double"), col("h"), KmvK).as("_t"))
+      .select(col("s"), col("_t.id").as("hs"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1).toArray.sorted)
+      .toMap
+    def est(hs: Array[Long], exactN: Long): Long =
+      if (hs.length < KmvK) exactN
+      else (KmvK - 1L) * KmvDomain / hs.last
+    val segs = sketches.keys.toSeq.sorted
+    val pairs = for {
+      a <- segs; b <- segs if a < b
+    } yield (a, b)
+    val estRows = pairs.map { case (a, b) =>
+      val (sa, sb) = (sketches(a), sketches(b))
+      val union = (sa ++ sb).distinct.sorted.take(KmvK)
+      val estA = est(sa, sa.length.toLong)
+      val estB = est(sb, sb.length.toLong)
+      val estU = est(union, (sa ++ sb).distinct.length.toLong)
+      (a, b, estA, estB, estU, estA + estB - estU)
+    }
+    import spark.implicits._
+    val ests = estRows.toDF("set_a", "set_b", "est_a", "est_b",
+      "est_union", "est_inter")
+    val pairsDf = broadcast(pairs.toDF("set_a", "set_b"))
+    val exact = base.join(pairsDf,
+        col("s") === col("set_a") || col("s") === col("set_b"))
+      .groupBy("set_a", "set_b")
+      .agg(countDistinct(col("o_custkey")).as("n_union"))
+    exact.join(broadcast(ests), Seq("set_a", "set_b"))
+  }
+
+  private val kmvOracle: String = s"""
+      WITH b AS (
+        SELECT DISTINCT o_orderpriority AS s, o_custkey FROM orders),
+      h AS (
+        SELECT s, o_custkey,
+          ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 12))::BIGINT
+            AS h
+        FROM b),
+      r AS (
+        SELECT s, h, row_number() OVER (PARTITION BY s ORDER BY h) AS rn,
+          COUNT(*) OVER (PARTITION BY s) AS n
+        FROM h),
+      est1 AS (
+        SELECT s, CASE WHEN max(n) < $KmvK THEN max(n)
+          ELSE ($KmvK - 1) * $KmvDomain // max(CASE WHEN rn <= $KmvK
+            THEN h END) END AS est
+        FROM r GROUP BY s),
+      pairs AS (
+        SELECT a.s AS set_a, b.s AS set_b
+        FROM (SELECT DISTINCT s FROM b) a
+        JOIN (SELECT DISTINCT s FROM b) b ON a.s < b.s),
+      uh AS (
+        SELECT p.set_a, p.set_b, h.h, h.o_custkey
+        FROM pairs p JOIN h ON h.s = p.set_a OR h.s = p.set_b
+        GROUP BY 1, 2, 3, 4),
+      ur AS (
+        SELECT set_a, set_b, h,
+          row_number() OVER (PARTITION BY set_a, set_b ORDER BY h) AS rn,
+          COUNT(*) OVER (PARTITION BY set_a, set_b) AS nh
+        FROM (SELECT DISTINCT set_a, set_b, h FROM uh)),
+      estu AS (
+        SELECT set_a, set_b, CASE WHEN max(nh) < $KmvK THEN max(nh)
+          ELSE ($KmvK - 1) * $KmvDomain // max(CASE WHEN rn <= $KmvK
+            THEN h END) END AS est_union
+        FROM ur GROUP BY 1, 2),
+      un AS (
+        SELECT set_a, set_b, COUNT(DISTINCT o_custkey) AS n_union
+        FROM uh GROUP BY 1, 2)
+      SELECT p.set_a, p.set_b, un.n_union,
+        ea.est AS est_a, eb.est AS est_b, eu.est_union,
+        ea.est + eb.est - eu.est_union AS est_inter
+      FROM pairs p
+      JOIN un ON un.set_a = p.set_a AND un.set_b = p.set_b
+      JOIN estu eu ON eu.set_a = p.set_a AND eu.set_b = p.set_b
+      JOIN est1 ea ON ea.s = p.set_a
+      JOIN est1 eb ON eb.s = p.set_b"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q291_kmv_sketch_ops", kmvSketchOps, Some(kmvOracle)),
     QueryDef("q279_priority_sample", prioritySample, Some(s"""
       WITH pr AS (
         SELECT o_orderpriority, o_orderkey,

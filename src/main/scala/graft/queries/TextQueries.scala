@@ -885,6 +885,69 @@ object TextQueries {
         sum("_h").as("words_digest"))
   }
 
+  /** q292 — TRIGRAM SELF-ENTROPY quality scoring (the compression-based
+    * gibberish/repetition signal beside q198's cross-model perplexity:
+    * a document's Shannon code length under its OWN char-trigram
+    * distribution — highly repetitive text codes in few bits per
+    * trigram, keyboard mash in many; both Gopher-style rule sets and
+    * dedup pipelines use exactly this axis). Cost per distinct trigram
+    * is the EXACT whole-bit code length ceil(log2(N/c))
+    * ([[graft.text.TextAnalysis.ceilLog2Ratio]] — FP only seeds, shift
+    * comparisons decide), so totals and the milli-bits-per-trigram
+    * ranking field hash-compare bitwise.
+    *
+    * Scale shape: one narrow trigram expansion (3× chars), a
+    * (doc, trigram)-keyed count with map-side combine, a doc-keyed
+    * total and join — all co-partitioned by doc after the first
+    * shuffle; no global ordering anywhere. */
+  def trigramCodeLength(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextAnalysis.ceilLog2Ratio
+    val docs = graft.util.Par.ensure(Tables(spark, dir, "documents"))
+      .filter(length(col("text")) >= 3)
+    val counts = docs
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))
+        .as("tri"))
+      .groupBy("doc_id", "tri").agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy("doc_id").agg(sum("c").as("n_tri"))
+    counts.join(totals, Seq("doc_id"))
+      .withColumn("_bits",
+        col("c") * ceilLog2Ratio(col("n_tri"), col("c")).cast("long"))
+      .groupBy("doc_id")
+      .agg(first(col("n_tri")).as("n_tri"), sum("_bits").as("bits"))
+      .withColumn("millibits_per_tri", expr("(bits * 1000) DIV n_tri"))
+  }
+
+  private def trigramEntropyOracle: String = {
+    val seed = sqlCeilLog2Seed("n_tri", "c")
+    s"""
+      WITH d AS (
+        SELECT doc_id, text FROM documents WHERE length(text) >= 3),
+      pos AS (
+        SELECT doc_id, text,
+          unnest(range(1, length(text) - 1)) AS i
+        FROM d),
+      tri AS (SELECT doc_id, substr(text, CAST(i AS INT), 3) AS tri
+        FROM pos),
+      counts AS (
+        SELECT doc_id, tri, COUNT(*) AS c FROM tri GROUP BY 1, 2),
+      tot AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tri
+        FROM counts GROUP BY 1),
+      seeded AS (
+        SELECT counts.doc_id, c, n_tri, $seed AS k0
+        FROM counts JOIN tot ON tot.doc_id = counts.doc_id),
+      costed AS (
+        SELECT doc_id, n_tri,
+          c * (${sqlCeilLog2FromSeed("n_tri", "c", "k0")}) AS bits_t
+        FROM seeded)
+      SELECT doc_id, max(n_tri) AS n_tri,
+        CAST(SUM(bits_t) AS BIGINT) AS bits,
+        (CAST(SUM(bits_t) AS BIGINT) * 1000) // max(n_tri)
+          AS millibits_per_tri
+      FROM costed GROUP BY 1"""
+  }
+
   private def bpeEncodeOracle: String = {
     val encodeStages = (1 to BpeIters).map { i =>
       s"""u$i AS (
@@ -1474,6 +1537,8 @@ object TextQueries {
       Some(ngramLmOracle)),
     QueryDef("q145_bpe_merges", bpeMerges, Some(bpeOracle)),
     QueryDef("q286_bpe_encode", bpeEncode, Some(bpeEncodeOracle)),
+    QueryDef("q292_trigram_entropy", trigramCodeLength,
+      Some(trigramEntropyOracle)),
     QueryDef("q146_bpe_vocab", bpeVocab, Some(bpeVocabOracle)),
     QueryDef("q194_bpe_vocab_budget", bpeTrainToBudget(_, _),
       Some(bpeBudgetOracle)),

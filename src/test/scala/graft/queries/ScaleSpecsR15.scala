@@ -1,0 +1,64 @@
+package graft.queries
+
+import graft.SparkTestBase
+
+/** Plan-shape pins for the round-15 operators — the cluster-scale
+  * contracts stated in their Scaladocs, captured from actual plans. */
+class ScaleSpecsR15 extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("priority sample: bounded-heap partial agg, no window, no sort-merge") {
+    val plan = AnalyticsQueries.prioritySample(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the top-(k+1) must reduce map-side through the typed-imperative
+    // heap — a window formulation would shuffle and SORT every row
+    assert(plan.toLowerCase.contains("topkpairs") ||
+        plan.contains("ObjectHashAggregate"),
+      s"bounded-heap aggregate missing:\n${plan.take(2000)}")
+    assert(!plan.contains("Window"),
+      "priority sample must not plan a window over the corpus")
+    assert(!plan.contains("SortMergeJoin"),
+      "the sampled join-back must broadcast, not sort-merge")
+  }
+
+  test("pca covariance: inline pair generation — no corpus join, one tiny exchange family") {
+    val plan = SimilarityQueries.pcaCovariance(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Generate explode"),
+      "upper-triangle products must generate inline")
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"covariance must never join the corpus:\n${plan.take(2000)}")
+    // map-side partial aggregation bounds every partition's output at d²
+    assert(plan.contains("partial_sum"),
+      "pair sums must combine map-side before the exchange")
+  }
+
+  test("ivf range search: candidate join broadcasts, nothing sort-merges") {
+    val plan = SimilarityQueries.ivfRangeSearch(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "the (query × kept-cell) probe must broadcast against the corpus")
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"range search shuffled or went all-pairs:\n${plan.take(2000)}")
+  }
+
+  test("k-hop features: wedge join stays equi, never cartesian") {
+    val plan = GraphQueries.khopFeatures(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"wedge join must be an equi-join on the part key:\n${plan.take(2000)}")
+  }
+
+  test("kmv sketches: bottom-k through the bounded heap, corpus never sorts") {
+    val plan = AnalyticsQueries.kmvSketchOps(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the collected synopsis is driver-side by design; the exact-count
+    // companion join must not sort the base relation either
+    assert(!plan.contains("SortMergeJoin"),
+      s"exact-union companion must broadcast the 10-row pair list:\n${plan.take(2000)}")
+  }
+}
