@@ -887,7 +887,77 @@ object AnalyticsQueries {
       JOIN est1 ea ON ea.s = p.set_a
       JOIN est1 eb ON eb.s = p.set_b"""
 
+  /** Histogram bucket width for the two-phase exact quantiles: cents
+    * DIV 2^16 keeps the per-group histogram ≈1000 buckets over TPC-H
+    * price ranges — KB to the driver at any corpus size. */
+  private val QBucket = 65536L
+
+  /** q293 — EXACT ORDER STATISTICS AT SCALE, two-phase (the
+    * median-of-100-TB problem: q46/q56's approx quantiles trade error
+    * for one pass; a GLOBAL SORT is the thing that cannot happen): the
+    * exact k-th smallest per group via histogram refinement. Phase 1:
+    * one (group, bucket) count aggregate — map-side combined, the ONLY
+    * full-data shuffle — whose ≈|groups|·1000-row result comes to the
+    * driver (KB); cumulative counts locate each quantile's bucket and
+    * residual rank. Phase 2 touches ONLY the target buckets (a
+    * broadcast semi-join), and the within-bucket selection handles a
+    * bucket-width slice, never the table (pathological skew — one
+    * bucket holding everything — recurses by narrowing the width; at
+    * healthy widths the slice is |group|/1000). Both the median and
+    * p90 (k = ⌈0.9n⌉) emit with their exact ranks; ties need no rule —
+    * the k-th smallest of a multiset is well-defined whatever order
+    * equal values shuffle into. */
+  def exactQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Tables(spark, dir, "orders")
+      .select(col("o_orderpriority").as("g"),
+        cents(col("o_totalprice")).as("v"))
+    val hist = w.groupBy(col("g"), expr(s"v DIV $QBucket").as("b"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val targets = hist.groupBy(_._1).toSeq.flatMap { case (g, rows) =>
+      val sorted = rows.sortBy(_._2)
+      val n = rows.map(_._3).sum
+      def locate(k: Long): (Long, Long) = {
+        val cums = sorted.scanLeft(0L)(_ + _._3)
+        val j = cums.indexWhere(_ >= k)
+        require(j > 0, s"rank $k beyond group size $n")
+        (sorted(j - 1)._2, k - cums(j - 1))
+      }
+      Seq(("p50", (n + 1) / 2), ("p90", (9 * n + 9) / 10)).map {
+        case (q, k) => val (b, r) = locate(k); (g, q, k, b, r)
+      }
+    }
+    val tDf = broadcast(targets.toDF("g", "quantile", "k", "b", "r"))
+    w.withColumn("b", expr(s"v DIV $QBucket"))
+      .join(tDf, Seq("g", "b"))
+      .groupBy("g", "quantile", "k", "r")
+      .agg(sort_array(collect_list(col("v"))).as("_vs"))
+      .select(col("g").as("o_orderpriority"), col("quantile"), col("k"),
+        element_at(col("_vs"), col("r").cast("int")).as("value_cents"))
+  }
+
+  private val exactQuantilesOracle: String = s"""
+      WITH w AS (
+        SELECT o_orderpriority AS g, ${sqlCents("o_totalprice")} AS v
+        FROM orders),
+      r AS (
+        SELECT g, v,
+          row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+          COUNT(*) OVER (PARTITION BY g) AS n
+        FROM w)
+      SELECT g AS o_orderpriority, 'p50' AS quantile,
+        CAST(MAX((n + 1) // 2) AS BIGINT) AS k,
+        MIN(CASE WHEN rn = (n + 1) // 2 THEN v END) AS value_cents
+      FROM r GROUP BY g
+      UNION ALL
+      SELECT g, 'p90', CAST(MAX((9 * n + 9) // 10) AS BIGINT),
+        MIN(CASE WHEN rn = (9 * n + 9) // 10 THEN v END)
+      FROM r GROUP BY g"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q293_exact_quantiles", exactQuantiles,
+      Some(exactQuantilesOracle)),
     QueryDef("q291_kmv_sketch_ops", kmvSketchOps, Some(kmvOracle)),
     QueryDef("q279_priority_sample", prioritySample, Some(s"""
       WITH pr AS (

@@ -449,7 +449,129 @@ object RetrievalQueries {
       FROM r WHERE rank <= $MaxSimTopK"""
   }
 
+  /** q294 knobs. μ=2000 is the Dirichlet prior the LM-retrieval
+    * literature defaults to (Zhai & Lafferty); the query-term window
+    * offsets past the BM25 query so the two scorers rank DIFFERENT
+    * term sets. */
+  val QlMu = 2000L
+  val QlOffset = 5
+  val QlK = 3
+  val QlTopK = 20
+
+  /** q294 — QUERY-LIKELIHOOD retrieval with Dirichlet smoothing (Zhai &
+    * Lafferty — the other canonical lexical scorer beside q144's BM25;
+    * production IR stacks ship both): score(q,d) = Σ_t −log p(t|d)
+    * with p(t|d) = (tf·|C| + μ·cf) / (|C|·(dl+μ)) — numerator and
+    * denominator EXACT longs, each term's cost the exact QUARTER-BIT
+    * code length ([[graft.text.TextAnalysis.quarterBitsRatio]]: FP only
+    * seeds, shifts decide; whole bits would quantize sub-bit ratios to
+    * death, the q231 lesson), so ranks hash-compare bitwise. A query
+    * term ABSENT from a doc still costs its smoothed background mass —
+    * the left join + tf=0 path, not a special case.
+    *
+    * Scale shape: postings/doc-length/collection stats are the same
+    * map-side-combined aggregates the BM25 index uses (one tokenize
+    * pass shared at 100 TB); candidates = docs holding ≥1 query term
+    * (broadcast semi-join), each scored against the 3-term broadcast —
+    * O(candidates), never O(corpus·terms). Overflow headroom: products
+    * stay under 2^50 (quarterBitsRatio's shift domain) until |C|·dl
+    * tops ~10^15 — rescale cf/|C| by a common 2^k then (documented,
+    * cost-free: the ratio is what's coded). */
+  def queryLikelihood(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextAnalysis.quarterBitsRatio
+    val toks = Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val postings = toks.groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val coll = toks.groupBy("term").agg(count(lit(1)).as("cf"))
+    val total = coll.agg(sum(col("cf")).as("c_total"))
+    val dfRel = postings.groupBy("term").agg(count(lit(1)).as("df"))
+    // the query terms COLLECT to the driver (a real query arrives as
+    // literals; TakeOrdered of offset+k rows) — deliberately NOT a
+    // plan-internal offset/limit: Spark 4.1's AQE replan mishandled
+    // that shape inside the broadcast subtree (nondeterministic row
+    // triplication — the q294 gate caught it; see ScaleSpecsR15's
+    // limit-elimination pin for the sibling manifestation)
+    val termList = dfRel.filter(length(col("term")) >= MinTermLen)
+      .orderBy(desc("df"), asc("term")).limit(QlOffset + QlK)
+      .collect().map(_.getString(0)).drop(QlOffset).toSeq
+    val qterms = coll.filter(col("term").isin(termList: _*))
+      .crossJoin(broadcast(total))
+      .select(col("term"), col("cf"), col("c_total"))
+    val cand = postings
+      .join(broadcast(qterms.select("term")), "term")
+      .select("doc_id").distinct()
+    cand.join(dl, "doc_id")
+      .crossJoin(broadcast(qterms))
+      .join(postings, Seq("doc_id", "term"), "left")
+      .withColumn("tf", coalesce(col("tf"), lit(0L)))
+      .withColumn("num",
+        col("tf") * col("c_total") + lit(QlMu) * col("cf"))
+      .withColumn("den", col("c_total") * (col("dl") + lit(QlMu)))
+      .withColumn("qb", quarterBitsRatio(col("den"), col("num")))
+      .groupBy("doc_id").agg(sum(col("qb")).as("cost_qb"))
+      // global top-k through the bounded heap, NOT orderBy+limit: the
+      // heap is the scale-right shape (O(k) state, no global sort) —
+      // and on THIS plan Spark 4.1's AQE logical replan erroneously
+      // ELIMINATES a GlobalLimit when a Repartition/coalesce sits above
+      // it (the verify dump's coalesce(1) returned the full candidate
+      // set; found by the q294 gate, pinned in ScaleSpecsR15)
+      .agg(graft.functions.TopKPairs.column(
+        -col("cost_qb").cast("double"), col("doc_id"), QlTopK).as("_t"))
+      .select(explode(col("_t")).as("p"))
+      .select(col("p.id").as("doc_id"),
+        (-col("p.score")).cast("long").as("cost_qb"))
+  }
+
+  private def queryLikelihoodOracle: String = {
+    import graft.text.TextAnalysis.{sqlFloorLog2FromSeed, sqlFloorLog2Seed,
+      sqlQuarterBitsFromK}
+    s"""
+    WITH toks AS (
+      SELECT doc_id, unnest(${sqlTokens("text")}) AS term FROM documents),
+    postings AS (
+      SELECT term, doc_id, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+    coll AS (SELECT term, COUNT(*) AS cf FROM toks GROUP BY 1),
+    total AS (SELECT CAST(SUM(cf) AS BIGINT) AS c_total FROM coll),
+    dfr AS (SELECT term, COUNT(*) AS df FROM postings GROUP BY 1),
+    qt AS (SELECT f.term, c.cf FROM dfr f JOIN coll c ON c.term = f.term
+           WHERE length(f.term) >= $MinTermLen
+           ORDER BY f.df DESC, f.term LIMIT $QlK OFFSET $QlOffset),
+    cand AS (
+      SELECT DISTINCT p.doc_id FROM postings p
+      JOIN qt ON qt.term = p.term),
+    pairs AS (
+      SELECT c.doc_id, qt.term, qt.cf, d.dl, t.c_total,
+        COALESCE(p.tf, 0) AS tf
+      FROM cand c
+      CROSS JOIN qt
+      JOIN dl d ON d.doc_id = c.doc_id
+      CROSS JOIN total t
+      LEFT JOIN postings p ON p.doc_id = c.doc_id AND p.term = qt.term),
+    nd AS (
+      SELECT doc_id, tf * c_total + $QlMu * cf AS num,
+        c_total * (dl + $QlMu) AS den
+      FROM pairs),
+    seeded AS (
+      SELECT doc_id, num, den,
+        ${sqlFloorLog2Seed("den", "num")} AS k0
+      FROM nd),
+    kk AS (
+      SELECT doc_id, num, den,
+        ${sqlFloorLog2FromSeed("den", "num", "k0")} AS k
+      FROM seeded),
+    costed AS (
+      SELECT doc_id, ${sqlQuarterBitsFromK("den", "num", "k")} AS qb
+      FROM kk)
+    SELECT doc_id, CAST(SUM(qb) AS BIGINT) AS cost_qb
+    FROM costed GROUP BY doc_id
+    ORDER BY cost_qb, doc_id LIMIT $QlTopK"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q294_query_likelihood", queryLikelihood,
+      Some(queryLikelihoodOracle)),
     QueryDef("q212_maxsim_topk", maxsimTopK, Some(maxsimOracle)),
     QueryDef("q201_hybrid_rrf", hybridRrf, Some(hybridRrfOracle)),
     QueryDef("q144_bm25", bm25, Some(bm25Oracle)),

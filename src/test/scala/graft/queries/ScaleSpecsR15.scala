@@ -53,6 +53,19 @@ class ScaleSpecsR15 extends SparkTestBase {
       s"wedge join must be an equi-join on the part key:\n${plan.take(2000)}")
   }
 
+  test("query likelihood: top-k survives a coalesce (the AQE limit-elimination trap)") {
+    // Spark 4.1's AQE logical replan ELIMINATED a GlobalLimit under a
+    // Repartition/coalesce on this query's original orderBy+limit plan
+    // (the verify dump's coalesce(1) returned every candidate). The
+    // bounded-heap rewrite removes the hazard class; this pins the
+    // exact failing composition so a regression to orderBy+limit — or
+    // a recurrence elsewhere — fails loudly.
+    val ql = RetrievalQueries.queryLikelihood(spark, dir)
+    assert(ql.count() == RetrievalQueries.QlTopK.toLong)
+    assert(ql.coalesce(1).count() == RetrievalQueries.QlTopK.toLong,
+      "coalesce(1) changed the row count — the AQE limit bug is back")
+  }
+
   test("kmv sketches: bottom-k through the bounded heap, corpus never sorts") {
     val plan = AnalyticsQueries.kmvSketchOps(spark, dir)
       .queryExecution.executedPlan.toString
