@@ -66,6 +66,30 @@ class ScaleSpecsR15 extends SparkTestBase {
       "coalesce(1) changed the row count — the AQE limit bug is back")
   }
 
+  test("every final-limit query survives the dump's coalesce(1) — the AQE hazard sweep") {
+    // the verify dump appends coalesce(1) to EVERY query; q294 proved
+    // Spark 4.1's AQE replan can eliminate a GlobalLimit under exactly
+    // that composition. Sweep the queries whose plans end in
+    // orderBy+limit so any future manifestation fails here, loudly,
+    // instead of at the driver's hash gate.
+    // (some of these limit mid-query — top-50 terms then expand — so
+    // the pin is coalesce-INVARIANCE, not an absolute row cap)
+    val sweep = Seq("q55_tfidf_top_terms", "q130_collocations",
+      "q50_top_bigrams", "q146_bpe_vocab", "q144_bm25")
+    sweep.foreach { name =>
+      val df = graft.SparkEntry.queries(name)(spark, dir)
+      val plain = df.count()
+      val coalesced = df.coalesce(1).count()
+      assert(plain == coalesced,
+        s"$name: coalesce(1) changed rows $plain -> $coalesced (AQE limit bug)")
+    }
+    // q144's plan-internal offset+limit (the q294 triplication shape):
+    // two evaluations must agree row-for-row
+    val a = RetrievalQueries.bm25(spark, dir).collect().toSet
+    val b = RetrievalQueries.bm25(spark, dir).collect().toSet
+    assert(a == b, "bm25 returned different results across evaluations")
+  }
+
   test("kmv sketches: bottom-k through the bounded heap, corpus never sorts") {
     val plan = AnalyticsQueries.kmvSketchOps(spark, dir)
       .queryExecution.executedPlan.toString
