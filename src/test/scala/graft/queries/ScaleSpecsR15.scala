@@ -98,4 +98,31 @@ class ScaleSpecsR15 extends SparkTestBase {
     assert(!plan.contains("SortMergeJoin"),
       s"exact-union companion must broadcast the 10-row pair list:\n${plan.take(2000)}")
   }
+
+  test("era-aware reads keep column pruning and filter pushdown") {
+    // the MoR/era read (renames/drops/defaults/added columns) plans a
+    // cast-mapped union over per-era scans — at 100 TB it MUST still
+    // prune columns and push filters into parquet, or every evolved
+    // table pays full-width scans forever
+    import org.apache.spark.sql.functions._
+    val t = java.nio.file.Files.createTempDirectory("graft_prune").toString + "/t"
+    val orders = Tables(spark, dir, "orders")
+    graft.lake.Snapshots.append(spark, t, orders)
+    graft.lake.Snapshots.renameColumn(spark, t, "o_orderstatus", "status")
+    graft.lake.Snapshots.deleteWhere(spark, t, col("o_totalprice") < 10000)
+    val narrow = graft.lake.Snapshots.readLatest(spark, t).get
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderpriority")
+    val plan = narrow.queryExecution.executedPlan.toString
+    val schemas = "ReadSchema: [^\n]*".r.findAllIn(plan).toList
+      .filterNot(_.contains("struct<file:string"))  // tombstone sidecar
+    assert(schemas.nonEmpty)
+    schemas.foreach { rs =>
+      assert(!rs.contains("o_totalprice") && !rs.contains("o_custkey"),
+        s"era read lost column pruning: $rs")
+    }
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderpriority), EqualTo(o_orderpriority,1-URGENT)]") ||
+      plan.contains("EqualTo(o_orderpriority,1-URGENT)"),
+      s"era read lost filter pushdown:\n${plan.take(1500)}")
+  }
 }
