@@ -20,7 +20,7 @@ object SparkEntry {
       SimilarityQueries.defs ++ PipelineQueries.defs ++ SourceQueries.defs ++
       StreamingQueries.defs ++ MultimodalQueries.defs ++ CdcQueries.defs ++
       ProfileQueries.defs ++ RetrievalQueries.defs ++ GraphQueries.defs ++
-      LayoutQueries.defs
+      LayoutQueries.defs ++ LinkageQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
