@@ -941,7 +941,76 @@ object StreamingQueries {
       FROM orders WHERE o_orderkey % 3 = $b
       GROUP BY 1""").mkString("\nUNION ALL\n")
 
+  /** q296 — STREAMING MATERIALIZED-VIEW MAINTENANCE (q285's REFRESH
+    * driven by q271's version stream — the dashboard that stays fresh
+    * as the source streams, Databricks' live-table loop): each
+    * micro-batch of source versions triggers one
+    * [[graft.lake.MaterializedViews.refresh]]; exactly-once needs NO
+    * token here because the refresh frontier itself is the idempotency
+    * state — a replayed batch finds the frontier already at (or past)
+    * its versions and publishes NOTHING. Batches that contain only
+    * appends fold O(feed); the DML version folds its signed images the
+    * same way. The gate streams appends + a predicate DELETE through,
+    * pins the view equal to the recompute after every run, and pins
+    * replay-stability (a second run with nothing new leaves the MV
+    * version untouched). */
+  def streamingMvRefresh(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.{MaterializedViews, Snapshots}
+    import graft.streaming.SnapshotStreamSource
+    val root = scratchDir("stream_q296", dir)
+    delete(root)
+    val src = s"$root/orders_src"
+    val mv = s"$root/rev_mv"
+    val sink = s"$root/sink" // the row stream still lands somewhere
+    val ckpt = s"$root/ckpt"
+    val orders = Tables(spark, dir, "orders")
+    def slice(b: Int) = orders.filter(pmod(col("o_orderkey"), lit(3)) === b)
+    Snapshots.append(spark, src, slice(0))
+    MaterializedViews.create(spark, mv, src,
+      "SELECT o_orderpriority, COUNT(*) AS n_rows, " +
+        "SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS sum_cents " +
+        "FROM c.src GROUP BY o_orderpriority")
+    def runRefresh(ignoreChanges: Boolean = false): Unit =
+      SnapshotStreamSource.runOnce(spark, src, sink, ckpt,
+        ignoreChanges = ignoreChanges,
+        enrich = rows => { MaterializedViews.refresh(spark, mv); rows })
+    Snapshots.append(spark, src, slice(1))
+    Snapshots.append(spark, src, slice(2))
+    runRefresh()
+    // a DML version folds through the feed too (the stream's ROW sink
+    // skips it via ignoreChanges; the MV must NOT — signed images are
+    // exactly what it consumes)
+    Snapshots.deleteWhere(spark, src, col("o_orderkey") % 5 === 0)
+    runRefresh(ignoreChanges = true)
+    def recompute() = Snapshots.readLatest(spark, src).get
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n2"),
+        sum(Num.cents(col("o_totalprice"))).as("c2"))
+    val served = Snapshots.readLatest(spark, mv).get
+      .select("o_orderpriority", "n_rows", "sum_cents")
+    val mismatches = served
+      .join(recompute(), Seq("o_orderpriority"), "full_outer")
+      .filter(col("n_rows").isNull || col("n2").isNull ||
+        col("n_rows") =!= col("n2") || col("sum_cents") =!= col("c2"))
+      .count()
+    val v = Snapshots.latestVersion(spark, mv).get
+    runRefresh(ignoreChanges = true) // nothing new: replay-stable
+    val replayStable = Snapshots.latestVersion(spark, mv).contains(v)
+    served
+      .withColumn("matches_recompute", lit(mismatches == 0))
+      .withColumn("replay_stable", lit(replayStable))
+  }
+
+  private val streamingMvOracle: String = s"""
+      SELECT o_orderpriority, COUNT(*) AS n_rows,
+             CAST(SUM(${Num.sqlCents("o_totalprice")}) AS BIGINT)
+               AS sum_cents,
+             true AS matches_recompute, true AS replay_stable
+      FROM orders WHERE o_orderkey % 5 <> 0 GROUP BY 1"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q296_streaming_mv_refresh", streamingMvRefresh,
+      Some(streamingMvOracle)),
     QueryDef("q283_stream_snapshot_join", streamSnapshotJoin,
       Some(streamSnapshotJoinOracle)),
     QueryDef("q271_snapshot_source_stream", snapshotSourceStream, Some("""
