@@ -3549,6 +3549,47 @@ object Snapshots {
     }
   }
 
+  /** DEEP CLONE (`CREATE TABLE dst DEEP CLONE src` — the
+    * disaster-recovery sibling of [[shallowClone]]): `dst` is born as a
+    * one-version table whose data is a PHYSICAL COPY of `src`'s live
+    * view at `version` — after it commits, nothing about `dst` depends
+    * on `src`'s directory existing at all (a shallow clone serves
+    * by-reference and dies with its source; the q209 retention
+    * contract this removes). The live view materializes through the
+    * era-aware read, so renames/drops/widening/defaults arrive as
+    * plain current-name columns; declared metadata that governs FUTURE
+    * writes (partition spec, CHECK constraints, defaults, declared
+    * added columns, table properties) carries so `dst` keeps behaving
+    * like `src`. Cost is O(live data) — the price of independence. */
+  def deepClone(spark: SparkSession, src: String, dst: String,
+      version: Option[Int] = None): Int = {
+    val v = version.orElse(latestVersion(spark, src)).getOrElse(
+      throw new IllegalArgumentException(s"clone source $src has no versions"))
+    val s = snapshot(spark, src, v).getOrElse(
+      throw new IllegalArgumentException(s"$src has no version $v"))
+    val df = readDispatch(spark, src, s)
+    val clustered =
+      if (s.partitionSpec.isEmpty) df else clusterBySpec(df, s.partitionSpec, 0)
+    def declared(key: String): Seq[String] = s.properties.get(key)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    val (staged, stagedStats, stagedBlooms, stagedSchemas) =
+      stage(spark, dst, clustered,
+        (s.partitionSpec ++ declared(StatsColumnsKey)).distinct,
+        declared(BloomColumnsKey))
+    val mid = writeManifest(spark, dst, staged, stagedStats, stagedBlooms,
+      stagedSchemas)
+    commitLoop(spark, dst, "deep-clone",
+        newConstraints = _ => Some(s.constraints),
+        newPartitionSpec = _ => Some(s.partitionSpec),
+        newDefaults = _ => Some(s.defaults),
+        newAddedColumns = _ => Some(s.addedColumns),
+        newProperties = _ => Some(s.properties)) { prev =>
+      if (prev.nonEmpty) throw new IllegalStateException(
+        s"deep clone target $dst already has versions")
+      (Seq(mid), Nil, Nil, Nil)
+    }
+  }
+
   def shallowClone(spark: SparkSession, src: String, dst: String,
       version: Option[Int] = None): Int = {
     val v = version.orElse(latestVersion(spark, src)).getOrElse(

@@ -41,6 +41,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
 
   private val CloneRe =
     """(?is)^\s*CREATE\s+TABLE\s+([\w.]+)\s+SHALLOW\s+CLONE\s+([\w.]+)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*$""".r
+  private val DeepCloneRe =
+    """(?is)^\s*CREATE\s+TABLE\s+([\w.]+)\s+DEEP\s+CLONE\s+([\w.]+)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*$""".r
   private val OptimizeRe =
     """(?is)^\s*OPTIMIZE\s+([\w.]+)\s*;?\s*$""".r
   private val MaintainRe =
@@ -136,6 +138,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     case DropConstraintRe(t, n) => DropConstraintCommand(path(t), n)
     case CloneRe(dst, src, ver) =>
       ShallowCloneCommand(path(src), path(dst), Option(ver).map(_.toInt))
+    case DeepCloneRe(dst, src, ver) =>
+      DeepCloneCommand(path(src), path(dst), Option(ver).map(_.toInt))
     case OptimizeRe(t) => OptimizeTableCommand(path(t))
     case OptimizeZorderRe(t, cols) =>
       OptimizeZorderCommand(path(t), splitSpec(cols))
@@ -425,4 +429,15 @@ case class DropConstraintCommand(table: String, name: String)
     extends LeafRunnableCommand with VersionOutput {
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row(Snapshots.dropConstraint(spark, table, name).toLong))
+}
+
+/** `CREATE TABLE dst DEEP CLONE src [VERSION AS OF n]` →
+  * [[Snapshots.deepClone]]: a physically independent copy of the live
+  * view + the declared metadata that governs future writes — survives
+  * the source's deletion entirely (the DR contract a shallow clone
+  * cannot give). Returns dst's version. */
+case class DeepCloneCommand(src: String, dst: String, version: Option[Int])
+    extends LeafRunnableCommand with VersionOutput {
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(Snapshots.deepClone(spark, src, dst, version).toLong))
 }

@@ -3915,7 +3915,64 @@ object LayoutQueries {
       .withColumn("atomic_marker", lit(atomicMarker))
   }
 
+  /** q297 — DEEP CLONE over SQL (`CREATE TABLE … DEEP CLONE` — the
+    * disaster-recovery sibling of q209's shallow clone,
+    * [[graft.lake.Snapshots.deepClone]]): a physically independent
+    * one-version copy of the source's ERA-AWARE live view (renames,
+    * tombstones and defaults arrive materialized under current names)
+    * plus the declared metadata that governs future writes. The gate
+    * evolves a source (rename + DELETE + properties + constraint),
+    * takes BOTH clone kinds, then DESTROYS the source directory
+    * outright — the deep clone still serves every row
+    * (`survives_source_loss`: the aggregate below IS computed after
+    * the deletion) and still refuses a constraint-violating append
+    * (`metadata_carried`), while the shallow clone's read fails
+    * (`shallow_dies` — the q209 retention hazard made visible). */
+  def deepCloneSql(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Snapshots
+    val root = graft.util.Scratch.dir("deepclone", dir)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val src = s"$root/orders_src"
+    val orders = Tables(spark, dir, "orders")
+    Snapshots.append(spark, src,
+      orders.withColumnRenamed("o_orderpriority", "prio_raw"))
+    Snapshots.renameColumn(spark, src, "prio_raw", "o_orderpriority")
+    Snapshots.deleteWhere(spark, src, col("o_orderkey") % 7 === 0)
+    Snapshots.setTableProperties(spark, src, Map("team" -> "dr"))
+    Snapshots.addConstraint(spark, src, "sane_price", "o_totalprice > 0")
+    val cat = s"dcl_${Integer.toHexString(dir.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.lake.SnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"CREATE TABLE $cat.orders_deep DEEP CLONE $cat.orders_src")
+    spark.sql(s"CREATE TABLE $cat.orders_shallow SHALLOW CLONE $cat.orders_src")
+    // the DR event: the source directory is lost entirely
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(src))
+    val shallowDies = scala.util.Try(
+      Snapshots.readLatest(spark, s"$root/orders_shallow").get.count()
+    ).isFailure
+    val metadataCarried =
+      Snapshots.tableProperties(spark, s"$root/orders_deep")
+        .get("team").contains("dr") &&
+      scala.util.Try(Snapshots.append(spark, s"$root/orders_deep",
+        Snapshots.readLatest(spark, s"$root/orders_deep").get.limit(3)
+          .withColumn("o_totalprice", lit(-1.0)))).isFailure
+    Snapshots.readLatest(spark, s"$root/orders_deep").get
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_rows"),
+        Num.sumMoney(col("o_totalprice")).as("sum_price"))
+      .withColumn("survives_source_loss", lit(true))
+      .withColumn("shallow_dies", lit(shallowDies))
+      .withColumn("metadata_carried", lit(metadataCarried))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q297_deep_clone", deepCloneSql, Some(s"""
+      SELECT o_orderpriority, COUNT(*) AS n_rows,
+             ${Num.sqlSumMoney("o_totalprice")} AS sum_price,
+             true AS survives_source_loss, true AS shallow_dies,
+             true AS metadata_carried
+      FROM orders WHERE o_orderkey % 7 <> 0 GROUP BY 1""")),
     QueryDef("q290_expectations", expectationsQ, Some(s"""
       WITH src AS (
         SELECT o_orderpriority,
