@@ -221,6 +221,57 @@ object TextQueries {
       .select(col("doc_id"), col("n_tokens"), col("cum_tokens"))
   }
 
+  /** Shard token budget for q298 — sized so every test sf yields a
+    * multi-shard manifest (total tokens ÷ 2048 ≈ 13 shards at sf0.01). */
+  val ShardBudget = 2048L
+
+  /** q298 — DETERMINISTIC TRAINING-SHARD MANIFEST (the WebDataset-style
+    * epoch export every LM training run consumes: the whole corpus,
+    * epoch-shuffled and partitioned into ~fixed-token shards, each with
+    * a verifiable manifest row): docs order by the salted hash (the q70
+    * deterministic shuffle — reproducible epochs), the global token
+    * prefix sum assigns each doc's shard by its STARTING offset
+    * (shard = start DIV budget, so shards are contiguous hash-order
+    * runs), and each shard emits (docs, tokens, id-digest) — the digest
+    * is what lets a training job verify it read exactly the manifest's
+    * documents.
+    *
+    * Scale shape: the prefix sum is q123's DISTRIBUTED two-phase
+    * decomposition — per-bucket totals to the driver (KB), per-bucket
+    * base offsets broadcast back, within-bucket windows parallel across
+    * buckets; NO global single-task window exists in the plan (the
+    * oracle's global ORDER BY window is the semantics statement, not
+    * the plan). */
+  def shardManifest(spark: SparkSession, dir: String,
+      buckets: Int = CarveBuckets): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.text.Sampling
+    val weighted = graft.util.Par.ensure(Tables(spark, dir, "documents"))
+      .select(col("doc_id"),
+        wsTokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("h", Sampling.hashBucket(col("doc_id")))
+      .withColumn("bucket",
+        expr(s"(h * $buckets) DIV ${Sampling.Denominator}"))
+    val totals = weighted.groupBy("bucket")
+      .agg(sum("n_tokens").as("t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = totals.map { case (b, t) => val o = (b, acc); acc += t; o }
+    import spark.implicits._
+    val offsetDf = offsets.toSeq.toDF("bucket", "offset")
+    val w = Window.partitionBy("bucket").orderBy("h", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    weighted
+      .withColumn("run", sum("n_tokens").over(w))
+      .join(broadcast(offsetDf), "bucket")
+      .withColumn("start", col("run") + col("offset") - col("n_tokens"))
+      .withColumn("shard_id", expr(s"start DIV $ShardBudget"))
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"),
+        sum(graft.text.TextAnalysis.wordHash(
+          concat(lit("sh:"), col("doc_id").cast("string")))).as("ids_digest"))
+  }
+
   /** q213 — TEMPERATURE-WEIGHTED domain mixture (the multilingual/
     * multi-domain sampling rule every large LM corpus ships: domain
     * weights ∝ size^α with α < 1, so small domains are UP-sampled
@@ -1645,6 +1696,27 @@ object TextQueries {
              CAST(COALESCE(s.sel_tokens, 0) AS BIGINT) AS sel_tokens,
              b.budget
       FROM b LEFT JOIN s ON s.source = b.source"""
+    })),
+    QueryDef("q298_shard_manifest", shardManifest(_, _), Some({
+      import graft.text.Sampling
+      s"""
+      WITH w AS (
+        SELECT doc_id,
+          CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(${sqlTokens("text")}) END AS BIGINT) AS n_tokens,
+          ${Sampling.sqlHashBucket("doc_id")} AS h
+        FROM documents),
+      c AS (
+        SELECT doc_id, n_tokens,
+          SUM(n_tokens) OVER (ORDER BY h, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM w)
+      SELECT CAST((cum - n_tokens) // $ShardBudget AS BIGINT) AS shard_id,
+        COUNT(*) AS n_docs,
+        CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+        CAST(SUM(${sqlWordHash("'sh:' || CAST(doc_id AS VARCHAR)")})
+          AS BIGINT) AS ids_digest
+      FROM c GROUP BY 1"""
     })),
     QueryDef("q123_token_budget_carve", tokenBudgetCarve(_, _), Some({
       import graft.text.Sampling
