@@ -85,6 +85,109 @@ object DedupQueries {
       FROM cand c LEFT JOIN bench b ON c.sh = b.sh
       GROUP BY c.doc_id"""
 
+  /** Audit-sample bound for q300 (the eval is an AUDIT, run on a bounded
+    * deterministic slice by design — the metrics tune band parameters,
+    * they are not a corpus pass). */
+  private val EvalSampleN = 150
+
+  /** q300 — DEDUP QUALITY EVALUATION (the banding-stage audit every
+    * curation pipeline needs before trusting its near-dup pass: what
+    * recall does THIS (bands × rows) configuration actually achieve at
+    * the target threshold?): ground truth = EXACT shingle-Jaccard ≥ 0.5
+    * pairs over the audit sample — computed via the shingle equi-join
+    * (a qualifying pair must share shingles, so no all-pairs scan even
+    * here) with the threshold as the EXACT integer inequality
+    * 3·|∩| ≥ |A|+|B| (no float compare anywhere) — versus predicted =
+    * the q21 LSH band-candidate pairs. TP/FN/FP and integer recall/
+    * precision ride out as the manifest a pipeline owner reads before
+    * turning the knob. FN here are real: pairs at the threshold edge
+    * whose signatures landed in no common band — exactly what the
+    * (bands, rows) trade controls. */
+  def dedupEval(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .filter(col("doc_id") < EvalSampleN)
+    val ex = Dedup.hashedShingleSet(docs, "doc_id", "text", K)
+      .filter(col("sh").isNotNull)
+    val sizes = ex.groupBy("id").agg(count(lit(1)).as("n"))
+    val inter = ex.as("ea").join(ex.as("eb"),
+        col("ea.sh") === col("eb.sh") && col("ea.id") < col("eb.id"))
+      .groupBy(col("ea.id").as("a"), col("eb.id").as("b"))
+      .agg(count(lit(1)).as("ni"))
+    val truth = inter
+      .join(sizes.select(col("id").as("a"), col("n").as("na")), Seq("a"))
+      .join(sizes.select(col("id").as("b"), col("n").as("nb")), Seq("b"))
+      .filter(col("ni") * 3 >= col("na") + col("nb"))
+      .select("a", "b")
+    val sig = Dedup.signaturesFrom(ex, "doc_id", NH, RPB)
+      .filter(col("mh0").isNotNull)
+    val bands = sig.select(col("doc_id").as("id"),
+      explode(array((0 until NH / RPB).map(b => col(s"band$b")): _*))
+        .as("band"))
+    val pred = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b")).distinct()
+    val tp = pred.join(truth, Seq("a", "b")).count()
+    val nT = truth.count()
+    val nP = pred.count()
+    import org.apache.spark.sql.SparkSession
+    val s2 = spark
+    import s2.implicits._
+    Seq(("n_truth", nT), ("n_pred", nP), ("tp", tp),
+      ("fn", nT - tp), ("fp", nP - tp),
+      ("recall_e6", if (nT == 0) 1000000L else tp * 1000000L / nT),
+      ("precision_e6", if (nP == 0) 1000000L else tp * 1000000L / nP))
+      .toDF("metric", "value")
+  }
+
+  private val dedupEvalOracle: String = {
+    val bands = (0 until NH / RPB).map(bandSql).mkString(", ")
+    s"""
+      WITH sample AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < $EvalSampleN),
+      ${Dedup.sqlMinhashSignatureCte("doc_id", "text", "sample", K, NH)},
+      exwh AS (
+        SELECT doc_id,
+          list_transform(${sqlTokens("text")}, w -> ${sqlWordHash("w")}) AS wh
+        FROM sample),
+      ex AS (
+        SELECT doc_id, unnest(list_distinct(${Dedup.sqlShingleHashes("wh", K)}))
+          AS sh
+        FROM exwh WHERE len(wh) >= $K),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY 1),
+      inter AS (
+        SELECT ea.doc_id AS a, eb.doc_id AS b, COUNT(*) AS ni
+        FROM ex ea JOIN ex eb ON eb.sh = ea.sh AND ea.doc_id < eb.doc_id
+        GROUP BY 1, 2),
+      truth AS (
+        SELECT i.a, i.b FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.a
+        JOIN sizes sb ON sb.doc_id = i.b
+        WHERE i.ni * 3 >= sa.n + sb.n),
+      bands AS (
+        SELECT doc_id AS id, unnest([$bands]) AS band
+        FROM sig WHERE mh0 IS NOT NULL),
+      pred AS (
+        SELECT DISTINCT x.id AS a, y.id AS b
+        FROM bands x JOIN bands y ON y.band = x.band AND x.id < y.id),
+      m AS (
+        SELECT
+          (SELECT COUNT(*) FROM truth) AS n_truth,
+          (SELECT COUNT(*) FROM pred) AS n_pred,
+          (SELECT COUNT(*) FROM pred p JOIN truth t
+             ON t.a = p.a AND t.b = p.b) AS tp)
+      SELECT 'n_truth' AS metric, CAST(n_truth AS BIGINT) AS value FROM m
+      UNION ALL SELECT 'n_pred', n_pred FROM m
+      UNION ALL SELECT 'tp', tp FROM m
+      UNION ALL SELECT 'fn', n_truth - tp FROM m
+      UNION ALL SELECT 'fp', n_pred - tp FROM m
+      UNION ALL SELECT 'recall_e6',
+        CASE WHEN n_truth = 0 THEN 1000000
+             ELSE tp * 1000000 // n_truth END FROM m
+      UNION ALL SELECT 'precision_e6',
+        CASE WHEN n_pred = 0 THEN 1000000
+             ELSE tp * 1000000 // n_pred END FROM m"""
+  }
+
   private def bandSql(bnd: Int): String = {
     val parts = (bnd * RPB until (bnd + 1) * RPB).map(i => s"mh$i").mkString(", ")
     s"md5(concat_ws('-', $parts))"
@@ -638,6 +741,7 @@ object DedupQueries {
       Some(editDistanceOracle)),
     QueryDef("q20_minhash_signatures", minhashSigs, Some(minhashSigsOracle)),
     QueryDef("q21_minhash_near_dups", minhashDups, Some(minhashDupsOracle)),
+    QueryDef("q300_dedup_eval", dedupEval, Some(dedupEvalOracle)),
     QueryDef("q22_simhash", simhashes,
       Some(Dedup.sqlSimhash("doc_id", "text", "documents"))),
     QueryDef("q23_ngram_jaccard", ngramJaccard, Some(ngramJaccardOracle)),

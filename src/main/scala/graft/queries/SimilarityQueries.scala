@@ -90,6 +90,62 @@ object SimilarityQueries {
           AS cov_num
       FROM g JOIN s sa ON sa.i = g.i JOIN s sb ON sb.i = g.j"""
 
+  /** q299 — EMBEDDING DRIFT MONITORING between two corpus states (the
+    * model-ops check every retrieval/serving stack runs: has the
+    * embedding distribution moved since the index was built?): per
+    * dimension, the EXACT mean-shift numerator n_ref·S_cur − n_cur·S_ref
+    * (cross-multiplied so no division touches the gate; sign and
+    * magnitude order are what monitoring consumes) and the matching
+    * variance-shift numerator from the q280 quantized second moments —
+    * all integer arithmetic over the same 10³-quantized components, so
+    * the drift tensor hash-compares bitwise. The "reference" state is
+    * the label<5 half of the corpus, "current" is the whole table — the
+    * shape of an index built yesterday serving today's appends.
+    *
+    * Scale shape: two narrow posexplode aggregates (map-side combined,
+    * d groups each), one broadcast join of two d-row frames; the corpus
+    * never shuffles. */
+  def embeddingDrift(spark: SparkSession, dir: String): DataFrame = {
+    val emb = graft.util.Par.ensure(Tables(spark, dir, "embeddings"))
+    def moments(df: DataFrame, tag: String): DataFrame = df
+      .select(posexplode(transform(col("embedding"),
+        x => round(x.cast("double") * CovScale).cast("long")))
+        .as(Seq("_p", "_x")))
+      .groupBy((col("_p") + 1).cast("long").as("i"))
+      .agg(count(lit(1)).as(s"n_$tag"), sum(col("_x")).as(s"s_$tag"),
+        sum(col("_x") * col("_x")).as(s"q_$tag"))
+    moments(emb.filter(col("label") < 5), "ref")
+      .join(moments(emb, "cur"), Seq("i"))
+      .select(col("i"),
+        (col("n_ref") * col("s_cur") - col("n_cur") * col("s_ref"))
+          .as("mean_shift_num"),
+        (col("n_ref") * col("q_cur") - col("n_cur") * col("q_ref"))
+          .as("m2_shift_num"),
+        col("n_ref"), col("n_cur"))
+  }
+
+  private val embeddingDriftOracle = s"""
+      WITH qv AS (
+        SELECT label, list_transform(embedding,
+          x -> CAST(round(x * $CovScale) AS BIGINT)) AS q
+        FROM embeddings),
+      comp AS (
+        SELECT label, unnest(range(1, $Dim + 1)) AS i, q FROM qv),
+      c2 AS (SELECT label, i, q[CAST(i AS INT)] AS x FROM comp),
+      ref AS (
+        SELECT i, COUNT(*) AS n_ref, CAST(SUM(x) AS BIGINT) AS s_ref,
+          CAST(SUM(x * x) AS BIGINT) AS q_ref
+        FROM c2 WHERE label < 5 GROUP BY i),
+      cur AS (
+        SELECT i, COUNT(*) AS n_cur, CAST(SUM(x) AS BIGINT) AS s_cur,
+          CAST(SUM(x * x) AS BIGINT) AS q_cur
+        FROM c2 GROUP BY i)
+      SELECT ref.i,
+        CAST(n_ref * s_cur - n_cur * s_ref AS BIGINT) AS mean_shift_num,
+        CAST(n_ref * q_cur - n_cur * q_ref AS BIGINT) AS m2_shift_num,
+        n_ref, n_cur
+      FROM ref JOIN cur ON cur.i = ref.i"""
+
   /** Range-search threshold (cosine) and cell count. The corpus is the
     * embeddings table shifted into 10 WELL-SEPARATED clusters (+8.0 on
     * dimension label·6, deterministic in both engines via exact
@@ -1298,6 +1354,8 @@ object SimilarityQueries {
     QueryDef("q256_ann_group_ingest", annGroupIngestQ,
       Some(annGroupIngestOracle)),
     QueryDef("q280_pca_covariance", pcaCovariance, Some(pcaCovOracle)),
+    QueryDef("q299_embedding_drift", embeddingDrift,
+      Some(embeddingDriftOracle)),
     QueryDef("q281_ivf_range_search", ivfRangeSearch,
       Some(ivfRangeOracle)),
     QueryDef("q24_cosine_topk", cosineTopK, Some(cosineTopKOracle)),
