@@ -3108,6 +3108,19 @@ object Snapshots {
     }
   }
 
+  /** TRUNCATE: one metadata-only commit with an EMPTY manifest list —
+    * the live view goes empty without reading or deleting a byte;
+    * history below stays time-travelable and vacuum reclaims on its
+    * own schedule. The rename chain carries (tombstoned names stay
+    * unrecyclable, the overwrite rule); the drop ledger resets with
+    * the files it described. */
+  def truncate(spark: SparkSession, table: String): Int =
+    commitLoop(spark, table, "truncate") { prev =>
+      val p = prev.getOrElse(throw new IllegalStateException(
+        s"cannot truncate never-committed table $table"))
+      (Nil, Nil, p.renames, Nil)
+    }
+
   /** REPLACE WHERE (Delta's `replaceWhere` / Spark's `INSERT INTO …
     * REPLACE WHERE` V2 overwrite-by-expression): atomically replace the
     * rows matching `pred` with `df` — ONE commit carrying BOTH the

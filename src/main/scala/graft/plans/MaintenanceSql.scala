@@ -41,6 +41,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
 
   private val CloneRe =
     """(?is)^\s*CREATE\s+TABLE\s+([\w.]+)\s+SHALLOW\s+CLONE\s+([\w.]+)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*$""".r
+  private val TruncateRe =
+    """(?is)^\s*TRUNCATE\s+TABLE\s+([\w.]+)\s*;?\s*$""".r
   private val DeepCloneRe =
     """(?is)^\s*CREATE\s+TABLE\s+([\w.]+)\s+DEEP\s+CLONE\s+([\w.]+)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*$""".r
   private val OptimizeRe =
@@ -140,6 +142,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       ShallowCloneCommand(path(src), path(dst), Option(ver).map(_.toInt))
     case DeepCloneRe(dst, src, ver) =>
       DeepCloneCommand(path(src), path(dst), Option(ver).map(_.toInt))
+    case TruncateRe(t) if snapshotPath(t).isDefined =>
+      TruncateTableCommand(snapshotPath(t).get)
     case OptimizeRe(t) => OptimizeTableCommand(path(t))
     case OptimizeZorderRe(t, cols) =>
       OptimizeZorderCommand(path(t), splitSpec(cols))
@@ -440,4 +444,17 @@ case class DeepCloneCommand(src: String, dst: String, version: Option[Int])
     extends LeafRunnableCommand with VersionOutput {
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row(Snapshots.deepClone(spark, src, dst, version).toLong))
+}
+
+/** `TRUNCATE TABLE cat.t` → one METADATA-ONLY commit whose manifest
+  * list is empty: zero files touched at any size, the live view goes
+  * empty, every prior version stays time-travelable (vacuum reclaims
+  * bytes on its own schedule — exactly a DELETE-all without the scan).
+  * Spark HAS grammar for TRUNCATE, so like the column-default
+  * intercepts this matches only under a registered snapshot catalog.
+  * Returns the new version. */
+case class TruncateTableCommand(table: String)
+    extends LeafRunnableCommand with VersionOutput {
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(Snapshots.truncate(spark, table).toLong))
 }

@@ -3966,7 +3966,44 @@ object LayoutQueries {
       .withColumn("metadata_carried", lit(metadataCarried))
   }
 
+  /** q301 — `TRUNCATE TABLE` over SQL ([[graft.lake.Snapshots.truncate]]):
+    * ONE metadata-only commit with an empty manifest list — the live
+    * view empties without reading or deleting a byte at ANY table
+    * size (a DELETE-all without the scan), history below stays
+    * time-travelable, and the table keeps taking appends. The gate
+    * pins all three plus the single-commit shape. */
+  def truncateSql(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Snapshots
+    val root = graft.util.Scratch.dir("trsql", dir)
+    val table = s"$root/orders_tr"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+    val orders = Tables(spark, dir, "orders")
+    Snapshots.append(spark, table, orders.filter(col("o_orderkey") % 2 === 0))
+    Snapshots.append(spark, table, orders.filter(col("o_orderkey") % 2 === 1))
+    val cat = s"trsql_${Integer.toHexString(dir.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.lake.SnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val v = spark.sql(s"TRUNCATE TABLE $cat.orders_tr").head.getLong(0)
+    val emptyNow =
+      Snapshots.readLatest(spark, table).get.count() == 0 && v == 3L
+    val historyIntact =
+      Snapshots.readAt(spark, table, 2).get.count() == orders.count()
+    Snapshots.append(spark, table, orders.filter(col("o_orderkey") % 5 === 0))
+    Snapshots.readLatest(spark, table).get
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_rows"),
+        Num.sumMoney(col("o_totalprice")).as("sum_price"))
+      .withColumn("empty_after_truncate", lit(emptyNow))
+      .withColumn("history_intact", lit(historyIntact))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q301_truncate_sql", truncateSql, Some(s"""
+      SELECT o_orderpriority, COUNT(*) AS n_rows,
+             ${Num.sqlSumMoney("o_totalprice")} AS sum_price,
+             true AS empty_after_truncate, true AS history_intact
+      FROM orders WHERE o_orderkey % 5 = 0 GROUP BY 1""")),
     QueryDef("q297_deep_clone", deepCloneSql, Some(s"""
       SELECT o_orderpriority, COUNT(*) AS n_rows,
              ${Num.sqlSumMoney("o_totalprice")} AS sum_price,
