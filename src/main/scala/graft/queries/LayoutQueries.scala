@@ -3998,7 +3998,59 @@ object LayoutQueries {
       .withColumn("history_intact", lit(historyIntact))
   }
 
+  /** q302 — OPTIMISTIC-CONCURRENCY INTERLEAVE, gate-visible (the
+    * two-writer race every lakehouse paper hand-waves, made
+    * deterministic): writer A stages an append and — in the seam
+    * between computing its commit content and claiming the version — a
+    * concurrent DELETE commits first. A's claim loses, the commit loop
+    * recomputes against the NEW head, and both writers land with
+    * serializable history: DELETE at v2 (against v1's rows only), the
+    * append at v3. The attestations pin exactly what serializability
+    * promises: no lost update (the delete's effect survives A's retry
+    * carrying its files forward), and the ORDER (append rows matching
+    * the delete predicate are PRESENT — they arrived after the delete,
+    * which never saw them). At any scale the retry costs O(A's delta)
+    * — staged files are immutable, only log content recomputes. */
+  def occInterleave(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Snapshots
+    val table = graft.util.Scratch.dir("occint", dir) + "/orders_occ"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+    val orders = Tables(spark, dir, "orders")
+    val even = col("o_orderkey") % 2 === 0
+    val cheap = col("o_totalprice") < 50000
+    Snapshots.append(spark, table, orders.filter(even)) // v1
+    var fired = false
+    Snapshots.append(spark, table, orders.filter(!even),
+      beforePublish = () => {
+        if (!fired) { // once: the retry must not re-trigger the racer
+          fired = true
+          Snapshots.deleteWhere(spark, table, cheap) // wins v2
+        }
+      })
+    val serialized = Snapshots.latestVersion(spark, table).contains(3)
+    val noLostUpdate = Snapshots.readLatest(spark, table).get
+      .filter(even && cheap).count() == 0
+    val orderPinned = Snapshots.readLatest(spark, table).get
+      .filter(!even && cheap).count() ==
+      orders.filter(!even && cheap).count()
+    Snapshots.readLatest(spark, table).get
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_rows"),
+        Num.sumMoney(col("o_totalprice")).as("sum_price"))
+      .withColumn("serialized", lit(serialized))
+      .withColumn("no_lost_update", lit(noLostUpdate))
+      .withColumn("order_pinned", lit(orderPinned))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q302_occ_interleave", occInterleave, Some(s"""
+      SELECT o_orderpriority, COUNT(*) AS n_rows,
+             ${Num.sqlSumMoney("o_totalprice")} AS sum_price,
+             true AS serialized, true AS no_lost_update,
+             true AS order_pinned
+      FROM orders
+      WHERE o_orderkey % 2 = 1 OR NOT (o_totalprice < 50000)
+      GROUP BY 1""")),
     QueryDef("q301_truncate_sql", truncateSql, Some(s"""
       SELECT o_orderpriority, COUNT(*) AS n_rows,
              ${Num.sqlSumMoney("o_totalprice")} AS sum_price,
