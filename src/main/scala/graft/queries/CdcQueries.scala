@@ -764,7 +764,66 @@ object CdcQueries {
            true AS matches_recompute, true AS noop_stable
     FROM orders WHERE o_orderkey % 5 <> 0 GROUP BY 1"""
 
+  /** q303 — CHANGE FEED ACROSS SCHEMA EVOLUTION (the CDC consumer's
+    * hardest week: the producer ran `ADD COLUMN … DEFAULT` mid-window —
+    * Delta's CDF pain point): all row images in a window materialize
+    * under the WINDOW-END version's era mapping, so pre-add-era rows
+    * arrive with the added column DEFAULT-filled and post-add rows
+    * carry their stored values — one consistent schema, no consumer
+    * special-casing. The metadata-only ADD emits no rows (the q245
+    * CDC contract: consumers apply DDL out of band), and the gate
+    * replays exactly that: a replica seeded with the v1 data applies
+    * the same DDL then the feed, and must land multiset-equal on the
+    * source's final state — delete images of pre-add rows MUST carry
+    * the same filled default the replica's live view shows, or the
+    * exceptAll apply misses them. */
+  def cdfSchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Snapshots
+    val root = graft.util.Scratch.dir("cdfevo", dir)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val table = s"$root/orders_evo"
+    val replica = s"$root/orders_rep"
+    val orders = graft.util.Par.ensure(Tables(spark, dir, "orders"))
+    val even = col("o_orderkey") % 2 === 0
+    Snapshots.append(spark, table, orders.filter(even)) // v1
+    Snapshots.addColumn(spark, table, "bonus", "BIGINT", Some("7")) // v2
+    Snapshots.append(spark, table, orders.filter(!even)
+      .withColumn("bonus", (col("o_orderkey") % 3).cast("long"))) // v3
+    val v4 = Snapshots.deleteWhere(spark, table,
+      col("o_totalprice") < 30000) // v4
+    val feed = Snapshots.changesBetween(spark, table, 1, v4).get
+    // the replica: v1 data + the same DDL out of band, then the feed
+    Snapshots.append(spark, replica, orders.filter(even))
+    Snapshots.addColumn(spark, replica, "bonus", "BIGINT", Some("7"))
+    val cols = Snapshots.readLatest(spark, table).get.columns.map(col)
+    val applied = Snapshots.readLatest(spark, replica).get
+      .select(cols: _*)
+      .exceptAll(feed.filter(col("_change_type") === "delete")
+        .select(cols: _*))
+      .unionAll(feed.filter(col("_change_type") === "insert")
+        .select(cols: _*))
+    val target = Snapshots.readLatest(spark, table).get.select(cols: _*)
+    val inSync = applied.exceptAll(target).isEmpty &&
+      target.exceptAll(applied).isEmpty
+    target.groupBy(col("o_orderpriority"), col("bonus"))
+      .agg(count(lit(1)).as("n_rows"),
+        Num.sumMoney(col("o_totalprice")).as("sum_price"))
+      .withColumn("in_sync", lit(inSync))
+  }
+
+  private val cdfEvoOracle: String = s"""
+    SELECT o_orderpriority,
+           CAST(CASE WHEN o_orderkey % 2 = 0 THEN 7
+                ELSE o_orderkey % 3 END AS BIGINT) AS bonus,
+           COUNT(*) AS n_rows,
+           ${Num.sqlSumMoney("o_totalprice")} AS sum_price,
+           true AS in_sync
+    FROM orders WHERE NOT (o_totalprice < 30000)
+    GROUP BY 1, 2"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q303_cdf_schema_evolution", cdfSchemaEvolution,
+      Some(cdfEvoOracle)),
     QueryDef("q285_materialized_view_sql", materializedViewSql,
       Some(mvSqlOracle)),
     QueryDef("q222_gdpr_lake_erasure", gdprLakeErasure,

@@ -1008,7 +1008,57 @@ object StreamingQueries {
              true AS matches_recompute, true AS replay_stable
       FROM orders WHERE o_orderkey % 5 <> 0 GROUP BY 1"""
 
+  /** q304 — THE PLAIN STREAMING SOURCE ACROSS SCHEMA EVOLUTION (q271's
+    * source when the producer runs `ADD COLUMN` mid-stream): the
+    * metadata-only ADD is append-shaped with ZERO new files, so it
+    * consumes as an empty batch (the frontier stays dense, nothing
+    * fails); pre-add batches emit rows WITHOUT the column and post-add
+    * batches WITH it, and the sink's cross-era union serves the
+    * combined history — pre-add rows read as null bonus (the sink
+    * declared no default; a consumer wanting the producer's fill
+    * applies the same DDL, exactly the q303 CDC contract). The gate
+    * pins the final sink state including the nulls and that the DDL
+    * batch advanced the frontier without rows. */
+  def streamSchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Snapshots
+    import graft.streaming.SnapshotStreamSource
+    val root = scratchDir("stream_q304", dir)
+    delete(root)
+    val src = s"$root/src"
+    val sink = s"$root/sink"
+    val ckpt = s"$root/ckpt"
+    val orders = Tables(spark, dir, "orders")
+    val even = col("o_orderkey") % 2 === 0
+    Snapshots.append(spark, src, orders.filter(even)) // v1: pre-add era
+    Snapshots.addColumn(spark, src, "bonus", "BIGINT", Some("7")) // v2
+    Snapshots.append(spark, src, orders.filter(!even)
+      .withColumn("bonus", (col("o_orderkey") % 3).cast("long"))) // v3
+    SnapshotStreamSource.runOnce(spark, src, sink, ckpt)
+    val sinkLatest = Snapshots.readLatest(spark, sink).get
+    // v1+v2+v3 consumed → sink at version 3, the DDL window empty
+    val frontierDense = Snapshots.latestVersion(spark, sink).contains(3)
+    val ddlBatchEmpty = Snapshots.readAt(spark, sink, 2).get.count() ==
+      orders.filter(even).count()
+    sinkLatest
+      .groupBy(col("o_orderpriority"), col("bonus"))
+      .agg(count(lit(1)).as("n_rows"),
+        Num.sumMoney(col("o_totalprice")).as("sum_price"))
+      .withColumn("frontier_dense", lit(frontierDense))
+      .withColumn("ddl_batch_empty", lit(ddlBatchEmpty))
+  }
+
+  private val streamSchemaEvoOracle: String = s"""
+      SELECT o_orderpriority,
+             CAST(CASE WHEN o_orderkey % 2 = 0 THEN NULL
+                  ELSE o_orderkey % 3 END AS BIGINT) AS bonus,
+             COUNT(*) AS n_rows,
+             ${Num.sqlSumMoney("o_totalprice")} AS sum_price,
+             true AS frontier_dense, true AS ddl_batch_empty
+      FROM orders GROUP BY 1, 2"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q304_stream_schema_evolution", streamSchemaEvolution,
+      Some(streamSchemaEvoOracle)),
     QueryDef("q296_streaming_mv_refresh", streamingMvRefresh,
       Some(streamingMvOracle)),
     QueryDef("q283_stream_snapshot_join", streamSnapshotJoin,
