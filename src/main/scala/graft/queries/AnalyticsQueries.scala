@@ -955,7 +955,77 @@ object AnalyticsQueries {
         MIN(CASE WHEN rn = (9 * n + 9) // 10 THEN v END)
       FROM r GROUP BY g"""
 
+  /** q305 — EXACT WEIGHTED QUANTILES at scale (q293's two-phase
+    * histogram refinement with WEIGHTS: "the price below which half the
+    * REVENUE sits" — the business form of a median, and the weighted
+    * selection a sampler's inclusion thresholds need): per group, the
+    * smallest value v whose cumulative weight reaches ⌈W/2⌉ (and the
+    * p90 weight mass), all integer cents. Phase 1 aggregates weight per
+    * (group, bucket) — map-side combined, the only full shuffle; the
+    * driver locates each target's bucket and RESIDUAL WEIGHT; phase 2
+    * touches only target buckets and selects within a bucket-width
+    * slice by cumulative weight over the sorted values. Ties need no
+    * rule: the smallest value reaching the mass is well-defined. */
+  def weightedQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Tables(spark, dir, "orders")
+      .select(col("o_orderpriority").as("g"),
+        cents(col("o_totalprice")).as("v"))
+      // weight: order quantity proxy — the key count per cent bucket;
+      // here weight = the value itself (revenue-weighted), the classic
+      .withColumn("wt", col("v"))
+    val hist = w.groupBy(col("g"), expr(s"v DIV $QBucket").as("b"))
+      .agg(sum("wt").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val targets = hist.groupBy(_._1).toSeq.flatMap { case (g, rows) =>
+      val sorted = rows.sortBy(_._2)
+      val total = rows.map(_._3).sum
+      def locate(k: Long): (Long, Long) = {
+        val cums = sorted.scanLeft(0L)(_ + _._3)
+        val j = cums.indexWhere(_ >= k)
+        require(j > 0, s"mass $k beyond group total $total")
+        (sorted(j - 1)._2, k - cums(j - 1))
+      }
+      Seq(("p50", (total + 1) / 2), ("p90", (9 * total + 9) / 10)).map {
+        case (q, k) => val (b, r) = locate(k); (g, q, k, b, r)
+      }
+    }
+    val tDf = broadcast(targets.toDF("g", "quantile", "k", "b", "r"))
+    w.withColumn("b", expr(s"v DIV $QBucket"))
+      .join(tDf, Seq("g", "b"))
+      .groupBy("g", "quantile", "r")
+      .agg(sort_array(collect_list(struct(col("v"), col("wt")))).as("_vs"))
+      .select(col("g").as("o_orderpriority"), col("quantile"),
+        expr("""(aggregate(_vs, named_struct('cum', 0L, 'ans', -1L),
+            (acc, x) -> IF(acc.ans >= 0, acc,
+              IF(acc.cum + x.wt >= r,
+                named_struct('cum', acc.cum + x.wt, 'ans', x.v),
+                named_struct('cum', acc.cum + x.wt, 'ans', -1L))))).ans""")
+          .as("value_cents"))
+  }
+
+  private val weightedQuantilesOracle: String = s"""
+      WITH w AS (
+        SELECT o_orderpriority AS g, ${sqlCents("o_totalprice")} AS v,
+          ${sqlCents("o_totalprice")} AS wt
+        FROM orders),
+      r AS (
+        SELECT g, v,
+          SUM(wt) OVER (PARTITION BY g ORDER BY v, wt
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+          SUM(wt) OVER (PARTITION BY g) AS total
+        FROM w)
+      SELECT g AS o_orderpriority, 'p50' AS quantile,
+        MIN(CASE WHEN cum >= (total + 1) // 2 THEN v END) AS value_cents
+      FROM r GROUP BY g
+      UNION ALL
+      SELECT g, 'p90',
+        MIN(CASE WHEN cum >= (9 * total + 9) // 10 THEN v END)
+      FROM r GROUP BY g"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q305_weighted_quantiles", weightedQuantiles,
+      Some(weightedQuantilesOracle)),
     QueryDef("q293_exact_quantiles", exactQuantiles,
       Some(exactQuantilesOracle)),
     QueryDef("q291_kmv_sketch_ops", kmvSketchOps, Some(kmvOracle)),
