@@ -161,13 +161,21 @@ object MaterializedViews {
       .agg(signedAggs.head, signedAggs.tail: _*)
     val names = d.countAlias +: d.sums.map(_._2)
     val old = Snapshots.readLatest(spark, mvPath).get
-    val merged = old.join(delta.select(
-        d.groupCols.map(col) ++
-          names.map(n => col(n).as(s"_d_$n")): _*),
-        d.groupCols, "full_outer")
-      .select(d.groupCols.map(col) ++ names.map(n =>
-        (coalesce(col(n), lit(0L)) + coalesce(col(s"_d_$n"), lit(0L)))
-          .as(n)): _*)
+    // null-SAFE join on the group keys: a NULL grouping key must match
+    // itself across old/delta or the NULL-keyed group splits into a
+    // stale old row plus a delta-only row, silently drifting from the
+    // recompute the class promises to equal
+    val deltaRenamed = delta.select(
+      d.groupCols.map(g => col(g).as(s"_d_g_$g")) ++
+        names.map(n => col(n).as(s"_d_$n")): _*)
+    val joinCond = d.groupCols
+      .map(g => old(g) <=> deltaRenamed(s"_d_g_$g")).reduce(_ && _)
+    val merged = old.join(deltaRenamed, joinCond, "full_outer")
+      .select(d.groupCols.map(g =>
+          coalesce(col(g), col(s"_d_g_$g")).as(g)) ++
+        names.map(n =>
+          (coalesce(col(n), lit(0L)) + coalesce(col(s"_d_$n"), lit(0L)))
+            .as(n)): _*)
       .filter(col(d.countAlias) > 0)
     // the refresh frontier advances IN the data commit: a crash can
     // never leave a folded view with a stale frontier (which would

@@ -186,9 +186,13 @@ final class SnapshotCatalog extends TableCatalog {
   private def tableAt(ident: Identifier, t: String, v: Int): Table = {
     val s = Snapshots.snapshot(spark, t, v)
       .getOrElse(throw new NoSuchTableException(ident))
-    // the log records schemas per data-carrying commit, so a zero-file
-    // version (a DML on a never-committed table) has no schema to serve —
-    // fail at resolution with the real reason
+    // a zero-file version with DECLARED columns (TRUNCATE re-declares
+    // the pre-truncate schema; ADD COLUMN declares one) reads as an
+    // empty table with that schema — only a version with no schema at
+    // all (a DML on a never-committed table) fails at resolution
+    if (s.files.isEmpty && s.addedColumns.nonEmpty)
+      return SnapshotMoRTable(s"${ident.name()}@v$v", t, v,
+        Snapshots.readAt(spark, t, v).get.schema, s.properties)
     if (s.files.isEmpty) throw new UnsupportedOperationException(
       s"version $v of ${ident.name()} has no data files (schema unknown " +
         "to the log); read it via Snapshots.readAt, which returns empty")
@@ -247,7 +251,14 @@ final class SnapshotCatalog extends TableCatalog {
     *
     * Everything else (type changes, column positions) still refuses.
     * Mixed change sets containing anything unsupported refuse WHOLE,
-    * before any member applies — never a partial apply. */
+    * before any member applies. Supported members are additionally
+    * PRE-VALIDATED as a set against the current snapshot (existence,
+    * collisions, struct-leaf paths, tombstone recycling — simulated in
+    * application order: renames, drops, adds) so the common failure
+    * classes also refuse before the first commit; only deep per-member
+    * checks that need their own commit's view (default/constraint
+    * expression references) can still fail mid-set, and those throw
+    * naming the member. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     import org.apache.spark.sql.connector.catalog.TableChange.{
       AddColumn, DeleteColumn, RemoveProperty, RenameColumn, SetProperty}
@@ -282,6 +293,39 @@ final class SnapshotCatalog extends TableCatalog {
     val known =
       sets.size + removes.size + renames.size + drops.size + adds.size
     if (known != changes.size || known == 0) throw readOnly
+    // pre-validate the SET against the current snapshot before applying
+    // any member — members apply as sequential commits, so a member that
+    // would fail must refuse the whole statement BEFORE the first commit
+    if (renames.nonEmpty || drops.nonEmpty || adds.nonEmpty) {
+      val head = Snapshots.mainHeadVersion(spark, t)
+        .flatMap(v => Snapshots.snapshot(spark, t, v)).get
+      val live = scala.collection.mutable.LinkedHashSet(
+        Snapshots.readLatest(spark, t).get.schema.fieldNames.toSeq: _*)
+      val tombstoned =
+        scala.collection.mutable.HashSet(head.renames.map(_._1): _*)
+      def refuseLeaf(n: String, what: String): Unit = require(
+        !n.contains('.'),
+        s"$what of struct leaf path '$n' is not supported — operate on " +
+          "the whole struct column; leaf names travel with their struct")
+      renames.foreach { case (from, to) =>
+        refuseLeaf(from, "rename"); refuseLeaf(to, "rename")
+        require(live.contains(from), s"no current column named $from")
+        require(!live.contains(to), s"column $to already exists")
+        require(!tombstoned.contains(to),
+          s"$to was renamed away earlier and cannot be recycled")
+        live -= from; live += to; tombstoned += from
+      }
+      drops.foreach { n =>
+        refuseLeaf(n, "drop")
+        require(live.contains(n), s"no current column named $n")
+        live -= n
+      }
+      adds.foreach { case (n, _, _) =>
+        refuseLeaf(n, "add")
+        require(!live.contains(n), s"column $n already exists")
+        live += n
+      }
+    }
     if (sets.nonEmpty) Snapshots.setTableProperties(spark, t, sets.toMap)
     if (removes.nonEmpty) Snapshots.unsetTableProperties(spark, t, removes)
     renames.foreach { case (from, to) =>

@@ -2643,7 +2643,20 @@ object Snapshots {
         val prev = prevOpt.get
         require(!exprRefs(spark, d).contains(name),
           s"default for $name references itself")
-        readDispatch(spark, table, prev).limit(0).select(expr(d)).schema
+        val resolved = readDispatch(spark, table, prev).limit(0)
+          .select(expr(d)).schema.head.dataType
+        // the era read fills the column as expr(default).cast(declared):
+        // a default whose type cannot UP-cast losslessly would pass the
+        // DDL and then silently fill NULL on every read — refuse it HERE
+        // (e.g. ADD COLUMN b BIGINT DEFAULT 'oops')
+        val declared = org.apache.spark.sql.types.DataType.fromDDL(typeDdl)
+        require(resolved == org.apache.spark.sql.types.NullType ||
+          org.apache.spark.sql.catalyst.expressions.Cast
+            .canUpCast(resolved, declared),
+          s"default for $name has type ${resolved.simpleString}, which " +
+            s"does not cast losslessly to declared ${declared.simpleString}" +
+            " — every read would silently fill NULL; write a default of " +
+            "the declared type (or an up-castable one)")
         prev.defaults.filterNot(_._1 == name) :+ (name -> d)
       }) { prevOpt =>
       val prev = prevOpt.get
@@ -2803,7 +2816,18 @@ object Snapshots {
   }
 
   private def eraRead(spark: SparkSession, table: String, s: Snapshot): DataFrame =
-    if (s.files.isEmpty) spark.emptyDataFrame
+    if (s.files.isEmpty) {
+      // a zero-file version still has a schema when the commit DECLARED
+      // columns ([[truncate]] re-declares the pre-truncate live schema;
+      // ADD COLUMN declares one) — serve a typed empty relation instead
+      // of a schemaless one, the Delta truncated-table read contract
+      if (s.addedColumns.isEmpty) spark.emptyDataFrame
+      else spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        StructType(s.addedColumns.map { case (n, t) =>
+          StructField(n, org.apache.spark.sql.types.DataType.fromDDL(t),
+            nullable = true) }))
+    }
     else subtractDeletes(spark, table, withMetaEras(spark, table, s),
       s.deletes, s.renames)
       .drop("_snap_file", "_snap_pos", RowIdCol)
@@ -3113,9 +3137,18 @@ object Snapshots {
     * history below stays time-travelable and vacuum reclaims on its
     * own schedule. The rename chain carries (tombstoned names stay
     * unrecyclable, the overwrite rule); the drop ledger resets with
-    * the files it described. */
+    * the files it described. The pre-truncate LIVE schema is
+    * re-declared as [[Snapshot.addedColumns]] so the truncated version
+    * still reads as an EMPTY TABLE WITH ITS SCHEMA (SQL SELECT and
+    * [[readAt]] both) — without it a zero-file version is schemaless
+    * and SELECT after TRUNCATE would fail, unlike Delta. */
   def truncate(spark: SparkSession, table: String): Int =
-    commitLoop(spark, table, "truncate") { prev =>
+    commitLoop(spark, table, "truncate",
+      newAddedColumns = prevOpt => prevOpt.map { p =>
+        if (p.files.isEmpty) p.addedColumns
+        else readAt(spark, table, p.version).get.schema.fields.toSeq
+          .map(f => f.name -> f.dataType.sql)
+      }) { prev =>
       val p = prev.getOrElse(throw new IllegalStateException(
         s"cannot truncate never-committed table $table"))
       (Nil, Nil, p.renames, Nil)

@@ -171,12 +171,36 @@ case class SnapshotDmlRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           if (isTruncate)
             SnapshotInsertCommand(p, query, r.output.map(_.name),
               overwrite = true): LogicalPlan
-          else
+          else {
             // re-parse by SQL text so the predicate re-resolves by NAME
             // against the era-aware live view inside the commit (the
-            // relation's attribute ids mean nothing there)
+            // relation's attribute ids mean nothing there) — with
+            // QUALIFIERS STRIPPED first: `REPLACE WHERE t.col = …`
+            // renders as `t.col`, which would fail to re-resolve against
+            // the bare-named live view and the table-shaped insert
+            // frame. Leading parts that are NOT table columns are
+            // qualifiers; parts from the first column name on are the
+            // column itself plus struct-field access and must stay.
+            val colNames =
+              r.output.map(_.name.toLowerCase(java.util.Locale.ROOT)).toSet
+            val bareSql = deleteExpr.transform {
+              case a: org.apache.spark.sql.catalyst.expressions
+                  .AttributeReference =>
+                org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+                  .quoted(a.name)
+              case u: org.apache.spark.sql.catalyst.analysis
+                  .UnresolvedAttribute if u.nameParts.length > 1 =>
+                val dropped = u.nameParts.dropWhile(p =>
+                  !colNames.contains(p.toLowerCase(java.util.Locale.ROOT)))
+                if (dropped.nonEmpty &&
+                    dropped.length < u.nameParts.length)
+                  org.apache.spark.sql.catalyst.analysis
+                    .UnresolvedAttribute(dropped)
+                else u
+            }.sql
             SnapshotReplaceWhereCommand(p, query, r.output.map(_.name),
-              deleteExpr.sql): LogicalPlan
+              bareSql): LogicalPlan
+          }
         }.getOrElse(o)
       // CREATE TABLE … AS SELECT → first append commit of a NEW table
       // (the log has no schema-only commits, so the DDL surface is CTAS,
