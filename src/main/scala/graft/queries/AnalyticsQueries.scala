@@ -892,49 +892,134 @@ object AnalyticsQueries {
     * price ranges — KB to the driver at any corpus size. */
   private val QBucket = 65536L
 
+  /** Phase-2 slice bound for the exact-quantile family: a target bucket
+    * whose ROW count exceeds this is never collect_list'd — it narrows
+    * (width/1024 per round) until the slice is bounded or the width
+    * reaches 1. Bounds the single-task buffer the two-phase shape
+    * exists to avoid, even under pathological skew. */
+  private val QSliceCap = 65536L
+
+  /** One quantile target mid-refinement: the value range [lo, lo+width)
+    * known to hold the answer, the residual rank-or-mass `r` inside it,
+    * the emitted rank `k`, and the range's ROW count (the phase-2
+    * buffer bound). */
+  private[queries] final case class QTarget(g: String, q: String,
+      k: Long, lo: Long, width: Long, r: Long, rows: Long)
+
+  /** Phase 1 + the skew-narrowing loop shared by q293/q305. Phase 1 is
+    * ONE (group, bucket) aggregate over the data — map-side combined,
+    * the only full shuffle — whose ≈|groups|·1000-row histogram comes to
+    * the driver (KB); cumulative counts (or weight masses, `weighted`)
+    * locate each quantile's bucket and residual. Any target whose
+    * bucket holds more than `cap` ROWS then narrows: one aggregate over
+    * ONLY the oversized targets' ranges (a broadcast range join — never
+    * a second full scan of healthy groups) re-histograms each at
+    * width/1024, the driver re-locates, and the loop repeats until every
+    * slice is ≤ cap rows or its width is 1 (a single repeated value —
+    * the answer is the range floor, no slice needed). Healthy
+    * distributions run ZERO narrowing rounds; total-degenerate ones
+    * (a group's whole mass at one value) terminate at width 1 in
+    * ≤ log₁₀₂₄(width) rounds. */
+  private[queries] def qTargets(w: DataFrame, weighted: Boolean,
+      cap: Long): Seq[QTarget] = {
+    val hist = w.groupBy(col("g"), expr(s"v DIV $QBucket").as("b"))
+      .agg(count(lit(1)).as("cnt"),
+        (if (weighted) sum("wt") else count(lit(1))).as("mass"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val t0 = hist.groupBy(_._1).toSeq.flatMap { case (g, rows) =>
+      val sorted = rows.sortBy(_._2)
+      val total = rows.map(_._4).sum
+      val cums = sorted.scanLeft(0L)(_ + _._4)
+      def locate(q: String, k: Long): QTarget = {
+        val j = cums.indexWhere(_ >= k)
+        require(j > 0, s"rank/mass $k beyond group total $total")
+        QTarget(g, q, k, sorted(j - 1)._2 * QBucket, QBucket,
+          k - cums(j - 1), sorted(j - 1)._3)
+      }
+      Seq(("p50", (total + 1) / 2), ("p90", (9 * total + 9) / 10)).map {
+        case (q, k) => locate(q, k)
+      }
+    }
+    narrowQTargets(w, t0, weighted, cap)
+  }
+
+  private def narrowQTargets(w: DataFrame, targets0: Seq[QTarget],
+      weighted: Boolean, cap: Long): Seq[QTarget] = {
+    val spark = w.sparkSession
+    import spark.implicits._
+    var ts = targets0
+    while (ts.exists(t => t.rows > cap && t.width > 1)) {
+      val (over, keep) = ts.partition(t => t.rows > cap && t.width > 1)
+      val oDf = broadcast(over.map(t => (t.g, t.q, t.lo, t.width,
+        math.max(1L, t.width / 1024L))).toDF("tg", "tq", "tlo", "tw", "tsw"))
+      // sub-histogram over ONLY the oversized ranges: ≤1024 buckets per
+      // target to the driver, rows outside every range never join
+      val sub = w.join(oDf, w("g") === oDf("tg") &&
+          w("v") >= oDf("tlo") && w("v") < oDf("tlo") + oDf("tw"))
+        .groupBy(col("tg"), col("tq"), expr("(v - tlo) DIV tsw").as("sb"))
+        .agg(count(lit(1)).as("cnt"),
+          (if (weighted) sum("wt") else count(lit(1))).as("mass"))
+        .collect()
+        .map(r => ((r.getString(0), r.getString(1)),
+          (r.getLong(2), r.getLong(3), r.getLong(4))))
+        .groupBy(_._1)
+      val narrowed = over.map { t =>
+        val sw = math.max(1L, t.width / 1024L)
+        val subs = sub((t.g, t.q)).map(_._2).sortBy(_._1)
+        val cums = subs.scanLeft(0L)(_ + _._3)
+        val j = cums.indexWhere(_ >= t.r)
+        require(j > 0, s"residual ${t.r} beyond slice for ${t.g}/${t.q}")
+        t.copy(lo = t.lo + subs(j - 1)._1 * sw, width = sw,
+          r = t.r - cums(j - 1), rows = subs(j - 1)._2)
+      }
+      ts = keep ++ narrowed
+    }
+    ts
+  }
+
   /** q293 — EXACT ORDER STATISTICS AT SCALE, two-phase (the
     * median-of-100-TB problem: q46/q56's approx quantiles trade error
     * for one pass; a GLOBAL SORT is the thing that cannot happen): the
-    * exact k-th smallest per group via histogram refinement. Phase 1:
-    * one (group, bucket) count aggregate — map-side combined, the ONLY
-    * full-data shuffle — whose ≈|groups|·1000-row result comes to the
-    * driver (KB); cumulative counts locate each quantile's bucket and
-    * residual rank. Phase 2 touches ONLY the target buckets (a
-    * broadcast semi-join), and the within-bucket selection handles a
-    * bucket-width slice, never the table (pathological skew — one
-    * bucket holding everything — recurses by narrowing the width; at
-    * healthy widths the slice is |group|/1000). Both the median and
-    * p90 (k = ⌈0.9n⌉) emit with their exact ranks; ties need no rule —
-    * the k-th smallest of a multiset is well-defined whatever order
-    * equal values shuffle into. */
+    * exact k-th smallest per group via histogram refinement
+    * ([[qTargets]]). Phase 1: one (group, bucket) count aggregate —
+    * map-side combined, the ONLY full-data shuffle — whose
+    * ≈|groups|·1000-row result comes to the driver (KB); cumulative
+    * counts locate each quantile's bucket and residual rank. Targets
+    * whose bucket exceeds [[QSliceCap]] rows NARROW (width/1024 rounds
+    * over only their ranges) until bounded or single-valued — the
+    * implemented skew defense, pinned by QuantileNarrowingSpec. Phase 2
+    * touches ONLY the target ranges (a broadcast range join) and
+    * collects a ≤cap-row slice, never the table; width-1 targets skip
+    * phase 2 entirely (the answer IS the range floor). Both the median
+    * and p90 (k = ⌈0.9n⌉) emit with their exact ranks; ties need no
+    * rule — the k-th smallest of a multiset is well-defined whatever
+    * order equal values shuffle into. */
   def exactQuantiles(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val w = Tables(spark, dir, "orders")
       .select(col("o_orderpriority").as("g"),
         cents(col("o_totalprice")).as("v"))
-    val hist = w.groupBy(col("g"), expr(s"v DIV $QBucket").as("b"))
-      .agg(count(lit(1)).as("c"))
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-    val targets = hist.groupBy(_._1).toSeq.flatMap { case (g, rows) =>
-      val sorted = rows.sortBy(_._2)
-      val n = rows.map(_._3).sum
-      def locate(k: Long): (Long, Long) = {
-        val cums = sorted.scanLeft(0L)(_ + _._3)
-        val j = cums.indexWhere(_ >= k)
-        require(j > 0, s"rank $k beyond group size $n")
-        (sorted(j - 1)._2, k - cums(j - 1))
-      }
-      Seq(("p50", (n + 1) / 2), ("p90", (9 * n + 9) / 10)).map {
-        case (q, k) => val (b, r) = locate(k); (g, q, k, b, r)
-      }
-    }
-    val tDf = broadcast(targets.toDF("g", "quantile", "k", "b", "r"))
-    w.withColumn("b", expr(s"v DIV $QBucket"))
-      .join(tDf, Seq("g", "b"))
-      .groupBy("g", "quantile", "k", "r")
+    exactQuantilesCore(w, QSliceCap)
+  }
+
+  private[queries] def exactQuantilesCore(w: DataFrame,
+      cap: Long): DataFrame = {
+    val spark = w.sparkSession
+    import spark.implicits._
+    val ts = qTargets(w, weighted = false, cap)
+    // width-1 targets are RESOLVED: every row in [lo, lo+1) equals lo
+    val (done, slice) = ts.partition(_.width == 1L)
+    val doneDf = done.map(t => (t.g, t.q, t.k, t.lo))
+      .toDF("o_orderpriority", "quantile", "k", "value_cents")
+    val tDf = broadcast(slice.map(t => (t.g, t.q, t.k, t.lo, t.width, t.r))
+      .toDF("tg", "quantile", "k", "tlo", "tw", "r"))
+    w.join(tDf, w("g") === col("tg") &&
+        w("v") >= col("tlo") && w("v") < col("tlo") + col("tw"))
+      .groupBy(col("tg"), col("quantile"), col("k"), col("r"))
       .agg(sort_array(collect_list(col("v"))).as("_vs"))
-      .select(col("g").as("o_orderpriority"), col("quantile"), col("k"),
+      .select(col("tg").as("o_orderpriority"), col("quantile"), col("k"),
         element_at(col("_vs"), col("r").cast("int")).as("value_cents"))
+      .unionByName(doneDf)
   }
 
   private val exactQuantilesOracle: String = s"""
@@ -960,48 +1045,49 @@ object AnalyticsQueries {
     * REVENUE sits" — the business form of a median, and the weighted
     * selection a sampler's inclusion thresholds need): per group, the
     * smallest value v whose cumulative weight reaches ⌈W/2⌉ (and the
-    * p90 weight mass), all integer cents. Phase 1 aggregates weight per
-    * (group, bucket) — map-side combined, the only full shuffle; the
-    * driver locates each target's bucket and RESIDUAL WEIGHT; phase 2
-    * touches only target buckets and selects within a bucket-width
-    * slice by cumulative weight over the sorted values. Ties need no
+    * p90 weight mass), all integer cents. Phase 1 aggregates weight AND
+    * row count per (group, bucket) — map-side combined, the only full
+    * shuffle; the driver locates each target's bucket and RESIDUAL
+    * WEIGHT; over-[[QSliceCap]]-row buckets narrow exactly as q293's
+    * ([[qTargets]], the mass cumulated by weight, the buffer bound by
+    * rows). Phase 2 touches only target ranges and selects within a
+    * ≤cap-row slice by cumulative weight over the sorted values;
+    * width-1 targets resolve to the range floor directly. Ties need no
     * rule: the smallest value reaching the mass is well-defined. */
   def weightedQuantiles(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val w = Tables(spark, dir, "orders")
       .select(col("o_orderpriority").as("g"),
         cents(col("o_totalprice")).as("v"))
       // weight: order quantity proxy — the key count per cent bucket;
       // here weight = the value itself (revenue-weighted), the classic
       .withColumn("wt", col("v"))
-    val hist = w.groupBy(col("g"), expr(s"v DIV $QBucket").as("b"))
-      .agg(sum("wt").as("c"))
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-    val targets = hist.groupBy(_._1).toSeq.flatMap { case (g, rows) =>
-      val sorted = rows.sortBy(_._2)
-      val total = rows.map(_._3).sum
-      def locate(k: Long): (Long, Long) = {
-        val cums = sorted.scanLeft(0L)(_ + _._3)
-        val j = cums.indexWhere(_ >= k)
-        require(j > 0, s"mass $k beyond group total $total")
-        (sorted(j - 1)._2, k - cums(j - 1))
-      }
-      Seq(("p50", (total + 1) / 2), ("p90", (9 * total + 9) / 10)).map {
-        case (q, k) => val (b, r) = locate(k); (g, q, k, b, r)
-      }
-    }
-    val tDf = broadcast(targets.toDF("g", "quantile", "k", "b", "r"))
-    w.withColumn("b", expr(s"v DIV $QBucket"))
-      .join(tDf, Seq("g", "b"))
-      .groupBy("g", "quantile", "r")
+    weightedQuantilesCore(w, QSliceCap)
+  }
+
+  private[queries] def weightedQuantilesCore(w: DataFrame,
+      cap: Long): DataFrame = {
+    val spark = w.sparkSession
+    import spark.implicits._
+    val ts = qTargets(w, weighted = true, cap)
+    // width-1 targets: all slice values equal lo, and lo's cumulative
+    // weight reaches the residual mass by construction — resolved
+    val (done, slice) = ts.partition(_.width == 1L)
+    val doneDf = done.map(t => (t.g, t.q, t.lo))
+      .toDF("o_orderpriority", "quantile", "value_cents")
+    val tDf = broadcast(slice.map(t => (t.g, t.q, t.lo, t.width, t.r))
+      .toDF("tg", "quantile", "tlo", "tw", "r"))
+    w.join(tDf, w("g") === col("tg") &&
+        w("v") >= col("tlo") && w("v") < col("tlo") + col("tw"))
+      .groupBy(col("tg"), col("quantile"), col("r"))
       .agg(sort_array(collect_list(struct(col("v"), col("wt")))).as("_vs"))
-      .select(col("g").as("o_orderpriority"), col("quantile"),
+      .select(col("tg").as("o_orderpriority"), col("quantile"),
         expr("""(aggregate(_vs, named_struct('cum', 0L, 'ans', -1L),
             (acc, x) -> IF(acc.ans >= 0, acc,
               IF(acc.cum + x.wt >= r,
                 named_struct('cum', acc.cum + x.wt, 'ans', x.v),
                 named_struct('cum', acc.cum + x.wt, 'ans', -1L))))).ans""")
           .as("value_cents"))
+      .unionByName(doneDf)
   }
 
   private val weightedQuantilesOracle: String = s"""

@@ -12,10 +12,18 @@ import graft.text.TextAnalysis.{quarterBitsRatio, sqlFloorLog2FromSeed,
   * pipeline, Spark-first:
   *
   *  1. BLOCKING: candidate pairs only within agreeing coarse keys —
-  *     two passes (nation+segment, nation+balance-bucket) unioned, so a
-  *     record corrupted in one blocking field is still reachable via
-  *     the other (the multi-pass discipline every production linker
-  *     runs). Pair volume is Σ|block_A|·|block_B|, never |A|·|B|.
+  *     two passes unioned, so a record corrupted in one blocking field
+  *     is still reachable via the other (the multi-pass discipline
+  *     every production linker runs). Pass 1 blocks on nation + segment
+  *     + a NAME-PREFIX key (the first [[NamePrefixLen]] characters —
+  *     the classic first-k-chars blocking key): the prefix bounds each
+  *     block's size by the prefix's key cardinality INDEPENDENT of
+  *     corpus size, so pair volume stays O(n·cap), never the n²/|blocks|
+  *     a coarse-keys-only pass degrades to as the corpus grows (a
+  *     trailing-character mangle keeps its prefix, so corrupted names
+  *     still block with their originals). Pass 2 blocks on nation +
+  *     balance bucket. Pair volume is Σ|block_A|·|block_B| with block
+  *     sizes capped — never |A|·|B|.
   *  2. SCORING: per-field agreement weights from the FREQUENCY of the
   *     agreeing value (the frequency-based u-probability: agreeing on
   *     a value shared by few records is strong evidence, on a common
@@ -37,9 +45,17 @@ object LinkageQueries {
   private val LinkThreshold = 24L
   private val ReKey = 1000000L
 
+  /** Pass-1 secondary blocking key length: the first 15 characters of
+    * the name. For TPC-H `Customer#NNNNNNNNN` names this frees only the
+    * last 3 digits, so a (nation, segment, prefix) block holds at most
+    * ~1000 records WHATEVER the corpus size — the bounded-block
+    * discipline; a decided pair outside the prefix block must agree on
+    * the balance and is reached by pass 2. */
+  private val NamePrefixLen = 15
+
   /** Deterministic corruptions: ~1/5 of names mangled, ~1/7 of balances
     * perturbed by 123 cents, ~1/11 of segments relabeled. */
-  private def corrupted(a: DataFrame): DataFrame = a.select(
+  private[queries] def corrupted(a: DataFrame): DataFrame = a.select(
     (col("c_custkey") + ReKey).as("b_id"),
     when(col("c_custkey") % 5 === 1, concat(col("c_name"), lit("~")))
       .otherwise(col("c_name")).as("b_name"),
@@ -49,16 +65,30 @@ object LinkageQueries {
     when(col("c_custkey") % 11 === 0, lit("CORRUPTED"))
       .otherwise(col("c_mktsegment")).as("b_seg"))
 
-  def recordLinkage(spark: SparkSession, dir: String): DataFrame = {
+  def recordLinkage(spark: SparkSession, dir: String): DataFrame =
+    recordLinkageWith(spark, dir, boundedBlocks = true)
+
+  /** `boundedBlocks = false` reproduces the UNBOUNDED coarse-key pass 1
+    * (nation+segment only, candidate volume n²/|blocks|) — kept solely
+    * so the equivalence spec can pin that bounding the blocks does not
+    * change the decided pairs; production entry points never use it. */
+  private[queries] def recordLinkageWith(spark: SparkSession, dir: String,
+      boundedBlocks: Boolean): DataFrame = {
     val a0 = graft.util.Par.ensure(Tables(spark, dir, "customer"))
       .withColumn("bal_cents", Num.cents(col("c_acctbal")))
     val a = a0.select(col("c_custkey").as("a_key"),
       col("c_name").as("a_name"), col("c_nationkey").as("a_nation"),
       col("bal_cents").as("a_bal"), col("c_mktsegment").as("a_seg"))
     val b = corrupted(a0)
-    // blocking pass 1: nation + segment; pass 2: nation + balance bucket
-    val p1 = a.join(b, col("a_nation") === col("b_nation") &&
-      col("a_seg") === col("b_seg"))
+    // blocking pass 1: nation + segment + name prefix (bounded blocks);
+    // pass 2: nation + balance bucket
+    val coarse = col("a_nation") === col("b_nation") &&
+      col("a_seg") === col("b_seg")
+    val p1 = a.join(b,
+      if (boundedBlocks) coarse &&
+        substring(col("a_name"), 1, NamePrefixLen) ===
+          substring(col("b_name"), 1, NamePrefixLen)
+      else coarse)
     // balances can be negative: shift into the positive domain before
     // bucketing so Spark's truncating DIV and the oracle's floor //
     // agree (they diverge below zero)
@@ -129,6 +159,8 @@ object LinkageQueries {
         b_bal, a_seg, b_seg
       FROM (
         SELECT * FROM a JOIN b ON a_nation = b_nation AND a_seg = b_seg
+          AND substr(a_name, 1, $NamePrefixLen)
+            = substr(b_name, 1, $NamePrefixLen)
         UNION ALL
         SELECT * FROM a JOIN b ON a_nation = b_nation
           AND (a_bal + 1000000) // $BalBucket
