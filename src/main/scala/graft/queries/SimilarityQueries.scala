@@ -1139,7 +1139,7 @@ object SimilarityQueries {
       m = NswM, numBands = NumBands, dim = Dim)
     def filesOf(t: String) = Snapshots.snapshot(spark, s"$root/$t",
       Snapshots.latestVersion(spark, s"$root/$t").get).get.files.toSet
-    val tables = (0 to Similarity.HnswMaxLevel)
+    val tables = (0 to Similarity.hnswIndexLevels(spark, root))
       .flatMap(l => Seq(s"l$l/edges", s"l$l/sigs"))
     val before = tables.map(t => t -> filesOf(t)).toMap
     Similarity.hnswIndexAdd(spark, root, batch, "vec_id", "embedding")
@@ -1157,6 +1157,91 @@ object SimilarityQueries {
       queryPred = "e.vec_id < 20", initialPred = "vec_id % 5 <> 0",
       batchPred = "vec_id % 5 = 0")
     s"""SELECT t.*, true AS carried_by_reference FROM ($inner) t"""
+  }
+
+  /** q306 — GRAPH-ANN DELETE + OPTIMIZE (VERDICT r15 task 3 — the
+    * lifecycle leg q218 proved for IVF-PQ code tables, now for the
+    * graph family): a curated corpus that deletes documents evicts
+    * them from the persisted NSW index in two stages.
+    *
+    *  1. [[graft.similarity.Similarity.nswIndexDelete]]: deleted ids
+    *     tombstone (one O(batch) append) and MoR-delete from `sigs`;
+    *     `edges` is untouched — tombstoned nodes keep ROUTING but every
+    *     search anti-joins them out of the RESULTS, so survivor recall
+    *     can only improve (the post-delete top-k is the same scored set
+    *     minus tombstones — `survivor_results_kept` attests the
+    *     superset relation in-query).
+    *  2. [[graft.similarity.Similarity.nswIndexOptimize]]: orphaned
+    *     neighborhoods re-wire through their deleted neighbors'
+    *     surviving neighbors (exact-cosine top-m), deleted nodes drop
+    *     from the graph, tombstones truncate.
+    *
+    * `carried_after_delete` pins that the DELETE itself rewrote no data
+    * file (tombstone + MoR only); `repaired_graph_clean` that no edge
+    * touches a deleted id after optimize; both searches replay bitwise
+    * in the oracle. */
+  def nswDeleteQ(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Snapshots
+    val root = graft.util.Scratch.dir("nswdel", dir)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val emb = Tables(spark, dir, "embeddings")
+    Similarity.nswIndexBuild(spark, root, emb, "vec_id", "embedding",
+      m = NswM, numBands = NumBands, dim = Dim)
+    val preDf = Similarity.nswIndexSearch(spark, root, emb,
+      queriesOf(emb), "vec_id", "embedding", K,
+      beam = NswBeam, hops = NswHops)
+      .select("query_id", "neighbor_id").localCheckpoint()
+    def filesOf(t: String) = Snapshots.snapshot(spark, s"$root/$t",
+      Snapshots.latestVersion(spark, s"$root/$t").get).get.files.toSet
+    val (e1, s1) = (filesOf("edges"), filesOf("sigs"))
+    Similarity.nswIndexDelete(spark, root, col("id") % 9 === 3)
+    val carried = e1 == filesOf("edges") && s1 == filesOf("sigs")
+    val deadIds = emb.filter(col("vec_id") % 9 === 3)
+      .select(col("vec_id")).localCheckpoint()
+    val postRes = Similarity.nswIndexSearch(spark, root, emb,
+      queriesOf(emb), "vec_id", "embedding", K,
+      beam = NswBeam, hops = NswHops).localCheckpoint()
+    val excludesDeleted = postRes.join(broadcast(deadIds),
+      postRes("neighbor_id") === deadIds("vec_id")).isEmpty
+    // the scored sets are identical, so post-delete results must keep
+    // every surviving pre-delete result (recall on survivors can only
+    // improve under the final anti-join)
+    val survivorKept = preDf
+      .join(broadcast(deadIds),
+        preDf("neighbor_id") === deadIds("vec_id"), "left_anti")
+      .join(postRes.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_anti")
+      .isEmpty
+    Similarity.nswIndexOptimize(spark, root)
+    val cleared =
+      Snapshots.readLatest(spark, s"$root/tombstones").get.isEmpty
+    val edgesNow = Snapshots.readLatest(spark, s"$root/edges").get
+    val repairedClean = edgesNow.join(broadcast(deadIds),
+        edgesNow("src") === deadIds("vec_id")).isEmpty &&
+      edgesNow.join(broadcast(deadIds),
+        edgesNow("dst") === deadIds("vec_id")).isEmpty
+    val survivors = emb.join(broadcast(deadIds),
+      emb("vec_id") === deadIds("vec_id"), "left_anti")
+    val repRes = Similarity.nswIndexSearch(spark, root, survivors,
+      queriesOf(emb), "vec_id", "embedding", K,
+      beam = NswBeam, hops = NswHops)
+    e6(postRes).withColumn("phase", lit("deleted"))
+      .unionByName(e6(repRes).withColumn("phase", lit("repaired")))
+      .withColumn("carried_after_delete", lit(carried))
+      .withColumn("survivor_results_kept", lit(survivorKept))
+      .withColumn("excludes_deleted", lit(excludesDeleted))
+      .withColumn("tombstones_cleared", lit(cleared))
+      .withColumn("repaired_graph_clean", lit(repairedClean))
+  }
+
+  private val nswDeleteOracle: String = {
+    val inner = Similarity.sqlNswDeleteTopK(k = K, m = NswM,
+      beam = NswBeam, hops = NswHops, numBands = NumBands, dim = Dim,
+      queryPred = "e.vec_id < 20", delPred = "vec_id % 9 = 3")
+    s"""SELECT t.*, true AS carried_after_delete,
+      true AS survivor_results_kept, true AS excludes_deleted,
+      true AS tombstones_cleared, true AS repaired_graph_clean
+      FROM ($inner) t"""
   }
 
   /** q193 — multi-layer HNSW ([[Similarity.hnswBuildLayers]] /
@@ -1364,5 +1449,6 @@ object SimilarityQueries {
       Some(embeddingNearDupsOracle)),
     QueryDef("q39_ivf_kmeans_topk", ivfKmeansTopK, Some(ivfKmeansOracle)),
     QueryDef("q57_embedding_dup_clusters", embeddingDupClusters,
-      Some(embeddingDupClustersOracle)))
+      Some(embeddingDupClustersOracle)),
+    QueryDef("q306_graph_ann_delete", nswDeleteQ, Some(nswDeleteOracle)))
 }

@@ -973,10 +973,14 @@ object Similarity {
       corpus, queries, idCol, vecCol, k, beam, hops)
 
   /** Greedy beam SEARCH over a prebuilt edge list (see [[nswTopK]]'s
-    * SEARCH notes). */
+    * SEARCH notes). `exclude` (a single-id-column frame, driver-small)
+    * anti-joins the FINAL scored set — tombstoned nodes keep ROUTING
+    * (they stay in beams and edges until [[nswIndexOptimize]] re-wires,
+    * the FreshDiskANN tombstone discipline) but can never be a
+    * result. */
   def nswSearch(edges: DataFrame, corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, beam: Int = 16,
-      hops: Int = 4): DataFrame = {
+      hops: Int = 4, exclude: Option[DataFrame] = None): DataFrame = {
     val entryId = corpus.agg(min(col(idCol))).head().getLong(0)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
     val vecs = corpus.select(col(idCol).as("node"), col(vecCol).as("_nv"))
@@ -997,9 +1001,12 @@ object Similarity {
         .select(col("query_id"), col("neighbor_id").as("node"),
           col("cos_sim").as("cos"))
     }
-    topK(seen.filter(col("node") =!= col("query_id"))
-      .select(col("query_id"), col("node").as("neighbor_id"),
-        col("cos").as("cos_sim")), k)
+    val fin0 = seen.filter(col("node") =!= col("query_id"))
+    val fin = exclude.fold(fin0)(x => fin0.join(
+      broadcast(x.select(col(x.columns.head).as("node"))),
+      Seq("node"), "left_anti"))
+    topK(fin.select(col("query_id"), col("node").as("neighbor_id"),
+      col("cos").as("cos_sim")), k)
   }
 
   // ------------------------------------------- hierarchical graph (HNSW)
@@ -1011,21 +1018,41 @@ object Similarity {
     * (the q148 fingerprint discipline). */
   val HnswLevelBase = 4L
 
-  /** Layers above the base. Fixed rather than log(n)-scaled so the
-    * oracle's unrolled CTE chain is one static string at every scale
-    * factor; at 4^-l occupancy two upper layers serve corpora to ~10⁶
-    * nodes, and a production build would grow this with log₄(n) (each
-    * added layer is one more CTE block of the same shape). */
-  val HnswMaxLevel = 2
+  /** The EMISSION bound on layers above the base — the most the oracle's
+    * unrolled CTE chain ever carries (layers the corpus hasn't earned
+    * are empty and their descent blocks no-op). The LIVE layer count is
+    * [[hnswMaxLevelFor]]: log₄-scaled to the corpus, the production
+    * discipline VERDICT r15 task 4 asked for. 4 static levels cover
+    * corpora to [[HnswLayerFloor]]·4⁴ ≈ 2·10³ at floor 8 — and the
+    * bound is one constant (plus the same-shape CTE blocks it emits) to
+    * raise for bigger gates. */
+  val HnswStaticMaxLevel = 4
+
+  /** Minimum expected TOP-layer population: layer l exists once the
+    * corpus reaches [[HnswLayerFloor]]·4^l nodes (so the top layer
+    * holds ≥ ~8 expected nodes — enough to route). */
+  val HnswLayerFloor = 8L
+
+  /** Live layer count for an n-node corpus: the largest l ≤
+    * [[HnswStaticMaxLevel]] with n ≥ [[HnswLayerFloor]]·4^l — integer
+    * comparisons only (shift by 2l), zero FP-boundary risk. Layer 3
+    * appears exactly when n crosses 4³·floor = 512. */
+  def hnswMaxLevelFor(n: Long): Int =
+    (0 to HnswStaticMaxLevel).reverse
+      .find(l => n >= (HnswLayerFloor << (2 * l))).getOrElse(0)
 
   /** Deterministic hash-geometric layer of a node: the largest l with
-    * hash(id) ≡ 0 (mod base^l), capped at [[HnswMaxLevel]]. */
+    * hash(id) ≡ 0 (mod base^l), capped at [[HnswStaticMaxLevel]].
+    * Membership tests (`level ≥ l`) are cap-insensitive for any l ≤
+    * cap, so build/search/entry all agree however many layers are
+    * LIVE. */
   def hnswLevel(id: Column): Column = {
     val h = conv(substring(md5(id.cast("string")), 1, 15), 16, 10)
       .cast("long")
-    when(h % (HnswLevelBase * HnswLevelBase) === 0, 2)
-      .when(h % HnswLevelBase === 0, 1)
-      .otherwise(0)
+    (1 to HnswStaticMaxLevel).foldLeft(lit(0): Column) { (acc, l) =>
+      val p = Seq.fill(l)(HnswLevelBase).product
+      when(h % p === 0, l).otherwise(acc)
+    }
   }
 
   /** Multi-layer HNSW index BUILD: layer l's graph is the [[nswBuildEdges]]
@@ -1037,7 +1064,7 @@ object Similarity {
     * edge lists; every layer is deterministic and oracle-replayed. */
   def hnswBuildLayers(corpus: DataFrame, idCol: String, vecCol: String,
       m: Int = 8, numBands: Int = 4, dim: Int = 64): Seq[DataFrame] =
-    (0 to HnswMaxLevel).map { l =>
+    (0 to hnswMaxLevelFor(corpus.count())).map { l =>
       val sub =
         if (l == 0) corpus
         else corpus.filter(hnswLevel(col(idCol)) >= l)
@@ -1060,7 +1087,7 @@ object Similarity {
   def hnswSearch(layers: Seq[DataFrame], corpus: DataFrame,
       queries: DataFrame, idCol: String, vecCol: String, k: Int,
       beam: Int = 16, hops: Int = 4, upperBeam: Int = 4,
-      upperHops: Int = 2): DataFrame = {
+      upperHops: Int = 2, exclude: Option[DataFrame] = None): DataFrame = {
     val top = layers.size - 1
     val entryId = corpus.filter(hnswLevel(col(idCol)) >= top)
       .agg(min(col(idCol))).head().get(0) match {
@@ -1089,9 +1116,12 @@ object Similarity {
       }
     for (l <- top to 1 by -1) expand(layers(l), upperHops, upperBeam)
     expand(layers(0), hops, beam)
-    topK(seen.filter(col("node") =!= col("query_id"))
-      .select(col("query_id"), col("node").as("neighbor_id"),
-        col("cos").as("cos_sim")), k)
+    val fin0 = seen.filter(col("node") =!= col("query_id"))
+    val fin = exclude.fold(fin0)(x => fin0.join(
+      broadcast(x.select(col(x.columns.head).as("node"))),
+      Seq("node"), "left_anti"))
+    topK(fin.select(col("query_id"), col("node").as("neighbor_id"),
+      col("cos").as("cos_sim")), k)
   }
 
   /** [[sqlBandSigCtes]] generalized to a LAYER: same md5 planes (shared
@@ -1141,6 +1171,8 @@ object Similarity {
       minPlanes: Int = NswMinPlanes, maxPlanes: Int = NswMaxPlanes): String = {
     val sCos = sqlCosine("q.qv", "e.v")
     val base = HnswLevelBase
+    val lvlCaseArms = (HnswStaticMaxLevel to 1 by -1).map(l =>
+      s"WHEN h % ${Seq.fill(l)(base).product} = 0 THEN $l").mkString(" ")
     // one beam-expansion CTE block; `edges` names the layer's edge CTE
     def hopBlock(tag: String, h: Int, prev: String, edges: String,
         width: Int): String =
@@ -1149,16 +1181,16 @@ object Similarity {
       sc$tag$h AS (SELECT c.query_id, c.node, $sCos AS c
         FROM cand$tag$h c JOIN emb e ON e.vec_id = c.node
         JOIN qs q ON q.query_id = c.query_id),
-      seen$tag$h AS (SELECT DISTINCT query_id, node, c FROM (
+      seen$tag$h AS MATERIALIZED (SELECT DISTINCT query_id, node, c FROM (
         SELECT * FROM seen$prev UNION ALL SELECT * FROM sc$tag$h)),
-      beam$tag$h AS (SELECT query_id, node, c FROM (
+      beam$tag$h AS MATERIALIZED (SELECT query_id, node, c FROM (
           SELECT query_id, node, c,
             row_number() OVER (PARTITION BY query_id ORDER BY c DESC, node) AS rn
           FROM seen$tag$h) WHERE rn <= $width)"""
     // descent: layer 2 then layer 1 with the narrow beam, then layer 0
     var prev = "0"
     val blocks = scala.collection.mutable.ArrayBuffer.empty[String]
-    for (l <- HnswMaxLevel to 1 by -1; h <- 1 to upperHops) {
+    for (l <- HnswStaticMaxLevel to 1 by -1; h <- 1 to upperHops) {
       blocks += hopBlock(s"L${l}x", h, prev, s"edgesL$l", upperBeam)
       prev = s"L${l}x$h"
     }
@@ -1166,7 +1198,7 @@ object Similarity {
       blocks += hopBlock("B", h, prev, "edgesL0", beam)
       prev = s"B$h"
     }
-    val layerCtes = (0 to HnswMaxLevel).map(l =>
+    val layerCtes = (0 to HnswStaticMaxLevel).map(l =>
       sqlLayerSigCtes(s"L$l", l, dim, targetBucketCap, minPlanes, maxPlanes)
         .replace("__M__", m.toString)).mkString(",\n      ")
     s"""WITH emb AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -1179,16 +1211,23 @@ object Similarity {
                (SELECT unnest(range($maxPlanes)) AS j) j,
                (SELECT unnest(range($dim)) AS d) d) t
         GROUP BY band, j),
+      nlvl AS (SELECT count(*) AS c FROM emb),
+      -- live layer count: largest l with n >= floor * base^l (base = 4,
+      -- so base^l = 1 << 2l) -- integer comparisons, no FP boundary
+      lmax AS (SELECT COALESCE(MAX(js.j), 0) AS lm
+        FROM (SELECT CAST(unnest(range(0, ${HnswStaticMaxLevel + 1})) AS INT) AS j) js, nlvl
+        WHERE nlvl.c >= (CAST($HnswLayerFloor AS BIGINT) << (2 * js.j))),
       lvl AS MATERIALIZED (SELECT vec_id,
-          CASE WHEN h % ${base * base} = 0 THEN 2
-               WHEN h % $base = 0 THEN 1 ELSE 0 END AS l
+          LEAST(CASE $lvlCaseArms ELSE 0 END,
+            (SELECT lm FROM lmax)) AS l
         FROM (SELECT vec_id,
             ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS h
           FROM emb)),
       $layerCtes,
       en AS (SELECT COALESCE(
           (SELECT MIN(e.vec_id) FROM emb e
-            JOIN lvl ON lvl.vec_id = e.vec_id AND lvl.l >= $HnswMaxLevel),
+            JOIN lvl ON lvl.vec_id = e.vec_id
+              AND lvl.l >= (SELECT lm FROM lmax)),
           (SELECT MIN(vec_id) FROM emb)) AS v),
       qs AS (SELECT vec_id AS query_id, v AS qv FROM emb e WHERE $queryPred),
       seen0 AS (SELECT q.query_id, en.v AS node, $sCos AS c
@@ -1218,9 +1257,9 @@ object Similarity {
       sc$h AS (SELECT c.query_id, c.node, $sCos AS c
         FROM cand$h c JOIN emb e ON e.vec_id = c.node
         JOIN qs q ON q.query_id = c.query_id),
-      seen$h AS (SELECT DISTINCT query_id, node, c FROM (
+      seen$h AS MATERIALIZED (SELECT DISTINCT query_id, node, c FROM (
         SELECT * FROM seen${h - 1} UNION ALL SELECT * FROM sc$h)),
-      beam$h AS (SELECT query_id, node, c FROM (
+      beam$h AS MATERIALIZED (SELECT query_id, node, c FROM (
           SELECT query_id, node, c,
             row_number() OVER (PARTITION BY query_id ORDER BY c DESC, node) AS rn
           FROM seen$h) WHERE rn <= $beam)"""
@@ -1286,6 +1325,13 @@ object Similarity {
   val AnnBandsKey = "graft.ann.bands"
   val AnnMKey = "graft.ann.m"
   val AnnDimKey = "graft.ann.dim"
+
+  /** Live HNSW layer count, pinned at build time like the plane ladder
+    * (growing layers later is a full-rebuild decision — FAISS's nlist
+    * discipline): add/search/delete/optimize all read it, so a corpus
+    * that has grown past the next 4^l threshold keeps a consistent
+    * hierarchy until an explicit rebuild. */
+  val AnnLevelsKey = "graft.ann.levels"
 
   /** Per-src top-m edge selection + symmetrization over a candidate
     * (src, dst, w) relation — the wiring step shared by the one-shot
@@ -1383,13 +1429,100 @@ object Similarity {
   }
 
   /** Beam search over a persisted index ([[nswSearch]] on the `edges`
-    * table's live view). */
+    * table's live view), honoring any live tombstones: deleted ids can
+    * never surface in results, with zero caller coordination. */
   def nswIndexSearch(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, beam: Int = 16,
       hops: Int = 4): DataFrame =
     nswSearch(graft.lake.Snapshots.readLatest(spark, s"$indexDir/edges").get,
-      corpus, queries, idCol, vecCol, k, beam, hops)
+      corpus, queries, idCol, vecCol, k, beam, hops,
+      exclude = indexTombstones(spark, indexDir))
+
+  /** Live tombstone set of a persisted graph index: None until a
+    * delete commits, None again after [[nswIndexOptimize]] truncates
+    * (the truncated table reads as typed-empty). */
+  private def indexTombstones(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Option[DataFrame] =
+    graft.lake.Snapshots.latestVersion(spark, s"$indexDir/tombstones")
+      .map(_ => graft.lake.Snapshots
+        .readLatest(spark, s"$indexDir/tombstones").get)
+      .filter(!_.isEmpty)
+
+  /** DELETE from a persisted NSW index — the lifecycle leg q218 proved
+    * for IVF-PQ code tables, now for the graph family: ids matching
+    * `pred` (spoken over the sigs columns, i.e. `id`) append to a
+    * `tombstones` table (one O(batch) commit) and MoR-delete from
+    * `sigs`, so no future add() wires to them and no future repair
+    * scores them. `edges` is NOT touched: deleted nodes keep serving
+    * as ROUTING hops (eagerly unlinking them would orphan their
+    * neighborhoods — the FreshDiskANN tombstone discipline) while
+    * every search excludes them from RESULTS via the tombstone
+    * anti-join; [[nswIndexOptimize]] later repairs the graph and
+    * clears the tombstones. */
+  def nswIndexDelete(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, pred: org.apache.spark.sql.Column): Unit = {
+    import graft.lake.Snapshots
+    val ids = Snapshots.readLatest(spark, s"$indexDir/sigs").get
+      .filter(pred).select(col("id").as("vec_id")).distinct()
+    Snapshots.append(spark, s"$indexDir/tombstones", ids)
+    Snapshots.deleteWhere(spark, s"$indexDir/sigs", pred)
+    ()
+  }
+
+  /** Re-wire one graph table around a tombstone set: every surviving
+    * src that lost a neighbor d inherits d's own surviving neighbors
+    * as candidates (the bridge src→d→dst — the deleted node's
+    * neighborhood keeps its connectivity), scored by exact cosine,
+    * per-src top-m, symmetrized, unioned with the untouched live
+    * edges — ONE overwrite commit. Cost is O(deleted·degree²), never a
+    * rebuild; vectors come from the (already MoR-deleted) sigs table,
+    * so a tombstoned id can neither score nor be a repair endpoint. */
+  private def repairGraphEdges(spark: org.apache.spark.sql.SparkSession,
+      tableDir: String, tomb: DataFrame): Unit = {
+    import graft.lake.Snapshots
+    def dead = broadcast(tomb.select(col("vec_id")))
+    val edges = Snapshots.readLatest(spark, s"$tableDir/edges").get
+    val m = Snapshots.tableProperties(spark, s"$tableDir/sigs")(AnnMKey).toInt
+    val vecs = Snapshots.readLatest(spark, s"$tableDir/sigs").get
+      .groupBy(col("id")).agg(first(col("_v")).as("_v"))
+    // survivors that lost a neighbor, with the dead neighbor d
+    val lost = edges.join(dead, edges("dst") === col("vec_id"))
+      .select(col("src"), col("dst").as("d"))
+      .join(dead, col("src") === col("vec_id"), "left_anti")
+    // bridge: d's surviving neighbors become src's candidates
+    val e2 = edges.select(col("src").as("d"), col("dst").as("nd"))
+    val bridge = lost.join(e2, Seq("d"))
+      .select(col("src"), col("nd"))
+      .filter(col("src") =!= col("nd"))
+      .join(dead, col("nd") === col("vec_id"), "left_anti")
+      .distinct()
+    val cand = bridge
+      .join(vecs.select(col("id").as("src"), col("_v").as("_sv")),
+        Seq("src"))
+      .join(vecs.select(col("id").as("nd"), col("_v").as("_dv")),
+        Seq("nd"))
+      .select(col("src"), col("nd").as("dst"),
+        cosine(col("_sv"), col("_dv")).as("w"))
+      .distinct()
+    val kept = edges
+      .join(dead, edges("src") === col("vec_id"), "left_anti")
+      .join(dead, edges("dst") === col("vec_id"), "left_anti")
+    Snapshots.overwrite(spark, s"$tableDir/edges",
+      kept.unionByName(wireTopM(cand, m)).distinct())
+    ()
+  }
+
+  /** OPTIMIZE a tombstoned NSW index: [[repairGraphEdges]] re-wires
+    * orphaned neighborhoods and drops deleted nodes from the graph,
+    * then the tombstone table TRUNCATES (schema intact) so searches
+    * stop filtering. A tombstone-free index is a no-op. */
+  def nswIndexOptimize(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Unit =
+    indexTombstones(spark, indexDir).foreach { tomb =>
+      repairGraphEdges(spark, indexDir, tomb)
+      graft.lake.Snapshots.truncate(spark, s"$indexDir/tombstones")
+    }
 
   /** [[nswIndexBuild]] stacked into the HNSW hierarchy: one persisted
     * (sigs, edges) table pair PER LAYER, each layer built over the
@@ -1399,14 +1532,25 @@ object Similarity {
     * same id always lands the same levels in both engines. */
   def hnswIndexBuild(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, corpus: DataFrame, idCol: String, vecCol: String,
-      m: Int = 8, numBands: Int = 4, dim: Int = 64): Unit =
-    (0 to HnswMaxLevel).foreach { l =>
+      m: Int = 8, numBands: Int = 4, dim: Int = 64): Unit = {
+    val levels = hnswMaxLevelFor(corpus.count())
+    (0 to levels).foreach { l =>
       val sub =
         if (l == 0) corpus
         else corpus.filter(hnswLevel(col(idCol)) >= l)
       nswIndexBuild(spark, s"$indexDir/l$l", sub, idCol, vecCol,
         m, numBands, dim)
     }
+    graft.lake.Snapshots.setTableProperties(spark, s"$indexDir/l0/sigs",
+      Map(AnnLevelsKey -> levels.toString))
+    ()
+  }
+
+  /** The layer count a persisted hierarchical index was built with. */
+  def hnswIndexLevels(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Int =
+    graft.lake.Snapshots.tableProperties(spark, s"$indexDir/l0/sigs")(
+      AnnLevelsKey).toInt
 
   /** Incremental HNSW `add()`: per layer, the batch's level-≥l slice
     * wires against THAT layer's persisted buckets exactly like
@@ -1417,7 +1561,7 @@ object Similarity {
   def hnswIndexAdd(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, batch: DataFrame, idCol: String,
       vecCol: String): Unit =
-    (0 to HnswMaxLevel).foreach { l =>
+    (0 to hnswIndexLevels(spark, indexDir)).foreach { l =>
       val sub =
         if (l == 0) batch
         else batch.filter(hnswLevel(col(idCol)) >= l)
@@ -1425,14 +1569,43 @@ object Similarity {
     }
 
   /** Greedy descent over a persisted hierarchical index
-    * ([[hnswSearch]] on each layer's live edge view). */
+    * ([[hnswSearch]] on each layer's live edge view), honoring any
+    * live tombstones exactly like [[nswIndexSearch]]. */
   def hnswIndexSearch(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, beam: Int = 16,
       hops: Int = 4, upperBeam: Int = 4, upperHops: Int = 2): DataFrame =
-    hnswSearch((0 to HnswMaxLevel).map(l =>
+    hnswSearch((0 to hnswIndexLevels(spark, indexDir)).map(l =>
       graft.lake.Snapshots.readLatest(spark, s"$indexDir/l$l/edges").get),
-      corpus, queries, idCol, vecCol, k, beam, hops, upperBeam, upperHops)
+      corpus, queries, idCol, vecCol, k, beam, hops, upperBeam, upperHops,
+      exclude = indexTombstones(spark, indexDir))
+
+  /** [[nswIndexDelete]] stacked into the hierarchy: ONE shared
+    * tombstone table at the index root (results are global — a node
+    * deleted anywhere must vanish from every search), plus a
+    * MoR-delete on EVERY layer's sigs (upper layers simply match
+    * nothing if the node never reached them). */
+  def hnswIndexDelete(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, pred: org.apache.spark.sql.Column): Unit = {
+    import graft.lake.Snapshots
+    val ids = Snapshots.readLatest(spark, s"$indexDir/l0/sigs").get
+      .filter(pred).select(col("id").as("vec_id")).distinct()
+    Snapshots.append(spark, s"$indexDir/tombstones", ids)
+    (0 to hnswIndexLevels(spark, indexDir)).foreach(l =>
+      Snapshots.deleteWhere(spark, s"$indexDir/l$l/sigs", pred))
+    ()
+  }
+
+  /** [[nswIndexOptimize]] stacked into the hierarchy: every layer's
+    * graph repairs around the SHARED tombstone set (each with its own
+    * pinned m), then the tombstones truncate once. */
+  def hnswIndexOptimize(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Unit =
+    indexTombstones(spark, indexDir).foreach { tomb =>
+      (0 to hnswIndexLevels(spark, indexDir)).foreach(l =>
+        repairGraphEdges(spark, s"$indexDir/l$l", tomb))
+      graft.lake.Snapshots.truncate(spark, s"$indexDir/tombstones")
+    }
 
   /** The incremental twin of [[sqlLayerSigCtes]]: layer edges = the
     * initial sub-population's self-join wiring UNION the batch slice's
@@ -1489,6 +1662,8 @@ object Similarity {
       minPlanes: Int = NswMinPlanes, maxPlanes: Int = NswMaxPlanes): String = {
     val sCos = sqlCosine("q.qv", "e.v")
     val base = HnswLevelBase
+    val lvlCaseArms = (HnswStaticMaxLevel to 1 by -1).map(l =>
+      s"WHEN h % ${Seq.fill(l)(base).product} = 0 THEN $l").mkString(" ")
     def hopBlock(tag: String, h: Int, prev: String, edges: String,
         width: Int): String =
       s"""cand$tag$h AS (SELECT DISTINCT b.query_id, ed.dst AS node
@@ -1496,15 +1671,15 @@ object Similarity {
       sc$tag$h AS (SELECT c.query_id, c.node, $sCos AS c
         FROM cand$tag$h c JOIN emb e ON e.vec_id = c.node
         JOIN qs q ON q.query_id = c.query_id),
-      seen$tag$h AS (SELECT DISTINCT query_id, node, c FROM (
+      seen$tag$h AS MATERIALIZED (SELECT DISTINCT query_id, node, c FROM (
         SELECT * FROM seen$prev UNION ALL SELECT * FROM sc$tag$h)),
-      beam$tag$h AS (SELECT query_id, node, c FROM (
+      beam$tag$h AS MATERIALIZED (SELECT query_id, node, c FROM (
           SELECT query_id, node, c,
             row_number() OVER (PARTITION BY query_id ORDER BY c DESC, node) AS rn
           FROM seen$tag$h) WHERE rn <= $width)"""
     var prev = "0"
     val blocks = scala.collection.mutable.ArrayBuffer.empty[String]
-    for (l <- HnswMaxLevel to 1 by -1; h <- 1 to upperHops) {
+    for (l <- HnswStaticMaxLevel to 1 by -1; h <- 1 to upperHops) {
       blocks += hopBlock(s"L${l}x", h, prev, s"edgesL$l", upperBeam)
       prev = s"L${l}x$h"
     }
@@ -1512,7 +1687,7 @@ object Similarity {
       blocks += hopBlock("B", h, prev, "edgesL0", beam)
       prev = s"B$h"
     }
-    val layerCtes = (0 to HnswMaxLevel).map(l =>
+    val layerCtes = (0 to HnswStaticMaxLevel).map(l =>
       sqlLayerSigCtesIncremental(s"L$l", l, dim, initialPred, batchPred,
         targetBucketCap, minPlanes, maxPlanes)
         .replace("__M__", m.toString)).mkString(",\n      ")
@@ -1526,16 +1701,23 @@ object Similarity {
                (SELECT unnest(range($maxPlanes)) AS j) j,
                (SELECT unnest(range($dim)) AS d) d) t
         GROUP BY band, j),
+      nlvl AS (SELECT count(*) AS c FROM emb WHERE $initialPred),
+      -- live layer count: largest l with n >= floor * base^l (base = 4,
+      -- so base^l = 1 << 2l) -- integer comparisons, no FP boundary
+      lmax AS (SELECT COALESCE(MAX(js.j), 0) AS lm
+        FROM (SELECT CAST(unnest(range(0, ${HnswStaticMaxLevel + 1})) AS INT) AS j) js, nlvl
+        WHERE nlvl.c >= (CAST($HnswLayerFloor AS BIGINT) << (2 * js.j))),
       lvl AS MATERIALIZED (SELECT vec_id,
-          CASE WHEN h % ${base * base} = 0 THEN 2
-               WHEN h % $base = 0 THEN 1 ELSE 0 END AS l
+          LEAST(CASE $lvlCaseArms ELSE 0 END,
+            (SELECT lm FROM lmax)) AS l
         FROM (SELECT vec_id,
             ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS h
           FROM emb)),
       $layerCtes,
       en AS (SELECT COALESCE(
           (SELECT MIN(e.vec_id) FROM emb e
-            JOIN lvl ON lvl.vec_id = e.vec_id AND lvl.l >= $HnswMaxLevel),
+            JOIN lvl ON lvl.vec_id = e.vec_id
+              AND lvl.l >= (SELECT lm FROM lmax)),
           (SELECT MIN(vec_id) FROM emb)) AS v),
       qs AS (SELECT vec_id AS query_id, v AS qv FROM emb e WHERE $queryPred),
       seen0 AS (SELECT q.query_id, en.v AS node, $sCos AS c
@@ -1571,9 +1753,9 @@ object Similarity {
       sc$h AS (SELECT c.query_id, c.node, $sCos AS c
         FROM cand$h c JOIN emb e ON e.vec_id = c.node
         JOIN qs q ON q.query_id = c.query_id),
-      seen$h AS (SELECT DISTINCT query_id, node, c FROM (
+      seen$h AS MATERIALIZED (SELECT DISTINCT query_id, node, c FROM (
         SELECT * FROM seen${h - 1} UNION ALL SELECT * FROM sc$h)),
-      beam$h AS (SELECT query_id, node, c FROM (
+      beam$h AS MATERIALIZED (SELECT query_id, node, c FROM (
           SELECT query_id, node, c,
             row_number() OVER (PARTITION BY query_id ORDER BY c DESC, node) AS rn
           FROM seen$h) WHERE rn <= $beam)"""
@@ -1633,5 +1815,95 @@ object Similarity {
       SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
         CAST(floor(c * 1000000) AS BIGINT) AS cos_sim_e6
       FROM fin WHERE rank <= $k"""
+  }
+
+  /** DuckDB mirror of the q306 graph-ANN DELETE lifecycle: the one-shot
+    * build ([[sqlNswTopK]]'s CTEs), a TOMBSTONED search over the
+    * original edges — the deleted set excluded from final results only,
+    * tombstoned nodes keep ROUTING — then the bridge repair (for every
+    * surviving src that lost a neighbor d, d's surviving neighbors
+    * become candidates; per-src top-m by exact cosine; symmetrized;
+    * live edges kept verbatim) and a second full search over the
+    * repaired graph with SURVIVOR corpus and entry point. Both phases
+    * emit tagged rows, so one mis-excluded id or one mis-wired repair
+    * edge anywhere fails the hash. */
+  def sqlNswDeleteTopK(k: Int, m: Int, beam: Int, hops: Int,
+      numBands: Int, dim: Int, queryPred: String, delPred: String,
+      targetBucketCap: Long = NswPlaneCap,
+      minPlanes: Int = NswMinPlanes, maxPlanes: Int = NswMaxPlanes): String = {
+    val wCos = sqlCosine("x.v", "y.v")
+    val sCos = sqlCosine("q.qv", "e.v")
+    def hopChain(sfx: String, edgesRel: String, embRel: String): String =
+      (1 to hops).map { h =>
+        s"""cand$h$sfx AS (SELECT DISTINCT b.query_id, ed.dst AS node
+        FROM beam${h - 1}$sfx b JOIN $edgesRel ed ON ed.src = b.node),
+      sc$h$sfx AS (SELECT c.query_id, c.node, $sCos AS c
+        FROM cand$h$sfx c JOIN $embRel e ON e.vec_id = c.node
+        JOIN qs q ON q.query_id = c.query_id),
+      seen$h$sfx AS MATERIALIZED (SELECT DISTINCT query_id, node, c FROM (
+        SELECT * FROM seen${h - 1}$sfx UNION ALL SELECT * FROM sc$h$sfx)),
+      beam$h$sfx AS MATERIALIZED (SELECT query_id, node, c FROM (
+          SELECT query_id, node, c,
+            row_number() OVER (PARTITION BY query_id ORDER BY c DESC, node) AS rn
+          FROM seen$h$sfx) WHERE rn <= $beam)"""
+      }.mkString(",\n      ")
+    s"""WITH ${sqlBandSigCtes(numBands, dim, targetBucketCap, minPlanes, maxPlanes)},
+      candE AS (SELECT DISTINCT x.vec_id AS src, y.vec_id AS dst, ($wCos) AS w
+        FROM sv x JOIN sv y
+          ON x.band = y.band AND x.sig = y.sig AND x.vec_id <> y.vec_id),
+      topm AS (SELECT src, dst FROM (
+          SELECT src, dst,
+            row_number() OVER (PARTITION BY src ORDER BY w DESC, dst) AS rn
+          FROM candE) WHERE rn <= $m),
+      edges AS MATERIALIZED (SELECT src, dst FROM topm
+        UNION SELECT dst AS src, src AS dst FROM topm),
+      del AS MATERIALIZED (SELECT vec_id FROM emb WHERE $delPred),
+      qs AS (SELECT vec_id AS query_id, v AS qv FROM emb e WHERE $queryPred),
+      en AS (SELECT MIN(vec_id) AS v FROM emb),
+      seen0 AS (SELECT q.query_id, en.v AS node, $sCos AS c
+        FROM qs q CROSS JOIN en JOIN emb e ON e.vec_id = en.v),
+      beam0 AS (SELECT query_id, node, c FROM seen0),
+      ${hopChain("", "edges", "emb")},
+      finD AS (SELECT query_id, node AS neighbor_id, c,
+          row_number() OVER (PARTITION BY query_id ORDER BY c DESC, node) AS rank
+        FROM seen$hops
+        WHERE node <> query_id
+          AND node NOT IN (SELECT vec_id FROM del)),
+      liveE AS (SELECT src, dst FROM edges
+        WHERE src NOT IN (SELECT vec_id FROM del)
+          AND dst NOT IN (SELECT vec_id FROM del)),
+      lost AS (SELECT DISTINCT e.src, e.dst AS d FROM edges e
+        WHERE e.dst IN (SELECT vec_id FROM del)
+          AND e.src NOT IN (SELECT vec_id FROM del)),
+      bridge AS (SELECT DISTINCT l.src, e2.dst AS nd
+        FROM lost l JOIN edges e2 ON e2.src = l.d
+        WHERE e2.dst NOT IN (SELECT vec_id FROM del) AND e2.dst <> l.src),
+      candR AS (SELECT DISTINCT b.src, b.nd AS dst, ($wCos) AS w
+        FROM bridge b JOIN emb x ON x.vec_id = b.src
+        JOIN emb y ON y.vec_id = b.nd),
+      topmR AS (SELECT src, dst FROM (
+          SELECT src, dst,
+            row_number() OVER (PARTITION BY src ORDER BY w DESC, dst) AS rn
+          FROM candR) WHERE rn <= $m),
+      edges2 AS MATERIALIZED (SELECT src, dst FROM liveE
+        UNION SELECT src, dst FROM topmR
+        UNION SELECT dst AS src, src AS dst FROM topmR),
+      embr AS MATERIALIZED (SELECT * FROM emb
+        WHERE vec_id NOT IN (SELECT vec_id FROM del)),
+      enr AS (SELECT MIN(vec_id) AS v FROM embr),
+      seen0r AS (SELECT q.query_id, enr.v AS node, $sCos AS c
+        FROM qs q CROSS JOIN enr JOIN embr e ON e.vec_id = enr.v),
+      beam0r AS (SELECT query_id, node, c FROM seen0r),
+      ${hopChain("r", "edges2", "embr")},
+      finR AS (SELECT query_id, node AS neighbor_id, c,
+          row_number() OVER (PARTITION BY query_id ORDER BY c DESC, node) AS rank
+        FROM seen${hops}r WHERE node <> query_id)
+      SELECT 'deleted' AS phase, query_id, CAST(rank AS BIGINT) AS rank,
+        neighbor_id, CAST(floor(c * 1000000) AS BIGINT) AS cos_sim_e6
+      FROM finD WHERE rank <= $k
+      UNION ALL
+      SELECT 'repaired' AS phase, query_id, CAST(rank AS BIGINT) AS rank,
+        neighbor_id, CAST(floor(c * 1000000) AS BIGINT) AS cos_sim_e6
+      FROM finR WHERE rank <= $k"""
   }
 }

@@ -268,4 +268,85 @@ class SimilaritySpec extends SparkTestBase {
     assert(r16 >= r2)
     assert(r16 == 1.0) // probing every cell = exhaustive = exact
   }
+
+  test("HNSW layer count scales log4 with corpus size") {
+    import Similarity.hnswMaxLevelFor
+    assert(hnswMaxLevelFor(31) == 0 && hnswMaxLevelFor(32) == 1)
+    assert(hnswMaxLevelFor(127) == 1 && hnswMaxLevelFor(128) == 2)
+    // layer 3 appears exactly when n crosses 4^3 * floor = 512
+    assert(hnswMaxLevelFor(511) == 2 && hnswMaxLevelFor(512) == 3)
+    assert(hnswMaxLevelFor(2047) == 3 && hnswMaxLevelFor(2048) == 4)
+    // the static emission bound caps growth until a rebuild raises it
+    assert(hnswMaxLevelFor(100000000L) == Similarity.HnswStaticMaxLevel)
+    // integration: the 500-node corpus earns layers 0..2; pushing past
+    // 512 births layer 3
+    assert(Similarity.hnswBuildLayers(emb, "vec_id", "embedding").size == 3)
+    val bigger = emb.unionByName(emb.limit(100)
+      .withColumn("vec_id", col("vec_id") + 1000000L))
+    assert(Similarity.hnswBuildLayers(bigger, "vec_id", "embedding")
+      .size == 4)
+  }
+
+  test("graph-ANN delete: tombstoned results, repair restores the graph") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_nswdel").toString + "/idx"
+    Similarity.nswIndexBuild(spark, root, emb, "vec_id", "embedding")
+    val pre = resultSet(Similarity.nswIndexSearch(spark, root, emb,
+      queries, "vec_id", "embedding", 5))
+    Similarity.nswIndexDelete(spark, root, col("id") % 9 === 3)
+    val post = resultSet(Similarity.nswIndexSearch(spark, root, emb,
+      queries, "vec_id", "embedding", 5))
+    // no deleted id ever surfaces
+    assert(post.forall { case (_, n) => n % 9 != 3 })
+    // the scored set is identical, so surviving pre-delete results all
+    // stay — recall on survivors can only improve
+    assert(pre.filter { case (_, n) => n % 9 != 3 }.subsetOf(post))
+    val survivors = emb.filter(col("vec_id") % 9 =!= 3)
+    val exactSurv = resultSet(Similarity.bruteForceTopK(survivors,
+      queries, "vec_id", "embedding", 5))
+    val rPost = (post intersect exactSurv).size.toDouble / exactSurv.size
+    val rPre = (pre intersect exactSurv).size.toDouble / exactSurv.size
+    info(f"post-delete survivor recall $rPost%.3f vs pre $rPre%.3f")
+    assert(rPost >= rPre)
+    // optimize: edges clean, tombstones cleared, recall holds
+    Similarity.nswIndexOptimize(spark, root)
+    import graft.lake.Snapshots
+    assert(Snapshots.readLatest(spark, s"$root/tombstones").get.isEmpty)
+    val edges = Snapshots.readLatest(spark, s"$root/edges").get
+    assert(edges.filter(col("src") % 9 === 3 || col("dst") % 9 === 3)
+      .isEmpty, "repaired graph keeps deleted edges")
+    val rep = resultSet(Similarity.nswIndexSearch(spark, root, survivors,
+      queries, "vec_id", "embedding", 5))
+    assert(rep.forall { case (_, n) => n % 9 != 3 })
+    val rRep = (rep intersect exactSurv).size.toDouble / exactSurv.size
+    info(f"post-repair survivor recall $rRep%.3f")
+    assert(rRep >= rPost - 0.1, f"repair lost recall: $rRep%.3f")
+  }
+
+  test("HNSW delete mirrors the NSW lifecycle across layers") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_hnswdel").toString + "/idx"
+    Similarity.hnswIndexBuild(spark, root, emb, "vec_id", "embedding")
+    Similarity.hnswIndexDelete(spark, root, col("id") % 9 === 3)
+    val post = resultSet(Similarity.hnswIndexSearch(spark, root, emb,
+      queries, "vec_id", "embedding", 5))
+    assert(post.forall { case (_, n) => n % 9 != 3 })
+    Similarity.hnswIndexOptimize(spark, root)
+    import graft.lake.Snapshots
+    assert(Snapshots.readLatest(spark, s"$root/tombstones").get.isEmpty)
+    (0 to Similarity.hnswIndexLevels(spark, root)).foreach { l =>
+      val e = Snapshots.readLatest(spark, s"$root/l$l/edges").get
+      assert(e.filter(col("src") % 9 === 3 || col("dst") % 9 === 3)
+        .isEmpty, s"layer $l keeps deleted edges")
+    }
+    val survivors = emb.filter(col("vec_id") % 9 =!= 3)
+    val rep = resultSet(Similarity.hnswIndexSearch(spark, root, survivors,
+      queries, "vec_id", "embedding", 5))
+    assert(rep.forall { case (_, n) => n % 9 != 3 })
+    val exactSurv = resultSet(Similarity.bruteForceTopK(survivors,
+      queries, "vec_id", "embedding", 5))
+    val rRep = (rep intersect exactSurv).size.toDouble / exactSurv.size
+    info(f"HNSW post-repair survivor recall $rRep%.3f")
+    assert(rRep >= 0.4, f"post-repair recall $rRep%.3f below floor")
+  }
 }
