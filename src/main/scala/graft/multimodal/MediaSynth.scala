@@ -529,4 +529,26 @@ object MediaSynth {
     }
     bb.array()
   }
+
+  /** FLAC synth parameters (q308): per-channel frame count and the
+    * closed-form sample the oracle replays. Values stay within ±2048 so
+    * fixed-predictor residuals never stress the Rice range. */
+  def flacFrames(docId: Long): Int = (docId % 40).toInt + 20
+
+  /** Signed sample at INTERLEAVED position `i` — same shape as
+    * [[pcmSample]] with a narrower range. */
+  def flacSample(docId: Long, i: Int): Int =
+    (((2293L * i + 7919L * docId) % 4096L) - 2048L).toInt
+
+  /** A complete REAL FLAC stream for the doc: deterministic samples
+    * encoded by [[FlacCodec.encode]] — fixed predictors, Rice
+    * residuals, true CRCs and MD5, multiple frames (block size 16). */
+  def flacBytes(docId: Long): Array[Byte] = {
+    val ch = channels(docId)
+    val n = flacFrames(docId) * ch
+    val samples = new Array[Short](n)
+    var i = 0
+    while (i < n) { samples(i) = flacSample(docId, i).toShort; i += 1 }
+    FlacCodec.encode(samples, ch, sampleRate(docId), blockSize = 16)
+  }
 }

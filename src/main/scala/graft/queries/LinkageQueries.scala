@@ -124,7 +124,17 @@ object LinkageQueries {
         (col("b_id") - ReKey === col("a_key")).as("is_true"))
   }
 
-  private def linkageOracle: String = {
+  private def linkageOracle: String =
+    s"WITH $linkageCtes\n    $linkageSelect"
+
+  /** The q295 decided-pair SELECT over [[linkageCtes]] — factored out so
+    * q307 can embed the exact same link relation as a CTE. */
+  private def linkageSelect: String = s"""
+    SELECT a_key, b_id, CAST(weight_qb AS BIGINT) AS weight_qb,
+      (b_id - $ReKey = a_key) AS is_true
+    FROM weighted WHERE weight_qb >= $LinkThreshold"""
+
+  private def linkageCtes: String = {
     val balCents = Num.sqlCents("c_acctbal")
     // seed/k columns are PER-STAGE names: the stages chain via SELECT *,
     // so a shared name would rebind every later stage to stage 1's seed
@@ -137,8 +147,7 @@ object LinkageQueries {
       out_$tag AS (SELECT *,
         ${sqlQuarterBitsFromK(a, b, s"kb_$tag")} AS qb_$tag
         FROM k_$tag)"""
-    s"""
-    WITH a AS (
+    s"""a AS (
       SELECT c_custkey AS a_key, c_name AS a_name,
         c_nationkey AS a_nation, $balCents AS a_bal,
         c_mktsegment AS a_seg
@@ -190,12 +199,89 @@ object LinkageQueries {
         + (CASE WHEN a_bal = b_bal THEN qb_bal ELSE -$DisagreeQb END)
         + (CASE WHEN a_seg = b_seg THEN qb_seg ELSE -$DisagreeQb END)
           AS weight_qb
-      FROM out_seg)
-    SELECT a_key, b_id, CAST(weight_qb AS BIGINT) AS weight_qb,
-      (b_id - $ReKey = a_key) AS is_true
-    FROM weighted WHERE weight_qb >= $LinkThreshold"""
+      FROM out_seg)"""
   }
 
+  /** q307 — ENTITY RESOLUTION (VERDICT r15 task 6 — closing the
+    * Fellegi-Sunter pipeline q295 opened): the decided pairs cluster
+    * into ENTITIES by connected components (min-reachable-id labels,
+    * the [[graft.dedup.Dedup.connectedComponents]] machinery — adaptive
+    * union-find above 1M edges, so the clustering survives 100 TB link
+    * volumes), and each entity elects ONE canonical SURVIVOR by the
+    * q120 argmax shape: highest total link weight (the record most
+    * corroborated by its matches — the MDM "most-trusted source"
+    * policy), ties to the lowest id. Every record of BOTH sources
+    * emits with its entity, survivor, survivorship flag, and entity
+    * size — singletons are their own entity. The label and survivor
+    * joins are plain equi-joins on record/entity ids (the cluster
+    * relation is O(linked records), NOT corpus-small, so nothing here
+    * assumes broadcastability); the oracle replays the links, the
+    * transitive closure, the strength sums, and the argmax
+    * bitwise. */
+  def entityResolution(spark: SparkSession, dir: String): DataFrame = {
+    val links = recordLinkage(spark, dir).localCheckpoint()
+    val cust = Tables(spark, dir, "customer")
+    val ids = cust.select(col("c_custkey").as("record_id"))
+      .unionByName(cust.select((col("c_custkey") + ReKey).as("record_id")))
+    val cc = graft.dedup.Dedup.connectedComponents(
+      links.select(col("a_key").as("a"), col("b_id").as("b")))
+    val strength = links.select(col("a_key").as("rid"), col("weight_qb"))
+      .unionByName(links.select(col("b_id").as("rid"), col("weight_qb")))
+      .groupBy("rid").agg(sum("weight_qb").as("strength"))
+    val labeled = ids
+      .join(cc, ids("record_id") === cc("id"), "left")
+      .select(col("record_id"),
+        coalesce(col("cluster_id"), col("record_id")).as("entity_id"))
+      .join(strength, col("record_id") === strength("rid"), "left")
+      .select(col("record_id"), col("entity_id"),
+        coalesce(col("strength"), lit(0L)).as("strength"))
+    // survivor: argmax(strength, then lowest id) via lexicographic
+    // struct max — one agg per entity, re-joined on the entity key
+    val surv = labeled.groupBy("entity_id")
+      .agg(max(struct(col("strength"), (-col("record_id")).as("nid")))
+          .as("m"),
+        count(lit(1)).as("entity_size"))
+      .select(col("entity_id"), (-col("m.nid")).as("survivor_id"),
+        col("entity_size"))
+    labeled.join(surv, Seq("entity_id"))
+      .select(col("record_id"), col("entity_id"), col("survivor_id"),
+        (col("record_id") === col("survivor_id")).as("is_survivor"),
+        col("entity_size"))
+  }
+
+  private def entityResolutionOracle: String = s"""
+    WITH RECURSIVE $linkageCtes,
+    links AS ($linkageSelect),
+    ids AS (SELECT c_custkey AS record_id FROM customer
+      UNION ALL SELECT c_custkey + $ReKey FROM customer),
+    edges AS (SELECT a_key AS src, b_id AS dst FROM links
+      UNION ALL SELECT b_id AS src, a_key AS dst FROM links),
+    reach AS (SELECT src, dst FROM edges
+      UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+    cc AS (SELECT src AS id, LEAST(src, MIN(dst)) AS cluster_id
+      FROM reach GROUP BY src),
+    strength AS (SELECT rid, SUM(weight_qb) AS s FROM (
+        SELECT a_key AS rid, weight_qb FROM links
+        UNION ALL SELECT b_id AS rid, weight_qb FROM links)
+      GROUP BY rid),
+    labeled AS (SELECT i.record_id,
+        COALESCE(cc.cluster_id, i.record_id) AS entity_id,
+        COALESCE(st.s, 0) AS strength
+      FROM ids i LEFT JOIN cc ON cc.id = i.record_id
+      LEFT JOIN strength st ON st.rid = i.record_id),
+    surv AS (SELECT entity_id, record_id AS survivor_id,
+        CAST(cnt AS BIGINT) AS entity_size FROM (
+        SELECT entity_id, record_id,
+          row_number() OVER (PARTITION BY entity_id
+            ORDER BY strength DESC, record_id) AS rn,
+          COUNT(*) OVER (PARTITION BY entity_id) AS cnt
+        FROM labeled) WHERE rn = 1)
+    SELECT l.record_id, l.entity_id, s.survivor_id,
+      l.record_id = s.survivor_id AS is_survivor, s.entity_size
+    FROM labeled l JOIN surv s USING (entity_id)"""
+
   val defs: Seq[QueryDef] = Seq(
-    QueryDef("q295_record_linkage", recordLinkage, Some(linkageOracle)))
+    QueryDef("q295_record_linkage", recordLinkage, Some(linkageOracle)),
+    QueryDef("q307_entity_resolution", entityResolution,
+      Some(entityResolutionOracle)))
 }

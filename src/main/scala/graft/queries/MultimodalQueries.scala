@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.multimodal.{AudioHeaders, GifCodec, ImageHeaders, MediaSynth, PngCodec, VideoHeaders}
+import graft.multimodal.{AudioHeaders, FlacCodec, GifCodec, ImageHeaders, MediaSynth, PngCodec, VideoHeaders}
 
 /** Multimodal metadata extraction under the driver's cross-engine gate.
   *
@@ -910,6 +910,75 @@ object MultimodalQueries {
       CAST(SUM(j * v) AS BIGINT) AS wsum_s
     FROM s GROUP BY doc_id"""
   }
+
+  /** q308 — REAL FLAC DECODE under the gate (VERDICT r15 task 5 — the
+    * audio family's first COMPRESSED codec, integer-exact like the
+    * JPEG ladder): each doc maps to a complete FLAC stream
+    * ([[graft.multimodal.MediaSynth.flacBytes]] — real STREAMINFO,
+    * multi-frame fixed-blocksize layout, per-channel best FIXED
+    * predictor, Rice-coded residuals, true CRC-8/CRC-16/MD5). Spark
+    * must parse the metadata walk, every frame header, subframe type
+    * and Rice partition, reconstruct through the polynomial predictors,
+    * and VERIFY all three integrity fields
+    * ([[graft.multimodal.FlacCodec.decode]]); the oracle replays the
+    * decoded samples by pure arithmetic — losslessness is exactly what
+    * makes a closed form possible. `md5_ok` attests the verified
+    * signature; `truncation_declines` that a cut stream returns None
+    * like [[graft.multimodal.AudioHeaders.pcm16]], never a throw.
+    * Narrow no-shuffle corpus pass. */
+  final case class FlacStats(
+      doc_id: Long,
+      sample_rate: Long,
+      channels: Long,
+      n_samples: Long,
+      sum_s: Long,
+      wsum_s: Long,
+      md5_ok: Boolean,
+      truncation_declines: Boolean)
+
+  def flacDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.util.Par.ensure(Tables(spark, dir, "documents"))
+      .select("doc_id").as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val bytes = MediaSynth.flacBytes(id)
+          val a = FlacCodec.decode(bytes).get
+          val declines =
+            FlacCodec.decode(bytes.dropRight(3)).isEmpty
+          var sum = 0L; var wsum = 0L; var i = 0
+          while (i < a.samples.length) {
+            sum += a.samples(i)
+            wsum += i.toLong * a.samples(i)
+            i += 1
+          }
+          FlacStats(id, a.sampleRate.toLong, a.channels.toLong,
+            a.samples.length.toLong, sum, wsum, a.md5Ok, declines)
+        }
+      }
+      .toDF()
+  }
+
+  private val flacOracle: String = """
+    WITH params AS (
+      SELECT doc_id, (doc_id % 2) + 1 AS ch,
+        CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+          ELSE 44100 END AS rate,
+        ((doc_id % 40) + 20) * ((doc_id % 2) + 1) AS n
+      FROM documents),
+    s AS (
+      SELECT p.doc_id, p.ch, p.rate, p.n, i.i,
+        ((2293 * i.i + 7919 * p.doc_id) % 4096) - 2048 AS v
+      FROM params p, range(120) i(i)
+      WHERE i.i < p.n)
+    SELECT doc_id,
+      CAST(MAX(rate) AS BIGINT) AS sample_rate,
+      CAST(MAX(ch) AS BIGINT) AS channels,
+      CAST(MAX(n) AS BIGINT) AS n_samples,
+      CAST(SUM(v) AS BIGINT) AS sum_s,
+      CAST(SUM(i * v) AS BIGINT) AS wsum_s,
+      true AS md5_ok, true AS truncation_declines
+    FROM s GROUP BY doc_id"""
 
   /** q93 — windowed audio energy features under the gate: non-overlapping
     * 16-frame windows over the decoded samples, each exporting the EXACT
@@ -1968,6 +2037,7 @@ object MultimodalQueries {
       Some(predictedFramesOracle)),
     QueryDef("q151_pcm_halfband", pcmHalfband, Some(pcmHalfbandOracle)),
     QueryDef("q275_pcm_polyphase", pcmPolyphase, Some(pcmPolyphaseOracle)),
+    QueryDef("q308_flac_decode", flacDecode, Some(flacOracle)),
     QueryDef("q152_jpeg_color_decode", jpegColorDecode, Some(jpegColorOracle)),
     QueryDef("q160_jpeg_progressive_decode", jpegProgressiveDecode,
       Some(jpegOracle)),
