@@ -2611,6 +2611,67 @@ object Snapshots {
     }
   }
 
+  /** CREATE TABLE (schema-only, ZERO files — the bare-DDL leg CTAS
+    * never covered; possible since truncate taught zero-file versions
+    * to serve a schema): one commit DECLARES every column as
+    * [[Snapshot.addedColumns]], optional per-column DEFAULTs land in
+    * the same commit (initial-default semantics, validated like
+    * [[addColumn]]'s: resolvable self-contained or against the other
+    * declared columns, and losslessly castable to the declared type),
+    * and an optional PARTITION SPEC persists for every future write.
+    * The new table reads as empty WITH its schema from SQL and the
+    * programmatic path; the first append materializes columns and
+    * unifies with the declared types under the usual widening rules.
+    * Refuses on an existing table — CREATE is not idempotent here;
+    * `IF NOT EXISTS` no-ops at the command layer. */
+  def createTable(spark: SparkSession, table: String,
+      cols: Seq[(String, String, Option[String])],
+      partitionSpec: Seq[String] = Nil): Int = {
+    require(cols.nonEmpty, "CREATE TABLE needs at least one column")
+    val names = cols.map(_._1)
+    require(names.distinct.size == names.size,
+      s"duplicate column names: ${names.diff(names.distinct).mkString(", ")}")
+    cols.foreach { case (n, t, _) =>
+      require(!n.contains('.'),
+        s"nested column name '$n' — declare a struct-typed column")
+      // a bad type string must fail the DDL, not the first read
+      org.apache.spark.sql.types.DataType.fromDDL(t)
+    }
+    // defaults validate against a typed null row of the DECLARED schema
+    // (they may reference the other declared columns, which read as
+    // null until appends materialize them) and must up-cast losslessly
+    val declared = StructType(cols.map { case (n, t, _) =>
+      StructField(n, org.apache.spark.sql.types.DataType.fromDDL(t),
+        nullable = true) })
+    val nullRow = spark.createDataFrame(
+      java.util.Collections.singletonList(
+        org.apache.spark.sql.Row(cols.map(_ => null): _*)), declared)
+    cols.foreach { case (n, t, dOpt) =>
+      dOpt.foreach { d =>
+        require(!exprRefs(spark, d).contains(n),
+          s"default for $n references itself")
+        val resolved = nullRow.limit(0).select(expr(d)).schema.head.dataType
+        val target = org.apache.spark.sql.types.DataType.fromDDL(t)
+        require(resolved == org.apache.spark.sql.types.NullType ||
+          org.apache.spark.sql.catalyst.expressions.Cast
+            .canUpCast(resolved, target),
+          s"default for $n has type ${resolved.simpleString}, which does " +
+            s"not cast losslessly to declared ${target.simpleString}")
+      }
+    }
+    commitLoop(spark, table, "create-table",
+      newAddedColumns = prevOpt => {
+        require(prevOpt.isEmpty, s"table $table already has versions")
+        Some(cols.map(c => (c._1, c._2)))
+      },
+      newDefaults = _ =>
+        Some(cols.collect { case (n, _, Some(d)) => (n, d) }),
+      newPartitionSpec = _ => Some(partitionSpec)) { prev =>
+      require(prev.isEmpty, s"table $table already has versions")
+      (Nil, Nil, Nil, Nil)
+    }
+  }
+
   /** Metadata-only column ADD (`ALTER TABLE … ADD COLUMN`), the fourth
     * schema-evolution leg beside widening, renames and drops: a new
     * version DECLARES (name, type) in the log — ZERO data files touched

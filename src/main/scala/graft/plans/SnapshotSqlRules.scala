@@ -202,10 +202,37 @@ case class SnapshotDmlRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
               bareSql): LogicalPlan
           }
         }.getOrElse(o)
+      // bare CREATE TABLE (schema, no data) → ONE schema-only commit:
+      // every column lands as a declared add, per-column DEFAULTs in the
+      // same commit, PARTITIONED BY persists — the table reads as empty
+      // WITH its schema (r16; truncate taught zero-file versions to
+      // serve a schema, so the log finally has schema-only commits)
+      case ct @ org.apache.spark.sql.catalyst.plans.logical.CreateTable(
+          org.apache.spark.sql.catalyst.analysis.ResolvedIdentifier(
+            cat: SnapshotCatalog, ident), columns, partitioning,
+          spec: TableSpec, ignoreIfExists) =>
+        ctasShapeCheck(spec, "CREATE TABLE")
+        val cols = columns.map { c =>
+          if (c.generationExpression.isDefined)
+            throw new UnsupportedOperationException(
+              "CREATE TABLE … GENERATED ALWAYS AS: declare the table, " +
+                "then register a generation via the column-default DDL")
+          if (c.identityColumnSpec.isDefined)
+            throw new UnsupportedOperationException(
+              "CREATE TABLE identity columns are not supported")
+          if (!c.nullable && c.defaultValue.isEmpty)
+            throw new UnsupportedOperationException(
+              s"column ${c.name} NOT NULL without DEFAULT: the log " +
+                "cannot enforce it on appends — declare nullable and " +
+                "add a CHECK constraint")
+          (c.name, c.dataType.sql, c.defaultValue.map(_.originalSQL))
+        }
+        SnapshotCreateTableCommand(cat.tablePath(ident), ident.name(),
+          cols, ignoreIfExists,
+          transformSpec(partitioning, "CREATE TABLE"))
       // CREATE TABLE … AS SELECT → first append commit of a NEW table
-      // (the log has no schema-only commits, so the DDL surface is CTAS,
-      // not bare CREATE TABLE — data defines the schema, as for the
-      // DataFrame path's first append)
+      // (data defines the schema, as for the DataFrame path's first
+      // append; the bare form above covers the schema-first shape)
       case c @ CreateTableAsSelect(
           org.apache.spark.sql.catalyst.analysis.ResolvedIdentifier(
             cat: SnapshotCatalog, ident), partitioning, query,
@@ -964,6 +991,23 @@ case class SnapshotReplaceWhereCommand(path: String, query: LogicalPlan,
     val df = GraftSqlBridge.ofRows(session, query).toDF(targetCols: _*)
     Snapshots.replaceWhere(session, path,
       org.apache.spark.sql.functions.expr(condSql), df)
+    Seq.empty
+  }
+}
+
+/** Bare `CREATE TABLE (cols…) [PARTITIONED BY …]` →
+  * [[Snapshots.createTable]]: one schema-only commit declaring the
+  * columns (+ defaults, + persisted partition spec). `IF NOT EXISTS`
+  * over an existing table no-ops; otherwise an existing table refuses
+  * with the standard error. */
+case class SnapshotCreateTableCommand(path: String, tableName: String,
+    cols: Seq[(String, String, Option[String])], ignoreIfExists: Boolean,
+    partitionSpec: Seq[String]) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    if (Snapshots.latestVersion(session, path).isDefined) {
+      if (!ignoreIfExists) throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(Seq(tableName))
+    } else Snapshots.createTable(session, path, cols, partitionSpec)
     Seq.empty
   }
 }

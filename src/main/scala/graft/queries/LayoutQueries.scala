@@ -3849,6 +3849,63 @@ object LayoutQueries {
       .withColumn("single_commit", lit(singleCommit))
   }
 
+  /** q309 — BARE `CREATE TABLE` DDL (the schema-first shape CTAS never
+    * covered; the r16 TRUNCATE machinery — zero-file versions serving a
+    * declared schema — is exactly what makes a schema-only commit
+    * readable): `CREATE TABLE cat.t (cols…, one with DEFAULT)
+    * PARTITIONED BY (bucket…)` publishes ONE metadata commit
+    * ([[graft.lake.Snapshots.createTable]]); the empty table reads
+    * WITH its schema over SQL; `IF NOT EXISTS` no-ops and a plain
+    * re-CREATE refuses, neither burning a version; the persisted spec
+    * clusters every future write; and a DataFrame append MISSING the
+    * defaulted column reads it filled — the CREATE-time DEFAULT is a
+    * real initial default, not decoration. Gate = the final table
+    * grouped by (priority, channel) where channel mixes stored values
+    * (SQL insert) and default fills (column-less append). */
+  def createTableDdl(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Snapshots
+    val root = graft.util.Scratch.dir("ctddl", dir)
+    val table = s"$root/orders_ct"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+    val cat = s"ctddl_${Integer.toHexString(dir.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.lake.SnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"""CREATE TABLE $cat.orders_ct (
+      o_orderkey BIGINT, o_totalprice DOUBLE, o_orderpriority STRING,
+      channel STRING DEFAULT 'web')
+      PARTITIONED BY (bucket(4, o_orderkey))""")
+    val createdV1 = Snapshots.latestVersion(spark, table).contains(1)
+    val specPersisted = Snapshots.snapshot(spark, table, 1).exists(
+      _.partitionSpec == Seq("bucket(4,o_orderkey)"))
+    val empty = spark.sql(s"SELECT * FROM $cat.orders_ct")
+    val emptyWithSchema = empty.count() == 0 &&
+      empty.schema.fieldNames.toSeq ==
+        Seq("o_orderkey", "o_totalprice", "o_orderpriority", "channel")
+    spark.sql(s"CREATE TABLE IF NOT EXISTS $cat.orders_ct (x INT)")
+    val reCreateRefuses = scala.util.Try(spark.sql(
+      s"CREATE TABLE $cat.orders_ct (x INT)")).isFailure
+    val noBurn = Snapshots.latestVersion(spark, table).contains(1)
+    val orders = Tables(spark, dir, "orders")
+    orders.createOrReplaceTempView("orders_ct_src")
+    spark.sql(s"""INSERT INTO $cat.orders_ct
+      SELECT o_orderkey, o_totalprice, o_orderpriority, 'store'
+      FROM orders_ct_src WHERE o_orderkey % 4 = 1""")
+    // a column-less append: the CREATE-time DEFAULT fills `channel`
+    Snapshots.append(spark, table,
+      orders.filter(col("o_orderkey") % 4 === 2)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderpriority")))
+    Snapshots.readLatest(spark, table).get
+      .groupBy(col("o_orderpriority"), col("channel"))
+      .agg(count(lit(1)).as("n_rows"),
+        Num.sumMoney(col("o_totalprice")).as("sum_price"))
+      .withColumn("created_v1", lit(createdV1))
+      .withColumn("spec_persisted", lit(specPersisted))
+      .withColumn("empty_with_schema", lit(emptyWithSchema))
+      .withColumn("recreate_refuses", lit(reCreateRefuses && noBurn))
+  }
+
   /** q290 — DATA-QUALITY EXPECTATIONS WITH ATOMIC QUARANTINE
     * ([[graft.lake.Expectations]], the DLT expectation contract + the
     * quarantine pattern, and the reference pipeline's reject-routing
@@ -4043,6 +4100,18 @@ object LayoutQueries {
   }
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q309_create_table_ddl", createTableDdl, Some(s"""
+      WITH t AS (
+        SELECT o_orderpriority, 'store' AS channel, o_totalprice
+        FROM orders WHERE o_orderkey % 4 = 1
+        UNION ALL
+        SELECT o_orderpriority, 'web', o_totalprice
+        FROM orders WHERE o_orderkey % 4 = 2)
+      SELECT o_orderpriority, channel, COUNT(*) AS n_rows,
+             ${Num.sqlSumMoney("o_totalprice")} AS sum_price,
+             true AS created_v1, true AS spec_persisted,
+             true AS empty_with_schema, true AS recreate_refuses
+      FROM t GROUP BY 1, 2""")),
     QueryDef("q302_occ_interleave", occInterleave, Some(s"""
       SELECT o_orderpriority, COUNT(*) AS n_rows,
              ${Num.sqlSumMoney("o_totalprice")} AS sum_price,

@@ -1244,6 +1244,112 @@ object SimilarityQueries {
       FROM ($inner) t"""
   }
 
+  private val MmrK = 5
+  private val MmrPool = 20
+
+  /** q310 — MMR DIVERSE SELECTION (maximal marginal relevance,
+    * Carbonell & Goldstein 1998 — the diversification step retrieval
+    * AND training-data curation both run: pure top-k returns five
+    * near-copies of the same answer; MMR trades relevance against
+    * redundancy): iteratively pick argmax of 7·rel(d) − 3·max_{s∈S}
+    * sim(d, s) from a per-query relevance pool (brute-force top-20 —
+    * the pool is the distributed corpus pass; each of the k selection
+    * steps is one tiny job over pool × selected with the selected side
+    * ≤ k rows per query, broadcast). Integer λ weights (7/3 of 10)
+    * keep the score a deterministic double expression both engines
+    * compute bitwise; ties break to the lower id. The oracle unrolls
+    * all k selection steps as CTEs. First pick = pure relevance;
+    * later picks visibly skip near-duplicates of earlier ones. */
+  def mmrSelect(spark: SparkSession, dir: String): DataFrame = {
+    val emb = graft.util.Par.ensure(Tables(spark, dir, "embeddings"))
+    val pool = Similarity.bruteForceTopK(emb, queriesOf(emb),
+      "vec_id", "embedding", MmrPool)
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim").as("rel"))
+      .localCheckpoint()
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+    var selected: DataFrame = null
+    for (step <- 1 to MmrK) {
+      val cand =
+        if (step == 1) pool
+        else pool.join(selected.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"), "left_anti")
+      val scored =
+        if (step == 1) cand.withColumn("score", lit(7.0) * col("rel"))
+        else cand
+          .join(broadcast(selected.select(col("query_id"),
+            col("neighbor_id").as("sid"))), Seq("query_id"))
+          .join(vecs.select(col("vec_id").as("neighbor_id"),
+            col("embedding").as("_cv")), Seq("neighbor_id"))
+          .join(broadcast(vecs.join(
+            broadcast(selected.select(col("neighbor_id").as("vec_id"))
+              .distinct()), Seq("vec_id"))
+            .select(col("vec_id").as("sid"), col("embedding").as("_sv"))),
+            Seq("sid"))
+          .groupBy(col("query_id"), col("neighbor_id"), col("rel"))
+          .agg(max(Similarity.cosine(col("_cv"), col("_sv"))).as("ms"))
+          .withColumn("score", lit(7.0) * col("rel") - lit(3.0) * col("ms"))
+      val win = Similarity.topK(scored.select(col("query_id"),
+          col("neighbor_id"), col("score").as("cos_sim")), 1)
+        .select(col("query_id"), col("neighbor_id"),
+          col("cos_sim").as("score"))
+        .join(pool, Seq("query_id", "neighbor_id"))
+        .withColumn("pick", lit(step))
+      selected = (if (step == 1) win else selected.unionByName(win))
+        .localCheckpoint()
+    }
+    selected.select(col("query_id"), col("pick").cast("long").as("pick"),
+      col("neighbor_id"),
+      floor(col("rel") * 1000000).as("rel_e6"),
+      floor(col("score") * 1000000).as("mmr_score_e6"))
+  }
+
+  private def mmrOracle: String = {
+    val cos = Similarity.sqlCosine("q.qv", "e.v")
+    val simCos = Similarity.sqlCosine("ce.v", "se.v")
+    val steps = (2 to MmrK).map { k =>
+      val selAll = (1 until k).map(i => s"SELECT * FROM sel$i")
+        .mkString(" UNION ALL ")
+      s"""selall${k - 1} AS ($selAll),
+      c$k AS (SELECT p.* FROM pool p LEFT JOIN selall${k - 1} s
+          ON s.query_id = p.query_id AND s.neighbor_id = p.neighbor_id
+        WHERE s.neighbor_id IS NULL),
+      m$k AS (SELECT c.query_id, c.neighbor_id, c.rel,
+          MAX($simCos) AS ms
+        FROM c$k c JOIN selall${k - 1} s ON s.query_id = c.query_id
+        JOIN emb ce ON ce.vec_id = c.neighbor_id
+        JOIN emb se ON se.vec_id = s.neighbor_id
+        GROUP BY 1, 2, 3),
+      s$k AS (SELECT query_id, neighbor_id, rel,
+          7.0 * rel - 3.0 * ms AS score,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY 7.0 * rel - 3.0 * ms DESC, neighbor_id) AS rn
+        FROM m$k),
+      sel$k AS (SELECT query_id, neighbor_id, rel, score, $k AS pick
+        FROM s$k WHERE rn = 1)"""
+    }.mkString(",\n      ")
+    s"""WITH emb AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      qs AS (SELECT vec_id AS query_id, v AS qv FROM emb e WHERE e.vec_id < 20),
+      scoredp AS (SELECT q.query_id, e.vec_id AS neighbor_id, ($cos) AS rel
+        FROM qs q JOIN emb e ON e.vec_id <> q.query_id),
+      pool AS MATERIALIZED (SELECT query_id, neighbor_id, rel FROM (
+          SELECT query_id, neighbor_id, rel,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY rel DESC, neighbor_id) AS rn
+          FROM scoredp) WHERE rn <= $MmrPool),
+      s1 AS (SELECT query_id, neighbor_id, rel, 7.0 * rel AS score,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY 7.0 * rel DESC, neighbor_id) AS rn
+        FROM pool),
+      sel1 AS (SELECT query_id, neighbor_id, rel, score, 1 AS pick
+        FROM s1 WHERE rn = 1),
+      $steps
+      SELECT query_id, CAST(pick AS BIGINT) AS pick, neighbor_id,
+        CAST(floor(rel * 1000000) AS BIGINT) AS rel_e6,
+        CAST(floor(score * 1000000) AS BIGINT) AS mmr_score_e6
+      FROM (${(1 to MmrK).map(i => s"SELECT * FROM sel$i")
+        .mkString(" UNION ALL ")})"""
+  }
+
   /** q193 — multi-layer HNSW ([[Similarity.hnswBuildLayers]] /
     * [[Similarity.hnswSearch]]): the q166 NSW base layer stacked into a
     * real hierarchy. Layer membership is a deterministic hash-geometric
@@ -1450,5 +1556,6 @@ object SimilarityQueries {
     QueryDef("q39_ivf_kmeans_topk", ivfKmeansTopK, Some(ivfKmeansOracle)),
     QueryDef("q57_embedding_dup_clusters", embeddingDupClusters,
       Some(embeddingDupClustersOracle)),
-    QueryDef("q306_graph_ann_delete", nswDeleteQ, Some(nswDeleteOracle)))
+    QueryDef("q306_graph_ann_delete", nswDeleteQ, Some(nswDeleteOracle)),
+    QueryDef("q310_mmr_select", mmrSelect, Some(mmrOracle)))
 }
