@@ -372,6 +372,68 @@ object Dedup {
   /** Union-find with path compression where roots stay component minima
     * (union attaches the larger root under the smaller), so find(id) IS
     * the min-id cluster label. */
+  /** INCREMENTAL connected components over a PERSISTED label table —
+    * the lifecycle leg of [[connectedComponents]] (an entity store that
+    * ingests new links nightly cannot recompute the whole graph): apply
+    * a batch of new edges to `labelTable` (id, cluster_id; min-reachable
+    * labels over every edge ever applied) touching only AFFECTED rows.
+    *
+    *  1. Each new edge lifts to the LABEL level (endpoint labels from
+    *     the live table, unseen ids label themselves) — same-component
+    *     edges vanish here, so no-op batches cost one lookup join.
+    *  2. Components over the label pairs — O(batch), not O(graph):
+    *     old labels are their components' minima, so the merged
+    *     component's min-id label is the min of the old labels.
+    *  3. One [[graft.lake.Snapshots.merge]] upserts ONLY rows whose
+    *     label changed plus the new ids — O(affected) data written,
+    *     O(delta) log metadata, the unaffected graph never rewrites.
+    *
+    * The first apply on an empty table IS the full computation (every
+    * id is new) — one code path. Returns the published version (the
+    * prior version on a no-op batch). */
+  def incrementalCC(spark: org.apache.spark.sql.SparkSession,
+      labelTable: String, edges: DataFrame): Int = {
+    import graft.lake.Snapshots
+    val labelSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", LongType),
+      org.apache.spark.sql.types.StructField("cluster_id", LongType)))
+    def emptyLabels = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      labelSchema)
+    val labels = Snapshots.latestVersion(spark, labelTable)
+      .flatMap(_ => Snapshots.readLatest(spark, labelTable))
+      .getOrElse(emptyLabels)
+    val e = edges.select(col("a").cast(LongType).as("a"),
+      col("b").cast(LongType).as("b")).distinct().localCheckpoint()
+    val pairs = e
+      .join(labels.select(col("id").as("a"), col("cluster_id").as("la")),
+        Seq("a"), "left")
+      .join(labels.select(col("id").as("b"), col("cluster_id").as("lb")),
+        Seq("b"), "left")
+      .select(coalesce(col("la"), col("a")).as("a"),
+        coalesce(col("lb"), col("b")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint()
+    val mapping = // (id = old label, cluster_id = merged min label)
+      if (pairs.isEmpty) emptyLabels
+      else connectedComponents(pairs).localCheckpoint()
+    val remap = mapping.select(col("id").as("_old"),
+      col("cluster_id").as("_new"))
+    val changedOld = labels
+      .join(remap, labels("cluster_id") === remap("_old"))
+      .filter(col("cluster_id") =!= col("_new"))
+      .select(col("id"), col("_new").as("cluster_id"))
+    val ids = e.select(col("a").as("id"))
+      .unionByName(e.select(col("b").as("id"))).distinct()
+    val newRows = ids.join(labels.select(col("id")), Seq("id"), "left_anti")
+      .join(remap, col("id") === col("_old"), "left")
+      .select(col("id"), coalesce(col("_new"), col("id")).as("cluster_id"))
+    val changes = changedOld.unionByName(newRows)
+    if (changes.isEmpty)
+      Snapshots.latestVersion(spark, labelTable).getOrElse(0)
+    else Snapshots.merge(spark, labelTable, changes, Seq("id"))
+  }
+
   private def driverUnionFind(edges: DataFrame): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._

@@ -732,7 +732,72 @@ object DedupQueries {
       FROM jac WHERE jaccard >= 0.5"""
   }
 
+  /** q311 — INCREMENTAL CONNECTED COMPONENTS over a persisted label
+    * table ([[graft.dedup.Dedup.incrementalCC]] — the nightly-links
+    * lifecycle q37's one-shot clustering cannot serve: an entity store
+    * ingesting new edges must NOT recompute the graph): wave 1 links
+    * every order key to its floor multiple of 3 (triples); wave 2
+    * bridges adjacent triples at multiples of 6 AND introduces
+    * brand-new ids — each wave one batch apply that lifts edges to the
+    * label level, merges the affected components (old labels are their
+    * components' minima, so the merged min is the min of old labels),
+    * and upserts ONLY changed rows through one merge-on-read commit.
+    * `o_affected` attests the second apply's change-feed insert images
+    * equal exactly the rows whose label changed plus the new ids — and
+    * that this is strictly fewer rows than the table (never a full
+    * rewrite). The oracle recomputes the whole graph's components from
+    * scratch; the incremental labels must land bitwise on the same
+    * fixpoint. */
+  def incrementalClusters(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Snapshots
+    val root = graft.util.Scratch.dir("incc", dir)
+    val table = s"$root/labels"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+    val keys = graft.util.Par.ensure(Tables(spark, dir, "orders"))
+      .select(col("o_orderkey").as("k"))
+    val e1 = keys.filter(col("k") % 3 =!= 0)
+      .select(col("k").as("a"), (col("k") - col("k") % 3).as("b"))
+    Dedup.incrementalCC(spark, table, e1)
+    val after1 = Snapshots.readLatest(spark, table).get.localCheckpoint()
+    val vBefore = Snapshots.latestVersion(spark, table).get
+    val e2 = keys.filter(col("k") % 6 === 0)
+      .select(col("k").as("a"), (col("k") + 3).as("b"))
+      .unionByName(keys.filter(col("k") % 97 === 1)
+        .select(col("k").as("a"), (col("k") + 10000000L).as("b")))
+    Dedup.incrementalCC(spark, table, e2)
+    val vAfter = Snapshots.latestVersion(spark, table).get
+    val finalL = Snapshots.readLatest(spark, table).get.localCheckpoint()
+    val changedRows = finalL
+      .join(after1.select(col("id"), col("cluster_id").as("_c1")),
+        Seq("id"), "left")
+      .filter(col("_c1").isNull || col("_c1") =!= col("cluster_id"))
+      .count()
+    val upserts = Snapshots.changesBetween(spark, table, vBefore, vAfter)
+      .get.filter(col("_change_type") === "insert").count()
+    val oAffected = upserts == changedRows && changedRows < finalL.count()
+    finalL.select(col("id"), col("cluster_id"))
+      .withColumn("o_affected", lit(oAffected))
+  }
+
+  private val incrementalClustersOracle: String = """
+    WITH RECURSIVE ks AS (SELECT o_orderkey AS k FROM orders),
+    e AS (
+      SELECT k AS a, k - (k % 3) AS b FROM ks WHERE k % 3 <> 0
+      UNION ALL
+      SELECT k, k + 3 FROM ks WHERE k % 6 = 0
+      UNION ALL
+      SELECT k, k + 10000000 FROM ks WHERE k % 97 = 1),
+    edges AS (SELECT a AS src, b AS dst FROM e
+      UNION SELECT b AS src, a AS dst FROM e),
+    reach AS (SELECT src, dst FROM edges
+      UNION SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src)
+    SELECT src AS id, LEAST(src, MIN(dst)) AS cluster_id,
+      true AS o_affected
+    FROM reach GROUP BY src"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q311_incremental_clusters", incrementalClusters,
+      Some(incrementalClustersOracle)),
     QueryDef("q172_incremental_dedup", incrementalDedup,
       Some(incrementalDedupOracle)),
     QueryDef("q141_prefix_filter_dups", prefixFilterDups,

@@ -46,4 +46,28 @@ class DedupClusterSpec extends SparkTestBase {
     // threshold 0 forces the distributed label-propagation path
     assert(run(0L) == run(Long.MaxValue))
   }
+
+  test("incremental CC: no-op batches burn no version, merges touch only affected rows") {
+    import spark.implicits._
+    import graft.lake.Snapshots
+    val table = java.nio.file.Files
+      .createTempDirectory("graft_incc").toString + "/labels"
+    def labelsNow = Snapshots.readLatest(spark, table).get.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Dedup.incrementalCC(spark, table,
+      Seq((1L, 2L), (3L, 4L)).toDF("a", "b"))
+    assert(labelsNow == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L))
+    val v1 = Snapshots.latestVersion(spark, table).get
+    // re-applying known edges: every pair vanishes at the label level
+    val vSame = Dedup.incrementalCC(spark, table,
+      Seq((1L, 2L), (3L, 4L)).toDF("a", "b"))
+    assert(vSame == v1 && Snapshots.latestVersion(spark, table).contains(v1))
+    // bridging edge: only the losing component's rows rewrite
+    val v2 = Dedup.incrementalCC(spark, table,
+      Seq((2L, 3L)).toDF("a", "b"))
+    assert(labelsNow == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+    val feed = Snapshots.changesBetween(spark, table, v1, v2).get
+    assert(feed.filter(org.apache.spark.sql.functions
+      .col("_change_type") === "insert").count() == 2) // rows 3 and 4 only
+  }
 }
