@@ -820,6 +820,62 @@ object StreamingQueries {
     Snapshots.readLatest(spark, pairsT).get
   }
 
+  /** q312 — STREAMING incremental connected components (q311's batch
+    * apply run as the stream an entity store actually ingests: link
+    * batches arrive continuously, and the label table must converge to
+    * the whole graph's fixpoint without ever recomputing it): each
+    * micro-batch of edge rows applies through
+    * [[graft.dedup.Dedup.incrementalCC]] — O(affected) per batch.
+    * REPLAY SAFETY IS ALGEBRAIC here, not a version guard: re-applying
+    * any already-applied batch lifts every edge to the label level
+    * where both endpoints share a label, so the whole batch vanishes
+    * before writing anything (idempotence — `o_idempotent` attests a
+    * deliberate double-apply burning no version). The fixpoint is also
+    * independent of batch ARRIVAL ORDER (min-labels are a semilattice:
+    * each apply only lowers labels toward the global minimum), so file
+    * reordering under the source cannot change the result — the oracle
+    * recomputes the whole graph from scratch and the streamed labels
+    * must land bitwise on it. */
+  def incrementalCcStream(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Snapshots
+    val root = scratchDir("stream_q312", dir)
+    delete(root)
+    val src = s"$root/src"
+    val ckpt = s"$root/ckpt"
+    val labelsT = s"$root/labels"
+    val keys = Tables(spark, dir, "orders").select(col("o_orderkey").as("k"))
+    val waves = Seq(
+      keys.filter(col("k") % 3 =!= 0)
+        .select(col("k").as("a"), (col("k") - col("k") % 3).as("b")),
+      keys.filter(col("k") % 6 === 0)
+        .select(col("k").as("a"), (col("k") + 3).as("b")),
+      keys.filter(col("k") % 97 === 1)
+        .select(col("k").as("a"), (col("k") + 10000000L).as("b")))
+    waves.foreach(w => w.coalesce(1).write.mode("append").parquet(src))
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(src)
+    val q = stream.writeStream
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        // relations through the MICRO-BATCH's session (the q174 rule)
+        graft.dedup.Dedup.incrementalCC(batch.sparkSession, labelsT,
+          batch.toDF())
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    // idempotence: re-applying an already-applied wave is a no-op
+    val vDone = Snapshots.latestVersion(spark, labelsT).get
+    graft.dedup.Dedup.incrementalCC(spark, labelsT, waves(0))
+    val idempotent = Snapshots.latestVersion(spark, labelsT).contains(vDone)
+    Snapshots.readLatest(spark, labelsT).get
+      .select(col("id"), col("cluster_id"))
+      .withColumn("o_idempotent", lit(idempotent))
+  }
+
   /** q207 knobs, interpolated into BOTH sides. */
   val ServeQueries = 30
   val ServeK = 10
@@ -1070,6 +1126,21 @@ object StreamingQueries {
       FROM orders o""")),
     QueryDef("q207_ann_serving_stream", annServingStream(_, _),
       Some(annServingOracle)),
+    QueryDef("q312_incremental_cc_stream", incrementalCcStream, Some("""
+      WITH RECURSIVE ks AS (SELECT o_orderkey AS k FROM orders),
+      e AS (
+        SELECT k AS a, k - (k % 3) AS b FROM ks WHERE k % 3 <> 0
+        UNION ALL
+        SELECT k, k + 3 FROM ks WHERE k % 6 = 0
+        UNION ALL
+        SELECT k, k + 10000000 FROM ks WHERE k % 97 = 1),
+      edges AS (SELECT a AS src, b AS dst FROM e
+        UNION SELECT b AS src, a AS dst FROM e),
+      reach AS (SELECT src, dst FROM edges
+        UNION SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src)
+      SELECT src AS id, LEAST(src, MIN(dst)) AS cluster_id,
+        true AS o_idempotent
+      FROM reach GROUP BY src""")),
     QueryDef("q174_incremental_dedup_stream", incrementalDedupStream,
       Some(DedupQueries.crossBatchDedupOracle(3))),
     QueryDef("q167_change_feed_stream", changeFeedStream, Some(s"""
