@@ -1581,7 +1581,116 @@ object TextQueries {
       WHERE d.doc_id % 2 = 1)"""
   }
 
+  private val CdcWindow = 4 // rolling window width, tokens
+  private val CdcMask = 16L // boundary when r % 16 == 0 → ~16-token chunks
+
+  /** Per-token chunk rows for [[cdcChunks]]: token-level rolling hashes
+    * (the q15 wordHash vocabulary) over a [[CdcWindow]]-token window,
+    * boundary where the window hash ≡ 0 (mod [[CdcMask]]) — a
+    * POSITION-LOCAL rule, which is the whole point: a boundary depends
+    * only on the window's own tokens, never on where previous chunks
+    * ended, so an edit re-chunks only its own neighborhood. One narrow
+    * scan + a per-document window prefix-sum (documents are the
+    * partition key — no global ordering anywhere). */
+  private[queries] def cdcChunkRows(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("_p")
+      .rowsBetween(Long.MinValue, -1)
+    docs.filter(length(trim(col("text"))) > 0)
+      .withColumn("_tk", tokens(col("text")))
+      .withColumn("_hs", expr(
+        s"transform(_tk, t -> pmod(CAST(conv(substring(md5(t),1,12),16,10) AS BIGINT), ${P}L))"))
+      .select(col("doc_id"), col("_hs"),
+        posexplode(col("_tk")).as(Seq("_p", "_tok")))
+      .withColumn("_r", expr(
+        s"""IF(_p >= ${CdcWindow - 1},
+          pmod(element_at(_hs, _p - 2) * 29791 + element_at(_hs, _p - 1) * 961
+            + element_at(_hs, _p) * 31 + element_at(_hs, _p + 1), ${P}L),
+          -1L)"""))
+      .withColumn("_bf",
+        when(col("_r") >= 0 && col("_r") % CdcMask === 0, 1L).otherwise(0L))
+      .withColumn("chunk_idx", coalesce(sum(col("_bf")).over(w), lit(0L)))
+      .groupBy(col("doc_id"), col("chunk_idx"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sort_array(collect_list(struct(col("_p"), col("_tok")))).as("_ts"))
+      .select(col("doc_id"), col("chunk_idx"), col("n_tokens"),
+        md5(array_join(expr("transform(_ts, x -> x._tok)"), " "))
+          .as("chunk_md5"))
+  }
+
+  /** q313 — CONTENT-DEFINED CHUNKING (the LBFS/rsync boundary rule at
+    * word level — the storage-dedup chunking a petabyte corpus store
+    * runs, and the shift-RESILIENT alternative to q109's fixed windows:
+    * inserting one token at the front of a document shifts EVERY fixed
+    * window but re-chunks only the edit's neighborhood here): chunk
+    * boundaries where a 4-token rolling hash ≡ 0 mod 16, chunk identity
+    * the md5 of its joined tokens, every chunk emitted with its
+    * corpus-wide duplicate count (the storage-savings signal: identical
+    * boilerplate chunks across documents collapse to one stored copy).
+    * `shift_resilient` attests the rsync property in-query: for a
+    * bounded document sample, prepending a token leaves every chunk
+    * after the first original boundary IDENTICAL (boundaries are
+    * position-local, so they all persist, merely shifted). The oracle
+    * replays tokens, window hashes, boundary prefix-sums, chunk md5s
+    * and duplicate counts bitwise. */
+  def cdcChunks(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.util.Par.ensure(Tables(spark, dir, "documents"))
+      .select(col("doc_id"), col("text"))
+    val base = cdcChunkRows(docs).localCheckpoint()
+    // rsync-property attestation over a bounded sample
+    val sample = docs.filter(col("doc_id") % 50 === 0)
+    def seqsOf(df: DataFrame): Map[Long, Seq[String]] =
+      cdcChunkRows(df).select("doc_id", "chunk_idx", "chunk_md5")
+        .collect().groupBy(_.getLong(0))
+        .map { case (k, rows) =>
+          k -> rows.sortBy(_.getLong(1)).map(_.getString(2)).toSeq }
+    val orig = seqsOf(sample)
+    val shifted = seqsOf(
+      sample.withColumn("text", concat(lit("PREFIXSHIFT "), col("text"))))
+    val shiftOk = orig.nonEmpty && orig.forall { case (k, a) =>
+      val b = shifted.getOrElse(k, Seq.empty)
+      b.takeRight(a.length - 1) == a.takeRight(a.length - 1)
+    }
+    val dups = base.groupBy("chunk_md5").agg(count(lit(1)).as("dup_count"))
+    base.join(dups, Seq("chunk_md5"))
+      .select(col("doc_id"), col("chunk_idx"), col("n_tokens"),
+        col("chunk_md5"), col("dup_count"))
+      .withColumn("shift_resilient", lit(shiftOk))
+  }
+
+  private val cdcChunksOracle: String = {
+    def wh(e: String) = sqlWordHash(e)
+    s"""
+    WITH d AS (SELECT doc_id, ${sqlTokens("text")} AS tk
+      FROM documents WHERE trim(text) <> ''),
+    t AS (SELECT doc_id, tk, CAST(unnest(range(len(tk))) AS INT) AS p
+      FROM d),
+    h AS (SELECT doc_id, p, list_extract(tk, p + 1) AS tok,
+        CASE WHEN p >= ${CdcWindow - 1} THEN
+          ((${wh("list_extract(tk, p - 2)")} * 29791
+            + ${wh("list_extract(tk, p - 1)")} * 961
+            + ${wh("list_extract(tk, p)")} * 31
+            + ${wh("list_extract(tk, p + 1)")}) % $P)
+        ELSE -1 END AS r
+      FROM t),
+    c AS (SELECT doc_id, p, tok,
+        COALESCE(SUM(CASE WHEN r >= 0 AND r % $CdcMask = 0 THEN 1 ELSE 0 END)
+          OVER (PARTITION BY doc_id ORDER BY p
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          AS chunk_idx
+      FROM h),
+    ch AS (SELECT doc_id, chunk_idx, COUNT(*) AS n_tokens,
+        md5(string_agg(tok, ' ' ORDER BY p)) AS chunk_md5
+      FROM c GROUP BY 1, 2),
+    dups AS (SELECT chunk_md5, COUNT(*) AS dup_count FROM ch GROUP BY 1)
+    SELECT ch.doc_id, CAST(ch.chunk_idx AS BIGINT) AS chunk_idx,
+      CAST(ch.n_tokens AS BIGINT) AS n_tokens, ch.chunk_md5,
+      CAST(d2.dup_count AS BIGINT) AS dup_count, true AS shift_resilient
+    FROM ch JOIN dups d2 USING (chunk_md5)"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q313_cdc_chunks", cdcChunks, Some(cdcChunksOracle)),
     QueryDef("q231_nb_classifier", nbClassifier(_, _), Some(nbOracle)),
     QueryDef("q208_dsir_select", dsirSelect(_, _), Some(dsirOracle)),
     QueryDef("q198_ngram_lm_filter", ngramLmFilter(_, _),
