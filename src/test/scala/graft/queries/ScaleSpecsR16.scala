@@ -57,4 +57,18 @@ class ScaleSpecsR16 extends SparkTestBase {
       !plan.contains("BroadcastNestedLoopJoin"),
       s"linkage blocking must stay an equi-join:\n${plan.take(2000)}")
   }
+
+  test("cdc chunking: per-document hash windows, never a global range sort") {
+    val docs = Tables(spark, dir, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+    val plan = TextQueries.cdcChunkRows(docs)
+      .queryExecution.executedPlan.toString
+    // the boundary prefix-sum windows PARTITION BY doc_id — a global
+    // range exchange here would serialize the corpus through one sort
+    assert(!plan.contains("rangepartitioning"),
+      s"cdc chunking planned a global range exchange:\n${plan.take(2000)}")
+    assert(plan.contains("hashpartitioning"),
+      "per-document window should hash-partition on doc_id")
+  }
 }
