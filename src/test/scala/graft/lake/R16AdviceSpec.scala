@@ -154,4 +154,40 @@ class R16AdviceSpec extends SparkTestBase {
     assert(Snapshots.readLatest(spark, t).get
       .select("c").distinct().collect().map(_.getLong(0)).toSeq == Seq(7L))
   }
+
+  // -------------------------------------------- 6. createTable validation
+
+  test("createTable refuses bad shapes at DDL; defaults may chain") {
+    import org.apache.spark.sql.functions.col
+    val root = fresh("ct")
+    def bad(cols: Seq[(String, String, Option[String])]): Unit = {
+      val t = s"$root/t${cols.hashCode.toHexString}"
+      intercept[Exception](Snapshots.createTable(spark, t, cols))
+      assert(Snapshots.latestVersion(spark, t).isEmpty,
+        "a refused CREATE burned a version")
+    }
+    bad(Seq.empty) // no columns
+    bad(Seq(("a", "INT", None), ("a", "STRING", None))) // dup names
+    bad(Seq(("a", "NOT_A_TYPE", None))) // bad type DDL
+    bad(Seq(("a", "meta.uid", None), ("b.c", "INT", None))) // nested name
+    bad(Seq(("a", "BIGINT", Some("'oops'")))) // non-castable default
+    bad(Seq(("a", "INT", Some("a + 1")))) // self-referencing default
+    // a default may reference ANOTHER declared column (fills after it)
+    val t = s"$root/ok"
+    Snapshots.createTable(spark, t, Seq(
+      ("k", "BIGINT", None),
+      ("base", "BIGINT", Some("10")),
+      ("derived", "BIGINT", Some("base * 2"))))
+    assert(Snapshots.latestVersion(spark, t).contains(1))
+    val empty = Snapshots.readLatest(spark, t).get
+    assert(empty.count() == 0 &&
+      empty.schema.fieldNames.toSeq == Seq("k", "base", "derived"))
+    // a column-less append fills the chained defaults in declared order
+    import spark.implicits._
+    Snapshots.append(spark, t, Seq(1L, 2L).toDF("k"))
+    val got = Snapshots.readLatest(spark, t).get
+      .select("k", "base", "derived").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 10L, 20L), (2L, 10L, 20L)), got.toString)
+  }
 }
