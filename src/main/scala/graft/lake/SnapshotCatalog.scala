@@ -323,6 +323,8 @@ final class SnapshotCatalog extends TableCatalog {
       adds.foreach { case (n, _, _) =>
         refuseLeaf(n, "add")
         require(!live.contains(n), s"column $n already exists")
+        require(!tombstoned.contains(n),
+          s"$n was renamed away earlier and cannot be recycled")
         live += n
       }
     }

@@ -2698,6 +2698,11 @@ object Snapshots {
           s"cannot add a column to never-committed table $table"))
         require(!liveNames(spark, table, prev).contains(name),
           s"column $name already exists")
+        // a rename's old name is tombstoned: era reads map it forward,
+        // so a re-added column of that name could never receive data
+        // (guardRecycledNames would throw on every later append)
+        require(!prev.renames.map(_._1).contains(name),
+          s"$name was renamed away earlier and cannot be recycled")
         Some(prev.addedColumns :+ (name -> typeDdl))
       },
       newDefaults = prevOpt => defaultSql.map { d =>

@@ -149,6 +149,27 @@ object FlacCodec {
 
   private def zigzag(v: Long): Long = if (v >= 0) v << 1 else ((-v) << 1) - 1
 
+  /** The frame header's UTF-8-style coded number (spec §9.1.5): 1 byte
+    * below 0x80, else a lead byte of (n+1) ones + zero carrying the top
+    * bits followed by n `10xxxxxx` continuation bytes — so encode has no
+    * frame-count ceiling (decode already walks the length prefix). */
+  private def writeUtf8Coded(w: BitWriter, v: Long): Unit = {
+    if (v < 0x80L) { w.write(v, 8); return }
+    val n =
+      if (v < 0x800L) 1
+      else if (v < 0x10000L) 2
+      else if (v < 0x200000L) 3
+      else if (v < 0x4000000L) 4
+      else 5
+    w.write(((0xFE << (6 - n)) & 0xFF).toLong |
+      ((v >>> (6 * n)) & ((1L << (6 - n)) - 1)), 8)
+    var i = n - 1
+    while (i >= 0) {
+      w.write(0x80L | ((v >>> (6 * i)) & 0x3F), 8)
+      i -= 1
+    }
+  }
+
   // ------------------------------------------------------------ encode
 
   /** Encode interleaved 16-bit samples as a real FLAC stream: one
@@ -186,8 +207,7 @@ object FlacCodec {
       w.write((channels - 1).toLong, 4) // independent channels
       w.write(4L, 3) // 16-bit samples
       w.write(0L, 1)
-      require(frame < 128, "frame number UTF-8 coding kept single-byte")
-      w.write(frame.toLong, 8)
+      writeUtf8Coded(w, frame.toLong)
       w.write((bs - 1).toLong, 16)
       val headerBytes = w.bytes.toByteArray // aligned: 4+1+2 bytes
       w.write(crc8(headerBytes, 0, headerBytes.length).toLong, 8)

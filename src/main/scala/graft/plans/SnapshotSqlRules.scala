@@ -178,26 +178,15 @@ case class SnapshotDmlRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
             // QUALIFIERS STRIPPED first: `REPLACE WHERE t.col = …`
             // renders as `t.col`, which would fail to re-resolve against
             // the bare-named live view and the table-shaped insert
-            // frame. Leading parts that are NOT table columns are
-            // qualifiers; parts from the first column name on are the
-            // column itself plus struct-field access and must stay.
-            val colNames =
-              r.output.map(_.name.toLowerCase(java.util.Locale.ROOT)).toSet
-            val bareSql = deleteExpr.transform {
-              case a: org.apache.spark.sql.catalyst.expressions
-                  .AttributeReference =>
-                org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-                  .quoted(a.name)
-              case u: org.apache.spark.sql.catalyst.analysis
-                  .UnresolvedAttribute if u.nameParts.length > 1 =>
-                val dropped = u.nameParts.dropWhile(p =>
-                  !colNames.contains(p.toLowerCase(java.util.Locale.ROOT)))
-                if (dropped.nonEmpty &&
-                    dropped.length < u.nameParts.length)
-                  org.apache.spark.sql.catalyst.analysis
-                    .UnresolvedAttribute(dropped)
-                else u
-            }.sql
+            // frame. Resolved refs keep just their own name; for
+            // unresolved multi-part refs, keep the WHOLE path if it
+            // already walks column+struct-fields in the table schema,
+            // else strip to the longest proper suffix that does (a
+            // name-set dropWhile would mis-handle an alias spelled like
+            // a non-struct column, e.g. alias `o` with predicate
+            // `o.o_x` on a table that also has a scalar column `o`).
+            val bareSql = SnapshotDmlRewrite
+              .stripPredicateQualifiers(r.output, deleteExpr).sql
             SnapshotReplaceWhereCommand(p, query, r.output.map(_.name),
               bareSql): LogicalPlan
           }
@@ -429,6 +418,52 @@ case class SnapshotDmlRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     SnapshotMergeWhenCommand(path, m.sourceTable, keys.distinct,
       matched ++ notMatched ++ bySource)
   }
+}
+
+object SnapshotDmlRewrite {
+
+  /** True when `parts` walks the target schema as a column name
+    * followed by a valid struct-field path — the test for "this
+    * multi-part reference is the column itself, not alias-qualified". */
+  private def walksSchema(
+      output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
+      parts: Seq[String]): Boolean =
+    output.find(_.name.equalsIgnoreCase(parts.head)).exists { a =>
+      parts.tail.foldLeft(Option(a.dataType)) {
+        case (Some(s: org.apache.spark.sql.types.StructType), f) =>
+          s.fields.find(_.name.equalsIgnoreCase(f)).map(_.dataType)
+        case _ => None
+      }.isDefined
+    }
+
+  /** Re-speak a commit-side predicate so it re-resolves by NAME against
+    * the bare-named live view: resolved refs keep just their own name;
+    * an unresolved multi-part ref keeps its WHOLE path when it already
+    * walks column+struct-fields of the target, else strips to the
+    * longest proper suffix that does. (A name-SET dropWhile would
+    * mis-handle an alias spelled like a non-struct column — alias `o`,
+    * predicate `o.o_x`, scalar column `o`: nothing would strip and
+    * re-resolution would fail even though `o_x` is the column meant.)
+    * A ref no suffix of which resolves is left untouched — the commit
+    * fails loudly rather than guessing. */
+  private[plans] def stripPredicateQualifiers(
+      output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
+      pred: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    pred.transform {
+      case a: org.apache.spark.sql.catalyst.expressions
+          .AttributeReference =>
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+          .quoted(a.name)
+      case u: org.apache.spark.sql.catalyst.analysis
+          .UnresolvedAttribute if u.nameParts.length > 1 =>
+        if (walksSchema(output, u.nameParts)) u
+        else (1 until u.nameParts.length)
+          .find(i => walksSchema(output, u.nameParts.drop(i)))
+          .map(i => org.apache.spark.sql.catalyst.analysis
+            .UnresolvedAttribute(u.nameParts.drop(i)))
+          .getOrElse(u)
+    }
 }
 
 /** Answers bare `count(*)` / `min` / `max` over a snapshot-catalog

@@ -1583,6 +1583,14 @@ object TextQueries {
 
   private val CdcWindow = 4 // rolling window width, tokens
   private val CdcMask = 16L // boundary when r % 16 == 0 → ~16-token chunks
+  private[queries] val CdcAttestK = 24 // absolute attestation sample size
+
+  /** The shift-resilience attestation's document sample: ABSOLUTE-K via
+    * TakeOrdered on the key, so the attestation's two collects stay
+    * bounded at any corpus size. (Modulo sampling is proportional —
+    * 2% of a 100 TB corpus would be a multi-TB driver collect.) */
+  private[queries] def cdcAttestSample(docs: DataFrame): DataFrame =
+    docs.orderBy(col("doc_id")).limit(CdcAttestK)
 
   /** Per-token chunk rows for [[cdcChunks]]: token-level rolling hashes
     * (the q15 wordHash vocabulary) over a [[CdcWindow]]-token window,
@@ -1600,13 +1608,22 @@ object TextQueries {
       .withColumn("_tk", tokens(col("text")))
       .withColumn("_hs", expr(
         s"transform(_tk, t -> pmod(CAST(conv(substring(md5(t),1,12),16,10) AS BIGINT), ${P}L))"))
-      .select(col("doc_id"), col("_hs"),
-        posexplode(col("_tk")).as(Seq("_p", "_tok")))
-      .withColumn("_r", expr(
-        s"""IF(_p >= ${CdcWindow - 1},
-          pmod(element_at(_hs, _p - 2) * 29791 + element_at(_hs, _p - 1) * 961
-            + element_at(_hs, _p) * 31 + element_at(_hs, _p + 1), ${P}L),
-          -1L)"""))
+      // rolling hash computed IN ARRAY LAND, while the document is still
+      // one row, so the exploded relation carries only (tok, r) per
+      // token — O(1)-wide. (Exploding first and riding `_hs` along on
+      // every token row is O(L²) bytes per document through the
+      // exchange feeding the window — a 100k-token document would push
+      // ~10^10 cells. Same closed form, same result.)
+      .withColumn("_pr", expr(
+        s"""transform(_tk, (t, p) -> named_struct(
+          '_tok', t,
+          '_r', IF(p >= ${CdcWindow - 1},
+            pmod(element_at(_hs, p - 2) * 29791 + element_at(_hs, p - 1) * 961
+              + element_at(_hs, p) * 31 + element_at(_hs, p + 1), ${P}L),
+            -1L)))"""))
+      .select(col("doc_id"), posexplode(col("_pr")).as(Seq("_p", "_s")))
+      .select(col("doc_id"), col("_p"), col("_s._tok").as("_tok"),
+        col("_s._r").as("_r"))
       .withColumn("_bf",
         when(col("_r") >= 0 && col("_r") % CdcMask === 0, 1L).otherwise(0L))
       .withColumn("chunk_idx", coalesce(sum(col("_bf")).over(w), lit(0L)))
@@ -1637,8 +1654,7 @@ object TextQueries {
     val docs = graft.util.Par.ensure(Tables(spark, dir, "documents"))
       .select(col("doc_id"), col("text"))
     val base = cdcChunkRows(docs).localCheckpoint()
-    // rsync-property attestation over a bounded sample
-    val sample = docs.filter(col("doc_id") % 50 === 0)
+    val sample = cdcAttestSample(docs)
     def seqsOf(df: DataFrame): Map[Long, Seq[String]] =
       cdcChunkRows(df).select("doc_id", "chunk_idx", "chunk_md5")
         .collect().groupBy(_.getLong(0))

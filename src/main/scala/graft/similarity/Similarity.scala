@@ -1441,13 +1441,22 @@ object Similarity {
 
   /** Live tombstone set of a persisted graph index: None until a
     * delete commits, None again after [[nswIndexOptimize]] truncates
-    * (the truncated table reads as typed-empty). */
+    * (the truncated table reads as typed-empty). Emptiness is decided
+    * from LOG METADATA ([[graft.lake.Snapshots.rowCountAt]]) — a
+    * per-search `isEmpty` Spark action would tax every search on an
+    * index with no live deletes forever after the first truncate; the
+    * data-side fallback fires only when the log cannot count (MoR
+    * deletes, which delete/optimize never leave on this table). */
   private def indexTombstones(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String): Option[DataFrame] =
-    graft.lake.Snapshots.latestVersion(spark, s"$indexDir/tombstones")
-      .map(_ => graft.lake.Snapshots
-        .readLatest(spark, s"$indexDir/tombstones").get)
-      .filter(!_.isEmpty)
+      indexDir: String): Option[DataFrame] = {
+    val t = s"$indexDir/tombstones"
+    graft.lake.Snapshots.latestVersion(spark, t)
+      .filter { v =>
+        graft.lake.Snapshots.rowCountAt(spark, t, v).map(_ > 0L)
+          .getOrElse(!graft.lake.Snapshots.readLatest(spark, t).get.isEmpty)
+      }
+      .map(_ => graft.lake.Snapshots.readLatest(spark, t).get)
+  }
 
   /** DELETE from a persisted NSW index — the lifecycle leg q218 proved
     * for IVF-PQ code tables, now for the graph family: ids matching
