@@ -118,12 +118,77 @@ case class SnapshotDmlRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     case a: AttributeReference => UnresolvedAttribute(Seq(a.name))
   }
 
+  /** Recognize `col = lit` / `col IN (lits…)` / `col <=> lit` deletes —
+    * the GDPR/CDC hot statement — so they route to the ZERO-SCAN
+    * equality-delete commit ([[Snapshots.deleteByKeys]], O(keys) write,
+    * no table read) instead of [[Snapshots.deleteWhere]]'s locate-scan.
+    * Only NON-NULL literals of the column's own type qualify: a NULL
+    * literal never matches under SQL `=`/`IN` but WOULD match the
+    * equality delete's null-safe key join, and a coerced (Cast-wrapped)
+    * column keeps the general path. Returns (column, type, external
+    * values). */
+  private def keyEqualityDelete(cond: Expression)
+      : Option[(String, org.apache.spark.sql.types.DataType, Seq[Any])] = {
+    import org.apache.spark.sql.catalyst.CatalystTypeConverters
+    import org.apache.spark.sql.catalyst.expressions.{EqualNullSafe, In}
+    // Type coercion shapes both sides before this rule sees the plan:
+    // `int_col IN (1, 2)` can arrive as `CAST(int_col AS BIGINT) IN
+    // (CAST(1 AS BIGINT), …)`. A Cast on the COLUMN side unwraps when
+    // it is a lossless (injective) up-cast; the VALUE side accepts any
+    // foldable non-null expression whose value ROUND-TRIPS through the
+    // column's type (CAST(col AS W) = v  ⟺  col = down(v) exactly when
+    // the up-cast is injective and down(v) maps back to v; a value that
+    // does not round-trip keeps the general path).
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+    def attrOf(e: Expression): Option[AttributeReference] = e match {
+      case a: AttributeReference => Some(a)
+      case c: Cast => c.child match {
+        case a: AttributeReference
+            if Cast.canUpCast(a.dataType, c.dataType) => Some(a)
+        case _ => None
+      }
+      case _ => None
+    }
+    def keyVal(a: AttributeReference, e: Expression): Option[Any] =
+      if (!e.foldable) None
+      else try {
+        val vW = e.eval()
+        if (vW == null) None
+        else {
+          val down = Cast(Literal(vW, e.dataType), a.dataType).eval()
+          val back = Cast(Literal(down, a.dataType), e.dataType).eval()
+          if (down != null && back != null && back.equals(vW))
+            Some(CatalystTypeConverters.convertToScala(down, a.dataType))
+          else None
+        }
+      } catch { case _: Exception => None }
+    def one(x: Expression, y: Expression)
+        : Option[(String, org.apache.spark.sql.types.DataType, Seq[Any])] =
+      attrOf(x).flatMap(a =>
+        keyVal(a, y).map(v => (a.name, a.dataType, Seq(v))))
+    cond match {
+      case EqualTo(x, y) => one(x, y).orElse(one(y, x))
+      case EqualNullSafe(x, y) => one(x, y).orElse(one(y, x))
+      case In(x, vs) if vs.nonEmpty =>
+        attrOf(x).flatMap { a =>
+          val vals = vs.map(keyVal(a, _))
+          if (vals.forall(_.isDefined))
+            Some((a.name, a.dataType, vals.map(_.get)))
+          else None
+        }
+      case _ => None
+    }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperatorsUp {
       case d @ DeleteFromTable(target, cond) if cond.resolved =>
         targetPath(target)
-          .map(p => SnapshotDeleteCommand(p,
-            GraftSqlBridge.column(byName(cond))): LogicalPlan)
+          .map(p => keyEqualityDelete(cond)
+            .map(ke => SnapshotDeleteByKeysCommand(p, ke._1, ke._2,
+              ke._3): LogicalPlan)
+            .getOrElse(SnapshotDeleteCommand(p,
+              GraftSqlBridge.column(byName(cond))): LogicalPlan))
           .getOrElse(d)
       case u @ UpdateTable(target, assignments, cond)
           if assignments.forall(_.resolved) && cond.forall(_.resolved) =>
@@ -984,6 +1049,35 @@ case class SnapshotDeleteCommand(path: String,
     cond: org.apache.spark.sql.Column) extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
     Snapshots.deleteWhere(session, path, cond)
+    Seq.empty
+  }
+}
+
+/** `DELETE FROM t WHERE k = lit` / `k IN (…)` → the ZERO-SCAN
+  * equality-delete commit ([[Snapshots.deleteByKeys]]): the key set is
+  * written O(keys) with no table read at all; suppression happens at
+  * read time as one broadcast anti-join scoped to the manifests live at
+  * the commit. Live view identical to the locate-scan path. A table
+  * that prefers positional tombstones (equality deletes defer read
+  * work and make clone/cherry-pick refuse until materialized) opts out
+  * with TBLPROPERTIES ('delete.eq-routing' = 'off'). */
+case class SnapshotDeleteByKeysCommand(path: String, keyCol: String,
+    keyType: org.apache.spark.sql.types.DataType,
+    values: Seq[Any]) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.col
+    val off = Snapshots.tableProperties(session, path)
+      .get("delete.eq-routing").exists(_.equalsIgnoreCase("off"))
+    if (off)
+      Snapshots.deleteWhere(session, path, col(keyCol).isin(values: _*))
+    else {
+      val rows = new java.util.ArrayList[Row](values.size)
+      values.foreach(v => rows.add(Row(v)))
+      val keys = session.createDataFrame(rows,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(keyCol, keyType))))
+      Snapshots.deleteByKeys(session, path, keys)
+    }
     Seq.empty
   }
 }
