@@ -792,16 +792,34 @@ object Snapshots {
       // rewrites) already KNOW every file's row count from the source
       // manifest — recounting would re-open O(files) footers for data
       // that never moved
-      knownRows: Map[String, Long] = null): String = {
+      knownRows: Map[String, Long] = null,
+      // same carry discipline for BYTE sizes (r17): manifest rewrites
+      // already know every carried file's length from the source
+      // manifest — re-statting would add O(files) FS calls to paths
+      // that deliberately do zero per-file work
+      knownSizes: Map[String, Long] = null): String = {
     val ops = new FileOps(spark.sparkContext.hadoopConfiguration)
     val id = Naming.newRunId()
     val rows =
       if (knownRows != null && files.forall(knownRows.contains))
         files.map(f => f -> knownRows(f)).toMap
       else collectRowCounts(spark, table, files)
+    // recorded so byte-bounded consumers (streaming maxBytesPerTrigger)
+    // answer from the log instead of per-file FS status at read time
+    val sizes =
+      if (knownSizes != null && files.forall(knownSizes.contains))
+        files.map(f => f -> knownSizes(f)).toMap
+      else {
+        val conf = spark.sparkContext.hadoopConfiguration
+        files.map { f =>
+          val p = new org.apache.hadoop.fs.Path(filePath(table, f))
+          f -> p.getFileSystem(conf).getFileStatus(p).getLen
+        }.toMap
+      }
     val json = Json.render(Map(
       "files" -> files,
       "rows" -> rows,
+      "sizes" -> sizes,
       "stats" -> stats.map { case (f, cols) =>
         f -> cols.map { case (c, (mn, mx)) =>
           c -> Map("min" -> mn, "max" -> mx) }
@@ -852,6 +870,62 @@ object Snapshots {
       (files, parseStats(m), parseBlooms(m), schemas, rows)
     })
   }
+
+  private val sizesCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), Map[String, Long]]
+
+  /** Per-file byte sizes a manifest recorded (r17, `"sizes"`): what a
+    * byte-bounded consumer (streaming `maxBytesPerTrigger`) plans from
+    * — LOG metadata, never per-file FS status at read time. Empty for
+    * pre-r17 manifests; callers fall back to one FS status per file. */
+  private[graft] def manifestSizes(spark: SparkSession, table: String,
+      id: String): Map[String, Long] = {
+    if (sizesCache.size > MaxCachedManifests) sizesCache.clear()
+    sizesCache.getOrElseUpdate((table, id), {
+      val ops = new FileOps(spark.sparkContext.hadoopConfiguration)
+      Json.parseObject(ops.readString(manifestPath(table, id)))
+        .get("sizes") match {
+        case Some(sm: Map[_, _]) => sm.asInstanceOf[Map[String, Any]]
+          .map { case (f, n) => f -> (n match {
+            case l: Long => l
+            case d: Double => d.toLong
+            case other => other.toString.toDouble.toLong
+          }) }
+        case _ => Map.empty[String, Long]
+      }
+    })
+  }
+
+  /** Total byte size of the files APPENDED at version `v` (0 for
+    * branch/empty/non-append versions and versions whose files all
+    * carried forward), from manifest-recorded sizes with one FS-status
+    * fallback per file for pre-r17 manifests. The unit a byte-bounded
+    * streaming consumer budgets catch-up batches in. */
+  private[graft] def appendedVersionBytes(spark: SparkSession,
+      table: String, v: Int): Long =
+    snapshot(spark, table, v).map { s2 =>
+      if (s2.ref.nonEmpty) 0L
+      else {
+        var w = v - 1
+        while (w >= 1 && !snapshot(spark, table, w).exists(_.ref.isEmpty))
+          w -= 1
+        val prevFiles =
+          if (w >= 1) snapshot(spark, table, w).map(_.files.toSet)
+            .getOrElse(Set.empty[String])
+          else Set.empty[String]
+        val newFiles = s2.files.filterNot(prevFiles)
+        if (newFiles.isEmpty) 0L
+        else {
+          val recorded = s2.manifests
+            .foldLeft(Map.empty[String, Long])(_ ++ manifestSizes(spark, table, _))
+          val conf = spark.sparkContext.hadoopConfiguration
+          newFiles.map(f => recorded.getOrElse(f, {
+            val p = new org.apache.hadoop.fs.Path(filePath(table, f))
+            p.getFileSystem(conf).getFileStatus(p).getLen
+          })).sum
+        }
+      }
+    }.getOrElse(0L)
 
   /** Fold a manifest's per-file stats into its manifest-list summary:
     * per column, (min of mins, max of maxes) — recorded ONLY for
@@ -3344,7 +3418,9 @@ object Snapshots {
             prev.stats.filter { case (f, _) => !full.contains(f) },
             prev.blooms.filter { case (f, _) => !full.contains(f) },
             prev.dirSchemas.filter { case (d, _) => dirs(d) },
-            knownRows = prev.rowCounts))
+            knownRows = prev.rowCounts,
+            knownSizes = prev.manifests.foldLeft(Map.empty[String, Long])(
+              _ ++ manifestSizes(spark, table, _))))
         }
       // tombstones already covering dropped files now point at absent
       // paths and match nothing — same carry note as optimizeSmallFiles
@@ -3916,7 +3992,9 @@ object Snapshots {
       val dirs = prev.files.map(_.split("/").dropRight(1).mkString("/")).toSet
       (Seq(writeManifest(spark, table, prev.files, prev.stats, prev.blooms,
         prev.dirSchemas.filter { case (d, _) => dirs(d) },
-        knownRows = prev.rowCounts)),
+        knownRows = prev.rowCounts,
+        knownSizes = prev.manifests.foldLeft(Map.empty[String, Long])(
+          _ ++ manifestSizes(spark, table, _)))),
         prev.deletes, prev.renames, prev.drops)
     }
 

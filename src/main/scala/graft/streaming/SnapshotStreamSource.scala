@@ -20,6 +20,12 @@ import graft.lake.Snapshots
   * limit (Delta's `maxFilesPerTrigger` analogue): one micro-batch
   * consumes at most that many versions, so a consumer attaching to a
   * long history catches up in bounded bites instead of one giant batch.
+  * `maxBytesPerTrigger` (Delta parity, r17) bounds each batch by the
+  * DATA bytes of the versions it consumes — planned from the log's
+  * manifest-recorded file sizes, never per-file FS status — because a
+  * version cap alone still admits an arbitrarily large batch after one
+  * bulk append. The byte cap is soft exactly like Delta's: one
+  * oversized version still admits alone, so catch-up never wedges.
   *
   * Semantics per consumed version (all decided from KB log objects —
   * [[Snapshots.appendedVersionRows]]):
@@ -49,6 +55,24 @@ object SnapshotStreamSource {
   private def versionOf(path: String): Int =
     path.split("/").last.stripPrefix("v").stripSuffix(".json").toInt
 
+  /** The per-trigger version-count window honoring a byte cap: the
+    * LARGEST k (≤ the version cap) such that EVERY k consecutive
+    * versions sum to ≤ `cap` data bytes — every-window because the
+    * checkpoint frontier may start a batch at any version, so the
+    * ceiling must hold wherever the windows land. A single oversized
+    * version admits alone (k ≥ 1 — Delta's soft-cap semantics: progress
+    * is never wedged by one bulk append). Versions below the starting
+    * frontier are consumed as EMPTY batches and weigh zero. */
+  private[streaming] def byteBoundedWindow(bytes: Seq[Long], cap: Long,
+      maxVersions: Int): Int = {
+    require(cap > 0, s"maxBytesPerTrigger must be positive, got $cap")
+    if (bytes.isEmpty) return math.max(1, maxVersions)
+    def everyWindowFits(k: Int): Boolean =
+      bytes.sliding(k).forall(_.sum <= cap)
+    (math.min(maxVersions, bytes.length) to 2 by -1)
+      .find(everyWindowFits).getOrElse(1)
+  }
+
   /** Consume every unconsumed log version of `table` (AvailableNow) and
     * append each window's newly-appended rows to `sinkTable`; checkpoint
     * state (the consumed-version frontier) lives under `checkpoint`.
@@ -58,6 +82,12 @@ object SnapshotStreamSource {
       checkpoint: String, startingVersion: Int = 1,
       maxVersionsPerTrigger: Int = 1,
       ignoreChanges: Boolean = false,
+      // Delta's maxBytesPerTrigger beside the version cap: bound each
+      // catch-up batch by the DATA bytes of the versions it consumes
+      // (log-recorded file sizes — a version cap alone leaves a batch
+      // arbitrarily large after one bulk append). Soft in Delta's
+      // sense: a single version larger than the cap still admits alone.
+      maxBytesPerTrigger: Option[Long] = None,
       // Delta's `startingTimestamp`: consume from the first version
       // committed AFTER the instant (the state AT the instant is the
       // batch-read baseline; the stream carries what came later).
@@ -76,11 +106,20 @@ object SnapshotStreamSource {
           .getOrElse(1)
       case None => startingVersion
     }
+    val versionsPerTrigger = maxBytesPerTrigger match {
+      case Some(cap) =>
+        val latest = Snapshots.latestVersion(spark, table).getOrElse(0)
+        val bytes = (1 to latest).map(v =>
+          if (v < fromVersion) 0L // consumed as empty batches
+          else Snapshots.appendedVersionBytes(spark, table, v))
+        byteBoundedWindow(bytes, cap, maxVersionsPerTrigger)
+      case None => maxVersionsPerTrigger
+    }
     // version objects' NAMES are the offsets; `_metadata` is projected
     // on the SOURCE side (inside foreachBatch the batch is a plain
     // relation without reader columns)
     val stream = spark.readStream
-      .option("maxFilesPerTrigger", maxVersionsPerTrigger)
+      .option("maxFilesPerTrigger", versionsPerTrigger)
       .text(s"$table/_log/v*.json")
       .select(col("_metadata.file_path").as("log_object"))
     val writeBatch: (Dataset[Row], Long) => Unit = (batch, id) =>

@@ -76,4 +76,51 @@ class SnapshotStreamSourceSpec extends SparkTestBase {
     assert(Snapshots.readLatest(spark, sink2).get.count() == expect)
     org.apache.commons.io.FileUtils.deleteQuietly(new File(root))
   }
+
+  test("byteBoundedWindow: every-window ceiling, soft single admit") {
+    def w(bytes: Seq[Long], cap: Long, maxV: Int) =
+      SnapshotStreamSource.byteBoundedWindow(bytes, cap, maxV)
+    // cap far above everything → the version cap rules
+    assert(w(Seq(10L, 10L, 10L, 10L), 1000L, 3) == 3)
+    // the ceiling must hold for EVERY k-window, not just the first:
+    // the checkpoint frontier can start a batch at any version
+    assert(w(Seq(10L, 10L, 80L, 10L), 100L, 4) == 3) // 10+80+10 = 100 fits
+    assert(w(Seq(10L, 10L, 80L, 10L), 99L, 4) == 2)  // 80+10+10 would not
+    // one oversized version admits ALONE (soft cap — never wedged)
+    assert(w(Seq(200L), 100L, 4) == 1)
+    assert(w(Seq(10L, 200L, 10L), 100L, 4) == 1)
+    // versions below the starting frontier weigh zero
+    assert(w(Seq(0L, 0L, 0L, 90L, 90L), 100L, 4) == 1)
+    assert(w(Seq(0L, 0L, 0L, 90L, 5L), 100L, 4) == 4)
+  }
+
+  test("maxBytesPerTrigger bounds catch-up batches from log-recorded sizes") {
+    val root = Files.createTempDirectory("graft_snapsrc3").toString
+    val t = s"$root/t"
+    for (b <- 0 to 3)
+      Snapshots.append(spark, t,
+        orders.filter(pmod(col("o_orderkey"), lit(4)) === b))
+    // the plan reads LOG-recorded sizes; they must equal the real files
+    val perVersion = (1 to 4).map(v =>
+      Snapshots.appendedVersionBytes(spark, t, v))
+    val fsTotal = Snapshots.snapshot(spark, t, 4).get.files
+      .map(f => new File(s"$t/$f").length).sum
+    assert(perVersion.forall(_ > 0L) && perVersion.sum == fsTotal,
+      s"log-recorded sizes $perVersion disagree with FS total $fsTotal")
+    // a cap below any two-version window → one version per batch
+    val pairMin = perVersion.sliding(2).map(_.sum).min
+    SnapshotStreamSource.runOnce(spark, t, s"$root/sink1", s"$root/ck1",
+      maxVersionsPerTrigger = 10, maxBytesPerTrigger = Some(pairMin - 1))
+    assert(Snapshots.latestVersion(spark, s"$root/sink1").contains(4))
+    assert(Snapshots.readLatest(spark, s"$root/sink1").get.count()
+      == orders.count())
+    // a cap above the total → the version cap alone decides
+    SnapshotStreamSource.runOnce(spark, t, s"$root/sink2", s"$root/ck2",
+      maxVersionsPerTrigger = 10,
+      maxBytesPerTrigger = Some(perVersion.sum + 1))
+    assert(Snapshots.latestVersion(spark, s"$root/sink2").contains(1))
+    assert(Snapshots.readLatest(spark, s"$root/sink2").get.count()
+      == orders.count())
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(root))
+  }
 }
