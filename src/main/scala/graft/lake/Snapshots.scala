@@ -1560,16 +1560,56 @@ object Snapshots {
       newSpec = None)
   }
 
-  private def appendStaged(spark: SparkSession, table: String, df: DataFrame,
-      statsCols: Seq[String], beforePublish: () => Unit,
+  private def appendStaged(spark: SparkSession, table: String,
+      df0: DataFrame, statsCols: Seq[String], beforePublish: () => Unit,
       bloomCols: Seq[String], newSpec: Option[Seq[String]]): Int = {
+    // write-side generated columns: compute absences, refuse liars
+    val df = applyGenerated(spark, table, df0, "append", recompute = false)
+    val ids = identityCols(spark, table)
+    if (ids.isEmpty)
+      return appendCommit(spark, table, df, statsCols, beforePublish,
+        bloomCols, newSpec, Map.empty, 0L)
+    val provided = ids.map(_._1).filter(df.columns.contains)
+    if (provided.nonEmpty) throw new IllegalArgumentException(
+      s"append provides GENERATED ALWAYS AS IDENTITY column(s) " +
+        s"${provided.mkString(", ")} on $table — identity values are " +
+        "always engine-allocated; omit the column. No version committed")
+    // identity allocation loop: stage with ids from the CURRENT mark;
+    // the commit verifies the mark is still current (a racer may have
+    // advanced it) and re-stages from the winner's mark if not
+    var result = -1
+    while (result < 0) {
+      val hwms = identityCols(spark, table).toMap
+      val (withIds, n) = withContiguousIds(df, hwms.toSeq.sortBy(_._1))
+      try result = appendCommit(spark, table, withIds, statsCols,
+        beforePublish, bloomCols, newSpec, hwms, n)
+      catch { case _: IdentityRace => () } // lost the mark — re-stage
+    }
+    result
+  }
+
+  private def appendCommit(spark: SparkSession, table: String,
+      df: DataFrame, statsCols: Seq[String], beforePublish: () => Unit,
+      bloomCols: Seq[String], newSpec: Option[Seq[String]],
+      idExpect: Map[String, Long], idAdvance: Long): Int = {
     enforceConstraints(spark, table, df, "append")
     val (staged, stagedStats, stagedBlooms, stagedSchemas) =
       stage(spark, table, df, statsCols, bloomCols)
     val mid = writeManifest(spark, table, staged, stagedStats, stagedBlooms,
       stagedSchemas)
     val v = commitLoop(spark, table, "append", beforePublish,
-      newPartitionSpec = _ => newSpec) { prev =>
+      newPartitionSpec = _ => newSpec,
+      newProperties = prevOpt =>
+        if (idExpect.isEmpty) None
+        else {
+          val props = prevOpt.map(_.properties).getOrElse(Map.empty)
+          idExpect.foreach { case (c, h) =>
+            if (props.getOrElse(IdentityPropPrefix + c, "0").toLong != h)
+              throw new IdentityRace
+          }
+          Some(props ++ idExpect.map { case (c, h) =>
+            (IdentityPropPrefix + c) -> (h + idAdvance).toString })
+        }) { prev =>
       guardRecycledNames(df, prev)
       (prev.map(_.manifests).getOrElse(Nil) :+ mid,
         prev.map(_.deletes).getOrElse(Nil),
@@ -1931,9 +1971,11 @@ object Snapshots {
   }
 
   private def overwriteStaged(spark: SparkSession, table: String,
-      df: DataFrame, statsCols: Seq[String], bloomCols: Seq[String],
+      df0: DataFrame, statsCols: Seq[String], bloomCols: Seq[String],
       newSpec: Option[Seq[String]],
       propUpdates: Map[String, String] = Map.empty): Int = {
+    val df = applyGenerated(spark, table, df0, "overwrite",
+      recompute = false)
     enforceConstraints(spark, table, df, "overwrite")
     val (staged, stagedStats, stagedBlooms, stagedSchemas) =
       stage(spark, table, df, statsCols, bloomCols)
@@ -2574,6 +2616,119 @@ object Snapshots {
       (prev.manifests, prev.deletes, prev.renames, prev.drops)
     }
 
+  // ------------------------------------- generated & identity columns
+
+  private[graft] val GeneratedPropPrefix = "graft.generated."
+  private[graft] val IdentityPropPrefix = "graft.identity."
+
+  /** Declare `column` GENERATED ALWAYS AS (`exprSql`) — Delta's FULL
+    * generated-column contract, composing the q247 read-side fill with
+    * write-side enforcement from this version on:
+    *  - history and absent-column writes FILL from the expression (the
+    *    [[setColumnDefault]] era machinery, zero bytes rewritten);
+    *  - an append/merge-insert that PROVIDES the column is refused
+    *    unless every row agrees with the expression (Delta's generated
+    *    column CHECK);
+    *  - UPDATE / merge-update restages RECOMPUTE the column from the
+    *    post-SET row (Delta recomputes when dependencies change).
+    * Two metadata commits (default + property), both O(log). */
+  def setGeneratedColumn(spark: SparkSession, table: String,
+      column: String, exprSql: String): Int = {
+    setColumnDefault(spark, table, column, exprSql)
+    setTableProperties(spark, table,
+      Map(GeneratedPropPrefix + column -> exprSql))
+  }
+
+  private def generatedCols(spark: SparkSession,
+      table: String): Seq[(String, String)] =
+    latestVersion(spark, table).map(_ =>
+      tableProperties(spark, table).collect {
+        case (k, v) if k.startsWith(GeneratedPropPrefix) =>
+          k.stripPrefix(GeneratedPropPrefix) -> v
+      }.toSeq).getOrElse(Nil)
+
+  /** The write-side generated-column pass: compute when the frame
+    * omits the column, REFUSE disagreement when it provides one
+    * (insert paths), or recompute unconditionally (update restages —
+    * the post-SET row defines the derived value). */
+  private def applyGenerated(spark: SparkSession, table: String,
+      df: DataFrame, what: String, recompute: Boolean): DataFrame =
+    generatedCols(spark, table).foldLeft(df) { case (d, (c, ex)) =>
+      if (!d.columns.contains(c) || recompute) d.withColumn(c, expr(ex))
+      else {
+        val bad = d.filter(!(col(c) <=> expr(ex))).limit(1).count()
+        if (bad > 0) throw new IllegalArgumentException(
+          s"$what on $table violates GENERATED ALWAYS AS for column " +
+            s"$c — provided values disagree with `$ex`; omit the " +
+            "column or write matching values. No version was committed")
+        d
+      }
+    }
+
+  /** Declare `column` a GENERATED ALWAYS AS IDENTITY column: every
+    * append that follows allocates monotonic BIGINT ids — unique and
+    * CONTIGUOUS per commit — via the q147 two-phase offset scheme (an
+    * O(partitions) count job + a narrow map; never a single-partition
+    * window). Explicitly provided values are refused (ALWAYS, the
+    * Delta/SQL-standard strict form). OCC-safe: the allocation base is
+    * the high-water mark read from the snapshot the commit verifies
+    * against; a lost race re-stages with the winner's mark, so two
+    * racing appends can never interleave or reuse ids. Rows already in
+    * the table (and history) read the column as null — declare on a
+    * fresh table for full coverage. */
+  def setIdentityColumn(spark: SparkSession, table: String,
+      column: String): Int = {
+    require(!column.contains('.'),
+      s"identity on struct leaf path '$column' is not supported")
+    require(
+      !readLatest(spark, table).exists(_.columns.contains(column)),
+      s"column $column already exists — identity declares a NEW column")
+    setTableProperties(spark, table,
+      Map(IdentityPropPrefix + column -> "0"))
+  }
+
+  private def identityCols(spark: SparkSession,
+      table: String): Seq[(String, Long)] =
+    latestVersion(spark, table).map(_ =>
+      tableProperties(spark, table).collect {
+        case (k, v) if k.startsWith(IdentityPropPrefix) =>
+          k.stripPrefix(IdentityPropPrefix) -> v.toLong
+      }.toSeq).getOrElse(Nil)
+
+  /** Assign `base+1 … base+n` in each identity column with the q147
+    * two-phase contiguous-id scheme: per-partition counts to the
+    * driver (O(partitions) longs), then a narrow map — no global sort,
+    * no single-partition window, at any scale. The RDD is persisted so
+    * the count pass and the assign pass see identical partitions even
+    * over a nondeterministic input. Returns the frame and n. */
+  private def withContiguousIds(df: DataFrame,
+      cols: Seq[(String, Long)]): (DataFrame, Long) = {
+    val spark = df.sparkSession
+    val rdd = df.rdd
+    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val offsets = rdd.mapPartitionsWithIndex((p, it) =>
+        Iterator.single(p -> it.size.toLong))
+      .collect().sortBy(_._1).map(_._2).scanLeft(0L)(_ + _)
+    val bc = spark.sparkContext.broadcast(offsets)
+    val bases = cols.map(_._2)
+    val withId = rdd.mapPartitionsWithIndex { (p, it) =>
+      var i = bc.value(p)
+      it.map { r =>
+        i += 1
+        org.apache.spark.sql.Row.fromSeq(
+          r.toSeq ++ bases.map(_ + i))
+      }
+    }
+    val schema = cols.foldLeft(df.schema)((s, c) =>
+      s.add(c._1, org.apache.spark.sql.types.LongType, nullable = false))
+    (spark.createDataFrame(withId, schema), offsets.last)
+  }
+
+  /** Thrown inside the commit closure when the identity high-water
+    * mark moved under us — the staged ids would collide with the
+    * winner's; the append loop re-stages from the new mark. */
+  private final class IdentityRace extends RuntimeException
+
   def renameColumn(spark: SparkSession, table: String, from: String,
       to: String): Int = {
     require(from != to, s"rename of $from onto itself")
@@ -2994,10 +3149,12 @@ object Snapshots {
     * rewritten, ever; the rewrite debt is deferred to compaction/vacuum.
     * At 100 TB with MB-sized change batches the tombstone relation stays
     * broadcastable and the scan side never shuffles. */
-  def merge(spark: SparkSession, table: String, changes: DataFrame,
+  def merge(spark: SparkSession, table: String, changes0: DataFrame,
       keyCols: Seq[String], statsCols: Seq[String] = Nil,
       branch: String = ""): Int = {
     if (branch.nonEmpty) branchHeadSnapshot(spark, table, branch) // fail fast
+    val changes = applyGenerated(spark, table, changes0, "merge",
+      recompute = false)
     enforceConstraints(spark, table, changes, "merge")
     val (staged, stagedStats, _, stagedSchemas) =
       stage(spark, table, changes, statsCols)
@@ -3225,7 +3382,12 @@ object Snapshots {
                 .getOrElse(vals(c2).as(c2))): _*)
           }.reduce(_ unionAll _))
         }
-      val staged = (restaged.toSeq ++ inserted.toSeq)
+      val staged = (restaged.toSeq
+          // update restages RECOMPUTE generated columns from the
+          // post-SET row; inserted rows compute absences, refuse liars
+          .map(applyGenerated(spark, table, _, "merge", recompute = true))
+        ++ inserted.toSeq
+          .map(applyGenerated(spark, table, _, "merge", recompute = false)))
         .reduceOption(_.unionByName(_))
       val newManifests = staged.map { df =>
         enforceConstraints(spark, table, df, "merge")
@@ -3305,8 +3467,10 @@ object Snapshots {
     * smuggles April rows corrupts the very invariant the caller is
     * stating); predicate and data speak CURRENT column names. */
   def replaceWhere(spark: SparkSession, table: String,
-      pred: org.apache.spark.sql.Column, df: DataFrame,
+      pred: org.apache.spark.sql.Column, df0: DataFrame,
       statsCols: Seq[String] = Nil): Int = {
+    val df = applyGenerated(spark, table, df0, "replaceWhere",
+      recompute = false)
     val offending = df.filter(!coalesce(pred, lit(false))).limit(1).count()
     require(offending == 0,
       "replaceWhere: incoming rows must all satisfy the predicate — " +
@@ -3576,8 +3740,10 @@ object Snapshots {
         val unknown = set.keySet -- base.columns.toSet
         if (unknown.nonEmpty) throw new IllegalArgumentException(
           s"UPDATE SET names non-existent column(s): ${unknown.mkString(", ")}")
-        val updated = base.select(base.columns.toSeq.map(c =>
-          set.get(c).map(_.as(c)).getOrElse(col(c))): _*)
+        val updated = applyGenerated(spark, table,
+          base.select(base.columns.toSeq.map(c =>
+            set.get(c).map(_.as(c)).getOrElse(col(c))): _*),
+          "update", recompute = true)
         enforceConstraints(spark, table, updated, "update")
         val (staged, stagedStats, _, stagedSchemas) =
           stage(spark, table, updated, statsCols)

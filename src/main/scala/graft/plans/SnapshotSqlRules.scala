@@ -157,7 +157,7 @@ case class SnapshotDmlRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         else {
           val down = Cast(Literal(vW, e.dataType), a.dataType).eval()
           val back = Cast(Literal(down, a.dataType), e.dataType).eval()
-          if (down != null && back != null && back.equals(vW))
+          if (down != null && back != null && back == vW)
             Some(CatalystTypeConverters.convertToScala(down, a.dataType))
           else None
         }

@@ -1657,6 +1657,109 @@ object LayoutQueries {
       .withColumn("travel_null", lit(travelNull))
   }
 
+  /** q314 — WRITE-SIDE GENERATED + IDENTITY COLUMNS (closing q247's
+    * read-only half to Delta's full contract): a generated column now
+    * COMPUTES ON WRITE — an append that omits `value_band` stores the
+    * computed values physically (`write_materializes` reads the
+    * commit's own new files raw to prove the bytes are there, not a
+    * read-time fill), provided values that agree are accepted, and a
+    * write that disagrees with the expression is REFUSED atomically
+    * (`violation_refused`: the statement burns no version). History
+    * appended before the DDL still fills on read — the two halves
+    * compose. Identity columns are the GENERATED ALWAYS AS IDENTITY
+    * strict form: every append allocates monotonic BIGINT ids via the
+    * q147 two-phase offset scheme (O(partitions) count job + narrow
+    * map — never a single-partition window, at any scale), unique and
+    * CONTIGUOUS per commit (`ids_unique` also pins batch 2 occupying
+    * exactly (n1, n]), with explicitly provided ids refused. The id
+    * aggregates (min/max/sum) are order-invariant, so DuckDB replays
+    * them from row counts alone; OCC-race behavior (a lost commit
+    * re-stages from the winner's mark) is spec-pinned separately. */
+  def writeSideGenerated(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Snapshots
+    val root = graft.util.Scratch.dir("wgen", dir)
+    val gTable = s"$root/orders_wgen"
+    val iTable = s"$root/docs_ids"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val orders = Tables(spark, dir, "orders")
+    val bandExpr = "CASE WHEN o_totalprice < 150000 THEN 'low' " +
+      "ELSE 'high' END"
+    val evens = orders.filter(col("o_orderkey") % 2 === 0)
+    val odds = orders.filter(col("o_orderkey") % 2 === 1)
+    // pre-DDL history: no such column; read-side fill will cover it
+    Snapshots.append(spark, gTable, evens)
+    Snapshots.addColumn(spark, gTable, "value_band", "STRING")
+    Snapshots.setGeneratedColumn(spark, gTable, "value_band", bandExpr)
+    // an append that OMITS the column stores the COMPUTED values
+    val vOdds = Snapshots.append(spark, gTable, odds)
+    val sOdds = Snapshots.snapshot(spark, gTable, vOdds).get
+    val prevFiles = Snapshots.snapshot(spark, gTable, vOdds - 1)
+      .get.files.toSet
+    val newFiles = sOdds.files.filterNot(prevFiles)
+      .map(f => s"$gTable/$f")
+    val raw = spark.read.parquet(newFiles: _*)
+    val writeMaterializes = raw.columns.contains("value_band") &&
+      raw.filter(col("value_band").isNull ||
+        col("value_band") =!= expr(bandExpr)).count() == 0
+    // provided values that AGREE are accepted (3 smallest odd keys,
+    // deliberately re-appended — the oracle replays the duplication;
+    // keys collected first so no orderBy+limit rides into the write,
+    // the q294 AQE limit-elimination hazard)
+    val agreeKeys = odds.select(col("o_orderkey"))
+      .orderBy(col("o_orderkey")).limit(3)
+      .collect().map(_.getLong(0)).toSeq
+    Snapshots.append(spark, gTable,
+      odds.filter(col("o_orderkey").isin(agreeKeys: _*))
+        .withColumn("value_band", expr(bandExpr)))
+    // provided values that DISAGREE are refused, atomically
+    val vBefore = Snapshots.latestVersion(spark, gTable).get
+    val violationRefused =
+      try {
+        Snapshots.append(spark, gTable,
+          odds.limit(5).withColumn("value_band", lit("WRONG")))
+        false
+      } catch { case e: IllegalArgumentException =>
+        e.getMessage.contains("GENERATED ALWAYS AS") &&
+          Snapshots.latestVersion(spark, gTable).contains(vBefore)
+      }
+    // ---------------- identity: declared on a fresh schema-only table
+    Snapshots.createTable(spark, iTable,
+      Seq(("doc_id", "BIGINT", None)))
+    Snapshots.setIdentityColumn(spark, iTable, "rid")
+    val docs = Tables(spark, dir, "documents").select(col("doc_id"))
+    Snapshots.append(spark, iTable, docs.filter(col("doc_id") % 3 === 0))
+    Snapshots.append(spark, iTable, docs.filter(col("doc_id") % 3 === 1))
+    val idsLive = Snapshots.readLatest(spark, iTable).get
+    val st = idsLive.agg(min(col("rid")), max(col("rid")),
+      sum(col("rid")), countDistinct(col("rid")), count(lit(1))).head
+    val (idMin, idMax, idSum) =
+      (st.getLong(0), st.getLong(1), st.getLong(2))
+    val n1 = docs.filter(col("doc_id") % 3 === 0).count()
+    val b2 = idsLive.filter(col("doc_id") % 3 === 1)
+      .agg(min(col("rid")), max(col("rid"))).head
+    val idsUnique = st.getLong(3) == st.getLong(4) &&
+      b2.getLong(0) == n1 + 1 && b2.getLong(1) == idMax
+    val explicitRefused =
+      try {
+        Snapshots.append(spark, iTable,
+          docs.limit(2).withColumn("rid", lit(99L)))
+        false
+      } catch { case e: IllegalArgumentException =>
+        e.getMessage.contains("IDENTITY")
+      }
+    Snapshots.readLatest(spark, gTable).get
+      .groupBy(col("value_band"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(Num.cents(col("o_totalprice"))).as("sum_cents"))
+      .withColumn("write_materializes", lit(writeMaterializes))
+      .withColumn("violation_refused", lit(violationRefused))
+      .withColumn("id_min", lit(idMin))
+      .withColumn("id_max", lit(idMax))
+      .withColumn("id_sum", lit(idSum))
+      .withColumn("ids_unique", lit(idsUnique))
+      .withColumn("explicit_id_refused", lit(explicitRefused))
+  }
+
   /** q236 — SQL TIME TRAVEL BY TAG (`VERSION AS OF 'name'` — the
     * Iceberg named-ref read over the q221 tag store): a tag pinned
     * before later writes serves the EXACT tagged state to any SQL
@@ -4193,6 +4296,27 @@ object LayoutQueries {
              true AS materialize_lossless, true AS eq_cleared,
              true AS clone_after_ok
       FROM orders WHERE o_orderkey % 2 = 0
+      GROUP BY 1""")),
+    QueryDef("q314_write_side_generated", writeSideGenerated, Some(s"""
+      WITH o AS (SELECT o_orderkey, o_totalprice,
+               CASE WHEN o_totalprice < 150000 THEN 'low' ELSE 'high' END
+                 AS value_band
+             FROM orders),
+      dup AS (SELECT * FROM o WHERE o_orderkey % 2 = 1
+              ORDER BY o_orderkey LIMIT 3),
+      allr AS (SELECT * FROM o UNION ALL SELECT * FROM dup),
+      ids AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents
+              WHERE doc_id % 3 <= 1)
+      SELECT value_band, COUNT(*) AS n_rows,
+             CAST(SUM(${Num.sqlCents("o_totalprice")}) AS BIGINT)
+               AS sum_cents,
+             true AS write_materializes, true AS violation_refused,
+             CAST(1 AS BIGINT) AS id_min,
+             (SELECT n FROM ids) AS id_max,
+             CAST((SELECT (n * (n + 1)) // 2 FROM ids) AS BIGINT)
+               AS id_sum,
+             true AS ids_unique, true AS explicit_id_refused
+      FROM allr
       GROUP BY 1""")),
     QueryDef("q247_generated_columns", generatedColumns, Some(s"""
       SELECT CASE WHEN o_orderkey % 2 = 1 AND o_orderkey % 1000 = 1
