@@ -2855,7 +2855,14 @@ object Snapshots {
     * `IF NOT EXISTS` no-ops at the command layer. */
   def createTable(spark: SparkSession, table: String,
       cols: Seq[(String, String, Option[String])],
-      partitionSpec: Seq[String] = Nil): Int = {
+      partitionSpec: Seq[String] = Nil,
+      // TBLPROPERTIES + CHECK constraints in the SAME schema-only
+      // commit (r17) — what makes SHOW CREATE TABLE's emitted DDL
+      // re-create the whole declared surface atomically (a property
+      // or constraint commit after the create would leave a crash
+      // window where the re-created table is half-declared)
+      properties: Map[String, String] = Map.empty,
+      constraints: Seq[(String, String)] = Nil): Int = {
     require(cols.nonEmpty, "CREATE TABLE needs at least one column")
     val names = cols.map(_._1)
     require(names.distinct.size == names.size,
@@ -2888,6 +2895,12 @@ object Snapshots {
             s"not cast losslessly to declared ${target.simpleString}")
       }
     }
+    // constraints validate as expressions over the declared schema —
+    // a broken CHECK must fail the DDL, not the first append
+    constraints.foreach { case (cn, sql) =>
+      require(cn.nonEmpty, "constraint needs a name")
+      nullRow.limit(0).filter(expr(sql))
+    }
     commitLoop(spark, table, "create-table",
       newAddedColumns = prevOpt => {
         require(prevOpt.isEmpty, s"table $table already has versions")
@@ -2895,7 +2908,11 @@ object Snapshots {
       },
       newDefaults = _ =>
         Some(cols.collect { case (n, _, Some(d)) => (n, d) }),
-      newPartitionSpec = _ => Some(partitionSpec)) { prev =>
+      newPartitionSpec = _ => Some(partitionSpec),
+      newProperties = _ =>
+        if (properties.isEmpty) None else Some(properties),
+      newConstraints = _ =>
+        if (constraints.isEmpty) None else Some(constraints)) { prev =>
       require(prev.isEmpty, s"table $table already has versions")
       (Nil, Nil, Nil, Nil)
     }

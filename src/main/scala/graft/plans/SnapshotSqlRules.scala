@@ -182,6 +182,14 @@ case class SnapshotDmlRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperatorsUp {
+      case s @ ShowCreateTable(
+          rt: org.apache.spark.sql.catalyst.analysis.ResolvedTable, _, _)
+          if rt.catalog.isInstanceOf[SnapshotCatalog] &&
+            (rt.table.isInstanceOf[SnapshotReadTable] ||
+              rt.table.isInstanceOf[SnapshotMoRTable]) =>
+        SnapshotShowCreateCommand(
+          rt.catalog.asInstanceOf[SnapshotCatalog].tablePath(rt.identifier),
+          s"${rt.catalog.name()}.${rt.identifier.name()}", s.output)
       case d @ DeleteFromTable(target, cond) if cond.resolved =>
         targetPath(target)
           .map(p => keyEqualityDelete(cond)
@@ -265,7 +273,7 @@ case class SnapshotDmlRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           org.apache.spark.sql.catalyst.analysis.ResolvedIdentifier(
             cat: SnapshotCatalog, ident), columns, partitioning,
           spec: TableSpec, ignoreIfExists) =>
-        ctasShapeCheck(spec, "CREATE TABLE")
+        ctasShapeCheck(spec, "CREATE TABLE", allowProperties = true)
         val cols = columns.map { c =>
           if (c.generationExpression.isDefined)
             throw new UnsupportedOperationException(
@@ -281,9 +289,41 @@ case class SnapshotDmlRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
                 "add a CHECK constraint")
           (c.name, c.dataType.sql, c.defaultValue.map(_.originalSQL))
         }
+        // constraints and generation-form defaults round-trip as
+        // 'graft.constraints.<n>' / 'graft.defaults.<col>'
+        // TBLPROPERTIES (the Delta shape) — lifted back into REAL
+        // CHECK constraints and column defaults here, so SHOW CREATE
+        // TABLE's emitted DDL re-creates the whole declared surface
+        // in one commit
+        val conProps = spec.properties.filter(
+          _._1.startsWith(SnapshotDmlRewrite.ConstraintPropPrefix))
+        val defProps = spec.properties.filter(
+          _._1.startsWith(SnapshotDmlRewrite.DefaultPropPrefix))
+        val plainProps =
+          (spec.properties -- conProps.keys -- defProps.keys).map {
+            case (k, v)
+                if k.startsWith(SnapshotDmlRewrite.ReservedPropPrefix) =>
+              k.stripPrefix(SnapshotDmlRewrite.ReservedPropPrefix) -> v
+            case kv => kv
+          }
+        val unknownDef = defProps.keys
+          .map(_.stripPrefix(SnapshotDmlRewrite.DefaultPropPrefix))
+          .filterNot(cols.map(_._1).contains)
+        if (unknownDef.nonEmpty) throw new IllegalArgumentException(
+          s"graft.defaults.* for undeclared column(s): " +
+            unknownDef.mkString(", "))
+        val liftedCols = cols.map { case (n, t, d) =>
+          (n, t,
+            defProps.get(SnapshotDmlRewrite.DefaultPropPrefix + n)
+              .orElse(d))
+        }
         SnapshotCreateTableCommand(cat.tablePath(ident), ident.name(),
-          cols, ignoreIfExists,
-          transformSpec(partitioning, "CREATE TABLE"))
+          liftedCols, ignoreIfExists,
+          transformSpec(partitioning, "CREATE TABLE"),
+          plainProps,
+          conProps.toSeq.map { case (k, v) =>
+            k.stripPrefix(SnapshotDmlRewrite.ConstraintPropPrefix) -> v
+          })
       // CREATE TABLE … AS SELECT → first append commit of a NEW table
       // (data defines the schema, as for the DataFrame path's first
       // append; the bare form above covers the schema-first shape)
@@ -347,13 +387,15 @@ case class SnapshotDmlRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   /** Snapshot tables are flat file-list tables rooted under the catalog
     * root — shapes the log cannot honor are refused with the reason
     * rather than silently dropped. */
-  private def ctasShapeCheck(spec: TableSpec, what: String): Unit = {
+  private def ctasShapeCheck(spec: TableSpec, what: String,
+      allowProperties: Boolean = false): Unit = {
     def unsupported(why: String) = throw new UnsupportedOperationException(
       s"$what on a snapshot catalog: $why")
     if (spec.location.isDefined) unsupported(
       "LOCATION is not supported (the catalog root determines the path)")
-    if (spec.properties.nonEmpty || spec.options.nonEmpty) unsupported(
-      "TBLPROPERTIES/OPTIONS are not supported")
+    if (spec.properties.nonEmpty && !allowProperties) unsupported(
+      "TBLPROPERTIES are not supported here")
+    if (spec.options.nonEmpty) unsupported("OPTIONS are not supported")
     if (spec.provider.exists(p => !p.equalsIgnoreCase("parquet")))
       unsupported(s"USING ${spec.provider.get} — snapshot tables are parquet")
   }
@@ -486,6 +528,71 @@ case class SnapshotDmlRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 }
 
 object SnapshotDmlRewrite {
+
+  /** CHECK constraints round-trip through SHOW CREATE TABLE as
+    * TBLPROPERTIES under this prefix (the Delta `delta.constraints.*`
+    * shape — CREATE TABLE syntax has no CHECK clause); the bare
+    * CREATE TABLE conversion lifts them back into real constraints. */
+  val ConstraintPropPrefix = "graft.constraints."
+
+  /** Cross-column (generation-form) DEFAULTs round-trip as properties
+    * too: Spark's `DEFAULT` clause accepts only CONSTANT expressions
+    * (ResolveDefaultColumns refuses column references), so a default
+    * that reads the row's other columns must ride TBLPROPERTIES and be
+    * lifted back at CREATE. Constant defaults keep the native clause. */
+  val DefaultPropPrefix = "graft.defaults."
+
+  /** Keys Spark's CREATE TABLE grammar RESERVES (it refuses them in
+    * TBLPROPERTIES) ride under this prefix and are lifted back to
+    * their bare names at CREATE — the Scala property API accepts any
+    * key, so emitted DDL must survive e.g. a table that set 'owner'. */
+  val ReservedPropPrefix = "graft.props."
+  private val SparkReservedProps =
+    Set("owner", "comment", "location", "provider", "external")
+
+  private def q(s: String): String = s.replace("'", "''")
+
+  /** Round-trippable DDL from the log alone: declared live schema with
+    * per-column DEFAULTs, the persisted PARTITIONED BY transforms, and
+    * TBLPROPERTIES carrying both the table's own properties and its
+    * CHECK constraints under [[ConstraintPropPrefix]]. Executing the
+    * emitted statement (under a new name) re-creates an equivalent
+    * table in ONE schema-only commit. O(log) driver-side work. */
+  def showCreateDdl(spark: SparkSession, path: String,
+      fullName: String): String = {
+    val v = Snapshots.mainHeadVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no versions of $path"))
+    val s = Snapshots.snapshot(spark, path, v).get
+    val schema = Snapshots.readAt(spark, path, v).get.schema
+    val defaults = s.defaults.toMap
+    def constant(e: String): Boolean =
+      spark.sessionState.sqlParser.parseExpression(e).collectFirst {
+        case _: UnresolvedAttribute => ()
+      }.isEmpty
+    val colLines = schema.fields.map { f =>
+      // no wrapping parens: DEFAULT's originalSQL round-trips verbatim
+      // into the re-created table's default ledger
+      val d = defaults.get(f.name).filter(constant)
+        .map(e => s" DEFAULT $e").getOrElse("")
+      s"  `${f.name}` ${f.dataType.sql}$d"
+    }
+    val partClause =
+      if (s.partitionSpec.isEmpty) ""
+      else s.partitionSpec.mkString("\nPARTITIONED BY (", ", ", ")")
+    val props = s.properties.toSeq.map { case (k, vv) =>
+        (if (SparkReservedProps(k)) ReservedPropPrefix + k else k) -> vv
+      } ++
+      s.constraints.map { case (n, c) => (ConstraintPropPrefix + n) -> c } ++
+      defaults.toSeq.collect { case (n, e) if !constant(e) =>
+        (DefaultPropPrefix + n) -> e }
+    val propClause =
+      if (props.isEmpty) ""
+      else props.sortBy(_._1)
+        .map { case (k, vv) => s"  '${q(k)}' = '${q(vv)}'" }
+        .mkString("\nTBLPROPERTIES (\n", ",\n", "\n)")
+    s"CREATE TABLE $fullName (\n${colLines.mkString(",\n")}\n)\n" +
+      s"USING parquet$partClause$propClause"
+  }
 
   /** True when `parts` walks the target schema as a column name
     * followed by a valid struct-field path — the test for "this
@@ -1131,14 +1238,28 @@ case class SnapshotReplaceWhereCommand(path: String, query: LogicalPlan,
   * with the standard error. */
 case class SnapshotCreateTableCommand(path: String, tableName: String,
     cols: Seq[(String, String, Option[String])], ignoreIfExists: Boolean,
-    partitionSpec: Seq[String]) extends LeafRunnableCommand {
+    partitionSpec: Seq[String],
+    properties: Map[String, String] = Map.empty,
+    checks: Seq[(String, String)] = Nil) extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
     if (Snapshots.latestVersion(session, path).isDefined) {
       if (!ignoreIfExists) throw new org.apache.spark.sql.catalyst.analysis
         .TableAlreadyExistsException(Seq(tableName))
-    } else Snapshots.createTable(session, path, cols, partitionSpec)
+    } else Snapshots.createTable(session, path, cols, partitionSpec,
+      properties, checks)
     Seq.empty
   }
+}
+
+/** `SHOW CREATE TABLE cat.t` → one row of round-trippable DDL emitted
+  * from the log ([[SnapshotDmlRewrite.showCreateDdl]]): the
+  * discoverability statement every SQL user runs first, and the one
+  * whose output must actually re-create the table. */
+case class SnapshotShowCreateCommand(path: String, fullName: String,
+    override val output: Seq[org.apache.spark.sql.catalyst.expressions
+      .Attribute]) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] =
+    Seq(Row(SnapshotDmlRewrite.showCreateDdl(session, path, fullName)))
 }
 
 /** `CREATE [OR REPLACE] TABLE … AS SELECT` → the table's first

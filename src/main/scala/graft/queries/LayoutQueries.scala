@@ -1760,6 +1760,83 @@ object LayoutQueries {
       .withColumn("explicit_id_refused", lit(explicitRefused))
   }
 
+  /** q315 — SHOW CREATE TABLE round-trip + DESCRIBE (the
+    * discoverability statements every SQL user runs first): the DDL is
+    * emitted FROM THE LOG — declared schema with constant DEFAULTs
+    * inline, generation-form defaults and CHECK constraints riding
+    * TBLPROPERTIES (`graft.defaults.*` / `graft.constraints.*`, the
+    * Delta shape — Spark's DEFAULT clause refuses column references
+    * and its CREATE grammar has no CHECK), persisted PARTITIONED BY
+    * transforms verbatim — and `ddl_round_trips` EXECUTES the emitted
+    * statement under a new name, then pins schema, partition spec,
+    * constraint set, default set, and properties all equal on the
+    * re-created table, with an append landing under the re-created
+    * declared surface (constraint enforced, default filling).
+    * `describe_serves` pins DESCRIBE TABLE listing every live column.
+    * All O(log) driver work; the aggregate is the cross-engine hash. */
+  def showCreateRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Snapshots
+    val root = graft.util.Scratch.dir("showddl", dir)
+    val cat = s"showddl_${Integer.toHexString(dir.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.lake.SnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val t = s"$root/orders_ddl"
+    val t2 = s"$root/orders_ddl2"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val orders = Tables(spark, dir, "orders")
+    val bandExpr = "CASE WHEN o_totalprice < 150000 THEN 'low' " +
+      "ELSE 'high' END"
+    val cols = orders.schema.fields.toSeq
+      .map(f => (f.name, f.dataType.sql, Option.empty[String])) ++ Seq(
+      ("band", "STRING", Some(bandExpr)), // generation-form default
+      ("source", "STRING", Some("'ingest'"))) // constant default
+    Snapshots.createTable(spark, t, cols,
+      partitionSpec = Seq("bucket(4,o_custkey)"),
+      properties = Map("owner" -> "graft", "comment" -> "ddl demo"),
+      constraints = Seq("pos_price" -> "o_totalprice >= 0"))
+    Snapshots.append(spark, t, orders)
+    val ddl = spark.sql(s"SHOW CREATE TABLE $cat.orders_ddl")
+      .head.getString(0)
+    spark.sql(ddl.replace(s"$cat.orders_ddl", s"$cat.orders_ddl2"))
+    def surface(p: String) = {
+      val v = Snapshots.latestVersion(spark, p).get
+      val s = Snapshots.snapshot(spark, p, v).get
+      (Snapshots.readLatest(spark, p).get.schema
+         .fields.map(f => (f.name, f.dataType)).toSeq,
+       s.partitionSpec, s.constraints.toSet, s.defaults.toSet,
+       s.properties)
+    }
+    val ddlRoundTrips = surface(t) == surface(t2)
+    // the re-created declared surface is LIVE: constraint enforced,
+    // defaults fill, partition spec clusters the append
+    Snapshots.append(spark, t2,
+      orders.filter(col("o_orderkey") % 100 === 7))
+    val refillOk = Snapshots.readLatest(spark, t2).get
+      .filter(col("band") =!= expr(bandExpr) ||
+        col("source") =!= "ingest").count() == 0
+    val constraintLive =
+      try {
+        Snapshots.append(spark, t2, orders.limit(2)
+          .withColumn("o_totalprice", lit(-1.0d)))
+        false
+      } catch { case e: IllegalArgumentException =>
+        e.getMessage.contains("pos_price")
+      }
+    val described = spark.sql(s"DESCRIBE TABLE $cat.orders_ddl")
+      .select("col_name").collect().map(_.getString(0)).toSet
+    val describeServes = Snapshots.readLatest(spark, t).get
+      .schema.fieldNames.forall(described.contains)
+    spark.sql(s"""
+      SELECT band, COUNT(*) AS n_rows,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+               AS BIGINT) AS sum_cents
+      FROM $cat.orders_ddl GROUP BY 1""")
+      .withColumn("ddl_round_trips", lit(ddlRoundTrips))
+      .withColumn("recreated_surface_live", lit(refillOk && constraintLive))
+      .withColumn("describe_serves", lit(describeServes))
+  }
+
   /** q236 — SQL TIME TRAVEL BY TAG (`VERSION AS OF 'name'` — the
     * Iceberg named-ref read over the q221 tag store): a tag pinned
     * before later writes serves the EXACT tagged state to any SQL
@@ -4296,6 +4373,16 @@ object LayoutQueries {
              true AS materialize_lossless, true AS eq_cleared,
              true AS clone_after_ok
       FROM orders WHERE o_orderkey % 2 = 0
+      GROUP BY 1""")),
+    QueryDef("q315_show_create_table", showCreateRoundTrip, Some(s"""
+      SELECT CASE WHEN o_totalprice < 150000 THEN 'low' ELSE 'high' END
+               AS band,
+             COUNT(*) AS n_rows,
+             CAST(SUM(${Num.sqlCents("o_totalprice")}) AS BIGINT)
+               AS sum_cents,
+             true AS ddl_round_trips, true AS recreated_surface_live,
+             true AS describe_serves
+      FROM orders
       GROUP BY 1""")),
     QueryDef("q314_write_side_generated", writeSideGenerated, Some(s"""
       WITH o AS (SELECT o_orderkey, o_totalprice,
