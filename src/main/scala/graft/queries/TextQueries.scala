@@ -1600,7 +1600,7 @@ object TextQueries {
     * ended, so an edit re-chunks only its own neighborhood. One narrow
     * scan + a per-document window prefix-sum (documents are the
     * partition key — no global ordering anywhere). */
-  private[queries] def cdcChunkRows(docs: DataFrame): DataFrame = {
+  private[queries] def cdcChunkRowsWithText(docs: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("_p")
       .rowsBetween(Long.MinValue, -1)
@@ -1631,9 +1631,15 @@ object TextQueries {
       .agg(count(lit(1)).as("n_tokens"),
         sort_array(collect_list(struct(col("_p"), col("_tok")))).as("_ts"))
       .select(col("doc_id"), col("chunk_idx"), col("n_tokens"),
-        md5(array_join(expr("transform(_ts, x -> x._tok)"), " "))
-          .as("chunk_md5"))
+        array_join(expr("transform(_ts, x -> x._tok)"), " ")
+          .as("chunk_text"))
+      .withColumn("chunk_md5", md5(col("chunk_text")))
   }
+
+  /** [[cdcChunkRowsWithText]] minus the content column — what q313's
+    * duplicate counting needs; the q316 STORE keeps the text. */
+  private[queries] def cdcChunkRows(docs: DataFrame): DataFrame =
+    cdcChunkRowsWithText(docs).drop("chunk_text")
 
   /** q313 — CONTENT-DEFINED CHUNKING (the LBFS/rsync boundary rule at
     * word level — the storage-dedup chunking a petabyte corpus store
@@ -1650,6 +1656,80 @@ object TextQueries {
     * position-local, so they all persist, merely shifted). The oracle
     * replays tokens, window hashes, boundary prefix-sums, chunk md5s
     * and duplicate counts bitwise. */
+  /** q316 — CONTENT-DEFINED CHUNK STORE (q313's reason to exist — the
+    * rsync/LBFS storage layer a petabyte corpus store runs): each
+    * distinct chunk is stored ONCE in a persisted `chunks` table and
+    * every document becomes a manifest of chunk references, ingested
+    * in arriving batches with O(batch) work — a batch's fresh chunks
+    * are the anti-join of ITS candidates against the store (the store
+    * never re-chunks, one equi-join per batch), exactly q311's
+    * incremental discipline. `reconstructed_exact` rebuilds EVERY
+    * document from manifests ⋈ store and pins the token-stream md5
+    * equal to the original's — the storage layer's only real contract.
+    * `store_tokens` < `corpus_tokens` is the dedup savings the store
+    * exists for (shared boilerplate chunks collapse to one copy). The
+    * oracle replays both batch states — store size, appended-chunk
+    * delta, token volumes — from the same closed-form chunking. */
+  def cdcChunkStore(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Snapshots
+    val root = graft.util.Scratch.dir("cdcstore", dir)
+    val store = s"$root/chunks"
+    val manifests = s"$root/manifests"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val docs = graft.util.Par.ensure(Tables(spark, dir, "documents"))
+      .select(col("doc_id"), col("text"))
+    val batches = Seq(
+      1L -> docs.filter(col("doc_id") % 2 === 0),
+      2L -> docs.filter(col("doc_id") % 2 === 1))
+    val states = batches.map { case (bn, b) =>
+      val rows = cdcChunkRowsWithText(b).localCheckpoint()
+      val cands = rows
+        .select(col("chunk_md5"), col("chunk_text"), col("n_tokens"))
+        .distinct()
+      val fresh = Snapshots.readLatest(spark, store) match {
+        case Some(st) => cands.join(st.select(col("chunk_md5")),
+          Seq("chunk_md5"), "left_anti")
+        case None => cands
+      }
+      Snapshots.append(spark, store, fresh)
+      Snapshots.append(spark, manifests,
+        rows.select(col("doc_id"), col("chunk_idx"), col("chunk_md5")))
+      val st = Snapshots.readLatest(spark, store).get
+      val man = Snapshots.readLatest(spark, manifests).get
+      val agg = st.agg(count(lit(1)), sum(col("n_tokens"))).head
+      val manAgg = man
+        .join(st.select(col("chunk_md5"), col("n_tokens")),
+          Seq("chunk_md5"))
+        .agg(count(lit(1)), sum(col("n_tokens"))).head
+      (bn, agg.getLong(0), agg.getLong(1),
+        fresh.count(), manAgg.getLong(0), manAgg.getLong(1))
+    }
+    // reconstruction: every document rebuilt from refs ⋈ store must
+    // hash token-identical to its original token stream
+    val st = Snapshots.readLatest(spark, store).get
+    val man = Snapshots.readLatest(spark, manifests).get
+    val rebuilt = man
+      .join(st.select(col("chunk_md5"), col("chunk_text")),
+        Seq("chunk_md5"))
+      .groupBy(col("doc_id"))
+      .agg(md5(array_join(expr(
+        "transform(sort_array(collect_list(struct(chunk_idx, chunk_text)))," +
+          " x -> x.chunk_text)"), " ")).as("rb_md5"))
+    val orig = docs.filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"),
+        md5(array_join(tokens(col("text")), " ")).as("o_md5"))
+    val mismatches = orig.join(rebuilt, Seq("doc_id"), "full_outer")
+      .filter(col("o_md5").isNull || col("rb_md5").isNull ||
+        col("o_md5") =!= col("rb_md5")).count()
+    val exact = mismatches == 0
+    import spark.implicits._
+    states.toDF("batch", "store_chunks", "store_tokens",
+        "appended_chunks", "manifest_rows", "corpus_tokens")
+      .withColumn("reconstructed_exact", lit(exact))
+      .withColumn("dedup_saves",
+        col("store_tokens") < col("corpus_tokens"))
+  }
+
   def cdcChunks(spark: SparkSession, dir: String): DataFrame = {
     val docs = graft.util.Par.ensure(Tables(spark, dir, "documents"))
       .select(col("doc_id"), col("text"))
@@ -1705,7 +1785,56 @@ object TextQueries {
     FROM ch JOIN dups d2 USING (chunk_md5)"""
   }
 
+  private val cdcChunkStoreOracle: String = {
+    def wh(e: String) = sqlWordHash(e)
+    s"""
+    WITH d AS (SELECT doc_id, ${sqlTokens("text")} AS tk
+      FROM documents WHERE trim(text) <> ''),
+    t AS (SELECT doc_id, tk, CAST(unnest(range(len(tk))) AS INT) AS p
+      FROM d),
+    h AS (SELECT doc_id, p, list_extract(tk, p + 1) AS tok,
+        CASE WHEN p >= ${CdcWindow - 1} THEN
+          ((${wh("list_extract(tk, p - 2)")} * 29791
+            + ${wh("list_extract(tk, p - 1)")} * 961
+            + ${wh("list_extract(tk, p)")} * 31
+            + ${wh("list_extract(tk, p + 1)")}) % $P)
+        ELSE -1 END AS r
+      FROM t),
+    c AS (SELECT doc_id, p, tok,
+        COALESCE(SUM(CASE WHEN r >= 0 AND r % $CdcMask = 0 THEN 1 ELSE 0 END)
+          OVER (PARTITION BY doc_id ORDER BY p
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          AS chunk_idx
+      FROM h),
+    ch AS MATERIALIZED (SELECT doc_id, chunk_idx, COUNT(*) AS n_tokens,
+        md5(string_agg(tok, ' ' ORDER BY p)) AS chunk_md5
+      FROM c GROUP BY 1, 2),
+    b1 AS MATERIALIZED (SELECT * FROM ch WHERE doc_id % 2 = 0),
+    du1 AS MATERIALIZED (SELECT DISTINCT chunk_md5, n_tokens FROM b1),
+    duA AS MATERIALIZED (SELECT DISTINCT chunk_md5, n_tokens FROM ch)
+    SELECT CAST(1 AS BIGINT) AS batch,
+      (SELECT COUNT(*) FROM du1) AS store_chunks,
+      CAST((SELECT SUM(n_tokens) FROM du1) AS BIGINT) AS store_tokens,
+      (SELECT COUNT(*) FROM du1) AS appended_chunks,
+      (SELECT COUNT(*) FROM b1) AS manifest_rows,
+      CAST((SELECT SUM(n_tokens) FROM b1) AS BIGINT) AS corpus_tokens,
+      true AS reconstructed_exact,
+      ((SELECT SUM(n_tokens) FROM du1) < (SELECT SUM(n_tokens) FROM b1))
+        AS dedup_saves
+    UNION ALL
+    SELECT CAST(2 AS BIGINT),
+      (SELECT COUNT(*) FROM duA),
+      CAST((SELECT SUM(n_tokens) FROM duA) AS BIGINT),
+      (SELECT COUNT(*) FROM duA) - (SELECT COUNT(*) FROM du1),
+      (SELECT COUNT(*) FROM ch),
+      CAST((SELECT SUM(n_tokens) FROM ch) AS BIGINT),
+      true,
+      ((SELECT SUM(n_tokens) FROM duA) < (SELECT SUM(n_tokens) FROM ch))"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q316_cdc_chunk_store", cdcChunkStore,
+      Some(cdcChunkStoreOracle)),
     QueryDef("q313_cdc_chunks", cdcChunks, Some(cdcChunksOracle)),
     QueryDef("q231_nb_classifier", nbClassifier(_, _), Some(nbOracle)),
     QueryDef("q208_dsir_select", dsirSelect(_, _), Some(dsirOracle)),

@@ -29,6 +29,23 @@ class ScaleSpecsR17 extends SparkTestBase {
     }
   }
 
+  test("q316: store reconstructs exactly and dedups at small scale") {
+    val out = TextQueries.cdcChunkStore(spark, dir).collect()
+      .sortBy(_.getAs[Long]("batch"))
+    assert(out.length == 2)
+    assert(out.forall(_.getAs[Boolean]("reconstructed_exact")),
+      "manifests ⋈ store failed to rebuild the corpus token-exactly")
+    assert(out.last.getAs[Boolean]("dedup_saves"),
+      "store no smaller than the corpus — chunk dedup did nothing")
+    // O(batch) shape: batch 2 appended strictly fewer chunks than its
+    // manifest rows (existing chunks carried by REFERENCE) and the
+    // store grew monotonically, never rebuilt
+    assert(out.last.getAs[Long]("appended_chunks")
+      < out.last.getAs[Long]("manifest_rows"))
+    assert(out.last.getAs[Long]("store_chunks")
+      >= out.head.getAs[Long]("store_chunks"))
+  }
+
   test("q313: attestation sample is an absolute-K TakeOrdered") {
     // modulo sampling is PROPORTIONAL (2% of 100 TB → a multi-TB driver
     // collect); the sample must be a fixed-K top-k whatever the corpus
