@@ -88,6 +88,10 @@ object Bench {
       best.size >= 2 && best.head > SpreadFloorSec &&
         best(1) / best.head > SpreadRatio
     }
+    // mid-run load ceiling: a box that gets contended AFTER the start
+    // sample (the r16 driver run: load 1.86 at start, 66 rows ≥2× their
+    // minima) leaves its trace here even when the start gate passed
+    var loadMax = loadAvg
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       // q87 is the p9x sample-file pipeline composed end-to-end — same
       // fixed-size corpus, same exclusion rationale
@@ -98,6 +102,7 @@ object Bench {
         if (failed.contains(name)) None // don't pay a failing query twice
         else Some(onePass(name, fn))
       }
+      loadMax = math.max(loadMax, loadAvg)
       val times =
         if (!failed.contains(name) && spreadBad(two)) two :+ onePass(name, fn)
         else two
@@ -183,19 +188,32 @@ object Bench {
       case (n, _, ts) if !failed.contains(n) && stillSpread(ts) => n
     }
     val MaxSpreadQueries = 5
+    //  - inflation vs committed minima: the r16 driver run passed BOTH
+    //    gates above (start load 1.86, agreeing pass pairs — both
+    //    passes inflated together) yet showed 66 rows ≥2× their minima.
+    //    Broad inflation against the per-query minima ledger is direct
+    //    evidence of mid-run contention (or a broad regression — either
+    //    way the totals deserve a re-measure, not belief). A handful of
+    //    >2× rows is normal excursion noise; dozens are not.
+    val MaxInflatedQueries = 10
     val loadContended = loadStart > 2.0
     val spreadContended = spreadQueries.size > MaxSpreadQueries
+    val inflationContended = inflated.size > MaxInflatedQueries
     val caveat =
-      if (loadContended || spreadContended) {
+      if (loadContended || spreadContended || inflationContended) {
         val why = Seq(
           if (loadContended) Some(s"load_avg_start $loadStart > 2.0") else None,
           if (spreadContended) Some(s"${spreadQueries.size} queries kept " +
             s">${SpreadRatio}x pass spread after a 3rd pass " +
-            spreadQueries.take(8).mkString("(", ",", ")")) else None
+            spreadQueries.take(8).mkString("(", ",", ")")) else None,
+          if (inflationContended) Some(s"${inflated.size} queries ran " +
+            ">2x their committed minima " +
+            inflated.take(8).mkString("(", ",", ")") +
+            " - mid-run contention or a broad regression") else None
         ).flatten.mkString("; ")
         s""","reliable":false,"caveat":"$why: machine was contended; totals are noise, compare idle runs only""""
       } else ""","reliable":true"""
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"ratio_vs_min":$ratioJson,"inflated_vs_min":$inflatedJson,"load_avg_start":$loadStart,"load_avg_end":$loadAvg,"cpus":$cpus$caveat,"errors":$errs,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"ratio_vs_min":$ratioJson,"inflated_vs_min":$inflatedJson,"load_avg_start":$loadStart,"load_avg_end":$loadAvg,"load_avg_max":$loadMax,"cpus":$cpus$caveat,"errors":$errs,"sf":"$sfDir"}"""
     // The driver captures only the LAST ~2000 chars of output and parses
     // the metric line out of that window. With 150 queries the full line is
     // ~10 KB, so its head (and the parse) was lost every round since r3.
