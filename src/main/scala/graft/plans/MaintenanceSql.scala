@@ -230,7 +230,13 @@ case class MaintainTableCommand(table: String)
   override val output: Seq[Attribute] =
     Seq(AttributeReference("n_actions", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] =
-    Seq(Row(Snapshots.maintainTable(spark, table).size.toLong))
+    // data-table upkeep, then the ANN-index family's declared repair
+    // (graft.similarity.Similarity.maintainIndex — empty for a
+    // non-index path), so one statement maintains EITHER kind and a
+    // cron stays blind to which it is
+    Seq(Row((Snapshots.maintainTable(spark, table) ++
+      graft.similarity.Similarity.maintainIndex(spark, table))
+      .size.toLong))
 }
 
 /** `OPTIMIZE cat.t ZORDER BY (c1, c2, …)` → [[Snapshots.optimize]]'s

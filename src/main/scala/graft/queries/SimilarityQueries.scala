@@ -1244,6 +1244,72 @@ object SimilarityQueries {
       FROM ($inner) t"""
   }
 
+  /** q317 — DECLARATIVE ANN MAINTENANCE (q255's policy discipline for
+    * the index family, closing VERDICT r16 task 8): an index table
+    * DECLARES its repair cadence (`graft.maintain.annRepairAtTombstones`
+    * on its sigs table) and one blind `MAINTAIN cat.idx` statement
+    * applies it — the q218/q306 delete→repair lifecycle without anyone
+    * calling the repair by hand. Pins: a declared-but-clean index is a
+    * NO-OP (`declared_noop_clean`); the first MAINTAIN after deletes
+    * reach the threshold runs the repair (`repaired_on_threshold`) and
+    * leaves the index IDENTICAL to a manually-optimized twin — same
+    * build, same deletes, [[Similarity.nswIndexOptimize]] by hand —
+    * result-set equality attested in-query (`matches_manual_repair`);
+    * a second MAINTAIN acts 0 (`noop_after_repair`, tombstones
+    * truncated). The emitted relation is the post-repair search, which
+    * the oracle replays bitwise through the same closed forms as q306. */
+  def annMaintainQ(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Snapshots
+    val root = graft.util.Scratch.dir("annmt", dir)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val emb = Tables(spark, dir, "embeddings")
+    val idx = s"$root/idx"
+    val twin = s"$root/twin"
+    Seq(idx, twin).foreach(p => Similarity.nswIndexBuild(spark, p, emb,
+      "vec_id", "embedding", m = NswM, numBands = NumBands, dim = Dim))
+    Snapshots.setTableProperties(spark, s"$idx/sigs",
+      Map(Similarity.MaintainRepairKey -> "1"))
+    val cat = s"annmt_${Integer.toHexString(dir.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.lake.SnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    def maintain(): Long = spark.sql(s"MAINTAIN $cat.idx").head.getLong(0)
+    val noopClean = maintain() == 0L
+    Seq(idx, twin).foreach(p =>
+      Similarity.nswIndexDelete(spark, p, col("id") % 9 === 3))
+    val repairedOnThreshold = maintain() >= 1L
+    Similarity.nswIndexOptimize(spark, twin)
+    val deadIds = emb.filter(col("vec_id") % 9 === 3)
+      .select(col("vec_id")).localCheckpoint()
+    val survivors = emb.join(broadcast(deadIds),
+      emb("vec_id") === deadIds("vec_id"), "left_anti")
+    def searchOn(p: String) = Similarity.nswIndexSearch(spark, p,
+      survivors, queriesOf(emb), "vec_id", "embedding", K,
+      beam = NswBeam, hops = NswHops)
+    val a = searchOn(idx).localCheckpoint()
+    val b = searchOn(twin).select("query_id", "rank", "neighbor_id")
+      .localCheckpoint()
+    val aKeys = a.select("query_id", "rank", "neighbor_id")
+    val matchesManual = aKeys.exceptAll(b).isEmpty &&
+      b.exceptAll(aKeys).isEmpty
+    val noopAfter = maintain() == 0L
+    e6(a).withColumn("phase", lit("repaired"))
+      .withColumn("declared_noop_clean", lit(noopClean))
+      .withColumn("repaired_on_threshold", lit(repairedOnThreshold))
+      .withColumn("matches_manual_repair", lit(matchesManual))
+      .withColumn("noop_after_repair", lit(noopAfter))
+  }
+
+  private val annMaintainOracle: String = {
+    val inner = Similarity.sqlNswDeleteTopK(k = K, m = NswM,
+      beam = NswBeam, hops = NswHops, numBands = NumBands, dim = Dim,
+      queryPred = "e.vec_id < 20", delPred = "vec_id % 9 = 3")
+    s"""SELECT t.*, true AS declared_noop_clean,
+      true AS repaired_on_threshold, true AS matches_manual_repair,
+      true AS noop_after_repair
+      FROM ($inner) t WHERE t.phase = 'repaired'"""
+  }
+
   private val MmrK = 5
   private val MmrPool = 20
 
@@ -1557,5 +1623,6 @@ object SimilarityQueries {
     QueryDef("q57_embedding_dup_clusters", embeddingDupClusters,
       Some(embeddingDupClustersOracle)),
     QueryDef("q306_graph_ann_delete", nswDeleteQ, Some(nswDeleteOracle)),
+    QueryDef("q317_ann_maintain", annMaintainQ, Some(annMaintainOracle)),
     QueryDef("q310_mmr_select", mmrSelect, Some(mmrOracle)))
 }

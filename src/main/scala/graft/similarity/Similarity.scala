@@ -1616,6 +1616,60 @@ object Similarity {
       graft.lake.Snapshots.truncate(spark, s"$indexDir/tombstones")
     }
 
+  /** Declared-repair threshold for [[maintainIndex]]: live tombstones
+    * at or past this count trigger the graph repair, the way a data
+    * table's `graft.maintain.optimizeTargetBytes` triggers compaction.
+    * Declared on the index's `sigs` table (`l0/sigs` for HNSW) — the
+    * same place the plane/band parameters already live. */
+  val MaintainRepairKey = "graft.maintain.annRepairAtTombstones"
+
+  /** POLICY-DRIVEN INDEX MAINTENANCE (the q255 discipline for the ANN
+    * family): an index table DECLARES its repair cadence and `MAINTAIN`
+    * applies it — repair runs iff the live tombstone count (decided
+    * from LOG METADATA, [[indexTombstones]]'s discipline) has reached
+    * the declared threshold, producing exactly the state a manual
+    * [[nswIndexOptimize]]/[[hnswIndexOptimize]] would. Member tables
+    * then get their own [[graft.lake.Snapshots.maintainTable]] pass
+    * AFTER the repair (compaction/vacuum cover the repaired layout).
+    * Returns the (action, detail) report; a non-index path or an
+    * undeclared policy is an empty run, so `MAINTAIN` stays blindly
+    * cron-able over every table. */
+  def maintainIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Seq[(String, String)] = {
+    import graft.lake.Snapshots
+    val nsw = Snapshots.latestVersion(spark, s"$indexDir/sigs").isDefined
+    val hnsw = !nsw &&
+      Snapshots.latestVersion(spark, s"$indexDir/l0/sigs").isDefined
+    if (!nsw && !hnsw) return Nil
+    val sigs = if (nsw) s"$indexDir/sigs" else s"$indexDir/l0/sigs"
+    val report = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    Snapshots.tableProperties(spark, sigs).get(MaintainRepairKey)
+      .flatMap(_.toLongOption).foreach { at =>
+      val t = s"$indexDir/tombstones"
+      val live = Snapshots.latestVersion(spark, t).map { v =>
+        Snapshots.rowCountAt(spark, t, v).getOrElse(
+          Snapshots.readLatest(spark, t).get.count())
+      }.getOrElse(0L)
+      if (live > 0 && live >= at) {
+        if (nsw) nswIndexOptimize(spark, indexDir)
+        else hnswIndexOptimize(spark, indexDir)
+        report += ("ann-repair" -> s"tombstones=$live")
+      }
+    }
+    val members =
+      if (nsw) Seq("sigs", "edges", "tombstones")
+      else (0 to hnswIndexLevels(spark, indexDir))
+        .flatMap(l => Seq(s"l$l/sigs", s"l$l/edges")) :+ "tombstones"
+    members.filter(m =>
+        Snapshots.latestVersion(spark, s"$indexDir/$m").isDefined)
+      .foreach { m =>
+        Snapshots.maintainTable(spark, s"$indexDir/$m").foreach {
+          case (a, d) => report += (s"$m:$a" -> d)
+        }
+      }
+    report.toSeq
+  }
+
   /** The incremental twin of [[sqlLayerSigCtes]]: layer edges = the
     * initial sub-population's self-join wiring UNION the batch slice's
     * wiring against the whole layer — the ladder pinned to the INITIAL
