@@ -1604,26 +1604,32 @@ object TextQueries {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("_p")
       .rowsBetween(Long.MinValue, -1)
+    val lagW = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("_p")
     docs.filter(length(trim(col("text"))) > 0)
       .withColumn("_tk", tokens(col("text")))
-      .withColumn("_hs", expr(
-        s"transform(_tk, t -> pmod(CAST(conv(substring(md5(t),1,12),16,10) AS BIGINT), ${P}L))"))
-      // rolling hash computed IN ARRAY LAND, while the document is still
-      // one row, so the exploded relation carries only (tok, r) per
-      // token — O(1)-wide. (Exploding first and riding `_hs` along on
-      // every token row is O(L²) bytes per document through the
-      // exchange feeding the window — a 100k-token document would push
-      // ~10^10 cells. Same closed form, same result.)
-      .withColumn("_pr", expr(
-        s"""transform(_tk, (t, p) -> named_struct(
-          '_tok', t,
-          '_r', IF(p >= ${CdcWindow - 1},
-            pmod(element_at(_hs, p - 2) * 29791 + element_at(_hs, p - 1) * 961
-              + element_at(_hs, p) * 31 + element_at(_hs, p + 1), ${P}L),
-            -1L)))"""))
-      .select(col("doc_id"), posexplode(col("_pr")).as(Seq("_p", "_s")))
+      // each token explodes as a struct carrying ITS OWN hash — O(1)
+      // wide per row, ONE md5 per token; the rolling window combines
+      // neighbors via lag() over the per-doc window the prefix-sum
+      // already pays for. (The r16 weak rode the whole per-doc hash
+      // array on every exploded row — O(L²) BYTES; the first r17 cut
+      // computed the rolling hash in array land with element_at over a
+      // computed array, which Catalyst inlines into the lambda and
+      // re-evaluates per element — O(L²) md5 WORK, 68× at sf0.1. The
+      // lag form is O(L) in both bytes and work.)
+      .withColumn("_ph", expr(
+        s"""transform(_tk, t -> named_struct('_tok', t,
+          '_h', pmod(CAST(conv(substring(md5(t),1,12),16,10) AS BIGINT),
+            ${P}L)))"""))
+      .select(col("doc_id"), posexplode(col("_ph")).as(Seq("_p", "_s")))
       .select(col("doc_id"), col("_p"), col("_s._tok").as("_tok"),
-        col("_s._r").as("_r"))
+        col("_s._h").as("_h"))
+      .withColumn("_r",
+        when(col("_p") >= CdcWindow - 1,
+          pmod(lag(col("_h"), 3).over(lagW) * 29791 +
+            lag(col("_h"), 2).over(lagW) * 961 +
+            lag(col("_h"), 1).over(lagW) * 31 + col("_h"), lit(P)))
+        .otherwise(lit(-1L)))
       .withColumn("_bf",
         when(col("_r") >= 0 && col("_r") % CdcMask === 0, 1L).otherwise(0L))
       .withColumn("chunk_idx", coalesce(sum(col("_bf")).over(w), lit(0L)))
