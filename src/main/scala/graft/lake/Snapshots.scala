@@ -2641,11 +2641,10 @@ object Snapshots {
 
   private def generatedCols(spark: SparkSession,
       table: String): Seq[(String, String)] =
-    latestVersion(spark, table).map(_ =>
-      tableProperties(spark, table).collect {
-        case (k, v) if k.startsWith(GeneratedPropPrefix) =>
-          k.stripPrefix(GeneratedPropPrefix) -> v
-      }.toSeq).getOrElse(Nil)
+    tableProperties(spark, table).collect {
+      case (k, v) if k.startsWith(GeneratedPropPrefix) =>
+        k.stripPrefix(GeneratedPropPrefix) -> v
+    }.toSeq
 
   /** The write-side generated-column pass: compute when the frame
     * omits the column, REFUSE disagreement when it provides one
@@ -2689,11 +2688,10 @@ object Snapshots {
 
   private def identityCols(spark: SparkSession,
       table: String): Seq[(String, Long)] =
-    latestVersion(spark, table).map(_ =>
-      tableProperties(spark, table).collect {
-        case (k, v) if k.startsWith(IdentityPropPrefix) =>
-          k.stripPrefix(IdentityPropPrefix) -> v.toLong
-      }.toSeq).getOrElse(Nil)
+    tableProperties(spark, table).collect {
+      case (k, v) if k.startsWith(IdentityPropPrefix) =>
+        k.stripPrefix(IdentityPropPrefix) -> v.toLong
+    }.toSeq
 
   /** Assign `base+1 … base+n` in each identity column with the q147
     * two-phase contiguous-id scheme: per-partition counts to the
