@@ -274,20 +274,43 @@ case class SnapshotDmlRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
             cat: SnapshotCatalog, ident), columns, partitioning,
           spec: TableSpec, ignoreIfExists) =>
         ctasShapeCheck(spec, "CREATE TABLE", allowProperties = true)
+        // native generated/identity column syntax (r17) maps onto the
+        // q314 write-side machinery: `GENERATED ALWAYS AS (expr)`
+        // becomes the graft.generated.* property (write-compute +
+        // refuse-liars) plus the expression as the column's read-fill
+        // default; `GENERATED ALWAYS AS IDENTITY` becomes the
+        // graft.identity.* high-water property (two-phase contiguous
+        // allocation). BY DEFAULT identity and non-unit start/step are
+        // refused — the engine only speaks the strict ALWAYS 1,2,3… form.
+        val genCols = scala.collection.mutable
+          .ArrayBuffer.empty[(String, String)]
+        val identCols = scala.collection.mutable.ArrayBuffer.empty[String]
         val cols = columns.map { c =>
-          if (c.generationExpression.isDefined)
-            throw new UnsupportedOperationException(
-              "CREATE TABLE … GENERATED ALWAYS AS: declare the table, " +
-                "then register a generation via the column-default DDL")
-          if (c.identityColumnSpec.isDefined)
-            throw new UnsupportedOperationException(
-              "CREATE TABLE identity columns are not supported")
-          if (!c.nullable && c.defaultValue.isEmpty)
+          c.identityColumnSpec.foreach { is =>
+            if (is.getStart != 1L || is.getStep != 1L)
+              throw new UnsupportedOperationException(
+                "identity columns allocate 1,2,3,…: START WITH / " +
+                  "INCREMENT BY other than 1 are not supported")
+            if (is.isAllowExplicitInsert)
+              throw new UnsupportedOperationException(
+                "GENERATED BY DEFAULT AS IDENTITY is not supported — " +
+                  "identity values are always engine-allocated (ALWAYS)")
+            if (c.dataType != org.apache.spark.sql.types.LongType)
+              throw new UnsupportedOperationException(
+                s"identity column ${c.name} must be BIGINT")
+            identCols += c.name
+          }
+          c.generationExpression.foreach(g => genCols += c.name -> g)
+          if (!c.nullable && c.defaultValue.isEmpty &&
+              c.identityColumnSpec.isEmpty &&
+              c.generationExpression.isEmpty)
             throw new UnsupportedOperationException(
               s"column ${c.name} NOT NULL without DEFAULT: the log " +
                 "cannot enforce it on appends — declare nullable and " +
                 "add a CHECK constraint")
-          (c.name, c.dataType.sql, c.defaultValue.map(_.originalSQL))
+          (c.name, c.dataType.sql,
+            c.generationExpression.orElse(
+              c.defaultValue.map(_.originalSQL)))
         }
         // constraints and generation-form defaults round-trip as
         // 'graft.constraints.<n>' / 'graft.defaults.<col>'
@@ -320,7 +343,11 @@ case class SnapshotDmlRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         SnapshotCreateTableCommand(cat.tablePath(ident), ident.name(),
           liftedCols, ignoreIfExists,
           transformSpec(partitioning, "CREATE TABLE"),
-          plainProps,
+          plainProps ++
+            genCols.map { case (n, g) =>
+              (SnapshotDmlRewrite.GeneratedPropPrefix + n) -> g } ++
+            identCols.map(n =>
+              (SnapshotDmlRewrite.IdentityPropPrefix + n) -> "0"),
           conProps.toSeq.map { case (k, v) =>
             k.stripPrefix(SnapshotDmlRewrite.ConstraintPropPrefix) -> v
           })
@@ -534,6 +561,12 @@ object SnapshotDmlRewrite {
     * shape — CREATE TABLE syntax has no CHECK clause); the bare
     * CREATE TABLE conversion lifts them back into real constraints. */
   val ConstraintPropPrefix = "graft.constraints."
+
+  /** Mirrors of the Snapshots-side declaration keys, re-exported here
+    * so the CREATE conversion can speak them without reaching into
+    * similarity/lake internals. */
+  val GeneratedPropPrefix: String = Snapshots.GeneratedPropPrefix
+  val IdentityPropPrefix: String = Snapshots.IdentityPropPrefix
 
   /** Cross-column (generation-form) DEFAULTs round-trip as properties
     * too: Spark's `DEFAULT` clause accepts only CONSTANT expressions
