@@ -1687,6 +1687,7 @@ object TextQueries {
     val batches = Seq(
       1L -> docs.filter(col("doc_id") % 2 === 0),
       2L -> docs.filter(col("doc_id") % 2 === 1))
+    var prevChunks = 0L
     val states = batches.map { case (bn, b) =>
       val rows = cdcChunkRowsWithText(b).localCheckpoint()
       val cands = rows
@@ -1707,8 +1708,11 @@ object TextQueries {
         .join(st.select(col("chunk_md5"), col("n_tokens")),
           Seq("chunk_md5"))
         .agg(count(lit(1)), sum(col("n_tokens"))).head
+      // appended = store-count delta — never re-executes the anti-join
+      val appended = agg.getLong(0) - prevChunks
+      prevChunks = agg.getLong(0)
       (bn, agg.getLong(0), agg.getLong(1),
-        fresh.count(), manAgg.getLong(0), manAgg.getLong(1))
+        appended, manAgg.getLong(0), manAgg.getLong(1))
     }
     // reconstruction: every document rebuilt from refs ⋈ store must
     // hash token-identical to its original token stream
