@@ -1580,10 +1580,12 @@ object Snapshots {
     var result = -1
     while (result < 0) {
       val hwms = identityCols(spark, table).toMap
-      val (withIds, n) = withContiguousIds(df, hwms.toSeq.sortBy(_._1))
+      val (withIds, n, cached) =
+        withContiguousIds(df, hwms.toSeq.sortBy(_._1))
       try result = appendCommit(spark, table, withIds, statsCols,
         beforePublish, bloomCols, newSpec, hwms, n)
       catch { case _: IdentityRace => () } // lost the mark — re-stage
+      finally cached.unpersist(blocking = false)
     }
     result
   }
@@ -2699,8 +2701,8 @@ object Snapshots {
     * no single-partition window, at any scale. The RDD is persisted so
     * the count pass and the assign pass see identical partitions even
     * over a nondeterministic input. Returns the frame and n. */
-  private def withContiguousIds(df: DataFrame,
-      cols: Seq[(String, Long)]): (DataFrame, Long) = {
+  private def withContiguousIds(df: DataFrame, cols: Seq[(String, Long)])
+      : (DataFrame, Long, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
     val spark = df.sparkSession
     val rdd = df.rdd
     rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -2719,7 +2721,7 @@ object Snapshots {
     }
     val schema = cols.foldLeft(df.schema)((s, c) =>
       s.add(c._1, org.apache.spark.sql.types.LongType, nullable = false))
-    (spark.createDataFrame(withId, schema), offsets.last)
+    (spark.createDataFrame(withId, schema), offsets.last, rdd)
   }
 
   /** Thrown inside the commit closure when the identity high-water
