@@ -1578,7 +1578,13 @@ object Snapshots {
     // the commit verifies the mark is still current (a racer may have
     // advanced it) and re-stages from the winner's mark if not
     var result = -1
+    var attempts = 0
     while (result < 0) {
+      attempts += 1
+      if (attempts > MaxCommitAttempts) throw new IllegalStateException(
+        s"identity append on $table lost $MaxCommitAttempts allocation " +
+          "races — a writer storm is advancing the mark faster than " +
+          "this append can re-stage")
       val hwms = identityCols(spark, table).toMap
       val (withIds, n, cached) =
         withContiguousIds(df, hwms.toSeq.sortBy(_._1))
