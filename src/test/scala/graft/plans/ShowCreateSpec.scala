@@ -57,4 +57,47 @@ class ShowCreateSpec extends SparkTestBase {
       == Seq(1L, 2L))
     assert(live.filter(col("note") === 3L).count() == 2)
   }
+
+  test("SHOW CREATE TABLE job count is CONSTANT as the table grows") {
+    // the statement may pay the bounded schema-resolution footer read
+    // (O(1) tasks), but never work proportional to the table: pin the
+    // job count equal at 1 append and at 11
+    val (cat, root) = freshCatalog("constjob")
+    val t = s"$root/t"
+    Snapshots.createTable(spark, t, Seq(
+      ("k", "BIGINT", None), ("v", "STRING", Some("'x'"))),
+      partitionSpec = Seq("bucket(4,k)"),
+      properties = Map("team" -> "graft"),
+      constraints = Seq("k_pos" -> "k >= 0"))
+    import spark.implicits._
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(): Unit
+      }
+    }
+    def jobsOf(body: => Unit): Int = {
+      spark.sparkContext.addSparkListener(l)
+      try {
+        jobs.set(0)
+        body
+        Thread.sleep(500) // let job-start events drain to the listener
+        jobs.get()
+      } finally spark.sparkContext.removeSparkListener(l)
+    }
+    Snapshots.append(spark, t, Seq(1L, 2L).toDF("k"))
+    spark.sql(s"SHOW CREATE TABLE $cat.t").collect() // warm lazy caches
+    val small = jobsOf(
+      spark.sql(s"SHOW CREATE TABLE $cat.t").collect(): Unit)
+    (1 to 10).foreach(i =>
+      Snapshots.append(spark, t, Seq(i * 10L, i * 10L + 1).toDF("k")))
+    val ddl = spark.sql(s"SHOW CREATE TABLE $cat.t").head.getString(0)
+    assert(ddl.contains("PARTITIONED BY (bucket(4,k))"), ddl)
+    val big = jobsOf(
+      spark.sql(s"SHOW CREATE TABLE $cat.t").collect(): Unit)
+    assert(big <= small,
+      s"SHOW CREATE TABLE grew from $small to $big jobs with table " +
+        "size — it must answer from KB log objects at any scale")
+  }
 }
