@@ -1113,6 +1113,7 @@ object Snapshots {
       content: Option[Snapshot] => (Seq[String], Seq[String],
         Seq[(String, String)], Seq[DropSpec])): Int = {
     var attempt = 0
+    var lastSeen = -1
     while (attempt < MaxCommitAttempts) {
       // version numbers are GLOBAL commit ids: every writer (any ref)
       // allocates latest+1, so the exclusive publish below serializes
@@ -1167,10 +1168,26 @@ object Snapshots {
         writeLatestHint(spark, table, v)
         return v
       }
-      attempt += 1
+      // A failed publish means version v was claimed by another writer.
+      // Count the attempt against the cap ONLY when no progress is
+      // observable (the freshly-read global head did not advance past
+      // the previous failed attempt's — an FS anomaly or a stale-cache
+      // stall, the livelock guard). A genuine lost race retries FREE:
+      // every such failure is paired with another writer's success, so
+      // a storm of N writers all land in at most O(N²) total publish
+      // attempts with no writer ever spuriously giving up at the cap —
+      // the Delta effectively-unbounded-retry discipline, bounded here
+      // by consecutive NO-PROGRESS attempts instead of total attempts.
+      if (global.map(_.version).getOrElse(0) <= lastSeen) attempt += 1
+      lastSeen = math.max(global.map(_.version).getOrElse(0), lastSeen)
+      // jittered de-herd pause: racing writers re-reading the head in
+      // lockstep would otherwise collide on the same v repeatedly
+      Thread.sleep(java.util.concurrent.ThreadLocalRandom.current()
+        .nextLong(1L, 16L))
     }
     throw new IllegalStateException(
-      s"snapshot commit on $table lost $MaxCommitAttempts publish races")
+      s"snapshot commit on $table stalled: $MaxCommitAttempts " +
+        "consecutive publish failures with no observable progress")
   }
 
   /** Stage `df` once into a run-unique commit dir; returns the relative
@@ -1568,56 +1585,59 @@ object Snapshots {
     val ids = identityCols(spark, table)
     if (ids.isEmpty)
       return appendCommit(spark, table, df, statsCols, beforePublish,
-        bloomCols, newSpec, Map.empty, 0L)
+        bloomCols, newSpec)
     val provided = ids.map(_._1).filter(df.columns.contains)
     if (provided.nonEmpty) throw new IllegalArgumentException(
       s"append provides GENERATED ALWAYS AS IDENTITY column(s) " +
         s"${provided.mkString(", ")} on $table — identity values are " +
         "always engine-allocated; omit the column. No version committed")
-    // identity allocation loop: stage with ids from the CURRENT mark;
-    // the commit verifies the mark is still current (a racer may have
-    // advanced it) and re-stages from the winner's mark if not
-    var result = -1
-    var attempts = 0
-    while (result < 0) {
-      attempts += 1
-      if (attempts > MaxCommitAttempts) throw new IllegalStateException(
-        s"identity append on $table lost $MaxCommitAttempts allocation " +
-          "races — a writer storm is advancing the mark faster than " +
-          "this append can re-stage")
-      val hwms = identityCols(spark, table).toMap
-      val (withIds, n, cached) =
-        withContiguousIds(df, hwms.toSeq.sortBy(_._1))
-      try result = appendCommit(spark, table, withIds, statsCols,
-        beforePublish, bloomCols, newSpec, hwms, n)
-      catch { case _: IdentityRace => () } // lost the mark — re-stage
-      finally cached.unpersist(blocking = false)
-    }
-    result
+    // RESERVE-THEN-STAGE identity allocation: claim the id range in a
+    // tiny METADATA-ONLY commit BEFORE staging, so a lost allocation
+    // race costs an O(KB) log re-publish — never a re-persist and
+    // re-write of the whole batch, and never an orphaned staging dir.
+    // The batch is counted once (O(partitions) longs to the driver),
+    // the marks advance by n atomically in the reservation commit, ids
+    // are assigned from the CLAIMED base (collision-free by
+    // construction, whatever publishes meanwhile), and the data commit
+    // that follows pays only the normal KB-sized publish retry. A
+    // crash between the two commits burns the reserved range — the
+    // standard identity-gap semantics every SQL engine documents.
+    val (rdd, offsets, n) = countedPartitions(df)
+    try {
+      val idNames = ids.map(_._1).sorted
+      var bases = Map.empty[String, Long]
+      commitLoop(spark, table, "identity-reserve",
+        newProperties = prevOpt => {
+          // re-read the marks from the head THIS attempt verifies
+          // against: a retried reservation claims past the winner's
+          val props = prevOpt.map(_.properties).getOrElse(Map.empty)
+          bases = idNames.map(c =>
+            c -> props.getOrElse(IdentityPropPrefix + c, "0").toLong).toMap
+          Some(props ++ bases.map { case (c, b) =>
+            (IdentityPropPrefix + c) -> (b + n).toString })
+        }) { prev =>
+        (prev.map(_.manifests).getOrElse(Nil),
+          prev.map(_.deletes).getOrElse(Nil),
+          prev.map(_.renames).getOrElse(Nil),
+          prev.map(_.drops).getOrElse(Nil))
+      }
+      val withIds = assignContiguousIds(spark, rdd, df.schema, offsets,
+        idNames.map(c => c -> bases(c)))
+      appendCommit(spark, table, withIds, statsCols, beforePublish,
+        bloomCols, newSpec)
+    } finally rdd.unpersist(blocking = false)
   }
 
   private def appendCommit(spark: SparkSession, table: String,
       df: DataFrame, statsCols: Seq[String], beforePublish: () => Unit,
-      bloomCols: Seq[String], newSpec: Option[Seq[String]],
-      idExpect: Map[String, Long], idAdvance: Long): Int = {
+      bloomCols: Seq[String], newSpec: Option[Seq[String]]): Int = {
     enforceConstraints(spark, table, df, "append")
     val (staged, stagedStats, stagedBlooms, stagedSchemas) =
       stage(spark, table, df, statsCols, bloomCols)
     val mid = writeManifest(spark, table, staged, stagedStats, stagedBlooms,
       stagedSchemas)
     val v = commitLoop(spark, table, "append", beforePublish,
-      newPartitionSpec = _ => newSpec,
-      newProperties = prevOpt =>
-        if (idExpect.isEmpty) None
-        else {
-          val props = prevOpt.map(_.properties).getOrElse(Map.empty)
-          idExpect.foreach { case (c, h) =>
-            if (props.getOrElse(IdentityPropPrefix + c, "0").toLong != h)
-              throw new IdentityRace
-          }
-          Some(props ++ idExpect.map { case (c, h) =>
-            (IdentityPropPrefix + c) -> (h + idAdvance).toString })
-        }) { prev =>
+      newPartitionSpec = _ => newSpec) { prev =>
       guardRecycledNames(df, prev)
       (prev.map(_.manifests).getOrElse(Nil) :+ mid,
         prev.map(_.deletes).getOrElse(Nil),
@@ -2701,20 +2721,31 @@ object Snapshots {
         k.stripPrefix(IdentityPropPrefix) -> v.toLong
     }.toSeq
 
-  /** Assign `base+1 … base+n` in each identity column with the q147
-    * two-phase contiguous-id scheme: per-partition counts to the
-    * driver (O(partitions) longs), then a narrow map — no global sort,
-    * no single-partition window, at any scale. The RDD is persisted so
-    * the count pass and the assign pass see identical partitions even
-    * over a nondeterministic input. Returns the frame and n. */
-  private def withContiguousIds(df: DataFrame, cols: Seq[(String, Long)])
-      : (DataFrame, Long, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
-    val spark = df.sparkSession
+  /** Phase 1 of the q147 two-phase contiguous-id scheme: persist the
+    * batch's RDD and count rows per partition (O(partitions) longs to
+    * the driver — no global sort, no single-partition window, at any
+    * scale). Persisted so this count pass and the later
+    * [[assignContiguousIds]] pass see IDENTICAL partitions even over a
+    * nondeterministic input; the caller unpersists after its commit. */
+  private def countedPartitions(df: DataFrame)
+      : (org.apache.spark.rdd.RDD[org.apache.spark.sql.Row],
+        Array[Long], Long) = {
     val rdd = df.rdd
     rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val offsets = rdd.mapPartitionsWithIndex((p, it) =>
         Iterator.single(p -> it.size.toLong))
       .collect().sortBy(_._1).map(_._2).scanLeft(0L)(_ + _)
+    (rdd, offsets, offsets.last)
+  }
+
+  /** Phase 2: assign `base+1 … base+n` in each identity column with a
+    * narrow map over the persisted partitions — runs AFTER the range
+    * reservation commit, so the bases can never collide with a
+    * concurrent writer's. */
+  private def assignContiguousIds(spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row],
+      schema: StructType, offsets: Array[Long],
+      cols: Seq[(String, Long)]): DataFrame = {
     val bc = spark.sparkContext.broadcast(offsets)
     val bases = cols.map(_._2)
     val withId = rdd.mapPartitionsWithIndex { (p, it) =>
@@ -2725,15 +2756,10 @@ object Snapshots {
           r.toSeq ++ bases.map(_ + i))
       }
     }
-    val schema = cols.foldLeft(df.schema)((s, c) =>
+    val outSchema = cols.foldLeft(schema)((s, c) =>
       s.add(c._1, org.apache.spark.sql.types.LongType, nullable = false))
-    (spark.createDataFrame(withId, schema), offsets.last, rdd)
+    spark.createDataFrame(withId, outSchema)
   }
-
-  /** Thrown inside the commit closure when the identity high-water
-    * mark moved under us — the staged ids would collide with the
-    * winner's; the append loop re-stages from the new mark. */
-  private final class IdentityRace extends RuntimeException
 
   def renameColumn(spark: SparkSession, table: String, from: String,
       to: String): Int = {

@@ -16,17 +16,20 @@ class GeneratedIdentitySpec extends SparkTestBase {
   private def fresh(tag: String): String =
     Files.createTempDirectory(s"graft_genid_$tag").toString + "/t"
 
-  test("identity: a lost commit race re-stages from the winner's mark") {
+  test("identity: a lost race re-stages ZERO data files (reserve-then-stage)") {
     import spark.implicits._
     val t = fresh("race")
     Snapshots.createTable(spark, t, Seq(("k", "BIGINT", None)))
     Snapshots.setIdentityColumn(spark, t, "rid")
     val a = (1L to 40L).toDF("k")
     val b = (101L to 130L).toDF("k")
-    // deterministic interleave: append A stages its ids from mark 0,
-    // then — before A publishes — append B commits and advances the
-    // mark; A's commit must detect the moved mark, RE-STAGE from B's,
-    // and land with ids strictly after B's
+    // deterministic interleave: append A claims ids 1..40 in its
+    // METADATA-ONLY reservation commit and stages its files; before
+    // A's data commit publishes, append B lands entirely (claim 41..70
+    // + data). A's data commit then retries only the KB-sized log
+    // publish — its claimed ids can never collide — and must land with
+    // the files of its FIRST (only) staging: zero re-stage, zero
+    // orphaned staging dirs.
     val raced = new java.util.concurrent.atomic.AtomicBoolean(false)
     Snapshots.append(spark, t, a, beforePublish = () =>
       if (raced.compareAndSet(false, true)) {
@@ -40,12 +43,65 @@ class GeneratedIdentitySpec extends SparkTestBase {
     val rids = live.map(_._2)
     assert(rids.distinct.length == 70 && rids.min == 1L && rids.max == 70L,
       s"ids not a contiguous 1..70: ${rids.sorted.mkString(",")}")
-    // per-commit contiguity with B (the winner) first
-    val bRids = live.filter(_._1 >= 101L).map(_._2)
+    // RESERVATION order defines id order: A claimed before B published
     val aRids = live.filter(_._1 < 101L).map(_._2)
-    assert(bRids.min == 1L && bRids.max == 30L)
-    assert(aRids.min == 31L && aRids.max == 70L,
-      "loser did not re-stage after the winner's mark")
+    val bRids = live.filter(_._1 >= 101L).map(_._2)
+    assert(aRids.min == 1L && aRids.max == 40L,
+      "first claimant's ids must start at the first reserved base")
+    assert(bRids.min == 41L && bRids.max == 70L)
+    // ZERO RE-STAGE pin: every staged parquet file on disk is referenced
+    // by some committed version — a re-stage would have orphaned the
+    // loser's first staging dir
+    val latest = Snapshots.latestVersion(spark, t).get
+    val referenced = (1 to latest)
+      .flatMap(v => Snapshots.snapshot(spark, t, v))
+      .flatMap(_.files).toSet
+    val root = java.nio.file.Paths.get(t)
+    val onDisk = {
+      val s = java.nio.file.Files.walk(root)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .filter(p => p.toString.endsWith(".parquet"))
+          .map(p => root.relativize(p).toString).toSet
+      } finally s.close()
+    }
+    assert(onDisk == referenced,
+      s"orphaned staged files (a re-stage happened): " +
+        s"${(onDisk -- referenced).mkString(", ")}")
+  }
+
+  test("identity: a writer storm larger than the retry cap all lands") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    // 24 concurrent appenders — MORE writers than MaxCommitAttempts
+    // (20) — each needing TWO commits (claim + data). Lost races are
+    // free retries under the progress-aware commit loop (every failed
+    // publish is paired with another writer's success), so all 24 must
+    // land with unique, per-commit-contiguous ids; under the old
+    // per-race full re-stage this storm both exceeded the cap and paid
+    // up to 20× the batch write I/O.
+    val t = fresh("storm")
+    Snapshots.createTable(spark, t, Seq(("batch", "BIGINT", None)))
+    Snapshots.setIdentityColumn(spark, t, "rid")
+    val fs = (0 until 24).map(bn => Future {
+      Snapshots.append(spark, t, Seq.fill(5)(bn.toLong).toDF("batch"))
+    })
+    Await.result(Future.sequence(fs), 10.minutes)
+    val rows = Snapshots.readLatest(spark, t).get
+      .select(col("batch"), col("rid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val rids = rows.map(_._2)
+    assert(rows.length == 120 && rids.distinct.length == 120 &&
+      rids.min == 1L && rids.max == 120L,
+      s"storm ids broken: ${rids.sorted.take(30).mkString(",")}…")
+    rows.groupBy(_._1).foreach { case (bn, rs) =>
+      val ids = rs.map(_._2)
+      assert(ids.max - ids.min + 1 == ids.length,
+        s"batch $bn ids not contiguous: ${ids.sorted.mkString(",")}")
+    }
   }
 
   test("identity: concurrent appenders never interleave or reuse ids") {
