@@ -668,7 +668,8 @@ object Snapshots {
   private def enforceConstraints(spark: SparkSession, table: String,
       df: DataFrame, what: String): Unit = {
     val cons = latestSnapshot(spark, table).map(_.constraints).getOrElse(Nil)
-    val failures = constraintFailures(df, cons).filter(_._2 > 0)
+    val failures = unwrapGeneratedRefusal(
+      constraintFailures(df, cons).filter(_._2 > 0))
     if (failures.nonEmpty) throw new IllegalArgumentException(
       s"$what on $table violates CHECK constraint(s): " +
         failures.map { case (n, c) => s"$n ($c rows)" }.mkString(", ") +
@@ -1200,7 +1201,7 @@ object Snapshots {
       Map[String, StructType]) = {
     val rel = s"_snap/c-${Naming.newRunId()}"
     val dataDir = s"$table/$rel"
-    df.write.mode("overwrite").parquet(dataDir)
+    unwrapGeneratedRefusal(df.write.mode("overwrite").parquet(dataDir))
     val files = listFresh(spark, dataDir, rel)
     // DECLARED stats/bloom columns (q261 table properties) apply at
     // this one chokepoint so EVERY staged write records them —
@@ -2682,14 +2683,22 @@ object Snapshots {
       df: DataFrame, what: String, recompute: Boolean): DataFrame =
     generatedCols(spark, table).foldLeft(df) { case (d, (c, ex)) =>
       if (!d.columns.contains(c) || recompute) d.withColumn(c, expr(ex))
-      else {
-        val bad = d.filter(!(col(c) <=> expr(ex))).limit(1).count()
-        if (bad > 0) throw new IllegalArgumentException(
-          s"$what on $table violates GENERATED ALWAYS AS for column " +
-            s"$c — provided values disagree with `$ex`; omit the " +
-            "column or write matching values. No version was committed")
-        d
-      }
+      else
+        // validation FOLDED INTO THE WRITE PASS — zero extra jobs: the
+        // provided value re-projects through a raise_error guard, so a
+        // disagreement surfaces DURING the one staging pass (the old
+        // shape ran a filter().limit(1).count() pre-action per provided
+        // generated column per write). [[stage]] unwraps the raised
+        // error back to the declared refusal contract; a failing write
+        // leaves only staged orphans (vacuum's grace sweep reclaims
+        // them) and no version commits.
+        d.withColumn(c,
+          when(col(c) <=> expr(ex), col(c)).otherwise(
+            org.apache.spark.sql.functions.raise_error(lit(
+              s"$what on $table violates GENERATED ALWAYS AS for " +
+                s"column $c — provided values disagree with `$ex`; " +
+                "omit the column or write matching values. No version " +
+                "was committed")).cast(d.schema(c).dataType)))
     }
 
   /** Declare `column` a GENERATED ALWAYS AS IDENTITY column: every
@@ -2721,6 +2730,24 @@ object Snapshots {
         k.stripPrefix(IdentityPropPrefix) -> v.toLong
     }.toSeq
 
+  /** Run an action over a frame that may carry [[applyGenerated]]'s
+    * write-folded raise_error guard, unwrapping a raised violation back
+    * to the declared refusal contract (IllegalArgumentException, no
+    * version committed). Applied at every pre-commit action boundary a
+    * guarded frame can reach — the staging write, the identity count
+    * pass, the CHECK-constraint probe. */
+  private def unwrapGeneratedRefusal[T](body: => T): T =
+    try body
+    catch {
+      case e: Throwable =>
+        Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+          .map(t => Option(t.getMessage).getOrElse(""))
+          .find(_.contains("violates GENERATED ALWAYS AS"))
+          .foreach(m => throw new IllegalArgumentException(
+            m.replaceFirst("^\\[USER_RAISED_EXCEPTION\\]\\s*", "")))
+        throw e
+    }
+
   /** Phase 1 of the q147 two-phase contiguous-id scheme: persist the
     * batch's RDD and count rows per partition (O(partitions) longs to
     * the driver — no global sort, no single-partition window, at any
@@ -2730,11 +2757,15 @@ object Snapshots {
   private def countedPartitions(df: DataFrame)
       : (org.apache.spark.rdd.RDD[org.apache.spark.sql.Row],
         Array[Long], Long) = {
-    val rdd = df.rdd
+    // df.rdd is itself an action boundary for the raise_error guard:
+    // ConvertToLocalRelation evaluates projections over local relations
+    // driver-side during optimization
+    val rdd = unwrapGeneratedRefusal(df.rdd)
     rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val offsets = rdd.mapPartitionsWithIndex((p, it) =>
-        Iterator.single(p -> it.size.toLong))
-      .collect().sortBy(_._1).map(_._2).scanLeft(0L)(_ + _)
+    val offsets = unwrapGeneratedRefusal(
+      rdd.mapPartitionsWithIndex((p, it) =>
+          Iterator.single(p -> it.size.toLong))
+        .collect()).sortBy(_._1).map(_._2).scanLeft(0L)(_ + _)
     (rdd, offsets, offsets.last)
   }
 

@@ -164,6 +164,50 @@ class GeneratedIdentitySpec extends SparkTestBase {
       "rid BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 10))"))
   }
 
+  test("generated columns: provided-value validation costs zero extra jobs") {
+    import spark.implicits._
+    val t = fresh("jobs")
+    Snapshots.createTable(spark, t, Seq(
+      ("k", "BIGINT", None), ("v", "BIGINT", None),
+      ("band", "STRING", None)))
+    Snapshots.setGeneratedColumn(spark, t, "band",
+      "CASE WHEN v < 10 THEN 'lo' ELSE 'hi' END")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(): Unit
+      }
+    }
+    def jobsOf(body: => Unit): Int = {
+      spark.sparkContext.addSparkListener(l)
+      try {
+        jobs.set(0)
+        body
+        Thread.sleep(500) // let job-start events drain to the listener
+        jobs.get()
+      } finally spark.sparkContext.removeSparkListener(l)
+    }
+    // warm lazy caches on both shapes once
+    Snapshots.append(spark, t, Seq((0L, 1L)).toDF("k", "v"))
+    Snapshots.append(spark, t,
+      Seq((0L, 1L, "lo")).toDF("k", "v", "band"))
+    val omitted = jobsOf(Snapshots.append(spark, t,
+      Seq((1L, 5L), (2L, 50L)).toDF("k", "v")): Unit)
+    val provided = jobsOf(Snapshots.append(spark, t,
+      Seq((3L, 5L, "lo"), (4L, 50L, "hi")).toDF("k", "v", "band")): Unit)
+    assert(provided <= omitted,
+      s"validating provided generated values must ride the write pass, " +
+        s"not add jobs: omitted=$omitted provided=$provided")
+    // and the folded guard still refuses a liar with the declared
+    // contract: IllegalArgumentException, no version burned
+    val before = Snapshots.latestVersion(spark, t).get
+    val e = intercept[IllegalArgumentException](Snapshots.append(spark, t,
+      Seq((9L, 1L, "hi")).toDF("k", "v", "band")))
+    assert(e.getMessage.contains("GENERATED ALWAYS AS"), e.getMessage)
+    assert(Snapshots.latestVersion(spark, t).contains(before))
+  }
+
   test("generated columns: update and merge restages recompute") {
     import spark.implicits._
     val t = fresh("regen")
