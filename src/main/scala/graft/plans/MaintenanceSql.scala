@@ -91,6 +91,24 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   // COLUMN), so unlike every other intercept they match only when the
   // catalog is a REGISTERED snapshot catalog and fall through verbatim
   // otherwise — standard SQL against other catalogs keeps its meaning.
+  // the Delta idempotent-loader statement: source-identity ledger rides
+  // the commit, so a re-run against an unchanged directory loads zero
+  private val CopyIntoRe =
+    """(?is)^\s*COPY\s+INTO\s+([\w.]+)\s+FROM\s+'([^']+)'(?:\s+FILEFORMAT\s*=\s*PARQUET)?\s*;?\s*$""".r
+  // lineage discoverability (the Delta DESCRIBE HISTORY statement).
+  // Spark parses `DESCRIBE HISTORY t` as DESCRIBE COLUMN `t` of table
+  // `HISTORY`, so like TRUNCATE this matches only under a registered
+  // snapshot catalog and falls through verbatim otherwise.
+  private val DescribeHistoryRe =
+    """(?is)^\s*DESC(?:RIBE)?\s+HISTORY\s+([\w.]+)\s*;?\s*$""".r
+  // RESTORE by wall clock — resolved through the same monotone
+  // in-commit-timestamp index TIMESTAMP AS OF reads use (q182)
+  private val RestoreTsRe =
+    """(?is)^\s*RESTORE\s+TABLE\s+([\w.]+)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*$""".r
+  // VACUUM retention by wall clock: reclaim versions strictly older
+  // than the cutoff (the RETAIN n HOURS arithmetic, explicit instant)
+  private val VacuumTsRe =
+    """(?is)^\s*VACUUM\s+([\w.]+)\s+BEFORE\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*$""".r
   private val SetDefaultRe =
     """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+ALTER\s+COLUMN\s+(\w+)\s+SET\s+DEFAULT\s+(.+?)\s*;?\s*$""".r
   private val DropDefaultRe =
@@ -148,7 +166,12 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     case OptimizeZorderRe(t, cols) =>
       OptimizeZorderCommand(path(t), splitSpec(cols))
     case MaintainRe(t) => MaintainTableCommand(path(t))
+    case CopyIntoRe(t, src) => CopyIntoCommand(path(t), src)
+    case DescribeHistoryRe(t) if snapshotPath(t).isDefined =>
+      DescribeHistoryCommand(snapshotPath(t).get)
     case RestoreRe(t, v) => RestoreTableCommand(path(t), v)
+    case RestoreTsRe(t, ts) => RestoreTableTimestampCommand(path(t), ts)
+    case VacuumTsRe(t, ts) => VacuumBeforeTimestampCommand(path(t), ts)
     case VacuumDryRe(t, n) => VacuumDryRunCommand(path(t), n.toInt)
     case VacuumRe(t, n) => VacuumTableCommand(path(t), n.toInt)
     case VacuumHoursRe(t, n) => VacuumHoursCommand(path(t), n.toInt)
@@ -199,6 +222,88 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
 private[plans] trait VersionOutput { self: LeafRunnableCommand =>
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
+}
+
+/** SQL timestamp-literal forms the wall-clock statements accept,
+  * normalized to epoch millis: bare digits (epoch millis), an ISO-8601
+  * instant (`…Z` / explicit offset), or a local `yyyy-MM-dd[ HH:mm:ss]`
+  * read at UTC — the session timezone every graft session pins. */
+private[plans] object SqlTimestamps {
+  def parseMillis(s: String): Long = {
+    val t = s.trim
+    if (t.nonEmpty && t.forall(_.isDigit)) t.toLong
+    else if (t.endsWith("Z") || t.drop(10).exists(c => c == '+')) // offset
+      java.time.OffsetDateTime.parse(t.replace(' ', 'T'))
+        .toInstant.toEpochMilli
+    else if (t.length <= 10)
+      java.time.LocalDate.parse(t).atStartOfDay
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    else java.time.LocalDateTime.parse(t.replace(' ', 'T'))
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+  }
+}
+
+/** `COPY INTO cat.t FROM '<dir>' [FILEFORMAT = PARQUET]` →
+  * [[Snapshots.copyInto]] (the Delta idempotent-loader statement):
+  * parquet files under the source directory whose identity (name:size)
+  * no LIVE log version recorded are loaded through the normal write
+  * path; the loaded identities ride INSIDE the commit object, so data
+  * and ledger are one atomic publish and a re-run against an unchanged
+  * directory loads ZERO files and burns no version. Returns the serving
+  * version and the count of files this run loaded. */
+case class CopyIntoCommand(table: String, srcDir: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("n_files_loaded", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (v, n) = Snapshots.copyInto(spark, table, srcDir)
+    Seq(Row(v.toLong, n.toLong))
+  }
+}
+
+/** `DESCRIBE HISTORY cat.t` → [[Snapshots.history]] (the Delta
+  * statement, completing the q315 discoverability pair: SHOW CREATE
+  * shows the shape, HISTORY the lineage). One row per version straight
+  * from the log's commit records — O(versions) KB driver metadata,
+  * never a data scan. */
+case class DescribeHistoryCommand(table: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Snapshots.HistorySchema.fields.toSeq.map(f =>
+      AttributeReference(f.name, f.dataType, f.nullable)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Snapshots.history(spark, table).collect().toSeq
+}
+
+/** `RESTORE TABLE cat.t TO TIMESTAMP AS OF '<ts>'` — the wall-clock
+  * restore: the instant resolves to the latest main version at or
+  * before it through the SAME monotone in-commit-timestamp index
+  * `TIMESTAMP AS OF` reads use (strictly increasing commit timestamps
+  * make the answer unique), then restores exactly like the version
+  * form. Returns the new version. */
+case class RestoreTableTimestampCommand(table: String, ts: String)
+    extends LeafRunnableCommand with VersionOutput {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val millis = SqlTimestamps.parseMillis(ts)
+    val v = Snapshots.versionAtTimestamp(spark, table, millis)
+      .getOrElse(throw new IllegalArgumentException(
+        s"RESTORE: no version of $table at or before timestamp '$ts'"))
+    Seq(Row(Snapshots.restore(spark, table, v).toLong))
+  }
+}
+
+/** `VACUUM cat.t BEFORE TIMESTAMP AS OF '<ts>'` →
+  * [[Snapshots.vacuumOlderThan]] at an explicit instant (the RETAIN n
+  * HOURS arithmetic with the cutoff named instead of computed).
+  * Returns the cutoff millis used. */
+case class VacuumBeforeTimestampCommand(table: String, ts: String)
+    extends LeafRunnableCommand with VersionOutput {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val cutoff = SqlTimestamps.parseMillis(ts)
+    Snapshots.vacuumOlderThan(spark, table, cutoff)
+    Seq(Row(cutoff))
+  }
 }
 
 /** `RESTORE TABLE cat.t TO VERSION AS OF n|'ref'` →

@@ -1774,6 +1774,106 @@ object LayoutQueries {
     * declared surface (constraint enforced, default filling).
     * `describe_serves` pins DESCRIBE TABLE listing every live column.
     * All O(log) driver work; the aggregate is the cross-engine hash. */
+  /** q318 — `COPY INTO` OVER SQL (the Delta idempotent-loader
+    * statement, closing q250's API-only gap): `COPY INTO cat.t FROM
+    * '<landing>'` is the most common batch-load statement a lake SQL
+    * user runs — parsed by the graft parser and executed through the
+    * SAME source-identity ledger [[graft.lake.Snapshots.copyInto]]
+    * publishes atomically with its data. The gate lands 4 files and
+    * runs the statement (`first_loads` — 4 files), lands 3 more beside
+    * them and re-runs (`incremental_only` — exactly the 3 new files,
+    * one new version), then replays against the unchanged directory
+    * (`noop_on_replay` — ZERO files loaded and ZERO versions burned:
+    * the replay is a retried cron, and it must cost a listing + log
+    * walk, never a commit or a scan). Final content is both slices
+    * exactly once, oracle-matched through the catalog scan. */
+  def copyIntoSql(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Snapshots
+    val root = graft.util.Scratch.dir("copysql", dir)
+    val cat = s"cis_${Integer.toHexString(dir.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.lake.SnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val src = s"$root/landing"
+    val orders = Tables(spark, dir, "orders")
+    val even = col("o_orderkey") % 2 === 0
+    orders.filter(even).repartition(4).write.mode("overwrite").parquet(src)
+    val r1 = spark.sql(s"COPY INTO $cat.orders_cis FROM '$src'").head
+    val (v1, n1) = (r1.getLong(0), r1.getLong(1))
+    orders.filter(!even).repartition(3).write.mode("append").parquet(src)
+    val r2 = spark.sql(
+      s"COPY INTO $cat.orders_cis FROM '$src' FILEFORMAT = PARQUET").head
+    val (v2, n2) = (r2.getLong(0), r2.getLong(1))
+    val r3 = spark.sql(s"COPY INTO $cat.orders_cis FROM '$src'").head
+    val (v3, n3) = (r3.getLong(0), r3.getLong(1))
+    val firstLoads = n1 == 4 && v1 == 1
+    val incrementalOnly = n2 == 3 && v2 == v1 + 1
+    val noopOnReplay = n3 == 0 && v3 == v2
+    spark.sql(s"SELECT o_orderpriority, COUNT(*) AS n_rows, " +
+      s"CAST(SUM(${Num.sqlCents("o_totalprice")}) AS BIGINT) " +
+      s"AS sum_cents FROM $cat.orders_cis GROUP BY 1")
+      .withColumn("first_loads", lit(firstLoads))
+      .withColumn("incremental_only", lit(incrementalOnly))
+      .withColumn("noop_on_replay", lit(noopOnReplay))
+  }
+
+  /** q319 — `DESCRIBE HISTORY` OVER SQL (the Delta statement,
+    * completing q315's discoverability pair: SHOW CREATE shows the
+    * shape, HISTORY the lineage): one row per version straight from
+    * the log's commit records — O(versions) KB driver metadata, never
+    * a data scan. The gate builds a 4-commit lineage (append, append,
+    * MoR delete, restore-over-SQL) and pins the statement's output
+    * against the log itself: `versions_exact` (1..latest, no gaps),
+    * `ops_exact` (the four operations in order), `matches_log` (every
+    * row's op AND commit_ts equal the version's own log object —
+    * strictly monotone timestamps included), `counts_from_log` (the
+    * append/restore row counts answered from manifests; the MoR
+    * delete version declines with −1 rather than guessing), and
+    * `same_as_api` (the statement ≡ the `.history` metadata table,
+    * one surface two spellings). */
+  def describeHistorySql(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Snapshots
+    val root = graft.util.Scratch.dir("deschist", dir)
+    val cat = s"dh_${Integer.toHexString(dir.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.lake.SnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val table = s"$root/orders_dh"
+    val orders = Tables(spark, dir, "orders")
+    val even = col("o_orderkey") % 2 === 0
+    Snapshots.append(spark, table, orders.filter(even)) // v1
+    Snapshots.append(spark, table, orders.filter(!even)) // v2
+    Snapshots.deleteWhere(spark, table,
+      col("o_orderkey") % 5 === 0) // v3 (MoR tombstones)
+    spark.sql(s"RESTORE TABLE $cat.orders_dh TO VERSION AS OF 2") // v4
+    val hist = spark.sql(s"DESCRIBE HISTORY $cat.orders_dh").collect()
+    val latest = Snapshots.latestVersion(spark, table).get
+    val versionsExact = hist.map(_.getInt(0)).toSeq == (1 to latest)
+    val opsExact = hist.map(_.getString(1)).toSeq ==
+      Seq("append", "append", "delete", "restore")
+    val matchesLog = hist.forall { r =>
+      Snapshots.snapshot(spark, table, r.getInt(0)).exists(s =>
+        s.op == r.getString(1) && s.commitTs == r.getLong(2))
+    } && hist.map(_.getLong(2)).sliding(2).forall(p => p(0) < p(1))
+    val n1 = orders.filter(even).count()
+    val nAll = orders.count()
+    def rc(v: Int): Long = hist.find(_.getInt(0) == v).get.getLong(8)
+    val countsFromLog = rc(1) == n1 && rc(2) == nAll &&
+      rc(3) == -1L && rc(4) == nAll
+    val api = Snapshots.history(spark, table).collect()
+    val sameAsApi = hist.toSeq == api.toSeq
+    spark.sql(s"SELECT o_orderpriority, COUNT(*) AS n_rows, " +
+      s"CAST(SUM(${Num.sqlCents("o_totalprice")}) AS BIGINT) " +
+      s"AS sum_cents FROM $cat.orders_dh GROUP BY 1")
+      .withColumn("versions_exact", lit(versionsExact))
+      .withColumn("ops_exact", lit(opsExact))
+      .withColumn("matches_log", lit(matchesLog))
+      .withColumn("counts_from_log", lit(countsFromLog))
+      .withColumn("same_as_api", lit(sameAsApi))
+  }
+
   def showCreateRoundTrip(spark: SparkSession, dir: String): DataFrame = {
     import graft.lake.Snapshots
     val root = graft.util.Scratch.dir("showddl", dir)
@@ -4373,6 +4473,23 @@ object LayoutQueries {
              true AS materialize_lossless, true AS eq_cleared,
              true AS clone_after_ok
       FROM orders WHERE o_orderkey % 2 = 0
+      GROUP BY 1""")),
+    QueryDef("q318_copy_into_sql", copyIntoSql, Some(s"""
+      SELECT o_orderpriority, COUNT(*) AS n_rows,
+             CAST(SUM(${Num.sqlCents("o_totalprice")}) AS BIGINT)
+               AS sum_cents,
+             true AS first_loads, true AS incremental_only,
+             true AS noop_on_replay
+      FROM orders
+      GROUP BY 1""")),
+    QueryDef("q319_describe_history_sql", describeHistorySql, Some(s"""
+      SELECT o_orderpriority, COUNT(*) AS n_rows,
+             CAST(SUM(${Num.sqlCents("o_totalprice")}) AS BIGINT)
+               AS sum_cents,
+             true AS versions_exact, true AS ops_exact,
+             true AS matches_log, true AS counts_from_log,
+             true AS same_as_api
+      FROM orders
       GROUP BY 1""")),
     QueryDef("q315_show_create_table", showCreateRoundTrip, Some(s"""
       SELECT CASE WHEN o_totalprice < 150000 THEN 'low' ELSE 'high' END
