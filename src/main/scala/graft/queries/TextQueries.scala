@@ -1179,6 +1179,160 @@ object TextQueries {
       FROM sums, stop WHERE iter <= stop.s"""
   }
 
+  /** Net-new-symbol budget and iteration cap for q320. The budget is
+    * RELATIVE to the corpus' base byte vocabulary (vocab0 + 12), so the
+    * stopping rule is scale-agnostic; the cap bounds the oracle's
+    * unrolled CTE chain. */
+  val ByteBpeMerges = 12
+  val ByteBpeMaxIters = 22
+
+  /** q320 — BYTE-LEVEL BPE with BYTE FALLBACK (the production
+    * GPT-2-style tokenizer form — VERDICT r17 task 5): training and
+    * encoding run over UTF-8 BYTES, so the base alphabet is at most 256
+    * atoms and NO input is ever OOV — an unseen script simply encodes
+    * as its raw bytes (the fallback every real pretraining pipeline
+    * relies on; a word-level trainer like q145's cannot represent it).
+    *
+    * Representation: each token's symbol sequence is its UTF-8 bytes as
+    * space-separated HEX PAIRS (`hex(encode(tok))` regexp-split at
+    * every 2 chars) — merged symbols are plain concatenations of even-
+    * length hex, so every merge stays decodable by construction and the
+    * round trip is a string equality, engine-portable to the oracle.
+    * Same scale shape as q194: the corpus is tokenized ONCE into the
+    * word-frequency relation, every iteration is O(vocab) (weighted
+    * pair counts → deterministic argmax → greedy leftmost
+    * doubled-separator merge), driver-coordinated to the NET-NEW-symbol
+    * budget [[ByteBpeMerges]] above the measured base vocabulary with
+    * the working relation localCheckpointed.
+    *
+    * Attested in the row: `round_trip_exact` (EVERY distinct corpus
+    * token's merged symbols concatenate back to exactly its original
+    * UTF-8 hex — decode == original bytes), `probe_fallback_exact` (a
+    * probe string from a script the corpus never saw encodes through
+    * the learned table and still round-trips — pure byte fallback),
+    * and `base_vocab` (the oracle recomputes it from its own chain). */
+  def byteBpe(spark: SparkSession, dir: String): DataFrame = {
+    val hexSeq = (c: org.apache.spark.sql.Column) => trim(regexp_replace(
+      hex(encode(c, "UTF-8")), "(..)", "$1 "))
+    var words = Tables(spark, dir, "documents")
+      .filter(length(trim(col("text"))) > 0)
+      .select(explode(tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("freq"))
+      .select(col("tok"), hexSeq(col("tok")).as("seq"), col("freq"))
+      .localCheckpoint()
+    def vocabOf(w: DataFrame): Long = w
+      .select(explode(split(col("seq"), " ")).as("s"))
+      .agg(countDistinct(col("s"))).head().getLong(0)
+    val mergeExpr = expr("""trim(replace(replace(
+        ' ' || replace(seq, ' ', '  ') || ' ',
+        ' ' || a || '  ' || b || ' ',
+        ' ' || a || b || ' '), '  ', ' '))""")
+    val vocab0 = vocabOf(words)
+    val budget = vocab0 + ByteBpeMerges
+    var out: DataFrame = null
+    val rules = Seq.newBuilder[DataFrame]
+    var i = 0
+    var vocabNow = vocab0
+    while (vocabNow < budget && i < ByteBpeMaxIters) {
+      i += 1
+      val t = split(col("seq"), " ")
+      val pairs = words
+        .select(col("freq"), explode(zip_with(
+          slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+          (x, y) => concat(x, lit(" "), y))).as("pair"))
+        .groupBy("pair").agg(sum(col("freq")).as("cnt"))
+      val top = pairs.orderBy(desc("cnt"), asc("pair")).limit(1)
+        .select(split(col("pair"), " ").getItem(0).as("a"),
+          split(col("pair"), " ").getItem(1).as("b"), col("cnt"))
+      words = words.crossJoin(broadcast(top))
+        .select(col("tok"), mergeExpr.as("seq"), col("freq"))
+        .localCheckpoint()
+      vocabNow = vocabOf(words)
+      val stats = words.agg(
+        sum(col("freq") * size(split(col("seq"), " "))).as("symbols_after"))
+      val row = top.crossJoin(broadcast(stats))
+        .select(lit(i).as("iter"), col("a"), col("b"), col("cnt"),
+          col("symbols_after"), lit(vocabNow).as("vocab_after"))
+      out = if (out == null) row else out.unionByName(row)
+      rules += top.select(col("a"), col("b"))
+    }
+    // round trip over EVERY distinct corpus token: the merged symbols
+    // concatenate back to exactly the original UTF-8 hex
+    val roundTripExact = words.filter(
+      expr("replace(seq, ' ', '')") =!=
+        hex(encode(col("tok"), "UTF-8"))).isEmpty
+    // byte fallback: a script the corpus never saw encodes through the
+    // SAME learned table and still round-trips exactly
+    var probe = spark.range(1)
+      .select(lit("Ωβ✓語").as("tok"))
+      .select(col("tok"), hexSeq(col("tok")).as("seq"))
+    rules.result().foreach { r =>
+      probe = probe.crossJoin(broadcast(r))
+        .select(col("tok"), mergeExpr.as("seq"))
+    }
+    val probeExact = probe.filter(
+      expr("replace(seq, ' ', '')") =!=
+        hex(encode(col("tok"), "UTF-8"))).isEmpty
+    out
+      .withColumn("base_vocab", lit(vocab0))
+      .withColumn("round_trip_exact", lit(roundTripExact))
+      .withColumn("probe_fallback_exact", lit(probeExact))
+  }
+
+  /** Oracle for q320: the q194 unrolled-stage shape over HEX-PAIR byte
+    * sequences — w0 from `hex(encode(tok))`, v0 measuring the base byte
+    * vocabulary, per-stage MATERIALIZED pair/argmax/merge/stats CTEs,
+    * and the stop rule `vocab_after >= v0 + ByteBpeMerges` replayed
+    * statically. The attestation flags are literal `true` (the gate's
+    * Spark side computed them; the oracle replays the measurable
+    * columns — merge rules, counts, vocab trajectory, base vocab). */
+  private def byteBpeOracle: String = {
+    val stages = (1 to ByteBpeMaxIters).map { i =>
+      val prev = s"w${i - 1}"
+      s"""p$i AS (
+        SELECT l[i] || ' ' || l[i+1] AS pair, freq
+        FROM (SELECT string_split(seq, ' ') AS l, freq,
+                unnest(range(1, len(string_split(seq, ' ')))) AS i
+              FROM $prev)),
+      t$i AS MATERIALIZED (
+        SELECT string_split(pair, ' ')[1] AS a,
+          string_split(pair, ' ')[2] AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+        FROM p$i GROUP BY pair ORDER BY cnt DESC, pair LIMIT 1),
+      w$i AS MATERIALIZED (
+        SELECT trim(replace(replace(
+            ' ' || replace(seq, ' ', '  ') || ' ',
+            ' ' || a || '  ' || b || ' ',
+            ' ' || a || b || ' '), '  ', ' ')) AS seq, freq
+        FROM $prev, t$i),
+      s$i AS (
+        SELECT CAST(SUM(freq) AS BIGINT) AS symbols_after,
+          CAST(COUNT(DISTINCT sym) AS BIGINT) AS vocab_after
+        FROM (SELECT freq, unnest(string_split(seq, ' ')) AS sym FROM w$i))"""
+    }.mkString(",\n      ")
+    val sumRows = (1 to ByteBpeMaxIters).map { i =>
+      s"SELECT CAST($i AS INTEGER) AS iter, a, b, cnt, symbols_after, vocab_after FROM t$i, s$i"
+    }.mkString("\n      UNION ALL ")
+    s"""
+      WITH w0 AS MATERIALIZED (
+        SELECT trim(regexp_replace(hex(encode(tok)), '(..)', '\\1 ', 'g'))
+            AS seq,
+          COUNT(*) AS freq
+        FROM (SELECT unnest(${sqlTokens("text")}) AS tok FROM documents
+              WHERE length(trim(text)) > 0)
+        GROUP BY 1),
+      v0 AS (
+        SELECT CAST(COUNT(DISTINCT sym) AS BIGINT) AS v
+        FROM (SELECT unnest(string_split(seq, ' ')) AS sym FROM w0)),
+      $stages,
+      sums AS ($sumRows),
+      stop AS (SELECT COALESCE(MIN(iter), $ByteBpeMaxIters) AS s
+        FROM sums, v0 WHERE vocab_after >= v0.v + $ByteBpeMerges)
+      SELECT iter, a, b, cnt, symbols_after, vocab_after,
+        (SELECT v FROM v0) AS base_vocab,
+        true AS round_trip_exact, true AS probe_fallback_exact
+      FROM sums, stop WHERE iter <= stop.s"""
+  }
+
   /** q146 — BPE ENCODING result: the subword vocabulary produced by
     * applying q145's learned merge table to the whole corpus, i.e. what a
     * tokenizer's `encode` emits in aggregate. Top-50 symbols by weighted
@@ -1857,6 +2011,7 @@ object TextQueries {
     QueryDef("q146_bpe_vocab", bpeVocab, Some(bpeVocabOracle)),
     QueryDef("q194_bpe_vocab_budget", bpeTrainToBudget(_, _),
       Some(bpeBudgetOracle)),
+    QueryDef("q320_byte_bpe", byteBpe(_, _), Some(byteBpeOracle)),
     QueryDef("q55_tfidf_top_terms", tfidfTopTerms(_, _), Some(s"""
       WITH tf AS (
         SELECT doc_id, tok AS term, COUNT(*) AS tf
