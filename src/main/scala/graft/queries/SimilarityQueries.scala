@@ -1070,6 +1070,37 @@ object SimilarityQueries {
     beam = NswBeam, hops = NswHops, numBands = NumBands, dim = Dim,
     queryPred = "e.vec_id < 20")
 
+  /** q321 — metadata-FILTERED GRAPH ANN (q170's hybrid-search shape on
+    * the NSW/HNSW family — VERDICT r17 task 6): "vector search WHERE
+    * label = …" against a graph index. The predicate composes into the
+    * search's RESULT set only, while routing keeps traversing the FULL
+    * graph — non-qualifying nodes stay in beams and edges as waypoints,
+    * exactly the FreshDiskANN tombstone discipline [[Similarity
+    * .nswSearch]]'s `exclude` already applies to deletes (and the
+    * ACORN filtered-HNSW discipline: filtering the traversal instead
+    * would disconnect the graph under selective predicates). ONE index
+    * serves every predicate with no per-predicate rebuild — the edge
+    * list here is the SAME memoized q166 index. The oracle replays
+    * build + every unrolled hop bitwise with the predicate applied at
+    * the final scored set; recall vs the brute-force-filtered exact
+    * top-k is spec-pinned for both the single-layer and multi-layer
+    * searches (SimilaritySpec r18). */
+  def filteredNswTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val edges = nswEdgeCache.getOrElseUpdate(dir,
+      Similarity.nswBuildEdges(emb, "vec_id", "embedding",
+        m = NswM, numBands = NumBands, dim = Dim))
+    val nonMatching = emb.filter(!(col("label") % 2 === 0))
+      .select(col("vec_id"))
+    e6(Similarity.nswSearch(edges, emb, queriesOf(emb), "vec_id",
+      "embedding", K, beam = NswBeam, hops = NswHops,
+      exclude = Some(nonMatching)))
+  }
+
+  private val filteredNswOracle = Similarity.sqlNswTopK(k = K, m = NswM,
+    beam = NswBeam, hops = NswHops, numBands = NumBands, dim = Dim,
+    queryPred = "e.vec_id < 20", resultPred = "label % 2 = 0")
+
   /** q276 — INCREMENTAL GRAPH-ANN INDEX (VERDICT r14 task 5 — the
     * q185 FAISS-`add()` path for the NSW graph family): the index
     * persists as two snapshot tables (banded-LSH bucket relation +
@@ -1589,6 +1620,8 @@ object SimilarityQueries {
     QueryDef("q170_filtered_ivf_topk", filteredIvfTopK,
       Some(filteredIvfOracle)),
     QueryDef("q166_nsw_graph_topk", nswTopKQ, Some(nswOracle)),
+    QueryDef("q321_filtered_nsw_topk", filteredNswTopK,
+      Some(filteredNswOracle)),
     QueryDef("q276_nsw_incremental_add", nswIncrementalQ,
       Some(nswIncrementalOracle)),
     QueryDef("q277_hnsw_incremental_add", hnswIncrementalQ,

@@ -1248,7 +1248,15 @@ object Similarity {
   def sqlNswTopK(k: Int, m: Int, beam: Int, hops: Int, numBands: Int,
       dim: Int, queryPred: String,
       targetBucketCap: Long = NswPlaneCap,
-      minPlanes: Int = NswMinPlanes, maxPlanes: Int = NswMaxPlanes): String = {
+      minPlanes: Int = NswMinPlanes, maxPlanes: Int = NswMaxPlanes,
+      // metadata filter on the RESULT set only (q321 hybrid search):
+      // routing still traverses the full graph — the ACORN /
+      // FreshDiskANN-tombstone discipline — so the filter applies at
+      // the final scored set, a predicate over the raw embeddings table
+      resultPred: String = ""): String = {
+    val resultClause =
+      if (resultPred.isEmpty) ""
+      else s" AND node IN (SELECT vec_id FROM embeddings WHERE $resultPred)"
     val wCos = sqlCosine("x.v", "y.v")
     val sCos = sqlCosine("q.qv", "e.v")
     val hopCtes = (1 to hops).map { h =>
@@ -1282,7 +1290,7 @@ object Similarity {
       $hopCtes,
       fin AS (SELECT query_id, node AS neighbor_id, c,
           row_number() OVER (PARTITION BY query_id ORDER BY c DESC, node) AS rank
-        FROM seen$hops WHERE node <> query_id)
+        FROM seen$hops WHERE node <> query_id$resultClause)
       SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
         CAST(floor(c * 1000000) AS BIGINT) AS cos_sim_e6
       FROM fin WHERE rank <= $k"""

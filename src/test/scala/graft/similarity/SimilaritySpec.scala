@@ -349,4 +349,44 @@ class SimilaritySpec extends SparkTestBase {
     info(f"HNSW post-repair survivor recall $rRep%.3f")
     assert(rRep >= 0.4, f"post-repair recall $rRep%.3f below floor")
   }
+
+  test("filtered graph search: brute-force-filtered recall, one index " +
+      "serves every predicate (r18)") {
+    // the q321 hybrid-search discipline: the predicate applies to the
+    // RESULT set while routing traverses the FULL graph (ACORN /
+    // FreshDiskANN-tombstone shape) — so ONE edge list, built once,
+    // serves any predicate with no rebuild
+    val edges = Similarity.nswBuildEdges(emb, "vec_id", "embedding", m = 8)
+    def filteredRecall(pred: org.apache.spark.sql.Column): Double = {
+      val exactF = resultSet(Similarity.bruteForceTopK(
+        emb.filter(pred), queries, "vec_id", "embedding", 5))
+      val got = resultSet(Similarity.nswSearch(edges, emb, queries,
+        "vec_id", "embedding", 5,
+        exclude = Some(emb.filter(!pred).select("vec_id"))))
+      // never an invented result: every hit satisfies the predicate
+      val allowed = emb.filter(pred).select("vec_id").collect()
+        .map(_.getLong(0)).toSet
+      assert(got.forall { case (_, n) => allowed(n) },
+        "a filtered search returned a node failing the predicate")
+      (got intersect exactF).size.toDouble / exactF.size
+    }
+    val rEven = filteredRecall(col("label") % 2 === 0)
+    info(f"filtered NSW recall@5 (label even) = $rEven%.3f")
+    assert(rEven >= 0.4, f"filtered recall $rEven%.3f below floor")
+    // the SAME edges serve the complementary predicate — no rebuild
+    val rOdd = filteredRecall(col("label") % 2 === 1)
+    info(f"filtered NSW recall@5 (label odd)  = $rOdd%.3f")
+    assert(rOdd >= 0.4, f"filtered recall $rOdd%.3f below floor")
+    // multi-layer HNSW twin through the same exclude discipline
+    val layers = Similarity.hnswBuildLayers(emb, "vec_id", "embedding")
+    val pred = col("label") % 2 === 0
+    val exactF = resultSet(Similarity.bruteForceTopK(
+      emb.filter(pred), queries, "vec_id", "embedding", 5))
+    val hnsw = resultSet(Similarity.hnswSearch(layers, emb, queries,
+      "vec_id", "embedding", 5,
+      exclude = Some(emb.filter(!pred).select("vec_id"))))
+    val rH = (hnsw intersect exactF).size.toDouble / exactF.size
+    info(f"filtered HNSW recall@5 = $rH%.3f")
+    assert(rH >= 0.4, f"filtered HNSW recall $rH%.3f below floor")
+  }
 }
