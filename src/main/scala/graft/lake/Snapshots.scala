@@ -629,6 +629,49 @@ object Snapshots {
       else None
     }
 
+  /** LIVE (row count, byte size) of version `v` from LOG METADATA alone
+    * (VERDICT r17 task 8 — the Delta/Iceberg snapshot-stats discipline):
+    * manifest-recorded per-file rows and bytes, minus the
+    * positional-delete sidecars' tombstone counts
+    * ([[tombstoneRowCount]]), bytes scaled to the live fraction. This
+    * is what JOIN SIZING should see for a merge-on-read version, where
+    * raw FILE sizes mislead — tombstoned rows still occupy bytes but
+    * the read's anti-join output is the live fraction, so a table
+    * whose live side fits the broadcast threshold must broadcast, not
+    * sort-merge. Declines (None) whenever any piece is unknown:
+    * equality deletes (matched count unknown until read), pre-rowcount
+    * or pre-size manifests, pre-sidecar delete dirs — callers fall back
+    * to file-size estimates, metadata never lies.
+    *
+    * The CoW DSv2 catalog path ([[SnapshotReadTable]]) deliberately
+    * keeps Spark's own `FileScan.estimateStatistics`: a bare file list
+    * has no dead rows, so its file bytes ARE the log's bytes, and
+    * hiding the `FileScan` behind a stats wrapper would cost the
+    * planner's runtime-filter (DPP) special-casing of file scans —
+    * a worse trade than the zero information it would add. */
+  def liveStatsAt(spark: SparkSession, table: String,
+      v: Int): Option[(Long, Long)] =
+    snapshot(spark, table, v).flatMap(liveStatsFor(spark, table, _))
+
+  private def liveStatsFor(spark: SparkSession, table: String,
+      s: Snapshot): Option[(Long, Long)] = {
+    if (s.files.isEmpty || !s.files.forall(s.rowCounts.contains)) return None
+    val sizes = s.manifests.map(manifestSizes(spark, table, _))
+      .foldLeft(Map.empty[String, Long])(_ ++ _)
+    if (!s.files.forall(sizes.contains)) return None
+    tombstoneRowCount(spark, table, s.deletes).flatMap { dead =>
+      val tot = s.files.map(s.rowCounts).sum
+      if (tot <= 0L) None
+      else {
+        val live = math.max(tot - dead, 0L)
+        val bytes = s.files.map(sizes).sum
+        val liveBytes = math.max(
+          math.ceil(bytes.toDouble * live / tot).toLong, 1L)
+        Some((live, liveBytes))
+      }
+    }
+  }
+
   /** Exact (min, max) of `column` over version `v` from LOG METADATA
     * alone — the manifest per-file stats folded across the version's
     * file list. Sound only when the stats ARE the data's extremes:
@@ -2026,6 +2069,35 @@ object Snapshots {
 
   // -------------------------------------------------------------- reads
 
+  /** Attach LOG-TRUTH statistics to the data-scan LEAF of `df` — the
+    * Delta discipline (snapshot stats live on the relation, not a
+    * wrapper node), so the attach point leaves predicate pushdown,
+    * column pruning and the planner's PhysicalOperation match
+    * untouched, and Catalyst's size-only estimator propagates the
+    * numbers up naturally (LeftAnti = left side), letting join
+    * strategy selection see the LIVE size of the subtree it consumes.
+    * Served through `CatalogStatistics` on the relation's
+    * `catalogTable` — exactly the channel `LogicalRelation
+    * .computeStats` prefers over raw `relation.sizeInBytes`. */
+  private def withLeafStats(spark: SparkSession, df: DataFrame,
+      rows: Long, bytes: Long): DataFrame = {
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    import org.apache.spark.sql.catalyst.catalog.{CatalogStatistics,
+      CatalogStorageFormat, CatalogTable, CatalogTableType}
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val stats = CatalogStatistics(BigInt(bytes), Some(BigInt(rows)))
+    val plan = org.apache.spark.sql.GraftSqlBridge.analyzed(df).transformUp {
+      case lr: LogicalRelation if lr.catalogTable.isEmpty =>
+        lr.copy(catalogTable = Some(CatalogTable(
+          identifier = TableIdentifier("graft_snapshot_stats"),
+          tableType = CatalogTableType.EXTERNAL,
+          storage = CatalogStorageFormat.empty,
+          schema = lr.schema,
+          stats = Some(stats))))
+    }
+    org.apache.spark.sql.GraftSqlBridge.ofRows(spark, plan)
+  }
+
   /** Scan with table-relative (file, pos) reader columns attached. */
   private def withMeta(spark: SparkSession, table: String,
       files: Seq[String]): DataFrame = {
@@ -2052,7 +2124,73 @@ object Snapshots {
     val dRel = s"_snap/d-${Naming.newRunId()}"
     tomb.repartition(col("file"))
       .write.mode("overwrite").parquet(s"$table/$dRel")
-    listFresh(spark, s"$table/$dRel", dRel)
+    val refs = listFresh(spark, s"$table/$dRel", dRel)
+    // Per-file tombstone ROW COUNTS recorded beside the files (the
+    // Iceberg delete-manifest `record_count` expressed as a per-commit
+    // sidecar): what lets [[liveStatsAt]] answer a merge-on-read
+    // version's LIVE row count from metadata alone, so join sizing
+    // sees log truth instead of raw file bytes. Counted from the
+    // just-written footers ([[collectRowCounts]]' driver path for
+    // small batches, one distributed pass above the cap); immutable
+    // once the commit references the dir. A reader that finds no
+    // sidecar (pre-r18 logs, torn write) DECLINES stats — metadata
+    // never lies.
+    val ops = new FileOps(spark.sparkContext.hadoopConfiguration)
+    ops.writeString(s"$table/$dRel/$DeleteRowsSidecar",
+      Json.render(Map("rows" -> collectRowCounts(spark, table, refs))))
+    refs
+  }
+
+  /** Sidecar object name of a positional-delete dir's per-file row
+    * counts ([[writeDeletes]]); underscore-prefixed so [[listFresh]]
+    * never mistakes it for a delete file. */
+  private val DeleteRowsSidecar = "_rows.json"
+
+  private val deleteRowsCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), Map[String, Long]]
+
+  /** Per-file tombstone row counts a positional-delete directory's
+    * sidecar records — empty when the sidecar is absent (pre-r18
+    * commits) or unreadable (torn write), so callers decline rather
+    * than guess. Delete dirs are immutable once referenced by the log,
+    * hence the forever cache. */
+  private def deleteDirRows(spark: SparkSession, table: String,
+      dirRel: String): Map[String, Long] = {
+    if (deleteRowsCache.size > MaxCachedManifests) deleteRowsCache.clear()
+    deleteRowsCache.getOrElseUpdate((table, dirRel), {
+      val ops = new FileOps(spark.sparkContext.hadoopConfiguration)
+      scala.util.Try {
+        Json.parseObject(ops.readString(
+          s"${filePath(table, dirRel)}/$DeleteRowsSidecar"))
+          .get("rows") match {
+          case Some(rm: Map[_, _]) => rm.asInstanceOf[Map[String, Any]]
+            .map { case (f, n) => f -> (n match {
+              case l: Long => l
+              case d: Double => d.toLong
+              case other => other.toString.toDouble.toLong
+            }) }
+          case _ => Map.empty[String, Long]
+        }
+      }.getOrElse(Map.empty)
+    })
+  }
+
+  /** Total tombstoned row count of a version's delete list from sidecar
+    * METADATA alone — None when the list carries an equality delete
+    * (matched row count unknown until read) or any positional file
+    * lacks a recorded count. Positional tombstones target LIVE (file,
+    * pos) rows only, so per-commit sets are disjoint and the sum is
+    * exact. O(delete dirs) KB reads, cached. */
+  private[graft] def tombstoneRowCount(spark: SparkSession, table: String,
+      deletes: Seq[String]): Option[Long] = {
+    if (deletes.isEmpty) return Some(0L)
+    if (deletes.exists(isEqDelete)) return None
+    val counts = deletes.map { f =>
+      val slash = f.lastIndexOf('/')
+      if (slash <= 0) None
+      else deleteDirRows(spark, table, f.substring(0, slash)).get(f)
+    }
+    if (counts.forall(_.isDefined)) Some(counts.flatten.sum) else None
   }
 
   /** Broadcast anti-join subtraction of positional deletes; expects the
@@ -2210,7 +2348,13 @@ object Snapshots {
   }
 
   private def readSnapshot(spark: SparkSession, table: String,
-      files: Seq[String], deletes: Seq[String]): DataFrame =
+      files: Seq[String], deletes: Seq[String],
+      // LIVE (rows, bytes) from the log ([[liveStatsFor]]) — attached
+      // to the DATA leaf only (before the tombstone join enters the
+      // plan), and only on the merge-on-read branch: the no-delete
+      // fast path's file bytes already equal the log's, so attaching
+      // there would change nothing but churn every plan
+      liveStats: Option[(Long, Long)] = None): DataFrame =
     if (files.isEmpty) spark.emptyDataFrame
     else if (deletes.isEmpty)
       // mergeSchema: a version may reference files from commits with
@@ -2222,9 +2366,13 @@ object Snapshots {
       spark.read.option("mergeSchema", "true")
         .parquet(files.map(f => filePath(table, f)): _*)
         .drop(RowIdCol)
-    else
-      subtractDeletes(spark, table, withMeta(spark, table, files), deletes)
+    else {
+      val data = withMeta(spark, table, files)
+      val statted = liveStats.fold(data) { case (rows, bytes) =>
+        withLeafStats(spark, data, rows, bytes) }
+      subtractDeletes(spark, table, statted, deletes)
         .drop("_snap_file", "_snap_pos", RowIdCol)
+    }
 
   // ---------------------------------------------------- row tracking
 
@@ -2302,7 +2450,8 @@ object Snapshots {
         s.addedColumns.nonEmpty)
       eraRead(spark, table, s)
     else
-      try readSnapshot(spark, table, s.files, s.deletes)
+      try readSnapshot(spark, table, s.files, s.deletes,
+        if (s.deletes.isEmpty) None else liveStatsFor(spark, table, s))
       catch {
         case _: org.apache.spark.SparkException |
             _: org.apache.spark.sql.AnalysisException =>
