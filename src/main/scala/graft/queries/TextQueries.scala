@@ -1333,6 +1333,314 @@ object TextQueries {
       FROM sums, stop WHERE iter <= stop.s"""
   }
 
+  /** Net-new-symbol budget, iteration cap, and max-input-chars cap for
+    * q322. The budget is relative to the measured base vocabulary
+    * (plain and `##`-continuation forms counted separately, exactly as
+    * BERT's vocab file lists them), so the stop rule is scale-agnostic;
+    * the word-length cap is HF's `max_input_chars_per_word` discipline
+    * — longer words become [UNK] instead of unbounded munch walks. */
+  val WordPieceMerges = 7
+  val WordPieceMaxIters = 22
+  val WordPieceMaxWordLen = 24
+
+  /** q322 — WORDPIECE: likelihood-ratio trainer + maximal-munch encoder
+    * (Schuster & Nakajima 2012; the BERT/DistilBERT tokenizer — the
+    * third member of the production tokenizer family after q145/q194's
+    * word-level BPE and q320's byte-level BPE). Differs from BPE in
+    * BOTH halves, which is what earns the separate rung:
+    *
+    *  - TRAINING merges the pair maximizing the likelihood ratio
+    *    `count(ab) / (count(a) · count(b))` — "merge what co-occurs
+    *    more than chance", not "merge what is frequent" — over symbols
+    *    in BERT's surface form (first piece plain, continuations
+    *    `##`-prefixed; a merge concatenates and drops the inner `##`).
+    *    The score is ONE double division of exactly-represented int64s
+    *    (both engines IEEE-round the identical operation order), ties
+    *    broken by pair text, so the oracle replays the argmax bitwise
+    *    with no fp-accumulation hazard.
+    *  - ENCODING is maximal munch over the FINAL vocab (greedy
+    *    longest-match-first, `##` forms at non-initial positions) —
+    *    the production WordPiece semantic, NOT a replay of the merge
+    *    history. Munch is expressed as DATA, never a per-row linear
+    *    vocab scan: candidate substrings of each distinct word
+    *    EQUI-join the broadcast vocab keyed by (raw text, continuation
+    *    flag) — a hash lookup — the longest match per (word, pos) wins
+    *    by window, and a bounded path-follow loop (≤ the word-length
+    *    cap, over the DISTINCT-words relation only; the corpus is
+    *    never re-walked) assembles the pieces. Words over the cap are
+    *    [UNK]; an unseen-script probe munches to [UNK] through the
+    *    same data path.
+    *
+    * Scale shape matches the BPE rungs: the corpus is tokenized ONCE
+    * into the word-frequency relation; each training iteration is
+    * O(vocab) with the symbol-count relation broadcast into pair
+    * scoring; the encoder is O(distinct words × cap) candidate rows
+    * hash-joined to the vocab. The gate replays merges, counts, the
+    * vocab trajectory, the weighted piece total and the [UNK] mass in
+    * DuckDB (recursive-CTE munch); piece-reassembly exactness and the
+    * probe's [UNK] are attested Spark-side. */
+  def wordPiece(spark: SparkSession, dir: String): DataFrame = {
+    val seq0 = concat(substring(col("tok"), 1, 1),
+      regexp_replace(expr("substring(tok, 2)"), "(.)", " ##$1"))
+    val wfreq = Tables(spark, dir, "documents")
+      .filter(length(trim(col("text"))) > 0)
+      .select(explode(tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("freq"))
+      .localCheckpoint()
+    var words = wfreq.select(seq0.as("seq"), col("freq")).localCheckpoint()
+    def vocabOf(w: DataFrame): Long = w
+      .select(explode(split(col("seq"), " ")).as("s"))
+      .agg(countDistinct(col("s"))).head().getLong(0)
+    val mergeExpr = expr("""trim(replace(replace(
+        ' ' || replace(seq, ' ', '  ') || ' ',
+        ' ' || a || '  ' || b || ' ',
+        ' ' || m || ' '), '  ', ' '))""")
+    val vocab0 = vocabOf(words)
+    val budget = vocab0 + WordPieceMerges
+    var out: DataFrame = null
+    val rules = Seq.newBuilder[DataFrame]
+    var i = 0
+    var vocabNow = vocab0
+    while (vocabNow < budget && i < WordPieceMaxIters) {
+      i += 1
+      val t = split(col("seq"), " ")
+      // weighted symbol occurrences — the likelihood ratio's denominator
+      val syms = words
+        .select(col("freq"), explode(t).as("sym"))
+        .groupBy("sym").agg(sum(col("freq")).as("c"))
+      val pairs = words
+        .select(col("freq"), explode(zip_with(
+          slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+          (x, y) => concat(x, lit(" "), y))).as("pair"))
+        .groupBy("pair").agg(sum(col("freq")).as("cnt"))
+        .withColumn("a", split(col("pair"), " ").getItem(0))
+        .withColumn("b", split(col("pair"), " ").getItem(1))
+      val top = pairs
+        .join(broadcast(syms.select(col("sym").as("a"),
+          col("c").as("ca"))), "a")
+        .join(broadcast(syms.select(col("sym").as("b"),
+          col("c").as("cb"))), "b")
+        // ONE double division of exact int64s — identical rounding in
+        // the oracle's replay; pair text breaks ties deterministically
+        .orderBy((col("cnt") / (col("ca") * col("cb"))).desc, asc("pair"))
+        .limit(1)
+        .select(col("a"), col("b"), col("cnt"),
+          concat(col("a"), regexp_replace(col("b"), "^##", "")).as("m"))
+      words = words.crossJoin(broadcast(top))
+        .select(mergeExpr.as("seq"), col("freq"))
+        .localCheckpoint()
+      vocabNow = vocabOf(words)
+      val stats = words.agg(
+        sum(col("freq") * size(split(col("seq"), " "))).as("symbols_after"))
+      val row = top.crossJoin(broadcast(stats))
+        .select(lit(i).as("iter"), col("a"), col("b"), col("cnt"),
+          col("symbols_after"), lit(vocabNow).as("vocab_after"))
+      out = if (out == null) row else out.unionByName(row)
+      rules += top.select(col("m").as("sym"))
+    }
+    // ------- maximal-munch encode over the FINAL vocab -------
+    val baseSyms = wfreq.select(split(seq0, " ").as("ss"))
+      .select(explode(col("ss")).as("sym"))
+    val vocabDf = rules.result()
+      .foldLeft(baseSyms)((acc, r) => acc.unionByName(r))
+      .distinct()
+      .select(col("sym"),
+        when(col("sym").startsWith("##"), expr("substring(sym, 3)"))
+          .otherwise(col("sym")).as("raw"),
+        col("sym").startsWith("##").as("cont"))
+      .localCheckpoint()
+    val maxRaw = vocabDf.agg(max(length(col("raw")))).head().getInt(0)
+    val probeTok = "Ωβ✓語"
+    val munchWords = wfreq
+      .filter(length(col("tok")) <= WordPieceMaxWordLen)
+      .unionByName(spark.range(1)
+        .select(lit(probeTok).as("tok"), lit(0L).as("freq")))
+      .localCheckpoint()
+    // candidate substrings EQUI-joined to the vocab: O(words × cap)
+    // bounded rows, hash lookup — never a per-row vocab scan
+    val cand = munchWords
+      .select(col("tok"),
+        explode(sequence(lit(1), length(col("tok")))).as("pos"))
+      .select(col("tok"), col("pos"), explode(sequence(lit(1),
+        least(lit(maxRaw), length(col("tok")) - col("pos") + 1))).as("l"))
+      .select(col("tok"), col("pos"), col("l"),
+        expr("substring(tok, pos, l)").as("raw"),
+        (col("pos") > lit(1)).as("cont"))
+    val best = cand.join(broadcast(vocabDf), Seq("raw", "cont"))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number()
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy("tok", "pos").orderBy(desc("l"), asc("sym"))))
+      .filter(col("rn") === 1)
+      .select(col("tok"), col("pos"), col("l"), col("raw"))
+      .localCheckpoint()
+    val maxLen = munchWords.agg(max(length(col("tok")))).head().getInt(0)
+    var fr = munchWords.select(col("tok"), col("freq"),
+      length(col("tok")).as("len"), lit(1).as("pos"),
+      lit(0L).as("np"), lit("").as("acc"))
+    var done: DataFrame = null
+    for (_ <- 1 to math.min(maxLen, WordPieceMaxWordLen) + 1) {
+      val complete = fr.filter(col("pos") > col("len"))
+        .select(col("tok"), col("freq"), col("np"),
+          lit(false).as("unk"), (col("acc") === col("tok")).as("ok"))
+      val j = fr.filter(col("pos") <= col("len"))
+        .join(best, Seq("tok", "pos"), "left")
+      val stuck = j.filter(col("l").isNull)
+        .select(col("tok"), col("freq"), col("np"),
+          lit(true).as("unk"), lit(false).as("ok"))
+      val doneStep = complete.unionByName(stuck)
+      done = if (done == null) doneStep else done.unionByName(doneStep)
+      fr = j.filter(col("l").isNotNull)
+        .select(col("tok"), col("freq"), col("len"),
+          (col("pos") + col("l")).as("pos"), (col("np") + lit(1L)).as("np"),
+          concat(col("acc"), col("raw")).as("acc"))
+        .localCheckpoint()
+    }
+    val doneAll = done.localCheckpoint()
+    val tooLong = wfreq.filter(length(col("tok")) > WordPieceMaxWordLen)
+      .agg(coalesce(sum(col("freq")), lit(0L))).head().getLong(0)
+    val stats = doneAll.agg(
+      sum(when(col("unk"), col("freq")).otherwise(lit(0L))).as("unk0"),
+      sum(when(!col("unk"), col("freq") * col("np")).otherwise(lit(0L)))
+        .as("pieces"),
+      sum(when(!col("unk") && !col("ok"), lit(1L)).otherwise(lit(0L)))
+        .as("bad")).head()
+    val unkMass = stats.getLong(0) + tooLong
+    val totalPieces = stats.getLong(1)
+    val roundTrip = stats.getLong(2) == 0L
+    val probeUnk = doneAll
+      .filter(col("tok") === probeTok && col("unk")).count() == 1L
+    out
+      .withColumn("base_vocab", lit(vocab0))
+      .withColumn("unk_mass", lit(unkMass))
+      .withColumn("total_pieces", lit(totalPieces))
+      .withColumn("round_trip_exact", lit(roundTrip))
+      .withColumn("probe_unk", lit(probeUnk))
+  }
+
+  /** Oracle for q322: the q194/q320 unrolled-stage shape with the
+    * likelihood-ratio argmax (per-stage symbol-count CTE joined into
+    * the pair ranking — ONE double division, same operation order as
+    * the Spark side), the stop rule replayed statically, then the
+    * maximal-munch encoder replayed as a RECURSIVE path-follow: the
+    * stop-prefix vocab keyed by (raw, continuation), candidate
+    * substrings equi-joined, longest match per (word, pos) by window,
+    * and the walk's weighted piece total and [UNK] mass compared
+    * exactly. Piece-reassembly and probe flags are literal `true` (the
+    * Spark side attests them; the oracle replays the measurable
+    * integers). */
+  private def wordPieceOracle: String = {
+    val stages = (1 to WordPieceMaxIters).map { i =>
+      val prev = s"w${i - 1}"
+      s"""sc$i AS (
+        SELECT sym, CAST(SUM(freq) AS BIGINT) AS c
+        FROM (SELECT freq, unnest(string_split(seq, ' ')) AS sym
+              FROM $prev)
+        GROUP BY sym),
+      p$i AS (
+        SELECT l[i] || ' ' || l[i+1] AS pair, freq
+        FROM (SELECT string_split(seq, ' ') AS l, freq,
+                unnest(range(1, len(string_split(seq, ' ')))) AS i
+              FROM $prev)),
+      t$i AS MATERIALIZED (
+        SELECT string_split(pair, ' ')[1] AS a,
+          string_split(pair, ' ')[2] AS b, cnt,
+          string_split(pair, ' ')[1] ||
+            regexp_replace(string_split(pair, ' ')[2], '^##', '') AS m
+        FROM (
+          SELECT pc.pair, pc.cnt
+          FROM (SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt
+                FROM p$i GROUP BY pair) pc
+          JOIN sc$i sa ON sa.sym = string_split(pc.pair, ' ')[1]
+          JOIN sc$i sb ON sb.sym = string_split(pc.pair, ' ')[2]
+          ORDER BY pc.cnt / (sa.c * sb.c) DESC, pc.pair LIMIT 1)),
+      w$i AS MATERIALIZED (
+        SELECT trim(replace(replace(
+            ' ' || replace(seq, ' ', '  ') || ' ',
+            ' ' || a || '  ' || b || ' ',
+            ' ' || m || ' '), '  ', ' ')) AS seq, freq
+        FROM $prev, t$i),
+      s$i AS (
+        SELECT CAST(SUM(freq) AS BIGINT) AS symbols_after,
+          CAST(COUNT(DISTINCT sym) AS BIGINT) AS vocab_after
+        FROM (SELECT freq, unnest(string_split(seq, ' ')) AS sym
+              FROM w$i))"""
+    }.mkString(",\n      ")
+    val sumRows = (1 to WordPieceMaxIters).map { i =>
+      s"SELECT CAST($i AS INTEGER) AS iter, a, b, cnt, symbols_after, vocab_after FROM t$i, s$i"
+    }.mkString("\n      UNION ALL ")
+    val mRows = (1 to WordPieceMaxIters).map { i =>
+      s"SELECT CAST($i AS INTEGER) AS iter, m FROM t$i"
+    }.mkString("\n      UNION ALL ")
+    s"""
+      WITH RECURSIVE wf AS MATERIALIZED (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM (SELECT unnest(${sqlTokens("text")}) AS tok FROM documents
+              WHERE length(trim(text)) > 0)
+        GROUP BY 1),
+      w0 AS MATERIALIZED (
+        SELECT substr(tok, 1, 1) ||
+            regexp_replace(substr(tok, 2), '(.)', ' ##\\1', 'g') AS seq,
+          freq
+        FROM wf),
+      v0 AS (
+        SELECT CAST(COUNT(DISTINCT sym) AS BIGINT) AS v
+        FROM (SELECT unnest(string_split(seq, ' ')) AS sym FROM w0)),
+      $stages,
+      sums AS ($sumRows),
+      stop AS (SELECT COALESCE(MIN(iter), $WordPieceMaxIters) AS s
+        FROM sums, v0 WHERE vocab_after >= v0.v + $WordPieceMerges),
+      mrows AS ($mRows),
+      vocab AS (
+        SELECT DISTINCT sym FROM (
+          SELECT unnest(string_split(seq, ' ')) AS sym FROM w0
+          UNION ALL
+          SELECT m AS sym FROM mrows, stop WHERE iter <= stop.s)),
+      vkey AS (
+        SELECT sym,
+          CASE WHEN sym LIKE '##%' THEN substr(sym, 3) ELSE sym END AS raw,
+          (sym LIKE '##%') AS cont
+        FROM vocab),
+      ml AS (SELECT MAX(len(raw)) AS ml FROM vkey),
+      mw AS MATERIALIZED (
+        SELECT tok, freq FROM wf WHERE len(tok) <= $WordPieceMaxWordLen),
+      cand AS (
+        SELECT p.tok, p.pos, ls.l, substr(p.tok, p.pos, ls.l) AS raw,
+          (p.pos > 1) AS cont
+        FROM (SELECT tok, unnest(range(1, len(tok) + 1)) AS pos FROM mw) p,
+          (SELECT unnest(range(1, (SELECT ml FROM ml) + 1)) AS l) ls
+        WHERE ls.l <= len(p.tok) - p.pos + 1),
+      bmatch AS MATERIALIZED (
+        SELECT tok, pos, l FROM (
+          SELECT c.tok, c.pos, c.l, row_number() OVER (
+            PARTITION BY c.tok, c.pos ORDER BY c.l DESC, v.sym) AS rn
+          FROM cand c JOIN vkey v ON v.raw = c.raw AND v.cont = c.cont)
+        WHERE rn = 1),
+      walk AS (
+        SELECT tok, CAST(1 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS np
+        FROM mw
+        UNION ALL
+        SELECT w.tok, w.pos + b.l, w.np + 1
+        FROM walk w JOIN bmatch b ON b.tok = w.tok AND b.pos = w.pos),
+      wdone AS (
+        SELECT tok, MAX(pos) AS fin, MAX(np) AS np FROM walk GROUP BY tok),
+      toolong AS (
+        SELECT CAST(COALESCE(SUM(freq), 0) AS BIGINT) AS tl
+        FROM wf WHERE len(tok) > $WordPieceMaxWordLen),
+      mstats AS (
+        SELECT
+          CAST(SUM(CASE WHEN d.fin = len(d.tok) + 1 THEN 0 ELSE f.freq END)
+            + (SELECT tl FROM toolong) AS BIGINT) AS unk_mass,
+          CAST(SUM(CASE WHEN d.fin = len(d.tok) + 1 THEN f.freq * d.np
+            ELSE 0 END) AS BIGINT) AS total_pieces
+        FROM wdone d JOIN mw f ON f.tok = d.tok)
+      SELECT iter, a, b, cnt, symbols_after, vocab_after,
+        (SELECT v FROM v0) AS base_vocab,
+        (SELECT unk_mass FROM mstats) AS unk_mass,
+        (SELECT total_pieces FROM mstats) AS total_pieces,
+        true AS round_trip_exact, true AS probe_unk
+      FROM sums, stop WHERE iter <= stop.s"""
+  }
+
   /** q146 — BPE ENCODING result: the subword vocabulary produced by
     * applying q145's learned merge table to the whole corpus, i.e. what a
     * tokenizer's `encode` emits in aggregate. Top-50 symbols by weighted
@@ -2012,6 +2320,7 @@ object TextQueries {
     QueryDef("q194_bpe_vocab_budget", bpeTrainToBudget(_, _),
       Some(bpeBudgetOracle)),
     QueryDef("q320_byte_bpe", byteBpe(_, _), Some(byteBpeOracle)),
+    QueryDef("q322_wordpiece", wordPiece(_, _), Some(wordPieceOracle)),
     QueryDef("q55_tfidf_top_terms", tfidfTopTerms(_, _), Some(s"""
       WITH tf AS (
         SELECT doc_id, tok AS term, COUNT(*) AS tf
