@@ -672,6 +672,69 @@ object Snapshots {
     }
   }
 
+  private val sketchCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), Map[String, Map[String, Seq[Long]]]]
+
+  /** The per-column → per-file sketch map one staging dir's sidecar
+    * records ([[collectSketches]]); empty when absent (the dir was
+    * staged before the table declared sketch columns) or unreadable.
+    * Staging dirs are immutable once referenced, hence the cache. */
+  private def sketchDirCols(spark: SparkSession, table: String,
+      dirRel: String): Map[String, Map[String, Seq[Long]]] = {
+    if (sketchCache.size > MaxCachedManifests) sketchCache.clear()
+    sketchCache.getOrElseUpdate((table, dirRel), {
+      val ops = new FileOps(spark.sparkContext.hadoopConfiguration)
+      scala.util.Try {
+        Json.parseObject(ops.readString(
+          s"${filePath(table, dirRel)}/$SketchSidecar"))
+          .get("cols") match {
+          case Some(cm: Map[_, _]) => cm.asInstanceOf[Map[String, Any]]
+            .map { case (c, fm) => c -> fm.asInstanceOf[Map[String, Any]]
+              .map { case (f, hs) => f -> hs.asInstanceOf[Seq[Any]]
+                .map(_.toString.toDouble.toLong) } }
+          case _ => Map.empty[String, Map[String, Seq[Long]]]
+        }
+      }.getOrElse(Map.empty)
+    })
+  }
+
+  /** Distinct-value estimate for `column` at version `v` from LOG
+    * METADATA alone — zero data scan: the union of the version's
+    * per-file KMV sketches re-truncated to [[SketchK]] IS the global
+    * bottom-k over the files' distinct hashes (every global-bottom-k
+    * hash is in its own file's bottom-k), so the estimate is
+    * file-layout independent — the same value before and after a
+    * compaction rewrite, and replayable over the raw rows by the gate
+    * oracle. Fewer than k union hashes means no file truncated and
+    * the union is the complete distinct-hash set — the exact count.
+    * Estimator: (k−1)·2⁴⁸ / m_k, exact integer division (Beyer et
+    * al.; q291's arithmetic).
+    *
+    * This is the NDV of the version's FILES: positional/equality
+    * deletes don't subtract (sketches are insert-only monotone — the
+    * Iceberg theta-sketch caveat), so under MoR deletes the answer is
+    * an upper bound on the live NDV. Declines (None) when any file
+    * lacks a recorded sketch for the column (pre-declaration commits,
+    * schema-evolution deltas without the column, renamed columns) —
+    * unknown never answers. */
+  def ndvAt(spark: SparkSession, table: String, v: Int,
+      column: String): Option[Long] =
+    snapshot(spark, table, v).flatMap { s =>
+      if (s.files.isEmpty) return Some(0L)
+      val per = s.files.map { f =>
+        val slash = f.lastIndexOf('/')
+        if (slash <= 0) None
+        else sketchDirCols(spark, table, f.substring(0, slash))
+          .get(column).flatMap(_.get(f))
+      }
+      if (!per.forall(_.isDefined)) None
+      else {
+        val u = per.flatten.flatten.distinct.sorted
+        Some(if (u.length < SketchK) u.length.toLong
+        else (SketchK - 1L) * SketchDomain / u(SketchK - 1))
+      }
+    }
+
   /** Exact (min, max) of `column` over version `v` from LOG METADATA
     * alone — the manifest per-file stats folded across the version's
     * file list. Sound only when the stats ARE the data's extremes:
@@ -1257,9 +1320,57 @@ object Snapshots {
       (statsCols ++ declaredCols(spark, table, StatsColumnsKey)).distinct
     val allBlooms =
       (bloomCols ++ declaredCols(spark, table, BloomColumnsKey)).distinct
+    // DECLARED sketch columns (q323): per-file KMV bottom-k sketches
+    // ride the staging dir as a sidecar — applied at this chokepoint
+    // for the same reason as the declared stats/blooms above, so DML
+    // restages and compactions keep the table's NDV metadata.
+    val sketchCols = declaredCols(spark, table, SketchColumnsKey)
+    if (sketchCols.nonEmpty && files.nonEmpty) {
+      val sk = collectSketches(spark, table, files, sketchCols)
+      if (sk.nonEmpty) {
+        val ops = new FileOps(spark.sparkContext.hadoopConfiguration)
+        ops.writeString(s"$dataDir/$SketchSidecar", Json.render(Map(
+          "k" -> SketchK.toLong, "cols" -> sk)))
+      }
+    }
     (files, collectStats(spark, table, files, allStats),
       collectBlooms(spark, table, files, allBlooms),
       if (files.isEmpty) Map.empty else Map(rel -> df.schema))
+  }
+
+  /** Per-file KMV sketches over `cols` (string/integral columns), one
+    * narrow pass per column over the FRESH delta only: the k smallest
+    * distinct 48-bit md5-prefix hashes per file through the
+    * bounded-heap aggregate (O(k) state, map-side combine — the delta
+    * never sorts). A file with no non-null values records an EMPTY
+    * list (distinct-from-absent, so all-null files don't poison
+    * [[ndvAt]]'s completeness check); a column absent from this
+    * delta's schema records nothing and NDV for the version declines
+    * — unknown never answers. */
+  private def collectSketches(spark: SparkSession, table: String,
+      files: Seq[String], cols: Seq[String])
+      : Map[String, Map[String, Seq[Long]]] = {
+    import org.apache.spark.sql.functions.{conv, md5, substring}
+    if (cols.isEmpty || files.isEmpty) return Map.empty
+    val root = LakePaths.tableRootPath(spark, table)
+    val data = spark.read.option("mergeSchema", "true")
+      .parquet(files.map(f => filePath(table, f)): _*)
+    cols.filter(data.schema.fieldNames.contains).map { c =>
+      val perFile = data
+        .filter(col(c).isNotNull)
+        .select(LakePaths.relFileCol(root).as("_f"),
+          conv(substring(md5(col(c).cast("string")), 1, 12), 16, 10)
+            .cast("long").as("_h"))
+        .distinct()
+        .groupBy("_f")
+        .agg(graft.functions.TopKPairs.column(
+          -col("_h").cast("double"), col("_h"), SketchK).as("_t"))
+        .select(col("_f"), col("_t.id").as("hs"))
+        .collect()
+        .map(r => r.getString(0) -> r.getSeq[Long](1).sorted.toSeq)
+        .toMap
+      c -> files.map(f => f -> perFile.getOrElse(f, Seq.empty[Long])).toMap
+    }.toMap
   }
 
   /** Sized for KB-scale manifests; a production writer tunes bits to its
@@ -1788,6 +1899,22 @@ object Snapshots {
     * dataSkippingNumIndexedCols shape, but by name). */
   val StatsColumnsKey = "graft.stats.columns"
   val BloomColumnsKey = "graft.stats.bloomColumns"
+
+  /** Columns the table declares KMV distinct-value sketches for
+    * (`graft.stats.sketchColumns`, comma-separated) — the Iceberg
+    * puffin/theta-sketch discipline expressed as a per-commit-dir
+    * sidecar: every staged write records a bottom-[[SketchK]] set of
+    * deterministic 48-bit hashes per (file, column), and [[ndvAt]]
+    * serves a version's distinct-count estimate from the LOG alone
+    * (union of per-file sketches re-truncated to k — exactly the
+    * global bottom-k, so the answer is file-layout independent), with
+    * zero data scan at serve time. String/integral columns only: the
+    * hash is over the value's canonical text, which both engines (and
+    * the DuckDB oracle) render identically. */
+  val SketchColumnsKey = "graft.stats.sketchColumns"
+  private[graft] val SketchK = 64
+  private[graft] val SketchDomain = 281474976710656L // 2^48
+  private val SketchSidecar = "_kmv.json"
 
   private def declaredCols(spark: SparkSession, table: String,
       key: String): Seq[String] =

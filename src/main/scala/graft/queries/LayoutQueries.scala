@@ -4379,7 +4379,100 @@ object LayoutQueries {
       .withColumn("order_pinned", lit(orderPinned))
   }
 
+  /** q323 — LOG-SERVED NDV: per-file KMV distinct-value sketches in
+    * the commit metadata, distinct counts answered from the log with
+    * ZERO data scan (the Iceberg puffin/theta-sketch discipline,
+    * composing with this round's log-backed size/row statistics —
+    * NDV is the third CBO input beside them). The table DECLARES
+    * `graft.stats.sketchColumns` at creation; every staged write
+    * (appends here; DML restages and compactions equally, via the
+    * q261 stage chokepoint) records a bottom-k hash sketch per (file,
+    * column) as a staging-dir sidecar; [[graft.lake.Snapshots.ndvAt]]
+    * merges the version's sketches driver-side — the union
+    * re-truncated to k IS the global bottom-k, so the served value is
+    * FILE-LAYOUT INDEPENDENT, which is exactly what the oracle
+    * exploits: it replays the estimator over the raw source rows with
+    * no knowledge of files or commits and must land on the identical
+    * integer. Two columns × two snapshot points (after 2 and 3
+    * appends — the 3-append serve proves cross-commit sketch MERGE),
+    * exact COUNT(DISTINCT) ground truth beside each estimate. */
+  def logNdv(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Snapshots
+    val root = graft.util.Scratch.dir("logndv", dir)
+    val table = s"$root/orders_ndv"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+    val orders = Tables(spark, dir, "orders")
+    Snapshots.createTable(spark, table,
+      orders.schema.fields.toSeq.map(f => (f.name, f.dataType.sql, None)),
+      properties = Map(Snapshots.SketchColumnsKey ->
+        "o_custkey,o_orderpriority"))
+    Snapshots.append(spark, table,
+      orders.filter(col("o_orderkey") % 3 === 0))
+    Snapshots.append(spark, table,
+      orders.filter(col("o_orderkey") % 3 === 1))
+    val v2 = Snapshots.latestVersion(spark, table).get
+    Snapshots.append(spark, table,
+      orders.filter(col("o_orderkey") % 3 === 2))
+    val v3 = Snapshots.latestVersion(spark, table).get
+    val cols = Seq("o_custkey", "o_orderpriority")
+    val served = for {
+      (v, n) <- Seq((v2, 2), (v3, 3)); c <- cols
+    } yield (n, c, Snapshots.ndvAt(spark, table, v, c).getOrElse(
+      sys.error(s"log NDV declined for $c at v$v")))
+    // exact ground truth beside the estimates — ONE pass over the source
+    val two = col("o_orderkey") % 3 < 2
+    val ex = orders.agg(
+      countDistinct(when(two, col("o_custkey"))).as("c2"),
+      countDistinct(when(two, col("o_orderpriority"))).as("p2"),
+      countDistinct(col("o_custkey")).as("c3"),
+      countDistinct(col("o_orderpriority")).as("p3")).head()
+    val exact = Map((2, "o_custkey") -> ex.getLong(0),
+      (2, "o_orderpriority") -> ex.getLong(1),
+      (3, "o_custkey") -> ex.getLong(2),
+      (3, "o_orderpriority") -> ex.getLong(3))
+    import spark.implicits._
+    served.map { case (n, c, est) => (n, c, est, exact((n, c))) }
+      .toDF("n_appends", "column", "ndv_est", "n_exact")
+  }
+
+  /** Oracle for q323: the estimator replayed over the RAW rows — the
+    * file-layout-independence of merged bottom-k sketches is the
+    * attested property, so the oracle never models files or commits:
+    * per (slice, column), the k smallest distinct md5-prefix hashes,
+    * exact when fewer than k, else (k−1)·2⁴⁸ ∕ m_k in integer
+    * division (q291's arithmetic). */
+  private def logNdvOracle: String = {
+    val k = graft.lake.Snapshots.SketchK
+    val dom = graft.lake.Snapshots.SketchDomain
+    def combo(tag: String, c: String, where: String): String = s"""
+      h_$tag AS (
+        SELECT DISTINCT
+          ('0x' || substr(md5(CAST($c AS VARCHAR)), 1, 12))::BIGINT AS h
+        FROM orders WHERE $where),
+      e_$tag AS (
+        SELECT CAST(CASE WHEN (SELECT COUNT(*) FROM h_$tag) < $k
+            THEN (SELECT COUNT(*) FROM h_$tag)
+            ELSE (${k - 1} * ${dom}::BIGINT) //
+              (SELECT h FROM h_$tag ORDER BY h LIMIT 1 OFFSET ${k - 1})
+          END AS BIGINT) AS ndv_est,
+          (SELECT CAST(COUNT(DISTINCT $c) AS BIGINT)
+           FROM orders WHERE $where) AS n_exact)"""
+    val combos = Seq(
+      ("c2", "o_custkey", "o_orderkey % 3 < 2", 2),
+      ("p2", "o_orderpriority", "o_orderkey % 3 < 2", 2),
+      ("c3", "o_custkey", "TRUE", 3),
+      ("p3", "o_orderpriority", "TRUE", 3))
+    val ctes = combos.map { case (t, c, w, _) => combo(t, c, w) }
+      .mkString(",")
+    val rows = combos.map { case (t, c, _, n) =>
+      s"""SELECT CAST($n AS INTEGER) AS n_appends, '$c' AS "column",
+        ndv_est, n_exact FROM e_$t"""
+    }.mkString("\n      UNION ALL ")
+    s"WITH $ctes\n      $rows"
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q323_log_ndv", logNdv, Some(logNdvOracle)),
     QueryDef("q309_create_table_ddl", createTableDdl, Some(s"""
       WITH t AS (
         SELECT o_orderpriority, 'store' AS channel, o_totalprice
