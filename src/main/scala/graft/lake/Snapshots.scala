@@ -673,30 +673,44 @@ object Snapshots {
   }
 
   private val sketchCache = scala.collection.concurrent.TrieMap
-    .empty[(String, String), Map[String, Map[String, Seq[Long]]]]
+    .empty[(String, String), (Map[String, Map[String, Seq[Long]]],
+      Map[String, Map[String, Long]])]
 
-  /** The per-column → per-file sketch map one staging dir's sidecar
-    * records ([[collectSketches]]); empty when absent (the dir was
-    * staged before the table declared sketch columns) or unreadable.
-    * Staging dirs are immutable once referenced, hence the cache. */
-  private def sketchDirCols(spark: SparkSession, table: String,
-      dirRel: String): Map[String, Map[String, Seq[Long]]] = {
+  /** The (per-column → per-file sketches, per-column → per-file null
+    * counts) one staging dir's sidecar records ([[collectSketches]] /
+    * [[collectNullCounts]]); empty when absent (the dir was staged
+    * before the table declared sketch columns) or unreadable. Staging
+    * dirs are immutable once referenced, hence the cache. */
+  private def sketchDir(spark: SparkSession, table: String,
+      dirRel: String): (Map[String, Map[String, Seq[Long]]],
+      Map[String, Map[String, Long]]) = {
     if (sketchCache.size > MaxCachedManifests) sketchCache.clear()
     sketchCache.getOrElseUpdate((table, dirRel), {
       val ops = new FileOps(spark.sparkContext.hadoopConfiguration)
       scala.util.Try {
-        Json.parseObject(ops.readString(
+        val m = Json.parseObject(ops.readString(
           s"${filePath(table, dirRel)}/$SketchSidecar"))
-          .get("cols") match {
+        val cols = m.get("cols") match {
           case Some(cm: Map[_, _]) => cm.asInstanceOf[Map[String, Any]]
             .map { case (c, fm) => c -> fm.asInstanceOf[Map[String, Any]]
               .map { case (f, hs) => f -> hs.asInstanceOf[Seq[Any]]
                 .map(_.toString.toDouble.toLong) } }
           case _ => Map.empty[String, Map[String, Seq[Long]]]
         }
-      }.getOrElse(Map.empty)
+        val nulls = m.get("nulls") match {
+          case Some(nm: Map[_, _]) => nm.asInstanceOf[Map[String, Any]]
+            .map { case (c, fm) => c -> fm.asInstanceOf[Map[String, Any]]
+              .map { case (f, n) => f -> n.toString.toDouble.toLong } }
+          case _ => Map.empty[String, Map[String, Long]]
+        }
+        (cols, nulls)
+      }.getOrElse((Map.empty, Map.empty))
     })
   }
+
+  private def sketchDirCols(spark: SparkSession, table: String,
+      dirRel: String): Map[String, Map[String, Seq[Long]]] =
+    sketchDir(spark, table, dirRel)._1
 
   /** Distinct-value estimate for `column` at version `v` from LOG
     * METADATA alone — zero data scan: the union of the version's
@@ -719,21 +733,61 @@ object Snapshots {
     * unknown never answers. */
   def ndvAt(spark: SparkSession, table: String, v: Int,
       column: String): Option[Long] =
-    snapshot(spark, table, v).flatMap { s =>
-      if (s.files.isEmpty) return Some(0L)
-      val per = s.files.map { f =>
-        val slash = f.lastIndexOf('/')
-        if (slash <= 0) None
-        else sketchDirCols(spark, table, f.substring(0, slash))
-          .get(column).flatMap(_.get(f))
-      }
-      if (!per.forall(_.isDefined)) None
-      else {
-        val u = per.flatten.flatten.distinct.sorted
-        Some(if (u.length < SketchK) u.length.toLong
-        else (SketchK - 1L) * SketchDomain / u(SketchK - 1))
-      }
+    snapshot(spark, table, v).flatMap(ndvFor(spark, table, _, column))
+
+  private def ndvFor(spark: SparkSession, table: String, s: Snapshot,
+      column: String): Option[Long] = {
+    if (s.files.isEmpty) return Some(0L)
+    val per = s.files.map { f =>
+      val slash = f.lastIndexOf('/')
+      if (slash <= 0) None
+      else sketchDirCols(spark, table, f.substring(0, slash))
+        .get(column).flatMap(_.get(f))
     }
+    if (!per.forall(_.isDefined)) None
+    else {
+      val u = per.flatten.flatten.distinct.sorted
+      Some(if (u.length < SketchK) u.length.toLong
+      else (SketchK - 1L) * SketchDomain / u(SketchK - 1))
+    }
+  }
+
+  /** Total NULL count of `column` over version `v`'s files from the
+    * sketch sidecars — exact (per-file counts sum), declining when any
+    * file lacks a recorded count (pre-null-count sidecars). */
+  private def nullCountFor(spark: SparkSession, table: String,
+      s: Snapshot, column: String): Option[Long] = {
+    if (s.files.isEmpty) return Some(0L)
+    val per = s.files.map { f =>
+      val slash = f.lastIndexOf('/')
+      if (slash <= 0) None
+      else sketchDir(spark, table, f.substring(0, slash))._2
+        .get(column).flatMap(_.get(f))
+    }
+    if (per.forall(_.isDefined)) Some(per.flatten.sum) else None
+  }
+
+  /** CBO column statistics from the LOG: for every sketch column the
+    * VERSION ITSELF declares, the distinct-count estimate and exact
+    * null count — the inputs Catalyst's join-cardinality estimation
+    * reads (`rows_L · rows_R ∕ max(ndv_L, ndv_R)`) once
+    * `spark.sql.cbo.enabled` is on. Columns where either half
+    * declines are omitted (the estimator then falls back per column);
+    * under MoR deletes the NDV is the documented files-level upper
+    * bound, the same caveat Delta/Iceberg column stats carry. */
+  private def colStatsFor(spark: SparkSession, table: String, s: Snapshot)
+      : Map[String, org.apache.spark.sql.catalyst.catalog.CatalogColumnStat] =
+    s.properties.get(SketchColumnsKey)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+      .flatMap { c =>
+        for {
+          ndv <- ndvFor(spark, table, s, c)
+          nc <- nullCountFor(spark, table, s, c)
+        } yield c -> org.apache.spark.sql.catalyst.catalog.CatalogColumnStat(
+          distinctCount = Some(BigInt(ndv)),
+          nullCount = Some(BigInt(nc)))
+      }.toMap
 
   /** Exact (min, max) of `column` over version `v` from LOG METADATA
     * alone — the manifest per-file stats folded across the version's
@@ -1330,7 +1384,9 @@ object Snapshots {
       if (sk.nonEmpty) {
         val ops = new FileOps(spark.sparkContext.hadoopConfiguration)
         ops.writeString(s"$dataDir/$SketchSidecar", Json.render(Map(
-          "k" -> SketchK.toLong, "cols" -> sk)))
+          "k" -> SketchK.toLong, "cols" -> sk,
+          "nulls" -> collectNullCounts(spark, table, files,
+            sk.keys.toSeq.sorted))))
       }
     }
     (files, collectStats(spark, table, files, allStats),
@@ -1370,6 +1426,29 @@ object Snapshots {
         .map(r => r.getString(0) -> r.getSeq[Long](1).sorted.toSeq)
         .toMap
       c -> files.map(f => f -> perFile.getOrElse(f, Seq.empty[Long])).toMap
+    }.toMap
+  }
+
+  /** Per-file NULL counts for the sketched columns, ONE narrow pass
+    * over the fresh delta for all columns together — the second half
+    * of the CBO column statistic ([[ndvAt]] serves distinct counts;
+    * join-cardinality estimation wants null counts beside them). */
+  private def collectNullCounts(spark: SparkSession, table: String,
+      files: Seq[String], cols: Seq[String])
+      : Map[String, Map[String, Long]] = {
+    import org.apache.spark.sql.functions.sum
+    if (cols.isEmpty || files.isEmpty) return Map.empty
+    val root = LakePaths.tableRootPath(spark, table)
+    val aggs = cols.map(c =>
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(c))
+    val rows = spark.read.option("mergeSchema", "true")
+      .parquet(files.map(f => filePath(table, f)): _*)
+      .groupBy(LakePaths.relFileCol(root).as("_f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    cols.zipWithIndex.map { case (c, i) =>
+      c -> rows.map(r => r.getString(0) ->
+        (if (r.isNullAt(i + 1)) 0L else r.getLong(i + 1))).toMap
     }.toMap
   }
 
@@ -2207,12 +2286,12 @@ object Snapshots {
     * `catalogTable` — exactly the channel `LogicalRelation
     * .computeStats` prefers over raw `relation.sizeInBytes`. */
   private def withLeafStats(spark: SparkSession, df: DataFrame,
-      rows: Long, bytes: Long): DataFrame = {
+      stats: org.apache.spark.sql.catalyst.catalog.CatalogStatistics)
+      : DataFrame = {
     import org.apache.spark.sql.catalyst.TableIdentifier
-    import org.apache.spark.sql.catalyst.catalog.{CatalogStatistics,
-      CatalogStorageFormat, CatalogTable, CatalogTableType}
+    import org.apache.spark.sql.catalyst.catalog.{CatalogStorageFormat,
+      CatalogTable, CatalogTableType}
     import org.apache.spark.sql.execution.datasources.LogicalRelation
-    val stats = CatalogStatistics(BigInt(bytes), Some(BigInt(rows)))
     val plan = org.apache.spark.sql.GraftSqlBridge.analyzed(df).transformUp {
       case lr: LogicalRelation if lr.catalogTable.isEmpty =>
         lr.copy(catalogTable = Some(CatalogTable(
@@ -2476,30 +2555,47 @@ object Snapshots {
 
   private def readSnapshot(spark: SparkSession, table: String,
       files: Seq[String], deletes: Seq[String],
-      // LIVE (rows, bytes) from the log ([[liveStatsFor]]) — attached
-      // to the DATA leaf only (before the tombstone join enters the
-      // plan), and only on the merge-on-read branch: the no-delete
-      // fast path's file bytes already equal the log's, so attaching
-      // there would change nothing but churn every plan
-      liveStats: Option[(Long, Long)] = None): DataFrame =
+      // LOG-truth statistics ([[leafStatsFor]]) — attached to the DATA
+      // leaf only (before any tombstone join enters the plan)
+      leafStats: Option[
+        org.apache.spark.sql.catalyst.catalog.CatalogStatistics] = None)
+      : DataFrame =
     if (files.isEmpty) spark.emptyDataFrame
-    else if (deletes.isEmpty)
+    else if (deletes.isEmpty) {
       // mergeSchema: a version may reference files from commits with
       // DIFFERENT schemas (additive evolution — a later append
       // introduced a column); rows from pre-evolution files surface
       // the new column as null. At 100 TB the union is computed from
       // file FOOTERS, never a data pass. RowIdCol is a hidden physical
       // column ([[optimizeRowIds]]) — plain reads never surface it.
-      spark.read.option("mergeSchema", "true")
+      val data = spark.read.option("mergeSchema", "true")
         .parquet(files.map(f => filePath(table, f)): _*)
         .drop(RowIdCol)
-    else {
+      leafStats.fold(data)(withLeafStats(spark, data, _))
+    } else {
       val data = withMeta(spark, table, files)
-      val statted = liveStats.fold(data) { case (rows, bytes) =>
-        withLeafStats(spark, data, rows, bytes) }
+      val statted = leafStats.fold(data)(withLeafStats(spark, data, _))
       subtractDeletes(spark, table, statted, deletes)
         .drop("_snap_file", "_snap_pos", RowIdCol)
     }
+
+  /** The LOG-truth statistics a snapshot read attaches at its data
+    * leaf — live (rows, bytes) plus the declared sketch columns' CBO
+    * stats ([[colStatsFor]]). Built ONLY when the version carries
+    * merge-on-read deletes (file sizes mislead — the r17 task-8 case)
+    * or declares sketch columns (CBO wants the column stats): plain
+    * undeclared CoW reads keep their byte-identical plans and pay
+    * zero sidecar reads. */
+  private def leafStatsFor(spark: SparkSession, table: String,
+      s: Snapshot): Option[
+      org.apache.spark.sql.catalyst.catalog.CatalogStatistics] = {
+    val declared = s.properties.get(SketchColumnsKey).exists(_.nonEmpty)
+    if (s.deletes.isEmpty && !declared) None
+    else liveStatsFor(spark, table, s).map { case (rows, bytes) =>
+      org.apache.spark.sql.catalyst.catalog.CatalogStatistics(
+        BigInt(bytes), Some(BigInt(rows)), colStatsFor(spark, table, s))
+    }
+  }
 
   // ---------------------------------------------------- row tracking
 
@@ -2578,7 +2674,7 @@ object Snapshots {
       eraRead(spark, table, s)
     else
       try readSnapshot(spark, table, s.files, s.deletes,
-        if (s.deletes.isEmpty) None else liveStatsFor(spark, table, s))
+        leafStatsFor(spark, table, s))
       catch {
         case _: org.apache.spark.SparkException |
             _: org.apache.spark.sql.AnalysisException =>
@@ -3479,9 +3575,25 @@ object Snapshots {
           StructField(n, org.apache.spark.sql.types.DataType.fromDDL(t),
             nullable = true) }))
     }
-    else subtractDeletes(spark, table, withMetaEras(spark, table, s),
-      s.deletes, s.renames)
-      .drop("_snap_file", "_snap_pos", RowIdCol)
+    else {
+      val data = withMetaEras(spark, table, s)
+      // log-truth stats attach here too (createTable'd / declared /
+      // renamed tables route through the era read) — but only when the
+      // plan has exactly ONE data leaf (a multi-era union has one scan
+      // per era group, and table-global numbers attached per-leaf
+      // would overstate by the group count; single era — including
+      // every same-schema append history — is the dominant case)
+      val statted = leafStatsFor(spark, table, s).fold(data) { st =>
+        val leaves = org.apache.spark.sql.GraftSqlBridge.analyzed(data)
+          .collect {
+            case lr: org.apache.spark.sql.execution.datasources
+              .LogicalRelation => lr
+          }
+        if (leaves.size == 1) withLeafStats(spark, data, st) else data
+      }
+      subtractDeletes(spark, table, statted, s.deletes, s.renames)
+        .drop("_snap_file", "_snap_pos", RowIdCol)
+    }
 
   // -------------------------------------------------------------- merge
 
