@@ -742,6 +742,185 @@ object TextQueries {
           length(col("_t")).cast("double") * 1000000).as("markup_ratio_e6"))
   }
 
+  /** q324 thresholds (jusText's shape, deterministic integers): a block
+    * whose anchor-text share exceeds the link-density bound is
+    * boilerplate outright; shorter-than-minimum blocks defer to
+    * context; otherwise stopword density decides. */
+  private val BoilerLinkE6 = 400000L
+  private val BoilerMinWords = 8
+  private val BoilerStopE6 = 20000L
+  private val BlockTagRe = "</?(p|div|nav|footer)[^>]*>"
+  private val AnchorRe = "<a[^>]*>([^<]*)</a>"
+
+  /** q324 — BOILERPLATE BLOCK CLASSIFICATION (the jusText/trafilatura
+    * discipline — the block-level pass every web-scale pretraining
+    * corpus runs between raw HTML and text analysis; q80 strips
+    * markup, this DECIDES WHICH BLOCKS ARE CONTENT): documents are
+    * wrapped in a deterministic multi-block HTML scaffold (nav menu,
+    * two content paragraphs, link-dense sidebar, short footer — the
+    * q40/q80 augmentation pattern, since the synthetic corpus carries
+    * no markup), segmented on block-level tags, and each block is
+    * classified from three exact-integer features:
+    *
+    *  - LINK DENSITY (anchor-text chars ∕ text chars, e6 integer DIV):
+    *    above [[BoilerLinkE6]] → bad, the nav/sidebar signature;
+    *  - LENGTH: under [[BoilerMinWords]] words → `short`, deferred to
+    *    context (jusText's near-good rule): a short block is content
+    *    iff its nearest non-short neighbor on EITHER side is — two
+    *    IGNORE-NULLS window walks, co-partitioned by document;
+    *  - STOPWORD DENSITY (the q16 language-stopword regex, e6 DIV):
+    *    at/above [[BoilerStopE6]] → good, else bad — function words
+    *    are what separates prose from keyword-stuffed boilerplate.
+    *
+    * Per document: block counts by final class, the content word
+    * total, the boilerplate word share, and the md5 of the extracted
+    * content (good blocks' normalized text in document order) — the
+    * artifact a downstream pipeline actually consumes. Scale shape:
+    * one narrow projection + one bounded explode (blocks per doc is
+    * scaffold-constant), two windows and one hash-agg, all
+    * co-partitioned by doc_id after the explode's shuffle; no join
+    * anywhere. The oracle replays the scaffold, the segmentation, all
+    * three densities, the context propagation and the content md5. */
+  def boilerplateBlocks(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = tokens(col("text"))
+    val h = ((size(t) + 1) / 2).cast("int")
+    val raw = concat(
+      lit("<nav><a href=\"/\">Home</a> <a href=\"/about\">About</a> " +
+        "<a href=\"/contact\">Contact</a> <a href=\"/login\">Login</a>" +
+        "</nav><p>"),
+      array_join(slice(t, lit(1), h), " "),
+      lit("</p><div><a href=\"/m\">more</a> read " +
+        "<a href=\"/l\">links</a> here</div><p>"),
+      array_join(slice(t, h + 1, size(t) - h), " "),
+      lit("</p><footer>copyright 2024 example corp rights reserved" +
+        "</footer>"))
+    val blocks = graft.util.Par.ensure(Tables(spark, dir, "documents"))
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), posexplode(split(raw, BlockTagRe))
+        .as(Seq("pos", "block")))
+      .select(col("doc_id"), col("pos"), col("block"),
+        trim(regexp_replace(regexp_replace(col("block"), TagRe, " "),
+          "\\s+", " ")).as("txt"))
+      .filter(length(col("txt")) > 0)
+      .select(col("doc_id"), col("pos"), col("txt"),
+        length(concat_ws("", regexp_extract_all(col("block"),
+          lit(AnchorRe), lit(1)))).as("link_chars"),
+        size(split(col("txt"), " ")).cast("long").as("n_words"),
+        size(regexp_extract_all(col("txt"),
+          lit(stopwordPattern("en")), lit(0))).cast("long")
+          .as("stop_hits"))
+      .select(col("doc_id"), col("pos"), col("txt"), col("n_words"),
+        expr("CASE WHEN link_chars * 1000000 DIV length(txt) " +
+          s"> $BoilerLinkE6 THEN 'bad' " +
+          s"WHEN n_words < $BoilerMinWords THEN 'short' " +
+          s"WHEN stop_hits * 1000000 DIV n_words >= $BoilerStopE6 " +
+          "THEN 'good' ELSE 'bad' END").as("cls0"))
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val nonShort = when(col("cls0") =!= "short", col("cls0"))
+    val classified = blocks
+      .withColumn("prev_ns", last(nonShort, ignoreNulls = true)
+        .over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("next_ns", first(nonShort, ignoreNulls = true)
+        .over(byDoc.rowsBetween(1, Window.unboundedFollowing)))
+      .withColumn("cls", when(col("cls0") =!= "short", col("cls0"))
+        .otherwise(when(col("prev_ns") === "good" ||
+          col("next_ns") === "good", "good").otherwise("bad")))
+    classified.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(col("cls") === "good", 1L).otherwise(0L)).as("n_good"),
+        sum(when(col("cls") === "bad", 1L).otherwise(0L)).as("n_bad"),
+        sum(when(col("cls") === "good", col("n_words"))
+          .otherwise(0L)).as("content_words"),
+        sum(col("n_words")).as("total_words"),
+        md5(array_join(transform(array_sort(collect_list(
+          when(col("cls") === "good", struct(col("pos"), col("txt"))))),
+          x => x.getField("txt")), " ")).as("content_md5"))
+      .select(col("doc_id"), col("n_blocks"), col("n_good"),
+        col("n_bad"), col("content_words"),
+        expr("(total_words - content_words) * 1000000 DIV total_words")
+          .as("boiler_ratio_e6"),
+        col("content_md5"))
+  }
+
+  /** Oracle for q324: the scaffold, segmentation, densities, context
+    * windows and content digest replayed verbatim in DuckDB. */
+  private def boilerplateOracle: String = s"""
+      WITH docs AS (
+        SELECT doc_id, ${sqlTokens("text")} AS t
+        FROM documents WHERE length(trim(text)) > 0),
+      raws AS (
+        SELECT doc_id,
+          '<nav><a href="/">Home</a> <a href="/about">About</a> ' ||
+          '<a href="/contact">Contact</a> <a href="/login">Login</a>' ||
+          '</nav><p>' ||
+          array_to_string(list_slice(t, 1, (len(t) + 1) // 2), ' ') ||
+          '</p><div><a href="/m">more</a> read ' ||
+          '<a href="/l">links</a> here</div><p>' ||
+          array_to_string(
+            list_slice(t, (len(t) + 1) // 2 + 1, len(t)), ' ') ||
+          '</p><footer>copyright 2024 example corp rights reserved' ||
+          '</footer>' AS raw
+        FROM docs),
+      segs AS (
+        SELECT doc_id, i AS pos, l[i] AS block
+        FROM (SELECT doc_id,
+                string_split_regex(raw, '$BlockTagRe') AS l,
+                unnest(range(1, len(string_split_regex(raw,
+                  '$BlockTagRe')) + 1)) AS i
+              FROM raws)),
+      feats AS (
+        SELECT doc_id, pos, txt,
+          CAST(len(array_to_string(regexp_extract_all(block,
+            '$AnchorRe', 1), '')) AS BIGINT) AS link_chars,
+          CAST(len(string_split(txt, ' ')) AS BIGINT) AS n_words,
+          CAST(len(regexp_extract_all(txt,
+            '${stopwordPattern("en")}')) AS BIGINT) AS stop_hits
+        FROM (SELECT doc_id, pos, block,
+                trim(regexp_replace(regexp_replace(block,
+                  '$TagRe', ' ', 'g'), '\\s+', ' ', 'g')) AS txt
+              FROM segs)
+        WHERE len(txt) > 0),
+      pre AS (
+        SELECT doc_id, pos, txt, n_words,
+          CASE WHEN link_chars * 1000000 // len(txt) > $BoilerLinkE6
+              THEN 'bad'
+            WHEN n_words < $BoilerMinWords THEN 'short'
+            WHEN stop_hits * 1000000 // n_words >= $BoilerStopE6
+              THEN 'good'
+            ELSE 'bad' END AS cls0
+        FROM feats),
+      ctx AS (
+        SELECT doc_id, pos, txt, n_words, cls0,
+          last_value(CASE WHEN cls0 <> 'short' THEN cls0 END
+            IGNORE NULLS) OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            AS prev_ns,
+          first_value(CASE WHEN cls0 <> 'short' THEN cls0 END
+            IGNORE NULLS) OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+            AS next_ns
+        FROM pre),
+      fin AS (
+        SELECT doc_id, pos, txt, n_words,
+          CASE WHEN cls0 <> 'short' THEN cls0
+            WHEN prev_ns = 'good' OR next_ns = 'good' THEN 'good'
+            ELSE 'bad' END AS cls
+        FROM ctx)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+        CAST(SUM(CASE WHEN cls = 'good' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_good,
+        CAST(SUM(CASE WHEN cls = 'bad' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_bad,
+        CAST(SUM(CASE WHEN cls = 'good' THEN n_words ELSE 0 END)
+          AS BIGINT) AS content_words,
+        CAST((SUM(n_words) - SUM(CASE WHEN cls = 'good' THEN n_words
+          ELSE 0 END)) * 1000000 // SUM(n_words) AS BIGINT)
+          AS boiler_ratio_e6,
+        md5(COALESCE(string_agg(CASE WHEN cls = 'good' THEN txt END,
+          ' ' ORDER BY pos), '')) AS content_md5
+      FROM fin GROUP BY doc_id"""
+
   /** C4-style repetition filter signals: top-word share of each document
     * (high share ⇒ boilerplate/spam). One explode + two aggregations. */
   def repetitionFilter(spark: SparkSession, dir: String): DataFrame = {
@@ -2321,6 +2500,8 @@ object TextQueries {
       Some(bpeBudgetOracle)),
     QueryDef("q320_byte_bpe", byteBpe(_, _), Some(byteBpeOracle)),
     QueryDef("q322_wordpiece", wordPiece(_, _), Some(wordPieceOracle)),
+    QueryDef("q324_boilerplate_blocks", boilerplateBlocks(_, _),
+      Some(boilerplateOracle)),
     QueryDef("q55_tfidf_top_terms", tfidfTopTerms(_, _), Some(s"""
       WITH tf AS (
         SELECT doc_id, tok AS term, COUNT(*) AS tf
