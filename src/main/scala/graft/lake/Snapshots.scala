@@ -672,6 +672,45 @@ object Snapshots {
     }
   }
 
+  val ShowStatsSchema: StructType = StructType(Seq(
+    StructField("column_name", StringType, nullable = true),
+    StructField("distinct_count", LongType, nullable = true),
+    StructField("null_count", LongType, nullable = true),
+    StructField("row_count", LongType, nullable = true),
+    StructField("size_bytes", LongType, nullable = true)))
+
+  /** `SHOW STATS cat.t` (the Trino statement) from LOG METADATA alone —
+    * zero data scan: one row per declared sketch column (the KMV
+    * distinct estimate and exact null count; NULL where the log
+    * declines) plus a summary row (NULL column_name) carrying the live
+    * row count and byte size ([[liveStatsFor]]). The discoverability
+    * face of the q323 sketches: what a query author or external
+    * optimizer reads before writing the join. O(log objects + sidecar
+    * KBs), driver-side. */
+  def showStats(spark: SparkSession, table: String): DataFrame = {
+    val v = latestVersion(spark, table).getOrElse(
+      throw new IllegalArgumentException(s"no versions of $table"))
+    val s = snapshot(spark, table, v).get
+    val declared = s.properties.get(SketchColumnsKey)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+    val colRows = declared.map { c =>
+      org.apache.spark.sql.Row(c,
+        ndvFor(spark, table, s, c).map(Long.box).orNull,
+        nullCountFor(spark, table, s, c).map(Long.box).orNull,
+        null, null)
+    }
+    val summary = liveStatsFor(spark, table, s) match {
+      case Some((rows, bytes)) => org.apache.spark.sql.Row(
+        null, null, null, Long.box(rows), Long.box(bytes))
+      case None => org.apache.spark.sql.Row(null, null, null, null, null)
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList(scala.jdk.CollectionConverters
+        .SeqHasAsJava(colRows :+ summary).asJava),
+      ShowStatsSchema)
+  }
+
   private val sketchCache = scala.collection.concurrent.TrieMap
     .empty[(String, String), (Map[String, Map[String, Seq[Long]]],
       Map[String, Map[String, Long]])]

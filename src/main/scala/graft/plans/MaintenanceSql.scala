@@ -101,6 +101,12 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   // snapshot catalog and falls through verbatim otherwise.
   private val DescribeHistoryRe =
     """(?is)^\s*DESC(?:RIBE)?\s+HISTORY\s+([\w.]+)\s*;?\s*$""".r
+  // table statistics discoverability (the Trino SHOW STATS statement):
+  // served from the log's manifest rows/sizes and sketch sidecars —
+  // zero data scan. Guarded like DESCRIBE HISTORY: only under a
+  // registered snapshot catalog.
+  private val ShowStatsRe =
+    """(?is)^\s*SHOW\s+STATS\s+(?:FOR\s+)?([\w.]+)\s*;?\s*$""".r
   // RESTORE by wall clock — resolved through the same monotone
   // in-commit-timestamp index TIMESTAMP AS OF reads use (q182)
   private val RestoreTsRe =
@@ -169,6 +175,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     case CopyIntoRe(t, src) => CopyIntoCommand(path(t), src)
     case DescribeHistoryRe(t) if snapshotPath(t).isDefined =>
       DescribeHistoryCommand(snapshotPath(t).get)
+    case ShowStatsRe(t) if snapshotPath(t).isDefined =>
+      ShowStatsCommand(snapshotPath(t).get)
     case RestoreRe(t, v) => RestoreTableCommand(path(t), v)
     case RestoreTsRe(t, ts) => RestoreTableTimestampCommand(path(t), ts)
     case VacuumTsRe(t, ts) => VacuumBeforeTimestampCommand(path(t), ts)
@@ -274,6 +282,19 @@ case class DescribeHistoryCommand(table: String)
       AttributeReference(f.name, f.dataType, f.nullable)())
   override def run(spark: SparkSession): Seq[Row] =
     Snapshots.history(spark, table).collect().toSeq
+}
+
+/** `SHOW STATS [FOR] cat.t` → [[Snapshots.showStats]] (the Trino
+  * statement): per-declared-column distinct estimates and exact null
+  * counts from the q323 sketch sidecars, plus a summary row with the
+  * live row count and byte size — all LOG metadata, zero data scan.
+  * NULL cells where the log honestly declines. */
+case class ShowStatsCommand(table: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Snapshots.ShowStatsSchema.fields.toSeq.map(f =>
+      AttributeReference(f.name, f.dataType, f.nullable)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Snapshots.showStats(spark, table).collect().toSeq
 }
 
 /** `RESTORE TABLE cat.t TO TIMESTAMP AS OF '<ts>'` — the wall-clock

@@ -4471,7 +4471,92 @@ object LayoutQueries {
     s"WITH $ctes\n      $rows"
   }
 
+  /** q325 — `SHOW STATS` OVER SQL (the Trino statement, q323's
+    * discoverability face): the parser intercepts `SHOW STATS [FOR]
+    * cat.t` under a registered snapshot catalog and serves per-column
+    * distinct estimates + exact null counts from the sketch sidecars
+    * and the live row count + byte size from the manifests — all LOG
+    * metadata, zero data scan. The gate runs the statement over a
+    * declared two-append table and pins: per-column estimates equal
+    * the oracle's raw-row estimator replay, null counts exact, the
+    * summary row count exact; byte size is filesystem truth the
+    * oracle cannot know, attested as a sign flag. */
+  def showStatsSql(spark: SparkSession, dir: String): DataFrame = {
+    import graft.lake.Snapshots
+    val root = graft.util.Scratch.dir("showstats", dir)
+    val table = s"$root/orders_ss"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+    val orders = Tables(spark, dir, "orders")
+    Snapshots.createTable(spark, table,
+      orders.schema.fields.toSeq.map(f => (f.name, f.dataType.sql, None)),
+      properties = Map(Snapshots.SketchColumnsKey ->
+        "o_custkey,o_orderpriority"))
+    Snapshots.append(spark, table,
+      orders.filter(col("o_orderkey") % 2 === 0))
+    Snapshots.append(spark, table,
+      orders.filter(col("o_orderkey") % 2 === 1))
+    val cat = s"ss_${Integer.toHexString(dir.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.lake.SnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val res = spark.sql(s"SHOW STATS FOR $cat.orders_ss").collect()
+    val rows = res.toSeq.map { r =>
+      org.apache.spark.sql.Row(r.get(0), r.get(1), r.get(2), r.get(3),
+        if (r.isNullAt(0))
+          Boolean.box(!r.isNullAt(4) && r.getLong(4) > 0L)
+        else null)
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList(scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows).asJava),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("column_name",
+          org.apache.spark.sql.types.StringType, nullable = true),
+        org.apache.spark.sql.types.StructField("distinct_count",
+          org.apache.spark.sql.types.LongType, nullable = true),
+        org.apache.spark.sql.types.StructField("null_count",
+          org.apache.spark.sql.types.LongType, nullable = true),
+        org.apache.spark.sql.types.StructField("row_count",
+          org.apache.spark.sql.types.LongType, nullable = true),
+        org.apache.spark.sql.types.StructField("size_positive",
+          org.apache.spark.sql.types.BooleanType, nullable = true))))
+  }
+
+  /** Oracle for q325: the q323 estimator replayed per column over the
+    * raw rows (both appends together are the whole table), exact null
+    * counts, exact summary row count; the size flag is a literal. */
+  private def showStatsOracle: String = {
+    val k = graft.lake.Snapshots.SketchK
+    val dom = graft.lake.Snapshots.SketchDomain
+    def est(tag: String, c: String): String = s"""
+      h_$tag AS (
+        SELECT DISTINCT
+          ('0x' || substr(md5(CAST($c AS VARCHAR)), 1, 12))::BIGINT AS h
+        FROM orders WHERE $c IS NOT NULL),
+      e_$tag AS (
+        SELECT CAST(CASE WHEN (SELECT COUNT(*) FROM h_$tag) < $k
+            THEN (SELECT COUNT(*) FROM h_$tag)
+            ELSE (${k - 1} * ${dom}::BIGINT) //
+              (SELECT h FROM h_$tag ORDER BY h LIMIT 1 OFFSET ${k - 1})
+          END AS BIGINT) AS ndv,
+          (SELECT CAST(COUNT(*) - COUNT($c) AS BIGINT) FROM orders)
+            AS nulls)"""
+    s"""
+      WITH ${est("c", "o_custkey")},${est("p", "o_orderpriority")}
+      SELECT 'o_custkey' AS column_name, ndv AS distinct_count,
+        nulls AS null_count, CAST(NULL AS BIGINT) AS row_count,
+        CAST(NULL AS BOOLEAN) AS size_positive FROM e_c
+      UNION ALL
+      SELECT 'o_orderpriority', ndv, nulls, CAST(NULL AS BIGINT),
+        CAST(NULL AS BOOLEAN) FROM e_p
+      UNION ALL
+      SELECT CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+        CAST(NULL AS BIGINT),
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM orders), true"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q325_show_stats", showStatsSql, Some(showStatsOracle)),
     QueryDef("q323_log_ndv", logNdv, Some(logNdvOracle)),
     QueryDef("q309_create_table_ddl", createTableDdl, Some(s"""
       WITH t AS (
