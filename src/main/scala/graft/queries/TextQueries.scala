@@ -921,6 +921,142 @@ object TextQueries {
           ' ' ORDER BY pos), '')) AS content_md5
       FROM fin GROUP BY doc_id"""
 
+  /** q326 span length (tokens) and the eval-slice modulus. */
+  private val SpanK = 8
+  private val SpanEvalMod = 17
+
+  /** q326 — EXACT-SUBSTRING SPAN DECONTAMINATION (Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better" — the
+    * production discipline for benchmark leakage: REMOVE every
+    * ≥k-token span a training document shares with the held-out set,
+    * instead of q43's document-level contamination flag; span surgery
+    * keeps the rest of the document, which at pretraining scale is
+    * the difference between losing spans and losing corpora):
+    *
+    *  - the eval slice (`doc_id % 17 = 0`) contributes its distinct
+    *    k-grams (k = [[SpanK]] whitespace tokens, matched as exact
+    *    joined strings — at 100 TB the equi-join key becomes the q15
+    *    rolling hash with a string verify, same shape);
+    *  - every train-doc k-gram start that equi-joins the BROADCAST
+    *    eval set marks the token interval [i, i+k); overlapping
+    *    intervals merge (running-max window per doc — the classic
+    *    interval union, co-partitioned after one shuffle);
+    *  - removed positions subtract by anti-join and the surviving
+    *    tokens reassemble in order — cleaned text digest, token
+    *    counts, and merged-span counts per train document (clean docs
+    *    attest untouched: digest of the full text, zero spans).
+    *
+    * Scale shape: one bounded k-gram explode over train docs, one
+    * broadcast join against the KB eval synopsis, windows and joins
+    * all keyed by doc_id — no all-pairs, no global sort. The oracle
+    * replays slicing, matching, interval merge, and the digest. */
+  def spanDecontamination(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = graft.util.Par.ensure(Tables(spark, dir, "documents"))
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+    val kgrams = (d: DataFrame) => d.filter(col("n") >= SpanK)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), (col("n") - (SpanK - 1)).cast("int")))
+          .as("i"), col("toks"))
+      .select(col("doc_id"), col("i"),
+        array_join(slice(col("toks"), col("i"), lit(SpanK)), " ")
+          .as("kg"))
+    val evalSet = kgrams(docs.filter(col("doc_id") % SpanEvalMod === 0))
+      .select(col("kg")).distinct()
+    val train = docs.filter(col("doc_id") % SpanEvalMod =!= 0)
+    val starts = kgrams(train).join(broadcast(evalSet), "kg")
+      .select(col("doc_id"), col("i"))
+    val removed = starts
+      .select(col("doc_id"),
+        explode(sequence(col("i"), col("i") + (SpanK - 1))).as("p"))
+      .distinct()
+    val nRemoved = removed.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_removed"))
+    val prevEnd = max(col("i") + (SpanK - 1)).over(Window
+      .partitionBy("doc_id").orderBy("i")
+      .rowsBetween(Window.unboundedPreceding, -1))
+    val nSpans = starts.withColumn("pe", prevEnd)
+      .select(col("doc_id"),
+        when(col("pe").isNull || col("i") > col("pe"), 1L).otherwise(0L)
+          .as("fresh"))
+      .groupBy("doc_id").agg(sum(col("fresh")).as("n_spans"))
+    val kept = train
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("p0", "tok")))
+      .withColumn("p", col("p0") + 1)
+      .join(removed, Seq("doc_id", "p"), "left_anti")
+    val cleaned = kept.groupBy("doc_id")
+      .agg(md5(array_join(transform(array_sort(collect_list(
+        struct(col("p"), col("tok")))), x => x.getField("tok")), " "))
+        .as("cleaned_md5"))
+    train.select(col("doc_id"), col("n").as("n_tokens"))
+      .join(nRemoved, Seq("doc_id"), "left")
+      .join(nSpans, Seq("doc_id"), "left")
+      .join(cleaned, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("cleaned_md5"), md5(lit(""))).as("cleaned_md5"))
+  }
+
+  /** Oracle for q326: slicing, eval-set matching, interval merge and
+    * the cleaned digest replayed verbatim. */
+  private def spanDecontaminationOracle: String = s"""
+      WITH docs AS (
+        SELECT doc_id, ${sqlTokens("text")} AS l,
+          CAST(len(${sqlTokens("text")}) AS BIGINT) AS n
+        FROM documents WHERE length(trim(text)) > 0),
+      ev AS (
+        SELECT DISTINCT array_to_string(list_slice(l, i, i + ${SpanK - 1}),
+          ' ') AS kg
+        FROM (SELECT l, unnest(range(1, n - ${SpanK - 2})) AS i
+              FROM docs WHERE doc_id % $SpanEvalMod = 0 AND n >= $SpanK)),
+      train AS (SELECT * FROM docs WHERE doc_id % $SpanEvalMod <> 0),
+      starts AS (
+        SELECT g.doc_id, g.i
+        FROM (SELECT doc_id,
+                array_to_string(list_slice(l, i, i + ${SpanK - 1}), ' ')
+                  AS kg, i
+              FROM (SELECT doc_id, l,
+                      unnest(range(1, n - ${SpanK - 2})) AS i
+                    FROM train WHERE n >= $SpanK)) g
+        JOIN ev ON ev.kg = g.kg),
+      removed AS (
+        SELECT DISTINCT doc_id, unnest(range(i, i + $SpanK)) AS p
+        FROM starts),
+      nrem AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_removed
+        FROM removed GROUP BY doc_id),
+      nspan AS (
+        SELECT doc_id, CAST(SUM(CASE WHEN pe IS NULL OR i > pe THEN 1
+          ELSE 0 END) AS BIGINT) AS n_spans
+        FROM (SELECT doc_id, i, max(i + ${SpanK - 1}) OVER (
+                PARTITION BY doc_id ORDER BY i
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+              FROM starts)
+        GROUP BY doc_id),
+      toks AS (
+        SELECT doc_id, p, l[p] AS tok
+        FROM (SELECT doc_id, l, unnest(range(1, n + 1)) AS p FROM train)),
+      kept AS (
+        SELECT t.doc_id, t.p, t.tok
+        FROM toks t ANTI JOIN removed r
+          ON r.doc_id = t.doc_id AND r.p = t.p),
+      cleaned AS (
+        SELECT doc_id,
+          md5(COALESCE(string_agg(tok, ' ' ORDER BY p), ''))
+            AS cleaned_md5
+        FROM kept GROUP BY doc_id)
+      SELECT tr.doc_id, tr.n AS n_tokens,
+        COALESCE(nrem.n_removed, 0) AS n_removed,
+        COALESCE(nspan.n_spans, 0) AS n_spans,
+        COALESCE(cleaned.cleaned_md5, md5('')) AS cleaned_md5
+      FROM train tr
+      LEFT JOIN nrem ON nrem.doc_id = tr.doc_id
+      LEFT JOIN nspan ON nspan.doc_id = tr.doc_id
+      LEFT JOIN cleaned ON cleaned.doc_id = tr.doc_id"""
+
   /** C4-style repetition filter signals: top-word share of each document
     * (high share ⇒ boilerplate/spam). One explode + two aggregations. */
   def repetitionFilter(spark: SparkSession, dir: String): DataFrame = {
@@ -2502,6 +2638,8 @@ object TextQueries {
     QueryDef("q322_wordpiece", wordPiece(_, _), Some(wordPieceOracle)),
     QueryDef("q324_boilerplate_blocks", boilerplateBlocks(_, _),
       Some(boilerplateOracle)),
+    QueryDef("q326_span_decontamination", spanDecontamination(_, _),
+      Some(spanDecontaminationOracle)),
     QueryDef("q55_tfidf_top_terms", tfidfTopTerms(_, _), Some(s"""
       WITH tf AS (
         SELECT doc_id, tok AS term, COUNT(*) AS tf
