@@ -30,6 +30,15 @@ object GraftSession {
       .config("spark.sql.codegen.cache.maxEntries", "3000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // NOTE (r18, measured and rejected): lowering
+      // spark.sql.adaptive.coalescePartitions.minPartitionSize to 16k
+      // to keep tiny-bytes/heavy-CPU shuffles parallel was a 40% NET
+      // LOSS on the lifecycle families (160.4s vs 114.5s over the same
+      // 16-query subset) — every KB-scale exchange in every commit then
+      // fans into ~14 tasks and job-count-heavy queries drown in task
+      // overhead. Queries whose shuffle moves a lightweight proxy with
+      // heavy per-row verify compute (q105) instead pin their
+      // parallelism EXPLICITLY at the one exchange that needs it.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // ms/µs parquet timestamps surface as LTZ instants (UTC session)
       // rather than NTZ — keeps unix_micros & friends applicable everywhere
@@ -56,6 +65,16 @@ object GraftSession {
       // 5-term query)
       .config("spark.sql.sources.bucketing.autoBucketedScan.enabled",
         "false")
+      // distributed file-listing cutover (default 32 paths): snapshot
+      // reads pass EXPLICIT per-commit file lists, so "listing" a path
+      // is one FS status call, not a directory walk — the driver's own
+      // listing pool handles hundreds of such paths faster than
+      // scheduling a cluster job for them. Log-served scans skip the
+      // listing entirely; this covers the remaining path-list readers
+      // (catalog DSv2 tables, mixed-schema fallbacks). Parameterized
+      // for deployments whose listings ARE directory walks.
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
+        sys.env.getOrElse("SPARK_GRAFT_LISTING_JOB_THRESHOLD", "512"))
       .config("spark.ui.enabled", "false")
 
   /** Streaming state-store provider class from SPARK_GRAFT_STATE_STORE

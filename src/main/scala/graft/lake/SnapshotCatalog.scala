@@ -216,7 +216,8 @@ final class SnapshotCatalog extends TableCatalog {
       // AppendData (routed to the log) instead of falling back to a V1
       // file write into the version's file list — see its Scaladoc
       SnapshotReadTable(GraftSqlBridge.parquetTable(s"${ident.name()}@v$v",
-        spark, s.files.map(f => Snapshots.filePath(t, f)), opts), t, v,
+        spark, s.files.map(f => Snapshots.filePath(t, f)), opts,
+        schema = Snapshots.uniformLogSchema(s, s.files)), t, v,
         logProps = s.properties)
     }
   }

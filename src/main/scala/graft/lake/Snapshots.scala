@@ -717,7 +717,7 @@ object Snapshots {
 
   /** The (per-column → per-file sketches, per-column → per-file null
     * counts) one staging dir's sidecar records ([[collectSketches]] /
-    * [[collectNullCounts]]); empty when absent (the dir was staged
+    * [[collectSketches]]); empty when absent (the dir was staged
     * before the table declared sketch columns) or unreadable. Staging
     * dirs are immutable once referenced, hence the cache. */
   private def sketchDir(spark: SparkSession, table: String,
@@ -1419,13 +1419,11 @@ object Snapshots {
     // restages and compactions keep the table's NDV metadata.
     val sketchCols = declaredCols(spark, table, SketchColumnsKey)
     if (sketchCols.nonEmpty && files.nonEmpty) {
-      val sk = collectSketches(spark, table, files, sketchCols)
+      val (sk, nulls) = collectSketches(spark, table, files, sketchCols)
       if (sk.nonEmpty) {
         val ops = new FileOps(spark.sparkContext.hadoopConfiguration)
         ops.writeString(s"$dataDir/$SketchSidecar", Json.render(Map(
-          "k" -> SketchK.toLong, "cols" -> sk,
-          "nulls" -> collectNullCounts(spark, table, files,
-            sk.keys.toSeq.sorted))))
+          "k" -> SketchK.toLong, "cols" -> sk, "nulls" -> nulls)))
       }
     }
     (files, collectStats(spark, table, files, allStats),
@@ -1444,51 +1442,44 @@ object Snapshots {
     * — unknown never answers. */
   private def collectSketches(spark: SparkSession, table: String,
       files: Seq[String], cols: Seq[String])
-      : Map[String, Map[String, Seq[Long]]] = {
-    import org.apache.spark.sql.functions.{conv, md5, substring}
-    if (cols.isEmpty || files.isEmpty) return Map.empty
+      : (Map[String, Map[String, Seq[Long]]],
+         Map[String, Map[String, Long]]) = {
+    import org.apache.spark.sql.functions.{conv, md5, substring, sum}
+    if (cols.isEmpty || files.isEmpty) return (Map.empty, Map.empty)
     val root = LakePaths.tableRootPath(spark, table)
     val data = spark.read.option("mergeSchema", "true")
       .parquet(files.map(f => filePath(table, f)): _*)
-    cols.filter(data.schema.fieldNames.contains).map { c =>
-      val perFile = data
-        .filter(col(c).isNotNull)
-        .select(LakePaths.relFileCol(root).as("_f"),
+    val present = cols.filter(data.schema.fieldNames.contains)
+    if (present.isEmpty) return (Map.empty, Map.empty)
+    // ONE partial-aggregated pass for EVERY sketched column's KMV
+    // bottom-k AND its null count (guide §2.3/§1.2): the previous shape
+    // paid one distinct-exchange + top-k job PER COLUMN plus a separate
+    // null-count job — k+1 full reads of the fresh delta per commit.
+    // BottomKDistinct dedups inside its O(k) buffer, so no distinct
+    // exchange exists at all and only O(files × cols × k) state crosses
+    // the one shuffle.
+    val aggs = present.flatMap { c =>
+      Seq(graft.functions.BottomKDistinct.column(
           conv(substring(md5(col(c).cast("string")), 1, 12), 16, 10)
-            .cast("long").as("_h"))
-        .distinct()
-        .groupBy("_f")
-        .agg(graft.functions.TopKPairs.column(
-          -col("_h").cast("double"), col("_h"), SketchK).as("_t"))
-        .select(col("_f"), col("_t.id").as("hs"))
-        .collect()
-        .map(r => r.getString(0) -> r.getSeq[Long](1).sorted.toSeq)
-        .toMap
-      c -> files.map(f => f -> perFile.getOrElse(f, Seq.empty[Long])).toMap
-    }.toMap
-  }
-
-  /** Per-file NULL counts for the sketched columns, ONE narrow pass
-    * over the fresh delta for all columns together — the second half
-    * of the CBO column statistic ([[ndvAt]] serves distinct counts;
-    * join-cardinality estimation wants null counts beside them). */
-  private def collectNullCounts(spark: SparkSession, table: String,
-      files: Seq[String], cols: Seq[String])
-      : Map[String, Map[String, Long]] = {
-    import org.apache.spark.sql.functions.sum
-    if (cols.isEmpty || files.isEmpty) return Map.empty
-    val root = LakePaths.tableRootPath(spark, table)
-    val aggs = cols.map(c =>
-      sum(when(col(c).isNull, 1L).otherwise(0L)).as(c))
-    val rows = spark.read.option("mergeSchema", "true")
-      .parquet(files.map(f => filePath(table, f)): _*)
+            .cast("long"), SketchK).as(s"_sk_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"_nl_$c"))
+    }
+    val rows = data
       .groupBy(LakePaths.relFileCol(root).as("_f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
-    cols.zipWithIndex.map { case (c, i) =>
-      c -> rows.map(r => r.getString(0) ->
-        (if (r.isNullAt(i + 1)) 0L else r.getLong(i + 1))).toMap
+    val sketches = present.map { c =>
+      val perFile = rows.map(r =>
+        r.getString(0) -> r.getSeq[Long](r.fieldIndex(s"_sk_$c")).toSeq).toMap
+      c -> files.map(f => f -> perFile.getOrElse(f, Seq.empty[Long])).toMap
     }.toMap
+    val nulls = present.map { c =>
+      c -> rows.map { r =>
+        val i = r.fieldIndex(s"_nl_$c")
+        r.getString(0) -> (if (r.isNullAt(i)) 0L else r.getLong(i))
+      }.toMap
+    }.toMap
+    (sketches, nulls)
   }
 
   /** Sized for KB-scale manifests; a production writer tunes bits to its
@@ -2345,12 +2336,68 @@ object Snapshots {
 
   /** Scan with table-relative (file, pos) reader columns attached. */
   private def withMeta(spark: SparkSession, table: String,
-      files: Seq[String]): DataFrame = {
+      files: Seq[String], snap: Option[Snapshot] = None): DataFrame = {
     val root = LakePaths.tableRootPath(spark, table)
-    spark.read.option("mergeSchema", "true")
-      .parquet(files.map(f => filePath(table, f)): _*)
+    snap.flatMap(s => logServedScan(spark, table, s, files))
+      .getOrElse(spark.read.option("mergeSchema", "true")
+        .parquet(files.map(f => filePath(table, f)): _*))
       .withColumn("_snap_file", LakePaths.relFileCol(root))
       .withColumn("_snap_pos", col("_metadata.row_index"))
+  }
+
+  /** Spec counter: successful log-served scan constructions this JVM. */
+  private[graft] val logServedScans =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** LOG-SERVED SCAN fast path (the Delta/Iceberg snapshot-read shape):
+    * when the manifests already record every requested file's byte size
+    * AND every file's staging dir recorded a schema AND those schemas
+    * are all IDENTICAL, the scan is built directly from log metadata —
+    * no filesystem listing (a `spark.read.parquet(paths)` pays an
+    * InMemoryFileIndex listing per call, a distributed listing JOB past
+    * the parallel-discovery threshold) and no mergeSchema footer pass
+    * (a second job reading every footer). At 100 TB / O(100k files)
+    * those are 100k object-store round-trips per query before the first
+    * data byte; locally they are 2 driver jobs per snapshot read, and
+    * lifecycle queries read snapshots dozens of times. Declines (None)
+    * whenever the log cannot answer COMPLETELY — pre-sizes manifests,
+    * schema-divergent eras (additive evolution reads keep the
+    * mergeSchema semantics they attest), files outside recorded dirs —
+    * so the fallback path and its plans are byte-identical to before. */
+  /** The ONE schema every requested file's staging dir recorded, when
+    * the log can prove it (all dirs covered, all recorded schemas
+    * identical) — what lets a reader skip schema inference entirely. */
+  private[graft] def uniformLogSchema(s: Snapshot,
+      files: Seq[String]): Option[StructType] = {
+    if (files.isEmpty || s.dirSchemas.isEmpty) return None
+    def schemaOf(f: String): Option[StructType] = {
+      val i = f.lastIndexOf('/')
+      if (i <= 0) None else s.dirSchemas.get(f.substring(0, i))
+    }
+    val schemas = files.map(schemaOf)
+    if (schemas.exists(_.isEmpty)) return None
+    val distinct = schemas.map(_.get).distinct
+    if (distinct.size == 1) Some(distinct.head) else None
+  }
+
+  private def logServedScan(spark: SparkSession, table: String,
+      s: Snapshot, files: Seq[String]): Option[DataFrame] = {
+    val uniform = uniformLogSchema(s, files)
+    if (uniform.isEmpty) return None
+    val sizes = s.manifests.foldLeft(Map.empty[String, Long])(
+      (m, id) => m ++ manifestSizes(spark, table, id))
+    if (!files.forall(sizes.contains)) return None
+    val distinct = uniform.toSeq
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(table).getFileSystem(conf)
+    def qualified(f: String): String =
+      fs.makeQualified(new org.apache.hadoop.fs.Path(filePath(table, f)))
+        .toString
+    logServedScans.incrementAndGet()
+    Some(org.apache.spark.sql.GraftSqlBridge.logFileRelation(spark,
+      distinct.head,
+      fs.makeQualified(new org.apache.hadoop.fs.Path(table)).toString,
+      files.map(f => qualified(f) -> sizes(f))))
   }
 
   /** Write a tombstone relation (`file`, `pos` rows) as the positional
@@ -2597,7 +2644,8 @@ object Snapshots {
       // LOG-truth statistics ([[leafStatsFor]]) — attached to the DATA
       // leaf only (before any tombstone join enters the plan)
       leafStats: Option[
-        org.apache.spark.sql.catalyst.catalog.CatalogStatistics] = None)
+        org.apache.spark.sql.catalyst.catalog.CatalogStatistics] = None,
+      snap: Option[Snapshot] = None)
       : DataFrame =
     if (files.isEmpty) spark.emptyDataFrame
     else if (deletes.isEmpty) {
@@ -2607,12 +2655,15 @@ object Snapshots {
       // the new column as null. At 100 TB the union is computed from
       // file FOOTERS, never a data pass. RowIdCol is a hidden physical
       // column ([[optimizeRowIds]]) — plain reads never surface it.
-      val data = spark.read.option("mergeSchema", "true")
-        .parquet(files.map(f => filePath(table, f)): _*)
+      // Uniform-schema versions take the log-served fast path instead
+      // ([[logServedScan]]): zero listings, zero footer probes.
+      val data = snap.flatMap(s => logServedScan(spark, table, s, files))
+        .getOrElse(spark.read.option("mergeSchema", "true")
+          .parquet(files.map(f => filePath(table, f)): _*))
         .drop(RowIdCol)
       leafStats.fold(data)(withLeafStats(spark, data, _))
     } else {
-      val data = withMeta(spark, table, files)
+      val data = withMeta(spark, table, files, snap)
       val statted = leafStats.fold(data)(withLeafStats(spark, data, _))
       subtractDeletes(spark, table, statted, deletes)
         .drop("_snap_file", "_snap_pos", RowIdCol)
@@ -2668,7 +2719,7 @@ object Snapshots {
       if (s.files.isEmpty) spark.emptyDataFrame
       else {
         val data = subtractDeletes(spark, table,
-          withMeta(spark, table, s.files), s.deletes)
+          withMeta(spark, table, s.files, Some(s)), s.deletes)
         val fresh = org.apache.spark.sql.functions
           .xxhash64(col("_snap_file"), col("_snap_pos"))
         val withId =
@@ -2713,7 +2764,7 @@ object Snapshots {
       eraRead(spark, table, s)
     else
       try readSnapshot(spark, table, s.files, s.deletes,
-        leafStatsFor(spark, table, s))
+        leafStatsFor(spark, table, s), Some(s))
       catch {
         case _: org.apache.spark.SparkException |
             _: org.apache.spark.sql.AnalysisException =>
@@ -3584,7 +3635,7 @@ object Snapshots {
           case None => lit(null).cast(f.dataType).as(f.name)
         }
       }
-      val mapped = withMeta(spark, table, fs)
+      val mapped = withMeta(spark, table, fs, Some(s))
         .select(col("_snap_file") +: col("_snap_pos") +: casts: _*)
       // absent columns with a registered DEFAULT fill AFTER the
       // era→current mapping, so the expression resolves under CURRENT

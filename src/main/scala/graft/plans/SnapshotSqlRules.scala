@@ -1066,9 +1066,13 @@ case class SnapshotScanPruning(spark: SparkSession)
       else {
         val opts = new java.util.HashMap[String, String]()
         opts.put("mergeSchema", "true")
+        // the relation's resolved schema carries over: the pruned file
+        // subset serves the same columns, so re-inferring from footers
+        // (a None schema) would pay a pass for an answer already known
         val inner = GraftSqlBridge.parquetTable(
           s"${t.inner.name()}#pruned${kept.size}", spark,
-          kept.map(fl => Snapshots.filePath(t.path, fl)), opts)
+          kept.map(fl => Snapshots.filePath(t.path, fl)), opts,
+          schema = Some(t.inner.schema()))
         Some(r.copy(table =
           SnapshotReadTable(inner, t.path, t.snapVersion, Some(kept))))
       }

@@ -596,8 +596,18 @@ object DedupQueries {
                i -> concat(substring(c_name, 1, i - 1),
                            substring(c_name, i + 1, length(c_name))))),
            v -> xxhash64(v))""")))
-    val a = withVariant.alias("a")
-    val b = withVariant.alias("b")
+    // Deliberate exchange width (guide §2.5/§8): the variant relation is
+    // ~8 bytes/row — small enough that AQE's coalescing (1 MB floor)
+    // folds the join to ONE partition — but every surviving candidate
+    // pays an exact levenshtein downstream, so bytes wildly understate
+    // the stage's cost (measured: a 231 KB exchange serializing a 5.2 s
+    // single-task verify). An explicit width on the join key pins the
+    // verify stage to the machine; both sides share the one exchange.
+    // defaultParallelism scales with the cluster, never a constant.
+    val width = spark.sparkContext.defaultParallelism
+    val parted = withVariant.repartition(width, col("vh"))
+    val a = parted.alias("a")
+    val b = parted.alias("b")
     a.join(b, col("a.vh") === col("b.vh") &&
         col("a.c_name") < col("b.c_name"))
       .select(col("a.c_name").as("name_a"), col("b.c_name").as("name_b"))

@@ -1408,44 +1408,68 @@ object TextQueries {
     * [[BpeBudgetMaxIters]] stages and selects the budget-reaching
     * prefix, replaying the dynamic stopping rule statically. */
   def bpeTrainToBudget(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val seqCol = trim(regexp_replace(col("tok"), "(.)", "$1 "))
     var words = Tables(spark, dir, "documents")
       .select(explode(tokens(col("text"))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("freq"))
       .select(seqCol.as("seq"), col("freq"))
       .localCheckpoint()
-    def vocabOf(w: DataFrame): Long = w
-      .select(explode(split(col("seq"), " ")).as("s"))
-      .agg(countDistinct(col("s"))).head().getLong(0)
-    var out: DataFrame = null
+    // Literal-argmax iteration (optimization r18 — results identical,
+    // the trajectory is the same deterministic argmax): the 1-row
+    // argmax COLLECTS to the driver and re-enters the merge as string
+    // LITERALS, so (a) no crossJoin(broadcast) job per step, (b) the
+    // emitted attestation rows are literal data — the old lazy
+    // `top`/`stats` frames re-executed EVERY iteration's aggregations
+    // a second time when the final frame was consumed — and (c) the
+    // new-vocab probe and the symbols count fold into ONE agg pass
+    // (symbols_after = Σ freq over exploded symbols ≡ Σ freq·len).
+    var out = Seq.empty[(Int, String, String, Long, Long, Long)]
     var i = 0
-    var vocabNow = vocabOf(words)
+    var vocabNow = vocabAndSymbols(words)._1
     while (vocabNow < BpeVocabBudget && i < BpeBudgetMaxIters) {
       i += 1
       val t = split(col("seq"), " ")
-      val pairs = words
+      val topRow = words
         .select(col("freq"), explode(zip_with(
           slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
           (x, y) => concat(x, lit(" "), y))).as("pair"))
         .groupBy("pair").agg(sum(col("freq")).as("cnt"))
-      val top = pairs.orderBy(desc("cnt"), asc("pair")).limit(1)
-        .select(split(col("pair"), " ").getItem(0).as("a"),
-          split(col("pair"), " ").getItem(1).as("b"), col("cnt"))
-      words = words.crossJoin(broadcast(top))
-        .select(expr("""trim(replace(replace(
-            ' ' || replace(seq, ' ', '  ') || ' ',
-            ' ' || a || '  ' || b || ' ',
-            ' ' || a || b || ' '), '  ', ' '))""").as("seq"), col("freq"))
+        .orderBy(desc("cnt"), asc("pair")).limit(1).head()
+      val Array(a, b) = topRow.getString(0).split(" ", 2)
+      val cnt = topRow.getLong(1)
+      words = words
+        .select(mergedSeqCol(a, b, a + b).as("seq"), col("freq"))
         .localCheckpoint()
-      vocabNow = vocabOf(words)
-      val stats = words.agg(
-        sum(col("freq") * size(split(col("seq"), " "))).as("symbols_after"))
-      val row = top.crossJoin(broadcast(stats))
-        .select(lit(i).as("iter"), col("a"), col("b"), col("cnt"),
-          col("symbols_after"), lit(vocabNow).as("vocab_after"))
-      out = if (out == null) row else out.unionByName(row)
+      val (v, symbolsAfter) = vocabAndSymbols(words)
+      vocabNow = v
+      out = out :+ ((i, a, b, cnt, symbolsAfter, vocabNow))
     }
-    out
+    out.toDF("iter", "a", "b", "cnt", "symbols_after", "vocab_after")
+  }
+
+  /** One-pass vocab + weighted-symbol count over a (seq, freq) relation:
+    * distinct symbols and Σ freq per symbol occurrence (≡ Σ freq·len). */
+  private def vocabAndSymbols(words: DataFrame): (Long, Long) = {
+    val r = words
+      .select(col("freq"), explode(split(col("seq"), " ")).as("s"))
+      .agg(countDistinct(col("s")).as("v"), sum(col("freq")).as("sym"))
+      .head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** The shared greedy leftmost non-overlapping merge rewrite with the
+    * rule as LITERALS (`functions.replace` is literal, never regex — a
+    * corpus symbol with regex metacharacters or quotes is inert). */
+  private def mergedSeqCol(a: String, b: String, m: String)
+      : org.apache.spark.sql.Column = {
+    val doubled = concat(lit(" "),
+      org.apache.spark.sql.functions.replace(
+        col("seq"), lit(" "), lit("  ")), lit(" "))
+    trim(org.apache.spark.sql.functions.replace(
+      org.apache.spark.sql.functions.replace(
+        doubled, lit(s" $a  $b "), lit(s" $m ")),
+      lit("  "), lit(" ")))
   }
 
   /** Oracle for q194: [[bpeCtes]]-shaped stages unrolled to the cap,
@@ -1527,6 +1551,7 @@ object TextQueries {
     * the learned table and still round-trips — pure byte fallback),
     * and `base_vocab` (the oracle recomputes it from its own chain). */
   def byteBpe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val hexSeq = (c: org.apache.spark.sql.Column) => trim(regexp_replace(
       hex(encode(c, "UTF-8")), "(..)", "$1 "))
     var words = Tables(spark, dir, "documents")
@@ -1535,41 +1560,34 @@ object TextQueries {
       .groupBy("tok").agg(count(lit(1)).as("freq"))
       .select(col("tok"), hexSeq(col("tok")).as("seq"), col("freq"))
       .localCheckpoint()
-    def vocabOf(w: DataFrame): Long = w
-      .select(explode(split(col("seq"), " ")).as("s"))
-      .agg(countDistinct(col("s"))).head().getLong(0)
-    val mergeExpr = expr("""trim(replace(replace(
-        ' ' || replace(seq, ' ', '  ') || ' ',
-        ' ' || a || '  ' || b || ' ',
-        ' ' || a || b || ' '), '  ', ' '))""")
-    val vocab0 = vocabOf(words)
+    // Literal-argmax iteration — see [[bpeTrainToBudget]]: identical
+    // trajectory, one collected 1-row argmax + one fused vocab/symbols
+    // agg per step, attestation rows as literal data (no re-execution
+    // when the final frame is consumed).
+    val vocab0 = vocabAndSymbols(words)._1
     val budget = vocab0 + ByteBpeMerges
-    var out: DataFrame = null
-    val rules = Seq.newBuilder[DataFrame]
+    var out = Seq.empty[(Int, String, String, Long, Long, Long)]
+    val rules = Seq.newBuilder[(String, String)]
     var i = 0
     var vocabNow = vocab0
     while (vocabNow < budget && i < ByteBpeMaxIters) {
       i += 1
       val t = split(col("seq"), " ")
-      val pairs = words
+      val topRow = words
         .select(col("freq"), explode(zip_with(
           slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
           (x, y) => concat(x, lit(" "), y))).as("pair"))
         .groupBy("pair").agg(sum(col("freq")).as("cnt"))
-      val top = pairs.orderBy(desc("cnt"), asc("pair")).limit(1)
-        .select(split(col("pair"), " ").getItem(0).as("a"),
-          split(col("pair"), " ").getItem(1).as("b"), col("cnt"))
-      words = words.crossJoin(broadcast(top))
-        .select(col("tok"), mergeExpr.as("seq"), col("freq"))
+        .orderBy(desc("cnt"), asc("pair")).limit(1).head()
+      val Array(a, b) = topRow.getString(0).split(" ", 2)
+      val cnt = topRow.getLong(1)
+      words = words
+        .select(col("tok"), mergedSeqCol(a, b, a + b).as("seq"), col("freq"))
         .localCheckpoint()
-      vocabNow = vocabOf(words)
-      val stats = words.agg(
-        sum(col("freq") * size(split(col("seq"), " "))).as("symbols_after"))
-      val row = top.crossJoin(broadcast(stats))
-        .select(lit(i).as("iter"), col("a"), col("b"), col("cnt"),
-          col("symbols_after"), lit(vocabNow).as("vocab_after"))
-      out = if (out == null) row else out.unionByName(row)
-      rules += top.select(col("a"), col("b"))
+      val (v, symbolsAfter) = vocabAndSymbols(words)
+      vocabNow = v
+      out = out :+ ((i, a, b, cnt, symbolsAfter, vocabNow))
+      rules += ((a, b))
     }
     // round trip over EVERY distinct corpus token: the merged symbols
     // concatenate back to exactly the original UTF-8 hex
@@ -1577,18 +1595,20 @@ object TextQueries {
       expr("replace(seq, ' ', '')") =!=
         hex(encode(col("tok"), "UTF-8"))).isEmpty
     // byte fallback: a script the corpus never saw encodes through the
-    // SAME learned table and still round-trips exactly
-    var probe = spark.range(1)
+    // SAME learned table and still round-trips exactly — the 1-row
+    // probe applies the collected rules as a literal expression chain,
+    // one job instead of a crossJoin per rule
+    var probeSeq = spark.range(1)
       .select(lit("Ωβ✓語").as("tok"))
       .select(col("tok"), hexSeq(col("tok")).as("seq"))
-    rules.result().foreach { r =>
-      probe = probe.crossJoin(broadcast(r))
-        .select(col("tok"), mergeExpr.as("seq"))
+    rules.result().foreach { case (a, b) =>
+      probeSeq = probeSeq
+        .select(col("tok"), mergedSeqCol(a, b, a + b).as("seq"))
     }
-    val probeExact = probe.filter(
+    val probeExact = probeSeq.filter(
       expr("replace(seq, ' ', '')") =!=
         hex(encode(col("tok"), "UTF-8"))).isEmpty
-    out
+    out.toDF("iter", "a", "b", "cnt", "symbols_after", "vocab_after")
       .withColumn("base_vocab", lit(vocab0))
       .withColumn("round_trip_exact", lit(roundTripExact))
       .withColumn("probe_fallback_exact", lit(probeExact))
@@ -1703,17 +1723,14 @@ object TextQueries {
       .groupBy("tok").agg(count(lit(1)).as("freq"))
       .localCheckpoint()
     var words = wfreq.select(seq0.as("seq"), col("freq")).localCheckpoint()
-    def vocabOf(w: DataFrame): Long = w
-      .select(explode(split(col("seq"), " ")).as("s"))
-      .agg(countDistinct(col("s"))).head().getLong(0)
-    val mergeExpr = expr("""trim(replace(replace(
-        ' ' || replace(seq, ' ', '  ') || ' ',
-        ' ' || a || '  ' || b || ' ',
-        ' ' || m || ' '), '  ', ' '))""")
-    val vocab0 = vocabOf(words)
+    // Literal-argmax iteration — see [[bpeTrainToBudget]]: identical
+    // trajectory (the collected 1-row argmax IS the same deterministic
+    // ratio argmax), one fused vocab/symbols agg per step, attestation
+    // rows as literal data with no re-execution at consumption.
+    val vocab0 = vocabAndSymbols(words)._1
     val budget = vocab0 + WordPieceMerges
-    var out: DataFrame = null
-    val rules = Seq.newBuilder[DataFrame]
+    var out = Seq.empty[(Int, String, String, Long, Long, Long)]
+    val rules = Seq.newBuilder[String]
     var i = 0
     var vocabNow = vocab0
     while (vocabNow < budget && i < WordPieceMaxIters) {
@@ -1730,7 +1747,7 @@ object TextQueries {
         .groupBy("pair").agg(sum(col("freq")).as("cnt"))
         .withColumn("a", split(col("pair"), " ").getItem(0))
         .withColumn("b", split(col("pair"), " ").getItem(1))
-      val top = pairs
+      val topRow = pairs
         .join(broadcast(syms.select(col("sym").as("a"),
           col("c").as("ca"))), "a")
         .join(broadcast(syms.select(col("sym").as("b"),
@@ -1741,23 +1758,23 @@ object TextQueries {
         .limit(1)
         .select(col("a"), col("b"), col("cnt"),
           concat(col("a"), regexp_replace(col("b"), "^##", "")).as("m"))
-      words = words.crossJoin(broadcast(top))
-        .select(mergeExpr.as("seq"), col("freq"))
+        .head()
+      val (a, b, cnt, m) = (topRow.getString(0), topRow.getString(1),
+        topRow.getLong(2), topRow.getString(3))
+      words = words
+        .select(mergedSeqCol(a, b, m).as("seq"), col("freq"))
         .localCheckpoint()
-      vocabNow = vocabOf(words)
-      val stats = words.agg(
-        sum(col("freq") * size(split(col("seq"), " "))).as("symbols_after"))
-      val row = top.crossJoin(broadcast(stats))
-        .select(lit(i).as("iter"), col("a"), col("b"), col("cnt"),
-          col("symbols_after"), lit(vocabNow).as("vocab_after"))
-      out = if (out == null) row else out.unionByName(row)
-      rules += top.select(col("m").as("sym"))
+      val (v, symbolsAfter) = vocabAndSymbols(words)
+      vocabNow = v
+      out = out :+ ((i, a, b, cnt, symbolsAfter, vocabNow))
+      rules += m
     }
     // ------- maximal-munch encode over the FINAL vocab -------
+    import spark.implicits._
     val baseSyms = wfreq.select(split(seq0, " ").as("ss"))
       .select(explode(col("ss")).as("sym"))
-    val vocabDf = rules.result()
-      .foldLeft(baseSyms)((acc, r) => acc.unionByName(r))
+    val vocabDf = baseSyms
+      .unionByName(rules.result().toDF("sym"))
       .distinct()
       .select(col("sym"),
         when(col("sym").startsWith("##"), expr("substring(sym, 3)"))
@@ -1793,7 +1810,12 @@ object TextQueries {
       length(col("tok")).as("len"), lit(1).as("pos"),
       lit(0L).as("np"), lit("").as("acc"))
     var done: DataFrame = null
-    for (_ <- 1 to math.min(maxLen, WordPieceMaxWordLen) + 1) {
+    // Checkpoint every few path-follow rounds, not every round: `best`
+    // is an eager leaf and each round adds ONE join to the lineage
+    // (linear, not exponential growth), so a thinned checkpoint cadence
+    // bounds codegen depth while cutting ~cap eager jobs to ~cap/6.
+    val munchRounds = math.min(maxLen, WordPieceMaxWordLen) + 1
+    for (r <- 1 to munchRounds) {
       val complete = fr.filter(col("pos") > col("len"))
         .select(col("tok"), col("freq"), col("np"),
           lit(false).as("unk"), (col("acc") === col("tok")).as("ok"))
@@ -1808,23 +1830,25 @@ object TextQueries {
         .select(col("tok"), col("freq"), col("len"),
           (col("pos") + col("l")).as("pos"), (col("np") + lit(1L)).as("np"),
           concat(col("acc"), col("raw")).as("acc"))
-        .localCheckpoint()
+      if (r % 6 == 0 && r < munchRounds) fr = fr.localCheckpoint()
     }
     val doneAll = done.localCheckpoint()
     val tooLong = wfreq.filter(length(col("tok")) > WordPieceMaxWordLen)
       .agg(coalesce(sum(col("freq")), lit(0L))).head().getLong(0)
+    // probe-[UNK] attestation folded into the one stats pass
     val stats = doneAll.agg(
       sum(when(col("unk"), col("freq")).otherwise(lit(0L))).as("unk0"),
       sum(when(!col("unk"), col("freq") * col("np")).otherwise(lit(0L)))
         .as("pieces"),
       sum(when(!col("unk") && !col("ok"), lit(1L)).otherwise(lit(0L)))
-        .as("bad")).head()
+        .as("bad"),
+      sum(when(col("tok") === probeTok && col("unk"), lit(1L))
+        .otherwise(lit(0L))).as("probe_unk")).head()
     val unkMass = stats.getLong(0) + tooLong
     val totalPieces = stats.getLong(1)
     val roundTrip = stats.getLong(2) == 0L
-    val probeUnk = doneAll
-      .filter(col("tok") === probeTok && col("unk")).count() == 1L
-    out
+    val probeUnk = stats.getLong(3) == 1L
+    out.toDF("iter", "a", "b", "cnt", "symbols_after", "vocab_after")
       .withColumn("base_vocab", lit(vocab0))
       .withColumn("unk_mass", lit(unkMass))
       .withColumn("total_pieces", lit(totalPieces))

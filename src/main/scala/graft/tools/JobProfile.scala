@@ -21,6 +21,9 @@ object JobProfile {
     val fn = graft.SparkEntry.queries.getOrElse(name,
       sys.error(s"unknown query $name"))
     val spark = graft.GraftSession.get("graft-jobprofile")
+    val sink = new java.io.PrintWriter(new java.io.FileWriter(
+      s"/tmp/jobprofile_$name.txt"))
+    def emit(s: String): Unit = { println(s); sink.println(s); sink.flush() }
 
     case class JobRec(id: Int, desc: String, start: Long, var end: Long = -1,
       var stages: List[String] = Nil)
@@ -61,16 +64,16 @@ object JobProfile {
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       val wall = (System.nanoTime() - t0) / 1e9
       Thread.sleep(500) // let the listener bus drain
-      println(f"== pass $p wall=$wall%.2fs ==")
+      emit(f"== pass $p wall=$wall%.2fs ==")
       if (p == passes) {
         import scala.jdk.CollectionConverters._
         val recs = order.asScala.flatMap(id => Option(jobs.get(id))).toSeq
         val total = recs.map(j => math.max(0L, j.end - j.start)).sum
-        println(f"jobs=${recs.size} sum-of-job-wall=${total / 1000.0}%.2fs")
+        emit(f"jobs=${recs.size} sum-of-job-wall=${total / 1000.0}%.2fs")
         val slow = recs.sortBy(j => -(j.end - j.start)).take(30)
         slow.foreach { j =>
-          println(f"  job${j.id}%4d ${(j.end - j.start) / 1000.0}%7.2fs  ${j.desc.take(110)}")
-          j.stages.reverse.take(6).foreach(s => println(s"        $s"))
+          emit(f"  job${j.id}%4d ${(j.end - j.start) / 1000.0}%7.2fs  ${j.desc.take(110)}")
+          j.stages.reverse.take(6).foreach(s => emit(s"        $s"))
         }
         // gap analysis: time between consecutive jobs = driver-side work
         val sorted = recs.sortBy(_.start)
@@ -79,9 +82,9 @@ object JobProfile {
             (a.id, b.id, b.start - a.end, b.desc.take(80))
         }.toSeq.sortBy(-_._3).take(15)
         if (gaps.nonEmpty) {
-          println("  -- driver gaps >200ms between jobs --")
+          emit("  -- driver gaps >200ms between jobs --")
           gaps.foreach { case (a, b, ms, d) =>
-            println(f"  job$a%4d -> job$b%4d ${ms / 1000.0}%6.2fs before '$d'") }
+            emit(f"  job$a%4d -> job$b%4d ${ms / 1000.0}%6.2fs before '$d'") }
         }
       }
     }
