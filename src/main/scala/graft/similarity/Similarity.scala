@@ -1374,9 +1374,14 @@ object Similarity {
     * reference and are never rewritten or re-encoded. */
   def nswIndexBuild(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, corpus: DataFrame, idCol: String, vecCol: String,
-      m: Int = 8, numBands: Int = 4, dim: Int = 64): Unit = {
+      m: Int = 8, numBands: Int = 4, dim: Int = 64,
+      // r18 optimization: a caller that already knows |corpus| (the
+      // HNSW build counts every layer in ONE pass) skips this level's
+      // count job; the derived plane count is IDENTICAL either way
+      knownCount: Long = -1L): Unit = {
     import graft.lake.Snapshots
-    val r = scaledPlaneCount(corpus.count(), NswPlaneCap,
+    val n = if (knownCount >= 0L) knownCount else corpus.count()
+    val r = scaledPlaneCount(n, NswPlaneCap,
       NswMinPlanes, NswMaxPlanes)
     val sig = bandedSignatures(corpus, idCol, vecCol, numBands, r, dim)
       .persist()
@@ -1550,13 +1555,25 @@ object Similarity {
   def hnswIndexBuild(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, corpus: DataFrame, idCol: String, vecCol: String,
       m: Int = 8, numBands: Int = 4, dim: Int = 64): Unit = {
-    val levels = hnswMaxLevelFor(corpus.count())
+    // ONE pass counts every layer's population (r18 — guide §1.2,
+    // fewer passes): the previous shape scanned the corpus once for
+    // the level decision and once more per layer for that layer's
+    // plane scaling; the counts (hence every derived plane ladder) are
+    // bit-identical.
+    import org.apache.spark.sql.functions.{count => fcount, sum => fsum}
+    val lvl = hnswLevel(col(idCol))
+    val aggs = fcount(lit(1)).as("n0") +: (1 to HnswStaticMaxLevel).map(l =>
+      fsum(when(lvl >= l, 1L).otherwise(0L)).as(s"n$l"))
+    val row = corpus.agg(aggs.head, aggs.tail: _*).head()
+    val nAt = (0 to HnswStaticMaxLevel).map(l =>
+      if (row.isNullAt(l)) 0L else row.getLong(l))
+    val levels = hnswMaxLevelFor(nAt(0))
     (0 to levels).foreach { l =>
       val sub =
         if (l == 0) corpus
         else corpus.filter(hnswLevel(col(idCol)) >= l)
       nswIndexBuild(spark, s"$indexDir/l$l", sub, idCol, vecCol,
-        m, numBands, dim)
+        m, numBands, dim, knownCount = nAt(l))
     }
     graft.lake.Snapshots.setTableProperties(spark, s"$indexDir/l0/sigs",
       Map(AnnLevelsKey -> levels.toString))
