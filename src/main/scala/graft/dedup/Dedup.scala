@@ -428,7 +428,12 @@ object Dedup {
     val newRows = ids.join(labels.select(col("id")), Seq("id"), "left_anti")
       .join(remap, col("id") === col("_old"), "left")
       .select(col("id"), coalesce(col("_new"), col("id")).as("cluster_id"))
-    val changes = changedOld.unionByName(newRows)
+    // materialize the change set ONCE: the previous shape computed the
+    // 4-join subtree for isEmpty, then AGAIN inside merge's staging
+    // write, and a third time for merge's tombstone keys — three
+    // executions of the same O(affected) plan per batch (guide §1.2:
+    // don't compute things twice). One eager checkpoint feeds all three.
+    val changes = changedOld.unionByName(newRows).localCheckpoint(true)
     if (changes.isEmpty)
       Snapshots.latestVersion(spark, labelTable).getOrElse(0)
     else Snapshots.merge(spark, labelTable, changes, Seq("id"))

@@ -214,10 +214,13 @@ final class SnapshotCatalog extends TableCatalog {
       opts.put("mergeSchema", "true")
       // SnapshotReadTable hides the FileTable so INSERT INTO stays a V2
       // AppendData (routed to the log) instead of falling back to a V1
-      // file write into the version's file list — see its Scaladoc
+      // file write into the version's file list — see its Scaladoc.
+      // Log-recorded sizes (when complete) make the FileIndex log-fed:
+      // zero driver-side per-file statuses before the scan plans.
       SnapshotReadTable(GraftSqlBridge.parquetTable(s"${ident.name()}@v$v",
         spark, s.files.map(f => Snapshots.filePath(t, f)), opts,
-        schema = Snapshots.uniformLogSchema(s, s.files)), t, v,
+        schema = Snapshots.uniformLogSchema(s, s.files),
+        sizes = Snapshots.logServedPathSizes(spark, t, s, s.files)), t, v,
         logProps = s.properties)
     }
   }

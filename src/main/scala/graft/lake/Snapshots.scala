@@ -716,10 +716,11 @@ object Snapshots {
       Map[String, Map[String, Long]])]
 
   /** The (per-column → per-file sketches, per-column → per-file null
-    * counts) one staging dir's sidecar records ([[collectSketches]] /
-    * [[collectSketches]]); empty when absent (the dir was staged
-    * before the table declared sketch columns) or unreadable. Staging
-    * dirs are immutable once referenced, hence the cache. */
+    * counts) one staging dir's sidecar records — BOTH halves come from
+    * [[collectSketches]]' single fused pass; empty when absent (the dir
+    * was staged before the table declared sketch columns) or
+    * unreadable. Staging dirs are immutable once referenced, hence the
+    * cache. */
   private def sketchDir(spark: SparkSession, table: String,
       dirRel: String): (Map[String, Map[String, Seq[Long]]],
       Map[String, Map[String, Long]]) = {
@@ -964,7 +965,8 @@ object Snapshots {
     * metadata-only-query discipline). Files the distributed scan yields
     * no group for are genuinely empty → 0. */
   private def collectRowCounts(spark: SparkSession, table: String,
-      files: Seq[String]): Map[String, Long] = {
+      files: Seq[String],
+      delta: Option[DataFrame] = None): Map[String, Long] = {
     if (files.isEmpty) return Map.empty
     val conf = spark.sparkContext.hadoopConfiguration
     if (files.size <= DriverFooterCountMaxFiles) {
@@ -977,7 +979,8 @@ object Snapshots {
     } else {
       val root = LakePaths.tableRootPath(spark, table)
       files.map(_ -> 0L).toMap ++
-        spark.read.parquet(files.map(f => filePath(table, f)): _*)
+        delta.getOrElse(
+          spark.read.parquet(files.map(f => filePath(table, f)): _*))
           .groupBy(LakePaths.relFileCol(root).as("_f"))
           .count()
           .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -1000,21 +1003,46 @@ object Snapshots {
       knownSizes: Map[String, Long] = null): String = {
     val ops = new FileOps(spark.sparkContext.hadoopConfiguration)
     val id = Naming.newRunId()
-    val rows =
-      if (knownRows != null && files.forall(knownRows.contains))
-        files.map(f => f -> knownRows(f)).toMap
-      else collectRowCounts(spark, table, files)
     // recorded so byte-bounded consumers (streaming maxBytesPerTrigger)
-    // answer from the log instead of per-file FS status at read time
+    // answer from the log instead of per-file FS status at read time.
+    // Staged sizes carry from the one listStatus that discovered the
+    // files ([[listFreshSized]]); only files staged outside this JVM's
+    // current run (addFiles, externally-produced paths) still status.
     val sizes =
       if (knownSizes != null && files.forall(knownSizes.contains))
         files.map(f => f -> knownSizes(f)).toMap
       else {
         val conf = spark.sparkContext.hadoopConfiguration
         files.map { f =>
-          val p = new org.apache.hadoop.fs.Path(filePath(table, f))
-          f -> p.getFileSystem(conf).getFileStatus(p).getLen
+          f -> stagedSizeOf(f).getOrElse {
+            val p = new org.apache.hadoop.fs.Path(filePath(table, f))
+            p.getFileSystem(conf).getFileStatus(p).getLen
+          }
         }.toMap
+      }
+    val rows =
+      if (knownRows != null && files.forall(knownRows.contains))
+        files.map(f => f -> knownRows(f)).toMap
+      else {
+        // the distributed count (> DriverFooterCountMaxFiles) rides the
+        // same log-fed scan shape as the stats/sketch passes when this
+        // very commit's dirSchemas prove ONE schema for every file
+        def uniform: Option[StructType] = {
+          val schemas = files.map { f =>
+            val i = f.lastIndexOf('/')
+            if (i <= 0) None else dirSchemas.get(f.substring(0, i))
+          }
+          if (schemas.exists(_.isEmpty)) None
+          else schemas.map(_.get).distinct match {
+            case Seq(one) => Some(one)
+            case _ => None
+          }
+        }
+        val delta =
+          if (files.size <= DriverFooterCountMaxFiles) None
+          else uniform.flatMap(sch => freshDeltaScan(spark, table,
+            files.map(f => f -> sizes(f)), sch))
+        collectRowCounts(spark, table, files, delta)
       }
     val json = Json.render(Map(
       "files" -> files,
@@ -1116,8 +1144,7 @@ object Snapshots {
         val newFiles = s2.files.filterNot(prevFiles)
         if (newFiles.isEmpty) 0L
         else {
-          val recorded = s2.manifests
-            .foldLeft(Map.empty[String, Long])(_ ++ manifestSizes(spark, table, _))
+          val recorded = snapshotSizes(spark, table, s2)
           val conf = spark.sparkContext.hadoopConfiguration
           newFiles.map(f => recorded.getOrElse(f, {
             val p = new org.apache.hadoop.fs.Path(filePath(table, f))
@@ -1183,13 +1210,60 @@ object Snapshots {
   }
 
   private def listFresh(spark: SparkSession, dir: String,
-      rel: String): Seq[String] = {
+      rel: String): Seq[String] =
+    listFreshSized(spark, dir, rel).map(_._1)
+
+  /** [[listFresh]] KEEPING the byte sizes the one listStatus already
+    * returned: the write path previously discarded them and re-statused
+    * every file again in [[writeManifest]] — O(files) FS round-trips
+    * per commit for facts already in hand. */
+  private def listFreshSized(spark: SparkSession, dir: String,
+      rel: String): Seq[(String, Long)] = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) Nil
-    else fs.listStatus(p).toSeq.map(_.getPath.getName)
-      .filter(n => n.endsWith(".parquet") && !n.startsWith("_"))
-      .sorted.map(f => s"$rel/$f")
+    else fs.listStatus(p).toSeq
+      .filter(st => st.getPath.getName.endsWith(".parquet") &&
+        !st.getPath.getName.startsWith("_"))
+      .map(st => (s"$rel/${st.getPath.getName}", st.getLen))
+      .sortBy(_._1)
+  }
+
+  /** Fresh-file sizes recorded by [[stage]]/[[writeDeletes]] for the
+    * commit's [[writeManifest]], keyed by the run-unique staging dir —
+    * bridges the size facts across the stage→manifest call boundary
+    * without touching every caller's tuple shape. Entries are tiny
+    * (KB); the cap only guards a pathological commit storm. */
+  private val stagedSizes = scala.collection.concurrent.TrieMap
+    .empty[String, Map[String, Long]]
+
+  private def stagedSizeOf(f: String): Option[Long] = {
+    val i = f.lastIndexOf('/')
+    if (i <= 0) None
+    else stagedSizes.get(f.substring(0, i)).flatMap(_.get(f))
+  }
+
+  /** A log-fed scan over FRESH files this writer itself just produced
+    * (the write-side twin of [[logServedScan]]): the stager knows every
+    * file's byte size from the one listStatus that discovered them and
+    * the exact schema it wrote, so the stats/sketch/bloom/row-count
+    * passes over the delta skip the InMemoryFileIndex listing and the
+    * mergeSchema footer job a path-based read pays PER PASS — 2 driver
+    * jobs × passes per commit locally, O(files) object-store
+    * round-trips × passes at 100 TB. */
+  private def freshDeltaScan(spark: SparkSession, table: String,
+      sized: Seq[(String, Long)],
+      schema: StructType): Option[DataFrame] = {
+    if (!logServedEnabled || sized.isEmpty) return None
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(table).getFileSystem(conf)
+    def qualified(f: String): String =
+      fs.makeQualified(new org.apache.hadoop.fs.Path(filePath(table, f)))
+        .toString
+    Some(org.apache.spark.sql.GraftSqlBridge.logFileRelation(spark,
+      schema,
+      fs.makeQualified(new org.apache.hadoop.fs.Path(table)).toString,
+      sized.map { case (f, len) => qualified(f) -> len }))
   }
 
   // ------------------------------------------------------------ commits
@@ -1401,7 +1475,15 @@ object Snapshots {
     val rel = s"_snap/c-${Naming.newRunId()}"
     val dataDir = s"$table/$rel"
     unwrapGeneratedRefusal(df.write.mode("overwrite").parquet(dataDir))
-    val files = listFresh(spark, dataDir, rel)
+    val sized = listFreshSized(spark, dataDir, rel)
+    val files = sized.map(_._1)
+    // size facts carry to this commit's writeManifest (no re-status)…
+    if (stagedSizes.size > MaxCachedManifests) stagedSizes.clear()
+    if (sized.nonEmpty) stagedSizes.put(rel, sized.toMap)
+    // …and the metadata passes below share ONE log-fed delta scan: the
+    // schema is what this very write produced, so no listing and no
+    // footer probe is owed before reading the delta back
+    val delta = freshDeltaScan(spark, table, sized, df.schema)
     // DECLARED stats/bloom columns (q261 table properties) apply at
     // this one chokepoint so EVERY staged write records them —
     // appends, SQL INSERTs, and crucially the DML restages
@@ -1419,15 +1501,16 @@ object Snapshots {
     // restages and compactions keep the table's NDV metadata.
     val sketchCols = declaredCols(spark, table, SketchColumnsKey)
     if (sketchCols.nonEmpty && files.nonEmpty) {
-      val (sk, nulls) = collectSketches(spark, table, files, sketchCols)
+      val (sk, nulls) =
+        collectSketches(spark, table, files, sketchCols, delta)
       if (sk.nonEmpty) {
         val ops = new FileOps(spark.sparkContext.hadoopConfiguration)
         ops.writeString(s"$dataDir/$SketchSidecar", Json.render(Map(
           "k" -> SketchK.toLong, "cols" -> sk, "nulls" -> nulls)))
       }
     }
-    (files, collectStats(spark, table, files, allStats),
-      collectBlooms(spark, table, files, allBlooms),
+    (files, collectStats(spark, table, files, allStats, delta),
+      collectBlooms(spark, table, files, allBlooms, delta),
       if (files.isEmpty) Map.empty else Map(rel -> df.schema))
   }
 
@@ -1441,14 +1524,17 @@ object Snapshots {
     * delta's schema records nothing and NDV for the version declines
     * — unknown never answers. */
   private def collectSketches(spark: SparkSession, table: String,
-      files: Seq[String], cols: Seq[String])
+      files: Seq[String], cols: Seq[String],
+      // log-fed scan over the fresh delta ([[freshDeltaScan]]) when the
+      // stager has one — skips the listing + footer jobs per commit
+      delta: Option[DataFrame] = None)
       : (Map[String, Map[String, Seq[Long]]],
          Map[String, Map[String, Long]]) = {
     import org.apache.spark.sql.functions.{conv, md5, substring, sum}
     if (cols.isEmpty || files.isEmpty) return (Map.empty, Map.empty)
     val root = LakePaths.tableRootPath(spark, table)
-    val data = spark.read.option("mergeSchema", "true")
-      .parquet(files.map(f => filePath(table, f)): _*)
+    val data = delta.getOrElse(spark.read.option("mergeSchema", "true")
+      .parquet(files.map(f => filePath(table, f)): _*))
     val present = cols.filter(data.schema.fieldNames.contains)
     if (present.isEmpty) return (Map.empty, Map.empty)
     // ONE partial-aggregated pass for EVERY sketched column's KMV
@@ -1494,7 +1580,8 @@ object Snapshots {
     * lookup is for a value, and files where the column is all-null keep
     * no bloom (unknown never prunes). */
   private def collectBlooms(spark: SparkSession, table: String,
-      files: Seq[String], bloomCols: Seq[String]): FileBlooms = {
+      files: Seq[String], bloomCols: Seq[String],
+      delta: Option[DataFrame] = None): FileBlooms = {
     if (bloomCols.isEmpty || files.isEmpty) return Map.empty
     import org.apache.spark.util.sketch.BloomFilter
     import spark.implicits._
@@ -1506,8 +1593,12 @@ object Snapshots {
     }
     def deser(bytes: Array[Byte]): BloomFilter =
       BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes))
+    // ONE scan construction shared by every bloom column's pass: the
+    // per-column spark.read paid a fresh listing + footer job each
+    val scan = delta.getOrElse(
+      spark.read.parquet(files.map(f => filePath(table, f)): _*))
     val perCol = bloomCols.map { c =>
-      val partials = spark.read.parquet(files.map(f => filePath(table, f)): _*)
+      val partials = scan
         .select(LakePaths.relFileCol(root).as("_f"),
           col(c).cast("long").as("_k"))
         .filter(col("_k").isNotNull)
@@ -1646,11 +1737,13 @@ object Snapshots {
     * Files where a column is all-null get no entry for it: unknown
     * never prunes. */
   private def collectStats(spark: SparkSession, table: String,
-      files: Seq[String], statsCols0: Seq[String]): FileStats = {
+      files: Seq[String], statsCols0: Seq[String],
+      delta: Option[DataFrame] = None): FileStats = {
     if (statsCols0.isEmpty || files.isEmpty) return Map.empty
     import org.apache.spark.sql.functions.{max, min}
     val root = LakePaths.tableRootPath(spark, table)
-    val scan = spark.read.parquet(files.map(f => filePath(table, f)): _*)
+    val scan = delta.getOrElse(
+      spark.read.parquet(files.map(f => filePath(table, f)): _*))
     // struct LEAVES join the type map under their dot paths (the
     // Iceberg leaf-path stats norm), so `props.signup_date`-style stats
     // columns get the same unit conversions flat columns do
@@ -2380,14 +2473,62 @@ object Snapshots {
     if (distinct.size == 1) Some(distinct.head) else None
   }
 
+  /** Production kill-switch for every log-served read fast path (the
+    * ADVICE r18 mitigation): `SPARK_GRAFT_LOG_SERVED_SCAN=off` forces
+    * the byte-identical filesystem-truth fallback (listing +
+    * mergeSchema), so a corrupted-manifest incident is mitigable
+    * without a code change. Any other value (or absence) keeps the
+    * fast path. */
+  private[graft] def logServedEnabled: Boolean =
+    !sys.env.get("SPARK_GRAFT_LOG_SERVED_SCAN")
+      .exists(v => v == "off" || v == "false" || v == "0")
+
+  /** The MERGED per-file size map of one snapshot version, folded from
+    * its manifests ONCE per (table, version) per JVM: the per-read fold
+    * was O(files) driver CPU and allocation per snapshot read on
+    * many-manifest tables (VERDICT r18 note 6). Log objects and
+    * manifests are immutable, so the merge is too; [[vacuum]]-trimmed
+    * versions simply stop being asked for. */
+  private val mergedSizesCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Int), Map[String, Long]]
+
+  private[graft] def snapshotSizes(spark: SparkSession, table: String,
+      s: Snapshot): Map[String, Long] = {
+    if (mergedSizesCache.size > MaxCachedSnapshots) mergedSizesCache.clear()
+    mergedSizesCache.getOrElseUpdate((table, s.version),
+      s.manifests.foldLeft(Map.empty[String, Long])(
+        (m, id) => m ++ manifestSizes(spark, table, id)))
+  }
+
+  /** Per-file (table-relative path → recorded byte size) for the
+    * requested files when the log can prove EVERY one of them (and the
+    * fast path is enabled) — the building block both log-served scan
+    * shapes (V1 [[logServedScan]], the DSv2 catalog table) resolve
+    * their statuses from. None on any gap: metadata never guesses. */
+  private[graft] def logServedSizes(spark: SparkSession, table: String,
+      s: Snapshot, files: Seq[String]): Option[Map[String, Long]] = {
+    if (!logServedEnabled) return None
+    val sizes = snapshotSizes(spark, table, s)
+    if (files.forall(sizes.contains)) Some(sizes) else None
+  }
+
+  /** [[logServedSizes]] re-keyed by RESOLVED path — what the DSv2
+    * catalog table ([[org.apache.spark.sql.GraftSqlBridge.parquetTable]])
+    * feeds beside its explicit path list so its FileIndex is log-fed
+    * too. None whenever the V1 fast path would decline. */
+  private[graft] def logServedPathSizes(spark: SparkSession, table: String,
+      s: Snapshot, files: Seq[String]): Option[Map[String, Long]] =
+    logServedSizes(spark, table, s, files).map(sz =>
+      files.map(f => filePath(table, f) -> sz(f)).toMap)
+
   private def logServedScan(spark: SparkSession, table: String,
       s: Snapshot, files: Seq[String]): Option[DataFrame] = {
     val uniform = uniformLogSchema(s, files)
     if (uniform.isEmpty) return None
-    val sizes = s.manifests.foldLeft(Map.empty[String, Long])(
-      (m, id) => m ++ manifestSizes(spark, table, id))
-    if (!files.forall(sizes.contains)) return None
-    val distinct = uniform.toSeq
+    val sizes = logServedSizes(spark, table, s, files) match {
+      case Some(sz) => sz
+      case None => return None
+    }
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(table).getFileSystem(conf)
     def qualified(f: String): String =
@@ -2395,7 +2536,7 @@ object Snapshots {
         .toString
     logServedScans.incrementAndGet()
     Some(org.apache.spark.sql.GraftSqlBridge.logFileRelation(spark,
-      distinct.head,
+      uniform.get,
       fs.makeQualified(new org.apache.hadoop.fs.Path(table)).toString,
       files.map(f => qualified(f) -> sizes(f))))
   }

@@ -1072,7 +1072,8 @@ case class SnapshotScanPruning(spark: SparkSession)
         val inner = GraftSqlBridge.parquetTable(
           s"${t.inner.name()}#pruned${kept.size}", spark,
           kept.map(fl => Snapshots.filePath(t.path, fl)), opts,
-          schema = Some(t.inner.schema()))
+          schema = Some(t.inner.schema()),
+          sizes = Snapshots.logServedPathSizes(spark, t.path, s, kept))
         Some(r.copy(table =
           SnapshotReadTable(inner, t.path, t.snapVersion, Some(kept))))
       }

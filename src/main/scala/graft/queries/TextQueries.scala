@@ -1427,23 +1427,29 @@ object TextQueries {
     var out = Seq.empty[(Int, String, String, Long, Long, Long)]
     var i = 0
     var vocabNow = vocabAndSymbols(words)._1
-    while (vocabNow < BpeVocabBudget && i < BpeBudgetMaxIters) {
+    var exhausted = false // fully-merged corpus: no pair left to count
+    while (vocabNow < BpeVocabBudget && i < BpeBudgetMaxIters &&
+        !exhausted) {
       i += 1
       val t = split(col("seq"), " ")
-      val topRow = words
+      val topOpt = words
         .select(col("freq"), explode(zip_with(
           slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
           (x, y) => concat(x, lit(" "), y))).as("pair"))
         .groupBy("pair").agg(sum(col("freq")).as("cnt"))
-        .orderBy(desc("cnt"), asc("pair")).limit(1).head()
-      val Array(a, b) = topRow.getString(0).split(" ", 2)
-      val cnt = topRow.getLong(1)
-      words = words
-        .select(mergedSeqCol(a, b, a + b).as("seq"), col("freq"))
-        .localCheckpoint()
-      val (v, symbolsAfter) = vocabAndSymbols(words)
-      vocabNow = v
-      out = out :+ ((i, a, b, cnt, symbolsAfter, vocabNow))
+        .orderBy(desc("cnt"), asc("pair")).limit(1).collect().headOption
+      topOpt match {
+        case None => exhausted = true; i -= 1
+        case Some(topRow) =>
+          val Array(a, b) = topRow.getString(0).split(" ", 2)
+          val cnt = topRow.getLong(1)
+          words = words
+            .select(mergedSeqCol(a, b, a + b).as("seq"), col("freq"))
+            .localCheckpoint()
+          val (v, symbolsAfter) = vocabAndSymbols(words)
+          vocabNow = v
+          out = out :+ ((i, a, b, cnt, symbolsAfter, vocabNow))
+      }
     }
     out.toDF("iter", "a", "b", "cnt", "symbols_after", "vocab_after")
   }
@@ -1455,7 +1461,9 @@ object TextQueries {
       .select(col("freq"), explode(split(col("seq"), " ")).as("s"))
       .agg(countDistinct(col("s")).as("v"), sum(col("freq")).as("sym"))
       .head()
-    (r.getLong(0), r.getLong(1))
+    // sum over an EMPTY relation is null (count is 0) — an empty words
+    // table reads as (0 symbols, 0 mass), not an NPE
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
   }
 
   /** The shared greedy leftmost non-overlapping merge rewrite with the
@@ -1570,24 +1578,30 @@ object TextQueries {
     val rules = Seq.newBuilder[(String, String)]
     var i = 0
     var vocabNow = vocab0
-    while (vocabNow < budget && i < ByteBpeMaxIters) {
+    var exhausted = false // fully-merged corpus: no pair left to count
+    while (vocabNow < budget && i < ByteBpeMaxIters && !exhausted) {
       i += 1
       val t = split(col("seq"), " ")
-      val topRow = words
+      val topOpt = words
         .select(col("freq"), explode(zip_with(
           slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
           (x, y) => concat(x, lit(" "), y))).as("pair"))
         .groupBy("pair").agg(sum(col("freq")).as("cnt"))
-        .orderBy(desc("cnt"), asc("pair")).limit(1).head()
-      val Array(a, b) = topRow.getString(0).split(" ", 2)
-      val cnt = topRow.getLong(1)
-      words = words
-        .select(col("tok"), mergedSeqCol(a, b, a + b).as("seq"), col("freq"))
-        .localCheckpoint()
-      val (v, symbolsAfter) = vocabAndSymbols(words)
-      vocabNow = v
-      out = out :+ ((i, a, b, cnt, symbolsAfter, vocabNow))
-      rules += ((a, b))
+        .orderBy(desc("cnt"), asc("pair")).limit(1).collect().headOption
+      topOpt match {
+        case None => exhausted = true; i -= 1
+        case Some(topRow) =>
+          val Array(a, b) = topRow.getString(0).split(" ", 2)
+          val cnt = topRow.getLong(1)
+          words = words
+            .select(col("tok"), mergedSeqCol(a, b, a + b).as("seq"),
+              col("freq"))
+            .localCheckpoint()
+          val (v, symbolsAfter) = vocabAndSymbols(words)
+          vocabNow = v
+          out = out :+ ((i, a, b, cnt, symbolsAfter, vocabNow))
+          rules += ((a, b))
+      }
     }
     // round trip over EVERY distinct corpus token: the merged symbols
     // concatenate back to exactly the original UTF-8 hex
@@ -1733,7 +1747,8 @@ object TextQueries {
     val rules = Seq.newBuilder[String]
     var i = 0
     var vocabNow = vocab0
-    while (vocabNow < budget && i < WordPieceMaxIters) {
+    var exhausted = false // fully-merged corpus: no pair left to score
+    while (vocabNow < budget && i < WordPieceMaxIters && !exhausted) {
       i += 1
       val t = split(col("seq"), " ")
       // weighted symbol occurrences — the likelihood ratio's denominator
@@ -1747,7 +1762,7 @@ object TextQueries {
         .groupBy("pair").agg(sum(col("freq")).as("cnt"))
         .withColumn("a", split(col("pair"), " ").getItem(0))
         .withColumn("b", split(col("pair"), " ").getItem(1))
-      val topRow = pairs
+      val topOpt = pairs
         .join(broadcast(syms.select(col("sym").as("a"),
           col("c").as("ca"))), "a")
         .join(broadcast(syms.select(col("sym").as("b"),
@@ -1758,16 +1773,20 @@ object TextQueries {
         .limit(1)
         .select(col("a"), col("b"), col("cnt"),
           concat(col("a"), regexp_replace(col("b"), "^##", "")).as("m"))
-        .head()
-      val (a, b, cnt, m) = (topRow.getString(0), topRow.getString(1),
-        topRow.getLong(2), topRow.getString(3))
-      words = words
-        .select(mergedSeqCol(a, b, m).as("seq"), col("freq"))
-        .localCheckpoint()
-      val (v, symbolsAfter) = vocabAndSymbols(words)
-      vocabNow = v
-      out = out :+ ((i, a, b, cnt, symbolsAfter, vocabNow))
-      rules += m
+        .collect().headOption
+      topOpt match {
+        case None => exhausted = true; i -= 1
+        case Some(topRow) =>
+          val (a, b, cnt, m) = (topRow.getString(0), topRow.getString(1),
+            topRow.getLong(2), topRow.getString(3))
+          words = words
+            .select(mergedSeqCol(a, b, m).as("seq"), col("freq"))
+            .localCheckpoint()
+          val (v, symbolsAfter) = vocabAndSymbols(words)
+          vocabNow = v
+          out = out :+ ((i, a, b, cnt, symbolsAfter, vocabNow))
+          rules += m
+      }
     }
     // ------- maximal-munch encode over the FINAL vocab -------
     import spark.implicits._

@@ -29,6 +29,9 @@ object JobProfile {
       var stages: List[String] = Nil)
     val jobs = new java.util.concurrent.ConcurrentHashMap[Int, JobRec]()
     val order = new java.util.concurrent.CopyOnWriteArrayList[Int]()
+    // stage → owning job from SparkListenerJobStart.stageIds, so
+    // concurrent jobs never double-count each other's stages
+    val stageJob = new java.util.concurrent.ConcurrentHashMap[Int, Int]()
     val listener = new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit = {
         val desc = Option(e.properties)
@@ -37,6 +40,7 @@ object JobProfile {
             .flatMap(p => Option(p.getProperty("callSite.short"))))
           .getOrElse("")
         jobs.put(e.jobId, JobRec(e.jobId, desc, e.time))
+        e.stageIds.foreach(sid => stageJob.put(sid, e.jobId))
         order.add(e.jobId)
       }
       override def onJobEnd(e: SparkListenerJobEnd): Unit = {
@@ -50,15 +54,16 @@ object JobProfile {
           s"shR=${m.shuffleReadMetrics.totalBytesRead / 1024}K " +
           s"shW=${m.shuffleWriteMetrics.bytesWritten / 1024}K " +
           s"in=${m.inputMetrics.bytesRead / 1024}K"
-        jobs.forEach((_, j) => if (j.end < 0 && j.stages.size < 40)
-          j.stages = rec :: j.stages)
+        Option(stageJob.get(si.stageId))
+          .flatMap(jid => Option(jobs.get(jid)))
+          .foreach(j => if (j.stages.size < 40) j.stages = rec :: j.stages)
       }
     }
 
     // warmup pass (uncounted) mirrors Bench's min-of-two discipline
-    for (p <- 1 to passes) {
+    try for (p <- 1 to passes) {
       spark.catalog.clearCache()
-      jobs.clear(); order.clear()
+      jobs.clear(); order.clear(); stageJob.clear()
       if (p == passes) spark.sparkContext.addSparkListener(listener)
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -87,7 +92,7 @@ object JobProfile {
             emit(f"  job$a%4d -> job$b%4d ${ms / 1000.0}%6.2fs before '$d'") }
         }
       }
-    }
+    } finally sink.close()
     spark.stop()
   }
 }

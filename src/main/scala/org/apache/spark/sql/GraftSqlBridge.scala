@@ -77,17 +77,101 @@ object GraftSqlBridge {
     * resolves a version's file list from the log and serves it through
     * Spark's own ParquetTable (full pushdown, column pruning, vectorized
     * read), so `VERSION AS OF` scans plan exactly like a native V2
-    * table. Internal constructor, hence bridged here. */
+    * table. Internal constructor, hence bridged here.
+    *
+    * When the log also proves every file's BYTE SIZE (`sizes` covers all
+    * paths) the table's FileIndex is served from log metadata — the V2
+    * twin of [[logFileRelation]]: the stock FileTable otherwise pays one
+    * driver-side FS status per path at `fileIndex` construction
+    * (DataSource.checkAndGlobPathIfNecessary + InMemoryFileIndex), which
+    * at 100 TB / O(100k files) is 100k object-store round-trips before
+    * the first data byte of every catalog SQL scan. */
   def parquetTable(name: String, spark: SparkSession, paths: Seq[String],
       options: java.util.Map[String, String],
       // log-recorded schema when the manifest can prove one (uniform
       // eras): skips the footer-inference pass a None schema pays
-      schema: Option[types.StructType] = None): connector.catalog.Table =
-    execution.datasources.v2.parquet.ParquetTable(
-      name,
-      spark.asInstanceOf[classic.SparkSession],
-      new org.apache.spark.sql.util.CaseInsensitiveStringMap(options),
-      paths,
-      schema.map(_.asNullable),
-      classOf[execution.datasources.parquet.ParquetFileFormat])
+      schema: Option[types.StructType] = None,
+      // log-recorded per-file byte sizes (same keys as `paths`), when
+      // the manifests can prove ALL of them — enables the log-fed
+      // FileIndex; None / partial coverage keeps the stock listing path
+      sizes: Option[Map[String, Long]] = None): connector.catalog.Table = {
+    val session = spark.asInstanceOf[classic.SparkSession]
+    val opts = new org.apache.spark.sql.util.CaseInsensitiveStringMap(options)
+    val fmt = classOf[execution.datasources.parquet.ParquetFileFormat]
+    val served = for {
+      sch <- schema
+      sz <- sizes
+      if paths.forall(sz.contains)
+    } yield new LogFedParquetTable(name, session, opts, paths,
+      sch.asNullable, fmt, paths.map(p => p -> sz(p)).toMap)
+    served.getOrElse(execution.datasources.v2.parquet.ParquetTable(
+      name, session, opts, paths, schema.map(_.asNullable), fmt))
+  }
+
+  /** [[execution.datasources.v2.parquet.ParquetTable]] whose FileIndex
+    * is built ENTIRELY from log metadata (path → recorded byte size):
+    * zero FS statuses, zero listings at planning time. Everything else
+    * — scan builder, pushdown, vectorized read, write refusal — is the
+    * stock ParquetTable behaviour. Mirrors [[logFileRelation]]'s
+    * contract: statuses carry blockSize 128 MB / modTime 0, split
+    * planning and CBO sizeInBytes read the recorded lengths. */
+  private final class LogFedParquetTable(
+      name: String, session: classic.SparkSession,
+      options: org.apache.spark.sql.util.CaseInsensitiveStringMap,
+      paths: Seq[String], schema: types.StructType,
+      fmt: Class[execution.datasources.parquet.ParquetFileFormat],
+      sizesByPath: Map[String, Long])
+    extends execution.datasources.v2.parquet.ParquetTable(
+      name, session, options, paths, Some(schema), fmt) {
+    override lazy val fileIndex
+        : execution.datasources.PartitioningAwareFileIndex = {
+      val conf = session.sessionState.newHadoopConf()
+      // qualify against the first path's FS once (all snapshot files
+      // live under one table root / one filesystem)
+      val fs = new org.apache.hadoop.fs.Path(paths.head)
+        .getFileSystem(conf)
+      val statuses = paths.map { p =>
+        new org.apache.hadoop.fs.FileStatus(sizesByPath(p), false, 1,
+          134217728L, 0L,
+          fs.makeQualified(new org.apache.hadoop.fs.Path(p)))
+      }.toArray
+      new LogFedFileIndex(session, statuses)
+    }
+  }
+
+  /** A [[execution.datasources.PartitioningAwareFileIndex]] serving a
+    * fixed, log-recorded file list: no partition inference (snapshot
+    * data files are flat under run-unique staging dirs), no listing, no
+    * refresh (the list IS the version — immutable). */
+  private final class LogFedFileIndex(session: classic.SparkSession,
+      statuses: Array[org.apache.hadoop.fs.FileStatus])
+    extends execution.datasources.PartitioningAwareFileIndex(
+      session, Map.empty, None,
+      execution.datasources.NoopCache) {
+    import org.apache.hadoop.fs.{FileStatus, Path}
+    override def partitionSpec(): execution.datasources.PartitionSpec =
+      execution.datasources.PartitionSpec.emptySpec
+    override def leafFiles: scala.collection.mutable.LinkedHashMap[
+        Path, FileStatus] =
+      scala.collection.mutable.LinkedHashMap(
+        statuses.map(st => st.getPath -> st).toIndexedSeq: _*)
+    override def leafDirToChildrenFiles: Map[Path, Array[FileStatus]] =
+      statuses.groupBy(_.getPath.getParent)
+    override def rootPaths: Seq[Path] = statuses.map(_.getPath).toSeq
+    override def refresh(): Unit = ()
+    // serve the file set directly — the base-class implementations walk
+    // leafDirToChildrenFiles/rootPaths, which these pins keep equivalent;
+    // overriding removes any dependence on base-class traversal details
+    override def listFiles(
+        partitionFilters: Seq[Expression],
+        dataFilters: Seq[Expression])
+        : Seq[execution.datasources.PartitionDirectory] =
+      Seq(execution.datasources.PartitionDirectory(
+        org.apache.spark.sql.catalyst.InternalRow.empty, statuses))
+    override def allFiles(): Seq[org.apache.hadoop.fs.FileStatus] =
+      statuses.toIndexedSeq
+    override def inputFiles: Array[String] =
+      statuses.map(_.getPath.toString)
+    override def sizeInBytes: Long = statuses.map(_.getLen).sum
+  }
 }
