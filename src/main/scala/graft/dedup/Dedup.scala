@@ -333,10 +333,14 @@ object Dedup {
       driverMaxEdges: Long = 1000000L): DataFrame = {
     val half = pairs
       .select(col("a").cast(LongType).as("src"), col("b").cast(LongType).as("dst"))
-    val edges = half
+    val edges0 = half
       .union(half.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint(true)
-    if (edges.count() <= driverMaxEdges) return driverUnionFind(edges)
+    // the common (bounded-batch) case pays count + collect over the
+    // lazy union — the eager checkpoint bought nothing the collect
+    // doesn't redo, and was one whole extra job per invocation (r19);
+    // only the distributed iterative path materializes the edge list
+    if (edges0.count() <= driverMaxEdges) return driverUnionFind(edges0)
+    val edges = edges0.localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(true)
@@ -414,9 +418,12 @@ object Dedup {
         coalesce(col("lb"), col("b")).as("b"))
       .filter(col("a") =!= col("b")).distinct()
       .localCheckpoint()
-    val mapping = // (id = old label, cluster_id = merged min label)
-      if (pairs.isEmpty) emptyLabels
-      else connectedComponents(pairs).localCheckpoint()
+    // (id = old label, cluster_id = merged min label). No isEmpty
+    // pre-probe and no re-checkpoint (r19): connectedComponents' own
+    // edge count IS the emptiness test (empty pairs → empty labels),
+    // and its bounded-batch result is a driver-built LocalRelation —
+    // re-materializing it was one extra job per batch.
+    val mapping = connectedComponents(pairs)
     val remap = mapping.select(col("id").as("_old"),
       col("cluster_id").as("_new"))
     val changedOld = labels

@@ -30,13 +30,30 @@ object LakePaths {
 
   /** `_metadata.file_path` → path relative to `rootPath`: two
     * scheme-strips (`scheme://authority` and bare `scheme:`) then the
-    * quoted root prefix. Codegen'd regexp_replace chain — no UDF. */
+    * quoted root prefix. Codegen'd — no UDF.
+    *
+    * FAST PATH (r19, guide §1.2 per-task work): the two qualified
+    * spellings of THIS root — `file:<root>/` and `file://<root>/`
+    * (empty authority) — resolve with one startsWith + substring,
+    * ~ns per row, where the three-regex chain measured ~6µs per row
+    * (q312's MoR scans spent ~900ms CPU per 150k-row stage in it, and
+    * EVERY merge-on-read scan pays this column). Any other spelling
+    * (object-store schemes, unqualified paths, roots not under the
+    * prefix) falls through to the regex chain unchanged, so results
+    * are bit-identical; a production deployment on another scheme adds
+    * its spelling here or rides the exact fallback. */
   def relFileCol(rootPath: String): Column = {
+    val p = col("_metadata.file_path")
     val noScheme = regexp_replace(
-      regexp_replace(col("_metadata.file_path"),
+      regexp_replace(p,
         lit("^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*"), lit("")),
       lit("^[a-zA-Z][a-zA-Z0-9+.-]*:"), lit(""))
-    regexp_replace(noScheme,
+    val slow = regexp_replace(noScheme,
       lit("^" + java.util.regex.Pattern.quote(rootPath + "/")), lit(""))
+    val pref1 = s"file:$rootPath/"
+    val pref2 = s"file://$rootPath/"
+    when(p.startsWith(pref1), p.substr(lit(pref1.length + 1), length(p)))
+      .when(p.startsWith(pref2), p.substr(lit(pref2.length + 1), length(p)))
+      .otherwise(slow)
   }
 }

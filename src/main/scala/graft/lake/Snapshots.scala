@@ -2557,7 +2557,8 @@ object Snapshots {
     val dRel = s"_snap/d-${Naming.newRunId()}"
     tomb.repartition(col("file"))
       .write.mode("overwrite").parquet(s"$table/$dRel")
-    val refs = listFresh(spark, s"$table/$dRel", dRel)
+    val sized = listFreshSized(spark, s"$table/$dRel", dRel)
+    val refs = sized.map(_._1)
     // Per-file tombstone ROW COUNTS recorded beside the files (the
     // Iceberg delete-manifest `record_count` expressed as a per-commit
     // sidecar): what lets [[liveStatsAt]] answer a merge-on-read
@@ -2569,8 +2570,13 @@ object Snapshots {
     // sidecar (pre-r18 logs, torn write) DECLINES stats — metadata
     // never lies.
     val ops = new FileOps(spark.sparkContext.hadoopConfiguration)
+    // BYTE SIZES beside the row counts (r19): what lets every read of
+    // these positional-delete files skip the listing + footer jobs —
+    // their schema is statically (file STRING, pos BIGINT), so size
+    // facts are all a log-fed scan was missing
     ops.writeString(s"$table/$dRel/$DeleteRowsSidecar",
-      Json.render(Map("rows" -> collectRowCounts(spark, table, refs))))
+      Json.render(Map("rows" -> collectRowCounts(spark, table, refs),
+        "sizes" -> sized.toMap)))
     refs
   }
 
@@ -2580,22 +2586,20 @@ object Snapshots {
   private val DeleteRowsSidecar = "_rows.json"
 
   private val deleteRowsCache = scala.collection.concurrent.TrieMap
-    .empty[(String, String), Map[String, Long]]
+    .empty[(String, String), (Map[String, Long], Map[String, Long])]
 
-  /** Per-file tombstone row counts a positional-delete directory's
-    * sidecar records — empty when the sidecar is absent (pre-r18
-    * commits) or unreadable (torn write), so callers decline rather
-    * than guess. Delete dirs are immutable once referenced by the log,
-    * hence the forever cache. */
-  private def deleteDirRows(spark: SparkSession, table: String,
-      dirRel: String): Map[String, Long] = {
+  /** Per-file tombstone (row counts, byte sizes) a positional-delete
+    * directory's sidecar records — empty maps when the sidecar is
+    * absent (pre-r18 commits; sizes pre-r19) or unreadable (torn
+    * write), so callers decline rather than guess. Delete dirs are
+    * immutable once referenced by the log, hence the forever cache. */
+  private def deleteDirSidecar(spark: SparkSession, table: String,
+      dirRel: String): (Map[String, Long], Map[String, Long]) = {
     if (deleteRowsCache.size > MaxCachedManifests) deleteRowsCache.clear()
     deleteRowsCache.getOrElseUpdate((table, dirRel), {
       val ops = new FileOps(spark.sparkContext.hadoopConfiguration)
-      scala.util.Try {
-        Json.parseObject(ops.readString(
-          s"${filePath(table, dirRel)}/$DeleteRowsSidecar"))
-          .get("rows") match {
+      def longs(m: Map[String, Any], key: String): Map[String, Long] =
+        m.get(key) match {
           case Some(rm: Map[_, _]) => rm.asInstanceOf[Map[String, Any]]
             .map { case (f, n) => f -> (n match {
               case l: Long => l
@@ -2604,8 +2608,42 @@ object Snapshots {
             }) }
           case _ => Map.empty[String, Long]
         }
-      }.getOrElse(Map.empty)
+      scala.util.Try {
+        val m = Json.parseObject(ops.readString(
+          s"${filePath(table, dirRel)}/$DeleteRowsSidecar"))
+        (longs(m, "rows"), longs(m, "sizes"))
+      }.getOrElse((Map.empty, Map.empty))
     })
+  }
+
+  private def deleteDirRows(spark: SparkSession, table: String,
+      dirRel: String): Map[String, Long] =
+    deleteDirSidecar(spark, table, dirRel)._1
+
+  /** The positional-delete file schema — fixed by [[writeDeletes]]
+    * since the first MoR commit: table-relative data-file path + row
+    * index. What makes these files servable log-fed with zero footer
+    * probes once their sizes are recorded. */
+  private val PosDeleteSchema = StructType(Seq(
+    StructField("file", org.apache.spark.sql.types.StringType),
+    StructField("pos", LongType)))
+
+  /** Read positional-delete files LOG-FED when every file's sidecar
+    * records its size (schema is static, so only sizes were missing);
+    * falls back to the path-based read (listing + footer job) for
+    * pre-r19 delete dirs or under the kill-switch. */
+  private def readPosDeletes(spark: SparkSession, table: String,
+      pos: Seq[String]): DataFrame = {
+    val sized: Seq[Option[(String, Long)]] = pos.map { f =>
+      val slash = f.lastIndexOf('/')
+      if (slash <= 0) None
+      else deleteDirSidecar(spark, table, f.substring(0, slash))._2
+        .get(f).map(f -> _)
+    }
+    (if (sized.forall(_.isDefined))
+      freshDeltaScan(spark, table, sized.flatten, PosDeleteSchema)
+    else None)
+      .getOrElse(spark.read.parquet(pos.map(f => filePath(table, f)): _*))
   }
 
   /** Total tombstoned row count of a version's delete list from sidecar
@@ -2641,7 +2679,7 @@ object Snapshots {
     val afterPos =
       if (pos.isEmpty) data
       else {
-        val dels = spark.read.parquet(pos.map(f => filePath(table, f)): _*)
+        val dels = readPosDeletes(spark, table, pos)
         data.join(broadcast(dels),
           data("_snap_file") === dels("file") &&
             data("_snap_pos") === dels("pos"),
@@ -4532,7 +4570,7 @@ object Snapshots {
     val posCloneDeletes: Seq[String] =
       if (posDels.isEmpty) Nil
       else writeDeletes(spark, dst, dstCanonical(
-        spark.read.parquet(posDels.map(f => filePath(src, f)): _*)))
+        readPosDeletes(spark, src, posDels)))
     // outstanding EQUALITY deletes materialize INTO THE CLONE: their
     // scope speaks source manifest ids, meaningless to carry — so the
     // suppressed positions are located here (one scan of the scoped
@@ -4782,8 +4820,7 @@ object Snapshots {
     val (deltaDeletes, anchors) =
       if (deltaPosSrc.isEmpty) (Nil, Set.empty[String])
       else {
-        val dels = spark.read.parquet(
-            deltaPosSrc.map(f => filePath(branch, f)): _*)
+        val dels = readPosDeletes(spark, branch, deltaPosSrc)
           .withColumn("file", regexp_replace(
             when(col("file").startsWith("/"), col("file"))
               .otherwise(concat(lit(srcRoot + "/"), col("file"))),
@@ -4896,9 +4933,12 @@ object Snapshots {
       if (prev.files.isEmpty)
         (prev.manifests, prev.deletes, prev.renames, prev.drops)
       else {
+        val recorded = snapshotSizes(spark, table, prev)
         val sized = prev.files.map { f =>
-          val p = new org.apache.hadoop.fs.Path(filePath(table, f))
-          f -> p.getFileSystem(conf).getFileStatus(p).getLen
+          f -> recorded.getOrElse(f, {
+            val p = new org.apache.hadoop.fs.Path(filePath(table, f))
+            p.getFileSystem(conf).getFileStatus(p).getLen
+          })
         }
         compactContent(spark, table, prev, sized, Nil, targetBytes,
           (prev.partitionSpec ++ cols).distinct, cols)
@@ -4923,25 +4963,30 @@ object Snapshots {
     * INSIDE the commit loop so an eq delete committed concurrently is
     * re-applied on the OCC retry, never lost. Returns None when fewer
     * than two small files exist — nothing worth rewriting. File sizes
-    * come from per-file status probes here; a production writer records
-    * sizes in the manifest at commit time. */
+    * come from the manifests' recorded sizes (the r17+ write path);
+    * only files below pre-size manifests pay a status probe. */
   def optimizeSmallFiles(spark: SparkSession, table: String,
       minBytes: Long, statsCols: Seq[String] = Nil,
       zorderBy: Seq[String] = Nil): Option[Int] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val probe = latestSnapshot(spark, table).getOrElse(return None)
-    def sized(files: Seq[String]): Seq[(String, Long)] = files.map { f =>
-      val p = new org.apache.hadoop.fs.Path(filePath(table, f))
-      f -> p.getFileSystem(conf).getFileStatus(p).getLen
+    def sized(s: Snapshot): Seq[(String, Long)] = {
+      val recorded = snapshotSizes(spark, table, s)
+      s.files.map { f =>
+        f -> recorded.getOrElse(f, {
+          val p = new org.apache.hadoop.fs.Path(filePath(table, f))
+          p.getFileSystem(conf).getFileStatus(p).getLen
+        })
+      }
     }
-    val probeSized = sized(probe.files)
+    val probeSized = sized(probe)
     if (probeSized.count(_._2 < minBytes) <= 1) return None
     Some(commitLoop(spark, table, "optimize") { prevOpt =>
       val prev = prevOpt.getOrElse(throw new IllegalStateException(
         s"$table disappeared during optimize"))
       // re-probe sizes only when a concurrent commit moved the version
       val fileSizes =
-        if (prev.version == probe.version) probeSized else sized(prev.files)
+        if (prev.version == probe.version) probeSized else sized(prev)
       val (small, big) = fileSizes.partition(_._2 < minBytes)
       // a concurrent commit may have changed the layout since the
       // fast-path probe: with nothing left to compact, publish the
@@ -4981,8 +5026,7 @@ object Snapshots {
     // [[optimizeSmallFiles]]
     def hotOf(s: Snapshot): (org.apache.spark.sql.DataFrame, Seq[String]) = {
       val posDels = s.deletes.filterNot(isEqDelete)
-      val allTombs = spark.read
-        .parquet(posDels.map(f => filePath(table, f)): _*)
+      val allTombs = readPosDeletes(spark, table, posDels)
       val tombCounts = allTombs.groupBy("file").count()
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       (allTombs, s.files.filter { f =>
@@ -5164,8 +5208,7 @@ object Snapshots {
         .partition(isEqDelete)
       val tombs =
         if (newPos.isEmpty) None
-        else Some(spark.read.parquet(
-          newPos.map(f => filePath(table, f)): _*))
+        else Some(readPosDeletes(spark, table, newPos))
       val inserts =
         if (newFiles.isEmpty) None
         else Some {
@@ -5228,8 +5271,7 @@ object Snapshots {
           val posRevived =
             if (remPos.isEmpty) None
             else Some {
-              val tOld = spark.read.parquet(
-                remPos.map(f => filePath(table, f)): _*)
+              val tOld = readPosDeletes(spark, table, remPos)
               rows.join(broadcast(tOld),
                 rows("_snap_file") === tOld("file") &&
                   rows("_snap_pos") === tOld("pos"), "left_semi")

@@ -796,13 +796,18 @@ object CdcQueries {
     Snapshots.append(spark, replica, orders.filter(even))
     Snapshots.addColumn(spark, replica, "bonus", "BIGINT", Some("7"))
     val cols = Snapshots.readLatest(spark, table).get.columns.map(col)
+    // materialize both sides ONCE (r19): the two-sided exceptAll plus
+    // the returned aggregate executed the CDF feed (3 era-aware scans +
+    // eq-delete composition) twice and the live view three times
     val applied = Snapshots.readLatest(spark, replica).get
       .select(cols: _*)
       .exceptAll(feed.filter(col("_change_type") === "delete")
         .select(cols: _*))
       .unionAll(feed.filter(col("_change_type") === "insert")
         .select(cols: _*))
+      .localCheckpoint()
     val target = Snapshots.readLatest(spark, table).get.select(cols: _*)
+      .localCheckpoint()
     val inSync = applied.exceptAll(target).isEmpty &&
       target.exceptAll(applied).isEmpty
     target.groupBy(col("o_orderpriority"), col("bonus"))

@@ -1296,8 +1296,17 @@ object SimilarityQueries {
     val emb = Tables(spark, dir, "embeddings")
     val idx = s"$root/idx"
     val twin = s"$root/twin"
+    // idx and twin are the SAME deterministic build over the same
+    // corpus: hash the banded signatures ONCE and feed both builds
+    // (r19 — guide §1.2; plane ladders and results are bit-identical,
+    // and the MAINTAIN-vs-manual-repair attestation downstream is
+    // untouched)
+    val nEmb = emb.count()
+    val sharedSig = Similarity.indexSignatures(emb, "vec_id", "embedding",
+      NumBands, Dim, nEmb).localCheckpoint()
     Seq(idx, twin).foreach(p => Similarity.nswIndexBuild(spark, p, emb,
-      "vec_id", "embedding", m = NswM, numBands = NumBands, dim = Dim))
+      "vec_id", "embedding", m = NswM, numBands = NumBands, dim = Dim,
+      knownCount = nEmb, knownSigs = sharedSig))
     Snapshots.setTableProperties(spark, s"$idx/sigs",
       Map(Similarity.MaintainRepairKey -> "1"))
     val cat = s"annmt_${Integer.toHexString(dir.hashCode)}"

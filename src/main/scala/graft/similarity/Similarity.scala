@@ -982,7 +982,15 @@ object Similarity {
       idCol: String, vecCol: String, k: Int, beam: Int = 16,
       hops: Int = 4, exclude: Option[DataFrame] = None): DataFrame = {
     val entryId = corpus.agg(min(col(idCol))).head().getLong(0)
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
+    // the query batch is broadcast-small BY CONTRACT (every hop already
+    // broadcasts it); materializing it ONCE as a LocalRelation makes
+    // every hop's broadcast JOBLESS (BroadcastExchange over a
+    // LocalTableScan collects driver-side) instead of re-executing the
+    // queries subplan as its own broadcast job per hop — r19, guide
+    // §1.2. Driver memory class is unchanged: the driver already held
+    // this exact relation as a broadcast per hop.
+    val q = localized(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv")))
     val vecs = corpus.select(col(idCol).as("node"), col(vecCol).as("_nv"))
     def score(nodes: DataFrame): DataFrame =
       vecs.join(broadcast(nodes), Seq("node"))
@@ -992,9 +1000,13 @@ object Similarity {
     var seen = score(q.select(col("query_id"), lit(entryId).as("node")))
     var beamDf = seen
     for (_ <- 1 to hops) {
+      // no distinct on the frontier: duplicate (query, node) pairs
+      // score to the SAME deterministic cosine and the seen-level
+      // distinct below already dedups — the frontier exchange was one
+      // whole extra job per hop (r19; results bit-identical)
       val frontier = edges.join(broadcast(beamDf
           .select(col("query_id"), col("node").as("src"))), Seq("src"))
-        .select(col("query_id"), col("dst").as("node")).distinct()
+        .select(col("query_id"), col("dst").as("node"))
       seen = seen.unionByName(score(frontier)).distinct().localCheckpoint()
       beamDf = topK(seen.select(col("query_id"),
           col("node").as("neighbor_id"), col("cos").as("cos_sim")), beam)
@@ -1008,6 +1020,16 @@ object Similarity {
     topK(fin.select(col("query_id"), col("node").as("neighbor_id"),
       col("cos").as("cos_sim")), k)
   }
+
+  /** Materialize a DRIVER-SMALL relation as a LocalRelation: a
+    * broadcast of a LocalTableScan collects in the broadcast thread
+    * with NO Spark job, where broadcasting the original subplan
+    * re-executes it as one job per consuming plan. Only for relations
+    * whose broadcast the caller already pays (query batches, beam
+    * states) — never corpus data. */
+  private def localized(df: DataFrame): DataFrame =
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(df.collect(): _*), df.schema)
 
   // ------------------------------------------- hierarchical graph (HNSW)
 
@@ -1094,7 +1116,10 @@ object Similarity {
         case null => corpus.agg(min(col(idCol))).head().getLong(0)
         case v: Long => v
       }
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
+    // LocalRelation query batch + no frontier distinct — the same two
+    // per-hop job cuts as [[nswSearch]], across every layer's descent
+    val q = localized(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv")))
     val vecs = corpus.select(col(idCol).as("node"), col(vecCol).as("_nv"))
     def score(nodes: DataFrame): DataFrame =
       vecs.join(broadcast(nodes), Seq("node"))
@@ -1107,7 +1132,7 @@ object Similarity {
       for (_ <- 1 to nHops) {
         val frontier = edges.join(broadcast(beamDf
             .select(col("query_id"), col("node").as("src"))), Seq("src"))
-          .select(col("query_id"), col("dst").as("node")).distinct()
+          .select(col("query_id"), col("dst").as("node"))
         seen = seen.unionByName(score(frontier)).distinct().localCheckpoint()
         beamDf = topK(seen.select(col("query_id"),
             col("node").as("neighbor_id"), col("cos").as("cos_sim")), width)
@@ -1354,6 +1379,16 @@ object Similarity {
       .distinct()
   }
 
+  /** The banded index-signature relation for an n-row corpus at the
+    * index family's scaled ladder — what [[nswIndexBuild]] computes
+    * internally, exposed so a caller building SEVERAL indexes over the
+    * SAME corpus (q317's idx/twin pair) hashes it once and passes the
+    * shared relation through `knownSigs`. */
+  def indexSignatures(corpus: DataFrame, idCol: String, vecCol: String,
+      numBands: Int, dim: Int, n: Long): DataFrame =
+    bandedSignatures(corpus, idCol, vecCol, numBands,
+      scaledPlaneCount(n, NswPlaneCap, NswMinPlanes, NswMaxPlanes), dim)
+
   /** PERSISTED incremental NSW index (VERDICT r14 task 5 — the q185
     * FAISS-`add()` discipline extended to the GRAPH family): the index
     * is two snapshot tables under `indexDir` —
@@ -1378,12 +1413,21 @@ object Similarity {
       // r18 optimization: a caller that already knows |corpus| (the
       // HNSW build counts every layer in ONE pass) skips this level's
       // count job; the derived plane count is IDENTICAL either way
-      knownCount: Long = -1L): Unit = {
+      knownCount: Long = -1L,
+      // r19: precomputed (id, _v, _band, _sig) signatures over ≥ r
+      // planes of the SAME banded plane family — plane j is independent
+      // of the ladder length ([[bandedHyperplanes]]), so truncating to
+      // this build's r bits is EXACTLY the r-plane signature. Lets the
+      // HNSW build hash the corpus once instead of once per layer.
+      knownSigs: DataFrame = null): Unit = {
     import graft.lake.Snapshots
     val n = if (knownCount >= 0L) knownCount else corpus.count()
     val r = scaledPlaneCount(n, NswPlaneCap,
       NswMinPlanes, NswMaxPlanes)
-    val sig = bandedSignatures(corpus, idCol, vecCol, numBands, r, dim)
+    val sig = (if (knownSigs != null)
+      knownSigs.select(col("id"), col("_v"), col("_band"),
+        col("_sig").bitwiseAND(lit((1L << r) - 1)).as("_sig"))
+    else bandedSignatures(corpus, idCol, vecCol, numBands, r, dim))
       .persist()
     val cand = sig.as("x").join(sig.as("y"),
         col("x._band") === col("y._band") && col("x._sig") === col("y._sig") &&
@@ -1415,14 +1459,20 @@ object Similarity {
     * O(batch) new bytes, O(delta) log metadata. */
   def nswIndexAdd(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, batch: DataFrame, idCol: String,
-      vecCol: String): Unit = {
+      vecCol: String,
+      // r19: same precomputed-signature contract as [[nswIndexBuild]] —
+      // ≥ r planes of the same family, truncated here to the PINNED r
+      knownSigs: DataFrame = null): Unit = {
     import graft.lake.Snapshots
     val props = Snapshots.tableProperties(spark, s"$indexDir/sigs")
     val r = props(AnnPlanesKey).toInt
     val numBands = props(AnnBandsKey).toInt
     val m = props(AnnMKey).toInt
     val dim = props(AnnDimKey).toInt
-    val bSig = bandedSignatures(batch, idCol, vecCol, numBands, r, dim)
+    val bSig = (if (knownSigs != null)
+      knownSigs.select(col("id"), col("_v"), col("_band"),
+        col("_sig").bitwiseAND(lit((1L << r) - 1)).as("_sig"))
+    else bandedSignatures(batch, idCol, vecCol, numBands, r, dim))
       .persist()
     // sigs append FIRST so batch-internal pairs candidate too
     Snapshots.append(spark, s"$indexDir/sigs",
@@ -1568,13 +1618,24 @@ object Similarity {
     val nAt = (0 to HnswStaticMaxLevel).map(l =>
       if (row.isNullAt(l)) 0L else row.getLong(l))
     val levels = hnswMaxLevelFor(nAt(0))
+    // ONE hashing pass for EVERY layer (r19 — guide §1.2): plane j is
+    // independent of the ladder length, and layer populations only
+    // shrink upward, so layer 0's ladder is the longest — each upper
+    // layer's signatures are the base pass level-filtered and truncated
+    // to its own pinned r (bit-identical to hashing that layer alone).
+    // The previous shape re-scanned and re-hashed the corpus per layer.
+    val rBase = scaledPlaneCount(nAt(0), NswPlaneCap,
+      NswMinPlanes, NswMaxPlanes)
+    val baseSig = bandedSignatures(corpus, idCol, vecCol, numBands,
+      rBase, dim).persist()
     (0 to levels).foreach { l =>
-      val sub =
-        if (l == 0) corpus
-        else corpus.filter(hnswLevel(col(idCol)) >= l)
-      nswIndexBuild(spark, s"$indexDir/l$l", sub, idCol, vecCol,
-        m, numBands, dim, knownCount = nAt(l))
+      val sigs =
+        if (l == 0) baseSig
+        else baseSig.filter(hnswLevel(col("id")) >= l)
+      nswIndexBuild(spark, s"$indexDir/l$l", corpus, idCol, vecCol,
+        m, numBands, dim, knownCount = nAt(l), knownSigs = sigs)
     }
+    baseSig.unpersist()
     graft.lake.Snapshots.setTableProperties(spark, s"$indexDir/l0/sigs",
       Map(AnnLevelsKey -> levels.toString))
     ()
@@ -1594,13 +1655,26 @@ object Similarity {
     * reference. */
   def hnswIndexAdd(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, batch: DataFrame, idCol: String,
-      vecCol: String): Unit =
+      vecCol: String): Unit = {
+    // one hashing pass for every layer's slice — the add-side twin of
+    // the build's shared base signatures (r19): layer 0's pinned ladder
+    // is the longest by the build invariant (populations shrink
+    // upward), so each layer truncates the base bits to its own r
+    val props0 = graft.lake.Snapshots.tableProperties(
+      spark, s"$indexDir/l0/sigs")
+    val baseSig = bandedSignatures(batch, idCol, vecCol,
+      props0(AnnBandsKey).toInt, props0(AnnPlanesKey).toInt,
+      props0(AnnDimKey).toInt).persist()
     (0 to hnswIndexLevels(spark, indexDir)).foreach { l =>
-      val sub =
-        if (l == 0) batch
-        else batch.filter(hnswLevel(col(idCol)) >= l)
-      nswIndexAdd(spark, s"$indexDir/l$l", sub, idCol, vecCol)
+      val sigs =
+        if (l == 0) baseSig
+        else baseSig.filter(hnswLevel(col("id")) >= l)
+      nswIndexAdd(spark, s"$indexDir/l$l", batch, idCol, vecCol,
+        knownSigs = sigs)
     }
+    baseSig.unpersist()
+    ()
+  }
 
   /** Greedy descent over a persisted hierarchical index
     * ([[hnswSearch]] on each layer's live edge view), honoring any

@@ -80,6 +80,18 @@ object JobProfile {
           emit(f"  job${j.id}%4d ${(j.end - j.start) / 1000.0}%7.2fs  ${j.desc.take(110)}")
           j.stages.reverse.take(6).foreach(s => emit(s"        $s"))
         }
+        // histogram: every job bucketed by its first stage's call site —
+        // job COUNT is the contention-insensitive lever (each job costs
+        // ~20-30ms of driver planning/scheduling besides its tasks)
+        val hist = recs.groupBy(_.stages.lastOption
+            .map(_.replaceAll("^stage\\d+ ", "").split("' ")(0) + "'")
+            .getOrElse("(no-stage)"))
+          .map { case (k, js) =>
+            (k, js.size, js.map(j => math.max(0L, j.end - j.start)).sum) }
+          .toSeq.sortBy(-_._3)
+        emit("  -- jobs by first-stage call site --")
+        hist.foreach { case (k, n, ms) =>
+          emit(f"  $n%4d jobs ${ms / 1000.0}%7.2fs  $k") }
         // gap analysis: time between consecutive jobs = driver-side work
         val sorted = recs.sortBy(_.start)
         val gaps = sorted.sliding(2).collect {
