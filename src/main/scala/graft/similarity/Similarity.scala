@@ -1424,11 +1424,17 @@ object Similarity {
     val n = if (knownCount >= 0L) knownCount else corpus.count()
     val r = scaledPlaneCount(n, NswPlaneCap,
       NswMinPlanes, NswMaxPlanes)
+    // LAZY on purpose (r19, measured): a persisted sig breaks AQE's
+    // exchange reuse across the self-join's aliased cache scans — BOTH
+    // sides ran as full map stages per build/layer. Un-cached, the
+    // join's identical exchanges collapse to ONE map + a
+    // ReusedExchange, so the wiring action hashes the corpus once and
+    // only the sigs append pays a second (narrow, fully parallel)
+    // hashing pass.
     val sig = (if (knownSigs != null)
       knownSigs.select(col("id"), col("_v"), col("_band"),
         col("_sig").bitwiseAND(lit((1L << r) - 1)).as("_sig"))
     else bandedSignatures(corpus, idCol, vecCol, numBands, r, dim))
-      .persist()
     val cand = sig.as("x").join(sig.as("y"),
         col("x._band") === col("y._band") && col("x._sig") === col("y._sig") &&
           col("x.id") =!= col("y.id"))
@@ -1441,7 +1447,6 @@ object Similarity {
       AnnPlanesKey -> r.toString, AnnBandsKey -> numBands.toString,
       AnnMKey -> m.toString, AnnDimKey -> dim.toString))
     Snapshots.append(spark, s"$indexDir/edges", wireTopM(cand, m))
-    sig.unpersist()
     ()
   }
 
