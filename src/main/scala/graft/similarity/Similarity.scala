@@ -1441,8 +1441,17 @@ object Similarity {
       .select(col("x.id").as("src"), col("y.id").as("dst"),
         cosine(col("x._v"), col("y._v")).as("w"))
       .distinct()
+    // write-side file sizing (guide §6): Par.ensure keeps the HASHING
+    // wide, but letting that width reach the writer emits one near-empty
+    // file per core for KB-scale layers — files every later read,
+    // footer count and manifest carry forever. Row-derived width
+    // (~1M signature rows ≈ 300 MB per file) is scale-adaptive: a
+    // 100 TB corpus still fans out, an upper HNSW layer writes ONE file.
+    val sigParts = math.min(n * numBands / 1000000L + 1L,
+      Int.MaxValue.toLong).toInt
     Snapshots.append(spark, s"$indexDir/sigs",
-      sig.select(col("id"), col("_band"), col("_sig"), col("_v")))
+      sig.select(col("id"), col("_band"), col("_sig"), col("_v"))
+        .coalesce(sigParts))
     Snapshots.setTableProperties(spark, s"$indexDir/sigs", Map(
       AnnPlanesKey -> r.toString, AnnBandsKey -> numBands.toString,
       AnnMKey -> m.toString, AnnDimKey -> dim.toString))
