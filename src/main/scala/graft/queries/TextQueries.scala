@@ -1426,44 +1426,51 @@ object TextQueries {
     // (symbols_after = Σ freq over exploded symbols ≡ Σ freq·len).
     var out = Seq.empty[(Int, String, String, Long, Long, Long)]
     var i = 0
-    var vocabNow = vocabAndSymbols(words)._1
-    var exhausted = false // fully-merged corpus: no pair left to count
+    // fused probe (r19): the per-iteration vocab/symbols job and the
+    // next argmax job ride ONE action — probe i carries BOTH iteration
+    // i's attestation stats and iteration i+1's merge decision, so each
+    // round is one checkpoint + one probe instead of three jobs
+    var p = probePairArgmax(words)
+    var vocabNow = p._1
     while (vocabNow < BpeVocabBudget && i < BpeBudgetMaxIters &&
-        !exhausted) {
+        p._3.isDefined) {
       i += 1
-      val t = split(col("seq"), " ")
-      val topOpt = words
-        .select(col("freq"), explode(zip_with(
-          slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
-          (x, y) => concat(x, lit(" "), y))).as("pair"))
-        .groupBy("pair").agg(sum(col("freq")).as("cnt"))
-        .orderBy(desc("cnt"), asc("pair")).limit(1).collect().headOption
-      topOpt match {
-        case None => exhausted = true; i -= 1
-        case Some(topRow) =>
-          val Array(a, b) = topRow.getString(0).split(" ", 2)
-          val cnt = topRow.getLong(1)
-          words = words
-            .select(mergedSeqCol(a, b, a + b).as("seq"), col("freq"))
-            .localCheckpoint()
-          val (v, symbolsAfter) = vocabAndSymbols(words)
-          vocabNow = v
-          out = out :+ ((i, a, b, cnt, symbolsAfter, vocabNow))
-      }
+      val (a, b, cnt) = p._3.get
+      words = words
+        .select(mergedSeqCol(a, b, a + b).as("seq"), col("freq"))
+        .localCheckpoint()
+      p = probePairArgmax(words)
+      vocabNow = p._1
+      out = out :+ ((i, a, b, cnt, p._2, vocabNow))
     }
     out.toDF("iter", "a", "b", "cnt", "symbols_after", "vocab_after")
   }
 
-  /** One-pass vocab + weighted-symbol count over a (seq, freq) relation:
-    * distinct symbols and Σ freq per symbol occurrence (≡ Σ freq·len). */
-  private def vocabAndSymbols(words: DataFrame): (Long, Long) = {
+  /** ONE-ACTION trainer probe over a (seq, freq) relation: distinct
+    * symbols, Σ freq per symbol occurrence (≡ Σ freq·len), and the
+    * count-argmax adjacent pair — the stats pass and the argmax pass
+    * fused into one job (the 1-row argmax LEFT-joins the 1-row stats
+    * agg, so a fully-merged pair-free corpus still reports its vocab;
+    * sum over an empty relation is null → 0 mass, not an NPE). */
+  private def probePairArgmax(words: DataFrame)
+      : (Long, Long, Option[(String, String, Long)]) = {
+    val t = split(col("seq"), " ")
+    val top = words
+      .select(col("freq"), explode(zip_with(
+        slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+        (x, y) => concat(x, lit(" "), y))).as("pair"))
+      .groupBy("pair").agg(sum(col("freq")).as("cnt"))
+      .orderBy(desc("cnt"), asc("pair")).limit(1)
     val r = words
       .select(col("freq"), explode(split(col("seq"), " ")).as("s"))
       .agg(countDistinct(col("s")).as("v"), sum(col("freq")).as("sym"))
+      .join(top, lit(true), "left")
       .head()
-    // sum over an EMPTY relation is null (count is 0) — an empty words
-    // table reads as (0 symbols, 0 mass), not an NPE
-    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1),
+      if (r.isNullAt(2)) None else Some {
+        val Array(a, b) = r.getString(2).split(" ", 2)
+        (a, b, r.getLong(3))
+      })
   }
 
   /** The shared greedy leftmost non-overlapping merge rewrite with the
@@ -1572,36 +1579,25 @@ object TextQueries {
     // trajectory, one collected 1-row argmax + one fused vocab/symbols
     // agg per step, attestation rows as literal data (no re-execution
     // when the final frame is consumed).
-    val vocab0 = vocabAndSymbols(words)._1
+    // fused probe per round (r19) — see [[bpeTrainToBudget]]
+    var p = probePairArgmax(words)
+    val vocab0 = p._1
     val budget = vocab0 + ByteBpeMerges
     var out = Seq.empty[(Int, String, String, Long, Long, Long)]
     val rules = Seq.newBuilder[(String, String)]
     var i = 0
     var vocabNow = vocab0
-    var exhausted = false // fully-merged corpus: no pair left to count
-    while (vocabNow < budget && i < ByteBpeMaxIters && !exhausted) {
+    while (vocabNow < budget && i < ByteBpeMaxIters && p._3.isDefined) {
       i += 1
-      val t = split(col("seq"), " ")
-      val topOpt = words
-        .select(col("freq"), explode(zip_with(
-          slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
-          (x, y) => concat(x, lit(" "), y))).as("pair"))
-        .groupBy("pair").agg(sum(col("freq")).as("cnt"))
-        .orderBy(desc("cnt"), asc("pair")).limit(1).collect().headOption
-      topOpt match {
-        case None => exhausted = true; i -= 1
-        case Some(topRow) =>
-          val Array(a, b) = topRow.getString(0).split(" ", 2)
-          val cnt = topRow.getLong(1)
-          words = words
-            .select(col("tok"), mergedSeqCol(a, b, a + b).as("seq"),
-              col("freq"))
-            .localCheckpoint()
-          val (v, symbolsAfter) = vocabAndSymbols(words)
-          vocabNow = v
-          out = out :+ ((i, a, b, cnt, symbolsAfter, vocabNow))
-          rules += ((a, b))
-      }
+      val (a, b, cnt) = p._3.get
+      words = words
+        .select(col("tok"), mergedSeqCol(a, b, a + b).as("seq"),
+          col("freq"))
+        .localCheckpoint()
+      p = probePairArgmax(words)
+      vocabNow = p._1
+      out = out :+ ((i, a, b, cnt, p._2, vocabNow))
+      rules += ((a, b))
     }
     // round trip over EVERY distinct corpus token: the merged symbols
     // concatenate back to exactly the original UTF-8 hex
@@ -1741,28 +1737,25 @@ object TextQueries {
     // trajectory (the collected 1-row argmax IS the same deterministic
     // ratio argmax), one fused vocab/symbols agg per step, attestation
     // rows as literal data with no re-execution at consumption.
-    val vocab0 = vocabAndSymbols(words)._1
-    val budget = vocab0 + WordPieceMerges
-    var out = Seq.empty[(Int, String, String, Long, Long, Long)]
-    val rules = Seq.newBuilder[String]
-    var i = 0
-    var vocabNow = vocab0
-    var exhausted = false // fully-merged corpus: no pair left to score
-    while (vocabNow < budget && i < WordPieceMaxIters && !exhausted) {
-      i += 1
+    // fused probe per round (r19) — like [[probePairArgmax]] but with
+    // the WordPiece likelihood-ratio argmax; the vocab/symbol stats ARE
+    // the scoring relation's own aggregate (vocab = |syms|, mass = Σ c),
+    // so the separate per-iteration stats job fuses away entirely
+    def probe(ws: DataFrame): (Long, Long,
+        Option[(String, String, Long, String)]) = {
       val t = split(col("seq"), " ")
       // weighted symbol occurrences — the likelihood ratio's denominator
-      val syms = words
+      val syms = ws
         .select(col("freq"), explode(t).as("sym"))
         .groupBy("sym").agg(sum(col("freq")).as("c"))
-      val pairs = words
+      val pairs = ws
         .select(col("freq"), explode(zip_with(
           slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
           (x, y) => concat(x, lit(" "), y))).as("pair"))
         .groupBy("pair").agg(sum(col("freq")).as("cnt"))
         .withColumn("a", split(col("pair"), " ").getItem(0))
         .withColumn("b", split(col("pair"), " ").getItem(1))
-      val topOpt = pairs
+      val top = pairs
         .join(broadcast(syms.select(col("sym").as("a"),
           col("c").as("ca"))), "a")
         .join(broadcast(syms.select(col("sym").as("b"),
@@ -1773,20 +1766,36 @@ object TextQueries {
         .limit(1)
         .select(col("a"), col("b"), col("cnt"),
           concat(col("a"), regexp_replace(col("b"), "^##", "")).as("m"))
-        .collect().headOption
-      topOpt match {
-        case None => exhausted = true; i -= 1
-        case Some(topRow) =>
-          val (a, b, cnt, m) = (topRow.getString(0), topRow.getString(1),
-            topRow.getLong(2), topRow.getString(3))
-          words = words
-            .select(mergedSeqCol(a, b, m).as("seq"), col("freq"))
-            .localCheckpoint()
-          val (v, symbolsAfter) = vocabAndSymbols(words)
-          vocabNow = v
-          out = out :+ ((i, a, b, cnt, symbolsAfter, vocabNow))
-          rules += m
-      }
+      // stats from the exploded symbols DIRECTLY (not via syms): the
+      // banded syms relation already executes twice as the scoring
+      // broadcasts; a third execution for stats measured slower than
+      // this one-pass partial agg
+      val r = ws.select(col("freq"), explode(t).as("s"))
+        .agg(countDistinct(col("s")).as("v"), sum(col("freq")).as("sym"))
+        .join(top, lit(true), "left")
+        .head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1),
+        if (r.isNullAt(2)) None
+        else Some((r.getString(2), r.getString(3), r.getLong(4),
+          r.getString(5))))
+    }
+    var p = probe(words)
+    val vocab0 = p._1
+    val budget = vocab0 + WordPieceMerges
+    var out = Seq.empty[(Int, String, String, Long, Long, Long)]
+    val rules = Seq.newBuilder[String]
+    var i = 0
+    var vocabNow = vocab0
+    while (vocabNow < budget && i < WordPieceMaxIters && p._3.isDefined) {
+      i += 1
+      val (a, b, cnt, m) = p._3.get
+      words = words
+        .select(mergedSeqCol(a, b, m).as("seq"), col("freq"))
+        .localCheckpoint()
+      p = probe(words)
+      vocabNow = p._1
+      out = out :+ ((i, a, b, cnt, p._2, vocabNow))
+      rules += m
     }
     // ------- maximal-munch encode over the FINAL vocab -------
     import spark.implicits._
